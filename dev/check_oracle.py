@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-side mirror of the driver's correctness gate.
+
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+Runs each oracle_sql.json query in DuckDB over the parquet tables in sfDir,
+loads the Spark result parquet from verifyOutDir/<name>, sorts columns by
+name and rows by all columns, and compares values.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            expected = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        actual = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
+        if list(expected.columns) != list(actual.columns):
+            print(f"FAIL {name}: columns {list(actual.columns)} vs oracle {list(expected.columns)}")
+            n_fail += 1
+            continue
+        if len(expected) != len(actual):
+            print(f"FAIL {name}: rows {len(actual)} vs oracle {len(expected)}")
+            n_fail += 1
+            continue
+        # value compare with float tolerance
+        ok = True
+        for c in expected.columns:
+            e, a = expected[c], actual[c]
+            if e.dtype.kind == "f" or a.dtype.kind == "f":
+                import numpy as np
+                if not np.allclose(e.astype(float), a.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
+                    ok = False
+            else:
+                if not e.astype(str).equals(a.astype(str)):
+                    ok = False
+            if not ok:
+                print(f"FAIL {name}: column {c} differs")
+                n_fail += 1
+                break
+        if ok:
+            print(f"PASS {name}: {len(actual)} rows")
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

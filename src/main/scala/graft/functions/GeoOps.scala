@@ -1,0 +1,261 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Coordinate, Envelope, Geometry, GeometryFactory}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/**
+ * Runtime kernel for the spatio-temporal column type `stobj`.
+ *
+ * `stobj` is an open struct `(geom BINARY[WKB], t_start LONG NULL, t_end LONG NULL)`
+ * so Catalyst can prune and data-skip on the temporal longs and the geometry
+ * stays a single compact WKB column (see SURVEY.md §1.3; contrast with the
+ * reference's opaque byte-array UDT, reference
+ * src/main/scala/org/apache/spark/sql/spatial/STObjectUDT.scala:26-30, which
+ * blocks all pushdown).
+ *
+ * Temporal encoding (reference semantics, src/main/scala/dbis/stark/Instant.scala
+ * and Interval.scala):
+ *   - no time:              t_start NULL, t_end NULL
+ *   - Instant(v):           t_start = v, t_end = v
+ *   - Interval(s, Some(e)): t_start = s, t_end = e
+ *   - Interval(s, None):    t_start = s, t_end NULL   (right-open)
+ * Time is "present" iff t_start is non-null. An Instant is a degenerate
+ * closed interval — provably equivalent under intersects/contains/containedBy.
+ *
+ * All methods here are static so generated (Janino) code can call them via
+ * `graft.functions.GeoOps.xxx(...)` inside whole-stage codegen.
+ */
+object GeoOps {
+
+  val stobjType: StructType = StructType(Seq(
+    StructField("geom", BinaryType, nullable = false),
+    StructField("t_start", LongType, nullable = true),
+    StructField("t_end", LongType, nullable = true)))
+
+  // Predicate op codes (shared by expressions and codegen call sites).
+  final val INTERSECTS  = 0
+  final val CONTAINS    = 1
+  final val CONTAINEDBY = 2
+  final val COVERS      = 3
+  final val COVEREDBY   = 4
+
+  private val gf = new GeometryFactory()
+
+  // JTS readers/writers are not thread-safe; executors run many tasks per JVM.
+  private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(gf))
+  private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
+  private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(gf))
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+
+  /**
+   * Per-thread 2-slot identity cache for WKB→Geometry. Filter-against-literal
+   * is the hot path: the literal's byte array is the *same object* every row,
+   * so reference equality avoids re-parsing the query geometry per row.
+   * The second slot helps join probes where one side repeats within a batch.
+   */
+  private final class GeomCache {
+    var k1: Array[Byte] = _; var v1: Geometry = _
+    var k2: Array[Byte] = _; var v2: Geometry = _
+    def get(k: Array[Byte]): Geometry = {
+      if (k eq k1) return v1
+      if (k eq k2) return v2
+      val g = wkbReader.get().read(k)
+      k2 = k1; v2 = v1; k1 = k; v1 = g
+      g
+    }
+  }
+  private val geomCache = ThreadLocal.withInitial[GeomCache](() => new GeomCache)
+
+  def readGeom(wkb: Array[Byte]): Geometry = geomCache.get().get(wkb)
+  def writeGeom(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
+  def parseWkt(wkt: String): Geometry = wktReader.get().read(wkt)
+  def toWkt(g: Geometry): String = wktWriter.get().write(g)
+
+  def mkRow(g: Geometry, tStart: java.lang.Long, tEnd: java.lang.Long): InternalRow =
+    new GenericInternalRow(Array[Any](writeGeom(g), tStart, tEnd))
+
+  // ---- constructors (codegen entry points) ----
+
+  def fromWkt(wkt: UTF8String): InternalRow =
+    mkRow(parseWkt(wkt.toString), null, null)
+
+  def mkPoint(x: Double, y: Double): InternalRow =
+    mkRow(gf.createPoint(new Coordinate(x, y)), null, null)
+
+  def pointWkb(x: Double, y: Double): Array[Byte] =
+    writeGeom(gf.createPoint(new Coordinate(x, y)))
+
+  /** Axis-aligned box polygon. */
+  def mkBox(minx: Double, miny: Double, maxx: Double, maxy: Double): InternalRow =
+    mkRow(gf.toGeometry(new Envelope(minx, maxx, miny, maxy)), null, null)
+
+  /** Attach/replace the temporal component of an stobj (instant if e == s). */
+  def withTime(sto: InternalRow, s: Long, e: Long): InternalRow =
+    new GenericInternalRow(Array[Any](sto.getBinary(0), Long.box(s), Long.box(e)))
+
+  def withInstant(sto: InternalRow, v: Long): InternalRow = withTime(sto, v, v)
+
+  /** Right-open interval: end unknown/unbounded. */
+  def withOpenInterval(sto: InternalRow, s: Long): InternalRow =
+    new GenericInternalRow(Array[Any](sto.getBinary(0), Long.box(s), null))
+
+  // ---- temporal algebra (reference Interval.scala:32-44, Instant.scala:19-23) ----
+  // Encoded on (s, eDefined, e); caller guarantees time is present on both.
+
+  private def tIntersects(s1: Long, e1d: Boolean, e1: Long,
+                          s2: Long, e2d: Boolean, e2: Long): Boolean =
+    (s1 <= s2 && (!e1d || e1 >= s2)) || (s2 <= s1 && (!e2d || e2 >= s1))
+
+  /** Does interval 1 contain interval 2 (containee end must be defined). */
+  private def tContains(s1: Long, e1d: Boolean, e1: Long,
+                        s2: Long, e2d: Boolean, e2: Long): Boolean =
+    e2d && s2 >= s1 && (!e1d || e2 <= e1)
+
+  // ---- the full spatio-temporal predicate ----
+  // True iff spatial holds AND (both times absent OR both present and the
+  // temporal relation holds). Mixed presence => false.
+  // (reference src/main/scala/dbis/stark/STObject.scala:18-21,35-89)
+
+  def relate(a: InternalRow, b: InternalRow, op: Int): Boolean = {
+    val t1p = !a.isNullAt(1)
+    val t2p = !b.isNullAt(1)
+    // temporal gate first: cheap longs before any WKB parse
+    if (t1p != t2p) return false
+    if (t1p) {
+      val s1 = a.getLong(1); val e1d = !a.isNullAt(2); val e1 = if (e1d) a.getLong(2) else 0L
+      val s2 = b.getLong(1); val e2d = !b.isNullAt(2); val e2 = if (e2d) b.getLong(2) else 0L
+      val tOk = op match {
+        case INTERSECTS            => tIntersects(s1, e1d, e1, s2, e2d, e2)
+        case CONTAINS | COVERS     => tContains(s1, e1d, e1, s2, e2d, e2)
+        case CONTAINEDBY | COVEREDBY => tContains(s2, e2d, e2, s1, e1d, e1)
+        case _ => false
+      }
+      if (!tOk) return false
+    }
+    val ga = readGeom(a.getBinary(0))
+    val gb = readGeom(b.getBinary(0))
+    op match {
+      case INTERSECTS  => ga.intersects(gb)
+      case CONTAINS    => ga.contains(gb)
+      case CONTAINEDBY => gb.contains(ga)
+      case COVERS      => ga.covers(gb)
+      case COVEREDBY   => ga.coveredBy(gb)
+      case _ => false
+    }
+  }
+
+  // ---- distances ----
+
+  /** Minimum distance between the two geometries (JTS). */
+  def distance(a: InternalRow, b: InternalRow): Double =
+    readGeom(a.getBinary(0)).distance(readGeom(b.getBinary(0)))
+
+  /**
+   * Euclidean distance between centroids — the reference's default distance
+   * function (reference src/main/scala/dbis/stark/Distance.scala:118-128).
+   * Written as sqrt(dx*dx + dy*dy) so results are bit-identical to the same
+   * formula evaluated by an external SQL oracle.
+   */
+  def centroidDistance(a: InternalRow, b: InternalRow): Double = {
+    val ca = readGeom(a.getBinary(0)).getCentroid
+    val cb = readGeom(b.getBinary(0)).getCentroid
+    val dx = ca.getX - cb.getX
+    val dy = ca.getY - cb.getY
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  def withinDistance(a: InternalRow, b: InternalRow, d: Double): Boolean = {
+    // envelope prefilter: cheap reject before exact distance
+    val ga = readGeom(a.getBinary(0)); val gb = readGeom(b.getBinary(0))
+    val ea = ga.getEnvelopeInternal; val eb = gb.getEnvelopeInternal
+    if (ea.distance(eb) > d) false else ga.distance(gb) <= d
+  }
+
+  // ---- accessors ----
+
+  def stX(a: InternalRow): Double = readGeom(a.getBinary(0)).getCentroid.getX
+  def stY(a: InternalRow): Double = readGeom(a.getBinary(0)).getCentroid.getY
+  def area(a: InternalRow): Double = readGeom(a.getBinary(0)).getArea
+  def asWkt(a: InternalRow): UTF8String = UTF8String.fromString(toWkt(readGeom(a.getBinary(0))))
+  def minX(a: InternalRow): Double = readGeom(a.getBinary(0)).getEnvelopeInternal.getMinX
+  def maxX(a: InternalRow): Double = readGeom(a.getBinary(0)).getEnvelopeInternal.getMaxX
+  def minY(a: InternalRow): Double = readGeom(a.getBinary(0)).getEnvelopeInternal.getMinY
+  def maxY(a: InternalRow): Double = readGeom(a.getBinary(0)).getEnvelopeInternal.getMaxY
+
+  // ---- grid cells (spatial partitioning / cell-replicate join) ----
+
+  /** Pack two 32-bit cell indices into one long id. */
+  @inline private def pack(ix: Int, iy: Int): Long = (ix.toLong << 32) | (iy.toLong & 0xffffffffL)
+
+  /** Grid cell of the centroid — the partitioning key. */
+  def cellId(a: InternalRow, cellSize: Double): Long = {
+    val c = readGeom(a.getBinary(0)).getCentroid
+    pack(math.floor(c.getX / cellSize).toInt, math.floor(c.getY / cellSize).toInt)
+  }
+
+  /** All grid cells intersecting the geometry's envelope (join replication). */
+  def cells(a: InternalRow, cellSize: Double): Array[Long] = {
+    val env = readGeom(a.getBinary(0)).getEnvelopeInternal
+    cellsOfEnvelope(env, cellSize)
+  }
+
+  /** Envelope expanded by `radius` — for within-distance joins. */
+  def cellsExpanded(a: InternalRow, cellSize: Double, radius: Double): Array[Long] = {
+    val env = new Envelope(readGeom(a.getBinary(0)).getEnvelopeInternal)
+    env.expandBy(radius)
+    cellsOfEnvelope(env, cellSize)
+  }
+
+  private def cellsOfEnvelope(env: Envelope, cellSize: Double): Array[Long] = {
+    val x0 = math.floor(env.getMinX / cellSize).toInt
+    val x1 = math.floor(env.getMaxX / cellSize).toInt
+    val y0 = math.floor(env.getMinY / cellSize).toInt
+    val y1 = math.floor(env.getMaxY / cellSize).toInt
+    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    var i = 0
+    var ix = x0
+    while (ix <= x1) {
+      var iy = y0
+      while (iy <= y1) { out(i) = pack(ix, iy); i += 1; iy += 1 }
+      ix += 1
+    }
+    out
+  }
+
+  /**
+   * Duplicate-elimination for the cell-replicate join: a candidate pair is
+   * reported only from the cell containing the *reference point* = the
+   * lower-left corner of the intersection of the two envelopes. Every
+   * intersecting pair has exactly one such cell, so no post-join
+   * `dropDuplicates` shuffle is needed (standard spatial-join recipe; the
+   * reference instead ends zipJoin with a full distinct(), reference
+   * src/main/scala/org/apache/spark/PlainSpatialRDDFunctions.scala:325-348).
+   */
+  def refPointInCell(a: InternalRow, b: InternalRow, cellSize: Double, cell: Long): Boolean = {
+    val ea = readGeom(a.getBinary(0)).getEnvelopeInternal
+    val eb = readGeom(b.getBinary(0)).getEnvelopeInternal
+    val rx = math.max(ea.getMinX, eb.getMinX)
+    val ry = math.max(ea.getMinY, eb.getMinY)
+    pack(math.floor(rx / cellSize).toInt, math.floor(ry / cellSize).toInt) == cell
+  }
+
+  /** Same dedup trick for distance joins (envelopes expanded by radius on the left). */
+  def refPointInCellDist(a: InternalRow, b: InternalRow, radius: Double,
+                         cellSize: Double, cell: Long): Boolean = {
+    val ea = new Envelope(readGeom(a.getBinary(0)).getEnvelopeInternal)
+    ea.expandBy(radius)
+    val eb = readGeom(b.getBinary(0)).getEnvelopeInternal
+    val rx = math.max(ea.getMinX, eb.getMinX)
+    val ry = math.max(ea.getMinY, eb.getMinY)
+    pack(math.floor(rx / cellSize).toInt, math.floor(ry / cellSize).toInt) == cell
+  }
+
+  // ---- temporal accessors ----
+  // (null handling done by the expressions; these assume presence)
+  def tStart(a: InternalRow): Long = a.getLong(1)
+  def tEnd(a: InternalRow): Long = a.getLong(2)
+}

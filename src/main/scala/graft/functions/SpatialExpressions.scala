@@ -1,0 +1,266 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Catalyst expression library for the `stobj` column type.
+ *
+ * Mirrors the reference's SQL function surface (reference
+ * src/main/scala/dbis/stark/sql/Functions.scala:16-48 and
+ * sql/spatial/STPredicate.scala, STConstructor.scala, STFunction.scala) but as
+ * codegen-friendly expressions: each `doGenCode` emits a static call into
+ * [[GeoOps]], so the expression participates in whole-stage codegen instead of
+ * the reference's per-row CodegenFallback.
+ */
+object SpatialExpressions {
+  // shorthand used by the expressions below
+  private[functions] def row(v: Any): InternalRow = v.asInstanceOf[InternalRow]
+}
+
+import SpatialExpressions.row
+
+/** st_geomfromwkt(wkt) → stobj (no time). */
+case class STGeomFromWKT(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeoOps.fromWkt(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoOps.fromWkt($c)")
+  override protected def withNewChildInternal(c: Expression): STGeomFromWKT = copy(child = c)
+  override def prettyName: String = "st_geomfromwkt"
+}
+
+/** st_point(x, y) → stobj point (no time). */
+case class STPoint(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(x: Any, y: Any): Any =
+    GeoOps.mkPoint(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.GeoOps.mkPoint($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STPoint =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_point"
+}
+
+/** st_box(minx, miny, maxx, maxy) → axis-aligned rectangle polygon (no time). */
+case class STMakeBox(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoOps.mkBox(a.asInstanceOf[Double], b.asInstanceOf[Double],
+                 c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.functions.GeoOps.mkBox($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): STMakeBox =
+    copy(first = a, second = b, third = c, fourth = d)
+  override def prettyName: String = "st_box"
+}
+
+/** st_with_time(sto, t_start, t_end) → stobj with a closed interval (instant if equal). */
+case class STWithTime(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(sto: Any, s: Any, e: Any): Any =
+    GeoOps.withTime(row(sto), s.asInstanceOf[Long], e.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s, e) => s"graft.functions.GeoOps.withTime($a, $s, $e)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): STWithTime =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_with_time"
+}
+
+/** st_with_instant(sto, t) → stobj with an instant time component. */
+case class STWithInstant(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(sto: Any, t: Any): Any =
+    GeoOps.withInstant(row(sto), t.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, t) => s"graft.functions.GeoOps.withInstant($a, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STWithInstant =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_with_instant"
+}
+
+/** st_with_open_interval(sto, t_start) → stobj with right-open interval. */
+case class STWithOpenInterval(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(sto: Any, s: Any): Any =
+    GeoOps.withOpenInterval(row(sto), s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) => s"graft.functions.GeoOps.withOpenInterval($a, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STWithOpenInterval =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_with_open_interval"
+}
+
+/**
+ * The five spatio-temporal predicates (op ∈ GeoOps.{INTERSECTS..COVEREDBY}).
+ * Semantics: spatial relation AND (both times absent OR both present and the
+ * temporal relation holds) — reference src/main/scala/dbis/stark/STObject.scala:35-89.
+ */
+case class STRelate(left: Expression, right: Expression, op: Int) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = GeoOps.relate(row(a), row(b), op)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.relate($a, $b, $op)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STRelate =
+    copy(left = l, right = r)
+  override def prettyName: String = op match {
+    case GeoOps.INTERSECTS  => "st_intersects"
+    case GeoOps.CONTAINS    => "st_contains"
+    case GeoOps.CONTAINEDBY => "st_containedby"
+    case GeoOps.COVERS      => "st_covers"
+    case GeoOps.COVEREDBY   => "st_coveredby"
+  }
+}
+
+/** st_distance(a, b): minimum distance between the geometries (JTS). */
+case class STDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = GeoOps.distance(row(a), row(b))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.distance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_distance"
+}
+
+/** st_centroid_distance(a, b): reference's default distance (Distance.scala:118-128). */
+case class STCentroidDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = GeoOps.centroidDistance(row(a), row(b))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.centroidDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STCentroidDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_centroid_distance"
+}
+
+/** st_within_distance(a, b, d): envelope-prefiltered distance predicate. */
+case class STWithinDistance(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeoOps.withinDistance(row(a), row(b), d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, d) => s"graft.functions.GeoOps.withinDistance($a, $b, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): STWithinDistance =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_within_distance"
+}
+
+/** Double-valued unary accessors over stobj. */
+case class STDoubleAccessor(child: Expression, func: String) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = func match {
+    case "stX"  => GeoOps.stX(row(a))
+    case "stY"  => GeoOps.stY(row(a))
+    case "area" => GeoOps.area(row(a))
+    case "minX" => GeoOps.minX(row(a))
+    case "maxX" => GeoOps.maxX(row(a))
+    case "minY" => GeoOps.minY(row(a))
+    case "maxY" => GeoOps.maxY(row(a))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoOps.$func($c)")
+  override protected def withNewChildInternal(c: Expression): STDoubleAccessor = copy(child = c)
+  override def prettyName: String = "st_" + func.toLowerCase
+}
+
+/** st_wkt(sto) → WKT string. */
+case class STAsWKT(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = GeoOps.asWkt(row(a))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoOps.asWkt($c)")
+  override protected def withNewChildInternal(c: Expression): STAsWKT = copy(child = c)
+  override def prettyName: String = "st_wkt"
+}
+
+/** st_cell(sto, cellSize) → grid cell id of the centroid (partitioning key). */
+case class STCellId(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, cs: Any): Any = GeoOps.cellId(row(a), cs.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, cs) => s"graft.functions.GeoOps.cellId($a, $cs)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STCellId =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_cell"
+}
+
+/** st_cells(sto, cellSize[, radius]) → all cells of the (expanded) envelope. */
+case class STCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, cs: Any, r: Any): Any = {
+    val radius = r.asInstanceOf[Double]
+    val arr = if (radius == 0d) GeoOps.cells(row(a), cs.asInstanceOf[Double])
+              else GeoOps.cellsExpanded(row(a), cs.asInstanceOf[Double], radius)
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): STCells =
+    copy(first = f, second = s, third = t)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, cs, r) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"($r == 0.0d) ? graft.functions.GeoOps.cells($a, $cs)" +
+      s" : graft.functions.GeoOps.cellsExpanded($a, $cs, $r))")
+  override def prettyName: String = "st_cells"
+}
+
+/**
+ * st_ref_cell(a, b, cellSize, cell[, radius]) — true iff `cell` is the cell of
+ * the lower-left corner of envelope(a)∩envelope(b) (a expanded by radius).
+ * The duplicate-elimination predicate of the cell-replicate spatial join.
+ */
+case class STRefCell(children: Seq[Expression])
+    extends Expression with codegen.CodegenFallback {
+  require(children.size == 5)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val r = vs(4).asInstanceOf[Double]
+      if (r == 0d)
+        GeoOps.refPointInCell(row(vs(0)), row(vs(1)), vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Long])
+      else
+        GeoOps.refPointInCellDist(row(vs(0)), row(vs(1)), r, vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Long])
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): STRefCell =
+    copy(children = cs)
+  override def prettyName: String = "st_ref_cell"
+}
+
+/** st_tstart(sto) / st_tend(sto): nullable temporal bounds. */
+case class STTemporalAccessor(child: Expression, end: Boolean)
+    extends UnaryExpression with codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val r = row(a); val ord = if (end) 2 else 1
+    if (r.isNullAt(ord)) null else r.getLong(ord)
+  }
+  override protected def withNewChildInternal(c: Expression): STTemporalAccessor = copy(child = c)
+  override def prettyName: String = if (end) "st_tend" else "st_tstart"
+}

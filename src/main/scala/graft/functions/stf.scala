@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/**
+ * Function registration + Column-facing API.
+ *
+ * Every function is registered in the session's FunctionRegistry (so it is
+ * usable from `spark.sql(...)` — reference parity with
+ * src/main/scala/dbis/stark/sql/Functions.scala:16-48) and the `stf` wrappers
+ * below resolve through `call_function`, which keeps this library on public,
+ * stable Spark API only.
+ */
+object GraftFunctions {
+
+  import GeoOps._
+
+  // SQL literals arrive as Decimal/Integer; coerce scalar args explicitly
+  // (redundant casts are folded away by SimplifyCasts).
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+  private def l(e: Expression): Expression = Cast(e, LongType)
+  private def s(e: Expression): Expression = Cast(e, StringType)
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_geomfromwkt"  -> ((es: Seq[Expression]) => STGeomFromWKT(s(es.head))),
+    "st_point"        -> ((es: Seq[Expression]) => STPoint(d(es(0)), d(es(1)))),
+    "st_box"          -> ((es: Seq[Expression]) => STMakeBox(d(es(0)), d(es(1)), d(es(2)), d(es(3)))),
+    "st_with_time"    -> ((es: Seq[Expression]) => STWithTime(es(0), l(es(1)), l(es(2)))),
+    "st_with_instant" -> ((es: Seq[Expression]) => STWithInstant(es(0), l(es(1)))),
+    "st_with_open_interval" -> ((es: Seq[Expression]) => STWithOpenInterval(es(0), l(es(1)))),
+    "st_intersects"   -> ((es: Seq[Expression]) => STRelate(es(0), es(1), INTERSECTS)),
+    "st_contains"     -> ((es: Seq[Expression]) => STRelate(es(0), es(1), CONTAINS)),
+    "st_containedby"  -> ((es: Seq[Expression]) => STRelate(es(0), es(1), CONTAINEDBY)),
+    "st_covers"       -> ((es: Seq[Expression]) => STRelate(es(0), es(1), COVERS)),
+    "st_coveredby"    -> ((es: Seq[Expression]) => STRelate(es(0), es(1), COVEREDBY)),
+    "st_distance"     -> ((es: Seq[Expression]) => STDistance(es(0), es(1))),
+    "st_centroid_distance" -> ((es: Seq[Expression]) => STCentroidDistance(es(0), es(1))),
+    "st_within_distance" -> ((es: Seq[Expression]) => STWithinDistance(es(0), es(1), d(es(2)))),
+    "st_wkt"          -> ((es: Seq[Expression]) => STAsWKT(es.head)),
+    "st_x"            -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "stX")),
+    "st_y"            -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "stY")),
+    "st_area"         -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "area")),
+    "st_minx"         -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "minX")),
+    "st_maxx"         -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "maxX")),
+    "st_miny"         -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "minY")),
+    "st_maxy"         -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "maxY")),
+    "st_tstart"       -> ((es: Seq[Expression]) => STTemporalAccessor(es.head, end = false)),
+    "st_tend"         -> ((es: Seq[Expression]) => STTemporalAccessor(es.head, end = true)),
+    "st_cell"         -> ((es: Seq[Expression]) => STCellId(es(0), d(es(1)))),
+    "st_cells"        -> ((es: Seq[Expression]) =>
+      STCells(es(0), d(es(1)), if (es.size > 2) d(es(2)) else Literal(0d))),
+    "st_ref_cell"     -> ((es: Seq[Expression]) =>
+      STRefCell(if (es.size == 5) Seq(es(0), es(1), d(es(2)), l(es(3)), d(es(4)))
+                else Seq(es(0), es(1), d(es(2)), l(es(3)), Literal(0d))))
+  )
+
+  /** Idempotently register all st_* functions in the given session. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  /** For `spark.sql.extensions=graft.GraftExtensions`. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}
+
+/**
+ * Column-level DSL: `stf.st_point(col("x"), col("y"))` etc. Requires
+ * [[GraftFunctions.register]] (done automatically by graft operator entry
+ * points and by [[graft.GraftExtensions]]).
+ */
+object stf {
+  def st_geomfromwkt(wkt: Column): Column = call_function("st_geomfromwkt", wkt)
+  def st_geomfromwkt(wkt: String): Column = st_geomfromwkt(lit(wkt))
+  def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_box(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    call_function("st_box", minx, miny, maxx, maxy)
+  def st_with_time(sto: Column, s: Column, e: Column): Column = call_function("st_with_time", sto, s, e)
+  def st_with_instant(sto: Column, t: Column): Column = call_function("st_with_instant", sto, t)
+  def st_with_open_interval(sto: Column, s: Column): Column = call_function("st_with_open_interval", sto, s)
+  def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def st_contains(a: Column, b: Column): Column = call_function("st_contains", a, b)
+  def st_containedby(a: Column, b: Column): Column = call_function("st_containedby", a, b)
+  def st_covers(a: Column, b: Column): Column = call_function("st_covers", a, b)
+  def st_coveredby(a: Column, b: Column): Column = call_function("st_coveredby", a, b)
+  def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_centroid_distance(a: Column, b: Column): Column = call_function("st_centroid_distance", a, b)
+  def st_within_distance(a: Column, b: Column, d: Column): Column = call_function("st_within_distance", a, b, d)
+  def st_wkt(a: Column): Column = call_function("st_wkt", a)
+  def st_x(a: Column): Column = call_function("st_x", a)
+  def st_y(a: Column): Column = call_function("st_y", a)
+  def st_area(a: Column): Column = call_function("st_area", a)
+  def st_minx(a: Column): Column = call_function("st_minx", a)
+  def st_maxx(a: Column): Column = call_function("st_maxx", a)
+  def st_miny(a: Column): Column = call_function("st_miny", a)
+  def st_maxy(a: Column): Column = call_function("st_maxy", a)
+  def st_tstart(a: Column): Column = call_function("st_tstart", a)
+  def st_tend(a: Column): Column = call_function("st_tend", a)
+  def st_cell(a: Column, cellSize: Column): Column = call_function("st_cell", a, cellSize)
+  def st_cells(a: Column, cellSize: Column): Column = call_function("st_cells", a, cellSize)
+  def st_cells(a: Column, cellSize: Column, radius: Column): Column = call_function("st_cells", a, cellSize, radius)
+  def st_ref_cell(a: Column, b: Column, cellSize: Column, cell: Column): Column =
+    call_function("st_ref_cell", a, b, cellSize, cell)
+  def st_ref_cell(a: Column, b: Column, cellSize: Column, cell: Column, radius: Column): Column =
+    call_function("st_ref_cell", a, b, cellSize, cell, radius)
+}

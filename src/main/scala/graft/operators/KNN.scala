@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.{GeoOps, GraftFunctions, stf}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.index.strtree.{AbstractNode, Boundable, ItemBoundable, ItemDistance, STRtree}
+
+/**
+ * k-nearest-neighbor queries.
+ *
+ * Global kNN (the reference's kNN / knnTake / knnAgg / knn2 variants, which
+ * all answer the same query — reference src/main/scala/org/apache/spark/
+ * PlainSpatialRDDFunctions.scala:112-252) is expressed declaratively as
+ * `ORDER BY distance LIMIT k`: Spark plans a TakeOrderedAndProject, which is
+ * the per-partition-top-k + merge the reference hand-codes.
+ *
+ * kNN join: for every left row, its k nearest right rows. This
+ * implementation broadcasts the right side and probes a per-partition JTS
+ * STRtree (the index-accelerated broadcast strategy, reference
+ * LiveIndexedSpatialRDDFunctions.scala:179-222). Unlike the reference's
+ * per-right-partition k (no global re-merge — reference
+ * SpatialKnnJoinRDD.scala:20-84, a documented semantics bug we do not copy),
+ * results here are the true global k. Ties are resolved exactly: after the
+ * tree's kNN pass we re-query everything within the k-th distance and order
+ * by (distance, tieBreak).
+ */
+object KNN {
+
+  /** Distance used throughout: euclidean between centroids — the reference's
+    * default distance function (reference src/main/scala/dbis/stark/Distance.scala:118-128). */
+  private def centroidDist(a: Geometry, b: Geometry): Double = {
+    val ca = a.getCentroid; val cb = b.getCentroid
+    val dx = ca.getX - cb.getX; val dy = ca.getY - cb.getY
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  /**
+   * Global kNN of `qry` within `df`. Adds `distName` with the centroid
+   * distance; deterministic order via (distance, tieBreak...).
+   */
+  def knn(df: DataFrame, geo: Column, qry: Column, k: Int,
+          distName: String = "dist", tieBreak: Seq[Column] = Nil): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn(distName, stf.st_centroid_distance(geo, qry))
+      .orderBy(col(distName) +: tieBreak: _*)
+      .limit(k)
+  }
+
+  private class CentroidItemDistance extends ItemDistance {
+    override def distance(a: ItemBoundable, b: ItemBoundable): Double =
+      centroidDist(a.getItem.asInstanceOf[(Geometry, Row)]._1,
+                   b.getItem.asInstanceOf[(Geometry, Row)]._1)
+  }
+
+  /**
+   * Broadcast kNN join: for each left row, the k nearest right rows by
+   * centroid distance. Output = left.* ++ right.* ++ distName.
+   *
+   * @param tieBreak name of a numeric right-side column used to order equal
+   *                 distances deterministically (null = arbitrary tie order).
+   *
+   * Scale: right side must fit in executor memory (same contract as any
+   * broadcast join). For two large sides use [[SpatialJoin.distanceJoin]]
+   * with a radius + window-rank instead.
+   */
+  def knnJoin(left: DataFrame, right: DataFrame, leftGeom: String, rightGeom: String,
+              k: Int, distName: String = "knn_dist", tieBreak: String = null): DataFrame = {
+    GraftFunctions.register(left.sparkSession)
+    val spark = left.sparkSession
+    val rSchema = right.schema
+    val rGeoIdx = rSchema.fieldIndex(rightGeom)
+    val tieIdx = if (tieBreak == null) -1 else rSchema.fieldIndex(tieBreak)
+    val lGeoIdx = left.schema.fieldIndex(leftGeom)
+    val rightRows = right.collect()
+    val bc = spark.sparkContext.broadcast(rightRows)
+    val outSchema = StructType(left.schema.fields ++ rSchema.fields)
+      .add(distName, org.apache.spark.sql.types.DoubleType, nullable = false)
+    val kk = k
+
+    left.mapPartitions { iter =>
+      val rows = bc.value
+      val entries: Array[(Geometry, Row)] = rows.map { r =>
+        val sto = r.getStruct(rGeoIdx)
+        (GeoOps.readGeom(sto.getAs[Array[Byte]](0)), r)
+      }
+      val tree = new STRtree()
+      entries.foreach { case (g, r) => tree.insert(g.getEnvelopeInternal, (g, r)) }
+      if (entries.nonEmpty) tree.build()
+      val itemDist = new CentroidItemDistance
+
+      def tieOf(r: Row): Long = if (tieIdx < 0) 0L else r.get(tieIdx) match {
+        case l: Long => l; case i: Int => i.toLong; case _ => 0L
+      }
+
+      iter.flatMap { lrow =>
+        if (entries.isEmpty) Iterator.empty
+        else {
+          val lg = GeoOps.readGeom(lrow.getStruct(lGeoIdx).getAs[Array[Byte]](0))
+          val nearest =
+            if (entries.length <= kk) entries
+            else {
+              // pass 1: tree kNN for the k-th distance bound
+              val approx = tree.nearestNeighbour(lg.getEnvelopeInternal, (lg, null: Row),
+                itemDist, kk).asInstanceOf[Array[AnyRef]]
+              val dk = approx.iterator
+                .map(o => centroidDist(lg, o.asInstanceOf[(Geometry, Row)]._1)).max
+              // pass 2: everything within dk (exact tie handling)
+              val env = new Envelope(lg.getEnvelopeInternal); env.expandBy(dk)
+              val cands = tree.query(env)
+              val buf = new scala.collection.mutable.ArrayBuffer[(Geometry, Row)](cands.size())
+              val it = cands.iterator()
+              while (it.hasNext) buf += it.next().asInstanceOf[(Geometry, Row)]
+              buf.toArray
+            }
+          nearest.iterator
+            .map { case (g, r) => (centroidDist(lg, g), tieOf(r), r) }
+            .toArray.sortBy(t => (t._1, t._2)).iterator.take(kk)
+            .map { case (d, _, r) => Row.fromSeq(lrow.toSeq ++ r.toSeq :+ d) }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * 2-dimensional skyline (minimize both dimensions).
+ *
+ * Dominance: a dominates b iff a is <= in both dims and strictly < in at
+ * least one (reference src/main/scala/dbis/stark/spatial/Skyline.scala:12-22).
+ *
+ * Parallelization = local-skyline-then-merge, the common core of all four
+ * reference variants (reference PlainSpatialRDDFunctions.scala:425-586):
+ * a per-partition skyline shrinks each partition to its non-dominated
+ * frontier, then a single-partition merge finishes. `skylineAngular`
+ * first repartitions by polar angle of (x, y) — the reference's
+ * AngularPartitioner (partitioner/AngularPartitioner.scala:66-103) — which
+ * balances frontier work because dominance is rare across angle buckets.
+ */
+object Skyline {
+
+  private def dominates(ax: Double, ay: Double, bx: Double, by: Double): Boolean =
+    (ax <= bx && ay < by) || (ax < bx && ay <= by)
+
+  /** Insert-unless-dominated local skyline over (x, y) keyed rows. */
+  private def localSkyline(iter: Iterator[Row], xi: Int, yi: Int): Iterator[Row] = {
+    val frontier = new ArrayBuffer[(Double, Double, Row)]()
+    iter.foreach { r =>
+      if (!r.isNullAt(xi) && !r.isNullAt(yi)) {
+        val x = r.getDouble(xi); val y = r.getDouble(yi)
+        var dominated = false
+        var i = 0
+        while (i < frontier.length && !dominated) {
+          val f = frontier(i)
+          if (dominates(f._1, f._2, x, y)) dominated = true
+          else if (dominates(x, y, f._1, f._2)) {
+            // swap-remove the newly dominated frontier point
+            frontier(i) = frontier(frontier.length - 1)
+            frontier.remove(frontier.length - 1)
+          } else i += 1
+        }
+        if (!dominated) frontier += ((x, y, r))
+      }
+    }
+    frontier.iterator.map(_._3)
+  }
+
+  /**
+   * Skyline of `df` over numeric columns `xCol`, `yCol` (minimized).
+   * Two-level: local skyline per partition, then single-partition merge.
+   */
+  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xi = df.schema.fieldIndex(xCol)
+    val yi = df.schema.fieldIndex(yCol)
+    val enc = Encoders.row(df.schema)
+    df.mapPartitions(it => localSkyline(it, xi, yi))(enc)
+      .repartition(1)
+      .mapPartitions(it => localSkyline(it, xi, yi))(enc)
+  }
+
+  /** Angular-partitioned variant: repartition by atan2 bucket first. */
+  def skylineAngular(df: DataFrame, xCol: String, yCol: String, buckets: Int = 16): DataFrame = {
+    val xi = df.schema.fieldIndex(xCol)
+    val yi = df.schema.fieldIndex(yCol)
+    val enc = Encoders.row(df.schema)
+    val bucket = least(
+      floor(atan2(col(yCol), col(xCol)) / lit(math.Pi / 2 / buckets)), lit(buckets - 1))
+    df.repartition(buckets, bucket)
+      .mapPartitions(it => localSkyline(it, xi, yi))(enc)
+      .repartition(1)
+      .mapPartitions(it => localSkyline(it, xi, yi))(enc)
+  }
+
+  /**
+   * Spatio-temporal skyline: minimize (spatial distance, temporal distance)
+   * to a reference object — the reference's `skyline(ref, ...)` entry point
+   * (Plain:425-494). Adds the two distance columns, then runs [[skyline]].
+   */
+  def stSkyline(df: DataFrame, stoCol: Column, ref: Column): DataFrame = {
+    import graft.functions.stf
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val withD = df
+      .withColumn("spatial_dist", stf.st_centroid_distance(stoCol, ref))
+      .withColumn("temporal_dist",
+        abs((stf.st_tstart(stoCol) + stf.st_tend(stoCol)) / 2 -
+            (stf.st_tstart(ref) + stf.st_tend(ref)) / 2).cast("double"))
+    skyline(withD, "spatial_dist", "temporal_dist")
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+}
+
+/**
+ * Unit tests of the st_* expression semantics — ports of the reference's
+ * STObjectTest / InstantTest / IntervalTest contracts (reference
+ * src/test/scala/dbis/stark), expressed as SQL one-liners.
+ */
+class SpatialFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def b(sql: String): Boolean =
+    spark.sql(s"SELECT $sql").collect()(0).getBoolean(0)
+  private def d(sql: String): Double =
+    spark.sql(s"SELECT $sql").collect()(0).getDouble(0)
+
+  private val poly = "st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')"
+
+  test("spatial predicates: point vs polygon") {
+    assert(b(s"st_contains($poly, st_point(5.0, 5.0))"))
+    assert(!b(s"st_contains($poly, st_point(15.0, 5.0))"))
+    // boundary: contains=false, covers=true, intersects=true
+    assert(!b(s"st_contains($poly, st_point(0.0, 5.0))"))
+    assert(b(s"st_covers($poly, st_point(0.0, 5.0))"))
+    assert(b(s"st_intersects($poly, st_point(0.0, 5.0))"))
+    assert(b(s"st_containedby(st_point(5.0, 5.0), $poly)"))
+    assert(b(s"st_coveredby(st_point(0.0, 5.0), $poly)"))
+  }
+
+  test("temporal rule: mixed presence is always false") {
+    val a = "st_with_instant(st_point(5.0, 5.0), 100L)"
+    assert(!b(s"st_intersects($a, $poly)"))
+    assert(!b(s"st_intersects($poly, $a)"))
+    assert(!b(s"st_contains($poly, $a)"))
+    // both absent: spatial only
+    assert(b(s"st_intersects($poly, st_point(5.0, 5.0))"))
+  }
+
+  test("temporal intersects: instants and intervals") {
+    def pt(t: String) = s"st_with_instant(st_point(5.0, 5.0), $t)"
+    def iv(s: String, e: String) = s"st_with_time(st_point(5.0, 5.0), $s, $e)"
+    def openIv(s: String) = s"st_with_open_interval(st_point(5.0, 5.0), $s)"
+    assert(b(s"st_intersects(${pt("100L")}, ${pt("100L")})"))
+    assert(!b(s"st_intersects(${pt("100L")}, ${pt("101L")})"))
+    assert(b(s"st_intersects(${iv("0L", "10L")}, ${iv("10L", "20L")})"))   // touching
+    assert(!b(s"st_intersects(${iv("0L", "9L")}, ${iv("10L", "20L")})"))
+    assert(b(s"st_intersects(${pt("15L")}, ${iv("10L", "20L")})"))
+    assert(b(s"st_intersects(${openIv("10L")}, ${pt("1000L")})"))         // open end
+    assert(!b(s"st_intersects(${openIv("10L")}, ${pt("9L")})"))
+  }
+
+  test("temporal contains: open-end edge cases (reference Interval.scala:37-38)") {
+    def iv(s: String, e: String) = s"st_with_time(st_point(5.0, 5.0), $s, $e)"
+    def openIv(s: String) = s"st_with_open_interval(st_point(5.0, 5.0), $s)"
+    assert(b(s"st_contains(${iv("0L", "100L")}, ${iv("10L", "20L")})"))
+    assert(!b(s"st_contains(${iv("0L", "15L")}, ${iv("10L", "20L")})"))
+    // an open-ended container contains anything started inside it
+    assert(b(s"st_contains(${openIv("0L")}, ${iv("10L", "1000000L")})"))
+    // an open-ended containee is contained by nothing (its end is undefined)
+    assert(!b(s"st_contains(${iv("0L", "100L")}, ${openIv("10L")})"))
+    assert(!b(s"st_contains(${openIv("0L")}, ${openIv("10L")})"))
+    // containedBy is the inverse
+    assert(b(s"st_containedby(${iv("10L", "20L")}, ${iv("0L", "100L")})"))
+  }
+
+  test("distance functions") {
+    assert(d("st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0))") == 5.0)
+    assert(d("st_centroid_distance(st_point(0.0, 0.0), st_point(3.0, 4.0))") == 5.0)
+    assert(b("st_within_distance(st_point(0.0, 0.0), st_point(3.0, 4.0), 5.0)"))
+    assert(!b("st_within_distance(st_point(0.0, 0.0), st_point(3.0, 4.0), 4.99)"))
+    // polygon min distance vs centroid distance differ
+    assert(d(s"st_distance($poly, st_point(15.0, 5.0))") == 5.0)
+    assert(d(s"st_centroid_distance($poly, st_point(15.0, 5.0))") == 10.0)
+  }
+
+  test("accessors and constructors") {
+    assert(spark.sql("SELECT st_wkt(st_point(1.0, 2.0))").collect()(0).getString(0)
+      == "POINT (1 2)")
+    assert(d(s"st_area($poly)") == 100.0)
+    assert(d(s"st_minx($poly)") == 0.0 && d(s"st_maxx($poly)") == 10.0)
+    assert(d("st_x(st_point(3.0, 4.0))") == 3.0)
+    val r = spark.sql("SELECT st_tstart(st_with_time(st_point(1.0,1.0), 5L, 9L)), " +
+      "st_tend(st_with_time(st_point(1.0,1.0), 5L, 9L)), st_tstart(st_point(1.0,1.0))").collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 9L && r.isNullAt(2))
+  }
+
+  test("grid cells") {
+    val cells = spark.sql("SELECT st_cells(st_box(5.0, 5.0, 15.0, 15.0), 10.0)")
+      .collect()(0).getSeq[Long](0)
+    assert(cells.length == 4) // box straddles 4 cells of size 10
+    val single = spark.sql("SELECT st_cells(st_point(5.0, 5.0), 10.0)")
+      .collect()(0).getSeq[Long](0)
+    assert(single.length == 1)
+    // negative coordinates get distinct cells (no collision with positives)
+    val neg = spark.sql("SELECT st_cell(st_point(-5.0, -5.0), 10.0), st_cell(st_point(5.0, 5.0), 10.0)").collect()(0)
+    assert(neg.getLong(0) != neg.getLong(1))
+  }
+}
