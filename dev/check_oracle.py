@@ -50,19 +50,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(actual)} vs oracle {len(expected)}")
             n_fail += 1
             continue
-        # value compare with float tolerance
+        # EXACT value compare — mirrors the driver's hash-match (floats must
+        # be bit-identical; queries are designed to guarantee that)
         ok = True
         for c in expected.columns:
             e, a = expected[c], actual[c]
-            if e.dtype.kind == "f" or a.dtype.kind == "f":
-                import numpy as np
-                if not np.allclose(e.astype(float), a.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
-                    ok = False
-            else:
-                if not e.astype(str).equals(a.astype(str)):
-                    ok = False
+            if not e.astype(str).equals(a.astype(str)):
+                ok = False
             if not ok:
-                print(f"FAIL {name}: column {c} differs")
+                import numpy as np
+                bad = (e.astype(str) != a.astype(str))
+                print(f"FAIL {name}: column {c} differs in {bad.sum()} rows; "
+                      f"first: oracle={e[bad].iloc[0]!r} spark={a[bad].iloc[0]!r}")
                 n_fail += 1
                 break
         if ok:

@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Generic relational baseline (Spark built-ins; SURVEY §2.5 note).
+    // Sums cast to BIGINT: quantities are integral doubles, so the sum is
+    // order-independent and the hash-compare is FP-safe.
     "q1_agg" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -89,6 +91,89 @@ object SparkEntry {
       val c = Tables.customerPts(s, dir)
       Skyline.skyline(c, "cx", "cy")
         .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
+    // ---- training-data pipeline operators (documents / embeddings) ----
+
+    // token counting (whitespace) + type-token ratio.
+    "q9_token_stats" -> ((s, dir) => {
+      TextAnalysis.withTokenStats(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"), col("ttr_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring: type-token ratio + stopword ratio, exact integers.
+    "q10_quality" -> ((s, dir) => {
+      TextAnalysis.withQuality(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stopwords"), col("quality_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID by marker-word argmax.
+    "q11_langid" -> ((s, dir) => {
+      TextAnalysis.withLangId(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("lang_pred")).orderBy(col("doc_id"))
+    }),
+
+    // document fingerprinting: exact md5 + winnowed char-5-gram sketch.
+    "q12_fingerprint" -> ((s, dir) => {
+      TextAnalysis.withFingerprints(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("fp_md5"), col("fp_winnow")).orderBy(col("doc_id"))
+    }),
+
+    // exact dedup: hash-groupBy on content, keep min doc_id.
+    "q13_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (inverted-index join), J >= 0.8.
+    "q14_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, p = 4, q = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard refined — same output
+    // contract as q14 (recall ~1-1e-15 at J=0.9 with 128 hashes / 32 bands).
+    "q15_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, numHashes = 128, bands = 32, p = 4, q = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (hamming <= 3 over 64-bit sketch; pigeonhole-
+    // exact candidate generation). Engine-specific hash — no SQL oracle.
+    "q16_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), maxHam = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // embedding-cosine near-dup pairs, exact all-pairs, threshold 0.42
+    // (nearest data value is 1.7e-3 away — FP-safe vs the oracle).
+    "q17_dedup_cosine" -> ((s, dir) => {
+      Dedup.cosinePairsExact(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.42)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ANN brute-force baseline: top-5 cosine neighbors for queries vec_id<10.
+    "q18_ann_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("vec_id"), col("embedding"), col("embedding"), k = 5)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // ANN scale path: IVF (seeded KMeans cells, nprobe probing). Approximate
+    // by construction — no SQL oracle (rows-only check).
+    "q19_ann_ivf" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
+          k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
     })
   )
 
@@ -96,7 +181,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
        "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
        "ORDER BY l_returnflag, l_linestatus"),
@@ -140,6 +225,88 @@ object SparkEntry {
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
        "SELECT c_custkey FROM cpts a WHERE NOT EXISTS (" +
        "SELECT 1 FROM cpts b WHERE (b.cx <= a.cx AND b.cy < a.cy) " +
-       "OR (b.cx < a.cx AND b.cy <= a.cy)) ORDER BY c_custkey")
+       "OR (b.cx < a.cx AND b.cy <= a.cy)) ORDER BY c_custkey"),
+
+    "q9_token_stats" ->
+      ("SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens, " +
+       "CAST(round(1000000.0 * len(list_distinct(string_split(text,' '))) / " +
+       "len(string_split(text,' '))) AS BIGINT) AS ttr_e6 " +
+       "FROM documents ORDER BY doc_id"),
+
+    "q10_quality" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents) " +
+       "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, " +
+       s"CAST(len(list_filter(ws, w -> list_contains($stopListSql, w))) AS BIGINT) AS n_stopwords, " +
+       "CAST(round(500000.0*len(list_distinct(ws))/len(ws) + " +
+       s"500000.0*(len(ws)-len(list_filter(ws, w -> list_contains($stopListSql, w))))/len(ws)) AS BIGINT) " +
+       "AS quality_e6 FROM t ORDER BY doc_id"),
+
+    "q11_langid" ->
+      ("WITH s AS (SELECT doc_id, " +
+       langScoreSql.map { case (l, sql) => s"$sql AS s_$l" }.mkString(", ") +
+       " FROM documents) " +
+       "SELECT doc_id, CASE WHEN s_en=0 AND s_de=0 AND s_fr=0 AND s_es=0 THEN 'und' " +
+       "WHEN s_en>=s_de AND s_en>=s_fr AND s_en>=s_es THEN 'en' " +
+       "WHEN s_de>=s_fr AND s_de>=s_es THEN 'de' " +
+       "WHEN s_fr>=s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s ORDER BY doc_id"),
+
+    "q12_fingerprint" ->
+      ("SELECT doc_id, md5(text) AS fp_md5, " +
+       "CASE WHEN len(text) < 5 THEN md5(text) " +
+       "ELSE list_min([md5(text[i:i+4]) FOR i IN generate_series(1, len(text)-4)]) END AS fp_winnow " +
+       "FROM documents ORDER BY doc_id"),
+
+    "q13_dedup_exact" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count " +
+       "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
+
+    "q14_dedup_ngram" -> jaccardPairsSql,
+
+    "q15_dedup_minhash" -> jaccardPairsSql,
+
+    "q17_dedup_cosine" ->
+      (s"WITH e AS ($normedEmbSql) " +
+       "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b " +
+       s"WHERE a.vec_id < b.vec_id AND ($dotSql) / (a.nrm*b.nrm) >= 0.42 " +
+       "ORDER BY id_a, id_b"),
+
+    "q18_ann_topk" ->
+      (s"WITH e AS ($normedEmbSql), scored AS (" +
+       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c WHERE c.vec_id != q.vec_id) " +
+       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id")
   )
+
+  // ---- shared oracle SQL fragments ----
+
+  private def sqlList(ws: Seq[String]): String = ws.mkString("['", "','", "']")
+
+  private val stopListSql = sqlList(operators.TextAnalysis.stopwords)
+
+  private val langScoreSql: Seq[(String, String)] =
+    operators.TextAnalysis.langMarkers.map { case (lang, markers) =>
+      lang -> s"len(list_filter(string_split(text,' '), w -> list_contains(${sqlList(markers)}, w)))"
+    }
+
+  /** Exact 3-gram Jaccard >= 4/5 pairs — oracle for both the inverted-index
+    * and the MinHash-LSH operators (LSH output refines to the same set). */
+  private val jaccardPairsSql: String =
+    "WITH sh AS (SELECT doc_id, " +
+    "list_distinct([array_to_string(ws[i:i+2],' ') FOR i IN generate_series(1, len(ws)-2)]) AS s " +
+    "FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) WHERE len(ws) >= 3) " +
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+    "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) " +
+    "ORDER BY id_a, id_b"
+
+  private val normedEmbSql: String =
+    "SELECT vec_id, embedding, " +
+    "sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm FROM embeddings"
+
+  private val dotSql: String =
+    "list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) FOR i IN generate_series(1,64)])"
+
+  private val dotSqlQC: String =
+    "list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1,64)])"
 }

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static kernel for text-dedup hashing: MinHash signatures, LSH band buckets,
+ * SimHash, hyperplane buckets for cosine LSH. All methods are static so
+ * whole-stage codegen can call them directly (same pattern as [[GeoOps]]).
+ *
+ * Hashing is Spark's own XXH64 (the engine behind the built-in `xxhash64`),
+ * so signatures are deterministic across JVMs/partitions without any extra
+ * dependency. These hashes never need a SQL oracle: LSH output is always
+ * refined against the exact Jaccard/cosine predicate, which *is*
+ * SQL-expressible.
+ */
+object TextOps {
+
+  final val SEED = 42L
+
+  def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /**
+   * MinHash signature of a set of string shingles: sig(h) = min over shingles
+   * of XXH64(XXH64(shingle), seed=h). One base hash per shingle, then k cheap
+   * long-mixes — O(|shingles| * k) with no allocation beyond the output.
+   * Empty input yields Long.MaxValue everywhere (never matches a non-empty
+   * signature's band except astronomically unlikely collisions).
+   */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = hashUtf8(shingles.getUTF8String(j), SEED)
+      var h = 0
+      while (h < k) {
+        val v = XXH64.hashLong(base, h.toLong)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Collapse a MinHash signature into `nBands` band-bucket hashes
+    * (bucket b = XXH64-fold of rows b*r .. b*r+r-1, r = k / nBands). */
+  def bandBuckets(sig: ArrayData, nBands: Int): ArrayData = {
+    val k = sig.numElements()
+    val r = k / nBands
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = b.toLong // distinct bands never collide across b
+      var i = b * r
+      val end = i + r
+      while (i < end) { acc = XXH64.hashLong(sig.getLong(i), acc); i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * 64-bit SimHash over a token multiset: per bit, sum +1/-1 votes from each
+   * token occurrence's hash; bit set iff the sum is positive. Repeated tokens
+   * vote repeatedly — the standard frequency weighting.
+   */
+  def simhash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashUtf8(tokens.getUTF8String(j), SEED)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * Random-hyperplane LSH buckets for cosine similarity: `tables` buckets,
+   * each the sign pattern of `planes` pseudo-random hyperplane dot products.
+   * Plane component (t, p, dim i) is derived from XXH64 — deterministic, no
+   * stored model. Uniform in [-1, 1): good enough for LSH.
+   */
+  def hyperplaneBuckets(vec: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val h = XXH64.hashLong((t.toLong << 40) | (p.toLong << 20) | d.toLong, SEED)
+          // map 64-bit hash to [-1, 1)
+          dot += v(d) * (h.toDouble / 9.223372036854776e18)
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      // namespace buckets by table index so cross-table buckets never join
+      out(t) = (t.toLong << 56) ^ (bucket & 0x00ffffffffffffffL)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}

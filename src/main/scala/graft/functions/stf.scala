@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
@@ -24,6 +24,7 @@ object GraftFunctions {
   private def d(e: Expression): Expression = Cast(e, DoubleType)
   private def l(e: Expression): Expression = Cast(e, LongType)
   private def s(e: Expression): Expression = Cast(e, StringType)
+  private def i(e: Expression): Expression = Cast(e, IntegerType)
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_geomfromwkt"  -> ((es: Seq[Expression]) => STGeomFromWKT(s(es.head))),
@@ -55,7 +56,13 @@ object GraftFunctions {
       STCells(es(0), d(es(1)), if (es.size > 2) d(es(2)) else Literal(0d))),
     "st_ref_cell"     -> ((es: Seq[Expression]) =>
       STRefCell(if (es.size == 5) Seq(es(0), es(1), d(es(2)), l(es(3)), d(es(4)))
-                else Seq(es(0), es(1), d(es(2)), l(es(3)), Literal(0d))))
+                else Seq(es(0), es(1), d(es(2)), l(es(3)), Literal(0d)))),
+    // text/vector dedup primitives (TextExpressions.scala)
+    "minhash_sig"     -> ((es: Seq[Expression]) => MinHashSig(es(0), i(es(1)))),
+    "band_buckets"    -> ((es: Seq[Expression]) => BandBuckets(es(0), i(es(1)))),
+    "simhash64"       -> ((es: Seq[Expression]) => SimHash64(es.head)),
+    "hamming"         -> ((es: Seq[Expression]) => HammingDistance(l(es(0)), l(es(1)))),
+    "hyperplane_buckets" -> ((es: Seq[Expression]) => HyperplaneBuckets(es(0), i(es(1)), i(es(2))))
   )
 
   /** Idempotently register all st_* functions in the given session. */
@@ -116,4 +123,10 @@ object stf {
     call_function("st_ref_cell", a, b, cellSize, cell)
   def st_ref_cell(a: Column, b: Column, cellSize: Column, cell: Column, radius: Column): Column =
     call_function("st_ref_cell", a, b, cellSize, cell, radius)
+  def minhash_sig(shingles: Column, k: Int): Column = call_function("minhash_sig", shingles, lit(k))
+  def band_buckets(sig: Column, nBands: Int): Column = call_function("band_buckets", sig, lit(nBands))
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def hamming(a: Column, b: Column): Column = call_function("hamming", a, b)
+  def hyperplane_buckets(vec: Column, tables: Int, planes: Int): Column =
+    call_function("hyperplane_buckets", vec, lit(tables), lit(planes))
 }

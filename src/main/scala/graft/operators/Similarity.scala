@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`).
+ *
+ *  - [[bruteTopK]]: exact baseline — broadcast the (small) query set, score
+ *    every corpus vector, per-query window top-k. One corpus scan, no
+ *    shuffle of the corpus itself (ranking shuffles only n_queries × n rows
+ *    of (id, id, score)).
+ *  - [[ivfTopK]]: IVF — seeded KMeans coarse quantizer; corpus vectors are
+ *    assigned to their nearest centroid cell once (materialize/persist for
+ *    repeated querying), queries probe the `nprobe` nearest cells only.
+ *    Recall < 1 by construction; throughput scales with nprobe/nlist.
+ */
+object Similarity {
+
+  /** Exact top-k: for each query row, the k nearest corpus rows by cosine.
+    * Ties broken by corpus id — fully deterministic output. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, corpusId: Column, queryId: Column,
+                corpusVec: Column, queryVec: Column, k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("__cos", Dedup.cosine(col("__qv"), col("__cv")))
+    val rn = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
+    scored.withColumn("__rn", rn).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /**
+   * IVF top-k: KMeans(nlist, seed) coarse cells; each query probes the
+   * nprobe nearest cells. nprobe == nlist degenerates to exact search.
+   * Output: (query_id, neighbor_id, rank).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, corpusId: Column, queryId: Column,
+              corpusVec: Column, queryVec: Column, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+      .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("__cell").fit(c)
+    val assigned = model.transform(c).drop("__features")
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val probeCells = udf { (qv: Seq[Float]) =>
+      val cs = bc.value
+      val dists = cs.indices.map { i =>
+        val cvec = cs(i)
+        var d = 0.0; var j = 0
+        while (j < cvec.length) { val diff = qv(j) - cvec(j); d += diff * diff; j += 1 }
+        (d, i)
+      }
+      dists.sorted.take(nprobe).map(_._2).toArray
+    }
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+      .withColumn("__qcell", explode(probeCells(col("__qv"))))
+
+    val scored = assigned.join(broadcast(q),
+        col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("__cos", Dedup.cosine(col("__qv"), col("__cv")))
+    val rn = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

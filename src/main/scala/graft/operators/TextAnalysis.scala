@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * stats, quality scoring, language identification, and content
+ * fingerprinting. Everything is built from Spark built-in functions (split /
+ * transform / filter / md5 — all codegen'd), so plans stay inside
+ * whole-stage codegen and columns prune/push down normally.
+ *
+ * Determinism contract: each derived value is a pure rational/string
+ * function of the input (no transcendentals, no engine-specific hashes), so
+ * an external SQL engine evaluating the documented equivalent expression
+ * produces bit-identical results — that is what the driver's DuckDB oracle
+ * checks.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space tokenization matches the corpus format;
+    * swap the pattern for `\\s+` corpora as needed. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /**
+   * Distinct word n-gram shingles (the MinHash/Jaccard unit). Guarded for
+   * short docs: fewer than n tokens yields an empty array (Spark `sequence`
+   * would otherwise generate a *descending* range).
+   */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val count = size(ws) - (n - 1)
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), count),
+          i => concat_ws(" ", slice(ws, i, lit(n))))))
+  }
+
+  /** BPE-ish subword count heuristic: whitespace tokens + extra splits at
+    * letter/digit/punct boundaries, approximated as regex token runs. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+|(?=[^a-z0-9\\s])"),
+      t => length(t) > 0))
+
+  /** Adds n_tokens / n_uniq_tokens / ttr_e6 (type-token ratio scaled 1e6). */
+  def withTokenStats(df: DataFrame, textCol: Column): DataFrame = {
+    val ws = tokens(textCol)
+    df.withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("n_uniq_tokens", size(array_distinct(ws)).cast("long"))
+      .withColumn("ttr_e6",
+        round(lit(1000000.0) * col("n_uniq_tokens") / col("n_tokens")).cast("long"))
+  }
+
+  /** Stopwords used by the quality score (generic English function words). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is", "it")
+
+  /**
+   * Quality score in [0, 1e6]: mean of (type-token ratio) and (1 - stopword
+   * ratio), both rational in token counts — a cheap proxy for repetitiveness
+   * and boilerplate (cf. Gopher/C4-style quality rules). Returned scaled to
+   * BIGINT so cross-engine comparison is exact.
+   */
+  def withQuality(df: DataFrame, textCol: Column): DataFrame = {
+    val ws = tokens(textCol)
+    val nTok = size(ws)
+    val nUniq = size(array_distinct(ws))
+    val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("n_stopwords", nStop.cast("long"))
+      .withColumn("quality_e6",
+        round(lit(500000.0) * nUniq / nTok + lit(500000.0) * (nTok - nStop) / nTok)
+          .cast("long"))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "y", "es", "una", "que"))
+
+  /**
+   * Language-ID: count marker-word occurrences per language, pick the argmax
+   * with a fixed priority order (en > de > fr > es); all-zero → "und".
+   * Deterministic and SQL-expressible — the oracle recomputes the same
+   * scores. (Real-world accuracy needs char-n-gram models; the operator
+   * shape — per-language score columns + argmax — is what matters at scale.)
+   */
+  def withLangId(df: DataFrame, textCol: Column): DataFrame = {
+    val ws = tokens(textCol)
+    val scored = langMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+      acc.withColumn(s"score_$lang", size(filter(ws, w => w.isInCollection(markers))))
+    }
+    val Seq(en, de, fr, es) = langMarkers.map { case (l, _) => col(s"score_$l") }
+    scored.withColumn("lang_pred",
+      when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
+  /**
+   * Content fingerprints: `fp_md5` — exact-dup key; `fp_winnow` — smallest
+   * md5 over all character 5-grams (a 1-element winnowing sketch: robust to
+   * local edits, cheap to compare). Docs shorter than 5 chars fall back to
+   * the full-text md5.
+   */
+  def withFingerprints(df: DataFrame, textCol: Column): DataFrame =
+    df.withColumn("fp_md5", md5(textCol.cast("binary")))
+      .withColumn("fp_winnow",
+        when(length(textCol) < 5, md5(textCol.cast("binary")))
+          .otherwise(array_min(transform(
+            sequence(lit(1), length(textCol) - 4),
+            i => md5(textCol.substr(i, lit(5)).cast("binary"))))))
+}

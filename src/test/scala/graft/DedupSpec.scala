@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Cross-variant consistency tests for the dedup/similarity family —
+ * reference test style #3 (SURVEY §5): independent implementations of the
+ * same semantic must agree.
+ */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH pairs == exact inverted-index Jaccard pairs") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text")))
+    val lsh = pairSet(Dedup.minhashLshPairs(docs, col("doc_id"), col("text")))
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // 128/32 banding: miss probability ~1e-15 at J>=0.8
+  }
+
+  test("simhash pigeonhole banding finds exactly the brute-force hamming<=3 pairs") {
+    import graft.functions.stf
+    val sim = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text")))
+    // brute force on the driver: all pairs with bitCount(xor) <= 3
+    val sigs = docs.select(col("doc_id"),
+        stf.simhash64(TextAnalysis.tokens(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    assert(sim.nonEmpty)
+    assert(sim == brute) // 4-block pigeonhole is exact for hamming <= 3
+  }
+
+  test("cosine LSH pairs are a subset of exact cosine pairs; high recall at high threshold") {
+    val exact = pairSet(Dedup.cosinePairsExact(embs, col("vec_id"), col("embedding"), 0.42))
+    val lsh = pairSet(Dedup.cosinePairsLsh(embs, col("vec_id"), col("embedding"), 0.42,
+      tables = 8, planes = 8))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // at this moderate threshold recall is partial by design; sanity: nonzero
+    assert(lsh.nonEmpty)
+  }
+
+  test("exact dedup keeps every distinct content exactly once") {
+    val d = Dedup.exact(docs, col("doc_id"), col("text"))
+    val total = docs.count()
+    val sums = d.agg(sum(col("dup_count"))).collect()(0).getLong(0)
+    assert(sums == total) // partition of the corpus
+    assert(d.count() == docs.select(col("text")).distinct().count())
+  }
+
+  test("IVF with nprobe == nlist equals brute force") {
+    val q = embs.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3, nlist = 8, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute)
+  }
+
+  test("shingles guard: short docs yield empty arrays, not descending sequences") {
+    import spark.implicits._
+    val tiny = Seq((1L, "only two"), (2L, "a b c d")).toDF("id", "t")
+    val sh = tiny.select(TextAnalysis.shingles(col("t"), 3)).collect()
+    assert(sh(0).getSeq[String](0).isEmpty)
+    assert(sh(1).getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+}
