@@ -11,6 +11,33 @@ import org.apache.spark.sql.types._
  * expressions (not UDFs) so they stay inside whole-stage codegen.
  */
 
+/** word_shingles(text, n) → sorted distinct word n-grams (array<string>). */
+case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextOps.wordShingles(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.TextOps.wordShingles($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(left = l, right = r)
+  override def prettyName: String = "word_shingles"
+}
+
+/** sorted_intersect_count(a, b) → |A ∩ B| of two sorted string arrays. */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextOps.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 /** minhash_sig(shingles, k) → array<long> signature. */
 case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

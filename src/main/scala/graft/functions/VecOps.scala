@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Float-vector kernel for the embedding operators. Accumulation is a
+ * sequential double fold in index order — the exact evaluation order an
+ * external SQL oracle mirrors with `list_sum([CAST(a[i] AS DOUBLE)*b[i] ...])`,
+ * so scores are bit-identical while avoiding the per-row array allocation of
+ * the equivalent `aggregate(zip_with(...))` built-in formulation (~10×
+ * faster inside an O(n²) pair join).
+ */
+object VecOps {
+
+  /** Sequential-order double dot product of two float vectors. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** sqrt of the self dot product — same fold order as [[dotF]]. */
+  def normF(a: ArrayData): Double = math.sqrt(dotF(a, a))
+}
+
+/** vec_dot(a float[], b float[]) → double. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** vec_norm(a float[]) → double. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = VecOps.normF(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.normF($a)")
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+  override def prettyName: String = "vec_norm"
+}

@@ -62,7 +62,11 @@ object GraftFunctions {
     "band_buckets"    -> ((es: Seq[Expression]) => BandBuckets(es(0), i(es(1)))),
     "simhash64"       -> ((es: Seq[Expression]) => SimHash64(es.head)),
     "hamming"         -> ((es: Seq[Expression]) => HammingDistance(l(es(0)), l(es(1)))),
-    "hyperplane_buckets" -> ((es: Seq[Expression]) => HyperplaneBuckets(es(0), i(es(1)), i(es(2))))
+    "hyperplane_buckets" -> ((es: Seq[Expression]) => HyperplaneBuckets(es(0), i(es(1)), i(es(2)))),
+    "vec_dot"         -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
+    "vec_norm"        -> ((es: Seq[Expression]) => VecNorm(es.head)),
+    "word_shingles"   -> ((es: Seq[Expression]) => WordShingles(s(es(0)), i(es(1)))),
+    "sorted_intersect_count" -> ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)))
   )
 
   /** Idempotently register all st_* functions in the given session. */
@@ -129,4 +133,9 @@ object stf {
   def hamming(a: Column, b: Column): Column = call_function("hamming", a, b)
   def hyperplane_buckets(vec: Column, tables: Int, planes: Int): Column =
     call_function("hyperplane_buckets", vec, lit(tables), lit(planes))
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vec_norm(a: Column): Column = call_function("vec_norm", a)
+  def word_shingles(text: Column, n: Int): Column = call_function("word_shingles", text, lit(n))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

@@ -30,10 +30,12 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** (id, shingles, n_shingles) prep used by the Jaccard family. */
-  private def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+  private def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     df.select(idCol.as("__id"), TextAnalysis.shingles(textCol, n).as("__sh"))
       .withColumn("__sz", size(col("__sh")))
       .filter(col("__sz") > 0)
+  }
 
   /**
    * Exact Jaccard refine over candidate pairs: join shingle sets back,
@@ -45,32 +47,45 @@ object Dedup {
     val a = sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"), col("__sz").as("__sz_a"))
     val b = sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"), col("__sz").as("__sz_b"))
     cands.join(a, "id_a").join(b, "id_b")
-      .withColumn("__i", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("__i", stf.sorted_intersect_count(col("__sh_a"), col("__sh_b")))
       .filter(col("__i") * q >= (col("__sz_a") + col("__sz_b") - col("__i")) * p)
       .select(col("id_a"), col("id_b"))
   }
 
   /**
-   * Exact n-gram Jaccard near-dup pairs via inverted index: explode shingles,
-   * self-join on the shingle, count co-occurrences (= |A ∩ B|, shingles are
-   * distinct per doc), then the integer threshold test. Scales as
-   * O(sum over shingles of df(shingle)²) — the standard PPJoin-family
-   * baseline; hot shingles can be pruned by df-frequency if needed.
+   * Exact n-gram Jaccard near-dup pairs via a PPJoin-style prefix-filtered
+   * inverted index: with threshold t = p/q, any pair with J >= t shares at
+   * least one of each side's first |S| - ceil(t·|S|) + 1 shingles in a
+   * global total order (here: by shingle hash — collisions only add
+   * candidates, which the exact refine removes). The index shrinks ~(1-t)×
+   * and candidate pairs ~(1-t)²× vs the naive all-shingles join, with output
+   * unchanged. Candidates are verified against the full shingle sets.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, p: Int = 4, q: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingled(df, idCol, textCol, n).cache()
-    val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
-    val pairs = inv.as("l").join(inv.as("r"),
-        col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
-      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .agg(count(lit(1)).as("__i"))
-    val sizes = sh.select(col("__id"), col("__sz"))
-    pairs
-      .join(sizes.withColumnsRenamed(Map("__id" -> "id_a", "__sz" -> "__sz_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("__id" -> "id_b", "__sz" -> "__sz_b")), "id_b")
-      .filter(col("__i") * q >= (col("__sz_a") + col("__sz_b") - col("__i")) * p)
-      .select(col("id_a"), col("id_b"))
+    // prefix length = sz - ceil(p*sz/q) + 1 (integer ceil division)
+    val prefLen = col("__sz") - floor((col("__sz") * p + (q - 1)) / q).cast("int") + 1
+    // PPJoin canonical order = ascending global document frequency (rarest
+    // first, ties by shingle text): prefixes concentrate on rare shingles,
+    // so hot shingles almost never generate candidates.
+    val inv0 = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__s"))
+    val dfreq = inv0.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val prefix = inv0.join(dfreq, "__s")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))))
+      .filter(col("__rn") <= prefLen)
+      .select(col("__id"), col("__sz"), col("__s"))
+    // candidate pairs: prefix collision + Jaccard length filter
+    // (J >= p/q forces q*|A| >= p*|B| and q*|B| >= p*|A|)
+    val cands = prefix.as("l").join(prefix.as("r"),
+        col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id") &&
+        col("l.__sz") * q >= col("r.__sz") * p &&
+        col("r.__sz") * q >= col("l.__sz") * p)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    refineJaccard(cands, sh, p, q)
   }
 
   /**
@@ -123,25 +138,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Sequential-fold double cosine similarity of two float vectors — the
-    * exact expression an external SQL oracle can mirror term-for-term. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Sequential-fold double cosine similarity of two float vectors
+    * ([[graft.functions.VecOps]] kernel — bit-identical to the
+    * `list_sum([a[i]*b[i] ...])` form an external SQL oracle evaluates). */
+  def cosine(a: Column, b: Column): Column =
+    stf.vec_dot(a, b) / (stf.vec_norm(a) * stf.vec_norm(b))
 
   /**
    * Exact embedding near-dup pairs: all pairs with cosine >= threshold.
-   * O(n²) compare (broadcast-nested-loop); right for corpora small enough to
-   * verify exactly — use [[cosinePairsLsh]] as the large-scale path.
+   * Norms are computed once per row *before* the O(n²) pair join (the join
+   * itself evaluates one dot product + one divide per pair).
+   * Broadcast-nested-loop; right for corpora small enough to verify
+   * exactly — use [[cosinePairsLsh]] as the large-scale path.
    */
   def cosinePairsExact(df: DataFrame, idCol: Column, vecCol: Column,
                        threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val v = df.select(idCol.as("__id"), vecCol.as("__vec"))
+      .withColumn("__nrm", stf.vec_norm(col("__vec")))
     v.as("l").join(v.as("r"), col("l.__id") < col("r.__id"))
-      .filter(cosine(col("l.__vec"), col("r.__vec")) >= threshold)
+      .filter(stf.vec_dot(col("l.__vec"), col("r.__vec")) /
+        (col("l.__nrm") * col("r.__nrm")) >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
   }
 
@@ -154,14 +171,18 @@ object Dedup {
                      threshold: Double, tables: Int = 8, planes: Int = 8): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val v = df.select(idCol.as("__id"), vecCol.as("__vec"))
-    val banded = v.select(col("__id"), col("__vec"),
-        explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("__bucket"))
-    banded.as("l").join(banded.as("r"),
+    val withNorm = v.withColumn("__nrm", stf.vec_norm(col("__vec")))
+    val banded = v.select(col("__id"),
+      explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("__bucket"))
+    // distinct on the id pair only (cheap), then join vectors back for refine
+    val cands = banded.as("l").join(banded.as("r"),
         col("l.__bucket") === col("r.__bucket") && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        col("l.__vec").as("__va"), col("r.__vec").as("__vb"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+    cands
+      .join(withNorm.select(col("__id").as("id_a"), col("__vec").as("__va"), col("__nrm").as("__na")), "id_a")
+      .join(withNorm.select(col("__id").as("id_b"), col("__vec").as("__vb"), col("__nrm").as("__nb")), "id_b")
+      .filter(stf.vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 }

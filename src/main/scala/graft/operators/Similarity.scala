@@ -25,10 +25,14 @@ object Similarity {
     * Ties broken by corpus id — fully deterministic output. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, corpusId: Column, queryId: Column,
                 corpusVec: Column, queryVec: Column, k: Int): DataFrame = {
+    import graft.functions.stf
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+      .withColumn("__cn", stf.vec_norm(col("__cv")))
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+      .withColumn("__qn", stf.vec_norm(col("__qv")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("__cos", Dedup.cosine(col("__qv"), col("__cv")))
+      .withColumn("__cos", stf.vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val rn = row_number().over(
       Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
     scored.withColumn("__rn", rn).filter(col("__rn") <= k)
@@ -46,8 +50,8 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
       .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
-      .setPredictionCol("__cell").fit(c)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__features").setPredictionCol("__cell").fit(c)
     val assigned = model.transform(c).drop("__features")
     val centroids = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
@@ -65,9 +69,12 @@ object Similarity {
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
       .withColumn("__qcell", explode(probeCells(col("__qv"))))
 
+    import graft.functions.stf
+    graft.functions.GraftFunctions.register(spark)
     val scored = assigned.join(broadcast(q),
         col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("__cos", Dedup.cosine(col("__qv"), col("__cv")))
+      .withColumn("__cos", stf.vec_dot(col("__qv"), col("__cv")) /
+        (stf.vec_norm(col("__qv")) * stf.vec_norm(col("__cv"))))
     val rn = row_number().over(
       Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)

@@ -23,17 +23,13 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, " ")
 
   /**
-   * Distinct word n-gram shingles (the MinHash/Jaccard unit). Guarded for
-   * short docs: fewer than n tokens yields an empty array (Spark `sequence`
-   * would otherwise generate a *descending* range).
+   * Distinct word n-gram shingles (the MinHash/Jaccard unit), sorted in
+   * UTF8 binary order — [[graft.functions.TextOps.wordShingles]] kernel
+   * (fewer than n tokens ⇒ empty array). The sorted contract enables the
+   * allocation-free merge-intersect in the Jaccard refine.
    */
   def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    val count = size(ws) - (n - 1)
-    when(count <= 0, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), count),
-          i => concat_ws(" ", slice(ws, i, lit(n))))))
+    graft.functions.stf.word_shingles(text, n)
   }
 
   /** BPE-ish subword count heuristic: whitespace tokens + extra splits at
