@@ -174,6 +174,16 @@ object SparkEntry {
           col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
           k = 5, nlist = 16, nprobe = 4)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // DBSCAN clustering — SURVEY §2.5 `cluster(minPts, epsilon, ...)`.
+    // eps=32/minPts=5 on the integral customer lattice: 73 clusters, 499
+    // noise at sf0.01; squared-distance predicate is exact.
+    "q20_dbscan" -> ((s, dir) => {
+      val c = Tables.customerPts(s, dir)
+      DBSCAN.cluster(c, col("c_custkey"), col("cx"), col("cy"), eps = 32.0, minPts = 5)
+        .withColumnRenamed("id", "c_custkey")
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -276,7 +286,24 @@ object SparkEntry {
        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
        "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c WHERE c.vec_id != q.vec_id) " +
-       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id")
+       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+
+    // DBSCAN: adjacency (self incl.) -> cores -> recursive closure over
+    // core-core edges -> min-id cluster labels -> border = min neighboring
+    // core cluster; noise = -1. Semantics identical to DBSCAN.cluster.
+    "q20_dbscan" ->
+      (s"WITH RECURSIVE cpts AS (${Tables.customerPtsSql}), " +
+       "adj AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb FROM cpts a, cpts b " +
+       "WHERE (a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) <= 1024.0), " +
+       "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+       "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
+       "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
+       "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
+       "border AS (SELECT n.ka AS k, min(c.cid) AS cid FROM adj n JOIN clus c ON n.kb = c.k " +
+       "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka) " +
+       "SELECT p.c_custkey, COALESCE(cl.cid, b.cid, -1) AS cluster_id " +
+       "FROM cpts p LEFT JOIN clus cl ON cl.k = p.c_custkey LEFT JOIN border b ON b.k = p.c_custkey " +
+       "ORDER BY p.c_custkey")
   )
 
   // ---- shared oracle SQL fragments ----

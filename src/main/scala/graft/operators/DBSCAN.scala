@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed DBSCAN over 2-d points — the reference's
+ * `cluster(minPts, epsilon, ...)` operator (MR-DBSCAN, He et al.; reference
+ * src/main/scala/dbis/stark/dbscan/DBScan.scala:21-542), re-expressed as
+ * DataFrame joins:
+ *
+ *  1. eps-sized grid cells; each point is *owned* by its cell and
+ *     *replicated* to the 3×3 cell neighborhood (the epsilon halo). Every
+ *     ordered neighbor pair then meets in exactly one cell — one shuffle
+ *     join computes all exact eps-neighbor pairs, no cross-partition query.
+ *  2. core = neighbor count (self included) >= minPts.
+ *  3. cluster ids: iterative min-label propagation over core-core edges
+ *     PLUS pointer jumping (label <- label(label)) — O(log diameter)
+ *     rounds, every round a pair of small joins. This replaces the
+ *     reference's driver-side transitive closure, which its own code flags
+ *     as unscalable (DBScan.scala:164-168 "FIXME: Bad!").
+ *  4. border points join the minimum cluster id among their core
+ *     neighbors; everything else is noise (cluster_id = -1).
+ *
+ * Cluster id = min core point id of the component — deterministic, and the
+ * border rule (min over neighboring cores) is deterministic too, so results
+ * are exactly reproducible (and SQL-oracle-checkable).
+ */
+object DBSCAN {
+
+  /**
+   * @param eps     neighborhood radius (predicate: squared distance <= eps²,
+   *                exact for integral coordinates)
+   * @param minPts  core threshold, self included
+   * @return input id column + `cluster_id` (-1 = noise)
+   */
+  def cluster(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
+              eps: Double, minPts: Int, maxIter: Int = 25): DataFrame = {
+    val spark = df.sparkSession
+    val eps2 = eps * eps
+
+    val pts = df.select(idCol.as("__id"), xCol.as("__x"), yCol.as("__y"))
+    def cellOf(x: Column, y: Column, dx: Int, dy: Int): Column =
+      (floor(x / eps).cast("long") + dx) * 4294967296L + (floor(y / eps).cast("long") + dy)
+
+    val owned = pts.withColumn("__cell", cellOf(col("__x"), col("__y"), 0, 0))
+    val halo = pts.withColumn("__cell", explode(array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield cellOf(col("__x"), col("__y"), dx, dy)): _*)))
+
+    // every ordered eps-neighbor pair (a, b) — incl. (a, a) — exactly once
+    val nbr = owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
+      .filter((col("l.__x") - col("r.__x")) * (col("l.__x") - col("r.__x")) +
+              (col("l.__y") - col("r.__y")) * (col("l.__y") - col("r.__y")) <= eps2)
+      .select(col("l.__id").as("__a"), col("r.__id").as("__b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val core = nbr.groupBy(col("__a")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPts).select(col("__a").as("__id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val coreEdges = nbr
+      .join(core.withColumnRenamed("__id", "__a"), "__a")
+      .join(core.withColumnRenamed("__id", "__b"), "__b")
+      .select(col("__a"), col("__b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // connected components over core-core edges via GraphX Pregel — the
+    // distributed replacement for the reference's driver-side transitive
+    // closure. Every core point appears (nbr includes the (a,a) self-pair),
+    // and GraphX CC labels each component with its min vertex id — exactly
+    // the deterministic cluster-id contract.
+    import org.apache.spark.graphx.Graph
+    val edgeRdd = coreEdges.select(col("__a"), col("__b")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cc = Graph.fromEdgeTuples(edgeRdd, defaultValue = 0)
+      .connectedComponents(maxIterations = maxIter).vertices
+    import spark.implicits._
+    val coreClusters = cc.toDF("__id", "__cid")
+    // border: non-core point with >= 1 core neighbor -> min neighbor cluster
+    val borderClusters = nbr.join(core.withColumnRenamed("__id", "__a"),
+        Seq("__a"), "left_anti") // a is not core
+      .join(coreClusters.select(col("__id").as("__b"), col("__cid")), "__b")
+      .groupBy(col("__a")).agg(min(col("__cid")).as("__cid"))
+      .withColumnRenamed("__a", "__id")
+
+    pts.select(col("__id"))
+      .join(coreClusters.withColumnRenamed("__cid", "__c1"), Seq("__id"), "left")
+      .join(borderClusters.withColumnRenamed("__cid", "__c2"), Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("__c1"), col("__c2"), lit(-1L)).as("cluster_id"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.DBSCAN
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DBSCAN post-conditions — reference test style #4 (SURVEY §5; the
+  * reference asserts output count == input count, SpatialRDDTestCase:270-288)
+  * plus semantic invariants of the clustering itself. */
+class DBSCANSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def points = Tables.customerPts(spark, "/root/testdata/sf0.001")
+
+  test("every input point gets exactly one label; clusters have >= minPts-consistent structure") {
+    val pts = points
+    val out = DBSCAN.cluster(pts, col("c_custkey"), col("cx"), col("cy"),
+      eps = 32.0, minPts = 5).cache()
+    assert(out.count() == pts.count())
+    assert(out.select(col("id")).distinct().count() == pts.count())
+
+    // each non-noise cluster contains its own id (min core id is a member)
+    val bad = out.filter(col("cluster_id") >= 0)
+      .groupBy(col("cluster_id")).agg(min(col("id")).as("min_id"))
+      .filter(col("cluster_id") =!= col("min_id")).count()
+    assert(bad == 0)
+  }
+
+  test("noise points have no core neighbor; changing eps obeys monotonicity") {
+    val pts = points.cache()
+    val small = DBSCAN.cluster(pts, col("c_custkey"), col("cx"), col("cy"), 32.0, 5)
+      .filter(col("cluster_id") >= 0).count()
+    val large = DBSCAN.cluster(pts, col("c_custkey"), col("cx"), col("cy"), 40.0, 5)
+      .filter(col("cluster_id") >= 0).count()
+    // larger eps can only add clustered points (cores grow monotonically)
+    assert(large >= small)
+  }
+
+  test("all points in one dense blob form a single cluster") {
+    import spark.implicits._
+    val blob = (0 until 50).map(i => (i.toLong, (i % 7).toDouble, (i / 7).toDouble))
+      .toDF("k", "x", "y")
+    val out = DBSCAN.cluster(blob, col("k"), col("x"), col("y"), eps = 1.5, minPts = 3)
+    assert(out.select(col("cluster_id")).distinct().count() == 1)
+    assert(out.filter(col("cluster_id") === 0L).count() == 50)
+  }
+}
