@@ -184,8 +184,66 @@ object SparkEntry {
       DBSCAN.cluster(c, col("c_custkey"), col("cx"), col("cy"), eps = 32.0, minPts = 5)
         .withColumnRenamed("id", "c_custkey")
         .orderBy(col("c_custkey"))
+    }),
+
+    // ---- raster (tile) algebra over the events grid ----
+    // (pixel values serialized to CSV strings so hash-compare is type-safe)
+
+    // vector -> raster (reference `rasterize`): 10x10-pixel tiles, pw=10.
+    "q21_rasterize" -> ((s, dir) => {
+      tileCsv(Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10))
+    }),
+
+    // raster filter + clip to a pixel-aligned box (reference raster filter).
+    "q22_raster_clip" -> ((s, dir) => {
+      tileCsv(Raster.filterClip(
+        Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10),
+        150.0, 150.0, 350.0, 350.0))
+    }),
+
+    // per-tile SMA stats (r_min/r_max/r_median) + zero-pixel count.
+    "q23_tile_stats" -> ((s, dir) => {
+      Raster.withTileStats(
+          Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10))
+        .select(col("ulx").cast("long").as("ulx"), col("uly").cast("long").as("uly"),
+          col("t_min"), col("t_max"), col("t_median"), col("zero_pixels"))
+        .orderBy(col("ulx"), col("uly"))
+    }),
+
+    // raster-wide histogram by pixel value (reference rasterHistogram).
+    "q24_value_histogram" -> ((s, dir) => {
+      Raster.valueHistogram(
+          Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10))
+        .orderBy(col("pixel_value"))
+    }),
+
+    // raster ⋈ vector via the cell-replicate spatial join on tile bounds.
+    "q25_raster_vector_join" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+      Raster.joinVector(tiles, Tables.nationRects(s, dir), col("n_geo"),
+          JoinPredicate.Intersects, cellSize = 150.0)
+        .select(col("ulx").cast("long").as("ulx"), col("uly").cast("long").as("uly"),
+          col("n_nationkey"))
+        .orderBy(col("ulx"), col("uly"), col("n_nationkey"))
+    }),
+
+    // raster ⋈ raster pixel-level combine (click tiles + view tiles).
+    "q26_raster_raster_join" -> ((s, dir) => {
+      val e = Tables.eventPts(s, dir)
+      val a = Raster.rasterize(e.filter(col("event_type") === "click"),
+        col("ex"), col("ey"), 10.0, 10, 10)
+      val b = Raster.rasterize(e.filter(col("event_type") === "view"),
+        col("ex"), col("ey"), 10.0, 10, 10)
+      tileCsv(Raster.joinRaster(a, b, (x, y) => x + y))
     })
   )
+
+  /** Canonical driver-checkable tile projection: integral bounds + CSV data. */
+  private def tileCsv(tiles: DataFrame): DataFrame =
+    tiles.select(col("ulx").cast("long").as("ulx"), col("uly").cast("long").as("uly"),
+        col("width"), col("height"),
+        concat_ws(",", transform(col("data"), x => x.cast("string"))).as("data_csv"))
+      .orderBy(col("ulx"), col("uly"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -303,8 +361,80 @@ object SparkEntry {
        "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka) " +
        "SELECT p.c_custkey, COALESCE(cl.cid, b.cid, -1) AS cluster_id " +
        "FROM cpts p LEFT JOIN clus cl ON cl.k = p.c_custkey LEFT JOIN border b ON b.k = p.c_custkey " +
-       "ORDER BY p.c_custkey")
+       "ORDER BY p.c_custkey"),
+
+    "q21_rasterize" -> s"$rasterBaseSql $tileCsvSelectSql",
+
+    "q22_raster_clip" ->
+      (s"$rasterBaseSql, " +
+       "tiles2 AS (SELECT tx, ty, greatest(tx*100,150) ix0, least(tx*100+100,350) ix1, " +
+       "greatest(ty*100,150) iy0, least(ty*100+100,350) iy1 FROM tiles " +
+       "WHERE least(tx*100+100,350) > greatest(tx*100,150) AND least(ty*100+100,350) > greatest(ty*100,150)), " +
+       "cells2 AS (SELECT t.*, (ix1-ix0)//10 nw, (iy1-iy0)//10 nh, g.i FROM tiles2 t, generate_series(0,99) g(i) " +
+       "WHERE g.i < ((ix1-ix0)//10)*((iy1-iy0)//10)), " +
+       "j2 AS (SELECT c2.*, COALESCE(px.c,0) v FROM cells2 c2 LEFT JOIN px " +
+       "ON px.gx = c2.ix0//10 + (c2.i % c2.nw) AND px.gy = c2.iy1//10 - 1 - c2.i//c2.nw) " +
+       "SELECT CAST(ix0 AS BIGINT) ulx, CAST(iy1 AS BIGINT) uly, CAST(nw AS INT) width, CAST(nh AS INT) height, " +
+       "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
+       "FROM j2 GROUP BY ix0, iy1, nw, nh ORDER BY ulx, uly"),
+
+    "q23_tile_stats" ->
+      (s"$rasterBaseSql " +
+       "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, " +
+       "min(v) t_min, max(v) t_max, list(v ORDER BY v)[(count(*)+1)//2] t_median, " +
+       "count(*) FILTER (WHERE v=0) zero_pixels " +
+       "FROM j GROUP BY tx, ty ORDER BY ulx, uly"),
+
+    "q24_value_histogram" ->
+      (s"$rasterBaseSql " +
+       "SELECT v AS pixel_value, count(*) AS cnt FROM j GROUP BY v ORDER BY v"),
+
+    "q25_raster_vector_join" ->
+      (s"$rasterBaseSql, " +
+       s"nrect AS (${Tables.nationRectsSql}) " +
+       "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, n_nationkey " +
+       "FROM tiles, nrect " +
+       "WHERE tx*100 <= nx+150 AND tx*100+100 >= nx AND ty*100 <= ny+150 AND ty*100+100 >= ny " +
+       "ORDER BY ulx, uly, n_nationkey"),
+
+    "q26_raster_raster_join" ->
+      (s"WITH epts AS ($eventsRasterSql), " +
+       s"${rasterSideSql("click")}, ${rasterSideSql("view")}, " +
+       "both_t AS (SELECT a.tx, a.ty FROM tiles_click a JOIN tiles_view b ON a.tx=b.tx AND a.ty=b.ty), " +
+       "cells AS (SELECT t.tx, t.ty, g.i FROM both_t t, generate_series(0,99) g(i)), " +
+       "j AS (SELECT c.tx, c.ty, c.i, COALESCE(a.c,0)+COALESCE(b.c,0) v FROM cells c " +
+       "LEFT JOIN tl_click a ON a.tx=c.tx AND a.ty=c.ty AND a.pix=c.i " +
+       "LEFT JOIN tl_view b ON b.tx=c.tx AND b.ty=c.ty AND b.pix=c.i) " +
+       tileCsvSelectSql)
   )
+
+  // ---- raster oracle fragments ----
+
+  /** events with raster coords + type (tile grid: pw=10, 10x10-pixel tiles). */
+  private val eventsRasterSql: String =
+    "SELECT event_id, CAST((event_id*19)%500 AS DOUBLE) AS ex, " +
+    "CAST((event_id*23)%500 AS DOUBLE) AS ey, event_type FROM events"
+
+  /** Pixel counts -> per-tile row-major pixel table j(tx, ty, i, v). */
+  private val rasterBaseSql: String =
+    s"WITH epts AS ($eventsRasterSql), " +
+    "px AS (SELECT CAST(floor(ex/10) AS BIGINT) gx, CAST(floor(ey/10) AS BIGINT) gy, count(*) c FROM epts GROUP BY 1,2), " +
+    "tl AS (SELECT gx//10 tx, gy//10 ty, (9-(gy%10))*10+(gx%10) pix, c FROM px), " +
+    "tiles AS (SELECT DISTINCT tx, ty FROM tl), " +
+    "cells AS (SELECT t.tx, t.ty, g.i FROM tiles t, generate_series(0,99) g(i)), " +
+    "j AS (SELECT c.tx, c.ty, c.i, COALESCE(tl.c, 0) v FROM cells c " +
+    "LEFT JOIN tl ON tl.tx=c.tx AND tl.ty=c.ty AND tl.pix=c.i)"
+
+  private val tileCsvSelectSql: String =
+    "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, 10 AS width, 10 AS height, " +
+    "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
+    "FROM j GROUP BY tx, ty ORDER BY ulx, uly"
+
+  private def rasterSideSql(t: String): String =
+    s"px_$t AS (SELECT CAST(floor(ex/10) AS BIGINT) gx, CAST(floor(ey/10) AS BIGINT) gy, count(*) c " +
+    s"FROM epts WHERE event_type='$t' GROUP BY 1,2), " +
+    s"tl_$t AS (SELECT gx//10 tx, gy//10 ty, (9-(gy%10))*10+(gx%10) pix, c FROM px_$t), " +
+    s"tiles_$t AS (SELECT DISTINCT tx, ty FROM tl_$t)"
 
   // ---- shared oracle SQL fragments ----
 

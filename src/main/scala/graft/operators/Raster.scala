@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, stf}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Raster (tile) algebra — the reference's `RasterRDD` surface (reference
+ * src/main/scala/dbis/stark/raster package: Tile, RasterRDD,
+ * RasterFilterVectorRDD, RasterJoinVectorRDD, RasterJoinRDD, rasterize)
+ * re-expressed on DataFrames.
+ *
+ * A tile is an open struct of columns — `ulx, uly` (upper-left anchor),
+ * `width, height` (pixels), `pixel_width`, `data` (row-major from the top
+ * row, `array<long>`) — so Catalyst prunes/pushes through tile metadata and
+ * only pixel-touching operators read `data`. All pixel manipulation uses
+ * codegen'd built-ins (`transform`/`zip_with`/`aggregate`/`element_at`);
+ * nothing is a UDF.
+ *
+ * Pixel/grid contract: pixel (row r from top, col c) of a tile covers
+ * x ∈ [ulx + c·pw, +pw), y ∈ [uly − (r+1)·pw, uly − r·pw).
+ */
+object Raster {
+
+  val tileCols: Seq[String] = Seq("ulx", "uly", "width", "height", "pixel_width", "data")
+
+  /**
+   * Vector→raster: grid points into W×H-pixel tiles, pixel value = point
+   * count (reference `rasterize`, PlainSpatialRDDFunctions.scala:639-669).
+   * Only non-empty tiles are produced. One shuffle (groupBy tile+pixel),
+   * then a map-side array assembly per tile.
+   */
+  def rasterize(df: DataFrame, xCol: Column, yCol: Column,
+                pixelWidth: Double, tileW: Int, tileH: Int): DataFrame = {
+    val gx = floor(xCol / pixelWidth).cast("long")
+    val gy = floor(yCol / pixelWidth).cast("long")
+    val tx = floor(gx / tileW).cast("long")
+    val ty = floor(gy / tileH).cast("long")
+    val pix = ((lit(tileH - 1) - (gy - ty * tileH)) * tileW + (gx - tx * tileW)).cast("int")
+    df.groupBy(tx.as("__tx"), ty.as("__ty"), pix.as("__pix"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__tx"), col("__ty"))
+      .agg(map_from_entries(collect_list(struct(col("__pix"), col("__c")))).as("__m"))
+      .select(
+        (col("__tx") * (tileW * pixelWidth)).as("ulx"),
+        ((col("__ty") + 1) * (tileH * pixelWidth)).as("uly"),
+        lit(tileW).as("width"), lit(tileH).as("height"),
+        lit(pixelWidth).as("pixel_width"),
+        transform(sequence(lit(0), lit(tileW * tileH - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))).as("data"))
+  }
+
+  /** Tile bounding box as an stobj (reference `st_geomfromtile`). */
+  def tileGeom(df: DataFrame): Column = {
+    GraftFunctions.register(df.sparkSession)
+    stf.st_box(col("ulx"), col("uly") - col("height") * col("pixel_width"),
+      col("ulx") + col("width") * col("pixel_width"), col("uly"))
+  }
+
+  /**
+   * Filter + clip to a pixel-aligned box (reference raster filter: keep
+   * tiles matching the query, output = MBR of tile ∩ query;
+   * RasterFilterVectorRDD.scala:10-53). The box must be pixel-aligned;
+   * result tiles are the per-tile sub-rectangles.
+   */
+  def filterClip(tiles: DataFrame, x0: Double, y0: Double, x1: Double, y1: Double): DataFrame = {
+    val pw = col("pixel_width")
+    val ix0 = greatest(col("ulx"), lit(x0))
+    val ix1 = least(col("ulx") + col("width") * pw, lit(x1))
+    val iy0 = greatest(col("uly") - col("height") * pw, lit(y0))
+    val iy1 = least(col("uly"), lit(y1))
+    val nw = ((ix1 - ix0) / pw).cast("int")
+    val nh = ((iy1 - iy0) / pw).cast("int")
+    val c0 = ((ix0 - col("ulx")) / pw).cast("int")
+    val r0 = ((col("uly") - iy1) / pw).cast("int")
+    tiles.filter(ix1 > ix0 && iy1 > iy0)
+      .select(ix0.as("__ulx"), iy1.as("__uly"), nw.as("__w"), nh.as("__h"), pw.as("__pw"),
+        c0.as("__c0"), r0.as("__r0"), col("width").as("__ow"), col("data").as("__d"))
+      .select(col("__ulx").as("ulx"), col("__uly").as("uly"),
+        col("__w").as("width"), col("__h").as("height"), col("__pw").as("pixel_width"),
+        transform(sequence(lit(0), col("__w") * col("__h") - 1),
+          i => element_at(col("__d"),
+            (col("__r0") + floor(i / col("__w")).cast("int")) * col("__ow") +
+            col("__c0") + pmod(i, col("__w")) + 1)).as("data"))
+  }
+
+  /** Per-tile stats: min / max / lower-median / zero-pixel count — the
+    * reference's SMA accessors r_min/r_max/r_median + countValue. */
+  def withTileStats(tiles: DataFrame): DataFrame =
+    tiles
+      .withColumn("t_min", array_min(col("data")))
+      .withColumn("t_max", array_max(col("data")))
+      .withColumn("t_median",
+        element_at(sort_array(col("data")), ((size(col("data")) + 1) / 2).cast("int")))
+      .withColumn("zero_pixels",
+        size(filter(col("data"), v => v === 0L)).cast("long"))
+
+  /** Count pixels equal to `v` across the whole raster (reference
+    * `countValue`; SMA-style skip happens via min/max prefilter). */
+  def countValue(tiles: DataFrame, v: Long): DataFrame =
+    tiles
+      .filter(array_min(col("data")) <= v && array_max(col("data")) >= v)
+      .select(sum(size(filter(col("data"), x => x === v))).cast("long").as("cnt"))
+
+  /** Does any tile contain value v (reference `hasValue`). */
+  def hasValue(tiles: DataFrame, v: Long): Boolean =
+    !tiles.filter(array_min(col("data")) <= v && array_max(col("data")) >= v)
+      .filter(exists(col("data"), x => x === v)).isEmpty
+
+  /** Raster-wide histogram by pixel value (reference CalcRasterHistogram —
+    * bucket width 1; per-tile partial maps merge in the groupBy). */
+  def valueHistogram(tiles: DataFrame): DataFrame =
+    tiles.select(explode(col("data")).as("pixel_value"))
+      .groupBy(col("pixel_value")).agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Raster ⋈ vector: tiles whose bounds satisfy the spatial predicate
+   * against a vector geometry (reference RasterJoinVectorRDD). Joined via
+   * the cell-replicate spatial join on the tile bounding geometry.
+   */
+  def joinVector(tiles: DataFrame, vec: DataFrame, vecGeom: Column,
+                 pred: JoinPredicate, cellSize: Double): DataFrame = {
+    val withGeom = tiles.withColumn("__tgeo", tileGeom(tiles))
+    SpatialJoin.join(withGeom, vec, col("__tgeo"), vecGeom, pred, cellSize)
+      .drop("__tgeo")
+  }
+
+  /**
+   * Raster ⋈ raster: pixel-level combine of co-located tiles (reference
+   * RasterJoinRDD pixel join). Tiles match on identical bounds (equi-join —
+   * hash-partitioned, no cartesian); `combine` merges pixel pairs.
+   */
+  def joinRaster(a: DataFrame, b: DataFrame,
+                 combine: (Column, Column) => Column): DataFrame = {
+    val keys = Seq("ulx", "uly", "width", "height", "pixel_width")
+    a.as("l").join(b.as("r"), keys)
+      .select((keys.map(col) :+
+        zip_with(col("l.data"), col("r.data"), combine).as("data")): _*)
+  }
+}
