@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.stf
 import graft.operators._
+import graft.sources.CellStore
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -235,6 +236,28 @@ object SparkEntry {
       val b = Raster.rasterize(e.filter(col("event_type") === "view"),
         col("ex"), col("ey"), 10.0, 10, 10)
       tileCsv(Raster.joinRaster(a, b, (x, y) => x + y))
+    }),
+
+    // grid partitioner (SURVEY §2.10): partition-key histogram over the
+    // packed cell id the partitioner shuffles on.
+    "q27_grid_partition" -> ((s, dir) => {
+      Partitioners.gridPartition(Tables.customerPts(s, dir), col("c_geo"),
+          cellSize = 100.0, numPartitions = 8)
+        .groupBy(col("part_cell")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("part_cell"))
+    }),
+
+    // storage parity (SURVEY §2.1): save cell-partitioned parquet, reload
+    // with load-time spatial pruning, exact-refine — rows equal the plain
+    // polygon filter (the pruning itself is asserted in StorageSpec).
+    "q28_store_pruned" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_q28"
+      CellStore.save(Tables.customerPts(s, dir), path, col("cx"), col("cy"), 100.0)
+      val qry = "POLYGON ((150 150, 650 150, 650 450, 150 450, 150 150))"
+      SpatialOps.containedBy(
+          graft.sources.CellStore.loadIntersecting(s, path, qry, 100.0),
+          col("c_geo"), stf.st_geomfromwkt(qry))
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
     })
   )
 
@@ -405,7 +428,18 @@ object SparkEntry {
        "j AS (SELECT c.tx, c.ty, c.i, COALESCE(a.c,0)+COALESCE(b.c,0) v FROM cells c " +
        "LEFT JOIN tl_click a ON a.tx=c.tx AND a.ty=c.ty AND a.pix=c.i " +
        "LEFT JOIN tl_view b ON b.tx=c.tx AND b.ty=c.ty AND b.pix=c.i) " +
-       tileCsvSelectSql)
+       tileCsvSelectSql),
+
+    // packed cell id for positive cells: ix * 2^32 + iy
+    "q27_grid_partition" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT CAST(floor(cx/100) AS BIGINT)*4294967296 + CAST(floor(cy/100) AS BIGINT) AS part_cell, " +
+       "count(*) AS cnt FROM cpts GROUP BY 1 ORDER BY part_cell"),
+
+    "q28_store_pruned" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
+       "ORDER BY c_custkey")
   )
 
   // ---- raster oracle fragments ----

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, stf}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+
+/**
+ * Spatial / temporal partitioning operators — the reference's partitioner
+ * suite (reference src/main/scala/dbis/stark/spatial/partitioner: grid, BSP
+ * cost-based, temporal range, spatio-temporal composite; SURVEY §2.10),
+ * re-expressed as *computed partition-key columns* + `repartition`. Physical
+ * co-location then comes from Spark's hash/range exchange, and any
+ * downstream cell-key join or aggregation reuses the shuffle.
+ */
+object Partitioners {
+
+  /** Fixed uniform grid: partition key = grid cell of the geometry centroid
+    * (reference SpatialGridPartitioner). */
+  def gridPartition(df: DataFrame, geo: Column, cellSize: Double,
+                    numPartitions: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("part_cell", stf.st_cell(geo, lit(cellSize)))
+      .repartition(numPartitions, col("part_cell"))
+  }
+
+  /** Temporal range partitioning on a long epoch column (reference
+    * TemporalRangePartitioner): `repartitionByRange` samples bounds. */
+  def temporalRangePartition(df: DataFrame, tCol: Column,
+                             numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, tCol)
+
+  /** Two-level spatio-temporal composite key (reference SpatioTempPartitioner):
+    * spatial cell + time bucket. */
+  def spatioTemporalPartition(df: DataFrame, geo: Column, tCol: Column,
+                              cellSize: Double, timeBucket: Long,
+                              numPartitions: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("part_cell", stf.st_cell(geo, lit(cellSize)))
+      .withColumn("part_tbucket", floor(tCol / timeBucket).cast("long"))
+      .repartition(numPartitions, col("part_cell"), col("part_tbucket"))
+  }
+
+  /** A BSP split: right-open rectangle in cell-index space with its cost. */
+  final case class BspRegion(x0: Int, y0: Int, x1: Int, y1: Int, cost: Long)
+
+  /**
+   * Cost-based binary space partitioning (reference BSPartitioner/BSP2, the
+   * MR-DBSCAN strategy): build a per-cell count histogram (one distributed
+   * groupBy), then recursively split the cell grid on the driver along cell
+   * boundaries, always splitting the most expensive region at the boundary
+   * that best balances cost, until every region's cost <= maxCost or it is
+   * a single cell. Returns the regions; [[bspPartition]] applies them.
+   */
+  def bspRegions(df: DataFrame, xCol: Column, yCol: Column, cellSize: Double,
+                 maxCost: Long): Seq[BspRegion] = {
+    val hist = df.groupBy(
+        floor(xCol / cellSize).cast("int").as("cx"),
+        floor(yCol / cellSize).cast("int").as("cy"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    if (hist.isEmpty) return Seq.empty
+    val xs = hist.keys.map(_._1); val ys = hist.keys.map(_._2)
+
+    def cost(x0: Int, y0: Int, x1: Int, y1: Int): Long = {
+      var s = 0L
+      var x = x0
+      while (x < x1) { var y = y0; while (y < y1) { s += hist.getOrElse((x, y), 0L); y += 1 }; x += 1 }
+      s
+    }
+
+    val out = mutable.ArrayBuffer.empty[BspRegion]
+    val queue = mutable.Stack(BspRegion(xs.min, ys.min, xs.max + 1, ys.max + 1,
+      cost(xs.min, ys.min, xs.max + 1, ys.max + 1)))
+    while (queue.nonEmpty) {
+      val r = queue.pop()
+      val splittable = (r.x1 - r.x0) > 1 || (r.y1 - r.y0) > 1
+      if (r.cost <= maxCost || !splittable) out += r
+      else {
+        // candidate splits along both axes; pick the most balanced
+        val cands =
+          (r.x0 + 1 until r.x1).map { sx =>
+            val c1 = cost(r.x0, r.y0, sx, r.y1)
+            (math.abs(2 * c1 - r.cost),
+              BspRegion(r.x0, r.y0, sx, r.y1, c1),
+              BspRegion(sx, r.y0, r.x1, r.y1, r.cost - c1))
+          } ++
+          (r.y0 + 1 until r.y1).map { sy =>
+            val c1 = cost(r.x0, r.y0, r.x1, sy)
+            (math.abs(2 * c1 - r.cost),
+              BspRegion(r.x0, r.y0, r.x1, sy, c1),
+              BspRegion(r.x0, sy, r.x1, r.y1, r.cost - c1))
+          }
+        val (_, a, b) = cands.minBy(_._1)
+        queue.push(a); queue.push(b)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Apply BSP: broadcast the region list, assign each row its region index,
+    * repartition by it. Rows outside every region (cells with no histogram
+    * entry can't exist by construction) would get -1. */
+  def bspPartition(df: DataFrame, xCol: Column, yCol: Column, cellSize: Double,
+                   maxCost: Long): DataFrame = {
+    val regions = bspRegions(df, xCol, yCol, cellSize, maxCost)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      regions.toArray.map(r => (r.x0, r.y0, r.x1, r.y1)))
+    val assign = udf { (x: Double, y: Double) =>
+      val cx = math.floor(x / cellSize).toInt
+      val cy = math.floor(y / cellSize).toInt
+      val rs = bc.value
+      var i = 0
+      var found = -1
+      while (found < 0 && i < rs.length) {
+        val r = rs(i)
+        if (cx >= r._1 && cx < r._3 && cy >= r._2 && cy < r._4) found = i
+        i += 1
+      }
+      found
+    }
+    df.withColumn("part_id", assign(xCol, yCol))
+      .repartition(math.max(regions.size, 1), col("part_id"))
+  }
+}

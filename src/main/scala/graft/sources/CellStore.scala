@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.functions.GeoOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.locationtech.jts.geom.Envelope
+
+/**
+ * Spatially-partitioned storage — the reference's `saveAsStarkTextFile` /
+ * `STSparkContext.textFile(path, query)` pair (reference
+ * PlainSpatialRDDFunctions.scala:34-87 writes a `partition_info` metadata
+ * file; STSparkContext.scala:658-713 prunes part-files against it at load).
+ *
+ * Spark-native equivalent: write parquet partitioned by a grid-cell
+ * directory key. The directory layout *is* the partition metadata —
+ * Catalyst partition pruning skips non-matching cell directories at
+ * planning time (visible as `PartitionFilters` in `.explain`), and parquet
+ * min/max column stats subsume the reference's per-partition bounds for
+ * everything else.
+ */
+object CellStore {
+
+  /** Save with a grid-cell directory key derived from (x, y) columns.
+    * `cells` stay coarse: one directory per cell, Hive-style layout. */
+  def save(df: DataFrame, path: String, xCol: Column, yCol: Column,
+           cellSize: Double): Unit =
+    df.withColumn("part_cx", floor(xCol / cellSize).cast("int"))
+      .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
+      .write.mode("overwrite")
+      .partitionBy("part_cx", "part_cy")
+      .parquet(path)
+
+  /** Plain load (partition columns restored from the directory layout). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * Load only the cells whose extent intersects the query envelope —
+   * load-time spatial pruning. The predicate is on partition directory
+   * columns only, so Catalyst prunes at file-listing time; no data files
+   * outside the envelope are opened.
+   */
+  def loadIntersecting(spark: SparkSession, path: String, queryWkt: String,
+                       cellSize: Double): DataFrame = {
+    val env: Envelope = GeoOps.parseWkt(queryWkt).getEnvelopeInternal
+    val cx0 = math.floor(env.getMinX / cellSize).toInt
+    val cx1 = math.floor(env.getMaxX / cellSize).toInt
+    val cy0 = math.floor(env.getMinY / cellSize).toInt
+    val cy1 = math.floor(env.getMaxY / cellSize).toInt
+    load(spark, path).filter(
+      col("part_cx") >= cx0 && col("part_cx") <= cx1 &&
+      col("part_cy") >= cy0 && col("part_cy") <= cy1)
+  }
+}

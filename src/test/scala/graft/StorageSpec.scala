@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Partitioners
+import graft.sources.CellStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage pruning + partitioner post-conditions. */
+class StorageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("cell-partitioned store prunes directories at load time") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_spec"
+    val pts = Tables.customerPts(spark, "/root/testdata/sf0.001")
+    CellStore.save(pts, path, col("cx"), col("cy"), 100.0)
+
+    val all = CellStore.load(spark, path)
+    val pruned = CellStore.loadIntersecting(spark, path,
+      "POLYGON ((150 150, 350 150, 350 350, 150 350, 150 150))", 100.0)
+
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    }
+    // the query envelope covers cells cx in [1,3] x cy in [1,3] => 9 of 100
+    val allFiles = scannedFiles(all)
+    val prunedFiles = scannedFiles(pruned)
+    assert(prunedFiles < allFiles,
+      s"expected partition pruning: $prunedFiles vs $allFiles files")
+    assert(prunedFiles <= allFiles / 4, s"weak pruning: $prunedFiles of $allFiles")
+
+    // and correctness: pruned+refined == full-scan filter
+    val full = pts.filter(col("cx") >= 150 && col("cx") <= 350 &&
+      col("cy") >= 150 && col("cy") <= 350).count()
+    val viaStore = pruned.filter(col("cx") >= 150 && col("cx") <= 350 &&
+      col("cy") >= 150 && col("cy") <= 350).count()
+    assert(viaStore == full)
+  }
+
+  test("BSP regions cover all data, are disjoint, and respect maxCost") {
+    val pts = Tables.customerPts(spark, "/root/testdata/sf0.001").cache()
+    val maxCost = 100L
+    val regions = Partitioners.bspRegions(pts, col("cx"), col("cy"), 100.0, maxCost)
+    assert(regions.nonEmpty)
+    // cost bound (single cells may exceed)
+    regions.foreach { r =>
+      assert(r.cost <= maxCost || (r.x1 - r.x0) * (r.y1 - r.y0) == 1,
+        s"oversized splittable region: $r")
+    }
+    // disjoint
+    for (a <- regions; b <- regions if a != b) {
+      val overlap = a.x0 < b.x1 && b.x0 < a.x1 && a.y0 < b.y1 && b.y0 < a.y1
+      assert(!overlap, s"overlapping regions: $a $b")
+    }
+    // total cost = row count (full coverage)
+    assert(regions.map(_.cost).sum == pts.count())
+
+    // applying the partitioner keeps every row exactly once
+    val parted = Partitioners.bspPartition(pts, col("cx"), col("cy"), 100.0, maxCost)
+    assert(parted.count() == pts.count())
+    assert(parted.filter(col("part_id") < 0).count() == 0)
+  }
+
+  test("grid + spatio-temporal partition keys are stable") {
+    val e = Tables.eventPts(spark, "/root/testdata/sf0.001")
+    val parted = Partitioners.spatioTemporalPartition(e, col("e_geo"),
+      expr("ts div 1000"), cellSize = 100.0, timeBucket = 86400000000L,
+      numPartitions = 8)
+    assert(parted.select(col("part_cell"), col("part_tbucket")).distinct().count() > 1)
+    assert(parted.count() == e.count())
+  }
+}
