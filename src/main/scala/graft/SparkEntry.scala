@@ -258,6 +258,25 @@ object SparkEntry {
           graft.sources.CellStore.loadIntersecting(s, path, qry, 100.0),
           col("c_geo"), stf.st_geomfromwkt(qry))
         .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
+    // multimodal plumbing: synthetic media payloads + typed metadata.
+    "q29_multimodal_meta" -> ((s, dir) => {
+      Multimodal.withSyntheticMedia(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), col("n_chars"))
+        .select(col("doc_id"), col("media_type"), col("media_len"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-partition batched feature extraction over the binary column
+    // (decode stub -> byte-sum feature + first-frame content hash).
+    "q30_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+          Multimodal.withSyntheticMedia(Tables.load(s, dir, "documents"),
+            col("doc_id"), col("text"), col("n_chars")), frames = 4)
+        .select(col("doc_id"), col("byte_sum"), col("frame0_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -439,7 +458,20 @@ object SparkEntry {
     "q28_store_pruned" ->
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
        "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
-       "ORDER BY c_custkey")
+       "ORDER BY c_custkey"),
+
+    "q29_multimodal_meta" ->
+      ("SELECT doc_id, (['image','audio','video'])[CAST(doc_id%3+1 AS INT)] AS media_type, " +
+       "CAST(32*(n_chars%4+2) AS BIGINT) AS media_len, " +
+       "CAST(n_chars%64+16 AS INT) AS width, CAST(doc_id*7%48+16 AS INT) AS height " +
+       "FROM documents ORDER BY doc_id"),
+
+    "q30_multimodal_features" ->
+      ("WITH m AS (SELECT doc_id, repeat(md5(text), CAST(n_chars%4+2 AS INT)) AS media FROM documents) " +
+       "SELECT doc_id, " +
+       "CAST(list_sum([ascii(media[i:i]) FOR i IN generate_series(1, len(media))]) AS BIGINT) AS byte_sum, " +
+       "md5(media[1:greatest(len(media)//4,1)]) AS frame0_md5 " +
+       "FROM m ORDER BY doc_id")
   )
 
   // ---- raster oracle fragments ----

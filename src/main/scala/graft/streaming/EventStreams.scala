@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/**
+ * Structured Streaming operators over the events schema. The reference has
+ * no streaming at all (SURVEY §2.8) — this is the forward-looking surface a
+ * Spark-native engine gets for free because the spatio-temporal columns are
+ * ordinary longs/timestamps: the same `st_*`/dedup/raster expressions apply
+ * unchanged to a `readStream` DataFrame.
+ *
+ * Batch/stream parity: each transform takes a DataFrame that may come from
+ * `read` or `readStream`; only sinks differ. Tested with MemoryStream in
+ * StreamingSpec.
+ */
+object EventStreams {
+
+  /** Tumbling-window counts per event type with a watermark for state
+    * cleanup — the canonical streaming aggregation. `ts` must be a
+    * TimestampType column. */
+  def windowedTypeCounts(events: DataFrame, watermark: String = "10 minutes",
+                         window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+
+  /** Per-key running session state via flatMapGroupsWithState: emits one row
+    * per session when it times out (gap-based sessionization). */
+  final case class SessionUpdate(user_id: Long, events: Long, firstTs: Long, lastTs: Long)
+  final case class SessionState(events: Long, firstTs: Long, lastTs: Long)
+
+  def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(user, s.events, s.firstTs, s.lastTs))
+          } else {
+            val ts = rows.map(_._2).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+            val next = SessionState(prev.events + ts.size,
+              math.min(prev.firstTs, ts.min), math.max(prev.lastTs, ts.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming spatial filter: the same st_* predicates compose with
+    * readStream — declarative parity between batch and stream. */
+  def spatialFilter(events: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
+    events.filter(predicate)
+}
