@@ -277,6 +277,23 @@ object SparkEntry {
             col("doc_id"), col("text"), col("n_chars")), frames = 4)
         .select(col("doc_id"), col("byte_sum"), col("frame0_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // covers join — boundary-INCLUSIVE, distinct from q6's contains.
+    "q31_join_covers" -> ((s, dir) => {
+      SpatialJoin.join(Tables.nationRects(s, dir), Tables.customerPts(s, dir),
+          col("n_geo"), col("c_geo"), JoinPredicate.Covers, cellSize = 100.0)
+        .select(col("n_nationkey"), col("c_custkey"))
+        .orderBy(col("n_nationkey"), col("c_custkey"))
+    }),
+
+    // temporal containedby with an OPEN-ended container interval — the
+    // reference's trickiest temporal edge case as a driver-checked query.
+    "q32_temporal_containedby" -> ((s, dir) => {
+      val qry = stf.st_with_open_interval(
+        stf.st_geomfromwkt("POLYGON ((0 0, 400 0, 400 400, 0 400, 0 0))"), lit(T1))
+      SpatialOps.containedBy(Tables.eventPts(s, dir), col("e_geo"), qry)
+        .select(col("event_id")).orderBy(col("event_id"))
     })
   )
 
@@ -471,7 +488,19 @@ object SparkEntry {
        "SELECT doc_id, " +
        "CAST(list_sum([ascii(media[i:i]) FOR i IN generate_series(1, len(media))]) AS BIGINT) AS byte_sum, " +
        "md5(media[1:greatest(len(media)//4,1)]) AS frame0_md5 " +
-       "FROM m ORDER BY doc_id")
+       "FROM m ORDER BY doc_id"),
+
+    "q31_join_covers" ->
+      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
+       "WHERE cx >= nx AND cx <= nx+150 AND cy >= ny AND cy <= ny+150 " +
+       "ORDER BY n_nationkey, c_custkey"),
+
+    // open-ended container: spatial strict-interior AND et >= T1
+    "q32_temporal_containedby" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}) " +
+       "SELECT event_id FROM epts WHERE ex > 0 AND ex < 400 AND ey > 0 AND ey < 400 " +
+       s"AND et >= $T1 ORDER BY event_id")
   )
 
   // ---- raster oracle fragments ----
