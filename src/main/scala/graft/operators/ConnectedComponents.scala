@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+
+/**
+ * Two-level distributed connected components over an edge list
+ * (`__a`, `__b` long node ids; self-loops keep isolated nodes).
+ *
+ * Level 1: hash-partition edges by source and run a union-find *inside each
+ * partition* — this contracts the overwhelmingly-local structure of spatial
+ * graphs in one pass with zero shuffles beyond the initial repartition.
+ * Each node gets one or more local labels (the min node id of its local
+ * component — a node id, so labels are globally comparable).
+ *
+ * Level 2: nodes seen in several partitions glue their labels together; the
+ * resulting quotient graph (labels as nodes) is orders of magnitude smaller
+ * and goes through GraphX Pregel CC. Final label = min node id of the
+ * global component (the global min is always a local root, so it survives
+ * contraction).
+ *
+ * This is the merge structure MR-DBSCAN prescribes (local clustering, then
+ * merge), kept fully distributed — never a driver-side closure.
+ */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with long columns `__a`, `__b` (directed pairs;
+    *              include (x, x) self-loops for isolated nodes)
+    * @return (`__id`, `__comp`) — component = min node id, one row per node */
+  def run(edges: DataFrame, numPartitions: Int = 32, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // Level 1: per-partition union-find; emit (node, min-id-of-local-set)
+    val localLabels = edges.repartition(numPartitions, col("__a"))
+      .select(col("__a"), col("__b"))
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        // min id per root, then (node -> min)
+        val minOf = new java.util.HashMap[Long, Long]()
+        parent.keySet().forEach { n =>
+          val r = find(n)
+          val cur = minOf.getOrDefault(r, Long.MaxValue)
+          if (n < cur) minOf.put(r, n)
+        }
+        val out = Vector.newBuilder[(Long, Long)]
+        parent.keySet().forEach { n => out += ((n, minOf.get(find(n)))) }
+        out.result().iterator
+      }(Encoders.product[(Long, Long)])
+      .toDF("__id", "__lbl")
+
+    // Level 2: per-node label sets -> quotient edges between labels
+    val grouped = localLabels.groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__lbl"))).as("__ls"))
+      .persist()
+    val qEdges = grouped
+      .select(explode(transform(col("__ls"), l => struct(element_at(col("__ls"), 1).as("_1"), l.as("_2")))).as("__e"))
+      .select(col("__e._1").as("__a"), col("__e._2").as("__b"))
+
+    import org.apache.spark.graphx.Graph
+    val qcc = Graph.fromEdgeTuples(qEdges.rdd.map(r => (r.getLong(0), r.getLong(1))), 0)
+      .connectedComponents(maxIter).vertices
+    val labelComp = qcc.toDF("__lbl", "__comp")
+
+    grouped
+      .select(col("__id"), element_at(col("__ls"), 1).as("__lbl"))
+      .join(labelComp, "__lbl")
+      .select(col("__id"), col("__comp"))
+  }
+}

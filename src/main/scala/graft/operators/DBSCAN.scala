@@ -66,18 +66,15 @@ object DBSCAN {
       .select(col("__a"), col("__b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // connected components over core-core edges via GraphX Pregel — the
-    // distributed replacement for the reference's driver-side transitive
-    // closure. Every core point appears (nbr includes the (a,a) self-pair),
-    // and GraphX CC labels each component with its min vertex id — exactly
-    // the deterministic cluster-id contract.
-    import org.apache.spark.graphx.Graph
-    val edgeRdd = coreEdges.select(col("__a"), col("__b")).rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val cc = Graph.fromEdgeTuples(edgeRdd, defaultValue = 0)
-      .connectedComponents(maxIterations = maxIter).vertices
-    import spark.implicits._
-    val coreClusters = cc.toDF("__id", "__cid")
+    // connected components over core-core edges — two-level distributed CC
+    // (per-partition union-find contraction, then Pregel on the quotient
+    // graph; see ConnectedComponents). This replaces the reference's
+    // driver-side transitive closure and labels each component with its min
+    // core id — exactly the deterministic cluster-id contract. Every core
+    // point appears (nbr includes the (a,a) self-pair).
+    val coreClusters = ConnectedComponents
+      .run(coreEdges, numPartitions = spark.sparkContext.defaultParallelism, maxIter = maxIter)
+      .withColumnRenamed("__comp", "__cid")
     // border: non-core point with >= 1 core neighbor -> min neighbor cluster
     val borderClusters = nbr.join(core.withColumnRenamed("__id", "__a"),
         Seq("__a"), "left_anti") // a is not core

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Fluent Dataset-style API — the migration surface for users of the
+ * reference's implicit RDD wrappers (`rdd.intersects(qry)`,
+ * `rdd.join(other, CONTAINS)`, `rdd.kNN(...)`, `rdd.cluster(...)`;
+ * reference src/main/scala/org/apache/spark/SpatialRDD.scala implicits).
+ * One import swaps the engine:
+ *
+ * {{{
+ * import graft.syntax._
+ * df.stContainedBy(col("geo"), stf.st_geomfromwkt("POLYGON (...)"))
+ *   .stKnn(col("geo"), stf.st_point(lit(0), lit(0)), k = 10)
+ * }}}
+ *
+ * Geometry is a named column instead of the reference's positional tuple
+ * key — payload columns ride along untouched.
+ */
+object syntax {
+
+  implicit class SpatialDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- predicate filters (reference PlainSpatialRDDFunctions:92-109) ----
+    def stIntersects(geo: Column, qry: Column): DataFrame = SpatialOps.intersects(df, geo, qry)
+    def stContains(geo: Column, qry: Column): DataFrame = SpatialOps.contains(df, geo, qry)
+    def stContainedBy(geo: Column, qry: Column): DataFrame = SpatialOps.containedBy(df, geo, qry)
+    def stCovers(geo: Column, qry: Column): DataFrame = SpatialOps.covers(df, geo, qry)
+    def stCoveredBy(geo: Column, qry: Column): DataFrame = SpatialOps.coveredBy(df, geo, qry)
+    def stWithinDistance(geo: Column, qry: Column, maxDist: Double): DataFrame =
+      SpatialOps.withinDistance(df, geo, qry, maxDist)
+
+    // ---- joins (reference Plain:262-348) ----
+    def stJoin(other: DataFrame, geo: Column, otherGeo: Column,
+               pred: JoinPredicate, cellSize: Double): DataFrame =
+      SpatialJoin.join(df, other, geo, otherGeo, pred, cellSize)
+    def stBroadcastJoin(other: DataFrame, geo: Column, otherGeo: Column,
+                        pred: JoinPredicate): DataFrame =
+      SpatialJoin.broadcastJoin(df, other, geo, otherGeo, pred)
+    def stDistanceJoin(other: DataFrame, geo: Column, otherGeo: Column,
+                       maxDist: Double, cellSize: Double): DataFrame =
+      SpatialJoin.distanceJoin(df, other, geo, otherGeo, maxDist, cellSize)
+
+    // ---- kNN family (reference Plain:112-252) ----
+    def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)
+    def stKnnJoin(other: DataFrame, geoName: String, otherGeoName: String, k: Int): DataFrame =
+      KNN.knnJoin(df, other, geoName, otherGeoName, k)
+
+    // ---- skyline / clustering (reference Plain:361-586) ----
+    def stSkyline(xCol: String, yCol: String): DataFrame = Skyline.skyline(df, xCol, yCol)
+    def stCluster(id: Column, x: Column, y: Column, eps: Double, minPts: Int): DataFrame =
+      DBSCAN.cluster(df, id, x, y, eps, minPts)
+
+    // ---- partitioning (reference partitioner suite) ----
+    def stGridPartition(geo: Column, cellSize: Double, numPartitions: Int): DataFrame =
+      Partitioners.gridPartition(df, geo, cellSize, numPartitions)
+
+    // ---- raster (reference RasterRDD) ----
+    def stRasterize(x: Column, y: Column, pixelWidth: Double, tileW: Int, tileH: Int): DataFrame =
+      Raster.rasterize(df, x, y, pixelWidth, tileW, tileH)
+
+    // ---- training-data ops ----
+    def dedupExact(id: Column, text: Column): DataFrame = Dedup.exact(df, id, text)
+    def nearDupPairs(id: Column, text: Column): DataFrame =
+      Dedup.minhashLshPairs(df, id, text)
+    def annTopK(queries: DataFrame, id: Column, qid: Column,
+                vec: Column, qvec: Column, k: Int): DataFrame =
+      Similarity.bruteTopK(df, queries, id, qid, vec, qvec, k)
+  }
+}
