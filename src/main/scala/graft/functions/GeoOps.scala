@@ -258,4 +258,26 @@ object GeoOps {
   // (null handling done by the expressions; these assume presence)
   def tStart(a: InternalRow): Long = a.getLong(1)
   def tEnd(a: InternalRow): Long = a.getLong(2)
+
+  // ---- additional distance functions (reference Distance.scala:118-168) ----
+
+  /** Discrete Hausdorff distance between the geometries (shausdorff). */
+  def hausdorffDistance(a: InternalRow, b: InternalRow): Double =
+    org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+      .distance(readGeom(a.getBinary(0)), readGeom(b.getBinary(0)))
+
+  /** Temporal distance = |interval-center difference| (teuclid); intervals
+    * must be closed (callers guarantee presence; open end treated as start). */
+  def temporalDistance(a: InternalRow, b: InternalRow): Double = {
+    def center(r: InternalRow): Double = {
+      val s = r.getLong(1)
+      val e = if (r.isNullAt(2)) s else r.getLong(2)
+      (s + e) / 2.0
+    }
+    math.abs(center(a) - center(b))
+  }
+
+  /** Weighted spatio-temporal distance ws*spatial + wt*temporal (euclid). */
+  def stDistance(a: InternalRow, b: InternalRow, ws: Double, wt: Double): Double =
+    ws * centroidDistance(a, b) + wt * temporalDistance(a, b)
 }

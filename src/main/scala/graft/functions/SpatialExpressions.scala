@@ -252,6 +252,45 @@ case class STRefCell(children: Seq[Expression])
   override def prettyName: String = "st_ref_cell"
 }
 
+/** st_hausdorff(a, b): discrete Hausdorff distance (reference shausdorff). */
+case class STHausdorff(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = GeoOps.hausdorffDistance(row(a), row(b))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.hausdorffDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STHausdorff =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_hausdorff"
+}
+
+/** st_t_distance(a, b): |interval-center difference| (reference teuclid). */
+case class STTemporalDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = GeoOps.temporalDistance(row(a), row(b))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.temporalDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STTemporalDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_t_distance"
+}
+
+/** st_st_distance(a, b, ws, wt): weighted space+time distance (euclid). */
+case class STWeightedDistance(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, ws: Any, wt: Any): Any =
+    GeoOps.stDistance(row(a), row(b), ws.asInstanceOf[Double], wt.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, ws, wt) => s"graft.functions.GeoOps.stDistance($a, $b, $ws, $wt)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): STWeightedDistance =
+    copy(first = a, second = b, third = c, fourth = d)
+  override def prettyName: String = "st_st_distance"
+}
+
 /** st_tstart(sto) / st_tend(sto): nullable temporal bounds. */
 case class STTemporalAccessor(child: Expression, end: Boolean)
     extends UnaryExpression with codegen.CodegenFallback {

@@ -39,6 +39,9 @@ object GraftFunctions {
     "st_covers"       -> ((es: Seq[Expression]) => STRelate(es(0), es(1), COVERS)),
     "st_coveredby"    -> ((es: Seq[Expression]) => STRelate(es(0), es(1), COVEREDBY)),
     "st_distance"     -> ((es: Seq[Expression]) => STDistance(es(0), es(1))),
+    "st_hausdorff"    -> ((es: Seq[Expression]) => STHausdorff(es(0), es(1))),
+    "st_t_distance"   -> ((es: Seq[Expression]) => STTemporalDistance(es(0), es(1))),
+    "st_st_distance"  -> ((es: Seq[Expression]) => STWeightedDistance(es(0), es(1), d(es(2)), d(es(3)))),
     "st_centroid_distance" -> ((es: Seq[Expression]) => STCentroidDistance(es(0), es(1))),
     "st_within_distance" -> ((es: Seq[Expression]) => STWithinDistance(es(0), es(1), d(es(2)))),
     "st_wkt"          -> ((es: Seq[Expression]) => STAsWKT(es.head)),
@@ -108,6 +111,10 @@ object stf {
   def st_covers(a: Column, b: Column): Column = call_function("st_covers", a, b)
   def st_coveredby(a: Column, b: Column): Column = call_function("st_coveredby", a, b)
   def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_hausdorff(a: Column, b: Column): Column = call_function("st_hausdorff", a, b)
+  def st_t_distance(a: Column, b: Column): Column = call_function("st_t_distance", a, b)
+  def st_st_distance(a: Column, b: Column, ws: Column, wt: Column): Column =
+    call_function("st_st_distance", a, b, ws, wt)
   def st_centroid_distance(a: Column, b: Column): Column = call_function("st_centroid_distance", a, b)
   def st_within_distance(a: Column, b: Column, d: Column): Column = call_function("st_within_distance", a, b, d)
   def st_wkt(a: Column): Column = call_function("st_wkt", a)

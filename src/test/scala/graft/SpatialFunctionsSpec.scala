@@ -91,6 +91,16 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     assert(d(s"st_centroid_distance($poly, st_point(15.0, 5.0))") == 10.0)
   }
 
+  test("hausdorff / temporal / weighted distances") {
+    // farthest polygon vertex from (15,5) is corner (0,0)/(0,10): sqrt(250)
+    assert(d(s"st_hausdorff($poly, st_point(15.0, 5.0))") == math.sqrt(250.0))
+    val a = "st_with_time(st_point(0.0, 0.0), 0L, 10L)"   // center 5
+    val b = "st_with_time(st_point(3.0, 4.0), 20L, 30L)"  // center 25
+    assert(d(s"st_t_distance($a, $b)") == 20.0)
+    assert(d(s"st_st_distance($a, $b, 1.0, 1.0)") == 25.0) // 5 spatial + 20 temporal
+    assert(d(s"st_st_distance($a, $b, 2.0, 0.5)") == 20.0) // 10 + 10
+  }
+
   test("accessors and constructors") {
     assert(spark.sql("SELECT st_wkt(st_point(1.0, 2.0))").collect()(0).getString(0)
       == "POINT (1 2)")
