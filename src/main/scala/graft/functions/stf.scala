@@ -72,12 +72,45 @@ object GraftFunctions {
     "sorted_intersect_count" -> ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)))
   )
 
+  /** Arity of each function (min, max) for a named error instead of a raw
+    * IndexOutOfBounds when SQL passes the wrong argument count. */
+  private val arity: Map[String, (Int, Int)] = Map(
+    "st_geomfromwkt" -> (1, 1), "st_point" -> (2, 2), "st_box" -> (4, 4),
+    "st_with_time" -> (3, 3), "st_with_instant" -> (2, 2),
+    "st_with_open_interval" -> (2, 2), "st_intersects" -> (2, 2),
+    "st_contains" -> (2, 2), "st_containedby" -> (2, 2), "st_covers" -> (2, 2),
+    "st_coveredby" -> (2, 2), "st_distance" -> (2, 2), "st_hausdorff" -> (2, 2),
+    "st_t_distance" -> (2, 2), "st_st_distance" -> (4, 4),
+    "st_centroid_distance" -> (2, 2), "st_within_distance" -> (3, 3),
+    "st_wkt" -> (1, 1), "st_x" -> (1, 1), "st_y" -> (1, 1), "st_area" -> (1, 1),
+    "st_minx" -> (1, 1), "st_maxx" -> (1, 1), "st_miny" -> (1, 1),
+    "st_maxy" -> (1, 1), "st_tstart" -> (1, 1), "st_tend" -> (1, 1),
+    "st_cell" -> (2, 2), "st_cells" -> (2, 3), "st_ref_cell" -> (4, 5),
+    "minhash_sig" -> (2, 2), "band_buckets" -> (2, 2), "simhash64" -> (1, 1),
+    "hamming" -> (2, 2), "hyperplane_buckets" -> (3, 3), "vec_dot" -> (2, 2),
+    "vec_norm" -> (1, 1), "word_shingles" -> (2, 2),
+    "sorted_intersect_count" -> (2, 2))
+
+  private def checked(name: String, builder: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { es =>
+    val (lo, hi) = arity.getOrElse(name, (0, Int.MaxValue))
+    if (es.size < lo || es.size > hi)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> (if (lo == hi) lo.toString else s"$lo to $hi"),
+          "actualNum" -> es.size.toString,
+          "docroot" -> ""))
+    builder(es)
+  }
+
   /** Idempotently register all st_* functions in the given session. */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
       if (!reg.functionExists(FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+        reg.createOrReplaceTempFunction(name, checked(name, builder), "scala_udf")
     }
   }
 
@@ -87,7 +120,7 @@ object GraftFunctions {
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
-        builder))
+        checked(name, builder)))
     }
 }
 

@@ -65,6 +65,26 @@ object KNN {
    * broadcast join). For two large sides use [[SpatialJoin.distanceJoin]]
    * with a radius + window-rank instead.
    */
+  /**
+   * kNN join for TWO LARGE sides: candidates from the cell-replicated
+   * within-distance join (radius bounds the search), then per-left-row
+   * window rank by (distance, tieBreak). Scales as a shuffle join on grid
+   * cells — no broadcast, no cartesian. Semantics: the k nearest neighbors
+   * *within `radius`*; a left row with fewer than k in-radius neighbors
+   * returns what exists (choose radius from data statistics, e.g. a
+   * quantile of nearest-neighbor distances).
+   */
+  def knnJoinWithin(left: DataFrame, right: DataFrame, leftGeom: Column, rightGeom: Column,
+                    leftId: Column, k: Int, radius: Double, cellSize: Double,
+                    tieBreak: Column, distName: String = "knn_dist"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = SpatialJoin.distanceJoin(left, right, leftGeom, rightGeom, radius, cellSize)
+      .withColumn(distName, stf.st_centroid_distance(leftGeom, rightGeom))
+    val rn = row_number().over(
+      Window.partitionBy(leftId).orderBy(col(distName), tieBreak))
+    cands.withColumn("__rn", rn).filter(col("__rn") <= k).drop("__rn")
+  }
+
   def knnJoin(left: DataFrame, right: DataFrame, leftGeom: String, rightGeom: String,
               k: Int, distName: String = "knn_dist", tieBreak: String = null): DataFrame = {
     GraftFunctions.register(left.sparkSession)

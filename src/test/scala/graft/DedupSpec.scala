@@ -70,6 +70,28 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("knnJoinWithin (two large sides) matches broadcast knnJoin inside the radius") {
+    import graft.operators.KNN
+    val sup = Tables.supplierPts(spark, "/root/testdata/sf0.001")
+    val cus = Tables.customerPts(spark, "/root/testdata/sf0.001").select(col("c_custkey"), col("c_geo"))
+    // radius 200 comfortably covers the true 3-NN on this data
+    val win = KNN.knnJoinWithin(sup, cus, col("s_geo"), col("c_geo"),
+        col("s_suppkey"), k = 3, radius = 200.0, cellSize = 100.0, tieBreak = col("c_custkey"))
+      .select(col("s_suppkey"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = KNN.knnJoin(sup, cus, "s_geo", "c_geo", k = 3, tieBreak = "c_custkey")
+      .select(col("s_suppkey"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win == bc)
+  }
+
+  test("subwordCount splits on boundaries") {
+    import spark.implicits._
+    val df = Seq("abc123 def, xyz").toDF("t")
+    val n = df.select(graft.operators.TextAnalysis.subwordCount(col("t"))).collect()(0).getInt(0)
+    assert(n == 5) // abc | 123 | def | , | xyz
+  }
+
   test("shingles guard: short docs yield empty arrays, not descending sequences") {
     import spark.implicits._
     val tiny = Seq((1L, "only two"), (2L, "a b c d")).toDF("id", "t")
