@@ -11,5 +11,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => plans.SpatialJoinRule)
   }
 }

@@ -105,13 +105,19 @@ object GraftFunctions {
     builder(es)
   }
 
-  /** Idempotently register all st_* functions in the given session. */
+  /** Idempotently register all st_* functions in the given session, and
+    * activate the spatial-join rewrite rule (SQL joins on bare st_*
+    * predicates plan as cell hash joins instead of BNLJ). */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, checked(name, builder), "scala_udf")
     }
+    val rule = graft.plans.SpatialJoinRule
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 
   /** For `spark.sql.extensions=graft.GraftExtensions`. */

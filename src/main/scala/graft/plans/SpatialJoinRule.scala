@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.functions.{GeoOps, STCells, STRefCell, STRelate}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Logical rewrite for SQL spatial joins — the Spark-native counterpart of
+ * the reference's planner strategy (reference
+ * src/main/scala/dbis/stark/sql/StarkStrategy.scala:47-81, which pattern-
+ * matches `Join(Inner, st_pred)` and swaps in its own exec node).
+ *
+ * We stay declarative instead: `Join(l, r, Inner, st_pred(a, b))` becomes
+ *
+ * {{{
+ *   Project(original output,
+ *     Join(Generate(explode(st_cells(a)), l), Generate(explode(st_cells(b)), r),
+ *          Inner, __gcell_l = __gcell_r AND st_pred(a, b) AND st_ref_cell(...)))
+ * }}}
+ *
+ * The added equality conjunct lets Spark's own join selection plan a
+ * broadcast/shuffled HASH join on the cell key (AQE handles skewed cells);
+ * the exact predicate refines and the reference-point conjunct removes
+ * cross-cell duplicates without any distinct. The rule only fires on a
+ * bare `st_*` join condition whose argument sides resolve unambiguously,
+ * so it is idempotent (the rewritten condition is a conjunction).
+ *
+ * Cell size comes from `spark.graft.join.cellSize` (default 100 units).
+ */
+object SpatialJoinRule extends Rule[LogicalPlan] {
+
+  private def cellSize: Double =
+    conf.getConfString("spark.graft.join.cellSize", "100.0").toDouble
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(pred: STRelate), hint)
+        if pred.deterministic &&
+           pred.left.references.nonEmpty && pred.right.references.nonEmpty &&
+           sidesResolved(pred, left, right).isDefined =>
+      val (le, re) = sidesResolved(pred, left, right).get
+      val cs = Literal(cellSize)
+      val zero = Literal(0.0)
+
+      val cellL = AttributeReference("__gcell_l", LongType, nullable = false)()
+      val cellR = AttributeReference("__gcell_r", LongType, nullable = false)()
+      val genL = Generate(Explode(STCells(le, cs, zero)), Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(cellL), child = left)
+      val genR = Generate(Explode(STCells(re, cs, zero)), Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(cellR), child = right)
+
+      val cond = And(And(EqualTo(cellL, cellR), pred),
+        STRefCell(Seq(le, re, cs, cellL, zero)))
+      Project(j.output, Join(genL, genR, Inner, Some(cond), hint))
+  }
+
+  /** The predicate's two arguments must reference opposite join sides
+    * (either order — reference StarkStrategy.scala:33-45 does the same
+    * resolution dance). Returns (left-side expr, right-side expr). */
+  private def sidesResolved(pred: STRelate, left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression)] = {
+    val a = pred.left; val b = pred.right
+    if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+      Some((a, b))
+    else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      Some((b, a)) // st_cells/ref_cell are orientation-agnostic; pred unchanged
+    else None
+  }
+}

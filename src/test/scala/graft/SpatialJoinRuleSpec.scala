@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL spatial-join rewrite: st_* join conditions plan as cell hash
+  * joins with identical results to the nested-loop reference plan. */
+class SpatialJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(sql: String): Set[(Int, Long)] =
+    spark.sql(sql).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+
+  test("SQL join on st_contains rewrites to a hash join with unchanged results") {
+    Tables.nationRects(spark, dir).createOrReplaceTempView("nrect")
+    Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")
+    val sql = "SELECT n_nationkey, c_custkey FROM nrect JOIN cpts ON st_contains(n_geo, c_geo)"
+
+    val withRule = spark.sql(sql)
+    val plan = withRule.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val rewritten = pairs(sql)
+
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Nil
+      val bnlj = spark.sql(sql)
+      assert(bnlj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(pairs(sql) == rewritten)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("swapped argument order resolves and rewrites too") {
+    Tables.nationRects(spark, dir).createOrReplaceTempView("nrect")
+    Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")
+    val a = pairs("SELECT n_nationkey, c_custkey FROM nrect JOIN cpts ON st_contains(n_geo, c_geo)")
+    val b = pairs("SELECT n_nationkey, c_custkey FROM nrect JOIN cpts ON st_containedby(c_geo, n_geo)")
+    assert(a == b && a.nonEmpty)
+  }
+}
