@@ -33,6 +33,10 @@ object GraftFunctions {
     "st_with_time"    -> ((es: Seq[Expression]) => STWithTime(es(0), l(es(1)), l(es(2)))),
     "st_with_instant" -> ((es: Seq[Expression]) => STWithInstant(es(0), l(es(1)))),
     "st_with_open_interval" -> ((es: Seq[Expression]) => STWithOpenInterval(es(0), l(es(1)))),
+    // reference st_sto(wkt[, epoch]): WKT + optional instant in one call
+    "st_sto"          -> ((es: Seq[Expression]) =>
+      if (es.size == 1) STGeomFromWKT(s(es.head))
+      else STWithInstant(STGeomFromWKT(s(es(0))), l(es(1)))),
     "st_intersects"   -> ((es: Seq[Expression]) => STRelate(es(0), es(1), INTERSECTS)),
     "st_contains"     -> ((es: Seq[Expression]) => STRelate(es(0), es(1), CONTAINS)),
     "st_containedby"  -> ((es: Seq[Expression]) => STRelate(es(0), es(1), CONTAINEDBY)),
@@ -77,7 +81,7 @@ object GraftFunctions {
   private val arity: Map[String, (Int, Int)] = Map(
     "st_geomfromwkt" -> (1, 1), "st_point" -> (2, 2), "st_box" -> (4, 4),
     "st_with_time" -> (3, 3), "st_with_instant" -> (2, 2),
-    "st_with_open_interval" -> (2, 2), "st_intersects" -> (2, 2),
+    "st_with_open_interval" -> (2, 2), "st_sto" -> (1, 2), "st_intersects" -> (2, 2),
     "st_contains" -> (2, 2), "st_containedby" -> (2, 2), "st_covers" -> (2, 2),
     "st_coveredby" -> (2, 2), "st_distance" -> (2, 2), "st_hausdorff" -> (2, 2),
     "st_t_distance" -> (2, 2), "st_st_distance" -> (4, 4),

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/**
+ * Visualization sink — renders a point set to a PNG heat image (reference
+ * src/main/java/dbis/stark/visualization/Visualization.java, ~600 LoC of
+ * driver-side java2d; SURVEY §2.1 "visualization sink").
+ *
+ * Distributed design: one aggregation pass bins points into the output
+ * pixel grid (`groupBy(px, py).count` — a plain shuffle, identical shape to
+ * [[Raster.rasterize]]), then only the pixel *histogram* — never the data —
+ * is collected and painted on the driver. Image size bounds driver memory
+ * (w·h counts), independent of input cardinality.
+ */
+object Visualize {
+
+  /**
+   * Render points to a grayscale PNG: intensity = log-scaled point count
+   * per pixel. World rectangle [x0,x1)×[y0,y1) maps to w×h pixels, y up.
+   */
+  def renderPng(df: DataFrame, xCol: Column, yCol: Column,
+                x0: Double, y0: Double, x1: Double, y1: Double,
+                w: Int, h: Int): Array[Byte] = {
+    val sx = w / (x1 - x0)
+    val sy = h / (y1 - y0)
+    val px = least(greatest(floor((xCol - x0) * sx).cast("int"), lit(0)), lit(w - 1))
+    val py = least(greatest(floor((yCol - y0) * sy).cast("int"), lit(0)), lit(h - 1))
+    val bins = df
+      .filter(xCol >= x0 && xCol < x1 && yCol >= y0 && yCol < y1)
+      .groupBy(px.as("__px"), py.as("__py")).agg(count(lit(1)).as("__c"))
+      .collect()
+
+    val maxC = if (bins.isEmpty) 1.0 else bins.map(_.getLong(2)).max.toDouble
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    bins.foreach { r =>
+      val ix = r.getInt(0)
+      val iy = h - 1 - r.getInt(1) // image origin is top-left; world y is up
+      val v = (255.0 * math.log1p(r.getLong(2)) / math.log1p(maxC)).toInt
+      img.getRaster.setSample(ix, iy, 0, v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+}
