@@ -26,6 +26,9 @@ object CellStore {
            cellSize: Double): Unit =
     df.withColumn("part_cx", floor(xCol / cellSize).cast("int"))
       .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
+      // co-locate each cell before the write: one file per cell directory
+      // instead of (tasks × cells) small files — essential at scale
+      .repartition(col("part_cx"), col("part_cy"))
       .write.mode("overwrite")
       .partitionBy("part_cx", "part_cy")
       .parquet(path)
