@@ -61,12 +61,20 @@ object Partitioners {
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     if (hist.isEmpty) return Seq.empty
     val xs = hist.keys.map(_._1); val ys = hist.keys.map(_._2)
+    val (xMin, yMin) = (xs.min, ys.min)
+    val (w, h) = (xs.max - xMin + 1, ys.max - yMin + 1)
+
+    // 2-D prefix sums over the occupied bounding box: every split-candidate
+    // cost query is O(1) instead of O(area) — the driver-side recursion
+    // stays cheap even for fine cell grids.
+    val pre = Array.ofDim[Long](w + 1, h + 1)
+    for (x <- 0 until w; y <- 0 until h)
+      pre(x + 1)(y + 1) = hist.getOrElse((x + xMin, y + yMin), 0L) +
+        pre(x)(y + 1) + pre(x + 1)(y) - pre(x)(y)
 
     def cost(x0: Int, y0: Int, x1: Int, y1: Int): Long = {
-      var s = 0L
-      var x = x0
-      while (x < x1) { var y = y0; while (y < y1) { s += hist.getOrElse((x, y), 0L); y += 1 }; x += 1 }
-      s
+      val a = x0 - xMin; val b = y0 - yMin; val c = x1 - xMin; val d = y1 - yMin
+      pre(c)(d) - pre(a)(d) - pre(c)(b) + pre(a)(b)
     }
 
     val out = mutable.ArrayBuffer.empty[BspRegion]
