@@ -215,7 +215,12 @@ object GeoOps {
     val x1 = math.floor(env.getMaxX / cellSize).toInt
     val y0 = math.floor(env.getMinY / cellSize).toInt
     val y1 = math.floor(env.getMaxY / cellSize).toInt
-    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    val count = (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong
+    // a runaway envelope/cellSize ratio must fail loudly, not overflow Int
+    require(count <= (1L << 26),
+      s"st_cells: envelope spans $count cells at cellSize=$cellSize — " +
+      "increase the cell size (spark.graft.join.cellSize) for this data extent")
+    val out = new Array[Long](count.toInt)
     var i = 0
     var ix = x0
     while (ix <= x1) {
@@ -259,25 +264,52 @@ object GeoOps {
   def tStart(a: InternalRow): Long = a.getLong(1)
   def tEnd(a: InternalRow): Long = a.getLong(2)
 
-  // ---- additional distance functions (reference Distance.scala:118-168) ----
+  // ---- additional distance functions (reference Distance.scala:127-168) ----
 
-  /** Discrete Hausdorff distance between the geometries (shausdorff). */
-  def hausdorffDistance(a: InternalRow, b: InternalRow): Double =
-    org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
-      .distance(readGeom(a.getBinary(0)), readGeom(b.getBinary(0)))
-
-  /** Temporal distance = |interval-center difference| (teuclid); intervals
-    * must be closed (callers guarantee presence; open end treated as start). */
-  def temporalDistance(a: InternalRow, b: InternalRow): Double = {
-    def center(r: InternalRow): Double = {
-      val s = r.getLong(1)
-      val e = if (r.isNullAt(2)) s else r.getLong(2)
-      (s + e) / 2.0
+  /**
+   * Directed Hausdorff distance over geometry vertices — max over left
+   * vertices of the min distance to a right vertex (exactly the reference's
+   * `shausdorff`, Distance.scala:139-154, which iterates boundary points;
+   * vertex sets coincide for polygons and extend it to points/lines whose
+   * JTS boundary is empty). NOT symmetric.
+   */
+  def hausdorffDistance(a: InternalRow, b: InternalRow): Double = {
+    val lc = readGeom(a.getBinary(0)).getCoordinates
+    val rc = readGeom(b.getBinary(0)).getCoordinates
+    var worst = 0.0
+    var i = 0
+    while (i < lc.length) {
+      var best = Double.MaxValue
+      var j = 0
+      while (j < rc.length) {
+        val d = lc(i).distance(rc(j))
+        if (d < best) best = d
+        j += 1
+      }
+      if (best > worst) worst = best
+      i += 1
     }
-    math.abs(center(a) - center(b))
+    worst
+  }
+
+  /** Temporal distance = |start difference| (reference teuclid,
+    * Distance.scala:129 — made absolute; the reference's signed value is
+    * not a metric). Callers (expressions) guard temporal presence. */
+  def temporalDistance(a: InternalRow, b: InternalRow): Double =
+    math.abs(a.getLong(1) - b.getLong(1)).toDouble
+
+  /** Temporal Hausdorff = max(|Δstart|, |Δend|), open ends collapsing to
+    * start (reference thausdorff, Distance.scala:157-163). */
+  def temporalHausdorff(a: InternalRow, b: InternalRow): Double = {
+    val as = a.getLong(1); val ae = if (a.isNullAt(2)) as else a.getLong(2)
+    val bs = b.getLong(1); val be = if (b.isNullAt(2)) bs else b.getLong(2)
+    math.max(math.abs(as - bs), math.abs(ae - be)).toDouble
   }
 
   /** Weighted spatio-temporal distance ws*spatial + wt*temporal (euclid). */
   def stDistance(a: InternalRow, b: InternalRow, ws: Double, wt: Double): Double =
     ws * centroidDistance(a, b) + wt * temporalDistance(a, b)
+
+  /** Is the temporal component present (t_start non-null)? */
+  def hasTime(a: InternalRow): Boolean = !a.isNullAt(1)
 }

@@ -264,28 +264,49 @@ case class STHausdorff(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "st_hausdorff"
 }
 
-/** st_t_distance(a, b): |interval-center difference| (reference teuclid). */
-case class STTemporalDistance(left: Expression, right: Expression) extends BinaryExpression {
+/** st_t_distance(a, b): |start difference| (reference teuclid). NULL when
+  * either side lacks a temporal component — never a garbage 0. */
+case class STTemporalDistance(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any = GeoOps.temporalDistance(row(a), row(b))
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.temporalDistance($a, $b)")
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (ra, rb) = (row(a), row(b))
+    if (GeoOps.hasTime(ra) && GeoOps.hasTime(rb)) GeoOps.temporalDistance(ra, rb) else null
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): STTemporalDistance =
     copy(left = l, right = r)
   override def prettyName: String = "st_t_distance"
 }
 
-/** st_st_distance(a, b, ws, wt): weighted space+time distance (euclid). */
+/** st_thausdorff(a, b): max(|Δstart|, |Δend|) (reference thausdorff). NULL
+  * when either side lacks time. */
+case class STTemporalHausdorff(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (ra, rb) = (row(a), row(b))
+    if (GeoOps.hasTime(ra) && GeoOps.hasTime(rb)) GeoOps.temporalHausdorff(ra, rb) else null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STTemporalHausdorff =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_thausdorff"
+}
+
+/** st_st_distance(a, b, ws, wt): weighted space+time distance (euclid).
+  * NULL when either side lacks time (the temporal term is undefined). */
 case class STWeightedDistance(first: Expression, second: Expression,
                               third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with codegen.CodegenFallback {
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
-  override def nullSafeEval(a: Any, b: Any, ws: Any, wt: Any): Any =
-    GeoOps.stDistance(row(a), row(b), ws.asInstanceOf[Double], wt.asInstanceOf[Double])
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, ws, wt) => s"graft.functions.GeoOps.stDistance($a, $b, $ws, $wt)")
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, ws: Any, wt: Any): Any = {
+    val (ra, rb) = (row(a), row(b))
+    if (GeoOps.hasTime(ra) && GeoOps.hasTime(rb))
+      GeoOps.stDistance(ra, rb, ws.asInstanceOf[Double], wt.asInstanceOf[Double])
+    else null
+  }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): STWeightedDistance =
     copy(first = a, second = b, third = c, fourth = d)
   override def prettyName: String = "st_st_distance"

@@ -45,6 +45,7 @@ object GraftFunctions {
     "st_distance"     -> ((es: Seq[Expression]) => STDistance(es(0), es(1))),
     "st_hausdorff"    -> ((es: Seq[Expression]) => STHausdorff(es(0), es(1))),
     "st_t_distance"   -> ((es: Seq[Expression]) => STTemporalDistance(es(0), es(1))),
+    "st_thausdorff"   -> ((es: Seq[Expression]) => STTemporalHausdorff(es(0), es(1))),
     "st_st_distance"  -> ((es: Seq[Expression]) => STWeightedDistance(es(0), es(1), d(es(2)), d(es(3)))),
     "st_centroid_distance" -> ((es: Seq[Expression]) => STCentroidDistance(es(0), es(1))),
     "st_within_distance" -> ((es: Seq[Expression]) => STWithinDistance(es(0), es(1), d(es(2)))),
@@ -84,7 +85,7 @@ object GraftFunctions {
     "st_with_open_interval" -> (2, 2), "st_sto" -> (1, 2), "st_intersects" -> (2, 2),
     "st_contains" -> (2, 2), "st_containedby" -> (2, 2), "st_covers" -> (2, 2),
     "st_coveredby" -> (2, 2), "st_distance" -> (2, 2), "st_hausdorff" -> (2, 2),
-    "st_t_distance" -> (2, 2), "st_st_distance" -> (4, 4),
+    "st_t_distance" -> (2, 2), "st_thausdorff" -> (2, 2), "st_st_distance" -> (4, 4),
     "st_centroid_distance" -> (2, 2), "st_within_distance" -> (3, 3),
     "st_wkt" -> (1, 1), "st_x" -> (1, 1), "st_y" -> (1, 1), "st_area" -> (1, 1),
     "st_minx" -> (1, 1), "st_maxx" -> (1, 1), "st_miny" -> (1, 1),
@@ -156,6 +157,7 @@ object stf {
   def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
   def st_hausdorff(a: Column, b: Column): Column = call_function("st_hausdorff", a, b)
   def st_t_distance(a: Column, b: Column): Column = call_function("st_t_distance", a, b)
+  def st_thausdorff(a: Column, b: Column): Column = call_function("st_thausdorff", a, b)
   def st_st_distance(a: Column, b: Column, ws: Column, wt: Column): Column =
     call_function("st_st_distance", a, b, ws, wt)
   def st_centroid_distance(a: Column, b: Column): Column = call_function("st_centroid_distance", a, b)

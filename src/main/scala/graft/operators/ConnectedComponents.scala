@@ -27,7 +27,7 @@ object ConnectedComponents {
   /** @param edges DataFrame with long columns `__a`, `__b` (directed pairs;
     *              include (x, x) self-loops for isolated nodes)
     * @return (`__id`, `__comp`) — component = min node id, one row per node */
-  def run(edges: DataFrame, numPartitions: Int = 32, maxIter: Int = 30): DataFrame = {
+  def run(edges: DataFrame, numPartitions: Int = 32): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -70,14 +70,19 @@ object ConnectedComponents {
       .select(explode(transform(col("__ls"), l => struct(element_at(col("__ls"), 1).as("_1"), l.as("_2")))).as("__e"))
       .select(col("__e._1").as("__a"), col("__e._2").as("__b"))
 
+    // the quotient graph is contraction-small: run Pregel to full
+    // convergence (a maxIter cut-off would silently split long components)
     import org.apache.spark.graphx.Graph
     val qcc = Graph.fromEdgeTuples(qEdges.rdd.map(r => (r.getLong(0), r.getLong(1))), 0)
-      .connectedComponents(maxIter).vertices
+      .connectedComponents().vertices
     val labelComp = qcc.toDF("__lbl", "__comp")
 
-    grouped
+    val out = grouped
       .select(col("__id"), element_at(col("__ls"), 1).as("__lbl"))
       .join(labelComp, "__lbl")
       .select(col("__id"), col("__comp"))
+      .localCheckpoint() // materialize so the persisted prefix can be freed
+    grouped.unpersist()
+    out
   }
 }

@@ -36,7 +36,7 @@ object DBSCAN {
    * @return input id column + `cluster_id` (-1 = noise)
    */
   def cluster(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
-              eps: Double, minPts: Int, maxIter: Int = 25): DataFrame = {
+              eps: Double, minPts: Int): DataFrame = {
     val spark = df.sparkSession
     val eps2 = eps * eps
 
@@ -73,7 +73,7 @@ object DBSCAN {
     // core id — exactly the deterministic cluster-id contract. Every core
     // point appears (nbr includes the (a,a) self-pair).
     val coreClusters = ConnectedComponents
-      .run(coreEdges, numPartitions = spark.sparkContext.defaultParallelism, maxIter = maxIter)
+      .run(coreEdges, numPartitions = spark.sparkContext.defaultParallelism)
       .withColumnRenamed("__comp", "__cid")
     // border: non-core point with >= 1 core neighbor -> min neighbor cluster
     val borderClusters = nbr.join(core.withColumnRenamed("__id", "__a"),

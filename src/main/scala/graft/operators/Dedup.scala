@@ -98,6 +98,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                       p: Int = 4, q: Int = 5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands) — " +
+      "trailing signature rows would be silently ignored")
     GraftFunctions.register(df.sparkSession)
     val sh = shingled(df, idCol, textCol, n).cache()
     val banded = sh.select(col("__id"),
@@ -121,6 +124,9 @@ object Dedup {
                    maxHam: Int = 3, blocks: Int = 4): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     require(64 % blocks == 0, "blocks must divide 64")
+    require(maxHam <= blocks - 1,
+      s"maxHam ($maxHam) must be <= blocks-1 (${blocks - 1}) or the pigeonhole " +
+      "candidate generation silently misses true pairs")
     val w = 64 / blocks
     val sims = df.select(idCol.as("__id"),
       stf.simhash64(TextAnalysis.tokens(textCol)).as("__sim"))

@@ -110,8 +110,18 @@ object KNN {
       if (entries.nonEmpty) tree.build()
       val itemDist = new CentroidItemDistance
 
-      def tieOf(r: Row): Long = if (tieIdx < 0) 0L else r.get(tieIdx) match {
-        case l: Long => l; case i: Int => i.toLong; case _ => 0L
+      // total order over any comparable tie-break value; never silently
+      // collapses distinct values to "equal"
+      def tieCompare(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => Integer.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x, y) => x.toString.compareTo(y.toString)
       }
 
       iter.flatMap { lrow =>
@@ -134,9 +144,14 @@ object KNN {
               while (it.hasNext) buf += it.next().asInstanceOf[(Geometry, Row)]
               buf.toArray
             }
-          nearest.iterator
-            .map { case (g, r) => (centroidDist(lg, g), tieOf(r), r) }
-            .toArray.sortBy(t => (t._1, t._2)).iterator.take(kk)
+          val scored = nearest.map { case (g, r) =>
+            (centroidDist(lg, g), if (tieIdx < 0) null else r.get(tieIdx), r)
+          }
+          java.util.Arrays.sort(scored, { (t1: (Double, Any, Row), t2: (Double, Any, Row)) =>
+            val c = java.lang.Double.compare(t1._1, t2._1)
+            if (c != 0) c else tieCompare(t1._2, t2._2)
+          })
+          scored.iterator.take(kk)
             .map { case (d, _, r) => Row.fromSeq(lrow.toSeq ++ r.toSeq :+ d) }
         }
       }

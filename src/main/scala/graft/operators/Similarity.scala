@@ -71,10 +71,10 @@ object Similarity {
 
     import graft.functions.stf
     graft.functions.GraftFunctions.register(spark)
-    val scored = assigned.join(broadcast(q),
+    val scored = assigned.withColumn("__cn", stf.vec_norm(col("__cv")))
+      .join(broadcast(q.withColumn("__qn", stf.vec_norm(col("__qv")))),
         col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("__cos", stf.vec_dot(col("__qv"), col("__cv")) /
-        (stf.vec_norm(col("__qv")) * stf.vec_norm(col("__cv"))))
+      .withColumn("__cos", stf.vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val rn = row_number().over(
       Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)
