@@ -144,6 +144,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /**
+   * End-to-end near-dedup: the corpus with one representative kept per
+   * near-duplicate group. Pairs from [[minhashLshPairs]] are closed into
+   * groups via [[ConnectedComponents]] (a near-dup of a near-dup is the
+   * same document family); the minimum id of each group survives.
+   */
+  def dropNearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+                         n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                         p: Int = 4, q: Int = 5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, p, q)
+    val edges = pairs.select(col("id_a").as("__a"), col("id_b").as("__b"))
+      .union(df.select(idCol.as("__a"), idCol.as("__b"))) // self-loops: keep singletons
+    val comps = ConnectedComponents.run(edges)
+    val keep = comps.groupBy(col("__comp")).agg(min(col("__id")).as("__keep"))
+      .select(col("__keep"))
+    df.join(keep, idCol === col("__keep")).drop("__keep")
+  }
+
   /** Sequential-fold double cosine similarity of two float vectors
     * ([[graft.functions.VecOps]] kernel — bit-identical to the
     * `list_sum([a[i]*b[i] ...])` form an external SQL oracle evaluates). */

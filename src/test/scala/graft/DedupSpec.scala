@@ -50,6 +50,21 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("dropNearDuplicates removes exactly one of each near-dup pair family") {
+    val kept = Dedup.dropNearDuplicates(docs, col("doc_id"), col("text"))
+    val pairs = pairSet(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text")))
+    val keptIds = kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // every pair loses at least one member; the min-id member survives
+    pairs.foreach { case (a, b) =>
+      assert(!(keptIds.contains(a) && keptIds.contains(b)), s"pair ($a,$b) both kept")
+    }
+    // all non-duplicated docs survive
+    val inPairs = pairs.flatMap(t => Set(t._1, t._2))
+    val singletons = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet -- inPairs
+    assert(singletons.subsetOf(keptIds))
+    assert(kept.count() == docs.count() - (docs.count() - keptIds.size))
+  }
+
   test("exact dedup keeps every distinct content exactly once") {
     val d = Dedup.exact(docs, col("doc_id"), col("text"))
     val total = docs.count()
