@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.stf
+import graft.operators.{JoinPredicate, SpatialJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Randomized differential testing of the cell-replicate spatial join
+ * against BroadcastNestedLoopJoin (the always-correct reference plan) —
+ * reference test style #2 (SURVEY §5). Coordinates are generated as
+ * multiples of half the cell size so geometries land EXACTLY on cell
+ * boundaries, the classic failure mode of cell-join replication and
+ * reference-point dedup.
+ */
+class DifferentialJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val rnd = new scala.util.Random(7)
+
+  private def mkData(n: Int, cellSize: Double) = {
+    import spark.implicits._
+    // points and boxes snapped to cellSize/2 — forces boundary collisions
+    val snap = cellSize / 2
+    val pts = (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(20) * snap, rnd.nextInt(20) * snap)
+    }.toDF("pid", "px", "py")
+      .withColumn("pgeo", stf.st_point(col("px"), col("py")))
+    val boxes = (0 until n / 2).map { i =>
+      val x0 = rnd.nextInt(16) * snap; val y0 = rnd.nextInt(16) * snap
+      (i.toLong, x0, y0, x0 + (rnd.nextInt(4) + 1) * snap, y0 + (rnd.nextInt(4) + 1) * snap)
+    }.toDF("bid", "x0", "y0", "x1", "y1")
+      .withColumn("bgeo", stf.st_box(col("x0"), col("y0"), col("x1"), col("y1")))
+    (pts, boxes)
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("bid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("cell join equals BNLJ for all five predicates at boundary-heavy data") {
+    for (cellSize <- Seq(1.0, 3.0, 10.0); trial <- 1 to 2) {
+      val (pts, boxes) = mkData(120, cellSize)
+      for (pred <- Seq(JoinPredicate.Intersects, JoinPredicate.Contains,
+                       JoinPredicate.Covers, JoinPredicate.CoveredBy,
+                       JoinPredicate.ContainedBy)) {
+        val cell = pairs(SpatialJoin.join(boxes, pts, col("bgeo"), col("pgeo"), pred, cellSize))
+        val bnlj = pairs(SpatialJoin.broadcastJoin(boxes, pts, col("bgeo"), col("pgeo"), pred))
+        assert(cell == bnlj,
+          s"cellSize=$cellSize trial=$trial pred=$pred: " +
+          s"missing=${(bnlj -- cell).take(5)} extra=${(cell -- bnlj).take(5)}")
+      }
+    }
+  }
+
+  test("distance join equals BNLJ within-distance for boundary-heavy data") {
+    for (cellSize <- Seq(2.0, 5.0)) {
+      val (pts, boxes) = mkData(100, cellSize)
+      for (radius <- Seq(cellSize / 2, cellSize, 2.5 * cellSize)) {
+        val cell = pairs(SpatialJoin.distanceJoin(boxes, pts, col("bgeo"), col("pgeo"),
+          radius, cellSize))
+        val bnlj = pairs(boxes.crossJoin(pts)
+          .filter(stf.st_within_distance(col("bgeo"), col("pgeo"), lit(radius))))
+        assert(cell == bnlj,
+          s"cellSize=$cellSize radius=$radius: " +
+          s"missing=${(bnlj -- cell).take(5)} extra=${(cell -- bnlj).take(5)}")
+      }
+    }
+  }
+}
