@@ -50,8 +50,12 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
       .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
+    // coarse quantizer quality needs only a representative sample — fit on
+    // a deterministic fraction, assign the full corpus (standard IVF train)
+    val trainFrac = math.min(1.0, math.max(0.1, 20.0 * nlist / math.max(corpus.count(), 1L)))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").setPredictionCol("__cell").fit(c)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(if (trainFrac < 1.0) c.sample(withReplacement = false, trainFrac, seed) else c)
     val assigned = model.transform(c).drop("__features")
     val centroids = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
