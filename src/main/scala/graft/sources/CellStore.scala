@@ -54,4 +54,25 @@ object CellStore {
       col("part_cx") >= cx0 && col("part_cx") <= cx1 &&
       col("part_cy") >= cy0 && col("part_cy") <= cy1)
   }
+
+  /**
+   * Temporal layout: range-partition by the epoch column and sort within
+   * files, so parquet row-group min/max stats line up with time — a
+   * time-range load pushes its predicate into the scan (`PushedFilters` in
+   * `.explain`) and skips non-matching row groups. This is the reference's
+   * TemporalRangePartitioner + partition_info pruning, re-expressed as
+   * ordinary columnar statistics (SURVEY §4 "free if t_start/t_end are
+   * columns").
+   */
+  def saveTemporal(df: DataFrame, path: String, tCol: Column,
+                   numPartitions: Int): Unit =
+    df.repartitionByRange(numPartitions, tCol)
+      .sortWithinPartitions(tCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Time-range load over a [[saveTemporal]] layout; the range predicate
+    * reaches the parquet reader as a pushed filter. */
+  def loadTimeRange(spark: SparkSession, path: String, tColName: String,
+                    t0: Long, t1: Long): DataFrame =
+    load(spark, path).filter(col(tColName) >= t0 && col(tColName) <= t1)
 }

@@ -39,6 +39,26 @@ class StorageSpec extends AnyFunSuite {
     assert(viaStore == full)
   }
 
+  test("temporal layout pushes the time-range filter into the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_temporal"
+    val e = Tables.eventPts(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), expr("ts div 1000").as("et"))
+    CellStore.saveTemporal(e, path, col("et"), numPartitions = 8)
+
+    val t0 = 1704844800000000L; val t1 = 1705708800000000L
+    val ranged = CellStore.loadTimeRange(spark, path, "et", t0, t1)
+    ranged.collect()
+    val scan = ranged.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    // the predicate must reach the scan (data skipping via row-group stats)
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(et,"),
+      scan.metadata("PushedFilters"))
+    // correctness: same rows as an unsorted full-scan filter
+    val expected = e.filter(col("et") >= t0 && col("et") <= t1).count()
+    assert(ranged.count() == expected && expected > 0)
+  }
+
   test("BSP regions cover all data, are disjoint, and respect maxCost") {
     val pts = Tables.customerPts(spark, "/root/testdata/sf0.001").cache()
     val maxCost = 100L
