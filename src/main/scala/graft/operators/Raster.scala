@@ -126,6 +126,57 @@ object Raster {
   }
 
   /**
+   * Load a directory of image files as tiles — the reference's
+   * `loadNanoFiles` (STSparkContext.scala:561-621: binaryFiles + grayscale
+   * decode, position encoded in the file name as `x_y`). Spark-native:
+   * `binaryFile` source → per-partition ImageIO decode (JDK built-in) →
+   * tile structs. Pixel value = grayscale level; tile anchor from the
+   * file-name coordinates times the image extent.
+   */
+  def fromImageFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     pixelWidth: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ulx", DoubleType, nullable = false),
+      StructField("uly", DoubleType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("pixel_width", DoubleType, nullable = false),
+      StructField("data", ArrayType(LongType, containsNull = false), nullable = false)))
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val path = r.getString(0)
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val base = name.substring(0, name.lastIndexOf('.'))
+          val Array(tx, ty) = base.split('_').map(_.toDouble)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val w = img.getWidth; val h = img.getHeight
+          val data = new Array[Long](w * h)
+          var p = 0
+          while (p < data.length) {
+            // row-major from the top row; grayscale level from the raster
+            data(p) = img.getRaster.getSample(p % w, p / w, 0).toLong
+            p += 1
+          }
+          Row(tx * w * pixelWidth, (ty + 1) * h * pixelWidth, w, h, pixelWidth, data)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Raster ⋈ vector with a per-match tile aggregate (reference
+    * `joinWithAggregate`, RasterRDD.scala:70-81) — e.g. max pixel per
+    * matched region. */
+  def joinVectorAgg(tiles: DataFrame, vec: DataFrame, vecGeom: Column,
+                    pred: JoinPredicate, cellSize: Double,
+                    agg: Column => Column): DataFrame =
+    joinVector(tiles, vec, vecGeom, pred, cellSize)
+      .withColumn("tile_agg", agg(col("data")))
+
+  /**
    * Raster ⋈ raster: pixel-level combine of co-located tiles (reference
    * RasterJoinRDD pixel join). Tiles match on identical bounds (equi-join —
    * hash-partitioned, no cartesian); `combine` merges pixel pairs.

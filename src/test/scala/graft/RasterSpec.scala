@@ -41,6 +41,34 @@ class RasterSpec extends AnyFunSuite {
     assert(!Raster.hasValue(tiles, 7L))
   }
 
+  test("fromImageFiles round-trips PNGs written by the renderer") {
+    // full circle: render points -> PNG files named tx_ty -> load as tiles
+    val dir = java.nio.file.Files.createTempDirectory("graft_png").toFile
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(1, 0, 0, 200) // col 1, top row
+    img.getRaster.setSample(3, 3, 0, 50)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "2_5.png"))
+    val tiles = Raster.fromImageFiles(spark, dir.getAbsolutePath, pixelWidth = 10.0)
+    val t = tiles.collect()(0)
+    assert(t.getAs[Double]("ulx") == 2 * 4 * 10.0 && t.getAs[Double]("uly") == 6 * 4 * 10.0)
+    assert(t.getAs[Int]("width") == 4 && t.getAs[Int]("height") == 4)
+    val data = t.getSeq[Long](t.fieldIndex("data"))
+    assert(data(1) == 200L && data(15) == 50L && data.sum == 250L)
+    // loaded tiles compose with the rest of the algebra
+    assert(Raster.countValue(tiles, 200L).collect()(0).getLong(0) == 1L)
+  }
+
+  test("joinVectorAgg computes a per-match tile aggregate") {
+    import org.apache.spark.sql.functions.array_max
+    val tiles = Raster.rasterize(pts, col("x"), col("y"), 1.0, 2, 2)
+    val vec = Seq((1L, 0.0, 0.0, 2.0, 2.0)).toDF("vid", "x0", "y0", "x1", "y1")
+      .withColumn("vgeo", graft.functions.stf.st_box(col("x0"), col("y0"), col("x1"), col("y1")))
+    val joined = Raster.joinVectorAgg(tiles, vec, col("vgeo"),
+      graft.operators.JoinPredicate.Intersects, cellSize = 2.0, agg = array_max)
+    val r = joined.collect()(0)
+    assert(r.getAs[Long]("tile_agg") == 2L) // max pixel count in the tile
+  }
+
   test("joinRaster combines pixels of co-located tiles only") {
     val a = Raster.rasterize(pts, col("x"), col("y"), 1.0, 2, 2)
     val sum = Raster.joinRaster(a, a, (x, y) => x + y).collect()(0)
