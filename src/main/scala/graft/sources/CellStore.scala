@@ -75,4 +75,49 @@ object CellStore {
   def loadTimeRange(spark: SparkSession, path: String, tColName: String,
                     t0: Long, t1: Long): DataFrame =
     load(spark, path).filter(col(tColName) >= t0 && col(tColName) <= t1)
+
+  /**
+   * kNN pushed into the loader (reference `STSparkContext.knn`,
+   * STSparkContext.scala:63-184): read only the cell directories around the
+   * query point, expanding ring by ring until (a) k candidates exist and
+   * (b) the k-th candidate distance is covered by the loaded ring — the
+   * expand-box-retry semantics, with Catalyst partition pruning doing the
+   * I/O skipping. Each ring adds one cell-width of guaranteed coverage, so
+   * the loop terminates with the exact global kNN.
+   *
+   * @return the k nearest stored rows with a `knn_dist` column
+   */
+  def knn(spark: SparkSession, path: String, xColName: String, yColName: String,
+          qx: Double, qy: Double, k: Int, cellSize: Double,
+          maxRings: Int = 64): DataFrame = {
+    val cx = math.floor(qx / cellSize).toInt
+    val cy = math.floor(qy / cellSize).toInt
+    val base = load(spark, path)
+    val dist = sqrt((col(xColName) - qx) * (col(xColName) - qx) +
+                    (col(yColName) - qy) * (col(yColName) - qy))
+
+    var ring = 0
+    var result: DataFrame = null
+    var done = false
+    while (!done && ring <= maxRings) {
+      val cand = base.filter(
+          col("part_cx") >= cx - ring && col("part_cx") <= cx + ring &&
+          col("part_cy") >= cy - ring && col("part_cy") <= cy + ring)
+        .withColumn("knn_dist", dist)
+        .orderBy(col("knn_dist")).limit(k)
+      val rows = cand.count()
+      // distance to the *inner edge* of the first unloaded ring: anything
+      // outside the loaded box is at least this far from the query point
+      val coverage = ring * cellSize +
+        math.min(math.min(qx - cx * cellSize, (cx + 1) * cellSize - qx),
+                 math.min(qy - cy * cellSize, (cy + 1) * cellSize - qy))
+      val kth = if (rows == 0) Double.MaxValue
+        else cand.agg(max(col("knn_dist"))).collect()(0).getDouble(0)
+      if (rows >= k && kth <= coverage) { result = cand; done = true }
+      else ring += 1
+    }
+    if (result == null)
+      result = base.withColumn("knn_dist", dist).orderBy(col("knn_dist")).limit(k)
+    result
+  }
 }

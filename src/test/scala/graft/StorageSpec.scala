@@ -39,6 +39,37 @@ class StorageSpec extends AnyFunSuite {
     assert(viaStore == full)
   }
 
+  test("loader-pushed kNN equals full-scan kNN and reads fewer files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_knn"
+    val pts = Tables.customerPts(spark, "/root/testdata/sf0.01")
+    CellStore.save(pts, path, col("cx"), col("cy"), 100.0)
+
+    val k = 10
+    val pruned = CellStore.knn(spark, path, "cx", "cy", qx = 437.0, qy = 291.0,
+      k = k, cellSize = 100.0)
+    val prunedIds = pruned.select(col("c_custkey"), col("knn_dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
+
+    // brute force over the full table
+    val brute = pts.withColumn("d",
+        sqrt((col("cx") - 437.0) * (col("cx") - 437.0) +
+             (col("cy") - 291.0) * (col("cy") - 291.0)))
+      .orderBy(col("d")).limit(k)
+      .select(col("c_custkey"), col("d")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
+
+    assert(prunedIds.map(_._2).toSeq == brute.map(_._2).toSeq) // same distances
+    assert(prunedIds.length == k)
+
+    // and it actually pruned: the final plan scanned a small fraction
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    val total = CellStore.load(spark, path).inputFiles.length
+    assert(scanned < total / 2, s"scanned $scanned of $total files")
+  }
+
   test("temporal layout pushes the time-range filter into the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_temporal"
