@@ -49,15 +49,10 @@ object ConnectedComponents {
           val ra = find(a); val rb = find(b)
           if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
         }
-        // min id per root, then (node -> min)
-        val minOf = new java.util.HashMap[Long, Long]()
-        parent.keySet().forEach { n =>
-          val r = find(n)
-          val cur = minOf.getOrDefault(r, Long.MaxValue)
-          if (n < cur) minOf.put(r, n)
-        }
+        // unions always attach the larger root under the smaller and every
+        // node starts as its own root, so find(n) IS the local min id
         val out = Vector.newBuilder[(Long, Long)]
-        parent.keySet().forEach { n => out += ((n, minOf.get(find(n)))) }
+        parent.keySet().forEach { n => out += ((n, find(n))) }
         out.result().iterator
       }(Encoders.product[(Long, Long)])
       .toDF("__id", "__lbl")

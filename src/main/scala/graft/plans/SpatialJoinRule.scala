@@ -30,30 +30,46 @@ import org.apache.spark.sql.types.LongType
  *
  * Cell size comes from `spark.graft.join.cellSize` (default 100 units).
  */
-object SpatialJoinRule extends Rule[LogicalPlan] {
+object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def cellSize: Double =
     conf.getConfString("spark.graft.join.cellSize", "100.0").toDouble
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(pred: STRelate), hint)
-        if pred.deterministic &&
-           pred.left.references.nonEmpty && pred.right.references.nonEmpty &&
-           sidesResolved(pred, left, right).isDefined =>
-      val (le, re) = sidesResolved(pred, left, right).get
-      val cs = Literal(cellSize)
-      val zero = Literal(0.0)
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      // the spatial predicate may be one conjunct among several — extract
+      // it, rewrite, and carry the remaining conjuncts along unchanged
+      val conjuncts = splitConjunctivePredicates(cond)
+      // bind the first rewritable spatial conjunct with its resolved sides
+      val found = conjuncts.zipWithIndex.collectFirst(Function.unlift {
+        case (p: STRelate, i) if p.deterministic &&
+            p.left.references.nonEmpty && p.right.references.nonEmpty =>
+          sidesResolved(p, left, right).map { case (le, re) => (p, i, le, re) }
+        case _ => None
+      })
+      // a cell-equality conjunct means this join is already rewritten
+      val alreadyRewritten = conjuncts.exists {
+        case EqualTo(a: AttributeReference, _) => a.name == "__gcell_l"
+        case _ => false
+      }
+      if (found.isEmpty || alreadyRewritten) j
+      else {
+        val (pred, spatialIdx, le, re) = found.get
+        val rest = conjuncts.patch(spatialIdx, Nil, 1)
+        val cs = Literal(cellSize)
+        val zero = Literal(0.0)
 
-      val cellL = AttributeReference("__gcell_l", LongType, nullable = false)()
-      val cellR = AttributeReference("__gcell_r", LongType, nullable = false)()
-      val genL = Generate(Explode(STCells(le, cs, zero)), Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(cellL), child = left)
-      val genR = Generate(Explode(STCells(re, cs, zero)), Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(cellR), child = right)
+        val cellL = AttributeReference("__gcell_l", LongType, nullable = false)()
+        val cellR = AttributeReference("__gcell_r", LongType, nullable = false)()
+        val genL = Generate(Explode(STCells(le, cs, zero)), Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(cellL), child = left)
+        val genR = Generate(Explode(STCells(re, cs, zero)), Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(cellR), child = right)
 
-      val cond = And(And(EqualTo(cellL, cellR), pred),
-        STRefCell(Seq(le, re, cs, cellL, zero)))
-      Project(j.output, Join(genL, genR, Inner, Some(cond), hint))
+        val newCond = (EqualTo(cellL, cellR) +: pred +:
+          STRefCell(Seq(le, re, cs, cellL, zero)) +: rest).reduce(And)
+        Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+      }
   }
 
   /** The predicate's two arguments must reference opposite join sides

@@ -92,28 +92,41 @@ object CellStore {
           maxRings: Int = 64): DataFrame = {
     val cx = math.floor(qx / cellSize).toInt
     val cy = math.floor(qy / cellSize).toInt
+    // null coordinates land in the default partition and have no distance —
+    // exclude them up front (they would otherwise sort NULLS FIRST)
     val base = load(spark, path)
+      .filter(col(xColName).isNotNull && col(yColName).isNotNull)
     val dist = sqrt((col(xColName) - qx) * (col(xColName) - qx) +
                     (col(yColName) - qy) * (col(yColName) - qy))
 
+    // store extent in cell coordinates (one metadata-cheap aggregate):
+    // stop expanding once the ring box covers every existing cell
+    val ext = load(spark, path)
+      .agg(min(col("part_cx")), max(col("part_cx")),
+           min(col("part_cy")), max(col("part_cy"))).collect()(0)
+    val coversAll = (r: Int) =>
+      !ext.isNullAt(0) &&
+      cx - r <= ext.getInt(0) && cx + r >= ext.getInt(1) &&
+      cy - r <= ext.getInt(2) && cy + r >= ext.getInt(3)
+
     var ring = 0
     var result: DataFrame = null
-    var done = false
-    while (!done && ring <= maxRings) {
+    while (result == null && ring <= maxRings) {
       val cand = base.filter(
           col("part_cx") >= cx - ring && col("part_cx") <= cx + ring &&
           col("part_cy") >= cy - ring && col("part_cy") <= cy + ring)
         .withColumn("knn_dist", dist)
         .orderBy(col("knn_dist")).limit(k)
-      val rows = cand.count()
+      // one action per ring: row count + kth distance together
+      val stats = cand.agg(count(lit(1)), max(col("knn_dist"))).collect()(0)
+      val rows = stats.getLong(0)
+      val kth = if (rows == 0) Double.MaxValue else stats.getDouble(1)
       // distance to the *inner edge* of the first unloaded ring: anything
       // outside the loaded box is at least this far from the query point
       val coverage = ring * cellSize +
         math.min(math.min(qx - cx * cellSize, (cx + 1) * cellSize - qx),
                  math.min(qy - cy * cellSize, (cy + 1) * cellSize - qy))
-      val kth = if (rows == 0) Double.MaxValue
-        else cand.agg(max(col("knn_dist"))).collect()(0).getDouble(0)
-      if (rows >= k && kth <= coverage) { result = cand; done = true }
+      if ((rows >= k && kth <= coverage) || coversAll(ring)) result = cand
       else ring += 1
     }
     if (result == null)
