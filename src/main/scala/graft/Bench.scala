@@ -15,7 +15,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries are self-contained: drop their persisted intermediates so
+      // storage-memory pressure from one query can't skew the next
+      try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -82,10 +82,16 @@ object DBSCAN {
       .groupBy(col("__a")).agg(min(col("__cid")).as("__cid"))
       .withColumnRenamed("__a", "__id")
 
-    pts.select(col("__id"))
+    val out = pts.select(col("__id"))
       .join(coreClusters.withColumnRenamed("__cid", "__c1"), Seq("__id"), "left")
       .join(borderClusters.withColumnRenamed("__cid", "__c2"), Seq("__id"), "left")
       .select(col("__id").as("id"),
         coalesce(col("__c1"), col("__c2"), lit(-1L)).as("cluster_id"))
+      // materialize (small: one row per point), then free the large
+      // neighbor/core intermediates so repeated clustering calls don't
+      // accumulate executor storage
+      .localCheckpoint()
+    nbr.unpersist(); core.unpersist(); coreEdges.unpersist()
+    out
   }
 }
