@@ -1,11 +1,9 @@
 package graft.operators
 
-import graft.functions.{GeoOps, GraftFunctions, stf}
+import graft.functions.{GraftFunctions, stf}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
-import org.locationtech.jts.geom.{Envelope, Geometry}
-import org.locationtech.jts.index.strtree.{AbstractNode, Boundable, ItemBoundable, ItemDistance, STRtree}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * k-nearest-neighbor queries.
@@ -16,25 +14,15 @@ import org.locationtech.jts.index.strtree.{AbstractNode, Boundable, ItemBoundabl
  * `ORDER BY distance LIMIT k`: Spark plans a TakeOrderedAndProject, which is
  * the per-partition-top-k + merge the reference hand-codes.
  *
- * kNN join: for every left row, its k nearest right rows. This
- * implementation broadcasts the right side and probes a per-partition JTS
- * STRtree (the index-accelerated broadcast strategy, reference
- * LiveIndexedSpatialRDDFunctions.scala:179-222). Unlike the reference's
- * per-right-partition k (no global re-merge — reference
- * SpatialKnnJoinRDD.scala:20-84, a documented semantics bug we do not copy),
- * results here are the true global k. Ties are resolved exactly: after the
- * tree's kNN pass we re-query everything within the k-th distance and order
- * by (distance, tieBreak).
+ * kNN join (for every left row, its k nearest right rows): fully
+ * distributed adaptive expand-radius scheme — see [[knnJoin]]. Unlike the
+ * reference's per-right-partition k (no global re-merge — reference
+ * SpatialKnnJoinRDD.scala:20-84, a documented semantics bug we do not
+ * copy), results here are the true global k. Neither side is ever
+ * materialized on the driver (only bounding-box/count scalars are), so the
+ * operator survives right sides far beyond broadcast size.
  */
 object KNN {
-
-  /** Distance used throughout: euclidean between centroids — the reference's
-    * default distance function (reference src/main/scala/dbis/stark/Distance.scala:118-128). */
-  private def centroidDist(a: Geometry, b: Geometry): Double = {
-    val ca = a.getCentroid; val cb = b.getCentroid
-    val dx = ca.getX - cb.getX; val dy = ca.getY - cb.getY
-    math.sqrt(dx * dx + dy * dy)
-  }
 
   /**
    * Global kNN of `qry` within `df`. Adds `distName` with the centroid
@@ -48,36 +36,18 @@ object KNN {
       .limit(k)
   }
 
-  private class CentroidItemDistance extends ItemDistance {
-    override def distance(a: ItemBoundable, b: ItemBoundable): Double =
-      centroidDist(a.getItem.asInstanceOf[(Geometry, Row)]._1,
-                   b.getItem.asInstanceOf[(Geometry, Row)]._1)
-  }
-
   /**
-   * Broadcast kNN join: for each left row, the k nearest right rows by
-   * centroid distance. Output = left.* ++ right.* ++ distName.
-   *
-   * @param tieBreak name of a numeric right-side column used to order equal
-   *                 distances deterministically (null = arbitrary tie order).
-   *
-   * Scale: right side must fit in executor memory (same contract as any
-   * broadcast join). For two large sides use [[SpatialJoin.distanceJoin]]
-   * with a radius + window-rank instead.
-   */
-  /**
-   * kNN join for TWO LARGE sides: candidates from the cell-replicated
-   * within-distance join (radius bounds the search), then per-left-row
-   * window rank by (distance, tieBreak). Scales as a shuffle join on grid
-   * cells — no broadcast, no cartesian. Semantics: the k nearest neighbors
-   * *within `radius`*; a left row with fewer than k in-radius neighbors
-   * returns what exists (choose radius from data statistics, e.g. a
-   * quantile of nearest-neighbor distances).
+   * kNN join bounded by a caller-chosen radius: candidates from the
+   * cell-replicated within-distance join, then per-left-row window rank by
+   * (distance, tieBreak). Scales as a shuffle join on grid cells — no
+   * broadcast, no cartesian. Semantics: the k nearest neighbors *within
+   * `radius`*; a left row with fewer than k in-radius neighbors returns
+   * what exists. [[knnJoin]] wraps this with automatic radius adaptation
+   * when true global-k semantics are required.
    */
   def knnJoinWithin(left: DataFrame, right: DataFrame, leftGeom: Column, rightGeom: Column,
                     leftId: Column, k: Int, radius: Double, cellSize: Double,
                     tieBreak: Column, distName: String = "knn_dist"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cands = SpatialJoin.distanceJoin(left, right, leftGeom, rightGeom, radius, cellSize)
       .withColumn(distName, stf.st_centroid_distance(leftGeom, rightGeom))
     val rn = row_number().over(
@@ -85,76 +55,104 @@ object KNN {
     cands.withColumn("__rn", rn).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Cell-replicated candidate pairs with centroid distance <= radius.
+    * Same replicate/ref-cell dedup shape as [[SpatialJoin.distanceJoin]] but
+    * the filter is the kNN metric itself (centroid euclid), so the radius
+    * bound and the ranking distance can never disagree. */
+  private def candidates(left: DataFrame, right: DataFrame, leftGeom: String,
+                         rightGeom: String, radius: Double, distName: String): DataFrame = {
+    val lg = col(leftGeom); val rg = col(rightGeom)
+    val cs = lit(radius)
+    val l = left.withColumn("__kcell_l", explode(stf.st_cells(lg, cs, lit(radius))))
+    val r = right.withColumn("__kcell_r", explode(stf.st_cells(rg, cs)))
+    l.join(r,
+        l("__kcell_l") === r("__kcell_r") &&
+        stf.st_centroid_distance(lg, rg) <= lit(radius) &&
+        stf.st_ref_cell(lg, rg, cs, l("__kcell_l"), lit(radius)))
+      .drop("__kcell_l", "__kcell_r")
+      .withColumn(distName, stf.st_centroid_distance(lg, rg))
+  }
+
+  /**
+   * Distributed global-k kNN join: for each left row, the k nearest right
+   * rows by centroid distance. Output = left.* ++ right.* ++ distName.
+   *
+   * Algorithm (adaptive expand-radius, both sides arbitrarily large):
+   *  1. one scalar aggregation per side collects bounding box + count —
+   *     the only data that ever reaches the driver;
+   *  2. initial radius r₀ sized so a uniform-density circle holds ~2k right
+   *     rows; candidates come from the cell-replicated join at cell = r;
+   *  3. a left row with ≥ k candidates within r is *finished* (its true k
+   *     nearest are all within r — the k-th distance is ≤ r); its top-k by
+   *     (distance, tieBreak) window rank is emitted;
+   *  4. unfinished left rows retry with doubled radius — the pending set
+   *     shrinks geometrically, and a final capped round at the world
+   *     diagonal guarantees termination (every right row is a candidate,
+   *     so rows with fewer than k neighbors in total emit what exists —
+   *     matching the windowed-SQL semantics).
+   *
+   * Each round is one hash join + one window shuffle over only the pending
+   * rows; per-round outputs are localCheckpoint'd so the lineage (and the
+   * anti-join driving the next round) never recomputes earlier rounds.
+   *
+   * @param leftId  column NAME uniquely identifying a left row (window key;
+   *                must not clash with a right column).
+   * @param tieBreak name of a right-side column ordering equal distances
+   *                 deterministically (null = arbitrary tie order).
+   */
   def knnJoin(left: DataFrame, right: DataFrame, leftGeom: String, rightGeom: String,
-              k: Int, distName: String = "knn_dist", tieBreak: String = null): DataFrame = {
+              leftId: String, k: Int, distName: String = "knn_dist",
+              tieBreak: String = null): DataFrame = {
     GraftFunctions.register(left.sparkSession)
-    val spark = left.sparkSession
-    val rSchema = right.schema
-    val rGeoIdx = rSchema.fieldIndex(rightGeom)
-    val tieIdx = if (tieBreak == null) -1 else rSchema.fieldIndex(tieBreak)
-    val lGeoIdx = left.schema.fieldIndex(leftGeom)
-    val rightRows = right.collect()
-    val bc = spark.sparkContext.broadcast(rightRows)
-    val outSchema = StructType(left.schema.fields ++ rSchema.fields)
-      .add(distName, org.apache.spark.sql.types.DoubleType, nullable = false)
-    val kk = k
+    require(k > 0, s"k must be positive, got $k")
 
-    left.mapPartitions { iter =>
-      val rows = bc.value
-      val entries: Array[(Geometry, Row)] = rows.map { r =>
-        val sto = r.getStruct(rGeoIdx)
-        (GeoOps.readGeom(sto.getAs[Array[Byte]](0)), r)
-      }
-      val tree = new STRtree()
-      entries.foreach { case (g, r) => tree.insert(g.getEnvelopeInternal, (g, r)) }
-      if (entries.nonEmpty) tree.build()
-      val itemDist = new CentroidItemDistance
+    def stats(df: DataFrame, geom: String): (Double, Double, Double, Double, Long) = {
+      val g = col(geom)
+      val r = df.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
+        min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g)).head()
+      if (r.isNullAt(0)) (0d, 0d, 0d, 0d, 0L)
+      else (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    }
+    val (lx0, lx1, ly0, ly1, lCount) = stats(left, leftGeom)
+    val (rx0, rx1, ry0, ry1, rCount) = stats(right, rightGeom)
+    if (lCount == 0L || rCount == 0L)
+      return candidates(left.limit(0), right.limit(0), leftGeom, rightGeom, 1.0, distName)
 
-      // total order over any comparable tie-break value; never silently
-      // collapses distinct values to "equal"
-      def tieCompare(a: Any, b: Any): Int = (a, b) match {
-        case (null, null) => 0
-        case (null, _) => -1
-        case (_, null) => 1
-        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-        case (x: Int, y: Int) => Integer.compare(x, y)
-        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: Float, y: Float) => java.lang.Float.compare(x, y)
-        case (x: String, y: String) => x.compareTo(y)
-        case (x, y) => x.toString.compareTo(y.toString)
-      }
+    // upper bound on any centroid distance: diagonal of the combined bbox
+    val dx = math.max(lx1, rx1) - math.min(lx0, rx0)
+    val dy = math.max(ly1, ry1) - math.min(ly0, ry0)
+    val maxDist = math.max(math.sqrt(dx * dx + dy * dy), 1e-9) * 1.0000001
+    // expected 2k right rows within r0 under uniform density
+    val area = math.max((rx1 - rx0) * (ry1 - ry0), 1e-18)
+    val r0 = math.sqrt(2.0 * k * area / (math.Pi * rCount.toDouble))
+    var radius = math.min(math.max(r0, maxDist * 1e-6), maxDist)
 
-      iter.flatMap { lrow =>
-        if (entries.isEmpty) Iterator.empty
-        else {
-          val lg = GeoOps.readGeom(lrow.getStruct(lGeoIdx).getAs[Array[Byte]](0))
-          val nearest =
-            if (entries.length <= kk) entries
-            else {
-              // pass 1: tree kNN for the k-th distance bound
-              val approx = tree.nearestNeighbour(lg.getEnvelopeInternal, (lg, null: Row),
-                itemDist, kk).asInstanceOf[Array[AnyRef]]
-              val dk = approx.iterator
-                .map(o => centroidDist(lg, o.asInstanceOf[(Geometry, Row)]._1)).max
-              // pass 2: everything within dk (exact tie handling)
-              val env = new Envelope(lg.getEnvelopeInternal); env.expandBy(dk)
-              val cands = tree.query(env)
-              val buf = new scala.collection.mutable.ArrayBuffer[(Geometry, Row)](cands.size())
-              val it = cands.iterator()
-              while (it.hasNext) buf += it.next().asInstanceOf[(Geometry, Row)]
-              buf.toArray
-            }
-          val scored = nearest.map { case (g, r) =>
-            (centroidDist(lg, g), if (tieIdx < 0) null else r.get(tieIdx), r)
-          }
-          java.util.Arrays.sort(scored, { (t1: (Double, Any, Row), t2: (Double, Any, Row)) =>
-            val c = java.lang.Double.compare(t1._1, t2._1)
-            if (c != 0) c else tieCompare(t1._2, t2._2)
-          })
-          scored.iterator.take(kk)
-            .map { case (d, _, r) => Row.fromSeq(lrow.toSeq ++ r.toSeq :+ d) }
-        }
+    val ties = if (tieBreak == null) lit(0) else col(tieBreak)
+    var pending = left
+    var done: DataFrame = null
+    var finished = false
+    while (!finished) {
+      val isFinal = radius >= maxDist
+      val cands = candidates(pending, right, leftGeom, rightGeom, radius, distName)
+      val part = Window.partitionBy(col(leftId))
+      val ranked = cands
+        .withColumn("__knn_n", count(lit(1)).over(part))
+        .withColumn("__knn_rn",
+          row_number().over(part.orderBy(col(distName), ties)))
+      val sat = if (isFinal) ranked else ranked.filter(col("__knn_n") >= k)
+      val out = sat.filter(col("__knn_rn") <= k)
+        .drop("__knn_n", "__knn_rn")
+        .localCheckpoint()
+      done = if (done == null) out else done.unionByName(out)
+      if (isFinal) finished = true
+      else {
+        pending = pending
+          .join(out.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+          .localCheckpoint()
+        if (pending.isEmpty) finished = true
+        else radius = math.min(radius * 2.0, maxDist)
       }
-    }(Encoders.row(outSchema))
+    }
+    done
   }
 }
