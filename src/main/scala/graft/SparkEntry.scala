@@ -82,7 +82,7 @@ object SparkEntry {
     "q7_knn_join" -> ((s, dir) => {
       val sup = Tables.supplierPts(s, dir)
       val cus = Tables.customerPts(s, dir).select("c_custkey", "c_geo")
-      KNN.knnJoin(sup, cus, "s_geo", "c_geo", k = 5, tieBreak = "c_custkey")
+      KNN.knnJoin(sup, cus, "s_geo", "c_geo", leftId = "s_suppkey", k = 5, tieBreak = "c_custkey")
         .select(col("s_suppkey"), col("c_custkey"))
         .orderBy(col("s_suppkey"), col("c_custkey"))
     }),

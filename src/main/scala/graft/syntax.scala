@@ -45,8 +45,9 @@ object syntax {
 
     // ---- kNN family (reference Plain:112-252) ----
     def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)
-    def stKnnJoin(other: DataFrame, geoName: String, otherGeoName: String, k: Int): DataFrame =
-      KNN.knnJoin(df, other, geoName, otherGeoName, k)
+    def stKnnJoin(other: DataFrame, geoName: String, otherGeoName: String,
+                  idName: String, k: Int): DataFrame =
+      KNN.knnJoin(df, other, geoName, otherGeoName, idName, k)
 
     // ---- skyline / clustering (reference Plain:361-586) ----
     def stSkyline(xCol: String, yCol: String): DataFrame = Skyline.skyline(df, xCol, yCol)

@@ -94,7 +94,7 @@ class DedupSpec extends AnyFunSuite {
         col("s_suppkey"), k = 3, radius = 200.0, cellSize = 100.0, tieBreak = col("c_custkey"))
       .select(col("s_suppkey"), col("c_custkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bc = KNN.knnJoin(sup, cus, "s_geo", "c_geo", k = 3, tieBreak = "c_custkey")
+    val bc = KNN.knnJoin(sup, cus, "s_geo", "c_geo", leftId = "s_suppkey", k = 3, tieBreak = "c_custkey")
       .select(col("s_suppkey"), col("c_custkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(win == bc)
