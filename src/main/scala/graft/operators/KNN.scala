@@ -58,19 +58,22 @@ object KNN {
   /** Cell-replicated candidate pairs with centroid distance <= radius.
     * Same replicate/ref-cell dedup shape as [[SpatialJoin.distanceJoin]] but
     * the filter is the kNN metric itself (centroid euclid), so the radius
-    * bound and the ranking distance can never disagree. */
+    * bound and the ranking distance can never disagree. `cellSize` is
+    * decoupled from `radius` so callers can floor it (large-extent
+    * geometries must not explode past the st_cells guard). */
   private def candidates(left: DataFrame, right: DataFrame, leftGeom: String,
-                         rightGeom: String, radius: Double, distName: String): DataFrame = {
-    val lg = col(leftGeom); val rg = col(rightGeom)
-    val cs = lit(radius)
-    val l = left.withColumn("__kcell_l", explode(stf.st_cells(lg, cs, lit(radius))))
-    val r = right.withColumn("__kcell_r", explode(stf.st_cells(rg, cs)))
+                         rightGeom: String, radius: Double, cellSize: Double,
+                         distName: String): DataFrame = {
+    val cs = lit(cellSize)
+    val l = left.withColumn("__kcell_l", explode(stf.st_cells(col(leftGeom), cs, lit(radius))))
+    val r = right.withColumn("__kcell_r", explode(stf.st_cells(col(rightGeom), cs)))
+    val lg = l(leftGeom); val rg = r(rightGeom)
     l.join(r,
         l("__kcell_l") === r("__kcell_r") &&
         stf.st_centroid_distance(lg, rg) <= lit(radius) &&
         stf.st_ref_cell(lg, rg, cs, l("__kcell_l"), lit(radius)))
       .drop("__kcell_l", "__kcell_r")
-      .withColumn(distName, stf.st_centroid_distance(lg, rg))
+      .withColumn(distName, stf.st_centroid_distance(col(leftGeom), col(rightGeom)))
   }
 
   /**
@@ -86,10 +89,14 @@ object KNN {
    *     nearest are all within r — the k-th distance is ≤ r); its top-k by
    *     (distance, tieBreak) window rank is emitted;
    *  4. unfinished left rows retry with doubled radius — the pending set
-   *     shrinks geometrically, and a final capped round at the world
-   *     diagonal guarantees termination (every right row is a candidate,
-   *     so rows with fewer than k neighbors in total emit what exists —
-   *     matching the windowed-SQL semantics).
+   *     shrinks geometrically; the terminal round (radius ≥ world diagonal,
+   *     where every right row is a candidate) is a genuine cross join, NOT a
+   *     cell join: a cell join at world radius hashes every pair into one
+   *     cell (one task does the whole remaining product), while Spark's
+   *     cartesian/BNLJ stays parallel across partition pairs. Rows with
+   *     fewer than k neighbors in total emit what exists — matching the
+   *     windowed-SQL semantics. `k >= |right|` short-circuits straight to
+   *     that round: every right row is in every answer.
    *
    * Each round is one hash join + one window shuffle over only the pending
    * rows; per-round outputs are localCheckpoint'd so the lineage (and the
@@ -105,18 +112,37 @@ object KNN {
               tieBreak: String = null): DataFrame = {
     GraftFunctions.register(left.sparkSession)
     require(k > 0, s"k must be positive, got $k")
+    require(leftGeom != rightGeom,
+      s"knnJoin: left and right geometry columns must have distinct names " +
+      s"(both appear in the output); got '$leftGeom' on both sides")
 
-    def stats(df: DataFrame, geom: String): (Double, Double, Double, Double, Long) = {
+    // per-side scalars: bbox, count, and the largest single-geometry extent
+    // (floors the cell size so huge polygons stay under the st_cells guard)
+    def stats(df: DataFrame, geom: String): (Double, Double, Double, Double, Long, Double) = {
       val g = col(geom)
       val r = df.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
-        min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g)).head()
-      if (r.isNullAt(0)) (0d, 0d, 0d, 0d, 0L)
-      else (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+        min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g),
+        max(greatest(stf.st_maxx(g) - stf.st_minx(g), stf.st_maxy(g) - stf.st_miny(g)))).head()
+      if (r.isNullAt(0)) (0d, 0d, 0d, 0d, 0L, 0d)
+      else (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4), r.getDouble(5))
     }
-    val (lx0, lx1, ly0, ly1, lCount) = stats(left, leftGeom)
-    val (rx0, rx1, ry0, ry1, rCount) = stats(right, rightGeom)
+    val (lx0, lx1, ly0, ly1, lCount, lSpan) = stats(left, leftGeom)
+    val (rx0, rx1, ry0, ry1, rCount, rSpan) = stats(right, rightGeom)
     if (lCount == 0L || rCount == 0L)
-      return candidates(left.limit(0), right.limit(0), leftGeom, rightGeom, 1.0, distName)
+      return candidates(left.limit(0), right.limit(0), leftGeom, rightGeom, 1.0, 1.0, distName)
+
+    val ties = if (tieBreak == null) lit(0) else col(tieBreak)
+
+    // terminal round: every (pending, right) pair is a candidate
+    def finale(pending: DataFrame): DataFrame = {
+      val cands = pending.crossJoin(right)
+        .withColumn(distName, stf.st_centroid_distance(col(leftGeom), col(rightGeom)))
+      cands.withColumn("__knn_rn", row_number().over(
+          Window.partitionBy(col(leftId)).orderBy(col(distName), ties)))
+        .filter(col("__knn_rn") <= k).drop("__knn_rn")
+    }
+    if (k >= rCount) return finale(left)
 
     // upper bound on any centroid distance: diagonal of the combined bbox
     val dx = math.max(lx1, rx1) - math.min(lx0, rx0)
@@ -126,26 +152,30 @@ object KNN {
     val area = math.max((rx1 - rx0) * (ry1 - ry0), 1e-18)
     val r0 = math.sqrt(2.0 * k * area / (math.Pi * rCount.toDouble))
     var radius = math.min(math.max(r0, maxDist * 1e-6), maxDist)
+    // an envelope expanded by radius spans (span + 2r)/cs cells per axis;
+    // with cs >= max(radius, span/4000) that is < 4003, safely under 2^13
+    val csFloor = math.max(lSpan, rSpan) / 4000.0
 
-    val ties = if (tieBreak == null) lit(0) else col(tieBreak)
     var pending = left
     var done: DataFrame = null
     var finished = false
     while (!finished) {
-      val isFinal = radius >= maxDist
-      val cands = candidates(pending, right, leftGeom, rightGeom, radius, distName)
-      val part = Window.partitionBy(col(leftId))
-      val ranked = cands
-        .withColumn("__knn_n", count(lit(1)).over(part))
-        .withColumn("__knn_rn",
-          row_number().over(part.orderBy(col(distName), ties)))
-      val sat = if (isFinal) ranked else ranked.filter(col("__knn_n") >= k)
-      val out = sat.filter(col("__knn_rn") <= k)
-        .drop("__knn_n", "__knn_rn")
-        .localCheckpoint()
-      done = if (done == null) out else done.unionByName(out)
-      if (isFinal) finished = true
-      else {
+      if (radius >= maxDist) {
+        val out = finale(pending).localCheckpoint()
+        done = if (done == null) out else done.unionByName(out)
+        finished = true
+      } else {
+        val cands = candidates(pending, right, leftGeom, rightGeom, radius,
+          math.max(radius, csFloor), distName)
+        val part = Window.partitionBy(col(leftId))
+        val out = cands
+          .withColumn("__knn_n", count(lit(1)).over(part))
+          .withColumn("__knn_rn",
+            row_number().over(part.orderBy(col(distName), ties)))
+          .filter(col("__knn_n") >= k && col("__knn_rn") <= k)
+          .drop("__knn_n", "__knn_rn")
+          .localCheckpoint()
+        done = if (done == null) out else done.unionByName(out)
         pending = pending
           .join(out.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
           .localCheckpoint()

@@ -100,6 +100,33 @@ class DedupSpec extends AnyFunSuite {
     assert(win == bc)
   }
 
+  test("knnJoin with k >= right count returns every right row per left (parallel terminal round)") {
+    import graft.operators.KNN
+    val sup = Tables.supplierPts(spark, "/root/testdata/sf0.001")
+    val cus = Tables.customerPts(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_geo")).limit(3).localCheckpoint()
+    val nSup = sup.count()
+    val res = KNN.knnJoin(sup, cus, "s_geo", "c_geo", leftId = "s_suppkey",
+        k = 5, tieBreak = "c_custkey")
+    // 3 right rows < k=5: every supplier pairs with all 3 customers
+    assert(res.count() == nSup * 3)
+    val perLeft = res.groupBy("s_suppkey").count().select(min("count"), max("count")).head()
+    assert(perLeft.getLong(0) == 3 && perLeft.getLong(1) == 3)
+  }
+
+  test("knnJoin survives a left outlier far outside the right bbox (capped round)") {
+    import graft.operators.KNN
+    val cus = Tables.customerPts(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_geo")).limit(4).localCheckpoint()
+    // one left point astronomically far away: only the terminal round can finish it
+    val far = spark.range(1).select(
+      lit(999000L).as("s_suppkey"),
+      graft.functions.stf.st_point(lit(1.0e7), lit(1.0e7)).as("s_geo"))
+    val res = KNN.knnJoin(far, cus, "s_geo", "c_geo", leftId = "s_suppkey",
+        k = 2, tieBreak = "c_custkey")
+    assert(res.count() == 2) // its true 2 nearest of the 4
+  }
+
   test("subwordCount splits on boundaries") {
     import spark.implicits._
     val df = Seq("abc123 def, xyz").toDF("t")
