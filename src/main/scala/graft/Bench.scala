@@ -10,11 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up the JVM / codegen / parquet footer caches outside the timings
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // warm up the JVM / codegen / parquet footer caches outside the timings —
+    // against the benched sfDir itself, and loudly: a failing warmup usually
+    // means every timed query is about to fail too
+    try SparkEntry.queries.head._2(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are self-contained: drop their persisted intermediates so
       // storage-memory pressure from one query can't skew the next

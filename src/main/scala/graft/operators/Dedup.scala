@@ -85,7 +85,11 @@ object Dedup {
         col("r.__sz") * q >= col("l.__sz") * p)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    refineJaccard(cands, sh, p, q)
+    // materialize, then free the shingle cache — long sessions must not
+    // accumulate storage blocks (same hygiene as DBSCAN.cluster)
+    val out = refineJaccard(cands, sh, p, q).localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -111,7 +115,9 @@ object Dedup {
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    refineJaccard(cands, sh, p, q)
+    val out = refineJaccard(cands, sh, p, q).localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /**

@@ -47,9 +47,12 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           sidesResolved(p, left, right).map { case (le, re) => (p, i, le, re) }
         case _ => None
       })
-      // a cell-equality conjunct means this join is already rewritten
+      // an st_ref_cell conjunct means this join is already rewritten — the
+      // rule is the only producer of that predicate inside a join condition.
+      // (Structural, not name-based: a user column that happens to be called
+      // `__gcell_l` must not suppress the rewrite.)
       val alreadyRewritten = conjuncts.exists {
-        case EqualTo(a: AttributeReference, _) => a.name == "__gcell_l"
+        case _: STRefCell => true
         case _ => false
       }
       if (found.isEmpty || alreadyRewritten) j

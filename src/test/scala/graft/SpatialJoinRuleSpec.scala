@@ -32,6 +32,18 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("a pre-existing user column named __gcell_l does not suppress the rewrite") {
+    Tables.nationRects(spark, dir)
+      .withColumn("__gcell_l", lit(42L)).createOrReplaceTempView("nrect_gc")
+    Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")
+    val sql = "SELECT n_nationkey, c_custkey FROM nrect_gc JOIN cpts ON st_contains(n_geo, c_geo)"
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    val base = pairs("SELECT n_nationkey, c_custkey FROM nrect_gc JOIN cpts ON st_contains(n_geo, c_geo)")
+    assert(base.nonEmpty)
+  }
+
   test("swapped argument order resolves and rewrites too") {
     Tables.nationRects(spark, dir).createOrReplaceTempView("nrect")
     Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")
