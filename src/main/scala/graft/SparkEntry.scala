@@ -159,6 +159,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // embedding-cosine near-dup pairs via random-hyperplane LSH + exact
+    // refine — the 100TB path for q17, same output contract. planes=2/
+    // tables=64 puts the per-pair miss probability at ~3e-15 for cosine
+    // 0.42; the seeded hash makes the result deterministic.
+    "q33_dedup_cosine_lsh" -> ((s, dir) => {
+      Dedup.cosinePairsLsh(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.42, tables = 64, planes = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ANN brute-force baseline: top-5 cosine neighbors for queries vec_id<10.
     "q18_ann_topk" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -236,6 +246,21 @@ object SparkEntry {
       val b = Raster.rasterize(e.filter(col("event_type") === "view"),
         col("ex"), col("ey"), 10.0, 10, 10)
       tileCsv(Raster.joinRaster(a, b, (x, y) => x + y))
+    }),
+
+    // general raster ⋈ raster over INTERSECTING (misaligned) tiles: the
+    // view raster is shifted by a half tile, so the identical-grid equi-join
+    // would match nothing — every pair here comes from the cell join +
+    // intersection-frame resampling.
+    "q35_raster_join_misaligned" -> ((s, dir) => {
+      val e = Tables.eventPts(s, dir)
+      val a = Raster.rasterize(e.filter(col("event_type") === "click"),
+        col("ex"), col("ey"), 10.0, 10, 10)
+      val b = Raster.rasterize(e.filter(col("event_type") === "view"),
+          col("ex") + 50.0, col("ey") + 50.0, 10.0, 10, 10)
+        .withColumn("ulx", col("ulx") - 50.0)
+        .withColumn("uly", col("uly") - 50.0)
+      tileCsv(Raster.joinRasterIntersecting(a, b, cellSize = 200.0, (x, y) => x + y))
     }),
 
     // grid partitioner (SURVEY §2.10): partition-key histogram over the
@@ -398,6 +423,12 @@ object SparkEntry {
        s"WHERE a.vec_id < b.vec_id AND ($dotSql) / (a.nrm*b.nrm) >= 0.42 " +
        "ORDER BY id_a, id_b"),
 
+    "q33_dedup_cosine_lsh" ->
+      (s"WITH e AS ($normedEmbSql) " +
+       "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b " +
+       s"WHERE a.vec_id < b.vec_id AND ($dotSql) / (a.nrm*b.nrm) >= 0.42 " +
+       "ORDER BY id_a, id_b"),
+
     "q18_ann_topk" ->
       (s"WITH e AS ($normedEmbSql), scored AS (" +
        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
@@ -465,6 +496,28 @@ object SparkEntry {
        "LEFT JOIN tl_click a ON a.tx=c.tx AND a.ty=c.ty AND a.pix=c.i " +
        "LEFT JOIN tl_view b ON b.tx=c.tx AND b.ty=c.ty AND b.pix=c.i) " +
        tileCsvSelectSql),
+
+    "q35_raster_join_misaligned" ->
+      (s"WITH epts AS ($eventsRasterSql), " +
+       "pxa AS (SELECT CAST(floor(ex/10) AS BIGINT) gx, CAST(floor(ey/10) AS BIGINT) gy, count(*) c " +
+       "FROM epts WHERE event_type='click' GROUP BY 1,2), " +
+       "pxb AS (SELECT CAST(floor((ex+50)/10) AS BIGINT) gxs, CAST(floor((ey+50)/10) AS BIGINT) gys, count(*) c " +
+       "FROM epts WHERE event_type='view' GROUP BY 1,2), " +
+       "ta AS (SELECT DISTINCT gx//10 tx, gy//10 ty FROM pxa), " +
+       "tb AS (SELECT DISTINCT gxs//10 sx, gys//10 sy FROM pxb), " +
+       "pairs AS (SELECT greatest(tx*100, sx*100-50) ix0, least(tx*100+100, sx*100+50) ix1, " +
+       "greatest(ty*100, sy*100-50) iy0, least(ty*100+100, sy*100+50) iy1 FROM ta, tb " +
+       "WHERE least(tx*100+100, sx*100+50) > greatest(tx*100, sx*100-50) " +
+       "AND least(ty*100+100, sy*100+50) > greatest(ty*100, sy*100-50)), " +
+       "cells AS (SELECT p.*, (ix1-ix0)//10 nw, (iy1-iy0)//10 nh, g.i " +
+       "FROM pairs p, generate_series(0,99) g(i) WHERE g.i < ((ix1-ix0)//10)*((iy1-iy0)//10)), " +
+       "px AS (SELECT c.*, ix0 + (i % nw)*10 AS posx, iy1 - (i // nw)*10 AS posy FROM cells c), " +
+       "j AS (SELECT px.*, COALESCE(a.c,0)+COALESCE(b.c,0) v FROM px " +
+       "LEFT JOIN pxa a ON a.gx = posx//10 AND a.gy = (posy-10)//10 " +
+       "LEFT JOIN pxb b ON b.gxs = (posx+50)//10 AND b.gys = (posy-10+50)//10) " +
+       "SELECT CAST(ix0 AS BIGINT) ulx, CAST(iy1 AS BIGINT) uly, CAST(nw AS INT) width, CAST(nh AS INT) height, " +
+       "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
+       "FROM j GROUP BY ix0, iy1, nw, nh ORDER BY ulx, uly"),
 
     // packed cell id for positive cells: ix * 2^32 + iy
     "q27_grid_partition" ->

@@ -177,9 +177,11 @@ object Raster {
       .withColumn("tile_agg", agg(col("data")))
 
   /**
-   * Raster ⋈ raster: pixel-level combine of co-located tiles (reference
-   * RasterJoinRDD pixel join). Tiles match on identical bounds (equi-join —
+   * Raster ⋈ raster, identical-grid fast path: pixel-level combine of
+   * co-located tiles. Tiles match on identical bounds (equi-join —
    * hash-partitioned, no cartesian); `combine` merges pixel pairs.
+   * Misaligned grids produce no matches here by construction — use
+   * [[joinRasterIntersecting]] for the general intersecting-tile join.
    */
   def joinRaster(a: DataFrame, b: DataFrame,
                  combine: (Column, Column) => Column): DataFrame = {
@@ -187,5 +189,64 @@ object Raster {
     a.as("l").join(b.as("r"), keys)
       .select((keys.map(col) :+
         zip_with(col("l.data"), col("r.data"), combine).as("data")): _*)
+  }
+
+  /**
+   * General raster ⋈ raster over *intersecting* tiles (reference
+   * RasterJoinRDD.scala:20-66 + RasterUtils.mbrToTile:225-243): every pair
+   * of tiles with overlapping bounds emits one tile over the intersection
+   * MBR at the LEFT side's pixel width; each output pixel samples both
+   * parents at the pixel's upper-left position and merges with `combine`.
+   *
+   * Spark-first shape: the pairing is the same cell-replicate hash join as
+   * [[SpatialJoin.join]] (cells exploded from tile bounds, reference-point
+   * dedup — no distinct, no cartesian), and the pixel assembly is pure
+   * codegen'd built-ins (`transform` + `element_at`). Touching-only pairs
+   * (zero-area intersection) are dropped — the reference would emit a
+   * zero-pixel tile for them, which carries no information.
+   */
+  def joinRasterIntersecting(a: DataFrame, b: DataFrame, cellSize: Double,
+                             combine: (Column, Column) => Column): DataFrame = {
+    GraftFunctions.register(a.sparkSession)
+    val r = b.select(tileCols.map(c => col(c).as("r_" + c)): _*)
+    val cs = lit(cellSize)
+    def box(p: String) =
+      stf.st_box(col(p + "ulx"), col(p + "uly") - col(p + "height") * col(p + "pixel_width"),
+        col(p + "ulx") + col(p + "width") * col(p + "pixel_width"), col(p + "uly"))
+    val l2 = a.withColumn("__rjcell_l", explode(stf.st_cells(box(""), cs)))
+    val r2 = r.withColumn("__rjcell_r", explode(stf.st_cells(box("r_"), cs)))
+    val joined = l2.join(r2,
+        l2("__rjcell_l") === r2("__rjcell_r") &&
+        stf.st_ref_cell(box(""), box("r_"), cs, l2("__rjcell_l")))
+      .drop("__rjcell_l", "__rjcell_r")
+    val ix0 = greatest(col("ulx"), col("r_ulx"))
+    val ix1 = least(col("ulx") + col("width") * col("pixel_width"),
+                    col("r_ulx") + col("r_width") * col("r_pixel_width"))
+    val iy1 = least(col("uly"), col("r_uly"))
+    val iy0 = greatest(col("uly") - col("height") * col("pixel_width"),
+                       col("r_uly") - col("r_height") * col("r_pixel_width"))
+    joined.filter(ix1 > ix0 && iy1 > iy0)
+      .select(ix0.as("__jx"), iy1.as("__jy"),
+        ceil((ix1 - ix0) / col("pixel_width")).cast("int").as("__jw"),
+        ceil((iy1 - iy0) / col("pixel_width")).cast("int").as("__jh"),
+        col("pixel_width").as("__jpw"),
+        col("ulx").as("__lx"), col("uly").as("__ly"), col("width").as("__lw"),
+        col("data").as("__ld"),
+        col("r_ulx").as("__rx"), col("r_uly").as("__ry"), col("r_width").as("__rw"),
+        col("r_pixel_width").as("__rpw"), col("r_data").as("__rd"))
+      .select(col("__jx").as("ulx"), col("__jy").as("uly"), col("__jw").as("width"),
+        col("__jh").as("height"), col("__jpw").as("pixel_width"),
+        transform(sequence(lit(0), col("__jw") * col("__jh") - 1), idx => {
+          // pixel upper-left position in world coordinates
+          val posX = col("__jx") + pmod(idx, col("__jw")) * col("__jpw")
+          val posY = col("__jy") - floor(idx / col("__jw")) * col("__jpw")
+          val lv = element_at(col("__ld"),
+            floor((col("__ly") - posY) / col("__jpw")).cast("int") * col("__lw") +
+            floor((posX - col("__lx")) / col("__jpw")).cast("int") + 1)
+          val rv = element_at(col("__rd"),
+            floor((col("__ry") - posY) / col("__rpw")).cast("int") * col("__rw") +
+            floor((posX - col("__rx")) / col("__rpw")).cast("int") + 1)
+          combine(lv, rv)
+        }).as("data"))
   }
 }

@@ -50,6 +50,14 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("cosine LSH with q33's parameters (planes=2, tables=64) equals exact") {
+    val exact = pairSet(Dedup.cosinePairsExact(embs, col("vec_id"), col("embedding"), 0.42))
+    val lsh = pairSet(Dedup.cosinePairsLsh(embs, col("vec_id"), col("embedding"), 0.42,
+      tables = 64, planes = 2))
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"missed: ${exact -- lsh}; extra: ${lsh -- exact}")
+  }
+
   test("dropNearDuplicates removes exactly one of each near-dup pair family") {
     val kept = Dedup.dropNearDuplicates(docs, col("doc_id"), col("text"))
     val pairs = pairSet(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text")))

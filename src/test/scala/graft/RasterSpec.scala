@@ -76,4 +76,35 @@ class RasterSpec extends AnyFunSuite {
     val far = Raster.rasterize(Seq((10.5, 10.5)).toDF("x", "y"), col("x"), col("y"), 1.0, 2, 2)
     assert(Raster.joinRaster(a, far, (x, y) => x + y).count() == 0)
   }
+
+  test("joinRasterIntersecting: aligned grids reproduce joinRaster; touching tiles drop") {
+    val a = Raster.rasterize(pts, col("x"), col("y"), 1.0, 2, 2)
+    val aligned = Raster.joinRasterIntersecting(a, a, cellSize = 4.0, (x, y) => x + y).collect()(0)
+    assert(aligned.getAs[Double]("ulx") == 0.0 && aligned.getAs[Double]("uly") == 2.0)
+    assert(aligned.getSeq[Long](aligned.fieldIndex("data")) == Seq(2L, 0L, 4L, 2L))
+    // a tile sharing only an edge (x in [2,4]) has zero-area intersection
+    val touch = Raster.rasterize(Seq((2.5, 0.5)).toDF("x", "y"), col("x"), col("y"), 1.0, 2, 2)
+    assert(Raster.joinRasterIntersecting(a, touch, 4.0, (x, y) => x + y).count() == 0)
+  }
+
+  test("joinRasterIntersecting: half-pixel-offset grids resample the overlap frame") {
+    // left: 2x2 tile at [0,2]x[0,2], values row-major-top [1,0,2,1]
+    val a = Raster.rasterize(pts, col("x"), col("y"), 1.0, 2, 2)
+    // right: same points shifted so its tile sits at [-1,1]x[-1,1]
+    val b = Raster.rasterize(pts.select((col("x") + 1.0).as("x"), (col("y") + 1.0).as("y")),
+        col("x"), col("y"), 1.0, 2, 2)
+      .withColumn("ulx", col("ulx") - 1.0).withColumn("uly", col("uly") - 1.0)
+    // the shifted points land in three b tiles ([-1,1]^2, [1,3]x[-1,1],
+    // [-1,1]x[1,3]); each overlaps a's [0,2]^2 tile in exactly one pixel.
+    // Hand-computed sums: a bottom-left 2 + b(1.5,1.5)x2 = 4; a bottom-right
+    // 1 + b(2.5,1.5) = 2; a top-left 1 + b(1.5,2.5) = 2.
+    val out = Raster.joinRasterIntersecting(a, b, 4.0, (x, y) => x + y).collect()
+    assert(out.length == 3)
+    val byAnchor = out.map(t => (t.getAs[Double]("ulx"), t.getAs[Double]("uly")) ->
+      (t.getAs[Int]("width"), t.getAs[Int]("height"),
+       t.getSeq[Long](t.fieldIndex("data")).toList)).toMap
+    assert(byAnchor((0.0, 1.0)) == ((1, 1, List(4L))))
+    assert(byAnchor((1.0, 1.0)) == ((1, 1, List(2L))))
+    assert(byAnchor((0.0, 2.0)) == ((1, 1, List(2L))))
+  }
 }
