@@ -248,6 +248,16 @@ object SparkEntry {
       tileCsv(Raster.joinRaster(a, b, (x, y) => x + y))
     }),
 
+    // raster filter vs an ARBITRARY (non-rectangular) polygon with default
+    // fill: tiles clipped to the MBR of tile ∩ triangle, pixels outside the
+    // triangle get -1. Exercises the JTS clip kernel end-to-end.
+    "q34_raster_filter_geom" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+      tileCsv(Raster.filterGeom(tiles,
+        stf.st_geomfromwkt("POLYGON ((0 0, 375 0, 0 375, 0 0))"),
+        JoinPredicate.Intersects, default = -1L))
+    }),
+
     // general raster ⋈ raster over INTERSECTING (misaligned) tiles: the
     // view raster is shifted by a half tile, so the identical-grid equi-join
     // would match nothing — every pair here comes from the cell join +
@@ -496,6 +506,23 @@ object SparkEntry {
        "LEFT JOIN tl_click a ON a.tx=c.tx AND a.ty=c.ty AND a.pix=c.i " +
        "LEFT JOIN tl_view b ON b.tx=c.tx AND b.ty=c.ty AND b.pix=c.i) " +
        tileCsvSelectSql),
+
+    "q34_raster_filter_geom" ->
+      (s"WITH epts AS ($eventsRasterSql), " +
+       "px AS (SELECT CAST(floor(ex/10) AS BIGINT) gx, CAST(floor(ey/10) AS BIGINT) gy, count(*) c FROM epts GROUP BY 1,2), " +
+       "tiles AS (SELECT DISTINCT gx//10 tx, gy//10 ty FROM px), " +
+       "fr AS (SELECT tx*100 x0, ty*100 y0, tx*100+100 x1, ty*100+100 y1, " +
+       "least(ty*100+100, 375-tx*100) uly, least(tx*100+100, 375-ty*100) fx1 " +
+       "FROM tiles WHERE tx*100 + ty*100 < 375), " +
+       "cells AS (SELECT f.*, (fx1-x0+9)//10 nw, (uly-y0+9)//10 nh, g.i " +
+       "FROM fr f, generate_series(0,99) g(i) WHERE g.i < ((fx1-x0+9)//10)*((uly-y0+9)//10)), " +
+       "pxo AS (SELECT c.*, x0 + (i % nw)*10 AS posx, uly - (i // nw)*10 AS posy FROM cells c), " +
+       "j AS (SELECT pxo.*, CASE WHEN posx + posy - 10 <= 375 " +
+       "THEN COALESCE((SELECT p.c FROM px p WHERE p.gx = x0//10 + (i % nw) AND p.gy = y1//10 - 1 - (y1-posy)//10), 0) " +
+       "ELSE -1 END v FROM pxo) " +
+       "SELECT CAST(x0 AS BIGINT) ulx, CAST(uly AS BIGINT) uly, CAST(nw AS INT) width, CAST(nh AS INT) height, " +
+       "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
+       "FROM j GROUP BY x0, uly, nw, nh ORDER BY ulx, uly"),
 
     "q35_raster_join_misaligned" ->
       (s"WITH epts AS ($eventsRasterSql), " +

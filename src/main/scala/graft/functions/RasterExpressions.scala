@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, codegen}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.Envelope
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+
+/**
+ * Raster-filter kernel: clip one tile against an arbitrary vector geometry
+ * with default fill — the reference's `RasterUtils.getPixels`
+ * (reference src/main/scala/dbis/stark/raster/RasterUtils.scala:128-205,
+ * driven by RasterFilterVectorRDD.scala:10-53):
+ *
+ *  - the output frame is the MBR of (tile bounds ∩ query geometry) at the
+ *    tile's pixel width, anchored at the MBR's upper-left (NOT pixel-aligned
+ *    in general);
+ *  - each output pixel is a pw×pw rectangle from the frame's upper-left; it
+ *    keeps the parent tile's value at its upper-left position when the
+ *    rectangle intersects (or, for containment mode, is contained in) the
+ *    query geometry, and the default value otherwise.
+ *
+ * Two deliberate deviations from the reference, cited in SURVEY §2.2 #22:
+ * frame pixel counts are `ceil(extent / pw)` (the reference's two
+ * `mbrToTile` overloads disagree for pw ≠ 1 — RasterUtils.scala:225-243);
+ * and out-of-range parent lookups produce the default value instead of an
+ * executor crash. Envelope bounds are snapped to a 1/1024 grid so overlay
+ * rounding noise cannot flip a `ceil`.
+ */
+object RasterOps {
+  private val gf = new org.locationtech.jts.geom.GeometryFactory()
+
+  /** Per-thread identity cache: the query geometry is a literal in the hot
+    * path, so prepare (index) it once per task, not once per tile. */
+  private final class PrepCache {
+    var k1: Array[Byte] = _; var v1: PreparedGeometry = _
+    def get(k: Array[Byte]): PreparedGeometry = {
+      if (k eq k1) return v1
+      val g = PreparedGeometryFactory.prepare(GeoOps.readGeom(k))
+      k1 = k; v1 = g
+      g
+    }
+  }
+  private val prepCache = ThreadLocal.withInitial[PrepCache](() => new PrepCache)
+
+  private def snap(v: Double): Double = math.rint(v * 1024.0) / 1024.0
+
+  /** Null when the tile does not overlap the query at all (zero-area touch
+    * included — a frame with no pixels carries no information). */
+  def clipTile(ulx: Double, uly: Double, width: Int, height: Int, pw: Double,
+               data: ArrayData, qry: InternalRow, isIntersects: Boolean,
+               default: Long): InternalRow = {
+    val qryWkb = qry.getBinary(0)
+    val qryGeom = GeoOps.readGeom(qryWkb)
+    val tileGeom = gf.toGeometry(new Envelope(ulx, ulx + width * pw, uly - height * pw, uly))
+    val inter = tileGeom.intersection(qryGeom)
+    if (inter.isEmpty) return null
+    val env = inter.getEnvelopeInternal
+    val minX = snap(env.getMinX); val maxX = snap(env.getMaxX)
+    val minY = snap(env.getMinY); val maxY = snap(env.getMaxY)
+    val ow = math.ceil((maxX - minX) / pw).toInt
+    val oh = math.ceil((maxY - minY) / pw).toInt
+    if (ow <= 0 || oh <= 0) return null
+    val prep = prepCache.get().get(qryWkb)
+    val out = new Array[Long](ow * oh)
+    var j = 0
+    while (j < oh) {
+      val posY = maxY - j * pw
+      val row = math.floor((uly - posY) / pw).toInt
+      var i = 0
+      while (i < ow) {
+        val posX = minX + i * pw
+        val pix = gf.toGeometry(new Envelope(posX, posX + pw, posY - pw, posY))
+        val matched = if (isIntersects) prep.intersects(pix) else prep.contains(pix)
+        val c = math.floor((posX - ulx) / pw).toInt
+        out(j * ow + i) =
+          if (matched && row >= 0 && row < height && c >= 0 && c < width)
+            data.getLong(row * width + c)
+          else default
+        i += 1
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](minX, maxY, ow, oh, pw, new GenericArrayData(out)))
+  }
+}
+
+/** st_clip_tile(ulx, uly, width, height, pixel_width, data, qry,
+  * is_intersects, default) → clipped tile struct, or NULL when the tile
+  * misses the query geometry. Per-tile (not per-pixel) eval: the JTS work
+  * happens once per row against a prepared query geometry. */
+case class STClipTile(children: Seq[Expression])
+    extends Expression with codegen.CodegenFallback {
+  require(children.size == 9, "st_clip_tile takes 9 arguments")
+  override def dataType: DataType = StructType(Seq(
+    StructField("ulx", DoubleType, nullable = false),
+    StructField("uly", DoubleType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixel_width", DoubleType, nullable = false),
+    StructField("data", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else RasterOps.clipTile(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Double],
+      vs(5).asInstanceOf[ArrayData], SpatialExpressions.row(vs(6)),
+      vs(7).asInstanceOf[Boolean], vs(8).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): STClipTile =
+    copy(children = cs)
+  override def prettyName: String = "st_clip_tile"
+}

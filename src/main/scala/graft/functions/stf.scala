@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
@@ -25,6 +25,7 @@ object GraftFunctions {
   private def l(e: Expression): Expression = Cast(e, LongType)
   private def s(e: Expression): Expression = Cast(e, StringType)
   private def i(e: Expression): Expression = Cast(e, IntegerType)
+  private def b(e: Expression): Expression = Cast(e, BooleanType)
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_geomfromwkt"  -> ((es: Seq[Expression]) => STGeomFromWKT(s(es.head))),
@@ -65,6 +66,8 @@ object GraftFunctions {
     "st_ref_cell"     -> ((es: Seq[Expression]) =>
       STRefCell(if (es.size == 5) Seq(es(0), es(1), d(es(2)), l(es(3)), d(es(4)))
                 else Seq(es(0), es(1), d(es(2)), l(es(3)), Literal(0d)))),
+    "st_clip_tile"    -> ((es: Seq[Expression]) => STClipTile(Seq(
+      d(es(0)), d(es(1)), i(es(2)), i(es(3)), d(es(4)), es(5), es(6), b(es(7)), l(es(8))))),
     // text/vector dedup primitives (TextExpressions.scala)
     "minhash_sig"     -> ((es: Seq[Expression]) => MinHashSig(es(0), i(es(1)))),
     "band_buckets"    -> ((es: Seq[Expression]) => BandBuckets(es(0), i(es(1)))),
@@ -91,6 +94,7 @@ object GraftFunctions {
     "st_minx" -> (1, 1), "st_maxx" -> (1, 1), "st_miny" -> (1, 1),
     "st_maxy" -> (1, 1), "st_tstart" -> (1, 1), "st_tend" -> (1, 1),
     "st_cell" -> (2, 2), "st_cells" -> (2, 3), "st_ref_cell" -> (4, 5),
+    "st_clip_tile" -> (9, 9),
     "minhash_sig" -> (2, 2), "band_buckets" -> (2, 2), "simhash64" -> (1, 1),
     "hamming" -> (2, 2), "hyperplane_buckets" -> (3, 3), "vec_dot" -> (2, 2),
     "vec_norm" -> (1, 1), "word_shingles" -> (2, 2),
@@ -179,6 +183,11 @@ object stf {
     call_function("st_ref_cell", a, b, cellSize, cell)
   def st_ref_cell(a: Column, b: Column, cellSize: Column, cell: Column, radius: Column): Column =
     call_function("st_ref_cell", a, b, cellSize, cell, radius)
+  def st_clip_tile(ulx: Column, uly: Column, width: Column, height: Column,
+                   pixelWidth: Column, data: Column, qry: Column,
+                   isIntersects: Column, default: Column): Column =
+    call_function("st_clip_tile", ulx, uly, width, height, pixelWidth, data, qry,
+      isIntersects, default)
   def minhash_sig(shingles: Column, k: Int): Column = call_function("minhash_sig", shingles, lit(k))
   def band_buckets(sig: Column, nBands: Int): Column = call_function("band_buckets", sig, lit(nBands))
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

@@ -84,6 +84,33 @@ object Raster {
             col("__c0") + pmod(i, col("__w")) + 1)).as("data"))
   }
 
+  /**
+   * Filter + clip against an ARBITRARY vector geometry with default fill —
+   * the reference's raster-filter-by-vector (RasterFilterVectorRDD.scala:
+   * 10-53 + RasterUtils.getPixels:128-205). Tiles whose bounds satisfy
+   * `pred` against `qry` emit one tile over the MBR of (tile ∩ qry); pixels
+   * outside the geometry get `default`. Pixel match mode follows the
+   * reference: rectangle-intersects for [[JoinPredicate.Intersects]],
+   * rectangle-contained-in-qry for every other predicate.
+   *
+   * The per-tile kernel is [[graft.functions.RasterOps.clipTile]] (one
+   * prepared-geometry probe per pixel, one eval per tile); the tile-level
+   * gate stays a codegen'd predicate so partition pruning over a cell store
+   * still applies before any pixel work.
+   */
+  def filterGeom(tiles: DataFrame, qry: Column,
+                 pred: JoinPredicate = JoinPredicate.Intersects,
+                 default: Long = 0L): DataFrame = {
+    GraftFunctions.register(tiles.sparkSession)
+    val isIntersects = pred == JoinPredicate.Intersects
+    tiles
+      .filter(pred.apply(tileGeom(tiles), qry))
+      .select(stf.st_clip_tile(col("ulx"), col("uly"), col("width"), col("height"),
+        col("pixel_width"), col("data"), qry, lit(isIntersects), lit(default)).as("__ct"))
+      .filter(col("__ct").isNotNull)
+      .select(tileCols.map(c => col("__ct." + c).as(c)): _*)
+  }
+
   /** Per-tile stats: min / max / lower-median / zero-pixel count — the
     * reference's SMA accessors r_min/r_max/r_median + countValue. */
   def withTileStats(tiles: DataFrame): DataFrame =

@@ -77,6 +77,53 @@ class RasterSpec extends AnyFunSuite {
     assert(Raster.joinRaster(a, far, (x, y) => x + y).count() == 0)
   }
 
+  // ---- filterGeom: reference-fixture ports (RasterFilterVectorRDDTest) ----
+
+  private def tileDF(ts: Seq[(Double, Double, Int, Int, Seq[Long])]) =
+    ts.map { case (x, y, w, h, d) => (x, y, w, h, 1.0, d) }
+      .toDF("ulx", "uly", "width", "height", "pixel_width", "data")
+
+  test("filterGeom: tile-level filter count (reference test 1: 100 tiles -> 64)") {
+    // 10x10 grid of 10x10-pixel tiles, query POLYGON((11 11, 89 11, 89 89, 11 89))
+    val tiles = tileDF(for { w <- 0 until 10; h <- 0 until 10 }
+      yield (w * 10.0, h * 10.0, 10, 10, Seq.fill(100)((w * 10 + h * 10).toLong)))
+    val res = Raster.filterGeom(tiles,
+      graft.functions.stf.st_geomfromwkt("POLYGON ((11 11, 89 11, 89 89, 11 89, 11 11))"),
+      graft.operators.JoinPredicate.Intersects, default = Byte.MinValue.toLong)
+    assert(res.count() == 64) // 100 - 36 (reference RasterFilterVectorRDDTest:36-38)
+  }
+
+  test("filterGeom: matching pixels for intersecting poly (reference hand-counted 6x5)") {
+    val MIN = Int.MinValue.toLong
+    val tiles = tileDF(Seq((0.0, 7.0, 11, 7, Seq.tabulate(77)(_.toLong))))
+    val res = Raster.filterGeom(tiles,
+      graft.functions.stf.st_geomfromwkt("POLYGON ((5 -1, 7.5 3.5, 13 5.5, 13 -1, 5 -1))"),
+      graft.operators.JoinPredicate.Intersects, default = MIN).collect()
+    assert(res.length == 1)
+    val t = res(0)
+    assert(t.getAs[Int]("width") == 6 && t.getAs[Int]("height") == 5)
+    // reference expects this multiset (RasterFilterVectorRDDTest:107-117);
+    // our row-major order pins it exactly
+    assert(t.getSeq[Long](t.fieldIndex("data")) == Seq(
+      MIN, MIN, 29L, 30L, 31L, 32L,
+      MIN, 39L, 40L, 41L, 42L, 43L,
+      49L, 50L, 51L, 52L, 53L, 54L,
+      60L, 61L, 62L, 63L, 64L, 65L,
+      71L, 72L, 73L, 74L, 75L, 76L))
+  }
+
+  test("filterGeom: covering polygon passes the tile through unchanged (reference test 5)") {
+    val tiles = tileDF(Seq((0.0, 7.0, 11, 7, Seq.tabulate(77)(_.toLong))))
+    val res = Raster.filterGeom(tiles,
+      graft.functions.stf.st_geomfromwkt("POLYGON ((-1 -1, 100 -1, 100 100, -1 100, -1 -1))"),
+      graft.operators.JoinPredicate.Intersects, default = -1L).collect()
+    assert(res.length == 1)
+    val t = res(0)
+    assert(t.getAs[Double]("ulx") == 0.0 && t.getAs[Double]("uly") == 7.0)
+    assert(t.getAs[Int]("width") == 11 && t.getAs[Int]("height") == 7)
+    assert(t.getSeq[Long](t.fieldIndex("data")) == Seq.tabulate(77)(_.toLong))
+  }
+
   test("joinRasterIntersecting: aligned grids reproduce joinRaster; touching tiles drop") {
     val a = Raster.rasterize(pts, col("x"), col("y"), 1.0, 2, 2)
     val aligned = Raster.joinRasterIntersecting(a, a, cellSize = 4.0, (x, y) => x + y).collect()(0)
