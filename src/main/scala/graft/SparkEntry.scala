@@ -273,6 +273,21 @@ object SparkEntry {
       tileCsv(Raster.joinRasterIntersecting(a, b, cellSize = 200.0, (x, y) => x + y))
     }),
 
+    // equi-width bucket histogram over a varied-value raster (customer
+    // density at pw=50): global min/max + bucketed counts, trailing empty
+    // bucket included (reference createByteHistogram semantics).
+    "q36_bucket_histogram" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.customerPts(s, dir), col("cx"), col("cy"), 50.0, 5, 5)
+      Raster.bucketHistogram(tiles, buckets = 4).orderBy(col("bucket_lo"))
+    }),
+
+    // withValues(vs*): tiles containing ALL listed pixel values (SMA-style
+    // min/max prefilter + exact membership).
+    "q37_with_values" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.customerPts(s, dir), col("cx"), col("cy"), 50.0, 5, 5)
+      tileCsv(Raster.withValues(tiles, 1L, 6L))
+    }),
+
     // grid partitioner (SURVEY §2.10): partition-key histogram over the
     // packed cell id the partitioner shuffles on.
     "q27_grid_partition" -> ((s, dir) => {
@@ -546,6 +561,22 @@ object SparkEntry {
        "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
        "FROM j GROUP BY ix0, iy1, nw, nh ORDER BY ulx, uly"),
 
+    "q36_bucket_histogram" ->
+      (s"$custRasterSql, " +
+       "mm AS (SELECT min(v) mn, max(v) mx, greatest((max(v)-min(v)+3)//4, 1) step FROM cj), " +
+       "cnts AS (SELECT (v - mn)//step bi, count(*) cnt FROM cj, mm GROUP BY 1) " +
+       "SELECT mn + step*g.i AS bucket_lo, least(mn + step*(g.i+1)-1, mx) AS bucket_hi, " +
+       "COALESCE(cnt, 0) AS cnt FROM mm, generate_series(0,3) g(i) " +
+       "LEFT JOIN cnts ON cnts.bi = g.i ORDER BY bucket_lo"),
+
+    "q37_with_values" ->
+      (s"$custRasterSql " +
+       "SELECT CAST(tx*250 AS BIGINT) ulx, CAST(ty*250+250 AS BIGINT) uly, 5 AS width, 5 AS height, " +
+       "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
+       "FROM cj GROUP BY tx, ty " +
+       "HAVING count(*) FILTER (WHERE v=1) > 0 AND count(*) FILTER (WHERE v=6) > 0 " +
+       "ORDER BY ulx, uly"),
+
     // packed cell id for positive cells: ix * 2^32 + iy
     "q27_grid_partition" ->
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
@@ -604,6 +635,17 @@ object SparkEntry {
     "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, 10 AS width, 10 AS height, " +
     "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
     "FROM j GROUP BY tx, ty ORDER BY ulx, uly"
+
+  /** Customer-density raster (pw=50, 5x5-pixel tiles => world 250) as a
+    * per-tile row-major pixel table cj(tx, ty, i, v). */
+  private val custRasterSql: String =
+    s"WITH cpts AS (${Tables.customerPtsSql}), " +
+    "cpx AS (SELECT CAST(floor(cx/50) AS BIGINT) gx, CAST(floor(cy/50) AS BIGINT) gy, count(*) c FROM cpts GROUP BY 1,2), " +
+    "ctl AS (SELECT gx//5 tx, gy//5 ty, (4-(gy%5))*5+(gx%5) pix, c FROM cpx), " +
+    "ctiles AS (SELECT DISTINCT tx, ty FROM ctl), " +
+    "ccells AS (SELECT t.tx, t.ty, g.i FROM ctiles t, generate_series(0,24) g(i)), " +
+    "cj AS (SELECT c.tx, c.ty, c.i, COALESCE(ctl.c, 0) v FROM ccells c " +
+    "LEFT JOIN ctl ON ctl.tx=c.tx AND ctl.ty=c.ty AND ctl.pix=c.i)"
 
   private def rasterSideSql(t: String): String =
     s"px_$t AS (SELECT CAST(floor(ex/10) AS BIGINT) gx, CAST(floor(ey/10) AS BIGINT) gy, count(*) c " +

@@ -141,6 +141,47 @@ object Raster {
       .groupBy(col("pixel_value")).agg(count(lit(1)).as("cnt"))
 
   /**
+   * Equi-width bucket histogram over the whole raster (reference
+   * `createByteHistogram`, RasterUtils.scala:53-71, distributed): global
+   * [min, max] in one scan, step = max(1, ceil((max-min)/buckets)), bucket i
+   * spans [min + step·i, min(min + step·(i+1) - 1, max)]. All `buckets`
+   * rows are emitted, zero-count ones included, exactly like the reference
+   * (trailing buckets past max keep their nominal bounds).
+   *
+   * Two jobs total: a scalar min/max agg (broadcast back as a 1-row cross
+   * join, no driver round-trip in the plan) and one explode+groupBy with
+   * map-side partial aggregation.
+   */
+  def bucketHistogram(tiles: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val mm = tiles.agg(min(array_min(col("data"))).as("__mn"),
+                       max(array_max(col("data"))).as("__mx"))
+    val step = greatest(
+      floor((col("__mx") - col("__mn") + (buckets - 1)) / buckets).cast("long"), lit(1L))
+    val counts = tiles.select(explode(col("data")).as("__v"))
+      .crossJoin(broadcast(mm))
+      .groupBy(floor((col("__v") - col("__mn")) / step).cast("long").as("__bi"))
+      .agg(count(lit(1)).as("cnt"))
+    mm.select(explode(sequence(lit(0L), lit(buckets - 1L))).as("__bi"),
+        col("__mn"), col("__mx"))
+      .join(counts, Seq("__bi"), "left")
+      .select(
+        (col("__mn") + step * col("__bi")).as("bucket_lo"),
+        least(col("__mn") + step * (col("__bi") + 1) - 1, col("__mx")).as("bucket_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Keep tiles containing ALL the given pixel values (reference
+    * `withValues`, RasterRDD.scala:148-155) — SMA-style min/max prefilter
+    * first, then the exact per-value membership tests. */
+  def withValues(tiles: DataFrame, vs: Long*): DataFrame = {
+    require(vs.nonEmpty, "withValues needs at least one value")
+    tiles
+      .filter(array_min(col("data")) <= vs.min && array_max(col("data")) >= vs.max)
+      .filter(vs.map(v => array_contains(col("data"), lit(v))).reduce(_ && _))
+  }
+
+  /**
    * Raster ⋈ vector: tiles whose bounds satisfy the spatial predicate
    * against a vector geometry (reference RasterJoinVectorRDD). Joined via
    * the cell-replicate spatial join on the tile bounding geometry.

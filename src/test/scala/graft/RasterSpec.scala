@@ -69,6 +69,25 @@ class RasterSpec extends AnyFunSuite {
     assert(r.getAs[Long]("tile_agg") == 2L) // max pixel count in the tile
   }
 
+  test("bucketHistogram: equi-width buckets with trailing clamp and zero rows") {
+    // values 1..6 over two tiles; B=4 -> step=ceil(5/4)=2: [1,2] [3,4] [5,6] [7,6]
+    val tiles = tileDF(Seq(
+      (0.0, 2.0, 2, 2, Seq(1L, 2L, 3L, 4L)),
+      (2.0, 2.0, 2, 2, Seq(5L, 6L, 1L, 1L))))
+    val h = Raster.bucketHistogram(tiles, 4).orderBy(col("bucket_lo")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(h == List((1L, 2L, 4L), (3L, 4L, 2L), (5L, 6L, 2L), (7L, 6L, 0L)))
+  }
+
+  test("withValues keeps only tiles containing every listed value") {
+    val tiles = tileDF(Seq(
+      (0.0, 2.0, 2, 2, Seq(1L, 2L, 3L, 4L)),   // has 1 and 4
+      (2.0, 2.0, 2, 2, Seq(5L, 6L, 1L, 1L)),   // has 1, not 4
+      (4.0, 2.0, 2, 2, Seq(4L, 4L, 4L, 4L))))  // has 4, not 1
+    val kept = Raster.withValues(tiles, 1L, 4L).select("ulx").collect().map(_.getDouble(0))
+    assert(kept.toList == List(0.0))
+  }
+
   test("joinRaster combines pixels of co-located tiles only") {
     val a = Raster.rasterize(pts, col("x"), col("y"), 1.0, 2, 2)
     val sum = Raster.joinRaster(a, a, (x, y) => x + y).collect()(0)
