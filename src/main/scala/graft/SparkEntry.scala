@@ -310,6 +310,26 @@ object SparkEntry {
         .select(col("c_custkey")).orderBy(col("c_custkey"))
     }),
 
+    // reference tileFile CSV format: write + reload is the identity on the
+    // rasterized event grid (oracle = the q21 rasterize SQL).
+    "q38_tilefile_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tilefile_q38"
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+      graft.sources.TileStore.saveCsv(tiles, path)
+      tileCsv(graft.sources.TileStore.loadCsv(s, path))
+    }),
+
+    // cell-partitioned parquet tile store with load-time box pruning: only
+    // tiles strictly overlapping [150,350]^2 come back (pruning itself is
+    // asserted in StorageSpec).
+    "q39_tile_store_pruned" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tilestore_q39"
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+      graft.sources.TileStore.save(tiles, path, cellSize = 100.0)
+      tileCsv(graft.sources.TileStore.loadIntersecting(s, path,
+        150.0, 150.0, 350.0, 350.0, cellSize = 100.0, maxTileSpan = 100.0))
+    }),
+
     // multimodal plumbing: synthetic media payloads + typed metadata.
     "q29_multimodal_meta" -> ((s, dir) => {
       Multimodal.withSyntheticMedia(Tables.load(s, dir, "documents"),
@@ -587,6 +607,15 @@ object SparkEntry {
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
        "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
        "ORDER BY c_custkey"),
+
+    "q38_tilefile_roundtrip" -> s"$rasterBaseSql $tileCsvSelectSql",
+
+    "q39_tile_store_pruned" ->
+      (s"$rasterBaseSql " +
+       "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, 10 AS width, 10 AS height, " +
+       "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv FROM j " +
+       "WHERE tx*100 < 350 AND tx*100+100 > 150 AND ty*100 < 350 AND ty*100+100 > 150 " +
+       "GROUP BY tx, ty ORDER BY ulx, uly"),
 
     "q29_multimodal_meta" ->
       ("SELECT doc_id, (['image','audio','video'])[CAST(doc_id%3+1 AS INT)] AS media_type, " +

@@ -70,6 +70,38 @@ class StorageSpec extends AnyFunSuite {
     assert(scanned < total / 2, s"scanned $scanned of $total files")
   }
 
+  test("TileStore: CSV round trip is the identity; parquet store prunes on the query box") {
+    import graft.operators.Raster
+    import graft.sources.TileStore
+    val tiles = Raster.rasterize(Tables.eventPts(spark, "/root/testdata/sf0.001"),
+      col("ex"), col("ey"), 10.0, 10, 10)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("ulx"), col("uly"), concat_ws(",", transform(col("data"), x => x.cast("string"))))
+      .collect().map(_.toSeq).toSet
+
+    val csvPath = s"${System.getProperty("java.io.tmpdir")}/graft_tilestore_csv_spec"
+    TileStore.saveCsv(tiles, csvPath)
+    assert(key(TileStore.loadCsv(spark, csvPath)) == key(tiles))
+
+    val pqPath = s"${System.getProperty("java.io.tmpdir")}/graft_tilestore_pq_spec"
+    TileStore.save(tiles, pqPath, cellSize = 100.0)
+    assert(key(TileStore.load(spark, pqPath)) == key(tiles))
+
+    val pruned = TileStore.loadIntersecting(spark, pqPath,
+      150.0, 150.0, 350.0, 350.0, cellSize = 100.0, maxTileSpan = 100.0)
+    // correctness: pruned load == full-scan strict-overlap filter
+    val expect = tiles.filter(col("ulx") < 350 && col("ulx") + 100 > 150 &&
+      col("uly") > 150 && col("uly") - 100 < 350)
+    assert(key(pruned) == key(expect))
+    // and it actually pruned the file listing
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    val total = TileStore.load(spark, pqPath).inputFiles.length
+    assert(scanned < total, s"expected pruning: scanned $scanned of $total files")
+  }
+
   test("temporal layout pushes the time-range filter into the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_temporal"
