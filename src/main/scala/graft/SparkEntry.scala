@@ -357,6 +357,15 @@ object SparkEntry {
         .orderBy(col("n_nationkey"), col("c_custkey"))
     }),
 
+    // STRtree-refined cell join: same pairs as q6 via the per-cell index
+    // path (build tree over the cell's points, probe box envelopes).
+    "q40_join_indexed" -> ((s, dir) => {
+      SpatialJoin.joinIndexed(Tables.nationRects(s, dir), Tables.customerPts(s, dir),
+          "n_geo", "c_geo", JoinPredicate.Contains, cellSize = 100.0)
+        .select(col("n_nationkey"), col("c_custkey"))
+        .orderBy(col("n_nationkey"), col("c_custkey"))
+    }),
+
     // temporal containedby with an OPEN-ended container interval — the
     // reference's trickiest temporal edge case as a driver-checked query.
     "q32_temporal_containedby" -> ((s, dir) => {
@@ -634,6 +643,12 @@ object SparkEntry {
       (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
        "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
        "WHERE cx >= nx AND cx <= nx+150 AND cy >= ny AND cy <= ny+150 " +
+       "ORDER BY n_nationkey, c_custkey"),
+
+    "q40_join_indexed" ->
+      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
+       "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
        "ORDER BY n_nationkey, c_custkey"),
 
     // open-ended container: spatial strict-interior AND et >= T1

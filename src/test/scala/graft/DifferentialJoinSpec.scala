@@ -53,6 +53,42 @@ class DifferentialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("STRtree-refined cell join and broadcast join equal the declarative plans") {
+    for (cellSize <- Seq(1.0, 3.0, 10.0)) {
+      val (pts, boxes) = mkData(120, cellSize)
+      for (pred <- Seq(JoinPredicate.Intersects, JoinPredicate.Contains,
+                       JoinPredicate.CoveredBy)) {
+        val base = pairs(SpatialJoin.join(boxes, pts, col("bgeo"), col("pgeo"), pred, cellSize))
+        val idx = pairs(SpatialJoin.joinIndexed(boxes, pts, "bgeo", "pgeo", pred, cellSize))
+        assert(idx == base, s"joinIndexed cellSize=$cellSize pred=$pred: " +
+          s"missing=${(base -- idx).take(5)} extra=${(idx -- base).take(5)}")
+        val bidx = pairs(SpatialJoin.broadcastJoinIndexed(boxes, pts, "bgeo", "pgeo", pred))
+        assert(bidx == base, s"broadcastJoinIndexed pred=$pred: " +
+          s"missing=${(base -- bidx).take(5)} extra=${(bidx -- base).take(5)}")
+      }
+    }
+  }
+
+  test("hot cell: indexed join stays correct when everything lands in one cell") {
+    import spark.implicits._
+    // 600 points + 300 boxes inside one 1000-unit cell: the declarative join
+    // would refine 180k pairs with JTS; the tree probe visits only envelope
+    // hits. Assert exact equality of outputs.
+    val pts = (0 until 600).map { i =>
+      (i.toLong, (i * 37 % 500).toDouble, (i * 61 % 500).toDouble)
+    }.toDF("pid", "px", "py").withColumn("pgeo", stf.st_point(col("px"), col("py")))
+    val boxes = (0 until 300).map { i =>
+      val x0 = (i * 53 % 480).toDouble; val y0 = (i * 29 % 480).toDouble
+      (i.toLong, x0, y0, x0 + 20, y0 + 20)
+    }.toDF("bid", "x0", "y0", "x1", "y1")
+      .withColumn("bgeo", stf.st_box(col("x0"), col("y0"), col("x1"), col("y1")))
+    val base = pairs(SpatialJoin.broadcastJoin(boxes, pts, col("bgeo"), col("pgeo"),
+      JoinPredicate.Contains))
+    val idx = pairs(SpatialJoin.joinIndexed(boxes, pts, "bgeo", "pgeo",
+      JoinPredicate.Contains, cellSize = 1000.0))
+    assert(idx == base && base.nonEmpty)
+  }
+
   test("distance join equals BNLJ within-distance for boundary-heavy data") {
     for (cellSize <- Seq(2.0, 5.0)) {
       val (pts, boxes) = mkData(100, cellSize)
