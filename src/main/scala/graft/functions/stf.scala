@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, Multiply, Subtract}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
@@ -66,6 +66,13 @@ object GraftFunctions {
     "st_ref_cell"     -> ((es: Seq[Expression]) =>
       STRefCell(if (es.size == 5) Seq(es(0), es(1), d(es(2)), l(es(3)), d(es(4)))
                 else Seq(es(0), es(1), d(es(2)), l(es(3)), Literal(0d)))),
+    // tile bounding box as an stobj (reference st_geomfromtile,
+    // sql/raster/RasterFunction.scala) — open-struct args instead of a UDT
+    "st_geomfromtile" -> ((es: Seq[Expression]) => {
+      val ulx = d(es(0)); val uly = d(es(1))
+      val w = d(es(2)); val h = d(es(3)); val pw = d(es(4))
+      STMakeBox(ulx, Subtract(uly, Multiply(h, pw)), Add(ulx, Multiply(w, pw)), uly)
+    }),
     "st_clip_tile"    -> ((es: Seq[Expression]) => STClipTile(Seq(
       d(es(0)), d(es(1)), i(es(2)), i(es(3)), d(es(4)), es(5), es(6), b(es(7)), l(es(8))))),
     // text/vector dedup primitives (TextExpressions.scala)
@@ -94,7 +101,7 @@ object GraftFunctions {
     "st_minx" -> (1, 1), "st_maxx" -> (1, 1), "st_miny" -> (1, 1),
     "st_maxy" -> (1, 1), "st_tstart" -> (1, 1), "st_tend" -> (1, 1),
     "st_cell" -> (2, 2), "st_cells" -> (2, 3), "st_ref_cell" -> (4, 5),
-    "st_clip_tile" -> (9, 9),
+    "st_clip_tile" -> (9, 9), "st_geomfromtile" -> (5, 5),
     "minhash_sig" -> (2, 2), "band_buckets" -> (2, 2), "simhash64" -> (1, 1),
     "hamming" -> (2, 2), "hyperplane_buckets" -> (3, 3), "vec_dot" -> (2, 2),
     "vec_norm" -> (1, 1), "word_shingles" -> (2, 2),
@@ -183,6 +190,9 @@ object stf {
     call_function("st_ref_cell", a, b, cellSize, cell)
   def st_ref_cell(a: Column, b: Column, cellSize: Column, cell: Column, radius: Column): Column =
     call_function("st_ref_cell", a, b, cellSize, cell, radius)
+  def st_geomfromtile(ulx: Column, uly: Column, width: Column, height: Column,
+                      pixelWidth: Column): Column =
+    call_function("st_geomfromtile", ulx, uly, width, height, pixelWidth)
   def st_clip_tile(ulx: Column, uly: Column, width: Column, height: Column,
                    pixelWidth: Column, data: Column, qry: Column,
                    isIntersects: Column, default: Column): Column =

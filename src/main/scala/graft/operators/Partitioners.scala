@@ -41,6 +41,51 @@ object Partitioners {
       .repartition(numPartitions, col("part_cell"), col("part_tbucket"))
   }
 
+  /**
+   * STR (Sort-Tile-Recursive) packing — the R-tree bulk-load leaf rule
+   * (reference RTreePartitioner.scala:11-118 samples the data into an
+   * R-tree and partitions by its leaf MBRs; STR packing is exactly how an
+   * STRtree forms leaves, computed here declaratively and exactly): rows
+   * ordered by (x, tie) split into s = ceil(√P) equal-count vertical
+   * slices, each slice ordered by (y, tie) split into s runs — near-square,
+   * count-balanced spatial partitions.
+   *
+   * The only global step is the distributed range-partitioned sort +
+   * `zipWithIndex` for slice assignment (no driver collect); runs use a
+   * window partitioned by slice. Both levels size groups by the SQL-standard
+   * ntile rule, so an external oracle reproduces the exact partition ids.
+   */
+  def strPartition(df: DataFrame, xCol: Column, yCol: Column, tieBreak: Column,
+                   numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    val s = math.ceil(math.sqrt(numPartitions)).toInt
+    val spark = df.sparkSession
+    // ntile group of 0-based idx among n rows: first n%s groups get one extra
+    def tile(idx: Column, n: Column): Column = {
+      val q = floor(n / s).cast("long")
+      val r = pmod(n, lit(s.toLong))
+      when(idx < r * (q + 1), floor(idx / (q + 1)))
+        .otherwise(r + floor((idx - r * (q + 1)) / greatest(q, lit(1L))))
+        .cast("long")
+    }
+    val n = df.count()
+    val sorted = df.sort(xCol, tieBreak)
+    val schema = sorted.schema.add("__gidx", org.apache.spark.sql.types.LongType, nullable = false)
+    val idxd = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }, schema)
+    import org.apache.spark.sql.expressions.Window
+    val wSlice = Window.partitionBy(col("__part_slice"))
+    idxd.withColumn("__part_slice", tile(col("__gidx"), lit(n)))
+      .withColumn("__sidx",
+        (row_number().over(wSlice.orderBy(yCol, tieBreak)) - 1).cast("long"))
+      .withColumn("__scnt", count(lit(1)).over(wSlice))
+      .withColumn("part_str", col("__part_slice") * s + tile(col("__sidx"), col("__scnt")))
+      .drop("__gidx", "__part_slice", "__sidx", "__scnt")
+      .repartition(s * s, col("part_str"))
+  }
+
   /** A BSP split: right-open rectangle in cell-index space with its cost. */
   final case class BspRegion(x0: Int, y0: Int, x1: Int, y1: Int, cost: Long)
 

@@ -50,11 +50,12 @@ object Raster {
           i => coalesce(element_at(col("__m"), i), lit(0L))).as("data"))
   }
 
-  /** Tile bounding box as an stobj (reference `st_geomfromtile`). */
+  /** Tile bounding box as an stobj — the SQL-registered `st_geomfromtile`
+    * (reference sql/raster/RasterFunction.scala) over the open tile struct. */
   def tileGeom(df: DataFrame): Column = {
     GraftFunctions.register(df.sparkSession)
-    stf.st_box(col("ulx"), col("uly") - col("height") * col("pixel_width"),
-      col("ulx") + col("width") * col("pixel_width"), col("uly"))
+    stf.st_geomfromtile(col("ulx"), col("uly"), col("width"), col("height"),
+      col("pixel_width"))
   }
 
   /**
@@ -233,6 +234,15 @@ object Raster {
           Row(tx * w * pixelWidth, (ty + 1) * h * pixelWidth, w, h, pixelWidth, data)
         }
       }(Encoders.row(schema))
+  }
+
+  /** Raster ⋈ vector through the per-cell STRtree path (reference's
+    * index-accelerated raster join) — same output as [[joinVector]]. */
+  def joinVectorIndexed(tiles: DataFrame, vec: DataFrame, vecGeom: String,
+                        pred: JoinPredicate, cellSize: Double): DataFrame = {
+    val withGeom = tiles.withColumn("__tgeo", tileGeom(tiles))
+    SpatialJoin.joinIndexed(withGeom, vec, "__tgeo", vecGeom, pred, cellSize)
+      .drop("__tgeo")
   }
 
   /** Raster ⋈ vector with a per-match tile aggregate (reference
