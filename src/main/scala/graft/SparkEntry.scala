@@ -368,6 +368,23 @@ object SparkEntry {
         .orderBy(col("n_nationkey"), col("c_custkey"))
     }),
 
+    // temporal interval-overlap self-join (the reference's IntervalTree use
+    // case): event intervals [et, et+60s] that overlap, bucket-replicated
+    // on 120s time cells with exact refine + reference-bucket dedup.
+    "q42_interval_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"))
+      val a = e.select(col("event_id").as("id_a"), col("et").as("sa"),
+        (col("et") + 60000000L).as("ea"))
+      val b = e.select(col("event_id").as("id_b"), col("et").as("sb"),
+        (col("et") + 60000000L).as("eb"))
+      TemporalJoin.overlaps(a, b, col("sa"), col("ea"), col("sb"), col("eb"),
+          bucket = 120000000L)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // STRtree-refined cell join: same pairs as q6 via the per-cell index
     // path (build tree over the cell's points, probe box envelopes).
     "q40_join_indexed" -> ((s, dir) => {
@@ -673,6 +690,13 @@ object SparkEntry {
        "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
        "WHERE cx >= nx AND cx <= nx+150 AND cy >= ny AND cy <= ny+150 " +
        "ORDER BY n_nationkey, c_custkey"),
+
+    "q42_interval_join" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}), " +
+       "iv AS (SELECT event_id, et AS s, et + 60000000 AS e FROM epts) " +
+       "SELECT a.event_id AS id_a, b.event_id AS id_b FROM iv a, iv b " +
+       "WHERE a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e " +
+       "ORDER BY id_a, id_b"),
 
     "q40_join_indexed" ->
       (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +

@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.locationtech.jts.index.SpatialIndex
+import org.locationtech.jts.index.quadtree.Quadtree
 import org.locationtech.jts.index.strtree.STRtree
 
 import scala.jdk.CollectionConverters._
@@ -95,6 +97,17 @@ object SpatialJoin {
     if (r == null) null
     else new GenericInternalRow(Array[Any](r.getAs[Array[Byte]](0), r.get(1), r.get(2)))
 
+  /** Live index structure per cell/broadcast side: STR-packed R-tree
+    * (default; bulk-loads on first query) or a point-quadtree (reference
+    * IndexConfig's RTREE / QUADTREE choices). Both may return envelope
+    * false positives — the exact predicate refines either way. */
+  private def mkIndex(kind: String): SpatialIndex = kind match {
+    case "rtree"    => new STRtree()
+    case "quadtree" => new Quadtree()
+    case other => throw new IllegalArgumentException(
+      s"unknown index kind '$other' (expected rtree or quadtree)")
+  }
+
   private def opCode(pred: JoinPredicate): Int = pred match {
     case JoinPredicate.Intersects  => GeoOps.INTERSECTS
     case JoinPredicate.Contains    => GeoOps.CONTAINS
@@ -115,9 +128,11 @@ object SpatialJoin {
    * per-partition index build has).
    */
   def joinIndexed(left: DataFrame, right: DataFrame, leftGeom: String, rightGeom: String,
-                  pred: JoinPredicate, cellSize: Double): DataFrame = {
+                  pred: JoinPredicate, cellSize: Double,
+                  index: String = "rtree"): DataFrame = {
     GraftFunctions.register(left.sparkSession)
     val op = opCode(pred)
+    val kind = index
     val l = left.withColumn("__icell", explode(stf.st_cells(col(leftGeom), lit(cellSize))))
     val r = right.withColumn("__icell", explode(stf.st_cells(col(rightGeom), lit(cellSize))))
     val lGeo = l.schema.fieldIndex(leftGeom); val lCell = l.schema.fieldIndex("__icell")
@@ -126,7 +141,7 @@ object SpatialJoin {
     val lkv = l.groupByKey(row => row.getLong(lCell))(Encoders.scalaLong)
     val rkv = r.groupByKey(row => row.getLong(rCell))(Encoders.scalaLong)
     lkv.cogroup(rkv) { (cell, lIt, rIt) =>
-      val tree = new STRtree()
+      val tree = mkIndex(kind)
       var n = 0
       rIt.foreach { rr =>
         val rsto = stoRow(rr.getAs[Row](rGeo))
@@ -137,7 +152,6 @@ object SpatialJoin {
       }
       if (n == 0) Iterator.empty
       else {
-        tree.build()
         lIt.flatMap { lr =>
           val lsto = stoRow(lr.getAs[Row](lGeo))
           if (lsto == null) Iterator.empty
@@ -163,22 +177,23 @@ object SpatialJoin {
    * left rows against it instead of scanning all broadcast rows.
    */
   def broadcastJoinIndexed(left: DataFrame, right: DataFrame, leftGeom: String,
-                           rightGeom: String, pred: JoinPredicate): DataFrame = {
+                           rightGeom: String, pred: JoinPredicate,
+                           index: String = "rtree"): DataFrame = {
     GraftFunctions.register(left.sparkSession)
     val op = opCode(pred)
+    val kind = index
     val lGeo = left.schema.fieldIndex(leftGeom)
     val rGeo = right.schema.fieldIndex(rightGeom)
     val outSchema = StructType(left.schema.fields ++ right.schema.fields)
     val bc = left.sparkSession.sparkContext.broadcast(right.collect())
     left.mapPartitions { it =>
       lazy val tree = {
-        val t = new STRtree()
+        val t = mkIndex(kind)
         bc.value.foreach { rr =>
           val rsto = stoRow(rr.getAs[Row](rGeo))
           if (rsto != null)
             t.insert(GeoOps.readGeom(rsto.getBinary(0)).getEnvelopeInternal, (rr, rsto))
         }
-        t.build()
         t
       }
       it.flatMap { lr =>

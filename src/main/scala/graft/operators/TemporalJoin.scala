@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Interval-overlap θ-join on long epoch intervals — the query the
+ * reference serves with its temporal live index (reference
+ * spatial/indexed/IntervalTree1.scala, plugged in via IndexFactory), with
+ * the overlap rule of its Interval algebra (Interval.scala:32-44: closed
+ * intervals `[s, e]` overlap iff s1 <= e2 AND s2 <= e1).
+ *
+ * Spark-first shape instead of a per-partition tree: each interval explodes
+ * the fixed-width time buckets it spans, Spark hash-joins on the bucket id,
+ * the exact overlap predicate refines, and a pair is reported only from the
+ * bucket containing max(s1, s2) — exactly one report per overlapping pair,
+ * no distinct shuffle (the temporal twin of the spatial reference-point
+ * rule). Choose `bucket` near the typical interval length so replication
+ * stays O(1) per row.
+ */
+object TemporalJoin {
+
+  /** Exact bucket id for non-negative epoch longs: integer division via
+    * pmod so the result is bit-identical to an external `x // bucket`. */
+  private def bucketOf(c: Column, bucket: Long): Column =
+    ((c - pmod(c, lit(bucket))) / bucket).cast("long")
+
+  def overlaps(left: DataFrame, right: DataFrame,
+               lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
+               bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val l = left.withColumn("__tb_l",
+      explode(sequence(bucketOf(lStart, bucket), bucketOf(lEnd, bucket))))
+    val r = right.withColumn("__tb_r",
+      explode(sequence(bucketOf(rStart, bucket), bucketOf(rEnd, bucket))))
+    l.join(r,
+        l("__tb_l") === r("__tb_r") &&
+        lStart <= rEnd && rStart <= lEnd &&
+        l("__tb_l") === bucketOf(greatest(lStart, rStart), bucket))
+      .drop("__tb_l", "__tb_r")
+  }
+}

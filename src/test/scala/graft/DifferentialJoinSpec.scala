@@ -69,6 +69,38 @@ class DifferentialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("quadtree-refined join equals the rtree and declarative plans") {
+    val (pts, boxes) = mkData(120, 3.0)
+    val base = pairs(SpatialJoin.join(boxes, pts, col("bgeo"), col("pgeo"),
+      JoinPredicate.Intersects, 3.0))
+    val quad = pairs(SpatialJoin.joinIndexed(boxes, pts, "bgeo", "pgeo",
+      JoinPredicate.Intersects, 3.0, index = "quadtree"))
+    assert(quad == base && base.nonEmpty)
+    val bquad = pairs(SpatialJoin.broadcastJoinIndexed(boxes, pts, "bgeo", "pgeo",
+      JoinPredicate.Intersects, index = "quadtree"))
+    assert(bquad == base)
+  }
+
+  test("temporal interval-overlap join equals the cross-join filter, boundary-heavy") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    // intervals snapped to bucket/2 so starts/ends land exactly on bucket
+    // boundaries — the dedup rule's failure mode
+    val iv = (0 until 200).map { i =>
+      val s = rnd.nextInt(40) * 50L
+      (i.toLong, s, s + rnd.nextInt(6) * 50L)
+    }.toDF("id", "s", "e")
+    val a = iv.select(col("id").as("id_a"), col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("id").as("id_b"), col("s").as("sb"), col("e").as("eb"))
+    for (bucket <- Seq(50L, 100L, 300L)) {
+      val got = TemporalJoin.overlaps(a, b, col("sa"), col("ea"), col("sb"), col("eb"), bucket)
+        .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = a.crossJoin(b).filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"bucket=$bucket missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
   test("hot cell: indexed join stays correct when everything lands in one cell") {
     import spark.implicits._
     // 600 points + 300 boxes inside one 1000-unit cell: the declarative join
