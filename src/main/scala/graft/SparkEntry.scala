@@ -160,9 +160,12 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-dup pairs via random-hyperplane LSH + exact
-    // refine — the 100TB path for q17, same output contract. planes=2/
-    // tables=64 puts the per-pair miss probability at ~3e-15 for cosine
-    // 0.42; the seeded hash makes the result deterministic.
+    // refine, same output contract as q17. planes=2/tables=64 makes recall
+    // provable (~3e-15 per-pair miss at cosine 0.42) for the oracle gate;
+    // at this moderate threshold LSH cannot prune (information-theoretic),
+    // so these params trade throughput for a checkable result — dedup-grade
+    // thresholds (>=0.9) with planes~log2(n) are the genuinely sublinear
+    // 100TB configuration of the same operator.
     "q33_dedup_cosine_lsh" -> ((s, dir) => {
       Dedup.cosinePairsLsh(Tables.load(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), threshold = 0.42, tables = 64, planes = 2)
@@ -285,7 +288,7 @@ object SparkEntry {
     // min/max prefilter + exact membership).
     "q37_with_values" -> ((s, dir) => {
       val tiles = Raster.rasterize(Tables.customerPts(s, dir), col("cx"), col("cy"), 50.0, 5, 5)
-      tileCsv(Raster.withValues(tiles, 1L, 6L))
+      tileCsv(Raster.withValues(tiles, 1L, 2L))
     }),
 
     // grid partitioner (SURVEY §2.10): partition-key histogram over the
@@ -642,7 +645,7 @@ object SparkEntry {
        "SELECT CAST(tx*250 AS BIGINT) ulx, CAST(ty*250+250 AS BIGINT) uly, 5 AS width, 5 AS height, " +
        "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv " +
        "FROM cj GROUP BY tx, ty " +
-       "HAVING count(*) FILTER (WHERE v=1) > 0 AND count(*) FILTER (WHERE v=6) > 0 " +
+       "HAVING count(*) FILTER (WHERE v=1) > 0 AND count(*) FILTER (WHERE v=2) > 0 " +
        "ORDER BY ulx, uly"),
 
     // packed cell id for positive cells: ix * 2^32 + iy

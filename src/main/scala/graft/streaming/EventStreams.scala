@@ -59,4 +59,17 @@ object EventStreams {
     * readStream — declarative parity between batch and stream. */
   def spatialFilter(events: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
     events.filter(predicate)
+
+  /** Streaming exact dedup on a content fingerprint — the streaming twin of
+    * [[graft.operators.Dedup.exact]]. `dropDuplicatesWithinWatermark` keeps
+    * the dedup state bounded by the watermark horizon instead of growing
+    * forever; duplicates arriving inside the horizon are dropped, the first
+    * occurrence streams through unchanged. `ts` must be TimestampType. */
+  def dedupExact(docs: DataFrame, textCol: org.apache.spark.sql.Column,
+                 watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__content_hash", md5(textCol.cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
 }

@@ -143,6 +143,65 @@ class RasterSpec extends AnyFunSuite {
     assert(t.getSeq[Long](t.fieldIndex("data")) == Seq.tabulate(77)(_.toLong))
   }
 
+  test("filterGeom on a pixel-aligned box equals filterClip (randomized differential)") {
+    val rnd = new scala.util.Random(11)
+    val world = Seq.tabulate(400)(i => ((i % 20) + 0.5, (i / 20) + 0.5)).toDF("x", "y")
+    val tiles = Raster.rasterize(world, col("x"), col("y"), 1.0, 4, 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ulx"), col("uly"), col("width"), col("height"),
+        concat_ws(",", transform(col("data"), x => x.cast("string"))))
+      .collect().map(_.toSeq).toSet
+    for (_ <- 1 to 4) {
+      val x0 = rnd.nextInt(10).toDouble; val y0 = rnd.nextInt(10).toDouble
+      val x1 = x0 + 1 + rnd.nextInt(8); val y1 = y0 + 1 + rnd.nextInt(8)
+      val wkt = s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+      // every frame pixel of an axis-aligned box query intersects the box,
+      // so no default fill and the two operators must agree exactly
+      val viaGeom = key(Raster.filterGeom(tiles,
+        graft.functions.stf.st_geomfromwkt(wkt),
+        graft.operators.JoinPredicate.Intersects, default = -99L))
+      val viaClip = key(Raster.filterClip(tiles, x0, y0, x1, y1))
+      assert(viaGeom == viaClip, s"box ($x0,$y0)-($x1,$y1)")
+    }
+  }
+
+  test("joinRasterIntersecting equals a brute-force pair computation (randomized)") {
+    val rnd = new scala.util.Random(13)
+    // random 3x3 tiles at integer anchors with pw=1, values 0..9
+    def mk(n: Int, seedShift: Int) = tileDF((0 until n).map { i =>
+      (rnd.nextInt(6).toDouble, (rnd.nextInt(6) + 3).toDouble, 3, 3,
+       Seq.fill(9)(rnd.nextInt(10).toLong))
+    })
+    val a = mk(8, 0).dropDuplicates("ulx", "uly").localCheckpoint()
+    val b = mk(8, 1).dropDuplicates("ulx", "uly").localCheckpoint()
+    val got = Raster.joinRasterIntersecting(a, b, cellSize = 7.0, (x, y) => x * 100 + y)
+      .select(col("ulx"), col("uly"), col("width"), col("height"),
+        concat_ws(",", transform(col("data"), x => x.cast("string"))))
+      .collect().map(_.toSeq).toSet
+    // brute force on the driver
+    def tiles(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3),
+       r.getSeq[Long](5).toArray)
+    }
+    val exp = (for {
+      (ax, ay, aw, ah, ad) <- tiles(a)
+      (bx, by, bw, bh, bd) <- tiles(b)
+      ix0 = math.max(ax, bx); ix1 = math.min(ax + aw, bx + bw)
+      iy1 = math.min(ay, by); iy0 = math.max(ay - ah, by - bh)
+      if ix1 > ix0 && iy1 > iy0
+    } yield {
+      val nw = (ix1 - ix0).toInt; val nh = (iy1 - iy0).toInt
+      val data = (0 until nw * nh).map { i =>
+        val px = ix0 + i % nw; val py = iy1 - i / nw
+        val av = ad(((ay - py).toInt) * aw + (px - ax).toInt)
+        val bv = bd(((by - py).toInt) * bw + (px - bx).toInt)
+        av * 100 + bv
+      }
+      Seq[Any](ix0, iy1, nw, nh, data.mkString(","))
+    }).toSet
+    assert(got == exp && exp.nonEmpty)
+  }
+
   test("joinRasterIntersecting: aligned grids reproduce joinRaster; touching tiles drop") {
     val a = Raster.rasterize(pts, col("x"), col("y"), 1.0, 2, 2)
     val aligned = Raster.joinRasterIntersecting(a, a, cellSize = 4.0, (x, y) => x + y).collect()(0)

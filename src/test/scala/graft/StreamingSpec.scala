@@ -32,6 +32,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.dedupExact(docs, col("text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:01:00")
+      input.addData((t, 1L, "alpha"), (t, 2L, "alpha"), (t, 3L, "beta"))
+      q.processAllAvailable()
+      input.addData((t, 4L, "alpha"), (t, 5L, "gamma")) // alpha still in horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      // one survivor per distinct text; doc 1 or 2 for alpha (intra-batch
+      // order is nondeterministic), 3 for beta, 5 for gamma — never 4
+      assert(!ids.contains(4L) && ids.contains(3L) && ids.contains(5L))
+      assert(ids.size == 3 && (ids.contains(1L) || ids.contains(2L)))
+    } finally q.stop()
+  }
+
   test("streaming spatial filter applies st_* predicates per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
