@@ -1,17 +1,28 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
-/** Dev tool: print formatted physical plans of selected queries. */
+
+/** Plan-audit tool: prints the formatted physical plan of selected queries
+  * so shuffle/broadcast/pushdown/codegen claims can be inspected per round.
+  * `runMain graft.Explain [sfDir] [query...]` — defaults to a set of
+  * scale-critical queries. Output goes to stdout between PLAN markers. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q2_filter_containedby", "q6_spatial_join",
+        "q4_distance_join", "q35_raster_join_misaligned", "q39_tile_store_pruned",
+        "q42_interval_join", "q13_dedup_exact")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg", "q2_filter_containedby", "q6_spatial_join", "q4_distance_join", "q5_knn")
     names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      println(s"==== PLAN $n ====")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
