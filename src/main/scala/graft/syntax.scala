@@ -42,6 +42,16 @@ object syntax {
     def stDistanceJoin(other: DataFrame, geo: Column, otherGeo: Column,
                        maxDist: Double, cellSize: Double): DataFrame =
       SpatialJoin.distanceJoin(df, other, geo, otherGeo, maxDist, cellSize)
+    def stJoinIndexed(other: DataFrame, geoName: String, otherGeoName: String,
+                      pred: JoinPredicate, cellSize: Double,
+                      index: String = "rtree"): DataFrame =
+      SpatialJoin.joinIndexed(df, other, geoName, otherGeoName, pred, cellSize, index)
+    def stBroadcastJoinIndexed(other: DataFrame, geoName: String, otherGeoName: String,
+                               pred: JoinPredicate, index: String = "rtree"): DataFrame =
+      SpatialJoin.broadcastJoinIndexed(df, other, geoName, otherGeoName, pred, index)
+    def stTemporalOverlapJoin(other: DataFrame, start: Column, end: Column,
+                              otherStart: Column, otherEnd: Column, bucket: Long): DataFrame =
+      TemporalJoin.overlaps(df, other, start, end, otherStart, otherEnd, bucket)
 
     // ---- kNN family (reference Plain:112-252) ----
     def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)
@@ -57,15 +67,29 @@ object syntax {
     // ---- partitioning (reference partitioner suite) ----
     def stGridPartition(geo: Column, cellSize: Double, numPartitions: Int): DataFrame =
       Partitioners.gridPartition(df, geo, cellSize, numPartitions)
+    def stStrPartition(x: Column, y: Column, tieBreak: Column, numPartitions: Int): DataFrame =
+      Partitioners.strPartition(df, x, y, tieBreak, numPartitions)
 
     // ---- raster (reference RasterRDD) ----
     def stRasterize(x: Column, y: Column, pixelWidth: Double, tileW: Int, tileH: Int): DataFrame =
       Raster.rasterize(df, x, y, pixelWidth, tileW, tileH)
+    def stRasterFilter(qry: Column, pred: JoinPredicate = JoinPredicate.Intersects,
+                       default: Long = 0L): DataFrame =
+      Raster.filterGeom(df, qry, pred, default)
+    def stWithValues(vs: Long*): DataFrame = Raster.withValues(df, vs: _*)
+    def stBucketHistogram(buckets: Int): DataFrame = Raster.bucketHistogram(df, buckets)
+    def stJoinRaster(other: DataFrame, combine: (Column, Column) => Column): DataFrame =
+      Raster.joinRaster(df, other, combine)
+    def stJoinRasterIntersecting(other: DataFrame, cellSize: Double,
+                                 combine: (Column, Column) => Column): DataFrame =
+      Raster.joinRasterIntersecting(df, other, cellSize, combine)
 
     // ---- training-data ops ----
     def dedupExact(id: Column, text: Column): DataFrame = Dedup.exact(df, id, text)
     def nearDupPairs(id: Column, text: Column): DataFrame =
       Dedup.minhashLshPairs(df, id, text)
+    def dropNearDuplicates(id: Column, text: Column): DataFrame =
+      Dedup.dropNearDuplicates(df, id, text)
     def annTopK(queries: DataFrame, id: Column, qid: Column,
                 vec: Column, qvec: Column, k: Int): DataFrame =
       Similarity.bruteTopK(df, queries, id, qid, vec, qvec, k)

@@ -24,6 +24,31 @@ class SyntaxSpec extends AnyFunSuite {
     assert(fluent == direct && fluent.size == 5)
   }
 
+  test("round-3 fluent surface: indexed join, raster filter, temporal overlap") {
+    val n = Tables.nationRects(spark, dir)
+    val c = Tables.customerPts(spark, dir)
+    val viaIdx = n.stJoinIndexed(c, "n_geo", "c_geo", JoinPredicate.Contains, 100.0)
+      .select("n_nationkey", "c_custkey").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    val direct = n.stJoin(c, col("n_geo"), col("c_geo"), JoinPredicate.Contains, 100.0)
+      .select("n_nationkey", "c_custkey").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    assert(viaIdx == direct && direct.nonEmpty)
+
+    val tiles = Tables.eventPts(spark, dir).stRasterize(col("ex"), col("ey"), 10.0, 10, 10)
+    assert(tiles.stRasterFilter(
+      stf.st_geomfromwkt("POLYGON ((0 0, 375 0, 0 375, 0 0))"), default = -1L).count() > 0)
+    assert(tiles.stBucketHistogram(4).count() == 4)
+
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("et")).limit(100)
+    val iv = e.select(col("event_id").as("id_a"), col("et").as("sa"),
+      (col("et") + 60000000L).as("ea"))
+    val iv2 = iv.select(col("id_a").as("id_b"), col("sa").as("sb"), col("ea").as("eb"))
+    assert(iv.stTemporalOverlapJoin(iv2, col("sa"), col("ea"), col("sb"), col("eb"),
+      bucket = 120000000L).count() >= 100) // at least the self-pairs
+  }
+
   test("fluent join and cluster run end-to-end") {
     val n = Tables.nationRects(spark, dir)
     val c = Tables.customerPts(spark, dir)
