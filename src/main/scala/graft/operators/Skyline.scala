@@ -72,6 +72,14 @@ object Skyline {
       .mapPartitions(it => localSkyline(it, xi, yi))(enc)
   }
 
+  /** Reference `skylineAngularNoPart`: the angular algorithm without the
+    * angular repartition — over whatever partitions the input already has,
+    * it reduces to local-skyline-then-merge, i.e. exactly [[skyline]]
+    * (identical results to [[skylineAngular]] by the skyline's
+    * partition-independence). */
+  def skylineAngularNoPart(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    skyline(df, xCol, yCol)
+
   /**
    * Spatio-temporal skyline: minimize (spatial distance, temporal distance)
    * to a reference object — the reference's `skyline(ref, ...)` entry point
