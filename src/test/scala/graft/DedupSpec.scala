@@ -135,6 +135,27 @@ class DedupSpec extends AnyFunSuite {
     assert(res.count() == 2) // its true 2 nearest of the 4
   }
 
+  test("knnJoin with polygon left side (large extents exercise the cell-size floor)") {
+    import graft.operators.KNN
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.nationRects(spark, "/root/testdata/sf0.001")
+    val c = Tables.customerPts(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_geo")).localCheckpoint()
+    val got = KNN.knnJoin(n, c, "n_geo", "c_geo", leftId = "n_nationkey",
+        k = 3, tieBreak = "c_custkey")
+      .select(col("n_nationkey"), col("c_custkey")).collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    // brute force: window rank over the cross join on centroid distance
+    val exp = n.crossJoin(c)
+      .withColumn("__d", graft.functions.stf.st_centroid_distance(col("n_geo"), col("c_geo")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("n_nationkey")).orderBy(col("__d"), col("c_custkey"))))
+      .filter(col("__rn") <= 3)
+      .select(col("n_nationkey"), col("c_custkey")).collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    assert(got == exp && exp.nonEmpty)
+  }
+
   test("subwordCount splits on boundaries") {
     import spark.implicits._
     val df = Seq("abc123 def, xyz").toDF("t")

@@ -102,6 +102,25 @@ class StorageSpec extends AnyFunSuite {
     assert(scanned < total, s"expected pruning: scanned $scanned of $total files")
   }
 
+  test("filterGeom composes with the pruned tile-store load (gate before pixel work)") {
+    import graft.operators.{JoinPredicate, Raster}
+    import graft.sources.TileStore
+    val tiles = Raster.rasterize(Tables.eventPts(spark, "/root/testdata/sf0.001"),
+      col("ex"), col("ey"), 10.0, 10, 10)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_tilestore_clip_spec"
+    TileStore.save(tiles, path, cellSize = 100.0)
+    val qry = graft.functions.stf.st_geomfromwkt("POLYGON ((0 0, 375 0, 0 375, 0 0))")
+    val viaStore = Raster.filterGeom(
+      TileStore.loadIntersecting(spark, path, 0.0, 0.0, 375.0, 375.0, 100.0, 100.0),
+      qry, JoinPredicate.Intersects, default = -1L)
+    val direct = Raster.filterGeom(tiles, qry, JoinPredicate.Intersects, default = -1L)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ulx"), col("uly"), concat_ws(",", transform(col("data"), x => x.cast("string"))))
+      .collect().map(_.toSeq).toSet
+    // the triangle lies inside the query box, so the pruned load loses nothing
+    assert(key(viaStore) == key(direct) && direct.count() > 0)
+  }
+
   test("temporal layout pushes the time-range filter into the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_temporal"
