@@ -65,12 +65,37 @@ object ConnectedComponents {
       .select(explode(transform(col("__ls"), l => struct(element_at(col("__ls"), 1).as("_1"), l.as("_2")))).as("__e"))
       .select(col("__e._1").as("__a"), col("__e._2").as("__b"))
 
-    // the quotient graph is contraction-small: run Pregel to full
-    // convergence (a maxIter cut-off would silently split long components)
-    import org.apache.spark.graphx.Graph
-    val qcc = Graph.fromEdgeTuples(qEdges.rdd.map(r => (r.getLong(0), r.getLong(1))), 0)
-      .connectedComponents().vertices
-    val labelComp = qcc.toDF("__lbl", "__comp")
+    // the quotient graph is contraction-small. Below a hard size bound the
+    // glue step runs as a driver union-find (milliseconds, vs seconds of
+    // fixed per-round Pregel overhead on a tiny graph); past the bound it
+    // falls back to GraphX Pregel run to full convergence (a maxIter
+    // cut-off would silently split long components). The bound caps driver
+    // memory at ~64 MB of edge pairs — a bounded collect, never data-sized.
+    val qCount = qEdges.count()
+    val labelComp: DataFrame =
+      if (qCount <= 4000000L) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+          r
+        }
+        qEdges.collect().foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val out = Vector.newBuilder[(Long, Long)]
+        parent.keySet().forEach { n => out += ((n, find(n))) }
+        out.result().toDF("__lbl", "__comp")
+      } else {
+        import org.apache.spark.graphx.Graph
+        Graph.fromEdgeTuples(qEdges.rdd.map(r => (r.getLong(0), r.getLong(1))), 0)
+          .connectedComponents().vertices.toDF("__lbl", "__comp")
+      }
 
     val out = grouped
       .select(col("__id"), element_at(col("__ls"), 1).as("__lbl"))
