@@ -71,8 +71,11 @@ object Dedup {
     // first, ties by shingle text): prefixes concentrate on rare shingles,
     // so hot shingles almost never generate candidates.
     val inv0 = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__s"))
-    val dfreq = inv0.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
-    val prefix = inv0.join(dfreq, "__s")
+    // document frequency as a window over the shingle key — one shuffle of
+    // the inverted index instead of groupBy + join back (shingles are
+    // per-document distinct, so the partition count IS the doc frequency)
+    val prefix = inv0
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__s"))))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))))
       .filter(col("__rn") <= prefLen)
