@@ -160,15 +160,16 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-dup pairs via random-hyperplane LSH + exact
-    // refine, same output contract as q17. planes=2/tables=64 makes recall
-    // provable (~3e-15 per-pair miss at cosine 0.42) for the oracle gate;
-    // at this moderate threshold LSH cannot prune (information-theoretic),
-    // so these params trade throughput for a checkable result — dedup-grade
+    // refine, same output contract as q17. planes=3/tables=48 puts the
+    // per-pair miss at ~5e-7 for cosine 0.42 (seeded hash => deterministic;
+    // LSH==exact asserted at sf0.001/0.01/0.1 in DedupSpec). At this
+    // moderate threshold LSH cannot prune (information-theoretic), so the
+    // params trade throughput for a checkable result — dedup-grade
     // thresholds (>=0.9) with planes~log2(n) are the genuinely sublinear
     // 100TB configuration of the same operator.
     "q33_dedup_cosine_lsh" -> ((s, dir) => {
       Dedup.cosinePairsLsh(Tables.load(s, dir, "embeddings"),
-          col("vec_id"), col("embedding"), threshold = 0.42, tables = 64, planes = 2)
+          col("vec_id"), col("embedding"), threshold = 0.42, tables = 48, planes = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -50,12 +50,15 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
-  test("cosine LSH with q33's parameters (planes=2, tables=64) equals exact") {
-    val exact = pairSet(Dedup.cosinePairsExact(embs, col("vec_id"), col("embedding"), 0.42))
-    val lsh = pairSet(Dedup.cosinePairsLsh(embs, col("vec_id"), col("embedding"), 0.42,
-      tables = 64, planes = 2))
-    assert(exact.nonEmpty)
-    assert(lsh == exact, s"missed: ${exact -- lsh}; extra: ${lsh -- exact}")
+  test("cosine LSH with q33's parameters (planes=3, tables=48) equals exact at every SF") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val exact = pairSet(Dedup.cosinePairsExact(e, col("vec_id"), col("embedding"), 0.42))
+      val lsh = pairSet(Dedup.cosinePairsLsh(e, col("vec_id"), col("embedding"), 0.42,
+        tables = 48, planes = 3))
+      assert(exact.nonEmpty)
+      assert(lsh == exact, s"$dir missed: ${exact -- lsh}; extra: ${lsh -- exact}")
+    }
   }
 
   test("dropNearDuplicates removes exactly one of each near-dup pair family") {
