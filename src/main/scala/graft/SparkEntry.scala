@@ -389,6 +389,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // as-of join: each click pairs with the latest view at-or-before it
+    // within 1h (ties by max view id) — bucket join + window rank, each
+    // candidate meets in exactly one bucket.
+    "q43_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"), col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("id_a"), col("et").as("ta"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("id_b"), col("et").as("tb"))
+      TemporalJoin.asOf(clicks, views, leftId = "id_a", col("ta"), col("tb"),
+          maxLookback = 3600000000L, bucket = 3600000000L, tieBreak = col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
+    }),
+
     // STRtree-refined cell join: same pairs as q6 via the per-cell index
     // path (build tree over the cell's points, probe box envelopes).
     "q40_join_indexed" -> ((s, dir) => {
@@ -694,6 +710,15 @@ object SparkEntry {
        "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
        "WHERE cx >= nx AND cx <= nx+150 AND cy >= ny AND cy <= ny+150 " +
        "ORDER BY n_nationkey, c_custkey"),
+
+    "q43_asof_join" ->
+      ("WITH ev AS (SELECT event_id, epoch_ns(ts)//1000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id, et FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT event_id, et FROM ev WHERE event_type='view'), " +
+       "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
+       "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
+       "FROM c JOIN v ON v.et <= c.et AND v.et > c.et - 3600000000) " +
+       "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
 
     "q42_interval_join" ->
       (s"WITH epts AS (${Tables.eventPtsSql}), " +

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -38,5 +39,36 @@ object TemporalJoin {
         lStart <= rEnd && rStart <= lEnd &&
         l("__tb_l") === bucketOf(greatest(lStart, rStart), bucket))
       .drop("__tb_l", "__tb_r")
+  }
+
+  /**
+   * As-of join: each left row pairs with the single LATEST right row whose
+   * time is at or before the left time and within `maxLookback` (strict:
+   * rTime > lTime − maxLookback); ties on time break by the largest
+   * `tieBreak`. Inner semantics — left rows with no right row in the
+   * window are dropped.
+   *
+   * Shape: the left side replicates onto the lookback window's time
+   * buckets, the right side sits in its own bucket — each (left, right)
+   * candidate meets in exactly one bucket (no dedup needed) — then a
+   * window rank per `leftId` keeps the latest. One hash join + one window
+   * shuffle; replication = maxLookback / bucket per left row, so choose
+   * the bucket near the lookback horizon.
+   */
+  def asOf(left: DataFrame, right: DataFrame, leftId: String,
+           lTime: Column, rTime: Column, maxLookback: Long, bucket: Long,
+           tieBreak: Column): DataFrame = {
+    require(bucket > 0 && maxLookback > 0,
+      s"bucket and maxLookback must be positive, got $bucket / $maxLookback")
+    val l = left.withColumn("__ab_l",
+      explode(sequence(bucketOf(lTime - maxLookback, bucket), bucketOf(lTime, bucket))))
+    val r = right.withColumn("__ab_r", bucketOf(rTime, bucket))
+    l.join(r,
+        l("__ab_l") === r("__ab_r") &&
+        rTime <= lTime && rTime > lTime - maxLookback)
+      .withColumn("__ab_rn", row_number().over(
+        Window.partitionBy(col(leftId)).orderBy(rTime.desc, tieBreak.desc)))
+      .filter(col("__ab_rn") === 1)
+      .drop("__ab_l", "__ab_r", "__ab_rn")
   }
 }

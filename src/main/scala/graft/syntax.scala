@@ -52,6 +52,9 @@ object syntax {
     def stTemporalOverlapJoin(other: DataFrame, start: Column, end: Column,
                               otherStart: Column, otherEnd: Column, bucket: Long): DataFrame =
       TemporalJoin.overlaps(df, other, start, end, otherStart, otherEnd, bucket)
+    def stAsOfJoin(other: DataFrame, idName: String, time: Column, otherTime: Column,
+                   maxLookback: Long, bucket: Long, tieBreak: Column): DataFrame =
+      TemporalJoin.asOf(df, other, idName, time, otherTime, maxLookback, bucket, tieBreak)
 
     // ---- kNN family (reference Plain:112-252) ----
     def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)

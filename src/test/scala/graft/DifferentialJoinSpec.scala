@@ -101,6 +101,28 @@ class DifferentialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join equals the window-ranked cross join, boundary-heavy") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    import org.apache.spark.sql.expressions.Window
+    // times snapped to bucket multiples so at-or-before ties and window
+    // edges land exactly on bucket boundaries
+    val l = (0 until 150).map(i => (i.toLong, rnd.nextInt(30) * 100L)).toDF("id_a", "ta")
+    val r = (0 until 150).map(i => (i.toLong, rnd.nextInt(30) * 100L)).toDF("id_b", "tb")
+    for (bucket <- Seq(100L, 300L, 1000L); lookback <- Seq(300L, 1000L)) {
+      val got = TemporalJoin.asOf(l, r, "id_a", col("ta"), col("tb"), lookback, bucket, col("id_b"))
+        .select(col("id_a"), col("id_b")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val exp = l.crossJoin(r)
+        .filter(col("tb") <= col("ta") && col("tb") > col("ta") - lookback)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id_a")).orderBy(col("tb").desc, col("id_b").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("id_a"), col("id_b")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == exp, s"bucket=$bucket lookback=$lookback " +
+        s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
   test("hot cell: indexed join stays correct when everything lands in one cell") {
     import spark.implicits._
     // 600 points + 300 boxes inside one 1000-unit cell: the declarative join
