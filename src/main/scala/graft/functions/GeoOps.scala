@@ -292,6 +292,32 @@ object GeoOps {
     worst
   }
 
+  /**
+   * Maximum distance between two geometries — max over vertex pairs. The
+   * distance to a fixed point is convex, so its maximum over a compact set
+   * is attained at an extreme point (a convex-hull vertex, always a member
+   * of the coordinate array); maximising over both sides' vertices is
+   * therefore exact. Paired with the JTS minimum distance this realises the
+   * reference's `IntervalDistance(min,max)` between extended objects
+   * (reference src/main/scala/dbis/stark/Distance.scala:27-80).
+   */
+  def maxDistance(a: InternalRow, b: InternalRow): Double = {
+    val lc = readGeom(a.getBinary(0)).getCoordinates
+    val rc = readGeom(b.getBinary(0)).getCoordinates
+    var worst = 0.0
+    var i = 0
+    while (i < lc.length) {
+      var j = 0
+      while (j < rc.length) {
+        val d = lc(i).distance(rc(j))
+        if (d > worst) worst = d
+        j += 1
+      }
+      i += 1
+    }
+    worst
+  }
+
   /** Temporal distance = |start difference| (reference teuclid,
     * Distance.scala:129 — made absolute; the reference's signed value is
     * not a metric). Callers (expressions) guard temporal presence. */

@@ -264,6 +264,20 @@ case class STHausdorff(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "st_hausdorff"
 }
 
+/** st_max_distance(a, b): maximum distance between the geometries (vertex
+  * pairs; exact — see GeoOps.maxDistance). min=st_distance / max=this form
+  * the reference's IntervalDistance (Distance.scala:27-80). */
+case class STMaxDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = GeoOps.maxDistance(row(a), row(b))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.maxDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STMaxDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_max_distance"
+}
+
 /** st_t_distance(a, b): |start difference| (reference teuclid). NULL when
   * either side lacks a temporal component — never a garbage 0. */
 case class STTemporalDistance(left: Expression, right: Expression)

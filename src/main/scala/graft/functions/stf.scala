@@ -44,6 +44,7 @@ object GraftFunctions {
     "st_covers"       -> ((es: Seq[Expression]) => STRelate(es(0), es(1), COVERS)),
     "st_coveredby"    -> ((es: Seq[Expression]) => STRelate(es(0), es(1), COVEREDBY)),
     "st_distance"     -> ((es: Seq[Expression]) => STDistance(es(0), es(1))),
+    "st_max_distance" -> ((es: Seq[Expression]) => STMaxDistance(es(0), es(1))),
     "st_hausdorff"    -> ((es: Seq[Expression]) => STHausdorff(es(0), es(1))),
     "st_t_distance"   -> ((es: Seq[Expression]) => STTemporalDistance(es(0), es(1))),
     "st_thausdorff"   -> ((es: Seq[Expression]) => STTemporalHausdorff(es(0), es(1))),
@@ -94,7 +95,8 @@ object GraftFunctions {
     "st_with_time" -> (3, 3), "st_with_instant" -> (2, 2),
     "st_with_open_interval" -> (2, 2), "st_sto" -> (1, 2), "st_intersects" -> (2, 2),
     "st_contains" -> (2, 2), "st_containedby" -> (2, 2), "st_covers" -> (2, 2),
-    "st_coveredby" -> (2, 2), "st_distance" -> (2, 2), "st_hausdorff" -> (2, 2),
+    "st_coveredby" -> (2, 2), "st_distance" -> (2, 2),
+    "st_max_distance" -> (2, 2), "st_hausdorff" -> (2, 2),
     "st_t_distance" -> (2, 2), "st_thausdorff" -> (2, 2), "st_st_distance" -> (4, 4),
     "st_centroid_distance" -> (2, 2), "st_within_distance" -> (3, 3),
     "st_wkt" -> (1, 1), "st_x" -> (1, 1), "st_y" -> (1, 1), "st_area" -> (1, 1),
@@ -166,6 +168,35 @@ object stf {
   def st_covers(a: Column, b: Column): Column = call_function("st_covers", a, b)
   def st_coveredby(a: Column, b: Column): Column = call_function("st_coveredby", a, b)
   def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_max_distance(a: Column, b: Column): Column = call_function("st_max_distance", a, b)
+
+  /** The reference's `IntervalDistance(min,max)` between extended objects
+    * (reference src/main/scala/dbis/stark/Distance.scala:27-80) as a
+    * `struct<min:double, max:double>` column: min = JTS minimum distance,
+    * max = exact vertex-pair maximum. A point pair collapses to the scalar
+    * case (min == max). Compare with the `idist_*` helpers below, which
+    * carry the reference's interval-ordering semantics. */
+  def st_distance_interval(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.struct(
+      st_distance(a, b).as("min"), st_max_distance(a, b).as("max"))
+
+  /** ScalarDistance embedded as a degenerate interval (reference
+    * Distance.scala:91-100: `ScalarDistance(v) = IntervalDistance(v,v)`). */
+  def st_scalar_interval(v: Column): Column =
+    org.apache.spark.sql.functions.struct(v.as("min"), v.as("max"))
+
+  // Interval-distance ordering, exactly the reference's comparison table
+  // (Distance.scala:41-80): `<` is certainly-closer (a.max < b.min), `>` is
+  // certainly-farther (a.min > b.max); `<=`/`>=` compare max/min bounds
+  // respectively and `==` requires both bounds equal. On scalar (collapsed)
+  // intervals all five reduce to ordinary double comparisons.
+  def idist_lt(a: Column, b: Column): Column = a.getField("max") < b.getField("min")
+  def idist_le(a: Column, b: Column): Column = a.getField("max") <= b.getField("max")
+  def idist_gt(a: Column, b: Column): Column = a.getField("min") > b.getField("max")
+  def idist_ge(a: Column, b: Column): Column = a.getField("min") >= b.getField("min")
+  def idist_eq(a: Column, b: Column): Column =
+    a.getField("min") === b.getField("min") && a.getField("max") === b.getField("max")
+
   def st_hausdorff(a: Column, b: Column): Column = call_function("st_hausdorff", a, b)
   def st_t_distance(a: Column, b: Column): Column = call_function("st_t_distance", a, b)
   def st_thausdorff(a: Column, b: Column): Column = call_function("st_thausdorff", a, b)

@@ -101,6 +101,39 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     assert(d(s"st_st_distance($a, $b, 2.0, 0.5)") == 20.0) // 10 + 10
   }
 
+  test("interval distance: reference IntervalDistance(min,max) semantics") {
+    import graft.functions.stf
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // point pair collapses to the scalar case: max == min == st_distance
+    assert(d("st_max_distance(st_point(0.0, 0.0), st_point(3.0, 4.0))") == 5.0)
+    // square (0,0)-(10,10) vs point (15,5): nearest edge point 5, farthest
+    // corner (0,0)/(0,10) -> sqrt(250)
+    assert(d(s"st_max_distance($poly, st_point(15.0, 5.0))") == math.sqrt(250.0))
+    // two extended objects: [10, sqrt(1000)] between side-by-side squares
+    val boxA = expr("st_box(0.0, 0.0, 10.0, 10.0)")
+    val boxB = expr("st_box(20.0, 0.0, 30.0, 10.0)")
+    val far  = expr("st_point(50.0, 5.0)")
+    val one = spark.range(1).select(
+      stf.st_distance_interval(boxA, boxB).as("ab"),
+      stf.st_distance_interval(boxA, far).as("ap"),
+      stf.st_scalar_interval(lit(5.0)).as("s5"),
+      stf.st_distance_interval(expr("st_point(0.0, 0.0)"), expr("st_point(3.0, 4.0)")).as("pp"))
+    val r = one.select(
+      col("ab.min"), col("ab.max"),
+      // ordering table (reference Distance.scala:41-80)
+      stf.idist_lt(col("ab"), col("ap")),  // certainly closer: sqrt(1000) < 40
+      stf.idist_gt(col("ap"), col("ab")),  // certainly farther
+      stf.idist_lt(col("ap"), col("ab")),  // false: 40-ish not < 10
+      stf.idist_le(col("ab"), col("ab")),  // max <= max: reflexive
+      stf.idist_ge(col("ab"), col("ab")),  // min >= min: reflexive
+      stf.idist_eq(col("ab"), col("ab")),
+      stf.idist_eq(col("s5"), col("pp")))  // scalar embed == collapsed pair
+      .head()
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == math.sqrt(1000.0))
+    assert(r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8))
+  }
+
   test("accessors and constructors") {
     assert(spark.sql("SELECT st_wkt(st_point(1.0, 2.0))").collect()(0).getString(0)
       == "POINT (1 2)")
