@@ -405,6 +405,34 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // ---- corpus-assembly pipeline primitives (operators/Pipeline.scala) ----
+
+    // deterministic md5-prefix train/val/test split — pure map, no shuffle.
+    "q44_split_assign" -> ((s, dir) => {
+      Pipeline.assignSplit(Tables.load(s, dir, "documents"), col("doc_id"), splitSalt,
+          splitFractions)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source quota: first 20 docs per source by doc_id (two-phase top-n).
+    "q45_source_cap" -> ((s, dir) => {
+      Pipeline.capPerGroup(Tables.load(s, dir, "documents"), col("source"),
+          col("doc_id"), n = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: corpus docs sharing >= 4 distinct trigram
+    // shingles with an eval doc (eval set = doc_id % 17 == 0).
+    "q46_decontam" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), n = 3, minOverlap = 4)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // STRtree-refined cell join: same pairs as q6 via the per-cell index
     // path (build tree over the cell's points, probe box envelopes).
     "q40_join_indexed" -> ((s, dir) => {
@@ -720,6 +748,26 @@ object SparkEntry {
        "FROM c JOIN v ON v.et <= c.et AND v.et > c.et - 3600000000) " +
        "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
 
+    "q44_split_assign" -> {
+      val Seq(trainCut, valCut) =
+        splitFractions.scanLeft(0.0)(_ + _._2).tail.init.map(Pipeline.hexBound)
+      s"SELECT doc_id, CASE WHEN substr(md5(doc_id || ':$splitSalt'),1,4) < '$trainCut' " +
+      s"THEN 'train' WHEN substr(md5(doc_id || ':$splitSalt'),1,4) < '$valCut' THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
+    },
+
+    "q45_source_cap" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+       "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
+       "WHERE rn <= 20 ORDER BY doc_id"),
+
+    "q46_decontam" ->
+      (s"WITH sh AS ($shingleSetSql) " +
+       "SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, " +
+       "len(list_intersect(a.s, b.s)) AS overlap FROM sh a, sh b " +
+       "WHERE b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
+       "AND len(list_intersect(a.s, b.s)) >= 4 ORDER BY doc_id, bench_id"),
+
     "q42_interval_join" ->
       (s"WITH epts AS (${Tables.eventPtsSql}), " +
        "iv AS (SELECT event_id, et AS s, et + 60000000 AS e FROM epts) " +
@@ -790,12 +838,22 @@ object SparkEntry {
       lang -> s"len(list_filter(string_split(text,' '), w -> list_contains(${sqlList(markers)}, w)))"
     }
 
+  /** q44 split config — shared by the query and its oracle so the
+    * md5-prefix cut literals come from one computation. */
+  private val splitSalt = "graft"
+  private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Distinct 3-gram shingle set per document (docs with >= 3 words) —
+    * mirrors `TextAnalysis.shingles`; parity proven by q14/q15. */
+  private val shingleSetSql: String =
+    "SELECT doc_id, " +
+    "list_distinct([array_to_string(ws[i:i+2],' ') FOR i IN generate_series(1, len(ws)-2)]) AS s " +
+    "FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) WHERE len(ws) >= 3"
+
   /** Exact 3-gram Jaccard >= 4/5 pairs — oracle for both the inverted-index
     * and the MinHash-LSH operators (LSH output refines to the same set). */
   private val jaccardPairsSql: String =
-    "WITH sh AS (SELECT doc_id, " +
-    "list_distinct([array_to_string(ws[i:i+2],' ') FOR i IN generate_series(1, len(ws)-2)]) AS s " +
-    "FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) WHERE len(ws) >= 3) " +
+    s"WITH sh AS ($shingleSetSql) " +
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
     "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) " +
     "ORDER BY id_a, id_b"

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Corpus-assembly primitives for training-data pipelines — the operations
+ * that sit between dedup/quality scoring and the final shuffled dataset.
+ * None exist in the reference (it is a spatio-temporal engine); they are
+ * first-class here because a 100 TB document corpus needs them on the same
+ * engine that already holds the data.
+ *
+ * All three are deterministic: re-running a pipeline over the same corpus
+ * yields byte-identical splits/caps/flags, which is what makes ablations
+ * and incremental re-builds reproducible.
+ */
+object Pipeline {
+
+  /** 4-hex-digit upper bound for a cumulative fraction of the 16-bit hash
+    * space — shared by [[assignSplit]] and its SQL oracle so both compare
+    * against identical literals. */
+  def hexBound(cumFraction: Double): String = {
+    val v = math.round(cumFraction * 65536.0)
+    if (v >= 65536L) "g" // lexicographically above every 4-hex-digit string
+    else f"${v.toInt}%04x"
+  }
+
+  /**
+   * Deterministic train/val/test (or arbitrary) split assignment: each row
+   * is labelled by where the first 4 hex digits of md5(id ++ ":" ++ salt)
+   * fall among the cumulative-fraction cut points. A pure map — no shuffle,
+   * no RNG state, stable under repartitioning, appends, and reruns (the
+   * split of a document never depends on which other documents exist).
+   * Changing `salt` re-draws every assignment independently.
+   *
+   * @param fractions ordered (label, fraction); fractions must sum to ~1
+   *                  (the final label absorbs rounding).
+   */
+  def assignSplit(df: DataFrame, idCol: Column, salt: String,
+                  fractions: Seq[(String, Double)],
+                  splitName: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "assignSplit needs at least one label")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val h = substring(md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary")), 1, 4)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail.map(hexBound)
+    val label = fractions.zip(cuts).init.foldRight(lit(fractions.last._1)) {
+      case (((name, _), cut), rest) => when(h < lit(cut), name).otherwise(rest)
+    }
+    df.withColumn(splitName, label)
+  }
+
+  /**
+   * Cap rows per group at `n`, keeping the first `n` in `order` — source
+   * balancing / per-domain quotas. Two-phase so a hot group (one domain
+   * holding half the corpus) never funnels through a single task:
+   *
+   *  1. rank within (group, input partition) — the shuffle key carries the
+   *     partition id, so a hot group spreads over as many tasks as it had
+   *     input partitions; every survivor set is a superset of the global
+   *     top-n (any global top-n row is top-n within its own partition);
+   *  2. rank the ≤ n·partitions survivors per group globally and keep n.
+   *
+   * `order` must be a total order within each group (use a unique id or
+   * hash) — ties would make the cap nondeterministic.
+   */
+  def capPerGroup(df: DataFrame, group: Column, order: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    // partition id materialized via Project first: nondeterministic
+    // expressions are not allowed inside a window spec directly
+    val local = row_number().over(
+      Window.partitionBy(group, col("__cap_pid")).orderBy(order))
+    val global = row_number().over(Window.partitionBy(group).orderBy(order))
+    df.withColumn("__cap_pid", spark_partition_id())
+      .withColumn("__cap_rn", local).filter(col("__cap_rn") <= n)
+      .withColumn("__cap_rn", global).filter(col("__cap_rn") <= n)
+      .drop("__cap_rn", "__cap_pid")
+  }
+
+  /**
+   * Benchmark decontamination: corpus documents sharing at least
+   * `minOverlap` distinct word n-gram shingles with a benchmark document.
+   * Output (corpus id, benchmark id, overlap count) for every contaminated
+   * pair — feed the distinct corpus ids to an anti-join to drop them.
+   *
+   * Scale shape: the benchmark side is small by nature (an eval set), so
+   * its exploded shingle index is broadcast; the corpus side streams
+   * map-side through the join — the only shuffle is the groupBy on the
+   * *matching* (corpus, benchmark) pairs, a set bounded by contamination
+   * itself, never by corpus size.
+   */
+  def contaminationPairs(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                         benchmark: DataFrame, benchId: Column, benchText: Column,
+                         n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def shingleIndex(df: DataFrame, id: Column, text: Column, idName: String) =
+      df.select(id.as(idName), explode(TextAnalysis.shingles(text, n)).as("__shingle"))
+    val c = shingleIndex(corpus, corpusId, corpusText, "doc_id")
+    val b = shingleIndex(benchmark, benchId, benchText, "bench_id")
+    c.join(broadcast(b), "__shingle")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-assembly primitives: determinism, differential equivalence with
+  * the single-window formulation, and hand-counted contamination cases. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("assignSplit is a deterministic partition of the corpus") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Pipeline.assignSplit(docs, col("doc_id"), "graft", fr)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // every row labelled, all three labels used, proportions roughly honored
+    assert(a.size == docs.count())
+    val byLabel = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // rerun (and a different upstream partitioning) gives identical labels
+    val b = Pipeline.assignSplit(docs.repartition(7), col("doc_id"), "graft", fr)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b)
+    // a different salt re-draws: at least one document moves
+    val c = Pipeline.assignSplit(docs, col("doc_id"), "other", fr)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(c != a)
+  }
+
+  test("assignSplit matches a driver-side md5 computation") {
+    val got = Pipeline.assignSplit(docs.limit(50), col("doc_id"), "graft",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split")).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { r =>
+      val hex = md.digest(s"${r.getLong(0)}:graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val want =
+        if (hex < Pipeline.hexBound(0.8)) "train"
+        else if (hex < Pipeline.hexBound(0.8 + 0.1)) "val"
+        else "test"
+      assert(r.getString(1) == want, s"doc ${r.getLong(0)} hex $hex")
+    }
+  }
+
+  test("capPerGroup == single-window row_number cap (skewed groups)") {
+    import spark.implicits._
+    // group 0 holds 500 rows spread over many partitions; others tiny
+    val df = (0 until 600).map(i => (if (i < 500) 0L else i.toLong % 7, i.toLong))
+      .toDF("g", "id").repartition(13)
+    val got = Pipeline.capPerGroup(df, col("g"), col("id"), n = 5)
+      .select(col("g"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("id"))))
+      .filter(col("rn") <= 5).select(col("g"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("contaminationPairs counts distinct shared shingles exactly") {
+    import spark.implicits._
+    // corpus doc 1 shares exactly 4 trigrams with bench doc 10 ("a b c d e f"
+    // windows), doc 2 shares 3 (one word changed), doc 3 shares none;
+    // repeated text in doc 4 must not double-count (distinct shingles)
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x f"),
+      (3L, "p q r s t u"),
+      (4L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Pipeline.contaminationPairs(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc1: shingles {abc,bcd,cde,def} -> overlap 4; doc2: {abc,bcd} -> 2
+    // (cdx,dxf differ); doc4: distinct shingles {abc,bca,cab} -> only abc -> 1
+    assert(got == Set((1L, 10L, 4L), (2L, 10L, 2L)))
+  }
+
+  test("contaminationPairs excludes self-pairs when benchmark is a subset") {
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val pairs = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 3, minOverlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a != b && b % 17 == 0 })
+  }
+}
