@@ -415,6 +415,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // within-document repetition signals (Gopher-style quality family).
+    "q47_repetition" -> ((s, dir) => {
+      TextAnalysis.withRepetition(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("dup_2gram_e6"), col("dup_3gram_e6"),
+          col("top_token_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source quota: first 20 docs per source by doc_id (two-phase top-n).
     "q45_source_cap" -> ((s, dir) => {
       Pipeline.capPerGroup(Tables.load(s, dir, "documents"), col("source"),
@@ -755,6 +763,19 @@ object SparkEntry {
       s"THEN 'train' WHEN substr(md5(doc_id || ':$splitSalt'),1,4) < '$valCut' THEN 'val' " +
       "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
     },
+
+    "q47_repetition" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN len(ws)-1 > 0 THEN (1000000*(len(ws)-1 - " +
+       "len(list_distinct([array_to_string(ws[i:i+1],' ') FOR i IN generate_series(1,len(ws)-1)])))) " +
+       "// (len(ws)-1) ELSE 0 END AS dup_2gram_e6, " +
+       "CASE WHEN len(ws)-2 > 0 THEN (1000000*(len(ws)-2 - " +
+       "len(list_distinct([array_to_string(ws[i:i+2],' ') FOR i IN generate_series(1,len(ws)-2)])))) " +
+       "// (len(ws)-2) ELSE 0 END AS dup_3gram_e6, " +
+       "CASE WHEN len(ws) > 0 THEN " +
+       "(1000000*list_max([len(list_filter(ws, x -> x = w)) FOR w IN list_distinct(ws)])) " +
+       "// len(ws) ELSE 0 END AS top_token_e6 " +
+       "FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) ORDER BY doc_id"),
 
     "q45_source_cap" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +

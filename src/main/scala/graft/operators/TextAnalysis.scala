@@ -68,6 +68,32 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /**
+   * Within-document repetition signals (the Gopher-report quality family):
+   * the fraction of word n-grams that are duplicates of an earlier n-gram
+   * (n = 2, 3) and the share of the single most frequent token. All three
+   * are exact integers scaled by 1e6 — numerator·1e6 is divisible-adjusted
+   * via pmod before the divide, so the double division is exact and any SQL
+   * oracle's integer division (`//`) matches bit-for-bit. Documents shorter
+   * than n words score 0.
+   */
+  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
+    val ws = tokens(textCol)
+    def e6(num: Column, den: Column): Column =
+      ((num * 1000000L - pmod(num * 1000000L, den)) / den).cast("long")
+    def dupFrac(n: Int): Column = {
+      val total = (size(ws) - (n - 1)).cast("long")
+      val distinctN = size(shingles(textCol, n)).cast("long")
+      when(total > 0, e6(total - distinctN, total)).otherwise(0L)
+    }
+    val topCnt = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w)))).cast("long")
+    df.withColumn("dup_2gram_e6", dupFrac(2))
+      .withColumn("dup_3gram_e6", dupFrac(3))
+      .withColumn("top_token_e6",
+        when(size(ws) > 0, e6(topCnt, size(ws).cast("long"))).otherwise(0L))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "in", "to"),

@@ -82,6 +82,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, 4L), (2L, 10L, 2L)))
   }
 
+  test("withRepetition hand-computed duplicate-ngram and top-token signals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // 2g: 4 total/2 distinct; 3g: 3/2; top 'a' 3 of 5
+      (2L, "x y z"),     // nothing repeats
+      (3L, "w"),         // shorter than any n-gram
+      (4L, "r r r r")    // maximal repetition
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.withRepetition(df, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((500000L, 333333L, 600000L)))
+    assert(got(2L) == ((0L, 0L, 333333L)))
+    assert(got(3L) == ((0L, 0L, 1000000L)))
+    assert(got(4L) == ((666666L, 500000L, 1000000L)))
+  }
+
   test("contaminationPairs excludes self-pairs when benchmark is a subset") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val pairs = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),
