@@ -67,6 +67,11 @@ object Pipeline {
    */
   def capPerGroup(df: DataFrame, group: Column, order: Column, n: Int): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
+    // column resolution is case-insensitive — a caller column named like a
+    // working column would be silently clobbered and dropped
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__cap_pid") || c.equalsIgnoreCase("__cap_rn")),
+      "capPerGroup: input must not contain columns named __cap_pid/__cap_rn")
     // partition id materialized via Project first: nondeterministic
     // expressions are not allowed inside a window spec directly
     val local = row_number().over(

@@ -86,8 +86,18 @@ object TextAnalysis {
       val distinctN = size(shingles(textCol, n)).cast("long")
       when(total > 0, e6(total - distinctN, total)).otherwise(0L)
     }
-    val topCnt = array_max(transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w)))).cast("long")
+    // longest equal run of the sorted tokens = max token frequency in
+    // O(n log n) — the distinct×filter formulation is quadratic on
+    // high-diversity documents (every token distinct)
+    val topCnt = aggregate(
+      array_sort(ws),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(acc.getField("prev") <=> w, acc.getField("run") + 1L).otherwise(1L)
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     df.withColumn("dup_2gram_e6", dupFrac(2))
       .withColumn("dup_3gram_e6", dupFrac(3))
       .withColumn("top_token_e6",
