@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.stf
 import graft.operators._
-import graft.sources.CellStore
+import graft.sources.{CellStore, IndexStore}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -457,8 +457,50 @@ object SparkEntry {
         stf.st_geomfromwkt("POLYGON ((0 0, 400 0, 400 400, 0 400, 0 0))"), lit(T1))
       SpatialOps.containedBy(Tables.eventPts(s, dir), col("e_geo"), qry)
         .select(col("event_id")).orderBy(col("event_id"))
+    }),
+
+    // persisted per-cell R-trees (reference index() + saveAsObjectFile /
+    // loadIndexed): the filter is answered from the serialized trees, no
+    // index build at query time — rows equal the plain polygon filter.
+    "q48_persisted_filter" -> ((s, dir) => {
+      val path = persistedCustomerIndex(s, dir)
+      IndexStore.filter(s, path,
+          "POLYGON ((150 150, 650 150, 650 450, 150 450, 150 150))",
+          JoinPredicate.ContainedBy, cellSize = 100.0)
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
+    // persisted-index join: live nation rects probe the stored customer
+    // trees (reference Persistent join) — pairs equal q40/q6.
+    "q49_persisted_join" -> ((s, dir) => {
+      val path = persistedCustomerIndex(s, dir)
+      IndexStore.join(Tables.nationRects(s, dir), path, "n_geo",
+          JoinPredicate.Contains, cellSize = 100.0)
+        .select(col("n_nationkey"), col("c_custkey"))
+        .orderBy(col("n_nationkey"), col("c_custkey"))
+    }),
+
+    // interval-tree live index (reference IntervalTree1 over JTS
+    // SortedPackedIntervalRTree): same pairs as the declarative q42.
+    "q50_interval_join_indexed" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"))
+      val a = e.select(col("event_id").as("id_a"), col("et").as("sa"),
+        (col("et") + 60000000L).as("ea"))
+      val b = e.select(col("event_id").as("id_b"), col("et").as("sb"),
+        (col("et") + 60000000L).as("eb"))
+      TemporalJoin.overlapsIndexed(a, b, "sa", "ea", "sb", "eb",
+          bucket = 120000000L)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** Shared write-once persisted-index store over customer points. */
+  private def persistedCustomerIndex(s: SparkSession, dir: String): String =
+    storedOnce("idxstore_q48", dir)(p =>
+      IndexStore.saveIndexed(Tables.customerPts(s, dir), p, "c_geo", cellSize = 100.0))
 
   /** Write-once store path, keyed by the dataset dir: reruns in the same
     * tmp space skip the store write (Spark's _SUCCESS marker gates it) so
@@ -801,6 +843,24 @@ object SparkEntry {
        "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
        "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
        "ORDER BY n_nationkey, c_custkey"),
+
+    "q48_persisted_filter" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
+       "ORDER BY c_custkey"),
+
+    "q49_persisted_join" ->
+      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
+       "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
+       "ORDER BY n_nationkey, c_custkey"),
+
+    "q50_interval_join_indexed" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}), " +
+       "iv AS (SELECT event_id, et AS s, et + 60000000 AS e FROM epts) " +
+       "SELECT a.event_id AS id_a, b.event_id AS id_b FROM iv a, iv b " +
+       "WHERE a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e " +
+       "ORDER BY id_a, id_b"),
 
     // open-ended container: spatial strict-interior AND et >= T1
     "q32_temporal_containedby" ->

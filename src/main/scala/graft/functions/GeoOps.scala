@@ -210,7 +210,7 @@ object GeoOps {
     cellsOfEnvelope(env, cellSize)
   }
 
-  private def cellsOfEnvelope(env: Envelope, cellSize: Double): Array[Long] = {
+  private[graft] def cellsOfEnvelope(env: Envelope, cellSize: Double): Array[Long] = {
     val x0 = math.floor(env.getMinX / cellSize).toInt
     val x1 = math.floor(env.getMaxX / cellSize).toInt
     val y0 = math.floor(env.getMinY / cellSize).toInt

@@ -93,7 +93,7 @@ object SpatialJoin {
   // differentially asserted equal to the declarative plans.
 
   /** External-row stobj → the InternalRow layout [[GeoOps]] evaluates. */
-  private def stoRow(r: Row): InternalRow =
+  private[graft] def stoRow(r: Row): InternalRow =
     if (r == null) null
     else new GenericInternalRow(Array[Any](r.getAs[Array[Byte]](0), r.get(1), r.get(2)))
 
@@ -108,7 +108,7 @@ object SpatialJoin {
       s"unknown index kind '$other' (expected rtree or quadtree)")
   }
 
-  private def opCode(pred: JoinPredicate): Int = pred match {
+  private[graft] def opCode(pred: JoinPredicate): Int = pred match {
     case JoinPredicate.Intersects  => GeoOps.INTERSECTS
     case JoinPredicate.Contains    => GeoOps.CONTAINS
     case JoinPredicate.ContainedBy => GeoOps.CONTAINEDBY

@@ -1,0 +1,182 @@
+package graft.sources
+
+import graft.functions.{GeoOps, GraftFunctions, stf}
+import graft.operators.{JoinPredicate, SpatialJoin}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.locationtech.jts.index.strtree.STRtree
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Persisted spatial indexes — the reference's `index()` + `saveAsObjectFile`
+ * / `STSparkContext.loadIndexed` pair (reference
+ * spatial/indexed/persistent/PersistedIndexedSpatialRDDFunctions.scala:18-19,
+ * 335-349 and STSparkContext.scala:307-377): build one R-tree per partition
+ * once, serialize it, and answer later filters/joins by probing the stored
+ * trees with NO index rebuild at query time.
+ *
+ * Spark-native shape: one STR-packed R-tree per grid cell, java-serialized
+ * into a `(cell LONG, tree BINARY)` parquet table, range-partitioned and
+ * sorted by cell id so a query's cell-id set reaches the parquet reader as a
+ * pushed `IN` filter (row-group pruning replaces the reference's
+ * reconstructed partitioner). Rows whose envelope spans several cells are
+ * replicated into each cell's tree; the reference-point rule dedups at query
+ * time — the same contract as [[graft.operators.SpatialJoin.joinIndexed]],
+ * so results are exactly the declarative join's.
+ *
+ * The payload row rides inside the tree entry (the reference stores
+ * `Data(data, geom)` leaves the same way, indexed/Data.scala). Schema
+ * travels in a `_graft_schema` text sidecar — underscore-prefixed, so the
+ * parquet reader ignores it.
+ */
+object IndexStore {
+
+  /** Tree leaf: the full data row plus its pre-split stobj parts. */
+  private case class Entry(row: Row, wkb: Array[Byte],
+                           ts: java.lang.Long, te: java.lang.Long) {
+    def sto: GenericInternalRow = new GenericInternalRow(Array[Any](wkb, ts, te))
+  }
+
+  private def serialize(tree: STRtree): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(tree)
+    oos.close()
+    bos.toByteArray
+  }
+
+  private def deserialize(bytes: Array[Byte]): STRtree = {
+    val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[STRtree] finally ois.close()
+  }
+
+  private val treeSchema = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("tree", BinaryType, nullable = false)))
+
+  private def schemaPath(path: String) = path + "/_graft_schema"
+
+  /**
+   * Build per-cell R-trees over `df` and persist them. Size `cellSize` so a
+   * cell's rows fit one executor — each tree is built and serialized inside
+   * a single task (the same contract the reference's per-partition
+   * `index()` has).
+   */
+  def saveIndexed(df: DataFrame, path: String, geomCol: String,
+                  cellSize: Double): Unit = {
+    GraftFunctions.register(df.sparkSession)
+    val geoIdx = df.schema.fieldIndex(geomCol)
+    val withCell = df.withColumn("__icell",
+      explode(stf.st_cells(col(geomCol), lit(cellSize))))
+    val cellIdx = withCell.schema.fieldIndex("__icell")
+    val trees = withCell
+      .groupByKey(_.getLong(cellIdx))(Encoders.scalaLong)
+      .mapGroups { (cell, it) =>
+        val tree = new STRtree()
+        it.foreach { r =>
+          val sto = r.getAs[Row](geoIdx)
+          if (sto != null) {
+            val wkb = sto.getAs[Array[Byte]](0)
+            val ts = sto.get(1).asInstanceOf[java.lang.Long]
+            val te = sto.get(2).asInstanceOf[java.lang.Long]
+            tree.insert(GeoOps.readGeom(wkb).getEnvelopeInternal,
+              Entry(Row.fromSeq(r.toSeq.dropRight(1)), wkb, ts, te))
+          }
+        }
+        tree.build() // pack NOW — queries against the store never build
+        Row(cell, serialize(tree))
+      }(Encoders.row(treeSchema))
+    trees.repartitionByRange(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    spark.createDataset(Seq(df.schema.json)).coalesce(1)
+      .write.mode("overwrite").text(schemaPath(path))
+  }
+
+  /** The stored row schema (from the sidecar). */
+  def loadSchema(spark: SparkSession, path: String): StructType =
+    DataType.fromJson(spark.read.text(schemaPath(path)).head().getString(0))
+      .asInstanceOf[StructType]
+
+  /**
+   * Predicate filter answered from the persisted trees: only the cells
+   * intersecting the query envelope are read (pushed `IN` filter on the
+   * sorted cell column), each tree probes the envelope, the exact
+   * spatio-temporal predicate refines, and the reference-point rule keeps
+   * exactly one report per replicated row. `query` is the right-hand
+   * operand: a row qualifies iff `pred(row_geom, query)` holds.
+   */
+  def filter(spark: SparkSession, path: String, queryWkt: String,
+             pred: JoinPredicate, cellSize: Double): DataFrame = {
+    val rowSchema = loadSchema(spark, path)
+    val q = GeoOps.parseWkt(queryWkt)
+    val qWkb = GeoOps.writeGeom(q)
+    val qEnv = q.getEnvelopeInternal
+    val cells = GeoOps.cellsOfEnvelope(qEnv, cellSize)
+    val op = SpatialJoin.opCode(pred)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Long.box).toIndexedSeq: _*))
+      .flatMap { tr =>
+        val cell = tr.getLong(0)
+        val tree = deserialize(tr.getAs[Array[Byte]](1))
+        val qSto = new GenericInternalRow(Array[Any](qWkb, null, null))
+        tree.query(qEnv).iterator().asScala.flatMap { o =>
+          val e = o.asInstanceOf[Entry]
+          if (GeoOps.relate(e.sto, qSto, op) &&
+              GeoOps.refPointInCell(e.sto, qSto, cellSize, cell))
+            Iterator.single(e.row)
+          else Iterator.empty
+        }
+      }(Encoders.row(rowSchema))
+  }
+
+  /**
+   * Join a live left side against the persisted right-side trees — the
+   * reference's persisted-index join (Persistent `join`,
+   * PersistedIndexedSpatialRDDFunctions.scala:93-131). The left explodes
+   * its cells and hash-partitions by cell id; the matching serialized trees
+   * shuffle once to meet them (no per-query index build). Output columns:
+   * left (minus nothing) ++ stored row columns; equals
+   * [[graft.operators.SpatialJoin.join]] exactly.
+   */
+  def join(left: DataFrame, path: String, leftGeom: String,
+           pred: JoinPredicate, cellSize: Double): DataFrame = {
+    val spark = left.sparkSession
+    GraftFunctions.register(spark)
+    val rowSchema = loadSchema(spark, path)
+    val outSchema = StructType(left.schema.fields ++ rowSchema.fields)
+    val op = SpatialJoin.opCode(pred)
+    val l = left.withColumn("__icell",
+      explode(stf.st_cells(col(leftGeom), lit(cellSize))))
+    val lGeo = l.schema.fieldIndex(leftGeom)
+    val lCell = l.schema.fieldIndex("__icell")
+    val lkv = l.groupByKey(_.getLong(lCell))(Encoders.scalaLong)
+    val tkv = spark.read.parquet(path)
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+    lkv.cogroup(tkv) { (cell, lIt, tIt) =>
+      if (!tIt.hasNext) Iterator.empty
+      else {
+        val tree = deserialize(tIt.next().getAs[Array[Byte]](1))
+        lIt.flatMap { lr =>
+          val lsto = SpatialJoin.stoRow(lr.getAs[Row](lGeo))
+          if (lsto == null) Iterator.empty
+          else {
+            val env = GeoOps.readGeom(lsto.getBinary(0)).getEnvelopeInternal
+            tree.query(env).iterator().asScala.flatMap { o =>
+              val e = o.asInstanceOf[Entry]
+              if (GeoOps.relate(lsto, e.sto, op) &&
+                  GeoOps.refPointInCell(lsto, e.sto, cellSize, cell))
+                Iterator.single(Row.fromSeq(lr.toSeq.dropRight(1) ++ e.row.toSeq))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

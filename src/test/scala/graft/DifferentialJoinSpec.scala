@@ -98,6 +98,9 @@ class DifferentialJoinSpec extends AnyFunSuite {
       val exp = a.crossJoin(b).filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
         .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == exp, s"bucket=$bucket missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+      val idx = TemporalJoin.overlapsIndexed(a, b, "sa", "ea", "sb", "eb", bucket)
+        .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(idx == exp, s"interval-tree bucket=$bucket missing=${(exp -- idx).take(5)} extra=${(idx -- exp).take(5)}")
     }
   }
 

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.stf
+import graft.operators.{JoinPredicate, SpatialJoin, SpatialOps}
+import graft.sources.IndexStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Persisted-index store: filters and joins answered from serialized
+ * per-cell R-trees must equal the live plans exactly (reference persists
+ * `RDD[Index]` via saveAsObjectFile / loadIndexed, STSparkContext.scala:
+ * 307-377 — same write-once-query-many contract). Boundary-heavy random
+ * data (coordinates snapped to cell boundaries) like DifferentialJoinSpec.
+ */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val rnd = new scala.util.Random(11)
+  private val cellSize = 10.0
+
+  private lazy val boxes = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      val x0 = rnd.nextInt(16) * 5.0; val y0 = rnd.nextInt(16) * 5.0
+      (i.toLong, x0, y0, x0 + (rnd.nextInt(4) + 1) * 5.0, y0 + (rnd.nextInt(4) + 1) * 5.0)
+    }.toDF("bid", "x0", "y0", "x1", "y1")
+      .withColumn("bgeo", stf.st_box(col("x0"), col("y0"), col("x1"), col("y1")))
+      .select("bid", "bgeo")
+  }
+
+  private lazy val pts = {
+    import spark.implicits._
+    (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(20) * 5.0, rnd.nextInt(20) * 5.0)
+    }.toDF("pid", "px", "py")
+      .withColumn("pgeo", stf.st_point(col("px"), col("py")))
+  }
+
+  private lazy val storePath = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_index_store_spec"
+    IndexStore.saveIndexed(pts, p, "pgeo", cellSize)
+    p
+  }
+
+  test("schema sidecar round-trips") {
+    assert(IndexStore.loadSchema(spark, storePath) == pts.schema)
+  }
+
+  test("persisted filter equals the live predicate filter") {
+    val qry = "POLYGON ((12.5 12.5, 62.5 12.5, 62.5 47.5, 12.5 47.5, 12.5 12.5))"
+    val live: Map[JoinPredicate, org.apache.spark.sql.DataFrame] = Map(
+      JoinPredicate.Intersects ->
+        SpatialOps.intersects(pts, col("pgeo"), stf.st_geomfromwkt(qry)),
+      JoinPredicate.ContainedBy ->
+        SpatialOps.containedBy(pts, col("pgeo"), stf.st_geomfromwkt(qry)),
+      JoinPredicate.CoveredBy ->
+        SpatialOps.coveredBy(pts, col("pgeo"), stf.st_geomfromwkt(qry)))
+    for ((pred, expected) <- live) {
+      val got = IndexStore.filter(spark, storePath, qry, pred, cellSize)
+        .select("pid").collect().map(_.getLong(0)).toSet
+      val exp = expected.select("pid").collect().map(_.getLong(0)).toSet
+      assert(got == exp, s"pred=$pred missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
+  test("persisted join equals the declarative cell join") {
+    for (pred <- Seq(JoinPredicate.Intersects, JoinPredicate.Contains)) {
+      val got = IndexStore.join(boxes, storePath, "bgeo", pred, cellSize)
+        .select(col("bid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = SpatialJoin.join(boxes, pts, col("bgeo"), col("pgeo"), pred, cellSize)
+        .select(col("bid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"pred=$pred missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
+  test("persisted join output schema is left ++ stored columns") {
+    val out = IndexStore.join(boxes, storePath, "bgeo", JoinPredicate.Intersects, cellSize)
+    assert(out.columns.toSeq == Seq("bid", "bgeo", "pid", "px", "py", "pgeo"))
+  }
+}
