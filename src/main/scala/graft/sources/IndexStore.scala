@@ -112,7 +112,18 @@ object IndexStore {
    * operand: a row qualifies iff `pred(row_geom, query)` holds.
    */
   def filter(spark: SparkSession, path: String, queryWkt: String,
-             pred: JoinPredicate, cellSize: Double): DataFrame = {
+             pred: JoinPredicate, cellSize: Double): DataFrame =
+    filter(spark, path, queryWkt, pred, cellSize, null, null)
+
+  /**
+   * Spatio-temporal variant: the query carries an instant (`qTs == qTe`),
+   * a closed interval, or an open-ended one (`qTe == null` with `qTs`
+   * set) — the §2.2 gate applies exactly as in the live filter (both sides
+   * timed → temporal relation must hold; presence mismatch → no match).
+   */
+  def filter(spark: SparkSession, path: String, queryWkt: String,
+             pred: JoinPredicate, cellSize: Double,
+             qTs: java.lang.Long, qTe: java.lang.Long): DataFrame = {
     val rowSchema = loadSchema(spark, path)
     val q = GeoOps.parseWkt(queryWkt)
     val qWkb = GeoOps.writeGeom(q)
@@ -124,7 +135,7 @@ object IndexStore {
       .flatMap { tr =>
         val cell = tr.getLong(0)
         val tree = deserialize(tr.getAs[Array[Byte]](1))
-        val qSto = new GenericInternalRow(Array[Any](qWkb, null, null))
+        val qSto = new GenericInternalRow(Array[Any](qWkb, qTs, qTe))
         tree.query(qEnv).iterator().asScala.flatMap { o =>
           val e = o.asInstanceOf[Entry]
           if (GeoOps.relate(e.sto, qSto, op) &&

@@ -55,6 +55,18 @@ object syntax {
     def stAsOfJoin(other: DataFrame, idName: String, time: Column, otherTime: Column,
                    maxLookback: Long, bucket: Long, tieBreak: Column): DataFrame =
       TemporalJoin.asOf(df, other, idName, time, otherTime, maxLookback, bucket, tieBreak)
+    def stTemporalOverlapJoinIndexed(other: DataFrame, startName: String, endName: String,
+                                     otherStartName: String, otherEndName: String,
+                                     bucket: Long): DataFrame =
+      TemporalJoin.overlapsIndexed(df, other, startName, endName,
+        otherStartName, otherEndName, bucket)
+
+    // ---- persisted indexes (reference index() + loadIndexed) ----
+    def stSaveIndexed(path: String, geoName: String, cellSize: Double): Unit =
+      graft.sources.IndexStore.saveIndexed(df, path, geoName, cellSize)
+    def stJoinPersisted(indexPath: String, geoName: String, pred: JoinPredicate,
+                        cellSize: Double): DataFrame =
+      graft.sources.IndexStore.join(df, indexPath, geoName, pred, cellSize)
 
     // ---- kNN family (reference Plain:112-252) ----
     def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)

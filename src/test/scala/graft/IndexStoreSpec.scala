@@ -64,6 +64,29 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("spatio-temporal persisted filter applies the §2.2 gate") {
+    import spark.implicits._
+    val timed = (0 until 100).map { i =>
+      (i.toLong, (i % 20) * 5.0, (i / 20) * 5.0, i * 10L)
+    }.toDF("id", "x", "y", "t")
+      .withColumn("geo", stf.st_with_instant(stf.st_point(col("x"), col("y")), col("t")))
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_index_store_timed"
+    IndexStore.saveIndexed(timed, p, "geo", cellSize)
+    val qry = "POLYGON ((0 0, 95 0, 95 95, 0 95, 0 0))"
+    // closed query interval [200, 600]: only instants inside it intersect
+    val got = IndexStore.filter(spark, p, qry, JoinPredicate.Intersects, cellSize,
+        200L, 600L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exp = SpatialOps.intersects(timed, col("geo"),
+        stf.st_with_time(stf.st_geomfromwkt(qry), lit(200L), lit(600L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    // presence mismatch: un-timed query against timed rows matches nothing
+    assert(IndexStore.filter(spark, p, qry, JoinPredicate.Intersects, cellSize)
+      .count() == 0)
+  }
+
   test("persisted join equals the declarative cell join") {
     for (pred <- Seq(JoinPredicate.Intersects, JoinPredicate.Contains)) {
       val got = IndexStore.join(boxes, storePath, "bgeo", pred, cellSize)
