@@ -480,6 +480,21 @@ object SparkEntry {
         .orderBy(col("n_nationkey"), col("c_custkey"))
     }),
 
+    // persisted IVF index (train-once/query-many ANN): nprobe = nlist
+    // probes every cell, so results equal the exact brute-force top-k —
+    // the oracle is q18's SQL. The store read is the pruned path either way.
+    "q51_ann_ivf_store" -> ((s, dir) => {
+      val path = storedOnce("ivfstore_q51", dir) { p =>
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.buildIvfIndex(e, p, col("vec_id"), col("embedding"), nlist = 16)
+      }
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 10)
+      Similarity.ivfTopKIndexed(q, path, col("vec_id"), col("embedding"),
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // interval-tree live index (reference IntervalTree1 over JTS
     // SortedPackedIntervalRTree): same pairs as the declarative q42.
     "q50_interval_join_indexed" -> ((s, dir) => {
@@ -621,6 +636,14 @@ object SparkEntry {
        "ORDER BY id_a, id_b"),
 
     "q18_ann_topk" ->
+      (s"WITH e AS ($normedEmbSql), scored AS (" +
+       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c WHERE c.vec_id != q.vec_id) " +
+       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+
+    // nprobe = nlist ⇒ the persisted-IVF path is exact: same oracle as q18
+    "q51_ann_ivf_store" ->
       (s"WITH e AS ($normedEmbSql), scored AS (" +
        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +

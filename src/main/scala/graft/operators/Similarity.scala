@@ -84,4 +84,79 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  // ---- persisted IVF index ----
+  // The scale contract of IVF is train-once / assign-once / query-many:
+  // at 100 TB the corpus assignment is the expensive pass, and a query
+  // batch should read only its probed cells. These two methods persist
+  // the assignment as parquet range-partitioned and sorted by cell id —
+  // a query's probe set reaches the reader as a pushed IN filter, so
+  // non-probed cells are never read — with the centroids in an
+  // underscore-hidden parquet sidecar (same layout idea as
+  // [[graft.sources.IndexStore]]).
+
+  /** Train the coarse quantizer and persist the assigned corpus
+    * (`__cell`, `neighbor_id`, `__cv`, `__cn`) plus a `_graft_centroids`
+    * sidecar. */
+  def buildIvfIndex(corpus: DataFrame, path: String, corpusId: Column,
+                    corpusVec: Column, nlist: Int = 16, seed: Long = 42L): Unit = {
+    import graft.functions.stf
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+      .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
+    val trainFrac = math.min(1.0, math.max(0.1, 20.0 * nlist / math.max(corpus.count(), 1L)))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(if (trainFrac < 1.0) c.sample(withReplacement = false, trainFrac, seed) else c)
+    model.transform(c).drop("__features")
+      .withColumn("__cn", stf.vec_norm(col("__cv")))
+      .repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
+      .write.mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.map(_.toArray).zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/_graft_centroids")
+  }
+
+  /** Query a [[buildIvfIndex]] store: each query probes its `nprobe`
+    * nearest cells; only those cells are read from the store (pushed IN
+    * filter over the sorted cell column). `nprobe` ≥ nlist reads
+    * everything and equals [[bruteTopK]] exactly. */
+  def ivfTopKIndexed(queries: DataFrame, path: String, queryId: Column,
+                     queryVec: Column, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import graft.functions.stf
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = spark.read.parquet(path + "/_graft_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeCells = udf { (qv: Seq[Float]) =>
+      val cs = bc.value
+      val dists = cs.indices.map { i =>
+        val cvec = cs(i)
+        var d = 0.0; var j = 0
+        while (j < cvec.length) { val diff = qv(j) - cvec(j); d += diff * diff; j += 1 }
+        (d, i)
+      }
+      dists.sorted.take(nprobe).map(_._2).toArray
+    }
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+      .withColumn("__qcell", explode(probeCells(col("__qv"))))
+      .withColumn("__qn", stf.vec_norm(col("__qv")))
+    // the query batch is small by contract — collecting its probe set is
+    // O(nlist) and turns the corpus read into a pruned scan
+    val cells = q.select(col("__qcell")).distinct().collect().map(_.getInt(0))
+    val scored = spark.read.parquet(path)
+      .filter(col("__cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+      .join(broadcast(q),
+        col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("__cos", stf.vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val rn = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

@@ -99,6 +99,31 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index with full probe equals brute-force top-k") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dim = 8
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_spec"
+    Similarity.buildIvfIndex(emb, p, col("vec_id"), col("embedding"), nlist = 8)
+    val q = emb.filter(col("vec_id") < 5)
+    val got = Similarity.ivfTopKIndexed(q, p, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = Similarity.bruteTopK(emb, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    // partial probe: at most k per query, all from the probed cells
+    val part = Similarity.ivfTopKIndexed(q, p, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 2)
+    val counts = part.groupBy(col("query_id")).count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ <= 3))
+  }
+
   test("persisted join output schema is left ++ stored columns") {
     val out = IndexStore.join(boxes, storePath, "bgeo", JoinPredicate.Intersects, cellSize)
     assert(out.columns.toSeq == Seq("bid", "bgeo", "pid", "px", "py", "pgeo"))
