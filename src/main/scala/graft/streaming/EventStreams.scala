@@ -60,6 +60,22 @@ object EventStreams {
   def spatialFilter(events: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
     events.filter(predicate)
 
+  /**
+   * Stream-static spatial join — enrich a stream of geometries with a
+   * static region table (geofencing). The batch cell-replicate join
+   * composes unchanged: explode-cells and the exact refine are stateless
+   * per-row transforms, and the equi-join on cell id is a stream-static
+   * inner join Spark executes per micro-batch (the static side's exploded
+   * cells are planned once). No watermark or state store involved.
+   */
+  def spatialJoinStatic(stream: DataFrame, regions: DataFrame,
+                        streamGeo: org.apache.spark.sql.Column,
+                        regionGeo: org.apache.spark.sql.Column,
+                        pred: graft.operators.JoinPredicate,
+                        cellSize: Double): DataFrame =
+    graft.operators.SpatialJoin.join(stream, regions, streamGeo, regionGeo,
+      pred, cellSize)
+
   /** Streaming exact dedup on a content fingerprint — the streaming twin of
     * [[graft.operators.Dedup.exact]]. `dropDuplicatesWithinWatermark` keeps
     * the dedup state bounded by the watermark horizon instead of growing

@@ -55,6 +55,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static spatial join: the cell join runs per micro-batch") {
+    import graft.functions.stf
+    import graft.operators.JoinPredicate
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regions = Seq((1L, 0.0, 0.0, 10.0, 10.0), (2L, 20.0, 20.0, 30.0, 30.0))
+      .toDF("region_id", "x0", "y0", "x1", "y1")
+      .select(col("region_id"),
+        stf.st_box(col("x0"), col("y0"), col("x1"), col("y1")).as("r_geo"))
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("pt_id", "x", "y")
+      .withColumn("p_geo", stf.st_point(col("x"), col("y")))
+    val q = EventStreams.spatialJoinStatic(pts, regions, col("p_geo"), col("r_geo"),
+        JoinPredicate.CoveredBy, cellSize = 8.0)
+      .writeStream.format("memory").queryName("geo_join")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 5.0, 5.0), (2L, 25.0, 25.0), (3L, 15.0, 15.0))
+      q.processAllAvailable()
+      input.addData((4L, 1.0, 9.0))
+      q.processAllAvailable()
+      val got = spark.table("geo_join").select(col("pt_id"), col("region_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (2L, 2L), (4L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming spatial filter applies st_* predicates per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
