@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q2_filter_containedby", "q6_spatial_join",
         "q4_distance_join", "q35_raster_join_misaligned", "q39_tile_store_pruned",
-        "q42_interval_join", "q13_dedup_exact")
+        "q42_interval_join", "q13_dedup_exact",
+        "q48_persisted_filter", "q51_ann_ivf_store")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", "32")

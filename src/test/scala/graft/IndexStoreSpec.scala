@@ -124,6 +124,33 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
 
+  test("query regions outside the stored extent return empty, not errors") {
+    val far = "POLYGON ((5000 5000, 5100 5000, 5100 5100, 5000 5100, 5000 5000))"
+    assert(IndexStore.filter(spark, storePath, far,
+      JoinPredicate.Intersects, cellSize).count() == 0)
+    import spark.implicits._
+    val farBox = Seq((9L, 5000.0, 5000.0)).toDF("bid", "x", "y")
+      .withColumn("bgeo", stf.st_box(col("x"), col("y"), col("x") + 50, col("y") + 50))
+      .select("bid", "bgeo")
+    assert(IndexStore.join(farBox, storePath, "bgeo",
+      JoinPredicate.Intersects, cellSize).count() == 0)
+  }
+
+  test("null geometries are skipped at save and never crash a query") {
+    import spark.implicits._
+    val withNulls = (0 until 20).map { i =>
+      (i.toLong, i * 5.0, i * 5.0)
+    }.toDF("id", "x", "y")
+      .withColumn("geo", when(col("id") % 4 === 0, lit(null))
+        .otherwise(stf.st_point(col("x"), col("y"))))
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_index_store_nulls"
+    IndexStore.saveIndexed(withNulls, p, "geo", cellSize)
+    val qry = "POLYGON ((-1 -1, 96 -1, 96 96, -1 96, -1 -1))"
+    val got = IndexStore.filter(spark, p, qry, JoinPredicate.Intersects, cellSize)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 20).filter(_ % 4 != 0).map(_.toLong).toSet)
+  }
+
   test("persisted join output schema is left ++ stored columns") {
     val out = IndexStore.join(boxes, storePath, "bgeo", JoinPredicate.Intersects, cellSize)
     assert(out.columns.toSeq == Seq("bid", "bgeo", "pid", "px", "py", "pgeo"))
