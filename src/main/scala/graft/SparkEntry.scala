@@ -431,6 +431,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source TOKEN budget (training mixes are specified in tokens, not
+    // docs): keep each source's doc_id-ordered prefix within 3000 chars.
+    "q52_token_budget" -> ((s, dir) => {
+      Pipeline.tokenBudgetPerGroup(Tables.load(s, dir, "documents"),
+          col("source"), col("doc_id"), col("n_chars"), budget = 3000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 4 distinct trigram
     // shingles with an eval doc (eval set = doc_id % 17 == 0).
     "q46_decontam" -> ((s, dir) => {
@@ -846,6 +855,12 @@ object SparkEntry {
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
        "WHERE rn <= 20 ORDER BY doc_id"),
+
+    "q52_token_budget" ->
+      ("SELECT doc_id, source, n_chars FROM (SELECT doc_id, source, n_chars, " +
+       "sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM documents) " +
+       "WHERE s <= 3000 ORDER BY doc_id"),
 
     "q46_decontam" ->
       (s"WITH sh AS ($shingleSetSql) " +

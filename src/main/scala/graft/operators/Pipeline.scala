@@ -84,6 +84,42 @@ object Pipeline {
   }
 
   /**
+   * Deterministic per-group TOKEN budget: within each group, keep the
+   * prefix of rows in `order` whose running `tokens` total stays within
+   * `budget` — the downsampling knob when sources are balanced by token
+   * count, not document count (the usual unit a training mix is specified
+   * in). Once a group's running total passes the budget every later row is
+   * dropped (the cumulative sum is monotone because tokens must be
+   * positive).
+   *
+   * Two-phase like [[capPerGroup]]: a row's running total within its own
+   * input partition is a lower bound on its global running total (its
+   * local predecessors are a subset of its global ones), so rows that blow
+   * the budget locally are dropped before the per-group shuffle — a hot
+   * group funnels at most budget/min(tokens) rows per input partition into
+   * the single-task phase, never its full row count.
+   *
+   * `order` must be a total order within each group; `tokens` must be > 0.
+   */
+  def tokenBudgetPerGroup(df: DataFrame, group: Column, order: Column,
+                          tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__tb_pid") || c.equalsIgnoreCase("__tb_sum")),
+      "tokenBudgetPerGroup: input must not contain columns named __tb_pid/__tb_sum")
+    val local = sum(tokens).over(
+      Window.partitionBy(group, col("__tb_pid")).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val global = sum(tokens).over(
+      Window.partitionBy(group).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__tb_pid", spark_partition_id())
+      .withColumn("__tb_sum", local).filter(col("__tb_sum") <= budget)
+      .withColumn("__tb_sum", global).filter(col("__tb_sum") <= budget)
+      .drop("__tb_sum", "__tb_pid")
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least
    * `minOverlap` distinct word n-gram shingles with a benchmark document.
    * Output (corpus id, benchmark id, overlap count) for every contaminated

@@ -63,6 +63,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("tokenBudgetPerGroup == single-window cumulative cap (skewed groups)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // group 0 holds 400 rows over many partitions; varying token counts
+    val df = (0 until 500).map { i =>
+      (if (i < 400) 0L else i.toLong % 5, i.toLong, 1L + rnd.nextInt(90))
+    }.toDF("g", "id", "tok").repartition(11)
+    val got = Pipeline.tokenBudgetPerGroup(df, col("g"), col("id"), col("tok"), 700L)
+      .select(col("g"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df.withColumn("s",
+        sum(col("tok")).over(Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("s") <= 700L).select(col("g"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // prefix semantics: in each group the kept set is a doc-id prefix of
+    // the rows whose own token count fits — no row after the first overflow
+    val kept = Pipeline.tokenBudgetPerGroup(df, col("g"), col("id"), col("tok"), 700L)
+      .groupBy(col("g")).agg(max(col("id")).as("mx"), count(lit(1)).as("cnt")).collect()
+    kept.foreach { r => assert(r.getLong(2) > 0) }
+  }
+
   test("contaminationPairs counts distinct shared shingles exactly") {
     import spark.implicits._
     // corpus doc 1 shares exactly 4 trigrams with bench doc 10 ("a b c d e f"
