@@ -440,6 +440,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source sampling rates (epoch mixing): src0 upsampled 2.5x, src1
+    // dropped, everything else halved — deterministic hash selection, copies
+    // materialized with a copy index.
+    "q53_sample_rates" -> ((s, dir) => {
+      Pipeline.sampleByRate(Tables.load(s, dir, "documents"), col("source"),
+          col("doc_id"), sampleSalt, Map("src0" -> 2.5, "src1" -> 0.0), 0.5)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 4 distinct trigram
     // shingles with an eval doc (eval set = doc_id % 17 == 0).
     "q46_decontam" -> ((s, dir) => {
@@ -862,6 +872,16 @@ object SparkEntry {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM documents) " +
        "WHERE s <= 3000 ORDER BY doc_id"),
 
+    // rates: src0 -> 2.5 (cut 8000), src1 -> 0.0 (cut 0000), default 0.5
+    "q53_sample_rates" ->
+      ("SELECT doc_id, source, unnest(range(n)) AS copy FROM (" +
+       "SELECT doc_id, source, " +
+       "(CASE WHEN source='src0' THEN 2 ELSE 0 END) + " +
+       "(CASE WHEN substr(md5(doc_id || ':mix'),1,4) < " +
+       "(CASE WHEN source='src0' THEN '8000' WHEN source='src1' THEN '0000' ELSE '8000' END) " +
+       "THEN 1 ELSE 0 END) AS n FROM documents) WHERE n >= 1 " +
+       "ORDER BY doc_id, copy"),
+
     "q46_decontam" ->
       (s"WITH sh AS ($shingleSetSql) " +
        "SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, " +
@@ -961,6 +981,7 @@ object SparkEntry {
     * md5-prefix cut literals come from one computation. */
   private val splitSalt = "graft"
   private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val sampleSalt = "mix"
 
   /** Distinct 3-gram shingle set per document (docs with >= 3 words) —
     * mirrors `TextAnalysis.shingles`; parity proven by q14/q15. */

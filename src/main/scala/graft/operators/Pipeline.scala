@@ -120,6 +120,42 @@ object Pipeline {
   }
 
   /**
+   * Deterministic per-group sampling RATES — the epoch-mixing primitive: a
+   * training mix upsamples starved sources (rate > 1 ⇒ whole copies plus a
+   * hash-selected fractional copy) and downsamples abundant ones
+   * (rate < 1 ⇒ keep iff the row's hash falls under the rate cut). Output
+   * repeats each kept row with `copy` = 0..k-1 so downstream shuffling
+   * treats copies as rows. A pure map + bounded explode: no shuffle, no RNG
+   * state, append/rerun/repartition stable (same guarantees as
+   * [[assignSplit]], same 4-hex-digit hash cuts so an external SQL oracle
+   * compares identical literals).
+   *
+   * @param rates   per-group-value rate; groups not listed use `default`
+   */
+  def sampleByRate(df: DataFrame, group: Column, idCol: Column, salt: String,
+                   rates: Map[String, Double], default: Double,
+                   copyName: String = "copy"): DataFrame = {
+    (rates.values ++ Seq(default)).foreach(r =>
+      require(r >= 0, s"rates must be non-negative, got $r"))
+    val h = substring(md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary")), 1, 4)
+    val rate = rates.foldRight(lit(default)) { case ((g, r), rest) =>
+      when(group === lit(g), r).otherwise(rest)
+    }
+    val whole = floor(rate).cast("long")
+    // fractional part selects one extra copy for hash < hexBound(frac);
+    // cuts are driver-computed literals, so the whole row stays codegen'd
+    val cutFor = (r: Double) => hexBound(r - math.floor(r))
+    val cut = rates.foldRight(lit(cutFor(default))) { case ((g, r), rest) =>
+      when(group === lit(g), cutFor(r)).otherwise(rest)
+    }
+    val copies = whole + when(h < cut, 1L).otherwise(0L)
+    df.withColumn("__sr_n", copies)
+      .filter(col("__sr_n") >= 1) // sequence(0, -1) would descend — guard first
+      .withColumn(copyName, explode(sequence(lit(0L), col("__sr_n") - 1)))
+      .drop("__sr_n")
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least
    * `minOverlap` distinct word n-gram shingles with a benchmark document.
    * Output (corpus id, benchmark id, overlap count) for every contaminated

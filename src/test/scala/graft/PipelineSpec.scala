@@ -85,6 +85,27 @@ class PipelineSpec extends AnyFunSuite {
     kept.foreach { r => assert(r.getLong(2) > 0) }
   }
 
+  test("sampleByRate: whole copies + hash-selected fractional copy, rate 0 drops") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    val out = Pipeline.sampleByRate(df, col("src"), col("id"), "t",
+      Map("s0" -> 2.0, "s1" -> 0.0, "s2" -> 0.5), 1.0)
+    val bySrc = out.groupBy(col("src")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // s0: exactly 2 copies each (frac 0 -> cut 0000, no extra); s1 dropped
+    assert(bySrc("s0") == 200L && !bySrc.contains("s1") && bySrc("s3") == 100L)
+    // s2: hash-selected half — deterministic, strictly between 0 and all
+    assert(bySrc("s2") > 0L && bySrc("s2") < 100L)
+    // rerun is byte-identical (no RNG state)
+    val again = Pipeline.sampleByRate(df, col("src"), col("id"), "t",
+      Map("s0" -> 2.0, "s1" -> 0.0, "s2" -> 0.5), 1.0)
+    assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    // copy indexes are 0..k-1 per row
+    assert(out.filter(col("src") === "s0").groupBy(col("id"))
+      .agg(collect_set(col("copy")).as("cs")).collect()
+      .forall(_.getSeq[Long](1).toSet == Set(0L, 1L)))
+  }
+
   test("contaminationPairs counts distinct shared shingles exactly") {
     import spark.implicits._
     // corpus doc 1 shares exactly 4 trigrams with bench doc 10 ("a b c d e f"
