@@ -108,5 +108,15 @@ object syntax {
     def annTopK(queries: DataFrame, id: Column, qid: Column,
                 vec: Column, qvec: Column, k: Int): DataFrame =
       Similarity.bruteTopK(df, queries, id, qid, vec, qvec, k)
+    def assignSplit(id: Column, salt: String, fractions: Seq[(String, Double)]): DataFrame =
+      Pipeline.assignSplit(df, id, salt, fractions)
+    def capPerGroup(group: Column, order: Column, n: Int): DataFrame =
+      Pipeline.capPerGroup(df, group, order, n)
+    def tokenBudgetPerGroup(group: Column, order: Column, tokens: Column,
+                            budget: Long): DataFrame =
+      Pipeline.tokenBudgetPerGroup(df, group, order, tokens, budget)
+    def sampleByRate(group: Column, id: Column, salt: String,
+                     rates: Map[String, Double], default: Double): DataFrame =
+      Pipeline.sampleByRate(df, group, id, salt, rates, default)
   }
 }
