@@ -485,7 +485,7 @@ object SparkEntry {
       val path = persistedCustomerIndex(s, dir)
       IndexStore.filter(s, path,
           "POLYGON ((150 150, 650 150, 650 450, 150 450, 150 150))",
-          JoinPredicate.ContainedBy, cellSize = 100.0)
+          JoinPredicate.ContainedBy)
         .select(col("c_custkey")).orderBy(col("c_custkey"))
     }),
 
@@ -494,7 +494,7 @@ object SparkEntry {
     "q49_persisted_join" -> ((s, dir) => {
       val path = persistedCustomerIndex(s, dir)
       IndexStore.join(Tables.nationRects(s, dir), path, "n_geo",
-          JoinPredicate.Contains, cellSize = 100.0)
+          JoinPredicate.Contains)
         .select(col("n_nationkey"), col("c_custkey"))
         .orderBy(col("n_nationkey"), col("c_custkey"))
     }),
@@ -503,7 +503,7 @@ object SparkEntry {
     // probes every cell, so results equal the exact brute-force top-k —
     // the oracle is q18's SQL. The store read is the pruned path either way.
     "q51_ann_ivf_store" -> ((s, dir) => {
-      val path = storedOnce("ivfstore_q51", dir) { p =>
+      val path = storedOnce("ivfstore_q51b", dir) { p =>
         val e = Tables.load(s, dir, "embeddings")
         Similarity.buildIvfIndex(e, p, col("vec_id"), col("embedding"), nlist = 16)
       }
@@ -531,9 +531,10 @@ object SparkEntry {
     })
   )
 
-  /** Shared write-once persisted-index store over customer points. */
+  /** Shared write-once persisted-index store over customer points.
+    * (Tag suffix "b": the v1 layout kept trees at the store root.) */
   private def persistedCustomerIndex(s: SparkSession, dir: String): String =
-    storedOnce("idxstore_q48", dir)(p =>
+    storedOnce("idxstore_q48b", dir)(p =>
       IndexStore.saveIndexed(Tables.customerPts(s, dir), p, "c_geo", cellSize = 100.0))
 
   /** Write-once store path, keyed by the dataset dir: reruns in the same

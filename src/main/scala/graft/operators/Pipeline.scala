@@ -92,12 +92,19 @@ object Pipeline {
    * dropped (the cumulative sum is monotone because tokens must be
    * positive).
    *
-   * Two-phase like [[capPerGroup]]: a row's running total within its own
-   * input partition is a lower bound on its global running total (its
-   * local predecessors are a subset of its global ones), so rows that blow
-   * the budget locally are dropped before the per-group shuffle — a hot
-   * group funnels at most budget/min(tokens) rows per input partition into
-   * the single-task phase, never its full row count.
+   * Two-phase like [[capPerGroup]], with one subtlety running sums have
+   * and ranks don't: a dropped row's tokens still count toward later rows'
+   * totals, so phase 1 may only truncate AFTER keeping each partition's
+   * first budget-crossing row as a sum witness. Phase 1 keeps every row
+   * whose EXCLUSIVE local prefix fits the budget — the fitting local
+   * prefix plus the first local crosser. Any globally-dropped row then
+   * still sees a > budget running total in phase 2: if some partition
+   * truncated at or before it, that partition's surviving prefix alone
+   * (ending in its crosser) already exceeds the budget; if none did, the
+   * phase-2 sum equals the true one. Kept rows precede every crosser (the
+   * true cumulative sum is monotone), so their totals are exact. A hot
+   * group funnels at most budget/min(tokens)+1 rows per input partition
+   * into the single-task phase, never its full row count.
    *
    * `order` must be a total order within each group; `tokens` must be > 0.
    */
@@ -114,7 +121,8 @@ object Pipeline {
       Window.partitionBy(group).orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     df.withColumn("__tb_pid", spark_partition_id())
-      .withColumn("__tb_sum", local).filter(col("__tb_sum") <= budget)
+      // keep the fitting local prefix AND the first local crosser (witness)
+      .withColumn("__tb_sum", local).filter(col("__tb_sum") - tokens <= budget)
       .withColumn("__tb_sum", global).filter(col("__tb_sum") <= budget)
       .drop("__tb_sum", "__tb_pid")
   }

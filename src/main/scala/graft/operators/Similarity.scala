@@ -39,6 +39,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Fit the coarse quantizer: KMeans(nlist, seed) on a deterministic
+    * representative sample of the `__features` column — the ONE training
+    * recipe shared by the live and persisted IVF paths (they must stay in
+    * lockstep or a persisted index diverges from the live plan). */
+  private def fitQuantizer(c: DataFrame, rowCount: Long, nlist: Int, seed: Long) = {
+    val trainFrac = math.min(1.0, math.max(0.1, 20.0 * nlist / math.max(rowCount, 1L)))
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(if (trainFrac < 1.0) c.sample(withReplacement = false, trainFrac, seed) else c)
+  }
+
+  /** Per-query probe set: indexes of the `nprobe` nearest centroids. */
+  private def probeCellsUdf(centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                            nprobe: Int) = udf { (qv: Seq[Float]) =>
+    val cs = centroids.value
+    val dists = cs.indices.map { i =>
+      val cvec = cs(i)
+      var d = 0.0; var j = 0
+      while (j < cvec.length) { val diff = qv(j) - cvec(j); d += diff * diff; j += 1 }
+      (d, i)
+    }
+    dists.sorted.take(nprobe).map(_._2).toArray
+  }
+
   /**
    * IVF top-k: KMeans(nlist, seed) coarse cells; each query probes the
    * nprobe nearest cells. nprobe == nlist degenerates to exact search.
@@ -50,26 +74,10 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
       .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
-    // coarse quantizer quality needs only a representative sample — fit on
-    // a deterministic fraction, assign the full corpus (standard IVF train)
-    val trainFrac = math.min(1.0, math.max(0.1, 20.0 * nlist / math.max(corpus.count(), 1L)))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(if (trainFrac < 1.0) c.sample(withReplacement = false, trainFrac, seed) else c)
+    val model = fitQuantizer(c, corpus.count(), nlist, seed)
     val assigned = model.transform(c).drop("__features")
-    val centroids = model.clusterCenters.map(_.toArray)
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    val probeCells = udf { (qv: Seq[Float]) =>
-      val cs = bc.value
-      val dists = cs.indices.map { i =>
-        val cvec = cs(i)
-        var d = 0.0; var j = 0
-        while (j < cvec.length) { val diff = qv(j) - cvec(j); d += diff * diff; j += 1 }
-        (d, i)
-      }
-      dists.sorted.take(nprobe).map(_._2).toArray
-    }
+    val bc = spark.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val probeCells = probeCellsUdf(bc, nprobe)
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
       .withColumn("__qcell", explode(probeCells(col("__qv"))))
 
@@ -96,34 +104,38 @@ object Similarity {
   // [[graft.sources.IndexStore]]).
 
   /** Train the coarse quantizer and persist the assigned corpus
-    * (`__cell`, `neighbor_id`, `__cv`, `__cn`) plus a `_graft_centroids`
-    * sidecar. */
+    * (`__cell`, `neighbor_id`, `__cv`, `__cn`) under `<path>/corpus` plus
+    * a `_graft_centroids` parquet sidecar. A top-level `_SUCCESS` marker
+    * is written LAST so an interrupted build is redone by write-once
+    * wrappers, never half-read. */
   def buildIvfIndex(corpus: DataFrame, path: String, corpusId: Column,
                     corpusVec: Column, nlist: Int = 16, seed: Long = 42L): Unit = {
     import graft.functions.stf
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
       .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
-    val trainFrac = math.min(1.0, math.max(0.1, 20.0 * nlist / math.max(corpus.count(), 1L)))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(if (trainFrac < 1.0) c.sample(withReplacement = false, trainFrac, seed) else c)
+    val model = fitQuantizer(c, corpus.count(), nlist, seed)
     model.transform(c).drop("__features")
       .withColumn("__cn", stf.vec_norm(col("__cv")))
       .repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path + "/corpus")
     val spark = corpus.sparkSession
     import spark.implicits._
     model.clusterCenters.map(_.toArray).zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path + "/_graft_centroids")
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
   }
 
   /** Query a [[buildIvfIndex]] store: each query probes its `nprobe`
     * nearest cells; only those cells are read from the store (pushed IN
     * filter over the sorted cell column). `nprobe` ≥ nlist reads
-    * everything and equals [[bruteTopK]] exactly. */
+    * everything and equals [[bruteTopK]] exactly. The query batch is
+    * collected once (it is broadcast-small by contract), so its upstream
+    * plan never executes twice. */
   def ivfTopKIndexed(queries: DataFrame, path: String, queryId: Column,
                      queryVec: Column, k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
@@ -133,23 +145,16 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(centroids)
-    val probeCells = udf { (qv: Seq[Float]) =>
-      val cs = bc.value
-      val dists = cs.indices.map { i =>
-        val cvec = cs(i)
-        var d = 0.0; var j = 0
-        while (j < cvec.length) { val diff = qv(j) - cvec(j); d += diff * diff; j += 1 }
-        (d, i)
-      }
-      dists.sorted.take(nprobe).map(_._2).toArray
-    }
-    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+    val probeCells = probeCellsUdf(bc, nprobe)
+    // materialize the (small) query batch once: probe-set collection and
+    // the join below must not re-run a possibly expensive upstream plan
+    val qBatch = queries.select(queryId.as("query_id"), queryVec.as("__qv")).collect()
+    val qSchema = queries.select(queryId.as("query_id"), queryVec.as("__qv")).schema
+    val q = spark.createDataFrame(java.util.Arrays.asList(qBatch: _*), qSchema)
       .withColumn("__qcell", explode(probeCells(col("__qv"))))
       .withColumn("__qn", stf.vec_norm(col("__qv")))
-    // the query batch is small by contract — collecting its probe set is
-    // O(nlist) and turns the corpus read into a pruned scan
     val cells = q.select(col("__qcell")).distinct().collect().map(_.getInt(0))
-    val scored = spark.read.parquet(path)
+    val scored = spark.read.parquet(path + "/corpus")
       .filter(col("__cell").isin(cells.map(Int.box).toIndexedSeq: _*))
       .join(broadcast(q),
         col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))

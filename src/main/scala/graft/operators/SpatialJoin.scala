@@ -131,6 +131,11 @@ object SpatialJoin {
                   pred: JoinPredicate, cellSize: Double,
                   index: String = "rtree"): DataFrame = {
     GraftFunctions.register(left.sparkSession)
+    // positional dropRight(1) below depends on __icell being appended, not
+    // replacing an existing column of that (case-insensitive) name
+    Seq(left, right).foreach(df =>
+      require(!df.columns.exists(_.equalsIgnoreCase("__icell")),
+        "joinIndexed: inputs must not contain a column named __icell"))
     val op = opCode(pred)
     val kind = index
     val l = left.withColumn("__icell", explode(stf.st_cells(col(leftGeom), lit(cellSize))))

@@ -31,10 +31,17 @@ object TemporalJoin {
   private def bucketOf(c: Column, bucket: Long): Column =
     ((c - pmod(c, lit(bucket))) / bucket).cast("long")
 
+  /** Working columns would be silently clobbered by withColumn (resolution
+    * is case-insensitive) — fail loudly instead. */
+  private def requireFree(df: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!df.columns.exists(_.equalsIgnoreCase(n)),
+      s"TemporalJoin: input must not contain a column named $n"))
+
   def overlaps(left: DataFrame, right: DataFrame,
                lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
                bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
+    requireFree(left, "__tb_l"); requireFree(right, "__tb_r")
     val l = left.withColumn("__tb_l",
       explode(sequence(bucketOf(lStart, bucket), bucketOf(lEnd, bucket))))
     val r = right.withColumn("__tb_r",
@@ -65,6 +72,7 @@ object TemporalJoin {
                       lStart: String, lEnd: String, rStart: String, rEnd: String,
                       bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
+    requireFree(left, "__tb"); requireFree(right, "__tb")
     val l = left.withColumn("__tb",
       explode(sequence(bucketOf(col(lStart), bucket), bucketOf(col(lEnd), bucket))))
     val r = right.withColumn("__tb",
@@ -118,6 +126,7 @@ object TemporalJoin {
            tieBreak: Column): DataFrame = {
     require(bucket > 0 && maxLookback > 0,
       s"bucket and maxLookback must be positive, got $bucket / $maxLookback")
+    requireFree(left, "__ab_l", "__ab_rn"); requireFree(right, "__ab_r")
     val l = left.withColumn("__ab_l",
       explode(sequence(bucketOf(lTime - maxLookback, bucket), bucketOf(lTime, bucket))))
     val r = right.withColumn("__ab_r", bucketOf(rTime, bucket))

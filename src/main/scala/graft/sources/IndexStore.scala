@@ -20,18 +20,22 @@ import scala.jdk.CollectionConverters._
  * trees with NO index rebuild at query time.
  *
  * Spark-native shape: one STR-packed R-tree per grid cell, java-serialized
- * into a `(cell LONG, tree BINARY)` parquet table, range-partitioned and
- * sorted by cell id so a query's cell-id set reaches the parquet reader as a
- * pushed `IN` filter (row-group pruning replaces the reference's
- * reconstructed partitioner). Rows whose envelope spans several cells are
- * replicated into each cell's tree; the reference-point rule dedups at query
- * time — the same contract as [[graft.operators.SpatialJoin.joinIndexed]],
- * so results are exactly the declarative join's.
+ * into a `(cell LONG, tree BINARY)` parquet table under `<path>/trees`,
+ * range-partitioned and sorted by cell id so a query's cell-id set reaches
+ * the parquet reader as a pushed `IN` filter (row-group pruning replaces
+ * the reference's reconstructed partitioner). Rows whose envelope spans
+ * several cells are replicated into each cell's tree; the reference-point
+ * rule dedups at query time — the same contract as
+ * [[graft.operators.SpatialJoin.joinIndexed]], so results are exactly the
+ * declarative join's.
  *
  * The payload row rides inside the tree entry (the reference stores
- * `Data(data, geom)` leaves the same way, indexed/Data.scala). Schema
- * travels in a `_graft_schema` text sidecar — underscore-prefixed, so the
- * parquet reader ignores it.
+ * `Data(data, geom)` leaves the same way, indexed/Data.scala). The row
+ * schema and the grid cell size travel in underscore-prefixed text
+ * sidecars (ignored by the parquet reader); queries read the cell size
+ * back from the store, so a probe can never use a different grid than the
+ * build did. A top-level `_SUCCESS` marker is written LAST — an
+ * interrupted save leaves no marker and write-once wrappers redo it.
  */
 object IndexStore {
 
@@ -58,16 +62,50 @@ object IndexStore {
     StructField("cell", LongType, nullable = false),
     StructField("tree", BinaryType, nullable = false)))
 
-  private def schemaPath(path: String) = path + "/_graft_schema"
+  private def writeText(spark: SparkSession, path: String, value: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(Seq(value)).coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  private def readText(spark: SparkSession, path: String): String =
+    spark.read.text(path).head().getString(0)
+
+  /** Touch `<path>/_SUCCESS` — completion marker, written after all parts. */
+  private def markComplete(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(conf)
+    fs.create(p, true).close()
+  }
+
+  /** Above this many query cells an IN literal list stops being a sane
+    * Catalyst expression — fall back to a broadcast semi-join on cell id. */
+  private val InListLimit = 1024
+
+  private def prunedTrees(spark: SparkSession, path: String,
+                          cells: Array[Long]): DataFrame = {
+    val trees = spark.read.parquet(path + "/trees")
+    if (cells.length <= InListLimit)
+      trees.filter(col("cell").isin(cells.map(Long.box).toIndexedSeq: _*))
+    else {
+      import spark.implicits._
+      trees.join(broadcast(cells.toSeq.toDF("cell")), "cell")
+    }
+  }
 
   /**
    * Build per-cell R-trees over `df` and persist them. Size `cellSize` so a
    * cell's rows fit one executor — each tree is built and serialized inside
    * a single task (the same contract the reference's per-partition
-   * `index()` has).
+   * `index()` has). The cell size is recorded in the store; queries reuse
+   * it automatically.
    */
   def saveIndexed(df: DataFrame, path: String, geomCol: String,
                   cellSize: Double): Unit = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    require(!df.columns.exists(_.equalsIgnoreCase("__icell")),
+      "saveIndexed: input must not contain a column named __icell")
     GraftFunctions.register(df.sparkSession)
     val geoIdx = df.schema.fieldIndex(geomCol)
     val withCell = df.withColumn("__icell",
@@ -91,17 +129,21 @@ object IndexStore {
         Row(cell, serialize(tree))
       }(Encoders.row(treeSchema))
     trees.repartitionByRange(col("cell")).sortWithinPartitions(col("cell"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path + "/trees")
     val spark = df.sparkSession
-    import spark.implicits._
-    spark.createDataset(Seq(df.schema.json)).coalesce(1)
-      .write.mode("overwrite").text(schemaPath(path))
+    writeText(spark, path + "/_graft_schema", df.schema.json)
+    writeText(spark, path + "/_graft_meta", cellSize.toString)
+    markComplete(spark, path)
   }
 
   /** The stored row schema (from the sidecar). */
   def loadSchema(spark: SparkSession, path: String): StructType =
-    DataType.fromJson(spark.read.text(schemaPath(path)).head().getString(0))
+    DataType.fromJson(readText(spark, path + "/_graft_schema"))
       .asInstanceOf[StructType]
+
+  /** The grid cell size the store was built with. */
+  def loadCellSize(spark: SparkSession, path: String): Double =
+    readText(spark, path + "/_graft_meta").toDouble
 
   /**
    * Predicate filter answered from the persisted trees: only the cells
@@ -112,8 +154,8 @@ object IndexStore {
    * operand: a row qualifies iff `pred(row_geom, query)` holds.
    */
   def filter(spark: SparkSession, path: String, queryWkt: String,
-             pred: JoinPredicate, cellSize: Double): DataFrame =
-    filter(spark, path, queryWkt, pred, cellSize, null, null)
+             pred: JoinPredicate): DataFrame =
+    filter(spark, path, queryWkt, pred, null, null)
 
   /**
    * Spatio-temporal variant: the query carries an instant (`qTs == qTe`),
@@ -122,16 +164,16 @@ object IndexStore {
    * timed → temporal relation must hold; presence mismatch → no match).
    */
   def filter(spark: SparkSession, path: String, queryWkt: String,
-             pred: JoinPredicate, cellSize: Double,
+             pred: JoinPredicate,
              qTs: java.lang.Long, qTe: java.lang.Long): DataFrame = {
     val rowSchema = loadSchema(spark, path)
+    val cellSize = loadCellSize(spark, path)
     val q = GeoOps.parseWkt(queryWkt)
     val qWkb = GeoOps.writeGeom(q)
     val qEnv = q.getEnvelopeInternal
     val cells = GeoOps.cellsOfEnvelope(qEnv, cellSize)
     val op = SpatialJoin.opCode(pred)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(cells.map(Long.box).toIndexedSeq: _*))
+    prunedTrees(spark, path, cells)
       .flatMap { tr =>
         val cell = tr.getLong(0)
         val tree = deserialize(tr.getAs[Array[Byte]](1))
@@ -150,16 +192,19 @@ object IndexStore {
    * Join a live left side against the persisted right-side trees — the
    * reference's persisted-index join (Persistent `join`,
    * PersistedIndexedSpatialRDDFunctions.scala:93-131). The left explodes
-   * its cells and hash-partitions by cell id; the matching serialized trees
-   * shuffle once to meet them (no per-query index build). Output columns:
-   * left (minus nothing) ++ stored row columns; equals
-   * [[graft.operators.SpatialJoin.join]] exactly.
+   * its cells (using the store's recorded cell size) and hash-partitions
+   * by cell id; the matching serialized trees shuffle once to meet them
+   * (no per-query index build). Output columns: left ++ stored row
+   * columns; equals [[graft.operators.SpatialJoin.join]] exactly.
    */
   def join(left: DataFrame, path: String, leftGeom: String,
-           pred: JoinPredicate, cellSize: Double): DataFrame = {
+           pred: JoinPredicate): DataFrame = {
+    require(!left.columns.exists(_.equalsIgnoreCase("__icell")),
+      "IndexStore.join: left must not contain a column named __icell")
     val spark = left.sparkSession
     GraftFunctions.register(spark)
     val rowSchema = loadSchema(spark, path)
+    val cellSize = loadCellSize(spark, path)
     val outSchema = StructType(left.schema.fields ++ rowSchema.fields)
     val op = SpatialJoin.opCode(pred)
     val l = left.withColumn("__icell",
@@ -167,7 +212,7 @@ object IndexStore {
     val lGeo = l.schema.fieldIndex(leftGeom)
     val lCell = l.schema.fieldIndex("__icell")
     val lkv = l.groupByKey(_.getLong(lCell))(Encoders.scalaLong)
-    val tkv = spark.read.parquet(path)
+    val tkv = spark.read.parquet(path + "/trees")
       .groupByKey(_.getLong(0))(Encoders.scalaLong)
     lkv.cogroup(tkv) { (cell, lIt, tIt) =>
       if (!tIt.hasNext) Iterator.empty

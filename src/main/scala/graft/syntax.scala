@@ -64,9 +64,9 @@ object syntax {
     // ---- persisted indexes (reference index() + loadIndexed) ----
     def stSaveIndexed(path: String, geoName: String, cellSize: Double): Unit =
       graft.sources.IndexStore.saveIndexed(df, path, geoName, cellSize)
-    def stJoinPersisted(indexPath: String, geoName: String, pred: JoinPredicate,
-                        cellSize: Double): DataFrame =
-      graft.sources.IndexStore.join(df, indexPath, geoName, pred, cellSize)
+    def stJoinPersisted(indexPath: String, geoName: String,
+                        pred: JoinPredicate): DataFrame =
+      graft.sources.IndexStore.join(df, indexPath, geoName, pred)
 
     // ---- kNN family (reference Plain:112-252) ----
     def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)

@@ -57,7 +57,7 @@ class IndexStoreSpec extends AnyFunSuite {
       JoinPredicate.CoveredBy ->
         SpatialOps.coveredBy(pts, col("pgeo"), stf.st_geomfromwkt(qry)))
     for ((pred, expected) <- live) {
-      val got = IndexStore.filter(spark, storePath, qry, pred, cellSize)
+      val got = IndexStore.filter(spark, storePath, qry, pred)
         .select("pid").collect().map(_.getLong(0)).toSet
       val exp = expected.select("pid").collect().map(_.getLong(0)).toSet
       assert(got == exp, s"pred=$pred missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
@@ -74,7 +74,7 @@ class IndexStoreSpec extends AnyFunSuite {
     IndexStore.saveIndexed(timed, p, "geo", cellSize)
     val qry = "POLYGON ((0 0, 95 0, 95 95, 0 95, 0 0))"
     // closed query interval [200, 600]: only instants inside it intersect
-    val got = IndexStore.filter(spark, p, qry, JoinPredicate.Intersects, cellSize,
+    val got = IndexStore.filter(spark, p, qry, JoinPredicate.Intersects,
         200L, 600L)
       .select("id").collect().map(_.getLong(0)).toSet
     val exp = SpatialOps.intersects(timed, col("geo"),
@@ -83,13 +83,13 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty,
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
     // presence mismatch: un-timed query against timed rows matches nothing
-    assert(IndexStore.filter(spark, p, qry, JoinPredicate.Intersects, cellSize)
+    assert(IndexStore.filter(spark, p, qry, JoinPredicate.Intersects)
       .count() == 0)
   }
 
   test("persisted join equals the declarative cell join") {
     for (pred <- Seq(JoinPredicate.Intersects, JoinPredicate.Contains)) {
-      val got = IndexStore.join(boxes, storePath, "bgeo", pred, cellSize)
+      val got = IndexStore.join(boxes, storePath, "bgeo", pred)
         .select(col("bid"), col("pid")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exp = SpatialJoin.join(boxes, pts, col("bgeo"), col("pgeo"), pred, cellSize)
@@ -127,13 +127,13 @@ class IndexStoreSpec extends AnyFunSuite {
   test("query regions outside the stored extent return empty, not errors") {
     val far = "POLYGON ((5000 5000, 5100 5000, 5100 5100, 5000 5100, 5000 5000))"
     assert(IndexStore.filter(spark, storePath, far,
-      JoinPredicate.Intersects, cellSize).count() == 0)
+      JoinPredicate.Intersects).count() == 0)
     import spark.implicits._
     val farBox = Seq((9L, 5000.0, 5000.0)).toDF("bid", "x", "y")
       .withColumn("bgeo", stf.st_box(col("x"), col("y"), col("x") + 50, col("y") + 50))
       .select("bid", "bgeo")
     assert(IndexStore.join(farBox, storePath, "bgeo",
-      JoinPredicate.Intersects, cellSize).count() == 0)
+      JoinPredicate.Intersects).count() == 0)
   }
 
   test("null geometries are skipped at save and never crash a query") {
@@ -146,13 +146,13 @@ class IndexStoreSpec extends AnyFunSuite {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_index_store_nulls"
     IndexStore.saveIndexed(withNulls, p, "geo", cellSize)
     val qry = "POLYGON ((-1 -1, 96 -1, 96 96, -1 96, -1 -1))"
-    val got = IndexStore.filter(spark, p, qry, JoinPredicate.Intersects, cellSize)
+    val got = IndexStore.filter(spark, p, qry, JoinPredicate.Intersects)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == (0 until 20).filter(_ % 4 != 0).map(_.toLong).toSet)
   }
 
   test("persisted join output schema is left ++ stored columns") {
-    val out = IndexStore.join(boxes, storePath, "bgeo", JoinPredicate.Intersects, cellSize)
+    val out = IndexStore.join(boxes, storePath, "bgeo", JoinPredicate.Intersects)
     assert(out.columns.toSeq == Seq("bid", "bgeo", "pid", "px", "py", "pgeo"))
   }
 }

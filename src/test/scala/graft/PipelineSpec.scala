@@ -85,6 +85,24 @@ class PipelineSpec extends AnyFunSuite {
     kept.foreach { r => assert(r.getLong(2) > 0) }
   }
 
+  test("tokenBudgetPerGroup: a budget-blowing row still counts toward later rows") {
+    import spark.implicits._
+    // id1's 3500 tokens exceed the whole budget; id2 (tiny) comes after it
+    // in group order. The oracle semantics drop BOTH (the running total is
+    // already blown). Spread over many partitions so id1 and id2 land apart
+    // — the failure mode of a naive local-prefix phase 1.
+    val df = Seq((0L, 1L, 3500L), (0L, 2L, 100L), (1L, 3L, 10L))
+      .toDF("g", "id", "tok").repartition(8)
+    val got = Pipeline.tokenBudgetPerGroup(df, col("g"), col("id"), col("tok"), 3000L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L), s"got $got — id2 must not slip under a sum missing id1")
+    // boundary: a first row exactly at the budget is kept, the next dropped
+    val df2 = Seq((0L, 1L, 3000L), (0L, 2L, 1L)).toDF("g", "id", "tok").repartition(4)
+    val got2 = Pipeline.tokenBudgetPerGroup(df2, col("g"), col("id"), col("tok"), 3000L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L))
+  }
+
   test("sampleByRate: whole copies + hash-selected fractional copy, rate 0 drops") {
     import spark.implicits._
     val df = (0 until 400).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
