@@ -450,6 +450,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("copy"))
     }),
 
+    // sequence packing (concat-and-chop into 1600-char context windows per
+    // source): distributed prefix scan, every doc gets (bin, bin_offset).
+    "q54_pack" -> ((s, dir) => {
+      Pipeline.packSequences(Tables.load(s, dir, "documents"), col("source"),
+          col("doc_id"), col("n_chars"), budget = 1600L)
+        .select(col("doc_id"), col("source"), col("bin"), col("bin_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // context-window chunking: 40-token windows every 30 tokens (overlap 10).
+    "q55_chunk" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(Tables.load(s, dir, "documents"), col("text"),
+          size = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // deterministic epoch shuffle: exact global md5 rank, distributed
+    // (range partition + per-partition rank + carry offsets — no global
+    // single-task window).
+    "q56_epoch_shuffle" -> ((s, dir) => {
+      Pipeline.epochShuffle(Tables.load(s, dir, "documents"), col("doc_id"), "epoch0")
+        .select(col("doc_id"), col("shuffle_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 4 distinct trigram
     // shingles with an eval doc (eval set = doc_id % 17 == 0).
     "q46_decontam" -> ((s, dir) => {
@@ -882,6 +908,25 @@ object SparkEntry {
        "(CASE WHEN source='src0' THEN '8000' WHEN source='src1' THEN '0000' ELSE '8000' END) " +
        "THEN 1 ELSE 0 END) AS n FROM documents) WHERE n >= 1 " +
        "ORDER BY doc_id, copy"),
+
+    "q54_pack" ->
+      ("SELECT doc_id, source, CAST((s - n_chars) // 1600 AS BIGINT) AS bin, " +
+       "CAST((s - n_chars) % 1600 AS BIGINT) AS bin_offset FROM (" +
+       "SELECT doc_id, source, n_chars, sum(n_chars) OVER (PARTITION BY source " +
+       "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s " +
+       "FROM documents) ORDER BY doc_id"),
+
+    "q55_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents), " +
+       "s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 30)) AS st FROM t) " +
+       "SELECT doc_id, st // 30 AS chunk_id, " +
+       "array_to_string(ws[st+1:st+40], ' ') AS chunk_text, " +
+       "CAST(len(ws[st+1:st+40]) AS BIGINT) AS chunk_tokens " +
+       "FROM s ORDER BY doc_id, chunk_id"),
+
+    "q56_epoch_shuffle" ->
+      ("SELECT doc_id, row_number() OVER (ORDER BY md5(doc_id || ':epoch0'), doc_id) - 1 " +
+       "AS shuffle_rank FROM documents ORDER BY doc_id"),
 
     "q46_decontam" ->
       (s"WITH sh AS ($shingleSetSql) " +

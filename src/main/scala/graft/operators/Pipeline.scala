@@ -164,6 +164,110 @@ object Pipeline {
   }
 
   /**
+   * Deterministic sequence packing — concat-and-chop into fixed token
+   * windows, the layout step before pretraining: within each group, rows
+   * are laid end-to-end in `order` and cut every `budget` tokens. Each row
+   * gets the context window its first token lands in (`bin`) and its offset
+   * inside that window (`bin_offset`); a row straddling a cut starts in
+   * `bin` and continues into the next window(s), exactly like token-level
+   * packing concatenates documents across boundaries.
+   *
+   * Scale shape: the exclusive running sum is a DISTRIBUTED prefix scan,
+   * not a single-task-per-group window — rows are range-partitioned by
+   * (group, order), each partition scans locally, and per-partition totals
+   * (one row per partition × group slice, collected to the driver — bounded
+   * by partition count, not data) provide the carry-in offsets. A group
+   * holding half the corpus spreads over as many tasks as the range
+   * partitioner gives it.
+   *
+   * `order` must be a total order within each group; `tokens` must be >= 0.
+   */
+  def packSequences(df: DataFrame, group: Column, order: Column,
+                    tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__pk_pid") || c.equalsIgnoreCase("__pk_sum") ||
+      c.equalsIgnoreCase("__pk_off")),
+      "packSequences: input must not contain columns named __pk_pid/__pk_sum/__pk_off")
+    val spark = df.sparkSession
+    // range-partition so partition order agrees with (group, order): every
+    // row in partition i precedes every row of the same group in partition
+    // j > i — the precondition for per-partition scans + carry-in offsets
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val keyed = df.repartitionByRange(parts, group, order)
+      .withColumn("__pk_pid", spark_partition_id())
+    // inclusive local prefix sum within (group, partition)
+    val local = sum(tokens).over(
+      Window.partitionBy(group, col("__pk_pid")).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val scanned = keyed.withColumn("__pk_sum", local)
+    // carry-in per (group, partition) = sum of the group's totals in all
+    // earlier partitions; the totals table is tiny (<= partitions × groups
+    // crossing a boundary) so the scan runs on the driver
+    val groupName = "__pk_g"
+    val totals = keyed.groupBy(group.as(groupName), col("__pk_pid"))
+      .agg(sum(tokens).as("__pk_tot"))
+    val offRows = totals.collect()
+      .groupBy(_.get(0))
+      .iterator.flatMap { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).foldLeft((0L, List.empty[org.apache.spark.sql.Row])) {
+          case ((acc, out), r) =>
+            (acc + r.getLong(2), org.apache.spark.sql.Row(r.get(0), r.getInt(1), acc) :: out)
+        }._2
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      totals.schema.fields(0).copy(name = groupName),
+      org.apache.spark.sql.types.StructField("__pk_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__pk_off", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val start = col("__pk_off") + col("__pk_sum") - tokens // exclusive prefix
+    scanned
+      .join(broadcast(offDf),
+        group <=> offDf(groupName) && scanned("__pk_pid") === offDf("__pk_pid"))
+      .drop(offDf("__pk_pid")).drop(groupName)
+      .withColumn("bin", floor(start / budget))
+      .withColumn("bin_offset", start - col("bin") * budget)
+      .drop("__pk_pid", "__pk_sum", "__pk_off")
+  }
+
+  /**
+   * Deterministic epoch shuffle: an EXACT global shuffle rank (0-based,
+   * gap-free) by md5(id ++ ":" ++ salt) — the reproducible alternative to
+   * `orderBy(rand())` for laying out one training epoch. Changing `salt`
+   * re-draws the whole permutation; the same salt replays it bit-identically
+   * on any cluster size.
+   *
+   * Scale shape: a global window would rank in ONE task; instead rows are
+   * range-partitioned by the hash key, ranked per partition, and shifted by
+   * the preceding partitions' row counts (a collect bounded by the partition
+   * count). Ties (md5 collisions) break by id, so the rank is total.
+   */
+  def epochShuffle(df: DataFrame, idCol: Column, salt: String,
+                   rankName: String = "shuffle_rank"): DataFrame = {
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__es_key") || c.equalsIgnoreCase("__es_pid")),
+      "epochShuffle: input must not contain columns named __es_key/__es_pid")
+    val spark = df.sparkSession
+    val key = md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val keyed = df.withColumn("__es_key", key)
+      .repartitionByRange(parts, col("__es_key"), idCol)
+      .withColumn("__es_pid", spark_partition_id())
+    val counts = keyed.groupBy(col("__es_pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__es_pid", "__es_off")
+    val rn = row_number().over(
+      Window.partitionBy(col("__es_pid")).orderBy(col("__es_key"), idCol))
+    keyed.join(broadcast(offDf), "__es_pid")
+      .withColumn(rankName, col("__es_off") + rn - 1)
+      .drop("__es_key", "__es_pid", "__es_off")
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least
    * `minOverlap` distinct word n-gram shingles with a benchmark document.
    * Output (corpus id, benchmark id, overlap count) for every contaminated

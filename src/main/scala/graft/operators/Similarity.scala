@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -14,7 +12,8 @@ import org.apache.spark.sql.{Column, DataFrame}
  *    every corpus vector, per-query window top-k. One corpus scan, no
  *    shuffle of the corpus itself (ranking shuffles only n_queries × n rows
  *    of (id, id, score)).
- *  - [[ivfTopK]]: IVF — seeded KMeans coarse quantizer; corpus vectors are
+ *  - [[ivfTopK]]: IVF — seeded k-means++ coarse quantizer (driver-side
+ *    Lloyd over a bounded sample); corpus vectors are
  *    assigned to their nearest centroid cell once (materialize/persist for
  *    repeated querying), queries probe the `nprobe` nearest cells only.
  *    Recall < 1 by construction; throughput scales with nprobe/nlist.
@@ -39,16 +38,91 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
-  /** Fit the coarse quantizer: KMeans(nlist, seed) on a deterministic
-    * representative sample of the `__features` column — the ONE training
-    * recipe shared by the live and persisted IVF paths (they must stay in
-    * lockstep or a persisted index diverges from the live plan). */
-  private def fitQuantizer(c: DataFrame, rowCount: Long, nlist: Int, seed: Long) = {
-    val trainFrac = math.min(1.0, math.max(0.1, 20.0 * nlist / math.max(rowCount, 1L)))
-    new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(if (trainFrac < 1.0) c.sample(withReplacement = false, trainFrac, seed) else c)
+  /** Fit the coarse quantizer: seeded k-means++ init + Lloyd iterations on
+    * the driver over a bounded deterministic sample (top-N by id hash — one
+    * TakeOrdered job, no full sort shuffle). This is the ONE training recipe
+    * shared by the live and persisted IVF paths (they must stay in lockstep
+    * or a persisted index diverges from the live plan).
+    *
+    * Deliberately NOT spark.ml KMeans: its kmeans|| init plus per-iteration
+    * distributed passes launch ~a dozen jobs whose scheduling latency
+    * dominates the fit; IVF coarse quantizers are trained on a small sample
+    * anyway (sample is 20×nlist rows — bounded by config, not corpus size,
+    * so the collect is 100 TB-safe). */
+  private[graft] def fitCentroids(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
+    val sampleN = math.max(20 * nlist, 256)
+    val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(sampleN)
+      .select(col("__cv")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "IVF quantizer: corpus is empty")
+    val dim = sample(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    // k-means++ seeding: next center drawn proportional to squared distance
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      sample(rnd.nextInt(sample.length)).clone())
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    while (centers.length < math.min(nlist, sample.length)) {
+      val last = centers.last
+      var total = 0.0
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), last)
+        if (d < minD(i)) minD(i) = d
+        total += minD(i); i += 1
+      }
+      var r = rnd.nextDouble() * total
+      var j = 0
+      while (j < sample.length - 1 && r > minD(j)) { r -= minD(j); j += 1 }
+      centers += sample(j).clone()
+    }
+    // corpus smaller than nlist: duplicate centers (empty cells are harmless)
+    while (centers.length < nlist) centers += centers(rnd.nextInt(centers.length)).clone()
+    val cs = centers.toArray
+    var iter = 0
+    while (iter < 10) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bd = Double.MaxValue; var k = 0
+        while (k < nlist) { val d = d2(sample(i), cs(k)); if (d < bd) { bd = d; best = k }; k += 1 }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += sample(i)(j); j += 1 }
+        counts(best) += 1; i += 1
+      }
+      var k = 0
+      while (k < nlist) {
+        if (counts(k) > 0) {
+          var j = 0
+          while (j < dim) { cs(k)(j) = sums(k)(j) / counts(k); j += 1 }
+        }
+        k += 1
+      }
+      iter += 1
+    }
+    cs
   }
+
+  /** Nearest-centroid cell id for a corpus vector. */
+  private def assignCellUdf(centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { (v: Seq[Float]) =>
+      val cs = centroids.value
+      var best = 0; var bd = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var d = 0.0; var j = 0
+        while (j < c.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        if (d < bd) { bd = d; best = i }
+        i += 1
+      }
+      best
+    }
 
   /** Per-query probe set: indexes of the `nprobe` nearest centroids. */
   private def probeCellsUdf(centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
@@ -73,10 +147,8 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
-      .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
-    val model = fitQuantizer(c, corpus.count(), nlist, seed)
-    val assigned = model.transform(c).drop("__features")
-    val bc = spark.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val bc = spark.sparkContext.broadcast(fitCentroids(c, nlist, seed))
+    val assigned = c.withColumn("__cell", assignCellUdf(bc)(col("__cv")))
     val probeCells = probeCellsUdf(bc, nprobe)
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
       .withColumn("__qcell", explode(probeCells(col("__qv"))))
@@ -113,16 +185,16 @@ object Similarity {
     import graft.functions.stf
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
-      .withColumn("__features", array_to_vector(col("__cv").cast("array<double>")))
-    val model = fitQuantizer(c, corpus.count(), nlist, seed)
-    model.transform(c).drop("__features")
+    val spark = corpus.sparkSession
+    val centroids = fitCentroids(c, nlist, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    c.withColumn("__cell", assignCellUdf(bc)(col("__cv")))
       .withColumn("__cn", stf.vec_norm(col("__cv")))
       .repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
       .write.mode("overwrite").parquet(path + "/corpus")
-    val spark = corpus.sparkSession
     import spark.implicits._
-    model.clusterCenters.map(_.toArray).zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path + "/_graft_centroids")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")

@@ -32,6 +32,32 @@ object TextAnalysis {
     graft.functions.stf.word_shingles(text, n)
   }
 
+  /**
+   * Context-window chunking: each document explodes into fixed-size token
+   * windows (`size` tokens, starting every `stride` tokens — stride < size
+   * gives overlapping windows, stride == size gives a partition). The final
+   * window may be shorter; every token starts at least one window. One
+   * narrow `explode` — no shuffle, no state, and the chunk count per row is
+   * bounded by ceil(n_tokens / stride), so executor memory stays flat at
+   * any corpus size.
+   *
+   * Output columns: `chunk_id` (start / stride), `chunk_text`,
+   * `chunk_tokens`.
+   */
+  def chunkTokens(df: DataFrame, textCol: Column, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive, got $size/$stride")
+    val ws = tokens(textCol)
+    // starts = 0, stride, 2·stride, … <= n-1  (split("") is [""], so n >= 1)
+    val starts = sequence(lit(0), greatest(org.apache.spark.sql.functions.size(ws) - 1, lit(0)), lit(stride))
+    df.withColumn("__chunk_start", explode(starts))
+      .withColumn("chunk_id", (col("__chunk_start") / stride).cast("long"))
+      .withColumn("chunk_text",
+        array_join(slice(ws, col("__chunk_start") + 1, lit(size)), " "))
+      .withColumn("chunk_tokens",
+        org.apache.spark.sql.functions.size(slice(ws, col("__chunk_start") + 1, lit(size))).cast("long"))
+      .drop("__chunk_start")
+  }
+
   /** BPE-ish subword count heuristic: whitespace tokens + extra splits at
     * letter/digit/punct boundaries, approximated as regex token runs. */
   def subwordCount(text: Column): Column =

@@ -160,6 +160,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((666666L, 500000L, 1000000L)))
   }
 
+  test("packSequences == single-window prefix-sum packing (skewed groups)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // group 0 holds 700 rows spread over many partitions — forces group
+    // slices across range-partition boundaries (the carry-offset path)
+    val df = (0 until 800).map { i =>
+      (if (i < 700) 0L else i.toLong % 5, i.toLong, 1L + rnd.nextInt(90))
+    }.toDF("g", "id", "tok").repartition(13)
+    val got = Pipeline.packSequences(df, col("g"), col("id"), col("tok"), 200L)
+      .select(col("g"), col("id"), col("bin"), col("bin_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val start = sum(col("tok")).over(Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("tok")
+    val want = df.withColumn("bin", floor(start / 200L))
+      .withColumn("bin_offset", start - col("bin") * 200L)
+      .select(col("g"), col("id"), col("bin"), col("bin_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // bins within a group are gap-free from 0 (concat-and-chop leaves no hole)
+    val binsG0 = got.filter(_._1 == 0L).map(_._3)
+    assert(binsG0.min == 0L && (0L until binsG0.max).forall(binsG0.contains))
+  }
+
+  test("packSequences hand case: rows straddle window cuts") {
+    import spark.implicits._
+    // tokens 120,120,200 at budget 100: starts 0,120,240 ->
+    // bins 0,1,2 with offsets 0,20,40
+    val df = Seq((0L, 1L, 120L), (0L, 2L, 120L), (0L, 3L, 200L))
+      .toDF("g", "id", "tok").repartition(5)
+    val got = Pipeline.packSequences(df, col("g"), col("id"), col("tok"), 100L)
+      .select(col("id"), col("bin"), col("bin_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 0L), (2L, 1L, 20L), (3L, 2L, 40L)))
+  }
+
+  test("chunkTokens: fixed windows with overlap, trailing partial window") {
+    import spark.implicits._
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.chunkTokens(df, col("text"), size = 4, stride = 3)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("chunk_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6", 1L),
+      (2L, 0L, "a", 1L),
+      (3L, 0L, "", 1L))) // split("") is [""]: one empty token, one chunk
+  }
+
+  test("epochShuffle: exact permutation, deterministic, salt re-draws") {
+    val n = docs.count()
+    val a = Pipeline.epochShuffle(docs, col("doc_id"), "e1")
+      .select(col("doc_id"), col("shuffle_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ranks are a gap-free permutation of 0..n-1
+    assert(a.values.toSet == (0L until n).toSet)
+    // independent of upstream partitioning
+    val b = Pipeline.epochShuffle(docs.repartition(7), col("doc_id"), "e1")
+      .select(col("doc_id"), col("shuffle_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    // equals the single-window global rank on the same key
+    val key = md5(concat(col("doc_id").cast("string"), lit(":e1")).cast("binary"))
+    val want = docs.withColumn("rk",
+        (row_number().over(Window.orderBy(key, col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == want)
+    // another salt is a different permutation
+    val c = Pipeline.epochShuffle(docs, col("doc_id"), "e2")
+      .select(col("doc_id"), col("shuffle_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c != a)
+  }
+
   test("contaminationPairs excludes self-pairs when benchmark is a subset") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val pairs = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),
