@@ -540,6 +540,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // the pure-SQL planner path (reference StarkStrategy/STJoinExec): the
+    // join is written as SQL TEXT with an st_* condition; SpatialJoinRule
+    // (installed by GraftFunctions.register) rewrites it to the cell hash
+    // join — same pairs as q6, but arriving through Catalyst, not the API.
+    "q57_sql_join" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.nationRects(s, dir).createOrReplaceTempView("graft_nrect")
+      Tables.customerPts(s, dir).createOrReplaceTempView("graft_cpts")
+      s.sql("SELECT n_nationkey, c_custkey FROM graft_nrect JOIN graft_cpts " +
+        "ON st_contains(n_geo, c_geo) ORDER BY n_nationkey, c_custkey")
+    }),
+
     // interval-tree live index (reference IntervalTree1 over JTS
     // SortedPackedIntervalRTree): same pairs as the declarative q42.
     "q50_interval_join_indexed" -> ((s, dir) => {
@@ -954,6 +966,12 @@ object SparkEntry {
        "ORDER BY c_custkey"),
 
     "q49_persisted_join" ->
+      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
+       "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
+       "ORDER BY n_nationkey, c_custkey"),
+
+    "q57_sql_join" ->
       (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
        "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
        "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
