@@ -540,6 +540,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // kNN answered from the persisted trees (reference indexed kNN over
+    // persisted indexes): expand-box rounds read only candidate cells'
+    // trees — same 20 customers as the live q5.
+    "q58_knn_store" -> ((s, dir) => {
+      val path = persistedCustomerIndex(s, dir)
+      IndexStore.knn(s, path, 500.0, 500.0, k = 20, tieBreak = Seq("c_custkey"))
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
     // the pure-SQL planner path (reference StarkStrategy/STJoinExec): the
     // join is written as SQL TEXT with an st_* condition; SpatialJoinRule
     // (installed by GraftFunctions.register) rewrites it to the cell hash
@@ -970,6 +979,12 @@ object SparkEntry {
        "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
        "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
        "ORDER BY n_nationkey, c_custkey"),
+
+    "q58_knn_store" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT c_custkey FROM (SELECT c_custkey FROM cpts " +
+       "ORDER BY sqrt((cx-500)*(cx-500)+(cy-500)*(cy-500)), c_custkey LIMIT 20) " +
+       "ORDER BY c_custkey"),
 
     "q57_sql_join" ->
       (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +

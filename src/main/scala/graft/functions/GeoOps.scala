@@ -189,7 +189,7 @@ object GeoOps {
   // ---- grid cells (spatial partitioning / cell-replicate join) ----
 
   /** Pack two 32-bit cell indices into one long id. */
-  @inline private def pack(ix: Int, iy: Int): Long = (ix.toLong << 32) | (iy.toLong & 0xffffffffL)
+  @inline private[graft] def pack(ix: Int, iy: Int): Long = (ix.toLong << 32) | (iy.toLong & 0xffffffffL)
 
   /** Grid cell of the centroid — the partitioning key. */
   def cellId(a: InternalRow, cellSize: Double): Long = {

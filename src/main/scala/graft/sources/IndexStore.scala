@@ -189,6 +189,74 @@ object IndexStore {
   }
 
   /**
+   * kNN answered from the persisted trees — the reference's indexed kNN
+   * over persisted indexes (Persistent kNN,
+   * PersistedIndexedSpatialRDDFunctions.scala:137-214): expand-box-retry
+   * over the stored grid. Each round reads ONLY the candidate cells' trees
+   * (pushed `IN` filter on the sorted cell column), probes them with the
+   * box envelope, refines by exact centroid distance, and dedups replicas
+   * by each entry's own reference cell. The round is conclusive when the
+   * k-th distance is within the probed box radius (anything unread has its
+   * whole envelope — hence its centroid — outside the box, so it is
+   * farther); a full-coverage check terminates degenerate cases (fewer
+   * than k rows in the store).
+   *
+   * `tieBreak` columns make the k-boundary deterministic under equal
+   * distances (same contract as the live kNN).
+   *
+   * @return the k nearest stored rows with a `knn_dist` column
+   */
+  def knn(spark: SparkSession, path: String, qx: Double, qy: Double, k: Int,
+          tieBreak: Seq[String] = Nil, maxRounds: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rowSchema = loadSchema(spark, path)
+    val cellSize = loadCellSize(spark, path)
+    val outSchema = StructType(rowSchema.fields :+
+      StructField("knn_dist", DoubleType, nullable = false))
+    val totalTrees = spark.read.parquet(path + "/trees").count()
+
+    def candidates(r: Double): (DataFrame, Long) = {
+      val qEnv = new org.locationtech.jts.geom.Envelope(qx - r, qx + r, qy - r, qy + r)
+      val cells = GeoOps.cellsOfEnvelope(qEnv, cellSize)
+      val pruned = prunedTrees(spark, path, cells)
+      val cand = pruned.flatMap { tr =>
+        val cell = tr.getLong(0)
+        val tree = deserialize(tr.getAs[Array[Byte]](1))
+        tree.query(qEnv).iterator().asScala.flatMap { o =>
+          val e = o.asInstanceOf[Entry]
+          val g = GeoOps.readGeom(e.wkb)
+          val env = g.getEnvelopeInternal
+          // report each replicated entry from its own reference cell only
+          if (GeoOps.pack(math.floor(env.getMinX / cellSize).toInt,
+                          math.floor(env.getMinY / cellSize).toInt) == cell) {
+            val c = g.getCentroid
+            val dx = c.getX - qx; val dy = c.getY - qy
+            // same float form as the live st_distance (centroid euclid)
+            val d = math.sqrt(dx * dx + dy * dy)
+            Iterator.single(Row.fromSeq(e.row.toSeq :+ d))
+          } else Iterator.empty
+        }
+      }(Encoders.row(outSchema))
+        .orderBy((col("knn_dist") +: tieBreak.map(col)): _*).limit(k)
+      (cand, pruned.count())
+    }
+
+    var r = cellSize
+    var round = 0
+    var result: DataFrame = null
+    while (result == null && round <= maxRounds) {
+      val (cand, treesRead) = candidates(r)
+      val stats = cand.agg(count(lit(1)), max(col("knn_dist"))).collect()(0)
+      val rows = stats.getLong(0)
+      val kth = if (rows == 0) Double.MaxValue else stats.getDouble(1)
+      if ((rows >= k && kth <= r) || treesRead >= totalTrees) result = cand
+      else { r *= 2; round += 1 }
+    }
+    if (result == null) result = candidates(r)._1
+    result
+  }
+
+  /**
    * Join a live left side against the persisted right-side trees — the
    * reference's persisted-index join (Persistent `join`,
    * PersistedIndexedSpatialRDDFunctions.scala:93-131). The left explodes

@@ -67,6 +67,9 @@ object syntax {
     def stJoinPersisted(indexPath: String, geoName: String,
                         pred: JoinPredicate): DataFrame =
       graft.sources.IndexStore.join(df, indexPath, geoName, pred)
+    def stKnnPersisted(indexPath: String, qx: Double, qy: Double, k: Int,
+                       tieBreak: Seq[String] = Nil): DataFrame =
+      graft.sources.IndexStore.knn(df.sparkSession, indexPath, qx, qy, k, tieBreak)
 
     // ---- kNN family (reference Plain:112-252) ----
     def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)

@@ -124,6 +124,24 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
 
+  test("persisted kNN equals the live kNN (expand rounds + degenerate k >= n)") {
+    import graft.operators.KNN
+    // k large enough that the first ring can't conclude — forces expansion
+    for (k <- Seq(3, 25)) {
+      val got = IndexStore.knn(spark, storePath, 42.0, 57.0, k,
+          tieBreak = Seq("pid"))
+        .select(col("pid")).collect().map(_.getLong(0)).toSet
+      val exp = KNN.knn(pts, col("pgeo"), stf.st_point(lit(42.0), lit(57.0)), k,
+          tieBreak = Seq(col("pid")))
+        .select(col("pid")).collect().map(_.getLong(0)).toSet
+      assert(got == exp, s"k=$k missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+    // k >= store size: every row comes back exactly once (replica dedup)
+    val all = IndexStore.knn(spark, storePath, 42.0, 57.0, k = 5000)
+      .select(col("pid")).collect().map(_.getLong(0))
+    assert(all.length == pts.count() && all.toSet.size == all.length)
+  }
+
   test("query regions outside the stored extent return empty, not errors") {
     val far = "POLYGON ((5000 5000, 5100 5000, 5100 5100, 5000 5100, 5000 5000))"
     assert(IndexStore.filter(spark, storePath, far,

@@ -82,6 +82,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream spatio-temporal join matches within cell and time window") {
+    import graft.functions.stf
+    import graft.operators.JoinPredicate
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vehIn = MemoryStream[(Long, Double, Double, Timestamp)]
+    val incIn = MemoryStream[(Long, Double, Double, Timestamp)]
+    val veh = vehIn.toDF().toDF("veh_id", "vx", "vy", "vts")
+      .withColumn("v_geo", stf.st_point(col("vx"), col("vy")))
+    // incidents carry a 10-unit box around their location
+    val inc = incIn.toDF().toDF("inc_id", "ix", "iy", "its")
+      .withColumn("i_geo",
+        stf.st_box(col("ix") - 5.0, col("iy") - 5.0, col("ix") + 5.0, col("iy") + 5.0))
+    val joined = EventStreams.spatialJoinStreamStream(veh, inc,
+        col("v_geo"), col("i_geo"), JoinPredicate.CoveredBy, cellSize = 8.0,
+        leftTsCol = "vts", rightTsCol = "its",
+        watermark = "10 minutes", joinWindow = "5 minutes")
+      .select(col("veh_id"), col("inc_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:10:00")
+      val tFar = Timestamp.valueOf("2024-01-01 00:30:00") // outside join window
+      vehIn.addData((1L, 5.0, 5.0, t), (2L, 50.0, 50.0, t), (3L, 6.0, 6.0, tFar))
+      incIn.addData((100L, 5.0, 5.0, t), (200L, 80.0, 80.0, t))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // veh 1 is inside incident 100's box at a matching time; veh 3 is
+      // inside the box but 20 minutes late; veh 2 is elsewhere
+      assert(got == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming spatial filter applies st_* predicates per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
