@@ -143,6 +143,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // end-to-end near-dedup: LSH pairs closed into duplicate families via
+    // distributed connected components, min id survives — the full
+    // dropNearDuplicates pipeline under the oracle (LSH recall ~1 at these
+    // params, so families equal the exact-Jaccard transitive closure).
+    "q59_drop_near_dups" -> ((s, dir) => {
+      Dedup.dropNearDuplicates(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, numHashes = 128, bands = 32, p = 4, q = 5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs (hamming <= 3 over 64-bit sketch; pigeonhole-
     // exact candidate generation). Engine-specific hash — no SQL oracle.
     "q16_dedup_simhash" -> ((s, dir) => {
@@ -689,6 +699,18 @@ object SparkEntry {
     "q14_dedup_ngram" -> jaccardPairsSql,
 
     "q15_dedup_minhash" -> jaccardPairsSql,
+
+    // transitive closure of the exact-Jaccard pair graph; keep each
+    // component's min id (mirrors q20's recursive-CTE pattern)
+    "q59_drop_near_dups" ->
+      (s"WITH RECURSIVE sh AS ($shingleSetSql), " +
+       "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+       "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))), " +
+       "e(a, b) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p " +
+       "UNION SELECT doc_id, doc_id FROM documents), " +
+       "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+       "comp AS (SELECT a, min(b) AS c FROM reach GROUP BY a) " +
+       "SELECT a AS doc_id FROM comp WHERE c = a ORDER BY doc_id"),
 
     "q17_dedup_cosine" ->
       (s"WITH e AS ($normedEmbSql) " +

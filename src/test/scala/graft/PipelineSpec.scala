@@ -209,6 +209,19 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 0L, "", 1L))) // split("") is [""]: one empty token, one chunk
   }
 
+  test("chunkTokens with stride == size partitions: concatenation rebuilds the text") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.chunkTokens(docs, col("text"), size = 7, stride = 7)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getString(2)).mkString(" ")
+      }
+    val want = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
   test("epochShuffle: exact permutation, deterministic, salt re-draws") {
     val n = docs.count()
     val a = Pipeline.epochShuffle(docs, col("doc_id"), "e1")
