@@ -71,9 +71,12 @@ object ConnectedComponents {
     // falls back to GraphX Pregel run to full convergence (a maxIter
     // cut-off would silently split long components). The bound caps driver
     // memory at ~64 MB of edge pairs — a bounded collect, never data-sized.
-    val qCount = qEdges.count()
+    // limit(bound+1) answers "small enough?" and fetches the edges in ONE
+    // job (a separate count would recompute the quotient a second time).
+    val QuotientBound = 4000000
+    val qHead = qEdges.limit(QuotientBound + 1).collect()
     val labelComp: DataFrame =
-      if (qCount <= 4000000L) {
+      if (qHead.length <= QuotientBound) {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -82,7 +85,7 @@ object ConnectedComponents {
           while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
           r
         }
-        qEdges.collect().foreach { r =>
+        qHead.foreach { r =>
           val a = r.getLong(0); val b = r.getLong(1)
           parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
           val ra = find(a); val rb = find(b)

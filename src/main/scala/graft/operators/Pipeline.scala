@@ -187,8 +187,8 @@ object Pipeline {
     require(budget > 0, s"budget must be positive, got $budget")
     require(!df.columns.exists(c =>
       c.equalsIgnoreCase("__pk_pid") || c.equalsIgnoreCase("__pk_sum") ||
-      c.equalsIgnoreCase("__pk_off")),
-      "packSequences: input must not contain columns named __pk_pid/__pk_sum/__pk_off")
+      c.equalsIgnoreCase("__pk_off") || c.equalsIgnoreCase("__pk_start")),
+      "packSequences: input must not contain columns named __pk_pid/__pk_sum/__pk_off/__pk_start")
     val spark = df.sparkSession
     // range-partition so partition order agrees with (group, order): every
     // row in partition i precedes every row of the same group in partition
@@ -221,14 +221,16 @@ object Pipeline {
       org.apache.spark.sql.types.StructField("__pk_off", org.apache.spark.sql.types.LongType, nullable = false)))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1), offSchema)
-    val start = col("__pk_off") + col("__pk_sum") - tokens // exclusive prefix
     scanned
       .join(broadcast(offDf),
         group <=> offDf(groupName) && scanned("__pk_pid") === offDf("__pk_pid"))
       .drop(offDf("__pk_pid")).drop(groupName)
-      .withColumn("bin", floor(start / budget))
-      .withColumn("bin_offset", start - col("bin") * budget)
-      .drop("__pk_pid", "__pk_sum", "__pk_off")
+      // exclusive prefix; pure LONG arithmetic (a double division would lose
+      // exactness past 2^53 total tokens — reachable at corpus scale)
+      .withColumn("__pk_start", col("__pk_off") + col("__pk_sum") - tokens)
+      .withColumn("bin", expr(s"__pk_start DIV ${budget}L"))
+      .withColumn("bin_offset", col("__pk_start") % budget)
+      .drop("__pk_pid", "__pk_sum", "__pk_off", "__pk_start")
   }
 
   /**
