@@ -550,6 +550,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // visualization sink's distributed half: per-pixel point counts on a
+    // 32x32 grid over [0,512)^2 (power-of-two scale => exact float math);
+    // the PNG painter consumes exactly this histogram (VisualizeSpec).
+    "q60_viz_bins" -> ((s, dir) => {
+      Visualize.bins(Tables.eventPts(s, dir), col("ex"), col("ey"),
+          0.0, 0.0, 512.0, 512.0, 32, 32)
+        .orderBy(col("px"), col("py"))
+    }),
+
     // kNN answered from the persisted trees (reference indexed kNN over
     // persisted indexes): expand-box rounds read only candidate cells'
     // trees — same 20 customers as the live q5.
@@ -1001,6 +1010,14 @@ object SparkEntry {
        "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
        "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
        "ORDER BY n_nationkey, c_custkey"),
+
+    // NB: DuckDB `//` on DOUBLE is true division (floors integers only) —
+    // use explicit floor() like the raster oracle fragments
+    "q60_viz_bins" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}) " +
+       "SELECT CAST(floor(ex/16) AS INT) AS px, CAST(floor(ey/16) AS INT) AS py, " +
+       "count(*) AS cnt FROM epts WHERE ex >= 0 AND ex < 512 AND ey >= 0 AND ey < 512 " +
+       "GROUP BY 1, 2 ORDER BY px, py"),
 
     "q58_knn_store" ->
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +

@@ -20,20 +20,30 @@ import javax.imageio.ImageIO
 object Visualize {
 
   /**
+   * The distributed half of the sink on its own: per-pixel point counts
+   * (`px`, `py`, `cnt`) for points inside [x0,x1)×[y0,y1) on a w×h grid —
+   * one groupBy shuffle, output bounded by the pixel count. This is the
+   * part that touches data; painting is a driver-side formatting step.
+   */
+  def bins(df: DataFrame, xCol: Column, yCol: Column,
+           x0: Double, y0: Double, x1: Double, y1: Double,
+           w: Int, h: Int): DataFrame = {
+    val sx = w / (x1 - x0)
+    val sy = h / (y1 - y0)
+    val px = least(greatest(floor((xCol - x0) * sx).cast("int"), lit(0)), lit(w - 1))
+    val py = least(greatest(floor((yCol - y0) * sy).cast("int"), lit(0)), lit(h - 1))
+    df.filter(xCol >= x0 && xCol < x1 && yCol >= y0 && yCol < y1)
+      .groupBy(px.as("px"), py.as("py")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * Render points to a grayscale PNG: intensity = log-scaled point count
    * per pixel. World rectangle [x0,x1)×[y0,y1) maps to w×h pixels, y up.
    */
   def renderPng(df: DataFrame, xCol: Column, yCol: Column,
                 x0: Double, y0: Double, x1: Double, y1: Double,
                 w: Int, h: Int): Array[Byte] = {
-    val sx = w / (x1 - x0)
-    val sy = h / (y1 - y0)
-    val px = least(greatest(floor((xCol - x0) * sx).cast("int"), lit(0)), lit(w - 1))
-    val py = least(greatest(floor((yCol - y0) * sy).cast("int"), lit(0)), lit(h - 1))
-    val bins = df
-      .filter(xCol >= x0 && xCol < x1 && yCol >= y0 && yCol < y1)
-      .groupBy(px.as("__px"), py.as("__py")).agg(count(lit(1)).as("__c"))
-      .collect()
+    val bins = Visualize.bins(df, xCol, yCol, x0, y0, x1, y1, w, h).collect()
 
     val maxC = if (bins.isEmpty) 1.0 else bins.map(_.getLong(2)).max.toDouble
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
