@@ -559,6 +559,48 @@ object SparkEntry {
         .orderBy(col("px"), col("py"))
     }),
 
+    // cross-document duplicated 5-gram spans — the exact-substring dedup
+    // signal (Lee et al.): per doc, distinct word 5-grams and how many of
+    // them occur in at least one other document.
+    "q61_dup_spans" -> ((s, dir) => {
+      TextAnalysis.withDuplicatedSpans(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 5)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental (cross-snapshot) dedup: sources 0-9 are the already-
+    // ingested corpus persisted as a span store (distinct 5-gram spans +
+    // Bloom sidecar, write-once); the new batch (sources 10+) drops docs
+    // sharing >= 2 seen spans. Bloom prefilter + exact confirm join.
+    "q62_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val srcn = substring(col("source"), 4, 10).cast("int")
+      val path = storedOnce("spanstore_q62", dir)(p =>
+        Dedup.buildSpanStore(docs.filter(srcn < 10), col("text"), k = 5, p))
+      Dedup.dropSeenSpans(docs.filter(srcn >= 10), col("doc_id"), col("text"),
+          k = 5, path, minOverlap = 2)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // exact per-source quality-quantile gate: keep each source's top
+    // quarter by (quality desc, doc_id) — distributed exact rank, no
+    // single-task window, no approx percentile.
+    "q63_quality_gate" -> ((s, dir) => {
+      val q = TextAnalysis.withQuality(Tables.load(s, dir, "documents"), col("text"))
+      Pipeline.quantileGate(q, col("source"), 1, 4,
+          col("quality_e6").desc, col("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // per-source duplicate-rate report over the winnowing fingerprint —
+    // the corpus-health rollup (exact distinct counts, one shuffle).
+    "q64_dup_rate" -> ((s, dir) => {
+      val fp = TextAnalysis.withFingerprints(Tables.load(s, dir, "documents"), col("text"))
+      Dedup.dupRateByGroup(fp, col("source"), col("fp_winnow"))
+        .orderBy(col("grp"))
+    }),
+
     // kNN answered from the persisted trees (reference indexed kNN over
     // persisted indexes): expand-box rounds read only candidate cells'
     // trees — same 20 customers as the live q5.
@@ -1019,6 +1061,40 @@ object SparkEntry {
        "count(*) AS cnt FROM epts WHERE ex >= 0 AND ex < 512 AND ey >= 0 AND ey < 512 " +
        "GROUP BY 1, 2 ORDER BY px, py"),
 
+    "q61_dup_spans" ->
+      (s"WITH inst AS ($spanInstSql), " +
+       "cnt AS (SELECT gram, count(*) AS tot FROM inst GROUP BY gram), " +
+       "per AS (SELECT doc_id, count(*) AS n_spans, " +
+       "sum(CASE WHEN tot > 1 THEN 1 ELSE 0 END) AS n_dup " +
+       "FROM inst JOIN cnt USING (gram) GROUP BY doc_id) " +
+       "SELECT d.doc_id, CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans, " +
+       "CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans " +
+       "FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id"),
+
+    "q62_incr_dedup" ->
+      (s"WITH inst AS ($spanInstSql), " +
+       "srcs AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn FROM documents), " +
+       "oldg AS (SELECT DISTINCT gram FROM inst JOIN srcs USING (doc_id) WHERE srcn < 10), " +
+       "newi AS (SELECT doc_id, gram FROM inst JOIN srcs USING (doc_id) WHERE srcn >= 10), " +
+       "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
+       "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
+       "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    "q63_quality_gate" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents), " +
+       "q AS (SELECT doc_id, source, CAST(round(500000.0*len(list_distinct(ws))/len(ws) + " +
+       s"500000.0*(len(ws)-len(list_filter(ws, w -> list_contains($stopListSql, w))))/len(ws)) AS BIGINT) AS q6 FROM t), " +
+       "r AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY q6 DESC, doc_id) AS rn, " +
+       "count(*) OVER (PARTITION BY source) AS cnt FROM q) " +
+       "SELECT doc_id FROM r WHERE rn*4 <= cnt ORDER BY doc_id"),
+
+    "q64_dup_rate" ->
+      ("WITH fp AS (SELECT source, CASE WHEN len(text) < 5 THEN md5(text) " +
+       "ELSE list_min([md5(text[i:i+4]) FOR i IN generate_series(1, len(text)-4)]) END AS fpw FROM documents) " +
+       "SELECT source AS grp, count(*) AS n_docs, CAST(count(DISTINCT fpw) AS BIGINT) AS n_unique, " +
+       "CAST(count(*) - count(DISTINCT fpw) AS BIGINT) AS n_dups " +
+       "FROM fp GROUP BY source ORDER BY grp"),
+
     "q58_knn_store" ->
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
        "SELECT c_custkey FROM (SELECT c_custkey FROM cpts " +
@@ -1107,6 +1183,14 @@ object SparkEntry {
     "SELECT doc_id, " +
     "list_distinct([array_to_string(ws[i:i+2],' ') FOR i IN generate_series(1, len(ws)-2)]) AS s " +
     "FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) WHERE len(ws) >= 3"
+
+  /** Distinct 5-gram span instances (doc_id, gram) — mirrors
+    * `TextAnalysis.shingles(text, 5)` exploded; docs under 5 words emit no
+    * rows. Shared by the duplicated-span and incremental-dedup oracles. */
+  private val spanInstSql: String =
+    "SELECT doc_id, unnest(list_distinct(" +
+    "[array_to_string(ws[i:i+4],' ') FOR i IN generate_series(1, len(ws)-4)])) AS gram " +
+    "FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)"
 
   /** Exact 3-gram Jaccard >= 4/5 pairs — oracle for both the inverted-index
     * and the MinHash-LSH operators (LSH output refines to the same set). */

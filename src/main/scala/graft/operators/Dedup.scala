@@ -171,6 +171,98 @@ object Dedup {
     df.join(keep, idCol === col("__keep")).drop("__keep")
   }
 
+  /**
+   * Per-group duplicate-rate report: documents, distinct fingerprints, and
+   * the difference (duplicates) per group — the rollup a corpus health
+   * dashboard reads. Pass any fingerprint column: `md5(text)` for exact
+   * rates, a winnowing sketch ([[TextAnalysis.withFingerprints]]) for
+   * near-dup rates. One hash shuffle; the exact distinct count is Spark's
+   * two-phase expand aggregate, never a driver collect.
+   */
+  def dupRateByGroup(df: DataFrame, group: Column, fingerprint: Column): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(fingerprint).as("n_unique"))
+      .withColumn("n_dups", col("n_docs") - col("n_unique"))
+
+  // ---- incremental (cross-snapshot) dedup against a persisted span store ----
+  // A growing corpus dedups each NEW batch against everything already
+  // ingested — re-shuffling the full historical corpus per batch is the
+  // 100 TB anti-pattern. The store persists the distinct word k-gram spans
+  // of the accepted corpus once, plus a Bloom-filter sidecar; a batch probes
+  // the broadcast Bloom first, so only span instances that MIGHT be in the
+  // store (true hits + fpp misses) enter the confirm join. Bloom filters
+  // have no false negatives and the confirm join is exact, so the result is
+  // exact regardless of fpp.
+
+  /** Build/overwrite a span store: distinct word k-gram spans of `corpus`
+    * under `<path>/spans`, a serialized Bloom filter over them under
+    * `<path>/_graft_bloom`, and a top-level `_SUCCESS` marker written LAST
+    * (write-once wrappers redo interrupted builds, never half-read them).
+    *
+    * The Bloom sidecar is sized from the exact span count at ~1% fpp
+    * (~1.2 GB per 10⁹ distinct spans — a driver/executor memory bound to
+    * plan for; the store itself has no such bound). */
+  def buildSpanStore(corpus: DataFrame, textCol: Column, k: Int, path: String): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val spans = corpus.select(explode(TextAnalysis.shingles(textCol, k)).as("span")).distinct()
+    spans.write.mode("overwrite").parquet(path + "/spans")
+    val stored = spark.read.parquet(path + "/spans")
+    val n = stored.count()
+    val bloom = stored.stat.bloomFilter("span", math.max(n, 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import spark.implicits._
+    Seq(bos.toByteArray).toDF("bloom")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/_graft_bloom")
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+  }
+
+  /**
+   * Drop batch documents sharing at least `minOverlap` distinct word k-gram
+   * spans with a [[buildSpanStore]] store (`minOverlap = 1` ⇒ any seen span
+   * disqualifies). Returns the surviving batch rows unchanged.
+   *
+   * Plan: batch spans → broadcast-Bloom prefilter (pure map — the vast
+   * majority of genuinely-new spans drop here without shuffling) → exact
+   * semi-join against the store confirms survivors → per-doc overlap count →
+   * anti-join. Shuffle volume is bounded by true overlap + fpp·batch spans,
+   * never by store or batch size.
+   */
+  def dropSeenSpans(batch: DataFrame, idCol: Column, textCol: Column,
+                    k: Int, path: String, minOverlap: Int = 1): DataFrame = {
+    require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    GraftFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    val bloomBytes = spark.read.parquet(path + "/_graft_bloom")
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bloomBytes)
+    // lazy per-executor deserialization: the filter ships once per executor
+    // as bytes, not once per task as a deserialized object graph
+    val mightContain = udf { (s: String) =>
+      Dedup.bloomCache.computeIfAbsent(bc.id, _ =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))).mightContainString(s)
+    }
+    val store = spark.read.parquet(path + "/spans")
+    val spans = batch.select(idCol.as("__ss_id"),
+      explode(TextAnalysis.shingles(textCol, k)).as("span"))
+    val confirmed = spans.filter(mightContain(col("span")))
+      .join(store, Seq("span"), "left_semi")
+    val dropIds = confirmed.groupBy(col("__ss_id"))
+      .agg(count(lit(1)).as("__ss_m"))
+      .filter(col("__ss_m") >= minOverlap)
+      .select(col("__ss_id"))
+    batch.join(dropIds, idCol === col("__ss_id"), "left_anti")
+  }
+
+  /** Executor-local cache of deserialized Bloom filters, keyed by broadcast
+    * id (bounded: one entry per live store broadcast). */
+  private[operators] val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+
   /** Sequential-fold double cosine similarity of two float vectors
     * ([[graft.functions.VecOps]] kernel — bit-identical to the
     * `list_sum([a[i]*b[i] ...])` form an external SQL oracle evaluates). */

@@ -276,6 +276,71 @@ object Pipeline {
   }
 
   /**
+   * Exact per-group quantile gate: keep each group's top `keepNum/keepDen`
+   * fraction of rows in `order` — the quality-filtering knob specified the
+   * way mixes are ("keep the best quarter of each source"), with an EXACT
+   * rank so the kept set is reproducible and oracle-checkable (an
+   * approx-percentile threshold is neither). A row survives iff
+   * rank·keepDen <= count·keepNum (integer arithmetic; rank is 1-based
+   * within its group under `order`).
+   *
+   * Scale shape: the global rank is a distributed prefix count, not a
+   * single-task-per-group window — rows are range-partitioned by (group,
+   * order), each partition ranks locally, and only the per-(group,
+   * partition) row counts travel to the driver for carry offsets (bounded
+   * by partitions + groups, never data). Same machinery as
+   * [[packSequences]]/[[epochShuffle]].
+   *
+   * `order` must be a total order within each group (e.g.
+   * `score.desc, id` — pass the score DESCENDING to keep the best).
+   */
+  def quantileGate(df: DataFrame, group: Column, keepNum: Int, keepDen: Int,
+                   order: Column*): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum,
+      s"keep fraction must be in (0, 1]: got $keepNum/$keepDen")
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__qg_pid") || c.equalsIgnoreCase("__qg_rn") ||
+      c.equalsIgnoreCase("__qg_g")),
+      "quantileGate: input must not contain columns named __qg_pid/__qg_rn/__qg_g")
+    require(order.nonEmpty, "quantileGate needs at least one order column")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val keyed = df.repartitionByRange(parts, (group +: order): _*)
+      .withColumn("__qg_pid", spark_partition_id())
+    val local = row_number().over(
+      Window.partitionBy(group, col("__qg_pid")).orderBy(order: _*))
+    val ranked = keyed.withColumn("__qg_rn", local)
+    // per-(group, partition) counts -> driver: carry offset = rows of the
+    // same group in earlier partitions; total = the group's row count
+    val groupName = "__qg_g"
+    val countsDf = keyed.groupBy(group.as(groupName), col("__qg_pid"))
+      .agg(count(lit(1)).as("__qg_n"))
+    val counts = countsDf.collect()
+    val offRows = counts.groupBy(_.get(0)).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val total = sorted.map(_.getLong(2)).sum
+      sorted.foldLeft((0L, List.empty[org.apache.spark.sql.Row])) {
+        case ((acc, out), r) =>
+          (acc + r.getLong(2),
+            org.apache.spark.sql.Row(r.get(0), r.getInt(1), acc, total) :: out)
+      }._2
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      countsDf.schema.fields(0).copy(name = groupName),
+      org.apache.spark.sql.types.StructField("__qg_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__qg_off", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__qg_tot", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    ranked
+      .join(broadcast(offDf),
+        group <=> offDf(groupName) && ranked("__qg_pid") === offDf("__qg_pid"))
+      .drop(offDf("__qg_pid")).drop(groupName)
+      .filter((col("__qg_off") + col("__qg_rn")) * keepDen <= col("__qg_tot") * keepNum)
+      .drop("__qg_pid", "__qg_rn", "__qg_off", "__qg_tot")
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least
    * `minOverlap` distinct word n-gram shingles with a benchmark document.
    * Output (corpus id, benchmark id, overlap count) for every contaminated

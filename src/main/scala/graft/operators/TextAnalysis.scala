@@ -171,4 +171,37 @@ object TextAnalysis {
           .otherwise(array_min(transform(
             sequence(lit(1), length(textCol) - 4),
             i => md5(textCol.substr(i, lit(5)).cast("binary"))))))
+
+  /**
+   * Cross-document duplicated-span stats — the exact-substring dedup signal
+   * (cf. Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better"): for each document, how many of its distinct word k-gram spans
+   * also occur in at least one OTHER document. High `n_dup_spans / n_spans`
+   * flags boilerplate and template text that document-level dedup misses.
+   *
+   * Scale shape: span frequencies come from a groupBy on the span string
+   * (vocabulary-sized, map-side partials) and meet the span instances again
+   * in a hash join — deliberately a join, not a window over the span key, so
+   * a hot span (a ubiquitous boilerplate phrase) is AQE-skew-splittable
+   * instead of funnelling one window task. Documents shorter than k words
+   * have no spans and report (0, 0).
+   */
+  def withDuplicatedSpans(df: DataFrame, idCol: Column, textCol: Column,
+                          k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__ds_id") || c.equalsIgnoreCase("__ds_g") ||
+      c.equalsIgnoreCase("__ds_n")),
+      "withDuplicatedSpans: input must not contain columns named __ds_id/__ds_g/__ds_n")
+    val spans = df.select(idCol.as("__ds_id"), explode(shingles(textCol, k)).as("__ds_g"))
+    // docs-per-span; spans are distinct within a doc, so count = doc count
+    val counts = spans.groupBy(col("__ds_g")).agg(count(lit(1)).as("__ds_n"))
+    val perDoc = spans.join(counts, "__ds_g")
+      .groupBy(col("__ds_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ds_n") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    df.join(perDoc, idCol === col("__ds_id"), "left")
+      .drop("__ds_id")
+      .na.fill(0L, Seq("n_spans", "n_dup_spans"))
+  }
 }

@@ -188,4 +188,64 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(0).getSeq[String](0).isEmpty)
     assert(sh(1).getSeq[String](0) == Seq("a b c", "b c d"))
   }
+
+  test("withDuplicatedSpans: hand-computed cross-doc 5-gram duplication") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"), // spans: "a b c d e", "b c d e f"
+      (2L, "a b c d e g"), // spans: "a b c d e", "b c d e g"
+      (3L, "x y z")        // < 5 words: no spans
+    ).toDF("id", "t")
+    val got = TextAnalysis.withDuplicatedSpans(df, col("id"), col("t"), k = 5)
+      .select(col("id"), col("n_spans"), col("n_dup_spans")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((0L, 0L))))
+  }
+
+  test("dupRateByGroup counts exact duplicates per group") {
+    import spark.implicits._
+    val df = Seq(("s1", "x"), ("s1", "x"), ("s1", "y"), ("s2", "z")).toDF("src", "t")
+    val got = Dedup.dupRateByGroup(df, col("src"), md5(col("t").cast("binary")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("s1" -> ((3L, 2L, 1L)), "s2" -> ((1L, 1L, 0L))))
+  }
+
+  test("span store round trip: dropSeenSpans drops exactly the overlapping docs") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_spanstore").toString
+    val old = Seq((1L, "a b c d e f")).toDF("id", "t")
+    Dedup.buildSpanStore(old, col("t"), k = 5, path)
+    val batch = Seq(
+      (10L, "a b c d e q q q"), // shares "a b c d e" -> dropped at minOverlap=1
+      (11L, "p q r s t u"),     // no shared span -> kept
+      (12L, "x y")              // no spans at all -> kept
+    ).toDF("id", "t")
+    val kept1 = Dedup.dropSeenSpans(batch, col("id"), col("t"), k = 5, path, minOverlap = 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(11L, 12L))
+    // minOverlap above the true overlap keeps everything
+    val kept2 = Dedup.dropSeenSpans(batch, col("id"), col("t"), k = 5, path, minOverlap = 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(10L, 11L, 12L))
+  }
+
+  test("dropSeenSpans == bloom-free recomputation on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val srcn = substring(col("source"), 4, 10).cast("int")
+    val old = docs.filter(srcn < 10)
+    val batch = docs.filter(srcn >= 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_spanstore_fx").toString
+    Dedup.buildSpanStore(old, col("text"), k = 5, path)
+    val got = Dedup.dropSeenSpans(batch, col("doc_id"), col("text"), k = 5, path, minOverlap = 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // plain-DataFrame recomputation without the bloom prefilter / store
+    val oldSpans = old.select(explode(TextAnalysis.shingles(col("text"), 5)).as("span")).distinct()
+    val batchSpans = batch.select(col("doc_id"),
+      explode(TextAnalysis.shingles(col("text"), 5)).as("span"))
+    val dropIds = batchSpans.join(oldSpans, "span")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val want = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet -- dropIds
+    assert(got == want && dropIds.nonEmpty, s"dropped=${dropIds.size}")
+  }
 }

@@ -256,4 +256,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b) => a != b && b % 17 == 0 })
   }
+
+  test("quantileGate == single-window formulation (skewed groups, desc order)") {
+    import spark.implicits._
+    // group 0 holds 500 of 600 rows spread over many input partitions
+    val df = (0 until 600).map(i => (if (i < 500) 0L else i.toLong % 7, i.toLong, (i * 37 % 101).toLong))
+      .toDF("g", "id", "score").repartition(13)
+    val got = Pipeline.quantileGate(df, col("g"), 1, 4, col("score").desc, col("id"))
+      .select(col("g"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") * 4 <= col("cnt"))
+      .select(col("g"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+    // keep-everything fraction is the identity
+    val all = Pipeline.quantileGate(df, col("g"), 1, 1, col("score").desc, col("id")).count()
+    assert(all == 600)
+    // a group smaller than the denominator keeps nothing (rank 1 > cnt/4)
+    val tiny = Seq((9L, 1L, 5L), (9L, 2L, 6L)).toDF("g", "id", "score")
+    assert(Pipeline.quantileGate(tiny, col("g"), 1, 4, col("score").desc, col("id")).count() == 0)
+  }
 }
