@@ -285,11 +285,12 @@ object Pipeline {
    * within its group under `order`).
    *
    * Scale shape: the global rank is a distributed prefix count, not a
-   * single-task-per-group window — rows are range-partitioned by (group,
-   * order), each partition ranks locally, and only the per-(group,
-   * partition) row counts travel to the driver for carry offsets (bounded
-   * by partitions + groups, never data). Same machinery as
-   * [[packSequences]]/[[epochShuffle]].
+   * single-task-per-group window — rows are range-partitioned AND sorted by
+   * (group, order), the in-partition position comes narrowly from
+   * `monotonically_increasing_id` (no window re-cluster exchange — the
+   * [[epochShuffle]] trick), and only per-(group, partition) counts and
+   * min-ids travel to the driver for carry offsets (bounded by partitions +
+   * groups, never data). The data shuffles exactly once.
    *
    * `order` must be a total order within each group (e.g.
    * `score.desc, id` — pass the score DESCENDING to keep the best).
@@ -299,45 +300,49 @@ object Pipeline {
     require(keepNum > 0 && keepDen >= keepNum,
       s"keep fraction must be in (0, 1]: got $keepNum/$keepDen")
     require(!df.columns.exists(c =>
-      c.equalsIgnoreCase("__qg_pid") || c.equalsIgnoreCase("__qg_rn") ||
+      c.equalsIgnoreCase("__qg_pid") || c.equalsIgnoreCase("__qg_mid") ||
       c.equalsIgnoreCase("__qg_g")),
-      "quantileGate: input must not contain columns named __qg_pid/__qg_rn/__qg_g")
+      "quantileGate: input must not contain columns named __qg_pid/__qg_mid/__qg_g")
     require(order.nonEmpty, "quantileGate needs at least one order column")
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val keyed = df.repartitionByRange(parts, (group +: order): _*)
-      .withColumn("__qg_pid", spark_partition_id())
-    val local = row_number().over(
-      Window.partitionBy(group, col("__qg_pid")).orderBy(order: _*))
-    val ranked = keyed.withColumn("__qg_rn", local)
-    // per-(group, partition) counts -> driver: carry offset = rows of the
-    // same group in earlier partitions; total = the group's row count
+    val sortKeys = group +: order
+    val keyed = df.repartitionByRange(parts, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("__qg_mid", monotonically_increasing_id())
+      .withColumn("__qg_pid", shiftrightunsigned(col("__qg_mid"), 33).cast("int"))
+    // per-(group, partition) count + first id -> driver: global rank of a
+    // row = (rows of its group in earlier partitions) + (mid - first mid
+    // of its group slice) + 1. Rows within a partition are sorted by
+    // (group, order), so mid offsets ARE in-slice ranks.
     val groupName = "__qg_g"
     val countsDf = keyed.groupBy(group.as(groupName), col("__qg_pid"))
-      .agg(count(lit(1)).as("__qg_n"))
+      .agg(count(lit(1)).as("__qg_n"), min(col("__qg_mid")).as("__qg_min"))
     val counts = countsDf.collect()
     val offRows = counts.groupBy(_.get(0)).iterator.flatMap { case (_, rows) =>
       val sorted = rows.sortBy(_.getInt(1))
       val total = sorted.map(_.getLong(2)).sum
       sorted.foldLeft((0L, List.empty[org.apache.spark.sql.Row])) {
         case ((acc, out), r) =>
+          // rank = base + mid, with base = prior-count - slice-min-mid + 1
           (acc + r.getLong(2),
-            org.apache.spark.sql.Row(r.get(0), r.getInt(1), acc, total) :: out)
+            org.apache.spark.sql.Row(r.get(0), r.getInt(1),
+              acc - r.getLong(3) + 1L, total) :: out)
       }._2
     }.toSeq
     val offSchema = org.apache.spark.sql.types.StructType(Seq(
       countsDf.schema.fields(0).copy(name = groupName),
       org.apache.spark.sql.types.StructField("__qg_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("__qg_off", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__qg_base", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("__qg_tot", org.apache.spark.sql.types.LongType, nullable = false)))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1), offSchema)
-    ranked
+    keyed
       .join(broadcast(offDf),
-        group <=> offDf(groupName) && ranked("__qg_pid") === offDf("__qg_pid"))
+        group <=> offDf(groupName) && keyed("__qg_pid") === offDf("__qg_pid"))
       .drop(offDf("__qg_pid")).drop(groupName)
-      .filter((col("__qg_off") + col("__qg_rn")) * keepDen <= col("__qg_tot") * keepNum)
-      .drop("__qg_pid", "__qg_rn", "__qg_off", "__qg_tot")
+      .filter((col("__qg_base") + col("__qg_mid")) * keepDen <= col("__qg_tot") * keepNum)
+      .drop("__qg_pid", "__qg_mid", "__qg_base", "__qg_tot")
   }
 
   /**

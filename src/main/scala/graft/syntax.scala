@@ -127,5 +127,14 @@ object syntax {
       TextAnalysis.chunkTokens(df, text, size, stride)
     def epochShuffle(id: Column, salt: String): DataFrame =
       Pipeline.epochShuffle(df, id, salt)
+    def quantileGate(group: Column, keepNum: Int, keepDen: Int, order: Column*): DataFrame =
+      Pipeline.quantileGate(df, group, keepNum, keepDen, order: _*)
+    def withDuplicatedSpans(id: Column, text: Column, k: Int): DataFrame =
+      TextAnalysis.withDuplicatedSpans(df, id, text, k)
+    def dropSeenSpans(id: Column, text: Column, k: Int, storePath: String,
+                      minOverlap: Int = 1): DataFrame =
+      Dedup.dropSeenSpans(df, id, text, k, storePath, minOverlap)
+    def dupRateByGroup(group: Column, fingerprint: Column): DataFrame =
+      Dedup.dupRateByGroup(df, group, fingerprint)
   }
 }

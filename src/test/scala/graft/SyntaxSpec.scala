@@ -57,4 +57,20 @@ class SyntaxSpec extends AnyFunSuite {
     val clustered = c.stCluster(col("c_custkey"), col("cx"), col("cy"), 32.0, 5)
     assert(clustered.count() == c.count())
   }
+
+  test("round-5 fluent surface: quantile gate, dup spans, span store, dup rate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.operators.TextAnalysis.withQuality(docs, col("text"))
+    val gated = q.quantileGate(col("source"), 1, 4, col("quality_e6").desc, col("doc_id"))
+    assert(gated.count() ==
+      graft.operators.Pipeline.quantileGate(q, col("source"), 1, 4,
+        col("quality_e6").desc, col("doc_id")).count())
+    val spans = docs.withDuplicatedSpans(col("doc_id"), col("text"), k = 5)
+    assert(spans.count() == docs.count())
+    val rates = docs.dupRateByGroup(col("source"), md5(col("text").cast("binary")))
+    assert(rates.count() == 20)
+    val path = java.nio.file.Files.createTempDirectory("graft_syntax_spans").toString
+    graft.operators.Dedup.buildSpanStore(docs.limit(100), col("text"), 5, path)
+    assert(docs.dropSeenSpans(col("doc_id"), col("text"), 5, path).count() <= docs.count())
+  }
 }
