@@ -173,12 +173,15 @@ object Pipeline {
    * packing concatenates documents across boundaries.
    *
    * Scale shape: the exclusive running sum is a DISTRIBUTED prefix scan,
-   * not a single-task-per-group window — rows are range-partitioned by
-   * (group, order), each partition scans locally, and per-partition totals
-   * (one row per partition × group slice, collected to the driver — bounded
-   * by partition count, not data) provide the carry-in offsets. A group
-   * holding half the corpus spreads over as many tasks as the range
-   * partitioner gives it.
+   * not a single-task-per-group window — rows are range-partitioned AND
+   * sorted by (group, order), each partition scans locally in ONE
+   * mapPartitions pass (genuine per-partition imperative state; a window
+   * over (group, partition) would re-shuffle the full data a second time),
+   * and per-partition totals (one row per partition × group slice,
+   * collected to the driver — bounded by partition count, not data) provide
+   * the carry-in offsets. A group holding half the corpus spreads over as
+   * many tasks as the range partitioner gives it; the data shuffles exactly
+   * once.
    *
    * `order` must be a total order within each group; `tokens` must be >= 0.
    */
@@ -187,26 +190,49 @@ object Pipeline {
     require(budget > 0, s"budget must be positive, got $budget")
     require(!df.columns.exists(c =>
       c.equalsIgnoreCase("__pk_pid") || c.equalsIgnoreCase("__pk_sum") ||
-      c.equalsIgnoreCase("__pk_off") || c.equalsIgnoreCase("__pk_start")),
-      "packSequences: input must not contain columns named __pk_pid/__pk_sum/__pk_off/__pk_start")
+      c.equalsIgnoreCase("__pk_off") || c.equalsIgnoreCase("__pk_start") ||
+      c.equalsIgnoreCase("__pk_t") || c.equalsIgnoreCase("__pk_gv")),
+      "packSequences: input must not contain columns named __pk_pid/__pk_sum/__pk_off/__pk_start/__pk_t/__pk_gv")
     val spark = df.sparkSession
     // range-partition so partition order agrees with (group, order): every
     // row in partition i precedes every row of the same group in partition
     // j > i — the precondition for per-partition scans + carry-in offsets
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val keyed = df.repartitionByRange(parts, group, order)
-      .withColumn("__pk_pid", spark_partition_id())
-    // inclusive local prefix sum within (group, partition)
-    val local = sum(tokens).over(
-      Window.partitionBy(group, col("__pk_pid")).orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val scanned = keyed.withColumn("__pk_sum", local)
+    // materialize the tokens and group-key expressions as columns so the
+    // row scan below reads them positionally
+    val withKeys = df.withColumn("__pk_t", tokens.cast("long"))
+      .withColumn("__pk_gv", group)
+      .repartitionByRange(parts, group, order)
+      .sortWithinPartitions(group, order)
+    val gvIdx = withKeys.schema.fieldIndex("__pk_gv")
+    val tIdx = withKeys.schema.fieldIndex("__pk_t")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      withKeys.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__pk_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__pk_sum", org.apache.spark.sql.types.LongType, nullable = false)))
+    // one-pass inclusive prefix sum per (group slice, partition) — rows
+    // arrive sorted by (group, order), so a slice change is a key change
+    val scanned = withKeys.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curG: Any = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        val g = r.get(gvIdx)
+        if (!started || !java.util.Objects.equals(g, curG)) {
+          curG = g; acc = 0L; started = true
+        }
+        acc += r.getLong(tIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, acc))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     // carry-in per (group, partition) = sum of the group's totals in all
     // earlier partitions; the totals table is tiny (<= partitions × groups
-    // crossing a boundary) so the scan runs on the driver
+    // crossing a boundary) so the scan runs on the driver. The slice total
+    // is the max inclusive prefix — no second pass over the tokens column.
     val groupName = "__pk_g"
-    val totals = keyed.groupBy(group.as(groupName), col("__pk_pid"))
-      .agg(sum(tokens).as("__pk_tot"))
+    val totals = scanned.groupBy(col("__pk_gv").as(groupName), col("__pk_pid"))
+      .agg(max(col("__pk_sum")).as("__pk_tot"))
     val offRows = totals.collect()
       .groupBy(_.get(0))
       .iterator.flatMap { case (_, rows) =>
@@ -223,14 +249,14 @@ object Pipeline {
       spark.sparkContext.parallelize(offRows, 1), offSchema)
     scanned
       .join(broadcast(offDf),
-        group <=> offDf(groupName) && scanned("__pk_pid") === offDf("__pk_pid"))
+        col("__pk_gv") <=> offDf(groupName) && scanned("__pk_pid") === offDf("__pk_pid"))
       .drop(offDf("__pk_pid")).drop(groupName)
       // exclusive prefix; pure LONG arithmetic (a double division would lose
       // exactness past 2^53 total tokens — reachable at corpus scale)
-      .withColumn("__pk_start", col("__pk_off") + col("__pk_sum") - tokens)
+      .withColumn("__pk_start", col("__pk_off") + col("__pk_sum") - col("__pk_t"))
       .withColumn("bin", expr(s"__pk_start DIV ${budget}L"))
       .withColumn("bin_offset", col("__pk_start") % budget)
-      .drop("__pk_pid", "__pk_sum", "__pk_off", "__pk_start")
+      .drop("__pk_pid", "__pk_sum", "__pk_off", "__pk_start", "__pk_t", "__pk_gv")
   }
 
   /**
