@@ -126,4 +126,32 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+
+  /**
+   * Streaming ingest against a persisted span store — the streaming twin of
+   * [[graft.operators.Dedup.dropSeenSpans]]: each micro-batch drops
+   * documents sharing >= `minOverlap` spans with the store, exactly as the
+   * batch operator would (Bloom prefilter + exact confirm join run INSIDE
+   * the batch function, so no streaming aggregation state is needed —
+   * state lives in the store, not the query). The surviving rows append to
+   * `outPath` as parquet, the standard continuous-ingest landing pattern.
+   *
+   * Note the store is read per micro-batch but its Bloom sidecar probe is
+   * map-side, so per-batch cost scales with the batch's overlap, not the
+   * store; refreshing the store (after compacting accepted batches into it)
+   * picks up on the next micro-batch automatically.
+   */
+  def ingestDropSeenSpans(docs: DataFrame, idCol: org.apache.spark.sql.Column,
+                          textCol: org.apache.spark.sql.Column, k: Int,
+                          storePath: String, outPath: String,
+                          checkpoint: String, minOverlap: Int = 1)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .dropSeenSpans(batch, idCol, textCol, k, storePath, minOverlap)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 }

@@ -135,6 +135,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest drops store-seen spans per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+    // store knows the span "a b c d e"
+    graft.operators.Dedup.buildSpanStore(
+      Seq((1L, "a b c d e f")).toDF("id", "t"), col("t"), k = 5, s"$tmp/store")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventStreams.ingestDropSeenSpans(docs, col("doc_id"), col("text"),
+      k = 5, s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      input.addData((10L, "a b c d e zz"), (11L, "p q r s t u"))
+      q.processAllAvailable()
+      input.addData((12L, "v w x y z a a"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 12L)) // 10 shared "a b c d e" with the store
+    } finally q.stop()
+  }
+
   test("sessionize accumulates per-user state (batch semantics check)") {
     import spark.implicits._
     // state logic is exercised in batch mode via groupByKey+flatMapGroups
