@@ -539,7 +539,7 @@ object SparkEntry {
     // probes every cell, so results equal the exact brute-force top-k —
     // the oracle is q18's SQL. The store read is the pruned path either way.
     "q51_ann_ivf_store" -> ((s, dir) => {
-      val path = storedOnce("ivfstore_q51b", dir) { p =>
+      val path = storedOnce("ivfstore_q51c", dir) { p =>
         val e = Tables.load(s, dir, "embeddings")
         Similarity.buildIvfIndex(e, p, col("vec_id"), col("embedding"), nlist = 16)
       }
@@ -576,7 +576,7 @@ object SparkEntry {
     "q62_incr_dedup" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val srcn = substring(col("source"), 4, 10).cast("int")
-      val path = storedOnce("spanstore_q62", dir)(p =>
+      val path = storedOnce("spanstore_q62b", dir)(p =>
         Dedup.buildSpanStore(docs.filter(srcn < 10), col("text"), k = 5, p))
       Dedup.dropSeenSpans(docs.filter(srcn >= 10), col("doc_id"), col("text"),
           k = 5, path, minOverlap = 2)
@@ -640,9 +640,9 @@ object SparkEntry {
   )
 
   /** Shared write-once persisted-index store over customer points.
-    * (Tag suffix "b": the v1 layout kept trees at the store root.) */
+    * (Tag suffixes version the on-disk layout: "b" moved trees under /trees, "c" switched sidecars to plain FS files — a bump makes a stale cached store rebuild instead of half-reading.) */
   private def persistedCustomerIndex(s: SparkSession, dir: String): String =
-    storedOnce("idxstore_q48b", dir)(p =>
+    storedOnce("idxstore_q48c", dir)(p =>
       IndexStore.saveIndexed(Tables.customerPts(s, dir), p, "c_geo", cellSize = 100.0))
 
   /** Write-once store path, keyed by the dataset dir: reruns in the same

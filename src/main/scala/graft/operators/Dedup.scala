@@ -212,9 +212,7 @@ object Dedup {
     val bloom = stored.stat.bloomFilter("span", math.max(n, 1L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    import spark.implicits._
-    Seq(bos.toByteArray).toDF("bloom")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/_graft_bloom")
+    graft.sources.Sidecar.writeBytes(spark, path + "/_graft_bloom", bos.toByteArray)
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
@@ -236,8 +234,7 @@ object Dedup {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
     GraftFunctions.register(batch.sparkSession)
     val spark = batch.sparkSession
-    val bloomBytes = spark.read.parquet(path + "/_graft_bloom")
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = graft.sources.Sidecar.readBytes(spark, path + "/_graft_bloom")
     val bc = spark.sparkContext.broadcast(bloomBytes)
     // lazy per-executor deserialization: the filter ships once per executor
     // as bytes, not once per task as a deserialized object graph

@@ -177,7 +177,8 @@ object Similarity {
 
   /** Train the coarse quantizer and persist the assigned corpus
     * (`__cell`, `neighbor_id`, `__cv`, `__cn`) under `<path>/corpus` plus
-    * a `_graft_centroids` parquet sidecar. A top-level `_SUCCESS` marker
+    * a `_graft_centroids` text sidecar (one line per centroid, cell order;
+    * `Double.toString` round-trips exactly). A top-level `_SUCCESS` marker
     * is written LAST so an interrupted build is redone by write-once
     * wrappers, never half-read. */
   def buildIvfIndex(corpus: DataFrame, path: String, corpusId: Column,
@@ -192,11 +193,8 @@ object Similarity {
       .withColumn("__cn", stf.vec_norm(col("__cv")))
       .repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
       .write.mode("overwrite").parquet(path + "/corpus")
-    import spark.implicits._
-    centroids.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/_graft_centroids")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_centroids",
+      centroids.map(_.mkString(",")).mkString("\n"))
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
@@ -213,9 +211,9 @@ object Similarity {
     val spark = queries.sparkSession
     import graft.functions.stf
     graft.functions.GraftFunctions.register(spark)
-    val centroids = spark.read.parquet(path + "/_graft_centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val centroids = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_centroids")
+      .split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
     val bc = spark.sparkContext.broadcast(centroids)
     val probeCells = probeCellsUdf(bc, nprobe)
     // materialize the (small) query batch once: probe-set collection and

@@ -62,14 +62,11 @@ object IndexStore {
     StructField("cell", LongType, nullable = false),
     StructField("tree", BinaryType, nullable = false)))
 
-  private def writeText(spark: SparkSession, path: String, value: String): Unit = {
-    import spark.implicits._
-    spark.createDataset(Seq(value)).coalesce(1)
-      .write.mode("overwrite").text(path)
-  }
+  private def writeText(spark: SparkSession, path: String, value: String): Unit =
+    Sidecar.writeText(spark, path, value)
 
   private def readText(spark: SparkSession, path: String): String =
-    spark.read.text(path).head().getString(0)
+    Sidecar.readText(spark, path)
 
   /** Touch `<path>/_SUCCESS` — completion marker, written after all parts. */
   private def markComplete(spark: SparkSession, path: String): Unit = {

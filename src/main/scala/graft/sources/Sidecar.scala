@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Tiny driver-side sidecar payloads (store metadata, serialized sketches)
+ * written as SINGLE files through the Hadoop FileSystem API — not through
+ * `spark.read`/`spark.write`. Payloads here are O(bytes..MB) scalars the
+ * driver needs before planning a query; going through a Spark job for them
+ * costs a job per read and (for underscore-prefixed sidecar names) trips
+ * the hidden-path filter into spurious "All paths were ignored" warnings.
+ * The FS API is the same abstraction Spark itself uses, so the sidecars
+ * live wherever the store lives (local disk, HDFS, object store).
+ */
+object Sidecar {
+
+  def writeBytes(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite semantics incl. replacing a directory left by an older
+    // store layout (fs.create(_, true) only overwrites FILES)
+    if (fs.exists(p)) fs.delete(p, true)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def readBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  def writeText(spark: SparkSession, path: String, value: String): Unit =
+    writeBytes(spark, path, value.getBytes("UTF-8"))
+
+  def readText(spark: SparkSession, path: String): String =
+    new String(readBytes(spark, path), "UTF-8")
+}
