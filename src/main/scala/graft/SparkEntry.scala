@@ -601,6 +601,18 @@ object SparkEntry {
         .orderBy(col("grp"))
     }),
 
+    // corpus vocabulary: top-50 tokens by count (tokenizer-training stat).
+    "q65_vocab_topk" -> ((s, dir) => {
+      TextAnalysis.vocabTopK(Tables.load(s, dir, "documents"), col("text"), k = 50)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    // adjacent-token pair counts: top-50 (the BPE merge statistic).
+    "q66_pair_counts" -> ((s, dir) => {
+      TextAnalysis.adjacentPairCounts(Tables.load(s, dir, "documents"), col("text"), k = 50)
+        .orderBy(col("cnt").desc, col("t1"), col("t2"))
+    }),
+
     // kNN answered from the persisted trees (reference indexed kNN over
     // persisted indexes): expand-box rounds read only candidate cells'
     // trees — same 20 customers as the live q5.
@@ -1087,6 +1099,17 @@ object SparkEntry {
        "r AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY q6 DESC, doc_id) AS rn, " +
        "count(*) OVER (PARTITION BY source) AS cnt FROM q) " +
        "SELECT doc_id FROM r WHERE rn*4 <= cnt ORDER BY doc_id"),
+
+    "q65_vocab_topk" ->
+      ("SELECT token, count(*) AS cnt FROM " +
+       "(SELECT unnest(string_split(text,' ')) AS token FROM documents) " +
+       "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+
+    "q66_pair_counts" ->
+      ("WITH t AS (SELECT string_split(text,' ') AS ws FROM documents), " +
+       "p AS (SELECT unnest(ws[1:len(ws)-1]) AS t1, unnest(ws[2:len(ws)]) AS t2 FROM t) " +
+       "SELECT t1, t2, count(*) AS cnt FROM p GROUP BY t1, t2 " +
+       "ORDER BY cnt DESC, t1, t2 LIMIT 50"),
 
     "q64_dup_rate" ->
       ("WITH fp AS (SELECT source, CASE WHEN len(text) < 5 THEN md5(text) " +

@@ -173,6 +173,41 @@ object TextAnalysis {
             i => md5(textCol.substr(i, lit(5)).cast("binary"))))))
 
   /**
+   * Corpus vocabulary, top `k` tokens by frequency (ties by token) — the
+   * precursor statistic for tokenizer training and OOV analysis. One
+   * map-side-combined shuffle keyed by token (vocabulary-sized, never
+   * corpus-sized), then Spark's distributed TakeOrdered for the top-k —
+   * no global sort materializes.
+   */
+  def vocabTopK(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(tokens(textCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+  }
+
+  /**
+   * Adjacent-token pair counts, top `k` (the BPE merge-candidate
+   * statistic): each document contributes its n-1 consecutive token pairs.
+   * The pair explode is narrow (bounded by document length); the count is
+   * one combined shuffle keyed by pair, then TakeOrdered. Ties break by
+   * (t1, t2), so the top-k cut is deterministic.
+   */
+  def adjacentPairCounts(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ws = tokens(textCol)
+    val n = size(ws)
+    val pairs = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("t1"), b.as("t2")))
+    df.select(explode(pairs).as("__p"))
+      .select(col("__p.t1").as("t1"), col("__p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2")).limit(k)
+  }
+
+  /**
    * Cross-document duplicated-span stats — the exact-substring dedup signal
    * (cf. Lee et al., "Deduplicating Training Data Makes Language Models
    * Better"): for each document, how many of its distinct word k-gram spans

@@ -136,5 +136,9 @@ object syntax {
       Dedup.dropSeenSpans(df, id, text, k, storePath, minOverlap)
     def dupRateByGroup(group: Column, fingerprint: Column): DataFrame =
       Dedup.dupRateByGroup(df, group, fingerprint)
+    def vocabTopK(text: Column, k: Int): DataFrame =
+      TextAnalysis.vocabTopK(df, text, k)
+    def adjacentPairCounts(text: Column, k: Int): DataFrame =
+      TextAnalysis.adjacentPairCounts(df, text, k)
   }
 }

@@ -189,6 +189,20 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(1).getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
+  test("vocabTopK and adjacentPairCounts: hand-computed counts and tie order") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b a")).toDF("id", "t")
+    val vocab = TextAnalysis.vocabTopK(df, col("t"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(vocab == List(("a", 3L), ("b", 2L)))
+    val pairs = TextAnalysis.adjacentPairCounts(df, col("t"), k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(pairs == List(("b", "a", 2L), ("a", "b", 1L)))
+    // single-token docs contribute no pairs
+    assert(TextAnalysis.adjacentPairCounts(Seq((3L, "solo")).toDF("id", "t"),
+      col("t"), 5).count() == 0)
+  }
+
   test("withDuplicatedSpans: hand-computed cross-doc 5-gram duplication") {
     import spark.implicits._
     val df = Seq(
