@@ -257,6 +257,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a != b && b % 17 == 0 })
   }
 
+  test("quantileGate keeps exactly floor(cnt*p/q) rows per group (random sizes/fractions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random group sizes incl. tiny groups and a null group key
+    val rows = (0 until 40).flatMap { g =>
+      val sz = 1 + rnd.nextInt(60)
+      val key: java.lang.Long = if (g == 0) null else Long.box(g.toLong)
+      (0 until sz).map(i => (key, g * 1000L + i, rnd.nextInt(1000).toLong))
+    }
+    val df = rows.toDF("g", "id", "score").repartition(11)
+    for ((p, q) <- Seq((1, 4), (1, 2), (3, 4), (1, 1), (2, 3))) {
+      val kept = Pipeline.quantileGate(df, col("g"), p, q, col("score").desc, col("id"))
+        .groupBy(col("g")).count().collect()
+        .map(r => (Option(r.get(0)), r.getLong(1))).toMap
+      val want = rows.groupBy(r => Option(r._1)).view
+        .mapValues(rs => rs.size.toLong * p / q).toMap.filter(_._2 > 0)
+      assert(kept == want, s"p/q=$p/$q")
+    }
+  }
+
+  test("packSequences invariants: offsets within budget, bins tile the group stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map(i => (i % 5, i.toLong, 1L + rnd.nextInt(40)))
+    val df = rows.toDF("g", "id", "tok").repartition(9)
+    val out = Pipeline.packSequences(df, col("g"), col("id"), col("tok"), budget = 64L)
+      .select(col("g"), col("id"), col("tok"), col("bin"), col("bin_offset")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 300)
+    out.foreach { case (_, _, _, bin, off) =>
+      assert(bin >= 0 && off >= 0 && off < 64L)
+    }
+    // per group: bin*budget + bin_offset is the exclusive running sum in id order
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_._2).foreach { case (_, _, tok, bin, off) =>
+        assert(bin * 64L + off == acc)
+        acc += tok
+      }
+    }
+  }
+
   test("quantileGate == single-window formulation (skewed groups, desc order)") {
     import spark.implicits._
     // group 0 holds 500 of 600 rows spread over many input partitions
