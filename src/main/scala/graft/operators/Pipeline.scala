@@ -315,8 +315,11 @@ object Pipeline {
    * (group, order), the in-partition position comes narrowly from
    * `monotonically_increasing_id` (no window re-cluster exchange — the
    * [[epochShuffle]] trick), and only per-(group, partition) counts and
-   * min-ids travel to the driver for carry offsets (bounded by partitions +
-   * groups, never data). The data shuffles exactly once.
+   * min-ids travel to the driver for carry offsets — one row per (group,
+   * partition) slice, sized by GROUP CARDINALITY plus at most one boundary
+   * crossing per partition, never by data. The operator targets
+   * per-source/per-domain gating (groups 10²–10⁶); the data itself
+   * shuffles exactly once.
    *
    * `order` must be a total order within each group (e.g.
    * `score.desc, id` — pass the score DESCENDING to keep the best).
