@@ -60,11 +60,13 @@ object DBSCAN {
       .filter(col("__n") >= minPts).select(col("__a").as("__id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // deliberately NOT persisted: consumed exactly once (the CC repartition
+    // below) — a persist would write the edge list to storage just to read
+    // it back a single time
     val coreEdges = nbr
       .join(core.withColumnRenamed("__id", "__a"), "__a")
       .join(core.withColumnRenamed("__id", "__b"), "__b")
       .select(col("__a"), col("__b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // connected components over core-core edges — two-level distributed CC
     // (per-partition union-find contraction, then Pregel on the quotient
@@ -91,7 +93,7 @@ object DBSCAN {
       // neighbor/core intermediates so repeated clustering calls don't
       // accumulate executor storage
       .localCheckpoint()
-    nbr.unpersist(); core.unpersist(); coreEdges.unpersist()
+    nbr.unpersist(); core.unpersist()
     out
   }
 }
