@@ -129,19 +129,51 @@ object TextOps {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Per-JVM cache of derived plane matrices keyed by (tables, planes,
+    * dim): the components are a pure function of the indices, so deriving
+    * them per ROW (tables·planes·dim XXH64 calls each) was pure overhead.
+    * One entry per distinct LSH configuration in the session — bounded. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planeMatrix(tables: Int, planes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((tables, planes, dim), { _ =>
+      val m = new Array[Double](tables * planes * dim)
+      var t = 0
+      var idx = 0
+      while (t < tables) {
+        var p = 0
+        while (p < planes) {
+          var d = 0
+          while (d < dim) {
+            val h = XXH64.hashLong((t.toLong << 40) | (p.toLong << 20) | d.toLong, SEED)
+            // map 64-bit hash to [-1, 1)
+            m(idx) = h.toDouble / 9.223372036854776e18
+            d += 1; idx += 1
+          }
+          p += 1
+        }
+        t += 1
+      }
+      m
+    })
+
   /**
    * Random-hyperplane LSH buckets for cosine similarity: `tables` buckets,
    * each the sign pattern of `planes` pseudo-random hyperplane dot products.
    * Plane component (t, p, dim i) is derived from XXH64 — deterministic, no
-   * stored model. Uniform in [-1, 1): good enough for LSH.
+   * stored model (cached per JVM, see [[planeMatrix]]). Uniform in [-1, 1):
+   * good enough for LSH.
    */
   def hyperplaneBuckets(vec: ArrayData, tables: Int, planes: Int): ArrayData = {
     val dim = vec.numElements()
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+    val m = planeMatrix(tables, planes, dim)
     val out = new Array[Long](tables)
     var t = 0
+    var idx = 0
     while (t < tables) {
       var bucket = 0L
       var p = 0
@@ -149,10 +181,8 @@ object TextOps {
         var dot = 0.0
         var d = 0
         while (d < dim) {
-          val h = XXH64.hashLong((t.toLong << 40) | (p.toLong << 20) | d.toLong, SEED)
-          // map 64-bit hash to [-1, 1)
-          dot += v(d) * (h.toDouble / 9.223372036854776e18)
-          d += 1
+          dot += v(d) * m(idx)
+          d += 1; idx += 1
         }
         if (dot >= 0) bucket |= (1L << p)
         p += 1
