@@ -613,6 +613,17 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("t1"), col("t2"))
     }),
 
+    // kNN JOIN against the persisted trees (the reference's indexed
+    // knnJoin shape, true global-k): same pairs as the live q7, right
+    // side never re-shuffled or re-indexed.
+    "q67_knn_join_store" -> ((s, dir) => {
+      val sup = Tables.supplierPts(s, dir)
+      val path = persistedCustomerIndex(s, dir)
+      IndexStore.knnJoin(sup, path, "s_geo", "s_suppkey", k = 5, tieBreak = "c_custkey")
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    }),
+
     // kNN answered from the persisted trees (reference indexed kNN over
     // persisted indexes): expand-box rounds read only candidate cells'
     // trees — same 20 customers as the live q5.
@@ -1099,6 +1110,15 @@ object SparkEntry {
        "r AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY q6 DESC, doc_id) AS rn, " +
        "count(*) OVER (PARTITION BY source) AS cnt FROM q) " +
        "SELECT doc_id FROM r WHERE rn*4 <= cnt ORDER BY doc_id"),
+
+    // identical result contract to q7 — the indexed path must answer the
+    // same query
+    "q67_knn_join_store" ->
+      (s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT s_suppkey, c_custkey FROM (" +
+       "SELECT s_suppkey, c_custkey, row_number() OVER (PARTITION BY s_suppkey " +
+       "ORDER BY sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)), c_custkey) AS rn FROM spts, cpts) " +
+       "WHERE rn <= 5 ORDER BY s_suppkey, c_custkey"),
 
     "q65_vocab_topk" ->
       ("SELECT token, count(*) AS cnt FROM " +

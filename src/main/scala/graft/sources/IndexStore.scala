@@ -262,6 +262,180 @@ object IndexStore {
    * (no per-query index build). Output columns: left ++ stored row
    * columns; equals [[graft.operators.SpatialJoin.join]] exactly.
    */
+  /** All distinct stored rows plus their pre-split stobj parts
+    * (`__rwkb`/`__rts`/`__rte` appended) — each replicated tree entry is
+    * reported from its own reference cell only, so rows come out exactly
+    * once. Used by [[knnJoin]]'s stats pass and terminal round. */
+  private def entryRowsPlus(spark: SparkSession, path: String,
+                            rowSchema: StructType, cellSize: Double): DataFrame = {
+    val outSchema = StructType(rowSchema.fields ++ Seq(
+      StructField("__rwkb", BinaryType, nullable = false),
+      StructField("__rts", LongType, nullable = true),
+      StructField("__rte", LongType, nullable = true)))
+    val world = new org.locationtech.jts.geom.Envelope(
+      -Double.MaxValue, Double.MaxValue, -Double.MaxValue, Double.MaxValue)
+    spark.read.parquet(path + "/trees").flatMap { tr =>
+      val cell = tr.getLong(0)
+      val tree = deserialize(tr.getAs[Array[Byte]](1))
+      tree.query(world).iterator().asScala.flatMap { o =>
+        val e = o.asInstanceOf[Entry]
+        val env = GeoOps.readGeom(e.wkb).getEnvelopeInternal
+        if (GeoOps.pack(math.floor(env.getMinX / cellSize).toInt,
+                        math.floor(env.getMinY / cellSize).toInt) == cell)
+          Iterator.single(Row.fromSeq(e.row.toSeq ++ Seq[Any](e.wkb, e.ts, e.te)))
+        else Iterator.empty
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * kNN JOIN answered from the persisted trees — the reference's indexed
+   * kNN join shape (`knnJoin(other: RDD[Index[V2]], k, distFunc)`,
+   * spatial/SpatialKnnJoinRDD.scala:20-84) with the live operator's true
+   * global-k semantics (the reference's per-right-partition k is a
+   * documented bug [[graft.operators.KNN.knnJoin]] does not copy).
+   *
+   * Same adaptive expand-radius rounds as the live operator, but the right
+   * side is the store: each round cogroups the pending left rows' candidate
+   * cells with the stored trees, probes each tree with the radius-expanded
+   * envelope, refines by exact centroid distance, and dedups replicas by
+   * the pair's reference cell — the right side is never re-shuffled or
+   * re-indexed across queries (train-once / query-many). Right-side stats
+   * (bbox, count, max extent) come from one distributed scan of the tree
+   * entries; only those scalars reach the driver. When the radius would
+   * explode the left side past the cell-explosion guard (the store's cell
+   * size is fixed), the terminal cross-join round runs instead — parallel
+   * across partition pairs, never a single hash cell.
+   *
+   * Output: left.* ++ stored row columns ++ `distName`.
+   */
+  def knnJoin(left: DataFrame, path: String, leftGeom: String, leftId: String,
+              k: Int, distName: String = "knn_dist",
+              tieBreak: String = null): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!left.columns.exists(_.equalsIgnoreCase("__icell")),
+      "IndexStore.knnJoin: left must not contain a column named __icell")
+    val spark = left.sparkSession
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val rowSchema = loadSchema(spark, path)
+    val cellSize = loadCellSize(spark, path)
+    require(!rowSchema.fieldNames.contains(leftGeom),
+      s"IndexStore.knnJoin: left geometry column '$leftGeom' also exists in the store schema")
+    val ties = if (tieBreak == null) lit(0) else col(tieBreak)
+    val roundSchema = StructType(left.schema.fields ++ rowSchema.fields :+
+      StructField(distName, DoubleType, nullable = false))
+
+    // one pass over the stored entries: bbox + count + max extent; the
+    // entry set is reused (cheap vs re-deserializing per round) only in
+    // the terminal round, so no persist
+    val entries = entryRowsPlus(spark, path, rowSchema, cellSize)
+    val rsto = struct(col("__rwkb"), col("__rts"), col("__rte"))
+    val statsRow = entries.agg(min(stf.st_minx(rsto)), max(stf.st_maxx(rsto)),
+      min(stf.st_miny(rsto)), max(stf.st_maxy(rsto)), count(lit(1)),
+      max(greatest(stf.st_maxx(rsto) - stf.st_minx(rsto),
+        stf.st_maxy(rsto) - stf.st_miny(rsto)))).head()
+    val rCount = statsRow.getLong(4)
+    def lStats = {
+      val g = col(leftGeom)
+      left.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
+        min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g),
+        max(greatest(stf.st_maxx(g) - stf.st_minx(g), stf.st_maxy(g) - stf.st_miny(g)))).head()
+    }
+    val lRow = lStats
+    val lCount = if (lRow.isNullAt(0)) 0L else lRow.getLong(4)
+    if (lCount == 0L || rCount == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], roundSchema)
+
+    // terminal round: every (pending, stored) pair is a candidate;
+    // cartesian stays parallel across partition pairs (a cell join at
+    // world radius would hash everything into one cell)
+    def finale(pending: DataFrame): DataFrame = {
+      val cands = pending.crossJoin(entries)
+        .withColumn(distName, stf.st_centroid_distance(col(leftGeom), rsto))
+      cands.withColumn("__knn_rn", row_number().over(
+          Window.partitionBy(col(leftId)).orderBy(col(distName), ties)))
+        .filter(col("__knn_rn") <= k)
+        .drop("__knn_rn", "__rwkb", "__rts", "__rte")
+    }
+    if (k >= rCount) return finale(left)
+
+    val (lx0, lx1, ly0, ly1, lSpan) =
+      (lRow.getDouble(0), lRow.getDouble(1), lRow.getDouble(2), lRow.getDouble(3), lRow.getDouble(5))
+    val (rx0, rx1, ry0, ry1, rSpan) =
+      (statsRow.getDouble(0), statsRow.getDouble(1), statsRow.getDouble(2),
+       statsRow.getDouble(3), statsRow.getDouble(5))
+    val dx = math.max(lx1, rx1) - math.min(lx0, rx0)
+    val dy = math.max(ly1, ry1) - math.min(ly0, ry0)
+    val maxDist = math.max(math.sqrt(dx * dx + dy * dy), 1e-9) * 1.0000001
+    val area = math.max((rx1 - rx0) * (ry1 - ry0), 1e-18)
+    val r0 = math.sqrt(2.0 * k * area / (math.Pi * rCount.toDouble))
+    var radius = math.min(math.max(r0, maxDist * 1e-6), maxDist)
+    // the store's cell size is fixed — if a radius would explode a left
+    // envelope past the st_cells guard, fall through to the cross join
+    val radiusGuard = (3500.0 * cellSize - math.max(lSpan, rSpan)) / 2.0
+
+    def roundCandidates(pending: DataFrame, r: Double): DataFrame = {
+      val l = pending.withColumn("__icell",
+        explode(stf.st_cells(col(leftGeom), lit(cellSize), lit(r))))
+      val lGeo = l.schema.fieldIndex(leftGeom)
+      val lCell = l.schema.fieldIndex("__icell")
+      val lkv = l.groupByKey(_.getLong(lCell))(Encoders.scalaLong)
+      val tkv = spark.read.parquet(path + "/trees")
+        .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      lkv.cogroup(tkv) { (cell, lIt, tIt) =>
+        if (!tIt.hasNext) Iterator.empty
+        else {
+          val tree = deserialize(tIt.next().getAs[Array[Byte]](1))
+          lIt.flatMap { lr =>
+            val lsto = SpatialJoin.stoRow(lr.getAs[Row](lGeo))
+            if (lsto == null) Iterator.empty
+            else {
+              val env = new org.locationtech.jts.geom.Envelope(
+                GeoOps.readGeom(lsto.getBinary(0)).getEnvelopeInternal)
+              env.expandBy(r)
+              tree.query(env).iterator().asScala.flatMap { o =>
+                val e = o.asInstanceOf[Entry]
+                val d = GeoOps.centroidDistance(lsto, e.sto)
+                if (d <= r && GeoOps.refPointInCellDist(lsto, e.sto, r, cellSize, cell))
+                  Iterator.single(Row.fromSeq(lr.toSeq.dropRight(1) ++ e.row.toSeq :+ d))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }(Encoders.row(roundSchema))
+    }
+
+    var pending = left
+    var done: DataFrame = null
+    var finished = false
+    while (!finished) {
+      if (radius >= maxDist || radius > radiusGuard) {
+        val out = finale(pending).localCheckpoint()
+        done = if (done == null) out else done.unionByName(out)
+        finished = true
+      } else {
+        val part = Window.partitionBy(col(leftId))
+        val out = roundCandidates(pending, radius)
+          .withColumn("__knn_n", count(lit(1)).over(part))
+          .withColumn("__knn_rn",
+            row_number().over(part.orderBy(col(distName), ties)))
+          .filter(col("__knn_n") >= k && col("__knn_rn") <= k)
+          .drop("__knn_n", "__knn_rn")
+          .localCheckpoint()
+        done = if (done == null) out else done.unionByName(out)
+        pending = pending
+          .join(out.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+          .localCheckpoint()
+        if (pending.isEmpty) finished = true
+        else radius = math.min(radius * 2.0, maxDist)
+      }
+    }
+    done
+  }
+
   def join(left: DataFrame, path: String, leftGeom: String,
            pred: JoinPredicate): DataFrame = {
     require(!left.columns.exists(_.equalsIgnoreCase("__icell")),

@@ -67,6 +67,9 @@ object syntax {
     def stJoinPersisted(indexPath: String, geoName: String,
                         pred: JoinPredicate): DataFrame =
       graft.sources.IndexStore.join(df, indexPath, geoName, pred)
+    def stKnnJoinPersisted(indexPath: String, geoName: String, idName: String,
+                           k: Int, tieBreak: String = null): DataFrame =
+      graft.sources.IndexStore.knnJoin(df, indexPath, geoName, idName, k, tieBreak = tieBreak)
     def stKnnPersisted(indexPath: String, qx: Double, qy: Double, k: Int,
                        tieBreak: Seq[String] = Nil): DataFrame =
       graft.sources.IndexStore.knn(df.sparkSession, indexPath, qx, qy, k, tieBreak)

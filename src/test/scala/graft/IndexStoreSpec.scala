@@ -142,6 +142,27 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(all.length == pts.count() && all.toSet.size == all.length)
   }
 
+  test("persisted kNN join equals the live knnJoin (incl. k >= store size)") {
+    import graft.operators.KNN
+    import spark.implicits._
+    val queries = (0 until 40).map { i =>
+      (1000L + i, rnd.nextInt(25) * 4.0, rnd.nextInt(25) * 4.0)
+    }.toDF("qid", "qx", "qy")
+      .withColumn("qgeo", stf.st_point(col("qx"), col("qy")))
+    for (k <- Seq(4, 250)) { // 250 > 200 stored rows: terminal round
+      val got = IndexStore.knnJoin(queries, storePath, "qgeo", "qid", k,
+          tieBreak = "pid")
+        .select(col("qid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = KNN.knnJoin(queries, pts, "qgeo", "pgeo", leftId = "qid",
+          k = k, tieBreak = "pid")
+        .select(col("qid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp && got.nonEmpty,
+        s"k=$k missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
   test("query regions outside the stored extent return empty, not errors") {
     val far = "POLYGON ((5000 5000, 5100 5000, 5100 5100, 5000 5100, 5000 5000))"
     assert(IndexStore.filter(spark, storePath, far,
