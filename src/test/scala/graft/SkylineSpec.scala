@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Skyline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Skyline dominance semantics — ports the reference's own hand cases
+ * (reference src/test/scala/dbis/stark/spatial/SkylineTest.scala: the
+ * dominates-relation and insert scenarios), exercised through the public
+ * operator so the per-partition frontier and the merge are both on the
+ * hook. Dominance: <= in both dims, strictly < in at least one.
+ */
+class SkylineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def sky(pts: (Double, Double)*): Set[(Double, Double)] = {
+    import spark.implicits._
+    val df = pts.toDF("x", "y").repartition(3)
+    Skyline.skyline(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+  }
+
+  test("a point does not dominate itself: duplicates both survive") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (1.0, 1.0)).toDF("x", "y")
+    assert(Skyline.skyline(df, "x", "y").count() == 2)
+  }
+
+  test("smaller x with equal y dominates") {
+    assert(sky((1.0, 2.0), (2.0, 2.0)) == Set((1.0, 2.0)))
+  }
+
+  test("smaller y with equal x dominates") {
+    assert(sky((2.0, 1.0), (2.0, 2.0)) == Set((2.0, 1.0)))
+  }
+
+  test("incomparable points all stay on the frontier") {
+    assert(sky((3.0, 1.0), (1.0, 3.0), (2.0, 2.0)) ==
+      Set((3.0, 1.0), (1.0, 3.0), (2.0, 2.0)))
+  }
+
+  test("a dominated insert is filtered; a dominating insert evicts") {
+    // (2.5, 2.5) is dominated by (2, 2); (1, 1) evicts everything
+    assert(sky((3.0, 1.0), (1.0, 3.0), (2.0, 2.0), (2.5, 2.5)) ==
+      Set((3.0, 1.0), (1.0, 3.0), (2.0, 2.0)))
+    assert(sky((3.0, 1.0), (1.0, 3.0), (2.0, 2.0), (1.0, 1.0)) ==
+      Set((1.0, 1.0)))
+  }
+
+  test("angular variant and no-part variant agree with the plain skyline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 400).map(_ => (rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("x", "y").repartition(7)
+    val plain = Skyline.skyline(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val angular = Skyline.skylineAngular(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val noPart = Skyline.skylineAngularNoPart(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(angular == plain && noPart == plain && plain.nonEmpty)
+    // every excluded point is dominated by some skyline point
+    val all = df.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    (all -- plain).foreach { case (x, y) =>
+      assert(plain.exists { case (sx, sy) =>
+        (sx <= x && sy < y) || (sx < x && sy <= y) })
+    }
+  }
+}
