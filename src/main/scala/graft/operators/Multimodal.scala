@@ -9,9 +9,11 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
  * opaque `binary` columns with typed metadata, plus decode / feature-extract
  * / resize / frame-sample operators.
  *
- * The image/audio codecs are NOT in this container, so the byte-level decode
- * is a clearly-marked DETERMINISTIC STUB ([[MediaCodec]]) — what is real and
- * load-bearing is the Spark-side shape: binary columns survive parquet
+ * IMAGE decode is REAL: PNG/JPEG payloads (detected by magic bytes) go
+ * through the JDK's `javax.imageio` to grey-scale pixels. Audio/video
+ * codecs are NOT in this container, so those payloads fall back to a
+ * clearly-marked DETERMINISTIC byte-fake ([[MediaCodec]]) — either way the
+ * Spark-side shape is load-bearing: binary columns survive parquet
  * round-trips, metadata lives in ordinary prunable columns, per-partition
  * batch processing goes through `mapPartitions` with an explicit output
  * schema (the Scala analogue of an Arrow-batched pandas UDF), and the
@@ -21,15 +23,49 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 object Multimodal {
 
   /**
-   * STUB CODEC — deterministic fake in place of real image/audio decoding.
-   * `decode` would be the libjpeg/ffmpeg call in production; here it derives
-   * pixels from the byte stream itself so every derived value is exactly
-   * reproducible by an external oracle.
+   * Media codec: REAL grey-scale image decode for PNG/JPEG via the JDK's
+   * ImageIO; a deterministic byte-fake for everything else (the ffmpeg
+   * call a production audio/video path would make is absent here, so the
+   * payload bytes stand in for samples — exactly reproducible by an
+   * external oracle).
    */
   object MediaCodec {
-    /** "Decode" = identity over the payload bytes. Real impl: ??? (jpeg/png
-      * decode). Deterministic fake: the payload bytes are the pixels. */
-    def decode(media: Array[Byte]): Array[Byte] = media
+    /** PNG (\x89PNG) or JPEG (\xFF\xD8\xFF) magic? Only then is an ImageIO
+      * parse attempted — arbitrary payloads never pay reader setup. */
+    def isImage(media: Array[Byte]): Boolean =
+      (media.length >= 4 && (media(0) & 0xff) == 0x89 && media(1) == 'P' &&
+        media(2) == 'N' && media(3) == 'G') ||
+      (media.length >= 3 && (media(0) & 0xff) == 0xff && (media(1) & 0xff) == 0xd8 &&
+        (media(2) & 0xff) == 0xff)
+
+    /** Real image decode: row-major grey-scale bytes (Rec.601 luma). */
+    def decodeImage(media: Array[Byte]): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          var y = 0; var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val grey = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              out(i) = grey.toByte
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        }
+      } catch { case _: Exception => None }
+
+    /** Decode: real pixels for decodable images; identity bytes otherwise
+      * (the deterministic stand-in for absent audio/video codecs). */
+    def decode(media: Array[Byte]): Array[Byte] =
+      if (isImage(media)) decodeImage(media).getOrElse(media) else media
 
     /** Byte-sum "brightness" — stands in for a pixel-mean feature. */
     def byteSum(media: Array[Byte]): Long = {

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaCodec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal codec: real PNG decode through the JDK ImageIO path, the
+  * deterministic byte-fake for non-image payloads, and the batched
+  * feature-extraction shape over both. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** 2x2 PNG: white, black, pure red, pure green. */
+  private def tinyPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x00ff00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // Rec.601 integer luma of the four pixels
+  private val greys = Seq(255, 0, 255 * 299 / 1000, 255 * 587 / 1000)
+
+  test("PNG payloads decode to real grey-scale pixels") {
+    val png = tinyPng()
+    assert(MediaCodec.isImage(png))
+    val pixels = MediaCodec.decode(png).map(_ & 0xff).toSeq
+    assert(pixels == greys)
+  }
+
+  test("non-image payloads keep the deterministic identity decode") {
+    val raw = "not an image".getBytes("UTF-8")
+    assert(!MediaCodec.isImage(raw))
+    assert(MediaCodec.decode(raw).toSeq == raw.toSeq)
+  }
+
+  test("extractFeatures sums real pixels for images, raw bytes otherwise") {
+    import spark.implicits._
+    val png = tinyPng()
+    val raw = "abc".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, raw)).toDF("id", "media")
+    val got = Multimodal.extractFeatures(df, frames = 1)
+      .select(col("id"), col("byte_sum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == greys.sum.toLong)
+    assert(got(2L) == raw.map(_ & 0xff).sum.toLong)
+  }
+}
