@@ -205,6 +205,13 @@ object Dedup {
   def buildSpanStore(corpus: DataFrame, textCol: Column, k: Int, path: String): Unit = {
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
+    // invalidate FIRST: a rebuild that crashes between the spans write and
+    // the bloom write must not leave an old _SUCCESS claiming the
+    // (new-spans, stale-bloom) mix is complete — a stale bloom would be a
+    // real false negative and break the "exact regardless of fpp" contract
+    val marker0 = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs0 = marker0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs0.exists(marker0)) fs0.delete(marker0, false)
     val spans = corpus.select(explode(TextAnalysis.shingles(textCol, k)).as("span")).distinct()
     spans.write.mode("overwrite").parquet(path + "/spans")
     val stored = spark.read.parquet(path + "/spans")
@@ -232,16 +239,21 @@ object Dedup {
   def dropSeenSpans(batch: DataFrame, idCol: Column, textCol: Column,
                     k: Int, path: String, minOverlap: Int = 1): DataFrame = {
     require(minOverlap > 0, s"minOverlap must be positive, got $minOverlap")
+    require(!batch.columns.exists(c =>
+      c.equalsIgnoreCase("__ss_id") || c.equalsIgnoreCase("__ss_m")),
+      "dropSeenSpans: batch must not contain columns named __ss_id/__ss_m")
     GraftFunctions.register(batch.sparkSession)
     val spark = batch.sparkSession
-    val bloomBytes = graft.sources.Sidecar.readBytes(spark, path + "/_graft_bloom")
-    val bc = spark.sparkContext.broadcast(bloomBytes)
+    // one broadcast per store VERSION (path + sidecar mtime): repeated
+    // calls — a streaming query calls this every micro-batch — reuse the
+    // same broadcast instead of re-reading and re-shipping the sidecar;
+    // a refreshed store (new mtime) replaces the entry and unpersists the
+    // superseded broadcast
+    val bc = Dedup.bloomBroadcastFor(spark, path)
     // lazy per-executor deserialization: the filter ships once per executor
     // as bytes, not once per task as a deserialized object graph
     val mightContain = udf { (s: String) =>
-      Dedup.bloomCache.computeIfAbsent(bc.id, _ =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bc.value))).mightContainString(s)
+      Dedup.bloomFilterFor(bc).mightContainString(s)
     }
     val store = spark.read.parquet(path + "/spans")
     val spans = batch.select(idCol.as("__ss_id"),
@@ -255,10 +267,44 @@ object Dedup {
     batch.join(dropIds, idCol === col("__ss_id"), "left_anti")
   }
 
+  /** Driver-side cache: one bloom broadcast per (store path, sidecar
+    * mtime). A store refresh replaces the entry and unpersists the old
+    * broadcast, so long-running sessions hold one live broadcast per
+    * store, not one per call. */
+  private val bloomBroadcasts = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+
+  private[operators] def bloomBroadcastFor(spark: org.apache.spark.sql.SparkSession,
+                                           path: String)
+    : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
+    val sidecar = new org.apache.hadoop.fs.Path(path + "/_graft_bloom")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(sidecar).getModificationTime
+    val cur = bloomBroadcasts.compute(path, { (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else {
+        if (prev != null) prev._2.unpersist(false)
+        (mtime, spark.sparkContext.broadcast(
+          graft.sources.Sidecar.readBytes(spark, path + "/_graft_bloom")))
+      }
+    })
+    cur._2
+  }
+
   /** Executor-local cache of deserialized Bloom filters, keyed by broadcast
-    * id (bounded: one entry per live store broadcast). */
-  private[operators] val bloomCache =
+    * id. Size-capped: store refreshes retire broadcast ids, and without a
+    * cap every retired id's filter would linger until executor death. */
+  private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+
+  private[operators] def bloomFilterFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    : org.apache.spark.util.sketch.BloomFilter = {
+    if (bloomCache.size > 8) bloomCache.clear() // cheap bound; re-derive on demand
+    bloomCache.computeIfAbsent(bc.id, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value)))
+  }
 
   /** Sequential-fold double cosine similarity of two float vectors
     * ([[graft.functions.VecOps]] kernel — bit-identical to the

@@ -176,8 +176,12 @@ object KNN {
           .drop("__knn_n", "__knn_rn")
           .localCheckpoint()
         done = if (done == null) out else done.unionByName(out)
+        // null-safe removal: a null leftId (contract violation, but must
+        // not loop) would never match a plain equi-anti-join and be
+        // re-emitted every round
+        val doneIds = out.select(col(leftId).as("__knn_done_id")).distinct()
         pending = pending
-          .join(out.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+          .join(doneIds, col(leftId) <=> col("__knn_done_id"), "left_anti")
           .localCheckpoint()
         if (pending.isEmpty) finished = true
         else radius = math.min(radius * 2.0, maxDist)

@@ -209,9 +209,12 @@ object Pipeline {
     val outSchema = org.apache.spark.sql.types.StructType(
       withKeys.schema.fields ++ Seq(
         org.apache.spark.sql.types.StructField("__pk_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__pk_sum", org.apache.spark.sql.types.LongType, nullable = false)))
+        org.apache.spark.sql.types.StructField("__pk_sum", org.apache.spark.sql.types.LongType, nullable = true)))
     // one-pass inclusive prefix sum per (group slice, partition) — rows
-    // arrive sorted by (group, order), so a slice change is a key change
+    // arrive sorted by (group, order), so a slice change is a key change.
+    // A null token count contributes nothing to the running sum and yields
+    // a null bin for its own row (the window-sum formulation's behavior —
+    // never a mid-stage crash).
     val scanned = withKeys.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var curG: Any = null
@@ -222,8 +225,8 @@ object Pipeline {
         if (!started || !java.util.Objects.equals(g, curG)) {
           curG = g; acc = 0L; started = true
         }
-        acc += r.getLong(tIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, acc))
+        val sum: Any = if (r.isNullAt(tIdx)) null else { acc += r.getLong(tIdx); acc }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, sum))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     // carry-in per (group, partition) = sum of the group's totals in all
@@ -238,7 +241,10 @@ object Pipeline {
       .iterator.flatMap { case (_, rows) =>
         rows.sortBy(_.getInt(1)).foldLeft((0L, List.empty[org.apache.spark.sql.Row])) {
           case ((acc, out), r) =>
-            (acc + r.getLong(2), org.apache.spark.sql.Row(r.get(0), r.getInt(1), acc) :: out)
+            // a slice whose every token is null has a null max-prefix: it
+            // contributes nothing to the carry
+            val tot = if (r.isNullAt(2)) 0L else r.getLong(2)
+            (acc + tot, org.apache.spark.sql.Row(r.get(0), r.getInt(1), acc) :: out)
         }._2
       }.toSeq
     val offSchema = org.apache.spark.sql.types.StructType(Seq(

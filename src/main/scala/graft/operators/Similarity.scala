@@ -187,6 +187,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
     val spark = corpus.sparkSession
+    // invalidate an existing marker FIRST (same rebuild-crash contract as
+    // the other stores: never leave _SUCCESS over a half-rewritten layout)
+    locally {
+      val m = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(m)) fs.delete(m, false)
+    }
     val centroids = fitCentroids(c, nlist, seed)
     val bc = spark.sparkContext.broadcast(centroids)
     c.withColumn("__cell", assignCellUdf(bc)(col("__cv")))

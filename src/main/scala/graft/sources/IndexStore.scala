@@ -104,6 +104,14 @@ object IndexStore {
     require(!df.columns.exists(_.equalsIgnoreCase("__icell")),
       "saveIndexed: input must not contain a column named __icell")
     GraftFunctions.register(df.sparkSession)
+    // invalidate an existing marker FIRST: a rebuild that crashes between
+    // the trees write and the sidecar writes must not leave an old
+    // _SUCCESS claiming the mixed-layout store is complete
+    locally {
+      val m = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = m.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(m)) fs.delete(m, false)
+    }
     val geoIdx = df.schema.fieldIndex(geomCol)
     val withCell = df.withColumn("__icell",
       explode(stf.st_cells(col(geomCol), lit(cellSize))))
@@ -382,8 +390,26 @@ object IndexStore {
       val lGeo = l.schema.fieldIndex(leftGeom)
       val lCell = l.schema.fieldIndex("__icell")
       val lkv = l.groupByKey(_.getLong(lCell))(Encoders.scalaLong)
-      val tkv = spark.read.parquet(path + "/trees")
-        .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      // prune the tree scan to the pending rows' candidate-cell envelope
+      // (one tiny agg over the already-checkpointed pending set): rounds
+      // over a localized pending set read only their cells' trees via the
+      // pushed IN filter instead of shuffling the whole store every round
+      val g = col(leftGeom)
+      val bb = pending.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
+        min(stf.st_miny(g)), max(stf.st_maxy(g))).head()
+      val treesDf =
+        if (bb.isNullAt(0)) spark.read.parquet(path + "/trees").limit(0)
+        else {
+          val env = new org.locationtech.jts.geom.Envelope(
+            bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3))
+          env.expandBy(r)
+          val nx = (env.getWidth / cellSize + 2).toLong
+          val ny = (env.getHeight / cellSize + 2).toLong
+          if (nx * ny <= 4096)
+            prunedTrees(spark, path, GeoOps.cellsOfEnvelope(env, cellSize))
+          else spark.read.parquet(path + "/trees")
+        }
+      val tkv = treesDf.groupByKey(_.getLong(0))(Encoders.scalaLong)
       lkv.cogroup(tkv) { (cell, lIt, tIt) =>
         if (!tIt.hasNext) Iterator.empty
         else {
@@ -426,8 +452,10 @@ object IndexStore {
           .drop("__knn_n", "__knn_rn")
           .localCheckpoint()
         done = if (done == null) out else done.unionByName(out)
+        // null-safe removal — same contract note as KNN.knnJoin
+        val doneIds = out.select(col(leftId).as("__knn_done_id")).distinct()
         pending = pending
-          .join(out.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+          .join(doneIds, col(leftId) <=> col("__knn_done_id"), "left_anti")
           .localCheckpoint()
         if (pending.isEmpty) finished = true
         else radius = math.min(radius * 2.0, maxDist)

@@ -28,6 +28,11 @@ object Sidecar {
   def readBytes(spark: SparkSession, path: String): Array[Byte] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      throw new IllegalStateException(
+        s"sidecar $path is a DIRECTORY — this store was written by an older " +
+        "engine version (Spark-job sidecars); rebuild the store with the " +
+        "current version")
     val in = fs.open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()

@@ -243,6 +243,35 @@ class DedupSpec extends AnyFunSuite {
     assert(kept2 == Set(10L, 11L, 12L))
   }
 
+  test("span store rebuild over an existing store stays consistent (no stale bloom)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_spanstore_rebuild").toString
+    Dedup.buildSpanStore(Seq((1L, "a b c d e f")).toDF("id", "t"), col("t"), 5, path)
+    // rebuild with DIFFERENT content: queries must reflect the new spans,
+    // and the refreshed bloom broadcast must replace the old one
+    Dedup.buildSpanStore(Seq((2L, "p q r s t u")).toDF("id", "t"), col("t"), 5, path)
+    val batch = Seq((10L, "a b c d e x"), (11L, "p q r s t x")).toDF("id", "t")
+    val kept = Dedup.dropSeenSpans(batch, col("id"), col("t"), 5, path, minOverlap = 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L)) // only the NEW store content drops
+  }
+
+  test("knnJoin with a null left id terminates and emits the row once") {
+    import spark.implicits._
+    val left = Seq((java.lang.Long.valueOf(1L), 0.0, 0.0),
+      (null.asInstanceOf[java.lang.Long], 5.0, 5.0)).toDF("lid", "lx", "ly")
+      .withColumn("lgeo", graft.functions.stf.st_point(col("lx"), col("ly")))
+    val right = Seq((100L, 1.0, 1.0), (101L, 2.0, 2.0), (102L, 8.0, 8.0))
+      .toDF("rid", "rx", "ry")
+      .withColumn("rgeo", graft.functions.stf.st_point(col("rx"), col("ry")))
+    val out = graft.operators.KNN.knnJoin(left, right, "lgeo", "rgeo", leftId = "lid", k = 2,
+        tieBreak = "rid")
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getLong(1)))
+    // each left row (incl. the null-id one) gets exactly k rows, no dupes
+    assert(out.length == 4 && out.toSet.size == 4)
+  }
+
   test("dropSeenSpans == bloom-free recomputation on the fixture corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val srcn = substring(col("source"), 4, 10).cast("int")

@@ -299,6 +299,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: a null token row gets a null bin, neighbors unaffected") {
+    import spark.implicits._
+    val df = Seq((0, 1L, java.lang.Long.valueOf(10L)), (0, 2L, null.asInstanceOf[java.lang.Long]),
+      (0, 3L, java.lang.Long.valueOf(10L))).toDF("g", "id", "tok")
+    val out = Pipeline.packSequences(df, col("g"), col("id"), col("tok"), budget = 16L)
+      .select(col("id"), col("bin"), col("bin_offset")).collect()
+      .map(r => (r.getLong(0), (if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((null, null))) // null tokens: no position, no crash
+    assert(out(3L) == ((0L, 10L)))    // null row contributed nothing
+  }
+
   test("quantileGate == single-window formulation (skewed groups, desc order)") {
     import spark.implicits._
     // group 0 holds 500 of 600 rows spread over many input partitions
