@@ -15,7 +15,8 @@ object Explain {
         "q42_interval_join", "q13_dedup_exact",
         "q48_persisted_filter", "q51_ann_ivf_store",
         "q54_pack", "q55_chunk", "q56_epoch_shuffle",
-        "q61_dup_spans", "q62_incr_dedup", "q63_quality_gate")
+        "q61_dup_spans", "q62_incr_dedup", "q63_quality_gate",
+        "q67_knn_join_store")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", "32")
