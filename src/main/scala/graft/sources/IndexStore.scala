@@ -384,31 +384,36 @@ object IndexStore {
     // envelope past the st_cells guard, fall through to the cross join
     val radiusGuard = (3500.0 * cellSize - math.max(lSpan, rSpan)) / 2.0
 
-    def roundCandidates(pending: DataFrame, r: Double): DataFrame = {
+    // prune the tree scan to the pending rows' candidate-cell envelope:
+    // rounds over a localized pending set read only their cells' trees
+    // via the pushed IN filter instead of shuffling the whole store.
+    // Round 1 reuses the already-computed left bbox; later rounds re-agg
+    // over the (shrunken, checkpointed) pending set.
+    def pendingBbox(pending: DataFrame): Option[(Double, Double, Double, Double)] = {
+      val g = col(leftGeom)
+      val bb = pending.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
+        min(stf.st_miny(g)), max(stf.st_maxy(g))).head()
+      if (bb.isNullAt(0)) None
+      else Some((bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3)))
+    }
+    def roundCandidates(pending: DataFrame, r: Double,
+                        bbox: Option[(Double, Double, Double, Double)]): DataFrame = {
       val l = pending.withColumn("__icell",
         explode(stf.st_cells(col(leftGeom), lit(cellSize), lit(r))))
       val lGeo = l.schema.fieldIndex(leftGeom)
       val lCell = l.schema.fieldIndex("__icell")
       val lkv = l.groupByKey(_.getLong(lCell))(Encoders.scalaLong)
-      // prune the tree scan to the pending rows' candidate-cell envelope
-      // (one tiny agg over the already-checkpointed pending set): rounds
-      // over a localized pending set read only their cells' trees via the
-      // pushed IN filter instead of shuffling the whole store every round
-      val g = col(leftGeom)
-      val bb = pending.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
-        min(stf.st_miny(g)), max(stf.st_maxy(g))).head()
-      val treesDf =
-        if (bb.isNullAt(0)) spark.read.parquet(path + "/trees").limit(0)
-        else {
-          val env = new org.locationtech.jts.geom.Envelope(
-            bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3))
+      val treesDf = bbox match {
+        case None => spark.read.parquet(path + "/trees").limit(0)
+        case Some((x0, x1, y0, y1)) =>
+          val env = new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1)
           env.expandBy(r)
           val nx = (env.getWidth / cellSize + 2).toLong
           val ny = (env.getHeight / cellSize + 2).toLong
           if (nx * ny <= 4096)
             prunedTrees(spark, path, GeoOps.cellsOfEnvelope(env, cellSize))
           else spark.read.parquet(path + "/trees")
-        }
+      }
       val tkv = treesDf.groupByKey(_.getLong(0))(Encoders.scalaLong)
       lkv.cogroup(tkv) { (cell, lIt, tIt) =>
         if (!tIt.hasNext) Iterator.empty
@@ -435,6 +440,8 @@ object IndexStore {
     }
 
     var pending = left
+    var bbox: Option[(Double, Double, Double, Double)] = Some((lx0, lx1, ly0, ly1))
+    var firstRound = true
     var done: DataFrame = null
     var finished = false
     while (!finished) {
@@ -443,8 +450,10 @@ object IndexStore {
         done = if (done == null) out else done.unionByName(out)
         finished = true
       } else {
+        if (!firstRound) bbox = pendingBbox(pending)
+        firstRound = false
         val part = Window.partitionBy(col(leftId))
-        val out = roundCandidates(pending, radius)
+        val out = roundCandidates(pending, radius, bbox)
           .withColumn("__knn_n", count(lit(1)).over(part))
           .withColumn("__knn_rn",
             row_number().over(part.orderBy(col(distName), ties)))
