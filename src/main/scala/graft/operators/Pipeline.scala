@@ -229,6 +229,10 @@ object Pipeline {
         org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, sum))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+      // pin ONE materialized partitioning: the totals action and the final
+      // join must see the SAME range boundaries (they are sampled per
+      // physical plan — see epochShuffle) and the same scan output
+      .localCheckpoint()
     // carry-in per (group, partition) = sum of the group's totals in all
     // earlier partitions; the totals table is tiny (<= partitions × groups
     // crossing a boundary) so the scan runs on the driver. The slice total
@@ -290,11 +294,17 @@ object Pipeline {
     val spark = df.sparkSession
     val key = md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // localCheckpoint pins ONE materialized partitioning: range boundaries
+    // are SAMPLED with a seed derived from the physical RDD id, so the
+    // counts action and the final join would otherwise re-plan and may
+    // range-partition DIFFERENTLY — collected offsets then disagree with
+    // join-time partition ids (ranks shift / rows drop). Bit at sf >= 0.1.
     val keyed = df.withColumn("__es_key", key)
       .repartitionByRange(parts, col("__es_key"), idCol)
       .sortWithinPartitions(col("__es_key"), idCol)
       .withColumn("__es_mid", monotonically_increasing_id())
       .withColumn("__es_pid", shiftrightunsigned(col("__es_mid"), 33).cast("int"))
+      .localCheckpoint()
     val counts = keyed.groupBy(col("__es_pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
@@ -342,10 +352,14 @@ object Pipeline {
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val sortKeys = group +: order
+    // localCheckpoint pins ONE materialized partitioning — the counts
+    // action and the final join must see the SAME sampled range boundaries
+    // (see epochShuffle for the failure mode)
     val keyed = df.repartitionByRange(parts, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("__qg_mid", monotonically_increasing_id())
       .withColumn("__qg_pid", shiftrightunsigned(col("__qg_mid"), 33).cast("int"))
+      .localCheckpoint()
     // per-(group, partition) count + first id -> driver: global rank of a
     // row = (rows of its group in earlier partitions) + (mid - first mid
     // of its group slice) + 1. Rows within a partition are sorted by

@@ -25,24 +25,34 @@ class PlanShapeSpec extends AnyFunSuite {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
-  test("quantileGate: exactly one data exchange (range), no window re-cluster") {
+  // The distributed-rank ops checkpoint their range-partitioned input (ONE
+  // exchange, paid inside the eager checkpoint so every downstream action
+  // sees the same sampled boundaries); the returned plan therefore reads
+  // the materialized RDD with NO further data exchange and NO window.
+  test("quantileGate: no post-checkpoint exchange, no window re-cluster") {
     val q = TextAnalysis.withQuality(docs, col("text"))
     val gated = Pipeline.quantileGate(q, col("source"), 1, 4,
       col("quality_e6").desc, col("doc_id"))
-    assert(shuffleCount(gated) == 1, formatted(gated))
-    assert(!formatted(gated).contains("Window"), "no window operator expected")
+    val plan = formatted(gated)
+    assert(shuffleCount(gated) == 0, plan)
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("Window"), "no window operator expected")
   }
 
-  test("packSequences: exactly one data exchange (range), scan not window") {
+  test("packSequences: no post-checkpoint exchange, scan not window") {
     val packed = Pipeline.packSequences(docs, col("source"), col("doc_id"),
       length(col("text")), budget = 4096L)
-    assert(shuffleCount(packed) == 1, formatted(packed))
-    assert(!formatted(packed).contains("Window"), "no window operator expected")
+    val plan = formatted(packed)
+    assert(shuffleCount(packed) == 0, plan)
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("Window"), "no window operator expected")
   }
 
-  test("epochShuffle: exactly one data exchange (range)") {
+  test("epochShuffle: no post-checkpoint exchange") {
     val shuffled = Pipeline.epochShuffle(docs, col("doc_id"), "e0")
-    assert(shuffleCount(shuffled) == 1, formatted(shuffled))
+    val plan = formatted(shuffled)
+    assert(shuffleCount(shuffled) == 0, plan)
+    assert(plan.contains("ExistingRDD"), plan)
   }
 
   test("spatial cell join: no cartesian product, no broadcast nested loop") {
