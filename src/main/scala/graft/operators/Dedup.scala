@@ -209,9 +209,7 @@ object Dedup {
     // the bloom write must not leave an old _SUCCESS claiming the
     // (new-spans, stale-bloom) mix is complete — a stale bloom would be a
     // real false negative and break the "exact regardless of fpp" contract
-    val marker0 = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs0 = marker0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs0.exists(marker0)) fs0.delete(marker0, false)
+    graft.sources.Sidecar.invalidateMarker(spark, path)
     val spans = corpus.select(explode(TextAnalysis.shingles(textCol, k)).as("span")).distinct()
     spans.write.mode("overwrite").parquet(path + "/spans")
     val stored = spark.read.parquet(path + "/spans")
@@ -220,9 +218,7 @@ object Dedup {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     graft.sources.Sidecar.writeBytes(spark, path + "/_graft_bloom", bos.toByteArray)
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
+    graft.sources.Sidecar.markComplete(spark, path)
   }
 
   /**
@@ -267,44 +263,61 @@ object Dedup {
     batch.join(dropIds, idCol === col("__ss_id"), "left_anti")
   }
 
-  /** Driver-side cache: one bloom broadcast per (store path, sidecar
-    * mtime). A store refresh replaces the entry and unpersists the old
-    * broadcast, so long-running sessions hold one live broadcast per
-    * store, not one per call. */
+  /** Driver-side cache: one bloom broadcast per (Spark application, store
+    * path, sidecar version). The application id in the key stops a new
+    * SparkContext in the same JVM from being served a dead context's
+    * broadcast; the version is (mtime, length) — a rebuild landing in the
+    * same filesystem mtime tick AND producing byte-identical length is the
+    * one (narrow) window a stale filter could survive, so rebuild-heavy
+    * deployments should pause a tick between rebuild and first query. A
+    * store refresh replaces the entry and unpersists the old broadcast. */
   private val bloomBroadcasts = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+    String, ((Long, Long), org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
 
   private[operators] def bloomBroadcastFor(spark: org.apache.spark.sql.SparkSession,
                                            path: String)
     : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
     val sidecar = new org.apache.hadoop.fs.Path(path + "/_graft_bloom")
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mtime = fs.getFileStatus(sidecar).getModificationTime
-    val cur = bloomBroadcasts.compute(path, { (_, prev) =>
-      if (prev != null && prev._1 == mtime) prev
+    val st = fs.getFileStatus(sidecar)
+    val version = (st.getModificationTime, st.getLen)
+    val key = spark.sparkContext.applicationId + ":" + path
+    val cur = bloomBroadcasts.compute(key, { (_, prev) =>
+      if (prev != null && prev._1 == version) prev
       else {
         if (prev != null) prev._2.unpersist(false)
-        (mtime, spark.sparkContext.broadcast(
+        (version, spark.sparkContext.broadcast(
           graft.sources.Sidecar.readBytes(spark, path + "/_graft_bloom")))
       }
     })
     cur._2
   }
 
-  /** Executor-local cache of deserialized Bloom filters, keyed by broadcast
-    * id. Size-capped: store refreshes retire broadcast ids, and without a
-    * cap every retired id's filter would linger until executor death. */
-  private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+  /** Executor-local LRU of deserialized Bloom filters, keyed by broadcast
+    * id. Store refreshes retire broadcast ids, so entries must age out —
+    * but evicting ONLY the eldest keeps many concurrently-live stores from
+    * thrashing re-deserialization the way a wholesale clear would. */
+  private val bloomCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, org.apache.spark.util.sketch.BloomFilter](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+        size > 8
+    })
 
   private[operators] def bloomFilterFor(
       bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-    : org.apache.spark.util.sketch.BloomFilter = {
-    if (bloomCache.size > 8) bloomCache.clear() // cheap bound; re-derive on demand
-    bloomCache.computeIfAbsent(bc.id, _ =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bc.value)))
-  }
+    : org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.synchronized {
+      val got = bloomCache.get(bc.id)
+      if (got != null) got
+      else {
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        bloomCache.put(bc.id, f)
+        f
+      }
+    }
 
   /** Sequential-fold double cosine similarity of two float vectors
     * ([[graft.functions.VecOps]] kernel — bit-identical to the

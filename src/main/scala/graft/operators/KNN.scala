@@ -103,7 +103,10 @@ object KNN {
    * anti-join driving the next round) never recomputes earlier rounds.
    *
    * @param leftId  column NAME uniquely identifying a left row (window key;
-   *                must not clash with a right column).
+   *                must not clash with a right column). Ids must be unique
+   *                AND non-null: a single null-id row degrades gracefully
+   *                (emitted once), but several null-id rows share one
+   *                window partition and would receive a merged top-k.
    * @param tieBreak name of a right-side column ordering equal distances
    *                 deterministically (null = arbitrary tie order).
    */
@@ -112,6 +115,9 @@ object KNN {
               tieBreak: String = null): DataFrame = {
     GraftFunctions.register(left.sparkSession)
     require(k > 0, s"k must be positive, got $k")
+    require(!left.columns.exists(_.equalsIgnoreCase("__knn_done_id")) &&
+      !right.columns.exists(_.equalsIgnoreCase("__knn_done_id")),
+      "knnJoin: inputs must not contain a column named __knn_done_id")
     require(leftGeom != rightGeom,
       s"knnJoin: left and right geometry columns must have distinct names " +
       s"(both appear in the output); got '$leftGeom' on both sides")

@@ -189,11 +189,7 @@ object Similarity {
     val spark = corpus.sparkSession
     // invalidate an existing marker FIRST (same rebuild-crash contract as
     // the other stores: never leave _SUCCESS over a half-rewritten layout)
-    locally {
-      val m = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(m)) fs.delete(m, false)
-    }
+    graft.sources.Sidecar.invalidateMarker(spark, path)
     val centroids = fitCentroids(c, nlist, seed)
     val bc = spark.sparkContext.broadcast(centroids)
     c.withColumn("__cell", assignCellUdf(bc)(col("__cv")))
@@ -202,9 +198,7 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "/corpus")
     graft.sources.Sidecar.writeText(spark, path + "/_graft_centroids",
       centroids.map(_.mkString(",")).mkString("\n"))
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
+    graft.sources.Sidecar.markComplete(spark, path)
   }
 
   /** Query a [[buildIvfIndex]] store: each query probes its `nprobe`

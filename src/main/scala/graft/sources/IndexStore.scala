@@ -68,13 +68,6 @@ object IndexStore {
   private def readText(spark: SparkSession, path: String): String =
     Sidecar.readText(spark, path)
 
-  /** Touch `<path>/_SUCCESS` — completion marker, written after all parts. */
-  private def markComplete(spark: SparkSession, path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(conf)
-    fs.create(p, true).close()
-  }
 
   /** Above this many query cells an IN literal list stops being a sane
     * Catalyst expression — fall back to a broadcast semi-join on cell id. */
@@ -107,11 +100,7 @@ object IndexStore {
     // invalidate an existing marker FIRST: a rebuild that crashes between
     // the trees write and the sidecar writes must not leave an old
     // _SUCCESS claiming the mixed-layout store is complete
-    locally {
-      val m = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      val fs = m.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(m)) fs.delete(m, false)
-    }
+    Sidecar.invalidateMarker(df.sparkSession, path)
     val geoIdx = df.schema.fieldIndex(geomCol)
     val withCell = df.withColumn("__icell",
       explode(stf.st_cells(col(geomCol), lit(cellSize))))
@@ -138,7 +127,7 @@ object IndexStore {
     val spark = df.sparkSession
     writeText(spark, path + "/_graft_schema", df.schema.json)
     writeText(spark, path + "/_graft_meta", cellSize.toString)
-    markComplete(spark, path)
+    Sidecar.markComplete(spark, path)
   }
 
   /** The stored row schema (from the sidecar). */
@@ -323,6 +312,10 @@ object IndexStore {
     require(k > 0, s"k must be positive, got $k")
     require(!left.columns.exists(_.equalsIgnoreCase("__icell")),
       "IndexStore.knnJoin: left must not contain a column named __icell")
+    require(!left.columns.exists(_.equalsIgnoreCase("__knn_done_id")),
+      "IndexStore.knnJoin: left must not contain a column named __knn_done_id")
+    // leftId contract matches KNN.knnJoin: unique AND non-null ids (several
+    // null-id rows would share one window partition and a merged top-k)
     val spark = left.sparkSession
     GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
@@ -408,9 +401,11 @@ object IndexStore {
         case Some((x0, x1, y0, y1)) =>
           val env = new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1)
           env.expandBy(r)
-          val nx = (env.getWidth / cellSize + 2).toLong
-          val ny = (env.getHeight / cellSize + 2).toLong
-          if (nx * ny <= 4096)
+          // double arithmetic: a huge bbox over a fine grid must fall
+          // through to the full scan, not overflow a long product
+          val nx = env.getWidth / cellSize + 2
+          val ny = env.getHeight / cellSize + 2
+          if (nx * ny <= 4096.0)
             prunedTrees(spark, path, GeoOps.cellsOfEnvelope(env, cellSize))
           else spark.read.parquet(path + "/trees")
       }

@@ -48,4 +48,23 @@ object Sidecar {
 
   def readText(spark: SparkSession, path: String): String =
     new String(readBytes(spark, path), "UTF-8")
+
+  // ---- store completion markers ----
+  // Shared by every persisted store (span store, index store, IVF store):
+  // a rebuild deletes the marker FIRST so a crash mid-rewrite leaves no
+  // _SUCCESS over a half-rewritten layout, and writes it back LAST.
+
+  /** Delete `<path>/_SUCCESS` if present — call before rewriting a store. */
+  def invalidateMarker(spark: SparkSession, path: String): Unit = {
+    val m = new Path(path, "_SUCCESS")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(m)) fs.delete(m, false)
+  }
+
+  /** Touch `<path>/_SUCCESS` — call after all store parts are written. */
+  def markComplete(spark: SparkSession, path: String): Unit = {
+    val m = new Path(path, "_SUCCESS")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(m, true).close()
+  }
 }

@@ -247,10 +247,15 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_spanstore_rebuild").toString
     Dedup.buildSpanStore(Seq((1L, "a b c d e f")).toDF("id", "t"), col("t"), 5, path)
-    // rebuild with DIFFERENT content: queries must reflect the new spans,
-    // and the refreshed bloom broadcast must replace the old one
-    Dedup.buildSpanStore(Seq((2L, "p q r s t u")).toDF("id", "t"), col("t"), 5, path)
     val batch = Seq((10L, "a b c d e x"), (11L, "p q r s t x")).toDF("id", "t")
+    // query BEFORE the rebuild so the bloom broadcast is cached...
+    val kept0 = Dedup.dropSeenSpans(batch, col("id"), col("t"), 5, path, minOverlap = 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept0 == Set(11L))
+    // ...then rebuild with DIFFERENT content: the next query must observe
+    // the refreshed store (the cached broadcast is replaced, not reused)
+    Thread.sleep(1100) // step past coarse filesystem mtime granularity
+    Dedup.buildSpanStore(Seq((2L, "p q r s t u")).toDF("id", "t"), col("t"), 5, path)
     val kept = Dedup.dropSeenSpans(batch, col("id"), col("t"), 5, path, minOverlap = 1)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L)) // only the NEW store content drops
