@@ -26,10 +26,15 @@ import scala.collection.mutable.ArrayBuffer
  */
 object TemporalJoin {
 
-  /** Exact bucket id for non-negative epoch longs: integer division via
-    * pmod so the result is bit-identical to an external `x // bucket`. */
+  /** Exact floor-division bucket id for ANY long epoch: the numerator
+    * `c - pmod(c, b)` is the exact floorDiv multiple in LONG arithmetic,
+    * and the SQL `div` (integral divide) of an exact multiple is the exact
+    * quotient — no double division anywhere, so this agrees bit-for-bit
+    * with `Math.floorDiv` in [[overlapsIndexed]]'s refine at every
+    * magnitude (a `/`-based formulation silently diverges past 2^53, i.e.
+    * nanosecond epochs). */
   private def bucketOf(c: Column, bucket: Long): Column =
-    ((c - pmod(c, lit(bucket))) / bucket).cast("long")
+    call_function("div", c - pmod(c, lit(bucket)), lit(bucket))
 
   /** Working columns would be silently clobbered by withColumn (resolution
     * is case-insensitive) — fail loudly instead. */
@@ -41,7 +46,10 @@ object TemporalJoin {
                lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
                bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
-    requireFree(left, "__tb_l"); requireFree(right, "__tb_r")
+    // both names on both sides: the final drop() removes the names from
+    // the JOINED frame, so a user column of either name on either side
+    // would be silently deleted
+    requireFree(left, "__tb_l", "__tb_r"); requireFree(right, "__tb_l", "__tb_r")
     val l = left.withColumn("__tb_l",
       explode(sequence(bucketOf(lStart, bucket), bucketOf(lEnd, bucket))))
     val r = right.withColumn("__tb_r",
@@ -65,8 +73,11 @@ object TemporalJoin {
    * max-start-bucket report rule refine every hit, so output equals
    * [[overlaps]] exactly.
    *
-   * Long epochs ride through the tree as doubles (exact below 2^53 — any
-   * realistic epoch); the refine re-checks with long arithmetic regardless.
+   * Long epochs ride through the tree as doubles, OUTWARD-rounded one ulp
+   * on insert and query (`nextDown`/`nextUp`): past 2^53 a
+   * nearest-rounding could shrink an interval and silently miss a
+   * borderline hit; outward rounding only widens the candidate set and
+   * the exact long-arithmetic refine removes the extras.
    */
   def overlapsIndexed(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String, rStart: String, rEnd: String,
@@ -88,14 +99,15 @@ object TemporalJoin {
       val tree = new SortedPackedIntervalRTree()
       var n = 0
       rIt.foreach { rr =>
-        tree.insert(rr.getLong(rS).toDouble, rr.getLong(rE).toDouble, rr)
+        tree.insert(Math.nextDown(rr.getLong(rS).toDouble),
+          Math.nextUp(rr.getLong(rE).toDouble), rr)
         n += 1
       }
       if (n == 0) Iterator.empty
       else lIt.flatMap { lr =>
         val s1 = lr.getLong(lS); val e1 = lr.getLong(lE)
         val hits = new ArrayBuffer[Row]()
-        tree.query(s1.toDouble, e1.toDouble, new ItemVisitor {
+        tree.query(Math.nextDown(s1.toDouble), Math.nextUp(e1.toDouble), new ItemVisitor {
           override def visitItem(o: Object): Unit = hits += o.asInstanceOf[Row]
         })
         hits.iterator.filter { rr =>
@@ -120,13 +132,21 @@ object TemporalJoin {
    * window rank per `leftId` keeps the latest. One hash join + one window
    * shuffle; replication = maxLookback / bucket per left row, so choose
    * the bucket near the lookback horizon.
+   *
+   * `leftId` must uniquely identify a left ROW (not an entity key): rows
+   * sharing an id would collapse into one window partition and emit a
+   * single as-of match between them.
    */
   def asOf(left: DataFrame, right: DataFrame, leftId: String,
            lTime: Column, rTime: Column, maxLookback: Long, bucket: Long,
            tieBreak: Column): DataFrame = {
     require(bucket > 0 && maxLookback > 0,
       s"bucket and maxLookback must be positive, got $bucket / $maxLookback")
-    requireFree(left, "__ab_l", "__ab_rn"); requireFree(right, "__ab_r")
+    requireFree(left, "__ab_l", "__ab_r", "__ab_rn")
+    requireFree(right, "__ab_l", "__ab_r", "__ab_rn")
+    require(!right.columns.exists(_.equalsIgnoreCase(leftId)),
+      s"asOf: right must not contain the left id column '$leftId' " +
+      "(the post-join window key would be ambiguous)")
     val l = left.withColumn("__ab_l",
       explode(sequence(bucketOf(lTime - maxLookback, bucket), bucketOf(lTime, bucket))))
     val r = right.withColumn("__ab_r", bucketOf(rTime, bucket))

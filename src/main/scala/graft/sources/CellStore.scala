@@ -23,7 +23,10 @@ object CellStore {
   /** Save with a grid-cell directory key derived from (x, y) columns.
     * `cells` stay coarse: one directory per cell, Hive-style layout. */
   def save(df: DataFrame, path: String, xCol: Column, yCol: Column,
-           cellSize: Double): Unit =
+           cellSize: Double): Unit = {
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("part_cx") || c.equalsIgnoreCase("part_cy")),
+      "CellStore.save: input must not contain columns named part_cx/part_cy")
     df.withColumn("part_cx", floor(xCol / cellSize).cast("int"))
       .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
       // co-locate each cell before the write: one file per cell directory
@@ -32,6 +35,7 @@ object CellStore {
       .write.mode("overwrite")
       .partitionBy("part_cx", "part_cy")
       .parquet(path)
+  }
 
   /** Plain load (partition columns restored from the directory layout). */
   def load(spark: SparkSession, path: String): DataFrame =
@@ -99,9 +103,12 @@ object CellStore {
     val dist = sqrt((col(xColName) - qx) * (col(xColName) - qx) +
                     (col(yColName) - qy) * (col(yColName) - qy))
 
-    // store extent in cell coordinates (one metadata-cheap aggregate):
-    // stop expanding once the ring box covers every existing cell
-    val ext = load(spark, path)
+    // store extent in cell coordinates: stop expanding once the ring box
+    // covers every existing cell. This aggregate scans the store's
+    // partition-column values (a real job, not a metadata lookup), so it
+    // is LAZY — the common case (first ring already conclusive,
+    // short-circuiting the || below) never pays it
+    lazy val ext = load(spark, path)
       .agg(min(col("part_cx")), max(col("part_cx")),
            min(col("part_cy")), max(col("part_cy"))).collect()(0)
     val coversAll = (r: Int) =>

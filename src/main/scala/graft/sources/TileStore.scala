@@ -21,11 +21,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object TileStore {
 
-  /** Write tiles as the reference's CSV tile format. */
+  /** Write tiles as the reference's CSV tile format. Null pixels are
+    * written as the literal `null` (concat_ws would silently DROP a null
+    * element, shifting every later pixel by one slot); `loadCsv`'s long
+    * cast turns the literal back into a null pixel. */
   def saveCsv(tiles: DataFrame, path: String): Unit =
     tiles.select(concat_ws(",",
         col("ulx"), col("uly"), col("width"), col("height"), col("pixel_width"),
-        concat_ws(",", transform(col("data"), x => x.cast("string")))).as("value"))
+        concat_ws(",", transform(col("data"),
+          x => coalesce(x.cast("string"), lit("null"))))).as("value"))
       .write.mode("overwrite").text(path)
 
   /** Load the reference CSV tile format (extra trailing fields ignored). */
@@ -45,7 +49,10 @@ object TileStore {
 
   /** Save tiles as parquet partitioned by the anchor's grid cell; one file
     * per cell directory (repartition before write — essential at scale). */
-  def save(tiles: DataFrame, path: String, cellSize: Double): Unit =
+  def save(tiles: DataFrame, path: String, cellSize: Double): Unit = {
+    require(!tiles.columns.exists(c =>
+      c.equalsIgnoreCase("part_tcx") || c.equalsIgnoreCase("part_tcy")),
+      "TileStore.save: input must not contain columns named part_tcx/part_tcy")
     tiles
       .withColumn("part_tcx", floor(col("ulx") / cellSize).cast("int"))
       .withColumn("part_tcy", floor(col("uly") / cellSize).cast("int"))
@@ -53,6 +60,7 @@ object TileStore {
       .write.mode("overwrite")
       .partitionBy("part_tcx", "part_tcy")
       .parquet(path)
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("part_tcx", "part_tcy")

@@ -104,6 +104,29 @@ class DifferentialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("interval joins stay exact at nanosecond-scale epochs (past 2^53)") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    // epochs ~1.7e18: a double-division bucket id silently diverges from
+    // floorDiv here; starts/ends snapped to bucket boundaries on purpose
+    val base = 1700000000000000000L
+    val bucket = 2500000000L
+    val iv = (0 until 150).map { i =>
+      val s = base + rnd.nextInt(40) * (bucket / 2)
+      (i.toLong, s, s + rnd.nextInt(6) * (bucket / 2))
+    }.toDF("id", "s", "e")
+    val a = iv.select(col("id").as("id_a"), col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("id").as("id_b"), col("s").as("sb"), col("e").as("eb"))
+    val exp = a.crossJoin(b).filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TemporalJoin.overlaps(a, b, col("sa"), col("ea"), col("sb"), col("eb"), bucket)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    val idx = TemporalJoin.overlapsIndexed(a, b, "sa", "ea", "sb", "eb", bucket)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx == exp, s"tree missing=${(exp -- idx).take(5)} extra=${(idx -- exp).take(5)}")
+  }
+
   test("as-of join equals the window-ranked cross join, boundary-heavy") {
     import spark.implicits._
     import graft.operators.TemporalJoin
