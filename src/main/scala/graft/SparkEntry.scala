@@ -915,7 +915,7 @@ object SparkEntry {
 
     "q36_bucket_histogram" ->
       (s"$custRasterSql, " +
-       "mm AS (SELECT min(v) mn, max(v) mx, greatest((max(v)-min(v)+3)//4, 1) step FROM cj), " +
+       "mm AS (SELECT min(v) mn, max(v) mx, (max(v)-min(v))//4 + 1 step FROM cj), " +
        "cnts AS (SELECT (v - mn)//step bi, count(*) cnt FROM cj, mm GROUP BY 1) " +
        "SELECT mn + step*g.i AS bucket_lo, least(mn + step*(g.i+1)-1, mx) AS bucket_hi, " +
        "COALESCE(cnt, 0) AS cnt FROM mm, generate_series(0,3) g(i) " +

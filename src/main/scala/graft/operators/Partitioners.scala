@@ -68,13 +68,17 @@ object Partitioners {
         .otherwise(r + floor((idx - r * (q + 1)) / greatest(q, lit(1L))))
         .cast("long")
     }
-    val n = df.count()
     val sorted = df.sort(xCol, tieBreak)
     val schema = sorted.schema.add("__gidx", org.apache.spark.sql.types.LongType, nullable = false)
+    // localCheckpoint: downstream actions reuse ONE materialized sort+index
+    // instead of re-running the sort per action, and n is taken from the
+    // same materialization the indexes came from (a separate df.count()
+    // could disagree if the input is nondeterministic)
     val idxd = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (row, i) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-      }, schema)
+      }, schema).localCheckpoint()
+    val n = idxd.count()
     import org.apache.spark.sql.expressions.Window
     val wSlice = Window.partitionBy(col("__part_slice"))
     idxd.withColumn("__part_slice", tile(col("__gidx"), lit(n)))
@@ -98,54 +102,72 @@ object Partitioners {
    * a single cell. Returns the regions; [[bspPartition]] applies them.
    */
   def bspRegions(df: DataFrame, xCol: Column, yCol: Column, cellSize: Double,
-                 maxCost: Long): Seq[BspRegion] = {
-    val hist = df.groupBy(
+                 maxCost: Long): Seq[BspRegion] =
+    bspRegionsFromHist(cellHistogram(df, xCol, yCol, cellSize), maxCost)
+
+  /** Per-cell count histogram — one distributed groupBy, collected (cell
+    * count is the driver-memory bound, same contract as before). */
+  private def cellHistogram(df: DataFrame, xCol: Column, yCol: Column,
+                            cellSize: Double): Map[(Int, Int), Long] =
+    df.groupBy(
         floor(xCol / cellSize).cast("int").as("cx"),
         floor(yCol / cellSize).cast("int").as("cy"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+
+  private def bspRegionsFromHist(hist: Map[(Int, Int), Long],
+                                 maxCost: Long): Seq[BspRegion] = {
     if (hist.isEmpty) return Seq.empty
+    val cells = hist.toArray
     val xs = hist.keys.map(_._1); val ys = hist.keys.map(_._2)
-    val (xMin, yMin) = (xs.min, ys.min)
-    val (w, h) = (xs.max - xMin + 1, ys.max - yMin + 1)
 
-    // 2-D prefix sums over the occupied bounding box: every split-candidate
-    // cost query is O(1) instead of O(area) — the driver-side recursion
-    // stays cheap even for fine cell grids.
-    val pre = Array.ofDim[Long](w + 1, h + 1)
-    for (x <- 0 until w; y <- 0 until h)
-      pre(x + 1)(y + 1) = hist.getOrElse((x + xMin, y + yMin), 0L) +
-        pre(x)(y + 1) + pre(x + 1)(y) - pre(x)(y)
-
-    def cost(x0: Int, y0: Int, x1: Int, y1: Int): Long = {
-      val a = x0 - xMin; val b = y0 - yMin; val c = x1 - xMin; val d = y1 - yMin
-      pre(c)(d) - pre(a)(d) - pre(c)(b) + pre(a)(b)
-    }
-
+    // Sparse marginal scans over the OCCUPIED cells only: a dense
+    // prefix-sum array over the bounding box is O(area) driver memory —
+    // two far-apart points with a fine cellSize would try to allocate the
+    // whole empty grid. Splitting a region costs O(occupied-in-region +
+    // region width + region height) with O(occupied) memory; the recursion
+    // total is O(occupied × depth) — the histogram, never the bbox.
     val out = mutable.ArrayBuffer.empty[BspRegion]
     val queue = mutable.Stack(BspRegion(xs.min, ys.min, xs.max + 1, ys.max + 1,
-      cost(xs.min, ys.min, xs.max + 1, ys.max + 1)))
+      hist.valuesIterator.sum))
     while (queue.nonEmpty) {
       val r = queue.pop()
       val splittable = (r.x1 - r.x0) > 1 || (r.y1 - r.y0) > 1
       if (r.cost <= maxCost || !splittable) out += r
       else {
-        // candidate splits along both axes; pick the most balanced
-        val cands =
-          (r.x0 + 1 until r.x1).map { sx =>
-            val c1 = cost(r.x0, r.y0, sx, r.y1)
-            (math.abs(2 * c1 - r.cost),
-              BspRegion(r.x0, r.y0, sx, r.y1, c1),
-              BspRegion(sx, r.y0, r.x1, r.y1, r.cost - c1))
-          } ++
-          (r.y0 + 1 until r.y1).map { sy =>
-            val c1 = cost(r.x0, r.y0, r.x1, sy)
-            (math.abs(2 * c1 - r.cost),
-              BspRegion(r.x0, r.y0, r.x1, sy, c1),
-              BspRegion(r.x0, sy, r.x1, r.y1, r.cost - c1))
+        val mx = mutable.LongMap.empty[Long]
+        val my = mutable.LongMap.empty[Long]
+        cells.foreach { case ((cx, cy), c) =>
+          if (cx >= r.x0 && cx < r.x1 && cy >= r.y0 && cy < r.y1) {
+            mx(cx) = mx.getOrElse(cx, 0L) + c
+            my(cy) = my.getOrElse(cy, 0L) + c
           }
-        val (_, a, b) = cands.minBy(_._1)
-        queue.push(a); queue.push(b)
+        }
+        // candidate splits along both axes; pick the most balanced
+        // (x candidates first, earliest boundary wins ties — the order the
+        // dense-prefix formulation had)
+        var best: (Long, BspRegion, BspRegion) = null
+        var run = 0L
+        var sx = r.x0 + 1
+        while (sx < r.x1) {
+          run += mx.getOrElse(sx - 1, 0L)
+          val bal = math.abs(2 * run - r.cost)
+          if (best == null || bal < best._1)
+            best = (bal, BspRegion(r.x0, r.y0, sx, r.y1, run),
+              BspRegion(sx, r.y0, r.x1, r.y1, r.cost - run))
+          sx += 1
+        }
+        run = 0L
+        var sy = r.y0 + 1
+        while (sy < r.y1) {
+          run += my.getOrElse(sy - 1, 0L)
+          val bal = math.abs(2 * run - r.cost)
+          if (bal < best._1)
+            best = (bal, BspRegion(r.x0, r.y0, r.x1, sy, run),
+              BspRegion(r.x0, sy, r.x1, r.y1, r.cost - run))
+          sy += 1
+        }
+        queue.push(best._2); queue.push(best._3)
       }
     }
     out.toSeq
@@ -156,22 +178,22 @@ object Partitioners {
     * entry can't exist by construction) would get -1. */
   def bspPartition(df: DataFrame, xCol: Column, yCol: Column, cellSize: Double,
                    maxCost: Long): DataFrame = {
-    val regions = bspRegions(df, xCol, yCol, cellSize, maxCost)
+    val hist = cellHistogram(df, xCol, yCol, cellSize)
+    val regions = bspRegionsFromHist(hist, maxCost)
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(
-      regions.toArray.map(r => (r.x0, r.y0, r.x1, r.y1)))
+    // resolve each OCCUPIED cell to its region once on the driver (cells
+    // are already collected for the histogram) and broadcast the map —
+    // row assignment is then one hash lookup, not a linear region scan
+    val cellRegion: Map[Long, Int] = hist.keys.map { case (cx, cy) =>
+      val idx = regions.indexWhere(r =>
+        cx >= r.x0 && cx < r.x1 && cy >= r.y0 && cy < r.y1)
+      ((cx.toLong << 32) | (cy.toLong & 0xffffffffL), idx)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(cellRegion)
     val assign = udf { (x: Double, y: Double) =>
       val cx = math.floor(x / cellSize).toInt
       val cy = math.floor(y / cellSize).toInt
-      val rs = bc.value
-      var i = 0
-      var found = -1
-      while (found < 0 && i < rs.length) {
-        val r = rs(i)
-        if (cx >= r._1 && cx < r._3 && cy >= r._2 && cy < r._4) found = i
-        i += 1
-      }
-      found
+      bc.value.getOrElse((cx.toLong << 32) | (cy.toLong & 0xffffffffL), -1)
     }
     df.withColumn("part_id", assign(xCol, yCol))
       .repartition(math.max(regions.size, 1), col("part_id"))

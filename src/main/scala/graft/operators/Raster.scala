@@ -70,10 +70,13 @@ object Raster {
     val ix1 = least(col("ulx") + col("width") * pw, lit(x1))
     val iy0 = greatest(col("uly") - col("height") * pw, lit(y0))
     val iy1 = least(col("uly"), lit(y1))
-    val nw = ((ix1 - ix0) / pw).cast("int")
-    val nh = ((iy1 - iy0) / pw).cast("int")
-    val c0 = ((ix0 - col("ulx")) / pw).cast("int")
-    val r0 = ((col("uly") - iy1) / pw).cast("int")
+    // quotients are exact integers in real arithmetic (pixel-aligned box
+    // contract) — round, don't truncate: a one-ulp-low double quotient
+    // under a truncating cast would shear off a row/column
+    val nw = round((ix1 - ix0) / pw).cast("int")
+    val nh = round((iy1 - iy0) / pw).cast("int")
+    val c0 = round((ix0 - col("ulx")) / pw).cast("int")
+    val r0 = round((col("uly") - iy1) / pw).cast("int")
     tiles.filter(ix1 > ix0 && iy1 > iy0)
       .select(ix0.as("__ulx"), iy1.as("__uly"), nw.as("__w"), nh.as("__h"), pw.as("__pw"),
         c0.as("__c0"), r0.as("__r0"), col("width").as("__ow"), col("data").as("__d"))
@@ -128,7 +131,10 @@ object Raster {
   def countValue(tiles: DataFrame, v: Long): DataFrame =
     tiles
       .filter(array_min(col("data")) <= v && array_max(col("data")) >= v)
-      .select(sum(size(filter(col("data"), x => x === v))).cast("long").as("cnt"))
+      // coalesce: when the SMA prefilter removes every tile the sum over
+      // zero rows is null, but the reference returns 0
+      .select(coalesce(sum(size(filter(col("data"), x => x === v))), lit(0L))
+        .cast("long").as("cnt"))
 
   /** Does any tile contain value v (reference `hasValue`). */
   def hasValue(tiles: DataFrame, v: Long): Boolean =
@@ -144,9 +150,12 @@ object Raster {
   /**
    * Equi-width bucket histogram over the whole raster (reference
    * `createByteHistogram`, RasterUtils.scala:53-71, distributed): global
-   * [min, max] in one scan, step = max(1, ceil((max-min)/buckets)), bucket i
-   * spans [min + step·i, min(min + step·(i+1) - 1, max)]. All `buckets`
-   * rows are emitted, zero-count ones included, exactly like the reference
+   * [min, max] in one scan, step = floor((max-min)/buckets) + 1 — the
+   * smallest width that places the MAX value inside bucket `buckets-1`
+   * (a ceil((max-min)/buckets) step drops every max-valued pixel whenever
+   * the range is an exact multiple of the bucket count). Bucket i spans
+   * [min + step·i, min(min + step·(i+1) - 1, max)]. All `buckets` rows are
+   * emitted, zero-count ones included, exactly like the reference
    * (trailing buckets past max keep their nominal bounds).
    *
    * Two jobs total: a scalar min/max agg (broadcast back as a 1-row cross
@@ -157,8 +166,7 @@ object Raster {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val mm = tiles.agg(min(array_min(col("data"))).as("__mn"),
                        max(array_max(col("data"))).as("__mx"))
-    val step = greatest(
-      floor((col("__mx") - col("__mn") + (buckets - 1)) / buckets).cast("long"), lit(1L))
+    val step = floor((col("__mx") - col("__mn")) / buckets).cast("long") + 1L
     val counts = tiles.select(explode(col("data")).as("__v"))
       .crossJoin(broadcast(mm))
       .groupBy(floor((col("__v") - col("__mn")) / step).cast("long").as("__bi"))
@@ -213,25 +221,38 @@ object Raster {
       StructField("height", IntegerType, nullable = false),
       StructField("pixel_width", DoubleType, nullable = false),
       StructField("data", ArrayType(LongType, containsNull = false), nullable = false)))
+    // tolerate stray directory content: files whose basename is not the
+    // `tx_ty` position encoding, or that no ImageIO reader can decode
+    // (.DS_Store, READMEs...), are skipped instead of poisoning the load
+    val position = """(-?[0-9.]+)_(-?[0-9.]+)""".r
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content"))
       .mapPartitions { it =>
-        it.map { r =>
+        it.flatMap { r =>
           val path = r.getString(0)
           val name = path.substring(path.lastIndexOf('/') + 1)
-          val base = name.substring(0, name.lastIndexOf('.'))
-          val Array(tx, ty) = base.split('_').map(_.toDouble)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          val w = img.getWidth; val h = img.getHeight
-          val data = new Array[Long](w * h)
-          var p = 0
-          while (p < data.length) {
-            // row-major from the top row; grayscale level from the raster
-            data(p) = img.getRaster.getSample(p % w, p / w, 0).toLong
-            p += 1
+          val dot = name.lastIndexOf('.')
+          val base = if (dot < 0) name else name.substring(0, dot)
+          base match {
+            case position(txs, tys) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              if (img == null) Iterator.empty
+              else {
+                val tx = txs.toDouble; val ty = tys.toDouble
+                val w = img.getWidth; val h = img.getHeight
+                val data = new Array[Long](w * h)
+                var p = 0
+                while (p < data.length) {
+                  // row-major from the top row; grayscale level from the raster
+                  data(p) = img.getRaster.getSample(p % w, p / w, 0).toLong
+                  p += 1
+                }
+                Iterator.single(
+                  Row(tx * w * pixelWidth, (ty + 1) * h * pixelWidth, w, h, pixelWidth, data))
+              }
+            case _ => Iterator.empty
           }
-          Row(tx * w * pixelWidth, (ty + 1) * h * pixelWidth, w, h, pixelWidth, data)
         }
       }(Encoders.row(schema))
   }
@@ -305,8 +326,12 @@ object Raster {
                        col("r_uly") - col("r_height") * col("r_pixel_width"))
     joined.filter(ix1 > ix0 && iy1 > iy0)
       .select(ix0.as("__jx"), iy1.as("__jy"),
-        ceil((ix1 - ix0) / col("pixel_width")).cast("int").as("__jw"),
-        ceil((iy1 - iy0) / col("pixel_width")).cast("int").as("__jh"),
+        // ceil covers a genuinely-fractional overlap (sub-pixel-misaligned
+        // parents) with a whole output pixel; the 1e-9 guard keeps a
+        // one-ulp-high quotient from manufacturing a nonexistent pixel
+        // column when grids ARE aligned (ANSI element_at would throw)
+        ceil((ix1 - ix0) / col("pixel_width") - 1e-9).cast("int").as("__jw"),
+        ceil((iy1 - iy0) / col("pixel_width") - 1e-9).cast("int").as("__jh"),
         col("pixel_width").as("__jpw"),
         col("ulx").as("__lx"), col("uly").as("__ly"), col("width").as("__lw"),
         col("data").as("__ld"),
@@ -318,12 +343,15 @@ object Raster {
           // pixel upper-left position in world coordinates
           val posX = col("__jx") + pmod(idx, col("__jw")) * col("__jpw")
           val posY = col("__jy") - floor(idx / col("__jw")) * col("__jpw")
+          // containing-pixel floor (reference sampling rule), with the
+          // same 1e-9 guard so an aligned-grid quotient one ulp BELOW its
+          // true integer cannot slip into the previous pixel
           val lv = element_at(col("__ld"),
-            floor((col("__ly") - posY) / col("__jpw")).cast("int") * col("__lw") +
-            floor((posX - col("__lx")) / col("__jpw")).cast("int") + 1)
+            floor((col("__ly") - posY) / col("__jpw") + 1e-9).cast("int") * col("__lw") +
+            floor((posX - col("__lx")) / col("__jpw") + 1e-9).cast("int") + 1)
           val rv = element_at(col("__rd"),
-            floor((col("__ry") - posY) / col("__rpw")).cast("int") * col("__rw") +
-            floor((posX - col("__rx")) / col("__rpw")).cast("int") + 1)
+            floor((col("__ry") - posY) / col("__rpw") + 1e-9).cast("int") * col("__rw") +
+            floor((posX - col("__rx")) / col("__rpw") + 1e-9).cast("int") + 1)
           combine(lv, rv)
         }).as("data"))
   }

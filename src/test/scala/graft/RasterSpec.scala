@@ -79,6 +79,23 @@ class RasterSpec extends AnyFunSuite {
     assert(h == List((1L, 2L, 4L), (3L, 4L, 2L), (5L, 6L, 2L), (7L, 6L, 0L)))
   }
 
+  test("bucketHistogram counts max-valued pixels when range divides buckets exactly") {
+    // values 1..5 (range 4, an exact multiple of B=4): a ceil-based step
+    // of 1 would compute bucket 4 for value 5 and silently drop it; the
+    // floor+1 step (2) keeps every pixel counted
+    val tiles = tileDF(Seq((0.0, 2.0, 2, 2, Seq(1L, 2L, 3L, 4L)),
+      (2.0, 1.0, 1, 1, Seq(5L))))
+    val h = Raster.bucketHistogram(tiles, 4).orderBy(col("bucket_lo")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(h == List((1L, 2L, 2L), (3L, 4L, 2L), (5L, 5L, 1L), (7L, 5L, 0L)))
+    assert(h.map(_._3).sum == 5L) // every pixel lands in a bucket
+  }
+
+  test("countValue returns zero (not null) when the SMA prefilter drops all tiles") {
+    val tiles = tileDF(Seq((0.0, 2.0, 2, 2, Seq(1L, 2L, 3L, 4L))))
+    assert(Raster.countValue(tiles, 99L).head().getLong(0) == 0L)
+  }
+
   test("withValues keeps only tiles containing every listed value") {
     val tiles = tileDF(Seq(
       (0.0, 2.0, 2, 2, Seq(1L, 2L, 3L, 4L)),   // has 1 and 4
