@@ -24,6 +24,30 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
  */
 object ConnectedComponents {
 
+  /** In-memory union-find over an edge stream; one (node, root) pair per
+    * seen node. Unions always attach the larger root under the smaller and
+    * every node starts as its own root, so the returned root IS the set's
+    * min node id — the invariant the component-label contract rests on.
+    * Shared by the per-partition contraction and the driver glue step. */
+  private def unionFind(edges: Iterator[(Long, Long)]): Vector[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = Vector.newBuilder[(Long, Long)]
+    parent.keySet().forEach { n => out += ((n, find(n))) }
+    out.result()
+  }
+
   /** @param edges DataFrame with long columns `__a`, `__b` (directed pairs;
     *              include (x, x) self-loops for isolated nodes)
     * @return (`__id`, `__comp`) — component = min node id, one row per node */
@@ -35,25 +59,7 @@ object ConnectedComponents {
     val localLabels = edges.repartition(numPartitions, col("__a"))
       .select(col("__a"), col("__b"))
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-          var c = x
-          while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
-          r
-        }
-        it.foreach { r =>
-          val a = r.getLong(0); val b = r.getLong(1)
-          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
-        // unions always attach the larger root under the smaller and every
-        // node starts as its own root, so find(n) IS the local min id
-        val out = Vector.newBuilder[(Long, Long)]
-        parent.keySet().forEach { n => out += ((n, find(n))) }
-        out.result().iterator
+        unionFind(it.map(r => (r.getLong(0), r.getLong(1)))).iterator
       }(Encoders.product[(Long, Long)])
       .toDF("__id", "__lbl")
 
@@ -69,31 +75,16 @@ object ConnectedComponents {
     // glue step runs as a driver union-find (milliseconds, vs seconds of
     // fixed per-round Pregel overhead on a tiny graph); past the bound it
     // falls back to GraphX Pregel run to full convergence (a maxIter
-    // cut-off would silently split long components). The bound caps driver
+    // cut-off would silently split long components). Collecting through the
+    // specialized tuple encoder (16 B/edge, not Row objects) caps driver
     // memory at ~64 MB of edge pairs — a bounded collect, never data-sized.
     // limit(bound+1) answers "small enough?" and fetches the edges in ONE
     // job (a separate count would recompute the quotient a second time).
     val QuotientBound = 4000000
-    val qHead = qEdges.limit(QuotientBound + 1).collect()
+    val qHead = qEdges.as[(Long, Long)].limit(QuotientBound + 1).collect()
     val labelComp: DataFrame =
       if (qHead.length <= QuotientBound) {
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-          var c = x
-          while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
-          r
-        }
-        qHead.foreach { r =>
-          val a = r.getLong(0); val b = r.getLong(1)
-          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
-        val out = Vector.newBuilder[(Long, Long)]
-        parent.keySet().forEach { n => out += ((n, find(n))) }
-        out.result().toDF("__lbl", "__comp")
+        unionFind(qHead.iterator).toDF("__lbl", "__comp")
       } else {
         import org.apache.spark.graphx.Graph
         Graph.fromEdgeTuples(qEdges.rdd.map(r => (r.getLong(0), r.getLong(1))), 0)

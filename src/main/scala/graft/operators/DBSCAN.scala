@@ -33,14 +33,16 @@ object DBSCAN {
    * @param eps     neighborhood radius (predicate: squared distance <= eps²,
    *                exact for integral coordinates)
    * @param minPts  core threshold, self included
-   * @return input id column + `cluster_id` (-1 = noise)
+   * @return `id` (the id column widened to long) + `cluster_id` (-1 = noise)
    */
   def cluster(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
               eps: Double, minPts: Int): DataFrame = {
     val spark = df.sparkSession
     val eps2 = eps * eps
 
-    val pts = df.select(idCol.as("__id"), xCol.as("__x"), yCol.as("__y"))
+    // the CC machinery reads ids as primitive longs — widen any integral id
+    // here so int-keyed inputs work instead of class-casting in executors
+    val pts = df.select(idCol.cast("long").as("__id"), xCol.as("__x"), yCol.as("__y"))
     def cellOf(x: Column, y: Column, dx: Int, dy: Int): Column =
       (floor(x / eps).cast("long") + dx) * 4294967296L + (floor(y / eps).cast("long") + dy)
 

@@ -23,12 +23,20 @@ object Skyline {
   private def dominates(ax: Double, ay: Double, bx: Double, by: Double): Boolean =
     (ax <= bx && ay < by) || (ax < bx && ay <= by)
 
+  /** Numeric field as double regardless of the concrete numeric type —
+    * the documented contract is "numeric columns", not "double columns". */
+  private def numAt(r: Row, i: Int): Double = r.get(i) match {
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"skyline: expected a numeric column, got ${other.getClass.getSimpleName}")
+  }
+
   /** Insert-unless-dominated local skyline over (x, y) keyed rows. */
   private def localSkyline(iter: Iterator[Row], xi: Int, yi: Int): Iterator[Row] = {
     val frontier = new ArrayBuffer[(Double, Double, Row)]()
     iter.foreach { r =>
       if (!r.isNullAt(xi) && !r.isNullAt(yi)) {
-        val x = r.getDouble(xi); val y = r.getDouble(yi)
+        val x = numAt(r, xi); val y = numAt(r, yi)
         var dominated = false
         var i = 0
         while (i < frontier.length && !dominated) {
@@ -59,13 +67,18 @@ object Skyline {
       .mapPartitions(it => localSkyline(it, xi, yi))(enc)
   }
 
-  /** Angular-partitioned variant: repartition by atan2 bucket first. */
+  /** Angular-partitioned variant: repartition by atan2 slice first. Slice
+    * width is pi/2/buckets — `buckets` slices over the first quadrant, the
+    * distance-space home of the reference's AngularPartitioner — but the
+    * slice id is NOT clamped: off-quadrant angles produce their own ids,
+    * and `repartition` hashes every id into the `buckets` partitions, so
+    * data anywhere on the circle spreads instead of piling into one edge
+    * bucket. */
   def skylineAngular(df: DataFrame, xCol: String, yCol: String, buckets: Int = 16): DataFrame = {
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
     val enc = Encoders.row(df.schema)
-    val bucket = least(
-      floor(atan2(col(yCol), col(xCol)) / lit(math.Pi / 2 / buckets)), lit(buckets - 1))
+    val bucket = floor(atan2(col(yCol), col(xCol)) / lit(math.Pi / 2 / buckets))
     df.repartition(buckets, bucket)
       .mapPartitions(it => localSkyline(it, xi, yi))(enc)
       .repartition(1)
@@ -88,11 +101,20 @@ object Skyline {
   def stSkyline(df: DataFrame, stoCol: Column, ref: Column): DataFrame = {
     import graft.functions.stf
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // interval midpoint; a right-open interval (t_end null) uses its start,
+    // an instant (t_end == t_start) is unchanged
+    def mid(c: Column): Column =
+      (stf.st_tstart(c) + coalesce(stf.st_tend(c), stf.st_tstart(c))).cast("double") / 2
+    // a side with NO temporal component has no defined temporal distance —
+    // fail loudly instead of letting null distances silently drop rows
+    // (with a time-less ref every row would vanish)
+    val tdist = when(stf.st_tstart(stoCol).isNull || stf.st_tstart(ref).isNull,
+        raise_error(lit("stSkyline: both the data column and the reference " +
+          "need a temporal component (st_with_time/st_with_instant)")))
+      .otherwise(abs(mid(stoCol) - mid(ref)))
     val withD = df
       .withColumn("spatial_dist", stf.st_centroid_distance(stoCol, ref))
-      .withColumn("temporal_dist",
-        abs((stf.st_tstart(stoCol) + stf.st_tend(stoCol)) / 2 -
-            (stf.st_tstart(ref) + stf.st_tend(ref)) / 2).cast("double"))
+      .withColumn("temporal_dist", tdist)
     skyline(withD, "spatial_dist", "temporal_dist")
   }
 }

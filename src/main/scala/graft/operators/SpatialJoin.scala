@@ -51,6 +51,7 @@ object SpatialJoin {
   def join(left: DataFrame, right: DataFrame, leftCol: Column, rightCol: Column,
            pred: JoinPredicate, cellSize: Double): DataFrame = {
     GraftFunctions.register(left.sparkSession)
+    requireNoCellColumns(left, right)
     val cs = lit(cellSize)
     val l = left.withColumn("__gcell_l", explode(stf.st_cells(leftCol, cs)))
     val r = right.withColumn("__gcell_r", explode(stf.st_cells(rightCol, cs)))
@@ -65,6 +66,7 @@ object SpatialJoin {
   def distanceJoin(left: DataFrame, right: DataFrame, leftCol: Column, rightCol: Column,
                    maxDist: Double, cellSize: Double): DataFrame = {
     GraftFunctions.register(left.sparkSession)
+    requireNoCellColumns(left, right)
     val cs = lit(cellSize)
     val l = left.withColumn("__gcell_l", explode(stf.st_cells(leftCol, cs, lit(maxDist))))
     val r = right.withColumn("__gcell_r", explode(stf.st_cells(rightCol, cs)))
@@ -75,7 +77,19 @@ object SpatialJoin {
       .drop("__gcell_l", "__gcell_r")
   }
 
-  /** Broadcast the (small) right side; Catalyst plans a BroadcastNestedLoopJoin. */
+  /** The cell columns are appended then dropped; a pre-existing column of
+    * either name would be silently replaced and lost from the output, so
+    * fail loudly instead (same contract as joinIndexed's __icell guard). */
+  private def requireNoCellColumns(left: DataFrame, right: DataFrame): Unit =
+    Seq(left, right).foreach(df =>
+      Seq("__gcell_l", "__gcell_r").foreach(c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"spatial join: inputs must not contain a column named $c")))
+
+  /** Broadcast the (small) right side; Catalyst plans a
+    * BroadcastNestedLoopJoin — [[graft.plans.SpatialJoinRule]] explicitly
+    * leaves broadcast-hinted joins alone, so this is a genuinely different
+    * plan from [[join]] (and serves as its differential oracle in tests). */
   def broadcastJoin(left: DataFrame, right: DataFrame, leftCol: Column, rightCol: Column,
                     pred: JoinPredicate): DataFrame = {
     GraftFunctions.register(left.sparkSession)

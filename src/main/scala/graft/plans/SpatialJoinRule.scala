@@ -35,8 +35,17 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def cellSize: Double =
     conf.getConfString("spark.graft.join.cellSize", "100.0").toDouble
 
+  /** A user (or [[graft.operators.SpatialJoin.broadcastJoin]]) broadcast
+    * hint means a nested-loop broadcast plan is both viable and requested —
+    * the cell rewrite would add two explodes for nothing and, for huge
+    * envelopes, hit st_cells' cell-count bound that BNLJ doesn't have. It
+    * also keeps broadcastJoin an INDEPENDENT differential oracle for the
+    * cell join rather than a second copy of it. */
+  private def broadcastHinted(hint: JoinHint): Boolean =
+    (hint.leftHint ++ hint.rightHint).exists(_.strategy.contains(BROADCAST))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), hint) if !broadcastHinted(hint) =>
       // the spatial predicate may be one conjunct among several — extract
       // it, rewrite, and carry the remaining conjuncts along unchanged
       val conjuncts = splitConjunctivePredicates(cond)

@@ -26,6 +26,16 @@ class DBSCANSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("an integer id column is widened to long, same labels as the long run") {
+    val pts = points
+    val longRun = DBSCAN.cluster(pts, col("c_custkey"), col("cx"), col("cy"),
+      eps = 32.0, minPts = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val intRun = DBSCAN.cluster(pts.withColumn("ik", col("c_custkey").cast("int")),
+      col("ik"), col("cx"), col("cy"), eps = 32.0, minPts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(intRun == longRun && intRun.nonEmpty)
+  }
+
   test("noise points have no core neighbor; changing eps obeys monotonicity") {
     val pts = points.cache()
     val small = DBSCAN.cluster(pts, col("c_custkey"), col("cx"), col("cy"), 32.0, 5)

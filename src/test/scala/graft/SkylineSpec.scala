@@ -48,6 +48,48 @@ class SkylineSpec extends AnyFunSuite {
       Set((1.0, 1.0)))
   }
 
+  test("integer and long columns satisfy the documented numeric contract") {
+    import spark.implicits._
+    val df = Seq((3, 1L), (1, 3L), (2, 2L), (3, 3L)).toDF("x", "y")
+    val got = Skyline.skyline(df, "x", "y").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((3, 1L), (1, 3L), (2, 2L)))
+  }
+
+  test("angular skyline agrees with plain off the first quadrant too") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 400).map(_ =>
+      (rnd.nextDouble() * 200 - 100, rnd.nextDouble() * 200 - 100))
+      .toDF("x", "y").repartition(7)
+    val plain = Skyline.skyline(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val angular = Skyline.skylineAngular(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(angular == plain && plain.nonEmpty)
+  }
+
+  test("stSkyline: open intervals use their start; a timeless ref fails loudly") {
+    import graft.functions.stf
+    import spark.implicits._
+    val base = Seq((1L, 1.0, 10L), (2L, 2.0, 20L)).toDF("id", "x", "ts")
+    val openIv = base.withColumn("sto",
+      stf.st_with_open_interval(stf.st_point(col("x"), lit(0.0)), col("ts")))
+    val instant = base.withColumn("sto",
+      stf.st_with_instant(stf.st_point(col("x"), lit(0.0)), col("ts")))
+    val ref = stf.st_with_instant(stf.st_point(lit(0.0), lit(0.0)), lit(0L))
+    val a = Skyline.stSkyline(openIv, col("sto"), ref)
+      .select("id").as[Long].collect().toSet
+    val b = Skyline.stSkyline(instant, col("sto"), ref)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a == Set(1L)) // (1, 10) dominates (2, 20)
+    val timelessRef = stf.st_point(lit(0.0), lit(0.0))
+    val err = intercept[Exception] {
+      Skyline.stSkyline(instant, col("sto"), timelessRef).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("angular variant and no-part variant agree with the plain skyline") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -44,6 +44,19 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(base.nonEmpty)
   }
 
+  test("a broadcast-hinted spatial join keeps its nested-loop plan and results") {
+    Tables.nationRects(spark, dir).createOrReplaceTempView("nrect")
+    Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")
+    val hinted = spark.sql("SELECT /*+ BROADCAST(cpts) */ n_nationkey, c_custkey " +
+      "FROM nrect JOIN cpts ON st_contains(n_geo, c_geo)")
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    val got = hinted.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val rewritten = pairs(
+      "SELECT n_nationkey, c_custkey FROM nrect JOIN cpts ON st_contains(n_geo, c_geo)")
+    assert(got == rewritten && got.nonEmpty)
+  }
+
   test("swapped argument order resolves and rewrites too") {
     Tables.nationRects(spark, dir).createOrReplaceTempView("nrect")
     Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")
