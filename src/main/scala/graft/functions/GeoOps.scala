@@ -93,9 +93,15 @@ object GeoOps {
   def mkBox(minx: Double, miny: Double, maxx: Double, maxy: Double): InternalRow =
     mkRow(gf.toGeometry(new Envelope(minx, maxx, miny, maxy)), null, null)
 
-  /** Attach/replace the temporal component of an stobj (instant if e == s). */
-  def withTime(sto: InternalRow, s: Long, e: Long): InternalRow =
+  /** Attach/replace the temporal component of an stobj (instant if e == s).
+    * Rejects s > e like the reference's `Interval` constructor
+    * (reference src/main/scala/dbis/stark/Interval.scala `require`) — an
+    * inverted interval breaks predicate reflexivity downstream. */
+  def withTime(sto: InternalRow, s: Long, e: Long): InternalRow = {
+    if (e < s) throw new IllegalArgumentException(
+      s"st_with_time: interval start ($s) must be <= end ($e)")
     new GenericInternalRow(Array[Any](sto.getBinary(0), Long.box(s), Long.box(e)))
+  }
 
   def withInstant(sto: InternalRow, v: Long): InternalRow = withTime(sto, v, v)
 
@@ -276,6 +282,10 @@ object GeoOps {
   def hausdorffDistance(a: InternalRow, b: InternalRow): Double = {
     val lc = readGeom(a.getBinary(0)).getCoordinates
     val rc = readGeom(b.getBinary(0)).getCoordinates
+    // no vertices -> no defined distance; returning 0/MaxValue garbage
+    // would silently poison any ordering built on this
+    if (lc.isEmpty || rc.isEmpty) throw new IllegalArgumentException(
+      "st_hausdorff: undefined for empty geometries")
     var worst = 0.0
     var i = 0
     while (i < lc.length) {
@@ -304,6 +314,8 @@ object GeoOps {
   def maxDistance(a: InternalRow, b: InternalRow): Double = {
     val lc = readGeom(a.getBinary(0)).getCoordinates
     val rc = readGeom(b.getBinary(0)).getCoordinates
+    if (lc.isEmpty || rc.isEmpty) throw new IllegalArgumentException(
+      "st_max_distance: undefined for empty geometries")
     var worst = 0.0
     var i = 0
     while (i < lc.length) {

@@ -25,8 +25,11 @@ import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory
  * frame pixel counts are `ceil(extent / pw)` (the reference's two
  * `mbrToTile` overloads disagree for pw ≠ 1 — RasterUtils.scala:225-243);
  * and out-of-range parent lookups produce the default value instead of an
- * executor crash. Envelope bounds are snapped to a 1/1024 grid so overlay
- * rounding noise cannot flip a `ceil`.
+ * executor crash. Rounding noise is absorbed by the same 1e-9-guarded
+ * ceil/floor arithmetic as `Raster.joinRasterIntersecting` (a guarded ceil
+ * cannot flip up from one-ulp noise, a guarded floor cannot flip down),
+ * and the frame is clamped into the tile bounds so a noisy intersection
+ * envelope can never shift the parent-pixel lookup out of frame.
  */
 object RasterOps {
   private val gf = new org.locationtech.jts.geom.GeometryFactory()
@@ -44,7 +47,7 @@ object RasterOps {
   }
   private val prepCache = ThreadLocal.withInitial[PrepCache](() => new PrepCache)
 
-  private def snap(v: Double): Double = math.rint(v * 1024.0) / 1024.0
+  private final val Eps = 1e-9
 
   /** Null when the tile does not overlap the query at all (zero-area touch
     * included — a frame with no pixels carries no information). */
@@ -57,23 +60,29 @@ object RasterOps {
     val inter = tileGeom.intersection(qryGeom)
     if (inter.isEmpty) return null
     val env = inter.getEnvelopeInternal
-    val minX = snap(env.getMinX); val maxX = snap(env.getMaxX)
-    val minY = snap(env.getMinY); val maxY = snap(env.getMaxY)
-    val ow = math.ceil((maxX - minX) / pw).toInt
-    val oh = math.ceil((maxY - minY) / pw).toInt
+    // clamp into the tile frame: overlay noise on the intersection envelope
+    // (which lies within the tile by construction) must not push a bound
+    // outside the tile — that would shift every parent lookup by one and
+    // default-fill an edge row/column
+    val minX = math.max(env.getMinX, ulx)
+    val maxX = math.min(env.getMaxX, ulx + width * pw)
+    val minY = math.max(env.getMinY, uly - height * pw)
+    val maxY = math.min(env.getMaxY, uly)
+    val ow = math.ceil((maxX - minX) / pw - Eps).toInt
+    val oh = math.ceil((maxY - minY) / pw - Eps).toInt
     if (ow <= 0 || oh <= 0) return null
     val prep = prepCache.get().get(qryWkb)
     val out = new Array[Long](ow * oh)
     var j = 0
     while (j < oh) {
       val posY = maxY - j * pw
-      val row = math.floor((uly - posY) / pw).toInt
+      val row = math.floor((uly - posY) / pw + Eps).toInt
       var i = 0
       while (i < ow) {
         val posX = minX + i * pw
         val pix = gf.toGeometry(new Envelope(posX, posX + pw, posY - pw, posY))
         val matched = if (isIntersects) prep.intersects(pix) else prep.contains(pix)
-        val c = math.floor((posX - ulx) / pw).toInt
+        val c = math.floor((posX - ulx) / pw + Eps).toInt
         out(j * ow + i) =
           if (matched && row >= 0 && row < height && c >= 0 && c < width)
             data.getLong(row * width + c)

@@ -179,7 +179,13 @@ case class STDoubleAccessor(child: Expression, func: String) extends UnaryExpres
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GeoOps.$func($c)")
   override protected def withNewChildInternal(c: Expression): STDoubleAccessor = copy(child = c)
-  override def prettyName: String = "st_" + func.toLowerCase
+  override def prettyName: String = func match {
+    // registered SQL names, not the kernel method names ("stX" is st_x,
+    // not st_stx — plans must render the name users can grep for)
+    case "stX" => "st_x"
+    case "stY" => "st_y"
+    case other => "st_" + other.toLowerCase
+  }
 }
 
 /** st_wkt(sto) → WKT string. */

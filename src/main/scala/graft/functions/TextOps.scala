@@ -19,6 +19,10 @@ object TextOps {
 
   final val SEED = 42L
 
+  /** Hoisted separator — UTF8String is immutable, safe to share; building
+    * it per row on the hot shingle path was pure allocation overhead. */
+  private val SPACE = UTF8String.fromString(" ")
+
   def hashUtf8(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 
@@ -30,14 +34,16 @@ object TextOps {
    * split, one StringBuilder-free join per shingle, one sort.
    */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
-    val words = text.split(UTF8String.fromString(" "), -1)
+    val words = text.split(SPACE, -1)
     val count = words.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.TreeSet[UTF8String]()
+    val window = new Array[UTF8String](n) // reused; concatWs copies bytes out
     var i = 0
     while (i < count) {
-      set.add(UTF8String.concatWs(UTF8String.fromString(" "),
-        java.util.Arrays.copyOfRange(words, i, i + n): _*))
+      var w = 0
+      while (w < n) { window(w) = words(i + w); w += 1 }
+      set.add(UTF8String.concatWs(SPACE, window: _*))
       i += 1
     }
     val out = new Array[Any](set.size)
@@ -65,11 +71,15 @@ object TextOps {
    * MinHash signature of a set of string shingles: sig(h) = min over shingles
    * of XXH64(XXH64(shingle), seed=h). One base hash per shingle, then k cheap
    * long-mixes — O(|shingles| * k) with no allocation beyond the output.
-   * Empty input yields Long.MaxValue everywhere (never matches a non-empty
-   * signature's band except astronomically unlikely collisions).
+   * Empty input yields an EMPTY signature (and [[bandBuckets]] of an empty
+   * signature yields no buckets): an empty shingle set has no defined
+   * MinHash, and any constant placeholder signature would put every
+   * short/empty document into the same LSH bucket — a quadratic candidate
+   * blowup on dirty corpora.
    */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val sig = Array.fill[Long](k)(Long.MaxValue)
     var j = 0
     while (j < n) {
@@ -86,9 +96,17 @@ object TextOps {
   }
 
   /** Collapse a MinHash signature into `nBands` band-bucket hashes
-    * (bucket b = XXH64-fold of rows b*r .. b*r+r-1, r = k / nBands). */
+    * (bucket b = XXH64-fold of rows b*r .. b*r+r-1, r = k / nBands).
+    * An empty signature (empty shingle set) yields no buckets. The
+    * signature length must divide evenly into bands — r = 0 would emit
+    * content-independent constant buckets and a leftover k % nBands would
+    * silently ignore trailing rows, so both fail loudly instead. */
   def bandBuckets(sig: ArrayData, nBands: Int): ArrayData = {
     val k = sig.numElements()
+    if (k == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (nBands < 1 || k % nBands != 0)
+      throw new IllegalArgumentException(
+        s"band_buckets: signature length $k must be a positive multiple of nBands ($nBands)")
     val r = k / nBands
     val out = new Array[Long](nBands)
     var b = 0
@@ -166,7 +184,17 @@ object TextOps {
    * good enough for LSH.
    */
   def hyperplaneBuckets(vec: ArrayData, tables: Int, planes: Int): ArrayData = {
+    // bit-packing bounds: table id occupies bits 56-63 of the bucket (so
+    // tables <= 255 keeps namespaces disjoint after the 56-bit mask),
+    // sign bits must fit below it (planes <= 56), and the plane-derivation
+    // key packs (t << 40 | p << 20 | d) — 20 bits per index
+    if (tables < 1 || tables > 255 || planes < 1 || planes > 56)
+      throw new IllegalArgumentException(
+        s"hyperplane_buckets: need 1 <= tables <= 255 (got $tables) and 1 <= planes <= 56 (got $planes)")
     val dim = vec.numElements()
+    if (dim >= (1 << 20))
+      throw new IllegalArgumentException(
+        s"hyperplane_buckets: vector dimension $dim exceeds the 2^20 derivation bound")
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = vec.getFloat(i).toDouble; i += 1 }

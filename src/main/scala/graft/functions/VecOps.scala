@@ -15,9 +15,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  */
 object VecOps {
 
-  /** Sequential-order double dot product of two float vectors. */
+  /** Sequential-order double dot product of two float vectors. Dimension
+    * mismatch is a data bug — fail loudly rather than silently truncating
+    * to the shorter vector (a deflated score would corrupt every
+    * similarity ranking downstream without ever surfacing). */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }

@@ -160,6 +160,22 @@ class RasterSpec extends AnyFunSuite {
     assert(t.getSeq[Long](t.fieldIndex("data")) == Seq.tabulate(77)(_.toLong))
   }
 
+  test("filterGeom: off-snap-grid tile frame stays inside the tile (no row shift)") {
+    // uly = 10.0006: snap-to-1/1024 ROUNDS UP (10.0006*1024 = 10240.61 ->
+    // 10241/1024 > uly); before the clamp this shifted every parent-row
+    // lookup up by one and default-filled the top row
+    val data = Seq.tabulate(16)(_.toLong)
+    val tiles = Seq((0.0006, 10.0006, 4, 4, 0.1, data))
+      .toDF("ulx", "uly", "width", "height", "pixel_width", "data")
+    val res = Raster.filterGeom(tiles,
+      graft.functions.stf.st_geomfromwkt("POLYGON ((-5 -5, 50 -5, 50 50, -5 50, -5 -5))"),
+      graft.operators.JoinPredicate.Intersects, default = -1L).collect()
+    assert(res.length == 1)
+    val t = res(0)
+    assert(t.getAs[Int]("width") == 4 && t.getAs[Int]("height") == 4)
+    assert(t.getSeq[Long](t.fieldIndex("data")) == data)
+  }
+
   test("filterGeom on a pixel-aligned box equals filterClip (randomized differential)") {
     val rnd = new scala.util.Random(11)
     val world = Seq.tabulate(400)(i => ((i % 20) + 0.5, (i / 20) + 0.5)).toDF("x", "y")

@@ -145,6 +145,36 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 5L && r.getLong(1) == 9L && r.isNullAt(2))
   }
 
+  test("kernel guards fail loudly instead of returning garbage") {
+    // inverted interval (reference Interval requires start <= end)
+    intercept[Exception] {
+      spark.sql("SELECT st_with_time(st_point(1.0,1.0), 9L, 5L)").collect()
+    }
+    // dimension-mismatched dot product
+    intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))").collect()
+    }
+    // hausdorff over an empty geometry
+    intercept[Exception] {
+      spark.sql("SELECT st_hausdorff(st_point(1.0,1.0), st_geomfromwkt('POLYGON EMPTY'))").collect()
+    }
+    // band count that does not divide the signature
+    intercept[Exception] {
+      spark.sql("SELECT band_buckets(minhash_sig(array('a','b'), 128), 200)").collect()
+    }
+    // hyperplane config outside the bit-packing bounds
+    intercept[Exception] {
+      spark.sql("SELECT hyperplane_buckets(array(CAST(1.0 AS FLOAT)), 300, 60)").collect()
+    }
+  }
+
+  test("empty shingle sets produce no LSH buckets (no constant-signature collisions)") {
+    val r = spark.sql("SELECT size(minhash_sig(array(), 128)), " +
+      "size(band_buckets(minhash_sig(array(), 128), 32))").collect()(0)
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0)
+  }
+
   test("grid cells") {
     val cells = spark.sql("SELECT st_cells(st_box(5.0, 5.0, 15.0, 15.0), 10.0)")
       .collect()(0).getSeq[Long](0)
