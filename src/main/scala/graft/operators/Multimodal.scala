@@ -91,14 +91,16 @@ object Multimodal {
    */
   def withSyntheticMedia(df: DataFrame, idCol: Column, textCol: Column,
                          nCharsCol: Column): DataFrame =
+    // pmod, not %: Spark's % keeps the sign of the dividend, so negative
+    // ids would index element_at(0) (an error) or produce negative dims
     df.withColumn("media",
-        repeat(md5(textCol.cast("binary")), (nCharsCol % 4 + 2).cast("int")).cast("binary"))
+        repeat(md5(textCol.cast("binary")), (pmod(nCharsCol, lit(4)) + 2).cast("int")).cast("binary"))
       .withColumn("media_type",
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (idCol % 3 + 1).cast("int")))
+          (pmod(idCol, lit(3)) + 1).cast("int")))
       .withColumn("media_len", length(col("media")).cast("long"))
-      .withColumn("width", (nCharsCol % 64 + 16).cast("int"))
-      .withColumn("height", (idCol * 7 % 48 + 16).cast("int"))
+      .withColumn("width", (pmod(nCharsCol, lit(64)) + 16).cast("int"))
+      .withColumn("height", (pmod(idCol * 7, lit(48)) + 16).cast("int"))
 
   /**
    * Per-partition feature extraction over the binary column — the batched
@@ -107,6 +109,7 @@ object Multimodal {
    * hash; frames = `frames` equal byte slices).
    */
   def extractFeatures(df: DataFrame, frames: Int): DataFrame = {
+    require(frames > 0, s"extractFeatures: frames must be positive (got $frames)")
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("byte_sum", LongType, nullable = false),
       StructField("frame0_md5", StringType, nullable = false)))
@@ -115,7 +118,10 @@ object Multimodal {
       // per-partition init (real codecs would open a decode context here)
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val media = MediaCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        // a null payload (upstream outer join, nullable parquet) decodes to
+        // an empty media, not an executor NPE
+        val raw = r.getAs[Array[Byte]](mediaIdx)
+        val media = if (raw == null) Array.emptyByteArray else MediaCodec.decode(raw)
         val frameLen = math.max(media.length / frames, 1)
         val frame0 = java.util.Arrays.copyOfRange(media, 0, math.min(frameLen, media.length))
         digest.reset()
@@ -127,12 +133,14 @@ object Multimodal {
 
   /** Resize/subsample the media payload in place (stride bytes). */
   def resizeMedia(df: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"resizeMedia: stride must be positive (got $stride)")
     val schema = df.schema
     val mediaIdx = schema.fieldIndex("media")
     df.mapPartitions { it =>
       it.map { r =>
+        val raw = r.getAs[Array[Byte]](mediaIdx)
         val out = r.toSeq.updated(mediaIdx,
-          MediaCodec.resize(r.getAs[Array[Byte]](mediaIdx), stride))
+          if (raw == null) null else MediaCodec.resize(raw, stride))
         Row.fromSeq(out)
       }
     }(Encoders.row(schema))

@@ -80,7 +80,7 @@ object SpatialJoin {
   /** The cell columns are appended then dropped; a pre-existing column of
     * either name would be silently replaced and lost from the output, so
     * fail loudly instead (same contract as joinIndexed's __icell guard). */
-  private def requireNoCellColumns(left: DataFrame, right: DataFrame): Unit =
+  private[graft] def requireNoCellColumns(left: DataFrame, right: DataFrame): Unit =
     Seq(left, right).foreach(df =>
       Seq("__gcell_l", "__gcell_r").foreach(c =>
         require(!df.columns.exists(_.equalsIgnoreCase(c)),

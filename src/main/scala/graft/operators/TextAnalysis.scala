@@ -59,9 +59,12 @@ object TextAnalysis {
   }
 
   /** BPE-ish subword count heuristic: whitespace tokens + extra splits at
-    * letter/digit/punct boundaries, approximated as regex token runs. */
+    * letter/digit/punct boundaries (letters case-insensitive — 'NASA' is
+    * one subword, not four punctuation splits), approximated as regex
+    * token runs. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+|(?=[^a-z0-9\\s])"),
+    size(filter(
+      split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
       t => length(t) > 0))
 
   /** Adds n_tokens / n_uniq_tokens / ttr_e6 (type-token ratio scaled 1e6). */
@@ -151,7 +154,9 @@ object TextAnalysis {
     }
     val Seq(en, de, fr, es) = langMarkers.map { case (l, _) => col(s"score_$l") }
     scored.withColumn("lang_pred",
-      when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+      // null text -> null scores; without the isNull arm every comparison
+      // below is null and the chain would fall through to .otherwise("es")
+      when(en.isNull || (en === 0 && de === 0 && fr === 0 && es === 0), "und")
         .when(en >= de && en >= fr && en >= es, "en")
         .when(de >= fr && de >= es, "de")
         .when(fr >= es, "fr")
@@ -226,8 +231,10 @@ object TextAnalysis {
     require(k > 0, s"k must be positive, got $k")
     require(!df.columns.exists(c =>
       c.equalsIgnoreCase("__ds_id") || c.equalsIgnoreCase("__ds_g") ||
-      c.equalsIgnoreCase("__ds_n")),
-      "withDuplicatedSpans: input must not contain columns named __ds_id/__ds_g/__ds_n")
+      c.equalsIgnoreCase("__ds_n") || c.equalsIgnoreCase("n_spans") ||
+      c.equalsIgnoreCase("n_dup_spans")),
+      "withDuplicatedSpans: input must not contain columns named " +
+      "__ds_id/__ds_g/__ds_n or the output names n_spans/n_dup_spans")
     val spans = df.select(idCol.as("__ds_id"), explode(shingles(textCol, k)).as("__ds_g"))
     // docs-per-span; spans are distinct within a doc, so count = doc count
     val counts = spans.groupBy(col("__ds_g")).agg(count(lit(1)).as("__ds_n"))

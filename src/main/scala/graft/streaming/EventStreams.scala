@@ -100,6 +100,7 @@ object EventStreams {
                               joinWindow: String = "5 minutes"): DataFrame = {
     import graft.functions.stf
     graft.functions.GraftFunctions.register(left.sparkSession)
+    graft.operators.SpatialJoin.requireNoCellColumns(left, right)
     val cs = lit(cellSize)
     val l = left.withWatermark(leftTsCol, watermark)
       .withColumn("__gcell_l", explode(stf.st_cells(leftGeo, cs)))
@@ -120,12 +121,15 @@ object EventStreams {
     * forever; duplicates arriving inside the horizon are dropped, the first
     * occurrence streams through unchanged. `ts` must be TimestampType. */
   def dedupExact(docs: DataFrame, textCol: org.apache.spark.sql.Column,
-                 watermark: String = "10 minutes"): DataFrame =
+                 watermark: String = "10 minutes"): DataFrame = {
+    require(!docs.columns.exists(_.equalsIgnoreCase("__content_hash")),
+      "dedupExact: input must not contain a column named __content_hash")
     docs
       .withColumn("__content_hash", md5(textCol.cast("binary")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+  }
 
   /**
    * Streaming ingest against a persisted span store — the streaming twin of
@@ -140,18 +144,26 @@ object EventStreams {
    * map-side, so per-batch cost scales with the batch's overlap, not the
    * store; refreshing the store (after compacting accepted batches into it)
    * picks up on the next micro-batch automatically.
+   *
+   * Columns are passed BY NAME: inside foreachBatch each micro-batch is a
+   * fresh DataFrame with its own attribute ids, so a Column resolved
+   * against the streaming plan (`docs("id")`) would fail analysis there.
+   * Each batch lands in its own `batch_id=<n>` partition directory written
+   * with overwrite — a retried micro-batch rewrites the same directory
+   * instead of appending duplicates, making the sink exactly-once (readers
+   * see the extra `batch_id` partition column, useful provenance anyway).
    */
-  def ingestDropSeenSpans(docs: DataFrame, idCol: org.apache.spark.sql.Column,
-                          textCol: org.apache.spark.sql.Column, k: Int,
+  def ingestDropSeenSpans(docs: DataFrame, idColName: String,
+                          textColName: String, k: Int,
                           storePath: String, outPath: String,
                           checkpoint: String, minOverlap: Int = 1)
     : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup
-          .dropSeenSpans(batch, idCol, textCol, k, storePath, minOverlap)
-          .write.mode("append").parquet(outPath)
+          .dropSeenSpans(batch, col(idColName), col(textColName), k, storePath, minOverlap)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
 }

@@ -179,6 +179,19 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq("abc123 def, xyz").toDF("t")
     val n = df.select(graft.operators.TextAnalysis.subwordCount(col("t"))).collect()(0).getInt(0)
     assert(n == 5) // abc | 123 | def | , | xyz
+    // letters are case-insensitive: an acronym is ONE subword, not a
+    // punctuation split per capital; letter/digit boundaries still split
+    val up = Seq("NASA A1").toDF("t")
+      .select(graft.operators.TextAnalysis.subwordCount(col("t"))).collect()(0).getInt(0)
+    assert(up == 3) // NASA | A | 1
+  }
+
+  test("withLangId labels null text 'und', not the last otherwise() branch") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat and the hat"), (2L, null)).toDF("id", "t")
+    val got = graft.operators.TextAnalysis.withLangId(df, col("t"))
+      .select("id", "lang_pred").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "en", 2L -> "und"))
   }
 
   test("shingles guard: short docs yield empty arrays, not descending sequences") {

@@ -37,6 +37,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decode(raw).toSeq == raw.toSeq)
   }
 
+  test("null media and bad parameters fail safely, not in executors") {
+    import spark.implicits._
+    val df = Seq((1L, "x".getBytes("UTF-8")), (2L, null)).toDF("id", "media")
+    // null payload -> empty-media features, not an NPE
+    val r = Multimodal.extractFeatures(df, frames = 2)
+      .filter(col("id") === 2L).collect()(0)
+    assert(r.getAs[Long]("byte_sum") == 0L)
+    assert(Multimodal.resizeMedia(df, 2).filter(col("id") === 2L)
+      .collect()(0).getAs[Array[Byte]]("media") == null)
+    // parameter validation is driver-side
+    intercept[IllegalArgumentException] { Multimodal.extractFeatures(df, 0) }
+    intercept[IllegalArgumentException] { Multimodal.resizeMedia(df, 0) }
+    // negative ids cycle types instead of crashing element_at(0)
+    val neg = Seq((-1L, "t", 3L), (-2L, "u", 5L)).toDF("id", "text", "n_chars")
+    val types = Multimodal.withSyntheticMedia(neg, col("id"), col("text"), col("n_chars"))
+      .select("media_type", "width", "height").collect()
+    assert(types.forall(r => Set("image", "audio", "video")(r.getString(0)) &&
+      r.getInt(1) >= 16 && r.getInt(2) >= 16))
+  }
+
   test("extractFeatures sums real pixels for images, raw bytes otherwise") {
     import spark.implicits._
     val png = tinyPng()

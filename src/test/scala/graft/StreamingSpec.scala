@@ -144,7 +144,7 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "a b c d e f")).toDF("id", "t"), col("t"), k = 5, s"$tmp/store")
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
-    val q = EventStreams.ingestDropSeenSpans(docs, col("doc_id"), col("text"),
+    val q = EventStreams.ingestDropSeenSpans(docs, "doc_id", "text",
       k = 5, s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
     try {
       input.addData((10L, "a b c d e zz"), (11L, "p q r s t u"))
