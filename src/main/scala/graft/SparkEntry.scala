@@ -668,13 +668,22 @@ object SparkEntry {
     storedOnce("idxstore_q48c", dir)(p =>
       IndexStore.saveIndexed(Tables.customerPts(s, dir), p, "c_geo", cellSize = 100.0))
 
-  /** Write-once store path, keyed by the dataset dir: reruns in the same
-    * tmp space skip the store write (Spark's _SUCCESS marker gates it) so
-    * bench timings measure the pruned READ path, not repeated writes. An
-    * interrupted write leaves no marker and is redone with overwrite. */
+  /** Write-once store path, keyed by the dataset dir AND a fingerprint of
+    * its parquet files (name/size/mtime): reruns in the same tmp space skip
+    * the store write (Spark's _SUCCESS marker gates it) so bench timings
+    * measure the pruned READ path, not repeated writes, while a dataset
+    * regenerated in place gets a fresh store instead of silently serving
+    * stale rows the oracle no longer sees. An interrupted write leaves no
+    * marker and is redone with overwrite. Single-writer contract: the
+    * check-then-write is not safe against two JVMs building the same store
+    * concurrently (the driver runs Verify and Bench sequentially). */
   private def storedOnce(tag: String, dir: String)(write: String => Unit): String = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val fp = java.lang.Long.toHexString(files.foldLeft(17L)((a, f) =>
+      ((a * 31 + f.getName.hashCode) * 31 + f.length()) * 31 + f.lastModified()))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${key}_$fp"
     if (!new java.io.File(path, "_SUCCESS").exists()) write(path)
     path
   }
@@ -685,6 +694,60 @@ object SparkEntry {
         col("width"), col("height"),
         concat_ws(",", transform(col("data"), x => x.cast("string"))).as("data_csv"))
       .orderBy(col("ulx"), col("uly"))
+
+  // ---- shared oracles ----
+  // Operator variants that must agree pairwise (live vs indexed vs
+  // persisted vs SQL-text) reference ONE oracle string each, so a future
+  // oracle fix cannot de-synchronize a documented "same result as" contract.
+
+  /** q6 = q40 = q49 = q57: contains-join of nation boxes with customers. */
+  private def boxJoinOracleSql: String =
+    s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
+    "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
+    "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
+    "ORDER BY n_nationkey, c_custkey"
+
+  /** q5 = q58: 20 nearest customers to (500, 500). */
+  private def knn20OracleSql: String =
+    s"WITH cpts AS (${Tables.customerPtsSql}) " +
+    "SELECT c_custkey FROM (SELECT c_custkey FROM cpts " +
+    "ORDER BY sqrt((cx-500)*(cx-500)+(cy-500)*(cy-500)), c_custkey LIMIT 20) " +
+    "ORDER BY c_custkey"
+
+  /** q7 = q67: global top-5 customers per supplier. */
+  private def knnJoinOracleSql: String =
+    s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
+    "SELECT s_suppkey, c_custkey FROM (" +
+    "SELECT s_suppkey, c_custkey, row_number() OVER (PARTITION BY s_suppkey " +
+    "ORDER BY sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)), c_custkey) AS rn FROM spts, cpts) " +
+    "WHERE rn <= 5 ORDER BY s_suppkey, c_custkey"
+
+  /** q42 = q50: interval-overlap self-join on 60s event windows. */
+  private def intervalJoinOracleSql: String =
+    s"WITH epts AS (${Tables.eventPtsSql}), " +
+    "iv AS (SELECT event_id, et AS s, et + 60000000 AS e FROM epts) " +
+    "SELECT a.event_id AS id_a, b.event_id AS id_b FROM iv a, iv b " +
+    "WHERE a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e " +
+    "ORDER BY id_a, id_b"
+
+  /** q18 = q51 (nprobe = nlist is exact): cosine top-5 per query vector. */
+  private def annTop5OracleSql: String =
+    s"WITH e AS ($normedEmbSql), scored AS (" +
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+    s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+    "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c WHERE c.vec_id != q.vec_id) " +
+    "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"
+
+  /** q28 = q48: box filter over the pruned store equals the plain filter. */
+  private def prunedBoxFilterOracleSql: String =
+    s"WITH cpts AS (${Tables.customerPtsSql}) " +
+    "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
+    "ORDER BY c_custkey"
+
+  /** Winnowed fingerprint of `text` (shared by q12 and q64). */
+  private def winnowFpSql: String =
+    "CASE WHEN len(text) < 5 THEN md5(text) " +
+    "ELSE list_min([md5(text[i:i+4]) FOR i IN generate_series(1, len(text)-4)]) END"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -711,24 +774,11 @@ object SparkEntry {
        "WHERE sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)) <= 50.5 " +
        "ORDER BY s_suppkey, c_custkey"),
 
-    "q5_knn" ->
-      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT c_custkey FROM (SELECT c_custkey FROM cpts " +
-       "ORDER BY sqrt((cx-500)*(cx-500)+(cy-500)*(cy-500)), c_custkey LIMIT 20) " +
-       "ORDER BY c_custkey"),
+    "q5_knn" -> knn20OracleSql,
 
-    "q6_spatial_join" ->
-      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
-       "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
-       "ORDER BY n_nationkey, c_custkey"),
+    "q6_spatial_join" -> boxJoinOracleSql,
 
-    "q7_knn_join" ->
-      (s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT s_suppkey, c_custkey FROM (" +
-       "SELECT s_suppkey, c_custkey, row_number() OVER (PARTITION BY s_suppkey " +
-       "ORDER BY sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)), c_custkey) AS rn FROM spts, cpts) " +
-       "WHERE rn <= 5 ORDER BY s_suppkey, c_custkey"),
+    "q7_knn_join" -> knnJoinOracleSql,
 
     "q8_skyline" ->
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
@@ -761,9 +811,7 @@ object SparkEntry {
        "WHEN s_fr>=s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s ORDER BY doc_id"),
 
     "q12_fingerprint" ->
-      ("SELECT doc_id, md5(text) AS fp_md5, " +
-       "CASE WHEN len(text) < 5 THEN md5(text) " +
-       "ELSE list_min([md5(text[i:i+4]) FOR i IN generate_series(1, len(text)-4)]) END AS fp_winnow " +
+      (s"SELECT doc_id, md5(text) AS fp_md5, $winnowFpSql AS fp_winnow " +
        "FROM documents ORDER BY doc_id"),
 
     "q13_dedup_exact" ->
@@ -798,20 +846,10 @@ object SparkEntry {
        s"WHERE a.vec_id < b.vec_id AND ($dotSql) / (a.nrm*b.nrm) >= 0.42 " +
        "ORDER BY id_a, id_b"),
 
-    "q18_ann_topk" ->
-      (s"WITH e AS ($normedEmbSql), scored AS (" +
-       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
-       "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c WHERE c.vec_id != q.vec_id) " +
-       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    "q18_ann_topk" -> annTop5OracleSql,
 
     // nprobe = nlist ⇒ the persisted-IVF path is exact: same oracle as q18
-    "q51_ann_ivf_store" ->
-      (s"WITH e AS ($normedEmbSql), scored AS (" +
-       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
-       "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c WHERE c.vec_id != q.vec_id) " +
-       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+    "q51_ann_ivf_store" -> annTop5OracleSql,
 
     // DBSCAN: adjacency (self incl.) -> cores -> recursive closure over
     // core-core edges -> min-id cluster labels -> border = min neighboring
@@ -942,10 +980,7 @@ object SparkEntry {
        "SELECT CAST(slice*3 + run AS BIGINT) AS part_str, count(*) AS cnt " +
        "FROM b GROUP BY 1 ORDER BY part_str"),
 
-    "q28_store_pruned" ->
-      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
-       "ORDER BY c_custkey"),
+    "q28_store_pruned" -> prunedBoxFilterOracleSql,
 
     "q38_tilefile_roundtrip" -> s"$rasterBaseSql $tileCsvSelectSql",
 
@@ -1052,29 +1087,13 @@ object SparkEntry {
        "WHERE b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
        "AND len(list_intersect(a.s, b.s)) >= 4 ORDER BY doc_id, bench_id"),
 
-    "q42_interval_join" ->
-      (s"WITH epts AS (${Tables.eventPtsSql}), " +
-       "iv AS (SELECT event_id, et AS s, et + 60000000 AS e FROM epts) " +
-       "SELECT a.event_id AS id_a, b.event_id AS id_b FROM iv a, iv b " +
-       "WHERE a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e " +
-       "ORDER BY id_a, id_b"),
+    "q42_interval_join" -> intervalJoinOracleSql,
 
-    "q40_join_indexed" ->
-      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
-       "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
-       "ORDER BY n_nationkey, c_custkey"),
+    "q40_join_indexed" -> boxJoinOracleSql,
 
-    "q48_persisted_filter" ->
-      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
-       "ORDER BY c_custkey"),
+    "q48_persisted_filter" -> prunedBoxFilterOracleSql,
 
-    "q49_persisted_join" ->
-      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
-       "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
-       "ORDER BY n_nationkey, c_custkey"),
+    "q49_persisted_join" -> boxJoinOracleSql,
 
     // NB: DuckDB `//` on DOUBLE is true division (floors integers only) —
     // use explicit floor() like the raster oracle fragments
@@ -1113,12 +1132,7 @@ object SparkEntry {
 
     // identical result contract to q7 — the indexed path must answer the
     // same query
-    "q67_knn_join_store" ->
-      (s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT s_suppkey, c_custkey FROM (" +
-       "SELECT s_suppkey, c_custkey, row_number() OVER (PARTITION BY s_suppkey " +
-       "ORDER BY sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)), c_custkey) AS rn FROM spts, cpts) " +
-       "WHERE rn <= 5 ORDER BY s_suppkey, c_custkey"),
+    "q67_knn_join_store" -> knnJoinOracleSql,
 
     "q65_vocab_topk" ->
       ("SELECT token, count(*) AS cnt FROM " +
@@ -1132,30 +1146,16 @@ object SparkEntry {
        "ORDER BY cnt DESC, t1, t2 LIMIT 50"),
 
     "q64_dup_rate" ->
-      ("WITH fp AS (SELECT source, CASE WHEN len(text) < 5 THEN md5(text) " +
-       "ELSE list_min([md5(text[i:i+4]) FOR i IN generate_series(1, len(text)-4)]) END AS fpw FROM documents) " +
+      (s"WITH fp AS (SELECT source, $winnowFpSql AS fpw FROM documents) " +
        "SELECT source AS grp, count(*) AS n_docs, CAST(count(DISTINCT fpw) AS BIGINT) AS n_unique, " +
        "CAST(count(*) - count(DISTINCT fpw) AS BIGINT) AS n_dups " +
        "FROM fp GROUP BY source ORDER BY grp"),
 
-    "q58_knn_store" ->
-      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT c_custkey FROM (SELECT c_custkey FROM cpts " +
-       "ORDER BY sqrt((cx-500)*(cx-500)+(cy-500)*(cy-500)), c_custkey LIMIT 20) " +
-       "ORDER BY c_custkey"),
+    "q58_knn_store" -> knn20OracleSql,
 
-    "q57_sql_join" ->
-      (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT n_nationkey, c_custkey FROM nrect, cpts " +
-       "WHERE cx > nx AND cx < nx+150 AND cy > ny AND cy < ny+150 " +
-       "ORDER BY n_nationkey, c_custkey"),
+    "q57_sql_join" -> boxJoinOracleSql,
 
-    "q50_interval_join_indexed" ->
-      (s"WITH epts AS (${Tables.eventPtsSql}), " +
-       "iv AS (SELECT event_id, et AS s, et + 60000000 AS e FROM epts) " +
-       "SELECT a.event_id AS id_a, b.event_id AS id_b FROM iv a, iv b " +
-       "WHERE a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e " +
-       "ORDER BY id_a, id_b"),
+    "q50_interval_join_indexed" -> intervalJoinOracleSql,
 
     // open-ended container: spatial strict-interior AND et >= T1
     "q32_temporal_containedby" ->

@@ -19,7 +19,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString, not getMessage (null for NPEs), plus the top frames —
+        // a failed round must be diagnosable from this log alone
+        System.err.println(s"[verify] $name failed: $e")
+        e.getStackTrace.take(5).foreach(f => System.err.println(s"[verify]   at $f"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
