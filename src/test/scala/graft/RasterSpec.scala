@@ -176,6 +176,31 @@ class RasterSpec extends AnyFunSuite {
     assert(t.getSeq[Long](t.fieldIndex("data")) == data)
   }
 
+  test("filterGeom identity holds for random off-grid anchors and pixel widths") {
+    // covering query -> output tile must be an exact copy, whatever the
+    // anchor's rounding direction or pixel width (pins the clamp +
+    // epsilon-guarded ceil/floor arithmetic on both axes)
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 12) {
+      val pw = Seq(0.1, 0.25, 1.0)(trial % 3)
+      val w = 2 + rnd.nextInt(5); val h = 2 + rnd.nextInt(5)
+      val ulx = rnd.nextDouble() * 20 - 10
+      val uly = rnd.nextDouble() * 20
+      val data = Seq.tabulate(w * h)(i => (i * 7 + trial).toLong)
+      val tiles = Seq((ulx, uly, w, h, pw, data))
+        .toDF("ulx", "uly", "width", "height", "pixel_width", "data")
+      val res = Raster.filterGeom(tiles,
+        graft.functions.stf.st_geomfromwkt("POLYGON ((-99 -99, 99 -99, 99 99, -99 99, -99 -99))"),
+        graft.operators.JoinPredicate.Intersects, default = -1L).collect()
+      assert(res.length == 1, s"trial $trial: expected one tile")
+      val t = res(0)
+      assert(t.getAs[Int]("width") == w && t.getAs[Int]("height") == h,
+        s"trial $trial (ulx=$ulx uly=$uly pw=$pw): frame ${t.getAs[Int]("width")}x${t.getAs[Int]("height")} != ${w}x$h")
+      assert(t.getSeq[Long](t.fieldIndex("data")) == data,
+        s"trial $trial (ulx=$ulx uly=$uly pw=$pw): pixel shift")
+    }
+  }
+
   test("filterGeom on a pixel-aligned box equals filterClip (randomized differential)") {
     val rnd = new scala.util.Random(11)
     val world = Seq.tabulate(400)(i => ((i % 20) + 0.5, (i / 20) + 0.5)).toDF("x", "y")
