@@ -32,20 +32,26 @@ object Bench {
         // count() lets Catalyst prune the very expressions under test and
         // drop top-level sorts — toRdd materializes every output column
         // through the unmodified executed plan
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); failed += name }
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); failed += name; false }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries are self-contained: drop their persisted intermediates so
         // storage-memory pressure from one query can't skew the next
         try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => }
-        dt
+        if (ok) dt else Double.NaN
       }
-      name -> dts.min
+      // failed iterations never enter the min or the sum — a fast failure in
+      // one run must not report as (or shrink) the query's timing; a query
+      // with NO successful run reports null and contributes nothing
+      val good = dts.filterNot(_.isNaN)
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) =>
+        s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val total = results.values.flatten.sum
     // failures are visible IN the metric line (a failed query's
     // time-to-failure must never read as a better total), stderr aside
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

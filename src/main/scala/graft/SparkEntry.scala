@@ -559,6 +559,30 @@ object SparkEntry {
         .orderBy(col("px"), col("py"))
     }),
 
+    // visualization sink, geometry half: outline rasterization of the
+    // nation rectangles on a 100x100 canvas over [0,1000)^2. Bresenham on
+    // the axis-aligned box edges inks exactly the pixel-rect border between
+    // the floor-mapped corners, which the SQL oracle reproduces with
+    // generate_series (all coords are integers, so floor(v/10) is exact).
+    "q68_viz_geom" -> ((s, dir) => {
+      Visualize.geomBins(Tables.nationRects(s, dir), col("n_geo"),
+          0.0, 0.0, 1000.0, 1000.0, 100, 100)
+        .orderBy(col("px"), col("py"))
+    }),
+
+    // 3-D point round trip: z rides the WKB through construction and the
+    // accessors read back exactly the source columns — the driver-level
+    // proof of the z-coordinate surface (spec covers parquet/exchange).
+    "q69_z_roundtrip" -> ((s, dir) => {
+      import graft.functions.stf
+      Tables.eventPts(s, dir)
+        .withColumn("p", stf.st_point(col("ex"), col("ey"),
+          expr("ts div 1000").cast("double")))
+        .select(col("event_id"), stf.st_x(col("p")).as("px"),
+          stf.st_y(col("p")).as("py"), stf.st_z(col("p")).as("pz"))
+        .orderBy(col("event_id"))
+    }),
+
     // cross-document duplicated 5-gram spans — the exact-substring dedup
     // signal (Lee et al.): per doc, distinct word 5-grams and how many of
     // them occur in at least one other document.
@@ -744,10 +768,22 @@ object SparkEntry {
     "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
     "ORDER BY c_custkey"
 
-  /** Winnowed fingerprint of `text` (shared by q12 and q64). */
-  private def winnowFpSql: String =
-    "CASE WHEN len(text) < 5 THEN md5(text) " +
-    "ELSE list_min([md5(text[i:i+4]) FOR i IN generate_series(1, len(text)-4)]) END"
+  /** Winnowed fingerprint of `text` (shared by q12 and q64): min polynomial
+    * hash over char 5-grams, H(i) = Σ cp(text[i+j])·257^(4-j) — the exact
+    * formula TextAnalysis.rollingMinFp documents; short docs Horner-hash
+    * their whole text (spelled out per length: no list_reduce dependency). */
+  private def winnowFpSql: String = {
+    def a(j: Int) = s"ascii(text[$j:$j])"
+    "CAST(CASE WHEN text IS NULL THEN NULL " +
+    "WHEN len(text) = 0 THEN 0 " +
+    s"WHEN len(text) = 1 THEN ${a(1)} " +
+    s"WHEN len(text) = 2 THEN ${a(1)}*257 + ${a(2)} " +
+    s"WHEN len(text) = 3 THEN ${a(1)}*66049 + ${a(2)}*257 + ${a(3)} " +
+    s"WHEN len(text) = 4 THEN ${a(1)}*16974593 + ${a(2)}*66049 + ${a(3)}*257 + ${a(4)} " +
+    "ELSE list_min([ascii(text[i:i])*4362470401 + ascii(text[i+1:i+1])*16974593 + " +
+    "ascii(text[i+2:i+2])*66049 + ascii(text[i+3:i+3])*257 + ascii(text[i+4:i+4]) " +
+    "FOR i IN generate_series(1, len(text)-4)]) END AS BIGINT)"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1102,6 +1138,26 @@ object SparkEntry {
        "SELECT CAST(floor(ex/16) AS INT) AS px, CAST(floor(ey/16) AS INT) AS py, " +
        "count(*) AS cnt FROM epts WHERE ex >= 0 AND ex < 512 AND ey >= 0 AND ey < 512 " +
        "GROUP BY 1, 2 ORDER BY px, py"),
+
+    "q68_viz_geom" ->
+      ("WITH r AS (SELECT n_nationkey, " +
+       "CAST(floor(((n_nationkey*37)%800)/10) AS INT) AS a0, " +
+       "CAST(floor((((n_nationkey*37)%800)+150)/10) AS INT) AS a1, " +
+       "CAST(floor(((n_nationkey*53)%800)/10) AS INT) AS b0, " +
+       "CAST(floor((((n_nationkey*53)%800)+150)/10) AS INT) AS b1 FROM nation), " +
+       "px AS (SELECT DISTINCT n_nationkey, px, py FROM (" +
+       "SELECT n_nationkey, unnest(generate_series(a0, a1)) AS px, b0 AS py FROM r " +
+       "UNION ALL SELECT n_nationkey, unnest(generate_series(a0, a1)) AS px, b1 AS py FROM r " +
+       "UNION ALL SELECT n_nationkey, a0 AS px, unnest(generate_series(b0, b1)) AS py FROM r " +
+       "UNION ALL SELECT n_nationkey, a1 AS px, unnest(generate_series(b0, b1)) AS py FROM r)) " +
+       "SELECT CAST(px AS INT) AS px, CAST(py AS INT) AS py, count(*) AS cnt " +
+       "FROM px GROUP BY 1, 2 ORDER BY px, py"),
+
+    // micros-since-epoch < 2^53, so the double z is exact on both engines
+    "q69_z_roundtrip" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}) " +
+       "SELECT event_id, ex AS px, ey AS py, CAST(et AS DOUBLE) AS pz " +
+       "FROM epts ORDER BY event_id"),
 
     "q61_dup_spans" ->
       (s"WITH inst AS ($spanInstSql), " +

@@ -48,6 +48,9 @@ object GeoOps {
   // JTS readers/writers are not thread-safe; executors run many tasks per JVM.
   private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(gf))
   private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
+  // 3-dim variant used ONLY by z-carrying constructors (a global 3-dim
+  // writer would pad every 2-D geometry with z=NaN and bloat every stream)
+  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(gf))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
 
@@ -85,6 +88,19 @@ object GeoOps {
 
   def mkPoint(x: Double, y: Double): InternalRow =
     mkRow(gf.createPoint(new Coordinate(x, y)), null, null)
+
+  /** 3-D point (reference STObject.scala:245-248 `STObject(x, y, z)`): z is
+    * CARRIED through WKB (3-dim writer below), accessible via st_z, but —
+    * exactly like the reference, whose JTS-backed predicates read XY only —
+    * never participates in spatial predicates or distances. Only this
+    * constructor pays the 3-dim WKB encoding; 2-D geometries keep the
+    * compact 2-D writer, so existing byte streams are unchanged. */
+  def mkPointZ(x: Double, y: Double, z: Double): InternalRow =
+    new GenericInternalRow(Array[Any](
+      wkbWriter3.get().write(gf.createPoint(new Coordinate(x, y, z))), null, null))
+
+  /** Z of the first coordinate; NaN (absent z) maps to SQL NULL in STZ. */
+  def stZ(a: InternalRow): Double = readGeom(a.getBinary(0)).getCoordinate.getZ
 
   def pointWkb(x: Double, y: Double): Array[Byte] =
     writeGeom(gf.createPoint(new Coordinate(x, y)))
@@ -328,6 +344,174 @@ object GeoOps {
       i += 1
     }
     worst
+  }
+
+  // ---- visualization rasterization ----
+  // (reference src/main/java/dbis/stark/visualization/Visualization.java:222-296
+  // draws per-partition java2d images and merges them by overdraw; here the
+  // geometry → inked-pixel-set step is a pure kernel so the DISTRIBUTED part
+  // stays a bins aggregation — see graft.operators.Visualize.geomBins)
+
+  /**
+   * Pixels inked by a geometry on a w×h canvas over world window
+   * [x0,x1)×[y0,y1), as packed (px << 32 | py) longs, sorted, deduped,
+   * clipped to the canvas (pixels the reference lets java2d clip are
+   * dropped here). Pixel space: px = (x - x0)·w/(x1-x0), y up (callers
+   * flip at paint time, like [[graft.operators.Visualize.renderPng]]).
+   *
+   * Drawing rules (documented so an external oracle can reproduce them):
+   *  - Point: vertex pixel (floor(px), floor(py)), dilated to a
+   *    pointSize×pointSize square growing right/up (reference
+   *    Visualization.java:256-258 fillRect semantics).
+   *  - LineString: Bresenham between consecutive vertex pixels.
+   *  - Polygon, fill=false: Bresenham along every ring (exterior + holes).
+   *  - Polygon, fill=true: a pixel is inked iff its center (px+0.5, py+0.5)
+   *    is inside the polygon by the even-odd rule in continuous pixel
+   *    space — interior only, like java2d fillPolygon (reference :232).
+   *  - Multi-geometries / GeometryCollection: each member, union.
+   * Unlike the reference (Visualization.java:286 returns null → vertex
+   * silently DROPPED from the awt polygon, deforming shapes that cross the
+   * viewport edge), vertices outside the window still steer rasterization
+   * and only out-of-canvas pixels are clipped — deliberate fix, not copied.
+   */
+  def rasterPixels(a: InternalRow, x0: Double, y0: Double, x1: Double, y1: Double,
+                   w: Int, h: Int, fill: Boolean, pointSize: Int): Array[Long] = {
+    require(w > 0 && h > 0, s"st_raster_pixels: canvas must be positive, got ${w}x$h")
+    require(w.toLong * h <= (1L << 22),
+      s"st_raster_pixels: canvas ${w}x$h exceeds 2^22 pixels — the per-row pixel " +
+      "array is materialized; render larger canvases as tiles")
+    require(pointSize >= 1, s"st_raster_pixels: pointSize must be >= 1, got $pointSize")
+    val sx = w / (x1 - x0); val sy = h / (y1 - y0)
+    val out = new java.util.HashSet[Long]()
+    def ink(x: Int, y: Int): Unit =
+      if (x >= 0 && x < w && y >= 0 && y < h) { out.add(pack(x, y)); () }
+    def bresenham(ax: Int, ay: Int, bx: Int, by: Int): Unit = {
+      // a segment fully off-canvas inks nothing — skip before walking it
+      if (math.max(ax, bx) < 0 || math.min(ax, bx) >= w ||
+          math.max(ay, by) < 0 || math.min(ay, by) >= h) return
+      require(math.abs(bx.toLong - ax) + math.abs(by.toLong - ay) <= (1L << 24),
+        s"st_raster_pixels: segment ($ax,$ay)-($bx,$by) walks > 2^24 pixel steps — " +
+        "geometry coordinates are far outside the world window")
+      val dx = math.abs(bx - ax); val dy = -math.abs(by - ay)
+      val stepx = if (ax < bx) 1 else -1; val stepy = if (ay < by) 1 else -1
+      var err = dx + dy; var x = ax; var y = ay
+      var more = true
+      while (more) {
+        ink(x, y)
+        if (x == bx && y == by) more = false
+        else {
+          val e2 = 2 * err
+          if (e2 >= dy) { err += dy; x += stepx }
+          if (e2 <= dx) { err += dx; y += stepy }
+        }
+      }
+    }
+    def vx(c: Coordinate): Int = math.floor((c.x - x0) * sx).toInt
+    def vy(c: Coordinate): Int = math.floor((c.y - y0) * sy).toInt
+    def polyline(cs: Array[Coordinate]): Unit = {
+      var i = 1
+      while (i < cs.length) {
+        bresenham(vx(cs(i - 1)), vy(cs(i - 1)), vx(cs(i)), vy(cs(i))); i += 1
+      }
+    }
+    def fillPolygon(p: org.locationtech.jts.geom.Polygon): Unit = {
+      // ring edges in continuous pixel coordinates (holes included: the
+      // even-odd crossing count handles them with no special casing)
+      val edges = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+      def addRing(cs: Array[Coordinate]): Unit = {
+        var i = 1
+        while (i < cs.length) {
+          edges += (((cs(i - 1).x - x0) * sx, (cs(i - 1).y - y0) * sy,
+                     (cs(i).x - x0) * sx, (cs(i).y - y0) * sy))
+          i += 1
+        }
+      }
+      addRing(p.getExteriorRing.getCoordinates)
+      var r = 0
+      while (r < p.getNumInteriorRing) { addRing(p.getInteriorRingN(r).getCoordinates); r += 1 }
+      val env = p.getEnvelopeInternal
+      val pyLo = math.max(0, math.floor((env.getMinY - y0) * sy).toInt)
+      val pyHi = math.min(h - 1, math.ceil((env.getMaxY - y0) * sy).toInt)
+      var py = pyLo
+      val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (py <= pyHi) {
+        val cy = py + 0.5
+        xs.clear()
+        edges.foreach { case (ax, ay, bx, by) =>
+          if ((ay > cy) != (by > cy)) xs += ax + (cy - ay) * (bx - ax) / (by - ay)
+        }
+        val sorted = xs.sorted
+        var i = 0
+        while (i + 1 < sorted.length) {
+          // centers strictly inside (xa, xb): px+0.5 > xa and px+0.5 < xb
+          // (clamped to the canvas so an off-screen span costs nothing)
+          var px = math.max(0, math.floor(sorted(i) - 0.5).toInt + 1)
+          val pxHi = math.min(w - 1, math.ceil(sorted(i + 1) - 0.5).toInt - 1)
+          while (px <= pxHi) { ink(px, py); px += 1 }
+          i += 2
+        }
+        py += 1
+      }
+    }
+    def draw(g: Geometry): Unit = g match {
+      case p: org.locationtech.jts.geom.Point =>
+        val px = vx(p.getCoordinate); val py = vy(p.getCoordinate)
+        var ix = px
+        while (ix < px + pointSize) {
+          var iy = py
+          while (iy < py + pointSize) { ink(ix, iy); iy += 1 }
+          ix += 1
+        }
+      case ls: org.locationtech.jts.geom.LineString => polyline(ls.getCoordinates)
+      case p: org.locationtech.jts.geom.Polygon =>
+        if (fill) fillPolygon(p)
+        else {
+          polyline(p.getExteriorRing.getCoordinates)
+          var r = 0
+          while (r < p.getNumInteriorRing) { polyline(p.getInteriorRingN(r).getCoordinates); r += 1 }
+        }
+      case gc: org.locationtech.jts.geom.GeometryCollection =>
+        var i = 0
+        while (i < gc.getNumGeometries) { draw(gc.getGeometryN(i)); i += 1 }
+      case other => throw new IllegalArgumentException(
+        s"st_raster_pixels: unsupported geometry type ${other.getGeometryType}")
+    }
+    draw(readGeom(a.getBinary(0)))
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /**
+   * The reference's world (Mercator) projection as a geometry transform
+   * (Visualization.java:260-280, bit-identical constants): lon/lat vertices
+   * map to IMAGE pixel coordinates (y DOWN) for a w×h canvas. Compose with
+   * [[rasterPixels]] over window [0,w)×[0,h) and paint without the y flip.
+   * Temporal component passes through.
+   */
+  def mercator(a: InternalRow, w: Int, h: Int): InternalRow = {
+    val mapLatBottom = -82.05; val mapLngRight = 180.0; val mapLngLeft = -180.85
+    val mapLngDelta = mapLngRight - mapLngLeft
+    val worldMapWidth = ((w / mapLngDelta) * 360.0) / (2.0 * math.Pi)
+    val mapLatBottomRad = mapLatBottom * math.Pi / 180.0
+    val mapOffsetY = worldMapWidth / 2.0 *
+      math.log((1.0 + math.sin(mapLatBottomRad)) / (1.0 - math.sin(mapLatBottomRad)))
+    val g = readGeom(a.getBinary(0)).copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = {
+        val latRad = c.y * math.Pi / 180.0
+        val x = (c.x - mapLngLeft) * (w / mapLngDelta)
+        val y = h - (worldMapWidth / 2.0 *
+          math.log((1.0 + math.sin(latRad)) / (1.0 - math.sin(latRad))) - mapOffsetY)
+        c.x = x; c.y = y
+      }
+    })
+    g.geometryChanged()
+    new GenericInternalRow(Array[Any](writeGeom(g),
+      if (a.isNullAt(1)) null else Long.box(a.getLong(1)),
+      if (a.isNullAt(2)) null else Long.box(a.getLong(2))))
   }
 
   /** Temporal distance = |start difference| (reference teuclid,

@@ -48,6 +48,34 @@ case class STPoint(left: Expression, right: Expression) extends BinaryExpression
   override def prettyName: String = "st_point"
 }
 
+/** st_point(x, y, z) → stobj 3-D point (no time). Z is carried through WKB
+  * and read back by st_z; predicates/distances stay XY (reference
+  * STObject.scala:245-248 semantics — its JTS predicates also ignore z). */
+case class STPointZ(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    GeoOps.mkPointZ(x.asInstanceOf[Double], y.asInstanceOf[Double], z.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) => s"graft.functions.GeoOps.mkPointZ($x, $y, $z)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): STPointZ =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_point"
+}
+
+/** st_z(sto): z of the first coordinate; NULL when the geometry has no z. */
+case class STZ(child: Expression) extends UnaryExpression with codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val z = GeoOps.stZ(row(a))
+    if (java.lang.Double.isNaN(z)) null else z
+  }
+  override protected def withNewChildInternal(c: Expression): STZ = copy(child = c)
+  override def prettyName: String = "st_z"
+}
+
 /** st_box(minx, miny, maxx, maxy) → axis-aligned rectangle polygon (no time). */
 case class STMakeBox(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression {
@@ -330,6 +358,47 @@ case class STWeightedDistance(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): STWeightedDistance =
     copy(first = a, second = b, third = c, fourth = d)
   override def prettyName: String = "st_st_distance"
+}
+
+/**
+ * st_raster_pixels(sto, x0, y0, x1, y1, w, h, fill, pointSize) →
+ * array<long> of packed (px << 32 | py) pixels the geometry inks on a w×h
+ * canvas over world window [x0,x1)×[y0,y1) — the kernel of the distributed
+ * visualization sink (see GeoOps.rasterPixels for the drawing rules).
+ */
+case class STRasterPixels(children: Seq[Expression])
+    extends Expression with codegen.CodegenFallback {
+  require(children.size == 9)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else new GenericArrayData(GeoOps.rasterPixels(row(vs(0)),
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double],
+      vs(5).asInstanceOf[Int], vs(6).asInstanceOf[Int],
+      vs(7).asInstanceOf[Boolean], vs(8).asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): STRasterPixels =
+    copy(children = cs)
+  override def prettyName: String = "st_raster_pixels"
+}
+
+/** st_mercator(sto, w, h): the reference's world (Mercator) projection as a
+  * geometry transform into IMAGE pixel coordinates (y down) — see
+  * GeoOps.mercator. */
+case class STMercator(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = GeoOps.stobjType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, w: Any, h: Any): Any =
+    GeoOps.mercator(row(a), w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, w, h) => s"graft.functions.GeoOps.mercator($a, $w, $h)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): STMercator =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_mercator"
 }
 
 /** st_tstart(sto) / st_tend(sto): nullable temporal bounds. */

@@ -29,7 +29,10 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_geomfromwkt"  -> ((es: Seq[Expression]) => STGeomFromWKT(s(es.head))),
-    "st_point"        -> ((es: Seq[Expression]) => STPoint(d(es(0)), d(es(1)))),
+    "st_point"        -> ((es: Seq[Expression]) =>
+      if (es.size == 2) STPoint(d(es(0)), d(es(1)))
+      else STPointZ(d(es(0)), d(es(1)), d(es(2)))),
+    "st_z"            -> ((es: Seq[Expression]) => STZ(es.head)),
     "st_box"          -> ((es: Seq[Expression]) => STMakeBox(d(es(0)), d(es(1)), d(es(2)), d(es(3)))),
     "st_with_time"    -> ((es: Seq[Expression]) => STWithTime(es(0), l(es(1)), l(es(2)))),
     "st_with_instant" -> ((es: Seq[Expression]) => STWithInstant(es(0), l(es(1)))),
@@ -74,6 +77,9 @@ object GraftFunctions {
       val w = d(es(2)); val h = d(es(3)); val pw = d(es(4))
       STMakeBox(ulx, Subtract(uly, Multiply(h, pw)), Add(ulx, Multiply(w, pw)), uly)
     }),
+    "st_raster_pixels" -> ((es: Seq[Expression]) => STRasterPixels(Seq(
+      es(0), d(es(1)), d(es(2)), d(es(3)), d(es(4)), i(es(5)), i(es(6)), b(es(7)), i(es(8))))),
+    "st_mercator"     -> ((es: Seq[Expression]) => STMercator(es(0), i(es(1)), i(es(2)))),
     "st_clip_tile"    -> ((es: Seq[Expression]) => STClipTile(Seq(
       d(es(0)), d(es(1)), i(es(2)), i(es(3)), d(es(4)), es(5), es(6), b(es(7)), l(es(8))))),
     // text/vector dedup primitives (TextExpressions.scala)
@@ -91,7 +97,8 @@ object GraftFunctions {
   /** Arity of each function (min, max) for a named error instead of a raw
     * IndexOutOfBounds when SQL passes the wrong argument count. */
   private val arity: Map[String, (Int, Int)] = Map(
-    "st_geomfromwkt" -> (1, 1), "st_point" -> (2, 2), "st_box" -> (4, 4),
+    "st_geomfromwkt" -> (1, 1), "st_point" -> (2, 3), "st_z" -> (1, 1),
+    "st_box" -> (4, 4),
     "st_with_time" -> (3, 3), "st_with_instant" -> (2, 2),
     "st_with_open_interval" -> (2, 2), "st_sto" -> (1, 2), "st_intersects" -> (2, 2),
     "st_contains" -> (2, 2), "st_containedby" -> (2, 2), "st_covers" -> (2, 2),
@@ -104,6 +111,7 @@ object GraftFunctions {
     "st_maxy" -> (1, 1), "st_tstart" -> (1, 1), "st_tend" -> (1, 1),
     "st_cell" -> (2, 2), "st_cells" -> (2, 3), "st_ref_cell" -> (4, 5),
     "st_clip_tile" -> (9, 9), "st_geomfromtile" -> (5, 5),
+    "st_raster_pixels" -> (9, 9), "st_mercator" -> (3, 3),
     "minhash_sig" -> (2, 2), "band_buckets" -> (2, 2), "simhash64" -> (1, 1),
     "hamming" -> (2, 2), "hyperplane_buckets" -> (3, 3), "vec_dot" -> (2, 2),
     "vec_norm" -> (1, 1), "word_shingles" -> (2, 2),
@@ -157,6 +165,8 @@ object stf {
   def st_geomfromwkt(wkt: Column): Column = call_function("st_geomfromwkt", wkt)
   def st_geomfromwkt(wkt: String): Column = st_geomfromwkt(lit(wkt))
   def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_point(x: Column, y: Column, z: Column): Column = call_function("st_point", x, y, z)
+  def st_z(a: Column): Column = call_function("st_z", a)
   def st_box(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
     call_function("st_box", minx, miny, maxx, maxy)
   def st_with_time(sto: Column, s: Column, e: Column): Column = call_function("st_with_time", sto, s, e)
@@ -224,6 +234,11 @@ object stf {
   def st_geomfromtile(ulx: Column, uly: Column, width: Column, height: Column,
                       pixelWidth: Column): Column =
     call_function("st_geomfromtile", ulx, uly, width, height, pixelWidth)
+  def st_raster_pixels(sto: Column, x0: Column, y0: Column, x1: Column, y1: Column,
+                       w: Column, h: Column, fill: Column, pointSize: Column): Column =
+    call_function("st_raster_pixels", sto, x0, y0, x1, y1, w, h, fill, pointSize)
+  def st_mercator(sto: Column, w: Column, h: Column): Column =
+    call_function("st_mercator", sto, w, h)
   def st_clip_tile(ulx: Column, uly: Column, width: Column, height: Column,
                    pixelWidth: Column, data: Column, qry: Column,
                    isIntersects: Column, default: Column): Column =

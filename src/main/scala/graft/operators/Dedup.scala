@@ -30,7 +30,7 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** (id, shingles, n_shingles) prep used by the Jaccard family. */
-  private def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+  private[graft] def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(idCol.as("__id"), TextAnalysis.shingles(textCol, n).as("__sh"))
       .withColumn("__sz", size(col("__sh")))
@@ -63,19 +63,35 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, p: Int = 4, q: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingled(df, idCol, textCol, n).cache()
+    // materialize, then free the shingle cache — long sessions must not
+    // accumulate storage blocks (same hygiene as DBSCAN.cluster)
+    val out = ngramJaccardPlan(sh, p, q).localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** Lazy (un-checkpointed) pair plan over prepared [[shingled]] rows —
+    * shared by [[ngramJaccardPairs]] and the plan-shape spec (the public
+    * operator's eager localCheckpoint hides this plan behind an
+    * ExistingRDD scan). */
+  private[graft] def ngramJaccardPlan(sh: DataFrame, p: Int, q: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // prefix length = sz - ceil(p*sz/q) + 1 (integer ceil division)
     val prefLen = col("__sz") - floor((col("__sz") * p + (q - 1)) / q).cast("int") + 1
     // PPJoin canonical order = ascending global document frequency (rarest
     // first, ties by shingle text): prefixes concentrate on rare shingles,
     // so hot shingles almost never generate candidates.
     val inv0 = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__s"))
-    // document frequency as a window over the shingle key — one shuffle of
-    // the inverted index instead of groupBy + join back (shingles are
-    // per-document distinct, so the partition count IS the doc frequency)
+    // document frequency via groupBy + join back, NOT a window over the
+    // shingle key: a ubiquitous shingle would funnel its entire posting list
+    // into ONE window task (windows are not AQE-skew-splittable), while the
+    // groupBy is map-side combined and the equi-join back is skew-splittable
+    // — same trade TextAnalysis.withDuplicatedSpans makes, and the frequency
+    // table it ships is small (one row per distinct shingle)
+    val freq = inv0.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
     val prefix = inv0
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__s"))))
+      .join(freq, "__s")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))))
       .filter(col("__rn") <= prefLen)
@@ -88,11 +104,7 @@ object Dedup {
         col("r.__sz") * q >= col("l.__sz") * p)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    // materialize, then free the shingle cache — long sessions must not
-    // accumulate storage blocks (same hygiene as DBSCAN.cluster)
-    val out = refineJaccard(cands, sh, p, q).localCheckpoint()
-    sh.unpersist(blocking = false)
-    out
+    refineJaccard(cands, sh, p, q)
   }
 
   /**
@@ -226,6 +238,12 @@ object Dedup {
    * spans with a [[buildSpanStore]] store (`minOverlap = 1` ⇒ any seen span
    * disqualifies). Returns the surviving batch rows unchanged.
    *
+   * CONTRACT: `idCol` must be non-null and unique per batch row (same
+   * contract as [[KNN.knnJoin]]'s left id). Null ids would pool every
+   * null-id document's spans under one groupBy key AND never match the
+   * final `idCol === __ss_id` anti-join — null-id documents would silently
+   * always survive regardless of span overlap.
+   *
    * Plan: batch spans → broadcast-Bloom prefilter (pure map — the vast
    * majority of genuinely-new spans drop here without shuffling) → exact
    * semi-join against the store confirms survivors → per-doc overlap count →
@@ -325,18 +343,29 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     stf.vec_dot(a, b) / (stf.vec_norm(a) * stf.vec_norm(b))
 
+  /** Hard row cap for [[cosinePairsExact]] — the all-pairs join is O(n²)
+    * by design (its role is the small-corpus exact oracle baseline), so it
+    * refuses to run on anything a real corpus sized. Same loud-contract
+    * style as [[ConnectedComponents]]' quotient bound. */
+  val CosineExactBound: Long = 100000L
+
   /**
    * Exact embedding near-dup pairs: all pairs with cosine >= threshold.
    * Norms are computed once per row *before* the O(n²) pair join (the join
    * itself evaluates one dot product + one divide per pair).
    * Broadcast-nested-loop; right for corpora small enough to verify
-   * exactly — use [[cosinePairsLsh]] as the large-scale path.
+   * exactly — use [[cosinePairsLsh]] as the large-scale path. Inputs larger
+   * than [[CosineExactBound]] rows are rejected (costs one count job).
    */
   def cosinePairsExact(df: DataFrame, idCol: Column, vecCol: Column,
                        threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val v = df.select(idCol.as("__id"), vecCol.as("__vec"))
       .withColumn("__nrm", stf.vec_norm(col("__vec")))
+    val n = v.count()
+    require(n <= CosineExactBound,
+      s"cosinePairsExact is the O(n²) exact oracle baseline, capped at " +
+      s"$CosineExactBound rows; got $n — use cosinePairsLsh for real corpora")
     v.as("l").join(v.as("r"), col("l.__id") < col("r.__id"))
       .filter(stf.vec_dot(col("l.__vec"), col("r.__vec")) /
         (col("l.__nrm") * col("r.__nrm")) >= threshold)

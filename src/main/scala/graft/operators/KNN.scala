@@ -25,13 +25,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 object KNN {
 
   /**
-   * Global kNN of `qry` within `df`. Adds `distName` with the centroid
+   * Global kNN of `qry` within `df`. Adds `distName` with the chosen
    * distance; deterministic order via (distance, tieBreak...).
+   *
+   * `distFn` is the reference's pluggable `distFunc` parameter (reference
+   * PlainSpatialRDDFunctions.scala:112-136 / Distance.scala:118-168):
+   * default centroid euclid; pass `stf.st_hausdorff`, `stf.st_distance`,
+   * `stf.st_t_distance`, or a weighted `stf.st_st_distance(_, _, ws, wt)`
+   * closure. TakeOrderedAndProject plans identically for any of them.
    */
   def knn(df: DataFrame, geo: Column, qry: Column, k: Int,
-          distName: String = "dist", tieBreak: Seq[Column] = Nil): DataFrame = {
+          distName: String = "dist", tieBreak: Seq[Column] = Nil,
+          distFn: (Column, Column) => Column = stf.st_centroid_distance): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.withColumn(distName, stf.st_centroid_distance(geo, qry))
+    df.withColumn(distName, distFn(geo, qry))
       .orderBy(col(distName) +: tieBreak: _*)
       .limit(k)
   }
@@ -44,12 +51,23 @@ object KNN {
    * `radius`*; a left row with fewer than k in-radius neighbors returns
    * what exists. [[knnJoin]] wraps this with automatic radius adaptation
    * when true global-k semantics are required.
+   *
+   * `distFn` plugs the ranking metric (reference `distFunc`). CONTRACT: the
+   * radius bound stays the *minimum geometry distance* (the candidate
+   * generator prunes by envelope distance, which lower-bounds only metrics
+   * that are >= the minimum distance — true for centroid, hausdorff, max
+   * distance; a metric NOT bounded below by geometry distance, e.g. a pure
+   * temporal one, would silently lose candidates). [[knnJoin]]'s
+   * expand-radius loop stays centroid-only for the same reason: its
+   * "finished after >= k in radius r" proof needs dist(candidate) <= r
+   * exactly, which only the ranking metric == pruning metric guarantees.
    */
   def knnJoinWithin(left: DataFrame, right: DataFrame, leftGeom: Column, rightGeom: Column,
                     leftId: Column, k: Int, radius: Double, cellSize: Double,
-                    tieBreak: Column, distName: String = "knn_dist"): DataFrame = {
+                    tieBreak: Column, distName: String = "knn_dist",
+                    distFn: (Column, Column) => Column = stf.st_centroid_distance): DataFrame = {
     val cands = SpatialJoin.distanceJoin(left, right, leftGeom, rightGeom, radius, cellSize)
-      .withColumn(distName, stf.st_centroid_distance(leftGeom, rightGeom))
+      .withColumn(distName, distFn(leftGeom, rightGeom))
     val rn = row_number().over(
       Window.partitionBy(leftId).orderBy(col(distName), tieBreak))
     cands.withColumn("__rn", rn).filter(col("__rn") <= k).drop("__rn")

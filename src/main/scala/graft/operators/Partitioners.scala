@@ -162,7 +162,9 @@ object Partitioners {
         while (sy < r.y1) {
           run += my.getOrElse(sy - 1, 0L)
           val bal = math.abs(2 * run - r.cost)
-          if (bal < best._1)
+          // best == null when the region has width 1 (no x candidates) —
+          // then a y split MUST be taken or we'd NPE on skewed single-column data
+          if (best == null || bal < best._1)
             best = (bal, BspRegion(r.x0, r.y0, r.x1, sy, run),
               BspRegion(r.x0, sy, r.x1, r.y1, r.cost - run))
           sy += 1

@@ -55,16 +55,60 @@ object Skyline {
   }
 
   /**
+   * Partition-dominance pruning (reference PlainSpatialRDDFunctions.scala:
+   * 456-482): a partition whose frontier's MIN corner is dominated by some
+   * other partition's frontier MAX corner is dropped entirely — every point
+   * of the other partition is componentwise <= its max corner, so it
+   * dominates every point of the pruned one. Mutual pruning is impossible
+   * (Bmax <= Amin and Amax <= Bmin forces all four corners equal, which
+   * fails dominance strictness), so at least one partition always survives.
+   * Input: (pid, minX, minY, maxX, maxY) per non-empty local frontier.
+   */
+  private[graft] def prunePartitions(
+      bounds: Seq[(Int, Double, Double, Double, Double)]): Set[Int] =
+    bounds.iterator.filter { case (pid, minx, miny, _, _) =>
+      bounds.exists { case (opid, _, _, omaxx, omaxy) =>
+        opid != pid && dominates(omaxx, omaxy, minx, miny)
+      }
+    }.map(_._1).toSet
+
+  /** Local frontiers → pruned → single-partition merge. The frontier union
+    * is small (bounded by the per-partition skylines), so the localCheckpoint
+    * that lets us both scan its bounds and merge it costs little; only the
+    * per-partition corner scalars reach the driver. On adversarial
+    * anti-correlated data the pruning bounds the repartition(1) merge input
+    * to the undominated partitions' frontiers. */
+  private def mergeFrontiers(local: DataFrame, xCol: String, yCol: String,
+                             xi: Int, yi: Int): DataFrame = {
+    require(!local.columns.exists(_.equalsIgnoreCase("__sky_pid")),
+      "skyline: input must not contain a column named __sky_pid")
+    val enc = Encoders.row(local.schema)
+    val frontier = local.localCheckpoint()
+    val withPid = frontier.withColumn("__sky_pid", org.apache.spark.sql.functions.spark_partition_id())
+    val bounds = withPid.groupBy(col("__sky_pid"))
+      .agg(min(col(xCol)), min(col(yCol)), max(col(xCol)), max(col(yCol)))
+      .collect().map { r =>
+        def d(i: Int) = r.get(i).asInstanceOf[java.lang.Number].doubleValue()
+        (r.getInt(0), d(1), d(2), d(3), d(4))
+      }.toSeq
+    val pruned = prunePartitions(bounds)
+    val kept =
+      if (pruned.isEmpty) frontier
+      else withPid.filter(!col("__sky_pid").isInCollection(pruned)).drop("__sky_pid")
+    kept.repartition(1).mapPartitions(it => localSkyline(it, xi, yi))(enc)
+  }
+
+  /**
    * Skyline of `df` over numeric columns `xCol`, `yCol` (minimized).
-   * Two-level: local skyline per partition, then single-partition merge.
+   * Two-level: local skyline per partition, partition-dominance pruning,
+   * then single-partition merge.
    */
   def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
     val enc = Encoders.row(df.schema)
-    df.mapPartitions(it => localSkyline(it, xi, yi))(enc)
-      .repartition(1)
-      .mapPartitions(it => localSkyline(it, xi, yi))(enc)
+    val local = df.mapPartitions(it => localSkyline(it, xi, yi))(enc)
+    mergeFrontiers(local, xCol, yCol, xi, yi)
   }
 
   /** Angular-partitioned variant: repartition by atan2 slice first. Slice
@@ -79,10 +123,9 @@ object Skyline {
     val yi = df.schema.fieldIndex(yCol)
     val enc = Encoders.row(df.schema)
     val bucket = floor(atan2(col(yCol), col(xCol)) / lit(math.Pi / 2 / buckets))
-    df.repartition(buckets, bucket)
+    val local = df.repartition(buckets, bucket)
       .mapPartitions(it => localSkyline(it, xi, yi))(enc)
-      .repartition(1)
-      .mapPartitions(it => localSkyline(it, xi, yi))(enc)
+    mergeFrontiers(local, xCol, yCol, xi, yi)
   }
 
   /** Reference `skylineAngularNoPart`: the angular algorithm without the

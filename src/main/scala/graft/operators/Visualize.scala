@@ -37,6 +37,63 @@ object Visualize {
   }
 
   /**
+   * Distributed geometry rasterization: per-pixel ink counts (`px`, `py`,
+   * `cnt`) for arbitrary geometries (points with `pointSize` dilation,
+   * linestring Bresenham, polygon outline or even-odd `fill`) on a w×h
+   * canvas over [x0,x1)×[y0,y1) — the line/polygon half of the reference's
+   * visualization sink (Visualization.java:222-258), Spark-first: each row
+   * expands to the pixels it inks ([[graft.functions.GeoOps.rasterPixels]],
+   * a narrow per-row explode bounded by inked area), then the same
+   * groupBy-pixel shuffle as [[bins]]. `cnt` = number of geometries inking
+   * the pixel (the reference's flat overdraw = `cnt >= 1`). No driver-side
+   * drawing, no per-partition image merge — images never cross the wire.
+   *
+   * For the reference's `worldProj` flag, pre-project with
+   * `stf.st_mercator(geo, w, h)` and pass window (0, 0, w, h); the result
+   * is then in image coordinates (y down), so paint with `flipY = false`.
+   */
+  def geomBins(df: DataFrame, geo: Column,
+               x0: Double, y0: Double, x1: Double, y1: Double,
+               w: Int, h: Int, fill: Boolean = false, pointSize: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(explode(graft.functions.stf.st_raster_pixels(geo,
+        lit(x0), lit(y0), lit(x1), lit(y1), lit(w), lit(h), lit(fill), lit(pointSize)))
+        .as("__pix"))
+      .select(shiftright(col("__pix"), 32).cast("int").as("px"),
+        col("__pix").bitwiseAND(lit(0xffffffffL)).cast("int").as("py"))
+      .groupBy(col("px"), col("py")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Render geometries to an ARGB PNG: solid `color` per inked pixel (the
+   * reference's flat overdraw, Visualization.java:27,90), optionally over a
+   * `background` image (the reference's bgImagePath compositing, :113-124).
+   * `flipY = true` treats world y as up (pass false for pre-projected
+   * image-space geometry such as `st_mercator` output).
+   */
+  def renderGeomPng(df: DataFrame, geo: Column,
+                    x0: Double, y0: Double, x1: Double, y1: Double,
+                    w: Int, h: Int, fill: Boolean = false, pointSize: Int = 1,
+                    color: Int = 0xFFFF0000, background: BufferedImage = null,
+                    flipY: Boolean = true): Array[Byte] = {
+    val inked = geomBins(df, geo, x0, y0, x1, y1, w, h, fill, pointSize).collect()
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    if (background != null) {
+      val g = img.getGraphics
+      g.drawImage(background, 0, 0, null)
+      g.dispose()
+    }
+    inked.foreach { r =>
+      val ix = r.getInt(0)
+      val iy = if (flipY) h - 1 - r.getInt(1) else r.getInt(1)
+      img.setRGB(ix, iy, color)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /**
    * Render points to a grayscale PNG: intensity = log-scaled point count
    * per pixel. World rectangle [x0,x1)×[y0,y1) maps to w×h pixels, y up.
    */

@@ -321,8 +321,15 @@ object IndexStore {
     import org.apache.spark.sql.expressions.Window
     val rowSchema = loadSchema(spark, path)
     val cellSize = loadCellSize(spark, path)
-    require(!rowSchema.fieldNames.contains(leftGeom),
-      s"IndexStore.knnJoin: left geometry column '$leftGeom' also exists in the store schema")
+    // any overlap between left columns and the stored row columns (not just
+    // the geometry) would emit duplicate output columns and make the
+    // col(leftId) window key ambiguous at analysis time with a confusing
+    // error — reject the whole intersection loudly up front, same contract
+    // style as the __icell/__knn_done_id guards above
+    val collisions = left.columns.toSet.intersect(rowSchema.fieldNames.toSet)
+    require(collisions.isEmpty,
+      s"IndexStore.knnJoin: left columns ${collisions.mkString("[", ", ", "]")} " +
+      "also exist in the store schema — rename one side before joining")
     val ties = if (tieBreak == null) lit(0) else col(tieBreak)
     val roundSchema = StructType(left.schema.fields ++ rowSchema.fields :+
       StructField(distName, DoubleType, nullable = false))

@@ -61,6 +61,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cosinePairsExact refuses corpora beyond its oracle-baseline bound") {
+    // the O(n²) exact path exists to verify the LSH path, not to run on a
+    // real corpus — the guard must fire loudly, not silently go quadratic
+    import spark.implicits._
+    val big = spark.range(Dedup.CosineExactBound + 1)
+      .select(col("id"), array(lit(1.0f)).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cosinePairsExact(big, col("id"), col("v"), 0.9)
+    }
+    assert(e.getMessage.contains("oracle baseline"), e.getMessage)
+    assert(e.getMessage.contains("cosinePairsLsh"), e.getMessage)
+  }
+
   test("dropNearDuplicates removes exactly one of each near-dup pair family") {
     val kept = Dedup.dropNearDuplicates(docs, col("doc_id"), col("text"))
     val pairs = pairSet(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text")))
@@ -184,6 +197,28 @@ class DedupSpec extends AnyFunSuite {
     val up = Seq("NASA A1").toDF("t")
       .select(graft.operators.TextAnalysis.subwordCount(col("t"))).collect()(0).getInt(0)
     assert(up == 3) // NASA | A | 1
+  }
+
+  test("rollingMinFp matches the documented polynomial formula exactly") {
+    import spark.implicits._
+    // reference implementation of the documented formula, on the driver
+    def cp(s: String, i: Int): Long = s.codePointAt(i).toLong
+    def winnow(s: String): Long =
+      if (s.isEmpty) 0L
+      else if (s.length < 5) s.indices.foldLeft(0L)((acc, i) => acc * 257L + cp(s, i))
+      else (0 to s.length - 5).map { i =>
+        (0 to 4).map(j => cp(s, i + j) * Seq(4362470401L, 16974593L, 66049L, 257L, 1L)(j)).sum
+      }.min
+    val texts = Seq("", "a", "ab", "abcd", "abcde", "hello world hello",
+      "the quick brown fox jumps over the lazy dog")
+    val got = texts.toDF("t")
+      .select(col("t"), TextAnalysis.rollingMinFp(col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach(t => assert(got(t) == winnow(t), s"mismatch for '$t'"))
+    // null text -> null fingerprint
+    val n = Seq((1L, null: String)).toDF("id", "t")
+      .select(TextAnalysis.rollingMinFp(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
   }
 
   test("withLangId labels null text 'und', not the last otherwise() branch") {

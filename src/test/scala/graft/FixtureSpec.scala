@@ -67,6 +67,41 @@ class FixtureSpec extends AnyFunSuite {
     assert(dists.length == 6 && dists.forall(_ == 0.0))
   }
 
+  test("pluggable kNN distance: hausdorff ranking == manual orderBy differential") {
+    val qry = stf.st_geomfromwkt(qryWkt)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("dist")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = pairs(KNN.knn(events, col("geo"), qry, 10,
+      tieBreak = Seq(col("id")), distFn = stf.st_hausdorff))
+    val exp = pairs(events.withColumn("dist", stf.st_hausdorff(col("geo"), qry))
+      .orderBy(col("dist"), col("id")).limit(10))
+    assert(got == exp && got.size == 10)
+    // sanity: the metric actually changes the ranking vs the centroid default
+    val cent = pairs(KNN.knn(events, col("geo"), qry, 10, tieBreak = Seq(col("id"))))
+    assert(got.map(_._2) != cent.map(_._2))
+  }
+
+  test("pluggable knnJoinWithin distance: hausdorff == cross-join differential") {
+    val l = events.limit(20).select(col("id").as("lid"), col("geo").as("lgeo"))
+    val r = events.select(col("id").as("rid"), col("geo").as("rgeo"))
+    val got = KNN.knnJoinWithin(l, r, col("lgeo"), col("rgeo"), col("lid"),
+        k = 3, radius = 5.0, cellSize = 5.0, tieBreak = col("rid"),
+        distFn = stf.st_hausdorff)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val exp = l.crossJoin(r)
+      .filter(stf.st_within_distance(col("lgeo"), col("rgeo"), lit(5.0)))
+      .withColumn("d", stf.st_hausdorff(col("lgeo"), col("rgeo")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lid")).orderBy(col("d"), col("rid"))))
+      .filter(col("rn") <= 3)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("temporal: intersects with Jan-2013 interval finds exactly 1") {
     val q = stf.st_with_time(stf.st_geomfromwkt(qryWkt),
       lit(epochDay(2013, 1, 1)), lit(epochDay(2013, 1, 31)))

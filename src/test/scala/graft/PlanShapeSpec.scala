@@ -65,6 +65,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ngramJaccardPairs: doc frequency is groupBy+join, never a shingle-keyed window") {
+    // a count(*) over (partition by shingle) funnels a hot shingle's whole
+    // posting list into one window task (windows are not AQE-skew-splittable);
+    // the only window allowed in the pair plan is the per-document prefix rank
+    val sh = operators.Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+    val plan = formatted(operators.Dedup.ngramJaccardPlan(sh, 4, 5))
+    val windows = "windowspecdefinition\\(__[a-z]+".r.findAllIn(plan).toList
+    assert(windows.nonEmpty, "expected the per-document prefix-rank window")
+    assert(windows.forall(_.endsWith("__id")),
+      s"window keyed on a non-document column (shingle-skew hazard): $windows")
+  }
+
   test("vocabTopK: top-k is TakeOrdered, not a global sort") {
     val v = TextAnalysis.vocabTopK(docs, col("text"), 50)
     assert(formatted(v).contains("TakeOrderedAndProject"), formatted(v))

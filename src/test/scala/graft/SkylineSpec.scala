@@ -69,6 +69,29 @@ class SkylineSpec extends AnyFunSuite {
     assert(angular == plain && plain.nonEmpty)
   }
 
+  test("partition-dominance pruning drops dominated partitions, result unchanged") {
+    // unit: partition 1's best corner (5,5) is dominated by partition 0's
+    // worst corner (2,2) -> prune 1; 0 and 2 are incomparable -> kept
+    val bounds = Seq(
+      (0, 1.0, 1.0, 2.0, 2.0),
+      (1, 5.0, 5.0, 9.0, 9.0),
+      (2, 0.5, 8.0, 0.9, 9.0))
+    assert(Skyline.prunePartitions(bounds) == Set(1))
+    // mutual dominance cannot prune everything: identical corner boxes with
+    // no strict component survive
+    assert(Skyline.prunePartitions(Seq(
+      (0, 1.0, 1.0, 1.0, 1.0), (1, 1.0, 1.0, 1.0, 1.0))) == Set.empty)
+    // end-to-end: range-partitioned so one partition holds only dominated
+    // points; the result is still the exact skyline
+    import spark.implicits._
+    val pts = (1 to 50).map(i => (i.toDouble, 51.0 - i)) ++ // anti-correlated frontier
+      (1 to 50).map(i => (100.0 + i, 100.0 + i))            // far dominated cloud
+    val df = pts.toDF("x", "y").repartitionByRange(2, col("x"))
+    val got = Skyline.skyline(df, "x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == (1 to 50).map(i => (i.toDouble, 51.0 - i)).toSet)
+  }
+
   test("stSkyline: open intervals use their start; a timeless ref fails loudly") {
     import graft.functions.stf
     import spark.implicits._

@@ -175,6 +175,33 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 0 && r.getInt(1) == 0)
   }
 
+  test("z points: WKB Z round-trip, predicates stay XY, 2-D points read NULL z") {
+    // z survives the stobj struct (reference STObject(x,y,z), STObject.scala:245-248)
+    val r = spark.sql("SELECT st_z(st_point(1.0, 2.0, 3.5)), st_x(st_point(1.0, 2.0, 3.5)), " +
+      "st_y(st_point(1.0, 2.0, 3.5)), st_z(st_point(1.0, 2.0))").collect()(0)
+    assert(r.getDouble(0) == 3.5 && r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0)
+    assert(r.isNullAt(3))
+    // z survives a real exchange + parquet round trip, not just in-memory
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zpoint_spec"
+    Seq((1L, 7.25)).toDF("id", "z")
+      .select(col("id"), graft.functions.stf.st_point(lit(1.0), lit(2.0), col("z")).as("p"))
+      .repartition(2).write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+      .select(graft.functions.stf.st_z(col("p"))).collect()(0).getDouble(0)
+    assert(back == 7.25)
+    // predicate semantics: XY only — same xy, different z still intersects,
+    // and distance ignores z (documented deviation-free reference parity:
+    // its JTS-backed predicates read XY only)
+    val p = spark.sql("SELECT st_intersects(st_point(1.0,2.0,3.0), st_point(1.0,2.0,9.0)), " +
+      "st_distance(st_point(0.0,0.0,5.0), st_point(3.0,4.0,100.0))").collect()(0)
+    assert(p.getBoolean(0) && p.getDouble(1) == 5.0)
+    // WKT render keeps working on z points (JTS may print 2-D; just no crash)
+    assert(spark.sql("SELECT st_wkt(st_point(1.0, 2.0, 3.0))").collect()(0)
+      .getString(0).contains("POINT"))
+  }
+
   test("grid cells") {
     val cells = spark.sql("SELECT st_cells(st_box(5.0, 5.0, 15.0, 15.0), 10.0)")
       .collect()(0).getSeq[Long](0)

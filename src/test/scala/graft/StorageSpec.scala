@@ -165,6 +165,22 @@ class StorageSpec extends AnyFunSuite {
     assert(parted.filter(col("part_id") < 0).count() == 0)
   }
 
+  test("BSP splits a width-1 hot column on y (regression: y-loop null guard)") {
+    // all points share one cell column (cx fixed, cy spread): the bounding
+    // region has x-width 1, so the x candidate loop produces nothing and the
+    // y loop must initialize `best` itself — this used to NPE
+    import spark.implicits._
+    val pts = (0 until 400).map(i => (50.0, i * 10.0)).toDF("px", "py")
+    val maxCost = 50L
+    val regions = Partitioners.bspRegions(pts, col("px"), col("py"), 100.0, maxCost)
+    assert(regions.size > 1, s"expected y splits, got $regions")
+    regions.foreach { r =>
+      assert(r.x1 - r.x0 == 1, s"unexpected x extent: $r")
+      assert(r.cost <= maxCost || (r.y1 - r.y0) == 1, s"oversized splittable region: $r")
+    }
+    assert(regions.map(_.cost).sum == 400L)
+  }
+
   test("grid + spatio-temporal partition keys are stable") {
     val e = Tables.eventPts(spark, "/root/testdata/sf0.001")
     val parted = Partitioners.spatioTemporalPartition(e, col("e_geo"),

@@ -28,4 +28,100 @@ class VisualizeSpec extends AnyFunSuite {
       if (img.getRaster.getSample(x, y, 0) > 0) lit0 += 1
     assert(lit0 == 0)
   }
+
+  private def inked(wkt: String, fill: Boolean = false, pointSize: Int = 1,
+                    w: Int = 10, h: Int = 10): Set[(Int, Int)] = {
+    import spark.implicits._
+    val df = Seq(wkt).toDF("wkt")
+      .select(graft.functions.stf.st_geomfromwkt(col("wkt")).as("g"))
+    Visualize.geomBins(df, col("g"), 0.0, 0.0, w.toDouble, h.toDouble, w, h,
+        fill, pointSize)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+  }
+
+  test("geomBins: diagonal linestring inks the Bresenham pixels") {
+    assert(inked("LINESTRING (0.5 0.5, 4.5 4.5)") ==
+      Set((0, 0), (1, 1), (2, 2), (3, 3), (4, 4)))
+  }
+
+  test("geomBins: polygon outline inks the pixel-rect border") {
+    val got = inked("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    val border = (for (x <- 1 to 3; y <- 1 to 3 if x == 1 || x == 3 || y == 1 || y == 3)
+      yield (x, y)).toSet
+    assert(got == border, s"got $got")
+  }
+
+  test("geomBins: filled polygon inks interior pixel centers (even-odd)") {
+    // box (1,1)-(3,3): centers (px+0.5, py+0.5) strictly inside => px,py in {1,2}
+    assert(inked("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", fill = true) ==
+      Set((1, 1), (2, 1), (1, 2), (2, 2)))
+    // right triangle (0,0)-(4,0)-(0,4): hypotenuse x = 4 - y cuts each scanline
+    assert(inked("POLYGON ((0 0, 4 0, 0 4, 0 0))", fill = true) ==
+      Set((0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (0, 2)))
+  }
+
+  test("geomBins: point dilation and canvas clipping") {
+    assert(inked("POINT (5.2 5.7)", pointSize = 2) ==
+      Set((5, 5), (6, 5), (5, 6), (6, 6)))
+    // dilation square clips at the canvas edge instead of wrapping
+    assert(inked("POINT (9.5 9.5)", pointSize = 3) == Set((9, 9)))
+    // fully off-canvas geometry inks nothing
+    assert(inked("LINESTRING (20 20, 30 25)") == Set.empty)
+  }
+
+  test("geomBins: multipolygon recurses and cnt counts overdraw") {
+    import spark.implicits._
+    // two rects sharing the (5,*) edge column: cnt = 2 there, 1 elsewhere
+    val df = Seq("POLYGON ((1 1, 5 1, 5 3, 1 3, 1 1))",
+                 "POLYGON ((5 1, 8 1, 8 3, 5 3, 5 1))").toDF("wkt")
+      .select(graft.functions.stf.st_geomfromwkt(col("wkt")).as("g"))
+    val rows = Visualize.geomBins(df, col("g"), 0.0, 0.0, 10.0, 10.0, 10, 10)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(rows((5, 1)) == 2 && rows((5, 2)) == 2 && rows((5, 3)) == 2)
+    assert(rows((1, 1)) == 1 && rows((8, 2)) == 1)
+    // same two boxes as one MULTIPOLYGON row: shared pixels dedup per row
+    val mp = Seq("MULTIPOLYGON (((1 1, 5 1, 5 3, 1 3, 1 1)), ((5 1, 8 1, 8 3, 5 3, 5 1)))")
+      .toDF("wkt").select(graft.functions.stf.st_geomfromwkt(col("wkt")).as("g"))
+    val mrows = Visualize.geomBins(mp, col("g"), 0.0, 0.0, 10.0, 10.0, 10, 10)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(mrows.values.forall(_ == 1L))
+    assert(mrows.keySet == rows.keySet)
+  }
+
+  test("renderGeomPng: ink lands at flipped y, background preserved elsewhere") {
+    import spark.implicits._
+    val df = Seq("POINT (2.5 1.5)").toDF("wkt")
+      .select(graft.functions.stf.st_geomfromwkt(col("wkt")).as("g"))
+    val bg = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (x <- 0 until 10; y <- 0 until 10) bg.setRGB(x, y, 0xFF0000FF) // blue
+    val png = Visualize.renderGeomPng(df, col("g"), 0.0, 0.0, 10.0, 10.0, 10, 10,
+      color = 0xFFFF0000, background = bg)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // world (2.5, 1.5) -> pixel (2, 1) -> image row h-1-1 = 8
+    assert(img.getRGB(2, 8) == 0xFFFF0000)
+    assert(img.getRGB(0, 0) == 0xFF0000FF)
+    assert(img.getRGB(2, 1) == 0xFF0000FF)
+  }
+
+  test("st_mercator matches the reference projection formula") {
+    import spark.implicits._
+    val (w, h) = (360, 180)
+    val df = Seq("POINT (10.0 45.0)").toDF("wkt")
+      .select(graft.functions.stf.st_mercator(
+        graft.functions.stf.st_geomfromwkt(col("wkt")), lit(w), lit(h)).as("m"))
+    val x = df.select(graft.functions.stf.st_x(col("m"))).collect()(0).getDouble(0)
+    val y = df.select(graft.functions.stf.st_y(col("m"))).collect()(0).getDouble(0)
+    // driver-side recomputation of the documented constants/formula
+    val mapLngLeft = -180.85; val mapLngDelta = 180.0 - mapLngLeft
+    val worldMapWidth = ((w / mapLngDelta) * 360.0) / (2.0 * math.Pi)
+    val latBottomRad = -82.05 * math.Pi / 180.0
+    val offY = worldMapWidth / 2.0 *
+      math.log((1.0 + math.sin(latBottomRad)) / (1.0 - math.sin(latBottomRad)))
+    val latRad = 45.0 * math.Pi / 180.0
+    val expX = (10.0 - mapLngLeft) * (w / mapLngDelta)
+    val expY = h - (worldMapWidth / 2.0 *
+      math.log((1.0 + math.sin(latRad)) / (1.0 - math.sin(latRad))) - offY)
+    assert(math.abs(x - expX) < 1e-9 && math.abs(y - expY) < 1e-9, s"($x,$y) vs ($expX,$expY)")
+  }
 }
