@@ -38,6 +38,20 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** rolling_min_fp(text) → min polynomial hash over char 5-grams (the
+  * winnowing fingerprint; formula documented at TextOps.rollingMinFp and
+  * TextAnalysis.withFingerprints). */
+case class RollingMinFp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any): Any =
+    TextOps.rollingMinFp(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.rollingMinFp($t)")
+  override protected def withNewChildInternal(c: Expression): RollingMinFp = copy(child = c)
+  override def prettyName: String = "rolling_min_fp"
+}
+
 /** minhash_sig(shingles, k) → array<long> signature. */
 case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

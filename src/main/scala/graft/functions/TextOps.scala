@@ -53,6 +53,44 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /**
+   * The winnowing fingerprint kernel: minimum of
+   * `H(i) = Σ_{j=0..4} cp(text[i+j]) · 257^(4-j)` over all character
+   * 5-grams, where `cp` is the Unicode code point (so an external SQL
+   * engine's `ascii()` of a 1-char substring reproduces it — see
+   * `TextAnalysis.withFingerprints` for the full contract). No modulus:
+   * 5 · 0x10FFFF · 257⁴ < 2⁶³, arithmetic is exact. Texts shorter than 5
+   * chars Horner-hash the whole text (`acc·257 + cp`); empty → 0.
+   *
+   * One rolling pass over code points, codegen-called — the built-in
+   * split/transform/aggregate formulation of the same formula costs
+   * ~15 interpreted expression evals per character.
+   */
+  def rollingMinFp(text: UTF8String): Long = {
+    val s = text.toString
+    val len = s.length
+    if (len == 0) return 0L
+    var best = Long.MaxValue
+    // rolling window of the last 4 code points; -1 = not yet filled
+    var a = -1L; var b = -1L; var c = -1L; var d = -1L
+    var horner = 0L
+    var cpCount = 0
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val cur = cp.toLong
+      if (a >= 0L) {
+        val h = a * 4362470401L + b * 16974593L + c * 66049L + d * 257L + cur
+        if (h < best) best = h
+      }
+      a = b; b = c; c = d; d = cur
+      horner = horner * 257L + cur
+      cpCount += 1
+      i += Character.charCount(cp)
+    }
+    if (cpCount < 5) horner else best
+  }
+
   /** |A ∩ B| of two sorted-distinct UTF8String arrays — merge walk, no
     * allocation; exact (string equality, no hashing). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {

@@ -179,34 +179,24 @@ object TextAnalysis {
    * cryptographic one. Docs shorter than 5 chars hash their whole text by
    * the same Horner rule (`acc·257 + cp`); empty text → 0; null → null.
    */
-  def withFingerprints(df: DataFrame, textCol: Column): DataFrame =
+  def withFingerprints(df: DataFrame, textCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("fp_md5", md5(textCol.cast("binary")))
       .withColumn("fp_winnow", rollingMinFp(textCol))
-
-  /** 257^4, 257^3, 257^2, 257, 1 — the 5-gram polynomial weights. */
-  private val FpW = Seq(4362470401L, 16974593L, 66049L, 257L, 1L)
-
-  /** The `fp_winnow` kernel (see [[withFingerprints]] for the formula).
-    *
-    * The text is split into a per-char array ONCE and windows index it with
-    * O(1) `element_at` — `substr(text, i, 1)` per position would be an O(i)
-    * UTF8 seek each call, turning the map quadratic in document length
-    * (measured 4× slower than even the md5 variant at sf0.1). Window
-    * positions come from `length(text)` (char count), never `size(cps)`,
-    * because Java's -1-limit regex split keeps a trailing empty element. */
-  def rollingMinFp(text: Column): Column = {
-    val cps = transform(split(text, ""), c => ascii(c).cast("long"))
-    val window = (i: Column) =>
-      FpW.zipWithIndex.map { case (w, j) => element_at(cps, i + j) * w }.reduce(_ + _)
-    when(text.isNull, lit(null).cast("long"))
-      .when(length(text) === 0, lit(0L))
-      // Horner over the whole (short) text — sequence(1, len) is safe here
-      // because len >= 1 (the len==0 arm already matched)
-      .when(length(text) < 5,
-        aggregate(sequence(lit(1), length(text)), lit(0L),
-          (acc, i) => acc * 257L + element_at(cps, i)))
-      .otherwise(array_min(transform(sequence(lit(1), length(text) - 4), window)))
   }
+
+  /** The `fp_winnow` kernel: one codegen'd rolling pass
+    * ([[graft.functions.TextOps.rollingMinFp]] holds the loop and the
+    * formula constants). A built-in-functions formulation of the same
+    * formula is a trap here: referencing the char array inside a
+    * per-window lambda — `element_at(cps, i+j)` over `sequence(...)`, or
+    * `substr(text, i, 1)` (an O(i) UTF8 seek) — re-evaluates the array
+    * expression per lookup, because Spark's subexpression elimination never
+    * hoists out of higher-order-function lambdas; both variants measured
+    * O(len²) per document. Requires [[graft.functions.GraftFunctions]]
+    * registration (done by [[withFingerprints]]). */
+  def rollingMinFp(text: Column): Column =
+    graft.functions.stf.rolling_min_fp(text)
 
   /**
    * Corpus vocabulary, top `k` tokens by frequency (ties by token) — the

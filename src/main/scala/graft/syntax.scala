@@ -75,7 +75,10 @@ object syntax {
       graft.sources.IndexStore.knn(df.sparkSession, indexPath, qx, qy, k, tieBreak)
 
     // ---- kNN family (reference Plain:112-252) ----
-    def stKnn(geo: Column, qry: Column, k: Int): DataFrame = KNN.knn(df, geo, qry, k)
+    def stKnn(geo: Column, qry: Column, k: Int,
+              distFn: (Column, Column) => Column =
+                graft.functions.stf.st_centroid_distance): DataFrame =
+      KNN.knn(df, geo, qry, k, distFn = distFn)
     def stKnnJoin(other: DataFrame, geoName: String, otherGeoName: String,
                   idName: String, k: Int): DataFrame =
       KNN.knnJoin(df, other, geoName, otherGeoName, idName, k)
@@ -104,6 +107,14 @@ object syntax {
     def stJoinRasterIntersecting(other: DataFrame, cellSize: Double,
                                  combine: (Column, Column) => Column): DataFrame =
       Raster.joinRasterIntersecting(df, other, cellSize, combine)
+
+    // ---- visualization (reference visualize()) ----
+    def stVizBins(x: Column, y: Column, x0: Double, y0: Double, x1: Double, y1: Double,
+                  w: Int, h: Int): DataFrame =
+      Visualize.bins(df, x, y, x0, y0, x1, y1, w, h)
+    def stVizGeomBins(geo: Column, x0: Double, y0: Double, x1: Double, y1: Double,
+                      w: Int, h: Int, fill: Boolean = false, pointSize: Int = 1): DataFrame =
+      Visualize.geomBins(df, geo, x0, y0, x1, y1, w, h, fill, pointSize)
 
     // ---- training-data ops ----
     def dedupExact(id: Column, text: Column): DataFrame = Dedup.exact(df, id, text)
