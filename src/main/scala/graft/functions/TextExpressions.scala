@@ -38,6 +38,19 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** repetition_stats(text) → [n_tokens, distinct 2-grams, distinct 3-grams,
+  * max token frequency] in one kernel pass (TextOps.repetitionStats). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any): Any =
+    TextOps.repetitionStats(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.repetitionStats($t)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** rolling_min_fp(text) → min polynomial hash over char 5-grams (the
   * winnowing fingerprint; formula documented at TextOps.rollingMinFp and
   * TextAnalysis.withFingerprints). */

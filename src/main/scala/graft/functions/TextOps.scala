@@ -54,6 +54,45 @@ object TextOps {
   }
 
   /**
+   * One-pass corpus-repetition statistics over a single-space-tokenized
+   * text: `[n_tokens, distinct 2-grams, distinct 3-grams, max token
+   * frequency]` as array<long>. Pure counting — the rational e6-scaled
+   * scores stay in SQL so the external oracle reproduces them
+   * bit-for-bit (see `TextAnalysis.withRepetition`). Consolidates what
+   * was two shingle-set builds plus an interpreted sort-scan aggregate
+   * into one tokenize + three hash passes.
+   */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val words = text.split(SPACE, -1)
+    val n = words.length
+    val freq = new java.util.HashMap[UTF8String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = freq.merge(words(i), Integer.valueOf(1),
+        (x: Integer, y: Integer) => Integer.valueOf(x.intValue + y.intValue))
+      if (c.intValue > top) top = c.intValue
+      i += 1
+    }
+    def distinctGrams(g: Int): Int = {
+      val cnt = n - (g - 1)
+      if (cnt <= 0) return 0
+      val set = new java.util.HashSet[UTF8String]()
+      val window = new Array[UTF8String](g)
+      var i = 0
+      while (i < cnt) {
+        var w = 0
+        while (w < g) { window(w) = words(i + w); w += 1 }
+        set.add(UTF8String.concatWs(SPACE, window: _*))
+        i += 1
+      }
+      set.size
+    }
+    new GenericArrayData(Array[Any](n.toLong, distinctGrams(2).toLong,
+      distinctGrams(3).toLong, top.toLong))
+  }
+
+  /**
    * The winnowing fingerprint kernel: minimum of
    * `H(i) = Σ_{j=0..4} cp(text[i+j]) · 257^(4-j)` over all character
    * 5-grams, where `cp` is the Unicode code point (so an external SQL

@@ -107,30 +107,25 @@ object TextAnalysis {
    * than n words score 0.
    */
   def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
-    val ws = tokens(textCol)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // one codegen'd kernel pass collects [n_tokens, distinct 2-grams,
+    // distinct 3-grams, max token frequency]; only the rational e6 math —
+    // the part the SQL oracle recomputes — stays in built-ins. The earlier
+    // formulation (two shingle-set builds + an interpreted sort-scan
+    // aggregate for the top-token run) cost ~6× more per document.
+    val st = graft.functions.stf.repetition_stats(textCol)
     def e6(num: Column, den: Column): Column =
       ((num * 1000000L - pmod(num * 1000000L, den)) / den).cast("long")
+    val nTok = element_at(st, 1)
     def dupFrac(n: Int): Column = {
-      val total = (size(ws) - (n - 1)).cast("long")
-      val distinctN = size(shingles(textCol, n)).cast("long")
+      val total = nTok - (n - 1)
+      val distinctN = element_at(st, n) // slot 2 = 2-grams, slot 3 = 3-grams
       when(total > 0, e6(total - distinctN, total)).otherwise(0L)
     }
-    // longest equal run of the sorted tokens = max token frequency in
-    // O(n log n) — the distinct×filter formulation is quadratic on
-    // high-diversity documents (every token distinct)
-    val topCnt = aggregate(
-      array_sort(ws),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, w) => {
-        val run = when(acc.getField("prev") <=> w, acc.getField("run") + 1L).otherwise(1L)
-        struct(w.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
     df.withColumn("dup_2gram_e6", dupFrac(2))
       .withColumn("dup_3gram_e6", dupFrac(3))
       .withColumn("top_token_e6",
-        when(size(ws) > 0, e6(topCnt, size(ws).cast("long"))).otherwise(0L))
+        when(nTok > 0, e6(element_at(st, 4), nTok)).otherwise(0L))
   }
 
   /** Marker words per language for the n-gram/stopword language-ID heuristic. */
