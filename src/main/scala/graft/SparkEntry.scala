@@ -570,6 +570,21 @@ object SparkEntry {
         .orderBy(col("px"), col("py"))
     }),
 
+    // raster visualization half: rasterize events at pixelWidth=16, then
+    // bin the tile pixels onto a 32x32 canvas over [0,512)^2 — the canvas
+    // grid coincides with the raster grid (pixel centers at multiples of
+    // 16 plus 8, exact in doubles), so each canvas pixel holds exactly the
+    // per-cell count and the oracle is the q60 histogram with v = cnt.
+    "q70_viz_raster" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"),
+        pixelWidth = 16.0, tileW = 8, tileH = 8)
+      // tiles are dense (zero-filled empty pixels); the oracle histogram
+      // only has occupied cells, so gate on v > 0
+      Visualize.rasterBins(tiles, 0.0, 0.0, 512.0, 512.0, 32, 32)
+        .filter(col("v") > 0)
+        .orderBy(col("px"), col("py"))
+    }),
+
     // 3-D point round trip: z rides the WKB through construction and the
     // accessors read back exactly the source columns — the driver-level
     // proof of the z-coordinate surface (spec covers parquet/exchange).
@@ -1152,6 +1167,14 @@ object SparkEntry {
        "UNION ALL SELECT n_nationkey, a1 AS px, unnest(generate_series(b0, b1)) AS py FROM r)) " +
        "SELECT CAST(px AS INT) AS px, CAST(py AS INT) AS py, count(*) AS cnt " +
        "FROM px GROUP BY 1, 2 ORDER BY px, py"),
+
+    // canvas grid == raster grid at these parameters, so the raster-bin
+    // render is exactly the per-cell count histogram (see the query note)
+    "q70_viz_raster" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}) " +
+       "SELECT CAST(floor(ex/16) AS INT) AS px, CAST(floor(ey/16) AS INT) AS py, " +
+       "count(*) AS v FROM epts WHERE ex >= 0 AND ex < 512 AND ey >= 0 AND ey < 512 " +
+       "GROUP BY 1, 2 ORDER BY px, py"),
 
     // micros-since-epoch < 2^53, so the double z is exact on both engines
     "q69_z_roundtrip" ->

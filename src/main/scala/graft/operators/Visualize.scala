@@ -94,6 +94,55 @@ object Visualize {
   }
 
   /**
+   * Distributed half of the reference's RASTER visualization
+   * (Visualization.java drawRaster/drawRasterInt, :129-208): each tile
+   * data pixel lands on the canvas at its WORLD position (tile ulx/uly +
+   * pixel_width; pixel centers, [[Raster]] grid contract), canvas pixels
+   * aggregate `max(value)` over covering data pixels (deterministic under
+   * tile overlap). Deliberate fix, not copied: the reference draws every
+   * tile at its LOCAL (x, y) image coordinates, so all tiles overdraw the
+   * canvas origin — tile position is plainly intended to matter.
+   * One narrow posexplode + the same groupBy-pixel shuffle as [[bins]].
+   */
+  def rasterBins(tiles: DataFrame, x0: Double, y0: Double, x1: Double, y1: Double,
+                 w: Int, h: Int): DataFrame = {
+    val sx = w / (x1 - x0)
+    val sy = h / (y1 - y0)
+    val t = tiles.select(col("ulx"), col("uly"), col("width"), col("pixel_width"),
+      posexplode(col("data")).as(Seq("__i", "__v")))
+    val c = pmod(col("__i"), col("width"))
+    val r = floor(col("__i") / col("width"))
+    val wx = col("ulx") + (c + 0.5) * col("pixel_width")
+    val wy = col("uly") - (r + 0.5) * col("pixel_width")
+    t.filter(wx >= x0 && wx < x1 && wy >= y0 && wy < y1)
+      .select(
+        least(greatest(floor((wx - x0) * sx).cast("int"), lit(0)), lit(w - 1)).as("px"),
+        least(greatest(floor((wy - y0) * sy).cast("int"), lit(0)), lit(h - 1)).as("py"),
+        col("__v").as("v"))
+      .groupBy(col("px"), col("py")).agg(max(col("v")).as("v"))
+  }
+
+  /**
+   * Render tiles to a grayscale PNG: intensity = value linearly normalized
+   * to the canvas max (the reference's fixed 255-color palette is an
+   * arbitrary aesthetic table; the mechanism — value-colored raster canvas
+   * — is what carries over). Same world/canvas mapping as [[rasterBins]].
+   */
+  def renderRasterPng(tiles: DataFrame, x0: Double, y0: Double, x1: Double, y1: Double,
+                      w: Int, h: Int): Array[Byte] = {
+    val binsArr = rasterBins(tiles, x0, y0, x1, y1, w, h).collect()
+    val maxV = if (binsArr.isEmpty) 1.0 else math.max(binsArr.map(_.getLong(2)).max.toDouble, 1.0)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    binsArr.foreach { r =>
+      val v = (255.0 * r.getLong(2) / maxV).toInt
+      img.getRaster.setSample(r.getInt(0), h - 1 - r.getInt(1), 0, v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /**
    * Render points to a grayscale PNG: intensity = log-scaled point count
    * per pixel. World rectangle [x0,x1)×[y0,y1) maps to w×h pixels, y up.
    */

@@ -115,6 +115,9 @@ object syntax {
     def stVizGeomBins(geo: Column, x0: Double, y0: Double, x1: Double, y1: Double,
                       w: Int, h: Int, fill: Boolean = false, pointSize: Int = 1): DataFrame =
       Visualize.geomBins(df, geo, x0, y0, x1, y1, w, h, fill, pointSize)
+    def stVizRasterBins(x0: Double, y0: Double, x1: Double, y1: Double,
+                        w: Int, h: Int): DataFrame =
+      Visualize.rasterBins(df, x0, y0, x1, y1, w, h)
 
     // ---- training-data ops ----
     def dedupExact(id: Column, text: Column): DataFrame = Dedup.exact(df, id, text)

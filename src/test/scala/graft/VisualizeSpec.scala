@@ -88,6 +88,31 @@ class VisualizeSpec extends AnyFunSuite {
     assert(mrows.keySet == rows.keySet)
   }
 
+  test("rasterBins places tile pixels at their WORLD position (not the reference's origin overdraw)") {
+    import spark.implicits._
+    // one 2x2 tile anchored at ulx=4, uly=8, pixel_width=2: data row-major
+    // from top — pixel (r=0,c=0)=10 covers x[4,6) y[6,8) -> center (5,7);
+    // (r=1,c=1)=40 covers x[6,8) y[4,6) -> center (7,5)
+    val tile = Seq((4.0, 8.0, 2, 2, 2.0, Seq(10L, 20L, 30L, 40L)))
+      .toDF("ulx", "uly", "width", "height", "pixel_width", "data")
+    // canvas [0,8)^2 at 8x8: canvas pixel == 1 world unit
+    val got = operators.Visualize.rasterBins(tile, 0.0, 0.0, 8.0, 8.0, 8, 8)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == Map((5, 7) -> 10L, (7, 7) -> 20L, (5, 5) -> 30L, (7, 5) -> 40L), got.toString)
+    // overlapping tiles: canvas pixel keeps the max value
+    val two = Seq(
+      (0.0, 2.0, 1, 1, 2.0, Seq(3L)),
+      (0.0, 2.0, 1, 1, 2.0, Seq(9L))).toDF("ulx", "uly", "width", "height", "pixel_width", "data")
+    val m = operators.Visualize.rasterBins(two, 0.0, 0.0, 2.0, 2.0, 1, 1)
+      .collect().map(r => r.getLong(2))
+    assert(m.toSeq == Seq(9L))
+    // PNG render: brightest pixel at the max-value position, decodable
+    val png = operators.Visualize.renderRasterPng(tile, 0.0, 0.0, 8.0, 8.0, 8, 8)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getRaster.getSample(7, 8 - 1 - 5, 0) == 255) // v=40 -> full intensity
+    assert(img.getRaster.getSample(5, 8 - 1 - 7, 0) == (255 * 10 / 40))
+  }
+
   test("renderGeomPng: ink lands at flipped y, background preserved elsewhere") {
     import spark.implicits._
     val df = Seq("POINT (2.5 1.5)").toDF("wkt")
