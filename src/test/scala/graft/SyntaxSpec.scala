@@ -58,6 +58,47 @@ class SyntaxSpec extends AnyFunSuite {
     assert(clustered.count() == c.count())
   }
 
+  test("README end-to-end corpus pipeline runs deterministically through the fluent API") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    // benchmark docs need >= minOverlap distinct 3-grams to be detectable;
+    // a benchmark is its own table, so give it its own id space (the
+    // operator deliberately ignores same-id pairs for bench-within-corpus
+    // use) — negated ids keep the provenance readable
+    val benchSrc = docs0.filter(size(split(col("text"), " ")) > 30).limit(5)
+    val bench = benchSrc.select((-col("doc_id")).as("bench_id"), col("text"))
+    def run() = {
+      val deduped = docs0.dropNearDuplicates(col("doc_id"), col("text"))
+        .join(Pipeline.contaminationPairs(docs0, col("doc_id"), col("text"),
+            bench, col("bench_id"), col("text"))
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val sized = TextAnalysis.withTokenStats(deduped, col("text"))
+      sized
+        .tokenBudgetPerGroup(col("source"), col("doc_id"), col("n_tokens"), budget = 2000L)
+        .sampleByRate(col("source"), col("doc_id"), salt = "mix-v1",
+          rates = Map("src3" -> 0.0), default = 1.0)
+        .assignSplit(col("doc_id"), salt = "v1",
+          fractions = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+        .chunkTokens(col("text"), size = 64, stride = 64)
+        // chunk ids are (doc_id, copy, chunk_id); shuffle on the composite
+        .epochShuffle(concat_ws(":", col("doc_id"), col("copy"), col("chunk_id")), "epoch0")
+        .packSequences(col("source"), col("shuffle_rank"), col("chunk_tokens"),
+          budget = 256L)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("chunk_id"), col("bin"), col("bin_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = snap(run())
+    assert(a.nonEmpty)
+    // the whole chain is deterministic: a rerun builds the identical corpus
+    assert(snap(run()) == a)
+    // decontamination removed the corpus twins of the benchmark docs
+    val benchIds = benchSrc.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a.forall { case (id, _, _, _) => !benchIds.contains(id) })
+    // packing respects the context-window budget
+    assert(a.forall { case (_, _, _, off) => off >= 0 && off < 256 })
+  }
+
   test("round-5 fluent surface: quantile gate, dup spans, span store, dup rate") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val q = graft.operators.TextAnalysis.withQuality(docs, col("text"))
