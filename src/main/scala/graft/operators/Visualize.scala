@@ -19,6 +19,25 @@ import javax.imageio.ImageIO
  */
 object Visualize {
 
+  /** Encode for the reference's `outputType` parameter (Visualization.java
+    * :210-220 writes png/jpg via ImageIO). JPEG writers reject or mangle
+    * alpha, so ARGB canvases flatten onto opaque black first; an unknown
+    * format fails loudly instead of returning an empty byte array. */
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val flat =
+      if (format.equalsIgnoreCase("png") || img.getType != BufferedImage.TYPE_INT_ARGB) img
+      else {
+        val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+        val g = rgb.getGraphics
+        g.drawImage(img, 0, 0, null)
+        g.dispose()
+        rgb
+      }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(flat, format, out), s"no image writer for format '$format'")
+    out.toByteArray
+  }
+
   /**
    * The distributed half of the sink on its own: per-pixel point counts
    * (`px`, `py`, `cnt`) for points inside [x0,x1)×[y0,y1) on a w×h grid —
@@ -75,7 +94,7 @@ object Visualize {
                     x0: Double, y0: Double, x1: Double, y1: Double,
                     w: Int, h: Int, fill: Boolean = false, pointSize: Int = 1,
                     color: Int = 0xFFFF0000, background: BufferedImage = null,
-                    flipY: Boolean = true): Array[Byte] = {
+                    flipY: Boolean = true, format: String = "png"): Array[Byte] = {
     val inked = geomBins(df, geo, x0, y0, x1, y1, w, h, fill, pointSize).collect()
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
     if (background != null) {
@@ -88,9 +107,7 @@ object Visualize {
       val iy = if (flipY) h - 1 - r.getInt(1) else r.getInt(1)
       img.setRGB(ix, iy, color)
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    encode(img, format)
   }
 
   /**
@@ -129,7 +146,7 @@ object Visualize {
    * — is what carries over). Same world/canvas mapping as [[rasterBins]].
    */
   def renderRasterPng(tiles: DataFrame, x0: Double, y0: Double, x1: Double, y1: Double,
-                      w: Int, h: Int): Array[Byte] = {
+                      w: Int, h: Int, format: String = "png"): Array[Byte] = {
     val binsArr = rasterBins(tiles, x0, y0, x1, y1, w, h).collect()
     val maxV = if (binsArr.isEmpty) 1.0 else math.max(binsArr.map(_.getLong(2)).max.toDouble, 1.0)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -137,9 +154,7 @@ object Visualize {
       val v = (255.0 * r.getLong(2) / maxV).toInt
       img.getRaster.setSample(r.getInt(0), h - 1 - r.getInt(1), 0, v)
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    encode(img, format)
   }
 
   /**
@@ -148,7 +163,7 @@ object Visualize {
    */
   def renderPng(df: DataFrame, xCol: Column, yCol: Column,
                 x0: Double, y0: Double, x1: Double, y1: Double,
-                w: Int, h: Int): Array[Byte] = {
+                w: Int, h: Int, format: String = "png"): Array[Byte] = {
     val bins = Visualize.bins(df, xCol, yCol, x0, y0, x1, y1, w, h).collect()
 
     val maxC = if (bins.isEmpty) 1.0 else bins.map(_.getLong(2)).max.toDouble
@@ -159,8 +174,6 @@ object Visualize {
       val v = (255.0 * math.log1p(r.getLong(2)) / math.log1p(maxC)).toInt
       img.getRaster.setSample(ix, iy, 0, v)
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    encode(img, format)
   }
 }

@@ -85,4 +85,37 @@ class PropertySpec extends AnyFunSuite {
       assert(GeoOps.centroidDistance(a, a) == 0.0)
     }
   }
+
+  test("text kernels match naive reference implementations on random inputs") {
+    import graft.functions.TextOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val trnd = new scala.util.Random(7)
+    // alphabet includes the token separator and a multi-byte char so the
+    // code-point walk and the split path both get exercised
+    val alphabet = "ab z.é"
+    def randText(): String =
+      (0 until trnd.nextInt(40)).map(_ => alphabet(trnd.nextInt(alphabet.length))).mkString
+    def naiveFp(s: String): Long = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      if (cps.length == 0) 0L
+      else if (cps.length < 5) cps.foldLeft(0L)((acc, c) => acc * 257L + c)
+      else (0 to cps.length - 5).map { i =>
+        cps(i) * 4362470401L + cps(i + 1) * 16974593L + cps(i + 2) * 66049L +
+          cps(i + 3) * 257L + cps(i + 4)
+      }.min
+    }
+    def naiveRep(s: String): Seq[Long] = {
+      val ws = s.split(" ", -1).toSeq
+      def grams(g: Int) = (0 to ws.length - g).map(i => ws.slice(i, i + g).mkString(" ")).distinct.size
+      Seq(ws.length.toLong, grams(2).toLong, grams(3).toLong,
+        ws.groupBy(identity).values.map(_.size).max.toLong)
+    }
+    (0 until 300).foreach { _ =>
+      val s = randText()
+      val u = UTF8String.fromString(s)
+      assert(TextOps.rollingMinFp(u) == naiveFp(s), s"fp mismatch on '$s'")
+      val st = TextOps.repetitionStats(u)
+      assert((0 until 4).map(st.getLong) == naiveRep(s), s"rep mismatch on '$s'")
+    }
+  }
 }

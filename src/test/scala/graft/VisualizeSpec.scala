@@ -129,6 +129,22 @@ class VisualizeSpec extends AnyFunSuite {
     assert(img.getRGB(2, 1) == 0xFF0000FF)
   }
 
+  test("outputType parity: jpg renders decode; unknown formats fail loudly") {
+    import spark.implicits._
+    val df = Seq("POINT (2.5 1.5)").toDF("wkt")
+      .select(graft.functions.stf.st_geomfromwkt(col("wkt")).as("g"))
+    // ARGB canvas flattens for the jpeg writer instead of erroring
+    val jpg = Visualize.renderGeomPng(df, col("g"), 0.0, 0.0, 10.0, 10.0, 10, 10,
+      format = "jpg")
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null && img.getWidth == 10 && img.getHeight == 10)
+    val e = intercept[IllegalArgumentException] {
+      Visualize.renderGeomPng(df, col("g"), 0.0, 0.0, 10.0, 10.0, 10, 10,
+        format = "not-a-format")
+    }
+    assert(e.getMessage.contains("no image writer"), e.getMessage)
+  }
+
   test("st_mercator matches the reference projection formula") {
     import spark.implicits._
     val (w, h) = (360, 180)
