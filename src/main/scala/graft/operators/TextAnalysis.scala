@@ -46,16 +46,25 @@ object TextAnalysis {
    */
   def chunkTokens(df: DataFrame, textCol: Column, size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0, s"size/stride must be positive, got $size/$stride")
-    val ws = tokens(textCol)
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__toks") || c.equalsIgnoreCase("__chunk_start")),
+      "chunkTokens: input must not contain columns named __toks/__chunk_start")
+    // the token array is PINNED as a column below the explode: computed
+    // expressions referenced above a Generate stay attributes (CollapseProject
+    // does not cross Generate), so each chunk row slices the array in O(1)
+    // instead of re-running the regex split — per-chunk slice(tokens(text))
+    // would make a long document cost O(n_tokens²/stride)
+    val withToks = df.withColumn("__toks", tokens(textCol))
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
     // starts = 0, stride, 2·stride, … <= n-1  (split("") is [""], so n >= 1)
-    val starts = sequence(lit(0), greatest(org.apache.spark.sql.functions.size(ws) - 1, lit(0)), lit(stride))
-    df.withColumn("__chunk_start", explode(starts))
+    withToks
+      .withColumn("__chunk_start", explode(sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))))
       .withColumn("chunk_id", (col("__chunk_start") / stride).cast("long"))
       .withColumn("chunk_text",
-        array_join(slice(ws, col("__chunk_start") + 1, lit(size)), " "))
+        array_join(slice(col("__toks"), col("__chunk_start") + 1, lit(size)), " "))
       .withColumn("chunk_tokens",
-        org.apache.spark.sql.functions.size(slice(ws, col("__chunk_start") + 1, lit(size))).cast("long"))
-      .drop("__chunk_start")
+        org.apache.spark.sql.functions.size(slice(col("__toks"), col("__chunk_start") + 1, lit(size))).cast("long"))
+      .drop("__chunk_start", "__toks")
   }
 
   /** BPE-ish subword count heuristic: whitespace tokens + extra splits at

@@ -77,6 +77,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window keyed on a non-document column (shingle-skew hazard): $windows")
   }
 
+  test("chunkTokens: the regex split runs once below the explode, not per chunk") {
+    // the token array must be a pinned column under the Generate — a
+    // per-chunk slice(split(text)) re-splits the whole document for every
+    // chunk row (O(n_tokens²/stride) on long documents)
+    val chunked = TextAnalysis.chunkTokens(docs, col("text"), 64, 64)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("chunk_tokens"))
+    val plan = formatted(chunked)
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits == 1, s"expected exactly one split() in the plan, got $splits:\n$plan")
+  }
+
   test("vocabTopK: top-k is TakeOrdered, not a global sort") {
     val v = TextAnalysis.vocabTopK(docs, col("text"), 50)
     assert(formatted(v).contains("TakeOrderedAndProject"), formatted(v))
