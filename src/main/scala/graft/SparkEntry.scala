@@ -684,6 +684,18 @@ object SparkEntry {
         "ON st_contains(n_geo, c_geo) ORDER BY n_nationkey, c_custkey")
     }),
 
+    // the pure-SQL planner path for WITHIN-DISTANCE joins: SQL text with a
+    // constant-radius st_within_distance condition; SpatialJoinRule
+    // rewrites it to the radius-expanded cell hash join — same pairs as
+    // q4, arriving through Catalyst.
+    "q71_sql_distance_join" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.supplierPts(s, dir).createOrReplaceTempView("graft_spts")
+      Tables.customerPts(s, dir).createOrReplaceTempView("graft_cpts")
+      s.sql("SELECT s_suppkey, c_custkey FROM graft_spts JOIN graft_cpts " +
+        "ON st_within_distance(s_geo, c_geo, 50.5) ORDER BY s_suppkey, c_custkey")
+    }),
+
     // interval-tree live index (reference IntervalTree1 over JTS
     // SortedPackedIntervalRTree): same pairs as the declarative q42.
     "q50_interval_join_indexed" -> ((s, dir) => {
@@ -1233,6 +1245,12 @@ object SparkEntry {
     "q58_knn_store" -> knn20OracleSql,
 
     "q57_sql_join" -> boxJoinOracleSql,
+
+    "q71_sql_distance_join" ->
+      (s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT s_suppkey, c_custkey FROM spts, cpts " +
+       "WHERE sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)) <= 50.5 " +
+       "ORDER BY s_suppkey, c_custkey"),
 
     "q50_interval_join_indexed" -> intervalJoinOracleSql,
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GeoOps, STCells, STRefCell, STRelate}
+import graft.functions.{GeoOps, STCells, STRefCell, STRelate, STWithinDistance}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -49,11 +49,23 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // the spatial predicate may be one conjunct among several — extract
       // it, rewrite, and carry the remaining conjuncts along unchanged
       val conjuncts = splitConjunctivePredicates(cond)
-      // bind the first rewritable spatial conjunct with its resolved sides
+      // bind the first rewritable spatial conjunct with its resolved sides;
+      // within-distance joins rewrite too (radius-expanded left cells, the
+      // SpatialJoin.distanceJoin recipe) when the distance folds to a
+      // constant — a per-row distance can't pick a cell radius up front
       val found = conjuncts.zipWithIndex.collectFirst(Function.unlift {
         case (p: STRelate, i) if p.deterministic &&
             p.left.references.nonEmpty && p.right.references.nonEmpty =>
-          sidesResolved(p, left, right).map { case (le, re) => (p, i, le, re) }
+          sidesResolved(p.left, p.right, left, right).map {
+            case (le, re) => (p: Expression, i, le, re, 0.0) }
+        case (p: STWithinDistance, i) if p.deterministic && p.third.foldable &&
+            p.first.references.nonEmpty && p.second.references.nonEmpty =>
+          val d = p.third.eval()
+          if (d == null || d.asInstanceOf[Double] < 0) None
+          else sidesResolved(p.first, p.second, left, right).map {
+            // within-distance is symmetric, so a side swap leaves the
+            // predicate untouched; the radius expansion follows `le`
+            case (le, re) => (p: Expression, i, le, re, d.asInstanceOf[Double]) }
         case _ => None
       })
       // an st_ref_cell conjunct means this join is already rewritten — the
@@ -66,20 +78,24 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       }
       if (found.isEmpty || alreadyRewritten) j
       else {
-        val (pred, spatialIdx, le, re) = found.get
+        val (pred, spatialIdx, le, re, radius) = found.get
         val rest = conjuncts.patch(spatialIdx, Nil, 1)
-        val cs = Literal(cellSize)
+        // a radius larger than the cell floors the cell size so the expanded
+        // envelope replicates onto a bounded ring (same floor the operator
+        // API applies)
+        val cs = Literal(math.max(cellSize, radius))
+        val rad = Literal(radius)
         val zero = Literal(0.0)
 
         val cellL = AttributeReference("__gcell_l", LongType, nullable = false)()
         val cellR = AttributeReference("__gcell_r", LongType, nullable = false)()
-        val genL = Generate(Explode(STCells(le, cs, zero)), Nil, outer = false,
+        val genL = Generate(Explode(STCells(le, cs, rad)), Nil, outer = false,
           qualifier = None, generatorOutput = Seq(cellL), child = left)
         val genR = Generate(Explode(STCells(re, cs, zero)), Nil, outer = false,
           qualifier = None, generatorOutput = Seq(cellR), child = right)
 
         val newCond = (EqualTo(cellL, cellR) +: pred +:
-          STRefCell(Seq(le, re, cs, cellL, zero)) +: rest).reduce(And)
+          STRefCell(Seq(le, re, cs, cellL, rad)) +: rest).reduce(And)
         Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
       }
   }
@@ -87,9 +103,9 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   /** The predicate's two arguments must reference opposite join sides
     * (either order — reference StarkStrategy.scala:33-45 does the same
     * resolution dance). Returns (left-side expr, right-side expr). */
-  private def sidesResolved(pred: STRelate, left: LogicalPlan, right: LogicalPlan)
+  private def sidesResolved(a: Expression, b: Expression,
+                            left: LogicalPlan, right: LogicalPlan)
       : Option[(Expression, Expression)] = {
-    val a = pred.left; val b = pred.right
     if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
       Some((a, b))
     else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))

@@ -57,6 +57,31 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(got == rewritten && got.nonEmpty)
   }
 
+  test("SQL join on st_within_distance rewrites to a hash join, results == BNLJ") {
+    Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")
+    Tables.supplierPts(spark, dir).createOrReplaceTempView("spts")
+    val sql = "SELECT c_custkey, s_suppkey FROM cpts JOIN spts " +
+      "ON st_within_distance(c_geo, s_geo, 25.0)"
+    def keyPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withRule = spark.sql(sql)
+    val plan = withRule.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    val rewritten = keyPairs(withRule)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Nil
+      assert(keyPairs(spark.sql(sql)) == rewritten)
+    } finally spark.experimental.extraOptimizations = saved
+    assert(rewritten.nonEmpty)
+    // a NON-constant distance cannot pick a cell radius — no rewrite, but
+    // the join still answers (nested loop)
+    val dyn = spark.sql("SELECT c_custkey, s_suppkey FROM cpts JOIN spts " +
+      "ON st_within_distance(c_geo, s_geo, CAST(c_custkey % 10 AS DOUBLE))")
+    assert(dyn.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("swapped argument order resolves and rewrites too") {
     Tables.nationRects(spark, dir).createOrReplaceTempView("nrect")
     Tables.customerPts(spark, dir).createOrReplaceTempView("cpts")

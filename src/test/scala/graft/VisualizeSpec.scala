@@ -88,6 +88,15 @@ class VisualizeSpec extends AnyFunSuite {
     assert(mrows.keySet == rows.keySet)
   }
 
+  test("geomBins over point geometries == coordinate bins (differential)") {
+    val e = Tables.eventPts(spark, "/root/testdata/sf0.001")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val viaGeom = m(Visualize.geomBins(e, col("e_geo"), 0.0, 0.0, 512.0, 512.0, 32, 32))
+    val viaCoords = m(Visualize.bins(e, col("ex"), col("ey"), 0.0, 0.0, 512.0, 512.0, 32, 32))
+    assert(viaGeom == viaCoords && viaGeom.nonEmpty)
+  }
+
   test("rasterBins places tile pixels at their WORLD position (not the reference's origin overdraw)") {
     import spark.implicits._
     // one 2x2 tile anchored at ulx=4, uly=8, pixel_width=2: data row-major
