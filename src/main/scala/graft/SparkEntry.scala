@@ -570,6 +570,15 @@ object SparkEntry {
         .orderBy(col("px"), col("py"))
     }),
 
+    // C4-style global first-occurrence dedup, demonstrated at token
+    // granularity (sep = " "): each distinct token survives only at its
+    // first (doc_id, position); documents reassemble from survivors.
+    "q72_dedup_lines" -> ((s, dir) => {
+      Dedup.dedupLines(Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+          sep = " ")
+        .select(col("doc_id"), col("text_dedup")).orderBy(col("doc_id"))
+    }),
+
     // raster visualization half: rasterize events at pixelWidth=16, then
     // bin the tile pixels onto a 32x32 canvas over [0,512)^2 — the canvas
     // grid coincides with the raster grid (pixel centers at multiples of
@@ -1179,6 +1188,18 @@ object SparkEntry {
        "UNION ALL SELECT n_nationkey, a1 AS px, unnest(generate_series(b0, b1)) AS py FROM r)) " +
        "SELECT CAST(px AS INT) AS px, CAST(py AS INT) AS py, count(*) AS cnt " +
        "FROM px GROUP BY 1, 2 ORDER BY px, py"),
+
+    // first occurrence = min (doc_id, pos); pos < 1e6 per doc, so the
+    // packed doc_id*1e6+pos key orders identically to the Spark struct min
+    "q72_dedup_lines" ->
+      ("WITH l AS (SELECT doc_id, unnest(generate_series(1, len(string_split(text, ' ')))) AS pos, " +
+       "unnest(string_split(text, ' ')) AS line FROM documents), " +
+       "f AS (SELECT line, min(doc_id*1000000 + pos) AS fk FROM l GROUP BY line), " +
+       "k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN f ON l.line = f.line " +
+       "AND l.doc_id*1000000 + l.pos = f.fk) " +
+       "SELECT d.doc_id, COALESCE(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text_dedup " +
+       "FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id " +
+       "GROUP BY d.doc_id ORDER BY d.doc_id"),
 
     // canvas grid == raster grid at these parameters, so the raster-bin
     // render is exactly the per-cell count histogram (see the query note)

@@ -184,6 +184,51 @@ object Dedup {
   }
 
   /**
+   * C4-style global line deduplication (cf. Raffel et al.'s C4 pipeline:
+   * "we discarded all but one of any three-sentence span occurring more
+   * than once", commonly applied per line): across the WHOLE corpus, keep
+   * only the FIRST occurrence — ordered by (document id, line position) —
+   * of every distinct line, drop all later occurrences, and reassemble
+   * each document from its surviving lines in original order. Adds
+   * `text_dedup` (empty string when every line was seen earlier).
+   * `sep` splits lines and rejoins them (newline for real documents; any
+   * literal separator works — token granularity via `" "`).
+   *
+   * CONTRACT: `idCol` non-null and unique (it defines the global order and
+   * keys the reassembly join).
+   *
+   * Scale shape: one narrow posexplode; first-occurrence via a map-side
+   * combined groupBy on the line; the instance filter is a skew-splittable
+   * equi-join on the line key (a boilerplate line occurring everywhere is
+   * AQE-splittable, never one window task); reassembly groups by document
+   * (bounded by document size). No all-pairs anywhere.
+   */
+  def dedupLines(df: DataFrame, idCol: Column, textCol: Column, sep: String = "\n",
+                 outName: String = "text_dedup"): DataFrame = {
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__dl_id") || c.equalsIgnoreCase("__dl_pos") ||
+      c.equalsIgnoreCase("__dl_line") || c.equalsIgnoreCase("__dl_first") ||
+      c.equalsIgnoreCase(outName)),
+      s"dedupLines: input must not contain columns named __dl_id/__dl_pos/__dl_line/__dl_first/$outName")
+    val lines = df.select(idCol.as("__dl_id"),
+      posexplode(split(textCol, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__dl_pos", "__dl_line")))
+    val first = lines.groupBy(col("__dl_line"))
+      .agg(min(struct(col("__dl_id"), col("__dl_pos"))).as("__dl_first"))
+    val kept = lines.join(first, "__dl_line")
+      .filter(struct(col("__dl_id"), col("__dl_pos")) === col("__dl_first"))
+    val rebuilt = kept.groupBy(col("__dl_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__dl_pos").as("p"), col("__dl_line").as("l")))),
+          x => x.getField("l")),
+        sep).as(outName))
+    df.join(rebuilt, idCol === col("__dl_id"), "left")
+      .drop("__dl_id")
+      .na.fill("", Seq(outName))
+  }
+
+  /**
    * Per-group duplicate-rate report: documents, distinct fingerprints, and
    * the difference (duplicates) per group — the rollup a corpus health
    * dashboard reads. Pass any fingerprint column: `md5(text)` for exact

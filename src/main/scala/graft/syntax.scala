@@ -123,6 +123,8 @@ object syntax {
     def dedupExact(id: Column, text: Column): DataFrame = Dedup.exact(df, id, text)
     def nearDupPairs(id: Column, text: Column): DataFrame =
       Dedup.minhashLshPairs(df, id, text)
+    def dedupLines(id: Column, text: Column, sep: String = "\n"): DataFrame =
+      Dedup.dedupLines(df, id, text, sep)
     def dropNearDuplicates(id: Column, text: Column): DataFrame =
       Dedup.dropNearDuplicates(df, id, text)
     def annTopK(queries: DataFrame, id: Column, qid: Column,

@@ -199,6 +199,26 @@ class DedupSpec extends AnyFunSuite {
     assert(up == 3) // NASA | A | 1
   }
 
+  test("dedupLines keeps the global first occurrence of each line, rebuilds in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\nc"),
+      (2L, "b\nd"),
+      (3L, "c\na\ne"),
+      (4L, "a\nb")).toDF("id", "t")
+    val got = Dedup.dedupLines(docs, col("id"), col("t"))
+      .select(col("id"), col("text_dedup")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // first occurrences: a@(1,0) b@(1,1) c@(1,2) d@(2,1) e@(3,2)
+    assert(got == Map(1L -> "a\nb\nc", 2L -> "d", 3L -> "e", 4L -> ""))
+    // separator generality: token granularity over spaces
+    val tok = Dedup.dedupLines(Seq((1L, "x y x"), (2L, "y z")).toDF("id", "t"),
+        col("id"), col("t"), sep = " ")
+      .select(col("id"), col("text_dedup")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(tok == Map(1L -> "x y", 2L -> "z"))
+  }
+
   test("rollingMinFp matches the documented polynomial formula exactly") {
     import spark.implicits._
     // reference implementation of the documented formula, on the driver
