@@ -579,6 +579,34 @@ object SparkEntry {
         .select(col("doc_id"), col("text_dedup")).orderBy(col("doc_id"))
     }),
 
+    // PII redaction: the corpus text is clean word soup, so PII-bearing
+    // text is CONSTRUCTED deterministically from doc_id (both engines build
+    // the identical string, then apply the identical pattern chain) — the
+    // oracle therefore exercises every pattern + the documented order on
+    // every row, not just the no-op path.
+    "q73_redact_pii" -> ((s, dir) => {
+      val raw = concat(
+        substring(col("text"), 1, 40),
+        lit(" mail user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10.1.2."),
+        pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(" tel +1 555-123-4567 card 4111111111111111 ssn 123-45-6789 end"))
+      TextAnalysis.redactPii(
+          Tables.load(s, dir, "documents").withColumn("raw", raw), col("raw"))
+        .select(col("doc_id"), col("text_redacted")).orderBy(col("doc_id"))
+    }),
+
+    // canonical normalization: NFC composition (the probe suffix carries a
+    // decomposed e + COMBINING ACUTE twice), control→space, space collapse,
+    // trim, lowercase. The probe string constant is shared with the oracle
+    // SQL builder, so both engines normalize byte-identical input.
+    "q74_normalize" -> ((s, dir) => {
+      val raw = concat(upper(substring(col("text"), 1, 30)), lit(normProbe))
+      TextAnalysis.normalizeText(
+          Tables.load(s, dir, "documents").withColumn("raw", raw), col("raw"))
+        .select(col("doc_id"), col("text_norm")).orderBy(col("doc_id"))
+    }),
+
     // raster visualization half: rasterize events at pixelWidth=16, then
     // bin the tile pixels onto a 32x32 canvas over [0,512)^2 — the canvas
     // grid coincides with the raster grid (pixel centers at multiples of
@@ -803,6 +831,14 @@ object SparkEntry {
     s"WITH cpts AS (${Tables.customerPtsSql}) " +
     "SELECT c_custkey FROM cpts WHERE cx > 150 AND cx < 650 AND cy > 150 AND cy < 450 " +
     "ORDER BY c_custkey"
+
+  /** q74's normalization probe, appended to each document: leading/trailing
+    * junk to trim, a tab + newline + DEL to strip, double spaces to
+    * collapse, uppercase to fold, and two DECOMPOSED accents (e + U+0301)
+    * for NFC to compose. One Scala constant feeds both the Spark `lit` and
+    * the DuckDB SQL literal, so the engines see byte-identical input
+    * (Verify's JSON escaper handles the control characters). */
+  private val normProbe = "  \t Cafe\u0301  \n DU  MARCHE\u0301 \u007f fin  "
 
   /** Winnowed fingerprint of `text` (shared by q12 and q64): min polynomial
     * hash over char 5-grams, H(i) = Σ cp(text[i+j])·257^(4-j) — the exact
@@ -1200,6 +1236,29 @@ object SparkEntry {
        "SELECT d.doc_id, COALESCE(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text_dedup " +
        "FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id " +
        "GROUP BY d.doc_id ORDER BY d.doc_id"),
+
+    // the pattern strings and the application order are interpolated from
+    // TextAnalysis.Pii itself — the oracle can never drift from the operator
+    "q73_redact_pii" -> {
+      val chain = graft.operators.TextAnalysis.Pii.Ordered.foldLeft("raw") {
+        case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      ("WITH r AS (SELECT doc_id, substr(text, 1, 40) || ' mail user' || " +
+       "CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.1.2.' || " +
+       "CAST(doc_id % 250 AS VARCHAR) || " +
+       "' tel +1 555-123-4567 card 4111111111111111 ssn 123-45-6789 end' AS raw " +
+       "FROM documents) " +
+       s"SELECT doc_id, $chain AS text_redacted FROM r ORDER BY doc_id")
+    },
+
+    // normProbe and the control-char class are the operator's own constants;
+    // DuckDB's nfc_normalize is the NFC twin
+    "q74_normalize" ->
+      ("WITH r AS (SELECT doc_id, upper(substr(text, 1, 30)) || " +
+       s"'$normProbe' AS raw FROM documents) " +
+       "SELECT doc_id, lower(trim(regexp_replace(regexp_replace(" +
+       s"nfc_normalize(raw), '${graft.operators.TextAnalysis.ControlChars}', ' ', 'g'), " +
+       "' +', ' ', 'g'))) AS text_norm FROM r ORDER BY doc_id"),
 
     // canvas grid == raster grid at these parameters, so the raster-bin
     // render is exactly the per-cell count histogram (see the query note)

@@ -65,6 +65,19 @@ case class RollingMinFp(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_min_fp"
 }
 
+/** nfc_normalize(text) → Unicode NFC composition (TextOps.nfc; DuckDB's
+  * function of the same name is the oracle twin). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any): Any =
+    TextOps.nfc(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.nfc($t)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** minhash_sig(shingles, k) → array<long> signature. */
 case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -130,6 +130,19 @@ object TextOps {
     if (cpCount < 5) horner else best
   }
 
+  /**
+   * Unicode NFC (canonical composition) via `java.text.Normalizer`. The
+   * `isNormalized` fast path returns the INPUT UTF8String untouched — for
+   * ASCII (always NFC by definition) this is one linear scan with zero
+   * allocation, so the common corpus pays nothing for the guarantee.
+   */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** |A ∩ B| of two sorted-distinct UTF8String arrays — merge walk, no
     * allocation; exact (string equality, no hashing). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {

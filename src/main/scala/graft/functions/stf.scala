@@ -92,6 +92,7 @@ object GraftFunctions {
     "vec_norm"        -> ((es: Seq[Expression]) => VecNorm(es.head)),
     "word_shingles"   -> ((es: Seq[Expression]) => WordShingles(s(es(0)), i(es(1)))),
     "rolling_min_fp"  -> ((es: Seq[Expression]) => RollingMinFp(s(es.head))),
+    "nfc_normalize"   -> ((es: Seq[Expression]) => NfcNormalize(s(es.head))),
     "repetition_stats" -> ((es: Seq[Expression]) => RepetitionStats(s(es.head))),
     "sorted_intersect_count" -> ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)))
   )
@@ -117,7 +118,7 @@ object GraftFunctions {
     "minhash_sig" -> (2, 2), "band_buckets" -> (2, 2), "simhash64" -> (1, 1),
     "hamming" -> (2, 2), "hyperplane_buckets" -> (3, 3), "vec_dot" -> (2, 2),
     "vec_norm" -> (1, 1), "word_shingles" -> (2, 2), "rolling_min_fp" -> (1, 1),
-    "repetition_stats" -> (1, 1),
+    "nfc_normalize" -> (1, 1), "repetition_stats" -> (1, 1),
     "sorted_intersect_count" -> (2, 2))
 
   private def checked(name: String, builder: Seq[Expression] => Expression)
@@ -257,6 +258,7 @@ object stf {
   def vec_norm(a: Column): Column = call_function("vec_norm", a)
   def word_shingles(text: Column, n: Int): Column = call_function("word_shingles", text, lit(n))
   def rolling_min_fp(text: Column): Column = call_function("rolling_min_fp", text)
+  def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
   def repetition_stats(text: Column): Column = call_function("repetition_stats", text)
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)

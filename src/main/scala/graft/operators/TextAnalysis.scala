@@ -202,6 +202,77 @@ object TextAnalysis {
   def rollingMinFp(text: Column): Column =
     graft.functions.stf.rolling_min_fp(text)
 
+  /** PII patterns, public so callers (and the SQL oracle builder) share the
+    * exact strings. Every pattern is written in the common subset of Java
+    * regex and RE2 — no lookaround, no backreferences, ASCII `\d`/`\b` —
+    * so any RE2-based engine replaying them gets identical matches. */
+  object Pii {
+    /** RFC-loose mailbox: local part, @, dotted domain, 2+ letter TLD. */
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    /** Dotted-quad IPv4 (no octet-range check — redaction over-matches). */
+    val Ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    /** Bare 13-19 digit runs: card / account numbers. */
+    val LongNumber = "\\b\\d{13,19}\\b"
+    /** US social security number shape. */
+    val Ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    /** Phone shapes: +CC and bare 1-3 digit prefix forms with separators,
+      * US parenthesized area code, bare NNN-NNN-NNNN. Leading `\b` cannot
+      * precede `\+` (both sides non-word), hence the split alternatives. */
+    val Phone = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}\\b|" +
+      "\\b\\d{1,3}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}\\b|" +
+      "\\(\\d{3}\\)[ -]?\\d{3}-\\d{4}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    /** Application order matters and is part of the contract: emails first
+      * (their digits must not feed the number patterns), then IPs, then
+      * long digit runs (so a 16-digit card is never half-eaten by a phone
+      * alternative), then SSNs, then phones. */
+    val Ordered: Seq[(String, String)] = Seq(
+      Email -> "<EMAIL>", Ipv4 -> "<IP>", LongNumber -> "<NUM>",
+      Ssn -> "<SSN>", Phone -> "<PHONE>")
+  }
+
+  /**
+   * PII redaction — the scrubbing pass every training-corpus pipeline runs
+   * before text leaves quarantine: emails, IPv4 addresses, long digit runs
+   * (card/account numbers), SSNs, and phone numbers each collapse to a
+   * typed placeholder token ([[Pii.Ordered]] holds the patterns, the
+   * replacement tokens, and the documented application order). Pure
+   * codegen'd `regexp_replace` chain — no shuffle, no UDF, prunes and
+   * pushes down like any projection.
+   */
+  def redactPii(df: DataFrame, textCol: Column,
+                outName: String = "text_redacted"): DataFrame =
+    df.withColumn(outName,
+      Pii.Ordered.foldLeft(textCol) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
+
+  /** Character class for [[normalizeText]]'s control strip: C0 controls and
+    * DEL. Shared with the SQL oracle builder. */
+  val ControlChars = "[\\x00-\\x1f\\x7f]"
+
+  /**
+   * Canonical text normalization: Unicode NFC composition (é as one code
+   * point, not e + combining accent — without it, visually identical
+   * strings hash apart and every downstream dedup silently misses), then
+   * control characters (C0 + DEL, including tab/newline) become spaces,
+   * space runs collapse to one, edges trim, and (by default) the result
+   * lowercases. Unicode spaces outside C0 (NBSP etc.) pass through —
+   * documented scope, not an oversight.
+   *
+   * NFC runs in the [[graft.functions.TextOps.nfc]] kernel (with an
+   * already-normalized fast path, which ASCII corpora always hit); the rest
+   * is built-in `regexp_replace`/`trim`/`lower`, so the whole pass stays
+   * inside whole-stage codegen with zero shuffles.
+   */
+  def normalizeText(df: DataFrame, textCol: Column, lowercase: Boolean = true,
+                    outName: String = "text_norm"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val collapsed = trim(regexp_replace(
+      regexp_replace(graft.functions.stf.nfc_normalize(textCol), ControlChars, " "),
+      " +", " "))
+    df.withColumn(outName, if (lowercase) lower(collapsed) else collapsed)
+  }
+
   /**
    * Corpus vocabulary, top `k` tokens by frequency (ties by token) — the
    * precursor statistic for tokenizer training and OOV analysis. One

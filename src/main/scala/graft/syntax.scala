@@ -159,5 +159,9 @@ object syntax {
       TextAnalysis.vocabTopK(df, text, k)
     def adjacentPairCounts(text: Column, k: Int): DataFrame =
       TextAnalysis.adjacentPairCounts(df, text, k)
+    def redactPii(text: Column): DataFrame =
+      TextAnalysis.redactPii(df, text)
+    def normalizeText(text: Column, lowercase: Boolean = true): DataFrame =
+      TextAnalysis.normalizeText(df, text, lowercase)
   }
 }

@@ -160,6 +160,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((666666L, 500000L, 1000000L)))
   }
 
+  test("redactPii masks each PII class and honors the documented order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@sub.example.co.uk today"),
+      (2L, "server 192.168.0.1 responded"),
+      (3L, "card 4111111111111111 exp 12/29"),
+      (4L, "ssn 123-45-6789 on file"),
+      (5L, "call +44 207-946-0958 or (212) 555-0175 or 555-867-5309"),
+      (6L, "no pii here, just words and 42"),
+      // a 16-digit run must become <NUM>, never a half-eaten <PHONE>
+      (7L, "acct 1234567890123456 tail")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.redactPii(df, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "write to <EMAIL> today")
+    assert(got(2L) == "server <IP> responded")
+    assert(got(3L) == "card <NUM> exp 12/29")
+    assert(got(4L) == "ssn <SSN> on file")
+    assert(got(5L) == "call <PHONE> or <PHONE> or <PHONE>")
+    assert(got(6L) == "no pii here, just words and 42")
+    assert(got(7L) == "acct <NUM> tail")
+  }
+
+  test("normalizeText composes NFC, strips controls, collapses, trims, folds") {
+    import spark.implicits._
+    // explicitly DECOMPOSED accents (e + U+0301) plus NUL, tab, newline, DEL
+    val dirty = "  Cafe\u0301 \t DU \u0000\nMarche\u0301 \u007f  x  "
+    val df = Seq((1L, dirty), (2L, "already clean"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.normalizeText(df, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // NFC composes to U+00E9; controls become spaces, runs collapse, edges trim
+    assert(got(1L) == "caf\u00e9 du march\u00e9 x")
+    assert(got(2L) == "already clean")
+    assert(got(3L) == "")
+    val kept = graft.operators.TextAnalysis
+      .normalizeText(df, col("text"), lowercase = false)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(kept(1L) == "Caf\u00e9 DU March\u00e9 x")
+  }
+
   test("packSequences == single-window prefix-sum packing (skewed groups)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

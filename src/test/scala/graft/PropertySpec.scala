@@ -118,4 +118,35 @@ class PropertySpec extends AnyFunSuite {
       assert((0 until 4).map(st.getLong) == naiveRep(s), s"rep mismatch on '$s'")
     }
   }
+
+  test("redactPii leaves no digit-bearing PII shape on random PII-dense text") {
+    // The digit patterns (IP, long number, SSN, phone) are a true
+    // post-condition: replacement tokens contain no digits, so no pass can
+    // mint a new digit shape for a later (or earlier) pattern to miss. Full
+    // idempotence deliberately NOT asserted: regex redaction can splice an
+    // email shape across a placeholder boundary ('<EMAIL>@x.com'), which is
+    // inherent to the technique, documented, and digit-free.
+    import org.apache.spark.sql.functions.col
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val prnd = new scala.util.Random(11)
+    val frags = Seq("a", "bb", " ", "-", ".", "@", "(", ")", "+", "555", "12",
+      "4111111111111111", "10.1.2.3", "123-45-6789", "x@y.co", "(212) 555-0175",
+      "+1 555-123-4567", "007", "99999999999999999999")
+    def randDoc(): String =
+      (0 until 1 + prnd.nextInt(12)).map(_ => frags(prnd.nextInt(frags.length))).mkString
+    val docs = (0 until 400).map(i => (i.toLong, randDoc()))
+    val out = graft.operators.TextAnalysis
+      .redactPii(docs.toDF("doc_id", "text"), col("text"))
+      .select(col("text_redacted")).collect().map(_.getString(0))
+    val digitPatterns = {
+      import graft.operators.TextAnalysis.Pii._
+      Seq(Ipv4, LongNumber, Ssn, Phone).map(_.r)
+    }
+    out.foreach { t =>
+      digitPatterns.foreach { p =>
+        assert(p.findFirstIn(t).isEmpty, s"pattern $p survives in '$t'")
+      }
+    }
+  }
 }
