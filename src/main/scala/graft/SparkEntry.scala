@@ -607,6 +607,25 @@ object SparkEntry {
         .select(col("doc_id"), col("text_norm")).orderBy(col("doc_id"))
     }),
 
+    // temporal ordering + interval-stat surface (reference before/after,
+    // Interval.center/length): events become closed intervals [et,
+    // et + (event_id%86400)·1e6] and compare against the fixed [T1, T2] —
+    // the oracle replays the interval `<` formula on the raw longs.
+    "q75_temporal_order" -> ((s, dir) => {
+      import graft.functions.stf
+      val iv = stf.st_with_time(stf.st_point(col("ex"), col("ey")),
+        expr("et"), expr("et + (event_id % 86400) * 1000000"))
+      val qry = stf.st_with_time(stf.st_point(lit(0.0), lit(0.0)), lit(T1), lit(T2))
+      Tables.eventPts(s, dir).withColumn("et", expr("ts div 1000"))
+        .withColumn("iv", iv)
+        .select(col("event_id"),
+          stf.st_before(col("iv"), qry).as("is_before"),
+          stf.st_after(col("iv"), qry).as("is_after"),
+          stf.st_tcenter(col("iv")).as("tc"),
+          stf.st_tlength(col("iv")).as("tl"))
+        .orderBy(col("event_id"))
+    }),
+
     // raster visualization half: rasterize events at pixelWidth=16, then
     // bin the tile pixels onto a 32x32 canvas over [0,512)^2 — the canvas
     // grid coincides with the raster grid (pixel centers at multiples of
@@ -1259,6 +1278,16 @@ object SparkEntry {
        "SELECT doc_id, lower(trim(regexp_replace(regexp_replace(" +
        s"nfc_normalize(raw), '${graft.operators.TextAnalysis.ControlChars}', ' ', 'g'), " +
        "' +', ' ', 'g'))) AS text_norm FROM r ORDER BY doc_id"),
+
+    // interval < over closed intervals: a.start < b.start AND a.end < b.end;
+    // after swaps sides; center/length are exact integer arithmetic
+    "q75_temporal_order" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}), " +
+       "iv AS (SELECT event_id, et, et + (event_id % 86400) * 1000000 AS ee FROM epts) " +
+       s"SELECT event_id, (et < $T1 AND ee < $T2) AS is_before, " +
+       s"($T1 < et AND $T2 < ee) AS is_after, " +
+       "et + (ee - et) // 2 AS tc, ee - et AS tl " +
+       "FROM iv ORDER BY event_id"),
 
     // canvas grid == raster grid at these parameters, so the raster-bin
     // render is exactly the per-cell count histogram (see the query note)

@@ -401,6 +401,52 @@ case class STMercator(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "st_mercator"
 }
 
+/** st_before(a, b) / st_after(a, b): the reference's temporal ordering
+  * predicates (STObject.scala:91-93 `before`/`after` via Interval.`<`,
+  * Interval.scala:50-53): a < b iff a's end is defined, a.start < b.start,
+  * and (b open-ended or a.end < b.end). Our degenerate-instant encoding
+  * (instant = [v, v]) makes the reference's separate Instant formula
+  * (Instant.scala:29, start-only compare) coincide with the interval one:
+  * v < b.start implies v < b.end since b.end >= b.start. `after` is the
+  * reference's `o < this` swap. A time-less side yields NULL — the
+  * reference returns None for a time-less receiver and NPEs on a time-less
+  * argument; uniform SQL NULL is the deliberate fix, not copied. */
+case class STTemporalOrder(left: Expression, right: Expression, after: Boolean)
+    extends BinaryExpression with codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = if (after) (row(b), row(a)) else (row(a), row(b))
+    if (x.isNullAt(1) || y.isNullAt(1)) null
+    else java.lang.Boolean.valueOf(
+      !x.isNullAt(2) && x.getLong(1) < y.getLong(1) &&
+        (y.isNullAt(2) || x.getLong(2) < y.getLong(2)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): STTemporalOrder =
+    copy(left = l, right = r)
+  override def prettyName: String = if (after) "st_after" else "st_before"
+}
+
+/** st_tcenter(sto) / st_tlength(sto): the reference's Interval.center /
+  * Interval.length (Interval.scala:42-44; integer midpoint). NULL when time
+  * is absent or open-ended (the reference's None). An instant has center =
+  * itself, length = 0 — the degenerate interval agrees. */
+case class STTemporalStat(child: Expression, center: Boolean)
+    extends UnaryExpression with codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val r = row(a)
+    if (r.isNullAt(1) || r.isNullAt(2)) null
+    else {
+      val s = r.getLong(1); val e = r.getLong(2)
+      java.lang.Long.valueOf(if (center) s + (e - s) / 2 else e - s)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): STTemporalStat = copy(child = c)
+  override def prettyName: String = if (center) "st_tcenter" else "st_tlength"
+}
+
 /** st_tstart(sto) / st_tend(sto): nullable temporal bounds. */
 case class STTemporalAccessor(child: Expression, end: Boolean)
     extends UnaryExpression with codegen.CodegenFallback {

@@ -64,6 +64,10 @@ object GraftFunctions {
     "st_maxy"         -> ((es: Seq[Expression]) => STDoubleAccessor(es.head, "maxY")),
     "st_tstart"       -> ((es: Seq[Expression]) => STTemporalAccessor(es.head, end = false)),
     "st_tend"         -> ((es: Seq[Expression]) => STTemporalAccessor(es.head, end = true)),
+    "st_tcenter"      -> ((es: Seq[Expression]) => STTemporalStat(es.head, center = true)),
+    "st_tlength"      -> ((es: Seq[Expression]) => STTemporalStat(es.head, center = false)),
+    "st_before"       -> ((es: Seq[Expression]) => STTemporalOrder(es(0), es(1), after = false)),
+    "st_after"        -> ((es: Seq[Expression]) => STTemporalOrder(es(0), es(1), after = true)),
     "st_cell"         -> ((es: Seq[Expression]) => STCellId(es(0), d(es(1)))),
     "st_cells"        -> ((es: Seq[Expression]) =>
       STCells(es(0), d(es(1)), if (es.size > 2) d(es(2)) else Literal(0d))),
@@ -112,6 +116,8 @@ object GraftFunctions {
     "st_wkt" -> (1, 1), "st_x" -> (1, 1), "st_y" -> (1, 1), "st_area" -> (1, 1),
     "st_minx" -> (1, 1), "st_maxx" -> (1, 1), "st_miny" -> (1, 1),
     "st_maxy" -> (1, 1), "st_tstart" -> (1, 1), "st_tend" -> (1, 1),
+    "st_tcenter" -> (1, 1), "st_tlength" -> (1, 1),
+    "st_before" -> (2, 2), "st_after" -> (2, 2),
     "st_cell" -> (2, 2), "st_cells" -> (2, 3), "st_ref_cell" -> (4, 5),
     "st_clip_tile" -> (9, 9), "st_geomfromtile" -> (5, 5),
     "st_raster_pixels" -> (9, 9), "st_mercator" -> (3, 3),
@@ -228,6 +234,10 @@ object stf {
   def st_maxy(a: Column): Column = call_function("st_maxy", a)
   def st_tstart(a: Column): Column = call_function("st_tstart", a)
   def st_tend(a: Column): Column = call_function("st_tend", a)
+  def st_tcenter(a: Column): Column = call_function("st_tcenter", a)
+  def st_tlength(a: Column): Column = call_function("st_tlength", a)
+  def st_before(a: Column, b: Column): Column = call_function("st_before", a, b)
+  def st_after(a: Column, b: Column): Column = call_function("st_after", a, b)
   def st_cell(a: Column, cellSize: Column): Column = call_function("st_cell", a, cellSize)
   def st_cells(a: Column, cellSize: Column): Column = call_function("st_cells", a, cellSize)
   def st_cells(a: Column, cellSize: Column, radius: Column): Column = call_function("st_cells", a, cellSize, radius)

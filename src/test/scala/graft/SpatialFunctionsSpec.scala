@@ -202,6 +202,38 @@ class SpatialFunctionsSpec extends AnyFunSuite {
       .getString(0).contains("POINT"))
   }
 
+  test("temporal ordering and interval stats (reference before/after, center/length)") {
+    // closed vs closed: strict on both bounds (Interval.scala:50-53)
+    def q(sql: String) = spark.sql(s"SELECT $sql").collect()(0)
+    val p = "st_point(0.0, 0.0)"
+    def iv(s: Long, e: Long) = s"st_with_time($p, ${s}L, ${e}L)"
+    def inst(v: Long) = s"st_with_instant($p, ${v}L)"
+    assert(q(s"st_before(${iv(1, 4)}, ${iv(2, 5)})").getBoolean(0))
+    assert(!q(s"st_before(${iv(1, 6)}, ${iv(2, 5)})").getBoolean(0)) // end not <
+    assert(!q(s"st_before(${iv(2, 3)}, ${iv(2, 5)})").getBoolean(0)) // start not <
+    assert(q(s"st_after(${iv(3, 9)}, ${iv(1, 5)})").getBoolean(0))
+    assert(q(s"st_after(${iv(3, 9)}, ${iv(1, 5)})").getBoolean(0) ==
+      q(s"st_before(${iv(1, 5)}, ${iv(3, 9)})").getBoolean(0))
+    // open-ended receiver is before nothing (end undefined); an open-ended
+    // ARGUMENT only needs the start compare
+    assert(!q(s"st_before(st_with_open_interval($p, 1L), ${iv(2, 5)})").getBoolean(0))
+    assert(q(s"st_before(${iv(1, 9)}, st_with_open_interval($p, 2L))").getBoolean(0))
+    // degenerate instants reproduce the reference's Instant.< (start compare)
+    assert(q(s"st_before(${inst(3)}, ${inst(5)})").getBoolean(0))
+    assert(!q(s"st_before(${inst(5)}, ${inst(5)})").getBoolean(0))
+    // time-less side -> NULL (reference: None / NPE; uniform NULL here)
+    assert(q(s"st_before($p, ${iv(2, 5)})").isNullAt(0))
+    assert(q(s"st_after(${iv(2, 5)}, $p)").isNullAt(0))
+    // center = integer midpoint, length = end - start; instant center=self,
+    // length=0; open/absent time -> NULL
+    assert(q(s"st_tcenter(${iv(10, 21)})").getLong(0) == 15L)
+    assert(q(s"st_tlength(${iv(10, 21)})").getLong(0) == 11L)
+    assert(q(s"st_tcenter(${inst(7)})").getLong(0) == 7L)
+    assert(q(s"st_tlength(${inst(7)})").getLong(0) == 0L)
+    assert(q(s"st_tcenter(st_with_open_interval($p, 1L))").isNullAt(0))
+    assert(q(s"st_tlength($p)").isNullAt(0))
+  }
+
   test("grid cells") {
     val cells = spark.sql("SELECT st_cells(st_box(5.0, 5.0, 15.0, 15.0), 10.0)")
       .collect()(0).getSeq[Long](0)
