@@ -191,6 +191,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // kNN classification head: 50 query vectors labelled by majority vote
+    // of their 5 exact nearest neighbors (the embedding-based topic/quality
+    // labelling pass of corpus pipelines); deterministic tie-break.
+    "q76_knn_classify" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 50),
+          col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
+          col("label"), k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // ANN scale path: IVF (seeded KMeans cells, nprobe probing). Approximate
     // by construction — no SQL oracle (rows-only check).
     "q19_ann_ivf" -> ((s, dir) => {
@@ -975,6 +986,19 @@ object SparkEntry {
 
     "q18_ann_topk" -> annTop5OracleSql,
 
+    // exact top-5 (same scored CTE shape as q18, 50 queries) -> label join
+    // -> vote count -> deterministic argmax (votes desc, label asc)
+    "q76_knn_classify" ->
+      (s"WITH e AS ($normedEmbSql), scored AS (" +
+       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label, " +
+       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM e WHERE vec_id < 50) q, e c WHERE c.vec_id != q.vec_id), " +
+       "v AS (SELECT query_id, label AS label_pred, count(*) AS votes FROM scored " +
+       "WHERE rn <= 5 GROUP BY 1, 2), " +
+       "r AS (SELECT query_id, label_pred, votes, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label_pred) AS arn FROM v) " +
+       "SELECT query_id, label_pred, votes FROM r WHERE arn = 1 ORDER BY query_id"),
+
     // nprobe = nlist ⇒ the persisted-IVF path is exact: same oracle as q18
     "q51_ann_ivf_store" -> annTop5OracleSql,
 
@@ -1450,7 +1474,7 @@ object SparkEntry {
     "ORDER BY id_a, id_b"
 
   private val normedEmbSql: String =
-    "SELECT vec_id, embedding, " +
+    "SELECT vec_id, embedding, label, " +
     "sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm FROM embeddings"
 
   private val dotSql: String =

@@ -38,6 +38,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /**
+   * Majority-vote label assignment over ANY (query_id, neighbor_id) top-k
+   * pair set — the classification head of kNN search: compose with
+   * [[bruteTopK]] (exact baseline), [[ivfTopK]], or `ivfTopKIndexed` (the
+   * scale path) and a (id, label) table. Output: `query_id`, `label_pred`,
+   * `votes`. Ties break (votes desc, label asc), so the argmax is
+   * deterministic.
+   *
+   * Scale shape: the label join is a skew-splittable equi-join on
+   * neighbor_id; the vote groupBy is map-side combined; the argmax window
+   * partitions on query_id over at most min(k, #labels) rows — bounded per
+   * key by construction, never a hot-key funnel.
+   */
+  def labelVote(pairs: DataFrame, labels: DataFrame,
+                labelId: Column, labelCol: Column): DataFrame = {
+    val l = labels.select(labelId.as("__lv_id"), labelCol.as("label_pred"))
+    val votes = pairs.join(l, col("neighbor_id") === col("__lv_id"))
+      .groupBy(col("query_id"), col("label_pred")).agg(count(lit(1)).as("votes"))
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label_pred")))
+    votes.withColumn("__rn", rn).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact kNN classification: [[bruteTopK]] neighbors voted by the corpus'
+    * own label column. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, corpusId: Column,
+                  queryId: Column, corpusVec: Column, queryVec: Column,
+                  labelCol: Column, k: Int): DataFrame =
+    labelVote(
+      bruteTopK(corpus, queries, corpusId, queryId, corpusVec, queryVec, k),
+      corpus, corpusId, labelCol)
+
   /** Fit the coarse quantizer: seeded k-means++ init + Lloyd iterations on
     * the driver over a bounded deterministic sample (top-N by id hash — one
     * TakeOrdered job, no full sort shuffle). This is the ONE training recipe

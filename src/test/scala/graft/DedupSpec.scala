@@ -109,6 +109,44 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("knnClassify: hand-computed majority vote with deterministic ties") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // 2-D unit-ish vectors: queries 100/101 sit near the +x / +y clusters
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.99f, 0.1f), "a"),
+      (3L, Array(0.98f, 0.2f), "b"),
+      (4L, Array(0.0f, 1.0f), "b"), (5L, Array(0.1f, 0.99f), "b"),
+      (6L, Array(0.2f, 0.98f), "a")
+    ).toDF("id", "vec", "lbl")
+    val queries = Seq((100L, Array(1.0f, 0.05f)), (101L, Array(0.05f, 1.0f)))
+      .toDF("qid", "qvec")
+    val got = Similarity.knnClassify(corpus, queries, col("id"), col("qid"),
+        col("vec"), col("qvec"), col("lbl"), k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(100L) == (("a", 2L))) // neighbors 1,2,3 -> a,a,b
+    assert(got(101L) == (("b", 2L))) // neighbors 4,5,6 -> b,b,a
+    // an exact vote tie resolves by label ascending (deterministic argmax)
+    val pairs = Seq((100L, 1L), (100L, 4L)).toDF("query_id", "neighbor_id")
+    val tie = Similarity.labelVote(pairs, corpus, col("id"), col("lbl"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(tie(100L) == (("a", 1L))) // a:1 vs b:1 -> 'a'
+  }
+
+  test("labelVote composes with the IVF pair set (vote source agnostic)") {
+    val q = embs.filter(col("vec_id") < 5)
+    val brute = Similarity.knnClassify(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), col("label"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaIvf = Similarity.labelVote(
+        Similarity.ivfTopK(embs, q, col("vec_id"), col("vec_id"),
+          col("embedding"), col("embedding"), k = 3, nlist = 8, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id")),
+        embs, col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIvf == brute && brute.nonEmpty)
+  }
+
   test("IVF quantizer: deterministic, nlist centroids, covers nprobe-1 recall growth") {
     val c = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
     val a = Similarity.fitCentroids(c, nlist = 8, seed = 42L)
