@@ -157,6 +157,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text scrub pipeline (normalize -> redact -> fingerprint) runs per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the scrub ops are stateless codegen'd projections, so they compose
+    // onto readStream unchanged — this pins that no op silently demands a
+    // batch-only feature (no window/collect/localCheckpoint in the path)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val scrubbed = graft.operators.TextAnalysis.withFingerprints(
+      graft.operators.TextAnalysis.redactPii(
+        graft.operators.TextAnalysis.normalizeText(docs, col("text")),
+        col("text_norm")),
+      col("text_redacted"))
+    val q = scrubbed.writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "  Mail ME at Bob@Example.com  NOW "), (2L, "plain"))
+      q.processAllAvailable()
+      val got = spark.table("scrub_out")
+        .select(col("doc_id"), col("text_redacted"), col("fp_winnow")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got(1L)._1 == "mail me at <EMAIL> now")
+      assert(got(2L)._1 == "plain")
+      // fingerprints computed in-stream match the batch kernel on the same text
+      assert(got(2L)._2 ==
+        graft.functions.TextOps.rollingMinFp(
+          org.apache.spark.unsafe.types.UTF8String.fromString("plain")))
+    } finally q.stop()
+  }
+
   test("sessionize accumulates per-user state (batch semantics check)") {
     import spark.implicits._
     // state logic is exercised in batch mode via groupByKey+flatMapGroups
