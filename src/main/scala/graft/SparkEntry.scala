@@ -856,6 +856,14 @@ object SparkEntry {
     "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c WHERE c.vec_id != q.vec_id) " +
     "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"
 
+  /** q4 = q71: within-distance join pairs, radius 50.5 (the operator API
+    * and the SQL-text planner path must agree exactly). */
+  private def distanceJoinOracleSql: String =
+    s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
+    "SELECT s_suppkey, c_custkey FROM spts, cpts " +
+    "WHERE sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)) <= 50.5 " +
+    "ORDER BY s_suppkey, c_custkey"
+
   /** q28 = q48: box filter over the pruned store equals the plain filter. */
   private def prunedBoxFilterOracleSql: String =
     s"WITH cpts AS (${Tables.customerPtsSql}) " +
@@ -906,11 +914,7 @@ object SparkEntry {
        s"SELECT event_id FROM epts WHERE ex <= 250 AND ey <= 250 " +
        s"AND et >= $T1 AND et <= $T2 ORDER BY event_id"),
 
-    "q4_distance_join" ->
-      (s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT s_suppkey, c_custkey FROM spts, cpts " +
-       "WHERE sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)) <= 50.5 " +
-       "ORDER BY s_suppkey, c_custkey"),
+    "q4_distance_join" -> distanceJoinOracleSql,
 
     "q5_knn" -> knn20OracleSql,
 
@@ -1379,11 +1383,9 @@ object SparkEntry {
 
     "q57_sql_join" -> boxJoinOracleSql,
 
-    "q71_sql_distance_join" ->
-      (s"WITH spts AS (${Tables.supplierPtsSql}), cpts AS (${Tables.customerPtsSql}) " +
-       "SELECT s_suppkey, c_custkey FROM spts, cpts " +
-       "WHERE sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)) <= 50.5 " +
-       "ORDER BY s_suppkey, c_custkey"),
+    // q71 = q4: the SQL-text planner path must produce the operator API's
+    // exact pair set — one shared oracle so the radius can never drift
+    "q71_sql_distance_join" -> distanceJoinOracleSql,
 
     "q50_interval_join_indexed" -> intervalJoinOracleSql,
 

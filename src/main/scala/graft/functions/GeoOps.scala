@@ -75,6 +75,17 @@ object GeoOps {
 
   def readGeom(wkb: Array[Byte]): Geometry = geomCache.get().get(wkb)
   def writeGeom(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
+
+  /** Write preserving the input's dimensionality: a geometry whose first
+    * coordinate carries z re-encodes through the 3-dim writer (anything
+    * else keeps the compact 2-D stream). Transforms that rebuild WKB
+    * (e.g. [[mercator]]) must use this, or a z set by `st_point(x,y,z)`
+    * silently vanishes on the way through. */
+  def writeGeomKeepZ(g: Geometry): Array[Byte] = {
+    val c = g.getCoordinate
+    if (c != null && !java.lang.Double.isNaN(c.getZ)) wkbWriter3.get().write(g)
+    else wkbWriter.get().write(g)
+  }
   def parseWkt(wkt: String): Geometry = wktReader.get().read(wkt)
   def toWkt(g: Geometry): String = wktWriter.get().write(g)
 
@@ -373,6 +384,10 @@ object GeoOps {
    * silently DROPPED from the awt polygon, deforming shapes that cross the
    * viewport edge), vertices outside the window still steer rasterization
    * and only out-of-canvas pixels are clipped — deliberate fix, not copied.
+   * (Far-outlier vertices — walks past ~2(w+h) pixel steps — take a
+   * Liang-Barsky geometric clip to the canvas first, so one bad coordinate
+   * can neither abort the render nor walk millions of dead steps; on-canvas
+   * ink then differs only by clip-endpoint rounding at the border.)
    */
   def rasterPixels(a: InternalRow, x0: Double, y0: Double, x1: Double, y1: Double,
                    w: Int, h: Int, fill: Boolean, pointSize: Int): Array[Long] = {
@@ -385,13 +400,38 @@ object GeoOps {
     val out = new java.util.HashSet[Long]()
     def ink(x: Int, y: Int): Unit =
       if (x >= 0 && x < w && y >= 0 && y < h) { out.add(pack(x, y)); () }
-    def bresenham(ax: Int, ay: Int, bx: Int, by: Int): Unit = {
+    def bresenham(ax0: Int, ay0: Int, bx0: Int, by0: Int): Unit = {
       // a segment fully off-canvas inks nothing — skip before walking it
-      if (math.max(ax, bx) < 0 || math.min(ax, bx) >= w ||
-          math.max(ay, by) < 0 || math.min(ay, by) >= h) return
+      if (math.max(ax0, bx0) < 0 || math.min(ax0, bx0) >= w ||
+          math.max(ay0, by0) < 0 || math.min(ay0, by0) >= h) return
+      var ax = ax0; var ay = ay0; var bx = bx0; var by = by0
+      // a far-outlier vertex (one bad GPS point) must not abort the whole
+      // render NOR walk millions of off-canvas steps: beyond a cheap
+      // threshold, Liang-Barsky-clip the continuous segment to the canvas
+      // and walk between the rounded clip points. The clip points lie on
+      // the same continuous line, so on-canvas ink differs from the
+      // unclipped walk by at most endpoint rounding (<= 1 pixel at the
+      // border); below the threshold the walk is bit-identical to always.
+      if (math.abs(bx0.toLong - ax0) + math.abs(by0.toLong - ay0) > 2L * (w + h)) {
+        val dx = (bx0 - ax0).toDouble; val dy = (by0 - ay0).toDouble
+        var t0 = 0.0; var t1 = 1.0
+        def clip(p: Double, q: Double): Boolean =
+          if (p == 0.0) q >= 0.0
+          else {
+            val r = q / p
+            if (p < 0) { if (r > t1) false else { if (r > t0) t0 = r; true } }
+            else       { if (r < t0) false else { if (r < t1) t1 = r; true } }
+          }
+        val visible =
+          clip(-dx, ax0.toDouble) && clip(dx, (w - 1).toDouble - ax0) &&
+          clip(-dy, ay0.toDouble) && clip(dy, (h - 1).toDouble - ay0)
+        if (!visible) return // the line misses the canvas entirely
+        ax = math.round(ax0 + t0 * dx).toInt; ay = math.round(ay0 + t0 * dy).toInt
+        bx = math.round(ax0 + t1 * dx).toInt; by = math.round(ay0 + t1 * dy).toInt
+      }
+      // invariant, not a reachable limit: post-clip walks are <= w + h steps
       require(math.abs(bx.toLong - ax) + math.abs(by.toLong - ay) <= (1L << 24),
-        s"st_raster_pixels: segment ($ax,$ay)-($bx,$by) walks > 2^24 pixel steps — " +
-        "geometry coordinates are far outside the world window")
+        s"st_raster_pixels: segment ($ax,$ay)-($bx,$by) walks > 2^24 pixel steps")
       val dx = math.abs(bx - ax); val dy = -math.abs(by - ay)
       val stepx = if (ax < bx) 1 else -1; val stepy = if (ay < by) 1 else -1
       var err = dx + dy; var x = ax; var y = ay
@@ -509,7 +549,9 @@ object GeoOps {
       }
     })
     g.geometryChanged()
-    new GenericInternalRow(Array[Any](writeGeom(g),
+    // writeGeomKeepZ: the projection rewrites x/y only — a z riding the
+    // point (st_point(x,y,z)) must survive the re-encode
+    new GenericInternalRow(Array[Any](writeGeomKeepZ(g),
       if (a.isNullAt(1)) null else Long.box(a.getLong(1)),
       if (a.isNullAt(2)) null else Long.box(a.getLong(2))))
   }

@@ -102,6 +102,13 @@ object Skyline {
    * Skyline of `df` over numeric columns `xCol`, `yCol` (minimized).
    * Two-level: local skyline per partition, partition-dominance pruning,
    * then single-partition merge.
+   *
+   * EAGER: calling this materializes the local-frontier pass immediately
+   * (the pruning decision needs the per-partition corner scalars on the
+   * driver before the merge plan can be built) — same driver/executor
+   * split as DBSCAN.cluster and ngramJaccardPairs. Callers composing
+   * lazily-built pipelines should invoke it at execution time, not plan
+   * time.
    */
   def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val xi = df.schema.fieldIndex(xCol)

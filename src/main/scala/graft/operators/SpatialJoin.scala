@@ -67,7 +67,13 @@ object SpatialJoin {
                    maxDist: Double, cellSize: Double): DataFrame = {
     GraftFunctions.register(left.sparkSession)
     requireNoCellColumns(left, right)
-    val cs = lit(cellSize)
+    // floor the cell size at the radius: expanding a tiny cell grid by a
+    // large radius replicates every left row onto ~(2·maxDist/cellSize)²
+    // cells — a quadratic candidate blowup (and past the st_cells bound, a
+    // hard failure). With cell >= radius the expansion ring stays at most
+    // one cell wide in each direction. SpatialJoinRule applies the same
+    // floor on the SQL path.
+    val cs = lit(math.max(cellSize, maxDist))
     val l = left.withColumn("__gcell_l", explode(stf.st_cells(leftCol, cs, lit(maxDist))))
     val r = right.withColumn("__gcell_r", explode(stf.st_cells(rightCol, cs)))
     l.join(r,

@@ -172,7 +172,9 @@ class DifferentialJoinSpec extends AnyFunSuite {
   test("distance join equals BNLJ within-distance for boundary-heavy data") {
     for (cellSize <- Seq(2.0, 5.0)) {
       val (pts, boxes) = mkData(100, cellSize)
-      for (radius <- Seq(cellSize / 2, cellSize, 2.5 * cellSize)) {
+      // 100x: radius >> cellSize exercises the cell-size floor — without it
+      // every row replicates onto ~(2·radius/cellSize)² cells
+      for (radius <- Seq(cellSize / 2, cellSize, 2.5 * cellSize, 100 * cellSize)) {
         val cell = pairs(SpatialJoin.distanceJoin(boxes, pts, col("bgeo"), col("pgeo"),
           radius, cellSize))
         val bnlj = pairs(boxes.crossJoin(pts)

@@ -200,6 +200,12 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     // WKT render keeps working on z points (JTS may print 2-D; just no crash)
     assert(spark.sql("SELECT st_wkt(st_point(1.0, 2.0, 3.0))").collect()(0)
       .getString(0).contains("POINT"))
+    // geometry transforms that re-encode WKB must carry z through
+    // (writeGeomKeepZ): mercator rewrites x/y only
+    val mz = spark.sql(
+      "SELECT st_z(st_mercator(st_point(10.0, 20.0, 7.5), 256, 256)), " +
+      "st_z(st_mercator(st_point(10.0, 20.0), 256, 256))").collect()(0)
+    assert(mz.getDouble(0) == 7.5 && mz.isNullAt(1))
   }
 
   test("temporal ordering and interval stats (reference before/after, center/length)") {

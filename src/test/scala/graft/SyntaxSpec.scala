@@ -66,7 +66,9 @@ class SyntaxSpec extends AnyFunSuite {
     // operator deliberately ignores same-id pairs for bench-within-corpus
     // use) — negated ids keep the provenance readable
     val benchSrc = docs0.filter(size(split(col("text"), " ")) > 30).limit(5)
-    val bench = benchSrc.select((-col("doc_id")).as("bench_id"), col("text"))
+    // -(id+1), not -id: plain negation maps doc 0 onto itself, and the
+    // operator's same-id filter would then silently drop doc 0's pair
+    val bench = benchSrc.select((-(col("doc_id") + 1)).as("bench_id"), col("text"))
     def run() = {
       val deduped = docs0.dropNearDuplicates(col("doc_id"), col("text"))
         .join(Pipeline.contaminationPairs(docs0, col("doc_id"), col("text"),

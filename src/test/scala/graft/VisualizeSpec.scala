@@ -44,6 +44,17 @@ class VisualizeSpec extends AnyFunSuite {
       Set((0, 0), (1, 1), (2, 2), (3, 3), (4, 4)))
   }
 
+  test("geomBins: a far-outlier vertex clips to the canvas instead of failing") {
+    // (0.5,0.5) -> (1e7,1e7): the continuous line is y=x, so the clipped
+    // walk still inks the full diagonal — one bad GPS point must neither
+    // abort the render nor drop the visible part of the segment
+    assert(inked("LINESTRING (0.5 0.5, 10000000 10000000)") ==
+      (0 until 10).map(i => (i, i)).toSet)
+    // bounding box overlaps the canvas in both axes but the continuous
+    // line passes outside it (corner near-miss): the clip rejects cleanly
+    assert(inked("LINESTRING (8.5 10000000, 10000000 8.5)").isEmpty)
+  }
+
   test("geomBins: polygon outline inks the pixel-rect border") {
     val got = inked("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
     val border = (for (x <- 1 to 3; y <- 1 to 3 if x == 1 || x == 3 || y == 1 || y == 3)
