@@ -119,6 +119,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rasterPixels: fill == even-odd of pixel centers vs JTS on random polygons") {
+    // ground truth: a pixel is filled iff its center is inside the polygon
+    // (JTS contains on the center point); the kernel's scanline must agree
+    // on every canvas pixel for arbitrary simple polygons — this covers the
+    // edge-interpolation, span-rounding, and envelope-clamp arithmetic
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val prnd = new scala.util.Random(19)
+    val W = 12; val H = 12
+    (0 until 60).foreach { trial =>
+      // random star-shaped (hence simple) polygon around a random center
+      val cx = 2 + prnd.nextDouble() * 8; val cy = 2 + prnd.nextDouble() * 8
+      val nv = 3 + prnd.nextInt(6)
+      val angles = Array.fill(nv)(prnd.nextDouble() * 2 * math.Pi).sorted
+      val pts = angles.map { a =>
+        val r = 0.7 + prnd.nextDouble() * 4.0
+        new org.locationtech.jts.geom.Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      // need distinct consecutive angles for a valid ring; skip degenerates
+      if (angles.distinct.length == nv) {
+        val ring = pts :+ pts(0)
+        val poly = gf.createPolygon(ring)
+        if (poly.isValid) {
+          val sto = new GenericInternalRow(Array[Any](GeoOps.writeGeom(poly), null, null))
+          val got = GeoOps.rasterPixels(sto, 0, 0, W.toDouble, H.toDouble,
+              W, H, fill = true, pointSize = 1)
+            .map(p => ((p >> 32).toInt, (p & 0xffffffffL).toInt)).toSet
+          val want = (for {
+            px <- 0 until W; py <- 0 until H
+            if poly.contains(gf.createPoint(
+              new org.locationtech.jts.geom.Coordinate(px + 0.5, py + 0.5)))
+          } yield (px, py)).toSet
+          assert(got == want,
+            s"trial $trial: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)} wkt=$poly")
+        }
+      }
+    }
+  }
+
+  test("rasterPixels: outline pixels always within canvas and cover ring vertices") {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val prnd = new scala.util.Random(29)
+    val W = 10; val H = 10
+    (0 until 60).foreach { _ =>
+      // random segments, some with far-outlier endpoints (the clip path)
+      val big = prnd.nextInt(3) == 0
+      def coord() =
+        if (big && prnd.nextBoolean()) new org.locationtech.jts.geom.Coordinate(
+          (prnd.nextDouble() - 0.5) * 1e7, (prnd.nextDouble() - 0.5) * 1e7)
+        else new org.locationtech.jts.geom.Coordinate(
+          prnd.nextDouble() * 14 - 2, prnd.nextDouble() * 14 - 2)
+      val a = coord(); val b = coord()
+      val line = gf.createLineString(Array(a, b))
+      val sto = new GenericInternalRow(Array[Any](GeoOps.writeGeom(line), null, null))
+      val got = GeoOps.rasterPixels(sto, 0, 0, W.toDouble, H.toDouble,
+          W, H, fill = false, pointSize = 1)
+        .map(p => ((p >> 32).toInt, (p & 0xffffffffL).toInt))
+      // every inked pixel is on-canvas (sorted + deduped is the contract)
+      got.foreach { case (x, y) =>
+        assert(x >= 0 && x < W && y >= 0 && y < H, s"off-canvas ink ($x,$y) for $line")
+      }
+      assert(got.toSeq == got.toSeq.sorted && got.toSet.size == got.length)
+      // an on-canvas vertex's own pixel is always inked (walks start there)
+      Seq(a, b).foreach { c =>
+        val px = math.floor(c.x).toInt; val py = math.floor(c.y).toInt
+        if (px >= 0 && px < W && py >= 0 && py < H)
+          assert(got.contains((px, py)), s"vertex pixel ($px,$py) not inked for $line")
+      }
+    }
+  }
+
   test("redactPii leaves no digit-bearing PII shape on random PII-dense text") {
     // The digit patterns (IP, long number, SSN, phone) are a true
     // post-condition: replacement tokens contain no digits, so no pass can
