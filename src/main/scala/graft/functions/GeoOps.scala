@@ -392,8 +392,12 @@ object GeoOps {
   def rasterPixels(a: InternalRow, x0: Double, y0: Double, x1: Double, y1: Double,
                    w: Int, h: Int, fill: Boolean, pointSize: Int): Array[Long] = {
     require(w > 0 && h > 0, s"st_raster_pixels: canvas must be positive, got ${w}x$h")
-    require(w.toLong * h <= (1L << 22),
-      s"st_raster_pixels: canvas ${w}x$h exceeds 2^22 pixels — the per-row pixel " +
+    // 2^23 admits the reference's own 4096x2048 world-map test
+    // (VisualizationTest.scala:40-49); worst case one row inking the whole
+    // canvas materializes 64 MB of packed longs — acceptable per-task,
+    // beyond it render as tiles
+    require(w.toLong * h <= (1L << 23),
+      s"st_raster_pixels: canvas ${w}x$h exceeds 2^23 pixels — the per-row pixel " +
       "array is materialized; render larger canvases as tiles")
     require(pointSize >= 1, s"st_raster_pixels: pointSize must be >= 1, got $pointSize")
     val sx = w / (x1 - x0); val sy = h / (y1 - y0)
@@ -429,9 +433,10 @@ object GeoOps {
         ax = math.round(ax0 + t0 * dx).toInt; ay = math.round(ay0 + t0 * dy).toInt
         bx = math.round(ax0 + t1 * dx).toInt; by = math.round(ay0 + t1 * dy).toInt
       }
-      // invariant, not a reachable limit: post-clip walks are <= w + h steps
-      require(math.abs(bx.toLong - ax) + math.abs(by.toLong - ay) <= (1L << 24),
-        s"st_raster_pixels: segment ($ax,$ay)-($bx,$by) walks > 2^24 pixel steps")
+      // invariant, not a reachable limit: unclipped walks are <= 2(w+h)
+      // steps (w+h <= 2^23+1 under the canvas cap), clipped ones <= w+h
+      require(math.abs(bx.toLong - ax) + math.abs(by.toLong - ay) <= (1L << 25),
+        s"st_raster_pixels: segment ($ax,$ay)-($bx,$by) walks > 2^25 pixel steps")
       val dx = math.abs(bx - ax); val dy = -math.abs(by - ay)
       val stepx = if (ax < bx) 1 else -1; val stepy = if (ay < by) 1 else -1
       var err = dx + dy; var x = ax; var y = ay

@@ -240,6 +240,29 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     assert(q(s"st_tlength($p)").isNullAt(0))
   }
 
+  test("st_before reproduces the reference's IntervalTest '<' table") {
+    // reference src/test/scala/dbis/stark/IntervalTest.scala:11-43 — every
+    // lt/gt expectation, replayed through the SQL surface
+    def q(sql: String) = spark.sql(s"SELECT $sql").collect()(0).getBoolean(0)
+    val p = "st_point(0.0, 0.0)"
+    def iv(s: Long, e: Long) = s"st_with_time($p, ${s}L, ${e}L)"
+    def open(s: Long) = s"st_with_open_interval($p, ${s}L)"
+    def inst(v: Long) = s"st_with_instant($p, ${v}L)"
+    assert(q(s"st_before(${iv(1, 2)}, ${iv(2, 3)})"))        // lt
+    assert(q(s"st_before(${iv(1, 2)}, ${iv(3, 4)})"))        // lt
+    assert(!q(s"st_before(${iv(1, 3)}, ${iv(2, 3)})"))       // not lt
+    assert(q(s"st_before(${iv(1, 4)}, ${iv(6, 9)})"))        // lt
+    assert(!q(s"st_before(${iv(1, 2)}, ${iv(1, 2)})"))       // not lt (self)
+    assert(!q(s"st_before(${iv(4, 6)}, ${iv(0, 1)})"))       // not lt
+    assert(!q(s"st_before(${open(3)}, " +                    // open end: never lt
+      s"${iv(Long.MinValue, Long.MaxValue)})"))
+    assert(q(s"st_before(${iv(3, 7)}, ${open(9)})"))         // open ARG: start only
+    // "comparable to instants" block
+    assert(q(s"st_before(${inst(1)}, ${iv(2, 3)})"))         // Instant(1) lt
+    assert(!q(s"st_before(${iv(2, 3)}, ${inst(1)})"))        // not lt
+    assert(q(s"st_after(${iv(2, 3)}, ${inst(1)})"))          // gt(Instant(1))
+  }
+
   test("grid cells") {
     val cells = spark.sql("SELECT st_cells(st_box(5.0, 5.0, 15.0, 15.0), 10.0)")
       .collect()(0).getSeq[Long](0)

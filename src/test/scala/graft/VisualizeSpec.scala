@@ -165,6 +165,40 @@ class VisualizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no image writer"), e.getMessage)
   }
 
+  test("reference world-map render replays end-to-end (VisualizationTest:40-49)") {
+    import spark.implicits._
+    // the reference's own test: poly.csv through worldProj + fillPolygon at
+    // 4096x2048 over the mercator.jpg background — same fixture, same
+    // canvas size (which is why the canvas cap admits 2^23 pixels)
+    val wkt = scala.io.Source.fromFile(
+      "/root/reference/src/test/resources/poly.csv").mkString.trim
+    val bg = ImageIO.read(new java.io.File(
+      "/root/reference/src/test/resources/mercator.jpg"))
+    def render(w: Int, h: Int) = {
+      val df = Seq(wkt).toDF("wkt")
+        .select(graft.functions.stf.st_mercator(
+          graft.functions.stf.st_geomfromwkt(col("wkt")), lit(w), lit(h)).as("m"))
+      ImageIO.read(new java.io.ByteArrayInputStream(
+        Visualize.renderGeomPng(df, col("m"), 0, 0, w.toDouble, h.toDouble,
+          w, h, fill = true, background = bg, flipY = false)))
+    }
+    // the reference's exact 4096x2048 call renders without error (this is
+    // all its own test asserts — and at that aspect its projection, whose
+    // y-scale derives from the WIDTH, puts everything north of ~27°N above
+    // the canvas, so the poly fixture lands no ink; background only)
+    val wide = render(4096, 2048)
+    assert(wide.getWidth == 4096 && wide.getHeight == 2048)
+    // at a square aspect the polygon (northwest North America) is on-canvas
+    // and the even-odd fill inks a large region over the background
+    val sq = render(2048, 2048)
+    var red = 0
+    for (x <- 0 until 2048 by 4; y <- 0 until 2048 by 4)
+      if (sq.getRGB(x, y) == 0xFFFF0000) red += 1
+    assert(red > 500, s"filled region too small: $red sampled red pixels")
+    // …and pixels far outside it keep the background (southern hemisphere)
+    assert(sq.getRGB(1500, 1900) != 0xFFFF0000)
+  }
+
   test("st_mercator matches the reference projection formula") {
     import spark.implicits._
     val (w, h) = (360, 180)
