@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, Multiply, Subtract}
-import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, Literal, MakeDate, Multiply, Subtract, UnixDate}
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
@@ -37,10 +37,25 @@ object GraftFunctions {
     "st_with_time"    -> ((es: Seq[Expression]) => STWithTime(es(0), l(es(1)), l(es(2)))),
     "st_with_instant" -> ((es: Seq[Expression]) => STWithInstant(es(0), l(es(1)))),
     "st_with_open_interval" -> ((es: Seq[Expression]) => STWithOpenInterval(es(0), l(es(1)))),
-    // reference st_sto(wkt[, epoch]): WKT + optional instant in one call
-    "st_sto"          -> ((es: Seq[Expression]) =>
-      if (es.size == 1) STGeomFromWKT(s(es.head))
-      else STWithInstant(STGeomFromWKT(s(es(0))), l(es(1)))),
+    // reference st_sto overloads (MakeSTObject, sql/spatial/, verified by
+    // its SqlFilterTest): wkt alone; wkt + instant — an epoch LONG or a
+    // DATE (midnight UTC, epoch SECONDS — Instant(1581811200) for
+    // 2020-02-16); wkt + (year, month, day) ints or strings, same seconds
+    "st_sto"          -> ((es: Seq[Expression]) => {
+      def dateSeconds(e: Expression): Expression =
+        Multiply(Cast(UnixDate(e), LongType), Literal(86400L))
+      es.size match {
+        case 1 => STGeomFromWKT(s(es.head))
+        case 2 =>
+          val t = if (es(1).resolved && es(1).dataType == DateType)
+            dateSeconds(es(1)) else l(es(1))
+          STWithInstant(STGeomFromWKT(s(es(0))), t)
+        case 4 => STWithInstant(STGeomFromWKT(s(es(0))),
+          dateSeconds(MakeDate(i(es(1)), i(es(2)), i(es(3)))))
+        case _ => throw new IllegalArgumentException(
+          "st_sto takes (wkt), (wkt, instant), or (wkt, year, month, day)")
+      }
+    }),
     "st_intersects"   -> ((es: Seq[Expression]) => STRelate(es(0), es(1), INTERSECTS)),
     "st_contains"     -> ((es: Seq[Expression]) => STRelate(es(0), es(1), CONTAINS)),
     "st_containedby"  -> ((es: Seq[Expression]) => STRelate(es(0), es(1), CONTAINEDBY)),
@@ -107,7 +122,7 @@ object GraftFunctions {
     "st_geomfromwkt" -> (1, 1), "st_point" -> (2, 3), "st_z" -> (1, 1),
     "st_box" -> (4, 4),
     "st_with_time" -> (3, 3), "st_with_instant" -> (2, 2),
-    "st_with_open_interval" -> (2, 2), "st_sto" -> (1, 2), "st_intersects" -> (2, 2),
+    "st_with_open_interval" -> (2, 2), "st_sto" -> (1, 4), "st_intersects" -> (2, 2),
     "st_contains" -> (2, 2), "st_containedby" -> (2, 2), "st_covers" -> (2, 2),
     "st_coveredby" -> (2, 2), "st_distance" -> (2, 2),
     "st_max_distance" -> (2, 2), "st_hausdorff" -> (2, 2),

@@ -140,4 +140,29 @@ class FixtureSpec extends AnyFunSuite {
     val res = DBSCAN.cluster(pts, col("rid"), col("x"), col("y"), eps = 5.0, minPts = 10)
     assert(res.count() == pts.count())
   }
+
+  test("SQL intersects join over the reference's spatialdata fixtures (SqlJoinTest)") {
+    // reference sql/spatial SqlJoinTest 'be correct for intersects join':
+    // same JSON fixtures, same SQL text, same expected pairs — and through
+    // OUR planner the text is rewritten to the cell hash join
+    graft.functions.GraftFunctions.register(spark)
+    val l = spark.read.json("/root/reference/src/test/resources/spatialdata.json")
+      .withColumn("locationL", stf.st_geomfromwkt(col("column1")))
+    val r = spark.read.json("/root/reference/src/test/resources/spatialdata2.json")
+      .withColumn("locationR", stf.st_geomfromwkt(col("column1")))
+    l.createOrReplaceTempView("left")
+    r.createOrReplaceTempView("right")
+    val result = spark.sql(
+      """SELECT right.column1, right.column2, left.column1, left.column2
+        | FROM right, left
+        | WHERE st_intersects(left.locationL, right.locationR)""".stripMargin)
+    val got = result.collect()
+      .map(row => s"${row.getString(0)}|${row.getLong(1)}|${row.getString(2)}|${row.getLong(3)}")
+      .toSet
+    assert(got == Set(
+      "POLYGON ((-73.1 40.6, -70 40.5, -72 41, -73.1 40.6))|43|POLYGON ((-73.0 40.5, -70 40.5, -72 41, -73.0 40.5))|42",
+      "POLYGON ((-73.1 40.6, -70 40.5, -72 41, -73.1 40.6))|43|POINT (-72.5 40.75)|55"))
+    // the plan went through SpatialJoinRule, not a nested loop
+    assert(result.queryExecution.optimizedPlan.toString.contains("st_cells"))
+  }
 }

@@ -240,6 +240,31 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     assert(q(s"st_tlength($p)").isNullAt(0))
   }
 
+  test("st_sto overloads reproduce the reference's SqlFilterTest") {
+    // reference sql/spatial SqlFilterTest: st_sto(wkt, 2020, 2, 16) and the
+    // string-typed variant both carry Instant(1581811200) — midnight UTC in
+    // epoch SECONDS; a DATE argument behaves the same
+    val r = spark.sql(
+      "SELECT st_tstart(st_sto('POINT(1 1)', 2020, 2, 16)), " +
+      "st_tstart(st_sto('POINT(1 1)', '2020', '2', '16')), " +
+      "st_tstart(st_sto('POINT(1 1)', DATE '2020-02-16')), " +
+      "st_tstart(st_sto('POINT(1 1)', 1581811200L)), " +
+      "st_wkt(st_sto('POINT(25 20)'))").collect()(0)
+    assert(r.getLong(0) == 1581811200L)
+    assert(r.getLong(1) == 1581811200L)
+    assert(r.getLong(2) == 1581811200L)
+    assert(r.getLong(3) == 1581811200L)
+    assert(r.getString(4).replace(" (", "(") == "POINT(25 20)")
+    // the filter the reference's first case runs: the point is contained,
+    // the polygon is not — exactly one row survives
+    val n = spark.sql(
+      "SELECT * FROM (SELECT st_sto('POINT (25 20)') AS g UNION ALL " +
+      "SELECT st_sto('POLYGON ((-73 40.5, -70 40.5, -72 41, -73 40.5))')) " +
+      "WHERE st_containedby(g, st_geomfromwkt('POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))'))")
+      .count()
+    assert(n == 1L)
+  }
+
   test("st_before reproduces the reference's IntervalTest '<' table") {
     // reference src/test/scala/dbis/stark/IntervalTest.scala:11-43 — every
     // lt/gt expectation, replayed through the SQL surface
