@@ -141,6 +141,30 @@ class FixtureSpec extends AnyFunSuite {
     assert(res.count() == pts.count())
   }
 
+  test("kNN join over the reference's 122k points fixture (SpatialKnnJoinRDDTest)") {
+    // reference SpatialKnnJoinRDDTest 'find 3 1nn': the 3 query points are
+    // rows of points.csv itself, so each 1-NN is its own co-located row at
+    // distance 0 — replayed over the full 121,960-point fixture through the
+    // adaptive expand-radius join
+    val right = spark.read.option("delimiter", ";").csv(
+        "/root/reference/src/test/resources/points.csv")
+      .toDF("px", "py")
+      .select(col("px").cast("double"), col("py").cast("double"))
+      .withColumn("rgeo", stf.st_point(col("px"), col("py")))
+    import spark.implicits._
+    val queries = Seq((1, -88.331492, 32.324142), (2, -88.175933, 32.360763),
+        (3, -88.388954, 32.357073)).toDF("qid", "qx", "qy")
+      .withColumn("qgeo", stf.st_point(col("qx"), col("qy")))
+    val nn = KNN.knnJoin(queries, right, "qgeo", "rgeo", "qid", k = 1,
+        tieBreak = "px")
+      .select(col("qid"), col("qx"), col("px"), col("knn_dist")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(nn.length == 3)
+    nn.foreach { case (qid, qx, px, dist) =>
+      assert(px == qx && dist == 0.0, s"query $qid: got px=$px dist=$dist")
+    }
+  }
+
   test("SQL intersects join over the reference's spatialdata fixtures (SqlJoinTest)") {
     // reference sql/spatial SqlJoinTest 'be correct for intersects join':
     // same JSON fixtures, same SQL text, same expected pairs — and through
