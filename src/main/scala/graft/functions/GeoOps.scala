@@ -89,8 +89,11 @@ object GeoOps {
   def parseWkt(wkt: String): Geometry = wktReader.get().read(wkt)
   def toWkt(g: Geometry): String = wktWriter.get().write(g)
 
+  // writeGeomKeepZ: a z parsed from 3-D WKT ('POINT Z (1 2 3)') must
+  // survive the same way st_point(x,y,z)'s does; 2-D producers (NaN z)
+  // keep the compact writer unchanged
   def mkRow(g: Geometry, tStart: java.lang.Long, tEnd: java.lang.Long): InternalRow =
-    new GenericInternalRow(Array[Any](writeGeom(g), tStart, tEnd))
+    new GenericInternalRow(Array[Any](writeGeomKeepZ(g), tStart, tEnd))
 
   // ---- constructors (codegen entry points) ----
 
@@ -417,7 +420,10 @@ object GeoOps {
       // unclipped walk by at most endpoint rounding (<= 1 pixel at the
       // border); below the threshold the walk is bit-identical to always.
       if (math.abs(bx0.toLong - ax0) + math.abs(by0.toLong - ay0) > 2L * (w + h)) {
-        val dx = (bx0 - ax0).toDouble; val dy = (by0 - ay0).toDouble
+        // Long subtraction first: endpoints straddling > 2^31 pixels (a
+        // zoomed viewport plus a bad coordinate) would wrap Int math and
+        // flip the direction vector
+        val dx = (bx0.toLong - ax0).toDouble; val dy = (by0.toLong - ay0).toDouble
         var t0 = 0.0; var t1 = 1.0
         def clip(p: Double, q: Double): Boolean =
           if (p == 0.0) q >= 0.0

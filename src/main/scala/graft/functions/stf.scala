@@ -52,8 +52,16 @@ object GraftFunctions {
           STWithInstant(STGeomFromWKT(s(es(0))), t)
         case 4 => STWithInstant(STGeomFromWKT(s(es(0))),
           dateSeconds(MakeDate(i(es(1)), i(es(2)), i(es(3)))))
-        case _ => throw new IllegalArgumentException(
-          "st_sto takes (wkt), (wkt, instant), or (wkt, year, month, day)")
+        // valid arities are {1, 2, 4} — not expressible as the registry's
+        // (min,max) range, so the 3-arg form gets the same structured
+        // WRONG_NUM_ARGS error the range check would have produced
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "st_sto",
+            "expectedNum" -> "1, 2, or 4",
+            "actualNum" -> es.size.toString,
+            "docroot" -> ""))
       }
     }),
     "st_intersects"   -> ((es: Seq[Expression]) => STRelate(es(0), es(1), INTERSECTS)),

@@ -206,6 +206,10 @@ class SpatialFunctionsSpec extends AnyFunSuite {
       "SELECT st_z(st_mercator(st_point(10.0, 20.0, 7.5), 256, 256)), " +
       "st_z(st_mercator(st_point(10.0, 20.0), 256, 256))").collect()(0)
     assert(mz.getDouble(0) == 7.5 && mz.isNullAt(1))
+    // a z parsed from 3-D WKT survives the same way st_point(x,y,z)'s does
+    val wz = spark.sql("SELECT st_z(st_geomfromwkt('POINT Z (1 2 3)')), " +
+      "st_z(st_geomfromwkt('POINT (1 2)'))").collect()(0)
+    assert(wz.getDouble(0) == 3.0 && wz.isNullAt(1))
   }
 
   test("temporal ordering and interval stats (reference before/after, center/length)") {
@@ -255,6 +259,12 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 1581811200L)
     assert(r.getLong(3) == 1581811200L)
     assert(r.getString(4).replace(" (", "(") == "POINT(25 20)")
+    // the invalid 3-arg form gets the structured arity error, not a raw
+    // exception ({1,2,4} is not a (min,max) range)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT st_sto('POINT(1 1)', 2020, 2)").collect()
+    }
+    assert(e.getMessage.contains("st_sto"))
     // the filter the reference's first case runs: the point is contained,
     // the polygon is not — exactly one row survives
     val n = spark.sql(

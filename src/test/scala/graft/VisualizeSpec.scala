@@ -53,6 +53,11 @@ class VisualizeSpec extends AnyFunSuite {
     // bounding box overlaps the canvas in both axes but the continuous
     // line passes outside it (corner near-miss): the clip rejects cleanly
     assert(inked("LINESTRING (8.5 10000000, 10000000 8.5)").isEmpty)
+    // endpoints straddling more than 2^31 pixels: Int subtraction would
+    // wrap the clip's direction vector and drop (or misdraw) the line —
+    // the horizontal crossing must still ink its full row
+    assert(inked("LINESTRING (-3000000000 4.5, 3000000000 4.5)") ==
+      (0 until 10).map(i => (i, 4)).toSet)
   }
 
   test("geomBins: polygon outline inks the pixel-rect border") {
