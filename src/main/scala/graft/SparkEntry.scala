@@ -202,6 +202,22 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Point accessor over the tile struct (reference Tile.value/idxFromPos):
+    // per tile, the pixel under a fixed in-frame world probe (row 4, col 2),
+    // the anchor pixel, and an out-of-frame probe that must be NULL.
+    "q77_tile_value" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+      def tv(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        stf.st_tile_value(col("ulx"), col("uly"), col("width"), col("height"),
+          col("pixel_width"), col("data"), x, y)
+      tiles.select(
+          col("ulx").cast("long").as("ulx"), col("uly").cast("long").as("uly"),
+          tv(col("ulx") + lit(25.0), col("uly") - lit(45.0)).as("v_probe"),
+          tv(col("ulx"), col("uly")).as("v_anchor"),
+          tv(col("ulx") - lit(1.0), col("uly")).as("v_out"))
+        .orderBy(col("ulx"), col("uly"))
+    }),
+
     // ANN scale path: IVF (seeded KMeans cells, nprobe probing). Approximate
     // by construction — no SQL oracle (rows-only check).
     "q19_ann_ivf" -> ((s, dir) => {
@@ -1002,6 +1018,16 @@ object SparkEntry {
        "r AS (SELECT query_id, label_pred, votes, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label_pred) AS arn FROM v) " +
        "SELECT query_id, label_pred, votes FROM r WHERE arn = 1 ORDER BY query_id"),
+
+    // probe (ulx+25, uly-45) on a 10x10/pw=10 tile is row 4, col 2 = pixel 42;
+    // the anchor reads pixel 0; one probe left of the frame must be NULL
+    "q77_tile_value" ->
+      (s"$rasterBaseSql " +
+       "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, " +
+       "max(CASE WHEN i = 42 THEN v END) AS v_probe, " +
+       "max(CASE WHEN i = 0 THEN v END) AS v_anchor, " +
+       "CAST(NULL AS BIGINT) AS v_out " +
+       "FROM j GROUP BY tx, ty ORDER BY ulx, uly"),
 
     // nprobe = nlist ⇒ the persisted-IVF path is exact: same oracle as q18
     "q51_ann_ivf_store" -> annTop5OracleSql,

@@ -93,6 +93,26 @@ object RasterOps {
     }
     new GenericInternalRow(Array[Any](minX, maxY, ow, oh, pw, new GenericArrayData(out)))
   }
+
+  /** Value at world position (x, y): the reference's `Tile.value`/
+    * `idxFromPos`/`row`/`column` accessors (reference
+    * src/main/scala/dbis/stark/raster/Tile.scala:110-119) with two deliberate
+    * fixes. The row/column arithmetic scales by pixel width — the reference's
+    * `column(x) = |x - ulx|.toInt` ignores it, so it is correct only for
+    * pw = 1 — and out-of-frame positions return NULL instead of the
+    * reference's abs-wraparound (a position left of ulx silently reads a
+    * mirrored column) or an ArrayIndexOutOfBounds executor crash. For pw = 1
+    * and in-frame positions truncation and floor agree, so the reference's
+    * hand-computed tables (TileTest.scala:30-115) replay verbatim. The same
+    * 1e-9 floor guard as [[clipTile]] absorbs one-ulp noise from positions
+    * computed as `ulx + k * pw`. */
+  def tileValue(ulx: Double, uly: Double, width: Int, height: Int, pw: Double,
+                data: ArrayData, x: Double, y: Double): java.lang.Long = {
+    val c = math.floor((x - ulx) / pw + Eps).toInt
+    val r = math.floor((uly - y) / pw + Eps).toInt
+    if (c < 0 || c >= width || r < 0 || r >= height) null
+    else java.lang.Long.valueOf(data.getLong(r * width + c))
+  }
 }
 
 /** st_clip_tile(ulx, uly, width, height, pixel_width, data, qry,
@@ -122,4 +142,26 @@ case class STClipTile(children: Seq[Expression])
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): STClipTile =
     copy(children = cs)
   override def prettyName: String = "st_clip_tile"
+}
+
+/** st_tile_value(ulx, uly, width, height, pixel_width, data, x, y) → the
+  * pixel value at world position (x, y), or NULL when the position falls
+  * outside the tile frame (see [[RasterOps.tileValue]] for the contract). */
+case class STTileValue(children: Seq[Expression])
+    extends Expression with codegen.CodegenFallback {
+  require(children.size == 8, "st_tile_value takes 8 arguments")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else RasterOps.tileValue(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Double],
+      vs(5).asInstanceOf[ArrayData],
+      vs(6).asInstanceOf[Double], vs(7).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): STTileValue =
+    copy(children = cs)
+  override def prettyName: String = "st_tile_value"
 }

@@ -109,6 +109,8 @@ object GraftFunctions {
     "st_mercator"     -> ((es: Seq[Expression]) => STMercator(es(0), i(es(1)), i(es(2)))),
     "st_clip_tile"    -> ((es: Seq[Expression]) => STClipTile(Seq(
       d(es(0)), d(es(1)), i(es(2)), i(es(3)), d(es(4)), es(5), es(6), b(es(7)), l(es(8))))),
+    "st_tile_value"   -> ((es: Seq[Expression]) => STTileValue(Seq(
+      d(es(0)), d(es(1)), i(es(2)), i(es(3)), d(es(4)), es(5), d(es(6)), d(es(7))))),
     // text/vector dedup primitives (TextExpressions.scala)
     "minhash_sig"     -> ((es: Seq[Expression]) => MinHashSig(es(0), i(es(1)))),
     "band_buckets"    -> ((es: Seq[Expression]) => BandBuckets(es(0), i(es(1)))),
@@ -143,6 +145,7 @@ object GraftFunctions {
     "st_before" -> (2, 2), "st_after" -> (2, 2),
     "st_cell" -> (2, 2), "st_cells" -> (2, 3), "st_ref_cell" -> (4, 5),
     "st_clip_tile" -> (9, 9), "st_geomfromtile" -> (5, 5),
+    "st_tile_value" -> (8, 8),
     "st_raster_pixels" -> (9, 9), "st_mercator" -> (3, 3),
     "minhash_sig" -> (2, 2), "band_buckets" -> (2, 2), "simhash64" -> (1, 1),
     "hamming" -> (2, 2), "hyperplane_buckets" -> (3, 3), "vec_dot" -> (2, 2),
@@ -281,6 +284,9 @@ object stf {
                    isIntersects: Column, default: Column): Column =
     call_function("st_clip_tile", ulx, uly, width, height, pixelWidth, data, qry,
       isIntersects, default)
+  def st_tile_value(ulx: Column, uly: Column, width: Column, height: Column,
+                    pixelWidth: Column, data: Column, x: Column, y: Column): Column =
+    call_function("st_tile_value", ulx, uly, width, height, pixelWidth, data, x, y)
   def minhash_sig(shingles: Column, k: Int): Column = call_function("minhash_sig", shingles, lit(k))
   def band_buckets(sig: Column, nBands: Int): Column = call_function("band_buckets", sig, lit(nBands))
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

@@ -119,6 +119,46 @@ class RasterSpec extends AnyFunSuite {
     ts.map { case (x, y, w, h, d) => (x, y, w, h, 1.0, d) }
       .toDF("ulx", "uly", "width", "height", "pixel_width", "data")
 
+  test("st_tile_value replays the reference TileTest position tables") {
+    import graft.functions.stf
+    def values(tile: org.apache.spark.sql.DataFrame,
+               probes: Seq[(Double, Double, java.lang.Long)]): Long = {
+      val p = probes.toDF("px", "py", "expect")
+      tile.crossJoin(p).select(
+          stf.st_tile_value(col("ulx"), col("uly"), col("width"), col("height"),
+            col("pixel_width"), col("data"), col("px"), col("py")).as("v"), col("expect"))
+        .where(not(col("v") <=> col("expect"))).count()
+    }
+    // 16x11 identity tile, uly = 11 (value == index; TileTest.scala:14-40,74-82)
+    val t16 = tileDF(Seq((0.0, 11.0, 16, 11, Seq.tabulate(176)(_.toLong))))
+    assert(values(t16, Seq(
+      (0.0, 11.0, 0L), (15.0, 1.0, 175L), // ulx/uly anchor; last cell = w*h-1
+      (14.5, 0.5, 174L), (4.5, 6.5, 68L), // "position within" hand table
+      (0.5, 10.5, 0L))) == 0)
+    // 3x3 matrix tile, uly = 3 (TileTest.scala:66-72); value(0.5,0.5) reads
+    // index 6 of (0,0,1,2,1,0,2,1,0)
+    val t3 = tileDF(Seq((0.0, 3.0, 3, 3, Seq(0L, 0L, 1L, 2L, 1L, 0L, 2L, 1L, 0L))))
+    assert(values(t3, Seq((0.5, 0.5, 2L), (0.0, 3.0, 0L))) == 0)
+    // non-zero origin: ulx=10, uly=10, 7x5 identity (TileTest.scala:84-115);
+    // the row table walks y from uly down, idxFromPos spot checks
+    val t7 = tileDF(Seq((10.0, 10.0, 7, 5, Seq.tabulate(35)(_.toLong))))
+    assert(values(t7, Seq(
+      (10.2, 10.0, 0L), (10.2, 9.5, 0L), (10.2, 8.5, 7L), (10.2, 7.5, 14L),
+      (10.2, 6.4, 21L), (10.2, 5.5, 28L), // row(y) table * width
+      (12.5, 7.5, 16L), (16.5, 5.5, 34L), (10.5, 9.5, 0L), // idxFromPos table
+      // deliberate fixes vs the reference: x left of ulx abs-wraps there
+      // (its own column test passes y values and only works through the
+      // abs, Tile.scala:113) — here it is NULL; same for below-bottom and
+      // right-of-frame probes instead of an ArrayIndexOutOfBounds crash
+      (9.5, 9.5, null), (10.5, 4.9, null), (17.2, 7.5, null))) == 0)
+    // SQL-text path resolves and agrees
+    t3.createOrReplaceTempView("ttv_tile")
+    val sqlV = spark.sql(
+      "SELECT st_tile_value(ulx, uly, width, height, pixel_width, data, 0.5, 0.5) FROM ttv_tile")
+      .collect()(0).getLong(0)
+    assert(sqlV == 2L)
+  }
+
   test("filterGeom: tile-level filter count (reference test 1: 100 tiles -> 64)") {
     // 10x10 grid of 10x10-pixel tiles, query POLYGON((11 11, 89 11, 89 89, 11 89))
     val tiles = tileDF(for { w <- 0 until 10; h <- 0 until 10 }
