@@ -113,8 +113,12 @@ object GeoOps {
     new GenericInternalRow(Array[Any](
       wkbWriter3.get().write(gf.createPoint(new Coordinate(x, y, z))), null, null))
 
-  /** Z of the first coordinate; NaN (absent z) maps to SQL NULL in STZ. */
-  def stZ(a: InternalRow): Double = readGeom(a.getBinary(0)).getCoordinate.getZ
+  /** Z of the first coordinate; NaN (absent z, or an empty geometry whose
+    * getCoordinate is null) maps to SQL NULL in STZ. */
+  def stZ(a: InternalRow): Double = {
+    val c = readGeom(a.getBinary(0)).getCoordinate
+    if (c == null) Double.NaN else c.getZ
+  }
 
   def pointWkb(x: Double, y: Double): Array[Byte] =
     writeGeom(gf.createPoint(new Coordinate(x, y)))
@@ -404,9 +408,14 @@ object GeoOps {
       "array is materialized; render larger canvases as tiles")
     require(pointSize >= 1, s"st_raster_pixels: pointSize must be >= 1, got $pointSize")
     val sx = w / (x1 - x0); val sy = h / (y1 - y0)
-    val out = new java.util.HashSet[Long]()
+    // primitive dedup: a thread-resident w*h bitmap (<= 1 MB under the canvas
+    // cap, reused across rows) + an append buffer of packed pixels. Peak
+    // per-row memory is ~8 bytes per inked pixel — a boxed HashSet was ~6x
+    // the 64 MB the canvas-cap comment budgets for a canvas-filling row
+    val out = inkBufs.get()
+    out.open(w * h)
     def ink(x: Int, y: Int): Unit =
-      if (x >= 0 && x < w && y >= 0 && y < h) { out.add(pack(x, y)); () }
+      if (x >= 0 && x < w && y >= 0 && y < h) out.add(y * w + x, pack(x, y))
     def bresenham(ax0: Int, ay0: Int, bx0: Int, by0: Int): Unit = {
       // a segment fully off-canvas inks nothing — skip before walking it
       if (math.max(ax0, bx0) < 0 || math.min(ax0, bx0) >= w ||
@@ -507,10 +516,17 @@ object GeoOps {
     def draw(g: Geometry): Unit = g match {
       case p: org.locationtech.jts.geom.Point =>
         val px = vx(p.getCoordinate); val py = vy(p.getCoordinate)
-        var ix = px
-        while (ix < px + pointSize) {
-          var iy = py
-          while (iy < py + pointSize) { ink(ix, iy); iy += 1 }
+        // clamp the dilation square to the canvas BEFORE walking it: the
+        // loops are bounded by the canvas, never by pointSize (an absurd
+        // pointSize would otherwise spin ~pointSize^2 rejected ink calls);
+        // long arithmetic so px + pointSize cannot wrap for an off-canvas px
+        var ix = math.max(px.toLong, 0L)
+        val ixHi = math.min(px.toLong + pointSize, w.toLong)
+        val iy0 = math.max(py.toLong, 0L)
+        val iyHi = math.min(py.toLong + pointSize, h.toLong)
+        while (ix < ixHi) {
+          var iy = iy0
+          while (iy < iyHi) { ink(ix.toInt, iy.toInt); iy += 1 }
           ix += 1
         }
       case ls: org.locationtech.jts.geom.LineString => polyline(ls.getCoordinates)
@@ -528,12 +544,45 @@ object GeoOps {
         s"st_raster_pixels: unsupported geometry type ${other.getGeometryType}")
     }
     draw(readGeom(a.getBinary(0)))
-    val arr = new Array[Long](out.size)
-    val it = out.iterator(); var i = 0
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(arr)
-    arr
+    out.closeSorted(w)
   }
+
+  /** Reusable per-thread pixel-dedup state for [[rasterPixels]]: a bitmap
+    * over the canvas (index = y*w + x) plus an append buffer of packed
+    * pixels. `closeSorted` clears ONLY the bits that were set (O(inked), not
+    * O(canvas)) so the bitmap amortizes across rows. */
+  private final class InkBuf {
+    private var bits = new Array[Long](0)
+    private var buf = new Array[Long](1024)
+    private var n = 0
+    def open(pixels: Int): Unit = {
+      val words = (pixels + 63) >>> 6
+      if (bits.length < words) bits = new Array[Long](words)
+      n = 0
+    }
+    def add(idx: Int, packed: Long): Unit = {
+      val wd = idx >>> 6; val m = 1L << (idx & 63)
+      if ((bits(wd) & m) == 0L) {
+        bits(wd) |= m
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+        buf(n) = packed; n += 1
+      }
+    }
+    def closeSorted(w: Int): Array[Long] = {
+      val arr = java.util.Arrays.copyOf(buf, n)
+      var i = 0
+      while (i < n) {
+        val p = arr(i)
+        val idx = p.toInt * w + (p >>> 32).toInt // y*w + x from pack(x, y)
+        bits(idx >>> 6) &= ~(1L << (idx & 63))
+        i += 1
+      }
+      n = 0
+      java.util.Arrays.sort(arr)
+      arr
+    }
+  }
+  private val inkBufs = ThreadLocal.withInitial[InkBuf](() => new InkBuf)
 
   /**
    * The reference's world (Mercator) projection as a geometry transform

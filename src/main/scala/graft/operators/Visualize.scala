@@ -148,10 +148,15 @@ object Visualize {
   def renderRasterPng(tiles: DataFrame, x0: Double, y0: Double, x1: Double, y1: Double,
                       w: Int, h: Int, format: String = "png"): Array[Byte] = {
     val binsArr = rasterBins(tiles, x0, y0, x1, y1, w, h).collect()
-    val maxV = if (binsArr.isEmpty) 1.0 else math.max(binsArr.map(_.getLong(2)).max.toDouble, 1.0)
+    // anchor the scale at min(0, data min): non-negative rasters keep the
+    // 0-anchored scale unchanged, and a negative value darkens instead of
+    // wrapping through setSample's & 0xFF (a -5 would render near-white)
+    val minV = if (binsArr.isEmpty) 0.0 else math.min(binsArr.map(_.getLong(2)).min.toDouble, 0.0)
+    val maxV = if (binsArr.isEmpty) 1.0
+               else math.max(binsArr.map(_.getLong(2)).max.toDouble, minV + 1.0)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     binsArr.foreach { r =>
-      val v = (255.0 * r.getLong(2) / maxV).toInt
+      val v = (255.0 * (r.getLong(2) - minV) / (maxV - minV)).toInt
       img.getRaster.setSample(r.getInt(0), h - 1 - r.getInt(1), 0, v)
     }
     encode(img, format)

@@ -325,8 +325,10 @@ object IndexStore {
     // the geometry) would emit duplicate output columns and make the
     // col(leftId) window key ambiguous at analysis time with a confusing
     // error — reject the whole intersection loudly up front, same contract
-    // style as the __icell/__knn_done_id guards above
-    val collisions = left.columns.toSet.intersect(rowSchema.fieldNames.toSet)
+    // style as the __icell/__knn_done_id guards above. Case-insensitive to
+    // match Spark's default resolution ('ID' vs stored 'id' is ambiguous too)
+    val collisions = left.columns.filter(c =>
+      rowSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(collisions.isEmpty,
       s"IndexStore.knnJoin: left columns ${collisions.mkString("[", ", ", "]")} " +
       "also exist in the store schema — rename one side before joining")

@@ -163,6 +163,19 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin rejects case-insensitive column collisions with the store") {
+    import spark.implicits._
+    // 'PID' collides with the stored 'pid' under Spark's default
+    // case-insensitive resolution — the guard must fire up front, not let
+    // the join die later with an ambiguous-reference analysis error
+    val queries = Seq((1L, 0.0, 0.0)).toDF("PID", "qx", "qy")
+      .withColumn("qgeo", stf.st_point(col("qx"), col("qy")))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.knnJoin(queries, storePath, "qgeo", "PID", 2, tieBreak = "pid")
+    }
+    assert(e.getMessage.contains("PID"))
+  }
+
   test("query regions outside the stored extent return empty, not errors") {
     val far = "POLYGON ((5000 5000, 5100 5000, 5100 5100, 5000 5100, 5000 5000))"
     assert(IndexStore.filter(spark, storePath, far,

@@ -210,6 +210,10 @@ class SpatialFunctionsSpec extends AnyFunSuite {
     val wz = spark.sql("SELECT st_z(st_geomfromwkt('POINT Z (1 2 3)')), " +
       "st_z(st_geomfromwkt('POINT (1 2)'))").collect()(0)
     assert(wz.getDouble(0) == 3.0 && wz.isNullAt(1))
+    // empty geometries have no first coordinate: NULL, not an NPE'd task
+    val ez = spark.sql("SELECT st_z(st_geomfromwkt('LINESTRING EMPTY')), " +
+      "st_z(st_geomfromwkt('POLYGON EMPTY'))").collect()(0)
+    assert(ez.isNullAt(0) && ez.isNullAt(1))
   }
 
   test("temporal ordering and interval stats (reference before/after, center/length)") {

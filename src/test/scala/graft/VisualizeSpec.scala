@@ -83,6 +83,14 @@ class VisualizeSpec extends AnyFunSuite {
     assert(inked("POINT (9.5 9.5)", pointSize = 3) == Set((9, 9)))
     // fully off-canvas geometry inks nothing
     assert(inked("LINESTRING (20 20, 30 25)") == Set.empty)
+    // an absurd pointSize is bounded by the canvas, not by pointSize^2
+    // loop iterations (this would spin ~4e18 rejected ink calls unclamped),
+    // and a square overhanging the origin clips instead of wrapping
+    assert(inked("POINT (0 0)", pointSize = Int.MaxValue) ==
+      (for (x <- 0 until 10; y <- 0 until 10) yield (x, y)).toSet)
+    // px = floor(-2.5) = -3, py = floor(-1.5) = -2, square 4 wide: the
+    // on-canvas remainder is x in {0}, y in {0, 1}
+    assert(inked("POINT (-2.5 -1.5)", pointSize = 4) == Set((0, 0), (0, 1)))
   }
 
   test("geomBins: multipolygon recurses and cnt counts overdraw") {
@@ -136,6 +144,15 @@ class VisualizeSpec extends AnyFunSuite {
     val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
     assert(img.getRaster.getSample(7, 8 - 1 - 5, 0) == 255) // v=40 -> full intensity
     assert(img.getRaster.getSample(5, 8 - 1 - 7, 0) == (255 * 10 / 40))
+    // negative values darken on a min-anchored scale instead of wrapping
+    // through setSample's & 0xFF (a -10 rendered near-white before); the
+    // non-negative pixels above keep the 0-anchored scale bit-identical
+    val neg = Seq((0.0, 2.0, 2, 1, 1.0, Seq(-10L, 10L)))
+      .toDF("ulx", "uly", "width", "height", "pixel_width", "data")
+    val nimg = ImageIO.read(new java.io.ByteArrayInputStream(
+      operators.Visualize.renderRasterPng(neg, 0.0, 1.0, 2.0, 2.0, 2, 1)))
+    assert(nimg.getRaster.getSample(0, 0, 0) == 0)   // min value -> black
+    assert(nimg.getRaster.getSample(1, 0, 0) == 255) // max value -> white
   }
 
   test("renderGeomPng: ink lands at flipped y, background preserved elsewhere") {
