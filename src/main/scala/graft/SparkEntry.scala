@@ -202,6 +202,16 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Distributed seeded k-means over the embedding corpus (curation
+    // clustering): deterministic init (k smallest ids), 2 Lloyd iterations,
+    // assignment + squared distance against the final centroids.
+    "q78_kmeans" -> ((s, dir) => {
+      Similarity.kmeans(Tables.load(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), k = 4, iters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // Point accessor over the tile struct (reference Tile.value/idxFromPos):
     // per tile, the pixel under a fixed in-frame world probe (row 4, col 2),
     // the anchor pixel, and an out-of-frame probe that must be NULL.
@@ -1019,6 +1029,11 @@ object SparkEntry {
        "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label_pred) AS arn FROM v) " +
        "SELECT query_id, label_pred, votes FROM r WHERE arn = 1 ORDER BY query_id"),
 
+    // the same unrolled Lloyd recursion: init = k smallest ids, per
+    // iteration argmin assignment (ties to lower cluster) + element-wise
+    // mean, final assignment against the post-update centroids
+    "q78_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+
     // probe (ulx+25, uly-45) on a 10x10/pw=10 tile is row 4, col 2 = pixel 42;
     // the anchor reads pixel 0; one probe left of the frame must be NULL
     "q77_tile_value" ->
@@ -1510,4 +1525,31 @@ object SparkEntry {
 
   private val dotSqlQC: String =
     "list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1,64)])"
+
+  /** Unrolled Lloyd CTEs mirroring `Similarity.kmeans` exactly: c0 from the
+    * k smallest ids, then per iteration an argmin assignment (ties to the
+    * lower cluster id) and an element-wise mean update; the final select is
+    * the assignment against the last centroids. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def dist(ca: String) =
+      s"list_sum([(v.e[i]-$ca.e[i])*(v.e[i]-$ca.e[i]) FOR i IN generate_series(1,64)])"
+    val sb = new StringBuilder
+    sb ++= "WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings), "
+    sb ++= s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, e " +
+           s"FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k) s0), "
+    for (t <- 1 to iters) {
+      val p = s"c${t - 1}"
+      sb ++= s"a$t AS (SELECT vec_id, c FROM (SELECT v.vec_id, $p.c, " +
+             s"row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist(p)}, $p.c) AS rn " +
+             s"FROM v CROSS JOIN $p) s WHERE rn = 1), "
+      sb ++= s"c$t AS (SELECT c, list(m ORDER BY pos) AS e FROM " +
+             s"(SELECT a$t.c, g.i AS pos, avg(v.e[g.i]) AS m FROM a$t JOIN v USING (vec_id), " +
+             s"generate_series(1,64) g(i) GROUP BY 1, 2) s GROUP BY c), "
+    }
+    sb ++= s"f AS (SELECT v.vec_id, c$iters.c, ${dist(s"c$iters")} AS d, " +
+           s"row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist(s"c$iters")}, c$iters.c) AS rn " +
+           s"FROM v CROSS JOIN c$iters) " +
+           "SELECT vec_id, c AS cluster, d AS dist FROM f WHERE rn = 1 ORDER BY vec_id"
+    sb.toString
+  }
 }

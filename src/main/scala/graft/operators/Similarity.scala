@@ -267,4 +267,72 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /**
+   * Distributed Lloyd's k-means over the embedding column — corpus
+   * clustering for curation passes (cluster-balanced sampling, semantic
+   * bucketing before per-bucket dedup).
+   *
+   * Fully deterministic, so an external oracle can replay it: initial
+   * centroids are the k rows with the SMALLEST ids (cluster index = id
+   * order), each iteration assigns by squared euclidean distance with ties
+   * to the lower cluster id, and the update is the element-wise mean. A
+   * cluster that loses all members drops out; surviving clusters keep
+   * their original ids.
+   *
+   * Scale shape: per iteration one broadcast of the k×dim centroid table
+   * out, one map-side-combined groupBy((cluster, dim)) mean back — the
+   * driver holds k×dim doubles, never rows. The corpus is scanned
+   * `iters + 1` times (cache the input for small corpora); no shuffle ever
+   * carries an embedding to another row's task.
+   *
+   * Output: (id, cluster, dist) — dist is the squared euclidean distance
+   * to the final centroid (assignment AFTER the last update).
+   */
+  def kmeans(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
+             iters: Int): DataFrame = {
+    require(k >= 1, s"kmeans: k must be >= 1, got $k")
+    require(iters >= 0, s"kmeans: iters must be >= 0, got $iters")
+    val spark = df.sparkSession
+    val v = df.select(idCol.as("id"), vecCol.cast("array<double>").as("__ke"))
+    // (clusterId, centroid), ordered by cluster id — the UDF's in-order
+    // strict-< scan makes distance ties resolve to the lower id
+    var cents: Array[(Int, Array[Double])] =
+      v.orderBy(col("id")).limit(k).select(col("__ke")).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    require(cents.nonEmpty, "kmeans: input is empty")
+    def nearest(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) =
+      udf { (e: Seq[Double]) =>
+        val cs = bc.value
+        var best = cs(0)._1; var bd = Double.MaxValue; var i = 0
+        while (i < cs.length) {
+          val c = cs(i)._2
+          var d = 0.0; var j = 0
+          while (j < c.length) { val diff = e(j) - c(j); d += diff * diff; j += 1 }
+          if (d < bd) { bd = d; best = cs(i)._1 }
+          i += 1
+        }
+        (best, bd)
+      }
+    var t = 0
+    while (t < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // element-wise mean per cluster: the collect is k×dim rows (the
+      // centroid table itself), bounded by construction
+      val rows = v.select(nearest(bc)(col("__ke")).getField("_1").as("__kc"),
+          posexplode(col("__ke")).as(Seq("__kp", "__kx")))
+        .groupBy(col("__kc"), col("__kp")).agg(avg(col("__kx")).as("__km"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (c, ps) =>
+        val dim = ps.length
+        val e = new Array[Double](dim)
+        ps.foreach(r => e(r.getInt(1)) = r.getDouble(2))
+        (c, e)
+      }
+      t += 1
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    v.select(col("id"), nearest(bc)(col("__ke")).as("__ka"))
+      .select(col("id"), col("__ka._1").as("cluster"), col("__ka._2").as("dist"))
+  }
 }

@@ -109,6 +109,31 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("kmeans: hand case converges, keeps stable ids, ties to lower cluster") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // two obvious 1-D clusters around 0 and 10; ids 1,2 seed clusters 0,1
+    val pts = Seq((1L, Array(0.0f)), (2L, Array(0.4f)), (3L, Array(10.0f)),
+                  (4L, Array(10.4f)), (5L, Array(0.2f)))
+      .toDF("id", "vec")
+    val got = Similarity.kmeans(pts, col("id"), col("vec"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // iteration 1 pulls cluster 1's centroid (seed 0.4) to the far group:
+    // assign(c0): {1,5}->0, {2,3,4}->1; update: c0=0.1, c1=6.93; then the
+    // stable fixpoint {1,2,5}->0, {3,4}->1
+    assert(got == Map(1L -> 0, 2L -> 0, 5L -> 0, 3L -> 1, 4L -> 1))
+    // iters = 0: assignment against the raw seeds, tie (id 2 equidistant?
+    // no — exact midpoint 0.2 ties between seeds 0.0 and 0.4) -> lower id
+    val g0 = Similarity.kmeans(pts, col("id"), col("vec"), k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g0(5L) == 0 && g0(1L) == 0 && g0(2L) == 1 && g0(3L) == 1)
+    // dist column is the squared euclidean to the final centroid
+    val d = Similarity.kmeans(pts, col("id"), col("vec"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // centroid 10.2, point 10.0 (1e-6: the 10.4f literal is not exactly 10.4)
+    assert(math.abs(d(3L) - 0.04) < 1e-6)
+  }
+
   test("knnClassify: hand-computed majority vote with deterministic ties") {
     val spark2 = TestSpark.spark
     import spark2.implicits._
