@@ -551,14 +551,21 @@ object GeoOps {
     * over the canvas (index = y*w + x) plus an append buffer of packed
     * pixels. `closeSorted` clears ONLY the bits that were set (O(inked), not
     * O(canvas)) so the bitmap amortizes across rows. */
-  private final class InkBuf {
+  private[graft] final class InkBuf {
     private var bits = new Array[Long](0)
     private var buf = new Array[Long](1024)
     private var n = 0
+    private var dirty = false
     def open(pixels: Int): Unit = {
       val words = (pixels + 63) >>> 6
       if (bits.length < words) bits = new Array[Long](words)
+      // a draw that threw (unsupported geometry, walk guard) never reached
+      // closeSorted, so its bits are still set — and Spark reuses executor
+      // threads across tasks, so they would silently swallow pixels of the
+      // next row on this thread. Pay one full clear on that (rare) path.
+      if (dirty) java.util.Arrays.fill(bits, 0L)
       n = 0
+      dirty = true
     }
     def add(idx: Int, packed: Long): Unit = {
       val wd = idx >>> 6; val m = 1L << (idx & 63)
@@ -578,6 +585,7 @@ object GeoOps {
         i += 1
       }
       n = 0
+      dirty = false
       java.util.Arrays.sort(arr)
       arr
     }

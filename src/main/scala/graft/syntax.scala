@@ -163,5 +163,7 @@ object syntax {
       TextAnalysis.redactPii(df, text)
     def normalizeText(text: Column, lowercase: Boolean = true): DataFrame =
       TextAnalysis.normalizeText(df, text, lowercase)
+    def kmeans(id: Column, vec: Column, k: Int, iters: Int): DataFrame =
+      Similarity.kmeans(df, id, vec, k, iters)
   }
 }

@@ -77,6 +77,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window keyed on a non-document column (shingle-skew hazard): $windows")
   }
 
+  test("kmeans: final assignment is a pure map — no exchange carries an embedding") {
+    // the iteration updates shuffle only (cluster, dim, partial-mean) rows;
+    // the RETURNED plan (assignment against the broadcast final centroids)
+    // must be exchange-free: a shuffle here would ship every embedding
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = operators.Similarity.kmeans(e, col("vec_id"), col("embedding"),
+      k = 2, iters = 1)
+    assert(shuffleCount(out) == 0, formatted(out))
+  }
+
   test("chunkTokens: the regex split runs once below the explode, not per chunk") {
     // the token array must be a pinned column under the Generate — a
     // per-chunk slice(split(text)) re-splits the whole document for every

@@ -116,4 +116,21 @@ class SyntaxSpec extends AnyFunSuite {
     graft.operators.Dedup.buildSpanStore(docs.limit(100), col("text"), 5, path)
     assert(docs.dropSeenSpans(col("doc_id"), col("text"), 5, path).count() <= docs.count())
   }
+
+  test("cluster-balanced sampling: kmeans clusters feed sampleByRate") {
+    // the curation composition the two operators exist for: cluster the
+    // corpus semantically, then up/down-sample per cluster — deterministic
+    // end to end (seeded kmeans, salted hash sampling)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val clustered = e.kmeans(col("vec_id"), col("embedding"), k = 2, iters = 2)
+      .withColumn("cluster_key", col("cluster").cast("string"))
+    val sampled = clustered.sampleByRate(col("cluster_key"), col("id"), "s1",
+      Map("0" -> 0.5, "1" -> 1.0), 0.0)
+    val again = clustered.sampleByRate(col("cluster_key"), col("id"), "s1",
+      Map("0" -> 0.5, "1" -> 1.0), 0.0)
+    assert(sampled.count() == again.count() && sampled.count() > 0)
+    assert(sampled.count() < e.count()) // cluster 0 thinned, none dropped entirely
+    // every surviving row kept its cluster assignment
+    assert(sampled.select(col("cluster")).distinct().count() == 2)
+  }
 }

@@ -93,6 +93,22 @@ class VisualizeSpec extends AnyFunSuite {
     assert(inked("POINT (-2.5 -1.5)", pointSize = 4) == Set((0, 0), (0, 1)))
   }
 
+  test("InkBuf: an abandoned draw cannot leak dedup bits into the next call") {
+    // a draw that throws never reaches closeSorted; Spark reuses executor
+    // threads, so the next row on this thread must still see every pixel
+    val g = graft.functions.GeoOps
+    val b = new g.InkBuf
+    b.open(100)
+    b.add(3, g.pack(3, 0)) // partial draw, then (simulated) throw — no close
+    b.open(100)
+    b.add(3, g.pack(3, 0))
+    assert(b.closeSorted(10).toSeq == Seq(g.pack(3, 0)))
+    // and the normal path still dedups within one draw
+    b.open(100)
+    b.add(3, g.pack(3, 0)); b.add(3, g.pack(3, 0)); b.add(7, g.pack(7, 0))
+    assert(b.closeSorted(10).toSeq == Seq(g.pack(3, 0), g.pack(7, 0)).sorted)
+  }
+
   test("geomBins: multipolygon recurses and cnt counts overdraw") {
     import spark.implicits._
     // two rects sharing the (5,*) edge column: cnt = 2 there, 1 elsewhere
