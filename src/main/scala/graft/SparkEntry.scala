@@ -1542,8 +1542,12 @@ object SparkEntry {
       sb ++= s"a$t AS (SELECT vec_id, c FROM (SELECT v.vec_id, $p.c, " +
              s"row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist(p)}, $p.c) AS rn " +
              s"FROM v CROSS JOIN $p) s WHERE rn = 1), "
+      // the mean is quantized to the same 1e-6 grid as Similarity.kmeans:
+      // cross-row float sums are summation-order-sensitive in the last
+      // ulps, and the grid snap makes both engines' centroids bit-identical
       sb ++= s"c$t AS (SELECT c, list(m ORDER BY pos) AS e FROM " +
-             s"(SELECT a$t.c, g.i AS pos, avg(v.e[g.i]) AS m FROM a$t JOIN v USING (vec_id), " +
+             s"(SELECT a$t.c, g.i AS pos, floor(avg(v.e[g.i]) * 1e6 + 0.5) / 1e6 AS m " +
+             s"FROM a$t JOIN v USING (vec_id), " +
              s"generate_series(1,64) g(i) GROUP BY 1, 2) s GROUP BY c), "
     }
     sb ++= s"f AS (SELECT v.vec_id, c$iters.c, ${dist(s"c$iters")} AS d, " +

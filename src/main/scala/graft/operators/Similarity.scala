@@ -276,9 +276,15 @@ object Similarity {
    * Fully deterministic, so an external oracle can replay it: initial
    * centroids are the k rows with the SMALLEST ids (cluster index = id
    * order), each iteration assigns by squared euclidean distance with ties
-   * to the lower cluster id, and the update is the element-wise mean. A
-   * cluster that loses all members drops out; surviving clusters keep
-   * their original ids.
+   * to the lower cluster id, and the update is the element-wise mean
+   * QUANTIZED to a 1e-6 grid (floor(m*1e6 + 0.5)/1e6). The quantization is
+   * part of the contract, not cosmetics: a cross-row float mean depends on
+   * summation order (Spark partial aggregation vs any external engine's
+   * scan order differ in the last ulps), and snapping both sides to the
+   * same grid makes every later distance a sequential fold over
+   * bit-identical inputs — the same engineering that keeps the cosine
+   * oracles hash-exact. A cluster that loses all members drops out;
+   * surviving clusters keep their original ids.
    *
    * Scale shape: per iteration one broadcast of the k×dim centroid table
    * out, one map-side-combined groupBy((cluster, dim)) mean back — the
@@ -326,7 +332,7 @@ object Similarity {
       cents = rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (c, ps) =>
         val dim = ps.length
         val e = new Array[Double](dim)
-        ps.foreach(r => e(r.getInt(1)) = r.getDouble(2))
+        ps.foreach(r => e(r.getInt(1)) = math.floor(r.getDouble(2) * 1e6 + 0.5) / 1e6)
         (c, e)
       }
       t += 1

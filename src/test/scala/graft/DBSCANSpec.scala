@@ -46,6 +46,29 @@ class DBSCANSpec extends AnyFunSuite {
     assert(large >= small)
   }
 
+  test("reference labeled_data fixture: perfect ground-truth recovery (their unfinished TODO)") {
+    // the reference's SparkDBScanSpec runs eps=0.3/minPts=10 over
+    // src/test/resources/labeled_data.csv but its result comparison is a
+    // commented-out TODO (SparkDBScanSpec.scala:75-80 'requires a mapping
+    // of cluster ids'). Completing it: each found cluster maps to exactly
+    // one ground-truth label with ZERO impurities, and the whole labeling
+    // is pinned (deterministic min-id cluster naming).
+    import spark.implicits._
+    val rows = scala.io.Source.fromFile(
+        "/root/reference/src/test/resources/labeled_data.csv")
+      .getLines().toSeq.zipWithIndex.map { case (l, i) =>
+        val a = l.split(','); (i.toLong, a(0).toDouble, a(1).toDouble, a(2).toInt) }
+    val df = rows.toDF("id", "x", "y", "label")
+    val out = DBSCAN.cluster(df, col("id"), col("x"), col("y"), eps = 0.3, minPts = 10)
+    val j = out.join(df, "id").select(col("cluster_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(j.count(_._1 == -1L) == 18) // sparse fringe = noise
+    val byCluster = j.filter(_._1 != -1L).groupBy(_._1)
+      .map { case (c, g) => (c, g.map(_._2).distinct.toSet, g.length) }
+    // three clusters, each label-pure, sizes pinned
+    assert(byCluster.toSet == Set((0L, Set(1), 243), (1L, Set(3), 243), (3L, Set(2), 245)))
+  }
+
   test("all points in one dense blob form a single cluster") {
     import spark.implicits._
     val blob = (0 until 50).map(i => (i.toLong, (i % 7).toDouble, (i / 7).toDouble))
