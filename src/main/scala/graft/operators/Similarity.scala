@@ -81,6 +81,23 @@ object Similarity {
     * dominates the fit; IVF coarse quantizers are trained on a small sample
     * anyway (sample is 20×nlist rows — bounded by config, not corpus size,
     * so the collect is 100 TB-safe). */
+  /** The one squared-euclidean kernel every centroid path shares — a fix to
+    * summation order or guards lands everywhere at once. */
+  @inline private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Float row vector → primitive doubles (element-exact; also unboxes the
+    * Seq so inner loops stay allocation-free). */
+  @inline private def toDoubles(v: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](v.length)
+    var i = 0
+    while (i < a.length) { a(i) = v(i); i += 1 }
+    a
+  }
+
   private[graft] def fitCentroids(c: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
     val sampleN = math.max(20 * nlist, 256)
     val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(sampleN)
@@ -88,11 +105,7 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "IVF quantizer: corpus is empty")
     val dim = sample(0).length
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
+    def d2(a: Array[Double], b: Array[Double]): Double = sqDist(a, b)
     val rnd = new scala.util.Random(seed)
     // k-means++ seeding: next center drawn proportional to squared distance
     val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](
@@ -144,12 +157,11 @@ object Similarity {
   /** Nearest-centroid cell id for a corpus vector. */
   private def assignCellUdf(centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
     udf { (v: Seq[Float]) =>
+      val e = toDoubles(v)
       val cs = centroids.value
       var best = 0; var bd = Double.MaxValue; var i = 0
       while (i < cs.length) {
-        val c = cs(i)
-        var d = 0.0; var j = 0
-        while (j < c.length) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        val d = sqDist(e, cs(i))
         if (d < bd) { bd = d; best = i }
         i += 1
       }
@@ -159,13 +171,9 @@ object Similarity {
   /** Per-query probe set: indexes of the `nprobe` nearest centroids. */
   private def probeCellsUdf(centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
                             nprobe: Int) = udf { (qv: Seq[Float]) =>
+    val e = toDoubles(qv)
     val cs = centroids.value
-    val dists = cs.indices.map { i =>
-      val cvec = cs(i)
-      var d = 0.0; var j = 0
-      while (j < cvec.length) { val diff = qv(j) - cvec(j); d += diff * diff; j += 1 }
-      (d, i)
-    }
+    val dists = cs.indices.map { i => (sqDist(e, cs(i)), i) }
     dists.sorted.take(nprobe).map(_._2).toArray
   }
 
@@ -302,22 +310,42 @@ object Similarity {
     val spark = df.sparkSession
     val v = df.select(idCol.as("id"), vecCol.cast("array<double>").as("__ke"))
     // (clusterId, centroid), ordered by cluster id — the UDF's in-order
-    // strict-< scan makes distance ties resolve to the lower id
+    // strict-< scan makes distance ties resolve to the lower id. Collect
+    // k+1 to check the determinism contract: a duplicate id inside or at
+    // the boundary of the seed window would leave the seed choice to
+    // partition arrival order, silently breaking oracle replay.
+    val seedRows = v.orderBy(col("id")).limit(k + 1).collect()
+    require(seedRows.nonEmpty, "kmeans: input is empty")
+    val seedIds = seedRows.map(_.get(0))
+    require(seedIds.distinct.length == seedIds.length,
+      "kmeans: duplicate ids in the seed window — the k-smallest-ids seed " +
+      "rule needs unique ids to stay deterministic; deduplicate or re-key")
     var cents: Array[(Int, Array[Double])] =
-      v.orderBy(col("id")).limit(k).select(col("__ke")).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    require(cents.nonEmpty, "kmeans: input is empty")
+      seedRows.take(k).zipWithIndex.map { case (r, i) =>
+        val e = r.getSeq[Double](1)
+        require(e != null, s"kmeans: null embedding at seed id ${r.get(0)}")
+        (i, e.toArray)
+      }
     def nearest(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Double])]]) =
-      udf { (e: Seq[Double]) =>
+      udf { (raw: Seq[Double]) =>
+        // loud-contract guards (the repo rule: garbage in fails the job with
+        // a named error, never a silent wrong clustering) + one primitive
+        // copy so the hot k×dim loop never boxes through Seq.apply
+        require(raw != null, "kmeans: null embedding in corpus")
+        val e = raw.toArray
         val cs = bc.value
+        require(e.length == cs(0)._2.length,
+          s"kmeans: embedding dim ${e.length} != centroid dim ${cs(0)._2.length}")
         var best = cs(0)._1; var bd = Double.MaxValue; var i = 0
         while (i < cs.length) {
-          val c = cs(i)._2
-          var d = 0.0; var j = 0
-          while (j < c.length) { val diff = e(j) - c(j); d += diff * diff; j += 1 }
+          val d = sqDist(e, cs(i)._2)
           if (d < bd) { bd = d; best = cs(i)._1 }
           i += 1
         }
+        // all-NaN (or overflow-to-Inf) distances never beat MaxValue — that
+        // would silently drop every such row into cluster cs(0)
+        require(bd != Double.MaxValue,
+          "kmeans: non-finite embedding value (NaN/Inf distance)")
         (best, bd)
       }
     var t = 0

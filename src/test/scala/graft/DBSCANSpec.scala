@@ -54,10 +54,10 @@ class DBSCANSpec extends AnyFunSuite {
     // one ground-truth label with ZERO impurities, and the whole labeling
     // is pinned (deterministic min-id cluster naming).
     import spark.implicits._
-    val rows = scala.io.Source.fromFile(
-        "/root/reference/src/test/resources/labeled_data.csv")
-      .getLines().toSeq.zipWithIndex.map { case (l, i) =>
-        val a = l.split(','); (i.toLong, a(0).toDouble, a(1).toDouble, a(2).toInt) }
+    val rows = scala.util.Using.resource(scala.io.Source.fromFile(
+        "/root/reference/src/test/resources/labeled_data.csv"))(_.getLines().toSeq
+      .zipWithIndex.map { case (l, i) =>
+        val a = l.split(','); (i.toLong, a(0).toDouble, a(1).toDouble, a(2).toInt) })
     val df = rows.toDF("id", "x", "y", "label")
     val out = DBSCAN.cluster(df, col("id"), col("x"), col("y"), eps = 0.3, minPts = 10)
     val j = out.join(df, "id").select(col("cluster_id"), col("label")).collect()

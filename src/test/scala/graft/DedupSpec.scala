@@ -134,6 +134,29 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(d(3L) - 0.04) < 1e-6)
   }
 
+  test("kmeans guards: duplicate seed ids, null and non-finite embeddings fail loudly") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // duplicate id INSIDE the seed window: the k-smallest-ids seed rule
+    // would be left to partition arrival order — reject, don't guess
+    val dup = Seq((1L, Array(0.0f)), (1L, Array(5.0f)), (3L, Array(9.0f)))
+      .toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeans(dup, col("id"), col("vec"), k = 2, iters = 1)
+    }
+    assert(e1.getMessage.contains("duplicate ids"))
+    // NaN embedding: every distance is NaN — without the guard the row
+    // would silently land in the first cluster
+    val nan = Seq((1L, Array(0.0f)), (2L, Array(9.0f)), (3L, Array(Float.NaN)))
+      .toDF("id", "vec")
+    val e2 = intercept[Exception] {
+      Similarity.kmeans(nan, col("id"), col("vec"), k = 2, iters = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("non-finite")), messages(e2).mkString(" | "))
+  }
+
   test("knnClassify: hand-computed majority vote with deterministic ties") {
     val spark2 = TestSpark.spark
     import spark2.implicits._

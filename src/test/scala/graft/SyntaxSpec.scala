@@ -130,7 +130,12 @@ class SyntaxSpec extends AnyFunSuite {
       Map("0" -> 0.5, "1" -> 1.0), 0.0)
     assert(sampled.count() == again.count() && sampled.count() > 0)
     assert(sampled.count() < e.count()) // cluster 0 thinned, none dropped entirely
-    // every surviving row kept its cluster assignment
+    // every surviving row kept its cluster assignment: anti-join against the
+    // original (id, cluster) pairs must be empty (a distinct-count would not
+    // catch a scrambled or recomputed cluster column)
+    assert(sampled.select(col("id"), col("cluster"))
+      .join(clustered.select(col("id"), col("cluster")), Seq("id", "cluster"), "left_anti")
+      .count() == 0)
     assert(sampled.select(col("cluster")).distinct().count() == 2)
   }
 }

@@ -208,8 +208,8 @@ class VisualizeSpec extends AnyFunSuite {
     // the reference's own test: poly.csv through worldProj + fillPolygon at
     // 4096x2048 over the mercator.jpg background — same fixture, same
     // canvas size (which is why the canvas cap admits 2^23 pixels)
-    val wkt = scala.io.Source.fromFile(
-      "/root/reference/src/test/resources/poly.csv").mkString.trim
+    val wkt = scala.util.Using.resource(scala.io.Source.fromFile(
+      "/root/reference/src/test/resources/poly.csv"))(_.mkString.trim)
     val bg = ImageIO.read(new java.io.File(
       "/root/reference/src/test/resources/mercator.jpg"))
     def render(w: Int, h: Int) = {
