@@ -219,4 +219,40 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("kmeans == naive local Lloyd on random corpora (exact, incl. quantization)") {
+    // the operator's whole contract — seed order, tie direction, 1e-6 grid
+    // snap, empty-cluster drop, final-assignment output — re-implemented
+    // naively on the driver; any drift in either copy fails exactly
+    import org.apache.spark.sql.functions.col
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val krnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 40 + krnd.nextInt(40); val dim = 1 + krnd.nextInt(4)
+      val k = 2 + krnd.nextInt(3); val iters = krnd.nextInt(4)
+      val data = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)((krnd.nextInt(2000) - 1000) / 100.0f)))
+      def d2(a: Array[Double], b: Array[Double]) =
+        a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+      def assign(e: Array[Double], cs: Seq[(Int, Array[Double])]): (Int, Double) =
+        cs.map { case (c, ce) => (d2(e, ce), c) }.minBy(x => (x._1, x._2)).swap
+      var cents: Seq[(Int, Array[Double])] =
+        data.sortBy(_._1).take(k).zipWithIndex.map { case ((_, e), i) =>
+          (i, e.map(_.toDouble)) }
+      for (_ <- 0 until iters) {
+        val byC = data.groupBy { case (_, e) => assign(e.map(_.toDouble), cents)._1 }
+        cents = byC.toSeq.sortBy(_._1).map { case (c, g) =>
+          (c, Array.tabulate(dim)(j =>
+            math.floor(g.map(_._2(j).toDouble).sum / g.size * 1e6 + 0.5) / 1e6))
+        }
+      }
+      val exp = data.map { case (id, e) =>
+        val (c, d) = assign(e.map(_.toDouble), cents); id -> ((c, d)) }.toMap
+      val got = graft.operators.Similarity
+        .kmeans(data.toDF("id", "vec"), col("id"), col("vec"), k, iters)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(got == exp, s"trial=$trial n=$n dim=$dim k=$k iters=$iters")
+    }
+  }
 }
