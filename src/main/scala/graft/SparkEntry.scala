@@ -202,6 +202,21 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Product-quantization ANN in its lossless degenerate (ksub covers the
+    // corpus, zero Lloyd rounds): the ADC tables telescope to exact
+    // euclidean distances, so the oracle is plain euclidean top-5 — the
+    // same exactness pattern as q51's nprobe = nlist. Compressing configs
+    // are spec-covered (DedupSpec recall assertion).
+    "q79_ann_pq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), col("vec_id"), col("vec_id"),
+          col("embedding"), col("embedding"), k = 5, m = 8, ksub = n, iters = 0,
+          sampleN = n)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Distributed seeded k-means over the embedding corpus (curation
     // clustering): deterministic init (k smallest ids), 2 Lloyd iterations,
     // assignment + squared distance against the final centroids.
@@ -1028,6 +1043,16 @@ object SparkEntry {
        "r AS (SELECT query_id, label_pred, votes, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label_pred) AS arn FROM v) " +
        "SELECT query_id, label_pred, votes FROM r WHERE arn = 1 ORDER BY query_id"),
+
+    // exact euclidean top-5 (the lossless-PQ twin), ties to lower neighbor
+    "q79_ann_pq" ->
+      ("WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings), " +
+       "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "list_sum([(q.e[i]-c.e[i])*(q.e[i]-c.e[i]) FOR i IN generate_series(1,64)]), c.vec_id) AS rn " +
+       "FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) " +
+       "SELECT query_id, neighbor_id, rn AS rank FROM scored WHERE rn <= 5 " +
+       "ORDER BY query_id, rank"),
 
     // the same unrolled Lloyd recursion: init = k smallest ids, per
     // iteration argmin assignment (ties to lower cluster) + element-wise

@@ -277,6 +277,139 @@ object Similarity {
   }
 
   /**
+   * Product-quantization ANN — the memory tier of the ANN family (brute →
+   * LSH → IVF → PQ): each vector splits into `m` subspaces, a ksub-entry
+   * codebook per subspace is trained on a bounded deterministic sample
+   * (same driver-side recipe as the IVF quantizer), the corpus is encoded
+   * as m small codes per row, and queries score by asymmetric distance —
+   * a per-query m×ksub lookup table, so scoring costs m table reads per
+   * corpus row instead of dim multiplies, and a persisted corpus stores
+   * m codes (bytes at ksub ≤ 256) instead of dim floats: the ~16-64×
+   * compression that makes 100 TB of embeddings fit an ANN serving tier.
+   *
+   * Euclidean ranking, ties to the lower neighbor id. Approximate for
+   * compressing configs; EXACT (lossless) when ksub covers every distinct
+   * subvector and iters = 0 — the codebook then contains each subvector
+   * itself, the ADC sum telescopes to the true squared distance, and the
+   * driver oracle verifies that degenerate the same way q51 pins IVF with
+   * nprobe = nlist. (The ADC sum groups per-subspace partials, so it can
+   * differ from a flat fold in the last ulps — rankings only flip on
+   * near-ties far below the distance gaps of real data.)
+   *
+   * Output: (query_id, neighbor_id, rank), self-pairs excluded.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, corpusId: Column, queryId: Column,
+             corpusVec: Column, queryVec: Column, k: Int, m: Int, ksub: Int,
+             iters: Int = 3, sampleN: Int = 4096): DataFrame = {
+    require(m >= 1 && ksub >= 1 && iters >= 0 && k >= 1,
+      s"pqTopK: m=$m ksub=$ksub iters=$iters k=$k must all be positive (iters >= 0)")
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    // bounded deterministic sample, id-hash order (the fitCentroids recipe)
+    val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(math.max(sampleN, ksub))
+      .select(col("__cv")).collect()
+      .map(r => toDoubles(r.getSeq[Float](0)))
+    require(sample.nonEmpty, "pqTopK: corpus is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTopK: dim $dim is not divisible by m = $m subspaces")
+    val dsub = dim / m
+    // per-subspace codebooks: init = first ksub DISTINCT subvectors in
+    // sample order (deterministic; ksub >= distinct ⇒ the init is already
+    // lossless), refined by `iters` Lloyd rounds over the sample
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val seen = scala.collection.mutable.LinkedHashSet.empty[scala.collection.immutable.ArraySeq[Double]]
+      subs.iterator.takeWhile(_ => seen.size < ksub)
+        .foreach(v => seen += scala.collection.immutable.ArraySeq.unsafeWrapArray(v))
+      val cs = seen.iterator.map(_.unsafeArray.asInstanceOf[Array[Double]]).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cs.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cs.length)
+        subs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var j = 0
+          while (j < cs.length) {
+            val d = sqDist(v, cs(j)); if (d < bd) { bd = d; best = j }; j += 1
+          }
+          val su = sums(best); var x = 0
+          while (x < dsub) { su(x) += v(x); x += 1 }
+          counts(best) += 1
+        }
+        var j = 0
+        while (j < cs.length) {
+          if (counts(j) > 0) {
+            var x = 0
+            while (x < dsub) { cs(j)(x) = sums(j)(x) / counts(j); x += 1 }
+          }
+          j += 1
+        }
+        it += 1
+      }
+      cs
+    }
+    val bc = spark.sparkContext.broadcast(codebooks)
+    // encode: m codes per corpus row — the compressed representation
+    val encode = udf { (raw: Seq[Float]) =>
+      val e = toDoubles(raw)
+      val cbs = bc.value
+      require(e.length == cbs.length * (cbs(0)(0).length),
+        s"pqTopK: corpus dim ${e.length} != trained dim ${cbs.length * cbs(0)(0).length}")
+      val out = new Array[Int](cbs.length)
+      var s = 0
+      while (s < cbs.length) {
+        val cb = cbs(s); val off = s * cb(0).length
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < cb.length) {
+          var d = 0.0; var x = 0
+          while (x < cb(j).length) { val diff = e(off + x) - cb(j)(x); d += diff * diff; x += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        out(s) = best; s += 1
+      }
+      out
+    }
+    // query batch → per-query ADC tables, flattened with per-subspace
+    // offsets (codebooks may be ragged when distinct subvectors < ksub)
+    val offsets = codebooks.scanLeft(0)(_ + _.length)
+    val qBatch = queries.select(queryId.as("query_id"), queryVec.as("__qv")).collect()
+    val tables = qBatch.map { r =>
+      val q = toDoubles(r.getSeq[Float](1))
+      require(q.length == dim, s"pqTopK: query dim ${q.length} != trained dim $dim")
+      val t = new Array[Double](offsets.last)
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s); val qs = java.util.Arrays.copyOfRange(q, s * dsub, (s + 1) * dsub)
+        var j = 0
+        while (j < cb.length) { t(offsets(s) + j) = sqDist(qs, cb(j)); j += 1 }
+        s += 1
+      }
+      (r.get(0), t)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      queries.select(queryId.as("query_id")).schema.fields.head,
+      org.apache.spark.sql.types.StructField("__qt",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false), false)))
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(tables.map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t.toSeq) }: _*), qSchema)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val score = udf { (codes: Seq[Int], table: Seq[Double]) =>
+      val off = bcOff.value
+      var s = 0; var d = 0.0
+      while (s < codes.length) { d += table(off(s) + codes(s)); s += 1 }
+      d
+    }
+    val scored = c.withColumn("__code", encode(col("__cv"))).drop("__cv")
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("__pqd", score(col("__code"), col("__qt")))
+    val rn = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("__pqd"), col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /**
    * Distributed Lloyd's k-means over the embedding column — corpus
    * clustering for curation passes (cluster-balanced sampling, semantic
    * bucketing before per-bucket dedup).

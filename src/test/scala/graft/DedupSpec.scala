@@ -109,6 +109,42 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("pqTopK: lossless config == exact euclidean top-k; compressing config beats chance") {
+    val q = embs.filter(col("vec_id") < 5)
+    // exact euclidean top-3 computed naively on the driver
+    val all = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+    val exact = all.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (cid, cv) => (qid, cid, d2(qv, cv)) }
+        .sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((a, b, _), i) => (a, b, i + 1) }
+    }.toSet
+    // ksub >= corpus, iters = 0: the codebook IS the corpus subvectors, the
+    // ADC sum telescopes to the true distance — exact, like IVF nprobe=nlist
+    val lossless = Similarity.pqTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3, m = 8, ksub = 500,
+        iters = 0, sampleN = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(lossless == exact)
+    // 16-entry codebooks (16x compression of a float32 corpus): random
+    // embeddings are PQ's worst case (no low-dim structure), measured
+    // recall@3 = 0.2 here vs ~0.006 for chance — assert it stays well above
+    val lossy = Similarity.pqTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3, m = 8, ksub = 16, iters = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex2 = exact.map(t => (t._1, t._2))
+    assert(lossy.intersect(ex2).size.toDouble / ex2.size >= 0.15)
+    // guard: dims not divisible by m
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3, m = 7, ksub = 16)
+    }
+    assert(e3.getMessage.contains("not divisible"))
+  }
+
   test("kmeans: hand case converges, keeps stable ids, ties to lower cluster") {
     val spark2 = TestSpark.spark
     import spark2.implicits._
