@@ -217,6 +217,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The persisted PQ serving tier in the same lossless degenerate:
+    // queries run against the stored CODES (vectors never re-read), and the
+    // result must still equal exact euclidean top-5.
+    "q80_ann_pq_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      val path = storedOnce("pqstore", dir)(p =>
+        Similarity.buildPqIndex(e, p, col("vec_id"), col("embedding"),
+          m = 8, ksub = n, iters = 0, sampleN = n))
+      Similarity.pqTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Distributed seeded k-means over the embedding corpus (curation
     // clustering): deterministic init (k smallest ids), 2 Lloyd iterations,
     // assignment + squared distance against the final centroids.
@@ -1045,14 +1060,11 @@ object SparkEntry {
        "SELECT query_id, label_pred, votes FROM r WHERE arn = 1 ORDER BY query_id"),
 
     // exact euclidean top-5 (the lossless-PQ twin), ties to lower neighbor
-    "q79_ann_pq" ->
-      ("WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings), " +
-       "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-       "list_sum([(q.e[i]-c.e[i])*(q.e[i]-c.e[i]) FOR i IN generate_series(1,64)]), c.vec_id) AS rn " +
-       "FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) " +
-       "SELECT query_id, neighbor_id, rn AS rank FROM scored WHERE rn <= 5 " +
-       "ORDER BY query_id, rank"),
+    "q79_ann_pq" -> euclidTop5OracleSql,
+
+    // the stored-codes path answers from the SAME lossless codes ⇒ same
+    // euclidean oracle
+    "q80_ann_pq_store" -> euclidTop5OracleSql,
 
     // the same unrolled Lloyd recursion: init = k smallest ids, per
     // iteration argmin assignment (ties to lower cluster) + element-wise
@@ -1550,6 +1562,17 @@ object SparkEntry {
 
   private val dotSqlQC: String =
     "list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1,64)])"
+
+  /** Exact euclidean top-5 with ties to the lower neighbor id — the oracle
+    * for both lossless-PQ paths (inline q79 and stored-codes q80). */
+  private val euclidTop5OracleSql: String =
+    "WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings), " +
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+    "list_sum([(q.e[i]-c.e[i])*(q.e[i]-c.e[i]) FOR i IN generate_series(1,64)]), c.vec_id) AS rn " +
+    "FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) " +
+    "SELECT query_id, neighbor_id, rn AS rank FROM scored WHERE rn <= 5 " +
+    "ORDER BY query_id, rank"
 
   /** Unrolled Lloyd CTEs mirroring `Similarity.kmeans` exactly: c0 from the
     * k smallest ids, then per iteration an argmin assignment (ties to the

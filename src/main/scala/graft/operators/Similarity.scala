@@ -310,13 +310,23 @@ object Similarity {
       .select(col("__cv")).collect()
       .map(r => toDoubles(r.getSeq[Float](0)))
     require(sample.nonEmpty, "pqTopK: corpus is empty")
+    val codebooks = fitPqCodebooks(sample, m, ksub, iters)
+    val encoded = c.withColumn("__code",
+      pqEncodeUdf(spark.sparkContext.broadcast(codebooks))(col("__cv"))).drop("__cv")
+    pqRank(encoded, queries, queryId, queryVec, codebooks, k)
+  }
+
+  /** Train per-subspace PQ codebooks over a prepared (double) sample — the
+    * ONE recipe shared by [[pqTopK]] and [[buildPqIndex]] (lockstep, like
+    * fitCentroids for the two IVF paths). Init = first ksub DISTINCT
+    * subvectors in sample order (deterministic; ksub >= distinct makes the
+    * init lossless), then `iters` Lloyd rounds over the sample. */
+  private[graft] def fitPqCodebooks(sample: Array[Array[Double]], m: Int, ksub: Int,
+                                    iters: Int): Array[Array[Array[Double]]] = {
     val dim = sample(0).length
-    require(dim % m == 0, s"pqTopK: dim $dim is not divisible by m = $m subspaces")
+    require(dim % m == 0, s"pq: dim $dim is not divisible by m = $m subspaces")
     val dsub = dim / m
-    // per-subspace codebooks: init = first ksub DISTINCT subvectors in
-    // sample order (deterministic; ksub >= distinct ⇒ the init is already
-    // lossless), refined by `iters` Lloyd rounds over the sample
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    Array.tabulate(m) { s =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       val seen = scala.collection.mutable.LinkedHashSet.empty[scala.collection.immutable.ArraySeq[Double]]
       subs.iterator.takeWhile(_ => seen.size < ksub)
@@ -347,17 +357,20 @@ object Similarity {
       }
       cs
     }
-    val bc = spark.sparkContext.broadcast(codebooks)
-    // encode: m codes per corpus row — the compressed representation
-    val encode = udf { (raw: Seq[Float]) =>
+  }
+
+  /** Encode one corpus vector as m codebook indexes — the compressed
+    * representation (bytes at ksub <= 256). */
+  private def pqEncodeUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
+    udf { (raw: Seq[Float]) =>
       val e = toDoubles(raw)
       val cbs = bc.value
-      require(e.length == cbs.length * (cbs(0)(0).length),
-        s"pqTopK: corpus dim ${e.length} != trained dim ${cbs.length * cbs(0)(0).length}")
+      require(e.length == cbs.length * cbs(0)(0).length,
+        s"pq: corpus dim ${e.length} != trained dim ${cbs.length * cbs(0)(0).length}")
       val out = new Array[Int](cbs.length)
-      var s = 0
+      var s = 0; var off = 0
       while (s < cbs.length) {
-        val cb = cbs(s); val off = s * cb(0).length
+        val cb = cbs(s)
         var best = 0; var bd = Double.MaxValue; var j = 0
         while (j < cb.length) {
           var d = 0.0; var x = 0
@@ -365,17 +378,27 @@ object Similarity {
           if (d < bd) { bd = d; best = j }
           j += 1
         }
-        out(s) = best; s += 1
+        out(s) = best; off += cb(0).length; s += 1
       }
       out
     }
-    // query batch → per-query ADC tables, flattened with per-subspace
-    // offsets (codebooks may be ragged when distinct subvectors < ksub)
+
+  /** ADC scoring + per-query top-k over an encoded corpus: collect the
+    * (broadcast-small) query batch, turn each query into its flattened
+    * m×ksub lookup table, score = m table reads per corpus row. */
+  private def pqRank(encoded: DataFrame, queries: DataFrame, queryId: Column,
+                     queryVec: Column, codebooks: Array[Array[Array[Double]]],
+                     k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val dim = m * dsub
+    // per-subspace offsets: codebooks may be ragged when distinct < ksub
     val offsets = codebooks.scanLeft(0)(_ + _.length)
     val qBatch = queries.select(queryId.as("query_id"), queryVec.as("__qv")).collect()
     val tables = qBatch.map { r =>
       val q = toDoubles(r.getSeq[Float](1))
-      require(q.length == dim, s"pqTopK: query dim ${q.length} != trained dim $dim")
+      require(q.length == dim, s"pq: query dim ${q.length} != trained dim $dim")
       val t = new Array[Double](offsets.last)
       var s = 0
       while (s < m) {
@@ -400,13 +423,49 @@ object Similarity {
       while (s < codes.length) { d += table(off(s) + codes(s)); s += 1 }
       d
     }
-    val scored = c.withColumn("__code", encode(col("__cv"))).drop("__cv")
+    val scored = encoded
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("__pqd", score(col("__code"), col("__qt")))
     val rn = row_number().over(
       Window.partitionBy(col("query_id")).orderBy(col("__pqd"), col("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Persist the PQ serving tier: train codebooks (bounded sample), write
+    * the corpus as (neighbor_id, m codes) parquet — the 16-64× compressed
+    * representation a 100 TB corpus is queried from — plus a codebook
+    * sidecar. Same rebuild-crash contract as the IVF store. */
+  def buildPqIndex(corpus: DataFrame, path: String, corpusId: Column, corpusVec: Column,
+                   m: Int = 8, ksub: Int = 256, iters: Int = 3,
+                   sampleN: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(math.max(sampleN, ksub))
+      .select(col("__cv")).collect()
+      .map(r => toDoubles(r.getSeq[Float](0)))
+    require(sample.nonEmpty, "buildPqIndex: corpus is empty")
+    val codebooks = fitPqCodebooks(sample, m, ksub, iters)
+    c.withColumn("__code",
+        pqEncodeUdf(spark.sparkContext.broadcast(codebooks))(col("__cv"))).drop("__cv")
+      .write.mode("overwrite").parquet(path + "/codes")
+    // one line per subspace; entries '|', dims ',' (Double.toString
+    // round-trips exactly, same as the IVF centroid sidecar)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pq_codebooks",
+      codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString("\n"))
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** Query a [[buildPqIndex]] store: scores the persisted CODES — the
+    * original vectors are never read back. */
+  def pqTopKIndexed(queries: DataFrame, path: String, queryId: Column,
+                    queryVec: Column, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val codebooks: Array[Array[Array[Double]]] =
+      graft.sources.Sidecar.readText(spark, path + "/_graft_pq_codebooks")
+        .split("\n").map(_.split('|').map(_.split(',').map(java.lang.Double.parseDouble)))
+    pqRank(spark.read.parquet(path + "/codes"), queries, queryId, queryVec, codebooks, k)
   }
 
   /**

@@ -124,6 +124,28 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
 
+  test("persisted PQ store equals the inline pqTopK (codes round-trip, ragged codebooks)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_pq_store_spec"
+    // m=4, ksub=16, trained: the persisted codes + sidecar codebooks must
+    // reproduce the inline path exactly (same training recipe, same sample)
+    Similarity.buildPqIndex(emb, p, col("vec_id"), col("embedding"),
+      m = 4, ksub = 16, iters = 2, sampleN = 150)
+    val q = emb.filter(col("vec_id") < 5)
+    val got = Similarity.pqTopKIndexed(q, p, col("vec_id"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exp = Similarity.pqTopK(emb, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3, m = 4, ksub = 16, iters = 2,
+        sampleN = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exp && got.nonEmpty,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
   test("persisted kNN equals the live kNN (expand rounds + degenerate k >= n)") {
     import graft.operators.KNN
     // k large enough that the first ring can't conclude — forces expansion
