@@ -17,6 +17,10 @@ object SparkEntry {
   private val T1 = 1704844800000000L
   private val T2 = 1705708800000000L
 
+  // q81 retrieval query — mid-frequency corpus terms; ONE definition feeds
+  // both the Spark plan and the generated oracle SQL
+  private val Bm25Terms = Seq("spark", "hash", "join")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Generic relational baseline (Spark built-ins; SURVEY §2.5 note).
@@ -240,6 +244,48 @@ object SparkEntry {
           col("embedding"), k = 4, iters = 2)
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))
+    }),
+
+    // BM25 top-k retrieval in the exact-integer mode: corpus stats in one
+    // agg pass, per-row tf counts (no explode), TakeOrdered top-25. The
+    // score is a pure integer function of (tf, df, dl, N, Σdl), so the
+    // DuckDB oracle replays it bit-for-bit (TextSearch.bm25ExactOracleSql
+    // is generated from the same constants).
+    "q81_bm25" -> ((s, dir) => {
+      TextSearch.bm25TopKExact(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), Bm25Terms, k = 25)
+    }),
+
+    // BPE tokenizer training, first merge decision: the argmax adjacent
+    // symbol pair of the char-symbol word histogram — the one training
+    // round plain SQL can replay (the full loop is BpeSpec differential
+    // territory). EAGER histogram pass, driver merge loop.
+    "q82_bpe_first" -> ((s, dir) => {
+      Bpe.learnBpe(Tables.load(s, dir, "documents"), col("text"), numMerges = 1)
+    }),
+
+    // Full BPE merge table (50 rounds) — iterative training artifact, no
+    // SQL oracle by construction; the loop is pinned by BpeSpec's naive
+    // differential + the Sennrich paper fixture, and q82 pins round 1
+    // against DuckDB.
+    "q83_bpe_merges" -> ((s, dir) => {
+      Bpe.learnBpe(Tables.load(s, dir, "documents"), col("text"), numMerges = 50)
+        .orderBy(col("merge_rank"))
+    }),
+
+    // Z-order layout round-trip: lineitem rewritten along the Morton curve
+    // over (l_partkey, l_suppkey), then a two-column range filter over the
+    // clustered store. Correctness = layout changes nothing; the pruning
+    // property (tight per-file min/max boxes) is ZOrderSpec's assertion
+    // and the reason the layout exists at 100 TB.
+    "q84_zorder_scan" -> ((s, dir) => {
+      val path = storedOnce("zorder_li", dir)(p =>
+        ZOrder.write(Tables.load(s, dir, "lineitem"), p,
+          Seq("l_partkey", "l_suppkey"), bits = 16, partitions = 16))
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(100, 180) && col("l_suppkey").between(10, 60))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     }),
 
     // Point accessor over the tile struct (reference Tile.value/idxFromPos):
@@ -1070,6 +1116,20 @@ object SparkEntry {
     // iteration argmin assignment (ties to lower cluster) + element-wise
     // mean, final assignment against the post-update centroids
     "q78_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+
+    // integer BM25 replay generated from the operator's own constants —
+    // formula drift between the Scala and SQL sides is impossible
+    "q81_bm25" -> TextSearch.bm25ExactOracleSql(
+      "documents", "doc_id", "text", Bm25Terms, k = 25),
+
+    // first BPE merge: argmax pair of the initial char-symbol histogram
+    "q82_bpe_first" -> Bpe.firstMergeOracleSql("documents", "text", 10000),
+
+    // the z-ordered copy holds exactly the source rows
+    "q84_zorder_scan" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem " +
+       "WHERE l_partkey BETWEEN 100 AND 180 AND l_suppkey BETWEEN 10 AND 60 " +
+       "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"),
 
     // probe (ulx+25, uly-45) on a 10x10/pw=10 tile is row 4, col 2 = pixel 42;
     // the anchor reads pixel 0; one probe left of the frame must be NULL

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import scala.collection.mutable
+
+/**
+ * Byte-pair-encoding tokenizer training and application — the step that
+ * turns a cleaned corpus into model tokens (Sennrich et al. 2016, the
+ * GPT-2 tokenizer recipe).
+ *
+ * Scale shape, the standard one: BPE never trains on the corpus stream —
+ * it trains on the WORD HISTOGRAM. One distributed `explode → groupBy →
+ * TakeOrdered(vocabWords)` pass reduces any corpus (100 TB included) to a
+ * bounded `(word, count)` table; the merge loop then runs on the driver
+ * over that histogram (`vocabWords × avg_word_len` symbols — kilobytes).
+ * Application ([[applyBpe]]) is a pure per-row map with a broadcast merge
+ * table and a per-thread memo (word → subwords), so repeated words — the
+ * overwhelming majority at corpus scale — segment once per executor
+ * thread, not once per occurrence.
+ *
+ * Determinism contract (what the spec differential and the driver oracle
+ * replay): histogram ties break by word; the best pair each round is the
+ * (count, then lexicographic (left, right)) maximum; merges apply
+ * left-to-right non-overlapping. No randomness anywhere.
+ */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence (the
+    * Sennrich `</w>`): lets the tokenizer distinguish "low" the word from
+    * "low" the prefix of "lowest". */
+  val EndOfWord = "</w>"
+
+  /** Word → initial symbol sequence: one symbol per char, then the marker. */
+  private[graft] def initSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndOfWord
+
+  /** Distributed word histogram: top `vocabWords` by (count desc, word) —
+    * a map-side-combined groupBy then TakeOrdered, never a full sort.
+    * Empty words (consecutive spaces) are excluded: their symbol sequence
+    * is the bare marker with zero pairs, so they could only waste a
+    * histogram slot. */
+  private[graft] def wordHistogram(df: DataFrame, textCol: Column,
+                                   vocabWords: Int): Seq[(String, Long)] = {
+    df.select(explode(TextAnalysis.tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** The driver-side merge loop over a word histogram. Each round counts
+    * every adjacent symbol pair (weighted by word count, one count per
+    * POSITION — "aaaa" contributes (a,a) three times), takes the
+    * deterministic maximum, and rewrites the histogram. Stops early when
+    * no pair remains. */
+  private[graft] def learnMergesLocal(hist: Seq[(String, Long)],
+                                      numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Vector[String], Long)] =
+      hist.map { case (w, c) => (initSymbols(w), c) }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) round = numMerges
+      else {
+        val best = counts.iterator.reduce { (a, b) =>
+          val cmp = a._2.compareTo(b._2)
+          val better =
+            if (cmp != 0) cmp > 0
+            else {
+              val l = a._1._1.compareTo(b._1._1)
+              if (l != 0) l < 0 else a._1._2 < b._1._2
+            }
+          if (better) a else b
+        }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergePair(syms, best), c) }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping rewrite of `pair` in a symbol
+    * sequence ("aaaa" under (a,a) → "(aa)(aa)"). */
+  private[graft] def mergePair(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /**
+   * Learn `numMerges` BPE merges from the corpus. Returns the ordered merge
+   * table as a DataFrame (merge_rank, left, right) — the training artifact
+   * a pipeline persists next to its corpus snapshot.
+   *
+   * `vocabWords` bounds the driver state: training sees the top-N word
+   * histogram (standard practice — tail hapaxes shift pair counts by at
+   * most their own frequency). EAGER: the histogram pass runs at call time,
+   * same driver/executor split as DBSCAN.cluster and Skyline.
+   */
+  def learnBpe(df: DataFrame, textCol: Column, numMerges: Int,
+               vocabWords: Int = 10000): DataFrame = {
+    require(numMerges > 0, s"learnBpe: numMerges must be positive, got $numMerges")
+    require(vocabWords > 0, s"learnBpe: vocabWords must be positive, got $vocabWords")
+    val merges = learnMergesLocal(wordHistogram(df, textCol, vocabWords), numMerges)
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("merge_rank", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("left", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("right", org.apache.spark.sql.types.StringType, false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(merges.zipWithIndex.map { case ((l, r), i) =>
+        Row(i.toLong, l, r) }: _*), schema)
+  }
+
+  /** Segment one word under a rank table (lower rank = earlier merge =
+    * higher priority): repeatedly merge the best-ranked adjacent pair —
+    * the GPT-2 application rule, deterministic for any input word
+    * including words never seen in training. */
+  private[graft] def segmentWord(word: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var syms = initSymbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (best == null) done = true
+      else syms = mergePair(syms, best)
+    }
+    syms
+  }
+
+  /** Per-executor-thread segmentation memo. A JVM-static (never
+    * serialized); bounded — cleared when it outgrows 1<<16 entries so a
+    * high-cardinality corpus can't grow executor memory unboundedly. */
+  private object Memo {
+    val tl: ThreadLocal[mutable.HashMap[String, Seq[String]]] =
+      ThreadLocal.withInitial(() => mutable.HashMap.empty[String, Seq[String]])
+    def get(): mutable.HashMap[String, Seq[String]] = {
+      val m = tl.get()
+      if (m.size > (1 << 16)) m.clear()
+      m
+    }
+  }
+
+  /**
+   * Apply a learned merge table: adds `outName` (array&lt;string&gt; of
+   * subword tokens, words flattened in order). Broadcast rank map + memoized
+   * per-word segmentation — a pure map, no shuffle; prunes/pushes down
+   * like any projection.
+   */
+  def applyBpe(df: DataFrame, textCol: Column, merges: Seq[(String, String)],
+               outName: String = "bpe_tokens"): DataFrame = {
+    val rank = merges.zipWithIndex.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(rank)
+    val seg = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val memo = Memo.get()
+        text.split(" ", -1).iterator.flatMap { w =>
+          memo.getOrElseUpdate(w, segmentWord(w, bc.value))
+        }.toSeq
+      }
+    }
+    df.withColumn(outName, seg(textCol))
+  }
+
+  /** [[applyBpe]] taking the [[learnBpe]] output frame (collects the
+    * merge table — bounded by numMerges — back to the driver). */
+  def applyBpe(df: DataFrame, textCol: Column, merges: DataFrame): DataFrame =
+    applyBpe(df, textCol,
+      merges.orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** DuckDB replay of the FIRST merge decision (the argmax pair of the
+    * initial char-symbol histogram) — the one round SQL can express
+    * without iterating; the loop itself is spec-verified by differential.
+    * Output matches `learnBpe(df, textCol, 1, vocabWords)`.
+    *
+    * Empty words are filtered on BOTH sides (see [[wordHistogram]]):
+    * DuckDB's `string_split('', '')` is `['']`, which would fabricate an
+    * ('', marker) pair Scala's zero-pair `initSymbols("")` never counts —
+    * with the shared filter the two engines agree on any corpus. */
+  def firstMergeOracleSql(table: String, textExpr: String, vocabWords: Int): String =
+    s"""WITH w AS (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table),
+       |h AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w WHERE word <> ''
+       |      GROUP BY word ORDER BY c DESC, word LIMIT $vocabWords),
+       |sym AS (SELECT list_append(string_split(word, ''), '$EndOfWord') AS syms, c FROM h),
+       |p AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(c) AS cnt
+       |      FROM sym, unnest(range(1, len(syms))) AS g(i) GROUP BY 1, 2)
+       |SELECT CAST(0 AS BIGINT) AS merge_rank, l AS "left", r AS "right"
+       |FROM p ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Full-text relevance retrieval over a document corpus — BM25 scoring and
+ * top-k search. The retrieval primitive of a training-data pipeline:
+ * quality-filter by query relevance, mine hard negatives, or audit what a
+ * corpus contains for a topic.
+ *
+ * Two scoring modes:
+ *
+ *  - [[bm25TopK]] — classic Okapi BM25 (Lucene's always-positive
+ *    `ln(1 + (N-df+0.5)/(df+0.5))` idf), double-valued. The variant users
+ *    expect; transcendental, so NOT cross-engine bit-exact.
+ *  - [[bm25TopKExact]] — the same tf saturation curve with the odds-form
+ *    idf `(N-df+0.5)/(df+0.5)` (the quantity whose log classic BM25
+ *    takes), both factors floored to fixed-point integers. Every value is
+ *    a pure integer function of (tf, df, dl, N, Σdl), so an external SQL
+ *    engine replaying the documented formula matches bit-for-bit — this is
+ *    the driver-oracle mode, same engineering as the e6 rational columns
+ *    in [[TextAnalysis]].
+ *
+ * Scale shape (both modes): one map-side-combined aggregate pass collects
+ * the corpus statistics (N, Σdl, one df per query term — a single row,
+ * broadcast back), one streaming scan scores documents with per-row
+ * `filter(tokens, _ == term)` counts (no explode, no shuffle of the
+ * corpus), and the top-k is orderBy+limit = TakeOrderedAndProject. Nothing
+ * materializes more than k rows per partition; both passes prune to the
+ * (id, text) columns.
+ */
+object TextSearch {
+
+  /** Floor fixed-point division `floor(a·10^s / b)` carried out in
+    * DECIMAL(38,0) so it stays exact past the 2^53 double range and the
+    * int64 product range — `a·10^s` for a trillion-token corpus overflows
+    * a long, a decimal never (38 digits). `a >= 0`, `b > 0`. */
+  private def fixed(a: Column, b: Column, s: Int): Column = {
+    val scale = math.pow(10, s).toLong
+    val A = a.cast(DecimalType(38, 0)) * scale
+    val B = b.cast(DecimalType(38, 0))
+    ((A - pmod(A, B)) / B).cast("long")
+  }
+
+  /** Okapi tf saturation factor as an e4 fixed-point integer, k1 = 1.2 and
+    * b = 0.75 (the classic defaults) folded into integer coefficients:
+    *
+    *   tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *     = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)        with avgdl = S/N
+    *
+    * (multiply through by 10·S; 22 = 10·2.2, 3 = 10·1.2·0.25,
+    * 9 = 10·1.2·0.75). */
+  private def tfFactorE4(tf: Column, dl: Column, n: Column, s: Column): Column =
+    fixed(lit(22L) * tf * s, lit(10L) * tf * s + lit(3L) * s + lit(9L) * dl * n, 4)
+
+  /** Odds-form idf as an e4 fixed-point integer:
+    * `floor(1e4·(2N - 2df + 1)/(2df + 1))` — the argument of classic
+    * BM25's log, cleared of halves. Monotone in df like the log form;
+    * floors to 0 only when df ≈ N (everywhere-terms contribute nothing,
+    * the same regime where Lucene's idf ≈ 0). */
+  private def idfE4(df: Column, n: Column): Column =
+    fixed(lit(2L) * n - lit(2L) * df + 1L, lit(2L) * df + 1L, 4)
+
+  /**
+   * Exact-integer BM25 top-k: documents ranked by
+   * `score_e8 = Σ_t idf_e4(t) · tfFactor_e4(t, doc)` over the query
+   * `terms`, ties to the lower id, documents matching no term excluded.
+   * Output: (doc_id, score_e8), score descending.
+   *
+   * Every factor is an integer (documented in [[idfE4]]/[[tfFactorE4]]),
+   * so the sum is order-independent and any SQL engine replaying the
+   * formula hash-matches. int64-safe while `2N·10^4 · 2.2·10^4 < 2^63`
+   * (N beyond ~2·10^10 documents: wider than any published corpus).
+   */
+  def bm25TopKExact(docs: DataFrame, idCol: Column, textCol: Column,
+                    terms: Seq[String], k: Int): DataFrame = {
+    val scored = scoredBase(docs, idCol, textCol, terms, k)
+    val termScores = terms.indices.map { i =>
+      idfE4(col(s"__df_$i"), col("__n")) *
+        tfFactorE4(col(s"__tf_$i"), col("__dl"), col("__n"), col("__s"))
+    }
+    scored.withColumn("score_e8", termScores.reduce(_ + _))
+      .filter(col("score_e8") > 0)
+      .orderBy(col("score_e8").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_e8"))
+  }
+
+  /**
+   * Classic BM25 top-k (Lucene idf `ln(1 + (N-df+0.5)/(df+0.5))`,
+   * double score). Same plan shape as [[bm25TopKExact]]; transcendental,
+   * so verified by spec differential against the exact mode's ranking
+   * rather than by the SQL oracle.
+   */
+  def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = scoredBase(docs, idCol, textCol, terms, k)
+    val avgdl = col("__s").cast("double") / col("__n")
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + lit(0.5)) / (col(s"__df_$i") + lit(0.5)))
+      idf * (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / avgdl))
+    }
+    scored.withColumn("score", termScores.reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** Shared skeleton: tokenized base with per-term tf columns, cross-joined
+    * with the broadcast one-row corpus statistics (N, Σdl, per-term df). */
+  private def scoredBase(docs: DataFrame, idCol: Column, textCol: Column,
+                         terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    require(terms.distinct.length == terms.length,
+      s"bm25: duplicate query terms ${terms.diff(terms.distinct).distinct.mkString(", ")} " +
+      "would double-count — deduplicate the query")
+    require(k > 0, s"bm25: k must be positive, got $k")
+    val reserved = Seq("__ws", "__dl", "__n", "__s") ++
+      terms.indices.flatMap(i => Seq(s"__df_$i", s"__tf_$i"))
+    require(!docs.columns.exists(c => reserved.exists(c.equalsIgnoreCase)),
+      "bm25: input must not contain __ws/__dl/__n/__s/__df_i/__tf_i columns")
+    val base = docs
+      .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__ws"))
+      .withColumn("__dl", size(col("__ws")).cast("long"))
+    val statAggs =
+      Seq(count(lit(1)).cast("long").as("__n"), sum(col("__dl")).as("__s")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__ws"), t), 1L).otherwise(0L)).as(s"__df_$i")
+      }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.withColumn(s"__tf_$i",
+        size(filter(col("__ws"), w => w === lit(t))).cast("long"))
+    }
+    withTf.crossJoin(broadcast(stats))
+  }
+
+  /** The DuckDB/ANSI replay of [[bm25TopKExact]] for a literal term list —
+    * kept NEXT to the Scala formula so the two can only drift visibly.
+    * `table` must expose `(idExpr, textExpr)`. */
+  def bm25ExactOracleSql(table: String, idExpr: String, textExpr: String,
+                         terms: Seq[String], k: Int): String = {
+    def fx(a: String, b: String) = s"(($a*10000 - ($a*10000) % $b) // $b)"
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val termSum = terms.indices.map { i =>
+      fx(s"(2*n - 2*df$i + 1)", s"(2*df$i + 1)") + " * " +
+        fx(s"(22*tf$i*sdl)", s"(10*tf$i*sdl + 3*sdl + 9*dl*n)")
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT $idExpr AS doc_id, string_split($textExpr, ' ') AS ws FROM $table),
+       |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM b),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, $dfCols FROM d),
+       |t AS (SELECT doc_id, dl, $tfCols FROM d),
+       |sc AS (SELECT doc_id, $termSum AS score_e8 FROM t, s)
+       |SELECT doc_id, score_e8 FROM sc WHERE score_e8 > 0
+       |ORDER BY score_e8 DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

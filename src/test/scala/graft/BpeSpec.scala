@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * BPE trainer/tokenizer: the Sennrich hand example, an independent
+ * naive-differential of the merge loop on random corpora, and the
+ * apply-path invariants (lossless round-trip, unseen-word robustness).
+ */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Independent reimplementation of the merge loop: counts pairs with
+    * groupBy on immutable maps, no shared code with the operator's
+    * mutable-array version. */
+  private def naiveBpe(hist: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+    def pairs(w: Seq[String]): Seq[(String, String)] = w.zip(w.drop(1))
+    var words: Seq[(Seq[String], Long)] =
+      hist.map { case (w, c) => (w.map(_.toString) :+ "</w>", c) }
+    var out = List.empty[(String, String)]
+    var i = 0
+    while (i < n) {
+      val counts = words.flatMap { case (w, c) => pairs(w).map(_ -> c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.isEmpty) i = n
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        out = best :: out
+        words = words.map { case (w, c) =>
+          val b = Seq.newBuilder[String]
+          var j = 0
+          while (j < w.length) {
+            if (j + 1 < w.length && (w(j), w(j + 1)) == best) { b += w(j) + w(j + 1); j += 2 }
+            else { b += w(j); j += 1 }
+          }
+          (b.result(), c)
+        }
+        i += 1
+      }
+    }
+    out.reverse
+  }
+
+  test("Sennrich hand example: low/lower/newest/widest learns est then es merges") {
+    // the canonical BPE paper fixture (counts from the paper)
+    val hist = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.learnMergesLocal(hist, 4)
+    // round 1: (e,s) count 9 beats everything (ties impossible here)
+    assert(merges.head == ("e", "s"))
+    // round 2 merges (es,t) with count 9
+    assert(merges(1) == ("es", "t"))
+    // subsequent merges keep consuming the highest-count pair
+    assert(merges.length == 4)
+    assert(merges == naiveBpe(hist, 4))
+  }
+
+  test("merge loop == naive differential on random histograms") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val vocab = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.distinct
+      val hist = vocab.map(w => w -> (1L + rnd.nextInt(50)))
+      val n = 1 + rnd.nextInt(10)
+      assert(Bpe.learnMergesLocal(hist, n) == naiveBpe(hist, n),
+        s"trial $trial diverged on hist=$hist n=$n")
+    }
+  }
+
+  test("learnBpe over a DataFrame corpus matches the local loop on its histogram") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnBpe(docs, col("text"), numMerges = 12)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val hist = Bpe.wordHistogram(docs, col("text"), 10000)
+    assert(merges == Bpe.learnMergesLocal(hist, 12))
+    assert(merges.length == 12)
+  }
+
+  test("applyBpe round-trips: concatenated subwords reproduce each word exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val merges = Bpe.learnBpe(docs, col("text"), numMerges = 20)
+    val toks = Bpe.applyBpe(docs, col("text"), merges)
+      .select(col("text"), col("bpe_tokens")).collect()
+    assert(toks.nonEmpty)
+    toks.foreach { r =>
+      val text = r.getString(0)
+      val rebuilt = r.getSeq[String](1).mkString("")
+        .split(Bpe.EndOfWord, -1).dropRight(1).mkString(" ")
+      assert(rebuilt == text, s"round-trip broke for: $text")
+    }
+  }
+
+  test("applyBpe segments unseen words (falls back toward characters)") {
+    val train = spark.createDataFrame(Seq(1L -> "aa aa aa ab")).toDF("id", "text")
+    val merges = Bpe.learnBpe(train, col("text"), numMerges = 2)
+    val unseen = spark.createDataFrame(Seq(1L -> "zq aa")).toDF("id", "text")
+    val out = Bpe.applyBpe(unseen, col("text"), merges).select(col("bpe_tokens"))
+      .collect().head.getSeq[String](0)
+    // zq never trained: stays as chars + marker; aa was trained: compressed
+    assert(out.startsWith(Seq("z", "q", Bpe.EndOfWord)))
+    assert(out.drop(3).length < 3 + 1) // "aa</w>" needs at most 2 symbols after training
+  }
+
+  test("segmentation priority follows merge rank, not greedy left-to-right") {
+    // ranks: (b,c) before (a,b) — in "abc</w>" the best-ranked pair (b,c)
+    // must merge first even though (a,b) is leftmost
+    val rank = Map(("b", "c") -> 0, ("a", "b") -> 1)
+    assert(Bpe.segmentWord("abc", rank) == Seq("a", "bc", "</w>"))
+  }
+}

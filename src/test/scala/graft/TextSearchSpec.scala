@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.TextSearch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * BM25 retrieval: hand-computed fixture scores for the exact-integer mode
+ * (the formula is replayed independently in plain Scala below), plus the
+ * classic-ln differential — both modes must rank a corpus identically
+ * wherever the quantized scores are not tied.
+ */
+class TextSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** Independent replay of the documented formula: floor fixed-point in
+    * BigInt (not the operator's Decimal path). */
+  private def fx(a: BigInt, b: BigInt, s: Int): Long =
+    ((a * BigInt(10).pow(s)) / b).toLong
+  private def expectedScores(corpus: Seq[(Long, String)], terms: Seq[String]): Map[Long, Long] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = BigInt(toks.size)
+    val sdl = BigInt(toks.map(_._2.size).sum)
+    val dfs = terms.map(t => BigInt(toks.count(_._2.contains(t))))
+    toks.map { case (id, ws) =>
+      val dl = BigInt(ws.size)
+      val score = terms.indices.map { i =>
+        val tf = BigInt(ws.count(_ == terms(i)))
+        fx(2 * n - 2 * dfs(i) + 1, 2 * dfs(i) + 1, 4) *
+          fx(22 * tf * sdl, 10 * tf * sdl + 3 * sdl + 9 * dl * n, 4)
+      }.sum
+      id -> score
+    }.toMap
+  }
+
+  test("exact-mode scores match an independent BigInt replay of the formula") {
+    val corpus = Seq(
+      1L -> "spark joins the hash table fast",
+      2L -> "hash hash hash collisions slow the scan",
+      3L -> "a filter pass with no query words",
+      4L -> "spark spark spark spark streaming")
+    val df = spark.createDataFrame(corpus).toDF("id", "text")
+    val terms = Seq("spark", "hash")
+    val got = TextSearch.bm25TopKExact(df, col("id"), col("text"), terms, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = expectedScores(corpus, terms).filter(_._2 > 0)
+    assert(got == want)
+    assert(!got.contains(3L)) // no query term -> excluded
+  }
+
+  test("tf saturation: more occurrences score higher but sublinearly") {
+    val corpus = (1 to 8).map(i => i.toLong -> (Seq.fill(i)("spark") ++
+      Seq.fill(8 - i)("pad")).mkString(" "))
+    val df = spark.createDataFrame(corpus).toDF("id", "text")
+    val rows = TextSearch.bm25TopKExact(df, col("id"), col("text"), Seq("spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ranked by tf descending (equal dl everywhere)
+    assert(rows.map(_._1).toSeq == (8L to 1L by -1L))
+    val byId = rows.toMap
+    val gain1 = byId(2L) - byId(1L)
+    val gain7 = byId(8L) - byId(7L)
+    assert(gain1 > gain7 && gain7 > 0) // concave saturation curve
+  }
+
+  test("classic-ln mode agrees with exact mode on the fixture corpus") {
+    // multi-term: the two idf forms weight rare terms differently, so only
+    // the MATCH SET is mode-invariant (k exceeds the match count here)
+    val terms = Seq("spark", "hash", "join")
+    val exactSet = TextSearch.bm25TopKExact(docs, col("doc_id"), col("text"), terms, 1000)
+      .collect().map(_.getLong(0)).toSet
+    val classicSet = TextSearch.bm25TopK(docs, col("doc_id"), col("text"), terms, 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactSet.nonEmpty && exactSet == classicSet)
+    // single-term: idf is a common positive factor, so ranking reduces to
+    // the shared tf-saturation curve — order must agree wherever the
+    // exact mode's quantized scores are strict (ties may legally reorder)
+    val exact = TextSearch.bm25TopKExact(docs, col("doc_id"), col("text"), Seq("spark"), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val classic = TextSearch.bm25TopK(docs, col("doc_id"), col("text"), Seq("spark"), 1000)
+      .collect().map(_.getLong(0))
+    assert(exact.map(_._1).toSet == classic.toSet)
+    val classicRank = classic.zipWithIndex.toMap
+    exact.sliding(2).foreach {
+      case Array((idA, sA), (idB, sB)) if sA != sB =>
+        assert(classicRank(idA) < classicRank(idB),
+          s"doc $idA (e8=$sA) must outrank $idB (e8=$sB) in classic mode")
+      case _ =>
+    }
+  }
+
+  test("oracle SQL text stays in lockstep with the Scala formula shape") {
+    val sql = TextSearch.bm25ExactOracleSql("documents", "doc_id", "text",
+      Seq("spark", "hash"), 25)
+    // the load-bearing constants of the integer formulation
+    for (frag <- Seq("22*tf0*sdl", "10*tf0*sdl + 3*sdl + 9*dl*n",
+        "2*n - 2*df0 + 1", "2*df0 + 1", "score_e8 DESC, doc_id LIMIT 25"))
+      assert(sql.contains(frag), s"oracle SQL lost fragment: $frag")
+  }
+
+  test("input contract: duplicate terms and reserved columns fail loudly") {
+    val df = spark.createDataFrame(Seq(1L -> "a b")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.bm25TopKExact(df, col("id"), col("text"), Seq("a", "a"), 5)
+    }
+    assert(e.getMessage.contains("duplicate query terms"))
+    val bad = df.withColumn("__dl", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      TextSearch.bm25TopKExact(bad, col("id"), col("text"), Seq("a"), 5)
+    }
+    assert(e2.getMessage.contains("__dl"))
+  }
+}
