@@ -273,6 +273,20 @@ object SparkEntry {
         .orderBy(col("merge_rank"))
     }),
 
+    // IVF-PQ in the everything-off degenerate (nprobe = nlist, lossless
+    // residual codebook): cell pruning and code compression both verify
+    // against plain euclidean top-5 — the composed twin of q51 (IVF) and
+    // q79 (PQ). Compressing configs are DedupSpec recall territory.
+    "q85_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), col("vec_id"), col("vec_id"),
+          col("embedding"), col("embedding"), k = 5, nlist = 8, nprobe = 8,
+          m = 8, ksub = n, iters = 0, sampleN = n)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Z-order layout round-trip: lineitem rewritten along the Morton curve
     // over (l_partkey, l_suppkey), then a two-column range filter over the
     // clustered store. Correctness = layout changes nothing; the pruning
@@ -283,7 +297,7 @@ object SparkEntry {
         ZOrder.write(Tables.load(s, dir, "lineitem"), p,
           Seq("l_partkey", "l_suppkey"), bits = 16, partitions = 16))
       s.read.parquet(path)
-        .filter(col("l_partkey").between(100, 180) && col("l_suppkey").between(10, 60))
+        .filter(col("l_partkey").between(5, 60) && col("l_suppkey").between(1, 6))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     }),
@@ -1125,10 +1139,13 @@ object SparkEntry {
     // first BPE merge: argmax pair of the initial char-symbol histogram
     "q82_bpe_first" -> Bpe.firstMergeOracleSql("documents", "text", 10000),
 
+    // lossless IVF-PQ degenerate ⇒ the same euclidean top-5 oracle
+    "q85_ann_ivfpq" -> euclidTop5OracleSql,
+
     // the z-ordered copy holds exactly the source rows
     "q84_zorder_scan" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem " +
-       "WHERE l_partkey BETWEEN 100 AND 180 AND l_suppkey BETWEEN 10 AND 60 " +
+       "WHERE l_partkey BETWEEN 5 AND 60 AND l_suppkey BETWEEN 1 AND 6 " +
        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"),
 
     // probe (ulx+25, uly-45) on a 10x10/pw=10 tile is row 4, col 2 = pixel 42;

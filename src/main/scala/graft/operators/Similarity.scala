@@ -359,33 +359,80 @@ object Similarity {
     }
   }
 
+  /** Per-JVM exact-match index for [[pqEncodeUdf]], keyed by broadcast id:
+    * subvector → codebook position. Codebook entries are distinct by
+    * construction, so an exact hit is distance 0 — the unique argmin — and
+    * the fast path returns EXACTLY what the scan would. This turns the
+    * lossless serving degenerate (ksub covers the corpus: codebook size n)
+    * from an O(n·ksub·dsub) encode into O(n·dsub) hashing; compressing
+    * configs rarely hit it and fall through to the scan. Bounded: cleared
+    * past 64 broadcast generations. */
+  private object PqExactIndex {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      Long, Array[java.util.HashMap[scala.collection.immutable.ArraySeq[Double], Integer]]]()
+    def forCodebooks(id: Long, cbs: Array[Array[Array[Double]]]):
+        Array[java.util.HashMap[scala.collection.immutable.ArraySeq[Double], Integer]] = {
+      if (cache.size > 64) cache.clear()
+      cache.computeIfAbsent(id, _ => cbs.map { cb =>
+        val m = new java.util.HashMap[scala.collection.immutable.ArraySeq[Double], Integer](cb.length * 2)
+        var j = 0
+        while (j < cb.length) {
+          // putIfAbsent: were entries ever non-distinct, first index wins —
+          // the same tie the linear scan's strict < resolves
+          m.putIfAbsent(scala.collection.immutable.ArraySeq.unsafeWrapArray(cb(j)), j)
+          j += 1
+        }
+        m
+      })
+    }
+  }
+
+  /** Encode one prepared double vector as m codebook indexes: exact-hash
+    * hit first, linear argmin scan otherwise. The one kernel behind the
+    * flat-PQ and IVF-PQ encode UDFs. */
+  private def encodeDoubles(e: Array[Double], cbs: Array[Array[Array[Double]]],
+      exact: Array[java.util.HashMap[scala.collection.immutable.ArraySeq[Double], Integer]]): Array[Int] = {
+    require(e.length == cbs.length * cbs(0)(0).length,
+      s"pq: vector dim ${e.length} != trained dim ${cbs.length * cbs(0)(0).length}")
+    val out = new Array[Int](cbs.length)
+    var s = 0; var off = 0
+    while (s < cbs.length) {
+      val cb = cbs(s)
+      val dsub = cb(0).length
+      val sub = java.util.Arrays.copyOfRange(e, off, off + dsub)
+      val hit = exact(s).get(scala.collection.immutable.ArraySeq.unsafeWrapArray(sub))
+      if (hit != null) out(s) = hit.intValue()
+      else {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < cb.length) {
+          var d = 0.0; var x = 0
+          while (x < dsub) { val diff = sub(x) - cb(j)(x); d += diff * diff; x += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        out(s) = best
+      }
+      off += dsub; s += 1
+    }
+    out
+  }
+
   /** Encode one corpus vector as m codebook indexes — the compressed
     * representation (bytes at ksub <= 256). */
   private def pqEncodeUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
     udf { (raw: Seq[Float]) =>
-      val e = toDoubles(raw)
-      val cbs = bc.value
-      require(e.length == cbs.length * cbs(0)(0).length,
-        s"pq: corpus dim ${e.length} != trained dim ${cbs.length * cbs(0)(0).length}")
-      val out = new Array[Int](cbs.length)
-      var s = 0; var off = 0
-      while (s < cbs.length) {
-        val cb = cbs(s)
-        var best = 0; var bd = Double.MaxValue; var j = 0
-        while (j < cb.length) {
-          var d = 0.0; var x = 0
-          while (x < cb(j).length) { val diff = e(off + x) - cb(j)(x); d += diff * diff; x += 1 }
-          if (d < bd) { bd = d; best = j }
-          j += 1
-        }
-        out(s) = best; off += cb(0).length; s += 1
-      }
-      out
+      encodeDoubles(toDoubles(raw), bc.value, PqExactIndex.forCodebooks(bc.id, bc.value))
     }
 
   /** ADC scoring + per-query top-k over an encoded corpus: collect the
     * (broadcast-small) query batch, turn each query into its flattened
-    * m×ksub lookup table, score = m table reads per corpus row. */
+    * m×ksub lookup table, score = m table reads per corpus row.
+    *
+    * The tables travel as ONE `sparkContext.broadcast` and the join side
+    * carries only a table INDEX per query row — routing the m×ksub array
+    * through the join itself would re-materialize it (boxed) for every
+    * (corpus × query) output row, which measured ~20× slower than the
+    * whole remaining plan at n = 2000, ksub = n. */
   private def pqRank(encoded: DataFrame, queries: DataFrame, queryId: Column,
                      queryVec: Column, codebooks: Array[Array[Array[Double]]],
                      k: Int): DataFrame = {
@@ -407,25 +454,27 @@ object Similarity {
         while (j < cb.length) { t(offsets(s) + j) = sqDist(qs, cb(j)); j += 1 }
         s += 1
       }
-      (r.get(0), t)
+      t
     }
     val qSchema = org.apache.spark.sql.types.StructType(Seq(
       queries.select(queryId.as("query_id")).schema.fields.head,
-      org.apache.spark.sql.types.StructField("__qt",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false), false)))
+      org.apache.spark.sql.types.StructField("__qidx",
+        org.apache.spark.sql.types.IntegerType, false)))
     val q = spark.createDataFrame(
-      java.util.Arrays.asList(tables.map { case (id, t) =>
-        org.apache.spark.sql.Row(id, t.toSeq) }: _*), qSchema)
+      java.util.Arrays.asList(qBatch.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i) }: _*), qSchema)
     val bcOff = spark.sparkContext.broadcast(offsets)
-    val score = udf { (codes: Seq[Int], table: Seq[Double]) =>
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val score = udf { (codes: Seq[Int], qidx: Int) =>
       val off = bcOff.value
+      val table = bcTables.value(qidx)
       var s = 0; var d = 0.0
       while (s < codes.length) { d += table(off(s) + codes(s)); s += 1 }
       d
     }
     val scored = encoded
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("__pqd", score(col("__code"), col("__qt")))
+      .withColumn("__pqd", score(col("__code"), col("__qidx")))
     val rn = row_number().over(
       Window.partitionBy(col("query_id")).orderBy(col("__pqd"), col("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)
@@ -466,6 +515,120 @@ object Similarity {
       graft.sources.Sidecar.readText(spark, path + "/_graft_pq_codebooks")
         .split("\n").map(_.split('|').map(_.split(',').map(java.lang.Double.parseDouble)))
     pqRank(spark.read.parquet(path + "/codes"), queries, queryId, queryVec, codebooks, k)
+  }
+
+  /**
+   * IVF-PQ — the two ANN tiers composed the way a serving system ships
+   * them (the FAISS `IVFxx,PQyy` index): the coarse quantizer prunes WHICH
+   * rows are scored (each query reads only its `nprobe` cells) and the
+   * product quantizer shrinks WHAT is stored per row (m codes instead of
+   * dim floats). Codes encode the RESIDUAL v − centroid(cell) — residuals
+   * concentrate near zero, so one shared codebook set covers every cell.
+   *
+   * Scoring is per-cell asymmetric distance: for each (query, probed cell)
+   * pair one m×ksub table of ‖(q−c)_s − cb_s‖² sums; the join carries only
+   * a table index (the [[pqRank]] lesson), tables travel in one broadcast
+   * of nq·nprobe entries.
+   *
+   * Exactness degenerate for the oracle: `nprobe = nlist` probes every
+   * cell and `ksub` ≥ distinct residuals with `iters = 0` makes the
+   * codebook lossless, so ADC evaluates ‖(q−c) − (v−c)‖² — the true
+   * squared euclidean up to ulp-level rounding of the two residual
+   * subtractions (q79's flat-PQ degenerate has the same caveat for its
+   * per-subspace grouping). Rankings only flip on near-ties far below
+   * real distance gaps; exact-duplicate vectors tie at exactly 0 residual
+   * difference and break by neighbor id on both engines. Compressing
+   * configs are approximate: recall is spec-asserted, not oracle-checked.
+   *
+   * Output: (query_id, neighbor_id, rank), self-pairs excluded, ties to
+   * the lower neighbor id.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, corpusId: Column, queryId: Column,
+                corpusVec: Column, queryVec: Column, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 256,
+                iters: Int = 3, sampleN: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && m >= 1 && ksub >= 1 && iters >= 0 && k >= 1,
+      s"ivfPqTopK: nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub iters=$iters k=$k " +
+      "must all be positive (iters >= 0)")
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val cents = fitCentroids(c, nlist, seed)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assigned = c.withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
+    // bounded residual sample, id-hash order (the shared training recipe)
+    val resSample = assigned.orderBy(xxhash64(col("neighbor_id")))
+      .limit(math.max(sampleN, ksub))
+      .select(col("__cv"), col("__cell")).collect()
+      .map { r =>
+        val v = toDoubles(r.getSeq[Float](0)); val ct = cents(r.getInt(1))
+        var i = 0
+        while (i < v.length) { v(i) -= ct(i); i += 1 }
+        v
+      }
+    require(resSample.nonEmpty, "ivfPqTopK: corpus is empty")
+    val codebooks = fitPqCodebooks(resSample, m, ksub, iters)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val encodeRes = udf { (raw: Seq[Float], cell: Int) =>
+      val e = toDoubles(raw); val ct = bcCb.value; val cs = bcC.value(cell)
+      var i = 0
+      while (i < e.length) { e(i) -= cs(i); i += 1 }
+      encodeDoubles(e, ct, PqExactIndex.forCodebooks(bcCb.id, ct))
+    }
+    val encoded = assigned
+      .withColumn("__code", encodeRes(col("__cv"), col("__cell"))).drop("__cv")
+
+    // query side: nprobe nearest cells each, one ADC table per (query, cell)
+    val dsub = codebooks(0)(0).length
+    val dim = m * dsub
+    val offsets = codebooks.scanLeft(0)(_ + _.length)
+    val qBatch = queries.select(queryId.as("query_id"), queryVec.as("__qv")).collect()
+    val tables = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val qRows = qBatch.flatMap { r =>
+      val qv = toDoubles(r.getSeq[Float](1))
+      require(qv.length == dim, s"ivfPq: query dim ${qv.length} != trained dim $dim")
+      val probes = cents.indices.map(i => (sqDist(qv, cents(i)), i))
+        .sorted.take(nprobe)
+      probes.map { case (_, cell) =>
+        val res = qv.clone()
+        var i = 0
+        while (i < res.length) { res(i) -= cents(cell)(i); i += 1 }
+        val t = new Array[Double](offsets.last)
+        var s = 0
+        while (s < m) {
+          val cb = codebooks(s)
+          val qs = java.util.Arrays.copyOfRange(res, s * dsub, (s + 1) * dsub)
+          var j = 0
+          while (j < cb.length) { t(offsets(s) + j) = sqDist(qs, cb(j)); j += 1 }
+          s += 1
+        }
+        tables += t
+        org.apache.spark.sql.Row(r.get(0), tables.length - 1, cell)
+      }
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      queries.select(queryId.as("query_id")).schema.fields.head,
+      org.apache.spark.sql.types.StructField("__qidx",
+        org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("__qcell",
+        org.apache.spark.sql.types.IntegerType, false)))
+    val q = spark.createDataFrame(java.util.Arrays.asList(qRows.toIndexedSeq: _*), qSchema)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTables = spark.sparkContext.broadcast(tables.toArray)
+    val score = udf { (codes: Seq[Int], qidx: Int) =>
+      val off = bcOff.value
+      val table = bcTables.value(qidx)
+      var s = 0; var d = 0.0
+      while (s < codes.length) { d += table(off(s) + codes(s)); s += 1 }
+      d
+    }
+    val scored = encoded
+      .join(broadcast(q),
+        col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("__pqd", score(col("__code"), col("__qidx")))
+    val rn = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("__pqd"), col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   /**

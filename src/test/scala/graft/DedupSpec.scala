@@ -145,6 +145,36 @@ class DedupSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("not divisible"))
   }
 
+  test("ivfPqTopK: all-cells lossless == brute force; pruned compressing config beats chance") {
+    val q = embs.filter(col("vec_id") < 5)
+    // exact euclidean top-3 computed naively on the driver
+    val all = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+    val brute = all.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (cid, cv) => (qid, cid, d2(qv, cv)) }
+        .sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((a, b, _), i) => (a, b, i + 1) }
+    }.toSet
+    // nprobe = nlist + lossless residual codebook: both approximations off
+    val lossless = Similarity.ivfPqTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3, nlist = 8, nprobe = 8,
+        m = 8, ksub = 500, iters = 0, sampleN = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(lossless == brute)
+    // both approximations ON (cell pruning to 4/8 cells + 16-entry
+    // codebooks): random embeddings are the worst case; measured recall@3
+    // 0.13 vs ~0.006 chance — assert it stays an order of magnitude above
+    val lossy = Similarity.ivfPqTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3, nlist = 8, nprobe = 4,
+        m = 8, ksub = 16, iters = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex2 = brute.map(t => (t._1, t._2))
+    assert(lossy.intersect(ex2).size.toDouble / ex2.size >= 0.08)
+  }
+
   test("kmeans: hand case converges, keeps stable ids, ties to lower cluster") {
     val spark2 = TestSpark.spark
     import spark2.implicits._
