@@ -273,6 +273,17 @@ object SparkEntry {
         .orderBy(col("merge_rank"))
     }),
 
+    // BM25 from the persisted inverted index: the query reads only its
+    // terms' postings (pushed IN over the sorted term column) and the
+    // stats sidecar — the corpus is never touched. Same integer formula ⇒
+    // same oracle as q81.
+    "q86_bm25_store" -> ((s, dir) => {
+      val path = storedOnce("textindex", dir)(p =>
+        TextSearch.buildTextIndex(Tables.load(s, dir, "documents"), p,
+          col("doc_id"), col("text")))
+      TextSearch.bm25TopKExactIndexed(s, path, Bm25Terms, k = 25)
+    }),
+
     // IVF-PQ in the everything-off degenerate (nprobe = nlist, lossless
     // residual codebook): cell pruning and code compression both verify
     // against plain euclidean top-5 — the composed twin of q51 (IVF) and
@@ -283,6 +294,31 @@ object SparkEntry {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), col("vec_id"), col("vec_id"),
           col("embedding"), col("embedding"), k = 5, nlist = 8, nprobe = 8,
           m = 8, ksub = n, iters = 0, sampleN = n)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Bigram-LM fluency scoring (the CCNet quality signal, integer-exact):
+    // vocabulary-sized count tables joined per bigram instance, e6-floored
+    // smoothed probabilities summed per doc.
+    "q88_fluency" -> ((s, dir) => {
+      TextAnalysis.withBigramFluency(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The persisted IVF-PQ serving tier in the same everything-off
+    // degenerate: probed cells of the stored CODES answer the query
+    // (vectors never re-read), still equal to exact euclidean top-5.
+    "q87_ann_ivfpq_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      val path = storedOnce("ivfpqstore", dir)(p =>
+        Similarity.buildIvfPqIndex(e, p, col("vec_id"), col("embedding"),
+          nlist = 8, m = 8, ksub = n, iters = 0, sampleN = n))
+      Similarity.ivfPqTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1141,6 +1177,32 @@ object SparkEntry {
 
     // lossless IVF-PQ degenerate ⇒ the same euclidean top-5 oracle
     "q85_ann_ivfpq" -> euclidTop5OracleSql,
+
+    // the stored postings answer with the SAME integer scores ⇒ q81's oracle
+    "q86_bm25_store" -> TextSearch.bm25ExactOracleSql(
+      "documents", "doc_id", "text", Bm25Terms, k = 25),
+
+    // stored lossless IVF-PQ codes ⇒ the same euclidean top-5 oracle
+    "q87_ann_ivfpq_store" -> euclidTop5OracleSql,
+
+    // the same add-one bigram LM with e6 floors, replayed relationally
+    "q88_fluency" ->
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS u
+         |      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+         |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |      FROM d, unnest(range(1, len(ws))) AS g(i)),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM b GROUP BY 1, 2),
+         |t AS (SELECT doc_id,
+         |        ((bc.b+1)*1000000 - ((bc.b+1)*1000000) % (u.u + vv.v)) // (u.u + vv.v) AS te
+         |      FROM b JOIN u ON b.w1 = u.w
+         |             JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2, vv),
+         |s AS (SELECT doc_id, CAST(sum(te) AS BIGINT) AS ts,
+         |             CAST(count(*) AS BIGINT) AS nb FROM t GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(nb, 0) AS n_bigrams,
+         |       COALESCE((ts - ts % nb) // nb, 0) AS fluency_e6
+         |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin),
 
     // the z-ordered copy holds exactly the source rows
     "q84_zorder_scan" ->

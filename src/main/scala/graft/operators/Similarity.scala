@@ -577,7 +577,20 @@ object Similarity {
     val encoded = assigned
       .withColumn("__code", encodeRes(col("__cv"), col("__cell"))).drop("__cv")
 
-    // query side: nprobe nearest cells each, one ADC table per (query, cell)
+    ivfPqRank(encoded, queries, queryId, queryVec, cents, codebooks, nprobe, k)
+  }
+
+  /** Shared IVF-PQ query side (live and persisted paths in lockstep):
+    * collect the broadcast-small query batch, pick each query's `nprobe`
+    * nearest cells, build one ADC table per (query, probed cell) — tables
+    * travel in one broadcast, the join carries a table index — then
+    * cell-equi join against the encoded corpus and take per-query top-k. */
+  private def ivfPqRank(encoded: DataFrame, queries: DataFrame, queryId: Column,
+                        queryVec: Column, cents: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]],
+                        nprobe: Int, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val dim = m * dsub
     val offsets = codebooks.scanLeft(0)(_ + _.length)
@@ -612,6 +625,10 @@ object Similarity {
       org.apache.spark.sql.types.StructField("__qcell",
         org.apache.spark.sql.types.IntegerType, false)))
     val q = spark.createDataFrame(java.util.Arrays.asList(qRows.toIndexedSeq: _*), qSchema)
+    // prune the corpus side to the union of probed cells BEFORE the join —
+    // on the persisted path this reaches the parquet reader as a pushed IN
+    // over the sorted cell column, so unprobed cells are never read
+    val probed = qRows.map(_.getInt(2)).distinct.map(Int.box).toIndexedSeq
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcTables = spark.sparkContext.broadcast(tables.toArray)
     val score = udf { (codes: Seq[Int], qidx: Int) =>
@@ -621,7 +638,7 @@ object Similarity {
       while (s < codes.length) { d += table(off(s) + codes(s)); s += 1 }
       d
     }
-    val scored = encoded
+    val scored = encoded.filter(col("__cell").isin(probed: _*))
       .join(broadcast(q),
         col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))
       .withColumn("__pqd", score(col("__code"), col("__qidx")))
@@ -629,6 +646,63 @@ object Similarity {
       Window.partitionBy(col("query_id")).orderBy(col("__pqd"), col("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Persist the IVF-PQ serving tier: coarse-assign + residual-encode the
+    * corpus ONCE into (cell, id, codes) parquet range-partitioned and
+    * sorted by cell — a query batch then reads only its probed cells of
+    * the compressed codes — with centroid + codebook sidecars. Same
+    * rebuild-crash contract as every other store. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, corpusId: Column, corpusVec: Column,
+                      nlist: Int = 16, m: Int = 8, ksub: Int = 256, iters: Int = 3,
+                      sampleN: Int = 4096, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val cents = fitCentroids(c, nlist, seed)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assigned = c.withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
+    val resSample = assigned.orderBy(xxhash64(col("neighbor_id")))
+      .limit(math.max(sampleN, ksub))
+      .select(col("__cv"), col("__cell")).collect()
+      .map { r =>
+        val v = toDoubles(r.getSeq[Float](0)); val ct = cents(r.getInt(1))
+        var i = 0
+        while (i < v.length) { v(i) -= ct(i); i += 1 }
+        v
+      }
+    require(resSample.nonEmpty, "buildIvfPqIndex: corpus is empty")
+    val codebooks = fitPqCodebooks(resSample, m, ksub, iters)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val encodeRes = udf { (raw: Seq[Float], cell: Int) =>
+      val e = toDoubles(raw); val ct = bcCb.value; val cs = bcC.value(cell)
+      var i = 0
+      while (i < e.length) { e(i) -= cs(i); i += 1 }
+      encodeDoubles(e, ct, PqExactIndex.forCodebooks(bcCb.id, ct))
+    }
+    assigned.withColumn("__code", encodeRes(col("__cv"), col("__cell"))).drop("__cv")
+      .repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
+      .write.mode("overwrite").parquet(path + "/codes")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_centroids",
+      cents.map(_.mkString(",")).mkString("\n"))
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pq_codebooks",
+      codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString("\n"))
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** Query a [[buildIvfPqIndex]] store: probed cells only (pushed IN over
+    * the sorted cell column), scored against the stored CODES — original
+    * vectors are never read back. `nprobe` ≥ nlist scores every cell. */
+  def ivfPqTopKIndexed(queries: DataFrame, path: String, queryId: Column,
+                       queryVec: Column, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = graft.sources.Sidecar.readText(spark, path + "/_graft_centroids")
+      .split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
+    val codebooks: Array[Array[Array[Double]]] =
+      graft.sources.Sidecar.readText(spark, path + "/_graft_pq_codebooks")
+        .split("\n").map(_.split('|').map(_.split(',').map(java.lang.Double.parseDouble)))
+    ivfPqRank(spark.read.parquet(path + "/codes"), queries, queryId, queryVec,
+      cents, codebooks, nprobe, k)
   }
 
   /**

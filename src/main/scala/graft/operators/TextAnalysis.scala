@@ -309,6 +309,76 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram fluency score — the language-model quality signal of the CCNet
+   * recipe (score each document by how probable its token sequence is
+   * under a corpus-trained model), with the LM reduced to an exactly
+   * replayable form: add-one-smoothed bigram conditional probabilities,
+   *
+   *   p(w2|w1) = (B(w1,w2) + 1) / (U(w1) + V)
+   *
+   * each floored to an e6 integer, averaged per document (floor again).
+   * Natural text scores high (its bigrams are corpus-frequent), shuffled
+   * or garbage text scores low. No logs, no doubles — any SQL engine
+   * replays the score bit-for-bit (the repo's oracle-determinism rule).
+   *
+   * Adds `n_bigrams` and `fluency_e6` (0 for docs shorter than 2 tokens).
+   *
+   * Scale shape: unigram and bigram count tables are vocabulary-sized
+   * (map-side-combined groupBys); the per-document pass joins each bigram
+   * instance to its two counts on token keys — equi-joins, AQE
+   * skew-splittable, never a window over a hot token. V rides a broadcast
+   * one-row cross join. Self-scoring (model trained on the scored corpus
+   * itself); to score against a reference corpus, train there and join —
+   * same shape.
+   *
+   * CONTRACT: `idCol` non-null and unique (the per-doc aggregate joins
+   * back on it).
+   */
+  def withBigramFluency(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    require(!df.columns.exists(c => c.toLowerCase.startsWith("__bf_") ||
+      c.equalsIgnoreCase("n_bigrams") || c.equalsIgnoreCase("fluency_e6")),
+      "withBigramFluency: input must not contain __bf_* columns or the " +
+      "output names n_bigrams/fluency_e6")
+    // e6 floor division in DECIMAL(38,0): exact past int64 (a trillion-token
+    // corpus times 1e6 overflows a long)
+    def e6(a: Column, b: Column): Column = {
+      val A = a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L
+      val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      ((A - pmod(A, B)) / B).cast("long")
+    }
+    val toks = df.select(idCol.as("__bf_id"), tokens(textCol).as("__bf_ws"))
+    val uni = toks.select(explode(col("__bf_ws")).as("__bf_w"))
+      .groupBy(col("__bf_w")).agg(count(lit(1)).as("__bf_u"))
+    val vRow = uni.agg(count(lit(1)).as("__bf_v"))
+    val ws = col("__bf_ws")
+    val n = size(ws)
+    val pairs = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bi = toks.select(col("__bf_id"), explode(pairs).as("__bf_p"))
+      .select(col("__bf_id"), col("__bf_p.w1").as("__bf_w1"), col("__bf_p.w2").as("__bf_w2"))
+    val biCounts = bi.groupBy(col("__bf_w1"), col("__bf_w2"))
+      .agg(count(lit(1)).as("__bf_b"))
+    // self-scoring: every observed bigram/unigram is in its count table —
+    // inner joins lose nothing
+    val scored = bi
+      .join(uni, col("__bf_w1") === col("__bf_w"))
+      .join(biCounts, Seq("__bf_w1", "__bf_w2"))
+      .crossJoin(broadcast(vRow))
+      .withColumn("__bf_t", e6(col("__bf_b") + 1, col("__bf_u") + col("__bf_v")))
+      .groupBy(col("__bf_id"))
+      .agg(sum(col("__bf_t")).as("__bf_ts"), count(lit(1)).as("n_bigrams"))
+      .withColumn("fluency_e6",
+        ((col("__bf_ts") - pmod(col("__bf_ts"), col("n_bigrams"))) / col("n_bigrams"))
+          .cast("long"))
+      .select(col("__bf_id"), col("n_bigrams"), col("fluency_e6"))
+    df.join(scored, idCol === col("__bf_id"), "left")
+      .drop("__bf_id")
+      .na.fill(0L, Seq("n_bigrams", "fluency_e6"))
+  }
+
+  /**
    * Cross-document duplicated-span stats — the exact-substring dedup signal
    * (cf. Lee et al., "Deduplicating Training Data Makes Language Models
    * Better"): for each document, how many of its distinct word k-gram spans

@@ -141,6 +141,73 @@ object TextSearch {
     withTf.crossJoin(broadcast(stats))
   }
 
+  // ---- persisted inverted index ----
+  // The scale contract of retrieval is index-once / query-many: at 100 TB
+  // a query must read the POSTINGS OF ITS TERMS, not the corpus. The
+  // store is (term, doc_id, tf, dl) postings range-partitioned and sorted
+  // by term — a query's term set reaches the reader as a pushed IN filter
+  // so non-matching row groups are skipped — plus a (term, df) dictionary
+  // the same way and a one-line (N, Σdl) stats sidecar. Same layout idea
+  // and rebuild-crash contract as IndexStore / the IVF store.
+
+  /** Build the inverted index under `path`: postings + term dictionary +
+    * corpus-stats sidecar, `_SUCCESS` written last. */
+  def buildTextIndex(docs: DataFrame, path: String, idCol: Column,
+                     textCol: Column): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val base = docs
+      .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__ws"))
+      .withColumn("__dl", size(col("__ws")).cast("long"))
+    // one row per (term, doc): tf counted by the groupBy, dl carried along
+    // (denormalized — one long per posting buys the query a join-free scan)
+    base.select(col("doc_id"), col("__dl").as("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(path + "/postings")
+    // dictionary: docs-per-term (postings are distinct per (term, doc))
+    spark.read.parquet(path + "/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(path + "/dict")
+    val stats = base.agg(count(lit(1)).cast("long"), sum(col("__dl"))).head()
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_text_stats",
+      s"${stats.getLong(0)} ${stats.getLong(1)}")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /**
+   * [[bm25TopKExact]] answered from a [[buildTextIndex]] store: reads the
+   * query terms' postings only (pushed IN over the sorted term column) and
+   * the matching dictionary rows; the corpus itself is never touched. Same
+   * integer formula, same output, same oracle — N and Σdl come from the
+   * stats sidecar, so scores are identical to the live mode's.
+   */
+  def bm25TopKExactIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                           terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    require(terms.distinct.length == terms.length,
+      "bm25: duplicate query terms would double-count — deduplicate the query")
+    require(k > 0, s"bm25: k must be positive, got $k")
+    val Array(nStr, sStr) =
+      graft.sources.Sidecar.readText(spark, path + "/_graft_text_stats").split(" ")
+    val n = lit(nStr.toLong); val s = lit(sStr.toLong)
+    // dictionary rows for the query terms: ≤ |terms| rows, broadcast back
+    val dfTab = spark.read.parquet(path + "/dict")
+      .filter(col("term").isin(terms: _*))
+      .withColumnRenamed("df", "__df")
+    val postings = spark.read.parquet(path + "/postings")
+      .filter(col("term").isin(terms: _*))
+    postings.join(broadcast(dfTab), "term")
+      .withColumn("__ts", idfE4(col("__df"), n) * tfFactorE4(col("tf"), col("dl"), n, s))
+      .groupBy(col("doc_id")).agg(sum(col("__ts")).as("score_e8"))
+      .filter(col("score_e8") > 0)
+      .orderBy(col("score_e8").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_e8"))
+  }
+
   /** The DuckDB/ANSI replay of [[bm25TopKExact]] for a literal term list —
     * kept NEXT to the Scala formula so the two can only drift visibly.
     * `table` must expose `(idExpr, textExpr)`. */

@@ -175,6 +175,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lossy.intersect(ex2).size.toDouble / ex2.size >= 0.08)
   }
 
+  test("ivfPq store == live ivfPqTopK for lossless and compressing configs") {
+    val q = embs.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    for ((ksub, iters, tag) <- Seq((500, 0, "lossless"), (16, 3, "lossy"))) {
+      val path = s"$dir/$tag"
+      Similarity.buildIvfPqIndex(embs, path, col("vec_id"), col("embedding"),
+        nlist = 8, m = 8, ksub = ksub, iters = iters, sampleN = 500)
+      val live = Similarity.ivfPqTopK(embs, q, col("vec_id"), col("vec_id"),
+          col("embedding"), col("embedding"), k = 3, nlist = 8, nprobe = 4,
+          m = 8, ksub = ksub, iters = iters, sampleN = 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val stored = Similarity.ivfPqTopKIndexed(q, path, col("vec_id"),
+          col("embedding"), k = 3, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(stored == live, s"$tag store diverged from the live plan")
+      assert(stored.nonEmpty)
+    }
+  }
+
   test("kmeans: hand case converges, keeps stable ids, ties to lower cluster") {
     val spark2 = TestSpark.spark
     import spark2.implicits._

@@ -11,6 +11,34 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("bigram fluency: independent replay on a hand corpus; garbage scores lower") {
+    import graft.operators.TextAnalysis
+    // hand corpus: doc 4 is a token salad of hapaxes, docs 1-3 share bigrams
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "zq xv qn"), (5L, "solo"))
+    val df = spark.createDataFrame(corpus).toDF("id", "text")
+    val got = TextAnalysis.withBigramFluency(df, col("id"), col("text"))
+      .select(col("id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // independent replay in plain Scala (BigInt floor division)
+    val toks = corpus.map { case (i, t) => i -> t.split(" ", -1).toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = uni.size.toLong
+    val bis = toks.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = toks.map { case (i, ws) =>
+      val ts = ws.zip(ws.drop(1)).map { p =>
+        (BigInt(bis(p) + 1) * 1000000 / BigInt(uni(p._1) + vocab)).toLong
+      }
+      i -> (ts.size.toLong, if (ts.isEmpty) 0L else ts.sum / ts.size)
+    }.toMap
+    assert(got == want)
+    // the salad doc scores strictly below every natural doc
+    assert(Seq(1L, 2L, 3L).forall(i => got(i)._2 > got(4L)._2))
+    assert(got(5L) == (0L, 0L)) // single token: no bigrams
+  }
+
   test("assignSplit is a deterministic partition of the corpus") {
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val a = Pipeline.assignSplit(docs, col("doc_id"), "graft", fr)

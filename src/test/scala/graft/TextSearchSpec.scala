@@ -89,6 +89,19 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed mode == live mode: scores from the postings store are identical") {
+    val dir = java.nio.file.Files.createTempDirectory("textindex").toString
+    TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    for (terms <- Seq(Seq("spark"), Seq("spark", "hash", "join"), Seq("nosuchterm"))) {
+      val live = TextSearch.bm25TopKExact(docs, col("doc_id"), col("text"), terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val stored = TextSearch.bm25TopKExactIndexed(spark, dir, terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(stored == live, s"terms=$terms diverged")
+    }
+  }
+
   test("oracle SQL text stays in lockstep with the Scala formula shape") {
     val sql = TextSearch.bm25ExactOracleSql("documents", "doc_id", "text",
       Seq("spark", "hash"), 25)
