@@ -298,6 +298,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hybrid search: BM25 keyword candidates (top-50) reranked by
+    // embedding cosine against a seed vector — lexical recall, semantic
+    // precision, the standard two-stage retrieval composition. The rerank
+    // window is unpartitioned BY CONSTRUCTION over exactly k=50 candidate
+    // rows (bounded, never corpus-sized).
+    "q89_hybrid" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val embs = Tables.load(s, dir, "embeddings")
+      val cand = TextSearch.bm25TopKExact(docs, col("doc_id"), col("text"), Bm25Terms, k = 50)
+      val qv = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__qv"))
+      val scored = cand.join(embs, cand("doc_id") === embs("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("__cos", stf.vec_dot(col("__qv"), col("embedding")) /
+          (stf.vec_norm(col("__qv")) * stf.vec_norm(col("embedding"))))
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__cos").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // Bigram-LM fluency scoring (the CCNet quality signal, integer-exact):
     // vocabulary-sized count tables joined per bigram instance, e6-floored
     // smoothed probabilities summed per doc.
@@ -1184,6 +1208,18 @@ object SparkEntry {
 
     // stored lossless IVF-PQ codes ⇒ the same euclidean top-5 oracle
     "q87_ann_ivfpq_store" -> euclidTop5OracleSql,
+
+    // BM25 candidates as a CTE (its ORDER BY/LIMIT is load-bearing), then
+    // the same sequential-fold cosine the other embedding oracles use
+    "q89_hybrid" ->
+      (s"WITH cand AS (${TextSearch.bm25ExactOracleSql(
+            "documents", "doc_id", "text", Bm25Terms, k = 50)}), " +
+       s"e AS ($normedEmbSql), qq AS (SELECT * FROM e WHERE vec_id = 0), " +
+       "scored AS (SELECT cand.doc_id AS doc_id, " +
+       s"row_number() OVER (ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, cand.doc_id) AS rank " +
+       "FROM cand JOIN e c ON cand.doc_id = c.vec_id, qq q) " +
+       "SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM scored " +
+       "WHERE rank <= 10 ORDER BY rank"),
 
     // the same add-one bigram LM with e6 floors, replayed relationally
     "q88_fluency" ->

@@ -141,6 +141,34 @@ object TextSearch {
     withTf.crossJoin(broadcast(stats))
   }
 
+  /** The exact-integer score as ONE stateless column over frozen corpus
+    * statistics (N, Σdl, per-term df passed as columns — literals for the
+    * streaming/serving path, agg outputs for batch callers). Pure
+    * projection: no shuffle, no state, so it composes onto `readStream`
+    * unchanged — the ingest-time relevance gate. */
+  private[graft] def frozenScoreExpr(textCol: Column, terms: Seq[String],
+                                     n: Column, s: Column, dfs: Seq[Column]): Column = {
+    val ws = TextAnalysis.tokens(textCol)
+    val dl = size(ws).cast("long")
+    terms.indices.map { i =>
+      val tf = size(filter(ws, w => w === lit(terms(i)))).cast("long")
+      idfE4(dfs(i), n) * tfFactorE4(tf, dl, n, s)
+    }.reduce(_ + _)
+  }
+
+  /** Frozen (N, Σdl, per-term df) read from a [[buildTextIndex]] store —
+    * the statistics a serving tier scores against between index rebuilds.
+    * A term absent from the index has df = 0 (matches the live mode). */
+  private[graft] def frozenStats(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, terms: Seq[String]): (Long, Long, Seq[Long]) = {
+    val Array(nStr, sStr) =
+      graft.sources.Sidecar.readText(spark, path + "/_graft_text_stats").split(" ")
+    val dict = spark.read.parquet(path + "/dict")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (nStr.toLong, sStr.toLong, terms.map(dict.getOrElse(_, 0L)))
+  }
+
   // ---- persisted inverted index ----
   // The scale contract of retrieval is index-once / query-many: at 100 TB
   // a query must read the POSTINGS OF ITS TERMS, not the corpus. The

@@ -153,6 +153,30 @@ object EventStreams {
    * instead of appending duplicates, making the sink exactly-once (readers
    * see the extra `batch_id` partition column, useful provenance anyway).
    */
+  /**
+   * Ingest-time BM25 relevance gate: score each incoming document against
+   * `terms` using the FROZEN statistics of a persisted
+   * [[graft.operators.TextSearch.buildTextIndex]] store (N, Σdl, per-term
+   * df read once at plan time) — the serving semantic: scores stay
+   * comparable across micro-batches until the index is rebuilt, unlike a
+   * per-batch recount which would drift with batch composition. Adds
+   * `score_e8` (the exact-integer score, identical to the batch modes for
+   * the same statistics); rows scoring ≤ `minScoreE8` are dropped when a
+   * threshold is given.
+   *
+   * Stateless codegen'd projection — no watermark, no aggregation state,
+   * works on `read` and `readStream` alike.
+   */
+  def scoreBm25Indexed(docs: DataFrame, textColName: String, indexPath: String,
+                       terms: Seq[String], minScoreE8: Option[Long] = None): DataFrame = {
+    val (n, s, dfs) = graft.operators.TextSearch
+      .frozenStats(docs.sparkSession, indexPath, terms)
+    val scored = docs.withColumn("score_e8",
+      graft.operators.TextSearch.frozenScoreExpr(
+        col(textColName), terms, lit(n), lit(s), dfs.map(lit(_))))
+    minScoreE8.fold(scored)(t => scored.filter(col("score_e8") > t))
+  }
+
   def ingestDropSeenSpans(docs: DataFrame, idColName: String,
                           textColName: String, k: Int,
                           storePath: String, outPath: String,

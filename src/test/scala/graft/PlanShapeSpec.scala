@@ -102,4 +102,58 @@ class PlanShapeSpec extends AnyFunSuite {
     val v = TextAnalysis.vocabTopK(docs, col("text"), 50)
     assert(formatted(v).contains("TakeOrderedAndProject"), formatted(v))
   }
+
+  test("bm25 live: no explode of the corpus token stream, TakeOrdered top-k") {
+    // scoring counts tf inside each row's token array — a Generate here
+    // would explode the corpus token stream (corpus-sized shuffle input);
+    // the stats row must arrive by broadcast, the top-k by TakeOrdered
+    val q = operators.TextSearch.bm25TopKExact(docs, col("doc_id"), col("text"),
+      Seq("spark", "hash"), 10)
+    val plan = formatted(q)
+    assert(!plan.contains("Generate"), s"corpus token explode found:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats row should broadcast:\n$plan")
+  }
+
+  test("bm25 store: term filter reaches the postings scan as a pushed filter") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    operators.TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
+    val q = operators.TextSearch.bm25TopKExactIndexed(spark, dir, Seq("spark", "hash"), 10)
+    val plan = formatted(q)
+    // the postings (and dictionary) scans must push In(term, ...) to parquet
+    assert("PushedFilters: \\[.*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term IN not pushed to the postings scan:\n$plan")
+  }
+
+  test("zorder scan: both range predicates push down to the clustered store") {
+    val dir = java.nio.file.Files.createTempDirectory("zplan").toString
+    operators.ZOrder.write(docs.select(col("doc_id"), col("n_chars")), dir,
+      Seq("doc_id", "n_chars"), bits = 12, partitions = 4)
+    val q = spark.read.parquet(dir)
+      .filter(col("doc_id").between(10, 20) && col("n_chars") > 100)
+    val plan = formatted(q)
+    assert(plan.contains("GreaterThanOrEqual(doc_id,10)"), plan)
+    assert(plan.contains("GreaterThan(n_chars,100)"), plan)
+  }
+
+  test("ivfpq store: probed-cell IN filter reaches the codes scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqplan").toString
+    operators.Similarity.buildIvfPqIndex(e, dir, col("vec_id"), col("embedding"),
+      nlist = 8, m = 8, ksub = 16, iters = 1, sampleN = 200)
+    val q = operators.Similarity.ivfPqTopKIndexed(e.filter(col("vec_id") < 3), dir,
+      col("vec_id"), col("embedding"), k = 3, nprobe = 2)
+    val plan = formatted(q)
+    assert("PushedFilters: \\[.*In\\(__cell".r.findFirstIn(plan).isDefined,
+      s"probed-cell IN not pushed to the codes scan:\n$plan")
+  }
+
+  test("bigram fluency: count joins are shuffle joins on token keys, no token window") {
+    val f = TextAnalysis.withBigramFluency(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("fluency_e6"))
+    val plan = formatted(f)
+    assert(!plan.contains("Window"), s"no window expected in the fluency plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -187,6 +187,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 gate scores micro-batches with frozen index stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("bm25stream").toString
+    graft.operators.TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
+    val terms = Seq("spark", "hash")
+    // batch ground truth from the SAME store: every doc's exact score
+    val want = graft.operators.TextSearch
+      .bm25TopKExactIndexed(spark, dir, terms, k = 100000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val gated = graft.streaming.EventStreams.scoreBm25Indexed(
+      stream, "text", dir, terms, minScoreE8 = Some(0L))
+    val q = gated.writeStream.format("memory").queryName("bm25_out")
+      .outputMode("append").start()
+    try {
+      val batch = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      input.addData(batch.take(25).toIndexedSeq)
+      input.addData(batch.drop(25).toIndexedSeq) // two micro-batches
+      q.processAllAvailable()
+      val got = spark.table("bm25_out")
+        .select(col("doc_id"), col("score_e8")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the stream keeps exactly the docs the batch mode scores > 0, with
+      // identical integer scores — frozen stats make batches comparable
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize accumulates per-user state (batch semantics check)") {
     import spark.implicits._
     // state logic is exercised in batch mode via groupByKey+flatMapGroups
