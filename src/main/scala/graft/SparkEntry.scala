@@ -298,6 +298,106 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Angular-partitioned skyline (reference skylineAngular): atan2-slice
+    // repartition, then the same local-frontier-merge — results must equal
+    // the plain skyline, so it shares q8's dominance oracle.
+    "q91_skyline_angular" -> ((s, dir) => {
+      Skyline.skylineAngular(Tables.customerPts(s, dir), "cx", "cy", buckets = 16)
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
+    // Temporal range partitioner as an invariant query: after the
+    // repartitionByRange, per-partition [min,max] time ranges must be
+    // pairwise disjoint and no row may vanish. The disjointness is
+    // computed Spark-side into a column the oracle pins to literal true —
+    // a false would hash-mismatch the round.
+    "q92_temporal_partition" -> ((s, dir) => {
+      val parted = Partitioners.temporalRangePartition(
+        Tables.load(s, dir, "events"), expr("ts div 1000"), numPartitions = 8)
+      val ranges = parted
+        .groupBy(spark_partition_id().as("__pid"))
+        .agg(min(expr("ts div 1000")).as("__lo"), max(expr("ts div 1000")).as("__hi"),
+          count(lit(1)).as("__n"))
+        .collect().sortBy(_.getAs[Long]("__lo"))
+      val disjoint = ranges.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("__hi") <= b.getAs[Long]("__lo")
+        case _ => true
+      }
+      val total = ranges.map(_.getAs[Long]("__n")).sum
+      import s.implicits._
+      Seq((total, disjoint)).toDF("n_rows", "ranges_disjoint")
+    }),
+
+    // Spatio-temporal composite partitioner: (spatial cell, time bucket)
+    // histogram — both key parts are closed-form, so the oracle replays
+    // them exactly (q27's cell formula × a day bucket on micros).
+    "q93_st_partition" -> ((s, dir) => {
+      Partitioners.spatioTemporalPartition(Tables.eventPts(s, dir), col("e_geo"),
+          expr("ts div 1000"), cellSize = 100.0, timeBucket = 86400000000L,
+          numPartitions = 8)
+        .groupBy(col("part_cell"), col("part_tbucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("part_cell"), col("part_tbucket"))
+    }),
+
+    // σ coveredby with a BOX left side — the predicate whose name-swap bug
+    // the reference carries (fixed here, SpatialOps.scala cites it); for
+    // boxes the semantics differ visibly from containedby's interior rule.
+    "q94_filter_coveredby" -> ((s, dir) => {
+      SpatialOps.coveredBy(Tables.nationRects(s, dir), col("n_geo"),
+          stf.st_box(lit(100.0), lit(100.0), lit(700.0), lit(700.0)))
+        .select(col("n_nationkey")).orderBy(col("n_nationkey"))
+    }),
+
+    // Broadcast nested-loop spatial join (reference broadcastJoin): same
+    // contains pairs as the cell join, no shuffle of the big side.
+    "q95_broadcast_join" -> ((s, dir) => {
+      SpatialJoin.broadcastJoin(Tables.customerPts(s, dir), Tables.nationRects(s, dir),
+          col("n_geo"), col("c_geo"), JoinPredicate.Contains)
+        .select(col("n_nationkey"), col("c_custkey"))
+        .orderBy(col("n_nationkey"), col("c_custkey"))
+    }),
+
+    // Broadcast join through the per-task STRtree (reference
+    // broadcastJoinWithIndex): build once per task over the broadcast
+    // side, envelope probe, exact refine — same pairs again.
+    "q96_broadcast_join_indexed" -> ((s, dir) => {
+      SpatialJoin.broadcastJoinIndexed(Tables.customerPts(s, dir),
+          Tables.nationRects(s, dir), "c_geo", "n_geo", JoinPredicate.ContainedBy)
+        .select(col("n_nationkey"), col("c_custkey"))
+        .orderBy(col("n_nationkey"), col("c_custkey"))
+    }),
+
+    // Raster countValue + hasValue (SMA-prefiltered pixel scan) over the
+    // rasterized events grid, pixel value 1.
+    "q97_count_value" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+      Raster.countValue(tiles, 1L)
+        .withColumn("has_v", lit(Raster.hasValue(tiles, 1L)))
+    }),
+
+    // Corpus report card: one row per source rolling up the curation
+    // signals — doc/token volume, quality and fluency sums (exact
+    // integers), and exact-duplicate document counts. The decision table a
+    // pipeline reads before choosing mixing weights and gates.
+    "q90_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withQ = TextAnalysis.withQuality(docs, col("text"))
+      val withF = TextAnalysis.withBigramFluency(withQ, col("doc_id"), col("text"))
+      val dups = docs.groupBy(md5(col("text").cast("binary")).as("__h"))
+        .agg(count(lit(1)).as("__hc"))
+      withF.withColumn("__h", md5(col("text").cast("binary")))
+        .join(dups, "__h")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("quality_e6")).as("sum_quality_e6"),
+          sum(col("fluency_e6")).as("sum_fluency_e6"),
+          sum(when(col("__hc") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Hybrid search: BM25 keyword candidates (top-50) reranked by
     // embedding cosine against a seed vector — lexical recall, semantic
     // precision, the standard two-stage retrieval composition. The rerank
@@ -1040,6 +1140,27 @@ object SparkEntry {
     "WHERE sqrt((sx-cx)*(sx-cx)+(sy-cy)*(sy-cy)) <= 50.5 " +
     "ORDER BY s_suppkey, c_custkey"
 
+  /** q88, also embedded as the fluency CTE of q90's report: the add-one
+    * bigram LM with e6 floors, replayed relationally — output
+    * (doc_id, n_bigrams, fluency_e6). */
+  private val fluencyOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |u AS (SELECT w, CAST(count(*) AS BIGINT) AS u
+      |      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+      |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |      FROM d, unnest(range(1, len(ws))) AS g(i)),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM b GROUP BY 1, 2),
+      |t AS (SELECT doc_id,
+      |        ((bc.b+1)*1000000 - ((bc.b+1)*1000000) % (u.u + vv.v)) // (u.u + vv.v) AS te
+      |      FROM b JOIN u ON b.w1 = u.w
+      |             JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2, vv),
+      |s AS (SELECT doc_id, CAST(sum(te) AS BIGINT) AS ts,
+      |             CAST(count(*) AS BIGINT) AS nb FROM t GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(nb, 0) AS n_bigrams,
+      |       COALESCE((ts - ts % nb) // nb, 0) AS fluency_e6
+      |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** q28 = q48: box filter over the pruned store equals the plain filter. */
   private def prunedBoxFilterOracleSql: String =
     s"WITH cpts AS (${Tables.customerPtsSql}) " +
@@ -1222,23 +1343,63 @@ object SparkEntry {
        "WHERE rank <= 10 ORDER BY rank"),
 
     // the same add-one bigram LM with e6 floors, replayed relationally
-    "q88_fluency" ->
-      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS u
-         |      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
-         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
-         |b AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-         |      FROM d, unnest(range(1, len(ws))) AS g(i)),
-         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM b GROUP BY 1, 2),
-         |t AS (SELECT doc_id,
-         |        ((bc.b+1)*1000000 - ((bc.b+1)*1000000) % (u.u + vv.v)) // (u.u + vv.v) AS te
-         |      FROM b JOIN u ON b.w1 = u.w
-         |             JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2, vv),
-         |s AS (SELECT doc_id, CAST(sum(te) AS BIGINT) AS ts,
-         |             CAST(count(*) AS BIGINT) AS nb FROM t GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(nb, 0) AS n_bigrams,
-         |       COALESCE((ts - ts % nb) // nb, 0) AS fluency_e6
-         |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    "q88_fluency" -> fluencyOracleSql,
+
+    // angular variant must equal the plain skyline ⇒ q8's dominance oracle
+    "q91_skyline_angular" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT c_custkey FROM cpts a WHERE NOT EXISTS (" +
+       "SELECT 1 FROM cpts b WHERE (b.cx <= a.cx AND b.cy < a.cy) " +
+       "OR (b.cx < a.cx AND b.cy <= a.cy)) ORDER BY c_custkey"),
+
+    // the partitioner invariant: Spark computes disjointness into a
+    // column the oracle pins to TRUE; row count pins completeness
+    "q92_temporal_partition" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS ranges_disjoint FROM events",
+
+    // composite key replay: q27's cell formula on the event coords × a
+    // one-day bucket over epoch micros
+    "q93_st_partition" ->
+      (s"WITH epts AS ($eventsRasterSql), " +
+       "k AS (SELECT CAST(floor(ex/100) AS BIGINT)*4294967296 + CAST(floor(ey/100) AS BIGINT) AS part_cell, " +
+       "CAST(floor((epoch_ns(ts)//1000)/86400000000) AS BIGINT) AS part_tbucket " +
+       "FROM epts JOIN events USING (event_id)) " +
+       "SELECT part_cell, part_tbucket, count(*) AS cnt FROM k " +
+       "GROUP BY 1, 2 ORDER BY part_cell, part_tbucket"),
+
+    // box-in-box coveredby: boundary-inclusive containment of the rects
+    "q94_filter_coveredby" ->
+      (s"WITH nr AS (${Tables.nationRectsSql}) " +
+       "SELECT n_nationkey FROM nr WHERE nx >= 100 AND ny >= 100 " +
+       "AND nx + 150 <= 700 AND ny + 150 <= 700 ORDER BY n_nationkey"),
+
+    // both broadcast paths produce the cell join's pairs ⇒ q6's oracle
+    "q95_broadcast_join" -> boxJoinOracleSql,
+    "q96_broadcast_join_indexed" -> boxJoinOracleSql,
+
+    // pixels equal to 1 across the rasterized grid + existence flag
+    "q97_count_value" ->
+      (s"$rasterBaseSql " +
+       "SELECT CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt, " +
+       "sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) > 0 AS has_v FROM j"),
+
+    // per-source rollup: quality/fluency sums are exact integers, dup
+    // membership via the q13 md5 convention, fluency via q88's CTE
+    "q90_report" ->
+      (s"WITH fl AS (SELECT * FROM ($fluencyOracleSql)), " +
+       "t AS (SELECT doc_id, source, text, string_split(text,' ') AS ws FROM documents), " +
+       "q AS (SELECT doc_id, source, md5(text) AS h, CAST(len(ws) AS BIGINT) AS n_tokens, " +
+       "CAST(round(500000.0*len(list_distinct(ws))/len(ws) + " +
+       s"500000.0*(len(ws)-len(list_filter(ws, w -> list_contains($stopListSql, w))))/len(ws)) AS BIGINT) " +
+       "AS quality_e6 FROM t), " +
+       "hc AS (SELECT h, count(*) AS c FROM q GROUP BY h) " +
+       "SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens, " +
+       "CAST(sum(q.quality_e6) AS BIGINT) AS sum_quality_e6, " +
+       "CAST(sum(fl.fluency_e6) AS BIGINT) AS sum_fluency_e6, " +
+       "CAST(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs " +
+       "FROM q JOIN fl USING (doc_id) JOIN hc ON q.h = hc.h " +
+       "GROUP BY q.source ORDER BY q.source"),
 
     // the z-ordered copy holds exactly the source rows
     "q84_zorder_scan" ->

@@ -102,6 +102,23 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("property: exact scores == BigInt replay on random corpora (empty docs, unicode, repeats)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "bb", "ccc", "déjà", "日本", "x1", "", "the")
+    for (trial <- 1 to 15) {
+      val corpus = (1 to (5 + rnd.nextInt(40))).map { i =>
+        val len = rnd.nextInt(12) // 0 tokens possible -> text "" (dl = 1, [""])
+        i.toLong -> Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val terms = rnd.shuffle(vocab.filter(_.nonEmpty)).take(1 + rnd.nextInt(3))
+      val df = spark.createDataFrame(corpus).toDF("id", "text")
+      val got = TextSearch.bm25TopKExact(df, col("id"), col("text"), terms, 1000)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = expectedScores(corpus, terms).filter(_._2 > 0)
+      assert(got == want, s"trial $trial terms=$terms corpus=$corpus")
+    }
+  }
+
   test("oracle SQL text stays in lockstep with the Scala formula shape") {
     val sql = TextSearch.bm25ExactOracleSql("documents", "doc_id", "text",
       Seq("spark", "hash"), 25)

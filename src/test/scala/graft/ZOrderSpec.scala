@@ -74,6 +74,20 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zArea < 1000.0 * 1000.0 / 8)
   }
 
+  test("null key values cluster together and survive the layout") {
+    val src = spark.createDataFrame(Seq(
+        (1L, java.lang.Double.valueOf(5.0), java.lang.Double.valueOf(1.0)),
+        (2L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(2.0)),
+        (3L, java.lang.Double.valueOf(9.0), null.asInstanceOf[java.lang.Double]),
+        (4L, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double])))
+      .toDF("id", "x", "y")
+    val out = ZOrder.zorderBy(src, Seq("x", "y"), bits = 8, partitions = 2)
+    // nothing dropped, nothing duplicated, no key column leaked
+    assert(out.columns.toSeq == Seq("id", "x", "y"))
+    assert(out.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("input contracts fail loudly") {
     val df = spark.range(4).select(col("id"), col("id").cast("double").as("x"))
     val e = intercept[IllegalArgumentException] {
