@@ -376,6 +376,43 @@ object SparkEntry {
         .withColumn("has_v", lit(Raster.hasValue(tiles, 1L)))
     }),
 
+    // Raster⋈vector through the per-cell STRtree (reference join with
+    // prebuilt index): same matches as the declarative q25 plan.
+    "q98_raster_vector_join_indexed" -> ((s, dir) => {
+      val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+      Raster.joinVectorIndexed(tiles, Tables.nationRects(s, dir), "n_geo",
+          JoinPredicate.Intersects, cellSize = 150.0)
+        .select(col("ulx").cast("long").as("ulx"), col("uly").cast("long").as("uly"),
+          col("n_nationkey"))
+        .orderBy(col("ulx"), col("uly"), col("n_nationkey"))
+    }),
+
+    // Cost-based BSP partitioner as an invariant query (the recursion is
+    // driver-side and not SQL-replayable; its post-conditions are): every
+    // row lands in a real region (part_id >= 0), no row vanishes, and no
+    // region exceeds maxCost unless it is a single unsplittable cell.
+    // All three computed Spark-side into columns the oracle pins.
+    "q99_bsp_partition" -> ((s, dir) => {
+      val parted = Partitioners.bspPartition(Tables.customerPts(s, dir),
+        col("cx"), col("cy"), cellSize = 100.0, maxCost = 400L)
+      val perRegion = parted.groupBy(col("part_id")).agg(count(lit(1)).as("__n"))
+        .collect()
+      val allAssigned = perRegion.forall(_.getInt(0) >= 0)
+      val total = perRegion.map(_.getLong(1)).sum
+      // cost bound: a region may only exceed maxCost when it is one cell
+      // (unsplittable); check against the per-cell histogram
+      val cellMax = Tables.customerPts(s, dir)
+        .groupBy(floor(col("cx") / 100).cast("long").as("__cx"),
+          floor(col("cy") / 100).cast("long").as("__cy"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c"))).head().getLong(0)
+      val costOk = perRegion.forall { r =>
+        r.getLong(1) <= math.max(400L, cellMax)
+      }
+      import s.implicits._
+      Seq((total, allAssigned, costOk)).toDF("n_rows", "all_assigned", "cost_respected")
+    }),
+
     // Corpus report card: one row per source rolling up the curation
     // signals — doc/token volume, quality and fluency sums (exact
     // integers), and exact-duplicate document counts. The decision table a
@@ -1161,6 +1198,16 @@ object SparkEntry {
       |       COALESCE((ts - ts % nb) // nb, 0) AS fluency_e6
       |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** q25 = q98 (tree-refined path must match the declarative plan):
+    * tile frames intersecting each nation rect. */
+  private def rasterVectorJoinOracleSql: String =
+    s"$rasterBaseSql, " +
+    s"nrect AS (${Tables.nationRectsSql}) " +
+    "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, n_nationkey " +
+    "FROM tiles, nrect " +
+    "WHERE tx*100 <= nx+150 AND tx*100+100 >= nx AND ty*100 <= ny+150 AND ty*100+100 >= ny " +
+    "ORDER BY ulx, uly, n_nationkey"
+
   /** q28 = q48: box filter over the pruned store equals the plain filter. */
   private def prunedBoxFilterOracleSql: String =
     s"WITH cpts AS (${Tables.customerPtsSql}) " +
@@ -1377,6 +1424,15 @@ object SparkEntry {
     "q95_broadcast_join" -> boxJoinOracleSql,
     "q96_broadcast_join_indexed" -> boxJoinOracleSql,
 
+    // tree-refined raster⋈vector ⇒ q25's matches
+    "q98_raster_vector_join_indexed" -> rasterVectorJoinOracleSql,
+
+    // BSP post-conditions pinned: completeness + assignment + cost bound
+    "q99_bsp_partition" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS all_assigned, " +
+       "true AS cost_respected FROM cpts"),
+
     // pixels equal to 1 across the rasterized grid + existence flag
     "q97_count_value" ->
       (s"$rasterBaseSql " +
@@ -1463,13 +1519,7 @@ object SparkEntry {
       (s"$rasterBaseSql " +
        "SELECT v AS pixel_value, count(*) AS cnt FROM j GROUP BY v ORDER BY v"),
 
-    "q25_raster_vector_join" ->
-      (s"$rasterBaseSql, " +
-       s"nrect AS (${Tables.nationRectsSql}) " +
-       "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, n_nationkey " +
-       "FROM tiles, nrect " +
-       "WHERE tx*100 <= nx+150 AND tx*100+100 >= nx AND ty*100 <= ny+150 AND ty*100+100 >= ny " +
-       "ORDER BY ulx, uly, n_nationkey"),
+    "q25_raster_vector_join" -> rasterVectorJoinOracleSql,
 
     "q26_raster_raster_join" ->
       (s"WITH epts AS ($eventsRasterSql), " +

@@ -165,5 +165,19 @@ object syntax {
       TextAnalysis.normalizeText(df, text, lowercase)
     def kmeans(id: Column, vec: Column, k: Int, iters: Int): DataFrame =
       Similarity.kmeans(df, id, vec, k, iters)
+    def bm25TopK(id: Column, text: Column, terms: Seq[String], k: Int): DataFrame =
+      TextSearch.bm25TopKExact(df, id, text, terms, k)
+    def withBigramFluency(id: Column, text: Column): DataFrame =
+      TextAnalysis.withBigramFluency(df, id, text)
+    def learnBpe(text: Column, numMerges: Int, vocabWords: Int = 10000): DataFrame =
+      Bpe.learnBpe(df, text, numMerges, vocabWords)
+    def applyBpe(text: Column, merges: DataFrame): DataFrame =
+      Bpe.applyBpe(df, text, merges)
+    def zorderBy(cols: Seq[String], bits: Int = 16, partitions: Int = 0): DataFrame =
+      ZOrder.zorderBy(df, cols, bits, partitions)
+    def ivfPqTopK(queries: DataFrame, id: Column, qid: Column,
+                  vec: Column, qvec: Column, k: Int,
+                  nlist: Int = 16, nprobe: Int = 4): DataFrame =
+      Similarity.ivfPqTopK(df, queries, id, qid, vec, qvec, k, nlist, nprobe)
   }
 }
