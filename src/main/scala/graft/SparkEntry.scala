@@ -376,6 +376,18 @@ object SparkEntry {
         .withColumn("has_v", lit(Raster.hasValue(tiles, 1L)))
     }),
 
+    // Fluency from the persisted LM store: counts joined from frozen
+    // parquet tables instead of recounted — scoring the training corpus
+    // itself must reproduce the live q88 exactly (⇒ same oracle).
+    "q100_fluency_store" -> ((s, dir) => {
+      val path = storedOnce("lmstore", dir)(p =>
+        TextAnalysis.buildLmStore(Tables.load(s, dir, "documents"), p, col("text")))
+      TextAnalysis.withBigramFluencyIndexed(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Raster⋈vector through the per-cell STRtree (reference join with
     // prebuilt index): same matches as the declarative q25 plan.
     "q98_raster_vector_join_indexed" -> ((s, dir) => {
@@ -1391,6 +1403,9 @@ object SparkEntry {
 
     // the same add-one bigram LM with e6 floors, replayed relationally
     "q88_fluency" -> fluencyOracleSql,
+
+    // the frozen-store path on its own training corpus ⇒ q88's oracle
+    "q100_fluency_store" -> fluencyOracleSql,
 
     // angular variant must equal the plain skyline ⇒ q8's dominance oracle
     "q91_skyline_angular" ->

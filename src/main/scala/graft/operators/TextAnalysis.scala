@@ -379,6 +379,91 @@ object TextAnalysis {
   }
 
   /**
+   * Persist the bigram LM ([[withBigramFluency]]'s statistics) — train
+   * once on a reference corpus, score many batches/streams against the
+   * FROZEN model (the CCNet deployment shape: the scorer must not drift
+   * with batch composition). Layout: unigram and bigram count parquet
+   * range-sorted by token key + a one-line vocabulary-size sidecar; same
+   * rebuild-crash contract as every other store.
+   */
+  def buildLmStore(docs: DataFrame, path: String, textCol: Column): Unit = {
+    val spark = docs.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val toks = docs.select(tokens(textCol).as("__lm_ws"))
+    toks.select(explode(col("__lm_ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u"))
+      .repartitionByRange(col("w")).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(path + "/unigrams")
+    val ws = col("__lm_ws")
+    val n = size(ws)
+    val pairs = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    toks.select(explode(pairs).as("__lm_p"))
+      .select(col("__lm_p.w1").as("w1"), col("__lm_p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+      .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+      .write.mode("overwrite").parquet(path + "/bigrams")
+    val v = spark.read.parquet(path + "/unigrams").count()
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_lm_stats", v.toString)
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /**
+   * [[withBigramFluency]] against a [[buildLmStore]] model: same e6 math,
+   * counts joined from the store instead of recounted — unseen bigrams
+   * score (0+1)/(U+V), unseen first-tokens (0+1)/(0+V) (add-one smoothing
+   * covers them by construction). Scoring the training corpus itself
+   * reproduces the live operator's output exactly. Scale shape: the count
+   * joins are token-keyed equi-joins against vocabulary-sized tables —
+   * the distributed path for corpus-sized batches.
+   *
+   * CONTRACT: `idCol` non-null and unique (same as the live operator).
+   */
+  def withBigramFluencyIndexed(df: DataFrame, idCol: Column, textCol: Column,
+                               path: String): DataFrame = {
+    require(!df.columns.exists(c => c.toLowerCase.startsWith("__bf_") ||
+      c.equalsIgnoreCase("n_bigrams") || c.equalsIgnoreCase("fluency_e6")),
+      "withBigramFluencyIndexed: input must not contain __bf_* columns or " +
+      "the output names n_bigrams/fluency_e6")
+    val spark = df.sparkSession
+    val v = graft.sources.Sidecar.readText(spark, path + "/_graft_lm_stats").toLong
+    def e6(a: Column, b: Column): Column = {
+      val A = a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L
+      val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      ((A - pmod(A, B)) / B).cast("long")
+    }
+    val uni = spark.read.parquet(path + "/unigrams")
+      .select(col("w").as("__bf_w1"), col("u").as("__bf_u"))
+    val bi = spark.read.parquet(path + "/bigrams")
+      .select(col("w1").as("__bf_w1"), col("w2").as("__bf_w2"), col("b").as("__bf_b"))
+    val ws = col("__bf_ws")
+    val n = size(ws)
+    val pairs = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docBi = df.select(idCol.as("__bf_id"), tokens(textCol).as("__bf_ws"))
+      .select(col("__bf_id"), explode(pairs).as("__bf_p"))
+      .select(col("__bf_id"), col("__bf_p.w1").as("__bf_w1"), col("__bf_p.w2").as("__bf_w2"))
+    val scored = docBi
+      .join(uni, Seq("__bf_w1"), "left")
+      .join(bi, Seq("__bf_w1", "__bf_w2"), "left")
+      .withColumn("__bf_t", e6(coalesce(col("__bf_b"), lit(0L)) + 1,
+        coalesce(col("__bf_u"), lit(0L)) + lit(v)))
+      .groupBy(col("__bf_id"))
+      .agg(sum(col("__bf_t")).as("__bf_ts"), count(lit(1)).as("n_bigrams"))
+      .withColumn("fluency_e6",
+        ((col("__bf_ts") - pmod(col("__bf_ts"), col("n_bigrams"))) / col("n_bigrams"))
+          .cast("long"))
+      .select(col("__bf_id"), col("n_bigrams"), col("fluency_e6"))
+    df.join(scored, idCol === col("__bf_id"), "left")
+      .drop("__bf_id")
+      .na.fill(0L, Seq("n_bigrams", "fluency_e6"))
+  }
+
+  /**
    * Cross-document duplicated-span stats — the exact-substring dedup signal
    * (cf. Lee et al., "Deduplicating Training Data Makes Language Models
    * Better"): for each document, how many of its distinct word k-gram spans

@@ -177,6 +177,45 @@ object EventStreams {
     minScoreE8.fold(scored)(t => scored.filter(col("score_e8") > t))
   }
 
+  /**
+   * Ingest-time fluency gate: score each incoming document with a FROZEN
+   * [[graft.operators.TextAnalysis.buildLmStore]] bigram model. The count
+   * tables are collected once at plan time and broadcast (vocabulary-sized
+   * — the executor-memory bound; corpus-sized batches should use the
+   * join-based `withBigramFluencyIndexed` instead), so scoring is a
+   * stateless per-row UDF — no streaming aggregation state, identical
+   * integer scores to the batch modes.
+   */
+  def scoreFluencyIndexed(docs: DataFrame, textColName: String,
+                          lmPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val v = graft.sources.Sidecar.readText(spark, lmPath + "/_graft_lm_stats").toLong
+    val uni = spark.read.parquet(lmPath + "/unigrams")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = spark.read.parquet(lmPath + "/bigrams")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bcU = spark.sparkContext.broadcast(uni)
+    val bcB = spark.sparkContext.broadcast(bi)
+    val score = org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) (0L, 0L)
+      else {
+        val ws = text.split(" ", -1)
+        var i = 0; var ts = BigInt(0); var nb = 0L
+        while (i < ws.length - 1) {
+          val b = bcB.value.getOrElse((ws(i), ws(i + 1)), 0L)
+          val u = bcU.value.getOrElse(ws(i), 0L)
+          ts += (BigInt(b + 1) * 1000000) / BigInt(u + v)
+          nb += 1; i += 1
+        }
+        (nb, if (nb == 0) 0L else (ts / nb).toLong)
+      }
+    }
+    docs.withColumn("__fl", score(org.apache.spark.sql.functions.col(textColName)))
+      .withColumn("n_bigrams", org.apache.spark.sql.functions.col("__fl._1"))
+      .withColumn("fluency_e6", org.apache.spark.sql.functions.col("__fl._2"))
+      .drop("__fl")
+  }
+
   def ingestDropSeenSpans(docs: DataFrame, idColName: String,
                           textColName: String, k: Int,
                           storePath: String, outPath: String,

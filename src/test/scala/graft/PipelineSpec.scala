@@ -11,6 +11,27 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("fluency store: indexed mode == live on the training corpus; unseen text smoothed") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lmstore").toString
+    TextAnalysis.buildLmStore(docs, dir, col("text"))
+    val live = TextAnalysis.withBigramFluency(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = TextAnalysis.withBigramFluencyIndexed(docs, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == live)
+    // a doc of entirely unseen tokens: every bigram scores 1e6/(0+V)
+    val v = spark.read.parquet(s"$dir/unigrams").count()
+    val unseen = spark.createDataFrame(Seq((1L, "zzq zzr zzs"))).toDF("id", "text")
+    val got = TextAnalysis.withBigramFluencyIndexed(unseen, col("id"), col("text"), dir)
+      .select(col("n_bigrams"), col("fluency_e6")).head()
+    assert(got.getLong(0) == 2L)
+    assert(got.getLong(1) == 1000000L / v)
+  }
+
   test("bigram fluency: independent replay on a hand corpus; garbage scores lower") {
     import graft.operators.TextAnalysis
     // hand corpus: doc 4 is a token salad of hapaxes, docs 1-3 share bigrams

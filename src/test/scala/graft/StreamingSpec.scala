@@ -220,6 +220,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fluency gate scores micro-batches with the frozen LM store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lmstream").toString
+    graft.operators.TextAnalysis.buildLmStore(docs, dir, col("text"))
+    // live self-scored ground truth: the frozen store was trained on the
+    // same corpus, so the stream must reproduce it exactly
+    val want = graft.operators.TextAnalysis
+      .withBigramFluency(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val gated = graft.streaming.EventStreams.scoreFluencyIndexed(stream, "text", dir)
+    val q = gated.writeStream.format("memory").queryName("fl_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("fl_out")
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_e6")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize accumulates per-user state (batch semantics check)") {
     import spark.implicits._
     // state logic is exercised in batch mode via groupByKey+flatMapGroups
