@@ -157,6 +157,16 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Near-dedup keeping the best-quality representative per group
+    // (score = n_chars, ties min id) — same closure as q59, different
+    // survivor rule.
+    "q101_drop_near_dups_best" -> ((s, dir) => {
+      Dedup.dropNearDuplicatesKeepBest(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), col("n_chars"),
+          n = 3, numHashes = 128, bands = 32, p = 4, q = 5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs (hamming <= 3 over 64-bit sketch; pigeonhole-
     // exact candidate generation). Engine-specific hash — no SQL oracle.
     "q16_dedup_simhash" -> ((s, dir) => {
@@ -1331,6 +1341,21 @@ object SparkEntry {
        "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
        "comp AS (SELECT a, min(b) AS c FROM reach GROUP BY a) " +
        "SELECT a AS doc_id FROM comp WHERE c = a ORDER BY doc_id"),
+
+    // q59's closure, but the survivor is the max-n_chars member (tie: min id)
+    "q101_drop_near_dups_best" ->
+      (s"WITH RECURSIVE sh AS ($shingleSetSql), " +
+       "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+       "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))), " +
+       "e(a, b) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p " +
+       "UNION SELECT doc_id, doc_id FROM documents), " +
+       "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+       "comp AS (SELECT a, min(b) AS c FROM reach GROUP BY a), " +
+       "scored AS (SELECT comp.a AS id, comp.c AS c, d.n_chars AS sc " +
+       "FROM comp JOIN documents d ON d.doc_id = comp.a), " +
+       "best AS (SELECT c, max(sc) AS bs FROM scored GROUP BY c) " +
+       "SELECT min(s.id) AS doc_id FROM scored s JOIN best ON s.c = best.c AND s.sc = best.bs " +
+       "GROUP BY s.c ORDER BY doc_id"),
 
     "q17_dedup_cosine" ->
       (s"WITH e AS ($normedEmbSql) " +

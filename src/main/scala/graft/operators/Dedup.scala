@@ -184,6 +184,38 @@ object Dedup {
   }
 
   /**
+   * [[dropNearDuplicates]] with a quality-aware representative: per
+   * near-dup group, keep the row with the HIGHEST `scoreCol` (ties broken
+   * by minimum id) instead of the minimum id — the production shape, where
+   * dedup should discard the low-quality copies, not whichever one sorted
+   * last. Same LSH/closure machinery; the argmax is two skew-safe
+   * aggregations (per-group max, then min-id among the tied best) rather
+   * than a window, so a degenerate corpus that collapses into one giant
+   * component still splits its work across tasks.
+   *
+   * CONTRACT: `idCol` non-null and unique; `scoreCol` non-null and
+   * orderable (null scores would silently lose their rows to the join).
+   */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: Column, textCol: Column,
+                                 scoreCol: Column,
+                                 n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                                 p: Int = 4, q: Int = 5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, p, q)
+    val edges = pairs.select(col("id_a").as("__a"), col("id_b").as("__b"))
+      .union(df.select(idCol.as("__a"), idCol.as("__b"))) // self-loops: keep singletons
+    val comps = ConnectedComponents.run(edges)
+    val scored = comps.join(
+      df.select(idCol.as("__kb_id"), scoreCol.as("__kb_sc")),
+      col("__id") === col("__kb_id"))
+    val best = scored.groupBy(col("__comp")).agg(max(col("__kb_sc")).as("__kb_best"))
+    val keep = scored.join(best, Seq("__comp"))
+      .filter(col("__kb_sc") === col("__kb_best"))
+      .groupBy(col("__comp")).agg(min(col("__id")).as("__keep"))
+      .select(col("__keep"))
+    df.join(keep, idCol === col("__keep")).drop("__keep")
+  }
+
+  /**
    * C4-style global line deduplication (cf. Raffel et al.'s C4 pipeline:
    * "we discarded all but one of any three-sentence span occurring more
    * than once", commonly applied per line): across the WHOLE corpus, keep

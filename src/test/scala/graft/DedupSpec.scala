@@ -89,6 +89,25 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.count() == docs.count() - (docs.count() - keptIds.size))
   }
 
+  test("dropNearDuplicatesKeepBest keeps the highest-score member, min id on ties") {
+    // score = -doc_id makes argmax-by-score == argmin-by-id: must equal the base variant
+    val base = Dedup.dropNearDuplicates(docs, col("doc_id"), col("text"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val negId = Dedup.dropNearDuplicatesKeepBest(docs, col("doc_id"), col("text"), -col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(negId == base)
+    // hand corpus: {1,2,3} near-dup family (scores 5, 9, 9), {4} singleton.
+    // Best score 9 is tied between 2 and 3 -> keep 2; singleton 4 survives.
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val hand = spark.createDataFrame(Seq(
+      (1L, t, 5L), (2L, t + " ok", 9L), (3L, t + " yes", 9L),
+      (4L, "completely unrelated text with no shared shingles at all whatsoever", 7L)
+    )).toDF("id", "text", "sc")
+    val kept = Dedup.dropNearDuplicatesKeepBest(hand, col("id"), col("text"), col("sc"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("exact dedup keeps every distinct content exactly once") {
     val d = Dedup.exact(docs, col("doc_id"), col("text"))
     val total = docs.count()
