@@ -157,6 +157,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Ingest gate against a frozen MinHash store: train on even doc_ids,
+    // admit only the odd docs that are no one's near-duplicate.
+    "q102_neardup_gate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("mhstore", dir)(p =>
+        Dedup.buildMinhashStore(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p))
+      Dedup.dropSeenNearDups(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Near-dedup keeping the best-quality representative per group
     // (score = n_chars, ties min id) — same closure as q59, different
     // survivor rule.
@@ -1341,6 +1353,16 @@ object SparkEntry {
        "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
        "comp AS (SELECT a, min(b) AS c FROM reach GROUP BY a) " +
        "SELECT a AS doc_id FROM comp WHERE c = a ORDER BY doc_id"),
+
+    // odd docs with no even near-dup partner (exact Jaccard >= 4/5 replays
+    // the gate: LSH misses are ~1e-15 at these parameters)
+    "q102_neardup_gate" ->
+      (s"WITH sh AS ($shingleSetSql), " +
+       "hit AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh a " +
+       "ON b.doc_id % 2 = 1 AND a.doc_id % 2 = 0 " +
+       "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))) " +
+       "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+       "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
 
     // q59's closure, but the survivor is the max-n_chars member (tie: min id)
     "q101_drop_near_dups_best" ->

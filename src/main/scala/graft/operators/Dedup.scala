@@ -414,6 +414,90 @@ object Dedup {
       }
     }
 
+  // ---- Persisted MinHash LSH store: near-dup gate against a frozen corpus.
+  // The fuzzy twin of the span store: a batch/stream is admitted only if it
+  // is NOT a near-duplicate (n-gram Jaccard >= p/q) of any accepted
+  // document. Candidates come from banded-signature collisions against the
+  // stored band table (equi-join, never all-pairs); the exact Jaccard
+  // refine against the stored shingle sets removes LSH false positives, so
+  // precision is exact and recall is the banding miss probability
+  // (~1e-15 per pair at 128/32 and J >= 0.8).
+
+  /** Build/overwrite a MinHash store under `path`: `bands` (id, band,
+    * bucket — range-laid-out by (band, bucket) so a probe's shuffle
+    * co-locates with the dominant read order), `shingles` (id, sh, sz) for
+    * the exact refine, and a parameter sidecar so probes can't silently
+    * mix signature configurations. Same rebuild-crash marker contract as
+    * every other store. Documents with fewer than `n` tokens have no
+    * shingles and are not stored (they have no near-dups under the
+    * metric). */
+  def buildMinhashStore(corpus: DataFrame, idCol: Column, textCol: Column,
+                        path: String, n: Int = 3, numHashes: Int = 128,
+                        bands: Int = 32): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val sh = shingled(corpus, idCol, textCol, n).cache()
+    sh.select(col("__id").as("id"),
+        posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands)))
+      .toDF("id", "band", "bucket")
+      .repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(path + "/bands")
+    sh.select(col("__id").as("id"), col("__sh").as("sh"), col("__sz").as("sz"))
+      .write.mode("overwrite").parquet(path + "/shingles")
+    sh.unpersist(blocking = false)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_minhash_params",
+      s"$n $numHashes $bands")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /**
+   * Drop batch documents that are near-duplicates (n-gram Jaccard >= p/q)
+   * of ANY document in a [[buildMinhashStore]] store; surviving rows pass
+   * through unchanged. Signature parameters (n, numHashes, bands) come
+   * from the store sidecar — the probe cannot disagree with the build.
+   *
+   * CONTRACT: `idCol` non-null and unique per batch row (null ids would
+   * never match the anti-join and always survive).
+   *
+   * Plan shape: batch signatures equi-join the stored band table on
+   * (band, bucket) — shuffle bounded by batch size + colliding store rows,
+   * never store size — then one distinct candidate pair set, exact refine
+   * against stored shingle sets, anti-join. All joins key-partitioned;
+   * nothing driver-side.
+   */
+  def dropSeenNearDups(batch: DataFrame, idCol: Column, textCol: Column,
+                       path: String, p: Int = 4, q: Int = 5): DataFrame = {
+    require(!batch.columns.exists(c => c.toLowerCase.startsWith("__mh_")),
+      "dropSeenNearDups: batch must not contain __mh_* columns")
+    GraftFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_minhash_params").trim.split(" ")
+    val (n, numHashes, bands) = (params(0).toInt, params(1).toInt, params(2).toInt)
+    val sh = shingled(batch, idCol, textCol, n)
+    val banded = sh.select(col("__id").as("__mh_id"),
+        posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands)))
+      .toDF("__mh_id", "__mh_band", "__mh_bucket")
+    val storeBands = spark.read.parquet(path + "/bands")
+    val cands = banded.join(storeBands,
+        col("__mh_band") === col("band") && col("__mh_bucket") === col("bucket"))
+      .select(col("__mh_id"), col("id").as("__mh_sid"))
+      .distinct()
+    val storeSh = spark.read.parquet(path + "/shingles")
+    val seen = cands
+      .join(sh.select(col("__id").as("__mh_id"), col("__sh"), col("__sz")), Seq("__mh_id"))
+      .join(storeSh.select(col("id").as("__mh_sid"), col("sh").as("__mh_sh"),
+        col("sz").as("__mh_sz")), Seq("__mh_sid"))
+      .withColumn("__mh_i", stf.sorted_intersect_count(col("__sh"), col("__mh_sh")))
+      .filter(col("__mh_i") * q >= (col("__sz") + col("__mh_sz") - col("__mh_i")) * p)
+      .select(col("__mh_id")).distinct()
+    batch.join(seen, idCol === col("__mh_id"), "left_anti")
+  }
+
   /** Sequential-fold double cosine similarity of two float vectors
     * ([[graft.functions.VecOps]] kernel — bit-identical to the
     * `list_sum([a[i]*b[i] ...])` form an external SQL oracle evaluates). */

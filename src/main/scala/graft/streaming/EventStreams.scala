@@ -216,6 +216,28 @@ object EventStreams {
       .drop("__fl")
   }
 
+  /**
+   * Ingest-time near-dup gate: each micro-batch is filtered against a
+   * frozen [[graft.operators.Dedup.buildMinhashStore]] corpus — incoming
+   * documents with n-gram Jaccard >= p/q to ANY accepted document are
+   * dropped before landing. The fuzzy twin of [[ingestDropSeenSpans]];
+   * per-batch work is the bounded band equi-join + exact refine, so state
+   * never accumulates in the stream itself.
+   */
+  def ingestDropNearDups(docs: DataFrame, idColName: String,
+                         textColName: String, storePath: String,
+                         outPath: String, checkpoint: String,
+                         p: Int = 4, q: Int = 5)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .dropSeenNearDups(batch, col(idColName), col(textColName), storePath, p, q)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
+
   def ingestDropSeenSpans(docs: DataFrame, idColName: String,
                           textColName: String, k: Int,
                           storePath: String, outPath: String,

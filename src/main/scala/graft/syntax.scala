@@ -127,6 +127,12 @@ object syntax {
       Dedup.dedupLines(df, id, text, sep)
     def dropNearDuplicates(id: Column, text: Column): DataFrame =
       Dedup.dropNearDuplicates(df, id, text)
+    def dropNearDuplicatesKeepBest(id: Column, text: Column, score: Column): DataFrame =
+      Dedup.dropNearDuplicatesKeepBest(df, id, text, score)
+    def buildMinhashStore(id: Column, text: Column, path: String): Unit =
+      Dedup.buildMinhashStore(df, id, text, path)
+    def dropSeenNearDups(id: Column, text: Column, storePath: String): DataFrame =
+      Dedup.dropSeenNearDups(df, id, text, storePath)
     def annTopK(queries: DataFrame, id: Column, qid: Column,
                 vec: Column, qvec: Column, k: Int): DataFrame =
       Similarity.bruteTopK(df, queries, id, qid, vec, qvec, k)
@@ -169,6 +175,10 @@ object syntax {
       TextSearch.bm25TopKExact(df, id, text, terms, k)
     def withBigramFluency(id: Column, text: Column): DataFrame =
       TextAnalysis.withBigramFluency(df, id, text)
+    def buildLmStore(path: String, text: Column): Unit =
+      TextAnalysis.buildLmStore(df, path, text)
+    def withBigramFluencyIndexed(id: Column, text: Column, path: String): DataFrame =
+      TextAnalysis.withBigramFluencyIndexed(df, id, text, path)
     def learnBpe(text: Column, numMerges: Int, vocabWords: Int = 10000): DataFrame =
       Bpe.learnBpe(df, text, numMerges, vocabWords)
     def applyBpe(text: Column, merges: DataFrame): DataFrame =

@@ -108,6 +108,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("dropSeenNearDups vs a frozen MinHash store == cross-half LSH pair analysis") {
+    val dir = java.nio.file.Files.createTempDirectory("mhstore").toString
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.buildMinhashStore(even, col("doc_id"), col("text"), dir)
+    val surv = Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // ground truth from the symmetric pair operator: odd ids with an even partner
+    val pairs = pairSet(Dedup.minhashLshPairs(docs, col("doc_id"), col("text")))
+    val hit = pairs.collect { case (a, b) if a % 2 != b % 2 =>
+      if (a % 2 == 1) a else b }
+    val oddIds = odd.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(hit.nonEmpty) // the corpus must actually exercise drops
+    assert(surv == oddIds -- hit)
+    // self-gate: every stored doc is its own near-duplicate -> all dropped
+    // (docs under n tokens have no shingles, are unstored, and survive)
+    val shingleless = even.filter(size(split(col("text"), " ")) < 3).count()
+    assert(Dedup.dropSeenNearDups(even, col("doc_id"), col("text"), dir).count()
+      == shingleless)
+  }
+
   test("exact dedup keeps every distinct content exactly once") {
     val d = Dedup.exact(docs, col("doc_id"), col("text"))
     val total = docs.count()

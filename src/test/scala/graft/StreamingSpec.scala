@@ -157,6 +157,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate drops store near-dups per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("mhgate").toString
+    graft.operators.Dedup.buildMinhashStore(
+      Seq((1L, "the quick brown fox jumps over the lazy dog again today"))
+        .toDF("id", "t"), col("id"), col("t"), s"$tmp/store")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventStreams.ingestDropNearDups(docs, "doc_id", "text",
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // 10 is an exact copy of the stored doc (J = 1 -> dropped);
+      // 11 shares nothing (kept)
+      input.addData((10L, "the quick brown fox jumps over the lazy dog again today"),
+        (11L, "unrelated words entirely disjoint from anything stored here"))
+      q.processAllAvailable()
+      // 12 appends three tokens: 9 shared 3-gram shingles of 12 total,
+      // J = 9/12 = 0.75 < 4/5 -> kept
+      input.addData((12L, "the quick brown fox jumps over the lazy dog again today yes yes yes"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 12L))
+    } finally q.stop()
+  }
+
   test("text scrub pipeline (normalize -> redact -> fingerprint) runs per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
