@@ -732,6 +732,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // frame sampling: explode video payloads into every-2nd-of-6 frame
+    // rows (content-hashed so the oracle can replay the slicing).
+    "q103_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.withSyntheticMedia(Tables.load(s, dir, "documents"),
+            col("doc_id"), col("text"), col("n_chars")), frames = 6, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("long").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // covers join — boundary-INCLUSIVE, distinct from q6's contains.
     "q31_join_covers" -> ((s, dir) => {
       SpatialJoin.join(Tables.nationRects(s, dir), Tables.customerPts(s, dir),
@@ -1684,6 +1695,17 @@ object SparkEntry {
        "CAST(list_sum([ascii(media[i:i]) FOR i IN generate_series(1, len(media))]) AS BIGINT) AS byte_sum, " +
        "md5(media[1:greatest(len(media)//4,1)]) AS frame0_md5 " +
        "FROM m ORDER BY doc_id"),
+
+    // the same md5-repeat payload sliced into 6 frames, every 2nd kept
+    "q103_frame_sample" ->
+      ("WITH m AS (SELECT doc_id, repeat(md5(text), CAST(n_chars%4+2 AS INT)) AS media FROM documents), " +
+       "s AS (SELECT doc_id, media, greatest(len(media)//6, 1) AS flen FROM m) " +
+       "SELECT doc_id, CAST(i AS INT) AS frame_idx, " +
+       "md5(media[i*flen+1 : least((i+1)*flen, len(media))]) AS frame_md5, " +
+       "CAST(least((i+1)*flen, len(media)) - i*flen AS BIGINT) AS frame_len " +
+       "FROM s, generate_series(0, 5) t(i) " +
+       "WHERE i % 2 = 0 AND i*flen < len(media) " +
+       "ORDER BY doc_id, frame_idx"),
 
     "q31_join_covers" ->
       (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +

@@ -131,6 +131,41 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /**
+   * Explode each media payload into sampled frame rows — the video
+   * training-data shape (frame extraction for vision-language batches).
+   * The payload is cut into `frames` equal slices of
+   * `flen = max(len/frames, 1)` bytes (tail remainder beyond
+   * `frames*flen` is dropped, short payloads yield fewer frames), and
+   * every `stride`-th frame (0, stride, 2·stride, …) is emitted as its
+   * own row: input columns + `frame_idx` + `frame` bytes. Same
+   * per-partition decode-context shape as [[extractFeatures]]; output
+   * row count is bounded by `frames/stride` per input row, so the
+   * explode factor is a planned constant, not data-dependent.
+   */
+  def sampleFrames(df: DataFrame, frames: Int, stride: Int): DataFrame = {
+    require(frames > 0, s"sampleFrames: frames must be positive (got $frames)")
+    require(stride > 0, s"sampleFrames: stride must be positive (got $stride)")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val raw = r.getAs[Array[Byte]](mediaIdx)
+        val media = if (raw == null) Array.emptyByteArray else MediaCodec.decode(raw)
+        val flen = math.max(media.length / frames, 1)
+        (0 until frames).iterator
+          .filter(i => i % stride == 0 && i * flen < media.length)
+          .map { i =>
+            val frame = java.util.Arrays.copyOfRange(media, i * flen,
+              math.min((i + 1) * flen, media.length))
+            Row.fromSeq(r.toSeq :+ i :+ frame)
+          }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Resize/subsample the media payload in place (stride bytes). */
   def resizeMedia(df: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, s"resizeMedia: stride must be positive (got $stride)")

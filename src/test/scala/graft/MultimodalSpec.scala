@@ -68,4 +68,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L) == greys.sum.toLong)
     assert(got(2L) == raw.map(_ & 0xff).sum.toLong)
   }
+
+  test("sampleFrames: stride=1 reassembles the payload prefix; stride picks every nth") {
+    import spark.implicits._
+    val media = (0 until 25).map(_.toByte).toArray // 25 bytes, frames=4 -> flen=6
+    val df = Seq((1L, media), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array[Byte](9, 8))).toDF("id", "media")
+    val all = Multimodal.sampleFrames(df, frames = 4, stride = 1)
+      .select(col("id"), col("frame_idx"), col("frame")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    // id 1: frames 0..3 cover bytes [0,24) — the tail byte 24 is dropped
+    val f1 = all.filter(_._1 == 1L).sortBy(_._2)
+    assert(f1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(f1.flatMap(_._3).toSeq == media.take(24).toSeq)
+    // id 2 (null payload): no frames; id 3 (2 bytes < frames): flen=1, 2 frames
+    assert(!all.exists(_._1 == 2L))
+    assert(all.filter(_._1 == 3L).map(t => (t._2, t._3.toSeq)).sortBy(_._1).toSeq
+      == Seq((0, Seq(9.toByte)), (1, Seq(8.toByte))))
+    // stride=2 keeps exactly the even frame indexes
+    val strided = Multimodal.sampleFrames(df, frames = 4, stride = 2)
+      .filter(col("id") === 1L).select(col("frame_idx"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(strided == Seq(0, 2))
+  }
 }
