@@ -743,6 +743,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // overlapping byte-window chunking (audio framing: window 40, hop 24).
+    "q104_chunk_media" -> ((s, dir) => {
+      Multimodal.chunkMedia(
+          Multimodal.withSyntheticMedia(Tables.load(s, dir, "documents"),
+            col("doc_id"), col("text"), col("n_chars")), window = 40, hop = 24)
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // token-mixture resampling: sources reweighted 3:1:2 inside a 6000-token
+    // budget (integer-exact copies, hash-selected fractional copy).
+    "q105_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Pipeline.mixtureSample(docs, col("source"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))), "mixq",
+          Map("src0" -> 3L, "src1" -> 1L, "src2" -> 2L), budget = 6000L)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // covers join — boundary-INCLUSIVE, distinct from q6's contains.
     "q31_join_covers" -> ((s, dir) => {
       SpatialJoin.join(Tables.nationRects(s, dir), Tables.customerPts(s, dir),
@@ -1706,6 +1727,33 @@ object SparkEntry {
        "FROM s, generate_series(0, 5) t(i) " +
        "WHERE i % 2 = 0 AND i*flen < len(media) " +
        "ORDER BY doc_id, frame_idx"),
+
+    // the md5-repeat payload cut into hop-24 windows of 40 bytes
+    "q104_chunk_media" ->
+      ("WITH m AS (SELECT doc_id, repeat(md5(text), CAST(n_chars%4+2 AS INT)) AS media FROM documents) " +
+       "SELECT doc_id, CAST(i AS INT) AS chunk_idx, " +
+       "md5(media[i*24+1 : least(i*24+40, len(media))]) AS chunk_md5, " +
+       "CAST(least(i*24+40, len(media)) - i*24 AS BIGINT) AS chunk_len " +
+       "FROM m, generate_series(0, 63) t(i) " +
+       "WHERE i*24 < len(media) ORDER BY doc_id, chunk_idx"),
+
+    // integer replay of the mixture arithmetic: whole = (B·w)//(Σw·T),
+    // extra copy iff hash·den < rem·2^16 on the 16-bit id hash
+    "q105_mixture" ->
+      ("WITH tk AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS t " +
+       "FROM documents WHERE source IN ('src0','src1','src2') GROUP BY source), " +
+       "w(source, wn) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 2)), " +
+       "par AS (SELECT tk.source, (6000*wn) // (6*t) AS whole, " +
+       "(6000*wn) % (6*t) AS rem, 6*t AS den FROM tk JOIN w USING (source)), " +
+       "d AS (SELECT doc_id, source, substr(md5(doc_id || ':mixq'),1,4) AS h FROM documents), " +
+       "hv AS (SELECT doc_id, source, " +
+       "CAST((strpos('0123456789abcdef', h[1:1])-1)*4096 + (strpos('0123456789abcdef', h[2:2])-1)*256 + " +
+       "(strpos('0123456789abcdef', h[3:3])-1)*16 + (strpos('0123456789abcdef', h[4:4])-1) AS BIGINT) AS hv " +
+       "FROM d), " +
+       "n AS (SELECT doc_id, hv.source, whole + CASE WHEN hv*den < rem*65536 THEN 1 ELSE 0 END AS n " +
+       "FROM hv JOIN par ON hv.source = par.source) " +
+       "SELECT doc_id, source, unnest(range(n)) AS copy FROM n WHERE n >= 1 " +
+       "ORDER BY doc_id, copy"),
 
     "q31_join_covers" ->
       (s"WITH nrect AS (${Tables.nationRectsSql}), cpts AS (${Tables.customerPtsSql}) " +

@@ -166,6 +166,37 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /**
+   * Overlapping byte-window chunking of the media payload — the audio
+   * training shape (fixed `window`, `hop` < window ⇒ consecutive chunks
+   * overlap by window-hop bytes, the usual spectrogram framing). Chunk i
+   * covers bytes [i·hop, min(i·hop+window, len)); chunks start while
+   * i·hop < len, so the final chunk may be short and an empty payload
+   * yields no rows. Output: input columns + `chunk_idx` + `chunk`.
+   * Explode factor is ⌈len/hop⌉ — bounded by payload size over hop, a
+   * planned constant for fixed-length media.
+   */
+  def chunkMedia(df: DataFrame, window: Int, hop: Int): DataFrame = {
+    require(window > 0, s"chunkMedia: window must be positive (got $window)")
+    require(hop > 0, s"chunkMedia: hop must be positive (got $hop)")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("chunk", BinaryType, nullable = true)))
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val raw = r.getAs[Array[Byte]](mediaIdx)
+        val media = if (raw == null) Array.emptyByteArray else MediaCodec.decode(raw)
+        Iterator.from(0).takeWhile(i => i.toLong * hop < media.length).map { i =>
+          val start = i * hop
+          val chunk = java.util.Arrays.copyOfRange(media, start,
+            math.min(start + window, media.length))
+          Row.fromSeq(r.toSeq :+ i :+ chunk)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Resize/subsample the media payload in place (stride bytes). */
   def resizeMedia(df: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, s"resizeMedia: stride must be positive (got $stride)")

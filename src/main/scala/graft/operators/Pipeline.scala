@@ -164,6 +164,70 @@ object Pipeline {
   }
 
   /**
+   * Mixture resampling to target TOKEN weights — the step that turns "we
+   * want the training mix 3:1:2 across these sources inside a B-token
+   * budget" into per-row keep/duplicate decisions. With T_g the group's
+   * current token count and w_g its weight, each group-g row gets expected
+   * multiplicity r_g = (B·w_g)/(Σw·T_g), so group g's expected token mass
+   * is exactly B·w_g/Σw regardless of how skewed the corpus is. Groups
+   * absent from `weights` are dropped.
+   *
+   * Integer-exact: whole copies ⌊r_g⌋ come from Long division and the
+   * fractional extra copy is selected by `hash·den < rem·65536` on the
+   * row's 16-bit id hash — no floating point anywhere, so an external SQL
+   * oracle replays the selection bit-for-bit. Scale shape: one group agg
+   * whose result collects to the driver (bounded by the number of groups,
+   * the same bound as [[sampleByRate]]'s rate map), then a pure codegen'd
+   * map + bounded explode; no further shuffle.
+   */
+  def mixtureSample(df: DataFrame, group: Column, idCol: Column, tokens: Column,
+                    salt: String, weights: Map[String, Long], budget: Long,
+                    copyName: String = "copy"): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample: weights must be non-empty")
+    weights.foreach { case (g, w) =>
+      require(w >= 0, s"mixtureSample: negative weight for group $g")
+      require(w == 0 || budget <= Long.MaxValue / w,
+        s"mixtureSample: budget·weight overflows Long for group $g")
+    }
+    require(budget >= 0, s"mixtureSample: budget must be non-negative")
+    require(!df.columns.exists(c => c.equalsIgnoreCase("__mx_n") ||
+      c.equalsIgnoreCase(copyName)),
+      s"mixtureSample: input must not contain __mx_n or $copyName")
+    val wsum = weights.values.sum
+    require(wsum > 0, "mixtureSample: at least one weight must be positive")
+    val sums = df.filter(group.isin(weights.keys.toSeq: _*))
+      .groupBy(group.as("__mx_g")).agg(sum(tokens).as("__mx_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    // per-group integer parameters (num = B·w_g, den = Σw·T_g); the hash
+    // comparison multiplies by 2^16, so den must leave those bits free
+    val par = sums.flatMap { case (g, t) =>
+      if (t <= 0) None
+      else {
+        val den = wsum * t
+        require(den <= Long.MaxValue / 65536,
+          s"mixtureSample: Σw·T_g ($den) for group $g overflows the 16-bit hash comparison")
+        val num = budget * weights(g)
+        Some((g, num / den, num % den, den))
+      }
+    }
+    val hv = conv(substring(md5(concat(idCol.cast("string"), lit(":" + salt))
+      .cast("binary")), 1, 4), 16, 10).cast("long")
+    def chain(f: ((String, Long, Long, Long)) => Long, zero: Column): Column =
+      par.foldRight(zero) { case (p, rest) =>
+        when(group === lit(p._1), lit(f(p))).otherwise(rest)
+      }
+    val whole = chain(_._2, lit(null).cast("long")) // null ⇒ group not sampled
+    val rem = chain(_._3, lit(0L))
+    val den = chain(_._4, lit(1L))
+    val copies = when(whole.isNull, 0L)
+      .otherwise(whole + when(hv * den < rem * lit(65536L), 1L).otherwise(0L))
+    df.withColumn("__mx_n", copies)
+      .filter(col("__mx_n") >= 1) // sequence(0, -1) would descend — guard first
+      .withColumn(copyName, explode(sequence(lit(0L), col("__mx_n") - 1)))
+      .drop("__mx_n")
+  }
+
+  /**
    * Deterministic sequence packing — concat-and-chop into fixed token
    * windows, the layout step before pretraining: within each group, rows
    * are laid end-to-end in `order` and cut every `budget` tokens. Each row

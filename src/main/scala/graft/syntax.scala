@@ -146,6 +146,9 @@ object syntax {
     def sampleByRate(group: Column, id: Column, salt: String,
                      rates: Map[String, Double], default: Double): DataFrame =
       Pipeline.sampleByRate(df, group, id, salt, rates, default)
+    def mixtureSample(group: Column, id: Column, tokens: Column, salt: String,
+                      weights: Map[String, Long], budget: Long): DataFrame =
+      Pipeline.mixtureSample(df, group, id, tokens, salt, weights, budget)
     def packSequences(group: Column, order: Column, tokens: Column, budget: Long): DataFrame =
       Pipeline.packSequences(df, group, order, tokens, budget)
     def chunkTokens(text: Column, size: Int, stride: Int): DataFrame =

@@ -91,4 +91,19 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(strided == Seq(0, 2))
   }
+
+  test("chunkMedia: hop<window overlaps, short tail, empty/null yield no rows") {
+    import spark.implicits._
+    val media = (0 until 10).map(_.toByte).toArray
+    val df = Seq((1L, media), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.emptyByteArray)).toDF("id", "media")
+    val got = Multimodal.chunkMedia(df, window = 4, hop = 3)
+      .select(col("id"), col("chunk_idx"), col("chunk")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    // starts 0,3,6,9 while < 10; windows clipped at the end
+    assert(got.filter(_._1 == 1L).sortBy(_._2).toSeq == Seq(
+      (1L, 0, Seq[Byte](0, 1, 2, 3)), (1L, 1, Seq[Byte](3, 4, 5, 6)),
+      (1L, 2, Seq[Byte](6, 7, 8, 9)), (1L, 3, Seq[Byte](9))))
+    assert(!got.exists(t => t._1 == 2L || t._1 == 3L))
+  }
 }

@@ -11,6 +11,35 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("mixtureSample: integer-exact copies hit the target mixture; unknown groups dropped") {
+    import graft.operators.Pipeline
+    // hand corpus: group a has 10 tokens, b has 5, c unknown.
+    // weights a:1 b:3, Σw=4, budget=40 => r_a = 40·1/(4·10) = 1 exactly
+    // (whole=1, rem=0 — no fractional copies), r_b = 40·3/(4·5) = 6 exactly.
+    val df = spark.createDataFrame(Seq(
+      (1L, "a", 4L), (2L, "a", 6L), (3L, "b", 5L), (4L, "c", 9L)
+    )).toDF("id", "g", "tok")
+    val got = Pipeline.mixtureSample(df, col("g"), col("id"), col("tok"),
+        "mx", Map("a" -> 1L, "b" -> 3L), budget = 40L)
+      .groupBy(col("id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 6L)) // c dropped
+    // fractional selection is the documented hash rule, replayed by hand:
+    // budget=50 => r_a = 50/40: whole=1, rem=10, den=40 — extra iff hv·40 < 10·65536
+    val hv = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:mx".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 4), 16)
+    }
+    val got50 = Pipeline.mixtureSample(df, col("g"), col("id"), col("tok"),
+        "mx", Map("a" -> 1L, "b" -> 3L), budget = 50L)
+      .filter(col("g") === "a").groupBy(col("id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want50 = Seq(1L, 2L).map(id =>
+      id -> (1L + (if (hv(id) * 40L < 10L * 65536L) 1L else 0L))).toMap
+    assert(got50 == want50)
+  }
+
   test("fluency store: indexed mode == live on the training corpus; unseen text smoothed") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("lmstore").toString
