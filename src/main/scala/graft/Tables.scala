@@ -15,10 +15,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.register(spark)
-    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    // read it as a raw nanosecond LONG instead (exact, no tz interpretation).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts arrives as TIMESTAMP_NTZ under Spark 4.x (the parquet
+    // column is a plain timestamp); every downstream site expects the
+    // historical epoch-nanosecond LONG (`ts div 1000` -> micros, matching
+    // the DuckDB oracle's epoch_ns(ts)//1000). Normalize here, once, with
+    // wall-clock NTZ arithmetic — timestampdiff on NTZ has no session-
+    // timezone dependence, so the value is exact regardless of JVM TZ.
+    // Sub-microsecond precision: the driver data is micros-exact, and the
+    // oracle floors, so micros*1000 is the identical nanosecond value.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"))
+      case _ => df // already a LONG (older readers) or no ts column
+    }
   }
 
   /** customer as points: cx=(c_custkey*17)%1000, cy=(c_custkey*31)%1000. */
@@ -57,9 +68,9 @@ object Tables {
 
   /**
    * events as spatio-temporal points: ex=(event_id*19)%500,
-   * ey=(event_id*23)%500, instant = ts nanos div 1000 (micros). `ts` arrives
-   * as a nanosecond LONG (nanosAsLong); integer division keeps it exact —
-   * DuckDB side uses epoch_ns(ts)//1000, identical for positive values.
+   * ey=(event_id*23)%500, instant = ts nanos div 1000 (micros). `ts` is
+   * normalized to a nanosecond LONG by [[load]]; integer division keeps it
+   * exact — DuckDB side uses epoch_ns(ts)//1000, identical for positives.
    */
   def eventPts(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")

@@ -108,28 +108,74 @@ object Dedup {
   }
 
   /**
+   * Default per-bucket width cap for the LSH candidate joins. A bucket
+   * holding m near-identical documents would emit m² candidate pairs from
+   * the naive self-join — at corpus scale one viral boilerplate page makes
+   * that the job's whole cost. Buckets wider than the cap fall back to a
+   * star to the bucket's minimum id: m-1 edges, linear. See
+   * [[cappedBucketPairs]] for the recall argument.
+   */
+  val MaxLshBucket: Int = 256
+
+  /**
+   * Candidate id pairs from exploded (\_\_id, \_\_bucket) LSH rows with a
+   * per-bucket width cap. Buckets at or under `maxBucket` rows contribute
+   * every intra-bucket pair (the exact-LSH semantics); over-full buckets
+   * contribute a star to their minimum id instead — m-1 edges, not m².
+   *
+   * Recall argument: a bucket only exceeds the cap when it holds one large
+   * near-identical family (same MinHash band signature / hyperplane sign
+   * pattern ⇒ high similarity w.h.p.), and a star over a family whose
+   * members all pass the exact refine keeps the family fully connected for
+   * connected-components closure — [[dropNearDuplicates]] output is
+   * unchanged. The *pair list* for over-full buckets is star-shaped rather
+   * than complete (the complete list is inherently quadratic); pairs not
+   * incident to the representative are only reported if some other,
+   * narrower bucket also captures them. Bucket sizes come from a
+   * groupBy+join, not a window — the hot bucket is exactly the case where
+   * a single window partition would concentrate the skew.
+   */
+  private[graft] def cappedBucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
+    val b = banded.select(col("__id"), col("__bucket"))
+    val sized = b.join(
+      b.groupBy("__bucket")
+        .agg(count(lit(1)).as("__bsz"), min(col("__id")).as("__rep")),
+      "__bucket")
+    val small = sized.filter(col("__bsz") <= maxBucket).select("__id", "__bucket")
+    val smallPairs = small.as("l").join(small.as("r"),
+        col("l.__bucket") === col("r.__bucket") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    // __rep = min(__id) over the bucket, so id_a < id_b holds by construction
+    val starPairs = sized
+      .filter(col("__bsz") > maxBucket && col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+    smallPairs.union(starPairs).distinct()
+  }
+
+  /**
    * MinHash + banded LSH near-dup pairs. numHashes/bands give rows-per-band
    * r = numHashes/bands; candidate probability at similarity s is
    * 1-(1-s^r)^bands (128/32 ⇒ ~1-1e-15 at s=0.9). Candidates are refined
    * with the exact Jaccard test, so false positives never escape; output
-   * differs from [[ngramJaccardPairs]] only by missed-band misses.
+   * differs from [[ngramJaccardPairs]] only by missed-band misses (and the
+   * [[cappedBucketPairs]] star shape inside pathologically wide buckets).
    */
   def minhashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                      p: Int = 4, q: Int = 5): DataFrame = {
+                      p: Int = 4, q: Int = 5,
+                      maxBucket: Int = MaxLshBucket): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands) — " +
       "trailing signature rows would be silently ignored")
     GraftFunctions.register(df.sparkSession)
     val sh = shingled(df, idCol, textCol, n).cache()
+    // band_buckets seeds each band's hash with the band index, so bucket
+    // values are globally distinct across bands — one join key suffices.
     val banded = sh.select(col("__id"),
-        posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands)))
-      .toDF("__id", "__band", "__bucket")
-    val cands = banded.as("l").join(banded.as("r"),
-        col("l.__band") === col("r.__band") && col("l.__bucket") === col("r.__bucket") &&
-        col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .distinct()
+        explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands))
+          .as("__bucket"))
+    val cands = cappedBucketPairs(banded, maxBucket)
     val out = refineJaccard(cands, sh, p, q).localCheckpoint()
     sh.unpersist(blocking = false)
     out
@@ -539,17 +585,17 @@ object Dedup {
    * Recall at cosine c is 1-(1-(1-acos(c)/π)^planes)^tables.
    */
   def cosinePairsLsh(df: DataFrame, idCol: Column, vecCol: Column,
-                     threshold: Double, tables: Int = 8, planes: Int = 8): DataFrame = {
+                     threshold: Double, tables: Int = 8, planes: Int = 8,
+                     maxBucket: Int = MaxLshBucket): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val v = df.select(idCol.as("__id"), vecCol.as("__vec"))
     val withNorm = v.withColumn("__nrm", stf.vec_norm(col("__vec")))
+    // hyperplane_buckets encodes the table index in the bucket value, so
+    // one join key covers all tables; capped against hot buckets.
     val banded = v.select(col("__id"),
       explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("__bucket"))
     // distinct on the id pair only (cheap), then join vectors back for refine
-    val cands = banded.as("l").join(banded.as("r"),
-        col("l.__bucket") === col("r.__bucket") && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .distinct()
+    val cands = cappedBucketPairs(banded, maxBucket)
     cands
       .join(withNorm.select(col("__id").as("id_a"), col("__vec").as("__va"), col("__nrm").as("__na")), "id_a")
       .join(withNorm.select(col("__id").as("id_b"), col("__vec").as("__vb"), col("__nrm").as("__nb")), "id_b")

@@ -186,14 +186,28 @@ object EventStreams {
    * stateless per-row UDF — no streaming aggregation state, identical
    * integer scores to the batch modes.
    */
+  /** Hard cap on the LM-store rows [[scoreFluencyIndexed]] will collect to
+    * the driver (unigrams + bigrams combined). ~4M rows of short strings +
+    * longs is a few hundred MB of driver heap — the sensible ceiling for a
+    * broadcast gate. A store past the cap fails loudly (one cheap count
+    * job) instead of OOMing the driver mid-stream. */
+  val FluencyBroadcastBound: Long = 4000000L
+
   def scoreFluencyIndexed(docs: DataFrame, textColName: String,
-                          lmPath: String): DataFrame = {
+                          lmPath: String,
+                          maxBroadcastRows: Long = FluencyBroadcastBound): DataFrame = {
     val spark = docs.sparkSession
     val v = graft.sources.Sidecar.readText(spark, lmPath + "/_graft_lm_stats").toLong
-    val uni = spark.read.parquet(lmPath + "/unigrams")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bi = spark.read.parquet(lmPath + "/bigrams")
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val uniDf = spark.read.parquet(lmPath + "/unigrams")
+    val biDf = spark.read.parquet(lmPath + "/bigrams")
+    val storeRows = uniDf.count() + biDf.count()
+    require(storeRows <= maxBroadcastRows,
+      s"scoreFluencyIndexed broadcasts the whole LM store to the driver; " +
+      s"store at $lmPath has $storeRows rows > cap $maxBroadcastRows. " +
+      "For corpus-scale models use TextAnalysis.withBigramFluencyIndexed " +
+      "(join-based, no driver materialization) on the batch side instead.")
+    val uni = uniDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = biDf.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val bcU = spark.sparkContext.broadcast(uni)
     val bcB = spark.sparkContext.broadcast(bi)
     val score = org.apache.spark.sql.functions.udf { (text: String) =>

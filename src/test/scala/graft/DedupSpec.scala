@@ -24,6 +24,34 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // 128/32 banding: miss probability ~1e-15 at J>=0.8
   }
 
+  test("LSH hot-bucket cap: 500 identical docs emit a linear star, not m² pairs") {
+    // The degenerate corpus every web crawl contains: one boilerplate page
+    // repeated m times. Every band puts all m rows in one bucket; uncapped,
+    // the self-join would emit m(m-1)/2 = 124 750 pairs × 32 bands of
+    // candidates. The cap (default 256 < 500) must collapse that to the
+    // m-1 star on the minimum id — and connected-components closure over
+    // the star must still dedup the family to a single survivor.
+    val family = spark.range(500).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated across the whole hot bucket").as("text"))
+    val unique = spark.range(1000, 1005).select(col("id").as("doc_id"),
+      concat(lit("genuinely distinct document number "), col("id"),
+        lit(" with its own content words")).as("text"))
+    val corpus = family.union(unique).localCheckpoint()
+    val pairs = pairSet(Dedup.minhashLshPairs(corpus, col("doc_id"), col("text")))
+    assert(pairs == (1L until 500L).map(i => (0L, i)).toSet) // star, not quadratic
+    val kept = Dedup.dropNearDuplicates(corpus, col("doc_id"), col("text"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L) ++ (1000L until 1005L)) // family -> one survivor
+  }
+
+  test("cosine LSH hot-bucket cap: identical vectors emit the star and stay exact-subset") {
+    val family = spark.range(400).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f), lit(3.0f)).as("embedding"))
+    val pairs = pairSet(Dedup.cosinePairsLsh(family, col("vec_id"), col("embedding"),
+      threshold = 0.99, tables = 8, planes = 8))
+    assert(pairs == (1L until 400L).map(i => (0L, i)).toSet)
+  }
+
   test("simhash pigeonhole banding finds exactly the brute-force hamming<=3 pairs") {
     import graft.functions.stf
     val sim = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text")))

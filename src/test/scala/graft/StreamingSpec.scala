@@ -276,6 +276,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fluency gate refuses an LM store past the broadcast bound") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lmguard").toString
+    graft.operators.TextAnalysis.buildLmStore(docs, dir, col("text"))
+    // plan-time refusal: the guard must fire on the call, before any
+    // streaming query starts, and name the join-based alternative
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.scoreFluencyIndexed(
+        docs.select(col("doc_id"), col("text")), "text", dir, maxBroadcastRows = 1L)
+    }
+    assert(err.getMessage.contains("withBigramFluencyIndexed"))
+  }
+
   test("sessionize accumulates per-user state (batch semantics check)") {
     import spark.implicits._
     // state logic is exercised in batch mode via groupByKey+flatMapGroups
