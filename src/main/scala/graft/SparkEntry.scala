@@ -286,10 +286,9 @@ object SparkEntry {
       Bpe.learnBpe(Tables.load(s, dir, "documents"), col("text"), numMerges = 1)
     }),
 
-    // Full BPE merge table (50 rounds) — iterative training artifact, no
-    // SQL oracle by construction; the loop is pinned by BpeSpec's naive
-    // differential + the Sennrich paper fixture, and q82 pins round 1
-    // against DuckDB.
+    // Full BPE merge table (50 rounds). Oracle: DuckDB recursive-CTE
+    // replay of the whole loop (Bpe.mergeTableOracleSql); the loop is
+    // also pinned by BpeSpec's naive differential + the Sennrich fixture.
     "q83_bpe_merges" -> ((s, dir) => {
       Bpe.learnBpe(Tables.load(s, dir, "documents"), col("text"), numMerges = 50)
         .orderBy(col("merge_rank"))
@@ -1457,6 +1456,9 @@ object SparkEntry {
 
     // first BPE merge: argmax pair of the initial char-symbol histogram
     "q82_bpe_first" -> Bpe.firstMergeOracleSql("documents", "text", 10000),
+
+    // full 50-round merge table: recursive-CTE replay of the whole loop
+    "q83_bpe_merges" -> Bpe.mergeTableOracleSql("documents", "text", 10000, 50),
 
     // lossless IVF-PQ degenerate ⇒ the same euclidean top-5 oracle
     "q85_ann_ivfpq" -> euclidTop5OracleSql,

@@ -210,4 +210,59 @@ object Bpe {
        |      FROM sym, unnest(range(1, len(syms))) AS g(i) GROUP BY 1, 2)
        |SELECT CAST(0 AS BIGINT) AS merge_rank, l AS "left", r AS "right"
        |FROM p ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin
+
+  /**
+   * DuckDB replay of the FULL merge loop — an independent recursive-CTE
+   * implementation of [[learnMergesLocal]], making the whole `numMerges`
+   * table hash-checkable (not just round 1).
+   *
+   * Shape: the histogram travels as one row holding a LIST of (word, count)
+   * structs, each word a chr(31)-delimited symbol string; one recursion
+   * step = one merge round. The argmax pair comes from a correlated
+   * subquery (unnest → adjacent pairs → weighted counts → ORDER BY cnt
+   * DESC, l, r LIMIT 1 — the same (count, left, right) tie-break as the
+   * Scala loop). The rewrite is a `list_reduce` where matching (l, r)
+   * appends WITHOUT the delimiter, fusing the last symbol into l||r —
+   * exactly greedy left-to-right non-overlapping: a just-fused symbol
+   * l||r can never equal l again (r is non-empty), so the fold never
+   * re-merges through a fresh fusion, matching [[mergePair]]'s i += 2.
+   * chr(31) (ASCII unit separator) cannot collide with symbols built from
+   * single text characters and '$EndOfWord'.
+   */
+  def mergeTableOracleSql(table: String, textExpr: String, vocabWords: Int,
+                          numMerges: Int): String =
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table),
+       |h AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w WHERE word <> ''
+       |      GROUP BY word ORDER BY c DESC, word LIMIT $vocabWords),
+       |init AS (SELECT list(struct_pack(
+       |           w := array_to_string(list_append(string_split(word, ''), '$EndOfWord'), chr(31)),
+       |           c := c)) AS vocab FROM h),
+       |st(iter, merges, vocab) AS (
+       |  SELECT 0, CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[]), vocab FROM init
+       |  UNION ALL
+       |  SELECT iter + 1, list_append(merges, best),
+       |         list_transform(vocab, x -> struct_pack(
+       |           w := list_reduce(string_split(x.w, chr(31)),
+       |                  (acc, s) -> CASE WHEN s = best.r AND
+       |                        list_last(string_split(acc, chr(31))) = best.l
+       |                      THEN acc || s ELSE acc || chr(31) || s END),
+       |           c := x.c))
+       |  FROM (
+       |    SELECT iter, merges, vocab,
+       |      (SELECT struct_pack(l := l, r := r) FROM (
+       |         SELECT syms[i] AS l, syms[i+1] AS r, sum(c) AS cnt
+       |         FROM (SELECT string_split(e.w, chr(31)) AS syms, e.c AS c
+       |               FROM unnest(st.vocab) AS t(e))
+       |            , unnest(range(1, len(syms))) AS g(i)
+       |         GROUP BY 1, 2)
+       |       ORDER BY cnt DESC, l, r LIMIT 1) AS best
+       |    FROM st WHERE iter < $numMerges
+       |  ) WHERE best IS NOT NULL
+       |)
+       |SELECT CAST(g.i - 1 AS BIGINT) AS merge_rank,
+       |       merges[g.i].l AS "left", merges[g.i].r AS "right"
+       |FROM (SELECT merges FROM st ORDER BY iter DESC LIMIT 1) t,
+       |     unnest(range(1, len(merges) + 1)) AS g(i)
+       |ORDER BY merge_rank""".stripMargin
 }
