@@ -25,7 +25,13 @@ object Bench {
     // 2-3x on GC/CPU contention spikes; the minimum of two executions is
     // the standard way to report achievable per-query latency
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: restrict to the named queries (dev-loop tool; the
+    // driver passes none and measures everything)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val results = selected.map { case (name, fn) =>
       val dts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count(), NOT Dataset.count(): the aggregate rewrite under

@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => plans.SpatialJoinRule)
+    ext.injectOptimizerRule(_ => plans.CellPruneRule)
   }
 }

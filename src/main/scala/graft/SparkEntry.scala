@@ -484,8 +484,11 @@ object SparkEntry {
         .withColumn("__cos", stf.vec_dot(col("__qv"), col("embedding")) /
           (stf.vec_norm(col("__qv")) * stf.vec_norm(col("embedding"))))
       scored
+        // global rank over the <=50-row candidate set; the literal
+        // partition key states the intent (one bounded partition) without
+        // tripping WindowExec's no-partition skew warning
         .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
             .orderBy(col("__cos").desc, col("doc_id"))).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("doc_id"), col("rank"))
@@ -687,6 +690,22 @@ object SparkEntry {
       SpatialOps.containedBy(
           graft.sources.CellStore.loadIntersecting(s, path, qry, 100.0),
           col("c_geo"), stf.st_geomfromwkt(qry))
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
+    // Declarative store pruning (CellPruneRule): the user writes ONLY the
+    // spatial predicate over a plain load; the optimizer derives the
+    // envelope from the folded literal and injects the part_cx/part_cy
+    // bounds, so Catalyst prunes cell directories with no explicit range
+    // filter anywhere in user code (StorageSpec asserts the file counts).
+    "q106_declarative_prune" -> ((s, dir) => {
+      val path = storedOnce("store_q106", dir)(p =>
+        CellStore.save(Tables.customerPts(s, dir), p, col("cx"), col("cy"),
+          100.0, geomCol = Some("c_geo")))
+      SpatialOps.containedBy(
+          graft.sources.CellStore.load(s, path),
+          col("c_geo"),
+          stf.st_geomfromwkt("POLYGON ((200 100, 700 100, 700 500, 200 500, 200 100))"))
         .select(col("c_custkey")).orderBy(col("c_custkey"))
     }),
 
@@ -1696,6 +1715,12 @@ object SparkEntry {
        "FROM b GROUP BY 1 ORDER BY part_str"),
 
     "q28_store_pruned" -> prunedBoxFilterOracleSql,
+
+    // same point-in-box semantics, different box, pruning left to the rule
+    "q106_declarative_prune" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}) " +
+       "SELECT c_custkey FROM cpts WHERE cx > 200 AND cx < 700 AND cy > 100 AND cy < 500 " +
+       "ORDER BY c_custkey"),
 
     "q38_tilefile_roundtrip" -> s"$rasterBaseSql $tileCsvSelectSql",
 

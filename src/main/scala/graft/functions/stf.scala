@@ -176,10 +176,10 @@ object GraftFunctions {
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, checked(name, builder), "scala_udf")
     }
-    val rule = graft.plans.SpatialJoinRule
-    if (!spark.experimental.extraOptimizations.contains(rule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ rule
+    for (rule <- Seq(graft.plans.SpatialJoinRule, graft.plans.CellPruneRule))
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
   }
 
   /** For `spark.sql.extensions=graft.GraftExtensions`. */

@@ -21,12 +21,24 @@ import org.locationtech.jts.geom.Envelope
 object CellStore {
 
   /** Save with a grid-cell directory key derived from (x, y) columns.
-    * `cells` stay coarse: one directory per cell, Hive-style layout. */
+    * `cells` stay coarse: one directory per cell, Hive-style layout.
+    *
+    * When the key columns are plain attributes, a `_graft_cells` sidecar
+    * records the layout (cell size + column names), enabling
+    * [[graft.plans.CellPruneRule]]'s declarative partition pruning: a later
+    * `load(...).filter(st_intersects(st_point(x, y), lit))` prunes cell
+    * directories with no explicit range filter. Pass `geomCol` naming a
+    * stored geometry column that IS the point (xCol, yCol) — e.g. the
+    * `c_geo = st_point(cx, cy)` convention — to extend that pruning to
+    * predicates written directly against the geometry column.
+    */
   def save(df: DataFrame, path: String, xCol: Column, yCol: Column,
-           cellSize: Double): Unit = {
+           cellSize: Double, geomCol: Option[String] = None): Unit = {
     require(!df.columns.exists(c =>
       c.equalsIgnoreCase("part_cx") || c.equalsIgnoreCase("part_cy")),
       "CellStore.save: input must not contain columns named part_cx/part_cy")
+    geomCol.foreach(g => require(df.columns.exists(_.equalsIgnoreCase(g)),
+      s"CellStore.save: geomCol '$g' is not a column of the input"))
     df.withColumn("part_cx", floor(xCol / cellSize).cast("int"))
       .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
       // co-locate each cell before the write: one file per cell directory
@@ -35,6 +47,22 @@ object CellStore {
       .write.mode("overwrite")
       .partitionBy("part_cx", "part_cy")
       .parquet(path)
+    // sidecar AFTER the write (overwrite mode clears the directory first)
+    for (xn <- attrName(df, xCol); yn <- attrName(df, yCol)) {
+      Sidecar.writeText(df.sparkSession, s"$path/_graft_cells",
+        s"cellSize=$cellSize\nx=$xn\ny=$yn\ngeom=${geomCol.getOrElse("")}")
+      graft.plans.CellPruneRule.clearMetaCache() // a rebuild may change params
+    }
+  }
+
+  /** The attribute name behind a key column, when it is one — computed key
+    * expressions get no sidecar (explicit [[loadIntersecting]] still works;
+    * only the declarative rule needs the name). Resolution through a
+    * `select` (analysis only, no job): a plain attribute keeps its own
+    * name; a computed expression's generated name matches no input column. */
+  private def attrName(df: DataFrame, c: Column): Option[String] = {
+    val resolved = df.select(c).schema.head.name
+    if (df.columns.exists(_.equalsIgnoreCase(resolved))) Some(resolved) else None
   }
 
   /** Plain load (partition columns restored from the directory layout). */

@@ -353,10 +353,12 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("doc_id"), col("shuffle_rank")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
-    // equals the single-window global rank on the same key
+    // equals the single-window global rank on the same key (literal
+    // partition key: intentional one-partition oracle on test-sized data,
+    // not an operator pattern — keeps the suite free of skew warnings)
     val key = md5(concat(col("doc_id").cast("string"), lit(":e1")).cast("binary"))
     val want = docs.withColumn("rk",
-        (row_number().over(Window.orderBy(key, col("doc_id"))) - 1).cast("long"))
+        (row_number().over(Window.partitionBy(lit(0)).orderBy(key, col("doc_id"))) - 1).cast("long"))
       .select(col("doc_id"), col("rk")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == want)

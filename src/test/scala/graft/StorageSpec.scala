@@ -39,6 +39,60 @@ class StorageSpec extends AnyFunSuite {
     assert(viaStore == full)
   }
 
+  test("declarative spatial filter prunes cell directories via CellPruneRule") {
+    import graft.functions.stf
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_rule"
+    val pts = Tables.customerPts(spark, "/root/testdata/sf0.001")
+    CellStore.save(pts, path, col("cx"), col("cy"), 100.0, geomCol = Some("c_geo"))
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    }
+    val qry = "POLYGON ((150 150, 350 150, 350 350, 150 350, 150 150))"
+    val total = scannedFiles(CellStore.load(spark, path))
+
+    // 1. predicate on the declared geometry column — no explicit ranges
+    val viaGeom = graft.operators.SpatialOps.containedBy(
+      CellStore.load(spark, path), col("c_geo"), stf.st_geomfromwkt(qry))
+    assert(scannedFiles(viaGeom) <= total / 4,
+      s"geom-column predicate not pruned: ${scannedFiles(viaGeom)} of $total")
+
+    // 2. predicate on the point built from the declared key columns
+    val viaPoint = CellStore.load(spark, path).filter(stf.st_intersects(
+      stf.st_point(col("cx"), col("cy")), stf.st_geomfromwkt(qry)))
+    assert(scannedFiles(viaPoint) <= total / 4,
+      s"key-point predicate not pruned: ${scannedFiles(viaPoint)} of $total")
+
+    // 3. within-distance expands the envelope by the radius, stays exact
+    val viaDist = graft.operators.SpatialOps.withinDistance(
+      CellStore.load(spark, path), col("c_geo"),
+      stf.st_geomfromwkt("POINT (250 250)"), 75.0)
+    assert(scannedFiles(viaDist) <= total / 4)
+
+    // correctness: each pruned result equals the same filter over the raw
+    // (unpartitioned) frame
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val rawGeom = ids(graft.operators.SpatialOps.containedBy(
+      pts, col("c_geo"), stf.st_geomfromwkt(qry)))
+    assert(ids(viaGeom) == rawGeom && rawGeom.nonEmpty)
+    assert(ids(viaPoint) == ids(pts.filter(stf.st_intersects(
+      stf.st_point(col("cx"), col("cy")), stf.st_geomfromwkt(qry)))))
+    assert(ids(viaDist) == ids(graft.operators.SpatialOps.withinDistance(
+      pts, col("c_geo"), stf.st_geomfromwkt("POINT (250 250)"), 75.0)))
+
+    // 4. a predicate over a DIFFERENT point (swapped axes) must not prune —
+    // and must stay correct (the rule matches declared key columns only)
+    val swapped = CellStore.load(spark, path).filter(stf.st_intersects(
+      stf.st_point(col("cy"), col("cx")), stf.st_geomfromwkt(qry)))
+    assert(ids(swapped) == ids(pts.filter(stf.st_intersects(
+      stf.st_point(col("cy"), col("cx")), stf.st_geomfromwkt(qry)))))
+    assert(scannedFiles(swapped) == total, "swapped-axes predicate wrongly pruned")
+  }
+
   test("loader-pushed kNN equals full-scan kNN and reads fewer files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_knn"
