@@ -709,6 +709,30 @@ object SparkEntry {
         .select(col("c_custkey")).orderBy(col("c_custkey"))
     }),
 
+    // Spatio-temporal store + declarative pruning: the reference's
+    // SpatioTempPartitioner as a directory layout (spatial cell × day
+    // bucket). The user writes ONE st_intersects against a time-carrying
+    // constant over a plain load; CellPruneRule derives the cell range AND
+    // the part_tb time-bucket bounds from the folded literal, so Catalyst
+    // prunes both dimensions at file-listing time (asserted in StorageSpec).
+    // Interval endpoints sit 500 µs off the day boundary so closed-vs-open
+    // semantics can't be confused by a boundary-exact event instant.
+    "q107_st_prune" -> ((s, dir) => {
+      val path = storedOnce("store_q107", dir)(p =>
+        CellStore.save(
+          Tables.eventPts(s, dir).withColumn("et", expr("ts div 1000")),
+          p, col("ex"), col("ey"), 100.0, geomCol = Some("e_geo"),
+          tCol = Some(col("et")), timeBucket = 86400000000L))
+      SpatialOps.intersects(
+          graft.sources.CellStore.load(s, path),
+          col("e_geo"),
+          stf.st_with_time(
+            stf.st_geomfromwkt(
+              "POLYGON ((100.5 100.5, 400.5 100.5, 400.5 400.5, 100.5 400.5, 100.5 100.5))"),
+            lit(1704844800000500L), lit(1705104000000500L)))
+        .select(col("event_id")).orderBy(col("event_id"))
+    }),
+
     // reference tileFile CSV format: write + reload is the identity on the
     // rasterized event grid (oracle = the q21 rasterize SQL).
     "q38_tilefile_roundtrip" -> ((s, dir) => {
@@ -1721,6 +1745,15 @@ object SparkEntry {
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
        "SELECT c_custkey FROM cpts WHERE cx > 200 AND cx < 700 AND cy > 100 AND cy < 500 " +
        "ORDER BY c_custkey"),
+
+    // point-in-box AND instant-in-closed-interval (the temporal gate of
+    // st_intersects for an instant vs an interval is lo <= t <= hi)
+    "q107_st_prune" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}) " +
+       "SELECT event_id FROM epts " +
+       "WHERE ex > 100.5 AND ex < 400.5 AND ey > 100.5 AND ey < 400.5 " +
+       "AND et BETWEEN 1704844800000500 AND 1705104000000500 " +
+       "ORDER BY event_id"),
 
     "q38_tilefile_roundtrip" -> s"$rasterBaseSql $tileCsvSelectSql",
 

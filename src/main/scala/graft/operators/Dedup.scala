@@ -138,17 +138,23 @@ object Dedup {
   private[graft] def cappedBucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
     val b = banded.select(col("__id"), col("__bucket"))
-    val sized = b.join(
-      b.groupBy("__bucket")
-        .agg(count(lit(1)).as("__bsz"), min(col("__id")).as("__rep")),
-      "__bucket")
-    val small = sized.filter(col("__bsz") <= maxBucket).select("__id", "__bucket")
+    // join the banded rows against ONLY the over-cap buckets, not every
+    // bucket's size: in a healthy corpus that table is empty-to-tiny (at
+    // most rows/maxBucket entries even degenerate), so AQE broadcasts both
+    // the anti- and the star-join and the common path costs one map-combined
+    // aggregate over the self-join's existing shuffle — not a second full
+    // shuffle of the banded rows
+    val over = b.groupBy("__bucket")
+      .agg(count(lit(1)).as("__bsz"), min(col("__id")).as("__rep"))
+      .filter(col("__bsz") > maxBucket)
+      .select(col("__bucket"), col("__rep"))
+    val small = b.join(over, Seq("__bucket"), "left_anti")
     val smallPairs = small.as("l").join(small.as("r"),
         col("l.__bucket") === col("r.__bucket") && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
     // __rep = min(__id) over the bucket, so id_a < id_b holds by construction
-    val starPairs = sized
-      .filter(col("__bsz") > maxBucket && col("__id") =!= col("__rep"))
+    val starPairs = b.join(over, Seq("__bucket"))
+      .filter(col("__id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("__id").as("id_b"))
     smallPairs.union(starPairs).distinct()
   }

@@ -48,9 +48,14 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Store metadata as written by `CellStore.save`. `geomCol` names a
     * stored geometry column that is exactly the point (xCol, yCol) —
-    * only then is envelope containment cell-exact. */
+    * only then is envelope containment cell-exact. `tCol`/`timeBucket`
+    * (present together) describe the optional third directory level
+    * `part_tb = floor(tCol / timeBucket)`; when `geomCol` is also set, the
+    * save contract promises its temporal component IS the `tCol` instant. */
   private[graft] case class CellMeta(cellSize: Double, xCol: String,
-                                     yCol: String, geomCol: Option[String])
+                                     yCol: String, geomCol: Option[String],
+                                     tCol: Option[String] = None,
+                                     timeBucket: Option[Long] = None)
 
   /** Sidecar lookups are one FS `exists` per distinct root path; cache
     * outcomes (including misses — every non-CellStore parquet read in the
@@ -70,7 +75,8 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         val kv = txt.linesIterator.map(_.split("=", 2))
           .collect { case Array(k, v) => k -> v }.toMap
         for (cs <- kv.get("cellSize"); x <- kv.get("x"); y <- kv.get("y"))
-          yield CellMeta(cs.toDouble, x, y, kv.get("geom").filter(_.nonEmpty))
+          yield CellMeta(cs.toDouble, x, y, kv.get("geom").filter(_.nonEmpty),
+            kv.get("t").filter(_.nonEmpty), kv.get("timeBucket").map(_.toLong))
       } catch { case _: Throwable => None }
     })
 
@@ -86,9 +92,16 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         .getOrElse(f)
   }
 
-  /** The part_cx/part_cy range conjunct implied by `cond`, if this is a
-    * cell-store relation, `cond` has a supported constant-geometry spatial
-    * conjunct, and no partition-key bound exists yet. */
+  /** Bounds one conjunct implies on the stored row: the query envelope
+    * (always, for a supported predicate) and, when derivable, a closed
+    * bound on the row's declared instant (`time` = (lo, Some(hi)) or
+    * (lo, None) for a right-open query interval). */
+  private case class ConjBounds(env: Envelope, time: Option[(Long, Option[Long])])
+
+  /** The part_cx/part_cy (and part_tb) range conjunct implied by `cond`,
+    * if this is a cell-store relation, `cond` has a supported
+    * constant-geometry spatial conjunct, and no partition-key bound exists
+    * yet. */
   private def pruneBounds(cond: Expression,
                           rel: LogicalRelation): Option[Expression] = {
     val fsRel = rel.relation match {
@@ -98,47 +111,83 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     val px = rel.output.find(_.name.equalsIgnoreCase("part_cx"))
     val py = rel.output.find(_.name.equalsIgnoreCase("part_cy"))
     if (px.isEmpty || py.isEmpty) return None
+    val ptb = rel.output.find(_.name.equalsIgnoreCase("part_tb"))
     // already bounded (our own output, loadIntersecting, or a user filter
     // on the key columns) — nothing to add
     if (cond.references.exists(a =>
-        a.name.equalsIgnoreCase("part_cx") || a.name.equalsIgnoreCase("part_cy")))
+        a.name.equalsIgnoreCase("part_cx") || a.name.equalsIgnoreCase("part_cy") ||
+        a.name.equalsIgnoreCase("part_tb")))
       return None
     val root = fsRel.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
     val m = metaFor(root).getOrElse(return None)
 
-    val envs = splitConjunctivePredicates(cond).flatMap(envelopeOf(_, m, rel))
-    if (envs.isEmpty) return None
+    val bs = splitConjunctivePredicates(cond).flatMap(boundsOf(_, m, rel))
+    if (bs.isEmpty) return None
     // several spatial conjuncts: the row must satisfy all, so the cell
     // range follows their intersection
-    val env = envs.reduce { (a, b) => a.intersection(b) }
+    val env = bs.map(_.env).reduce { (a, b) => a.intersection(b) }
     if (env.isNull) return Some(Literal.FalseLiteral)
 
     def cellLit(v: Double): Literal =
       Literal(math.max(Int.MinValue.toDouble,
         math.min(Int.MaxValue.toDouble, math.floor(v / m.cellSize))).toInt)
-    val bounds: Seq[Expression] = Seq(
+    val spatial: Seq[Expression] = Seq(
       GreaterThanOrEqual(px.get, cellLit(env.getMinX)),
       LessThanOrEqual(px.get, cellLit(env.getMaxX)),
       GreaterThanOrEqual(py.get, cellLit(env.getMinY)),
       LessThanOrEqual(py.get, cellLit(env.getMaxY)))
-    Some(bounds.reduce(And))
+
+    // temporal: each conjunct's bound is independently necessary, so the
+    // instant must lie in [max(lo_i), min(defined hi_i)]
+    val temporal: Seq[Expression] = (ptb, m.timeBucket) match {
+      case (Some(tb), Some(bucket)) if bs.exists(_.time.isDefined) &&
+          (tb.dataType == org.apache.spark.sql.types.LongType ||
+           tb.dataType == org.apache.spark.sql.types.IntegerType) =>
+        val times = bs.flatMap(_.time)
+        val lo = times.map(_._1).max
+        val hiOpt = { val hs = times.flatMap(_._2); if (hs.isEmpty) None else Some(hs.min) }
+        if (hiOpt.exists(_ < lo)) return Some(Literal.FalseLiteral)
+        // the SAME floor arithmetic as CellStore.save's floor(t / bucket)
+        // (double division) — monotone, so [tbLit(lo), tbLit(hi)] covers
+        // every bucket a row with instant in [lo, hi] can be stored under.
+        // The literal takes the attribute's OWN type: Hive partition
+        // inference reads part_tb back as INT when every directory value
+        // fits one, and a long literal against an int column would leave
+        // the comparison unresolved. Clamping to the int range keeps the
+        // bound necessary-only (values beyond it cannot appear in an
+        // int-typed partition column anyway).
+        def tbLit(v: Long): Literal = {
+          val b = math.floor(v.toDouble / bucket).toLong
+          if (tb.dataType == org.apache.spark.sql.types.IntegerType)
+            Literal(math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, b)).toInt)
+          else Literal(b)
+        }
+        Seq(GreaterThanOrEqual(tb, tbLit(lo))) ++
+          hiOpt.map(h => LessThanOrEqual(tb, tbLit(h)))
+      case _ => Seq.empty
+    }
+    Some((spatial ++ temporal).reduce(And))
   }
 
-  /** Query envelope implied by one conjunct, when its data side is the
-    * store's key geometry and its query side folds to a constant. */
-  private def envelopeOf(conjunct: Expression, m: CellMeta,
-                         rel: LogicalRelation): Option[Envelope] = conjunct match {
+  /** Bounds implied by one conjunct, when its data side is the store's key
+    * geometry and its query side folds to a constant. */
+  private def boundsOf(conjunct: Expression, m: CellMeta,
+                       rel: LogicalRelation): Option[ConjBounds] = conjunct match {
     case p: STRelate if p.deterministic =>
-      if (isStoreKey(p.left, m, rel)) constEnv(p.right)
-      else if (isStoreKey(p.right, m, rel)) constEnv(p.left)
-      else None
+      storeKeySide(p.left, m, rel) match {
+        case Some(hasInstant) => constBounds(p.right, m, hasInstant)
+        case None => storeKeySide(p.right, m, rel)
+          .flatMap(hasInstant => constBounds(p.left, m, hasInstant))
+      }
     case p: STWithinDistance if p.deterministic && p.third.foldable =>
       Option(p.third.eval()).map(_.asInstanceOf[Double]).filter(_ >= 0).flatMap { d =>
         val e =
-          if (isStoreKey(p.first, m, rel)) constEnv(p.second)
-          else if (isStoreKey(p.second, m, rel)) constEnv(p.first)
+          if (storeKeySide(p.first, m, rel).isDefined) constBounds(p.second, m, dataHasInstant = false)
+          else if (storeKeySide(p.second, m, rel).isDefined) constBounds(p.first, m, dataHasInstant = false)
           else None
-        e.map { env => val x = new Envelope(env); x.expandBy(d); x }
+        // st_within_distance has no temporal gate (GeoOps.withinDistance) —
+        // spatial expansion only, never a time bound
+        e.map { cb => val x = new Envelope(cb.env); x.expandBy(d); ConjBounds(x, None) }
       }
     case _ => None
   }
@@ -151,12 +200,21 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case other => other
   }
 
-  /** Data side must be the store's OWN geometry: the declared geometry
-    * column, or the point built from the declared key columns — matched by
-    * exprId against the relation (a same-named alias computed after the
-    * load must not trigger pruning). */
-  private def isStoreKey(e: Expression, m: CellMeta, rel: LogicalRelation): Boolean =
-    unwrapTime(e) match {
+  /** Is `e` the store's OWN geometry, and does it carry the DECLARED
+    * instant? None = not the store key (no pruning from this conjunct);
+    * Some(hasInstant) = spatial match, with `hasInstant` true only when
+    * the expression's temporal component is provably the sidecar's `tCol`
+    * — the declared geometry column (whose save contract promises it), or
+    * an explicit `st_with_instant(st_point(x, y), t)` over the declared
+    * columns. Matched by exprId against the relation (a same-named alias
+    * computed after the load must not trigger pruning). Only `hasInstant`
+    * conjuncts may contribute part_tb bounds: the temporal gate of every
+    * st_* predicate (GeoOps.relate — both-present ⇒ the relation holds,
+    * and all five relations imply interval overlap) then forces the
+    * instant into the constant's closed time range. */
+  private def storeKeySide(e: Expression, m: CellMeta,
+                           rel: LogicalRelation): Option[Boolean] = {
+    def spatialMatch(g: Expression): Boolean = g match {
       case a: AttributeReference =>
         rel.outputSet.contains(a) && m.geomCol.exists(_.equalsIgnoreCase(a.name))
       case STPoint(x: AttributeReference, y: AttributeReference) =>
@@ -167,13 +225,37 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
           x.name.equalsIgnoreCase(m.xCol) && y.name.equalsIgnoreCase(m.yCol)
       case _ => false
     }
+    e match {
+      // the bare declared geometry column: its instant IS tCol by the save
+      // contract (when one was declared)
+      case a: AttributeReference if spatialMatch(a) => Some(m.tCol.isDefined)
+      // explicit instant constructor over the declared columns
+      case STWithInstant(g, t: AttributeReference)
+          if spatialMatch(unwrapTime(g)) && rel.outputSet.contains(t) =>
+        Some(m.tCol.exists(_.equalsIgnoreCase(t.name)))
+      // any other temporal wrapper (interval, open interval, non-attribute
+      // instant): spatial pruning only
+      case other if spatialMatch(unwrapTime(other)) => Some(false)
+      case _ => None
+    }
+  }
 
-  /** Envelope of a foldable stobj expression (literal WKT/box/point). */
-  private def constEnv(q: Expression): Option[Envelope] =
+  /** Envelope + temporal component of a foldable stobj expression (literal
+    * WKT/box/point, optionally time-wrapped). The time bound is emitted
+    * only when the data side carries the declared instant AND the constant
+    * has a time component (`t_start` non-null; `t_end` null = right-open). */
+  private def constBounds(q: Expression, m: CellMeta,
+                          dataHasInstant: Boolean): Option[ConjBounds] =
     if (!q.foldable) None
     else try {
       Option(q.eval()).map { v =>
-        GeoOps.readGeom(v.asInstanceOf[InternalRow].getBinary(0)).getEnvelopeInternal
+        val row = v.asInstanceOf[InternalRow]
+        val env = GeoOps.readGeom(row.getBinary(0)).getEnvelopeInternal
+        val time =
+          if (dataHasInstant && !row.isNullAt(1))
+            Some((row.getLong(1), if (row.isNullAt(2)) None else Some(row.getLong(2))))
+          else None
+        ConjBounds(env, time)
       }
     } catch { case _: Throwable => None }
 }

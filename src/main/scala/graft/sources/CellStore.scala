@@ -31,26 +31,46 @@ object CellStore {
     * stored geometry column that IS the point (xCol, yCol) — e.g. the
     * `c_geo = st_point(cx, cy)` convention — to extend that pruning to
     * predicates written directly against the geometry column.
+    *
+    * Pass `tCol` (an epoch-micros instant attribute) plus `timeBucket` to
+    * add a third directory level `part_tb = floor(t / timeBucket)` — the
+    * reference's SpatioTempPartitioner (spatial grid × time bucket,
+    * reference src/main/scala/dbis/stark/spatial/partitioner/
+    * SpatioTempPartitioner.scala) as a storage layout. A query constant
+    * carrying a time component then prunes time directories too
+    * (declaratively, via the same rule). Contract when BOTH `geomCol` and
+    * `tCol` are given: the geometry column's temporal component is exactly
+    * the instant in `tCol` (e.g. `e_geo = st_with_instant(st_point(x,y), et)`).
     */
   def save(df: DataFrame, path: String, xCol: Column, yCol: Column,
-           cellSize: Double, geomCol: Option[String] = None): Unit = {
+           cellSize: Double, geomCol: Option[String] = None,
+           tCol: Option[Column] = None, timeBucket: Long = 0L): Unit = {
     require(!df.columns.exists(c =>
-      c.equalsIgnoreCase("part_cx") || c.equalsIgnoreCase("part_cy")),
-      "CellStore.save: input must not contain columns named part_cx/part_cy")
+      c.equalsIgnoreCase("part_cx") || c.equalsIgnoreCase("part_cy") ||
+      c.equalsIgnoreCase("part_tb")),
+      "CellStore.save: input must not contain columns named part_cx/part_cy/part_tb")
     geomCol.foreach(g => require(df.columns.exists(_.equalsIgnoreCase(g)),
       s"CellStore.save: geomCol '$g' is not a column of the input"))
-    df.withColumn("part_cx", floor(xCol / cellSize).cast("int"))
+    require(tCol.isEmpty == (timeBucket <= 0L),
+      "CellStore.save: tCol and a positive timeBucket must be given together")
+    val keyed0 = df
+      .withColumn("part_cx", floor(xCol / cellSize).cast("int"))
       .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
-      // co-locate each cell before the write: one file per cell directory
-      // instead of (tasks × cells) small files — essential at scale
-      .repartition(col("part_cx"), col("part_cy"))
+    val keyed = tCol.fold(keyed0)(t =>
+      keyed0.withColumn("part_tb", floor(t / timeBucket).cast("long")))
+    val partCols = Seq("part_cx", "part_cy") ++ tCol.map(_ => "part_tb")
+    // co-locate each cell before the write: one file per cell directory
+    // instead of (tasks × cells) small files — essential at scale
+    keyed.repartition(partCols.map(col): _*)
       .write.mode("overwrite")
-      .partitionBy("part_cx", "part_cy")
+      .partitionBy(partCols: _*)
       .parquet(path)
     // sidecar AFTER the write (overwrite mode clears the directory first)
     for (xn <- attrName(df, xCol); yn <- attrName(df, yCol)) {
+      val tn = tCol.flatMap(attrName(df, _))
       Sidecar.writeText(df.sparkSession, s"$path/_graft_cells",
-        s"cellSize=$cellSize\nx=$xn\ny=$yn\ngeom=${geomCol.getOrElse("")}")
+        s"cellSize=$cellSize\nx=$xn\ny=$yn\ngeom=${geomCol.getOrElse("")}" +
+          tn.map(n => s"\nt=$n\ntimeBucket=$timeBucket").getOrElse(""))
       graft.plans.CellPruneRule.clearMetaCache() // a rebuild may change params
     }
   }

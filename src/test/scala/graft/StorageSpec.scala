@@ -93,6 +93,80 @@ class StorageSpec extends AnyFunSuite {
     assert(scannedFiles(swapped) == total, "swapped-axes predicate wrongly pruned")
   }
 
+  test("spatio-temporal store prunes cell AND time-bucket directories declaratively") {
+    import graft.functions.stf
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_st_rule"
+    val day = 86400000000L
+    val evs = Tables.eventPts(spark, "/root/testdata/sf0.001")
+      .withColumn("et", expr("ts div 1000"))
+    CellStore.save(evs, path, col("ex"), col("ey"), 100.0,
+      geomCol = Some("e_geo"), tCol = Some(col("et")), timeBucket = day)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("event_id")).collect().map(_.getLong(0)).toSet
+
+    val total = scannedFiles(CellStore.load(spark, path))
+    val box = "POLYGON ((100.5 100.5, 400.5 100.5, 400.5 400.5, 100.5 400.5, 100.5 100.5))"
+    // 3 days of a 30-day table: Jan 10 .. Jan 13 2024 (off-boundary by 500 µs)
+    val lo = 1704844800000500L
+    val hi = 1705104000000500L
+
+    // 1. time-carrying constant on the declared geometry column prunes BOTH
+    // dimensions: strictly fewer files than the same box with no time
+    val stQ = graft.operators.SpatialOps.intersects(
+      CellStore.load(spark, path), col("e_geo"),
+      stf.st_with_time(stf.st_geomfromwkt(box), lit(lo), lit(hi)))
+    val spatialOnlyFiles = {
+      // same envelope, no temporal component — the spatial baseline. The
+      // constant has no time while every stored row has an instant, so the
+      // RESULT is empty by the mixed-presence rule; only its scan width
+      // (cell pruning without time pruning) is of interest here.
+      val df = graft.operators.SpatialOps.intersects(
+        CellStore.load(spark, path), col("e_geo"), stf.st_geomfromwkt(box))
+      scannedFiles(df)
+    }
+    val stFiles = scannedFiles(stQ)
+    assert(stFiles < spatialOnlyFiles,
+      s"no temporal pruning: $stFiles vs spatial-only $spatialOnlyFiles of $total")
+    assert(stFiles <= total / 4, s"weak spatio-temporal pruning: $stFiles of $total")
+
+    // 2. correctness vs the raw (unpartitioned) frame
+    val raw = ids(graft.operators.SpatialOps.intersects(evs, col("e_geo"),
+      stf.st_with_time(stf.st_geomfromwkt(box), lit(lo), lit(hi))))
+    assert(ids(stQ) == raw && raw.nonEmpty, s"pruned result diverged (${raw.size} raw rows)")
+
+    // 3. explicit st_with_instant over the declared columns prunes too
+    val viaCtor = CellStore.load(spark, path).filter(stf.st_intersects(
+      stf.st_with_instant(stf.st_point(col("ex"), col("ey")), col("et")),
+      stf.st_with_time(stf.st_geomfromwkt(box), lit(lo), lit(hi))))
+    assert(scannedFiles(viaCtor) <= total / 4)
+    assert(ids(viaCtor) == raw)
+
+    // 4. an instant built from a DIFFERENT column must not time-prune — and
+    // must stay correct (rows whose event_id-derived instant happens to
+    // fall in the window)
+    val wrongT = CellStore.load(spark, path).filter(stf.st_intersects(
+      stf.st_with_instant(stf.st_point(col("ex"), col("ey")), col("event_id")),
+      stf.st_with_time(stf.st_geomfromwkt(box), lit(lo), lit(hi))))
+    assert(ids(wrongT) == ids(evs.filter(stf.st_intersects(
+      stf.st_with_instant(stf.st_point(col("ex"), col("ey")), col("event_id")),
+      stf.st_with_time(stf.st_geomfromwkt(box), lit(lo), lit(hi))))))
+
+    // 5. right-open query interval: lower time bound only, still correct
+    val openQ = graft.operators.SpatialOps.intersects(
+      CellStore.load(spark, path), col("e_geo"),
+      stf.st_with_open_interval(stf.st_geomfromwkt(box), lit(lo)))
+    assert(ids(openQ) == ids(graft.operators.SpatialOps.intersects(evs, col("e_geo"),
+      stf.st_with_open_interval(stf.st_geomfromwkt(box), lit(lo)))))
+    assert(scannedFiles(openQ) < spatialOnlyFiles, "open interval should drop leading days")
+  }
+
   test("loader-pushed kNN equals full-scan kNN and reads fewer files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_knn"
