@@ -45,20 +45,9 @@ object CellStore {
   def save(df: DataFrame, path: String, xCol: Column, yCol: Column,
            cellSize: Double, geomCol: Option[String] = None,
            tCol: Option[Column] = None, timeBucket: Long = 0L): Unit = {
-    require(!df.columns.exists(c =>
-      c.equalsIgnoreCase("part_cx") || c.equalsIgnoreCase("part_cy") ||
-      c.equalsIgnoreCase("part_tb")),
-      "CellStore.save: input must not contain columns named part_cx/part_cy/part_tb")
+    val (keyed, partCols) = cellKeyed(df, xCol, yCol, cellSize, tCol, timeBucket)
     geomCol.foreach(g => require(df.columns.exists(_.equalsIgnoreCase(g)),
       s"CellStore.save: geomCol '$g' is not a column of the input"))
-    require(tCol.isEmpty == (timeBucket <= 0L),
-      "CellStore.save: tCol and a positive timeBucket must be given together")
-    val keyed0 = df
-      .withColumn("part_cx", floor(xCol / cellSize).cast("int"))
-      .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
-    val keyed = tCol.fold(keyed0)(t =>
-      keyed0.withColumn("part_tb", floor(t / timeBucket).cast("long")))
-    val partCols = Seq("part_cx", "part_cy") ++ tCol.map(_ => "part_tb")
     // co-locate each cell before the write: one file per cell directory
     // instead of (tasks × cells) small files — essential at scale
     keyed.repartition(partCols.map(col): _*)
@@ -66,6 +55,36 @@ object CellStore {
       .partitionBy(partCols: _*)
       .parquet(path)
     // sidecar AFTER the write (overwrite mode clears the directory first)
+    writeSidecar(df, path, xCol, yCol, cellSize, geomCol, tCol, timeBucket)
+  }
+
+  /** The (keyed frame, partition column names) both the batch save and the
+    * streaming ingest write — ONE derivation so the layouts can never
+    * drift. */
+  private[graft] def cellKeyed(df: DataFrame, xCol: Column, yCol: Column,
+                               cellSize: Double, tCol: Option[Column],
+                               timeBucket: Long): (DataFrame, Seq[String]) = {
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("part_cx") || c.equalsIgnoreCase("part_cy") ||
+      c.equalsIgnoreCase("part_tb")),
+      "CellStore: input must not contain columns named part_cx/part_cy/part_tb")
+    require(tCol.isEmpty == (timeBucket <= 0L),
+      "CellStore: tCol and a positive timeBucket must be given together")
+    val keyed0 = df
+      .withColumn("part_cx", floor(xCol / cellSize).cast("int"))
+      .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
+    val keyed = tCol.fold(keyed0)(t =>
+      keyed0.withColumn("part_tb", floor(t / timeBucket).cast("long")))
+    (keyed, Seq("part_cx", "part_cy") ++ tCol.map(_ => "part_tb"))
+  }
+
+  /** Record the layout for [[graft.plans.CellPruneRule]] (no-op when a key
+    * column is a computed expression — explicit loads still work; only the
+    * declarative rule needs the names). */
+  private[graft] def writeSidecar(df: DataFrame, path: String, xCol: Column,
+                                  yCol: Column, cellSize: Double,
+                                  geomCol: Option[String], tCol: Option[Column],
+                                  timeBucket: Long): Unit =
     for (xn <- attrName(df, xCol); yn <- attrName(df, yCol)) {
       val tn = tCol.flatMap(attrName(df, _))
       Sidecar.writeText(df.sparkSession, s"$path/_graft_cells",
@@ -73,7 +92,6 @@ object CellStore {
           tn.map(n => s"\nt=$n\ntimeBucket=$timeBucket").getOrElse(""))
       graft.plans.CellPruneRule.clearMetaCache() // a rebuild may change params
     }
-  }
 
   /** The attribute name behind a key column, when it is one — computed key
     * expressions get no sidecar (explicit [[loadIntersecting]] still works;

@@ -265,4 +265,38 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
+
+  /**
+   * Streaming ingest into the [[graft.sources.CellStore]] layout: the
+   * native parquet streaming sink partitioned by the SAME cell (and
+   * optional time-bucket) directory keys the batch `save` writes, so a
+   * live event feed lands directly in the declaratively-prunable store —
+   * a later `spark.read.parquet(path)` + `st_*` predicate prunes cell and
+   * time directories through `CellPruneRule` with no explicit ranges, and
+   * the `_spark_metadata` log gives readers exactly-once batch visibility.
+   *
+   * The sidecar is written up front (append mode never clears the
+   * directory). Micro-batches append one file per task per touched
+   * partition — the streaming trade; compact cold time buckets with a
+   * periodic batch `save` over the frozen range if small files accumulate
+   * (time-bucketed layouts make that a per-bucket, not whole-store, job).
+   */
+  def ingestCellStore(events: DataFrame, xCol: org.apache.spark.sql.Column,
+                      yCol: org.apache.spark.sql.Column, cellSize: Double,
+                      path: String, checkpoint: String,
+                      geomCol: Option[String] = None,
+                      tCol: Option[org.apache.spark.sql.Column] = None,
+                      timeBucket: Long = 0L)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (keyed, partCols) = graft.sources.CellStore.cellKeyed(
+      events, xCol, yCol, cellSize, tCol, timeBucket)
+    graft.sources.CellStore.writeSidecar(
+      events, path, xCol, yCol, cellSize, geomCol, tCol, timeBucket)
+    keyed.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partCols: _*)
+      .start()
+  }
 }

@@ -61,6 +61,12 @@ object syntax {
       TemporalJoin.overlapsIndexed(df, other, startName, endName,
         otherStartName, otherEndName, bucket)
 
+    // ---- cell-partitioned store (reference saveAsStarkTextFile/textFile) ----
+    def stSaveCells(path: String, x: Column, y: Column, cellSize: Double,
+                    geomCol: Option[String] = None, t: Option[Column] = None,
+                    timeBucket: Long = 0L): Unit =
+      graft.sources.CellStore.save(df, path, x, y, cellSize, geomCol, t, timeBucket)
+
     // ---- persisted indexes (reference index() + loadIndexed) ----
     def stSaveIndexed(path: String, geoName: String, cellSize: Double): Unit =
       graft.sources.IndexStore.saveIndexed(df, path, geoName, cellSize)

@@ -82,6 +82,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest lands in the declaratively-prunable cell store layout") {
+    import graft.functions.stf
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_cellstore"
+    val path = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+
+    val day = 86400000000L
+    val input = MemoryStream[(Long, Double, Double, Long)]
+    val events = input.toDF().toDF("ev_id", "x", "y", "et")
+    val q = EventStreams.ingestCellStore(events, col("x"), col("y"),
+      cellSize = 10.0, path = path, checkpoint = ckpt,
+      tCol = Some(col("et")), timeBucket = day)
+    val rows = Seq(
+      (1L, 5.0, 5.0, 1L * day + 7), (2L, 25.0, 25.0, 1L * day + 9),
+      (3L, 5.0, 7.0, 3L * day + 1), (4L, 45.0, 45.0, 1L * day + 2))
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)  // a second micro-batch appends
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    }
+    val all = spark.read.parquet(path)
+    assert(all.count() == rows.length, "exactly-once append across micro-batches")
+
+    // one st_* predicate over the plain read prunes BOTH directory levels
+    val pruned = all.filter(stf.st_intersects(
+      stf.st_with_instant(stf.st_point(col("x"), col("y")), col("et")),
+      stf.st_with_time(stf.st_geomfromwkt("POLYGON ((0.5 0.5, 9.5 0.5, 9.5 9.5, 0.5 9.5, 0.5 0.5))"),
+        lit(1L * day), lit(2L * day))))
+    assert(pruned.select(col("ev_id")).collect().map(_.getLong(0)).toSet == Set(1L),
+      "spatial box + day-1 window keeps only event 1")
+    val prunedFiles = scannedFiles(pruned)
+    val totalFiles = scannedFiles(spark.read.parquet(path))
+    assert(prunedFiles < totalFiles,
+      s"stream-written store not pruned: $prunedFiles of $totalFiles files")
+  }
+
   test("stream-stream spatio-temporal join matches within cell and time window") {
     import graft.functions.stf
     import graft.operators.JoinPredicate
