@@ -1,17 +1,57 @@
 package graft
 
+import org.apache.spark.sql.execution.FormattedMode
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Every SparkEntry query runs end-to-end on sf0.001 and returns rows.
-  * (Value-level correctness is checked differentially against DuckDB by the
-  * driver at sf0.01, and in dev by dev/check_oracle.py.) */
+/** Every SparkEntry query runs end-to-end on sf0.001, returns rows, and its
+  * physical plan passes the scale lint below. (Value-level correctness is
+  * checked differentially against DuckDB by the driver at sf0.01, and in dev
+  * by dev/check_oracle.py.) */
 class QueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Queries whose plan is ALLOWED a cartesian/nested-loop join, with the
+    * reason. Everything else must stay strictly equi-join shaped: a silent
+    * cartesian is the classic would-not-survive-100TB plan bug. */
+  private val crossJoinOk: Map[String, String] = Map(
+    "q81_bm25" -> "corpus stats (N, avgdl) are ONE agg row cross-joined into scoring — bounded broadcast",
+    "q88_fluency" -> "total-token scalar is ONE agg row cross-joined into the probability chain",
+    "q90_report" -> "per-source rollup cross-joins the same 1-row corpus-stat aggregates as q81/q88",
+    "q36_bucket_histogram" -> "bucket bounds are ONE min/max agg row broadcast against the pixel stream",
+    "q95_broadcast_join" -> "the reference's broadcastJoin contract: small side broadcast + general spatial predicate ⇒ nested-loop probe IS the designed plan",
+    "q17_dedup_cosine" -> "documented O(n²) exact twin — the oracle anchor for q33's LSH path",
+    "q18_ann_topk" -> "brute-force ANN baseline: query batch × corpus by contract (batch broadcast-small)",
+    "q76_knn_classify" -> "composes the q18 brute baseline for a bounded query batch",
+    "q79_ann_pq" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
+    "q80_ann_pq_store" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
+    "q89_hybrid" -> "rerank stage: ≤50 BM25 candidates × the query vector row",
+  )
+
+  /** Queries ALLOWED a Window with an empty partitionSpec (single-task
+    * global window) — must be bounded-input by contract. Currently none:
+    * even q89_hybrid's ≤50-candidate rerank plans partitioned. */
+  private val globalWindowOk: Map[String, String] = Map.empty
+
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"$name runs and returns rows") {
-      val n = fn(spark, dir).count()
+    test(s"$name runs, returns rows, and its plan passes the scale lint") {
+      val df = fn(spark, dir)
+      val plan = df.queryExecution.explainString(FormattedMode)
+      if (!crossJoinOk.contains(name)) {
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct — not equi-join shaped:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — not equi-join shaped:\n$plan")
+      }
+      if (!globalWindowOk.contains(name)) {
+        // FormattedMode prints windows as "Window [...], [partitionCols], [order]"
+        // — a global window has no partition clause and funnels all rows
+        // into one task
+        val globalWindow = "(?m)^\\s*Window \\[[^\\]]*\\], \\[[^\\]]*\\]\\s*$".r
+        assert(globalWindow.findFirstIn(plan).isEmpty,
+          s"$name plans an unpartitioned Window (single-task sort):\n$plan")
+      }
+      val n = df.count()
       assert(n > 0, s"$name returned no rows")
     }
   }
@@ -22,5 +62,10 @@ class QueriesSpec extends AnyFunSuite {
 
   test("oracleSql keys are a subset of queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("cross-join whitelist names only registered queries") {
+    val unknown = (crossJoinOk.keySet ++ globalWindowOk.keySet) -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"whitelist entries without a query: $unknown")
   }
 }
