@@ -1416,6 +1416,10 @@ object SparkEntry {
 
     "q15_dedup_minhash" -> jaccardPairsSql,
 
+    // full xxHash64 + SimHash replay in SQL (HUGEINT mod-2^64 arithmetic,
+    // list_reduce folds); all-pairs hamming <= 3 == the pigeonhole join
+    "q16_dedup_simhash" -> SimhashOracle.sql(3),
+
     // transitive closure of the exact-Jaccard pair graph; keep each
     // component's min id (mirrors q20's recursive-CTE pattern)
     "q59_drop_near_dups" ->
