@@ -484,11 +484,12 @@ object SparkEntry {
         .withColumn("__cos", stf.vec_dot(col("__qv"), col("embedding")) /
           (stf.vec_norm(col("__qv")) * stf.vec_norm(col("embedding"))))
       scored
-        // global rank over the <=50-row candidate set; the literal
-        // partition key states the intent (one bounded partition) without
-        // tripping WindowExec's no-partition skew warning
+        // global rank over the <=50-row candidate set; the partition key is
+        // a NON-FOLDABLE zero (pmod of the id) — a literal would be
+        // constant-folded out of the partition spec by Catalyst and trip
+        // WindowExec's no-partition warning despite the bounded input
         .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          org.apache.spark.sql.expressions.Window.partitionBy(pmod(col("doc_id"), lit(1)))
             .orderBy(col("__cos").desc, col("doc_id"))).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("doc_id"), col("rank"))
@@ -731,6 +732,16 @@ object SparkEntry {
               "POLYGON ((100.5 100.5, 400.5 100.5, 400.5 400.5, 100.5 400.5, 100.5 100.5))"),
             lit(1704844800000500L), lit(1705104000000500L)))
         .select(col("event_id")).orderBy(col("event_id"))
+    }),
+
+    // SemDeDup semantic dedup: k-means clusters bound the quadratic,
+    // within-cluster cosine >= 0.42 groups collapse to their min id (0.42:
+    // the q17-documented FP-safe threshold — nearest data value 1.7e-3
+    // away). Fully deterministic, so the oracle replays Lloyd + closure.
+    "q108_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 4, iters = 2, threshold = 0.42)
+        .orderBy(col("id"))
     }),
 
     // reference tileFile CSV format: write + reload is the identity on the
@@ -1759,6 +1770,10 @@ object SparkEntry {
        "AND et BETWEEN 1704844800000500 AND 1705104000000500 " +
        "ORDER BY event_id"),
 
+    // SemDeDup replay: unrolled Lloyd -> within-cluster cosine pairs ->
+    // recursive closure -> min-id survivors with their cluster
+    "q108_semantic_dedup" -> semanticDedupOracleSql(k = 4, iters = 2, threshold = 0.42),
+
     "q38_tilefile_roundtrip" -> s"$rasterBaseSql $tileCsvSelectSql",
 
     "q39_tile_store_pruned" ->
@@ -2160,11 +2175,15 @@ object SparkEntry {
     * k smallest ids, then per iteration an argmin assignment (ties to the
     * lower cluster id) and an element-wise mean update; the final select is
     * the assignment against the last centroids. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** The CTE body of the unrolled-Lloyd replay (no leading WITH, no final
+    * select): defines `v` (vec_id, e) and `f` whose rn=1 rows are the final
+    * (vec_id, c, d) assignment. Shared by [[kmeansOracleSql]] and the q108
+    * SemDeDup oracle. */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
     def dist(ca: String) =
       s"list_sum([(v.e[i]-$ca.e[i])*(v.e[i]-$ca.e[i]) FOR i IN generate_series(1,64)])"
     val sb = new StringBuilder
-    sb ++= "WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings), "
+    sb ++= "v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings), "
     sb ++= s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, e " +
            s"FROM (SELECT * FROM v ORDER BY vec_id LIMIT $k) s0), "
     for (t <- 1 to iters) {
@@ -2182,8 +2201,33 @@ object SparkEntry {
     }
     sb ++= s"f AS (SELECT v.vec_id, c$iters.c, ${dist(s"c$iters")} AS d, " +
            s"row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist(s"c$iters")}, c$iters.c) AS rn " +
-           s"FROM v CROSS JOIN c$iters) " +
-           "SELECT vec_id, c AS cluster, d AS dist FROM f WHERE rn = 1 ORDER BY vec_id"
+           s"FROM v CROSS JOIN c$iters)"
     sb.toString
   }
+
+  /** Unrolled Lloyd CTEs mirroring `Similarity.kmeans` exactly: c0 from the
+    * k smallest ids, then per iteration an argmin assignment (ties to the
+    * lower cluster id) and an element-wise mean update; the final select is
+    * the assignment against the last centroids. */
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"WITH ${kmeansOracleCtes(k, iters)} " +
+      "SELECT vec_id, c AS cluster, d AS dist FROM f WHERE rn = 1 ORDER BY vec_id"
+
+  /** The q108 SemDeDup oracle: Lloyd assignment → within-cluster exact
+    * cosine pairs → recursive closure → min id survives (with its
+    * cluster). */
+  private def semanticDedupOracleSql(k: Int, iters: Int,
+                                     threshold: Double): String =
+    s"WITH RECURSIVE ${kmeansOracleCtes(k, iters)}, " +
+      "asg AS (SELECT vec_id, c FROM f WHERE rn = 1), " +
+      s"ne AS (SELECT vec_id, embedding, nrm, c FROM ($normedEmbSql) " +
+      "JOIN asg USING (vec_id)), " +
+      s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ne a, ne b " +
+      s"WHERE a.c = b.c AND a.vec_id < b.vec_id AND ($dotSql) / (a.nrm*b.nrm) >= $threshold), " +
+      "e(a, b) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p " +
+      "UNION SELECT vec_id, vec_id FROM embeddings), " +
+      "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+      "comp AS (SELECT a, min(b) AS m FROM reach GROUP BY a) " +
+      "SELECT CAST(comp.a AS BIGINT) AS id, asg.c AS cluster FROM comp " +
+      "JOIN asg ON asg.vec_id = comp.a WHERE comp.m = comp.a ORDER BY id"
 }

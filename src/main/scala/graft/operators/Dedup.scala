@@ -608,4 +608,51 @@ object Dedup {
       .filter(stf.vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540 — public method): cluster the embedding corpus with
+   * the seeded deterministic k-means ([[Similarity.kmeans]]), then WITHIN
+   * each cluster close cosine >= `threshold` pairs into groups and keep
+   * only the minimum id of every group. Embedding-space near-duplicates
+   * land in the same cluster (they are near the same centroid), so the
+   * clusters bound the quadratic: candidate pairs are per-cluster
+   * (sum |c|² work, one shuffle on the cluster key), never corpus².
+   *
+   * At 100 TB the knob is `k`: choose k ≈ n/10⁴ so a cluster's pair block
+   * is one task's work; the k-means pass itself is iters+1 linear scans
+   * with a broadcast k×dim centroid table. Near-duplicate pairs split
+   * across a cluster boundary are missed by construction — the documented
+   * SemDeDup trade (recall vs the quadratic), same contract as the paper.
+   *
+   * Deterministic end to end (seeded k-means, exact cosine refine, min-id
+   * survivor), so the full pipeline — Lloyd iterations, per-cluster pair
+   * closure, survivor rule — replays in the DuckDB oracle.
+   *
+   * @return kept rows: (id, cluster), one per surviving document
+   */
+  def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val assign = Similarity.kmeans(df, idCol, vecCol, k, iters)
+      .select(col("id").cast("long").as("__id"), col("cluster").as("__c"))
+    val v = df.select(idCol.cast("long").as("__id"), vecCol.as("__vec"))
+      .withColumn("__nrm", stf.vec_norm(col("__vec")))
+      .join(assign, "__id")
+    val pairs = v.as("l").join(v.as("r"),
+        col("l.__c") === col("r.__c") && col("l.__id") < col("r.__id"))
+      .filter(stf.vec_dot(col("l.__vec"), col("r.__vec")) /
+        (col("l.__nrm") * col("r.__nrm")) >= threshold)
+      .select(col("l.__id").as("__a"), col("r.__id").as("__b"))
+    // self-loops keep singletons; edges never cross clusters, so each
+    // component lives inside one cluster and the kept row's cluster is
+    // well-defined
+    val edges = pairs.union(df.select(idCol.cast("long").as("__a"),
+      idCol.cast("long").as("__b")))
+    val comps = ConnectedComponents.run(edges)
+    val keep = comps.groupBy(col("__comp")).agg(min(col("__id")).as("__keep"))
+    v.select(col("__id"), col("__c"))
+      .join(keep, col("__id") === col("__keep"))
+      .select(col("__id").as("id"), col("__c").as("cluster"))
+  }
 }

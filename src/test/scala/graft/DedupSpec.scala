@@ -287,6 +287,40 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(d(3L) - 0.04) < 1e-6)
   }
 
+  test("semanticDedup: hand case — clusters bound the groups, min id survives") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // two far-apart 2-D clusters; within each, two near-parallel vectors
+    // (cos ~ 1) and one orthogonal-ish outlier. Seeds: ids 1, 2.
+    val pts = Seq(
+      (1L, Array(10.0f, 0.1f)), (3L, Array(10.0f, 0.2f)),   // near-dups, cluster A
+      (5L, Array(0.1f, 9.0f)),                              // outlier in A-or-B
+      (2L, Array(-10.0f, -0.1f)), (4L, Array(-10.0f, -0.2f)) // near-dups, cluster B
+    ).toDF("id", "vec")
+    val kept = Dedup.semanticDedup(pts, col("id"), col("vec"),
+        k = 2, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0)).toSet
+    // each near-dup pair collapses to its min id; the outlier survives
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
+  test("semanticDedup k=1 == exact-pair closure (differential)") {
+    // with one cluster the operator degenerates to: exact cosine pairs,
+    // connected components, min id — replay that directly from
+    // cosinePairsExact + ConnectedComponents and compare survivors
+    val kept = Dedup.semanticDedup(embs, col("vec_id"), col("embedding"),
+        k = 1, iters = 0, threshold = 0.42)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.cosinePairsExact(embs, col("vec_id"), col("embedding"), 0.42)
+      .select(col("id_a").cast("long").as("__a"), col("id_b").cast("long").as("__b"))
+      .union(embs.select(col("vec_id").cast("long").as("__a"),
+        col("vec_id").cast("long").as("__b")))
+    val comps = graft.operators.ConnectedComponents.run(pairs)
+    val want = comps.groupBy(col("__comp")).agg(min(col("__id")).as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(kept.nonEmpty && kept == want)
+  }
+
   test("kmeans guards: duplicate seed ids, null and non-finite embeddings fail loudly") {
     val spark2 = TestSpark.spark
     import spark2.implicits._

