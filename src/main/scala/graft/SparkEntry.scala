@@ -744,6 +744,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // D4-style prototypicality pruning: drop the 25% of each k-means
+    // cluster closest to the centroid (most prototypical), keep the
+    // diverse tail — exact integer rank gate, no window task per cluster.
+    "q109_prototype_prune" -> ((s, dir) => {
+      Similarity.prototypePrune(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 4, iters = 2,
+          keepNum = 3, keepDen = 4)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // leakage-safe split: every near-dup family (LSH pairs closed by CC)
+    // lands in ONE split — a test doc's near-twin can't sit in train.
+    "q110_family_split" -> ((s, dir) => {
+      Dedup.assignSplitByFamily(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), splitSalt, splitFractions)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // reference tileFile CSV format: write + reload is the identity on the
     // rasterized event grid (oracle = the q21 rasterize SQL).
     "q38_tilefile_roundtrip" -> ((s, dir) => {
@@ -1773,6 +1793,31 @@ object SparkEntry {
     // SemDeDup replay: unrolled Lloyd -> within-cluster cosine pairs ->
     // recursive closure -> min-id survivors with their cluster
     "q108_semantic_dedup" -> semanticDedupOracleSql(k = 4, iters = 2, threshold = 0.42),
+
+    // Lloyd assignment -> per-cluster rank on distance DESC -> keep 3/4
+    "q109_prototype_prune" ->
+      (s"WITH ${kmeansOracleCtes(k = 4, iters = 2)}, " +
+       "asg AS (SELECT vec_id, c, d FROM f WHERE rn = 1), " +
+       "r AS (SELECT vec_id, c, row_number() OVER (PARTITION BY c ORDER BY d DESC, vec_id) AS rk, " +
+       "count(*) OVER (PARTITION BY c) AS cnt FROM asg) " +
+       "SELECT vec_id, c AS cluster FROM r WHERE rk*4 <= cnt*3 ORDER BY vec_id"),
+
+    // exact-Jaccard closure (LSH == exact at these params) -> md5 split of
+    // the component representative
+    "q110_family_split" -> {
+      val Seq(trainCut, valCut) =
+        splitFractions.scanLeft(0.0)(_ + _._2).tail.init.map(Pipeline.hexBound)
+      s"WITH RECURSIVE sh AS ($shingleSetSql), " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+      "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))), " +
+      "e(a, b) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p " +
+      "UNION SELECT doc_id, doc_id FROM documents), " +
+      "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+      "comp AS (SELECT a, min(b) AS m FROM reach GROUP BY a) " +
+      s"SELECT a AS doc_id, CASE WHEN substr(md5(m || ':$splitSalt'),1,4) < '$trainCut' THEN 'train' " +
+      s"WHEN substr(md5(m || ':$splitSalt'),1,4) < '$valCut' THEN 'val' ELSE 'test' END AS split " +
+      "FROM comp ORDER BY doc_id"
+    },
 
     "q38_tilefile_roundtrip" -> s"$rasterBaseSql $tileCsvSelectSql",
 

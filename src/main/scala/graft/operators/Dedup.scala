@@ -236,6 +236,34 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe split assignment: near-duplicate documents must never
+   * straddle train/val/test — a test document whose near-twin sits in
+   * train leaks the answer into evaluation. Families are the
+   * [[minhashLshPairs]] near-dup graph closed by [[ConnectedComponents]];
+   * the split label is then [[Pipeline.assignSplit]] keyed on the FAMILY
+   * representative (component min id) instead of the document id, so every
+   * member of a family lands in the same split, and a singleton document
+   * (its own representative) degrades to the plain per-document rule.
+   *
+   * Scale shape: the LSH pair join + CC (both audited above) plus one
+   * equi-join of the component table back onto the corpus; the split rule
+   * itself is a pure map.
+   *
+   * @return input columns + `split`
+   */
+  def assignSplitByFamily(df: DataFrame, idCol: Column, textCol: Column,
+                          salt: String, fractions: Seq[(String, Double)],
+                          n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                          p: Int = 4, q: Int = 5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, p, q)
+    val edges = pairs.select(col("id_a").cast("long").as("__a"), col("id_b").cast("long").as("__b"))
+      .union(df.select(idCol.cast("long").as("__a"), idCol.cast("long").as("__b")))
+    val comps = ConnectedComponents.run(edges)
+    val withFam = df.join(comps, idCol.cast("long") === col("__id")).drop("__id")
+    Pipeline.assignSplit(withFam, col("__comp"), salt, fractions).drop("__comp")
+  }
+
+  /**
    * [[dropNearDuplicates]] with a quality-aware representative: per
    * near-dup group, keep the row with the HIGHEST `scoreCol` (ties broken
    * by minimum id) instead of the minimum id — the production shape, where

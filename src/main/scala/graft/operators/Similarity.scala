@@ -798,4 +798,27 @@ object Similarity {
     v.select(col("id"), nearest(bc)(col("__ke")).as("__ka"))
       .select(col("id"), col("__ka._1").as("cluster"), col("__ka._2").as("dist"))
   }
+
+  /**
+   * D4-style prototypicality pruning (Tirumala et al. 2023,
+   * arXiv:2308.12284 — public method): cluster the corpus with the seeded
+   * deterministic [[kmeans]], then within each cluster DROP the rows
+   * closest to the centroid — the most prototypical, most redundant
+   * examples — keeping the diverse `keepNum/keepDen` tail. The keep rule
+   * is [[Pipeline.quantileGate]]'s exact integer per-group rank (distance
+   * DESCENDING, ties to the lower id), so the result is deterministic and
+   * SQL-replayable; the gate itself is the distributed range-partition
+   * rank, never a per-cluster window task.
+   *
+   * Scale shape: the kmeans passes plus quantileGate's one range shuffle —
+   * nothing quadratic anywhere (this is the half of D4 that needs no pair
+   * join; compose with [[Dedup.semanticDedup]] for the full recipe).
+   *
+   * @return kept rows: (id, cluster, dist)
+   */
+  def prototypePrune(df: DataFrame, idCol: Column, vecCol: Column,
+                     k: Int, iters: Int,
+                     keepNum: Int, keepDen: Int): DataFrame =
+    Pipeline.quantileGate(kmeans(df, idCol, vecCol, k, iters),
+      col("cluster"), keepNum, keepDen, col("dist").desc, col("id"))
 }

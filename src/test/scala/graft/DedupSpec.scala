@@ -321,6 +321,51 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept == want)
   }
 
+  test("prototypePrune: per-cluster rank on distance keeps the diverse tail") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // 1-D, k=2: clusters {1,2} (centroid 0.5) and {3,4} (centroid 10.5) —
+    // every dist is exactly 0.25, so ranks fall to the id tiebreak: keeping
+    // 1/2 per cluster keeps the LOWER id of each (dist desc, id asc)
+    val pts = Seq((1L, Array(0.0f)), (2L, Array(1.0f)),
+                  (3L, Array(10.0f)), (4L, Array(11.0f))).toDF("id", "vec")
+    val kept = Similarity.prototypePrune(pts, col("id"), col("vec"),
+        k = 2, iters = 2, keepNum = 1, keepDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("assignSplitByFamily: a near-dup family shares one split; singletons match the plain rule") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val familyText = "this exact boilerplate sentence is repeated verbatim " +
+      "across every member of the duplicated family of documents"
+    val family = (100L to 104L).map(i => (i, familyText))
+    val singles = (200L to 219L).map(i =>
+      (i, s"distinct document $i talking about topic number ${i * 37} only here"))
+    val corpus = (family ++ singles).toDF("doc_id", "text").localCheckpoint()
+    val fractions = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val got = Dedup.assignSplitByFamily(corpus, col("doc_id"), col("text"),
+        "fam-v1", fractions)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 25)
+    // the whole family carries ONE label — the representative's (min id)
+    val famLabels = (100L to 104L).map(got).toSet
+    assert(famLabels.size == 1)
+    // singletons are their own representative: identical to plain assignSplit
+    val plain = graft.operators.Pipeline.assignSplit(
+        corpus.filter(col("doc_id") >= 200), col("doc_id"), "fam-v1", fractions)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((200L to 219L).forall(i => got(i) == plain(i)))
+    // and the family label is what the representative id alone would get
+    val repOnly = graft.operators.Pipeline.assignSplit(
+        corpus.filter(col("doc_id") === 100), col("doc_id"), "fam-v1", fractions)
+      .collect().map(_.getString(2)).head
+    assert(famLabels.head == repOnly)
+  }
+
   test("kmeans guards: duplicate seed ids, null and non-finite embeddings fail loudly") {
     val spark2 = TestSpark.spark
     import spark2.implicits._
