@@ -29,10 +29,25 @@ object Dedup {
     df.groupBy(md5(textCol.cast("binary")).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /**
+   * Spread an under-partitioned input to session parallelism BEFORE an
+   * expensive per-row kernel (shingling, minhash signatures, hyperplane
+   * buckets, O(n²) refines). A small parquet file arrives as ONE scan
+   * partition (row-group granularity), which would run the whole kernel
+   * single-threaded; the repartition moves only the raw input rows — cheap
+   * exactly when it fires. At corpus scale inputs already carry at least
+   * session parallelism and this is a no-op (no shuffle added).
+   */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** (id, shingles, n_shingles) prep used by the Jaccard family. */
   private[graft] def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.select(idCol.as("__id"), TextAnalysis.shingles(textCol, n).as("__sh"))
+    spread(df.select(idCol.as("__id"), textCol.as("__t")))
+      .select(col("__id"), TextAnalysis.shingles(col("__t"), n).as("__sh"))
       .withColumn("__sz", size(col("__sh")))
       .filter(col("__sz") > 0)
   }
@@ -63,12 +78,14 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int = 3, p: Int = 4, q: Int = 5): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n).cache()
-    // materialize, then free the shingle cache — long sessions must not
-    // accumulate storage blocks (same hygiene as DBSCAN.cluster)
-    val out = ngramJaccardPlan(sh, p, q).localCheckpoint()
-    sh.unpersist(blocking = false)
-    out
+    // EAGER materialization (localCheckpoint), not a lazy cache: the pair
+    // plan fans out into several concurrent shuffle-map branches that all
+    // read the shingle table — under AQE those stages launch together, and
+    // a cold cache makes every branch recompute/contend on the same
+    // partitions (measured: 6 racing copies of the shingle kernel). An
+    // ExistingRDD scan is warm for all of them.
+    val sh = shingled(df, idCol, textCol, n).localCheckpoint()
+    ngramJaccardPlan(sh, p, q).localCheckpoint()
   }
 
   /** Lazy (un-checkpointed) pair plan over prepared [[shingled]] rows —
@@ -175,16 +192,20 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of bands ($bands) — " +
       "trailing signature rows would be silently ignored")
     GraftFunctions.register(df.sparkSession)
-    val sh = shingled(df, idCol, textCol, n).cache()
+    // eager, not cache() — see ngramJaccardPairs (branch fan-out races a
+    // cold cache)
+    val sh = shingled(df, idCol, textCol, n).localCheckpoint()
     // band_buckets seeds each band's hash with the band index, so bucket
     // values are globally distinct across bands — one join key suffices.
+    // NOT checkpointed: cappedBucketPairs reads this four times, but
+    // ReuseExchange collapses the identical shuffle subplans, so the
+    // minhash kernel runs once per distinct exchange — an eager barrier
+    // here measured strictly slower.
     val banded = sh.select(col("__id"),
         explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands))
           .as("__bucket"))
     val cands = cappedBucketPairs(banded, maxBucket)
-    val out = refineJaccard(cands, sh, p, q).localCheckpoint()
-    sh.unpersist(blocking = false)
-    out
+    refineJaccard(cands, sh, p, q).localCheckpoint()
   }
 
   /**
@@ -601,7 +622,7 @@ object Dedup {
   def cosinePairsExact(df: DataFrame, idCol: Column, vecCol: Column,
                        threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val v = df.select(idCol.as("__id"), vecCol.as("__vec"))
+    val v = spread(df.select(idCol.as("__id"), vecCol.as("__vec")))
       .withColumn("__nrm", stf.vec_norm(col("__vec")))
     val n = v.count()
     require(n <= CosineExactBound,
@@ -622,10 +643,11 @@ object Dedup {
                      threshold: Double, tables: Int = 8, planes: Int = 8,
                      maxBucket: Int = MaxLshBucket): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val v = df.select(idCol.as("__id"), vecCol.as("__vec"))
+    val v = spread(df.select(idCol.as("__id"), vecCol.as("__vec")))
     val withNorm = v.withColumn("__nrm", stf.vec_norm(col("__vec")))
     // hyperplane_buckets encodes the table index in the bucket value, so
-    // one join key covers all tables; capped against hot buckets.
+    // one join key covers all tables; capped against hot buckets (reads of
+    // this subplan dedupe through ReuseExchange — see minhashLshPairs).
     val banded = v.select(col("__id"),
       explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("__bucket"))
     // distinct on the id pair only (cheap), then join vectors back for refine
