@@ -169,6 +169,20 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Embedding ingest gate against a frozen cosine-LSH store: train on
+    // even vec_ids, admit only the odd vectors that are no stored vector's
+    // cosine near-dup. tables=48/planes=3 puts the LSH miss at ~5e-7 for
+    // threshold 0.42 (the q33 configuration), so the exact oracle replays.
+    "q111_cosine_gate" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("clstore", dir)(p =>
+        Dedup.buildCosineLshStore(embs.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), p, tables = 48, planes = 3))
+      Dedup.dropSeenCosine(embs.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"), path, threshold = 0.42)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // Near-dedup keeping the best-quality representative per group
     // (score = n_chars, ties min id) — same closure as q59, different
     // survivor rule.
@@ -1493,6 +1507,16 @@ object SparkEntry {
        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b " +
        s"WHERE a.vec_id < b.vec_id AND ($dotSql) / (a.nrm*b.nrm) >= 0.42 " +
        "ORDER BY id_a, id_b"),
+
+    // odd vectors with no even cosine-partner (exact cosine >= 0.42
+    // replays the gate: LSH misses are ~5e-7 at 48/3)
+    "q111_cosine_gate" ->
+      (s"WITH e AS ($normedEmbSql), " +
+       "hit AS (SELECT DISTINCT a.vec_id FROM e a JOIN e b " +
+       "ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0 " +
+       s"AND ($dotSql) / (a.nrm*b.nrm) >= 0.42) " +
+       "SELECT vec_id FROM e WHERE vec_id % 2 = 1 " +
+       "AND vec_id NOT IN (SELECT vec_id FROM hit) ORDER BY vec_id"),
 
     "q33_dedup_cosine_lsh" ->
       (s"WITH e AS ($normedEmbSql) " +

@@ -605,6 +605,74 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     stf.vec_dot(a, b) / (stf.vec_norm(a) * stf.vec_norm(b))
 
+  // ---- Persisted cosine-LSH vector store: embedding near-dup gate against
+  // a frozen corpus — the embedding twin of the MinHash store. Candidates
+  // come from hyperplane sign-pattern collisions against the stored bucket
+  // table (equi-join, never all-pairs); the exact cosine refine against the
+  // stored vectors removes LSH false positives, so precision is exact and
+  // recall is the 1-(1-(1-θ/π)^planes)^tables banding curve — size
+  // tables/planes to the gate's threshold (e.g. 48/3 puts the per-pair miss
+  // at ~5e-7 for cosine 0.42; dedup-grade thresholds need far fewer).
+
+  /** Build/overwrite a cosine-LSH store under `path`: `buckets` (id,
+    * bucket — range-laid-out by bucket so probes co-locate with the
+    * dominant read order), `vectors` (id, vec, nrm) for the exact refine,
+    * and a parameter sidecar so probes can't silently mix hyperplane
+    * configurations. Same rebuild-crash marker contract as every other
+    * store. */
+  def buildCosineLshStore(corpus: DataFrame, idCol: Column, vecCol: Column,
+                          path: String, tables: Int = 8, planes: Int = 8): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val v = spread(corpus.select(idCol.as("__id"), vecCol.as("__vec")))
+      .localCheckpoint() // two writes below read it — warm, not racing
+    v.select(col("__id").as("id"),
+        explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("bucket"))
+      .repartitionByRange(col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").parquet(path + "/buckets")
+    v.select(col("__id").as("id"), col("__vec").as("vec"),
+        stf.vec_norm(col("__vec")).as("nrm"))
+      .write.mode("overwrite").parquet(path + "/vectors")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_coslsh_params",
+      s"$tables $planes")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** Admit only the batch rows that are NOT an embedding near-duplicate
+    * (cosine >= `threshold`) of any stored vector. Per-batch work is the
+    * bounded bucket equi-join + exact cosine confirm — the batch side is
+    * broadcast-small in the ingest setting, and nothing accumulates
+    * outside the store. */
+  def dropSeenCosine(batch: DataFrame, idCol: Column, vecCol: Column,
+                     path: String, threshold: Double): DataFrame = {
+    require(!batch.columns.exists(_.toLowerCase.startsWith("__cl_")),
+      "dropSeenCosine: batch must not contain __cl_* columns")
+    GraftFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_coslsh_params").trim.split(" ")
+    val (tables, planes) = (params(0).toInt, params(1).toInt)
+    val v = batch.select(idCol.as("__cl_id"), vecCol.as("__cl_vec"))
+      .withColumn("__cl_nrm", stf.vec_norm(col("__cl_vec")))
+    val banded = v.select(col("__cl_id"),
+      explode(stf.hyperplane_buckets(col("__cl_vec"), tables, planes)).as("__cl_bucket"))
+    val cands = banded
+      .join(spark.read.parquet(path + "/buckets"), col("__cl_bucket") === col("bucket"))
+      .select(col("__cl_id"), col("id").as("__cl_sid"))
+      .distinct()
+    val storeVec = spark.read.parquet(path + "/vectors")
+    val seen = cands
+      .join(v, "__cl_id")
+      .join(storeVec.select(col("id").as("__cl_sid"), col("vec").as("__cl_svec"),
+        col("nrm").as("__cl_snrm")), "__cl_sid")
+      .filter(stf.vec_dot(col("__cl_vec"), col("__cl_svec")) /
+        (col("__cl_nrm") * col("__cl_snrm")) >= threshold)
+      .select(col("__cl_id")).distinct()
+    batch.join(seen, idCol === col("__cl_id"), "left_anti")
+  }
+
   /** Hard row cap for [[cosinePairsExact]] — the all-pairs join is O(n²)
     * by design (its role is the small-corpus exact oracle baseline), so it
     * refuses to run on anything a real corpus sized. Same loud-contract

@@ -252,6 +252,27 @@ object EventStreams {
       }
       .start()
 
+  /**
+   * Ingest-time EMBEDDING near-dup gate: each micro-batch is filtered
+   * against a frozen [[graft.operators.Dedup.buildCosineLshStore]] corpus —
+   * incoming vectors with cosine >= `threshold` to ANY stored vector are
+   * dropped before landing. The embedding twin of [[ingestDropNearDups]];
+   * per-batch work is the bounded bucket equi-join + exact cosine confirm.
+   */
+  def ingestDropSeenCosine(docs: DataFrame, idColName: String,
+                           vecColName: String, storePath: String,
+                           outPath: String, checkpoint: String,
+                           threshold: Double)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .dropSeenCosine(batch, col(idColName), col(vecColName), storePath, threshold)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
+
   def ingestDropSeenSpans(docs: DataFrame, idColName: String,
                           textColName: String, k: Int,
                           storePath: String, outPath: String,

@@ -366,6 +366,23 @@ class DedupSpec extends AnyFunSuite {
     assert(famLabels.head == repOnly)
   }
 
+  test("cosine gate == exact anti-join differential (store round trip)") {
+    val tmp = java.nio.file.Files.createTempDirectory("clstore").toString
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    val odd = embs.filter(col("vec_id") % 2 === 1)
+    Dedup.buildCosineLshStore(even, col("vec_id"), col("embedding"),
+      tmp, tables = 48, planes = 3)
+    val kept = Dedup.dropSeenCosine(odd, col("vec_id"), col("embedding"),
+        tmp, threshold = 0.42)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // exact replay: odd ids with at least one even cosine-partner >= 0.42
+    val hit = odd.as("a").join(even.as("b"),
+        Dedup.cosine(col("a.embedding"), col("b.embedding")) >= 0.42)
+      .select(col("a.vec_id")).collect().map(_.getLong(0)).toSet
+    val want = odd.select(col("vec_id")).collect().map(_.getLong(0)).toSet -- hit
+    assert(kept.nonEmpty && kept == want)
+  }
+
   test("kmeans guards: duplicate seed ids, null and non-finite embeddings fail loudly") {
     val spark2 = TestSpark.spark
     import spark2.implicits._

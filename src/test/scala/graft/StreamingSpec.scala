@@ -231,6 +231,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cosine gate drops embedding near-dups per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("clgate").toString
+    // one stored direction (1, 0); tables=48/planes=1 -> every non-oppositie
+    // vector collides in some table w.h.p., exact refine decides
+    graft.operators.Dedup.buildCosineLshStore(
+      Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v"), col("id"), col("v"),
+      s"$tmp/store", tables = 48, planes = 1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val vecs = input.toDF().toDF("vec_id", "vec")
+    val q = EventStreams.ingestDropSeenCosine(vecs, "vec_id", "vec",
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt", threshold = 0.9)
+    try {
+      // 10 is nearly parallel to the stored vector (cos ~ 0.995 -> dropped);
+      // 11 is orthogonal (cos 0 -> kept)
+      input.addData((10L, Array(1.0f, 0.1f)), (11L, Array(0.0f, 1.0f)))
+      q.processAllAvailable()
+      // 12 at 45 degrees: cos ~ 0.707 < 0.9 -> kept
+      input.addData((12L, Array(1.0f, 1.0f)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$tmp/out").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 12L))
+    } finally q.stop()
+  }
+
   test("text scrub pipeline (normalize -> redact -> fingerprint) runs per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
