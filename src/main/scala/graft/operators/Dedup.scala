@@ -35,13 +35,47 @@ object Dedup {
    * buckets, O(n²) refines). A small parquet file arrives as ONE scan
    * partition (row-group granularity), which would run the whole kernel
    * single-threaded; the repartition moves only the raw input rows — cheap
-   * exactly when it fires. At corpus scale inputs already carry at least
-   * session parallelism and this is a no-op (no shuffle added).
+   * exactly when it fires.
+   *
+   * The partition count is inspected WITHOUT executing anything: only
+   * exchange-free single-leaf plans (scan → project/filter chains) are
+   * considered — their leaf partition count is known at planning time.
+   * Anything with an upstream shuffle already carries
+   * `spark.sql.shuffle.partitions` and is left alone; critically, probing
+   * such a plan via `df.rdd` would force AQE to materialize every upstream
+   * stage just to learn the count, and the returned plan would then run
+   * them all a second time.
    */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val plan = df.queryExecution.sparkPlan
+    val leafParts = plan.collectLeaves() match {
+      case Seq(leaf) if plan.find(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]).isEmpty =>
+        // leaf execute() builds the scan RDD lazily — no job is submitted
+        try Some(leaf.execute().getNumPartitions)
+        catch { case _: Throwable => None }
+      case _ => None
+    }
+    leafParts match {
+      case Some(n) if n < par => df.repartition(par)
+      case _ => df
+    }
   }
+
+  /**
+   * Free the executor blocks behind an eagerly localCheckpoint-ed
+   * DataFrame. Safe ONLY once nothing will read it again (a local
+   * checkpoint has no lineage to recompute from) — callers release the
+   * prep table after the output's own checkpoint has materialized. Keeps
+   * the storage-hygiene invariant the old cache()+unpersist pattern had:
+   * long sessions must not accumulate corpus-sized blocks.
+   */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** (id, shingles, n_shingles) prep used by the Jaccard family. */
   private[graft] def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
@@ -83,9 +117,12 @@ object Dedup {
     // read the shingle table — under AQE those stages launch together, and
     // a cold cache makes every branch recompute/contend on the same
     // partitions (measured: 6 racing copies of the shingle kernel). An
-    // ExistingRDD scan is warm for all of them.
+    // ExistingRDD scan is warm for all of them; released once the output
+    // has its own materialization.
     val sh = shingled(df, idCol, textCol, n).localCheckpoint()
-    ngramJaccardPlan(sh, p, q).localCheckpoint()
+    val out = ngramJaccardPlan(sh, p, q).localCheckpoint()
+    releaseCheckpoint(sh)
+    out
   }
 
   /** Lazy (un-checkpointed) pair plan over prepared [[shingled]] rows —
@@ -205,7 +242,9 @@ object Dedup {
         explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands))
           .as("__bucket"))
     val cands = cappedBucketPairs(banded, maxBucket)
-    refineJaccard(cands, sh, p, q).localCheckpoint()
+    val out = refineJaccard(cands, sh, p, q).localCheckpoint()
+    releaseCheckpoint(sh)
+    out
   }
 
   /**
@@ -244,13 +283,26 @@ object Dedup {
    * groups via [[ConnectedComponents]] (a near-dup of a near-dup is the
    * same document family); the minimum id of each group survives.
    */
+  /**
+   * Close an (id_a, id_b) near-dup pair list into families: every id of
+   * `df` (self-loops keep singletons) labelled with its component min id —
+   * the shared glue of the four family consumers (min-id dedup, keep-best
+   * dedup, family splits, semantic dedup). Ids are widened to long for the
+   * CC machinery. Returns (__id, __comp).
+   */
+  private def familyComponents(pairs: DataFrame, df: DataFrame,
+                               idCol: Column): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("__a"), col("id_b").cast("long").as("__b"))
+      .union(df.select(idCol.cast("long").as("__a"), idCol.cast("long").as("__b")))
+    ConnectedComponents.run(edges)
+  }
+
   def dropNearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
                          n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                          p: Int = 4, q: Int = 5): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, p, q)
-    val edges = pairs.select(col("id_a").as("__a"), col("id_b").as("__b"))
-      .union(df.select(idCol.as("__a"), idCol.as("__b"))) // self-loops: keep singletons
-    val comps = ConnectedComponents.run(edges)
+    val comps = familyComponents(pairs, df, idCol)
     val keep = comps.groupBy(col("__comp")).agg(min(col("__id")).as("__keep"))
       .select(col("__keep"))
     df.join(keep, idCol === col("__keep")).drop("__keep")
@@ -277,9 +329,7 @@ object Dedup {
                           n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                           p: Int = 4, q: Int = 5): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, p, q)
-    val edges = pairs.select(col("id_a").cast("long").as("__a"), col("id_b").cast("long").as("__b"))
-      .union(df.select(idCol.cast("long").as("__a"), idCol.cast("long").as("__b")))
-    val comps = ConnectedComponents.run(edges)
+    val comps = familyComponents(pairs, df, idCol)
     val withFam = df.join(comps, idCol.cast("long") === col("__id")).drop("__id")
     Pipeline.assignSplit(withFam, col("__comp"), salt, fractions).drop("__comp")
   }
@@ -302,9 +352,7 @@ object Dedup {
                                  n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                                  p: Int = 4, q: Int = 5): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, p, q)
-    val edges = pairs.select(col("id_a").as("__a"), col("id_b").as("__b"))
-      .union(df.select(idCol.as("__a"), idCol.as("__b"))) // self-loops: keep singletons
-    val comps = ConnectedComponents.run(edges)
+    val comps = familyComponents(pairs, df, idCol)
     val scored = comps.join(
       df.select(idCol.as("__kb_id"), scoreCol.as("__kb_sc")),
       col("__id") === col("__kb_id"))
@@ -635,6 +683,7 @@ object Dedup {
     v.select(col("__id").as("id"), col("__vec").as("vec"),
         stf.vec_norm(col("__vec")).as("nrm"))
       .write.mode("overwrite").parquet(path + "/vectors")
+    releaseCheckpoint(v)
     graft.sources.Sidecar.writeText(spark, path + "/_graft_coslsh_params",
       s"$tables $planes")
     graft.sources.Sidecar.markComplete(spark, path)
@@ -642,9 +691,20 @@ object Dedup {
 
   /** Admit only the batch rows that are NOT an embedding near-duplicate
     * (cosine >= `threshold`) of any stored vector. Per-batch work is the
-    * bounded bucket equi-join + exact cosine confirm — the batch side is
+    * bucket equi-join + exact cosine confirm — the batch side is
     * broadcast-small in the ingest setting, and nothing accumulates
-    * outside the store. */
+    * outside the store.
+    *
+    * SIZING RULE (differs from the MinHash gate, whose band buckets are
+    * 64-bit signature hashes): a table has only 2^planes sign-pattern
+    * buckets, so expected candidates per batch row ≈
+    * tables × store / 2^planes. `planes` must GROW with the store —
+    * planes ≈ log₂(store / desired-bucket-width) — or the confirm step
+    * degenerates toward (or past) brute force. Low-planes/high-tables
+    * configurations (like q111's oracle-anchoring 48/3) buy near-exact
+    * recall at moderate thresholds and are only for corpora small enough
+    * to verify exactly; production gates run dedup-grade thresholds
+    * (≥ 0.9) where planes can be large with recall intact. */
   def dropSeenCosine(batch: DataFrame, idCol: Column, vecCol: Column,
                      path: String, threshold: Double): DataFrame = {
     require(!batch.columns.exists(_.toLowerCase.startsWith("__cl_")),
@@ -761,13 +821,10 @@ object Dedup {
         col("l.__c") === col("r.__c") && col("l.__id") < col("r.__id"))
       .filter(stf.vec_dot(col("l.__vec"), col("r.__vec")) /
         (col("l.__nrm") * col("r.__nrm")) >= threshold)
-      .select(col("l.__id").as("__a"), col("r.__id").as("__b"))
-    // self-loops keep singletons; edges never cross clusters, so each
-    // component lives inside one cluster and the kept row's cluster is
-    // well-defined
-    val edges = pairs.union(df.select(idCol.cast("long").as("__a"),
-      idCol.cast("long").as("__b")))
-    val comps = ConnectedComponents.run(edges)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    // edges never cross clusters, so each component lives inside one
+    // cluster and the kept row's cluster is well-defined
+    val comps = familyComponents(pairs, df, idCol)
     val keep = comps.groupBy(col("__comp")).agg(min(col("__id")).as("__keep"))
     v.select(col("__id"), col("__c"))
       .join(keep, col("__id") === col("__keep"))

@@ -44,11 +44,20 @@ class QueriesSpec extends AnyFunSuite {
           s"$name plans a BroadcastNestedLoopJoin — not equi-join shaped:\n$plan")
       }
       if (!globalWindowOk.contains(name)) {
-        // FormattedMode prints windows as "Window [...], [partitionCols], [order]"
-        // — a global window has no partition clause and funnels all rows
-        // into one task
-        val globalWindow = "(?m)^\\s*Window \\[[^\\]]*\\], \\[[^\\]]*\\]\\s*$".r
-        assert(globalWindow.findFirstIn(plan).isEmpty,
+        // checked on the PHYSICAL TREE, not a string: FormattedMode prints
+        // window arguments in a details section no line regex reliably
+        // ties back to the node (an earlier regex version could never
+        // match and passed vacuously). An empty partitionSpec funnels all
+        // rows into one task. SinglePartition-folded keys (e.g. a literal
+        // the optimizer removed) land here too — exactly the cases the
+        // lint exists to catch.
+        val globalWindows = df.queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globalWindows.isEmpty,
           s"$name plans an unpartitioned Window (single-task sort):\n$plan")
       }
       val n = df.count()
