@@ -58,27 +58,44 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
                                      timeBucket: Option[Long] = None)
 
   /** Sidecar lookups are one FS `exists` per distinct root path; cache
-    * outcomes (including misses — every non-CellStore parquet read in the
-    * session would otherwise pay the probe on each optimization pass).
-    * Store layouts are immutable by contract (a rebuild rewrites the same
-    * parameters), so entries never invalidate. */
+    * outcomes (including genuine misses — every non-CellStore parquet read
+    * in the session would otherwise pay the probe on each optimization
+    * pass). Store layouts are immutable by contract (a rebuild rewrites
+    * the same parameters — `CellStore.save` clears this cache so a
+    * same-JVM rebuild with DIFFERENT parameters cannot leave stale
+    * entries; a cross-JVM parameter change needs a new path). A TRANSIENT
+    * read error is NOT cached — pruning is skipped for that pass only, so
+    * one filesystem hiccup can't disable pruning for the session. */
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[CellMeta]]()
 
   private[graft] def clearMetaCache(): Unit = metaCache.clear()
 
-  private def metaFor(path: String): Option[CellMeta] =
-    metaCache.computeIfAbsent(path, { p =>
+  private def metaFor(path: String): Option[CellMeta] = {
+    val cached = metaCache.get(path)
+    if (cached != null) return cached
+    val spark = SparkSession.active
+    // outer None = transient failure (do not cache); inner Option is the
+    // cacheable outcome. (scala.Either is shadowed by Catalyst's
+    // string-function Left/Right under the expressions._ import.)
+    val resolved: Option[Option[CellMeta]] =
       try {
-        val txt = graft.sources.Sidecar.readText(
-          SparkSession.active, p + "/_graft_cells")
-        val kv = txt.linesIterator.map(_.split("=", 2))
-          .collect { case Array(k, v) => k -> v }.toMap
-        for (cs <- kv.get("cellSize"); x <- kv.get("x"); y <- kv.get("y"))
-          yield CellMeta(cs.toDouble, x, y, kv.get("geom").filter(_.nonEmpty),
-            kv.get("t").filter(_.nonEmpty), kv.get("timeBucket").map(_.toLong))
-      } catch { case _: Throwable => None }
-    })
+        if (!graft.sources.Sidecar.exists(spark, path + "/_graft_cells"))
+          Some(None) // genuine miss: not a cell store — cacheable
+        else {
+          val txt = graft.sources.Sidecar.readText(spark, path + "/_graft_cells")
+          val kv = txt.linesIterator.map(_.split("=", 2))
+            .collect { case Array(k, v) => k -> v }.toMap
+          Some(for (cs <- kv.get("cellSize"); x <- kv.get("x"); y <- kv.get("y"))
+            yield CellMeta(cs.toDouble, x, y, kv.get("geom").filter(_.nonEmpty),
+              kv.get("t").filter(_.nonEmpty), kv.get("timeBucket").map(_.toLong)))
+        }
+      } catch { case _: Throwable => None } // transient: do not cache
+    resolved match {
+      case Some(m) => metaCache.put(path, m); m
+      case None => None
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // both optimized shapes: the filter directly on the relation, and the
@@ -111,6 +128,14 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     val px = rel.output.find(_.name.equalsIgnoreCase("part_cx"))
     val py = rel.output.find(_.name.equalsIgnoreCase("part_cy"))
     if (px.isEmpty || py.isEmpty) return None
+    // partition inference yields INT for the cast("int") directory values;
+    // any other type (e.g. strings under disabled type inference) would
+    // leave the injected comparison against an Int literal unresolved —
+    // post-analysis rules insert no implicit casts. Skip rather than break
+    // the plan. (The part_tb path carries its own equivalent guard.)
+    if (px.get.dataType != org.apache.spark.sql.types.IntegerType ||
+        py.get.dataType != org.apache.spark.sql.types.IntegerType)
+      return None
     val ptb = rel.output.find(_.name.equalsIgnoreCase("part_tb"))
     // already bounded (our own output, loadIntersecting, or a user filter
     // on the key columns) — nothing to add
@@ -118,8 +143,14 @@ object CellPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         a.name.equalsIgnoreCase("part_cx") || a.name.equalsIgnoreCase("part_cy") ||
         a.name.equalsIgnoreCase("part_tb")))
       return None
-    val root = fsRel.location.rootPaths.headOption.map(_.toString).getOrElse(return None)
-    val m = metaFor(root).getOrElse(return None)
+    // a multi-path read must resolve to ONE metadata: with different
+    // cellSize/key columns per store, bounds computed from one store's
+    // grid would silently prune the other store's rows
+    val roots = fsRel.location.rootPaths.map(_.toString)
+    if (roots.isEmpty) return None
+    val metas = roots.map(metaFor)
+    if (metas.exists(_.isEmpty) || metas.distinct.length != 1) return None
+    val m = metas.head.get
 
     val bs = splitConjunctivePredicates(cond).flatMap(boundsOf(_, m, rel))
     if (bs.isEmpty) return None

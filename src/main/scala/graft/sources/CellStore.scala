@@ -70,9 +70,18 @@ object CellStore {
       "CellStore: input must not contain columns named part_cx/part_cy/part_tb")
     require(tCol.isEmpty == (timeBucket <= 0L),
       "CellStore: tCol and a positive timeBucket must be given together")
+    // SATURATE to the int range instead of letting cast("int") wrap: the
+    // prune side (CellPruneRule.cellLit, loadIntersecting) clamps its
+    // bounds, so a wrapped (negative) directory key for an extreme
+    // coordinate would sit outside every clamped bound and its rows would
+    // be silently pruned. With saturation both sides agree on where
+    // out-of-range cells land.
+    def cellKey(c: Column): Column =
+      greatest(least(floor(c / cellSize), lit(Int.MaxValue.toLong)),
+        lit(Int.MinValue.toLong)).cast("int")
     val keyed0 = df
-      .withColumn("part_cx", floor(xCol / cellSize).cast("int"))
-      .withColumn("part_cy", floor(yCol / cellSize).cast("int"))
+      .withColumn("part_cx", cellKey(xCol))
+      .withColumn("part_cy", cellKey(yCol))
     val keyed = tCol.fold(keyed0)(t =>
       keyed0.withColumn("part_tb", floor(t / timeBucket).cast("long")))
     (keyed, Seq("part_cx", "part_cy") ++ tCol.map(_ => "part_tb"))
@@ -84,14 +93,19 @@ object CellStore {
   private[graft] def writeSidecar(df: DataFrame, path: String, xCol: Column,
                                   yCol: Column, cellSize: Double,
                                   geomCol: Option[String], tCol: Option[Column],
-                                  timeBucket: Long): Unit =
+                                  timeBucket: Long): Unit = {
     for (xn <- attrName(df, xCol); yn <- attrName(df, yCol)) {
       val tn = tCol.flatMap(attrName(df, _))
       Sidecar.writeText(df.sparkSession, s"$path/_graft_cells",
         s"cellSize=$cellSize\nx=$xn\ny=$yn\ngeom=${geomCol.getOrElse("")}" +
           tn.map(n => s"\nt=$n\ntimeBucket=$timeBucket").getOrElse(""))
-      graft.plans.CellPruneRule.clearMetaCache() // a rebuild may change params
     }
+    // UNCONDITIONALLY: a rebuild may change params, and a rebuild whose key
+    // is a computed expression writes NO sidecar (overwrite already deleted
+    // the old one) — a conditional clear would leave the rule pruning the
+    // new layout with the old store's cached metadata
+    graft.plans.CellPruneRule.clearMetaCache()
+  }
 
   /** The attribute name behind a key column, when it is one — computed key
     * expressions get no sidecar (explicit [[loadIntersecting]] still works;

@@ -46,6 +46,13 @@ object Sidecar {
   def writeText(spark: SparkSession, path: String, value: String): Unit =
     writeBytes(spark, path, value.getBytes("UTF-8"))
 
+  /** Does the sidecar file exist? Lets callers distinguish a genuine miss
+    * (cacheable: this path is not a store) from a transient read failure. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def readText(spark: SparkSession, path: String): String =
     new String(readBytes(spark, path), "UTF-8")
 

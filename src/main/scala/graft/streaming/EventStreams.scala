@@ -33,6 +33,16 @@ object EventStreams {
   final case class SessionState(events: Long, firstTs: Long, lastTs: Long)
 
   def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionUpdate] = {
+    // inherently a STREAMING operator (the file-header batch/stream parity
+    // covers the stateless transforms): in batch mode
+    // flatMapGroupsWithState never fires timeouts, so every group would
+    // silently return empty — refuse loudly instead. Sessions still open
+    // when a stream ends are emitted on the next micro-batch after their
+    // gap elapses; an idle stream holds them until then (the
+    // ProcessingTimeTimeout contract).
+    require(events.isStreaming,
+      "sessionize is timeout-driven (flatMapGroupsWithState) and returns " +
+      "nothing in batch mode — use a window-function gap analysis for batch")
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
@@ -132,27 +142,28 @@ object EventStreams {
   }
 
   /**
-   * Streaming ingest against a persisted span store — the streaming twin of
-   * [[graft.operators.Dedup.dropSeenSpans]]: each micro-batch drops
-   * documents sharing >= `minOverlap` spans with the store, exactly as the
-   * batch operator would (Bloom prefilter + exact confirm join run INSIDE
-   * the batch function, so no streaming aggregation state is needed —
-   * state lives in the store, not the query). The surviving rows append to
-   * `outPath` as parquet, the standard continuous-ingest landing pattern.
-   *
-   * Note the store is read per micro-batch but its Bloom sidecar probe is
-   * map-side, so per-batch cost scales with the batch's overlap, not the
-   * store; refreshing the store (after compacting accepted batches into it)
-   * picks up on the next micro-batch automatically.
-   *
-   * Columns are passed BY NAME: inside foreachBatch each micro-batch is a
-   * fresh DataFrame with its own attribute ids, so a Column resolved
+   * Shared landing scaffold of the three store-gated ingest queries: run
+   * `filter` on each micro-batch and write the survivors to
+   * `outPath/batch_id=<n>` with overwrite — a retried micro-batch rewrites
+   * its own directory instead of appending duplicates, making the sink
+   * exactly-once (readers see the extra `batch_id` partition column,
+   * useful provenance anyway). Filter state lives in the STORE, not the
+   * query — no streaming aggregation state, and a store refresh (after
+   * compacting accepted batches into it) picks up on the next micro-batch
+   * automatically. `filter` must resolve columns BY NAME: each micro-batch
+   * is a fresh DataFrame with its own attribute ids, so a Column resolved
    * against the streaming plan (`docs("id")`) would fail analysis there.
-   * Each batch lands in its own `batch_id=<n>` partition directory written
-   * with overwrite — a retried micro-batch rewrites the same directory
-   * instead of appending duplicates, making the sink exactly-once (readers
-   * see the extra `batch_id` partition column, useful provenance anyway).
    */
+  private def landFiltered(docs: DataFrame, outPath: String, checkpoint: String)
+                          (filter: DataFrame => DataFrame)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        filter(batch).write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
+
   /**
    * Ingest-time BM25 relevance gate: score each incoming document against
    * `terms` using the FROZEN statistics of a persisted
@@ -177,6 +188,13 @@ object EventStreams {
     minScoreE8.fold(scored)(t => scored.filter(col("score_e8") > t))
   }
 
+  /** Hard cap on the LM-store rows [[scoreFluencyIndexed]] will collect to
+    * the driver (unigrams + bigrams combined). ~4M rows of short strings +
+    * longs is a few hundred MB of driver heap — the sensible ceiling for a
+    * broadcast gate. A store past the cap fails loudly (one cheap count
+    * job) instead of OOMing the driver mid-stream. */
+  val FluencyBroadcastBound: Long = 4000000L
+
   /**
    * Ingest-time fluency gate: score each incoming document with a FROZEN
    * [[graft.operators.TextAnalysis.buildLmStore]] bigram model. The count
@@ -186,13 +204,6 @@ object EventStreams {
    * stateless per-row UDF — no streaming aggregation state, identical
    * integer scores to the batch modes.
    */
-  /** Hard cap on the LM-store rows [[scoreFluencyIndexed]] will collect to
-    * the driver (unigrams + bigrams combined). ~4M rows of short strings +
-    * longs is a few hundred MB of driver heap — the sensible ceiling for a
-    * broadcast gate. A store past the cap fails loudly (one cheap count
-    * job) instead of OOMing the driver mid-stream. */
-  val FluencyBroadcastBound: Long = 4000000L
-
   def scoreFluencyIndexed(docs: DataFrame, textColName: String,
                           lmPath: String,
                           maxBroadcastRows: Long = FluencyBroadcastBound): DataFrame = {
@@ -243,14 +254,9 @@ object EventStreams {
                          outPath: String, checkpoint: String,
                          p: Int = 4, q: Int = 5)
     : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup
-          .dropSeenNearDups(batch, col(idColName), col(textColName), storePath, p, q)
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-      }
-      .start()
+    landFiltered(docs, outPath, checkpoint)(batch =>
+      graft.operators.Dedup
+        .dropSeenNearDups(batch, col(idColName), col(textColName), storePath, p, q))
 
   /**
    * Ingest-time EMBEDDING near-dup gate: each micro-batch is filtered
@@ -264,28 +270,26 @@ object EventStreams {
                            outPath: String, checkpoint: String,
                            threshold: Double)
     : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup
-          .dropSeenCosine(batch, col(idColName), col(vecColName), storePath, threshold)
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-      }
-      .start()
+    landFiltered(docs, outPath, checkpoint)(batch =>
+      graft.operators.Dedup
+        .dropSeenCosine(batch, col(idColName), col(vecColName), storePath, threshold))
 
+  /**
+   * Streaming ingest against a persisted span store — the streaming twin
+   * of [[graft.operators.Dedup.dropSeenSpans]]: each micro-batch drops
+   * documents sharing >= `minOverlap` spans with the store (Bloom
+   * prefilter + exact confirm join run inside the batch function). The
+   * store is read per micro-batch but its Bloom sidecar probe is map-side,
+   * so per-batch cost scales with the batch's overlap, not the store.
+   */
   def ingestDropSeenSpans(docs: DataFrame, idColName: String,
                           textColName: String, k: Int,
                           storePath: String, outPath: String,
                           checkpoint: String, minOverlap: Int = 1)
     : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup
-          .dropSeenSpans(batch, col(idColName), col(textColName), k, storePath, minOverlap)
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-      }
-      .start()
+    landFiltered(docs, outPath, checkpoint)(batch =>
+      graft.operators.Dedup
+        .dropSeenSpans(batch, col(idColName), col(textColName), k, storePath, minOverlap))
 
   /**
    * Streaming ingest into the [[graft.sources.CellStore]] layout: the
@@ -309,6 +313,12 @@ object EventStreams {
                       tCol: Option[org.apache.spark.sql.Column] = None,
                       timeBucket: Long = 0L)
     : org.apache.spark.sql.streaming.StreamingQuery = {
+    // same declared-geometry validation as the batch save: an unchecked
+    // geomCol name would be recorded in the sidecar and CellPruneRule
+    // would prune on the (x, y) grid for predicates over a column that is
+    // NOT the stored point — silently wrong results
+    geomCol.foreach(g => require(events.columns.exists(_.equalsIgnoreCase(g)),
+      s"ingestCellStore: geomCol '$g' is not a column of the input"))
     val (keyed, partCols) = graft.sources.CellStore.cellKeyed(
       events, xCol, yCol, cellSize, tCol, timeBucket)
     graft.sources.CellStore.writeSidecar(

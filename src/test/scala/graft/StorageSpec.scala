@@ -93,6 +93,49 @@ class StorageSpec extends AnyFunSuite {
     assert(scannedFiles(swapped) == total, "swapped-axes predicate wrongly pruned")
   }
 
+  test("CellPruneRule is sound on a union of differently-gridded stores") {
+    // two stores of the SAME rows under DIFFERENT cell sizes, unioned
+    // (Spark rejects a single multi-path read of separately-rooted
+    // partitioned stores, so union-of-loads is the supported composition):
+    // the rule must resolve each relation's OWN metadata — pruning one
+    // side with the other's grid would silently drop rows
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_multipath"
+    val pts = Tables.customerPts(spark, "/root/testdata/sf0.001")
+    CellStore.save(pts, s"$base/a", col("cx"), col("cy"), 100.0)
+    CellStore.save(pts, s"$base/b", col("cx"), col("cy"), 250.0)
+    val cols = Seq("c_custkey", "cx", "cy", "c_geo").map(col)
+    val union = CellStore.load(spark, s"$base/a").select(cols: _*)
+      .union(CellStore.load(spark, s"$base/b").select(cols: _*))
+    val qry = graft.functions.stf.st_geomfromwkt(
+      "POLYGON ((150 150, 350 150, 350 350, 150 350, 150 150))")
+    val got = graft.operators.SpatialOps.intersects(union, col("c_geo"), qry)
+      .groupBy(col("c_custkey")).count()
+    val want = graft.operators.SpatialOps.intersects(pts, col("c_geo"), qry)
+    assert(got.count() == want.count(), "union read lost or gained ids")
+    // every matching id appears exactly twice (once per store)
+    assert(got.filter(col("count") =!= 2).count() == 0)
+  }
+
+  test("rebuilding a store with a computed key clears stale prune metadata") {
+    // save with plain columns (sidecar written), then rebuild the SAME
+    // path with a computed key (no sidecar possible) — queries after the
+    // rebuild must not prune with the first layout's cached metadata
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rebuild"
+    val pts = Tables.customerPts(spark, "/root/testdata/sf0.001")
+    CellStore.save(pts, path, col("cx"), col("cy"), 100.0)
+    CellStore.load(spark, path).filter(
+      graft.functions.stf.st_intersects(col("c_geo"),
+        graft.functions.stf.st_geomfromwkt("POLYGON ((150 150, 350 150, 350 350, 150 350, 150 150))"))).count()
+    // rebuild under a SHIFTED computed grid: old metadata would misprune
+    CellStore.save(pts, path, col("cx") + lit(500.0), col("cy"), 100.0)
+    val qry = graft.functions.stf.st_geomfromwkt(
+      "POLYGON ((150 150, 350 150, 350 350, 150 350, 150 150))")
+    val after = CellStore.load(spark, path).filter(
+      graft.functions.stf.st_intersects(col("c_geo"), qry)).count()
+    val want = graft.operators.SpatialOps.intersects(pts, col("c_geo"), qry).count()
+    assert(after == want, "stale sidecar cache pruned the rebuilt layout")
+  }
+
   test("spatio-temporal store prunes cell AND time-bucket directories declaratively") {
     import graft.functions.stf
     import org.apache.spark.sql.execution.FileSourceScanExec
