@@ -139,6 +139,21 @@ object syntax {
       Dedup.buildMinhashStore(df, id, text, path)
     def dropSeenNearDups(id: Column, text: Column, storePath: String): DataFrame =
       Dedup.dropSeenNearDups(df, id, text, storePath)
+    def semanticDedup(id: Column, vec: Column, k: Int, iters: Int,
+                      threshold: Double): DataFrame =
+      Dedup.semanticDedup(df, id, vec, k, iters, threshold)
+    def prototypePrune(id: Column, vec: Column, k: Int, iters: Int,
+                       keepNum: Int, keepDen: Int): DataFrame =
+      Similarity.prototypePrune(df, id, vec, k, iters, keepNum, keepDen)
+    def assignSplitByFamily(id: Column, text: Column, salt: String,
+                            fractions: Seq[(String, Double)]): DataFrame =
+      Dedup.assignSplitByFamily(df, id, text, salt, fractions)
+    def buildCosineLshStore(id: Column, vec: Column, path: String,
+                            tables: Int = 8, planes: Int = 8): Unit =
+      Dedup.buildCosineLshStore(df, id, vec, path, tables, planes)
+    def dropSeenCosine(id: Column, vec: Column, storePath: String,
+                       threshold: Double): DataFrame =
+      Dedup.dropSeenCosine(df, id, vec, storePath, threshold)
     def annTopK(queries: DataFrame, id: Column, qid: Column,
                 vec: Column, qvec: Column, k: Int): DataFrame =
       Similarity.bruteTopK(df, queries, id, qid, vec, qvec, k)

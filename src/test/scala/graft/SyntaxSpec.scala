@@ -117,6 +117,26 @@ class SyntaxSpec extends AnyFunSuite {
     assert(docs.dropSeenSpans(col("doc_id"), col("text"), 5, path).count() <= docs.count())
   }
 
+  test("round-7 fluent surface: semantic dedup, prototype prune, family split, cosine gate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val sem = e.semanticDedup(col("vec_id"), col("embedding"), k = 2, iters = 1, threshold = 0.42)
+    assert(sem.count() ==
+      graft.operators.Dedup.semanticDedup(e, col("vec_id"), col("embedding"), 2, 1, 0.42).count())
+    val pruned = e.prototypePrune(col("vec_id"), col("embedding"), k = 2, iters = 1,
+      keepNum = 1, keepDen = 2)
+    assert(pruned.count() > 0 && pruned.count() < e.count())
+    val split = docs.assignSplitByFamily(col("doc_id"), col("text"), "v1",
+      Seq("train" -> 0.9, "val" -> 0.1))
+    assert(split.count() == docs.count() && split.columns.contains("split"))
+    val path = java.nio.file.Files.createTempDirectory("graft_syntax_cl").toString
+    e.filter(col("vec_id") % 2 === 0)
+      .buildCosineLshStore(col("vec_id"), col("embedding"), path, tables = 16, planes = 4)
+    val gated = e.filter(col("vec_id") % 2 === 1)
+      .dropSeenCosine(col("vec_id"), col("embedding"), path, threshold = 0.42)
+    assert(gated.count() < e.filter(col("vec_id") % 2 === 1).count())
+  }
+
   test("cluster-balanced sampling: kmeans clusters feed sampleByRate") {
     // the curation composition the two operators exist for: cluster the
     // corpus semantically, then up/down-sample per cluster — deterministic
