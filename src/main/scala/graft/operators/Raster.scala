@@ -32,6 +32,9 @@ object Raster {
    */
   def rasterize(df: DataFrame, xCol: Column, yCol: Column,
                 pixelWidth: Double, tileW: Int, tileH: Int): DataFrame = {
+    require(pixelWidth > 0, s"rasterize: pixelWidth must be positive, got $pixelWidth")
+    require(tileW > 0 && tileH > 0,
+      s"rasterize: tile dimensions must be positive, got ${tileW}x$tileH")
     val gx = floor(xCol / pixelWidth).cast("long")
     val gy = floor(yCol / pixelWidth).cast("long")
     val tx = floor(gx / tileW).cast("long")
@@ -224,7 +227,10 @@ object Raster {
     // tolerate stray directory content: files whose basename is not the
     // `tx_ty` position encoding, or that no ImageIO reader can decode
     // (.DS_Store, READMEs...), are skipped instead of poisoning the load
-    val position = """(-?[0-9.]+)_(-?[0-9.]+)""".r
+    // strict decimal groups: the permissive [0-9.]+ form also matched
+    // multi-dot names like "1.2.3_4" and then crashed toDouble — exactly
+    // the stray-file poisoning this filter exists to prevent
+    val position = """(-?[0-9]+(?:\.[0-9]+)?)_(-?[0-9]+(?:\.[0-9]+)?)""".r
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content"))
       .mapPartitions { it =>

@@ -127,7 +127,46 @@ object IndexStore {
     val spark = df.sparkSession
     writeText(spark, path + "/_graft_schema", df.schema.json)
     writeText(spark, path + "/_graft_meta", cellSize.toString)
+    // build-time entry stats (bbox, count, max extent): queries need these
+    // scalars (kNN termination, kNN-join radius schedule) and recomputing
+    // them means deserializing every tree — pay the one agg pass NOW so
+    // the train-once/query-many contract holds
+    val g = col(geomCol)
+    val s = df.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
+      min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g),
+      max(greatest(stf.st_maxx(g) - stf.st_minx(g),
+        stf.st_maxy(g) - stf.st_miny(g)))).head()
+    val statsTxt =
+      if (s.isNullAt(0)) "0 0 0 0 0 0"
+      else s"${s.getDouble(0)} ${s.getDouble(1)} ${s.getDouble(2)} " +
+           s"${s.getDouble(3)} ${s.getLong(4)} ${s.getDouble(5)}"
+    writeText(spark, path + "/_graft_stats", statsTxt)
     Sidecar.markComplete(spark, path)
+  }
+
+  /** Entry stats recorded at build time: (minX, maxX, minY, maxY, count,
+    * max single-geometry extent). Stores written before the sidecar
+    * existed fall back to one distributed scan of the tree entries. */
+  private def loadStats(spark: SparkSession, path: String,
+                        rowSchema: StructType, cellSize: Double)
+      : (Double, Double, Double, Double, Long, Double) = {
+    val txt =
+      if (Sidecar.exists(spark, path + "/_graft_stats"))
+        readText(spark, path + "/_graft_stats")
+      else {
+        val entries = entryRowsPlus(spark, path, rowSchema, cellSize)
+        val rsto = struct(col("__rwkb"), col("__rts"), col("__rte"))
+        val s = entries.agg(min(stf.st_minx(rsto)), max(stf.st_maxx(rsto)),
+          min(stf.st_miny(rsto)), max(stf.st_maxy(rsto)), count(lit(1)),
+          max(greatest(stf.st_maxx(rsto) - stf.st_minx(rsto),
+            stf.st_maxy(rsto) - stf.st_miny(rsto)))).head()
+        if (s.isNullAt(0)) "0 0 0 0 0 0"
+        else s"${s.getDouble(0)} ${s.getDouble(1)} ${s.getDouble(2)} " +
+             s"${s.getDouble(3)} ${s.getLong(4)} ${s.getDouble(5)}"
+      }
+    val p = txt.trim.split(" ")
+    (p(0).toDouble, p(1).toDouble, p(2).toDouble, p(3).toDouble,
+      p(4).toLong, p(5).toDouble)
   }
 
   /** The stored row schema (from the sidecar). */
@@ -207,22 +246,29 @@ object IndexStore {
     val cellSize = loadCellSize(spark, path)
     val outSchema = StructType(rowSchema.fields :+
       StructField("knn_dist", DoubleType, nullable = false))
-    val totalTrees = spark.read.parquet(path + "/trees").count()
+    val (sx0, sx1, sy0, sy1, sCount, _) = loadStats(spark, path, rowSchema, cellSize)
+    if (sCount == 0L)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
 
-    def candidates(r: Double): (DataFrame, Long) = {
+    def candidates(r: Double): DataFrame = {
       val qEnv = new org.locationtech.jts.geom.Envelope(qx - r, qx + r, qy - r, qy + r)
       val cells = GeoOps.cellsOfEnvelope(qEnv, cellSize)
-      val pruned = prunedTrees(spark, path, cells)
-      val cand = pruned.flatMap { tr =>
+      prunedTrees(spark, path, cells).flatMap { tr =>
         val cell = tr.getLong(0)
         val tree = deserialize(tr.getAs[Array[Byte]](1))
         tree.query(qEnv).iterator().asScala.flatMap { o =>
           val e = o.asInstanceOf[Entry]
           val g = GeoOps.readGeom(e.wkb)
           val env = g.getEnvelopeInternal
-          // report each replicated entry from its own reference cell only
-          if (GeoOps.pack(math.floor(env.getMinX / cellSize).toInt,
-                          math.floor(env.getMinY / cellSize).toInt) == cell) {
+          // dedup replicas by the INTERSECTION reference point (lower-left
+          // corner of env ∩ probe box — always inside a READ cell), same
+          // rule as filter(). The entry's own home cell would be wrong
+          // here: an extended geometry matching the box can have its home
+          // cell outside it, and would then be reported from NO read tree.
+          val rx = math.max(env.getMinX, qEnv.getMinX)
+          val ry = math.max(env.getMinY, qEnv.getMinY)
+          if (GeoOps.pack(math.floor(rx / cellSize).toInt,
+                          math.floor(ry / cellSize).toInt) == cell) {
             val c = g.getCentroid
             val dx = c.getX - qx; val dy = c.getY - qy
             // same float form as the live st_distance (centroid euclid)
@@ -232,21 +278,25 @@ object IndexStore {
         }
       }(Encoders.row(outSchema))
         .orderBy((col("knn_dist") +: tieBreak.map(col)): _*).limit(k)
-      (cand, pruned.count())
     }
 
     var r = cellSize
     var round = 0
     var result: DataFrame = null
     while (result == null && round <= maxRounds) {
-      val (cand, treesRead) = candidates(r)
+      val cand = candidates(r)
       val stats = cand.agg(count(lit(1)), max(col("knn_dist"))).collect()(0)
       val rows = stats.getLong(0)
       val kth = if (rows == 0) Double.MaxValue else stats.getDouble(1)
-      if ((rows >= k && kth <= r) || treesRead >= totalTrees) result = cand
+      // conclusive when the box COVERS the store's whole bbox: every entry
+      // is then a candidate. ("All trees were read" is NOT coverage — the
+      // box still filters entries inside each read tree.)
+      val qEnv = new org.locationtech.jts.geom.Envelope(qx - r, qx + r, qy - r, qy + r)
+      val covered = qEnv.covers(new org.locationtech.jts.geom.Envelope(sx0, sx1, sy0, sy1))
+      if ((rows >= k && kth <= r) || covered) result = cand
       else { r *= 2; round += 1 }
     }
-    if (result == null) result = candidates(r)._1
+    if (result == null) result = candidates(r)
     result
   }
 
@@ -332,23 +382,33 @@ object IndexStore {
     require(collisions.isEmpty,
       s"IndexStore.knnJoin: left columns ${collisions.mkString("[", ", ", "]")} " +
       "also exist in the store schema — rename one side before joining")
+    // distName joins the output alongside both sides' columns — a
+    // collision would silently clobber (finale's withColumn) or be
+    // ambiguous (round path); reject loudly like the guards above
+    require(!(left.columns ++ rowSchema.fieldNames)
+        .exists(_.equalsIgnoreCase(distName)),
+      s"IndexStore.knnJoin: distName '$distName' collides with an " +
+      "input/store column — pass a different distName")
     val ties = if (tieBreak == null) lit(0) else col(tieBreak)
     val roundSchema = StructType(left.schema.fields ++ rowSchema.fields :+
       StructField(distName, DoubleType, nullable = false))
 
-    // one pass over the stored entries: bbox + count + max extent; the
-    // entry set is reused (cheap vs re-deserializing per round) only in
-    // the terminal round, so no persist
+    // rows with NULL geometry have no distance to anything: the round path
+    // would drop them (st_cells of null explodes to nothing) while the
+    // terminal cross join would keep them and emit k arbitrary null-dist
+    // pairs — exclude them up front so both paths agree
+    val leftNN = left.filter(col(leftGeom).isNotNull)
+
+    // store-side stats come from the build-time sidecar (train-once /
+    // query-many: no per-query scan); the entry set is only materialized
+    // for the terminal round
     val entries = entryRowsPlus(spark, path, rowSchema, cellSize)
     val rsto = struct(col("__rwkb"), col("__rts"), col("__rte"))
-    val statsRow = entries.agg(min(stf.st_minx(rsto)), max(stf.st_maxx(rsto)),
-      min(stf.st_miny(rsto)), max(stf.st_maxy(rsto)), count(lit(1)),
-      max(greatest(stf.st_maxx(rsto) - stf.st_minx(rsto),
-        stf.st_maxy(rsto) - stf.st_miny(rsto)))).head()
-    val rCount = statsRow.getLong(4)
+    val (rx0s, rx1s, ry0s, ry1s, rCount, rSpanS) =
+      loadStats(spark, path, rowSchema, cellSize)
     def lStats = {
       val g = col(leftGeom)
-      left.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
+      leftNN.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
         min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g),
         max(greatest(stf.st_maxx(g) - stf.st_minx(g), stf.st_maxy(g) - stf.st_miny(g)))).head()
     }
@@ -369,13 +429,11 @@ object IndexStore {
         .filter(col("__knn_rn") <= k)
         .drop("__knn_rn", "__rwkb", "__rts", "__rte")
     }
-    if (k >= rCount) return finale(left)
+    if (k >= rCount) return finale(leftNN)
 
     val (lx0, lx1, ly0, ly1, lSpan) =
       (lRow.getDouble(0), lRow.getDouble(1), lRow.getDouble(2), lRow.getDouble(3), lRow.getDouble(5))
-    val (rx0, rx1, ry0, ry1, rSpan) =
-      (statsRow.getDouble(0), statsRow.getDouble(1), statsRow.getDouble(2),
-       statsRow.getDouble(3), statsRow.getDouble(5))
+    val (rx0, rx1, ry0, ry1, rSpan) = (rx0s, rx1s, ry0s, ry1s, rSpanS)
     val dx = math.max(lx1, rx1) - math.min(lx0, rx0)
     val dy = math.max(ly1, ry1) - math.min(ly0, ry0)
     val maxDist = math.max(math.sqrt(dx * dx + dy * dy), 1e-9) * 1.0000001
@@ -420,7 +478,7 @@ object IndexStore {
       }
       val tkv = treesDf.groupByKey(_.getLong(0))(Encoders.scalaLong)
       lkv.cogroup(tkv) { (cell, lIt, tIt) =>
-        if (!tIt.hasNext) Iterator.empty
+        if (!tIt.hasNext || !lIt.hasNext) Iterator.empty
         else {
           val tree = deserialize(tIt.next().getAs[Array[Byte]](1))
           lIt.flatMap { lr =>
@@ -443,7 +501,7 @@ object IndexStore {
       }(Encoders.row(roundSchema))
     }
 
-    var pending = left
+    var pending = leftNN
     var bbox: Option[(Double, Double, Double, Double)] = Some((lx0, lx1, ly0, ly1))
     var firstRound = true
     var done: DataFrame = null
@@ -495,7 +553,10 @@ object IndexStore {
     val tkv = spark.read.parquet(path + "/trees")
       .groupByKey(_.getLong(0))(Encoders.scalaLong)
     lkv.cogroup(tkv) { (cell, lIt, tIt) =>
-      if (!tIt.hasNext) Iterator.empty
+      // gate on BOTH sides before deserializing: cogroup visits every
+      // store cell, and a join touching 10 cells must not deserialize a
+      // million untouched trees
+      if (!tIt.hasNext || !lIt.hasNext) Iterator.empty
       else {
         val tree = deserialize(tIt.next().getAs[Array[Byte]](1))
         lIt.flatMap { lr =>

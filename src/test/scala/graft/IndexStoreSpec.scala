@@ -229,4 +229,55 @@ class IndexStoreSpec extends AnyFunSuite {
     val out = IndexStore.join(boxes, storePath, "bgeo", JoinPredicate.Intersects)
     assert(out.columns.toSeq == Seq("bid", "bgeo", "pid", "px", "py", "pgeo"))
   }
+
+  test("persisted kNN finds an extended geometry whose home cell is outside the probe box") {
+    import spark.implicits._
+    // a long line spanning cells (0,0)..(9,0) at y=50 (home cell (0,0))
+    // plus points near (500,60): the probe box around (500,60) reads only
+    // the middle cells — replica dedup by HOME cell would silently drop
+    // the line even though its centroid (500,50) is the true nearest
+    val path = java.nio.file.Files.createTempDirectory("graft_knn_ext").toString
+    val geoms = (Seq((1L, "LINESTRING (0 50, 1000 50)")) ++
+        (2L to 5L).map(i => (i, s"POINT (${495 + i} 60)")))
+      .toDF("gid", "__wkt")
+      .withColumn("ggeo", stf.st_geomfromwkt(col("__wkt"))).drop("__wkt")
+    IndexStore.saveIndexed(geoms, path, "ggeo", cellSize = 100.0)
+    // k=5 must return all four points AND the line (centroid (500,50),
+    // distance 10 — nearer than anything else in the store)
+    val got = IndexStore.knn(spark, path, 500.0, 60.0, k = 5, tieBreak = Seq("gid"))
+      .select(col("gid")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L),
+      s"line (centroid distance 10) missing from kNN result: $got")
+  }
+
+  test("persisted kNN keeps expanding when all trees are touched but the box excludes entries") {
+    import spark.implicits._
+    // cell (0,0): 10 points at x<50; cell (1,0): one point at (199,50).
+    // The round-1 box around (150,50) touches BOTH cells yet contains only
+    // the single point — 'all trees read' must not terminate the search
+    val path = java.nio.file.Files.createTempDirectory("graft_knn_term").toString
+    val far = (1L to 10L).map(i => (i, 2.0 + i, 50.0))
+    val near = Seq((11L, 199.0, 50.0))
+    val df = (far ++ near).toDF("gid", "gx", "gy")
+      .withColumn("ggeo", stf.st_point(col("gx"), col("gy")))
+    IndexStore.saveIndexed(df, path, "ggeo", cellSize = 100.0)
+    val got = IndexStore.knn(spark, path, 150.0, 50.0, k = 5, tieBreak = Seq("gid"))
+      .select(col("gid")).collect().map(_.getLong(0))
+    assert(got.length == 5, s"expected 5 rows, got ${got.length}: ${got.toSeq}")
+  }
+
+  test("persisted kNN join drops null-geometry left rows in every path") {
+    import spark.implicits._
+    val queries = Seq((1L, Some(5.0)), (2L, None)).toDF("qid", "qx")
+      .withColumn("qgeo", when(col("qx").isNotNull,
+        stf.st_point(col("qx"), lit(5.0))))
+      .drop("qx")
+    // k >= store size forces the terminal cross join — the path that used
+    // to emit k arbitrary null-distance pairs for the null-geometry row
+    val out = IndexStore.knnJoin(queries, storePath, "qgeo", "qid", k = 5000)
+    assert(out.filter(col("qid") === 2L).count() == 0,
+      "null-geometry left row must produce no pairs")
+    assert(out.filter(col("qid") === 1L).count() > 0)
+  }
+
 }
