@@ -1141,6 +1141,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring EXCISION (q61's destructive twin): every 5-gram span
+    // occurring in >= 2 distinct docs is cut from the text everywhere; the
+    // oracle replays the token-index set algebra in DuckDB SQL.
+    "q112_remove_dup_spans" -> ((s, dir) => {
+      TextAnalysis.removeDuplicateSpans(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 5)
+        .select(col("doc_id"), col("clean_text"), col("n_removed_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental (cross-snapshot) dedup: sources 0-9 are the already-
     // ingested corpus persisted as a span store (distinct 5-gram spans +
     // Bloom sidecar, write-once); the new batch (sources 10+) drops docs
@@ -2084,6 +2094,32 @@ object SparkEntry {
        "SELECT d.doc_id, CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans, " +
        "CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans " +
        "FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id"),
+
+    // token-index set algebra: all 5-gram occurrences with start index ->
+    // distinct-doc-frequency >= 2 spans -> covered token indexes -> anti-join
+    // kept tokens -> ordered string_agg. Mirrors removeDuplicateSpans exactly
+    // (docs with no duplicated span keep text verbatim; fully covered docs
+    // become '').
+    "q112_remove_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents), " +
+       "occ AS (SELECT doc_id, u.s AS s, u.g AS g FROM (SELECT doc_id, " +
+       "unnest([{'s': i, 'g': array_to_string(ws[i:i+4],' ')} " +
+       "FOR i IN generate_series(1, len(ws)-4)]) AS u FROM t WHERE len(ws) >= 5)), " +
+       "dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ) GROUP BY g HAVING count(*) >= 2), " +
+       "docc AS (SELECT doc_id, s FROM occ JOIN dup USING (g)), " +
+       "rem AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s+4)) AS i FROM docc), " +
+       "toks AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (SELECT doc_id, " +
+       "unnest([{'i': i, 'tok': ws[i]} FOR i IN generate_series(1, len(ws))]) AS u FROM t)), " +
+       "dupdocs AS (SELECT DISTINCT doc_id FROM docc), " +
+       "kept AS (SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS ct FROM " +
+       "(SELECT toks.* FROM toks JOIN dupdocs USING (doc_id) " +
+       "ANTI JOIN rem ON toks.doc_id = rem.doc_id AND toks.i = rem.i) k GROUP BY k.doc_id), " +
+       "remc AS (SELECT doc_id, count(*) AS nrem FROM rem GROUP BY doc_id), " +
+       "rw AS (SELECT dd.doc_id, COALESCE(kept.ct, '') AS ct, remc.nrem FROM dupdocs dd " +
+       "LEFT JOIN kept USING (doc_id) LEFT JOIN remc USING (doc_id)) " +
+       "SELECT d.doc_id, COALESCE(rw.ct, d.text) AS clean_text, " +
+       "CAST(COALESCE(rw.nrem, 0) AS BIGINT) AS n_removed_tokens " +
+       "FROM documents d LEFT JOIN rw USING (doc_id) ORDER BY d.doc_id"),
 
     "q62_incr_dedup" ->
       (s"WITH inst AS ($spanInstSql), " +

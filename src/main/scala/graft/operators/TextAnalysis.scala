@@ -497,4 +497,90 @@ object TextAnalysis {
       .drop("__ds_id")
       .na.fill(0L, Seq("n_spans", "n_dup_spans"))
   }
+
+  /**
+   * Exact-substring EXCISION — the destructive half of span dedup (cf. Lee
+   * et al., "Deduplicating Training Data Makes Language Models Better"):
+   * every occurrence of a word k-gram that appears in at least `minDocs`
+   * DISTINCT documents is cut out of the text, and the surviving tokens are
+   * re-joined with single spaces. [[withDuplicatedSpans]] is the cheap
+   * counting signal; this rewrites the corpus.
+   *
+   * Semantics (deterministic, symmetric — replayable in plain SQL):
+   *  - tokens are the single-space split; spans are ALL k-token windows
+   *    (every start index, not the distinct set);
+   *  - a span string is "duplicated" when its distinct-document frequency is
+   *    >= minDocs — repeats *within* one document do not count, so
+   *    self-repetition is untouched (that is [[withRepetition]]'s job);
+   *  - a token is removed iff it lies inside any duplicated-span occurrence
+   *    (all copies are excised — boilerplate stripping, not keep-one dedup:
+   *    for keep-one document-level semantics use `Dedup.dropNearDuplicates`);
+   *  - docs with fewer than k tokens, or no duplicated span, pass through
+   *    unchanged; a fully-covered doc becomes the empty string.
+   *
+   * Output: input columns + `clean_text` + `n_removed_tokens`.
+   *
+   * Scale shape: every exchange is keyed by either the span string
+   * (vocabulary-sized; the frequency table is a groupBy with map-side
+   * partials and meets the instances again in an AQE-skew-splittable hash
+   * join, never a window) or by (doc, token-index) / doc (bounded by
+   * document length). The per-doc reconstruction is a collect_list over one
+   * document's kept tokens — memory is bounded by the longest document,
+   * never the corpus. ~6 shuffles total; the removal-index explode factor is
+   * exactly k.
+   */
+  def removeDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+                           k: Int, minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(!df.columns.exists(c =>
+      c.toLowerCase.startsWith("__rs_") ||
+      c.equalsIgnoreCase("clean_text") || c.equalsIgnoreCase("n_removed_tokens")),
+      "removeDuplicateSpans: input must not contain __rs_* columns or the " +
+      "output names clean_text/n_removed_tokens")
+
+    val base = df.select(idCol.as("__rs_id"), split(textCol, " ").as("__rs_ws"))
+    // all span occurrences with their 0-based start token index
+    val occ = base
+      .filter(size(col("__rs_ws")) >= k)
+      .select(col("__rs_id"), explode(transform(
+        sequence(lit(0), size(col("__rs_ws")) - k),
+        i => struct(i.as("s"),
+          array_join(slice(col("__rs_ws"), i + 1, lit(k)), " ").as("g")))).as("__rs_o"))
+      .select(col("__rs_id"), col("__rs_o.s").as("__rs_s"), col("__rs_o.g").as("__rs_g"))
+    // span -> distinct-document frequency; keep only the duplicated ones
+    val dup = occ.select(col("__rs_id"), col("__rs_g")).distinct()
+      .groupBy(col("__rs_g")).agg(count(lit(1)).as("__rs_n"))
+      .filter(col("__rs_n") >= minDocs).select(col("__rs_g"))
+    val dupOcc = occ.join(dup, "__rs_g")
+    // covered token indexes per doc (distinct: overlapping spans share tokens)
+    val removed = dupOcc
+      .select(col("__rs_id"),
+        explode(sequence(col("__rs_s"), col("__rs_s") + (k - 1))).as("__rs_i"))
+      .distinct()
+    val toksIdx = base.select(col("__rs_id"),
+      posexplode(col("__rs_ws")).as(Seq("__rs_i", "__rs_t")))
+    // docs that had at least one duplicated span: these (and only these) get
+    // a rewritten text — anchoring on this set keeps a fully-excised doc
+    // distinguishable from an untouched one
+    val dupDocs = dupOcc.select(col("__rs_id")).distinct()
+    val keptAgg = toksIdx
+      .join(removed, Seq("__rs_id", "__rs_i"), "left_anti")
+      .join(dupDocs, "__rs_id")
+      .groupBy(col("__rs_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rs_i"), col("__rs_t")))),
+        s => s.getField("__rs_t")), " ").as("__rs_ct"))
+    val remCnt = removed.groupBy(col("__rs_id")).agg(count(lit(1)).as("__rs_nrem"))
+    val rewritten = dupDocs
+      .join(keptAgg, Seq("__rs_id"), "left")
+      .join(remCnt, Seq("__rs_id"), "left")
+      .select(col("__rs_id"),
+        coalesce(col("__rs_ct"), lit("")).as("__rs_clean"),
+        coalesce(col("__rs_nrem"), lit(0L)).as("__rs_cnt"))
+    df.join(rewritten, idCol === col("__rs_id"), "left")
+      .withColumn("clean_text", coalesce(col("__rs_clean"), textCol))
+      .withColumn("n_removed_tokens", coalesce(col("__rs_cnt"), lit(0L)))
+      .drop("__rs_id", "__rs_clean", "__rs_cnt")
+  }
 }

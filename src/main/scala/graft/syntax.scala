@@ -180,6 +180,9 @@ object syntax {
       Pipeline.quantileGate(df, group, keepNum, keepDen, order: _*)
     def withDuplicatedSpans(id: Column, text: Column, k: Int): DataFrame =
       TextAnalysis.withDuplicatedSpans(df, id, text, k)
+    def removeDuplicateSpans(id: Column, text: Column, k: Int,
+                             minDocs: Int = 2): DataFrame =
+      TextAnalysis.removeDuplicateSpans(df, id, text, k, minDocs)
     def dropSeenSpans(id: Column, text: Column, k: Int, storePath: String,
                       minOverlap: Int = 1): DataFrame =
       Dedup.dropSeenSpans(df, id, text, k, storePath, minOverlap)

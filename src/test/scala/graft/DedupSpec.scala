@@ -619,6 +619,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((0L, 0L))))
   }
 
+  test("removeDuplicateSpans: hand-computed excision incl. overlap union and full cover") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),  // "a b c d e" shared with docs 2,4 -> idx 0-4 cut
+      (2L, "a b c d e g"),
+      (3L, "x y z"),        // < 5 words: untouched
+      (4L, "a b c d e"),    // the span IS the doc -> fully excised
+      (5L, "p p q p p q p p q p p q"),  // repeats only within itself -> untouched
+      (6L, "m n o p q r s"), // two OVERLAPPING shared spans -> union idx 0-5, not 10
+      (7L, "m n o p q r t")
+    ).toDF("id", "t")
+    val got = TextAnalysis.removeDuplicateSpans(df, col("id"), col("t"), k = 5)
+      .select(col("id"), col("clean_text"), col("n_removed_tokens")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("f", 5L)), 2L -> (("g", 5L)), 3L -> (("x y z", 0L)),
+      4L -> (("", 5L)), 5L -> (("p p q p p q p p q p p q", 0L)),
+      6L -> (("s", 6L)), 7L -> (("t", 6L))))
+  }
+
   test("dupRateByGroup counts exact duplicates per group") {
     import spark.implicits._
     val df = Seq(("s1", "x"), ("s1", "x"), ("s1", "y"), ("s2", "z")).toDF("src", "t")
