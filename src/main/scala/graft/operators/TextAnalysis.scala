@@ -558,15 +558,15 @@ object TextAnalysis {
       .select(col("__rs_id"),
         explode(sequence(col("__rs_s"), col("__rs_s") + (k - 1))).as("__rs_i"))
       .distinct()
-    val toksIdx = base.select(col("__rs_id"),
-      posexplode(col("__rs_ws")).as(Seq("__rs_i", "__rs_t")))
     // docs that had at least one duplicated span: these (and only these) get
     // a rewritten text — anchoring on this set keeps a fully-excised doc
-    // distinguishable from an untouched one
+    // distinguishable from an untouched one. The token explode is gated on
+    // this set FIRST, so the per-token anti-join processes only the docs
+    // being rewritten (duplicated docs ≪ corpus on a healthy corpus).
     val dupDocs = dupOcc.select(col("__rs_id")).distinct()
-    val keptAgg = toksIdx
+    val keptAgg = base.join(dupDocs, "__rs_id")
+      .select(col("__rs_id"), posexplode(col("__rs_ws")).as(Seq("__rs_i", "__rs_t")))
       .join(removed, Seq("__rs_id", "__rs_i"), "left_anti")
-      .join(dupDocs, "__rs_id")
       .groupBy(col("__rs_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__rs_i"), col("__rs_t")))),
