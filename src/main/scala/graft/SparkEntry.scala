@@ -963,6 +963,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // length-bucketed batching: global (ntok, id) rank via the distributed
+    // prefix count, 32-row batches, per-batch padding target.
+    "q113_length_batches" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      Pipeline.lengthBucketBatches(docs, col("doc_id"), col("ntok"), batchSize = 32)
+        .select(col("doc_id"), col("batch_id"), col("batch_max_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 4 distinct trigram
     // shingles with an eval doc (eval set = doc_id % 17 == 0).
     "q46_decontam" -> ((s, dir) => {
@@ -1988,6 +1998,13 @@ object SparkEntry {
     "q56_epoch_shuffle" ->
       ("SELECT doc_id, row_number() OVER (ORDER BY md5(doc_id || ':epoch0'), doc_id) - 1 " +
        "AS shuffle_rank FROM documents ORDER BY doc_id"),
+
+    "q113_length_batches" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ntok FROM documents), " +
+       "r AS (SELECT doc_id, ntok, row_number() OVER (ORDER BY ntok, doc_id) - 1 AS rk FROM t) " +
+       "SELECT doc_id, rk // 32 AS batch_id, " +
+       "max(ntok) OVER (PARTITION BY rk // 32) AS batch_max_tokens " +
+       "FROM r ORDER BY doc_id"),
 
     "q46_decontam" ->
       (s"WITH sh AS ($shingleSetSql) " +

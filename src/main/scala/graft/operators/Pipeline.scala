@@ -485,4 +485,58 @@ object Pipeline {
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
   }
+
+  /**
+   * Length-bucketed batching ("smart batching"): sort the corpus by token
+   * count ascending (ties by id — a total order, so assignments are
+   * rerun-identical) and cut it into fixed-count batches of `batchSize`
+   * consecutive rows. Rows inside a batch have near-equal lengths, so
+   * padding every row to its batch's max wastes far fewer tokens than
+   * random batching — the standard efficiency lever when a trainer pads to
+   * the longest sequence in a batch. The last batch may be partial.
+   *
+   * Output: input columns + `batch_id` (0-based, dense) +
+   * `batch_max_tokens` (the batch's padding target).
+   *
+   * Scale shape: the global rank is the [[epochShuffle]] prefix-count trick
+   * — one range exchange keyed by (tokens, id) with in-partition positions
+   * from `monotonically_increasing_id` (narrow) plus driver-collected
+   * per-partition counts (one row per partition, never data-sized) — NOT a
+   * single-task global window. The per-batch max travels through a groupBy
+   * on batch_id (n/batchSize keys, uniform by construction) and a hash
+   * join back. The checkpoint pins one sampled range partitioning so the
+   * counts action and the final join agree (same caveat as epochShuffle).
+   */
+  def lengthBucketBatches(df: DataFrame, idCol: Column, tokensCol: Column,
+                          batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(!df.columns.exists(c =>
+      c.toLowerCase.startsWith("__lb_") || c.equalsIgnoreCase("batch_id") ||
+      c.equalsIgnoreCase("batch_max_tokens")),
+      "lengthBucketBatches: input must not contain __lb_* columns or the " +
+      "output names batch_id/batch_max_tokens")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val keyed = df
+      .withColumn("__lb_tok", tokensCol.cast("long"))
+      .repartitionByRange(parts, col("__lb_tok"), idCol)
+      .sortWithinPartitions(col("__lb_tok"), idCol)
+      .withColumn("__lb_mid", monotonically_increasing_id())
+      .withColumn("__lb_pid", shiftrightunsigned(col("__lb_mid"), 33).cast("int"))
+      .localCheckpoint()
+    val counts = keyed.groupBy(col("__lb_pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__lb_pid", "__lb_off")
+    val ranked = keyed.join(broadcast(offDf), "__lb_pid")
+      .withColumn("batch_id", floor(
+        (col("__lb_off") + col("__lb_mid").bitwiseAND(lit((1L << 33) - 1)))
+          / batchSize).cast("long"))
+    val batchMax = ranked.groupBy(col("batch_id"))
+      .agg(max(col("__lb_tok")).as("batch_max_tokens"))
+    ranked.join(batchMax, "batch_id")
+      .drop("__lb_tok", "__lb_mid", "__lb_pid", "__lb_off")
+  }
 }

@@ -176,6 +176,8 @@ object syntax {
       TextAnalysis.chunkTokens(df, text, size, stride)
     def epochShuffle(id: Column, salt: String): DataFrame =
       Pipeline.epochShuffle(df, id, salt)
+    def lengthBucketBatches(id: Column, tokens: Column, batchSize: Int): DataFrame =
+      Pipeline.lengthBucketBatches(df, id, tokens, batchSize)
     def quantileGate(group: Column, keepNum: Int, keepDen: Int, order: Column*): DataFrame =
       Pipeline.quantileGate(df, group, keepNum, keepDen, order: _*)
     def withDuplicatedSpans(id: Column, text: Column, k: Int): DataFrame =

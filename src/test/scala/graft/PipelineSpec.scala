@@ -370,6 +370,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(c != a)
   }
 
+  test("lengthBucketBatches: hand case, invariants, partitioning-independent") {
+    import spark.implicits._
+    // sort by (ntok, id): (1,6),(2,2),(2,4),(5,1),(7,5),(9,3),(9,7)
+    val df = Seq((1L, 5L), (2L, 2L), (3L, 9L), (4L, 2L), (5L, 7L), (6L, 1L), (7L, 9L))
+      .toDF("id", "ntok")
+    val got = Pipeline.lengthBucketBatches(df, col("id"), col("ntok"), batchSize = 3)
+      .select(col("id"), col("batch_id"), col("batch_max_tokens")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      6L -> ((0L, 2L)), 2L -> ((0L, 2L)), 4L -> ((0L, 2L)),
+      1L -> ((1L, 9L)), 5L -> ((1L, 9L)), 3L -> ((1L, 9L)),
+      7L -> ((2L, 9L))))
+    // corpus-level invariants: dense 0-based batch ids, every batch full
+    // except at most the last, the max is the true per-batch max, and the
+    // assignment is independent of upstream partitioning
+    val d2 = docs.withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+    val a = Pipeline.lengthBucketBatches(d2, col("doc_id"), col("ntok"), batchSize = 32)
+    val rows = a.select(col("doc_id"), col("ntok"), col("batch_id"), col("batch_max_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    val byBatch = rows.groupBy(_._3)
+    assert(byBatch.keySet == (0L until ((n + 31) / 32).toLong).toSet)
+    assert(byBatch.forall { case (b, rs) =>
+      (rs.length == 32 || b == (n - 1) / 32) && rs.forall(_._4 == rs.map(_._2).max) })
+    val b = Pipeline.lengthBucketBatches(d2.repartition(7), col("doc_id"), col("ntok"), 32)
+      .select(col("doc_id"), col("batch_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._3)).toMap == b)
+  }
+
   test("contaminationPairs excludes self-pairs when benchmark is a subset") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val pairs = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),
