@@ -118,8 +118,9 @@ private[graft] object SimhashOracle {
   }
 
   /** CTE chain computing one row per (doc_id, token-hash `h`) from
-    * `fromSql` (a relation with columns doc_id, t). */
-  private def hashCtes(fromSql: String): String = {
+    * `fromSql` (a relation with columns doc_id, t). Shared with
+    * [[DsirOracle]], which replays the same xxHash64 over n-gram features. */
+  private[graft] def hashCtes(fromSql: String): String = {
     val i = fresh()
     val j = fresh()
     val prep =

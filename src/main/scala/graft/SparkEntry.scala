@@ -973,6 +973,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance selection: raw = all documents, target = the 'src0'
+    // subset; hashed unigram+bigram features in 1024 buckets, fixed-point
+    // p/q ratio scores (e6 floor), top-120 most target-like documents.
+    "q114_dsir_select" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Pipeline.dsirSelect(docs, col("doc_id"), col("text"),
+          docs.filter(col("source") === "src0"), col("text"),
+          buckets = 1024, n = 120)
+        .select(col("doc_id"), col("dsir_score_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 4 distinct trigram
     // shingles with an eval doc (eval set = doc_id % 17 == 0).
     "q46_decontam" -> ((s, dir) => {
@@ -1484,6 +1496,8 @@ object SparkEntry {
     // full xxHash64 + SimHash replay in SQL (HUGEINT mod-2^64 arithmetic,
     // list_reduce folds); all-pairs hamming <= 3 == the pigeonhole join
     "q16_dedup_simhash" -> SimhashOracle.sql(3),
+
+    "q114_dsir_select" -> DsirOracle.sql(1024, 120, "source = 'src0'"),
 
     // transitive closure of the exact-Jaccard pair graph; keep each
     // component's min id (mirrors q20's recursive-CTE pattern)

@@ -487,6 +487,115 @@ object Pipeline {
   }
 
   /**
+   * DSIR importance scores (Xie et al., "Data Selection for Language Models
+   * via Importance Resampling", arXiv:2302.03169): score every raw document
+   * by how much its hashed n-gram feature distribution looks like a TARGET
+   * corpus (the data you wish you had more of) relative to the raw corpus
+   * itself. Features are unigrams plus space-joined bigrams, hashed into
+   * `buckets` buckets with xxHash64(seed 42); the two corpora induce
+   * add-one-smoothed bucket distributions p (target) and q (raw), and a
+   * document's score sums its features' p/q bucket ratios.
+   *
+   * Determinism (the repo's oracle rule — no logs, no doubles): the paper's
+   * per-feature log(p/q) is replaced by the e6-floored fixed-point ratio
+   *
+   *   ratio_e6(b) = floor(1e6 * ((T(b)+1) * (RR+B)) / ((R(b)+1) * (TT+B)))
+   *
+   * (T/R = target/raw bucket counts, TT/RR totals, B = buckets), so a
+   * document's score is an exact integer any SQL engine reproduces
+   * bit-for-bit. Summing ratios instead of log-ratios weighs strong target
+   * buckets linearly rather than logarithmically — a documented surrogate
+   * with the same hashed-feature architecture and the same "target-like
+   * text up, raw-typical text down" ordering.
+   *
+   * `buckets` must be a power of two: the oracle replays the hash as an
+   * unsigned 64-bit integer while Spark's xxhash64 is signed, and
+   * pmod(signed, B) == unsigned % B exactly when B divides 2^64.
+   *
+   * Output: `raw`'s columns + `dsir_score_e6` (long; every document has at
+   * least one feature, so no null scores).
+   *
+   * Scale shape: bucket-count tables are at most `buckets` rows (map-side-
+   * combined groupBys — vocabulary pressure is absorbed by the hash), the
+   * totals ride a broadcast one-row cross join, and the ratio table
+   * broadcast-joins onto the raw feature stream (narrow), leaving ONE
+   * corpus-sized shuffle: the per-document score aggregation keyed by id.
+   * The target corpus is re-scanned once; nothing quadratic, no windows.
+   *
+   * CONTRACT: `idCol` non-null and unique in `raw` (the score joins back
+   * on it).
+   */
+  def dsirScores(raw: DataFrame, rawId: Column, rawText: Column,
+                 target: DataFrame, targetText: Column,
+                 buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a positive power of two, got $buckets")
+    require(!raw.columns.exists(c => c.toLowerCase.startsWith("__ds_") ||
+      c.equalsIgnoreCase("dsir_score_e6")),
+      "dsirScores: input must not contain __ds_* columns or the output " +
+      "name dsir_score_e6")
+    // e6 floor division in DECIMAL(38,0) — exact past int64 (same helper
+    // contract as withBigramFluency)
+    def e6(a: Column, b: Column): Column = {
+      val A = a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L
+      val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      ((A - pmod(A, B)) / B).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    }
+    // unigrams ++ bigrams ("w1 w2"), hashed to a bucket id; one row per
+    // feature INSTANCE (multiplicity matters for both counts and scores)
+    def feats(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val ws = TextAnalysis.tokens(text)
+      val n = size(ws)
+      val bigrams = zip_with(
+        slice(ws, lit(1), greatest(n - 1, lit(0))),
+        slice(ws, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      df.select(id.as("__ds_id"),
+          explode(concat(ws, bigrams)).as("__ds_f"))
+        .select(col("__ds_id"),
+          pmod(xxhash64(col("__ds_f")), lit(buckets.toLong)).as("__ds_b"))
+    }
+    val rawFeats = feats(raw, rawId, rawText)
+    val tgtFeats = feats(target, lit(0L), targetText)
+    val tCnt = tgtFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_t"))
+    val rCnt = rawFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_r"))
+    val totals = tCnt.agg(sum(col("__ds_t")).as("__ds_tt"))
+      .crossJoin(rCnt.agg(sum(col("__ds_r")).as("__ds_rr")))
+    // every bucket a raw document can hit is in rCnt — left join loses
+    // nothing on the scoring path; target-only buckets never score
+    val ratio = rCnt.join(tCnt, Seq("__ds_b"), "left")
+      .na.fill(0L, Seq("__ds_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("__ds_b"), e6(
+        (col("__ds_t") + 1) * (col("__ds_rr") + buckets.toLong),
+        (col("__ds_r") + 1) * (col("__ds_tt") + buckets.toLong)).as("__ds_ratio"))
+    val scored = rawFeats
+      .join(broadcast(ratio), "__ds_b")
+      .groupBy(col("__ds_id"))
+      .agg(sum(col("__ds_ratio")).cast("long").as("dsir_score_e6"))
+    // left join + fill: a non-null text always yields >= 1 feature (split
+    // of "" is [""]), but a NULL text row would otherwise vanish
+    raw.join(scored, rawId === col("__ds_id"), "left")
+      .drop("__ds_id")
+      .na.fill(0L, Seq("dsir_score_e6"))
+  }
+
+  /**
+   * DSIR selection: keep the `n` raw documents most like the target —
+   * [[dsirScores]] ranked by (score desc, id asc) with the distributed
+   * TakeOrdered cut (k rows per partition to the driver, no global sort).
+   * The tie-break on id makes the kept SET a pure function of the corpora.
+   */
+  def dsirSelect(raw: DataFrame, rawId: Column, rawText: Column,
+                 target: DataFrame, targetText: Column,
+                 buckets: Int, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    dsirScores(raw, rawId, rawText, target, targetText, buckets)
+      .orderBy(col("dsir_score_e6").desc, rawId)
+      .limit(n)
+  }
+
+  /**
    * Length-bucketed batching ("smart batching"): sort the corpus by token
    * count ascending (ties by id — a total order, so assignments are
    * rerun-identical) and cut it into fixed-count batches of `batchSize`

@@ -214,6 +214,12 @@ object syntax {
       Bpe.applyBpe(df, text, merges)
     def zorderBy(cols: Seq[String], bits: Int = 16, partitions: Int = 0): DataFrame =
       ZOrder.zorderBy(df, cols, bits, partitions)
+    def dsirScores(id: Column, text: Column, target: DataFrame,
+                   targetText: Column, buckets: Int = 4096): DataFrame =
+      Pipeline.dsirScores(df, id, text, target, targetText, buckets)
+    def dsirSelect(id: Column, text: Column, target: DataFrame,
+                   targetText: Column, n: Int, buckets: Int = 4096): DataFrame =
+      Pipeline.dsirSelect(df, id, text, target, targetText, buckets, n)
     def ivfPqTopK(queries: DataFrame, id: Column, qid: Column,
                   vec: Column, qvec: Column, k: Int,
                   nlist: Int = 16, nprobe: Int = 4): DataFrame =

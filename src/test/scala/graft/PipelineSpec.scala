@@ -400,6 +400,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._3)).toMap == b)
   }
 
+  test("dsirScores: exact local replay, target-likeness ordering, partitioning-independent select") {
+    import graft.operators.Pipeline
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent Scala replay of the documented formula over a hand corpus
+    val corpus = Seq(
+      (1L, "spark join agg spark join", "t"),
+      (2L, "spark agg window table", "t"),
+      (3L, "cat dog fish bird mouse", "r"),
+      (4L, "spark join table scan", "r"),
+      (5L, "zebra yak xerus wombat", "r"))
+    val B = 64
+    def feats(text: String): Seq[Int] = {
+      val ws = text.split(" ", -1).toSeq
+      val fs = ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+      fs.map(f => java.lang.Math.floorMod(
+        graft.functions.TextOps.hashUtf8(UTF8String.fromString(f), 42L), B.toLong).toInt)
+    }
+    val tCnt = corpus.filter(_._3 == "t").flatMap(c => feats(c._2))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val rCnt = corpus.flatMap(c => feats(c._2))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val tt = tCnt.values.sum; val rr = rCnt.values.sum
+    def ratio(b: Int): Long =
+      ((BigInt(tCnt.getOrElse(b, 0L) + 1) * (rr + B) * 1000000) /
+        (BigInt(rCnt(b) + 1) * (tt + B))).toLong
+    val want = corpus.map(c => c._1 -> feats(c._2).map(ratio).sum).toMap
+    val df = spark.createDataFrame(corpus).toDF("id", "text", "kind")
+    val got = Pipeline.dsirScores(df, col("id"), col("text"),
+        df.filter(col("kind") === "t"), col("text"), buckets = B)
+      .select(col("id"), col("dsir_score_e6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // semantics: the target-vocabulary doc outranks the disjoint-vocab docs
+    assert(got(4L) > got(3L) && got(4L) > got(5L))
+    // selection: top-2 by (score desc, id) — and stable under repartitioning
+    val sel = Pipeline.dsirSelect(df.repartition(7), col("id"), col("text"),
+        df.filter(col("kind") === "t"), col("text"), buckets = B, n = 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val want2 = want.toSeq.sortBy { case (id, s) => (-s, id) }.take(2).map(_._1).toSet
+    assert(sel == want2)
+  }
+
   test("contaminationPairs excludes self-pairs when benchmark is a subset") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val pairs = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),

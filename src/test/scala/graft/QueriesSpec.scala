@@ -17,6 +17,7 @@ class QueriesSpec extends AnyFunSuite {
   private val crossJoinOk: Map[String, String] = Map(
     "q81_bm25" -> "corpus stats (N, avgdl) are ONE agg row cross-joined into scoring — bounded broadcast",
     "q88_fluency" -> "total-token scalar is ONE agg row cross-joined into the probability chain",
+    "q114_dsir_select" -> "feature totals (TT, RR) are ONE agg row cross-joined into the bucket-ratio table (<= buckets rows)",
     "q90_report" -> "per-source rollup cross-joins the same 1-row corpus-stat aggregates as q81/q88",
     "q36_bucket_histogram" -> "bucket bounds are ONE min/max agg row broadcast against the pixel stream",
     "q95_broadcast_join" -> "the reference's broadcastJoin contract: small side broadcast + general spatial predicate ⇒ nested-loop probe IS the designed plan",
