@@ -985,6 +985,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR against the persisted model: build the frozen bucket-ratio store
+    // once, score through the store path, same top-120 contract as q114 —
+    // store==live is part of what the shared oracle pins.
+    "q115_dsir_store" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("dsirstore", dir)(p =>
+        Pipeline.buildDsirStore(docs, col("text"),
+          docs.filter(col("source") === "src0"), col("text"), 1024, p))
+      Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), path)
+        .orderBy(col("dsir_score_e6").desc, col("doc_id")).limit(120)
+        .select(col("doc_id"), col("dsir_score_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: corpus docs sharing >= 4 distinct trigram
     // shingles with an eval doc (eval set = doc_id % 17 == 0).
     "q46_decontam" -> ((s, dir) => {
@@ -1498,6 +1512,9 @@ object SparkEntry {
     "q16_dedup_simhash" -> SimhashOracle.sql(3),
 
     "q114_dsir_select" -> DsirOracle.sql(1024, 120, "source = 'src0'"),
+
+    // the store path must reproduce the live scores exactly
+    "q115_dsir_store" -> DsirOracle.sql(1024, 120, "source = 'src0'"),
 
     // transitive closure of the exact-Jaccard pair graph; keep each
     // component's min id (mirrors q20's recursive-CTE pattern)

@@ -534,41 +534,9 @@ object Pipeline {
       c.equalsIgnoreCase("dsir_score_e6")),
       "dsirScores: input must not contain __ds_* columns or the output " +
       "name dsir_score_e6")
-    // e6 floor division in DECIMAL(38,0) — exact past int64 (same helper
-    // contract as withBigramFluency)
-    def e6(a: Column, b: Column): Column = {
-      val A = a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L
-      val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-      ((A - pmod(A, B)) / B).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    }
-    // unigrams ++ bigrams ("w1 w2"), hashed to a bucket id; one row per
-    // feature INSTANCE (multiplicity matters for both counts and scores)
-    def feats(df: DataFrame, id: Column, text: Column): DataFrame = {
-      val ws = TextAnalysis.tokens(text)
-      val n = size(ws)
-      val bigrams = zip_with(
-        slice(ws, lit(1), greatest(n - 1, lit(0))),
-        slice(ws, lit(2), greatest(n - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-      df.select(id.as("__ds_id"),
-          explode(concat(ws, bigrams)).as("__ds_f"))
-        .select(col("__ds_id"),
-          pmod(xxhash64(col("__ds_f")), lit(buckets.toLong)).as("__ds_b"))
-    }
-    val rawFeats = feats(raw, rawId, rawText)
-    val tgtFeats = feats(target, lit(0L), targetText)
-    val tCnt = tgtFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_t"))
-    val rCnt = rawFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_r"))
-    val totals = tCnt.agg(sum(col("__ds_t")).as("__ds_tt"))
-      .crossJoin(rCnt.agg(sum(col("__ds_r")).as("__ds_rr")))
-    // every bucket a raw document can hit is in rCnt — left join loses
-    // nothing on the scoring path; target-only buckets never score
-    val ratio = rCnt.join(tCnt, Seq("__ds_b"), "left")
-      .na.fill(0L, Seq("__ds_t"))
-      .crossJoin(broadcast(totals))
-      .select(col("__ds_b"), e6(
-        (col("__ds_t") + 1) * (col("__ds_rr") + buckets.toLong),
-        (col("__ds_r") + 1) * (col("__ds_tt") + buckets.toLong)).as("__ds_ratio"))
+    val rawFeats = dsirFeats(raw, rawId, rawText, buckets)
+    val tgtFeats = dsirFeats(target, lit(0L), targetText, buckets)
+    val (ratio, _) = dsirRatioAndTotals(rawFeats, tgtFeats, buckets)
     val scored = rawFeats
       .join(broadcast(ratio), "__ds_b")
       .groupBy(col("__ds_id"))
@@ -576,6 +544,113 @@ object Pipeline {
     // left join + fill: a non-null text always yields >= 1 feature (split
     // of "" is [""]), but a NULL text row would otherwise vanish
     raw.join(scored, rawId === col("__ds_id"), "left")
+      .drop("__ds_id")
+      .na.fill(0L, Seq("dsir_score_e6"))
+  }
+
+  /** e6 floor division in DECIMAL(38,0) — exact past int64 (same helper
+    * contract as withBigramFluency). */
+  private def dsirE6(a: Column, b: Column): Column = {
+    val A = a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L
+    val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    ((A - pmod(A, B)) / B).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+  }
+
+  /** Hashed DSIR features: unigrams ++ space-joined bigrams, one row per
+    * feature INSTANCE (multiplicity matters for counts and scores), each
+    * bucketed by pmod(xxHash64(feature), buckets). */
+  private def dsirFeats(df: DataFrame, id: Column, text: Column,
+                        buckets: Int): DataFrame = {
+    val ws = TextAnalysis.tokens(text)
+    val n = size(ws)
+    val bigrams = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(id.as("__ds_id"),
+        explode(concat(ws, bigrams)).as("__ds_f"))
+      .select(col("__ds_id"),
+        pmod(xxhash64(col("__ds_f")), lit(buckets.toLong)).as("__ds_b"))
+  }
+
+  /** The bucket-ratio table (__ds_b, __ds_ratio decimal) over every bucket
+    * the raw corpus hits, plus the 1-row totals frame (__ds_tt, __ds_rr).
+    * Every bucket a raw document can hit is in the raw counts — the left
+    * join loses nothing on the scoring path; target-only buckets never
+    * score a raw document. */
+  private def dsirRatioAndTotals(rawFeats: DataFrame, tgtFeats: DataFrame,
+                                 buckets: Int): (DataFrame, DataFrame) = {
+    val tCnt = tgtFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_t"))
+    val rCnt = rawFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_r"))
+    val totals = tCnt.agg(sum(col("__ds_t")).as("__ds_tt"))
+      .crossJoin(rCnt.agg(sum(col("__ds_r")).as("__ds_rr")))
+    val ratio = rCnt.join(tCnt, Seq("__ds_b"), "left")
+      .na.fill(0L, Seq("__ds_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("__ds_b"), dsirE6(
+        (col("__ds_t") + 1) * (col("__ds_rr") + buckets.toLong),
+        (col("__ds_r") + 1) * (col("__ds_tt") + buckets.toLong)).as("__ds_ratio"))
+    (ratio, totals)
+  }
+
+  /**
+   * Persist the DSIR model ([[dsirScores]]'s bucket-ratio table) — fit p/q
+   * ONCE on reference raw/target corpora, score many batches or streams
+   * against the FROZEN ratios (the DSIR deployment shape: a drifting
+   * per-batch refit would make scores incomparable across batches).
+   * Layout: `ratios` parquet range-sorted by bucket id + a
+   * `_graft_dsir_stats` sidecar carrying (buckets, TT, RR) — enough to
+   * reconstruct the smoothed default ratio for buckets the raw corpus
+   * never hit. Same rebuild-crash contract as every other store.
+   */
+  def buildDsirStore(raw: DataFrame, rawText: Column,
+                     target: DataFrame, targetText: Column,
+                     buckets: Int, path: String): Unit = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a positive power of two, got $buckets")
+    val spark = raw.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val rawFeats = dsirFeats(raw, lit(0L), rawText, buckets)
+    val tgtFeats = dsirFeats(target, lit(0L), targetText, buckets)
+    val (ratio, totals) = dsirRatioAndTotals(rawFeats, tgtFeats, buckets)
+    ratio.select(col("__ds_b").as("b"), col("__ds_ratio").cast("long").as("ratio_e6"))
+      .repartitionByRange(col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(path + "/ratios")
+    val t = totals.collect()(0)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_dsir_stats",
+      s"$buckets ${t.getLong(0)} ${t.getLong(1)}")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /**
+   * [[dsirScores]] against a [[buildDsirStore]] model: same integer math,
+   * ratios joined from the store instead of recomputed. A batch feature
+   * hashing to a bucket the store's raw corpus never saw scores the
+   * smoothed default (T=0, R=0) ratio — reconstructed exactly from the
+   * sidecar totals, so scoring the training corpora themselves reproduces
+   * the live operator bit-for-bit. The ratio table is ≤ `buckets` rows by
+   * construction — always broadcastable.
+   */
+  def dsirScoresIndexed(df: DataFrame, idCol: Column, textCol: Column,
+                        path: String): DataFrame = {
+    require(!df.columns.exists(c => c.toLowerCase.startsWith("__ds_") ||
+      c.equalsIgnoreCase("dsir_score_e6")),
+      "dsirScoresIndexed: input must not contain __ds_* columns or the " +
+      "output name dsir_score_e6")
+    val spark = df.sparkSession
+    val Array(bStr, ttStr, rrStr) =
+      graft.sources.Sidecar.readText(spark, path + "/_graft_dsir_stats").split(" ")
+    val buckets = bStr.toInt
+    val defaultE6 = (BigInt(rrStr.toLong + buckets) * 1000000 /
+      BigInt(ttStr.toLong + buckets)).toLong
+    val ratios = spark.read.parquet(path + "/ratios")
+      .select(col("b").as("__ds_b"), col("ratio_e6").as("__ds_ratio"))
+    val scored = dsirFeats(df, idCol, textCol, buckets)
+      .join(broadcast(ratios), Seq("__ds_b"), "left")
+      .groupBy(col("__ds_id"))
+      .agg(sum(coalesce(col("__ds_ratio"), lit(defaultE6)))
+        .cast("long").as("dsir_score_e6"))
+    df.join(scored, idCol === col("__ds_id"), "left")
       .drop("__ds_id")
       .na.fill(0L, Seq("dsir_score_e6"))
   }

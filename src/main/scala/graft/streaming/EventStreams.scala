@@ -242,6 +242,52 @@ object EventStreams {
   }
 
   /**
+   * Ingest-time DSIR gate: score each incoming document against a FROZEN
+   * [[graft.operators.Pipeline.buildDsirStore]] model — the data-selection
+   * twin of [[scoreBm25Indexed]]/[[scoreFluencyIndexed]]. The bucket-ratio
+   * table is ≤ `buckets` rows BY CONSTRUCTION (the hash bounds it — no
+   * vocabulary-sized collect risk, unlike the LM store), so it broadcasts
+   * and scoring is a stateless per-row UDF with integer scores identical
+   * to [[graft.operators.Pipeline.dsirScoresIndexed]] for the same store.
+   * Adds `dsir_score_e6`; rows scoring < `minScoreE6` are dropped when a
+   * threshold is given. Works on `read` and `readStream` alike.
+   */
+  def scoreDsirIndexed(docs: DataFrame, textColName: String, storePath: String,
+                       minScoreE6: Option[Long] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val Array(bStr, ttStr, rrStr) = graft.sources.Sidecar
+      .readText(spark, storePath + "/_graft_dsir_stats").split(" ")
+    val buckets = bStr.toInt
+    val default = (BigInt(rrStr.toLong + buckets) * 1000000 /
+      BigInt(ttStr.toLong + buckets)).toLong
+    val ratios = spark.read.parquet(storePath + "/ratios").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(ratios)
+    val score = org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        def bucket(f: String): Long = java.lang.Math.floorMod(
+          graft.functions.TextOps.hashUtf8(
+            org.apache.spark.unsafe.types.UTF8String.fromString(f), 42L),
+          buckets.toLong)
+        val ws = text.split(" ", -1)
+        var s = BigInt(0)
+        var i = 0
+        while (i < ws.length) {
+          s += BigInt(bc.value.getOrElse(bucket(ws(i)), default))
+          if (i < ws.length - 1)
+            s += BigInt(bc.value.getOrElse(bucket(ws(i) + " " + ws(i + 1)), default))
+          i += 1
+        }
+        s.toLong
+      }
+    }
+    val scored = docs.withColumn("dsir_score_e6",
+      score(org.apache.spark.sql.functions.col(textColName)))
+    minScoreE6.fold(scored)(t => scored.filter(col("dsir_score_e6") >= t))
+  }
+
+  /**
    * Ingest-time near-dup gate: each micro-batch is filtered against a
    * frozen [[graft.operators.Dedup.buildMinhashStore]] corpus — incoming
    * documents with n-gram Jaccard >= p/q to ANY accepted document are

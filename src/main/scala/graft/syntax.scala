@@ -220,6 +220,11 @@ object syntax {
     def dsirSelect(id: Column, text: Column, target: DataFrame,
                    targetText: Column, n: Int, buckets: Int = 4096): DataFrame =
       Pipeline.dsirSelect(df, id, text, target, targetText, buckets, n)
+    def buildDsirStore(text: Column, target: DataFrame, targetText: Column,
+                       buckets: Int, path: String): Unit =
+      Pipeline.buildDsirStore(df, text, target, targetText, buckets, path)
+    def dsirScoresIndexed(id: Column, text: Column, path: String): DataFrame =
+      Pipeline.dsirScoresIndexed(df, id, text, path)
     def ivfPqTopK(queries: DataFrame, id: Column, qid: Column,
                   vec: Column, qvec: Column, k: Int,
                   nlist: Int = 16, nprobe: Int = 4): DataFrame =

@@ -442,6 +442,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(sel == want2)
   }
 
+  test("dsirScoresIndexed: store reproduces live scores; unseen buckets score the smoothed default") {
+    import graft.operators.Pipeline
+    val target = docs.filter(col("source") === "src0")
+    val live = Pipeline.dsirScores(docs, col("doc_id"), col("text"),
+        target, col("text"), buckets = 256)
+      .select(col("doc_id"), col("dsir_score_e6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("dsirstore").toString
+    Pipeline.buildDsirStore(docs, col("text"), target, col("text"), 256, dir)
+    val stored = Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), dir)
+      .select(col("doc_id"), col("dsir_score_e6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stored == live)
+    assert(live.nonEmpty)
+    // a batch whose features miss the store's raw corpus scores the
+    // reconstructed (T=0, R=0) default per feature: replay from the sidecar
+    val Array(b, tt, rr) = graft.sources.Sidecar
+      .readText(spark, dir + "/_graft_dsir_stats").split(" ").map(_.toLong)
+    val default = (BigInt(rr + b) * 1000000 / BigInt(tt + b)).toLong
+    val novel = spark.createDataFrame(Seq((99L, "qqqxyzzy wwwplugh"))).toDF("id", "text")
+    val novelScore = Pipeline.dsirScoresIndexed(novel, col("id"), col("text"), dir)
+      .select(col("dsir_score_e6")).collect()(0).getLong(0)
+    // exact replay: 3 features (2 unigrams + 1 bigram), each scoring its
+    // stored bucket ratio or — when the bucket misses the store — default
+    val ratios = spark.read.parquet(dir + "/ratios").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Seq("qqqxyzzy", "wwwplugh", "qqqxyzzy wwwplugh").map { f =>
+      val bkt = java.lang.Math.floorMod(graft.functions.TextOps.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(f), 42L), b)
+      ratios.getOrElse(bkt, default)
+    }.sum
+    assert(novelScore == want)
+  }
+
   test("contaminationPairs excludes self-pairs when benchmark is a subset") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val pairs = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),

@@ -350,6 +350,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate scores micro-batches with the frozen ratio store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("source") === "src0")
+    val dir = java.nio.file.Files.createTempDirectory("dsirstream").toString
+    graft.operators.Pipeline.buildDsirStore(docs, col("text"), target, col("text"), 256, dir)
+    // ground truth: the join-based store scorer over the same corpus
+    val want = graft.operators.Pipeline
+      .dsirScoresIndexed(docs, col("doc_id"), col("text"), dir)
+      .select(col("doc_id"), col("dsir_score_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // threshold at the median-ish score: the gate must both score AND drop
+    val cut = want.values.toSeq.sorted.apply(want.size / 2)
+    val gated = graft.streaming.EventStreams.scoreDsirIndexed(
+      stream, "text", dir, minScoreE6 = Some(cut))
+    val q = gated.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("dsir_out")
+        .select(col("doc_id"), col("dsir_score_e6")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want.filter { case (_, s) => s >= cut })
+      assert(got.nonEmpty && got.size < want.size)
+    } finally q.stop()
+  }
+
   test("streaming fluency gate refuses an LM store past the broadcast bound") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("lmguard").toString
