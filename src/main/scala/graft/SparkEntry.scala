@@ -231,6 +231,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // hard-negative mining: for 10 query vectors, the semi-hard band
+    // (ranks 3-5) of most-cosine-similar corpus vectors that are NOT
+    // positives (positives = same-label rows — a stand-in for qrels).
+    "q116_hard_negatives" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val positives = q.select(col("vec_id").as("qid"), col("label").as("ql"))
+        .join(e.select(col("vec_id").as("pid"), col("label").as("pl")),
+          col("ql") === col("pl"))
+        .select(col("qid"), col("pid"))
+      Similarity.hardNegatives(e, q, positives,
+          col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
+          col("qid"), col("pid"), skip = 2, take = 3)
+        .select(col("query_id"), col("neighbor_id"), col("neg_rank").cast("long").as("neg_rank"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // kNN classification head: 50 query vectors labelled by majority vote
     // of their 5 exact nearest neighbors (the embedding-based topic/quality
     // labelling pass of corpus pipelines); deterministic tie-break.
@@ -973,6 +990,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled mixture weights (alpha = 0.5 sqrt rule): one row
+    // per source with its token total and e6 weight.
+    "q117_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      Pipeline.temperatureWeights(docs, col("source"), col("ntok"),
+          sqrts = 1, groupName = "source")
+        .orderBy(col("source"))
+    }),
+
+    // CCNet-style per-source perplexity buckets: bigram-fluency scores cut
+    // into exact head/middle/tail tertiles within each source.
+    "q118_ccnet_buckets" -> ((s, dir) => {
+      val scored = TextAnalysis.withBigramFluency(
+        Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+      Pipeline.quantileBuckets(scored, col("source"), 3, "ppl_bucket",
+          col("fluency_e6").desc, col("doc_id"))
+        .select(col("doc_id"), col("source"), col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance selection: raw = all documents, target = the 'src0'
     // subset; hashed unigram+bigram features in 1024 buckets, fixed-point
     // p/q ratio scores (e6 floor), top-120 most target-like documents.
@@ -1379,8 +1417,10 @@ object SparkEntry {
   /** q88, also embedded as the fluency CTE of q90's report: the add-one
     * bigram LM with e6 floors, replayed relationally — output
     * (doc_id, n_bigrams, fluency_e6). */
-  private val fluencyOracleSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Shared CTE chain of the bigram-fluency replay (also the base of the
+    * q118 bucket oracle): `d` docs, `s` per-doc (ts, nb) sums. */
+  private val fluencyCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |u AS (SELECT w, CAST(count(*) AS BIGINT) AS u
       |      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
       |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
@@ -1392,7 +1432,10 @@ object SparkEntry {
       |      FROM b JOIN u ON b.w1 = u.w
       |             JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2, vv),
       |s AS (SELECT doc_id, CAST(sum(te) AS BIGINT) AS ts,
-      |             CAST(count(*) AS BIGINT) AS nb FROM t GROUP BY 1)
+      |             CAST(count(*) AS BIGINT) AS nb FROM t GROUP BY 1)""".stripMargin
+
+  private val fluencyOracleSql: String =
+    s"""WITH $fluencyCtes
       |SELECT d.doc_id, COALESCE(nb, 0) AS n_bigrams,
       |       COALESCE((ts - ts % nb) // nb, 0) AS fluency_e6
       |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
@@ -1577,6 +1620,17 @@ object SparkEntry {
 
     "q18_ann_topk" -> annTop5OracleSql,
 
+    // exclusion-then-rank: negatives ranked AFTER dropping same-label
+    // positives and self, band (2, 5]
+    "q116_hard_negatives" ->
+      (s"WITH e AS ($normedEmbSql), scored AS (" +
+       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c " +
+       "WHERE c.vec_id != q.vec_id AND c.label != q.label) " +
+       "SELECT query_id, neighbor_id, rn AS neg_rank FROM scored " +
+       "WHERE rn > 2 AND rn <= 5 ORDER BY query_id, neighbor_id"),
+
     // exact top-5 (same scored CTE shape as q18, 50 queries) -> label join
     // -> vote count -> deterministic argmax (votes desc, label asc)
     "q76_knn_classify" ->
@@ -1637,6 +1691,24 @@ object SparkEntry {
 
     // the same add-one bigram LM with e6 floors, replayed relationally
     "q88_fluency" -> fluencyOracleSql,
+
+    // IEEE sqrt is correctly rounded in every engine — floor(1e6*sqrt(T))
+    // is bit-identical (see Pipeline.temperatureWeights)
+    "q117_temperature_mix" ->
+      ("SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+       "CAST(floor(1000000 * sqrt(sum(len(string_split(text, ' '))))) AS BIGINT) AS weight_e6 " +
+       "FROM documents GROUP BY source ORDER BY source"),
+
+    // fluency replay + exact tertile: bucket = ((rank-1)*3) // count
+    "q118_ccnet_buckets" ->
+      (s"WITH $fluencyCtes,\n" +
+       "fl AS (SELECT d.doc_id, COALESCE((ts - ts % nb) // nb, 0) AS fe " +
+       "FROM d LEFT JOIN s USING (doc_id)),\n" +
+       "j AS (SELECT fl.doc_id, documents.source, fe FROM fl JOIN documents USING (doc_id)),\n" +
+       "r AS (SELECT doc_id, source, " +
+       "row_number() OVER (PARTITION BY source ORDER BY fe DESC, doc_id) AS rn, " +
+       "count(*) OVER (PARTITION BY source) AS cnt FROM j)\n" +
+       "SELECT doc_id, source, ((rn-1)*3) // cnt AS ppl_bucket FROM r ORDER BY doc_id"),
 
     // the frozen-store path on its own training corpus ⇒ q88's oracle
     "q100_fluency_store" -> fluencyOracleSql,

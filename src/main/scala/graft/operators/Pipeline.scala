@@ -408,11 +408,49 @@ object Pipeline {
                    order: Column*): DataFrame = {
     require(keepNum > 0 && keepDen >= keepNum,
       s"keep fraction must be in (0, 1]: got $keepNum/$keepDen")
+    groupRanksTotals(df, group, order, "quantileGate")
+      .filter(col("__qg_rank") * keepDen <= col("__qg_tot") * keepNum)
+      .drop("__qg_rank", "__qg_tot")
+  }
+
+  /**
+   * Exact per-group quantile-bucket labels — the CCNet-style head/middle/
+   * tail split generalized: rows of each group are ranked under `order`
+   * (1-based) and labelled `bucket = floor((rank-1)·nBuckets / count)`, so
+   * bucket 0 holds the first ceil-or-floor(count/nBuckets) rows and every
+   * bucket's size differs by at most one — an EXACT, reproducible
+   * bucketing (an approx-percentile split is neither). Same distributed
+   * prefix-count rank as [[quantileGate]] (one range shuffle, per-(group,
+   * partition) carry offsets — never a single-task-per-group window).
+   *
+   * `order` must be a total order within each group (e.g. `score.desc,
+   * id`); pass the score DESCENDING so bucket 0 is the head.
+   */
+  def quantileBuckets(df: DataFrame, group: Column, nBuckets: Int,
+                      bucketName: String, order: Column*): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(!df.columns.exists(_.equalsIgnoreCase(bucketName)),
+      s"quantileBuckets: input already has a column named $bucketName")
+    val x = (col("__qg_rank") - 1) * nBuckets
+    groupRanksTotals(df, group, order, "quantileBuckets")
+      .withColumn(bucketName,
+        ((x - pmod(x, col("__qg_tot"))) / col("__qg_tot")).cast("long"))
+      .drop("__qg_rank", "__qg_tot")
+  }
+
+  /** The shared distributed-rank kernel behind [[quantileGate]] and
+    * [[quantileBuckets]]: appends `__qg_rank` (1-based within the group
+    * under `order`) and `__qg_tot` (the group's row count) via the
+    * range-partition + prefix-count machinery documented on
+    * [[quantileGate]]. Callers must drop both columns. */
+  private def groupRanksTotals(df: DataFrame, group: Column,
+                               order: Seq[Column], caller: String): DataFrame = {
     require(!df.columns.exists(c =>
       c.equalsIgnoreCase("__qg_pid") || c.equalsIgnoreCase("__qg_mid") ||
-      c.equalsIgnoreCase("__qg_g")),
-      "quantileGate: input must not contain columns named __qg_pid/__qg_mid/__qg_g")
-    require(order.nonEmpty, "quantileGate needs at least one order column")
+      c.equalsIgnoreCase("__qg_g") || c.equalsIgnoreCase("__qg_rank") ||
+      c.equalsIgnoreCase("__qg_tot")),
+      s"$caller: input must not contain __qg_* columns")
+    require(order.nonEmpty, s"$caller needs at least one order column")
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val sortKeys = group +: order
@@ -454,8 +492,8 @@ object Pipeline {
       .join(broadcast(offDf),
         group <=> offDf(groupName) && keyed("__qg_pid") === offDf("__qg_pid"))
       .drop(offDf("__qg_pid")).drop(groupName)
-      .filter((col("__qg_base") + col("__qg_mid")) * keepDen <= col("__qg_tot") * keepNum)
-      .drop("__qg_pid", "__qg_mid", "__qg_base", "__qg_tot")
+      .withColumn("__qg_rank", col("__qg_base") + col("__qg_mid"))
+      .drop("__qg_pid", "__qg_mid", "__qg_base")
   }
 
   /**
@@ -546,6 +584,35 @@ object Pipeline {
     raw.join(scored, rawId === col("__ds_id"), "left")
       .drop("__ds_id")
       .na.fill(0L, Seq("dsir_score_e6"))
+  }
+
+  /**
+   * Temperature-scaled mixture weights — the "alpha sampling" rule of
+   * multilingual / multi-source training mixes (the exponent-smoothing
+   * recipe of mBERT/XLM-R): a group's sampling weight is its token total
+   * raised to alpha = 1/2^`sqrts`, computed as `sqrts` repeated square
+   * roots. Upweights low-resource sources relative to proportional
+   * sampling while preserving the size ordering; feed the collected
+   * (group → weight) map into [[mixtureSample]] (weights are relative, so
+   * the e6 scale cancels in the copy rate).
+   *
+   * Determinism across engines WITHOUT a fixed-point detour: IEEE 754
+   * requires sqrt — unlike pow/ln/exp — to be correctly rounded, and the
+   * final multiply by 1e6 rounds once more under the same rule, so
+   * `weight_e6 = floor(1e6 · sqrt^[s](T_g))` is bit-identical in any IEEE
+   * engine. pow(x, alpha) carries no such guarantee, which is why alpha is
+   * restricted to 1/2^s (s=0 proportional, 1 the standard sqrt rule,
+   * 2 quarter-power).
+   *
+   * Output: one row per group — `groupName`, `n_tokens`, `weight_e6`.
+   * Scale shape: one map-side-combined group agg; output is group-bounded.
+   */
+  def temperatureWeights(df: DataFrame, group: Column, tokens: Column,
+                         sqrts: Int = 1, groupName: String = "group"): DataFrame = {
+    require(sqrts >= 0 && sqrts <= 4, s"sqrts must be in [0, 4], got $sqrts")
+    val t = df.groupBy(group.as(groupName)).agg(sum(tokens).as("n_tokens"))
+    val w = (0 until sqrts).foldLeft(col("n_tokens").cast("double"))((c, _) => sqrt(c))
+    t.withColumn("weight_e6", floor(lit(1e6) * w).cast("long"))
   }
 
   /** e6 floor division in DECIMAL(38,0) — exact past int64 (same helper

@@ -39,6 +39,52 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining — the training-pair generator for embedding /
+   * retrieval models (DPR, sentence-transformers): for each query, the
+   * most-similar corpus rows that are NOT known positives, restricted to
+   * the "semi-hard" rank band (`skip`, `skip + take`]. Skipping the very
+   * top ranks guards against unlabelled positives (the classic
+   * false-negative trap); the next ranks are the negatives that carry
+   * gradient signal. Output: `query_id`, `neighbor_id`, `neg_rank` (1-based
+   * among eligible negatives — ranked AFTER exclusion, so the band is
+   * always full when enough negatives exist). Ties break by neighbor id —
+   * fully deterministic.
+   *
+   * `positives` is any (query id, positive id) pair set — labelled qrels,
+   * click logs, or a same-label join. Pairs are excluded with an anti-join
+   * on the pair key, so a hot query with many positives is skew-splittable.
+   *
+   * Scale shape: one corpus scan against the broadcast query batch (the
+   * [[bruteTopK]] contract — batch must stay broadcast-small; tile bigger
+   * batches), then a window partitioned by query_id over n_queries × n
+   * score rows. For corpus-scale recall-then-mine, feed the candidate
+   * pairs from the IVF/PQ tiers into the same exclusion + band filter.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+                    corpusId: Column, queryId: Column,
+                    corpusVec: Column, queryVec: Column,
+                    posQueryId: Column, posId: Column,
+                    skip: Int, take: Int): DataFrame = {
+    require(skip >= 0, s"skip must be >= 0, got $skip")
+    require(take > 0, s"take must be positive, got $take")
+    import graft.functions.stf
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+      .withColumn("__cn", stf.vec_norm(col("__cv")))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+      .withColumn("__qn", stf.vec_norm(col("__qv")))
+    val p = positives.select(posQueryId.as("query_id"), posId.as("neighbor_id"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .join(p, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("__cos", stf.vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val rn = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
+    scored.withColumn("neg_rank", rn)
+      .filter(col("neg_rank") > skip && col("neg_rank") <= skip + take)
+      .select(col("query_id"), col("neighbor_id"), col("neg_rank"))
+  }
+
+  /**
    * Majority-vote label assignment over ANY (query_id, neighbor_id) top-k
    * pair set — the classification head of kNN search: compose with
    * [[bruteTopK]] (exact baseline), [[ivfTopK]], or `ivfTopKIndexed` (the

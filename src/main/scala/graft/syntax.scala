@@ -220,11 +220,23 @@ object syntax {
     def dsirSelect(id: Column, text: Column, target: DataFrame,
                    targetText: Column, n: Int, buckets: Int = 4096): DataFrame =
       Pipeline.dsirSelect(df, id, text, target, targetText, buckets, n)
+    def temperatureWeights(group: Column, tokens: Column, sqrts: Int = 1,
+                           groupName: String = "group"): DataFrame =
+      Pipeline.temperatureWeights(df, group, tokens, sqrts, groupName)
+    def quantileBuckets(group: Column, nBuckets: Int, bucketName: String,
+                        order: Column*): DataFrame =
+      Pipeline.quantileBuckets(df, group, nBuckets, bucketName, order: _*)
     def buildDsirStore(text: Column, target: DataFrame, targetText: Column,
                        buckets: Int, path: String): Unit =
       Pipeline.buildDsirStore(df, text, target, targetText, buckets, path)
     def dsirScoresIndexed(id: Column, text: Column, path: String): DataFrame =
       Pipeline.dsirScoresIndexed(df, id, text, path)
+    def hardNegatives(queries: DataFrame, positives: DataFrame,
+                      id: Column, qid: Column, vec: Column, qvec: Column,
+                      posQid: Column, posId: Column,
+                      skip: Int, take: Int): DataFrame =
+      Similarity.hardNegatives(df, queries, positives, id, qid, vec, qvec,
+        posQid, posId, skip, take)
     def ivfPqTopK(queries: DataFrame, id: Column, qid: Column,
                   vec: Column, qvec: Column, k: Int,
                   nlist: Int = 16, nprobe: Int = 4): DataFrame =

@@ -430,6 +430,37 @@ class DedupSpec extends AnyFunSuite {
     assert(tie(100L) == (("a", 1L))) // a:1 vs b:1 -> 'a'
   }
 
+  test("hardNegatives: hand case — exclusion before ranking, band filter, brute differential") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // query 100 points at +x; cosine order: 1, 2, 3, 4, 5
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.95f, 0.3f)), (4L, Array(0.8f, 0.6f)),
+      (5L, Array(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    // 2 is a known positive -> eligible negatives ranked 1,3,4,5 as 1..4;
+    // band (1, 3] keeps {3->2, 4->3}
+    val pos = Seq((100L, 2L)).toDF("pq", "pid")
+    val got = Similarity.hardNegatives(corpus, queries, pos,
+        col("id"), col("qid"), col("vec"), col("qvec"),
+        col("pq"), col("pid"), skip = 1, take = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(got == Map(3L -> 2, 4L -> 3))
+    // no-positives degenerate: band (0, k] over everything == bruteTopK
+    val none = Seq.empty[(Long, Long)].toDF("pq", "pid")
+    val viaHn = Similarity.hardNegatives(embs, embs.filter(col("vec_id") < 5), none,
+        col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
+        col("pq"), col("pid"), skip = 0, take = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(embs, embs.filter(col("vec_id") < 5),
+        col("vec_id"), col("vec_id"), col("embedding"), col("embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHn == brute && brute.nonEmpty)
+  }
+
   test("labelVote composes with the IVF pair set (vote source agnostic)") {
     val q = embs.filter(col("vec_id") < 5)
     val brute = Similarity.knnClassify(embs, q, col("vec_id"), col("vec_id"),

@@ -400,6 +400,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._3)).toMap == b)
   }
 
+  test("temperatureWeights: exact sqrt-rule weights, proportional at sqrts=0") {
+    import spark.implicits._
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L), ("c", 9L)).toDF("g", "tok")
+    val got = Pipeline.temperatureWeights(df, col("g"), col("tok"), sqrts = 1, groupName = "g")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // sqrt(4)=2, sqrt(2)=1.41421356..., sqrt(9)=3 — floors at e6
+    assert(got == Map("a" -> ((4L, 2000000L)), "b" -> ((2L, 1414213L)), "c" -> ((9L, 3000000L))))
+    val prop = Pipeline.temperatureWeights(df, col("g"), col("tok"), sqrts = 0, groupName = "g")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prop == Map("a" -> 4000000L, "b" -> 2000000L, "c" -> 9000000L))
+    // smoothing flattens: the big/small weight ratio shrinks monotonically
+    val q = Pipeline.temperatureWeights(df, col("g"), col("tok"), sqrts = 2, groupName = "g")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prop("c").toDouble / prop("b") > got("c")._2.toDouble / got("b")._2)
+    assert(got("c")._2.toDouble / got("b")._2 > q("c").toDouble / q("b"))
+  }
+
+  test("quantileBuckets: hand case, near-equal sizes, partitioning-independent") {
+    import spark.implicits._
+    // group x: 5 rows scored 50..10 -> buckets (desc order) 0,0,1,1,2
+    val df = Seq(("x", 1L, 50L), ("x", 2L, 40L), ("x", 3L, 30L), ("x", 4L, 20L),
+      ("x", 5L, 10L), ("y", 6L, 7L)).toDF("g", "id", "score")
+    val got = Pipeline.quantileBuckets(df, col("g"), 3, "b",
+        col("score").desc, col("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 0L))
+    // corpus invariants: per (source-)group, bucket sizes differ by <= 1
+    // and are ordered-by-rank; stable under upstream repartitioning
+    val d2 = docs.withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+    val a = Pipeline.quantileBuckets(d2, col("source"), 4, "qb",
+        col("ntok").desc, col("doc_id"))
+      .select(col("doc_id"), col("source"), col("qb")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_._3).values.map(_.size).toSeq
+      assert(sizes.max - sizes.min <= 1)
+    }
+    val b = Pipeline.quantileBuckets(d2.repartition(7), col("source"), 4, "qb",
+        col("ntok").desc, col("doc_id"))
+      .select(col("doc_id"), col("qb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.map(r => (r._1, r._3)).toMap == b)
+  }
+
   test("dsirScores: exact local replay, target-likeness ordering, partitioning-independent select") {
     import graft.operators.Pipeline
     import org.apache.spark.unsafe.types.UTF8String

@@ -24,6 +24,7 @@ class QueriesSpec extends AnyFunSuite {
     "q17_dedup_cosine" -> "documented O(n²) exact twin — the oracle anchor for q33's LSH path",
     "q18_ann_topk" -> "brute-force ANN baseline: query batch × corpus by contract (batch broadcast-small)",
     "q76_knn_classify" -> "composes the q18 brute baseline for a bounded query batch",
+    "q116_hard_negatives" -> "brute scoring: query batch × corpus by contract (batch broadcast-small)",
     "q79_ann_pq" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q80_ann_pq_store" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q89_hybrid" -> "rerank stage: ≤50 BM25 candidates × the query vector row",
