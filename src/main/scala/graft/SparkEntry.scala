@@ -231,6 +231,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // signed random projection (JL sketch): 64-d embeddings -> 16-d ±1
+    // projection, then exact cosine top-5 per query ON THE SKETCH — the
+    // compressed-front ANN composition, replayed end-to-end by the oracle.
+    "q120_random_projection" -> ((s, dir) => {
+      val p = Similarity.randomProject(Tables.load(s, dir, "embeddings"),
+        col("embedding"), dim = 64, outDim = 16, salt = "jl1")
+      Similarity.bruteTopK(p, p.filter(col("vec_id") < 10),
+          col("vec_id"), col("vec_id"), col("proj"), col("proj"), k = 5)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // hard-negative mining: for 10 query vectors, the semi-hard band
     // (ranks 3-5) of most-cosine-similar corpus vectors that are NOT
     // positives (positives = same-label rows — a stand-in for qrels).
@@ -824,6 +835,20 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"), col("media_len"),
           col("width"), col("height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // perceptual media near-dedup: 1-D aHash sketches of the decoded
+    // payload stream, pigeonhole block join, hamming <= 3. Payloads are
+    // one of 50 repeating units at varying repeat counts — the "same
+    // content re-encoded at a different length" scenario the sketch is
+    // built to catch (same-unit pairs land at hamming ~0 across lengths).
+    "q119_media_ahash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").withColumn("media",
+        repeat(md5(pmod(col("doc_id"), lit(50)).cast("string").cast("binary")),
+          (pmod(col("n_chars"), lit(4)) + 2).cast("int")).cast("binary"))
+      Multimodal.mediaAHashPairs(docs, col("doc_id"), col("media"),
+          maxHam = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // per-partition batched feature extraction over the binary column
@@ -1620,6 +1645,25 @@ object SparkEntry {
 
     "q18_ann_topk" -> annTop5OracleSql,
 
+    // md5-sign matrix replay -> double-accumulated projection rounded to
+    // REAL once -> cosine top-5 on the 16-d sketch
+    "q120_random_projection" ->
+      ("WITH idx AS (SELECT i, j, CASE WHEN substr(md5(i || ':' || j || ':jl1'), 1, 1) < '8' " +
+       "THEN 1.0 ELSE -1.0 END AS sg " +
+       "FROM generate_series(0, 63) g1(i) CROSS JOIN generate_series(0, 15) g2(j)),\n" +
+       "sgm AS (SELECT j, list(sg ORDER BY i) AS srow FROM idx GROUP BY j),\n" +
+       "pj AS (SELECT vec_id, j, CAST(list_sum([CAST(embedding[i] AS DOUBLE) * srow[i] " +
+       "FOR i IN generate_series(1, 64)]) AS REAL) AS pv FROM embeddings CROSS JOIN sgm),\n" +
+       "pr AS (SELECT vec_id, list(pv ORDER BY j) AS proj FROM pj GROUP BY vec_id),\n" +
+       "n AS (SELECT vec_id, proj, sqrt(list_sum([CAST(proj[i] AS DOUBLE)*CAST(proj[i] AS DOUBLE) " +
+       "FOR i IN generate_series(1, 16)])) AS nrm FROM pr),\n" +
+       "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "list_sum([CAST(q.proj[i] AS DOUBLE)*CAST(c.proj[i] AS DOUBLE) FOR i IN generate_series(1, 16)])" +
+       "/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM n WHERE vec_id < 10) q, n c WHERE c.vec_id != q.vec_id)\n" +
+       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+
     // exclusion-then-rank: negatives ranked AFTER dropping same-label
     // positives and self, band (2, 5]
     "q116_hard_negatives" ->
@@ -1980,6 +2024,26 @@ object SparkEntry {
        "CAST(32*(n_chars%4+2) AS BIGINT) AS media_len, " +
        "CAST(n_chars%64+16 AS INT) AS width, CAST(doc_id*7%48+16 AS INT) AS height " +
        "FROM documents ORDER BY doc_id"),
+
+    // full replay of the 1-D aHash: synthetic payload bytes -> 64 segment
+    // sums -> integer cross-multiplied mean bits -> signed 64-bit sketch
+    // -> all-pairs hamming (stronger than the block join, equal by the
+    // pigeonhole argument — same pattern as the q16 SimHash oracle)
+    "q119_media_ahash" ->
+      ("WITH m AS (SELECT doc_id, repeat(md5(CAST(doc_id % 50 AS VARCHAR)), CAST(n_chars%4+2 AS INT)) AS media FROM documents),\n" +
+       "seg AS (SELECT doc_id, len(media) AS L, (((i-1)*64) // len(media)) AS s, ascii(media[i:i]) AS v " +
+       "FROM m, unnest(generate_series(1, len(media))) AS g(i)),\n" +
+       "ss AS (SELECT doc_id, s, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS sl, max(L) AS L " +
+       "FROM seg GROUP BY 1, 2),\n" +
+       "tt AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tv FROM seg GROUP BY 1),\n" +
+       "p2(s, p) AS (VALUES " +
+       (0 until 64).map(s => s"($s, ${BigInt(1) << s}::HUGEINT)").mkString(", ") + "),\n" +
+       "hs AS (SELECT ss.doc_id, sum(CASE WHEN sv * L > tv * sl THEN p ELSE 0::HUGEINT END) AS h " +
+       "FROM ss JOIN tt USING (doc_id) JOIN p2 ON p2.s = ss.s GROUP BY 1),\n" +
+       s"sims AS (SELECT doc_id, CAST(CASE WHEN h >= ${BigInt(1) << 63}::HUGEINT " +
+       s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS sim FROM hs)\n" +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sims a JOIN sims b " +
+       "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"),
 
     "q30_multimodal_features" ->
       ("WITH m AS (SELECT doc_id, repeat(md5(text), CAST(n_chars%4+2 AS INT)) AS media FROM documents) " +

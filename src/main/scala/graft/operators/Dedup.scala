@@ -260,9 +260,22 @@ object Dedup {
     require(maxHam <= blocks - 1,
       s"maxHam ($maxHam) must be <= blocks-1 (${blocks - 1}) or the pigeonhole " +
       "candidate generation silently misses true pairs")
-    val w = 64 / blocks
     val sims = df.select(idCol.as("__id"),
       stf.simhash64(TextAnalysis.tokens(textCol)).as("__sim"))
+    hammingPairs(sims, maxHam, blocks)
+  }
+
+  /**
+   * Pigeonhole-exact hamming pair join over ANY (`__id`, `__sim` 64-bit
+   * sketch) frame — the candidate machinery shared by [[simhashPairs]] and
+   * [[Multimodal.mediaAHashPairs]]: a pair with hamming <= blocks-1 must
+   * agree on at least one of `blocks` equal bit-blocks, so the block
+   * equi-join generates every true candidate; the exact popcount refine
+   * drops the rest. Output (id_a < id_b) pairs.
+   */
+  private[operators] def hammingPairs(sims: DataFrame, maxHam: Int,
+                                      blocks: Int): DataFrame = {
+    val w = 64 / blocks
     val banded = sims.select(col("__id"), col("__sim"),
         posexplode(array((0 until blocks).map(b =>
           shiftrightunsigned(col("__sim"), b * w).bitwiseAND(lit((1L << w) - 1))): _*)))

@@ -197,6 +197,70 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /**
+   * 64-bit perceptual sketch (1-D average-hash) of the DECODED media
+   * stream: the decoded bytes (real grey pixels for PNG/JPEG, the
+   * deterministic byte-fake otherwise) are cut into 64 near-equal
+   * segments — segment s covers byte indices [s·L/64, (s+1)·L/64) — and
+   * bit s is set iff the segment's mean exceeds the stream mean. The
+   * comparison is the exact integer cross-multiplication
+   * `segSum·L > total·segLen` (no division, no doubles), so an external
+   * SQL engine replays the sketch bit-for-bit on fake payloads. Small
+   * perturbations (one pixel, slight re-encode brightness) flip few
+   * segment means, so near-identical media land within a small hamming
+   * distance — the classic aHash property, generalized to 1-D so the same
+   * sketch covers image pixels and audio/video sample streams.
+   */
+  private[graft] def mediaAHash(media: Array[Byte]): Long = {
+    val px = MediaCodec.decode(media)
+    val l = px.length
+    if (l == 0) 0L
+    else {
+      val segSum = new Array[Long](64)
+      val segLen = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < l) {
+        val s = (i.toLong * 64 / l).toInt
+        val v = (px(i) & 0xff).toLong
+        segSum(s) += v; segLen(s) += 1; total += v
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (segLen(b) > 0 && segSum(b) * l > total * segLen(b)) h |= (1L << b)
+        b += 1
+      }
+      h
+    }
+  }
+
+  /**
+   * Perceptual near-duplicate media pairs: [[mediaAHash]] sketches joined
+   * by the SAME pigeonhole block machinery as SimHash text dedup
+   * ([[Dedup.hammingPairs]]) — exact for hamming <= blocks-1, so the
+   * candidate join is bucketed (16-bit block keys), never all-pairs.
+   * Output (id_a < id_b). The image twin of document near-dedup: re-encoded
+   * or lightly-edited copies of an image hash within a few bits while
+   * unrelated media differ in ~32.
+   *
+   * Scale shape: the sketch is a pure map (8 bytes/row leaves the
+   * executor); the block join + popcount refine shuffles 4 short rows per
+   * media item. Same knobs and bounds as SimHash.
+   */
+  def mediaAHashPairs(df: DataFrame, idCol: Column, mediaCol: Column,
+                      maxHam: Int = 3, blocks: Int = 4): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    require(maxHam <= blocks - 1,
+      s"maxHam ($maxHam) must be <= blocks-1 (${blocks - 1}) or the pigeonhole " +
+      "candidate generation silently misses true pairs")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val ah = udf((m: Array[Byte]) => if (m == null) 0L else mediaAHash(m))
+    Dedup.hammingPairs(
+      df.select(idCol.as("__id"), ah(mediaCol).as("__sim")), maxHam, blocks)
+  }
+
   /** Resize/subsample the media payload in place (stride bytes). */
   def resizeMedia(df: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, s"resizeMedia: stride must be positive (got $stride)")

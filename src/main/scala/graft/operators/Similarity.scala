@@ -39,6 +39,50 @@ object Similarity {
   }
 
   /**
+   * Signed random projection — the ±1 Johnson-Lindenstrauss sketch
+   * (Achlioptas 2003): project `dim`-d embeddings to `outDim` dimensions
+   * through a dense ±1 matrix, preserving angles/distances within the JL
+   * bound. At 100 TB this is the cheap front of the similarity stack: a
+   * 1024-d float corpus shrinks 16× before brute/LSH/IVF machinery runs,
+   * and the projection is a pure codegen-free map (no shuffle, no state).
+   *
+   * Deterministic WITHOUT RNG state: sign(i, j) = +1 iff the first hex
+   * digit of md5("i:j:salt") < '8' — a pure function both engines compute,
+   * so the projected vectors (double-accumulated in index order, rounded
+   * to float once at the end) replay bit-for-bit in SQL. Changing `salt`
+   * draws an independent matrix.
+   *
+   * Appends `outName` as array<float>; composes directly with
+   * [[bruteTopK]] / [[cosinePairsLsh]] / IVF on the projected column.
+   */
+  def randomProject(df: DataFrame, vec: Column, dim: Int, outDim: Int,
+                    salt: String, outName: String = "proj"): DataFrame = {
+    require(dim > 0 && outDim > 0, s"dims must be positive, got $dim -> $outDim")
+    require(!df.columns.exists(_.equalsIgnoreCase(outName)),
+      s"randomProject: input already has a column named $outName")
+    val m: Array[Array[Double]] = Array.tabulate(outDim, dim) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j:$salt".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val proj = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        require(v.length == dim,
+          s"randomProject: expected $dim-d vectors, got ${v.length}")
+        Array.tabulate(outDim) { j =>
+          val row = m(j)
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += v(i).toDouble * row(i); i += 1 }
+          s.toFloat
+        }
+      }
+    }
+    df.withColumn(outName, proj(vec))
+  }
+
+  /**
    * Hard-negative mining — the training-pair generator for embedding /
    * retrieval models (DPR, sentence-transformers): for each query, the
    * most-similar corpus rows that are NOT known positives, restricted to

@@ -231,6 +231,12 @@ object syntax {
       Pipeline.buildDsirStore(df, text, target, targetText, buckets, path)
     def dsirScoresIndexed(id: Column, text: Column, path: String): DataFrame =
       Pipeline.dsirScoresIndexed(df, id, text, path)
+    def mediaAHashPairs(id: Column, media: Column, maxHam: Int = 3,
+                        blocks: Int = 4): DataFrame =
+      Multimodal.mediaAHashPairs(df, id, media, maxHam, blocks)
+    def randomProject(vec: Column, dim: Int, outDim: Int, salt: String,
+                      outName: String = "proj"): DataFrame =
+      Similarity.randomProject(df, vec, dim, outDim, salt, outName)
     def hardNegatives(queries: DataFrame, positives: DataFrame,
                       id: Column, qid: Column, vec: Column, qvec: Column,
                       posQid: Column, posId: Column,

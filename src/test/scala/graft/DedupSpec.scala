@@ -430,6 +430,49 @@ class DedupSpec extends AnyFunSuite {
     assert(tie(100L) == (("a", 1L))) // a:1 vs b:1 -> 'a'
   }
 
+  test("randomProject: exact local replay, JL distance preservation, salt independence") {
+    // exact replay of the documented md5-sign projection
+    val m = Array.tabulate(8, 64) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j:t1".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val rows = embs.limit(20).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val got = graft.operators.Similarity.randomProject(
+        embs.limit(20), col("embedding"), 64, 8, "t1")
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { case (id, v) =>
+      val want = Array.tabulate(8) { j =>
+        var s = 0.0; var i = 0
+        while (i < 64) { s += v(i).toDouble * m(j)(i); i += 1 }
+        s.toFloat
+      }
+      assert(got(id).toSeq == want.toSeq)
+    }
+    // JL property (statistical, seeded, not flaky): with 32 output dims,
+    // projected cosine tracks true cosine — mean absolute error well under
+    // the JL epsilon for this dim count, and far under a random baseline
+    val p32 = graft.operators.Similarity.randomProject(
+        embs.limit(50), col("embedding"), 64, 32, "t2")
+      .select(col("vec_id"), col("embedding"), col("proj")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val errs = for (a <- p32; b <- p32 if a._1 < b._1)
+      yield math.abs(cos(a._2, b._2) - cos(a._3, b._3))
+    assert(errs.sum / errs.length < 0.15, s"mean |cos err| = ${errs.sum / errs.length}")
+    // a different salt draws a different matrix
+    val alt = graft.operators.Similarity.randomProject(
+        embs.limit(20), col("embedding"), 64, 8, "t3")
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(rows.exists { case (id, _) => alt(id) != got(id).toSeq })
+  }
+
   test("hardNegatives: hand case — exclusion before ranking, band filter, brute differential") {
     val spark2 = TestSpark.spark
     import spark2.implicits._

@@ -69,6 +69,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == raw.map(_ & 0xff).sum.toLong)
   }
 
+  test("mediaAHash: near-identical images pair up, unrelated media do not; local replay exact") {
+    import spark.implicits._
+    // a 16x16 gradient PNG, a one-pixel-tweaked copy, and its inverse
+    def gradient(tweak: Boolean, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g0 = (x * 16 + y) % 256
+        val g = if (invert) 255 - g0 else g0
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      if (tweak) img.setRGB(7, 7, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, gradient(tweak = false, invert = false)),
+      (2L, gradient(tweak = true, invert = false)),
+      (3L, gradient(tweak = false, invert = true))
+    ).toDF("id", "media")
+    val pairs = Multimodal.mediaAHashPairs(df, col("id"), col("media"),
+        maxHam = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // the tweak flips <= 1 segment bit; the inverse flips ~all
+    // byte-fake path: the UDF sketch equals a direct local replay
+    val fake = "the same bytes stand in for audio samples".getBytes("UTF-8")
+    val h = Multimodal.mediaAHash(fake)
+    val l = fake.length
+    val want = (0 until 64).map { s =>
+      val seg = fake.zipWithIndex.filter { case (_, i) => i.toLong * 64 / l == s }
+      val sv = seg.map(_._1 & 0xff).map(_.toLong).sum
+      val tv = fake.map(_ & 0xff).map(_.toLong).sum
+      if (seg.nonEmpty && sv * l > tv * seg.length) 1L << s else 0L
+    }.sum
+    assert(h == want)
+  }
+
   test("sampleFrames: stride=1 reassembles the payload prefix; stride picks every nth") {
     import spark.implicits._
     val media = (0 until 25).map(_.toByte).toArray // 25 bytes, frames=4 -> flen=6

@@ -25,6 +25,7 @@ class QueriesSpec extends AnyFunSuite {
     "q18_ann_topk" -> "brute-force ANN baseline: query batch × corpus by contract (batch broadcast-small)",
     "q76_knn_classify" -> "composes the q18 brute baseline for a bounded query batch",
     "q116_hard_negatives" -> "brute scoring: query batch × corpus by contract (batch broadcast-small)",
+    "q120_random_projection" -> "composes the q18 brute baseline on the 16-d JL sketch (batch broadcast-small)",
     "q79_ann_pq" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q80_ann_pq_store" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q89_hybrid" -> "rerank stage: ≤50 BM25 candidates × the query vector row",
