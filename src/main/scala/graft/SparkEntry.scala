@@ -1072,6 +1072,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // end-to-end decontamination: the corpus minus every doc q46 flags.
+    "q121_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      Pipeline.decontaminate(docs, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), n = 3, minOverlap = 4)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // exact per-source token-count percentiles (min/p25/median/p75/max)
+    // through the distributed rank kernel — the corpus-report twin of q63.
+    "q122_group_percentiles" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      Pipeline.groupPercentiles(docs, col("source"), col("ntok"),
+          Seq(0, 25, 50, 75, 100), groupName = "source")
+        .withColumn("percent", col("percent").cast("long"))
+        .orderBy(col("source"), col("percent"))
+    }),
+
+    // Unicode-script composition counts (writing-system signal).
+    "q123_scripts" -> ((s, dir) => {
+      TextAnalysis.withScripts(Tables.load(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_han"), col("n_digit"), col("n_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STRtree-refined cell join: same pairs as q6 via the per-cell index
     // path (build tree over the cell's points, probe box envelopes).
     "q40_join_indexed" -> ((s, dir) => {
@@ -2179,6 +2207,31 @@ object SparkEntry {
        "len(list_intersect(a.s, b.s)) AS overlap FROM sh a, sh b " +
        "WHERE b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
        "AND len(list_intersect(a.s, b.s)) >= 4 ORDER BY doc_id, bench_id"),
+
+    // NOT EXISTS over the q46 flag rule = the anti-join
+    "q121_decontaminate" ->
+      (s"WITH sh AS ($shingleSetSql) " +
+       "SELECT a.doc_id FROM sh a WHERE NOT EXISTS (" +
+       "SELECT 1 FROM sh b WHERE b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
+       "AND len(list_intersect(a.s, b.s)) >= 4) ORDER BY doc_id"),
+
+    // nearest-rank percentile values: rank = (p*(cnt-1))//100 + 1
+    "q122_group_percentiles" ->
+      ("WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents), " +
+       "r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn, " +
+       "count(*) OVER (PARTITION BY source) AS cnt FROM t), " +
+       "p(pc) AS (VALUES (0), (25), (50), (75), (100)) " +
+       "SELECT source, CAST(pc AS BIGINT) AS percent, v AS value FROM r, p " +
+       "WHERE rn = (pc * (cnt - 1)) // 100 + 1 ORDER BY source, percent"),
+
+    // same Unicode script classes in RE2 spelling; 'g' = global replace
+    "q123_scripts" ->
+      ("SELECT doc_id, " +
+       "CAST(length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')) AS BIGINT) AS n_latin, " +
+       "CAST(length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic, " +
+       "CAST(length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS BIGINT) AS n_han, " +
+       "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+       "CAST(length(text) AS BIGINT) AS n_len FROM documents ORDER BY doc_id"),
 
     "q42_interval_join" -> intervalJoinOracleSql,
 

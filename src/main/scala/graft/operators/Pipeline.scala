@@ -738,6 +738,53 @@ object Pipeline {
   }
 
   /**
+   * End-to-end benchmark decontamination: drop every corpus document that
+   * [[contaminationPairs]] flags against the benchmark — the one-call form
+   * of the standard eval-hygiene step. The flagged-id set is bounded by
+   * contamination (≪ corpus), so the anti-join's build side stays small;
+   * the corpus itself streams through one anti-join.
+   */
+  def decontaminate(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                    benchmark: DataFrame, benchId: Column, benchText: Column,
+                    n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val flagged = contaminationPairs(corpus, corpusId, corpusText,
+        benchmark, benchId, benchText, n, minOverlap)
+      .select(col("doc_id").as("__dc_flagged")).distinct()
+    corpus.join(flagged, corpusId === col("__dc_flagged"), "left_anti")
+  }
+
+  /**
+   * Exact per-group percentile VALUES — the corpus-report twin of
+   * [[quantileGate]]: for each group and each requested percent p, the
+   * value at 1-based rank floor(p·(count−1)/100)+1 under `order` (the
+   * nearest-rank definition on the sorted sequence; p=0 → min, p=50 →
+   * lower median, p=100 → max). One row per (group, percent) — exact,
+   * reproducible, and oracle-checkable, unlike approx_percentile. Same
+   * distributed prefix-count rank kernel as the gate (one range shuffle,
+   * no per-group window task); the percent match is a bounded explode of
+   * `percents.size` literals per row, filtered to the hit ranks.
+   *
+   * Output: group (as `groupName`), `percent`, `value` (the order column's
+   * value, as long).
+   */
+  def groupPercentiles(df: DataFrame, group: Column, value: Column,
+                       percents: Seq[Int],
+                       groupName: String = "group"): DataFrame = {
+    require(percents.nonEmpty, "groupPercentiles needs at least one percent")
+    require(percents.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0, 100], got $percents")
+    val ranked = groupRanksTotals(
+      df.select(group.as(groupName), value.cast("long").as("value")),
+      col(groupName), Seq(col("value")), "groupPercentiles")
+    ranked
+      .withColumn("percent", explode(array(percents.distinct.sorted.map(lit(_)): _*)))
+      .filter(col("__qg_rank") ===
+        ((col("percent") * (col("__qg_tot") - 1) -
+          pmod(col("percent") * (col("__qg_tot") - 1), lit(100))) / 100).cast("long") + 1)
+      .select(col(groupName), col("percent"), col("value"))
+  }
+
+  /**
    * Length-bucketed batching ("smart batching"): sort the corpus by token
    * count ascending (ties by id — a total order, so assignments are
    * rerun-identical) and cut it into fixed-count batches of `batchSize`

@@ -168,6 +168,32 @@ object TextAnalysis {
   }
 
   /**
+   * Unicode-script composition counts — the writing-system signal next to
+   * [[withLangId]]'s vocabulary signal (CJK/Cyrillic text defeats word-list
+   * language ID; script fractions catch it, and mixed-script text is a
+   * spam/injection flag). Adds `n_latin`, `n_cyrillic`, `n_han`,
+   * `n_digit`, `n_len` (code-point class counts; fractions are
+   * count/n_len). Counting is `length(text) - length(text without the
+   * class)` over codegen'd regexp_replace — embarrassingly parallel, no
+   * shuffle. Script classes are Unicode properties, so the oracle spells
+   * the same classes in its own dialect (`\p{IsLatin}` Java ↔ `\p{Latin}`
+   * RE2); counts agree for BMP text (Spark counts UTF-16 units, DuckDB
+   * code points — equal below U+10000, the documented contract).
+   */
+  def withScripts(df: DataFrame, textCol: Column): DataFrame = {
+    require(!df.columns.exists(c => Seq("n_latin", "n_cyrillic", "n_han",
+      "n_digit", "n_len").exists(c.equalsIgnoreCase)),
+      "withScripts: input must not contain the output column names")
+    def cnt(cls: String): Column =
+      (length(textCol) - length(regexp_replace(textCol, cls, ""))).cast("long")
+    df.withColumn("n_latin", cnt("\\p{IsLatin}"))
+      .withColumn("n_cyrillic", cnt("\\p{IsCyrillic}"))
+      .withColumn("n_han", cnt("\\p{IsHan}"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("n_len", length(textCol).cast("long"))
+  }
+
+  /**
    * Content fingerprints: `fp_md5` — exact-dup key; `fp_winnow` — smallest
    * polynomial hash over all character 5-grams (a 1-element winnowing
    * sketch: robust to local edits, cheap to compare).

@@ -231,6 +231,15 @@ object syntax {
       Pipeline.buildDsirStore(df, text, target, targetText, buckets, path)
     def dsirScoresIndexed(id: Column, text: Column, path: String): DataFrame =
       Pipeline.dsirScoresIndexed(df, id, text, path)
+    def decontaminate(id: Column, text: Column, benchmark: DataFrame,
+                      benchId: Column, benchText: Column,
+                      n: Int = 3, minOverlap: Int = 5): DataFrame =
+      Pipeline.decontaminate(df, id, text, benchmark, benchId, benchText, n, minOverlap)
+    def groupPercentiles(group: Column, value: Column, percents: Seq[Int],
+                         groupName: String = "group"): DataFrame =
+      Pipeline.groupPercentiles(df, group, value, percents, groupName)
+    def withScripts(text: Column): DataFrame =
+      TextAnalysis.withScripts(df, text)
     def mediaAHashPairs(id: Column, media: Column, maxHam: Int = 3,
                         blocks: Int = 4): DataFrame =
       Multimodal.mediaAHashPairs(df, id, media, maxHam, blocks)

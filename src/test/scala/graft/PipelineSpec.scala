@@ -400,6 +400,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._3)).toMap == b)
   }
 
+  test("decontaminate drops exactly the flagged ids") {
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val flagged = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 3, minOverlap = 4)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val kept = Pipeline.decontaminate(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 3, minOverlap = 4)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == all -- flagged)
+    assert(flagged.nonEmpty && kept.nonEmpty)
+  }
+
+  test("groupPercentiles: hand case with ties and a local-sort differential") {
+    import spark.implicits._
+    // group a sorted: 1,2,2,9 -> p0=1 (rank 1), p50=2 (rank (50*3)//100+1=2),
+    // p75=2 (rank (75*3)//100+1=3), p100=9 (rank 4)
+    val df = Seq(("a", 2L), ("a", 9L), ("a", 1L), ("a", 2L), ("b", 5L))
+      .toDF("g", "v")
+    val got = Pipeline.groupPercentiles(df, col("g"), col("v"),
+        Seq(0, 50, 75, 100), groupName = "g")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", 0) -> 1L, ("a", 50) -> 2L, ("a", 75) -> 2L, ("a", 100) -> 9L,
+      ("b", 0) -> 5L, ("b", 50) -> 5L, ("b", 75) -> 5L, ("b", 100) -> 5L))
+    // differential vs a driver-side sort on the corpus
+    val d2 = docs.withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+    val a = Pipeline.groupPercentiles(d2, col("source"), col("ntok"),
+        Seq(25, 50, 75), groupName = "source")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val local = d2.select(col("source"), col("ntok")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val want = local.flatMap { case (s, rows) =>
+      val sorted = rows.map(_._2).sorted
+      Seq(25, 50, 75).map(p => (s, p) -> sorted((p * (sorted.length - 1)) / 100))
+    }
+    assert(a == want)
+  }
+
+  test("withScripts counts Unicode script classes per code point") {
+    import spark.implicits._
+    val df = Seq((1L, "abc Привет 漢字 42!"), (2L, ""), (3L, "éß")).toDF("id", "text")
+    val got = graft.operators.TextAnalysis.withScripts(df, col("text"))
+      .select(col("id"), col("n_latin"), col("n_cyrillic"), col("n_han"),
+        col("n_digit"), col("n_len"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // "abc Привет 漢字 42!": latin 3, cyrillic 6, han 2, digits 2, len 17
+    assert(got(1L) == ((3L, 6L, 2L, 2L, 17L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((2L, 0L, 0L, 0L, 2L))) // accented letters are Latin script
+  }
+
   test("temperatureWeights: exact sqrt-rule weights, proportional at sqrts=0") {
     import spark.implicits._
     val df = Seq(("a", 3L), ("a", 1L), ("b", 2L), ("c", 9L)).toDF("g", "tok")
