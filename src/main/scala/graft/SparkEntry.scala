@@ -1072,6 +1072,39 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // curriculum ordering: 4 quality stages (longest docs first as the
+    // easy tier), deterministic within-stage shuffle, dense global rank.
+    "q125_curriculum" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      Pipeline.curriculumOrder(docs, col("doc_id"), col("ntok"),
+          stages = 4, salt = "cur1")
+        .select(col("doc_id"), col("stage"), col("curriculum_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic exact-n global carve-out (nested-consistent holdouts).
+    "q126_sample_exact" -> ((s, dir) => {
+      Pipeline.sampleExact(Tables.load(s, dir, "documents"), col("doc_id"),
+          salt = "holdout", n = 50)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // FLAGSHIP end-to-end curation: normalize -> exact-dedup (min id per
+    // normalized content survives) -> length gate -> context-window
+    // chunking, all one declarative plan; the oracle replays every stage.
+    "q124_e2e_curation" -> ((s, dir) => {
+      val norm = TextAnalysis.normalizeText(
+        Tables.load(s, dir, "documents"), col("text"))
+      val keep = Dedup.exact(norm, col("doc_id"), col("text_norm"))
+        .select(col("keep_id"))
+      val deduped = norm.join(keep, col("doc_id") === col("keep_id"), "left_semi")
+      val gated = deduped.filter(size(split(col("text_norm"), " ")) >= 20)
+      TextAnalysis.chunkTokens(gated, col("text_norm"), size = 40, stride = 40)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // end-to-end decontamination: the corpus minus every doc q46 flags.
     "q121_decontaminate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -2207,6 +2240,33 @@ object SparkEntry {
        "len(list_intersect(a.s, b.s)) AS overlap FROM sh a, sh b " +
        "WHERE b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
        "AND len(list_intersect(a.s, b.s)) >= 4 ORDER BY doc_id, bench_id"),
+
+    // stage = exact tertile arithmetic, then rank by (stage, md5, id)
+    "q125_curriculum" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents), " +
+       "r AS (SELECT doc_id, row_number() OVER (ORDER BY ntok DESC, doc_id) AS rn, " +
+       "count(*) OVER () AS cnt FROM t), " +
+       "st AS (SELECT doc_id, ((rn - 1) * 4) // cnt AS stage FROM r) " +
+       "SELECT doc_id, stage, row_number() OVER (ORDER BY stage, md5(doc_id || ':cur1'), doc_id) - 1 " +
+       "AS curriculum_rank FROM st ORDER BY doc_id"),
+
+    "q126_sample_exact" ->
+      ("SELECT doc_id FROM (SELECT doc_id FROM documents " +
+       "ORDER BY md5(doc_id || ':holdout'), doc_id LIMIT 50) ORDER BY doc_id"),
+
+    // every stage replayed: q74's normalize chain -> min-id dedup ->
+    // length gate -> q55's chunk arithmetic
+    "q124_e2e_curation" ->
+      ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(regexp_replace(" +
+       s"nfc_normalize(text), '${graft.operators.TextAnalysis.ControlChars}', ' ', 'g'), " +
+       "' +', ' ', 'g'))) AS t FROM documents), " +
+       "k AS (SELECT min(doc_id) AS doc_id, t FROM n GROUP BY t), " +
+       "g AS (SELECT doc_id, string_split(t, ' ') AS ws FROM k " +
+       "WHERE len(string_split(t, ' ')) >= 20), " +
+       "s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 40)) AS st FROM g) " +
+       "SELECT doc_id, st // 40 AS chunk_id, " +
+       "CAST(len(ws[st+1:st+40]) AS BIGINT) AS chunk_tokens " +
+       "FROM s ORDER BY doc_id, chunk_id"),
 
     // NOT EXISTS over the q46 flag rule = the anti-join
     "q121_decontaminate" ->

@@ -438,6 +438,52 @@ object Pipeline {
       .drop("__qg_rank", "__qg_tot")
   }
 
+  /**
+   * Deterministic exact-n global sample — the eval-holdout / debugging
+   * carve-out: the `n` rows with the smallest md5(id:salt), ties by id.
+   * A pure function of (corpus, salt, n): rerun-identical, and growing
+   * `n` only ADDS rows (the hash order is fixed), so nested carve-outs
+   * (1k ⊂ 10k ⊂ 100k) are consistent by construction. Distributed
+   * TakeOrdered — k rows per partition to the driver, no global sort.
+   */
+  def sampleExact(df: DataFrame, idCol: Column, salt: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val h = md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
+    df.withColumn("__se_h", h).orderBy(col("__se_h"), idCol).limit(n).drop("__se_h")
+  }
+
+  /**
+   * Curriculum ordering — easy-to-hard training schedules: rows are cut
+   * into `stages` quality tiers (stage 0 = best under `score` descending,
+   * via [[quantileBuckets]] with one global group) and then ordered by
+   * (stage, md5(id:salt), id) — deterministic shuffling WITHIN a stage,
+   * strict easy-before-hard ACROSS stages. Appends `stage` and
+   * `curriculum_rank` (0-based, dense).
+   *
+   * Scale shape: two passes of the shared distributed-rank kernel. The
+   * "group" is the whole corpus, which is exactly the case the kernel was
+   * built for — a group spanning every partition costs one range shuffle
+   * and per-partition carry offsets, never a single-task global window.
+   */
+  def curriculumOrder(df: DataFrame, idCol: Column, scoreCol: Column,
+                      stages: Int, salt: String): DataFrame = {
+    require(stages > 0, s"stages must be positive, got $stages")
+    require(!df.columns.exists(c => c.equalsIgnoreCase("stage") ||
+      c.equalsIgnoreCase("curriculum_rank") || c.toLowerCase.startsWith("__cu_")),
+      "curriculumOrder: input must not contain stage/curriculum_rank/__cu_*")
+    // pmod(id, 1) = a NON-FOLDABLE zero: the whole corpus is one "group".
+    // A literal 0 would be read as a positional ORDER BY reference in the
+    // kernel's sort and folded out of the range partitioning.
+    val one = pmod(idCol, lit(1))
+    val staged = quantileBuckets(df, one, stages, "stage",
+      scoreCol.desc, idCol)
+    val h = md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
+    groupRanksTotals(staged.withColumn("__cu_h", h), one,
+        Seq(col("stage"), col("__cu_h"), idCol), "curriculumOrder")
+      .withColumn("curriculum_rank", col("__qg_rank") - 1)
+      .drop("__qg_rank", "__qg_tot", "__cu_h")
+  }
+
   /** The shared distributed-rank kernel behind [[quantileGate]] and
     * [[quantileBuckets]]: appends `__qg_rank` (1-based within the group
     * under `order`) and `__qg_tot` (the group's row count) via the

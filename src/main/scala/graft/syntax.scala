@@ -231,6 +231,11 @@ object syntax {
       Pipeline.buildDsirStore(df, text, target, targetText, buckets, path)
     def dsirScoresIndexed(id: Column, text: Column, path: String): DataFrame =
       Pipeline.dsirScoresIndexed(df, id, text, path)
+    def sampleExact(id: Column, salt: String, n: Int): DataFrame =
+      Pipeline.sampleExact(df, id, salt, n)
+    def curriculumOrder(id: Column, score: Column, stages: Int,
+                        salt: String): DataFrame =
+      Pipeline.curriculumOrder(df, id, score, stages, salt)
     def decontaminate(id: Column, text: Column, benchmark: DataFrame,
                       benchId: Column, benchText: Column,
                       n: Int = 3, minOverlap: Int = 5): DataFrame =

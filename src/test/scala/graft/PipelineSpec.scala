@@ -400,6 +400,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._3)).toMap == b)
   }
 
+  test("sampleExact: md5-order replay, nested carve-outs are consistent") {
+    def localHash(id: Long, salt: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val want = ids.sortBy(id => (localHash(id, "h1"), id)).take(7).toSet
+    val got = Pipeline.sampleExact(docs, col("doc_id"), "h1", 7)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    val bigger = Pipeline.sampleExact(docs, col("doc_id"), "h1", 20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(bigger))
+  }
+
+  test("curriculumOrder: dense ranks, stage-monotone, within-stage hash order, repartition-stable") {
+    val d2 = docs.withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+    val rows = Pipeline.curriculumOrder(d2, col("doc_id"), col("ntok"),
+        stages = 4, salt = "c1")
+      .select(col("doc_id"), col("ntok"), col("stage"), col("curriculum_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (0L until n).toSeq) // dense permutation
+    val byRank = rows.sortBy(_._4)
+    assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.toSeq) // stages ascend
+    // stage sizes differ by <= 1 and stage 0 holds the LONGEST docs
+    val sizes = rows.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+    assert(rows.filter(_._3 == 0L).map(_._2).min >= rows.filter(_._3 == 3L).map(_._2).max)
+    // within a stage, order is (md5(id:salt), id)
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:c1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    byRank.groupBy(_._3).values.foreach { st =>
+      val inOrder = st.sortBy(_._4).map(_._1).toSeq
+      assert(inOrder == inOrder.sortBy(id => (h(id), id)))
+    }
+    val again = Pipeline.curriculumOrder(d2.repartition(7), col("doc_id"), col("ntok"),
+        stages = 4, salt = "c1")
+      .select(col("doc_id"), col("curriculum_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._4)).toMap == again)
+  }
+
   test("decontaminate drops exactly the flagged ids") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val flagged = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),
