@@ -695,8 +695,11 @@ object Pipeline {
                                  buckets: Int): (DataFrame, DataFrame) = {
     val tCnt = tgtFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_t"))
     val rCnt = rawFeats.groupBy(col("__ds_b")).agg(count(lit(1)).as("__ds_r"))
-    val totals = tCnt.agg(sum(col("__ds_t")).as("__ds_tt"))
-      .crossJoin(rCnt.agg(sum(col("__ds_r")).as("__ds_rr")))
+    // coalesce: an EMPTY target (or raw) corpus sums to NULL — the smoothed
+    // formula is still well-defined at T=0 (uniform p), so zero it instead
+    // of nulling every ratio
+    val totals = tCnt.agg(coalesce(sum(col("__ds_t")), lit(0L)).as("__ds_tt"))
+      .crossJoin(rCnt.agg(coalesce(sum(col("__ds_r")), lit(0L)).as("__ds_rr")))
     val ratio = rCnt.join(tCnt, Seq("__ds_b"), "left")
       .na.fill(0L, Seq("__ds_t"))
       .crossJoin(broadcast(totals))

@@ -220,6 +220,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dsirScores == naive local replay on random corpora (exact integers)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val drnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "", "zzz")
+    for (trial <- 0 until 3) {
+      val b = 1 << (4 + drnd.nextInt(4)) // 16..128 buckets
+      val docs = (0 until (20 + drnd.nextInt(20))).map { i =>
+        (i.toLong, Seq.fill(1 + drnd.nextInt(12))(vocab(drnd.nextInt(vocab.size))).mkString(" "),
+          if (drnd.nextBoolean()) "t" else "r")
+      }
+      def feats(text: String): Seq[Int] = {
+        val ws = text.split(" ", -1).toSeq
+        (ws ++ ws.zip(ws.drop(1)).map { case (a2, b2) => s"$a2 $b2" }).map(f =>
+          java.lang.Math.floorMod(
+            graft.functions.TextOps.hashUtf8(UTF8String.fromString(f), 42L), b.toLong).toInt)
+      }
+      val tCnt = docs.filter(_._3 == "t").flatMap(d => feats(d._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val rCnt = docs.flatMap(d => feats(d._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val tt = tCnt.values.sum; val rr = rCnt.values.sum
+      def ratio(bk: Int): Long =
+        ((BigInt(tCnt.getOrElse(bk, 0L) + 1) * (rr + b) * 1000000) /
+          (BigInt(rCnt(bk) + 1) * (tt + b))).toLong
+      val want = docs.map(d => d._1 -> feats(d._2).map(ratio).sum).toMap
+      val df = docs.toDF("id", "text", "kind")
+      // a trial can draw zero target docs — the operator must still work
+      // (empty target => uniform p, scores rank by 1/q alone)
+      val got = graft.operators.Pipeline.dsirScores(df, col("id"), col("text"),
+          df.filter(col("kind") === "t"), col("text"), buckets = b)
+        .select(col("id"), col("dsir_score_e6")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"trial=$trial buckets=$b docs=${docs.size}")
+    }
+  }
+
+  test("groupPercentiles == local sort on random group sizes incl. singletons") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val prnd = new scala.util.Random(37)
+    for (trial <- 0 until 3) {
+      val groups = (0 until (2 + prnd.nextInt(4))).map(g => s"g$g")
+      val rows = groups.flatMap { g =>
+        (0 until (1 + prnd.nextInt(9))).map(_ => (g, prnd.nextInt(20).toLong))
+      }
+      val percents = Seq(0, 10, 50, 90, 100)
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        percents.map(p => (g, p) -> sorted((p * (sorted.length - 1)) / 100))
+      }
+      val got = graft.operators.Pipeline.groupPercentiles(
+          rows.toDF("g", "v"), col("g"), col("v"), percents, groupName = "g")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"trial=$trial rows=${rows.size}")
+    }
+  }
+
   test("kmeans == naive local Lloyd on random corpora (exact, incl. quantization)") {
     // the operator's whole contract — seed order, tie direction, 1e-6 grid
     // snap, empty-cluster drop, final-assignment output — re-implemented
