@@ -1072,6 +1072,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // one-row corpus card: docs, tokens, unique contents, e6 dup rate,
+    // median tokens — the summary a mix designer reads first.
+    "q127_corpus_card" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      val basic = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+      val med = Pipeline.groupPercentiles(docs, pmod(col("doc_id"), lit(1)),
+          col("ntok"), Seq(50), groupName = "__g")
+        .select(col("value").as("p50_tokens"))
+      basic.crossJoin(broadcast(med))
+        .withColumn("dup_rate_e6",
+          ((col("n_docs") - col("n_unique")) * 1000000L -
+            pmod((col("n_docs") - col("n_unique")) * 1000000L, col("n_docs")))
+            / col("n_docs"))
+        .select(col("n_docs"), col("n_tokens"), col("n_unique"),
+          col("dup_rate_e6").cast("long").as("dup_rate_e6"), col("p50_tokens"))
+    }),
+
+    // round-robin source interleave: consecutive ranks cycle through
+    // sources — batch diversity as a pure function of (corpus, salt).
+    "q128_interleave" -> ((s, dir) => {
+      Pipeline.interleaveBySource(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("source"), salt = "il1")
+        .select(col("doc_id"), col("interleave_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // curriculum ordering: 4 quality stages (longest docs first as the
     // easy tier), deterministic within-stage shuffle, dense global rank.
     "q125_curriculum" -> ((s, dir) => {
@@ -2240,6 +2269,25 @@ object SparkEntry {
        "len(list_intersect(a.s, b.s)) AS overlap FROM sh a, sh b " +
        "WHERE b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
        "AND len(list_intersect(a.s, b.s)) >= 4 ORDER BY doc_id, bench_id"),
+
+    "q127_corpus_card" ->
+      ("WITH t AS (SELECT doc_id, md5(text) AS h, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents), " +
+       "b AS (SELECT count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens, " +
+       "count(DISTINCT h) AS n_unique FROM t), " +
+       "m AS (SELECT v AS p50_tokens FROM (SELECT ntok AS v, " +
+       "row_number() OVER (ORDER BY ntok) AS rn, count(*) OVER () AS cnt FROM t) " +
+       "WHERE rn = (50 * (cnt - 1)) // 100 + 1) " +
+       "SELECT n_docs, n_tokens, n_unique, " +
+       "((n_docs - n_unique) * 1000000) // n_docs AS dup_rate_e6, p50_tokens FROM b, m"),
+
+    // within-source md5 rank, then global (within, source, id) order
+    "q128_interleave" ->
+      ("WITH w AS (SELECT doc_id, source, " +
+       "row_number() OVER (PARTITION BY source ORDER BY md5(doc_id || ':il1'), doc_id) AS wr " +
+       "FROM documents) " +
+       "SELECT doc_id, row_number() OVER (ORDER BY wr, source, doc_id) - 1 " +
+       "AS interleave_rank FROM w ORDER BY doc_id"),
 
     // stage = exact tertile arithmetic, then rank by (stage, md5, id)
     "q125_curriculum" ->

@@ -484,6 +484,36 @@ object Pipeline {
       .drop("__qg_rank", "__qg_tot", "__cu_h")
   }
 
+  /**
+   * Round-robin source interleaving — batch diversity without sampling:
+   * rows are ranked within their group by a deterministic md5 shuffle,
+   * then globally ordered by (within-rank, group, id), so consecutive
+   * positions cycle through the groups for as long as groups have rows
+   * left (small sources exhaust first, exactly like dealing cards).
+   * Appends `interleave_rank` (0-based, dense). A training loader reading
+   * in this order never sees a long single-source run — the failure mode
+   * of source-sorted corpora — while staying a pure function of
+   * (corpus, salt).
+   *
+   * Two passes of the shared distributed-rank kernel (per-group, then
+   * global) — one range shuffle each, no global window.
+   */
+  def interleaveBySource(df: DataFrame, idCol: Column, group: Column,
+                         salt: String): DataFrame = {
+    require(!df.columns.exists(c => c.equalsIgnoreCase("interleave_rank") ||
+      c.toLowerCase.startsWith("__il_")),
+      "interleaveBySource: input must not contain interleave_rank/__il_*")
+    val h = md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
+    val within = groupRanksTotals(df.withColumn("__il_h", h), group,
+        Seq(col("__il_h"), idCol), "interleaveBySource")
+      .withColumnRenamed("__qg_rank", "__il_w")
+      .drop("__qg_tot", "__il_h")
+    groupRanksTotals(within, pmod(idCol, lit(1)),
+        Seq(col("__il_w"), group, idCol), "interleaveBySource")
+      .withColumn("interleave_rank", col("__qg_rank") - 1)
+      .drop("__qg_rank", "__qg_tot", "__il_w")
+  }
+
   /** The shared distributed-rank kernel behind [[quantileGate]] and
     * [[quantileBuckets]]: appends `__qg_rank` (1-based within the group
     * under `order`) and `__qg_tot` (the group's row count) via the

@@ -231,6 +231,8 @@ object syntax {
       Pipeline.buildDsirStore(df, text, target, targetText, buckets, path)
     def dsirScoresIndexed(id: Column, text: Column, path: String): DataFrame =
       Pipeline.dsirScoresIndexed(df, id, text, path)
+    def interleaveBySource(id: Column, group: Column, salt: String): DataFrame =
+      Pipeline.interleaveBySource(df, id, group, salt)
     def sampleExact(id: Column, salt: String, n: Int): DataFrame =
       Pipeline.sampleExact(df, id, salt, n)
     def curriculumOrder(id: Column, score: Column, stages: Int,

@@ -442,6 +442,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._4)).toMap == again)
   }
 
+  test("interleaveBySource: card-dealing order, dense ranks, repartition-stable") {
+    val rows = Pipeline.interleaveBySource(docs, col("doc_id"), col("source"), "il1")
+      .select(col("doc_id"), col("source"), col("interleave_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    // first |sources| positions hit |sources| distinct sources, and in
+    // general the k-th "round" holds at most one row per source
+    val bySrc = rows.groupBy(_._2)
+    val s = bySrc.size
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.take(s).map(_._2).distinct.length == s)
+    // within-source subsequence of the global order == the md5 order
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:il1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    bySrc.values.foreach { g =>
+      val inGlobal = g.sortBy(_._3).map(_._1).toSeq
+      assert(inGlobal == inGlobal.sortBy(id => (h(id), id)))
+    }
+    val again = Pipeline.interleaveBySource(docs.repartition(7), col("doc_id"),
+        col("source"), "il1")
+      .select(col("doc_id"), col("interleave_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._3)).toMap == again)
+  }
+
   test("decontaminate drops exactly the flagged ids") {
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val flagged = Pipeline.contaminationPairs(docs, col("doc_id"), col("text"),

@@ -20,6 +20,7 @@ class QueriesSpec extends AnyFunSuite {
     "q114_dsir_select" -> "feature totals (TT, RR) are ONE agg row cross-joined into the bucket-ratio table (<= buckets rows)",
     "q90_report" -> "per-source rollup cross-joins the same 1-row corpus-stat aggregates as q81/q88",
     "q36_bucket_histogram" -> "bucket bounds are ONE min/max agg row broadcast against the pixel stream",
+    "q127_corpus_card" -> "ONE agg row cross-joined with the ONE median row — the whole result is one row",
     "q95_broadcast_join" -> "the reference's broadcastJoin contract: small side broadcast + general spatial predicate ⇒ nested-loop probe IS the designed plan",
     "q17_dedup_cosine" -> "documented O(n²) exact twin — the oracle anchor for q33's LSH path",
     "q18_ann_topk" -> "brute-force ANN baseline: query batch × corpus by contract (batch broadcast-small)",
