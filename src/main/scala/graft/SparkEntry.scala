@@ -21,6 +21,22 @@ object SparkEntry {
   // both the Spark plan and the generated oracle SQL
   private val Bm25Terms = Seq("spark", "hash", "join")
 
+  // q129/q131 HLL oracle fragments: the register replay (md5 -> 16-bit
+  // bucket field mod 2^10, 48-bit rho field -> per-bucket max) and the
+  // exact-integer estimator at p=10 — same constants as
+  // Sketches.hllRegisters/hllEstimate (alpha carried as the rational
+  // 7213000·m / (10000·(1000m+1079)), sum scaled by 2^49)
+  private val hllRegisterSql: String =
+    "SELECT source, b, max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS rho " +
+    "FROM (SELECT source, ('0x' || substr(h,1,4))::BIGINT % 1024 AS b, " +
+    "('0x' || substr(h,5,12))::BIGINT AS w " +
+    "FROM (SELECT source, md5(text || ':hll') AS h FROM documents)) GROUP BY source, b"
+  private val hllEstimateSql: String = {
+    val num = BigInt(1000000) * 7213000 * BigInt(1024).pow(3) * (BigInt(1) << 49)
+    val d1 = 10000L * (1000L * 1024 + 1079)
+    s"CAST(($num::HUGEINT) // ($d1::HUGEINT * n) AS BIGINT)"
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Generic relational baseline (Spark built-ins; SURVEY §2.5 note).
@@ -1099,6 +1115,78 @@ object SparkEntry {
           col("doc_id"), col("source"), salt = "il1")
         .select(col("doc_id"), col("interleave_rank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // mergeable-sketch telemetry: HyperLogLog distinct contents per source.
+    // Register table + exact-integer raw estimate are hash-matched against
+    // a full md5 replay; the corrected (linear-counting) estimate is pinned
+    // within 12% of the exact distinct count — ~4σ at m=1024.
+    "q129_hll_distinct" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val regs = Sketches.hllRegisters(docs, col("source"), col("text"),
+        pBits = 10, salt = "hll", groupName = "source")
+      val est = Sketches.hllEstimate(regs, pBits = 10, groupName = "source")
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("__exact"))
+      est.join(broadcast(exact), "source")
+        .withColumn("est_ok", abs(col("est") / col("__exact") - 1.0) < 0.12)
+        .select(col("source"), col("n_registers"), col("sum_rho"),
+          col("est_raw_e6"), col("est_ok"))
+        .orderBy(col("source"))
+    }),
+
+    // Count-Min heavy hitters: tokens whose depth-4 × width-2048 sketch
+    // estimate reaches 100. Sound (overcount-only), and the whole counter
+    // table is replayed by the oracle, so the estimates hash-match exactly.
+    "q130_cms_topk" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val counters = Sketches.cmsCounters(toks, col("token"), lit(1L))
+      Sketches.cmsHeavyHitters(counters, toks, col("token"), threshold = 100L)
+        .withColumnRenamed("key", "token")
+        .orderBy(col("token"))
+    }),
+
+    // fuzzy cross-corpus contamination pairs: corpus docs within n-gram
+    // Jaccard >= 4/5 of an eval doc (eval set = doc_id % 17 == 0, as q46)
+    // — banded MinHash candidates ACROSS tables + exact refine. Catches
+    // the paraphrased leakage q46's exact-overlap rule is blind to.
+    "q132_cross_minhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      Dedup.minhashCrossPairs(docs, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"))
+        .select(col("id_a").as("doc_id"), col("id_b").as("bench_id"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // end-to-end fuzzy decontamination: kept == corpus − flagged, exactly
+    // (the NOT-EXISTS oracle replays the Jaccard rule over all pairs).
+    "q133_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      Pipeline.decontaminateFuzzy(docs, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // persisted-sketch path: HLL store built from the even half of the
+    // corpus, odd half folded in by read-merge-rewrite. The merged
+    // registers must equal one pass over the full corpus — which is
+    // exactly what the oracle replays (merge transparency, the property
+    // that makes sketch stores trustworthy for incremental ingestion).
+    "q131_hll_store_merge" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("hllstore_q131", dir) { p =>
+        Sketches.buildHllStore(docs.filter(col("doc_id") % 2 === 0),
+          col("source"), col("text"), p, pBits = 10, salt = "hll")
+        Sketches.mergeIntoHllStore(docs.filter(col("doc_id") % 2 === 1),
+          col("source"), col("text"), p, pBits = 10, salt = "hll")
+      }
+      Sketches.hllEstimate(s.read.parquet(path), pBits = 10)
+        .select(col("group").as("source"), col("n_registers"),
+          col("sum_rho"), col("est_raw_e6"))
+        .orderBy(col("source"))
     }),
 
     // curriculum ordering: 4 quality stages (longest docs first as the
@@ -2288,6 +2376,61 @@ object SparkEntry {
        "FROM documents) " +
        "SELECT doc_id, row_number() OVER (ORDER BY wr, source, doc_id) - 1 " +
        "AS interleave_rank FROM w ORDER BY doc_id"),
+
+    // full HLL replay: md5 -> (bucket, rho) -> per-bucket max -> the exact
+    // 2^49-scaled integer estimator (absent buckets contribute 2^49);
+    // est_ok is Spark's accuracy invariant, pinned TRUE
+    "q129_hll_distinct" ->
+      (s"WITH r AS ($hllRegisterSql) " +
+       s"SELECT source, n_registers, sum_rho, $hllEstimateSql AS est_raw_e6, " +
+       "TRUE AS est_ok FROM " +
+       "(SELECT source, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
+       "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
+       "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n " +
+       "FROM r GROUP BY source) ORDER BY source"),
+
+    // full Count-Min replay: per-token exact counts -> 4 md5-derived
+    // counter columns -> per-cell sums -> min-over-rows estimate
+    "q130_cms_topk" ->
+      ("WITH tok AS (SELECT unnest(string_split(text,' ')) AS t FROM documents), " +
+       "pk AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t), " +
+       "ctr AS (SELECT r.range AS i, " +
+       "('0x' || substr(md5(r.range || ':cms:' || pk.t),1,12))::BIGINT % 2048 AS c, " +
+       "CAST(sum(pk.cnt) AS BIGINT) AS cnt FROM pk CROSS JOIN range(4) r GROUP BY 1, 2), " +
+       "est AS (SELECT pk.t AS token, CAST(min(ctr.cnt) AS BIGINT) AS est " +
+       "FROM pk CROSS JOIN range(4) r JOIN ctr ON ctr.i = r.range " +
+       "AND ctr.c = ('0x' || substr(md5(r.range || ':cms:' || pk.t),1,12))::BIGINT % 2048 " +
+       "GROUP BY pk.t) " +
+       "SELECT token, est FROM est WHERE est >= 100 ORDER BY token"),
+
+    // exact Jaccard over all cross pairs — banding at J >= 0.8 with 128/32
+    // has per-pair miss ~1e-15, so the exact rule IS the oracle
+    "q132_cross_minhash" ->
+      (s"WITH sh AS ($shingleSetSql) " +
+       "SELECT a.doc_id AS doc_id, b.doc_id AS bench_id FROM sh a, sh b " +
+       "WHERE b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
+       "AND len(list_intersect(a.s, b.s)) * 5 >= " +
+       "4 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) " +
+       "ORDER BY doc_id, bench_id"),
+
+    "q133_fuzzy_decontam" ->
+      (s"WITH sh AS ($shingleSetSql) " +
+       "SELECT d.doc_id FROM documents d WHERE NOT EXISTS (" +
+       "SELECT 1 FROM sh a, sh b WHERE a.doc_id = d.doc_id " +
+       "AND b.doc_id % 17 = 0 AND a.doc_id <> b.doc_id " +
+       "AND len(list_intersect(a.s, b.s)) * 5 >= " +
+       "4 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) " +
+       "ORDER BY doc_id"),
+
+    // merge transparency: the stored-and-merged registers must equal one
+    // full-corpus pass, so the oracle is the same replay as q129
+    "q131_hll_store_merge" ->
+      (s"WITH r AS ($hllRegisterSql) " +
+       s"SELECT source, n_registers, sum_rho, $hllEstimateSql AS est_raw_e6 FROM " +
+       "(SELECT source, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
+       "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
+       "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n " +
+       "FROM r GROUP BY source) ORDER BY source"),
 
     // stage = exact tertile arithmetic, then rank by (stage, md5, id)
     "q125_curriculum" ->

@@ -92,9 +92,15 @@ object Dedup {
    * with jaccard >= p/q ⇔ i*q >= p*(|A|+|B|-i).
    */
   private def refineJaccard(cands: DataFrame, sh: DataFrame,
-                            p: Int, q: Int): DataFrame = {
-    val a = sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"), col("__sz").as("__sz_a"))
-    val b = sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"), col("__sz").as("__sz_b"))
+                            p: Int, q: Int): DataFrame =
+    refineJaccard2(cands, sh, sh, p, q)
+
+  /** Two-table form of the exact refine: `id_a` resolves in `shA`, `id_b`
+    * in `shB` — the self-join case passes the same frame twice. */
+  private def refineJaccard2(cands: DataFrame, shA: DataFrame, shB: DataFrame,
+                             p: Int, q: Int): DataFrame = {
+    val a = shA.select(col("__id").as("id_a"), col("__sh").as("__sh_a"), col("__sz").as("__sz_a"))
+    val b = shB.select(col("__id").as("id_b"), col("__sh").as("__sh_b"), col("__sz").as("__sz_b"))
     cands.join(a, "id_a").join(b, "id_b")
       .withColumn("__i", stf.sorted_intersect_count(col("__sh_a"), col("__sh_b")))
       .filter(col("__i") * q >= (col("__sz_a") + col("__sz_b") - col("__i")) * p)
@@ -244,6 +250,49 @@ object Dedup {
     val cands = cappedBucketPairs(banded, maxBucket)
     val out = refineJaccard(cands, sh, p, q).localCheckpoint()
     releaseCheckpoint(sh)
+    out
+  }
+
+  /**
+   * Cross-corpus MinHash near-dup pairs: (`id_a` from `left`, `id_b` from
+   * `right`) with n-gram Jaccard >= p/q, candidates generated by banded
+   * signature collision ACROSS the two tables — the fuzzy complement of
+   * [[graft.operators.Pipeline.contaminationPairs]]'s exact shingle
+   * overlap: a paraphrased benchmark item whose trigrams are mostly-but-
+   * not-exactly shared still collides in a band at high Jaccard.
+   *
+   * Same banding recall curve as [[minhashLshPairs]] (128/32 ⇒ per-pair
+   * miss ~1e-15 at J=0.9) and the same exact refine, so precision is
+   * exact. Rows with equal ids on both sides are excluded (the
+   * decontamination convention — the benchmark is usually carved FROM the
+   * corpus, and a document is not contaminated by itself).
+   *
+   * No bucket cap here, deliberately: the output contract is "EVERY
+   * contaminated (corpus, bench) pair", and a corpus bucket colliding
+   * with a bench bucket means those corpus docs genuinely match that
+   * bench doc w.h.p. — all of them must be flagged, so the candidate
+   * volume IS the answer volume. The bench side is an eval set (small by
+   * nature), which bounds candidates at Σ_buckets |corpus_b|·|bench_b| —
+   * linear in the colliding corpus rows, never corpus².
+   */
+  def minhashCrossPairs(left: DataFrame, leftId: Column, leftText: Column,
+                        right: DataFrame, rightId: Column, rightText: Column,
+                        n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                        p: Int = 4, q: Int = 5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    GraftFunctions.register(left.sparkSession)
+    val shL = shingled(left, leftId, leftText, n).localCheckpoint()
+    val shR = shingled(right, rightId, rightText, n).localCheckpoint()
+    def banded(sh: DataFrame, idName: String) = sh.select(col("__id").as(idName),
+      explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands))
+        .as("__bucket"))
+    val cands = banded(shL, "id_a")
+      .join(banded(shR, "id_b"), "__bucket")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val out = refineJaccard2(cands, shL, shR, p, q).localCheckpoint()
+    releaseCheckpoint(shL); releaseCheckpoint(shR)
     out
   }
 

@@ -833,6 +833,26 @@ object Pipeline {
   }
 
   /**
+   * Fuzzy decontamination: drop corpus documents whose n-gram Jaccard to
+   * ANY benchmark document reaches p/q — the near-duplicate complement of
+   * [[decontaminate]]'s exact-overlap rule, catching paraphrased benchmark
+   * leakage that shares most-but-not-all shingles. Flagging is
+   * [[graft.operators.Dedup.minhashCrossPairs]] (banded candidates, exact
+   * refine); the kept set is the anti-join, so kept == corpus − flagged
+   * exactly.
+   */
+  def decontaminateFuzzy(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                         benchmark: DataFrame, benchId: Column, benchText: Column,
+                         n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                         p: Int = 4, q: Int = 5): DataFrame = {
+    val flagged = graft.operators.Dedup.minhashCrossPairs(
+        corpus, corpusId, corpusText, benchmark, benchId, benchText,
+        n, numHashes, bands, p, q)
+      .select(col("id_a").as("__dc_flagged")).distinct()
+    corpus.join(flagged, corpusId === col("__dc_flagged"), "left_anti")
+  }
+
+  /**
    * Exact per-group percentile VALUES — the corpus-report twin of
    * [[quantileGate]]: for each group and each requested percent p, the
    * value at 1-based rank floor(p·(count−1)/100)+1 under `order` (the

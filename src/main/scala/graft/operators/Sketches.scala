@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Mergeable sketch summaries — HyperLogLog distinct counting and Count-Min
+ * heavy hitters. Not in the reference (a spatio-temporal engine); first-class
+ * here because corpus telemetry at 100 TB runs on sketches, not exact
+ * aggregates: "how many distinct pages per crawl source" and "which tokens
+ * dominate the corpus" must be answerable from kilobytes of mergeable state
+ * that any new batch folds into without rescanning history.
+ *
+ * Both sketches are DETERMINISTIC and ENGINE-REPLAYABLE: every hash is an
+ * md5 prefix (identical text in Spark and DuckDB), every register update is
+ * integer arithmetic, so the driver oracle replays the sketch CONTENT
+ * bit-for-bit — the estimate itself is hash-matched, not just bounded.
+ * Merging is the native Spark aggregation the sketch is built from:
+ * HLL registers merge by `max`, CMS counters by `sum`, so incremental
+ * ingestion is a union + groupBy with map-side partial aggregation — never
+ * a rescan, never driver state.
+ *
+ * Scale: an HLL register table is at most m = 2^p rows per group (p ≤ 11 ⇒
+ * ≤ 2048 rows); a CMS table is depth×width rows TOTAL. Both are broadcast-
+ * sized by construction, which is what makes the estimate joins cheap.
+ */
+object Sketches {
+
+  /** Bits hashed into the rho field (hex digits 5..16 of the md5). */
+  val RhoFieldBits = 48
+
+  /** Largest possible register value: 48-bit field of zeros ⇒ rho = 49. */
+  val MaxRho: Int = RhoFieldBits + 1
+
+  /**
+   * HyperLogLog register table for distinct-`value` estimation per group:
+   * one row per (group, bucket) holding the max rank rho observed.
+   *
+   *   h      = md5(value ++ ":" ++ salt)           (hex)
+   *   bucket = first 16 hash bits mod 2^p          (power-of-two mod of a
+   *                                                 uniform field — unbiased)
+   *   w      = next 48 hash bits                   (independent of bucket)
+   *   rho    = leading zeros of w in 48 bits + 1   (= 49 - bitlength(w))
+   *
+   * Duplicated values hash identically, so duplicates are free — the
+   * register table depends only on the SET of values. Registers merge
+   * across batches/partitions by `max`, which is exactly the groupBy
+   * aggregate used here (map-side combined; the shuffle carries at most
+   * m rows per group per input partition).
+   *
+   * @param pBits register-index bits; m = 2^p registers. 4 ≤ p ≤ 16
+   *              (the first hex-digit field is 16 bits); the exact-integer
+   *              estimator needs p ≤ 11 (see [[hllEstimate]]).
+   */
+  def hllRegisters(df: DataFrame, groupCol: Column, valueCol: Column,
+                   pBits: Int = 10, salt: String = "hll",
+                   groupName: String = "group"): DataFrame = {
+    require(pBits >= 4 && pBits <= 16, s"pBits must be in [4,16], got $pBits")
+    val h = md5(concat(valueCol.cast("string"), lit(":" + salt)).cast("binary"))
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") % (1L << pBits)
+    val w = conv(substring(h, 5, 12), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(MaxRho))
+      .otherwise(lit(MaxRho) - length(bin(w))).cast("int")
+    df.select(groupCol.as(groupName), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col(groupName), col("bucket")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge two register tables (same pBits/salt): union + per-bucket max.
+    * Associative and commutative, so stores fold in any batch order. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupName: String = "group"): DataFrame =
+    a.unionByName(b).groupBy(col(groupName), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+
+  /**
+   * Per-group cardinality estimates from a register table.
+   *
+   * `est_raw_e6` is the raw HLL estimator floor(10^6 · α_m·m²/Σ2^-M_j) in
+   * EXACT integer arithmetic, replayable in any engine with 128-bit
+   * integers: the register sum is scaled by 2^49 so each term 2^(49-rho)
+   * is an integer (absent buckets contribute 2^49), and α_m = 0.7213 /
+   * (1 + 1.079/m) is carried as the exact rational 7213000·m /
+   * (10000·(1000·m+1079)). All factors stay under 10^38 for p ≤ 11 —
+   * hence the tighter bound here than in [[hllRegisters]].
+   *
+   * `est` is the user-facing corrected estimate (double): linear counting
+   * m·ln(m/V) when the raw estimate is below 2.5m and V>0 registers are
+   * still zero — the standard small-range correction. It is NOT hash-
+   * matched across engines (ln is libm-dependent); driver queries pin an
+   * accuracy invariant on it instead.
+   *
+   * @return one row per group: (group, n_registers, sum_rho, est_raw_e6, est)
+   */
+  def hllEstimate(registers: DataFrame, pBits: Int = 10,
+                  groupName: String = "group"): DataFrame = {
+    require(pBits >= 7 && pBits <= 11,
+      s"exact-integer estimator needs pBits in [7,11], got $pBits")
+    val m = 1L << pBits
+    // numerator 10^6 * 7213000 * m^3 * 2^49  (≤ 3.5e37 at p=11)
+    val num = (BigInt(1000000) * 7213000 * BigInt(m).pow(3) * (BigInt(1) << 49))
+    val d1 = 10000L * (1000L * m + 1079L) // alpha denominator, constant
+    registers
+      .groupBy(col(groupName))
+      .agg(count(lit(1)).as("n_registers"),
+        sum(col("rho")).cast("long").as("sum_rho"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $MaxRho - rho)"))
+          .cast("long").as("__nz"))
+      // absent buckets carry rho=0 ⇒ 2^49 each
+      .withColumn("__n", col("__nz") + (lit(m) - col("n_registers")) * (1L << 49))
+      .withColumn("est_raw_e6",
+        expr(s"cast('$num' as decimal(38,0)) div " +
+          s"(cast($d1 as decimal(38,0)) * cast(__n as decimal(38,0)))"))
+      .withColumn("__zero", lit(m) - col("n_registers"))
+      .withColumn("est",
+        when(col("__zero") > 0 &&
+             col("est_raw_e6") <= lit(2.5e6 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__zero")))
+          .otherwise(col("est_raw_e6") / lit(1e6)))
+      .drop("__nz", "__n", "__zero")
+  }
+
+  /** Build (or overwrite) a persisted HLL store: the register table as
+    * parquet, one file per group region. Re-ingesting a batch is
+    * [[hllMerge]] with the stored table + overwrite — sketch size, never
+    * corpus size, is what's rewritten. */
+  def buildHllStore(df: DataFrame, groupCol: Column, valueCol: Column,
+                    path: String, pBits: Int = 10, salt: String = "hll"): Unit =
+    hllRegisters(df, groupCol, valueCol, pBits, salt)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Fold a new batch into a persisted HLL store (read-merge-rewrite of
+    * sketch-sized state; the historical corpus is never touched). A
+    * missing store bootstraps from the batch alone, so streaming ingest
+    * needs no separate initialization step. */
+  def mergeIntoHllStore(batch: DataFrame, groupCol: Column, valueCol: Column,
+                        path: String, pBits: Int = 10, salt: String = "hll"): Unit = {
+    val spark = batch.sparkSession
+    val fresh = hllRegisters(batch, groupCol, valueCol, pBits, salt)
+    if (!storeExists(path)) {
+      fresh.repartition(1).write.mode("overwrite").parquet(path)
+    } else {
+      // registers are tiny (≤ groups · 2^p rows); localCheckpoint cuts the
+      // lineage so the overwrite cannot read-while-write the same files
+      hllMerge(spark.read.parquet(path), fresh)
+        .localCheckpoint(eager = true)
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  private def storeExists(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch
+  // ---------------------------------------------------------------------
+
+  /**
+   * Count-Min counter table over a weighted key column: `depth` rows of
+   * `width` counters; key k adds its weight to counter (i, h_i(k)) for
+   * each row i, where h_i(k) = first 48 bits of md5(i:salt:k) mod width.
+   *
+   * Built as: exact per-key partial counts (one map-side-combined groupBy —
+   * the explode factor `depth` applies to DISTINCT keys, not occurrences),
+   * then a groupBy over at most depth·width counter cells. Counters merge
+   * across batches by SUM — the other classic mergeable sketch shape.
+   *
+   * Point estimates OVERCOUNT only: est(k) = min_i counter(i, h_i(k)) ≥
+   * true(k), with the excess bounded by colliding mass. depth=4,
+   * width=2048 bounds the expected excess by total/2048 per row with 4
+   * independent chances — the standard (ε=e/w, δ=e^-d) contract.
+   */
+  def cmsCounters(df: DataFrame, keyCol: Column, weightCol: Column,
+                  depth: Int = 4, width: Int = 2048,
+                  salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val perKey = df.select(keyCol.cast("string").as("__k"), weightCol.as("__w"))
+      .groupBy(col("__k")).agg(sum(col("__w")).cast("long").as("__cnt"))
+    perKey
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cmsCol(col("__k"), i, width, salt).as("col"))): _*))
+        .as("rc"), col("__cnt"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(sum(col("__cnt")).as("cnt"))
+  }
+
+  /** h_i(k): first 48 md5 bits of "i:salt:k", mod width. */
+  def cmsCol(key: Column, row: Int, width: Int, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$row:$salt:"), key).cast("binary")), 1, 12),
+      16, 10).cast("long") % width
+
+  /** Merge two counter tables (same depth/width/salt): union + per-cell sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("col")).agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Point estimates for a set of candidate keys against a counter table:
+   * est(k) = min over rows of the counter each h_i(k) lands in. The
+   * counter table is depth·width rows — broadcast by size, so the corpus-
+   * sized candidate side never shuffles for this join.
+   */
+  def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: Column,
+                  depth: Int = 4, width: Int = 2048,
+                  salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    val c = counters.select(col("row").as("__crow"), col("col").as("__ccol"),
+      col("cnt"))
+    keys.select(keyCol.cast("string").as("key"))
+      .distinct()
+      .select(col("key"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cmsCol(col("key"), i, width, salt).as("col"))): _*))
+        .as("rc"))
+      .join(broadcast(c),
+        col("rc.row") === col("__crow") && col("rc.col") === col("__ccol"))
+      .groupBy(col("key")).agg(min(col("cnt")).as("est"))
+  }
+
+  /**
+   * Heavy hitters: candidate keys whose Count-Min estimate reaches
+   * `threshold`. Sound (never misses a true heavy hitter — estimates only
+   * overcount); the candidate set is the batch's distinct keys, so at
+   * corpus scale the sketch answers from the CURRENT batch's vocabulary
+   * plus the persisted counters of all history.
+   */
+  def cmsHeavyHitters(counters: DataFrame, candidates: DataFrame, keyCol: Column,
+                      threshold: Long, depth: Int = 4, width: Int = 2048,
+                      salt: String = "cms"): DataFrame =
+    cmsEstimate(counters, candidates, keyCol, depth, width, salt)
+      .filter(col("est") >= threshold)
+
+  /** Persist a CMS counter table (sketch-sized: ≤ depth·width rows). */
+  def buildCmsStore(df: DataFrame, keyCol: Column, weightCol: Column,
+                    path: String, depth: Int = 4, width: Int = 2048,
+                    salt: String = "cms"): Unit =
+    cmsCounters(df, keyCol, weightCol, depth, width, salt)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Fold a new batch into a persisted CMS store (read-merge-rewrite of
+    * depth·width rows; history is never rescanned). A missing store
+    * bootstraps from the batch alone. */
+  def mergeIntoCmsStore(batch: DataFrame, keyCol: Column, weightCol: Column,
+                        path: String, depth: Int = 4, width: Int = 2048,
+                        salt: String = "cms"): Unit = {
+    val spark = batch.sparkSession
+    val fresh = cmsCounters(batch, keyCol, weightCol, depth, width, salt)
+    if (!storeExists(path)) {
+      fresh.repartition(1).write.mode("overwrite").parquet(path)
+    } else {
+      cmsMerge(spark.read.parquet(path), fresh)
+        .localCheckpoint(eager = true)
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+  }
+}

@@ -321,6 +321,40 @@ object EventStreams {
         .dropSeenCosine(batch, col(idColName), col(vecColName), storePath, threshold))
 
   /**
+   * Streaming corpus telemetry: fold each micro-batch into persisted
+   * mergeable sketches — an HLL store (distinct `valueColName` per
+   * `groupColName`) and a CMS store (whitespace-token counts of
+   * `valueColName`). Per-batch work is sketch-sized (≤ groups·2^p + d·w
+   * rows read-merged-rewritten); history is never rescanned, which is the
+   * whole point of running telemetry on sketches at corpus scale.
+   *
+   * Replay semantics: the HLL merge is IDEMPOTENT (per-bucket max), so a
+   * retried micro-batch cannot corrupt it. The CMS merge is additive, so
+   * each batch is guarded by an `.applied_<id>` marker next to the store —
+   * a replayed batch id is skipped instead of double-counted.
+   */
+  def ingestSketchStores(docs: DataFrame, groupColName: String,
+                         valueColName: String, hllPath: String,
+                         cmsPath: String, checkpoint: String,
+                         pBits: Int = 10, depth: Int = 4, width: Int = 2048)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.mergeIntoHllStore(
+          batch, col(groupColName), col(valueColName), hllPath, pBits)
+        val marker = new java.io.File(s"$cmsPath.applied_$batchId")
+        if (!marker.exists()) {
+          graft.operators.Sketches.mergeIntoCmsStore(
+            batch.select(explode(split(col(valueColName), " ")).as("__tok")),
+            col("__tok"), lit(1L), cmsPath, depth, width)
+          marker.createNewFile()
+        }
+        ()
+      }
+      .start()
+
+  /**
    * Streaming ingest against a persisted span store — the streaming twin
    * of [[graft.operators.Dedup.dropSeenSpans]]: each micro-batch drops
    * documents sharing >= `minOverlap` spans with the store (Bloom

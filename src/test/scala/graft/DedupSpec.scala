@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -792,5 +792,38 @@ class DedupSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val want = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet -- dropIds
     assert(got == want && dropIds.nonEmpty, s"dropped=${dropIds.size}")
+  }
+
+  test("cross-corpus minhash pairs == brute-force cross Jaccard; fuzzy decontam drops exactly the flagged") {
+    import spark.implicits._
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val got = pairSet(Dedup.minhashCrossPairs(docs, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text")))
+    // brute force: exact Jaccard over the full corpus × bench cross product
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), 3).as("sh")).filter(size(col("sh")) > 0)
+    val want = sh.as("a").crossJoin(
+        sh.filter(col("doc_id") % 17 === 0).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .filter(col("i") * 5 >= (size(col("a.sh")) + size(col("b.sh")) - col("i")) * 4)
+      .select(col("a.doc_id"), col("b.doc_id"))
+    assert(got == pairSet(want) && got.nonEmpty)
+    // a paraphrased twin (one token changed) must still be flagged
+    val corpus2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "a completely different document about distributed joins")).toDF("doc_id", "text")
+    val bench2 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+      .toDF("doc_id", "text")
+    val para = pairSet(Dedup.minhashCrossPairs(corpus2, col("doc_id"), col("text"),
+      bench2, col("doc_id"), col("text"), p = 3, q = 5))
+    assert(para == Set((1L, 100L)))
+    // kept == corpus − flagged, exactly
+    val kept = Pipeline.decontaminateFuzzy(docs, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == all -- got.map(_._1))
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Mergeable sketches: exact local replay of the md5-derived register /
+ * counter arithmetic, the merge-transparency laws that make the sketches
+ * safe for incremental stores, and the estimator guarantees (HLL accuracy
+ * band, CMS overcount-only).
+ */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference HLL (bucket, rho) for one value — the documented formula. */
+  private def hllRef(value: String, salt: String, pBits: Int): (Long, Int) = {
+    val h = md5hex(value + ":" + salt)
+    val bucket = java.lang.Long.parseLong(h.substring(0, 4), 16) % (1L << pBits)
+    val w = java.lang.Long.parseLong(h.substring(4, 16), 16)
+    val rho = if (w == 0L) 49 else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    (bucket, rho)
+  }
+
+  private def regSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Int)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("HLL registers equal the local md5 replay exactly") {
+    import spark.implicits._
+    val values = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val df = values.toDF("v").withColumn("g", lit("g1"))
+    val got = regSet(Sketches.hllRegisters(df, col("g"), col("v"), pBits = 10))
+    val want = values.map(v => hllRef(v, "hll", 10))
+      .groupBy(_._1).map { case (b, rs) => ("g1", b, rs.map(_._2).max) }.toSet
+    assert(got == want)
+  }
+
+  test("HLL merge transparency: merge(regs(A), regs(B)) == regs(A ∪ B); duplicates free") {
+    import spark.implicits._
+    val a = (0 until 300).map(i => s"doc $i").toDF("v").withColumn("g", lit("g"))
+    val b = (200 until 500).map(i => s"doc $i").toDF("v").withColumn("g", lit("g"))
+    val merged = regSet(Sketches.hllMerge(
+      Sketches.hllRegisters(a, col("g"), col("v")),
+      Sketches.hllRegisters(b, col("g"), col("v"))))
+    val direct = regSet(Sketches.hllRegisters(
+      a.unionByName(b), col("g"), col("v")))
+    assert(merged == direct) // overlap 200..299 changes nothing: max is idempotent
+  }
+
+  test("HLL estimate: exact integer formula replays locally; corrected est within 10% at n=5000") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => s"unique value $i").toDF("v")
+      .withColumn("g", lit("g"))
+    val regs = Sketches.hllRegisters(df, col("g"), col("v"), pBits = 10)
+    val est = Sketches.hllEstimate(regs, pBits = 10).collect().head
+    // integer estimator replay from the register rows
+    val rows = regs.collect().map(r => (r.getLong(1), r.getInt(2)))
+    val m = 1024L
+    val n = rows.map { case (_, rho) => BigInt(1) << (49 - rho) }.sum +
+      BigInt(m - rows.length) * (BigInt(1) << 49)
+    val num = BigInt(1000000) * 7213000 * BigInt(m).pow(3) * (BigInt(1) << 49)
+    val d1 = BigInt(10000) * (1000 * m + 1079)
+    assert(BigInt(est.getAs[Long]("est_raw_e6")) == num / (d1 * n))
+    // 1.04/sqrt(1024) = 3.25% std error; 10% is ~3 sigma
+    assert(math.abs(est.getAs[Double]("est") / 5000.0 - 1.0) < 0.10)
+  }
+
+  test("CMS: estimates never undercount, and equal exact counts when collision-free") {
+    import spark.implicits._
+    val occurrences = (0 until 9).flatMap(k => Seq.fill(k + 1)(s"key$k"))
+    val df = occurrences.toDF("k")
+    val exact = occurrences.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    // precondition: this fixture's 10 keys × 4 rows land in distinct cells
+    val cells = (0 until 4).flatMap(i => exact.keys.map(k =>
+      (i, java.lang.Long.parseLong(md5hex(s"$i:cms:$k").substring(0, 12), 16) % 4096)))
+    assert(cells.distinct.size == cells.size, "fixture must be collision-free")
+    val counters = Sketches.cmsCounters(df, col("k"), lit(1L), width = 4096)
+    val est = Sketches.cmsEstimate(counters, df, col("k"), width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact) // collision-free ⇒ min over rows is the true count
+    // overcount-only holds even under forced collisions (width 2)
+    val tight = Sketches.cmsCounters(df, col("k"), lit(1L), width = 2)
+    val est2 = Sketches.cmsEstimate(tight, df, col("k"), width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) => assert(est2(k) >= c) }
+  }
+
+  test("CMS merge transparency: merge(cms(A), cms(B)) == cms(A ∪ B)") {
+    import spark.implicits._
+    val a = Seq("x", "y", "x", "z").toDF("k")
+    val b = Seq("y", "y", "w").toDF("k")
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = cset(Sketches.cmsMerge(
+      Sketches.cmsCounters(a, col("k"), lit(1L)),
+      Sketches.cmsCounters(b, col("k"), lit(1L))))
+    val direct = cset(Sketches.cmsCounters(a.unionByName(b), col("k"), lit(1L)))
+    assert(merged == direct)
+  }
+
+  test("sketch stores: build + merge-in-batch == one pass over the union") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sketch_store").toString
+    val a = (0 until 50).map(i => ("s" + i % 3, s"text number $i")).toDF("src", "text")
+    val b = (40 until 90).map(i => ("s" + i % 3, s"text number $i")).toDF("src", "text")
+    Sketches.buildHllStore(a, col("src"), col("text"), s"$tmp/hll")
+    Sketches.mergeIntoHllStore(b, col("src"), col("text"), s"$tmp/hll")
+    val stored = regSet(spark.read.parquet(s"$tmp/hll"))
+    val direct = regSet(Sketches.hllRegisters(a.unionByName(b), col("src"), col("text")))
+    assert(stored == direct)
+    // CMS store bootstraps on a missing path, then folds the second batch
+    Sketches.mergeIntoCmsStore(a.select(col("text")), col("text"), lit(1L), s"$tmp/cms")
+    Sketches.mergeIntoCmsStore(b.select(col("text")), col("text"), lit(1L), s"$tmp/cms")
+    val storedC = spark.read.parquet(s"$tmp/cms")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val directC = Sketches.cmsCounters(
+      a.unionByName(b).select(col("text")), col("text"), lit(1L))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(storedC == directC)
+  }
+}

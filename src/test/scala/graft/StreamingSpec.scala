@@ -395,6 +395,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("withBigramFluencyIndexed"))
   }
 
+  test("streaming sketch telemetry folds micro-batches into HLL + CMS stores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("sketch_ingest").toString
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("src", "text")
+    val q = graft.streaming.EventStreams.ingestSketchStores(
+      docs, "src", "text", s"$tmp/hll", s"$tmp/cms", s"$tmp/ckpt")
+    val b1 = (0 until 30).map(i => ("s" + i % 2, s"stream doc $i words words"))
+    val b2 = (20 until 60).map(i => ("s" + i % 2, s"stream doc $i words words"))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // both stores must equal one batch pass over the union of the batches
+    val union = (b1 ++ b2).toDF("src", "text")
+    val storedH = spark.read.parquet(s"$tmp/hll")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val directH = graft.operators.Sketches
+      .hllRegisters(union, col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(storedH == directH)
+    val storedC = spark.read.parquet(s"$tmp/cms")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val directC = graft.operators.Sketches.cmsCounters(
+      union.select(explode(split(col("text"), " ")).as("t")), col("t"), lit(1L))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(storedC == directC)
+  }
+
   test("sessionize accumulates per-user state (batch semantics check)") {
     import spark.implicits._
     // state logic is exercised in batch mode via groupByKey+flatMapGroups
