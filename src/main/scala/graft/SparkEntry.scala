@@ -1147,6 +1147,27 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // pairwise source-overlap report via HLL set algebra: per source pair,
+    // the UNION sketch (per-bucket max of both register sets) replayed to
+    // the exact integer estimator — inclusion-exclusion overlap estimates
+    // ride on these three cardinalities without any corpus self-join.
+    "q135_source_overlap" -> ((s, dir) => {
+      val regs = Sketches.hllRegisters(Tables.load(s, dir, "documents"),
+        col("source"), col("text"), pBits = 10, salt = "hll", groupName = "source")
+      Sketches.hllUnionPairs(regs, pBits = 10, groupName = "source")
+        .select(col("source_a"), col("source_b"), col("n_registers"),
+          col("sum_rho"), col("est_raw_e6"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // stratified exact-n holdout: each source's 5 smallest-md5 docs —
+    // balanced per-source carve-outs with the q126 reproducibility rules.
+    "q134_sample_per_group" -> ((s, dir) => {
+      Pipeline.sampleExactPerGroup(Tables.load(s, dir, "documents"),
+          col("source"), col("doc_id"), salt = "hold2", n = 5)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
     // fuzzy cross-corpus contamination pairs: corpus docs within n-gram
     // Jaccard >= 4/5 of an eval doc (eval set = doc_id % 17 == 0, as q46)
     // — banded MinHash candidates ACROSS tables + exact refine. Catches
@@ -2402,6 +2423,26 @@ object SparkEntry {
        "AND ctr.c = ('0x' || substr(md5(r.range || ':cms:' || pk.t),1,12))::BIGINT % 2048 " +
        "GROUP BY pk.t) " +
        "SELECT token, est FROM est WHERE est >= 100 ORDER BY token"),
+
+    // per-pair union registers (bucket max over both sides) -> the same
+    // exact integer estimator as q129
+    "q135_source_overlap" ->
+      (s"WITH r AS ($hllRegisterSql), " +
+       "g AS (SELECT DISTINCT source FROM r), " +
+       "p AS (SELECT a.source AS ga, b.source AS gb FROM g a, g b WHERE a.source < b.source), " +
+       "u AS (SELECT p.ga, p.gb, r.b, max(r.rho) AS rho " +
+       "FROM p JOIN r ON r.source = p.ga OR r.source = p.gb GROUP BY 1, 2, 3), " +
+       "a2 AS (SELECT ga, gb, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
+       "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
+       "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n FROM u GROUP BY ga, gb) " +
+       s"SELECT ga AS source_a, gb AS source_b, n_registers, sum_rho, $hllEstimateSql AS est_raw_e6 " +
+       "FROM a2 ORDER BY source_a, source_b"),
+
+    "q134_sample_per_group" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+       "row_number() OVER (PARTITION BY source " +
+       "ORDER BY md5(doc_id || ':hold2'), doc_id) AS rn FROM documents) " +
+       "WHERE rn <= 5 ORDER BY doc_id"),
 
     // exact Jaccard over all cross pairs — banding at J >= 0.8 with 128/32
     // has per-pair miss ~1e-15, so the exact rule IS the oracle

@@ -453,6 +453,25 @@ object Pipeline {
   }
 
   /**
+   * Stratified exact-n carve-out: within EACH group, the `n` rows with the
+   * smallest md5(id ++ ":" ++ salt) — the per-group twin of [[sampleExact]]
+   * for balanced per-source holdouts, with the same reproducibility
+   * contract: a row's hash depends only on (id, salt), so the sample is
+   * append-stable (new rows can push others out, never reshuffle the
+   * order), nested-consistent (the size-m sample is a prefix of the size-n
+   * sample for m < n under the same salt), and independent of partitioning
+   * and reruns. Selection is the two-phase [[capPerGroup]] rank, so a
+   * group holding half the corpus never funnels into one task; ties
+   * (md5 collisions) fall to the id.
+   */
+  def sampleExactPerGroup(df: DataFrame, group: Column, idCol: Column,
+                          salt: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val h = md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
+    capPerGroup(df, group, struct(h, idCol), n)
+  }
+
+  /**
    * Curriculum ordering — easy-to-hard training schedules: rows are cut
    * into `stages` quality tiers (stage 0 = best under `score` descending,
    * via [[quantileBuckets]] with one global group) and then ordered by

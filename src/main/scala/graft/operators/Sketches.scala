@@ -72,6 +72,52 @@ object Sketches {
       .agg(max(col("rho")).as("rho"))
 
   /**
+   * Pairwise source-overlap report — the sketch-ALGEBRA payoff: for every
+   * unordered group pair (a < b), the UNION's registers are just the
+   * per-bucket max of the two sides (set union is the sketch's native
+   * merge), and inclusion-exclusion turns three cardinality estimates
+   * into an overlap estimate: |A ∩ B| ≈ |A| + |B| − |A∪B|. "Which crawl
+   * duplicates which" over G sources from G sketch tables — the exact
+   * answer would be a G-way corpus self-join.
+   *
+   * Output per pair: (`source_a`, `source_b`, `n_registers`, `sum_rho`,
+   * `est_raw_e6` — the union sketch's integer replay columns, engine-
+   * exact) plus `est_union`, `est_a`, `est_b`, `est_overlap` (corrected
+   * doubles; overlap clamps at 0). Overlap precision is the DIFFERENCE of
+   * estimates — absolute error ~1.04·√(|A|+|B|)/√m — so size m to the
+   * overlap magnitudes that matter.
+   *
+   * Scale: the pair table is G² rows of group labels and each group's
+   * registers replicate G−1 times (≤ G²·2^p rows total) — report-sized by
+   * contract (a report over 10³ sources is ~10⁶·2^p rows, still sketch
+   * territory; for 10⁶ sources, report on the pairs you care about, not
+   * all of them).
+   */
+  def hllUnionPairs(registers: DataFrame, pBits: Int = 10,
+                    groupName: String = "group"): DataFrame = {
+    val groups = registers.select(col(groupName)).distinct()
+    val pairs = groups.select(col(groupName).as("source_a"))
+      .crossJoin(groups.select(col(groupName).as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val regs = registers.select(col(groupName).as("__g"), col("bucket"), col("rho"))
+    val unioned = pairs.join(regs, col("__g") === col("source_a"))
+      .unionByName(pairs.join(regs, col("__g") === col("source_b")))
+      .groupBy(col("source_a"), col("source_b"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val perPair = hllEstimateBy(unioned, pBits, Seq("source_a", "source_b"))
+      .withColumnRenamed("est", "est_union")
+    val single = hllEstimate(registers, pBits, groupName)
+      .select(col(groupName), col("est"))
+    perPair
+      .join(single.select(col(groupName).as("source_a"), col("est").as("est_a")),
+        "source_a")
+      .join(single.select(col(groupName).as("source_b"), col("est").as("est_b")),
+        "source_b")
+      .withColumn("est_overlap",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+  }
+
+  /**
    * Per-group cardinality estimates from a register table.
    *
    * `est_raw_e6` is the raw HLL estimator floor(10^6 · α_m·m²/Σ2^-M_j) in
@@ -86,12 +132,23 @@ object Sketches {
    * m·ln(m/V) when the raw estimate is below 2.5m and V>0 registers are
    * still zero — the standard small-range correction. It is NOT hash-
    * matched across engines (ln is libm-dependent); driver queries pin an
-   * accuracy invariant on it instead.
+   * accuracy invariant on it instead. Known accuracy band: cardinalities
+   * between ~2.5m and ~5m fall past the linear-counting switch but still
+   * carry the raw estimator's positive bias (up to ~20% — the gap
+   * HyperLogLog++ closes with empirical tables); outside that band the
+   * error is the classic 1.04/√m. Size pBits so the cardinalities you
+   * care about sit below 2m or above 5m.
    *
    * @return one row per group: (group, n_registers, sum_rho, est_raw_e6, est)
    */
   def hllEstimate(registers: DataFrame, pBits: Int = 10,
-                  groupName: String = "group"): DataFrame = {
+                  groupName: String = "group"): DataFrame =
+    hllEstimateBy(registers, pBits, Seq(groupName))
+
+  /** [[hllEstimate]] over a composite group key (e.g. the pair keys of
+    * [[hllUnionPairs]]). */
+  def hllEstimateBy(registers: DataFrame, pBits: Int,
+                    groupNames: Seq[String]): DataFrame = {
     require(pBits >= 7 && pBits <= 11,
       s"exact-integer estimator needs pBits in [7,11], got $pBits")
     val m = 1L << pBits
@@ -99,7 +156,7 @@ object Sketches {
     val num = (BigInt(1000000) * 7213000 * BigInt(m).pow(3) * (BigInt(1) << 49))
     val d1 = 10000L * (1000L * m + 1079L) // alpha denominator, constant
     registers
-      .groupBy(col(groupName))
+      .groupBy(groupNames.map(col): _*)
       .agg(count(lit(1)).as("n_registers"),
         sum(col("rho")).cast("long").as("sum_rho"),
         sum(expr(s"shiftleft(cast(1 as bigint), $MaxRho - rho)"))

@@ -161,6 +161,8 @@ object syntax {
       Pipeline.assignSplit(df, id, salt, fractions)
     def capPerGroup(group: Column, order: Column, n: Int): DataFrame =
       Pipeline.capPerGroup(df, group, order, n)
+    def sampleExactPerGroup(group: Column, id: Column, salt: String, n: Int): DataFrame =
+      Pipeline.sampleExactPerGroup(df, group, id, salt, n)
     def tokenBudgetPerGroup(group: Column, order: Column, tokens: Column,
                             budget: Long): DataFrame =
       Pipeline.tokenBudgetPerGroup(df, group, order, tokens, budget)

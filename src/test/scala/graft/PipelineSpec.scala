@@ -414,6 +414,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.subsetOf(bigger))
   }
 
+  test("sampleExactPerGroup: per-source md5-order replay, balanced, nested") {
+    def localHash(id: Long, salt: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.map(_._2).sortBy(id => (localHash(id, "hg"), id)).take(3).toSeq
+    }.toSet
+    val got = Pipeline.sampleExactPerGroup(docs, col("source"), col("doc_id"), "hg", 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // balanced: exactly min(3, |group|) rows per source
+    val perSrc = Pipeline.sampleExactPerGroup(docs, col("source"), col("doc_id"), "hg", 3)
+      .groupBy(col("source")).count().collect().map(_.getLong(1))
+    assert(perSrc.forall(_ == 3)) // every fixture source holds >= 3 docs
+    // nested: the size-3 sample is inside the size-10 sample, per group
+    val bigger = Pipeline.sampleExactPerGroup(docs, col("source"), col("doc_id"), "hg", 10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(bigger))
+  }
+
   test("curriculumOrder: dense ranks, stage-monotone, within-stage hash order, repartition-stable") {
     val d2 = docs.withColumn("ntok", size(split(col("text"), " ")).cast("long"))
     val rows = Pipeline.curriculumOrder(d2, col("doc_id"), col("ntok"),

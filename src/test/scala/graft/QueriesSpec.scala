@@ -30,6 +30,7 @@ class QueriesSpec extends AnyFunSuite {
     "q79_ann_pq" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q80_ann_pq_store" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q89_hybrid" -> "rerank stage: ≤50 BM25 candidates × the query vector row",
+    "q135_source_overlap" -> "the group-PAIR table: G² rows of source labels (report-sized by contract); the register joins onto it are equi-joins",
   )
 
   /** Queries ALLOWED a Window with an empty partitionSpec (single-task

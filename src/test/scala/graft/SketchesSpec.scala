@@ -102,6 +102,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("HLL union pairs: inclusion-exclusion overlap lands near truth on overlapping sets") {
+    import spark.implicits._
+    // A = 0..1199, B = 800..1999, C disjoint: true overlaps AB=400, AC=0,
+    // BC=0. Unions (2000, 2200, 2200) stay under 2.5m=2560 — the linear-
+    // counting regime, clear of the raw estimator's documented 2.5m..5m
+    // bias band.
+    val df = ((0 until 1200).map(i => ("A", s"val $i")) ++
+      (800 until 2000).map(i => ("B", s"val $i")) ++
+      (0 until 1000).map(i => ("C", s"other $i"))).toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, col("g"), col("v"), pBits = 10)
+    val rows = Sketches.hllUnionPairs(regs, pBits = 10)
+      .select(col("source_a"), col("source_b"), col("est_overlap"), col("est_union"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // union estimates within 10% (>3 sigma of linear counting here)
+    assert(math.abs(rows(("A", "B"))._2 / 2000.0 - 1.0) < 0.10)
+    assert(math.abs(rows(("A", "C"))._2 / 2200.0 - 1.0) < 0.10)
+    // overlap = a difference of estimates; ±250 is ~3 sigma for these sizes
+    assert(math.abs(rows(("A", "B"))._1 - 400.0) < 250.0)
+    assert(rows(("A", "C"))._1 < 250.0 && rows(("B", "C"))._1 < 250.0)
+    // the union registers themselves are exact: A∪B registers == registers of the concatenated set
+    val ab = Sketches.hllRegisters(df.filter(col("g") =!= "C").withColumn("g", lit("AB")),
+      col("g"), col("v"), pBits = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val regAB = regs.filter(col("group").isin("A", "B"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ab == regAB)
+  }
+
   test("sketch stores: build + merge-in-batch == one pass over the union") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sketch_store").toString
