@@ -1463,6 +1463,21 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // novelty scoring vs the persisted span store (q62's store): sources
+    // >= 10 scored by the fraction of their distinct 5-gram spans NOT in
+    // the ingested corpus — the soft form of the drop gate.
+    "q136_novelty_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val srcn = substring(col("source"), 4, 10).cast("int")
+      val path = storedOnce("spanstore_q62b", dir)(p =>
+        Dedup.buildSpanStore(docs.filter(srcn < 10), col("text"), k = 5, p))
+      Dedup.scoreSeenSpans(docs.filter(srcn >= 10), col("doc_id"), col("text"),
+          k = 5, path)
+        .select(col("doc_id"), col("total_spans"), col("seen_spans"),
+          col("novelty_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact per-source quality-quantile gate: keep each source's top
     // quarter by (quality desc, doc_id) — distributed exact rank, no
     // single-task window, no approx percentile.
@@ -2658,6 +2673,21 @@ object SparkEntry {
        "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    // same store split as q62; counts from the exact instance tables
+    "q136_novelty_score" ->
+      (s"WITH inst AS ($spanInstSql), " +
+       "srcs AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn FROM documents), " +
+       "oldg AS (SELECT DISTINCT gram FROM inst JOIN srcs USING (doc_id) WHERE srcn < 10), " +
+       "newi AS (SELECT doc_id, gram FROM inst JOIN srcs USING (doc_id) WHERE srcn >= 10), " +
+       "tot AS (SELECT doc_id, count(*) AS total_spans FROM newi GROUP BY doc_id), " +
+       "sn AS (SELECT doc_id, count(*) AS seen_spans FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
+       "SELECT s.doc_id, CAST(COALESCE(t.total_spans, 0) AS BIGINT) AS total_spans, " +
+       "CAST(COALESCE(x.seen_spans, 0) AS BIGINT) AS seen_spans, " +
+       "CAST(CASE WHEN COALESCE(t.total_spans, 0) = 0 THEN 1000000 " +
+       "ELSE 1000000 * (t.total_spans - COALESCE(x.seen_spans, 0)) // t.total_spans END AS BIGINT) AS novelty_e6 " +
+       "FROM srcs s LEFT JOIN tot t USING (doc_id) LEFT JOIN sn x USING (doc_id) " +
+       "WHERE s.srcn >= 10 ORDER BY doc_id"),
 
     "q63_quality_gate" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents), " +

@@ -569,6 +569,47 @@ object Dedup {
     batch.join(dropIds, idCol === col("__ss_id"), "left_anti")
   }
 
+  /**
+   * Novelty scoring against a [[buildSpanStore]] corpus: instead of
+   * dropping, annotate every batch row with `total_spans`, `seen_spans`
+   * (distinct k-gram spans also present in the store) and `novelty_e6` =
+   * floor(1e6·(total−seen)/total) — the soft-threshold form of
+   * [[dropSeenSpans]] for "how much of this document is new text"
+   * pipelines (memorization audits, freshness-weighted mixing; gate
+   * afterwards at any cut instead of the drop gate's fixed minOverlap).
+   * Documents with fewer than k words have no spans and score fully novel
+   * (1e6). Same plan shape and same id contract as the drop gate: Bloom
+   * prefilter (map-side) + exact confirm semi-join — the Bloom only
+   * PREfilters the join, seen counts come from the exact join, so scores
+   * carry no false-positive error.
+   */
+  def scoreSeenSpans(batch: DataFrame, idCol: Column, textCol: Column,
+                     k: Int, path: String): DataFrame = {
+    require(!batch.columns.exists(c => c.toLowerCase.startsWith("__ss_")),
+      "scoreSeenSpans: batch must not contain __ss_* columns")
+    GraftFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    val bc = Dedup.bloomBroadcastFor(spark, path)
+    val mightContain = udf { (s: String) =>
+      Dedup.bloomFilterFor(bc).mightContainString(s)
+    }
+    val store = spark.read.parquet(path + "/spans")
+    val spans = batch.select(idCol.as("__ss_id"),
+      explode(TextAnalysis.shingles(textCol, k)).as("span"))
+    val total = spans.groupBy(col("__ss_id")).agg(count(lit(1)).as("__ss_total"))
+    val seen = spans.filter(mightContain(col("span")))
+      .join(store, Seq("span"), "left_semi")
+      .groupBy(col("__ss_id")).agg(count(lit(1)).as("__ss_seen"))
+    batch.join(total, idCol === total("__ss_id"), "left").drop("__ss_id")
+      .join(seen, idCol === seen("__ss_id"), "left").drop("__ss_id")
+      .withColumn("total_spans", coalesce(col("__ss_total"), lit(0L)))
+      .withColumn("seen_spans", coalesce(col("__ss_seen"), lit(0L)))
+      .withColumn("novelty_e6",
+        when(col("total_spans") === 0L, lit(1000000L))
+          .otherwise(expr("1000000 * (total_spans - seen_spans) div total_spans")))
+      .drop("__ss_total", "__ss_seen")
+  }
+
   /** Driver-side cache: one bloom broadcast per (Spark application, store
     * path, sidecar version). The application id in the key stops a new
     * SparkContext in the same JVM from being served a dead context's

@@ -55,14 +55,23 @@ object Sketches {
   def hllRegisters(df: DataFrame, groupCol: Column, valueCol: Column,
                    pBits: Int = 10, salt: String = "hll",
                    groupName: String = "group"): DataFrame = {
+    val (bucket, rho) = hllBucketRho(valueCol, pBits, salt)
+    df.select(groupCol.as(groupName), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col(groupName), col("bucket")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** The (bucket, rho) column derivation behind [[hllRegisters]] — shared
+    * with the streaming register aggregations, which group by event-time
+    * window instead of a column and must therefore build the aggregation
+    * themselves. Pure codegen'd expressions, batch/stream agnostic. */
+  def hllBucketRho(valueCol: Column, pBits: Int, salt: String): (Column, Column) = {
     require(pBits >= 4 && pBits <= 16, s"pBits must be in [4,16], got $pBits")
     val h = md5(concat(valueCol.cast("string"), lit(":" + salt)).cast("binary"))
     val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") % (1L << pBits)
     val w = conv(substring(h, 5, 12), 16, 10).cast("long")
     val rho = when(w === 0L, lit(MaxRho))
       .otherwise(lit(MaxRho) - length(bin(w))).cast("int")
-    df.select(groupCol.as(groupName), bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col(groupName), col("bucket")).agg(max(col("rho")).as("rho"))
+    (bucket, rho)
   }
 
   /** Merge two register tables (same pBits/salt): union + per-bucket max.

@@ -321,6 +321,33 @@ object EventStreams {
         .dropSeenCosine(batch, col(idColName), col(vecColName), storePath, threshold))
 
   /**
+   * Streaming distinct-count registers per event-time window: the HLL
+   * register aggregation ([[graft.operators.Sketches.hllRegisters]]
+   * kernel) grouped by a tumbling window under a watermark — "distinct
+   * users/pages per hour" over an unbounded stream with state bounded by
+   * open windows × 2^p register rows, never by the number of distinct
+   * values seen (the whole reason to sketch a stream: exact streaming
+   * distinct would hold every value in state until the watermark closes).
+   *
+   * Emits (win struct, bucket, rho) register rows; estimate downstream
+   * with `Sketches.hllEstimateBy` over the window start (a second
+   * streaming aggregation is not composable — estimation is a batch-side
+   * fold of m rows per window). Registers of a CLOSED window equal the
+   * batch [[graft.operators.Sketches.hllRegisters]] over that window's
+   * rows exactly (max is order- and replay-insensitive).
+   */
+  def windowedDistinctHll(events: DataFrame, tsColName: String,
+                          valueColName: String, windowDur: String,
+                          watermarkDelay: String, pBits: Int = 10,
+                          salt: String = "hll"): DataFrame = {
+    val (bucket, rho) = graft.operators.Sketches
+      .hllBucketRho(col(valueColName), pBits, salt)
+    events.withWatermark(tsColName, watermarkDelay)
+      .groupBy(window(col(tsColName), windowDur).as("win"), bucket.as("bucket"))
+      .agg(max(rho).as("rho"))
+  }
+
+  /**
    * Streaming corpus telemetry: fold each micro-batch into persisted
    * mergeable sketches — an HLL store (distinct `valueColName` per
    * `groupColName`) and a CMS store (whitespace-token counts of

@@ -190,6 +190,8 @@ object syntax {
     def dropSeenSpans(id: Column, text: Column, k: Int, storePath: String,
                       minOverlap: Int = 1): DataFrame =
       Dedup.dropSeenSpans(df, id, text, k, storePath, minOverlap)
+    def scoreSeenSpans(id: Column, text: Column, k: Int, storePath: String): DataFrame =
+      Dedup.scoreSeenSpans(df, id, text, k, storePath)
     def dupRateByGroup(group: Column, fingerprint: Column): DataFrame =
       Dedup.dupRateByGroup(df, group, fingerprint)
     def vocabTopK(text: Column, k: Int): DataFrame =

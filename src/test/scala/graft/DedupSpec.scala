@@ -794,6 +794,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want && dropIds.nonEmpty, s"dropped=${dropIds.size}")
   }
 
+  test("scoreSeenSpans: novelty arithmetic replays; >=minOverlap seen ⇔ dropped by dropSeenSpans") {
+    val srcn = substring(col("source"), 4, 10).cast("int")
+    val old = docs.filter(srcn < 10)
+    val batch = docs.filter(srcn >= 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_spanscore").toString
+    Dedup.buildSpanStore(old, col("text"), k = 5, path)
+    val scored = Dedup.scoreSeenSpans(batch, col("doc_id"), col("text"), k = 5, path)
+      .select(col("doc_id"), col("total_spans"), col("seen_spans"), col("novelty_e6"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // every batch row scored, arithmetic exact
+    assert(scored.size == batch.count())
+    scored.values.foreach { case (tot, seen, nov) =>
+      assert(seen <= tot)
+      assert(nov == (if (tot == 0) 1000000L else 1000000L * (tot - seen) / tot))
+    }
+    // consistency with the drop gate: seen >= 2 ⇔ dropped at minOverlap=2
+    val kept = Dedup.dropSeenSpans(batch, col("doc_id"), col("text"), k = 5, path,
+        minOverlap = 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val wantKept = scored.filter { case (_, (_, seen, _)) => seen < 2 }.keySet
+    assert(kept == wantKept)
+    assert(scored.values.exists(_._2 > 0)) // fixture has genuine overlap
+  }
+
   test("cross-corpus minhash pairs == brute-force cross Jaccard; fuzzy decontam drops exactly the flagged") {
     import spark.implicits._
     val bench = docs.filter(col("doc_id") % 17 === 0)

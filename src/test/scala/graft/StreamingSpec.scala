@@ -395,6 +395,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("withBigramFluencyIndexed"))
   }
 
+  test("windowed streaming HLL registers equal the batch registers per closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "user")
+    val q = graft.streaming.EventStreams
+      .windowedDistinctHll(events, "ts", "user", "10 minutes", "5 minutes", pBits = 8)
+      .writeStream.format("memory").queryName("hll_win")
+      .outputMode("complete").start()
+    // window 1 (00:00-00:10): users u0..u19 each appearing 3 times;
+    // window 2 (00:10-00:20): users u10..u24 (distinct 15, overlap irrelevant)
+    val t1 = Timestamp.valueOf("2024-01-01 00:03:00")
+    val t2 = Timestamp.valueOf("2024-01-01 00:14:00")
+    try {
+      input.addData((0 until 60).map(i => (t1, s"u${i % 20}")))
+      input.addData((0 until 15).map(i => (t2, s"u${i + 10}")))
+      q.processAllAvailable()
+      val got = spark.table("hll_win")
+        .select(col("win.start").cast("string").as("ws"), col("bucket"), col("rho"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      // batch replay: same rows, grouped by their window start
+      val batch = ((0 until 60).map(i => ("2024-01-01 00:00:00", s"u${i % 20}")) ++
+        (0 until 15).map(i => ("2024-01-01 00:10:00", s"u${i + 10}"))).toDF("ws", "user")
+      val want = graft.operators.Sketches
+        .hllRegisters(batch, col("ws"), col("user"), pBits = 8, groupName = "ws")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want)
+      // estimates from the streamed registers land on the exact counts
+      val est = graft.operators.Sketches.hllEstimateBy(
+          spark.table("hll_win").withColumn("ws", col("win.start").cast("string")),
+          pBits = 8, Seq("ws"))
+        .select(col("ws"), col("est")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(math.abs(est("2024-01-01 00:00:00") - 20.0) < 4.0)
+      assert(math.abs(est("2024-01-01 00:10:00") - 15.0) < 4.0)
+    } finally q.stop()
+  }
+
   test("streaming sketch telemetry folds micro-batches into HLL + CMS stores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
