@@ -1463,6 +1463,29 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // batch sessionization: per-user sessions from 1-hour event-time gaps,
+    // rolled up to the session table (count, bounds, duration) — the batch
+    // twin of the streaming flatMapGroupsWithState sessionizer.
+    "q137_sessionize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("et", expr("ts div 1000"))
+      val sess = TemporalJoin.sessionize(ev, col("user_id"), col("et"),
+        col("event_id"), gap = 3600000000L)
+      TemporalJoin.sessionStats(sess, col("user_id"), col("et"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // LOCF resampling: weekly per-user grid, each instant carrying the
+    // latest event_id at or before it (NULL before the first observation)
+    // — one union + per-key window pass, no as-of replication.
+    "q138_resample_locf" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("et", expr("ts div 1000"))
+      TemporalJoin.resampleLocf(ev, col("user_id"), col("et"), col("event_id"),
+          step = 604800000000L)
+        .orderBy(col("key"), col("grid_t"))
+    }),
+
     // novelty scoring vs the persisted span store (q62's store): sources
     // >= 10 scored by the fraction of their distinct 5-gram spans NOT in
     // the ingested corpus — the soft form of the drop gate.
@@ -2673,6 +2696,30 @@ object SparkEntry {
        "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    // same union + IGNORE NULLS window; obs sorts before grid at equal t
+    "q138_resample_locf" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS et, event_id FROM events), " +
+       "obs AS (SELECT user_id AS k, et AS t, event_id AS v, 0 AS g FROM e), " +
+       "b AS (SELECT user_id AS k, min(et) AS lo, max(et) AS hi FROM e GROUP BY 1), " +
+       "grid AS (SELECT k, unnest(generate_series(lo - lo % 604800000000, hi, 604800000000)) AS t, " +
+       "NULL::BIGINT AS v, 1 AS g FROM b), " +
+       "u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid), " +
+       "f AS (SELECT k, t, g, last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, g " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf FROM u) " +
+       "SELECT k AS key, t AS grid_t, value_locf FROM f WHERE g = 1 ORDER BY key, grid_t"),
+
+    // identical two-window formulation (lag -> running gap-break sum)
+    "q137_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS et, event_id FROM events), " +
+       "l AS (SELECT user_id, et, event_id, " +
+       "lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) AS p FROM e), " +
+       "s AS (SELECT user_id, et, " +
+       "CAST(sum(CASE WHEN p IS NULL OR et - p > 3600000000 THEN 1 ELSE 0 END) " +
+       "OVER (PARTITION BY user_id ORDER BY et, event_id) - 1 AS BIGINT) AS session_seq FROM l) " +
+       "SELECT user_id, session_seq, count(*) AS n_events, " +
+       "min(et) AS t_start, max(et) AS t_end, max(et) - min(et) AS duration " +
+       "FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
 
     // same store split as q62; counts from the exact instance tables
     "q136_novelty_score" ->

@@ -158,4 +158,87 @@ object TemporalJoin {
       .filter(col("__ab_rn") === 1)
       .drop("__ab_l", "__ab_r", "__ab_rn")
   }
+
+  /**
+   * Batch sessionization — the batch twin of the streaming
+   * `flatMapGroupsWithState` sessionizer: within each key, events more
+   * than `gap` time units apart start a new session. Appends
+   * `session_seq` (0-based per key, in time order): a per-key window
+   * computes the gap-break flags (`lag`) and their running sum — the
+   * classic two-window formulation, both partitioned BY KEY, so the work
+   * distributes over keys (each key's partition is its own event count —
+   * bounded for real entity keys like users; this is the same per-key
+   * state contract the streaming sessionizer holds).
+   *
+   * `tieBreak` orders simultaneous events deterministically (equal
+   * timestamps never produce a gap, so the SESSION assignment is
+   * tie-independent; the tie order only fixes the within-window row
+   * order).
+   */
+  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column,
+                 tieBreak: Column, gap: Long): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("__sn_prev") || c.equalsIgnoreCase("session_seq")),
+      "sessionize: input must not contain __sn_prev/session_seq columns")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieBreak)
+    df.withColumn("__sn_prev", lag(tsCol, 1).over(w))
+      .withColumn("session_seq",
+        sum(when(col("__sn_prev").isNull || tsCol - col("__sn_prev") > gap, 1L)
+          .otherwise(0L)).over(w) - 1L)
+      .drop("__sn_prev")
+  }
+
+  /**
+   * Time-series resampling with last-observation-carried-forward: for each
+   * key, a regular grid from floor(min(ts)/step)·step to max(ts) in `step`
+   * increments, each grid instant carrying the latest observation at or
+   * before it (NULL before the first observation). The classic gap-filling
+   * pass in front of windowed feature extraction.
+   *
+   * Plan shape: observations and generated grid rows union into ONE
+   * per-key window pass (`last` ignoring nulls over rows up to current) —
+   * no as-of join, no lookback replication, unbounded carry distance for
+   * free. At equal instants the observation sorts BEFORE the grid row, so
+   * a grid point on an observation's timestamp carries that observation.
+   * Grid size is range/step per key — size `step` to the horizon; the
+   * window distributes over keys like [[sessionize]].
+   *
+   * Output: one row per grid instant — (key, `grid_t`, `valueName`).
+   */
+  def resampleLocf(df: DataFrame, keyCol: Column, tsCol: Column,
+                   valueCol: Column, step: Long,
+                   valueName: String = "value_locf"): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val obs = df.select(keyCol.as("__rs_k"), tsCol.as("__rs_t"),
+      valueCol.as("__rs_v"), lit(0).as("__rs_g"))
+    val grid = df.groupBy(keyCol.as("__rs_k"))
+      .agg(min(tsCol).as("__rs_lo"), max(tsCol).as("__rs_hi"))
+      .select(col("__rs_k"),
+        explode(sequence(
+          (col("__rs_lo") - pmod(col("__rs_lo"), lit(step))),
+          col("__rs_hi"), lit(step))).as("__rs_t"))
+      .withColumn("__rs_v", lit(null).cast(df.select(valueCol).schema.head.dataType))
+      .withColumn("__rs_g", lit(1))
+    val w = Window.partitionBy(col("__rs_k"))
+      .orderBy(col("__rs_t"), col("__rs_g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid)
+      .withColumn(valueName, last(col("__rs_v"), ignoreNulls = true).over(w))
+      .filter(col("__rs_g") === 1)
+      .select(col("__rs_k").as("key"), col("__rs_t").as("grid_t"), col(valueName))
+  }
+
+  /**
+   * Per-session rollup over [[sessionize]] output (or any frame carrying
+   * `session_seq`): one row per (key, session) with event count, first
+   * and last event time, and duration — the session table an analytics
+   * user actually joins against. One groupBy, map-side combined.
+   */
+  def sessionStats(sessions: DataFrame, keyCol: Column, tsCol: Column)
+    : DataFrame =
+    sessions.groupBy(keyCol, col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(tsCol).as("t_start"), max(tsCol).as("t_end"))
+      .withColumn("duration", col("t_end") - col("t_start"))
 }

@@ -149,6 +149,44 @@ class DifferentialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize: gap-break hand case, tie safety, key isolation, stats rollup") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    // user 1: events at 0, 50, 500 (gap 100 ⇒ sessions 0,0,1); user 2:
+    // simultaneous pair at t=1000 far from everything (one session); the
+    // shared timeline never leaks across keys
+    val ev = Seq((1L, 0L, 10L), (1L, 50L, 11L), (1L, 500L, 12L),
+      (2L, 1000L, 20L), (2L, 1000L, 21L), (2L, 0L, 22L)).toDF("user", "t", "eid")
+    val got = TemporalJoin.sessionize(ev, col("user"), col("t"), col("eid"), gap = 100L)
+      .select(col("user"), col("eid"), col("session_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 10L) -> 0L, (1L, 11L) -> 0L, (1L, 12L) -> 1L,
+      (2L, 22L) -> 0L, (2L, 20L) -> 1L, (2L, 21L) -> 1L))
+    val stats = TemporalJoin.sessionStats(
+        TemporalJoin.sessionize(ev, col("user"), col("t"), col("eid"), gap = 100L),
+        col("user"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats((1L, 0L)) == (2L, 0L, 50L, 50L))
+    assert(stats((1L, 1L)) == (1L, 500L, 500L, 0L))
+    assert(stats((2L, 1L)) == (2L, 1000L, 1000L, 0L))
+  }
+
+  test("resampleLocf: grid alignment, carry-forward, pre-observation NULL, same-instant carry") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    // key 1: obs at t=95 (v=7), t=210 (v=9); step 100 ⇒ grid 0,100,200:
+    // 0 → NULL (before first obs), 100 → 7, 200 → 7 (carry across the gap)
+    // key 2: single obs exactly ON a grid point (t=100, v=5) ⇒ grid 100 → 5
+    val ev = Seq((1L, 95L, 7L), (1L, 210L, 9L), (2L, 100L, 5L))
+      .toDF("k", "t", "v")
+    val got = TemporalJoin.resampleLocf(ev, col("k"), col("t"), col("v"), step = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map((1L, 0L) -> None, (1L, 100L) -> Some(7L), (1L, 200L) -> Some(7L),
+      (2L, 100L) -> Some(5L)))
+  }
+
   test("hot cell: indexed join stays correct when everything lands in one cell") {
     import spark.implicits._
     // 600 points + 300 boxes inside one 1000-unit cell: the declarative join
