@@ -1486,6 +1486,28 @@ object SparkEntry {
         .orderBy(col("key"), col("grid_t"))
     }),
 
+    // funnel: greedy in-order signup -> click -> purchase per user; stage
+    // times are the earliest qualifying events in (time, event_id) order.
+    "q139_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").withColumn("et", expr("ts div 1000"))
+      EventAnalytics.funnel(ev, col("user_id"), col("et"), col("event_id"),
+          col("event_type"), Seq("signup", "click", "purchase"))
+        .select(col("key").as("user_id"), col("reached"),
+          expr("try_element_at(stage_times, 1)").as("t1"),
+          expr("try_element_at(stage_times, 2)").as("t2"),
+          expr("try_element_at(stage_times, 3)").as("t3"))
+        .orderBy(col("user_id"))
+    }),
+
+    // retention cohorts: users cohorted by first-event week, each
+    // (cohort, age) cell = distinct users active that many weeks later.
+    "q140_retention" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").withColumn("et", expr("ts div 1000"))
+      EventAnalytics.retentionCohorts(ev, col("user_id"), col("et"),
+          bucket = 604800000000L)
+        .orderBy(col("cohort"), col("age"))
+    }),
+
     // novelty scoring vs the persisted span store (q62's store): sources
     // >= 10 scored by the fraction of their distinct 5-gram spans NOT in
     // the ingested corpus — the soft form of the drop gate.
@@ -2696,6 +2718,38 @@ object SparkEntry {
        "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    // greedy == chained first-qualifying-rank mins (rn ordered like the
+    // operator's sort); stage times join back through the rank
+    "q139_funnel" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS et, event_id, event_type FROM events), " +
+       "ev AS (SELECT user_id AS k, et, event_type AS s, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY et, event_id) AS rn " +
+       "FROM e WHERE event_type IN ('signup','click','purchase')), " +
+       "f1 AS (SELECT k, min(rn) AS r1 FROM ev WHERE s = 'signup' GROUP BY k), " +
+       "f2 AS (SELECT ev.k, min(rn) AS r2 FROM ev JOIN f1 ON ev.k = f1.k " +
+       "WHERE s = 'click' AND rn > r1 GROUP BY ev.k), " +
+       "f3 AS (SELECT ev.k, min(rn) AS r3 FROM ev JOIN f2 ON ev.k = f2.k " +
+       "WHERE s = 'purchase' AND rn > r2 GROUP BY ev.k) " +
+       "SELECT u.k AS user_id, " +
+       "CAST(CASE WHEN r3 IS NOT NULL THEN 3 WHEN r2 IS NOT NULL THEN 2 " +
+       "WHEN r1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached, " +
+       "e1.et AS t1, e2.et AS t2, e3.et AS t3 " +
+       "FROM (SELECT DISTINCT k FROM ev) u " +
+       "LEFT JOIN f1 ON u.k = f1.k LEFT JOIN f2 ON u.k = f2.k LEFT JOIN f3 ON u.k = f3.k " +
+       "LEFT JOIN ev e1 ON e1.k = u.k AND e1.rn = r1 " +
+       "LEFT JOIN ev e2 ON e2.k = u.k AND e2.rn = r2 " +
+       "LEFT JOIN ev e3 ON e3.k = u.k AND e3.rn = r3 " +
+       "ORDER BY user_id"),
+
+    "q140_retention" ->
+      ("WITH e AS (SELECT user_id AS k, epoch_ns(ts)//1000 AS et FROM events), " +
+       "b AS (SELECT k, et - et % 604800000000 AS rb FROM e), " +
+       "f AS (SELECT k, min(rb) AS cohort FROM b GROUP BY k), " +
+       "c AS (SELECT DISTINCT b.k, cohort, (rb - cohort) // 604800000000 AS age " +
+       "FROM b JOIN f ON b.k = f.k) " +
+       "SELECT cohort, age, count(*) AS n_active FROM c GROUP BY cohort, age " +
+       "ORDER BY cohort, age"),
 
     // same union + IGNORE NULLS window; obs sorts before grid at equal t
     "q138_resample_locf" ->

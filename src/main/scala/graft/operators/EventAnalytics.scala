@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Behavioral event analytics over (key, time, type) streams — funnels and
+ * retention cohorts, the companions of [[TemporalJoin.sessionize]]. The
+ * reference has no event-sequence surface; these are first-class here
+ * because the same engine that curates a training corpus also reads the
+ * product telemetry that motivates it, and both ops are classic "must not
+ * collect to the driver" patterns.
+ *
+ * Both are integer-exact and deterministic (ties resolved by an explicit
+ * tie-break column), so external SQL engines replay them bit-for-bit.
+ */
+object EventAnalytics {
+
+  /**
+   * Funnel analysis: for each key, the greedy in-order completion of the
+   * `stages` event-type sequence — stage i's time is the FIRST event of
+   * type `stages(i)` after stage i−1's event in (time, tieBreak) order.
+   * Greedy-earliest is the standard funnel semantics, and it is optimal:
+   * taking the earliest qualifying event at every stage can never prevent
+   * a completion another matching would allow.
+   *
+   * Returns one row per key: `reached` (stages completed, 0..k) and
+   * `stage_times` (array of the completed stages' event times, in stage
+   * order).
+   *
+   * Plan shape: the per-key event list is collected and sorted INSIDE the
+   * aggregation (`collect_list` + `sort_array`) and folded by a single
+   * `aggregate` lambda — state is one array per key, bounded by that
+   * key's event count, the same per-entity contract as
+   * [[TemporalJoin.sessionize]]; nothing leaves the executors. Events of
+   * types outside `stages` are filtered before the collect, so the list
+   * holds only potential stage hits.
+   */
+  def funnel(df: DataFrame, keyCol: Column, tsCol: Column, tieBreak: Column,
+             typeCol: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct, got $stages — a repeated stage type would " +
+      "greedily re-match the same semantic step")
+    val stagesArr = array(stages.map(lit): _*)
+    df.filter(typeCol.isin(stages: _*))
+      .select(keyCol.as("key"),
+        struct(tsCol.cast("long").as("t"), tieBreak.cast("long").as("tb"),
+          typeCol.as("s")).as("__ev"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("__ev"))).as("__evs"))
+      .withColumn("stage_times",
+        aggregate(col("__evs"),
+          lit(Array.empty[Long]),
+          (acc, e) => when(
+            size(acc) < stages.size &&
+            e.getField("s") === element_at(stagesArr, size(acc) + 1),
+            concat(acc, array(e.getField("t")))).otherwise(acc)))
+      .withColumn("reached", size(col("stage_times")))
+      .select(col("key"), col("reached"), col("stage_times"))
+  }
+
+  /**
+   * Retention cohort matrix: keys are cohorted by the time bucket of
+   * their FIRST event; each (cohort, age) cell counts the distinct keys
+   * from that cohort active `age` buckets later — the table behind every
+   * retention curve.
+   *
+   * Two aggregations (first-bucket per key, then distinct keys per cell)
+   * plus one join keyed by the entity key — all shuffles carry the key,
+   * the exact-distinct count is per (cohort, age) cell over pre-deduped
+   * (cell, key) rows, so no cell ever sees more than its cohort's keys.
+   */
+  def retentionCohorts(df: DataFrame, keyCol: Column, tsCol: Column,
+                       bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    // cohort = the first bucket's START TIME (long-exact; an index would
+    // need a long division that detours through double), age in buckets
+    val ev = df.select(keyCol.as("key"), tsCol.cast("long").as("__t"))
+      .withColumn("__rb", col("__t") - pmod(col("__t"), lit(bucket)))
+    val first = ev.groupBy(col("key")).agg(min(col("__rb")).as("cohort"))
+    ev.join(first, "key")
+      .withColumn("age", expr(s"(__rb - cohort) div ${bucket}L"))
+      .select(col("key"), col("cohort"), col("age")).distinct()
+      .groupBy(col("cohort"), col("age"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

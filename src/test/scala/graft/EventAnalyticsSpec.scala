@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel and retention hand cases — greedy-order semantics, stage
+  * skipping, tie determinism, cohort arithmetic. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("funnel: greedy earliest in-order matching, skips, partial completion") {
+    import spark.implicits._
+    // u1 completes A@10 -> B@30 (ignoring B@5 BEFORE A) -> C@40
+    // u2 reaches A@10, B@20, never C (C@15 is before B — out of order)
+    // u3 only C events: reached 0 stages but present (has stage-type events)
+    // u4 ties: A and B at the same t=10; event_id order lets B follow A
+    val ev = Seq(
+      (1L, 5L, 100L, "B"), (1L, 10L, 101L, "A"), (1L, 30L, 102L, "B"), (1L, 40L, 103L, "C"),
+      (2L, 10L, 200L, "A"), (2L, 15L, 201L, "C"), (2L, 20L, 202L, "B"),
+      (3L, 10L, 300L, "C"),
+      (4L, 10L, 400L, "A"), (4L, 10L, 401L, "B"), (4L, 12L, 402L, "C"),
+      (5L, 99L, 500L, "X") // non-stage type only: absent from output
+    ).toDF("u", "t", "eid", "typ")
+    val got = EventAnalytics.funnel(ev, col("u"), col("t"), col("eid"),
+        col("typ"), Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Long](2).toList)).toMap
+    assert(got == Map(
+      1L -> (3, List(10L, 30L, 40L)),
+      2L -> (2, List(10L, 20L)),
+      3L -> (0, Nil),
+      4L -> (3, List(10L, 10L, 12L))))
+  }
+
+  test("retention cohorts: first-bucket cohort, distinct actives per age") {
+    import spark.implicits._
+    // bucket 100: u1 first at 50 (cohort 0), active ages 0,1,3 (two events
+    // in bucket 1 count once); u2 first at 120 (cohort 100), ages 0,1
+    val ev = Seq((1L, 50L), (1L, 150L), (1L, 160L), (1L, 350L),
+      (2L, 120L), (2L, 210L)).toDF("u", "t")
+    val got = EventAnalytics.retentionCohorts(ev, col("u"), col("t"), bucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (100L, 0L) -> 1L, (100L, 1L) -> 1L))
+  }
+}
