@@ -1508,6 +1508,19 @@ object SparkEntry {
         .orderBy(col("cohort"), col("age"))
     }),
 
+    // trailing-window features: per event, the user's event count and e6
+    // value sum over the preceding hour (closed RANGE window) + the
+    // cross-multiplied spike flag (value > 2x trailing mean).
+    "q141_trailing_stats" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("et", expr("ts div 1000"))
+        .withColumn("value_e6", floor(col("value") * 1000000).cast("long"))
+      EventAnalytics.withTrailingStats(ev, col("user_id"), col("et"),
+          col("value_e6"), horizon = 3600000000L)
+        .select(col("event_id"), col("trail_cnt"), col("trail_sum_e6"), col("spike"))
+        .orderBy(col("event_id"))
+    }),
+
     // novelty scoring vs the persisted span store (q62's store): sources
     // >= 10 scored by the fraction of their distinct 5-gram spans NOT in
     // the ingested corpus — the soft form of the drop gate.
@@ -2741,6 +2754,18 @@ object SparkEntry {
        "LEFT JOIN ev e2 ON e2.k = u.k AND e2.rn = r2 " +
        "LEFT JOIN ev e3 ON e3.k = u.k AND e3.rn = r3 " +
        "ORDER BY user_id"),
+
+    // same closed RANGE frame; floor before the e6 cast on both sides
+    "q141_trailing_stats" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS et, " +
+       "CAST(floor(value * 1000000) AS BIGINT) AS v6 FROM events), " +
+       "t AS (SELECT event_id, v6, " +
+       "count(*) OVER (PARTITION BY user_id ORDER BY et " +
+       "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trail_cnt, " +
+       "CAST(sum(v6) OVER (PARTITION BY user_id ORDER BY et " +
+       "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_sum_e6 FROM e) " +
+       "SELECT event_id, trail_cnt, trail_sum_e6, " +
+       "v6 * trail_cnt > 2 * trail_sum_e6 AS spike FROM t ORDER BY event_id"),
 
     "q140_retention" ->
       ("WITH e AS (SELECT user_id AS k, epoch_ns(ts)//1000 AS et FROM events), " +

@@ -61,6 +61,33 @@ object EventAnalytics {
   }
 
   /**
+   * Trailing-window features: for every event, the count and e6-scaled
+   * sum of the SAME key's events in the closed time window
+   * [t − horizon, t] — the sliding-window feature extraction pass
+   * (per-user rates, rolling spend, request-burst detection) — plus an
+   * integer-exact spike flag: `spike` ⇔ value·cnt > factor·sum, i.e. the
+   * current value exceeds `factor`× the trailing mean, cross-multiplied
+   * so no division or float ever enters the comparison.
+   *
+   * One RANGE window per key (frame bounds by time VALUE, so simultaneous
+   * events see each other symmetrically — deterministic without a tie
+   * order). `valueE6Col` must already be integer (floor the e6 scaling at
+   * the call site so the cast rule of the replaying engine cannot differ).
+   */
+  def withTrailingStats(df: DataFrame, keyCol: Column, tsCol: Column,
+                        valueE6Col: Column, horizon: Long,
+                        spikeFactor: Long = 2L): DataFrame = {
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol.cast("long"))
+      .rangeBetween(-horizon, 0)
+    df.withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("trail_sum_e6", sum(valueE6Col).over(w).cast("long"))
+      .withColumn("spike",
+        valueE6Col * col("trail_cnt") > lit(spikeFactor) * col("trail_sum_e6"))
+  }
+
+  /**
    * Retention cohort matrix: keys are cohorted by the time bucket of
    * their FIRST event; each (cohort, age) cell counts the distinct keys
    * from that cohort active `age` buckets later — the table behind every

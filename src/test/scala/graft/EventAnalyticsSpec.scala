@@ -32,6 +32,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
       4L -> (3, List(10L, 10L, 12L))))
   }
 
+  test("trailing stats: closed range window, simultaneous events symmetric, spike rule") {
+    import spark.implicits._
+    // key 1, horizon 100: events at t=0(v=10), t=50(v=10), t=200(v=100),
+    // t=200(v=2) — the two t=200 events see EACH OTHER (range frame);
+    // v=100 at t=200: window = {100, 2} -> cnt 2, sum 102; spike: 100*2 > 2*102? no (200 < 204).
+    val ev = Seq((1L, 0L, 10L, 1L), (1L, 50L, 10L, 2L),
+      (1L, 200L, 100L, 3L), (1L, 200L, 2L, 4L)).toDF("k", "t", "v6", "eid")
+    val got = EventAnalytics.withTrailingStats(ev, col("k"), col("t"), col("v6"),
+        horizon = 100L)
+      .select(col("eid"), col("trail_cnt"), col("trail_sum_e6"), col("spike"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      1L -> (1L, 10L, false),          // alone in window; 10 > 2*10 false
+      2L -> (2L, 20L, false),          // {10,10}
+      3L -> (2L, 102L, false),         // sees the simultaneous v=2
+      4L -> (2L, 102L, false)))        // sees the simultaneous v=100
+    // genuine spike: a value more than 2x the trailing mean
+    val ev2 = Seq((1L, 0L, 10L, 1L), (1L, 10L, 10L, 2L), (1L, 20L, 100L, 3L))
+      .toDF("k", "t", "v6", "eid")
+    val sp = EventAnalytics.withTrailingStats(ev2, col("k"), col("t"), col("v6"),
+        horizon = 100L)
+      .filter(col("spike")).select(col("eid")).collect().map(_.getLong(0)).toSet
+    assert(sp == Set(3L)) // 100*3 > 2*120
+  }
+
   test("retention cohorts: first-bucket cohort, distinct actives per age") {
     import spark.implicits._
     // bucket 100: u1 first at 50 (cohort 0), active ages 0,1,3 (two events
