@@ -1482,7 +1482,7 @@ object SparkEntry {
       val ev = Tables.load(s, dir, "events")
         .withColumn("et", expr("ts div 1000"))
       TemporalJoin.resampleLocf(ev, col("user_id"), col("et"), col("event_id"),
-          step = 604800000000L)
+          col("event_id"), step = 604800000000L)
         .orderBy(col("key"), col("grid_t"))
     }),
 
@@ -2517,8 +2517,10 @@ object SparkEntry {
        "ORDER BY md5(doc_id || ':hold2'), doc_id) AS rn FROM documents) " +
        "WHERE rn <= 5 ORDER BY doc_id"),
 
-    // exact Jaccard over all cross pairs — banding at J >= 0.8 with 128/32
-    // has per-pair miss ~1e-15, so the exact rule IS the oracle
+    // exact Jaccard over all cross pairs. Banding miss at the J=0.8
+    // THRESHOLD is (1-0.8^4)^32 ~ 5e-8 per pair; the fixture's matching
+    // pairs sit at J ~ 0.97 where the miss is ~1e-37 — the exact rule is
+    // the oracle because the data has no pair near the threshold edge
     "q132_cross_minhash" ->
       (s"WITH sh AS ($shingleSetSql) " +
        "SELECT a.doc_id AS doc_id, b.doc_id AS bench_id FROM sh a, sh b " +
@@ -2776,15 +2778,16 @@ object SparkEntry {
        "SELECT cohort, age, count(*) AS n_active FROM c GROUP BY cohort, age " +
        "ORDER BY cohort, age"),
 
-    // same union + IGNORE NULLS window; obs sorts before grid at equal t
+    // same union + IGNORE NULLS window; obs sorts before grid at equal t,
+    // simultaneous obs ordered by the tie column (event_id) on both sides
     "q138_resample_locf" ->
       ("WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS et, event_id FROM events), " +
-       "obs AS (SELECT user_id AS k, et AS t, event_id AS v, 0 AS g FROM e), " +
+       "obs AS (SELECT user_id AS k, et AS t, event_id AS tb, event_id AS v, 0 AS g FROM e), " +
        "b AS (SELECT user_id AS k, min(et) AS lo, max(et) AS hi FROM e GROUP BY 1), " +
        "grid AS (SELECT k, unnest(generate_series(lo - lo % 604800000000, hi, 604800000000)) AS t, " +
-       "NULL::BIGINT AS v, 1 AS g FROM b), " +
+       "NULL::BIGINT AS tb, NULL::BIGINT AS v, 1 AS g FROM b), " +
        "u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid), " +
-       "f AS (SELECT k, t, g, last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, g " +
+       "f AS (SELECT k, t, g, last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, g, tb " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf FROM u) " +
        "SELECT k AS key, t AS grid_t, value_locf FROM f WHERE g = 1 ORDER BY key, grid_t"),
 

@@ -594,20 +594,23 @@ object Dedup {
       Dedup.bloomFilterFor(bc).mightContainString(s)
     }
     val store = spark.read.parquet(path + "/spans")
+    // total is the shingle ARRAY's length — a narrow map (shingles() is
+    // already distinct per doc); only the seen count needs the explode +
+    // store join, so the one wide shuffle carries overlap, not all spans
     val spans = batch.select(idCol.as("__ss_id"),
       explode(TextAnalysis.shingles(textCol, k)).as("span"))
-    val total = spans.groupBy(col("__ss_id")).agg(count(lit(1)).as("__ss_total"))
     val seen = spans.filter(mightContain(col("span")))
       .join(store, Seq("span"), "left_semi")
       .groupBy(col("__ss_id")).agg(count(lit(1)).as("__ss_seen"))
-    batch.join(total, idCol === total("__ss_id"), "left").drop("__ss_id")
+    batch
+      .withColumn("total_spans",
+        size(TextAnalysis.shingles(textCol, k)).cast("long"))
       .join(seen, idCol === seen("__ss_id"), "left").drop("__ss_id")
-      .withColumn("total_spans", coalesce(col("__ss_total"), lit(0L)))
       .withColumn("seen_spans", coalesce(col("__ss_seen"), lit(0L)))
       .withColumn("novelty_e6",
         when(col("total_spans") === 0L, lit(1000000L))
           .otherwise(expr("1000000 * (total_spans - seen_spans) div total_spans")))
-      .drop("__ss_total", "__ss_seen")
+      .drop("__ss_seen")
   }
 
   /** Driver-side cache: one bloom broadcast per (Spark application, store

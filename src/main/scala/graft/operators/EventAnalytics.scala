@@ -78,6 +78,10 @@ object EventAnalytics {
                         valueE6Col: Column, horizon: Long,
                         spikeFactor: Long = 2L): DataFrame = {
     require(horizon > 0, s"horizon must be positive, got $horizon")
+    require(!df.columns.exists(c => c.equalsIgnoreCase("trail_cnt") ||
+      c.equalsIgnoreCase("trail_sum_e6") || c.equalsIgnoreCase("spike")),
+      "withTrailingStats: input must not contain trail_cnt/trail_sum_e6/spike " +
+      "columns (an earlier horizon's features would be silently replaced)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(tsCol.cast("long"))
       .rangeBetween(-horizon, 0)

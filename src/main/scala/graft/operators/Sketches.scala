@@ -196,24 +196,64 @@ object Sketches {
   /** Fold a new batch into a persisted HLL store (read-merge-rewrite of
     * sketch-sized state; the historical corpus is never touched). A
     * missing store bootstraps from the batch alone, so streaming ingest
-    * needs no separate initialization step. */
+    * needs no separate initialization step. Crash-safe: the merged table
+    * is STAGED to `<path>.tmp` while the old store is still intact, and
+    * only then swapped in (delete + rename through the path's own Hadoop
+    * filesystem — works on hdfs/s3a, not just local disk); a crash inside
+    * the swap window leaves the full merged store recoverable at the
+    * staging path. */
   def mergeIntoHllStore(batch: DataFrame, groupCol: Column, valueCol: Column,
                         path: String, pBits: Int = 10, salt: String = "hll"): Unit = {
     val spark = batch.sparkSession
     val fresh = hllRegisters(batch, groupCol, valueCol, pBits, salt)
-    if (!storeExists(path)) {
+    if (!storeExists(spark, path)) {
       fresh.repartition(1).write.mode("overwrite").parquet(path)
     } else {
-      // registers are tiny (≤ groups · 2^p rows); localCheckpoint cuts the
-      // lineage so the overwrite cannot read-while-write the same files
-      hllMerge(spark.read.parquet(path), fresh)
-        .localCheckpoint(eager = true)
-        .repartition(1).write.mode("overwrite").parquet(path)
+      stagedSwap(spark, path)(tmp =>
+        hllMerge(spark.read.parquet(path), fresh)
+          .repartition(1).write.mode("overwrite").parquet(tmp))
     }
   }
 
-  private def storeExists(path: String): Boolean =
-    new java.io.File(path, "_SUCCESS").exists()
+  /** Read an HLL store written as `batch_id=` partitions (the streaming
+    * telemetry layout) or flat, folding all partitions into one register
+    * table — the fold IS the sketch merge, over sketch-sized rows. */
+  def readHllStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                   groupName: String = "group"): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col(groupName), col("bucket")).agg(max(col("rho")).as("rho"))
+
+  /** Read a CMS store (batch-partitioned or flat), folding per-batch
+    * counters by the sketch's sum merge. */
+  def readCmsStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("row"), col("col")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Existence through the path's OWN filesystem — a java.io.File check
+    * would be permanently false on hdfs://s3a:// and silently turn every
+    * merge into a from-scratch bootstrap that discards history. */
+  private def storeExists(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Write the replacement store to `<path>.tmp` via `write`, then swap it
+    * into place (delete old, rename staging). The old store stays intact
+    * until the staged copy is fully committed (_SUCCESS present); the only
+    * crash window is delete-before-rename, and there the staged directory
+    * still holds the complete merged result. */
+  private def stagedSwap(spark: org.apache.spark.sql.SparkSession,
+                         path: String)(write: String => Unit): Unit = {
+    val tmp = path + ".tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    write(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"stagedSwap: rename $tmp -> $path failed; the merged store is intact at $tmp")
+  }
 
   // ---------------------------------------------------------------------
   // Count-Min sketch
@@ -262,7 +302,11 @@ object Sketches {
    * Point estimates for a set of candidate keys against a counter table:
    * est(k) = min over rows of the counter each h_i(k) lands in. The
    * counter table is depth·width rows — broadcast by size, so the corpus-
-   * sized candidate side never shuffles for this join.
+   * sized candidate side never shuffles for this join. The counter table
+   * is SPARSE (untouched cells have no row), so the join is a LEFT join
+   * with absent cells counting 0 — a candidate key the sketch never saw
+   * correctly estimates 0 whenever any of its cells is empty, instead of
+   * inheriting the min of only its colliding cells (or vanishing).
    */
   def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: Column,
                   depth: Int = 4, width: Int = 2048,
@@ -276,8 +320,8 @@ object Sketches {
         struct(lit(i).as("row"), cmsCol(col("key"), i, width, salt).as("col"))): _*))
         .as("rc"))
       .join(broadcast(c),
-        col("rc.row") === col("__crow") && col("rc.col") === col("__ccol"))
-      .groupBy(col("key")).agg(min(col("cnt")).as("est"))
+        col("rc.row") === col("__crow") && col("rc.col") === col("__ccol"), "left")
+      .groupBy(col("key")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   /**
@@ -302,18 +346,19 @@ object Sketches {
 
   /** Fold a new batch into a persisted CMS store (read-merge-rewrite of
     * depth·width rows; history is never rescanned). A missing store
-    * bootstraps from the batch alone. */
+    * bootstraps from the batch alone; the rewrite goes through the same
+    * staged swap as [[mergeIntoHllStore]]. */
   def mergeIntoCmsStore(batch: DataFrame, keyCol: Column, weightCol: Column,
                         path: String, depth: Int = 4, width: Int = 2048,
                         salt: String = "cms"): Unit = {
     val spark = batch.sparkSession
     val fresh = cmsCounters(batch, keyCol, weightCol, depth, width, salt)
-    if (!storeExists(path)) {
+    if (!storeExists(spark, path)) {
       fresh.repartition(1).write.mode("overwrite").parquet(path)
     } else {
-      cmsMerge(spark.read.parquet(path), fresh)
-        .localCheckpoint(eager = true)
-        .repartition(1).write.mode("overwrite").parquet(path)
+      stagedSwap(spark, path)(tmp =>
+        cmsMerge(spark.read.parquet(path), fresh)
+          .repartition(1).write.mode("overwrite").parquet(tmp))
     }
   }
 }

@@ -200,28 +200,34 @@ object TemporalJoin {
    * per-key window pass (`last` ignoring nulls over rows up to current) —
    * no as-of join, no lookback replication, unbounded carry distance for
    * free. At equal instants the observation sorts BEFORE the grid row, so
-   * a grid point on an observation's timestamp carries that observation.
-   * Grid size is range/step per key — size `step` to the horizon; the
-   * window distributes over keys like [[sessionize]].
+   * a grid point on an observation's timestamp carries that observation;
+   * among simultaneous OBSERVATIONS the one with the largest `tieBreak`
+   * wins (the latest by tie order — same determinism contract as
+   * [[sessionize]]; the tie column never compares against a grid row,
+   * whose group flag already orders it, so engine-specific NULL ordering
+   * is never exercised). Grid size is range/step per key — size `step` to
+   * the horizon; the window distributes over keys like [[sessionize]].
    *
    * Output: one row per grid instant — (key, `grid_t`, `valueName`).
    */
   def resampleLocf(df: DataFrame, keyCol: Column, tsCol: Column,
-                   valueCol: Column, step: Long,
+                   tieBreak: Column, valueCol: Column, step: Long,
                    valueName: String = "value_locf"): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
     val obs = df.select(keyCol.as("__rs_k"), tsCol.as("__rs_t"),
-      valueCol.as("__rs_v"), lit(0).as("__rs_g"))
+      tieBreak.cast("long").as("__rs_tb"), valueCol.as("__rs_v"),
+      lit(0).as("__rs_g"))
     val grid = df.groupBy(keyCol.as("__rs_k"))
       .agg(min(tsCol).as("__rs_lo"), max(tsCol).as("__rs_hi"))
       .select(col("__rs_k"),
         explode(sequence(
           (col("__rs_lo") - pmod(col("__rs_lo"), lit(step))),
           col("__rs_hi"), lit(step))).as("__rs_t"))
+      .withColumn("__rs_tb", lit(null).cast("long"))
       .withColumn("__rs_v", lit(null).cast(df.select(valueCol).schema.head.dataType))
       .withColumn("__rs_g", lit(1))
     val w = Window.partitionBy(col("__rs_k"))
-      .orderBy(col("__rs_t"), col("__rs_g"))
+      .orderBy(col("__rs_t"), col("__rs_g"), col("__rs_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     obs.unionByName(grid)
       .withColumn(valueName, last(col("__rs_v"), ignoreNulls = true).over(w))

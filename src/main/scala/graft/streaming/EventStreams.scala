@@ -348,17 +348,22 @@ object EventStreams {
   }
 
   /**
-   * Streaming corpus telemetry: fold each micro-batch into persisted
-   * mergeable sketches — an HLL store (distinct `valueColName` per
-   * `groupColName`) and a CMS store (whitespace-token counts of
-   * `valueColName`). Per-batch work is sketch-sized (≤ groups·2^p + d·w
-   * rows read-merged-rewritten); history is never rescanned, which is the
-   * whole point of running telemetry on sketches at corpus scale.
+   * Streaming corpus telemetry: persist each micro-batch's OWN sketch
+   * rows — HLL registers (distinct `valueColName` per `groupColName`) and
+   * CMS token counters — under `batch_id=<n>` partitions, the same
+   * exactly-once mechanism as the landing sinks: a RETRIED micro-batch
+   * overwrites its own partition instead of double-merging, so replay
+   * safety needs no markers and no read-modify-write of shared state
+   * (which a crash mid-rewrite could destroy). Per-batch work and storage
+   * are sketch-sized (≤ groups·2^p + depth·width rows per batch).
    *
-   * Replay semantics: the HLL merge is IDEMPOTENT (per-bucket max), so a
-   * retried micro-batch cannot corrupt it. The CMS merge is additive, so
-   * each batch is guarded by an `.applied_<id>` marker next to the store —
-   * a replayed batch id is skipped instead of double-counted.
+   * Readers fold the partitions through
+   * [[graft.operators.Sketches.readHllStore]] /
+   * [[graft.operators.Sketches.readCmsStore]] — the fold IS the sketch's
+   * merge (max / sum over sketch-sized rows), so reading stays cheap at
+   * any batch count; compact old partitions into one with
+   * `mergeIntoHllStore`-style batch jobs if millions of micro-batches
+   * accumulate.
    */
   def ingestSketchStores(docs: DataFrame, groupColName: String,
                          valueColName: String, hllPath: String,
@@ -368,15 +373,15 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketches.mergeIntoHllStore(
-          batch, col(groupColName), col(valueColName), hllPath, pBits)
-        val marker = new java.io.File(s"$cmsPath.applied_$batchId")
-        if (!marker.exists()) {
-          graft.operators.Sketches.mergeIntoCmsStore(
-            batch.select(explode(split(col(valueColName), " ")).as("__tok")),
-            col("__tok"), lit(1L), cmsPath, depth, width)
-          marker.createNewFile()
-        }
+        graft.operators.Sketches
+          .hllRegisters(batch, col(groupColName), col(valueColName), pBits)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$hllPath/batch_id=$batchId")
+        graft.operators.Sketches
+          .cmsCounters(batch.select(explode(split(col(valueColName), " ")).as("__tok")),
+            col("__tok"), lit(1L), depth, width)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$cmsPath/batch_id=$batchId")
         ()
       }
       .start()

@@ -178,13 +178,18 @@ class DifferentialJoinSpec extends AnyFunSuite {
     // key 1: obs at t=95 (v=7), t=210 (v=9); step 100 ⇒ grid 0,100,200:
     // 0 → NULL (before first obs), 100 → 7, 200 → 7 (carry across the gap)
     // key 2: single obs exactly ON a grid point (t=100, v=5) ⇒ grid 100 → 5
-    val ev = Seq((1L, 95L, 7L), (1L, 210L, 9L), (2L, 100L, 5L))
-      .toDF("k", "t", "v")
-    val got = TemporalJoin.resampleLocf(ev, col("k"), col("t"), col("v"), step = 100L)
+    // key 3: SIMULTANEOUS obs at t=50 (eid 1 → v=8, eid 2 → v=6): the
+    // larger tie-break wins deterministically ⇒ grid 100 → 6 (a later
+    // obs at t=150 extends the grid past the tie)
+    val ev = Seq((1L, 95L, 10L, 7L), (1L, 210L, 11L, 9L), (2L, 100L, 20L, 5L),
+      (3L, 50L, 1L, 8L), (3L, 50L, 2L, 6L), (3L, 150L, 3L, 1L))
+      .toDF("k", "t", "eid", "v")
+    val got = TemporalJoin.resampleLocf(ev, col("k"), col("t"), col("eid"),
+        col("v"), step = 100L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(got == Map((1L, 0L) -> None, (1L, 100L) -> Some(7L), (1L, 200L) -> Some(7L),
-      (2L, 100L) -> Some(5L)))
+      (2L, 100L) -> Some(5L), (3L, 0L) -> None, (3L, 100L) -> Some(6L)))
   }
 
   test("hot cell: indexed join stays correct when everything lands in one cell") {

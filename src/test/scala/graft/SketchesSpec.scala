@@ -87,6 +87,16 @@ class SketchesSpec extends AnyFunSuite {
     val est2 = Sketches.cmsEstimate(tight, df, col("k"), width = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, c) => assert(est2(k) >= c) }
+    // a key the sketch never saw: empty cells count 0, so a collision-free
+    // unseen key estimates EXACTLY 0 (it must neither vanish from the
+    // output nor inherit the min of only its colliding cells)
+    val unseen = Seq("neverKey").toDF("k")
+    val cellsU = (0 until 4).map(i =>
+      (i, java.lang.Long.parseLong(md5hex(s"$i:cms:neverKey").substring(0, 12), 16) % 4096))
+    assert(cellsU.forall(c => !cells.contains(c)), "fixture: unseen key must miss all cells")
+    val estU = Sketches.cmsEstimate(counters, unseen, col("k"), width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estU == Map("neverKey" -> 0L))
   }
 
   test("CMS merge transparency: merge(cms(A), cms(B)) == cms(A ∪ B)") {

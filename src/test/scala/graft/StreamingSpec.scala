@@ -447,15 +447,23 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(b1); q.processAllAvailable()
       input.addData(b2); q.processAllAvailable()
     } finally q.stop()
-    // both stores must equal one batch pass over the union of the batches
+    // the batch_id-partitioned stores FOLD to one batch pass over the
+    // union of the batches (read = the sketch's own merge)
     val union = (b1 ++ b2).toDF("src", "text")
-    val storedH = spark.read.parquet(s"$tmp/hll")
+    val storedH = graft.operators.Sketches.readHllStore(spark, s"$tmp/hll")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     val directH = graft.operators.Sketches
       .hllRegisters(union, col("src"), col("text"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(storedH == directH)
-    val storedC = spark.read.parquet(s"$tmp/cms")
+    // CMS folds by SUM — and the layout is replay-safe: re-writing batch
+    // 0's partition (what a foreachBatch retry does) must not change the
+    // fold, unlike a read-merge-rewrite which would double-count
+    graft.operators.Sketches.cmsCounters(
+        b1.toDF("src", "text").select(explode(split(col("text"), " ")).as("__tok")),
+        col("__tok"), lit(1L))
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/cms/batch_id=0")
+    val storedC = graft.operators.Sketches.readCmsStore(spark, s"$tmp/cms")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     val directC = graft.operators.Sketches.cmsCounters(
       union.select(explode(split(col("text"), " ")).as("t")), col("t"), lit(1L))
