@@ -1486,6 +1486,31 @@ object SparkEntry {
         .orderBy(col("key"), col("grid_t"))
     }),
 
+    // semi-structured: JSON path extraction out of the props column
+    // composing with aggregation — pure built-ins (get_json_object), the
+    // §7 rule: generic relational surface needs zero custom code.
+    "q142_json_props" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // OLAP rollup: (event_type, week) counts + value sums with subtotal
+    // and grand-total rows — the cube/rollup surface analytics users
+    // expect, again zero custom code.
+    "q143_rollup" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("et", expr("ts div 1000"))
+        .withColumn("wk", col("et") - pmod(col("et"), lit(604800000000L)))
+        .withColumn("value_e6", floor(col("value") * 1000000).cast("long"))
+      ev.rollup(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("n"), sum(col("value_e6")).as("sum_value_e6"))
+        .orderBy(col("event_type").asc_nulls_first, col("wk").asc_nulls_first)
+    }),
+
     // funnel: greedy in-order signup -> click -> purchase per user; stage
     // times are the earliest qualifying events in (time, event_id) order.
     "q139_funnel" -> ((s, dir) => {
@@ -2733,6 +2758,21 @@ object SparkEntry {
        "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    "q142_json_props" ->
+      ("SELECT event_type, count(*) AS n, " +
+       "CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k, " +
+       "min(json_extract(props, '$.k')::BIGINT) AS min_k, " +
+       "max(json_extract(props, '$.k')::BIGINT) AS max_k " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q143_rollup" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS et, " +
+       "CAST(floor(value * 1000000) AS BIGINT) AS v6 FROM events), " +
+       "b AS (SELECT event_type, et - et % 604800000000 AS wk, v6 FROM e) " +
+       "SELECT event_type, wk, count(*) AS n, CAST(sum(v6) AS BIGINT) AS sum_value_e6 " +
+       "FROM b GROUP BY ROLLUP(event_type, wk) " +
+       "ORDER BY event_type NULLS FIRST, wk NULLS FIRST"),
 
     // greedy == chained first-qualifying-rank mins (rn ordered like the
     // operator's sort); stage times join back through the rank
