@@ -1486,6 +1486,21 @@ object SparkEntry {
         .orderBy(col("key"), col("grid_t"))
     }),
 
+    // snapshot diff: v1 = docs without the %7 slice, v2 = docs without
+    // the %5 slice with every %3 doc's text revised — exercises all four
+    // statuses deterministically from the one shared table.
+    "q144_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Pipeline.snapshotDiff(v1, col("doc_id"), col("text"),
+          v2, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // semi-structured: JSON path extraction out of the props column
     // composing with aggregation — pure built-ins (get_json_object), the
     // §7 rule: generic relational surface needs zero custom code.
@@ -2758,6 +2773,15 @@ object SparkEntry {
        "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    "q144_snapshot_diff" ->
+      ("WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0), " +
+       "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END) AS h " +
+       "FROM documents WHERE doc_id % 5 <> 0) " +
+       "SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, " +
+       "CASE WHEN v1.h IS NULL THEN 'added' WHEN v2.h IS NULL THEN 'removed' " +
+       "WHEN v1.h = v2.h THEN 'unchanged' ELSE 'changed' END AS status " +
+       "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id ORDER BY doc_id"),
 
     "q142_json_props" ->
       ("SELECT event_type, count(*) AS n, " +

@@ -852,6 +852,30 @@ object Pipeline {
   }
 
   /**
+   * Snapshot diff: compare two corpus versions by id and content hash —
+   * the audit step between crawl refreshes ("what changed since v1"):
+   * one row per id present in either snapshot with status `added`
+   * (new only), `removed` (old only), `changed` (both, different
+   * content), or `unchanged`. One full-outer equi-join on the id; content
+   * equality via md5 so the wide text column never shuffles.
+   *
+   * CONTRACT: ids unique within each snapshot (documents); duplicate ids
+   * would cross-join inside the full-outer join.
+   */
+  def snapshotDiff(oldDf: DataFrame, oldId: Column, oldContent: Column,
+                   newDf: DataFrame, newId: Column, newContent: Column): DataFrame = {
+    val o = oldDf.select(oldId.as("id"), md5(oldContent.cast("binary")).as("__h_old"))
+    val n = newDf.select(newId.as("id"), md5(newContent.cast("binary")).as("__h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") === col("__h_new"), "unchanged")
+          .otherwise("changed"))
+      .select(col("id"), col("status"))
+  }
+
+  /**
    * Fuzzy decontamination: drop corpus documents whose n-gram Jaccard to
    * ANY benchmark document reaches p/q — the near-duplicate complement of
    * [[decontaminate]]'s exact-overlap rule, catching paraphrased benchmark

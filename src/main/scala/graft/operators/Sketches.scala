@@ -205,6 +205,7 @@ object Sketches {
   def mergeIntoHllStore(batch: DataFrame, groupCol: Column, valueCol: Column,
                         path: String, pBits: Int = 10, salt: String = "hll"): Unit = {
     val spark = batch.sparkSession
+    recoverStaging(spark, path)
     val fresh = hllRegisters(batch, groupCol, valueCol, pBits, salt)
     if (!storeExists(spark, path)) {
       fresh.repartition(1).write.mode("overwrite").parquet(path)
@@ -237,6 +238,22 @@ object Sketches {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Complete a swap interrupted between delete and rename: if the main
+    * store is gone but a COMMITTED staging directory survives, the staging
+    * copy IS the store (it holds the full merged history) — rename it in.
+    * Without this, the next merge's bootstrap branch would overwrite the
+    * only surviving copy with just its own batch. */
+  private def recoverStaging(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit =
+    if (!storeExists(spark, path) && storeExists(spark, path + ".tmp")) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // partial leftovers
+      require(fs.rename(new org.apache.hadoop.fs.Path(path + ".tmp"),
+        new org.apache.hadoop.fs.Path(path)),
+        s"recoverStaging: rename $path.tmp -> $path failed")
+    }
 
   /** Write the replacement store to `<path>.tmp` via `write`, then swap it
     * into place (delete old, rename staging). The old store stays intact
@@ -352,6 +369,7 @@ object Sketches {
                         path: String, depth: Int = 4, width: Int = 2048,
                         salt: String = "cms"): Unit = {
     val spark = batch.sparkSession
+    recoverStaging(spark, path)
     val fresh = cmsCounters(batch, keyCol, weightCol, depth, width, salt)
     if (!storeExists(spark, path)) {
       fresh.repartition(1).write.mode("overwrite").parquet(path)

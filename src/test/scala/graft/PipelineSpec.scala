@@ -414,6 +414,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.subsetOf(bigger))
   }
 
+  test("snapshotDiff: all four statuses from a hand-built pair of versions") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("id", "t")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("id", "t")
+    val got = Pipeline.snapshotDiff(v1, col("id"), col("t"), v2, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("sampleExactPerGroup: per-source md5-order replay, balanced, nested") {
     def localHash(id: Long, salt: String): String =
       java.security.MessageDigest.getInstance("MD5")

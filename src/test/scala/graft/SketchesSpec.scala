@@ -141,6 +141,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(ab == regAB)
   }
 
+  test("store swap recovery: a crash between delete and rename loses nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sketch_recover").toString
+    val a = (0 until 40).map(i => ("s", s"a $i")).toDF("g", "v")
+    val b = (0 until 40).map(i => ("s", s"b $i")).toDF("g", "v")
+    val c = (0 until 40).map(i => ("s", s"c $i")).toDF("g", "v")
+    Sketches.buildHllStore(a, col("g"), col("v"), s"$tmp/hll")
+    Sketches.mergeIntoHllStore(b, col("g"), col("v"), s"$tmp/hll")
+    // simulate the delete-before-rename crash: main gone, committed
+    // staging dir holds the full merged history
+    val dir = new java.io.File(s"$tmp/hll")
+    assert(dir.renameTo(new java.io.File(s"$tmp/hll.tmp")))
+    Sketches.mergeIntoHllStore(c, col("g"), col("v"), s"$tmp/hll")
+    val got = regSet(spark.read.parquet(s"$tmp/hll"))
+    val want = regSet(Sketches.hllRegisters(
+      a.unionByName(b).unionByName(c), col("g"), col("v")))
+    assert(got == want) // a and b survived the simulated crash
+  }
+
   test("sketch stores: build + merge-in-batch == one pass over the union") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sketch_store").toString
