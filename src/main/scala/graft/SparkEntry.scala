@@ -2559,8 +2559,8 @@ object SparkEntry {
 
     // exact Jaccard over all cross pairs. Banding miss at the J=0.8
     // THRESHOLD is (1-0.8^4)^32 ~ 5e-8 per pair; the fixture's matching
-    // pairs sit at J ~ 0.97 where the miss is ~1e-37 — the exact rule is
-    // the oracle because the data has no pair near the threshold edge
+    // pairs sit at J ~ 0.97 where the miss is (1-0.97^4)^32 ~ 8e-31 —
+    // the exact rule is the oracle because no pair sits near the edge
     "q132_cross_minhash" ->
       (s"WITH sh AS ($shingleSetSql) " +
        "SELECT a.doc_id AS doc_id, b.doc_id AS bench_id FROM sh a, sh b " +
@@ -2774,13 +2774,14 @@ object SparkEntry {
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
 
+    // presence via flags + null-safe content compare, like the operator
     "q144_snapshot_diff" ->
-      ("WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0), " +
-       "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END) AS h " +
-       "FROM documents WHERE doc_id % 5 <> 0) " +
+      ("WITH v1 AS (SELECT doc_id, md5(text) AS h, TRUE AS p FROM documents WHERE doc_id % 7 <> 0), " +
+       "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END) AS h, " +
+       "TRUE AS p FROM documents WHERE doc_id % 5 <> 0) " +
        "SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, " +
-       "CASE WHEN v1.h IS NULL THEN 'added' WHEN v2.h IS NULL THEN 'removed' " +
-       "WHEN v1.h = v2.h THEN 'unchanged' ELSE 'changed' END AS status " +
+       "CASE WHEN v1.p IS NULL THEN 'added' WHEN v2.p IS NULL THEN 'removed' " +
+       "WHEN v1.h IS NOT DISTINCT FROM v2.h THEN 'unchanged' ELSE 'changed' END AS status " +
        "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id ORDER BY doc_id"),
 
     "q142_json_props" ->

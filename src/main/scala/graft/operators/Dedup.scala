@@ -603,8 +603,10 @@ object Dedup {
       .join(store, Seq("span"), "left_semi")
       .groupBy(col("__ss_id")).agg(count(lit(1)).as("__ss_seen"))
     batch
+      // coalesce: shingles(null text) is null and size(null) is null under
+      // ANSI — a null-text row has zero spans and scores fully novel
       .withColumn("total_spans",
-        size(TextAnalysis.shingles(textCol, k)).cast("long"))
+        coalesce(size(TextAnalysis.shingles(textCol, k)).cast("long"), lit(0L)))
       .join(seen, idCol === seen("__ss_id"), "left").drop("__ss_id")
       .withColumn("seen_spans", coalesce(col("__ss_seen"), lit(0L)))
       .withColumn("novelty_e6",

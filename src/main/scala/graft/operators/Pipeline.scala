@@ -864,13 +864,19 @@ object Pipeline {
    */
   def snapshotDiff(oldDf: DataFrame, oldId: Column, oldContent: Column,
                    newDf: DataFrame, newId: Column, newContent: Column): DataFrame = {
-    val o = oldDf.select(oldId.as("id"), md5(oldContent.cast("binary")).as("__h_old"))
-    val n = newDf.select(newId.as("id"), md5(newContent.cast("binary")).as("__h_new"))
+    // presence flags, NOT hash-nullness: a row with NULL content is still
+    // PRESENT in its snapshot (md5(null) is null and would masquerade as
+    // absence); the content compare is null-safe so null==null is
+    // 'unchanged' and null vs text is 'changed'
+    val o = oldDf.select(oldId.as("id"), md5(oldContent.cast("binary")).as("__h_old"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(newId.as("id"), md5(newContent.cast("binary")).as("__h_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("__h_old").isNull, "added")
-          .when(col("__h_new").isNull, "removed")
-          .when(col("__h_old") === col("__h_new"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__h_old") <=> col("__h_new"), "unchanged")
           .otherwise("changed"))
       .select(col("id"), col("status"))
   }

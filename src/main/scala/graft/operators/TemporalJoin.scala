@@ -214,9 +214,13 @@ object TemporalJoin {
                    tieBreak: Column, valueCol: Column, step: Long,
                    valueName: String = "value_locf"): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
+    // null tie values floor to Long.MinValue: engines disagree on NULL
+    // ordering inside windows (Spark nulls-first vs DuckDB nulls-last),
+    // so a null tie must never reach the sort — MinValue keeps the row
+    // and makes it lose every tie, identically everywhere
     val obs = df.select(keyCol.as("__rs_k"), tsCol.as("__rs_t"),
-      tieBreak.cast("long").as("__rs_tb"), valueCol.as("__rs_v"),
-      lit(0).as("__rs_g"))
+      coalesce(tieBreak.cast("long"), lit(Long.MinValue)).as("__rs_tb"),
+      valueCol.as("__rs_v"), lit(0).as("__rs_g"))
     val grid = df.groupBy(keyCol.as("__rs_k"))
       .agg(min(tsCol).as("__rs_lo"), max(tsCol).as("__rs_hi"))
       .select(col("__rs_k"),

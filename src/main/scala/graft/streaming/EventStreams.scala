@@ -369,7 +369,20 @@ object EventStreams {
                          valueColName: String, hllPath: String,
                          cmsPath: String, checkpoint: String,
                          pBits: Int = 10, depth: Int = 4, width: Int = 2048)
-    : org.apache.spark.sql.streaming.StreamingQuery =
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    // layout guard: a FLAT store (root-level _SUCCESS from buildHllStore /
+    // mergeIntoHllStore) cannot take batch_id= subdirectories — partition
+    // discovery would reject the mix and the flat history would sit in no
+    // partition. Fail at stream construction with the migration step
+    // instead of corrupting the store on the first micro-batch.
+    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+    Seq(hllPath, cmsPath).foreach { p =>
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      require(!marker.getFileSystem(hconf).exists(marker),
+        s"ingestSketchStores: $p holds a FLAT sketch store; move its rows " +
+        s"into a partition first (e.g. rewrite to $p/batch_id=-1) so the " +
+        "streaming batch_id= layout can append beside the history")
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -385,6 +398,7 @@ object EventStreams {
         ()
       }
       .start()
+  }
 
   /**
    * Streaming ingest against a persisted span store — the streaming twin

@@ -816,6 +816,15 @@ class DedupSpec extends AnyFunSuite {
     val wantKept = scored.filter { case (_, (_, seen, _)) => seen < 2 }.keySet
     assert(kept == wantKept)
     assert(scored.values.exists(_._2 > 0)) // fixture has genuine overlap
+    // null text scores fully novel, not NULL (which would fall out of any
+    // novelty_e6 gate on both sides of the cut)
+    import spark.implicits._
+    val nullBatch = Seq((1L, null: String), (2L, "the quick brown fox is here"))
+      .toDF("doc_id", "text")
+    val nulled = Dedup.scoreSeenSpans(nullBatch, col("doc_id"), col("text"), k = 5, path)
+      .select(col("doc_id"), col("total_spans"), col("novelty_e6"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nulled(1L) == (0L, 1000000L))
   }
 
   test("cross-corpus minhash pairs == brute-force cross Jaccard; fuzzy decontam drops exactly the flagged") {

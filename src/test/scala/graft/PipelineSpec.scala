@@ -422,6 +422,13 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
+    // NULL content is still PRESENCE: null==null content is unchanged,
+    // null vs text is changed — never misreported as added/removed
+    val n1 = Seq((1L, null: String), (2L, null: String)).toDF("id", "t")
+    val n2 = Seq((1L, null: String), (2L, "now set")).toDF("id", "t")
+    val gotN = Pipeline.snapshotDiff(n1, col("id"), col("t"), n2, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
   test("sampleExactPerGroup: per-source md5-order replay, balanced, nested") {

@@ -433,6 +433,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketch ingest refuses a flat-layout store instead of corrupting it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("sketch_flat").toString
+    val flat = Seq(("s", "x")).toDF("g", "v")
+    graft.operators.Sketches.buildHllStore(flat, col("g"), col("v"), s"$tmp/hll")
+    val input = MemoryStream[(String, String)]
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.ingestSketchStores(
+        input.toDF().toDF("src", "text"), "src", "text",
+        s"$tmp/hll", s"$tmp/cms", s"$tmp/ckpt")
+    }
+    assert(err.getMessage.contains("FLAT sketch store"))
+  }
+
   test("streaming sketch telemetry folds micro-batches into HLL + CMS stores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
