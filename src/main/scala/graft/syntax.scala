@@ -267,5 +267,35 @@ object syntax {
                   vec: Column, qvec: Column, k: Int,
                   nlist: Int = 16, nprobe: Int = 4): DataFrame =
       Similarity.ivfPqTopK(df, queries, id, qid, vec, qvec, k, nlist, nprobe)
+
+    // ---- round-7 additions: sketches, behavioral analytics, versioning ----
+    def hllRegisters(group: Column, value: Column, pBits: Int = 10,
+                     salt: String = "hll"): DataFrame =
+      Sketches.hllRegisters(df, group, value, pBits, salt)
+    def cmsCounters(key: Column, weight: Column, depth: Int = 4,
+                    width: Int = 2048): DataFrame =
+      Sketches.cmsCounters(df, key, weight, depth, width)
+    def minhashCrossPairs(id: Column, text: Column, right: DataFrame,
+                          rightId: Column, rightText: Column): DataFrame =
+      Dedup.minhashCrossPairs(df, id, text, right, rightId, rightText)
+    def decontaminateFuzzy(id: Column, text: Column, benchmark: DataFrame,
+                           benchId: Column, benchText: Column): DataFrame =
+      Pipeline.decontaminateFuzzy(df, id, text, benchmark, benchId, benchText)
+    def sessionize(key: Column, ts: Column, tieBreak: Column, gap: Long): DataFrame =
+      TemporalJoin.sessionize(df, key, ts, tieBreak, gap)
+    def resampleLocf(key: Column, ts: Column, tieBreak: Column, value: Column,
+                     step: Long): DataFrame =
+      TemporalJoin.resampleLocf(df, key, ts, tieBreak, value, step)
+    def funnel(key: Column, ts: Column, tieBreak: Column, typ: Column,
+               stages: Seq[String]): DataFrame =
+      EventAnalytics.funnel(df, key, ts, tieBreak, typ, stages)
+    def retentionCohorts(key: Column, ts: Column, bucket: Long): DataFrame =
+      EventAnalytics.retentionCohorts(df, key, ts, bucket)
+    def withTrailingStats(key: Column, ts: Column, valueE6: Column,
+                          horizon: Long, spikeFactor: Long = 2L): DataFrame =
+      EventAnalytics.withTrailingStats(df, key, ts, valueE6, horizon, spikeFactor)
+    def snapshotDiffTo(id: Column, content: Column, newer: DataFrame,
+                       newerId: Column, newerContent: Column): DataFrame =
+      Pipeline.snapshotDiff(df, id, content, newer, newerId, newerContent)
   }
 }

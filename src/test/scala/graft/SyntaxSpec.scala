@@ -137,6 +137,24 @@ class SyntaxSpec extends AnyFunSuite {
     assert(gated.count() < e.filter(col("vec_id") % 2 === 1).count())
   }
 
+  test("late round-7 fluent surface: sketches, sessions, funnel, diff chain") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("et", expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+    val regs = docs.hllRegisters(col("source"), col("text"))
+    assert(regs.count() > 0 && regs.columns.toSeq == Seq("group", "bucket", "rho"))
+    val sessions = ev.sessionize(col("user_id"), col("et"), col("event_id"),
+      gap = 3600000000L)
+    assert(sessions.columns.contains("session_seq"))
+    val fun = ev.funnel(col("user_id"), col("et"), col("event_id"),
+      col("event_type"), Seq("signup", "click"))
+    assert(fun.count() > 0)
+    val diff = docs.filter(col("doc_id") % 2 === 0)
+      .snapshotDiffTo(col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
+    assert(diff.select(col("status")).distinct().count() >= 2)
+  }
+
   test("cluster-balanced sampling: kmeans clusters feed sampleByRate") {
     // the curation composition the two operators exist for: cluster the
     // corpus semantically, then up/down-sample per cluster — deterministic
