@@ -37,6 +37,24 @@ object SparkEntry {
     s"CAST(($num::HUGEINT) // ($d1::HUGEINT * n) AS BIGINT)"
   }
 
+  /** One q145 profiler row: the q129 register replay applied to an
+    * arbitrary `events` column (cast to VARCHAR exactly like the Spark
+    * side), plus row/null counts and typed-then-rendered min/max. */
+  private def hllProfileColSql(c: String): String =
+    s"(WITH v AS (SELECT $c AS x FROM events), " +
+    "r AS (SELECT b, max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS rho " +
+    "FROM (SELECT ('0x' || substr(h,1,4))::BIGINT % 1024 AS b, " +
+    "('0x' || substr(h,5,12))::BIGINT AS w " +
+    "FROM (SELECT md5(x::VARCHAR || ':hll') AS h FROM v WHERE x IS NOT NULL)) GROUP BY b), " +
+    "a AS (SELECT count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
+    "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
+    "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n FROM r) " +
+    s"SELECT '$c' AS \"column\", (SELECT count(*) FROM v) AS n, " +
+    "(SELECT count(*) FROM v WHERE x IS NULL) AS n_null, " +
+    s"n_registers, sum_rho, $hllEstimateSql AS est_raw_e6, " +
+    "(SELECT min(x)::VARCHAR FROM v) AS min_v, " +
+    "(SELECT max(x)::VARCHAR FROM v) AS max_v FROM a)"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Generic relational baseline (Spark built-ins; SURVEY §2.5 note).
@@ -1486,6 +1504,17 @@ object SparkEntry {
         .orderBy(col("key"), col("grid_t"))
     }),
 
+    // sketch-powered column profiler: per column, row/null counts, HLL
+    // distinct-estimate replay columns, typed min/max — the DESCRIBE-grade
+    // first look, one effective scan per column via parquet pruning.
+    "q145_profile" -> ((s, dir) => {
+      Sketches.profile(Tables.load(s, dir, "events"),
+          Seq("event_type", "user_id"))
+        .select(col("column"), col("n"), col("n_null"), col("n_registers"),
+          col("sum_rho"), col("est_raw_e6"), col("min_v"), col("max_v"))
+        .orderBy(col("column"))
+    }),
+
     // snapshot diff: v1 = docs without the %7 slice, v2 = docs without
     // the %5 slice with every %3 doc's text revised — exercises all four
     // statuses deterministically from the one shared table.
@@ -2773,6 +2802,10 @@ object SparkEntry {
        "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    "q145_profile" ->
+      (hllProfileColSql("event_type") + " UNION ALL " +
+       hllProfileColSql("user_id") + " ORDER BY \"column\""),
 
     // presence via flags + null-safe content compare, like the operator
     "q144_snapshot_diff" ->

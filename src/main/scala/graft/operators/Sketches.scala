@@ -216,6 +216,38 @@ object Sketches {
     }
   }
 
+  /**
+   * Column profiler — the `DESCRIBE`-grade data-quality report, sketch-
+   * powered: one output row per requested column with row count, null
+   * count, the HLL distinct estimate (integer replay columns + corrected
+   * double), and typed min/max rendered as strings. The first look at an
+   * unfamiliar 100 TB table, costing one scan: the per-column branches
+   * union, and parquet column pruning means each branch reads ONLY its
+   * column — every requested column is read exactly once in total.
+   *
+   * Nulls are excluded from the distinct estimate (a null is the absence
+   * of a value, counted separately in `n_null`); min/max are computed on
+   * the column's own type BEFORE the string render, so numeric columns
+   * order numerically, not lexicographically.
+   */
+  def profile(df: DataFrame, cols: Seq[String], pBits: Int = 10,
+              salt: String = "hll"): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.map { c =>
+      val v = col(c)
+      val est = hllEstimate(
+        hllRegisters(df.filter(v.isNotNull), lit(c), v, pBits, salt), pBits)
+      df.agg(count(lit(1)).as("n"),
+          sum(when(v.isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
+          min(v).cast("string").as("min_v"), max(v).cast("string").as("max_v"))
+        .withColumn("group", lit(c))
+        .join(est, "group")
+    }.reduce(_.unionByName(_))
+      .withColumnRenamed("group", "column")
+      .select(col("column"), col("n"), col("n_null"), col("n_registers"),
+        col("sum_rho"), col("est_raw_e6"), col("est"), col("min_v"), col("max_v"))
+  }
+
   /** Read an HLL store written as `batch_id=` partitions (the streaming
     * telemetry layout) or flat, folding all partitions into one register
     * table — the fold IS the sketch merge, over sketch-sized rows. */
