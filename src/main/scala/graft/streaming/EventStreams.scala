@@ -348,6 +348,37 @@ object EventStreams {
   }
 
   /**
+   * Streaming trending heavy hitters per event-time window: the CMS
+   * counter aggregation ([[graft.operators.Sketches.cmsCounters]] cell
+   * arithmetic) grouped by a tumbling window under a watermark — "which
+   * keys dominate this hour" with state bounded by open windows ×
+   * depth·width counter rows, never by the key cardinality. Each event
+   * explodes into `depth` cells directly (the batch operator's
+   * per-key pre-aggregation would need a second streaming aggregation,
+   * which Spark disallows — the counters produced are identical).
+   *
+   * Emits (win struct, row, col, cnt) counter rows; rank candidates
+   * downstream with `Sketches.cmsEstimate` over a closed window's slice —
+   * estimates equal the batch sketch for the same rows, and overcount
+   * only.
+   */
+  def windowedTrendingCms(events: DataFrame, tsColName: String,
+                          keyColName: String, windowDur: String,
+                          watermarkDelay: String, depth: Int = 4,
+                          width: Int = 2048, salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    val cells = (0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        graft.operators.Sketches.cmsCol(col(keyColName).cast("string"), i, width, salt)
+          .as("col")))
+    events.withWatermark(tsColName, watermarkDelay)
+      .select(col(tsColName), explode(array(cells: _*)).as("rc"))
+      .groupBy(window(col(tsColName), windowDur).as("win"),
+        col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * Streaming corpus telemetry: persist each micro-batch's OWN sketch
    * rows — HLL registers (distinct `valueColName` per `groupColName`) and
    * CMS token counters — under `batch_id=<n>` partitions, the same

@@ -433,6 +433,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed streaming CMS counters equal the batch sketch per closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.EventStreams
+      .windowedTrendingCms(input.toDF().toDF("ts", "term"), "ts", "term",
+        "10 minutes", "5 minutes", width = 256)
+      .writeStream.format("memory").queryName("cms_win")
+      .outputMode("complete").start()
+    val t1 = Timestamp.valueOf("2024-01-01 00:02:00")
+    val t2 = Timestamp.valueOf("2024-01-01 00:13:00")
+    val w1 = (0 until 40).map(i => (t1, s"term${i % 8}"))
+    val w2 = (0 until 25).map(i => (t2, s"term${i % 5}"))
+    try {
+      input.addData(w1 ++ w2); q.processAllAvailable()
+      val slice1 = spark.table("cms_win")
+        .filter(col("win.start").cast("string") === "2024-01-01 00:00:00")
+        .select(col("row"), col("col"), col("cnt"))
+      val batch1 = graft.operators.Sketches.cmsCounters(
+        w1.toDF("ts", "term"), col("term"), lit(1L), width = 256)
+      def cset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(cset(slice1) == cset(batch1))
+      // estimates from the streamed slice are exact for window-1 terms
+      // (width 256 >> 8 distinct terms; verify no undercount ever)
+      val est = graft.operators.Sketches.cmsEstimate(slice1,
+          w1.toDF("ts", "term"), col("term"), width = 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = w1.groupBy(_._2).map { case (k, o) => k -> o.size.toLong }
+      exact.foreach { case (k, c) => assert(est(k) >= c) }
+    } finally q.stop()
+  }
+
   test("sketch ingest refuses a flat-layout store instead of corrupting it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
