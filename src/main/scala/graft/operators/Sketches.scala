@@ -221,9 +221,9 @@ object Sketches {
    * powered: one output row per requested column with row count, null
    * count, the HLL distinct estimate (integer replay columns + corrected
    * double), and typed min/max rendered as strings. The first look at an
-   * unfamiliar 100 TB table, costing one scan: the per-column branches
-   * union, and parquet column pruning means each branch reads ONLY its
-   * column — every requested column is read exactly once in total.
+   * unfamiliar 100 TB table, costing one multi-column pass for all basic
+   * stats (the row count is computed once, not per column) plus one
+   * column-pruned pass per column for its distinct-count registers.
    *
    * Nulls are excluded from the distinct estimate (a null is the absence
    * of a value, counted separately in `n_null`); min/max are computed on
@@ -233,15 +233,30 @@ object Sketches {
   def profile(df: DataFrame, cols: Seq[String], pBits: Int = 10,
               salt: String = "hll"): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    val spark = df.sparkSession
+    // ONE multi-column pass for every column's basic stats (count is
+    // shared); the row is k columns × 3 scalars — driver-bounded by
+    // construction, materialized once instead of re-scanned per column
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"__nn_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
     cols.map { c =>
-      val v = col(c)
       val est = hllEstimate(
-        hllRegisters(df.filter(v.isNotNull), lit(c), v, pBits, salt), pBits)
-      df.agg(count(lit(1)).as("n"),
-          sum(when(v.isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
-          min(v).cast("string").as("min_v"), max(v).cast("string").as("max_v"))
-        .withColumn("group", lit(c))
-        .join(est, "group")
+        hllRegisters(df.filter(col(c).isNotNull), lit(c), col(c), pBits, salt),
+        pBits)
+      // LEFT join: an all-null (or empty) column has no registers, but its
+      // report row must still appear — n_registers 0, estimator fields
+      // NULL, n_null carrying the whole story (matches the SQL-replay
+      // shape, where the aggregate over zero registers yields one row)
+      spark.range(1).select(lit(c).as("group"),
+          lit(b.getAs[Long]("n")).as("n"),
+          lit(b.getAs[Long](s"__nn_$c")).as("n_null"),
+          lit(b.getAs[String](s"__min_$c")).as("min_v"),
+          lit(b.getAs[String](s"__max_$c")).as("max_v"))
+        .join(est, Seq("group"), "left")
+        .withColumn("n_registers", coalesce(col("n_registers"), lit(0L)))
     }.reduce(_.unionByName(_))
       .withColumnRenamed("group", "column")
       .select(col("column"), col("n"), col("n_null"), col("n_registers"),
@@ -331,9 +346,8 @@ object Sketches {
     val perKey = df.select(keyCol.cast("string").as("__k"), weightCol.as("__w"))
       .groupBy(col("__k")).agg(sum(col("__w")).cast("long").as("__cnt"))
     perKey
-      .select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("row"), cmsCol(col("__k"), i, width, salt).as("col"))): _*))
-        .as("rc"), col("__cnt"))
+      .select(explode(cmsCells(col("__k"), depth, width, salt)).as("rc"),
+        col("__cnt"))
       .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
       .agg(sum(col("__cnt")).as("cnt"))
   }
@@ -342,6 +356,14 @@ object Sketches {
   def cmsCol(key: Column, row: Int, width: Int, salt: String): Column =
     conv(substring(md5(concat(lit(s"$row:$salt:"), key).cast("binary")), 1, 12),
       16, 10).cast("long") % width
+
+  /** The full depth-row cell array for a key — ONE definition of the cell
+    * derivation shared by [[cmsCounters]], [[cmsEstimate]], and the
+    * streaming windowed sketch, so a hash/layout change can never make
+    * one site silently stop matching the others. */
+  def cmsCells(key: Column, depth: Int, width: Int, salt: String): Column =
+    array((0 until depth).map(i =>
+      struct(lit(i).as("row"), cmsCol(key, i, width, salt).as("col"))): _*)
 
   /** Merge two counter tables (same depth/width/salt): union + per-cell sum. */
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
@@ -365,9 +387,7 @@ object Sketches {
       col("cnt"))
     keys.select(keyCol.cast("string").as("key"))
       .distinct()
-      .select(col("key"), explode(array((0 until depth).map(i =>
-        struct(lit(i).as("row"), cmsCol(col("key"), i, width, salt).as("col"))): _*))
-        .as("rc"))
+      .select(col("key"), explode(cmsCells(col("key"), depth, width, salt)).as("rc"))
       .join(broadcast(c),
         col("rc.row") === col("__crow") && col("rc.col") === col("__ccol"), "left")
       .groupBy(col("key")).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))

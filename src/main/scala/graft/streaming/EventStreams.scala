@@ -367,12 +367,10 @@ object EventStreams {
                           watermarkDelay: String, depth: Int = 4,
                           width: Int = 2048, salt: String = "cms"): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
-    val cells = (0 until depth).map(i =>
-      struct(lit(i).as("row"),
-        graft.operators.Sketches.cmsCol(col(keyColName).cast("string"), i, width, salt)
-          .as("col")))
+    require(width >= 2, s"width must be >= 2, got $width")
     events.withWatermark(tsColName, watermarkDelay)
-      .select(col(tsColName), explode(array(cells: _*)).as("rc"))
+      .select(col(tsColName), explode(graft.operators.Sketches
+        .cmsCells(col(keyColName).cast("string"), depth, width, salt)).as("rc"))
       .groupBy(window(col(tsColName), windowDur).as("win"),
         col("rc.row").as("row"), col("rc.col").as("col"))
       .agg(count(lit(1)).as("cnt"))

@@ -141,6 +141,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(ab == regAB)
   }
 
+  test("profile: all-null column still reports (n_null = n, zero registers)") {
+    import spark.implicits._
+    val df = Seq(("a", null: String), ("b", null: String), ("c", null: String))
+      .toDF("ok", "broken")
+    val rows = Sketches.profile(df, Seq("ok", "broken"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.isNullAt(5))).toMap
+    // (column -> (n, n_null, n_registers, est_raw_e6 is null))
+    assert(rows("ok") == (3L, 0L, 3L, false))
+    assert(rows("broken") == (3L, 3L, 0L, true)) // the broken column is REPORTED
+  }
+
   test("store swap recovery: a crash between delete and rename loses nothing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sketch_recover").toString
