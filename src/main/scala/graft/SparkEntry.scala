@@ -1504,6 +1504,26 @@ object SparkEntry {
         .orderBy(col("key"), col("grid_t"))
     }),
 
+    // batch windowed distinct telemetry: distinct users per (event_type,
+    // week) through the HLL registers — the batch twin of the streaming
+    // windowedDistinctHll, sharing the same register kernel; composite
+    // group = "type:weekstart" (both engines concat identically).
+    "q146_windowed_distinct" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("et", expr("ts div 1000"))
+        .withColumn("wk", col("et") - pmod(col("et"), lit(604800000000L)))
+      val regs = Sketches.hllRegisters(ev,
+        concat_ws(":", col("event_type"), col("wk")), col("user_id"))
+      val est = Sketches.hllEstimate(regs)
+      val exact = ev.groupBy(concat_ws(":", col("event_type"), col("wk")).as("group"))
+        .agg(countDistinct(col("user_id")).as("__exact"))
+      est.join(broadcast(exact), "group")
+        .withColumn("est_ok", abs(col("est") / col("__exact") - 1.0) < 0.12)
+        .select(col("group"), col("n_registers"), col("sum_rho"),
+          col("est_raw_e6"), col("est_ok"))
+        .orderBy(col("group"))
+    }),
+
     // sketch-powered column profiler: per column, row/null counts, HLL
     // distinct-estimate replay columns, typed min/max — the DESCRIBE-grade
     // first look, one effective scan per column via parquet pruning.
@@ -2802,6 +2822,22 @@ object SparkEntry {
        "hits AS (SELECT doc_id, count(*) AS m FROM newi JOIN oldg USING (gram) GROUP BY doc_id) " +
        "SELECT s.doc_id FROM srcs s WHERE s.srcn >= 10 " +
        "AND s.doc_id NOT IN (SELECT doc_id FROM hits WHERE m >= 2) ORDER BY doc_id"),
+
+    // q129's register replay keyed by the concat'd (type, week) group over
+    // user_id; est_ok is Spark's accuracy invariant, pinned TRUE
+    "q146_windowed_distinct" ->
+      ("WITH base AS (SELECT event_type || ':' || " +
+       "(epoch_ns(ts)//1000 - epoch_ns(ts)//1000 % 604800000000) AS g, " +
+       "md5(user_id::VARCHAR || ':hll') AS h FROM events), " +
+       "r AS (SELECT g, ('0x' || substr(h,1,4))::BIGINT % 1024 AS b, " +
+       "max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS rho " +
+       "FROM (SELECT g, h, ('0x' || substr(h,5,12))::BIGINT AS w FROM base) GROUP BY g, b) " +
+       "SELECT g AS \"group\", n_registers, sum_rho, " +
+       s"$hllEstimateSql AS est_raw_e6, TRUE AS est_ok FROM " +
+       "(SELECT g, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
+       "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
+       "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n " +
+       "FROM r GROUP BY g) ORDER BY \"group\""),
 
     "q145_profile" ->
       (hllProfileColSql("event_type") + " UNION ALL " +
