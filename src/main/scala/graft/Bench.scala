@@ -61,7 +61,21 @@ object Bench {
     // failures are visible IN the metric line (a failed query's
     // time-to-failure must never read as a better total), stderr aside
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full line to a file: the driver's BENCH_r{N}.json
+    // keeps only a 2 KB tail of stdout, which truncates the per-query map
+    // past ~60 queries — the judge needs every timing to diff rounds.
+    // Written only for full runs (no query-name args), so a dev-loop
+    // subset can never overwrite the round's complete artifact.
+    if (only.isEmpty) {
+      val out = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "dev/bench_full.json"))
+      Option(out.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[bench] full per-query timings written to $out")
+    }
     spark.stop()
   }
 }

@@ -31,10 +31,15 @@ object SparkEntry {
     "FROM (SELECT source, ('0x' || substr(h,1,4))::BIGINT % 1024 AS b, " +
     "('0x' || substr(h,5,12))::BIGINT AS w " +
     "FROM (SELECT source, md5(text || ':hll') AS h FROM documents)) GROUP BY source, b"
-  private val hllEstimateSql: String = {
+  /** Raw-HLL estimate from the register mass held in column `massCol`.
+    * The divisor column is a parameter so callers whose scope defines
+    * another `n` (e.g. the q145 profiler's row count) can point at an
+    * unambiguous name instead of relying on DuckDB's table-before-alias
+    * resolution order. */
+  private def hllEstimateSql(massCol: String = "n"): String = {
     val num = BigInt(1000000) * 7213000 * BigInt(1024).pow(3) * (BigInt(1) << 49)
     val d1 = 10000L * (1000L * 1024 + 1079)
-    s"CAST(($num::HUGEINT) // ($d1::HUGEINT * n) AS BIGINT)"
+    s"CAST(($num::HUGEINT) // ($d1::HUGEINT * $massCol) AS BIGINT)"
   }
 
   /** One q145 profiler row: the q129 register replay applied to an
@@ -48,10 +53,10 @@ object SparkEntry {
     "FROM (SELECT md5(x::VARCHAR || ':hll') AS h FROM v WHERE x IS NOT NULL)) GROUP BY b), " +
     "a AS (SELECT count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
     "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
-    "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n FROM r) " +
+    "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS reg_mass FROM r) " +
     s"SELECT '$c' AS \"column\", (SELECT count(*) FROM v) AS n, " +
     "(SELECT count(*) FROM v WHERE x IS NULL) AS n_null, " +
-    s"n_registers, sum_rho, $hllEstimateSql AS est_raw_e6, " +
+    s"n_registers, sum_rho, ${hllEstimateSql("reg_mass")} AS est_raw_e6, " +
     "(SELECT min(x)::VARCHAR FROM v) AS min_v, " +
     "(SELECT max(x)::VARCHAR FROM v) AS max_v FROM a)"
 
@@ -1713,8 +1718,100 @@ object SparkEntry {
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // DBScanModel.predict: classify NEW points (suppliers) against the
+    // q20 clustering of customers — nearest core within eps wins, ties to
+    // (cluster id, core id); unreachable points are noise. The oracle
+    // replays the q20 recursive-CTE clustering plus the same rule.
+    "q147_dbscan_predict" -> ((s, dir) => {
+      val m = DBSCAN.model(Tables.customerPts(s, dir),
+        col("c_custkey"), col("cx"), col("cy"), eps = 32.0, minPts = 5)
+      DBSCAN.predict(m, Tables.supplierPts(s, dir),
+          col("s_suppkey"), col("sx"), col("sy"), eps = 32.0)
+        .withColumnRenamed("id", "s_suppkey")
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // DBScanModel summary: cluster/core/border/noise counts in ONE pass
+    // over the model (reference numOfClusters plus the obvious siblings).
+    "q150_dbscan_model_stats" -> ((s, dir) => {
+      DBSCAN.model(Tables.customerPts(s, dir),
+          col("c_custkey"), col("cx"), col("cy"), eps = 32.0, minPts = 5)
+        .agg(
+          count_distinct(when(col("cluster_id") =!= -1L, col("cluster_id"))).as("n_clusters"),
+          sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+          sum(when(!col("is_core") && col("cluster_id") =!= -1L, 1L).otherwise(0L)).as("n_border"),
+          sum(when(col("cluster_id") === -1L, 1L).otherwise(0L)).as("n_noise"))
+    }),
+
+    // eps tuning, reference DistanceHistogram: exact nearest-neighbor
+    // distance per customer inside a 64-unit search radius, bucketed by
+    // the integer-exact isqrt rule; radius misses land in overflow bucket
+    // 16.
+    "q148_kdist_histogram" -> ((s, dir) => {
+      DBSCAN.kDistHistogram(Tables.customerPts(s, dir),
+          col("c_custkey"), col("cx"), col("cy"), bucketWidth = 4L, nBuckets = 16)
+        .orderBy(col("bucket"))
+    }),
+
+    // eps tuning, reference NeighborhoodHistogram: per-customer neighbor
+    // count within eps=32 (self excluded), clamped integer buckets.
+    "q149_neighborhood_histogram" -> ((s, dir) => {
+      DBSCAN.neighborhoodHistogram(Tables.customerPts(s, dir),
+          col("c_custkey"), col("cx"), col("cy"), eps = 32.0,
+          bucketWidth = 2L, nBuckets = 8)
+        .orderBy(col("bucket"))
+    }),
+
+    // persisted INTERVAL-TREE store (reference IntervalTreeConfig): the
+    // temporal twin of q48/q49's R-tree live/persisted symmetry. Join
+    // against the store == the live q42/q50 pairs exactly.
+    "q151_interval_store_join" -> ((s, dir) => {
+      val path = intervalEventStore(s, dir)
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"))
+      val a = e.select(col("event_id").as("id_a"), col("et").as("sa"),
+        (col("et") + 60000000L).as("ea"))
+      graft.sources.IntervalStore.overlapsJoin(a, path, "sa", "ea")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // single-window overlap filter against the interval store: pure
+    // declarative scan (pushed bucket range + exact refine + replica
+    // dedup), no tree needed for one probe.
+    "q152_interval_store_filter" -> ((s, dir) => {
+      val path = intervalEventStore(s, dir)
+      graft.sources.IntervalStore.filterOverlaps(s, path, T1, T1 + 43200000000L)
+        .select(col("id_b").as("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // persisted QUADTREE store (reference QuadTreeConfig): same stored
+    // layout and query paths as the R-tree store, same result set as q48.
+    "q153_quadtree_store_filter" -> ((s, dir) => {
+      val path = storedOnce("qidxstore_q153", dir)(p =>
+        IndexStore.saveIndexed(Tables.customerPts(s, dir), p, "c_geo",
+          cellSize = 100.0, index = "quadtree"))
+      IndexStore.filter(s, path,
+          "POLYGON ((150 150, 650 150, 650 450, 150 450, 150 150))",
+          JoinPredicate.ContainedBy)
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
     })
   )
+
+  /** Shared write-once interval store over the q42 event intervals
+    * (id_b/sb/eb at bucket 120 s — the q42/q50 configuration). */
+  private def intervalEventStore(s: SparkSession, dir: String): String =
+    storedOnce("ivstore_q151", dir) { p =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"))
+      val b = e.select(col("event_id").as("id_b"), col("et").as("sb"),
+        (col("et") + 60000000L).as("eb"))
+      graft.sources.IntervalStore.save(b, p, "sb", "eb", bucket = 120000000L)
+    }
 
   /** Shared write-once persisted-index store over customer points.
     * (Tag suffixes version the on-disk layout: "b" moved trees under /trees, "c" switched sidecars to plain FS files — a bump makes a stale cached store rebuild instead of half-reading.) */
@@ -1727,8 +1824,16 @@ object SparkEntry {
     * the store write (Spark's _SUCCESS marker gates it) so bench timings
     * measure the pruned READ path, not repeated writes, while a dataset
     * regenerated in place gets a fresh store instead of silently serving
-    * stale rows the oracle no longer sees. An interrupted write leaves no
-    * marker and is redone with overwrite. Single-writer contract: the
+    * stale rows the oracle no longer sees.
+    *
+    * Writers run against a STAGING directory that is renamed into place
+    * only after the whole callback returns: several stores are multi-step
+    * (q131 builds an HLL store, then merge-rewrites it) and the first step
+    * may legitimately commit its own _SUCCESS — without staging, a crash
+    * between the steps would leave a half-built store that every later run
+    * trusts as complete. An interruption anywhere in the callback leaves
+    * only a stage directory the next run deletes and redoes; the final
+    * path never exists in a partial state. Single-writer contract: the
     * check-then-write is not safe against two JVMs building the same store
     * concurrently (the driver runs Verify and Bench sequentially). */
   private def storedOnce(tag: String, dir: String)(write: String => Unit): String = {
@@ -1738,7 +1843,18 @@ object SparkEntry {
     val fp = java.lang.Long.toHexString(files.foldLeft(17L)((a, f) =>
       ((a * 31 + f.getName.hashCode) * 31 + f.length()) * 31 + f.lastModified()))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${key}_$fp"
-    if (!new java.io.File(path, "_SUCCESS").exists()) write(path)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      val stage = new java.io.File(path + ".stage")
+      rmTree(stage)                 // leftover from an interrupted build
+      rmTree(new java.io.File(path)) // markerless partial from pre-staging code
+      write(stage.getPath)
+      require(stage.renameTo(new java.io.File(path)),
+        s"storedOnce: rename ${stage.getPath} -> $path failed")
+    }
     path
   }
 
@@ -2206,18 +2322,58 @@ object SparkEntry {
     // core-core edges -> min-id cluster labels -> border = min neighboring
     // core cluster; noise = -1. Semantics identical to DBSCAN.cluster.
     "q20_dbscan" ->
-      (s"WITH RECURSIVE cpts AS (${Tables.customerPtsSql}), " +
-       "adj AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb FROM cpts a, cpts b " +
-       "WHERE (a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) <= 1024.0), " +
-       "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
-       "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
-       "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
-       "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
-       "border AS (SELECT n.ka AS k, min(c.cid) AS cid FROM adj n JOIN clus c ON n.kb = c.k " +
-       "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka) " +
+      (s"WITH RECURSIVE $dbscanClusterCtes " +
        "SELECT p.c_custkey, COALESCE(cl.cid, b.cid, -1) AS cluster_id " +
        "FROM cpts p LEFT JOIN clus cl ON cl.k = p.c_custkey LEFT JOIN border b ON b.k = p.c_custkey " +
        "ORDER BY p.c_custkey"),
+
+    // DBScanModel.predict replay: the q20 clustering CTEs + the
+    // nearest-core rule (ties: d², then cluster id, then core id)
+    "q147_dbscan_predict" ->
+      (s"WITH RECURSIVE $dbscanClusterCtes, " +
+       s"spts AS (${Tables.supplierPtsSql}), " +
+       "cand AS (SELECT s.s_suppkey, cl.cid, " +
+       "(s.sx-p.cx)*(s.sx-p.cx)+(s.sy-p.cy)*(s.sy-p.cy) AS d2, p.c_custkey AS coreid " +
+       "FROM spts s JOIN cpts p ON (s.sx-p.cx)*(s.sx-p.cx)+(s.sy-p.cy)*(s.sy-p.cy) <= 1024.0 " +
+       "JOIN clus cl ON cl.k = p.c_custkey), " +
+       "best AS (SELECT s_suppkey, cid FROM (SELECT s_suppkey, cid, " +
+       "row_number() OVER (PARTITION BY s_suppkey ORDER BY d2, cid, coreid) AS rn FROM cand) t " +
+       "WHERE rn = 1) " +
+       "SELECT s.s_suppkey, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
+       "FROM spts s LEFT JOIN best b USING (s_suppkey) ORDER BY s_suppkey"),
+
+    // model summary: distinct clusters / core / border / noise counts
+    "q150_dbscan_model_stats" ->
+      (s"WITH RECURSIVE $dbscanClusterCtes " +
+       "SELECT (SELECT count(DISTINCT cid) FROM clus) AS n_clusters, " +
+       "(SELECT count(*) FROM core) AS n_core, " +
+       "(SELECT count(*) FROM border) AS n_border, " +
+       "(SELECT count(*) FROM cpts) - (SELECT count(*) FROM core) - " +
+       "(SELECT count(*) FROM border) AS n_noise"),
+
+    // k-dist histogram: exact NN distance within radius 64 (= 4*16),
+    // integer-corrected isqrt bucketing, overflow bucket 16 for misses
+    "q148_kdist_histogram" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}), " +
+       "nn AS (SELECT a.c_custkey AS k, " +
+       "min((a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy)) AS d2 " +
+       "FROM cpts a JOIN cpts b ON a.c_custkey <> b.c_custkey " +
+       "AND (a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) <= 4096.0 GROUP BY 1), " +
+       "s AS (SELECT p.c_custkey, nn.d2, CAST(floor(sqrt(nn.d2)) AS BIGINT) AS c0 " +
+       "FROM cpts p LEFT JOIN nn ON nn.k = p.c_custkey), " +
+       "b AS (SELECT CASE WHEN d2 IS NULL THEN 16 ELSE least((CASE " +
+       "WHEN (c0+1)*(c0+1) <= d2 THEN c0+1 WHEN c0*c0 > d2 THEN c0-1 ELSE c0 END) // 4, 16) END AS bucket FROM s) " +
+       "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bucket*4 AS BIGINT) AS bucket_lo, " +
+       "count(*) AS n_points FROM b GROUP BY bucket ORDER BY bucket"),
+
+    // neighbor-count histogram: self excluded, clamped to bucket 7
+    "q149_neighborhood_histogram" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}), " +
+       "cnt AS (SELECT a.c_custkey AS k, count(*) - 1 AS n FROM cpts a JOIN cpts b " +
+       "ON (a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) <= 1024.0 GROUP BY 1), " +
+       "b AS (SELECT least(n // 2, 7) AS bucket FROM cnt) " +
+       "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bucket*2 AS BIGINT) AS bucket_lo, " +
+       "count(*) AS n_points FROM b GROUP BY bucket ORDER BY bucket"),
 
     "q21_rasterize" -> s"$rasterBaseSql $tileCsvSelectSql",
 
@@ -2344,7 +2500,8 @@ object SparkEntry {
 
     // SemDeDup replay: unrolled Lloyd -> within-cluster cosine pairs ->
     // recursive closure -> min-id survivors with their cluster
-    "q108_semantic_dedup" -> semanticDedupOracleSql(k = 4, iters = 2, threshold = 0.42),
+    "q108_semantic_dedup" -> semanticDedupOracleSql(k = 4, iters = 2,
+      threshold = 0.42, maxCluster = graft.operators.Dedup.MaxLshBucket),
 
     // Lloyd assignment -> per-cluster rank on distance DESC -> keep 3/4
     "q109_prototype_prune" ->
@@ -2565,7 +2722,7 @@ object SparkEntry {
     // est_ok is Spark's accuracy invariant, pinned TRUE
     "q129_hll_distinct" ->
       (s"WITH r AS ($hllRegisterSql) " +
-       s"SELECT source, n_registers, sum_rho, $hllEstimateSql AS est_raw_e6, " +
+       s"SELECT source, n_registers, sum_rho, ${hllEstimateSql()} AS est_raw_e6, " +
        "TRUE AS est_ok FROM " +
        "(SELECT source, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
        "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
@@ -2597,7 +2754,7 @@ object SparkEntry {
        "a2 AS (SELECT ga, gb, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
        "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
        "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n FROM u GROUP BY ga, gb) " +
-       s"SELECT ga AS source_a, gb AS source_b, n_registers, sum_rho, $hllEstimateSql AS est_raw_e6 " +
+       s"SELECT ga AS source_a, gb AS source_b, n_registers, sum_rho, ${hllEstimateSql()} AS est_raw_e6 " +
        "FROM a2 ORDER BY source_a, source_b"),
 
     "q134_sample_per_group" ->
@@ -2631,7 +2788,7 @@ object SparkEntry {
     // full-corpus pass, so the oracle is the same replay as q129
     "q131_hll_store_merge" ->
       (s"WITH r AS ($hllRegisterSql) " +
-       s"SELECT source, n_registers, sum_rho, $hllEstimateSql AS est_raw_e6 FROM " +
+       s"SELECT source, n_registers, sum_rho, ${hllEstimateSql()} AS est_raw_e6 FROM " +
        "(SELECT source, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
        "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
        "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n " +
@@ -2694,6 +2851,19 @@ object SparkEntry {
     "q40_join_indexed" -> boxJoinOracleSql,
 
     "q48_persisted_filter" -> prunedBoxFilterOracleSql,
+
+    // persisted quadtree store answers the same box filter as the R-tree
+    // store — one shared oracle keeps the symmetry pinned
+    "q153_quadtree_store_filter" -> prunedBoxFilterOracleSql,
+
+    // interval store join == live q42/q50 pairs
+    "q151_interval_store_join" -> intervalJoinOracleSql,
+
+    // interval store window filter: closed-interval overlap with [T1, T1+12h]
+    "q152_interval_store_filter" ->
+      (s"WITH epts AS (${Tables.eventPtsSql}) " +
+       s"SELECT event_id FROM epts WHERE et <= ${T1 + 43200000000L} " +
+       s"AND et + 60000000 >= $T1 ORDER BY event_id"),
 
     "q49_persisted_join" -> boxJoinOracleSql,
 
@@ -2833,7 +3003,7 @@ object SparkEntry {
        "max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS rho " +
        "FROM (SELECT g, h, ('0x' || substr(h,5,12))::BIGINT AS w FROM base) GROUP BY g, b) " +
        "SELECT g AS \"group\", n_registers, sum_rho, " +
-       s"$hllEstimateSql AS est_raw_e6, TRUE AS est_ok FROM " +
+       s"${hllEstimateSql()} AS est_raw_e6, TRUE AS est_ok FROM " +
        "(SELECT g, count(*) AS n_registers, CAST(sum(rho) AS BIGINT) AS sum_rho, " +
        "CAST(sum((1::BIGINT) << (49 - rho)) AS HUGEINT) + " +
        "(1024 - count(*)) * ((1::BIGINT) << 49)::HUGEINT AS n " +
@@ -2998,6 +3168,22 @@ object SparkEntry {
        s"AND et >= $T1 ORDER BY event_id")
   )
 
+  /** Shared DBSCAN replay (q20/q147/q150): customer-lattice clustering at
+    * eps=32 (d² <= 1024), minPts=5, as recursive CTEs. Defines cpts, adj
+    * (all ordered eps-pairs incl. self), core, cedge, reach, clus (core
+    * key → min-core-id cluster) and border (non-core key → min neighboring
+    * cluster). Callers prepend WITH RECURSIVE. */
+  private val dbscanClusterCtes: String =
+    s"cpts AS (${Tables.customerPtsSql}), " +
+    "adj AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb FROM cpts a, cpts b " +
+    "WHERE (a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) <= 1024.0), " +
+    "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+    "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
+    "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
+    "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
+    "border AS (SELECT n.ka AS k, min(c.cid) AS cid FROM adj n JOIN clus c ON n.kb = c.k " +
+    "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka)"
+
   // ---- raster oracle fragments ----
 
   /** events with raster coords + type (tile grid: pw=10, 10x10-pixel tiles). */
@@ -3140,17 +3326,28 @@ object SparkEntry {
     s"WITH ${kmeansOracleCtes(k, iters)} " +
       "SELECT vec_id, c AS cluster, d AS dist FROM f WHERE rn = 1 ORDER BY vec_id"
 
-  /** The q108 SemDeDup oracle: Lloyd assignment → within-cluster exact
-    * cosine pairs → recursive closure → min id survives (with its
+  /** The q108 SemDeDup oracle: Lloyd assignment → within-cluster capped
+    * candidate pairs (clusters over `maxCluster` rows contribute a star to
+    * their min id — Dedup.cappedBucketPairs' rule, replayed exactly) →
+    * exact cosine refine → recursive closure → min id survives (with its
     * cluster). */
-  private def semanticDedupOracleSql(k: Int, iters: Int,
-                                     threshold: Double): String =
+  private def semanticDedupOracleSql(k: Int, iters: Int, threshold: Double,
+                                     maxCluster: Int): String =
     s"WITH RECURSIVE ${kmeansOracleCtes(k, iters)}, " +
       "asg AS (SELECT vec_id, c FROM f WHERE rn = 1), " +
       s"ne AS (SELECT vec_id, embedding, nrm, c FROM ($normedEmbSql) " +
       "JOIN asg USING (vec_id)), " +
-      s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ne a, ne b " +
-      s"WHERE a.c = b.c AND a.vec_id < b.vec_id AND ($dotSql) / (a.nrm*b.nrm) >= $threshold), " +
+      "csz AS (SELECT c, count(*) AS sz, min(vec_id) AS rep FROM asg GROUP BY c), " +
+      "cand AS (" +
+      "SELECT a2.vec_id AS id_a, b2.vec_id AS id_b FROM ne a2 " +
+      "JOIN ne b2 ON a2.c = b2.c AND a2.vec_id < b2.vec_id " +
+      s"JOIN csz ON csz.c = a2.c WHERE csz.sz <= $maxCluster " +
+      "UNION " +
+      "SELECT csz.rep AS id_a, b2.vec_id AS id_b FROM ne b2 " +
+      s"JOIN csz ON csz.c = b2.c WHERE csz.sz > $maxCluster AND b2.vec_id <> csz.rep), " +
+      "p AS (SELECT cand.id_a, cand.id_b FROM cand " +
+      "JOIN ne a ON a.vec_id = cand.id_a JOIN ne b ON b.vec_id = cand.id_b " +
+      s"WHERE ($dotSql) / (a.nrm*b.nrm) >= $threshold), " +
       "e(a, b) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p " +
       "UNION SELECT vec_id, vec_id FROM embeddings), " +
       "reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +

@@ -26,8 +26,45 @@ import org.apache.spark.storage.StorageLevel
  * Cluster id = min core point id of the component — deterministic, and the
  * border rule (min over neighboring cores) is deterministic too, so results
  * are exactly reproducible (and SQL-oracle-checkable).
+ *
+ * Companion surfaces from the reference's dbscan package:
+ *  - [[model]] / [[predict]] — the DBScanModel contract
+ *    (dbscan/DBScanModel.scala:37): classify NEW points against an
+ *    existing clustering without re-running it.
+ *  - [[kDistHistogram]] / [[neighborhoodHistogram]] — the eps-tuning
+ *    aggregations (dbscan/DistanceHistogram.scala:27-39,
+ *    dbscan/NeighborhoodHistogram.scala:26-40).
  */
 object DBSCAN {
+
+  /** Composite cell key for an eps-sized grid — one Long per (cx, cy). */
+  private def cellOf(x: Column, y: Column, eps: Double, dx: Int, dy: Int): Column =
+    (floor(x / eps).cast("long") + dx) * 4294967296L + (floor(y / eps).cast("long") + dy)
+
+  /** All ordered eps-neighbor pairs (a, b) with their squared distance —
+   * including the (a, a) self-pair — each exactly once: points owned by
+   * their cell meet the 3×3 halo replicas in one equi-join on the cell
+   * key. The shared kernel of [[cluster]], [[predict]] and both
+   * eps-tuning histograms; one shuffle, no cross-partition queries.
+   * Exact for integral coordinates (the squared distance is integral). */
+  private def neighborPairs(pts: DataFrame, eps: Double): DataFrame = {
+    val eps2 = eps * eps
+    val owned = pts.withColumn("__cell", cellOf(col("__x"), col("__y"), eps, 0, 0))
+    val halo = pts.withColumn("__cell", explode(array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield cellOf(col("__x"), col("__y"), eps, dx, dy)): _*)))
+    owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
+      .withColumn("__d2",
+        (col("l.__x") - col("r.__x")) * (col("l.__x") - col("r.__x")) +
+        (col("l.__y") - col("r.__y")) * (col("l.__y") - col("r.__y")))
+      .filter(col("__d2") <= eps2)
+      .select(col("l.__id").as("__a"), col("r.__id").as("__b"), col("__d2"))
+  }
+
+  private def normPts(df: DataFrame, idCol: Column, xCol: Column, yCol: Column): DataFrame =
+    // the CC machinery reads ids as primitive longs — widen any integral id
+    // here so int-keyed inputs work instead of class-casting in executors
+    df.select(idCol.cast("long").as("__id"), xCol.as("__x"), yCol.as("__y"))
 
   /**
    * @param eps     neighborhood radius (predicate: squared distance <= eps²,
@@ -36,26 +73,25 @@ object DBSCAN {
    * @return `id` (the id column widened to long) + `cluster_id` (-1 = noise)
    */
   def cluster(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
-              eps: Double, minPts: Int): DataFrame = {
+              eps: Double, minPts: Int): DataFrame =
+    model(df, idCol, xCol, yCol, eps, minPts).select(col("id"), col("cluster_id"))
+
+  /**
+   * The full clustering state — the reference's `DBScanModel`
+   * (dbscan/DBScanModel.scala): every training point with its coordinates,
+   * cluster label and core flag. [[cluster]] is this minus the
+   * model-only columns; [[predict]] classifies new points against it.
+   * Persist it like any DataFrame (parquet) for a train-once/query-many
+   * workflow — the model is linear in the input, never densified.
+   *
+   * @return (id, x, y, cluster_id, is_core); cluster_id -1 = noise (noise
+   *         rows are never core)
+   */
+  def model(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
+            eps: Double, minPts: Int): DataFrame = {
     val spark = df.sparkSession
-    val eps2 = eps * eps
-
-    // the CC machinery reads ids as primitive longs — widen any integral id
-    // here so int-keyed inputs work instead of class-casting in executors
-    val pts = df.select(idCol.cast("long").as("__id"), xCol.as("__x"), yCol.as("__y"))
-    def cellOf(x: Column, y: Column, dx: Int, dy: Int): Column =
-      (floor(x / eps).cast("long") + dx) * 4294967296L + (floor(y / eps).cast("long") + dy)
-
-    val owned = pts.withColumn("__cell", cellOf(col("__x"), col("__y"), 0, 0))
-    val halo = pts.withColumn("__cell", explode(array(
-      (for (dx <- -1 to 1; dy <- -1 to 1)
-        yield cellOf(col("__x"), col("__y"), dx, dy)): _*)))
-
-    // every ordered eps-neighbor pair (a, b) — incl. (a, a) — exactly once
-    val nbr = owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
-      .filter((col("l.__x") - col("r.__x")) * (col("l.__x") - col("r.__x")) +
-              (col("l.__y") - col("r.__y")) * (col("l.__y") - col("r.__y")) <= eps2)
-      .select(col("l.__id").as("__a"), col("r.__id").as("__b"))
+    val pts = normPts(df, idCol, xCol, yCol)
+    val nbr = neighborPairs(pts, eps).select(col("__a"), col("__b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val core = nbr.groupBy(col("__a")).agg(count(lit(1)).as("__n"))
@@ -86,16 +122,151 @@ object DBSCAN {
       .groupBy(col("__a")).agg(min(col("__cid")).as("__cid"))
       .withColumnRenamed("__a", "__id")
 
-    val out = pts.select(col("__id"))
+    val out = pts
       .join(coreClusters.withColumnRenamed("__cid", "__c1"), Seq("__id"), "left")
       .join(borderClusters.withColumnRenamed("__cid", "__c2"), Seq("__id"), "left")
-      .select(col("__id").as("id"),
-        coalesce(col("__c1"), col("__c2"), lit(-1L)).as("cluster_id"))
+      .select(col("__id").as("id"), col("__x").as("x"), col("__y").as("y"),
+        coalesce(col("__c1"), col("__c2"), lit(-1L)).as("cluster_id"),
+        col("__c1").isNotNull.as("is_core"))
       // materialize (small: one row per point), then free the large
       // neighbor/core intermediates so repeated clustering calls don't
       // accumulate executor storage
       .localCheckpoint()
     nbr.unpersist(); core.unpersist()
     out
+  }
+
+  /** Number of clusters in a [[model]] — the reference DBScanModel's
+    * `numOfClusters` (dbscan/DBScanModel.scala:27): distinct non-noise
+    * labels. One map-side-combined aggregate. */
+  def numOfClusters(model: DataFrame): Long =
+    model.filter(col("cluster_id") =!= -1L)
+      .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+
+  /**
+   * Classify NEW points against an existing [[model]] — the reference
+   * DBScanModel's `predict` contract (dbscan/DBScanModel.scala:37-44: find
+   * the cluster points the new point is eps-reachable from, return that
+   * cluster; its body is a TODO returning -1, so the rule here is the
+   * documented DBSCAN-classification semantics): a new point joins the
+   * cluster of its nearest CORE point within eps (exactly how border
+   * points are labeled during clustering — a new point never extends a
+   * cluster), else noise (-1). Ties on the squared distance break to the
+   * lower cluster id, then the lower core id — fully deterministic.
+   *
+   * Same cell-halo kernel as clustering: the (small, clustered) core set
+   * and the new batch meet in one equi-join on eps-cells — no broadcast of
+   * the model, no driver state, linear in both sides at any scale.
+   *
+   * @param model output of [[model]] (needs x, y, cluster_id, is_core)
+   * @return one row per new point: (id, cluster_id)
+   */
+  def predict(model: DataFrame, newDf: DataFrame, idCol: Column,
+              xCol: Column, yCol: Column, eps: Double): DataFrame = {
+    val eps2 = eps * eps
+    val newPts = normPts(newDf, idCol, xCol, yCol)
+    val cores = model.filter(col("is_core"))
+      .select(col("id").as("__coreid"), col("x").as("__kx"), col("y").as("__ky"),
+        col("cluster_id").as("__ccl"))
+      .withColumn("__cell", cellOf(col("__kx"), col("__ky"), eps, 0, 0))
+    val probes = newPts.withColumn("__cell", explode(array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield cellOf(col("__x"), col("__y"), eps, dx, dy)): _*)))
+    val assigned = probes.join(cores, "__cell")
+      .withColumn("__d2",
+        (col("__x") - col("__kx")) * (col("__x") - col("__kx")) +
+        (col("__y") - col("__ky")) * (col("__y") - col("__ky")))
+      .filter(col("__d2") <= eps2)
+      // nearest-core rule as a lexicographic struct-min: map-side combined,
+      // no per-point window task
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__d2"), col("__ccl"), col("__coreid"))).as("__m"))
+      .select(col("__id"), col("__m.__ccl").as("__ccl"))
+    newPts.select(col("__id"))
+      .join(assigned, Seq("__id"), "left")
+      .select(col("__id").as("id"), coalesce(col("__ccl"), lit(-1L)).as("cluster_id"))
+  }
+
+  /** Exact floor(sqrt(d2)) for a non-negative integral column: the double
+    * sqrt is correctly rounded but its floor can land one off at the very
+    * edges, so the candidate is corrected by integer comparison — bucket
+    * boundaries become provably exact in both engines. */
+  private def isqrt(d2: Column): Column = {
+    val c = floor(sqrt(d2.cast("double"))).cast("long")
+    when((c + 1) * (c + 1) <= d2, c + 1)
+      .when(c * c > d2, c - 1)
+      .otherwise(c)
+  }
+
+  /**
+   * k-dist histogram for eps tuning (k = 1: nearest-neighbor distance) —
+   * the reference's DistanceHistogram (dbscan/DistanceHistogram.scala:27-39
+   * buckets each point's min distance to any other point into equal-width
+   * buckets; its per-grid-partition sampling approximation is replaced by
+   * the exact eps-cell kernel). The search radius IS the histogram range
+   * (`bucketWidth * nBuckets`): a point whose nearest neighbor is farther
+   * than every bucket lands in the overflow bucket `nBuckets` — reported,
+   * never silently dropped, and the cell size bounds the join exactly like
+   * clustering does.
+   *
+   * Buckets are integer-exact for integral coordinates: bucket =
+   * floor(sqrt(min d²)) div bucketWidth via [[isqrt]] — no FP boundary
+   * ambiguity for the oracle.
+   *
+   * @param bucketWidth distance width of one bucket (integral units)
+   * @return (bucket, bucket_lo, n_points) sorted by bucket; only non-empty
+   *         buckets appear
+   */
+  def kDistHistogram(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
+                     bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0,
+      s"bucketWidth ($bucketWidth) and nBuckets ($nBuckets) must be positive")
+    val radius = (bucketWidth * nBuckets).toDouble
+    val pts = normPts(df, idCol, xCol, yCol)
+    val nn = neighborPairs(pts, radius)
+      .filter(col("__a") =!= col("__b"))
+      .groupBy(col("__a")).agg(min(col("__d2")).as("__nn2"))
+    val bucketed = pts.select(col("__id").as("__a"))
+      .join(nn, Seq("__a"), "left")
+      .withColumn("__isq", isqrt(col("__nn2")))
+      // `div`, not `/`: Column./ is double division and the house contract
+      // is integer-exact buckets
+      .select(when(col("__nn2").isNull, lit(nBuckets.toLong))
+        .otherwise(least(expr(s"__isq div ${bucketWidth}L"),
+          lit(nBuckets.toLong))).as("bucket"))
+    bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_points"))
+      .withColumn("bucket_lo", col("bucket") * bucketWidth)
+      .select(col("bucket"), col("bucket_lo"), col("n_points"))
+  }
+
+  /**
+   * Neighbor-count histogram for (eps, minPts) tuning — the reference's
+   * NeighborhoodHistogram (dbscan/NeighborhoodHistogram.scala:26-40: per
+   * point, the number of other points within eps, bucketed equal-width;
+   * its per-partition sampling is again replaced by the exact cell
+   * kernel). Self is excluded, matching the reference's `- 1.0`. Counts
+   * past the last bucket clamp into it (`nBuckets - 1`), like the
+   * reference's fixed-range histogram; everything is integer arithmetic.
+   *
+   * @return (bucket, bucket_lo, n_points) sorted by bucket; only non-empty
+   *         buckets appear
+   */
+  def neighborhoodHistogram(df: DataFrame, idCol: Column, xCol: Column,
+                            yCol: Column, eps: Double, bucketWidth: Long,
+                            nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0,
+      s"bucketWidth ($bucketWidth) and nBuckets ($nBuckets) must be positive")
+    val pts = normPts(df, idCol, xCol, yCol)
+    // (a,a) self-pair is always present, so count-1 is the neighbor count
+    // and every point gets a row (no left join needed)
+    val counts = neighborPairs(pts, eps)
+      .groupBy(col("__a")).agg((count(lit(1)) - 1).as("__n"))
+    counts
+      .select(least(expr(s"__n div ${bucketWidth}L"), lit(nBuckets - 1L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_points"))
+      .withColumn("bucket_lo", col("bucket") * bucketWidth)
+      .select(col("bucket"), col("bucket_lo"), col("n_points"))
   }
 }

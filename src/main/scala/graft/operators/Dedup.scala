@@ -911,25 +911,45 @@ object Dedup {
    * across a cluster boundary are missed by construction — the documented
    * SemDeDup trade (recall vs the quadratic), same contract as the paper.
    *
-   * Deterministic end to end (seeded k-means, exact cosine refine, min-id
-   * survivor), so the full pipeline — Lloyd iterations, per-cluster pair
-   * closure, survivor rule — replays in the DuckDB oracle.
+   * k-means does NOT bound the max cluster, though: a boilerplate-heavy
+   * corpus (exactly the dedup case) collapses millions of near-identical
+   * embeddings into ONE cluster, and the naive within-cluster self-join
+   * then emits |c|² pairs through a single join key. Clusters wider than
+   * `maxCluster` therefore fall back to [[cappedBucketPairs]]' star to the
+   * cluster's minimum id — m−1 candidate edges, not m². Every star edge
+   * still passes the exact cosine refine, so a hot cluster that is one
+   * near-identical family (the scenario that creates hot clusters) stays
+   * fully connected and the min-id survivor set is unchanged; a hot
+   * cluster mixing several distinct families keeps only the families the
+   * representative belongs to deduplicated — the same recall-vs-quadratic
+   * trade [[minhashLshPairs]] documents for over-full LSH buckets.
+   *
+   * Deterministic end to end (seeded k-means, capped candidate rule, exact
+   * cosine refine, min-id survivor), so the full pipeline — Lloyd
+   * iterations, per-cluster capped pair closure, survivor rule — replays
+   * in the DuckDB oracle.
    *
    * @return kept rows: (id, cluster), one per surviving document
    */
   def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
-                    k: Int, iters: Int, threshold: Double): DataFrame = {
+                    k: Int, iters: Int, threshold: Double,
+                    maxCluster: Int = MaxLshBucket): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val assign = Similarity.kmeans(df, idCol, vecCol, k, iters)
       .select(col("id").cast("long").as("__id"), col("cluster").as("__c"))
     val v = df.select(idCol.cast("long").as("__id"), vecCol.as("__vec"))
       .withColumn("__nrm", stf.vec_norm(col("__vec")))
       .join(assign, "__id")
-    val pairs = v.as("l").join(v.as("r"),
-        col("l.__c") === col("r.__c") && col("l.__id") < col("r.__id"))
-      .filter(stf.vec_dot(col("l.__vec"), col("r.__vec")) /
-        (col("l.__nrm") * col("r.__nrm")) >= threshold)
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    val cands = cappedBucketPairs(
+      v.select(col("__id"), col("__c").as("__bucket")), maxCluster)
+    val pairs = cands
+      .join(v.select(col("__id").as("id_a"), col("__vec").as("__va"),
+        col("__nrm").as("__na")), "id_a")
+      .join(v.select(col("__id").as("id_b"), col("__vec").as("__vb"),
+        col("__nrm").as("__nb")), "id_b")
+      .filter(stf.vec_dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
     // edges never cross clusters, so each component lives inside one
     // cluster and the kept row's cluster is well-defined
     val comps = familyComponents(pairs, df, idCol)

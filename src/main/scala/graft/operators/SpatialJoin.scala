@@ -121,7 +121,7 @@ object SpatialJoin {
     * (default; bulk-loads on first query) or a point-quadtree (reference
     * IndexConfig's RTREE / QUADTREE choices). Both may return envelope
     * false positives — the exact predicate refines either way. */
-  private def mkIndex(kind: String): SpatialIndex = kind match {
+  private[graft] def mkIndex(kind: String): SpatialIndex = kind match {
     case "rtree"    => new STRtree()
     case "quadtree" => new Quadtree()
     case other => throw new IllegalArgumentException(
@@ -195,21 +195,42 @@ object SpatialJoin {
     }(Encoders.row(outSchema))
   }
 
+  /** Row cap for [[broadcastJoinIndexed]]'s driver-side collect. The
+    * broadcast-with-index contract (reference Plain:303-319) assumes a
+    * genuinely small right side; a large one would OOM the driver silently.
+    * 4M rows keeps even wide geometry rows comfortably under typical
+    * driver heaps; pass a higher cap explicitly to accept the memory cost,
+    * or use [[joinIndexed]] (distributed, no driver materialization) for
+    * corpus-scale right sides. */
+  val BroadcastIndexBound: Long = 4000000L
+
   /**
    * Broadcast join with a prebuilt tree on the broadcast side — the
    * reference's `broadcastJoinWithIndex`. The right side ships to every
    * task once; each task builds the STRtree lazily on first use and probes
    * left rows against it instead of scanning all broadcast rows.
+   *
+   * The right side is collected to the driver, so it must be small; the
+   * `maxBroadcastRows` gate fails loudly (one cheap count job) instead of
+   * letting an oversized side OOM the driver mid-collect.
    */
   def broadcastJoinIndexed(left: DataFrame, right: DataFrame, leftGeom: String,
                            rightGeom: String, pred: JoinPredicate,
-                           index: String = "rtree"): DataFrame = {
+                           index: String = "rtree",
+                           maxBroadcastRows: Long = BroadcastIndexBound): DataFrame = {
     GraftFunctions.register(left.sparkSession)
     val op = opCode(pred)
     val kind = index
     val lGeo = left.schema.fieldIndex(leftGeom)
     val rGeo = right.schema.fieldIndex(rightGeom)
     val outSchema = StructType(left.schema.fields ++ right.schema.fields)
+    val rightRows = right.count()
+    require(rightRows <= maxBroadcastRows,
+      s"broadcastJoinIndexed collects the whole right side to the driver; " +
+      s"right has $rightRows rows > cap $maxBroadcastRows. For large right " +
+      "sides use SpatialJoin.joinIndexed (distributed per-cell trees, no " +
+      "driver materialization) instead, or raise maxBroadcastRows " +
+      "explicitly to accept the driver-memory cost.")
     val bc = left.sparkSession.sparkContext.broadcast(right.collect())
     left.mapPartitions { it =>
       lazy val tree = {

@@ -33,7 +33,7 @@ object TemporalJoin {
     * with `Math.floorDiv` in [[overlapsIndexed]]'s refine at every
     * magnitude (a `/`-based formulation silently diverges past 2^53, i.e.
     * nanosecond epochs). */
-  private def bucketOf(c: Column, bucket: Long): Column =
+  private[graft] def bucketOf(c: Column, bucket: Long): Column =
     call_function("div", c - pmod(c, lit(bucket)), lit(bucket))
 
   /** Working columns would be silently clobbered by withColumn (resolution

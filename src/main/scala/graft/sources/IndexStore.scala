@@ -45,7 +45,7 @@ object IndexStore {
     def sto: GenericInternalRow = new GenericInternalRow(Array[Any](wkb, ts, te))
   }
 
-  private def serialize(tree: STRtree): Array[Byte] = {
+  private def serialize(tree: java.io.Serializable): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val oos = new ObjectOutputStream(bos)
     oos.writeObject(tree)
@@ -53,9 +53,12 @@ object IndexStore {
     bos.toByteArray
   }
 
-  private def deserialize(bytes: Array[Byte]): STRtree = {
+  // every reader goes through the SpatialIndex interface (query(Envelope)),
+  // so R-tree and quadtree stores share all query paths unchanged
+  private def deserialize(bytes: Array[Byte]): org.locationtech.jts.index.SpatialIndex = {
     val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
-    try ois.readObject().asInstanceOf[STRtree] finally ois.close()
+    try ois.readObject().asInstanceOf[org.locationtech.jts.index.SpatialIndex]
+    finally ois.close()
   }
 
   private val treeSchema = StructType(Seq(
@@ -85,14 +88,22 @@ object IndexStore {
   }
 
   /**
-   * Build per-cell R-trees over `df` and persist them. Size `cellSize` so a
-   * cell's rows fit one executor — each tree is built and serialized inside
-   * a single task (the same contract the reference's per-partition
-   * `index()` has). The cell size is recorded in the store; queries reuse
-   * it automatically.
+   * Build per-cell spatial indexes over `df` and persist them. Size
+   * `cellSize` so a cell's rows fit one executor — each tree is built and
+   * serialized inside a single task (the same contract the reference's
+   * per-partition `index()` has). The cell size is recorded in the store;
+   * queries reuse it automatically.
+   *
+   * `index` picks the structure — "rtree" (STR-packed, built at save so
+   * queries never build) or "quadtree" — the reference's persistable
+   * IndexConfig choices (indexed/IndexConfig.scala:11-15; RTreeConfig /
+   * QuadTreeConfig). Both serialize through the same (cell, tree) layout
+   * and answer every query path via the common SpatialIndex probe, so
+   * stores of either kind are interchangeable at read time (the kind is
+   * recorded in a sidecar for introspection).
    */
   def saveIndexed(df: DataFrame, path: String, geomCol: String,
-                  cellSize: Double): Unit = {
+                  cellSize: Double, index: String = "rtree"): Unit = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
     require(!df.columns.exists(_.equalsIgnoreCase("__icell")),
       "saveIndexed: input must not contain a column named __icell")
@@ -102,13 +113,15 @@ object IndexStore {
     // _SUCCESS claiming the mixed-layout store is complete
     Sidecar.invalidateMarker(df.sparkSession, path)
     val geoIdx = df.schema.fieldIndex(geomCol)
+    SpatialJoin.mkIndex(index) // validate the kind eagerly, on the driver
+    val kind = index
     val withCell = df.withColumn("__icell",
       explode(stf.st_cells(col(geomCol), lit(cellSize))))
     val cellIdx = withCell.schema.fieldIndex("__icell")
     val trees = withCell
       .groupByKey(_.getLong(cellIdx))(Encoders.scalaLong)
       .mapGroups { (cell, it) =>
-        val tree = new STRtree()
+        val tree = SpatialJoin.mkIndex(kind)
         it.foreach { r =>
           val sto = r.getAs[Row](geoIdx)
           if (sto != null) {
@@ -119,14 +132,18 @@ object IndexStore {
               Entry(Row.fromSeq(r.toSeq.dropRight(1)), wkb, ts, te))
           }
         }
-        tree.build() // pack NOW — queries against the store never build
-        Row(cell, serialize(tree))
+        tree match { // STR packs NOW — queries against the store never build
+          case t: STRtree => t.build()
+          case _ => // quadtree builds incrementally on insert
+        }
+        Row(cell, serialize(tree.asInstanceOf[java.io.Serializable]))
       }(Encoders.row(treeSchema))
     trees.repartitionByRange(col("cell")).sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(path + "/trees")
     val spark = df.sparkSession
     writeText(spark, path + "/_graft_schema", df.schema.json)
     writeText(spark, path + "/_graft_meta", cellSize.toString)
+    writeText(spark, path + "/_graft_index", kind)
     // build-time entry stats (bbox, count, max extent): queries need these
     // scalars (kNN termination, kNN-join radius schedule) and recomputing
     // them means deserializing every tree — pay the one agg pass NOW so
@@ -177,6 +194,13 @@ object IndexStore {
   /** The grid cell size the store was built with. */
   def loadCellSize(spark: SparkSession, path: String): Double =
     readText(spark, path + "/_graft_meta").toDouble
+
+  /** The index structure the store was built with ("rtree" / "quadtree");
+    * stores from before the sidecar existed are R-tree by construction. */
+  def loadIndexKind(spark: SparkSession, path: String): String =
+    if (Sidecar.exists(spark, path + "/_graft_index"))
+      readText(spark, path + "/_graft_index")
+    else "rtree"
 
   /**
    * Predicate filter answered from the persisted trees: only the cells

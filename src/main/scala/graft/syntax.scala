@@ -93,6 +93,17 @@ object syntax {
     def stSkyline(xCol: String, yCol: String): DataFrame = Skyline.skyline(df, xCol, yCol)
     def stCluster(id: Column, x: Column, y: Column, eps: Double, minPts: Int): DataFrame =
       DBSCAN.cluster(df, id, x, y, eps, minPts)
+    def stClusterModel(id: Column, x: Column, y: Column, eps: Double, minPts: Int): DataFrame =
+      DBSCAN.model(df, id, x, y, eps, minPts)
+    def stClusterPredict(model: DataFrame, id: Column, x: Column, y: Column,
+                         eps: Double): DataFrame =
+      DBSCAN.predict(model, df, id, x, y, eps)
+    def stKDistHistogram(id: Column, x: Column, y: Column,
+                         bucketWidth: Long, nBuckets: Int): DataFrame =
+      DBSCAN.kDistHistogram(df, id, x, y, bucketWidth, nBuckets)
+    def stNeighborhoodHistogram(id: Column, x: Column, y: Column, eps: Double,
+                                bucketWidth: Long, nBuckets: Int): DataFrame =
+      DBSCAN.neighborhoodHistogram(df, id, x, y, eps, bucketWidth, nBuckets)
 
     // ---- partitioning (reference partitioner suite) ----
     def stGridPartition(geo: Column, cellSize: Double, numPartitions: Int): DataFrame =
@@ -140,8 +151,9 @@ object syntax {
     def dropSeenNearDups(id: Column, text: Column, storePath: String): DataFrame =
       Dedup.dropSeenNearDups(df, id, text, storePath)
     def semanticDedup(id: Column, vec: Column, k: Int, iters: Int,
-                      threshold: Double): DataFrame =
-      Dedup.semanticDedup(df, id, vec, k, iters, threshold)
+                      threshold: Double,
+                      maxCluster: Int = Dedup.MaxLshBucket): DataFrame =
+      Dedup.semanticDedup(df, id, vec, k, iters, threshold, maxCluster)
     def prototypePrune(id: Column, vec: Column, k: Int, iters: Int,
                        keepNum: Int, keepDen: Int): DataFrame =
       Similarity.prototypePrune(df, id, vec, k, iters, keepNum, keepDen)

@@ -77,4 +77,79 @@ class DBSCANSpec extends AnyFunSuite {
     assert(out.select(col("cluster_id")).distinct().count() == 1)
     assert(out.filter(col("cluster_id") === 0L).count() == 50)
   }
+
+  test("model + predict: training core/border points classify to their own label") {
+    import spark.implicits._
+    val rows = scala.util.Using.resource(scala.io.Source.fromFile(
+        "/root/reference/src/test/resources/labeled_data.csv"))(_.getLines().toSeq
+      .zipWithIndex.map { case (l, i) =>
+        val a = l.split(','); (i.toLong, a(0).toDouble, a(1).toDouble) })
+    val df = rows.toDF("id", "x", "y")
+    val m = DBSCAN.model(df, col("id"), col("x"), col("y"), eps = 0.3, minPts = 10)
+      .cache()
+    // cluster() is exactly the model minus the model-only columns
+    val viaCluster = DBSCAN.cluster(df, col("id"), col("x"), col("y"), 0.3, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaModel = m.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(viaModel == viaCluster)
+    assert(DBSCAN.numOfClusters(m) == 3)
+    // predict(training points): every CORE point is within eps of itself
+    // (d=0) and its own cluster wins the tie-break; border points must get
+    // the same min-core-cluster label the clustering gave them. Noise may
+    // legitimately stay noise or not — exclude it.
+    val pred = DBSCAN.predict(m, df, col("id"), col("x"), col("y"), eps = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labeled = m.filter(col("cluster_id") =!= -1L)
+      .select(col("id"), col("cluster_id")).collect()
+    labeled.foreach { r =>
+      assert(pred(r.getLong(0)) == r.getLong(1),
+        s"point ${r.getLong(0)}: predict=${pred(r.getLong(0))} cluster=${r.getLong(1)}")
+    }
+    // a far-away probe is noise
+    val probe = Seq((999L, 100.0, 100.0)).toDF("id", "x", "y")
+    val p = DBSCAN.predict(m, probe, col("id"), col("x"), col("y"), 0.3).head()
+    assert(p.getLong(1) == -1L)
+    m.unpersist()
+  }
+
+  test("predict tie-breaks: equidistant cores resolve to the lower cluster id") {
+    import spark.implicits._
+    // two 3-point vertical columns 4 apart: with eps=2/minPts=3 each column
+    // is one cluster (ids 0 and 10). A probe at x=2 sits exactly 2 from
+    // both columns' middle cores — the lower cluster id must win.
+    val train = Seq(
+      (0L, 0.0, 0.0), (1L, 0.0, 1.0), (2L, 0.0, 2.0),
+      (10L, 4.0, 0.0), (11L, 4.0, 1.0), (12L, 4.0, 2.0)).toDF("id", "x", "y")
+    val m = DBSCAN.model(train, col("id"), col("x"), col("y"), eps = 2.0, minPts = 3)
+    assert(DBSCAN.numOfClusters(m) == 2)
+    val probe = Seq((100L, 2.0, 1.0)).toDF("id", "x", "y")
+    val p = DBSCAN.predict(m, probe, col("id"), col("x"), col("y"), eps = 2.0).head()
+    assert(p.getLong(1) == 0L)
+  }
+
+  test("kDistHistogram: exact buckets, boundary distance, overflow bucket") {
+    import spark.implicits._
+    // NN distances: 0<->1 at d=3 (bucket 0 at width 4), 2<->3 at d=4
+    // (exactly on the boundary -> bucket 1), 4 isolated at d=50 from
+    // everything (> 4*4=16 -> overflow bucket 4)
+    val pts = Seq((0L, 0.0, 0.0), (1L, 3.0, 0.0),
+                  (2L, 100.0, 0.0), (3L, 104.0, 0.0),
+                  (4L, 500.0, 0.0)).toDF("id", "x", "y")
+    val h = DBSCAN.kDistHistogram(pts, col("id"), col("x"), col("y"),
+        bucketWidth = 4L, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(h == Set((0L, 0L, 2L), (1L, 4L, 2L), (4L, 16L, 1L)))
+  }
+
+  test("neighborhoodHistogram: self excluded, top bucket clamps") {
+    import spark.implicits._
+    // a 5-point tight blob (each has 4 neighbors) + an isolated point
+    // (0 neighbors); width 2, 2 buckets -> counts 4 clamp into bucket 1
+    val pts = (0L to 4L).map(i => (i, i.toDouble * 0.1, 0.0)) :+ ((99L, 1000.0, 0.0))
+    val df = pts.toDF("id", "x", "y")
+    val h = DBSCAN.neighborhoodHistogram(df, col("id"), col("x"), col("y"),
+        eps = 1.0, bucketWidth = 2L, nBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(h == Set((0L, 0L, 1L), (1L, 2L, 5L)))
+  }
 }

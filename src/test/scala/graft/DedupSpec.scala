@@ -307,9 +307,11 @@ class DedupSpec extends AnyFunSuite {
   test("semanticDedup k=1 == exact-pair closure (differential)") {
     // with one cluster the operator degenerates to: exact cosine pairs,
     // connected components, min id — replay that directly from
-    // cosinePairsExact + ConnectedComponents and compare survivors
+    // cosinePairsExact + ConnectedComponents and compare survivors.
+    // maxCluster > 500 so the single all-rows cluster stays uncapped (the
+    // capped path has its own hot-cluster test below)
     val kept = Dedup.semanticDedup(embs, col("vec_id"), col("embedding"),
-        k = 1, iters = 0, threshold = 0.42)
+        k = 1, iters = 0, threshold = 0.42, maxCluster = 1000)
       .collect().map(_.getLong(0)).toSet
     val pairs = Dedup.cosinePairsExact(embs, col("vec_id"), col("embedding"), 0.42)
       .select(col("id_a").cast("long").as("__a"), col("id_b").cast("long").as("__b"))
@@ -319,6 +321,26 @@ class DedupSpec extends AnyFunSuite {
     val want = comps.groupBy(col("__comp")).agg(min(col("__id")).as("m"))
       .collect().map(_.getLong(1)).toSet
     assert(kept.nonEmpty && kept == want)
+  }
+
+  test("semanticDedup hot cluster ≫ cap: star candidates keep the survivor set") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // one near-identical family of 30 (the boilerplate collapse that makes
+    // a k-means cluster blow past any cap) plus two far-away distinct
+    // vectors. With cap 8 the family cluster goes through the star path —
+    // every star edge passes the cosine refine, so the closure (and the
+    // min-id survivor set) must equal the uncapped run.
+    val fam = (1L to 30L).map(i => (i, Array(100.0f, i.toFloat / 1000f)))
+    val solo = Seq((40L, Array(-50.0f, 80.0f)), (41L, Array(60.0f, -90.0f)))
+    val pts = (fam ++ solo).toDF("id", "vec")
+    def run(cap: Int) = Dedup.semanticDedup(pts, col("id"), col("vec"),
+        k = 3, iters = 2, threshold = 0.99, maxCluster = cap)
+      .collect().map(_.getLong(0)).toSet
+    val capped = run(8)
+    val uncapped = run(1000)
+    assert(capped == uncapped, s"capped=$capped uncapped=$uncapped")
+    assert(capped == Set(1L, 40L, 41L))
   }
 
   test("prototypePrune: per-cluster rank on distance keeps the diverse tail") {

@@ -81,6 +81,19 @@ class DifferentialJoinSpec extends AnyFunSuite {
     assert(bquad == base)
   }
 
+  test("broadcastJoinIndexed fails loudly past the driver-collect bound") {
+    val (pts, boxes) = mkData(50, 3.0)
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.broadcastJoinIndexed(boxes, pts, "bgeo", "pgeo",
+        JoinPredicate.Intersects, maxBroadcastRows = 10)
+    }
+    assert(e.getMessage.contains("joinIndexed"), e.getMessage)
+    // at-the-bound still runs (the cap is inclusive)
+    val ok = SpatialJoin.broadcastJoinIndexed(boxes, pts.limit(10), "bgeo", "pgeo",
+      JoinPredicate.Intersects, maxBroadcastRows = 10)
+    assert(ok.count() >= 0)
+  }
+
   test("temporal interval-overlap join equals the cross-join filter, boundary-heavy") {
     import spark.implicits._
     import graft.operators.TemporalJoin
@@ -101,6 +114,38 @@ class DifferentialJoinSpec extends AnyFunSuite {
       val idx = TemporalJoin.overlapsIndexed(a, b, "sa", "ea", "sb", "eb", bucket)
         .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(idx == exp, s"interval-tree bucket=$bucket missing=${(exp -- idx).take(5)} extra=${(idx -- exp).take(5)}")
+    }
+  }
+
+  test("persisted interval store equals the live joins and the naive window filter") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    import graft.sources.IntervalStore
+    val iv = (0 until 200).map { i =>
+      val s = rnd.nextInt(40) * 50L
+      (i.toLong, s, s + rnd.nextInt(6) * 50L)
+    }.toDF("id", "s", "e")
+    val a = iv.select(col("id").as("id_a"), col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("id").as("id_b"), col("s").as("sb"), col("e").as("eb"))
+    for (bucket <- Seq(50L, 300L)) {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_interval_store_spec_$bucket"
+      IntervalStore.save(b, path, "sb", "eb", bucket)
+      val live = TemporalJoin.overlaps(a, b, col("sa"), col("ea"), col("sb"), col("eb"), bucket)
+        .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val stored = IntervalStore.overlapsJoin(a, path, "sa", "ea")
+        .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == live && live.nonEmpty,
+        s"bucket=$bucket missing=${(live -- stored).take(5)} extra=${(stored -- live).take(5)}")
+      // window filter: boundary-inclusive on both edges (closed intervals)
+      val (qs, qe) = (100L, 350L)
+      val gotF = IntervalStore.filterOverlaps(spark, path, qs, qe)
+        .select(col("id_b")).collect().map(_.getLong(0)).toSet
+      val expF = iv.filter(col("s") <= qe && col("e") >= qs)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(gotF == expF, s"bucket=$bucket filter mismatch")
+      // loadMeta round-trips
+      val (bk, sc, ec, sch) = IntervalStore.loadMeta(spark, path)
+      assert(bk == bucket && sc == "sb" && ec == "eb" && sch == b.schema)
     }
   }
 

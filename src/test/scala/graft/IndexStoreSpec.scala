@@ -266,6 +266,33 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got.length == 5, s"expected 5 rows, got ${got.length}: ${got.toSeq}")
   }
 
+  test("quadtree store equals the R-tree store on filter, join and kNN") {
+    val qp = s"${System.getProperty("java.io.tmpdir")}/graft_index_store_spec_quad"
+    IndexStore.saveIndexed(pts, qp, "pgeo", cellSize, index = "quadtree")
+    assert(IndexStore.loadIndexKind(spark, qp) == "quadtree")
+    assert(IndexStore.loadIndexKind(spark, storePath) == "rtree")
+    val qry = "POLYGON ((12.5 12.5, 62.5 12.5, 62.5 47.5, 12.5 47.5, 12.5 12.5))"
+    for (pred <- Seq(JoinPredicate.Intersects, JoinPredicate.ContainedBy)) {
+      val r = IndexStore.filter(spark, storePath, qry, pred)
+        .select(col("pid")).collect().map(_.getLong(0)).toSet
+      val q = IndexStore.filter(spark, qp, qry, pred)
+        .select(col("pid")).collect().map(_.getLong(0)).toSet
+      assert(q == r, s"filter $pred: quadtree store != rtree store")
+    }
+    val rj = IndexStore.join(boxes, storePath, "bgeo", JoinPredicate.Contains)
+      .select(col("bid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qj = IndexStore.join(boxes, qp, "bgeo", JoinPredicate.Contains)
+      .select(col("bid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(qj == rj && rj.nonEmpty)
+    val rk = IndexStore.knn(spark, storePath, 33.0, 27.0, k = 7, tieBreak = Seq("pid"))
+      .select(col("pid")).collect().map(_.getLong(0)).toSeq
+    val qk = IndexStore.knn(spark, qp, 33.0, 27.0, k = 7, tieBreak = Seq("pid"))
+      .select(col("pid")).collect().map(_.getLong(0)).toSeq
+    assert(qk == rk)
+  }
+
   test("persisted kNN join drops null-geometry left rows in every path") {
     import spark.implicits._
     val queries = Seq((1L, Some(5.0)), (2L, None)).toDF("qid", "qx")
