@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Generate sf1-scale documents/embeddings for the heavy-dedup sweep.
+
+The driver testdata stops at sf0.1 (5,000 docs / 2,000 embeddings); the
+round-7 verdict asked for the dedup/ANN family to be validated at sf1
+(dev/sf1_sweep.md). This generator mirrors the driver tables' shape
+(same vocab, lengths 10-100 words, same lang/source mix, same schema) at
+10x the rows, and ADDS the structures whose asymptotics the sweep exists
+to test:
+
+- documents: 50,000 rows; ~2% exact duplicates, ~5% mutated near-dups,
+  plus ONE hot near-identical family of 2,000 docs (a boilerplate page) —
+  the case that blows up any uncapped LSH bucket / candidate self-join.
+- embeddings: 20,000 rows; one hot cluster of 5,000 near-identical
+  vectors (cosine >= 0.999) — the case semanticDedup's hot-cluster cap
+  and the cosine-LSH bucket cap exist for.
+
+Deterministic (seed 20260814). Output: /tmp/graft_sf1/{documents,embeddings}.parquet
+"""
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = "/tmp/graft_sf1"
+SEED = 20260814
+
+VOCAB = ("batch part spark line column order small sort fast value scan a "
+         "hash slow group agg filter query big key window row table stream "
+         "merge data join plan shuffle page").split()
+LANGS = ["en", "de", "zh", "fr", "es"]
+LANG_W = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+
+
+def gen_documents(rnd):
+    texts = []
+    n_total = 50_000
+    hot_n = 2_000
+    # hot family: one 60-word boilerplate with <=2 word substitutions
+    base = [rnd.choice(VOCAB) for _ in range(60)]
+    for _ in range(hot_n):
+        t = list(base)
+        for _ in range(rnd.randint(0, 2)):
+            t[rnd.randrange(len(t))] = rnd.choice(VOCAB)
+        texts.append(" ".join(t))
+    while len(texts) < n_total:
+        r = rnd.random()
+        if texts and r < 0.02:            # exact duplicate of an earlier doc
+            texts.append(texts[rnd.randrange(len(texts))])
+        elif texts and r < 0.07:          # near-dup: copy + 1-3 word edits
+            t = texts[rnd.randrange(len(texts))].split()
+            for _ in range(rnd.randint(1, 3)):
+                t[rnd.randrange(len(t))] = rnd.choice(VOCAB)
+            texts.append(" ".join(t))
+        else:                             # fresh word salad, 10-100 words
+            n = rnd.randint(10, 100)
+            texts.append(" ".join(rnd.choice(VOCAB) for _ in range(n)))
+    rnd.shuffle(texts)
+    rows = {
+        "doc_id": list(range(n_total)),
+        "text": texts,
+        "lang": rnd.choices(LANGS, weights=LANG_W, k=n_total),
+        "source": [f"src{rnd.randrange(20)}" for _ in range(n_total)],
+        "n_chars": [len(t) for t in texts],
+    }
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    pq.write_table(pa.table(rows, schema=schema), f"{OUT}/documents.parquet")
+
+
+def gen_embeddings(nprng):
+    n_total, hot_n, dim = 20_000, 5_000, 64
+    base = nprng.standard_normal(dim).astype(np.float32)
+    hot = base[None, :] + 0.005 * nprng.standard_normal((hot_n, dim)).astype(np.float32)
+    rest = nprng.standard_normal((n_total - hot_n, dim)).astype(np.float32)
+    vecs = np.concatenate([hot, rest])
+    nprng.shuffle(vecs)
+    arr = pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32()))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n_total), type=pa.int64()),
+        "embedding": arr,
+        "label": pa.array((nprng.integers(0, 10, n_total)).tolist(), type=pa.int32()),
+    })
+    pq.write_table(tbl, f"{OUT}/embeddings.parquet")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    gen_documents(random.Random(SEED))
+    gen_embeddings(np.random.default_rng(SEED))
+    print(f"wrote {OUT}/documents.parquet (50k) and embeddings.parquet (20k)")

@@ -44,8 +44,15 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e"); failed += name; false }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries are self-contained: drop their persisted intermediates so
-        // storage-memory pressure from one query can't skew the next
+        // storage-memory pressure from one query can't skew the next.
+        // BOTH layers matter: cacheManager holds .cache()/.persist()ed
+        // plans, but localCheckpoint blocks live only in the RDD layer —
+        // at sf1 the accumulated checkpoint blocks of earlier heavy
+        // queries were measured inflating a later query 8x (55 s batched
+        // vs 7 s isolated) through block-manager eviction thrash
         try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => }
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false)) catch { case _: Throwable => }
         if (ok) dt else Double.NaN
       }
       // failed iterations never enter the min or the sum — a fast failure in

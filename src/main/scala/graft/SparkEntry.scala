@@ -633,14 +633,31 @@ object SparkEntry {
         .orderBy(col("ulx"), col("uly"))
     }),
 
-    // ANN scale path: IVF (seeded KMeans cells, nprobe probing). Approximate
-    // by construction — no SQL oracle (rows-only check).
+    // ANN scale path: IVF (seeded KMeans cells, nprobe probing).
+    // Approximate by construction, so its driver row pins an IN-PLAN
+    // invariant (the q92/q99 pattern) instead of the neighbor lists:
+    // every query returns a full k, and overall recall vs the in-plan
+    // q18 brute set clears a 20% floor (cross-multiplied integers;
+    // measured 48-72% across sf0.001-0.1 — random embeddings swing
+    // PER-QUERY recall to 0, hence the corpus-level bound). The
+    // nprobe=nlist degenerate is hash-anchored exactly by q51.
     "q19_ann_ivf" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+      val q = e.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(e, q,
           col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
           k = 5, nlist = 16, nprobe = 4)
-        .orderBy(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = Similarity.bruteTopK(e, q,
+          col("vec_id"), col("vec_id"), col("embedding"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("__h"))
+      ivf.agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        .crossJoin(hits) // 1-row stats x 1-row hit count
+        .select(col("n_queries"), col("n_results"),
+          (col("__h") * 5 >= col("n_results")).as("recall_ok"))
     }),
 
     // DBSCAN clustering — SURVEY §2.5 `cluster(minPts, epsilon, ...)`.
@@ -1789,6 +1806,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // persisted DBSCAN model (train-once/classify-many): predict from the
+    // parquet+sidecar store must equal the live q147 classification —
+    // the model/store symmetry the other operator families already have.
+    "q154_dbscan_model_store" -> ((s, dir) => {
+      val path = storedOnce("dbscanmodel_q154", dir) { p =>
+        DBSCAN.saveModel(
+          DBSCAN.model(Tables.customerPts(s, dir),
+            col("c_custkey"), col("cx"), col("cy"), eps = 32.0, minPts = 5),
+          p, eps = 32.0, minPts = 5)
+      }
+      DBSCAN.predictStored(s, path, Tables.supplierPts(s, dir),
+          col("s_suppkey"), col("sx"), col("sy"))
+        .withColumnRenamed("id", "s_suppkey")
+        .orderBy(col("s_suppkey"))
+    }),
+
     // persisted QUADTREE store (reference QuadTreeConfig): same stored
     // layout and query paths as the R-tree store, same result set as q48.
     "q153_quadtree_store_filter" -> ((s, dir) => {
@@ -2122,6 +2155,13 @@ object SparkEntry {
 
     "q18_ann_topk" -> annTop5OracleSql,
 
+    // the IVF invariant row: full-k per query + the corpus-level recall
+    // floor computed Spark-side into a flag the oracle pins TRUE
+    "q19_ann_ivf" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+       "CAST(count(*)*5 AS BIGINT) AS n_results, true AS recall_ok " +
+       "FROM embeddings WHERE vec_id < 10"),
+
     // md5-sign matrix replay -> double-accumulated projection rounded to
     // REAL once -> cosine top-5 on the 16-d sketch
     "q120_random_projection" ->
@@ -2328,19 +2368,10 @@ object SparkEntry {
        "ORDER BY p.c_custkey"),
 
     // DBScanModel.predict replay: the q20 clustering CTEs + the
-    // nearest-core rule (ties: d², then cluster id, then core id)
-    "q147_dbscan_predict" ->
-      (s"WITH RECURSIVE $dbscanClusterCtes, " +
-       s"spts AS (${Tables.supplierPtsSql}), " +
-       "cand AS (SELECT s.s_suppkey, cl.cid, " +
-       "(s.sx-p.cx)*(s.sx-p.cx)+(s.sy-p.cy)*(s.sy-p.cy) AS d2, p.c_custkey AS coreid " +
-       "FROM spts s JOIN cpts p ON (s.sx-p.cx)*(s.sx-p.cx)+(s.sy-p.cy)*(s.sy-p.cy) <= 1024.0 " +
-       "JOIN clus cl ON cl.k = p.c_custkey), " +
-       "best AS (SELECT s_suppkey, cid FROM (SELECT s_suppkey, cid, " +
-       "row_number() OVER (PARTITION BY s_suppkey ORDER BY d2, cid, coreid) AS rn FROM cand) t " +
-       "WHERE rn = 1) " +
-       "SELECT s.s_suppkey, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
-       "FROM spts s LEFT JOIN best b USING (s_suppkey) ORDER BY s_suppkey"),
+    // nearest-core rule (ties: d², then cluster id, then core id);
+    // the store-backed classify must produce identical labels
+    "q154_dbscan_model_store" -> dbscanPredictOracleSql,
+    "q147_dbscan_predict" -> dbscanPredictOracleSql,
 
     // model summary: distinct clusters / core / border / noise counts
     "q150_dbscan_model_stats" ->
@@ -3167,6 +3198,22 @@ object SparkEntry {
        "SELECT event_id FROM epts WHERE ex > 0 AND ex < 400 AND ey > 0 AND ey < 400 " +
        s"AND et >= $T1 ORDER BY event_id")
   )
+
+  /** DBScanModel.predict replay (q147 live == q154 store-backed): the
+    * shared clustering CTEs + the nearest-core rule (ties: d², then
+    * cluster id, then core id). */
+  private lazy val dbscanPredictOracleSql: String =
+    s"WITH RECURSIVE $dbscanClusterCtes, " +
+    s"spts AS (${Tables.supplierPtsSql}), " +
+    "cand AS (SELECT s.s_suppkey, cl.cid, " +
+    "(s.sx-p.cx)*(s.sx-p.cx)+(s.sy-p.cy)*(s.sy-p.cy) AS d2, p.c_custkey AS coreid " +
+    "FROM spts s JOIN cpts p ON (s.sx-p.cx)*(s.sx-p.cx)+(s.sy-p.cy)*(s.sy-p.cy) <= 1024.0 " +
+    "JOIN clus cl ON cl.k = p.c_custkey), " +
+    "best AS (SELECT s_suppkey, cid FROM (SELECT s_suppkey, cid, " +
+    "row_number() OVER (PARTITION BY s_suppkey ORDER BY d2, cid, coreid) AS rn FROM cand) t " +
+    "WHERE rn = 1) " +
+    "SELECT s.s_suppkey, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
+    "FROM spts s LEFT JOIN best b USING (s_suppkey) ORDER BY s_suppkey"
 
   /** Shared DBSCAN replay (q20/q147/q150): customer-lattice clustering at
     * eps=32 (d² <= 1024), minPts=5, as recursive CTEs. Defines cpts, adj

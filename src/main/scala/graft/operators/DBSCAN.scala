@@ -187,6 +187,42 @@ object DBSCAN {
       .select(col("__id").as("id"), coalesce(col("__ccl"), lit(-1L)).as("cluster_id"))
   }
 
+  /**
+   * Persist a [[model]] for train-once/classify-many — the reference
+   * DBScanModel kept only in memory; here the clustering state (one row
+   * per training point + core flag) lands as parquet with the (eps,
+   * minPts) hyperparameters in a sidecar, so [[predictStored]] and the
+   * streaming classify gate reuse the clustering without re-running it.
+   * Rows are sorted core-first so the core-only predicate [[predict]]
+   * pushes into the scan skips whole non-core row groups.
+   */
+  def saveModel(model: DataFrame, path: String, eps: Double, minPts: Int): Unit = {
+    val spark = model.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    model.sortWithinPartitions(col("is_core").desc)
+      .write.mode("overwrite").parquet(path + "/points")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_meta", s"$eps $minPts")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** The (eps, minPts) a stored model was trained with. */
+  def loadModelMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Double, Int) = {
+    val m = graft.sources.Sidecar.readText(spark, path + "/_graft_meta")
+      .trim.split(" ")
+    (m(0).toDouble, m(1).toInt)
+  }
+
+  /** [[predict]] against a [[saveModel]] store, using the stored eps —
+    * the classification radius is a property of the clustering, not of
+    * the query batch. */
+  def predictStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newDf: DataFrame, idCol: Column, xCol: Column,
+                    yCol: Column): DataFrame = {
+    val (eps, _) = loadModelMeta(spark, path)
+    predict(spark.read.parquet(path + "/points"), newDf, idCol, xCol, yCol, eps)
+  }
+
   /** Exact floor(sqrt(d2)) for a non-negative integral column: the double
     * sqrt is correctly rounded but its floor can land one off at the very
     * edges, so the candidate is corrected by integer comparison — bucket

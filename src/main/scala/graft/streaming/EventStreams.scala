@@ -321,6 +321,26 @@ object EventStreams {
         .dropSeenCosine(batch, col(idColName), col(vecColName), storePath, threshold))
 
   /**
+   * Streaming point classification against a FROZEN DBSCAN clustering —
+   * the streaming twin of [[graft.operators.DBSCAN.predictStored]]
+   * (reference DBScanModel.predict's intended use: assign arriving points
+   * to an existing clustering). Each micro-batch runs the batch kernel —
+   * a stateless cell-explode + equi-join against the stored core points
+   * with the model's own eps — and lands `(id, cluster_id)` rows
+   * (cluster_id −1 = noise). No streaming aggregation state: the
+   * nearest-core min folds inside the batch, and the model is the only
+   * (static) state, so scores are identical to the batch mode and stable
+   * across batches until the model is retrained.
+   */
+  def classifyDbscan(points: DataFrame, idColName: String, xColName: String,
+                     yColName: String, modelPath: String,
+                     outPath: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(points, outPath, checkpoint)(batch =>
+      graft.operators.DBSCAN.predictStored(batch.sparkSession, modelPath,
+        batch, col(idColName), col(xColName), col(yColName)))
+
+  /**
    * Streaming distinct-count registers per event-time window: the HLL
    * register aggregation ([[graft.operators.Sketches.hllRegisters]]
    * kernel) grouped by a tumbling window under a watermark — "distinct

@@ -68,8 +68,14 @@ object syntax {
       graft.sources.CellStore.save(df, path, x, y, cellSize, geomCol, t, timeBucket)
 
     // ---- persisted indexes (reference index() + loadIndexed) ----
-    def stSaveIndexed(path: String, geoName: String, cellSize: Double): Unit =
-      graft.sources.IndexStore.saveIndexed(df, path, geoName, cellSize)
+    def stSaveIndexed(path: String, geoName: String, cellSize: Double,
+                      index: String = "rtree"): Unit =
+      graft.sources.IndexStore.saveIndexed(df, path, geoName, cellSize, index)
+    def stSaveIntervalStore(path: String, startName: String, endName: String,
+                            bucket: Long): Unit =
+      graft.sources.IntervalStore.save(df, path, startName, endName, bucket)
+    def stIntervalStoreJoin(path: String, startName: String, endName: String): DataFrame =
+      graft.sources.IntervalStore.overlapsJoin(df, path, startName, endName)
     def stJoinPersisted(indexPath: String, geoName: String,
                         pred: JoinPredicate): DataFrame =
       graft.sources.IndexStore.join(df, indexPath, geoName, pred)

@@ -24,6 +24,7 @@ class QueriesSpec extends AnyFunSuite {
     "q95_broadcast_join" -> "the reference's broadcastJoin contract: small side broadcast + general spatial predicate ⇒ nested-loop probe IS the designed plan",
     "q17_dedup_cosine" -> "documented O(n²) exact twin — the oracle anchor for q33's LSH path",
     "q18_ann_topk" -> "brute-force ANN baseline: query batch × corpus by contract (batch broadcast-small)",
+    "q19_ann_ivf" -> "composes the q18 brute baseline to compute the pinned recall invariant; the final crossJoin is 1 stat row × 1 hit-count row",
     "q76_knn_classify" -> "composes the q18 brute baseline for a bounded query batch",
     "q116_hard_negatives" -> "brute scoring: query batch × corpus by contract (batch broadcast-small)",
     "q120_random_projection" -> "composes the q18 brute baseline on the 16-d JL sketch (batch broadcast-small)",

@@ -231,6 +231,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DBSCAN classify assigns points against the frozen model per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("dbscangate").toString
+    // two 3-point columns 8 apart -> clusters 0 and 10 at eps=2/minPts=3
+    val train = Seq(
+      (0L, 0.0, 0.0), (1L, 0.0, 1.0), (2L, 0.0, 2.0),
+      (10L, 8.0, 0.0), (11L, 8.0, 1.0), (12L, 8.0, 2.0)).toDF("id", "x", "y")
+    graft.operators.DBSCAN.saveModel(
+      graft.operators.DBSCAN.model(train, col("id"), col("x"), col("y"), 2.0, 3),
+      s"$tmp/model", eps = 2.0, minPts = 3)
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("pid", "px", "py")
+    val q = EventStreams.classifyDbscan(pts, "pid", "px", "py",
+      s"$tmp/model", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      input.addData((100L, 0.5, 1.0), (101L, 8.5, 1.0), (102L, 50.0, 50.0))
+      q.processAllAvailable()
+      input.addData((103L, 0.0, 3.5)) // within eps of core (0,2) -> cluster 0
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(100L -> 0L, 101L -> 10L, 102L -> -1L, 103L -> 0L))
+      // the stream labels equal the batch predictStored labels exactly
+      val batch = graft.operators.DBSCAN.predictStored(spark, s"$tmp/model",
+          Seq((100L, 0.5, 1.0), (101L, 8.5, 1.0), (102L, 50.0, 50.0),
+            (103L, 0.0, 3.5)).toDF("pid", "px", "py"),
+          col("pid"), col("px"), col("py"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming cosine gate drops embedding near-dups per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
