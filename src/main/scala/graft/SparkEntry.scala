@@ -1772,6 +1772,16 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // the classic eps heuristic (Ester et al. 1996): the minPts-th NN
+    // distance per point — k=5 matching q20's minPts; same exact isqrt
+    // buckets, window partitioned per point (radius-bounded).
+    "q155_kdist5_histogram" -> ((s, dir) => {
+      DBSCAN.kDistHistogram(Tables.customerPts(s, dir),
+          col("c_custkey"), col("cx"), col("cy"), bucketWidth = 8L,
+          nBuckets = 8, k = 5)
+        .orderBy(col("bucket"))
+    }),
+
     // eps tuning, reference NeighborhoodHistogram: per-customer neighbor
     // count within eps=32 (self excluded), clamped integer buckets.
     "q149_neighborhood_histogram" -> ((s, dir) => {
@@ -2395,6 +2405,23 @@ object SparkEntry {
        "b AS (SELECT CASE WHEN d2 IS NULL THEN 16 ELSE least((CASE " +
        "WHEN (c0+1)*(c0+1) <= d2 THEN c0+1 WHEN c0*c0 > d2 THEN c0-1 ELSE c0 END) // 4, 16) END AS bucket FROM s) " +
        "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bucket*4 AS BIGINT) AS bucket_lo, " +
+       "count(*) AS n_points FROM b GROUP BY bucket ORDER BY bucket"),
+
+    // 5th-NN distance histogram: windowed rank replay of the same
+    // isqrt bucket rule, radius 64 (= 8*8), overflow bucket 8
+    "q155_kdist5_histogram" ->
+      (s"WITH cpts AS (${Tables.customerPtsSql}), " +
+       "nn AS (SELECT k, d2 FROM (SELECT a.c_custkey AS k, " +
+       "(a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) AS d2, " +
+       "row_number() OVER (PARTITION BY a.c_custkey ORDER BY " +
+       "(a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy), b.c_custkey) AS rk " +
+       "FROM cpts a JOIN cpts b ON a.c_custkey <> b.c_custkey " +
+       "AND (a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) <= 4096.0) t WHERE rk = 5), " +
+       "s AS (SELECT p.c_custkey, nn.d2, CAST(floor(sqrt(nn.d2)) AS BIGINT) AS c0 " +
+       "FROM cpts p LEFT JOIN nn ON nn.k = p.c_custkey), " +
+       "b AS (SELECT CASE WHEN d2 IS NULL THEN 8 ELSE least((CASE " +
+       "WHEN (c0+1)*(c0+1) <= d2 THEN c0+1 WHEN c0*c0 > d2 THEN c0-1 ELSE c0 END) // 8, 8) END AS bucket FROM s) " +
+       "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bucket*8 AS BIGINT) AS bucket_lo, " +
        "count(*) AS n_points FROM b GROUP BY bucket ORDER BY bucket"),
 
     // neighbor-count histogram: self excluded, clamped to bucket 7

@@ -249,19 +249,34 @@ object DBSCAN {
    * floor(sqrt(min d²)) div bucketWidth via [[isqrt]] — no FP boundary
    * ambiguity for the oracle.
    *
+   * `k` generalizes the reference's min distance (k = 1) to the k-th
+   * nearest neighbor — the classic eps heuristic (Ester et al. 1996)
+   * plots the minPts-th NN distance, so pass k = minPts. A point with
+   * fewer than k neighbors inside the search radius lands in the
+   * overflow bucket (its k-dist provably exceeds the histogram range).
+   * k = 1 stays a map-side-combined min; k > 1 ranks per point — the
+   * window partition is one point's in-radius neighbors, bounded by the
+   * radius-cell population, never the corpus.
+   *
    * @param bucketWidth distance width of one bucket (integral units)
    * @return (bucket, bucket_lo, n_points) sorted by bucket; only non-empty
    *         buckets appear
    */
   def kDistHistogram(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
-                     bucketWidth: Long, nBuckets: Int): DataFrame = {
-    require(bucketWidth > 0 && nBuckets > 0,
-      s"bucketWidth ($bucketWidth) and nBuckets ($nBuckets) must be positive")
+                     bucketWidth: Long, nBuckets: Int, k: Int = 1): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0 && k > 0,
+      s"bucketWidth ($bucketWidth), nBuckets ($nBuckets) and k ($k) must be positive")
     val radius = (bucketWidth * nBuckets).toDouble
     val pts = normPts(df, idCol, xCol, yCol)
-    val nn = neighborPairs(pts, radius)
-      .filter(col("__a") =!= col("__b"))
-      .groupBy(col("__a")).agg(min(col("__d2")).as("__nn2"))
+    val pairs = neighborPairs(pts, radius).filter(col("__a") =!= col("__b"))
+    val nn =
+      if (k == 1)
+        pairs.groupBy(col("__a")).agg(min(col("__d2")).as("__nn2"))
+      else
+        pairs.withColumn("__rk", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__a")).orderBy(col("__d2"), col("__b"))))
+          .filter(col("__rk") === k)
+          .select(col("__a"), col("__d2").as("__nn2"))
     val bucketed = pts.select(col("__id").as("__a"))
       .join(nn, Seq("__a"), "left")
       .withColumn("__isq", isqrt(col("__nn2")))

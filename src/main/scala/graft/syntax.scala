@@ -105,8 +105,8 @@ object syntax {
                          eps: Double): DataFrame =
       DBSCAN.predict(model, df, id, x, y, eps)
     def stKDistHistogram(id: Column, x: Column, y: Column,
-                         bucketWidth: Long, nBuckets: Int): DataFrame =
-      DBSCAN.kDistHistogram(df, id, x, y, bucketWidth, nBuckets)
+                         bucketWidth: Long, nBuckets: Int, k: Int = 1): DataFrame =
+      DBSCAN.kDistHistogram(df, id, x, y, bucketWidth, nBuckets, k)
     def stNeighborhoodHistogram(id: Column, x: Column, y: Column, eps: Double,
                                 bucketWidth: Long, nBuckets: Int): DataFrame =
       DBSCAN.neighborhoodHistogram(df, id, x, y, eps, bucketWidth, nBuckets)

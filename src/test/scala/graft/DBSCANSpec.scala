@@ -141,6 +141,18 @@ class DBSCANSpec extends AnyFunSuite {
     assert(h == Set((0L, 0L, 2L), (1L, 4L, 2L), (4L, 16L, 1L)))
   }
 
+  test("kDistHistogram k=2: windowed k-th distance, deterministic ties, overflow") {
+    import spark.implicits._
+    // 2nd-NN distances: pt0 -> 4 (3,4), pt1 -> 3 (1,3), pt2 -> 4 (1,4),
+    // pt3 isolated -> overflow bucket 4
+    val pts = Seq((0L, 0.0, 0.0), (1L, 3.0, 0.0), (2L, 4.0, 0.0),
+                  (3L, 500.0, 0.0)).toDF("id", "x", "y")
+    val h = DBSCAN.kDistHistogram(pts, col("id"), col("x"), col("y"),
+        bucketWidth = 4L, nBuckets = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(h == Set((0L, 0L, 1L), (1L, 4L, 2L), (4L, 16L, 1L)))
+  }
+
   test("neighborhoodHistogram: self excluded, top bucket clamps") {
     import spark.implicits._
     // a 5-point tight blob (each has 4 neighbors) + an isolated point
