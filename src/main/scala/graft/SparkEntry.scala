@@ -1772,6 +1772,17 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // n-dimensional DBSCAN (the reference dbscan package is Vector-generic,
+    // not 2-d): embeddings sliced to their first 3 dims, eps=0.05/minPts=5
+    // → 8 clusters / 188 cores / 228 noise at sf0.01. vec_dist2 folds in
+    // index order, so the oracle replays the predicate bit-for-bit.
+    "q156_dbscan_vec" -> ((s, dir) => {
+      DBSCAN.clusterVec(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), dims = 3, eps = 0.05, minPts = 5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // the classic eps heuristic (Ester et al. 1996): the minPts-th NN
     // distance per point — k=5 matching q20's minPts; same exact isqrt
     // buckets, window partitioned per point (radius-bounded).
@@ -2406,6 +2417,25 @@ object SparkEntry {
        "WHEN (c0+1)*(c0+1) <= d2 THEN c0+1 WHEN c0*c0 > d2 THEN c0-1 ELSE c0 END) // 4, 16) END AS bucket FROM s) " +
        "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bucket*4 AS BIGINT) AS bucket_lo, " +
        "count(*) AS n_points FROM b GROUP BY bucket ORDER BY bucket"),
+
+    // 3-d vector DBSCAN replay: same recursive shape as q20's, distance =
+    // the index-order double fold over the sliced embedding
+    "q156_dbscan_vec" -> {
+      val eps2 = 0.05 * 0.05
+      val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,3)])"
+      "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e FROM embeddings), " +
+      s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
+      "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+      "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
+      "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
+      "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
+      "border AS (SELECT n.ka AS k, min(c.cid) AS cid FROM adj n JOIN clus c ON n.kb = c.k " +
+      "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka) " +
+      "SELECT p.vec_id, COALESCE(cl.cid, b.cid, -1) AS cluster_id, " +
+      "cl.k IS NOT NULL AS is_core " +
+      "FROM v p LEFT JOIN clus cl ON cl.k = p.vec_id LEFT JOIN border b ON b.k = p.vec_id " +
+      "ORDER BY p.vec_id"
+    },
 
     // 5th-NN distance histogram: windowed rank replay of the same
     // isqrt bucket rule, radius 64 (= 8*8), overflow bucket 8

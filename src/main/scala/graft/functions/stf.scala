@@ -119,6 +119,7 @@ object GraftFunctions {
     "hyperplane_buckets" -> ((es: Seq[Expression]) => HyperplaneBuckets(es(0), i(es(1)), i(es(2)))),
     "vec_dot"         -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
     "vec_norm"        -> ((es: Seq[Expression]) => VecNorm(es.head)),
+    "vec_dist2"       -> ((es: Seq[Expression]) => VecDist2(es(0), es(1))),
     "word_shingles"   -> ((es: Seq[Expression]) => WordShingles(s(es(0)), i(es(1)))),
     "rolling_min_fp"  -> ((es: Seq[Expression]) => RollingMinFp(s(es.head))),
     "nfc_normalize"   -> ((es: Seq[Expression]) => NfcNormalize(s(es.head))),
@@ -149,7 +150,7 @@ object GraftFunctions {
     "st_raster_pixels" -> (9, 9), "st_mercator" -> (3, 3),
     "minhash_sig" -> (2, 2), "band_buckets" -> (2, 2), "simhash64" -> (1, 1),
     "hamming" -> (2, 2), "hyperplane_buckets" -> (3, 3), "vec_dot" -> (2, 2),
-    "vec_norm" -> (1, 1), "word_shingles" -> (2, 2), "rolling_min_fp" -> (1, 1),
+    "vec_norm" -> (1, 1), "vec_dist2" -> (2, 2), "word_shingles" -> (2, 2), "rolling_min_fp" -> (1, 1),
     "nfc_normalize" -> (1, 1), "repetition_stats" -> (1, 1),
     "sorted_intersect_count" -> (2, 2))
 
@@ -295,6 +296,7 @@ object stf {
     call_function("hyperplane_buckets", vec, lit(tables), lit(planes))
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_norm(a: Column): Column = call_function("vec_norm", a)
+  def vec_dist2(a: Column, b: Column): Column = call_function("vec_dist2", a, b)
   def word_shingles(text: Column, n: Int): Column = call_function("word_shingles", text, lit(n))
   def rolling_min_fp(text: Column): Column = call_function("rolling_min_fp", text)
   def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)

@@ -89,11 +89,22 @@ object DBSCAN {
    */
   def model(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
             eps: Double, minPts: Int): DataFrame = {
-    val spark = df.sparkSession
     val pts = normPts(df, idCol, xCol, yCol)
     val nbr = neighborPairs(pts, eps).select(col("__a"), col("__b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    labelPipeline(pts, nbr, minPts,
+      keep = Seq(col("__x").as("x"), col("__y").as("y")))
+  }
 
+  /** The dimension-agnostic back half of DBSCAN: eps-neighbor pairs →
+    * core counts → distributed CC over core-core edges → border rule.
+    * `pts` needs a `__id` column (one row per point); `nbr` every ordered
+    * eps-pair including (a, a); `keep` extra pts columns to carry into
+    * the output. Returns (id, keep..., cluster_id, is_core),
+    * localCheckpoint'd (see comment below). */
+  private def labelPipeline(pts: DataFrame, nbrPairs: DataFrame, minPts: Int,
+                            keep: Seq[Column]): DataFrame = {
+    val spark = pts.sparkSession
+    val nbr = nbrPairs.persist(StorageLevel.MEMORY_AND_DISK)
     val core = nbr.groupBy(col("__a")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minPts).select(col("__a").as("__id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -125,15 +136,62 @@ object DBSCAN {
     val out = pts
       .join(coreClusters.withColumnRenamed("__cid", "__c1"), Seq("__id"), "left")
       .join(borderClusters.withColumnRenamed("__cid", "__c2"), Seq("__id"), "left")
-      .select(col("__id").as("id"), col("__x").as("x"), col("__y").as("y"),
+      .select(col("__id").as("id") +: keep ++: Seq(
         coalesce(col("__c1"), col("__c2"), lit(-1L)).as("cluster_id"),
-        col("__c1").isNotNull.as("is_core"))
+        col("__c1").isNotNull.as("is_core")): _*)
       // materialize (small: one row per point), then free the large
       // neighbor/core intermediates so repeated clustering calls don't
       // accumulate executor storage
       .localCheckpoint()
     nbr.unpersist(); core.unpersist()
     out
+  }
+
+  /**
+   * n-dimensional DBSCAN over a vector column — the reference's dbscan
+   * package is generic over `mllib.Vector` with a configurable dimension
+   * count (dbscan/ClusterPoint.scala, DHConfig/NHConfig `numDimensions`),
+   * so the 2-d [[cluster]] is not the whole surface. Same exact
+   * algorithm, generalized cell kernel: the grid key is the per-dimension
+   * floor vector (an array join key) and the halo explodes the 3^d
+   * neighbor offsets — which is also why `dims` is capped: 3^d
+   * replication is the curse of dimensionality, the same wall the
+   * reference's eps-expanded grid partitioning hits (for embedding-scale
+   * d, cluster on a projection or use the k-means/LSH family instead).
+   *
+   * Distances are [[graft.functions.stf.vec_dist2]] — per-element double
+   * subtraction squared, index-order sum — so an SQL oracle replays the
+   * predicate bit-for-bit.
+   *
+   * @param dims number of leading vector dimensions to cluster on
+   *             (vectors are sliced to this length; <= 4)
+   * @return (id, cluster_id, is_core); cluster_id -1 = noise
+   */
+  def clusterVec(df: DataFrame, idCol: Column, vecCol: Column,
+                 dims: Int, eps: Double, minPts: Int): DataFrame = {
+    require(dims >= 1 && dims <= 4,
+      s"dims ($dims) must be in [1, 4]: the halo replicates 3^d cells — " +
+      "past d=4 the grid kernel is the wrong tool (use a projection or " +
+      "the k-means/LSH embedding operators)")
+    require(eps > 0, s"eps must be positive, got $eps")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val eps2 = eps * eps
+    val pts = df.select(idCol.cast("long").as("__id"),
+      slice(vecCol, 1, dims).as("__v"))
+    def cellOfV(v: Column): Column =
+      transform(v, x => floor(x.cast("double") / eps).cast("long"))
+    val offsets = (0 until dims).foldLeft(Seq(Seq.empty[Int])) {
+      (acc, _) => acc.flatMap(s => Seq(-1, 0, 1).map(d => s :+ d))
+    }
+    val offLit = array(offsets.map(o => array(o.map(x => lit(x.toLong)): _*)): _*)
+    val owned = pts.withColumn("__cell", cellOfV(col("__v")))
+    val halo = pts.withColumn("__off", explode(offLit))
+      .withColumn("__cell", zip_with(cellOfV(col("__v")), col("__off"), (c, o) => c + o))
+      .drop("__off")
+    val nbr = owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
+      .filter(graft.functions.stf.vec_dist2(col("l.__v"), col("r.__v")) <= eps2)
+      .select(col("l.__id").as("__a"), col("r.__id").as("__b"))
+    labelPipeline(pts, nbr, minPts, keep = Nil)
   }
 
   /** Number of clusters in a [[model]] — the reference DBScanModel's

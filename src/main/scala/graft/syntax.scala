@@ -101,6 +101,9 @@ object syntax {
       DBSCAN.cluster(df, id, x, y, eps, minPts)
     def stClusterModel(id: Column, x: Column, y: Column, eps: Double, minPts: Int): DataFrame =
       DBSCAN.model(df, id, x, y, eps, minPts)
+    def stClusterVec(id: Column, vec: Column, dims: Int, eps: Double,
+                     minPts: Int): DataFrame =
+      DBSCAN.clusterVec(df, id, vec, dims, eps, minPts)
     def stClusterPredict(model: DataFrame, id: Column, x: Column, y: Column,
                          eps: Double): DataFrame =
       DBSCAN.predict(model, df, id, x, y, eps)

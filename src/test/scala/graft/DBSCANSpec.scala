@@ -141,6 +141,50 @@ class DBSCANSpec extends AnyFunSuite {
     assert(h == Set((0L, 0L, 2L), (1L, 4L, 2L), (4L, 16L, 1L)))
   }
 
+  test("clusterVec(dims=2) equals the 2-d cluster on the labeled fixture") {
+    import spark.implicits._
+    val rows = scala.util.Using.resource(scala.io.Source.fromFile(
+        "/root/reference/src/test/resources/labeled_data.csv"))(_.getLines().toSeq
+      .zipWithIndex.map { case (l, i) =>
+        val a = l.split(','); (i.toLong, a(0).toFloat, a(1).toFloat) })
+    val asXY = rows.map { case (i, x, y) => (i, x.toDouble, y.toDouble) }
+      .toDF("id", "x", "y")
+    val asVec = rows.map { case (i, x, y) => (i, Array(x, y)) }.toDF("id", "v")
+    val flat = DBSCAN.cluster(asXY, col("id"), col("x"), col("y"), 0.3, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vec = DBSCAN.clusterVec(asVec, col("id"), col("v"), dims = 2,
+        eps = 0.3, minPts = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // float->double coordinates on both paths, same eps ball, same labels
+    assert(vec == flat)
+  }
+
+  test("clusterVec: 1-d and 3-d hand cases, dims cap fails loudly") {
+    import spark.implicits._
+    // 1-d: {0,1,2} dense (all pairwise <= 1.5 via chain), 10 isolated
+    val one = Seq((0L, Array(0.0f)), (1L, Array(1.0f)), (2L, Array(2.0f)),
+                  (9L, Array(50.0f))).toDF("id", "v")
+    val g1 = DBSCAN.clusterVec(one, col("id"), col("v"), dims = 1,
+        eps = 1.5, minPts = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g1 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 9L -> -1L))
+    // 3-d: two blobs on the z axis; slicing dims=3 of longer vectors works
+    val three = Seq(
+      (0L, Array(0f, 0f, 0f, 99f)), (1L, Array(0f, 0f, 1f, -99f)),
+      (2L, Array(0f, 0f, 2f, 0f)),
+      (10L, Array(0f, 0f, 30f, 0f)), (11L, Array(0f, 0f, 31f, 7f)),
+      (12L, Array(0f, 0f, 32f, 0f))).toDF("id", "v")
+    val g3 = DBSCAN.clusterVec(three, col("id"), col("v"), dims = 3,
+        eps = 1.5, minPts = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 4th component ignored by the slice; two clusters labeled by min ids
+    assert(g3 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val e = intercept[IllegalArgumentException] {
+      DBSCAN.clusterVec(three, col("id"), col("v"), dims = 5, eps = 1.0, minPts = 2)
+    }
+    assert(e.getMessage.contains("3^d"))
+  }
+
   test("kDistHistogram k=2: windowed k-th distance, deterministic ties, overflow") {
     import spark.implicits._
     // 2nd-NN distances: pt0 -> 4 (3,4), pt1 -> 3 (1,3), pt2 -> 4 (1,4),
