@@ -1783,6 +1783,19 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // n-dim DBScanModel.predict: train on the first 400 embeddings,
+    // classify the held-out 100 — nearest core within eps, the q147 rule
+    // in vector space.
+    "q157_dbscan_vec_predict" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val m = DBSCAN.modelVec(e.filter(col("vec_id") < 400),
+        col("vec_id"), col("embedding"), dims = 3, eps = 0.05, minPts = 5)
+      DBSCAN.predictVec(m, e.filter(col("vec_id") >= 400),
+          col("vec_id"), col("embedding"), dims = 3, eps = 0.05)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // the classic eps heuristic (Ester et al. 1996): the minPts-th NN
     // distance per point — k=5 matching q20's minPts; same exact isqrt
     // buckets, window partitioned per point (radius-bounded).
@@ -2435,6 +2448,31 @@ object SparkEntry {
       "cl.k IS NOT NULL AS is_core " +
       "FROM v p LEFT JOIN clus cl ON cl.k = p.vec_id LEFT JOIN border b ON b.k = p.vec_id " +
       "ORDER BY p.vec_id"
+    },
+
+    // n-dim predict replay: q156's CTEs on the sub-400 training set + the
+    // nearest-core rule over the held-out vectors
+    "q157_dbscan_vec_predict" -> {
+      val eps2 = 0.05 * 0.05
+      val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,3)])"
+      val distPQ = "list_sum([(p.e[i]-q.e[i])*(p.e[i]-q.e[i]) FOR i IN generate_series(1,3)])"
+      "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
+      "FROM embeddings WHERE vec_id < 400), " +
+      s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
+      "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+      "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
+      "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
+      "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
+      "nv AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
+      "FROM embeddings WHERE vec_id >= 400), " +
+      s"cand AS (SELECT q.vec_id, cl.cid, $distPQ AS d2, p.vec_id AS coreid " +
+      "FROM nv q JOIN v p ON " +
+      s"$distPQ <= $eps2 JOIN clus cl ON cl.k = p.vec_id), " +
+      "best AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid, coreid) AS rn FROM cand) t " +
+      "WHERE rn = 1) " +
+      "SELECT nv.vec_id, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
+      "FROM nv LEFT JOIN best b USING (vec_id) ORDER BY nv.vec_id"
     },
 
     // 5th-NN distance histogram: windowed rank replay of the same

@@ -168,30 +168,77 @@ object DBSCAN {
    * @return (id, cluster_id, is_core); cluster_id -1 = noise
    */
   def clusterVec(df: DataFrame, idCol: Column, vecCol: Column,
-                 dims: Int, eps: Double, minPts: Int): DataFrame = {
+                 dims: Int, eps: Double, minPts: Int): DataFrame =
+    modelVec(df, idCol, vecCol, dims, eps, minPts)
+      .select(col("id"), col("cluster_id"), col("is_core"))
+
+  private def requireVecDims(dims: Int, eps: Double): Unit = {
     require(dims >= 1 && dims <= 4,
       s"dims ($dims) must be in [1, 4]: the halo replicates 3^d cells — " +
       "past d=4 the grid kernel is the wrong tool (use a projection or " +
       "the k-means/LSH embedding operators)")
     require(eps > 0, s"eps must be positive, got $eps")
+  }
+
+  private def cellOfV(v: Column, eps: Double): Column =
+    transform(v, x => floor(x.cast("double") / eps).cast("long"))
+
+  /** The {-1,0,1}^dims halo offsets as an array-of-arrays literal. */
+  private def haloOffsets(dims: Int): Column = {
+    val offsets = (0 until dims).foldLeft(Seq(Seq.empty[Int])) {
+      (acc, _) => acc.flatMap(s => Seq(-1, 0, 1).map(d => s :+ d))
+    }
+    array(offsets.map(o => array(o.map(x => lit(x.toLong)): _*)): _*)
+  }
+
+  /** [[clusterVec]] with the model columns — the n-dim twin of [[model]]:
+    * (id, v = the sliced vector, cluster_id, is_core). Feed to
+    * [[predictVec]] for train-once/classify-many. */
+  def modelVec(df: DataFrame, idCol: Column, vecCol: Column,
+               dims: Int, eps: Double, minPts: Int): DataFrame = {
+    requireVecDims(dims, eps)
     graft.functions.GraftFunctions.register(df.sparkSession)
     val eps2 = eps * eps
     val pts = df.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__v"))
-    def cellOfV(v: Column): Column =
-      transform(v, x => floor(x.cast("double") / eps).cast("long"))
-    val offsets = (0 until dims).foldLeft(Seq(Seq.empty[Int])) {
-      (acc, _) => acc.flatMap(s => Seq(-1, 0, 1).map(d => s :+ d))
-    }
-    val offLit = array(offsets.map(o => array(o.map(x => lit(x.toLong)): _*)): _*)
-    val owned = pts.withColumn("__cell", cellOfV(col("__v")))
-    val halo = pts.withColumn("__off", explode(offLit))
-      .withColumn("__cell", zip_with(cellOfV(col("__v")), col("__off"), (c, o) => c + o))
+    val owned = pts.withColumn("__cell", cellOfV(col("__v"), eps))
+    val halo = pts.withColumn("__off", explode(haloOffsets(dims)))
+      .withColumn("__cell", zip_with(cellOfV(col("__v"), eps), col("__off"), (c, o) => c + o))
       .drop("__off")
     val nbr = owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
       .filter(graft.functions.stf.vec_dist2(col("l.__v"), col("r.__v")) <= eps2)
       .select(col("l.__id").as("__a"), col("r.__id").as("__b"))
-    labelPipeline(pts, nbr, minPts, keep = Nil)
+    labelPipeline(pts, nbr, minPts, keep = Seq(col("__v").as("v")))
+  }
+
+  /** [[predict]]'s n-dim twin: classify new vectors against a [[modelVec]]
+    * — nearest CORE vector within eps wins (ties: d², cluster id, core
+    * id), else noise. Same cell-array kernel, same zero-driver-state
+    * shape; `dims` and the distance rule come from the model's sliced
+    * vectors. */
+  def predictVec(model: DataFrame, newDf: DataFrame, idCol: Column,
+                 vecCol: Column, dims: Int, eps: Double): DataFrame = {
+    requireVecDims(dims, eps)
+    graft.functions.GraftFunctions.register(model.sparkSession)
+    val eps2 = eps * eps
+    val newPts = newDf.select(idCol.cast("long").as("__id"),
+      slice(vecCol, 1, dims).as("__nv"))
+    val cores = model.filter(col("is_core"))
+      .select(col("id").as("__coreid"), col("v").as("__kv"),
+        col("cluster_id").as("__ccl"))
+      .withColumn("__cell", cellOfV(col("__kv"), eps))
+    val probes = newPts.withColumn("__off", explode(haloOffsets(dims)))
+      .withColumn("__cell", zip_with(cellOfV(col("__nv"), eps), col("__off"), (c, o) => c + o))
+      .drop("__off")
+    val assigned = probes.join(cores, "__cell")
+      .withColumn("__d2", graft.functions.stf.vec_dist2(col("__nv"), col("__kv")))
+      .filter(col("__d2") <= eps2)
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__d2"), col("__ccl"), col("__coreid"))).as("__m"))
+      .select(col("__id"), col("__m.__ccl").as("__ccl"))
+    newPts.select(col("__id"))
+      .join(assigned, Seq("__id"), "left")
+      .select(col("__id").as("id"), coalesce(col("__ccl"), lit(-1L)).as("cluster_id"))
   }
 
   /** Number of clusters in a [[model]] — the reference DBScanModel's

@@ -104,6 +104,12 @@ object syntax {
     def stClusterVec(id: Column, vec: Column, dims: Int, eps: Double,
                      minPts: Int): DataFrame =
       DBSCAN.clusterVec(df, id, vec, dims, eps, minPts)
+    def stClusterVecModel(id: Column, vec: Column, dims: Int, eps: Double,
+                          minPts: Int): DataFrame =
+      DBSCAN.modelVec(df, id, vec, dims, eps, minPts)
+    def stClusterVecPredict(model: DataFrame, id: Column, vec: Column,
+                            dims: Int, eps: Double): DataFrame =
+      DBSCAN.predictVec(model, df, id, vec, dims, eps)
     def stClusterPredict(model: DataFrame, id: Column, x: Column, y: Column,
                          eps: Double): DataFrame =
       DBSCAN.predict(model, df, id, x, y, eps)

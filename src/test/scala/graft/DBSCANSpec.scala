@@ -185,6 +185,24 @@ class DBSCANSpec extends AnyFunSuite {
     assert(e.getMessage.contains("3^d"))
   }
 
+  test("predictVec: cores classify to their own label, far probe is noise") {
+    import spark.implicits._
+    val three = Seq(
+      (0L, Array(0f, 0f, 0f)), (1L, Array(0f, 0f, 1f)), (2L, Array(0f, 0f, 2f)),
+      (10L, Array(0f, 0f, 30f)), (11L, Array(0f, 0f, 31f)),
+      (12L, Array(0f, 0f, 32f))).toDF("id", "v")
+    val m = DBSCAN.modelVec(three, col("id"), col("v"), dims = 3,
+      eps = 1.5, minPts = 2).cache()
+    val labels = m.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pred = DBSCAN.predictVec(m, three, col("id"), col("v"), dims = 3, eps = 1.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pred == labels) // all points are core here
+    val far = Seq((99L, Array(500f, 0f, 0f))).toDF("id", "v")
+    val p = DBSCAN.predictVec(m, far, col("id"), col("v"), dims = 3, eps = 1.5).head()
+    assert(p.getLong(1) == -1L)
+    m.unpersist()
+  }
+
   test("kDistHistogram k=2: windowed k-th distance, deterministic ties, overflow") {
     import spark.implicits._
     // 2nd-NN distances: pt0 -> 4 (3,4), pt1 -> 3 (1,3), pt2 -> 4 (1,4),
