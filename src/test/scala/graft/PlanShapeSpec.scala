@@ -149,6 +149,41 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probed-cell IN not pushed to the codes scan:\n$plan")
   }
 
+  test("interval store: bucket-range filters reach both the join and filter scans") {
+    import spark.implicits._
+    val iv = (0 until 100).map { i => (i.toLong, i * 50L, i * 50L + 120L) }
+      .toDF("id", "s", "e")
+    val dir = java.nio.file.Files.createTempDirectory("ivstoreplan").toString
+    sources.IntervalStore.save(iv, dir, "s", "e", bucket = 100L)
+    val joined = sources.IntervalStore.overlapsJoin(
+      iv.limit(10).select(col("id").as("qid"), col("s").as("qs"), col("e").as("qe")),
+      dir, "qs", "qe")
+    val jPlan = formatted(joined)
+    assert("PushedFilters: \\[.*GreaterThanOrEqual\\(__tb".r.findFirstIn(jPlan).isDefined,
+      s"left bucket range not pushed to the store scan:\n$jPlan")
+    val filtered = sources.IntervalStore.filterOverlaps(spark, dir, 200L, 900L)
+    val fPlan = formatted(filtered)
+    assert("PushedFilters: \\[.*GreaterThanOrEqual\\(__tb".r.findFirstIn(fPlan).isDefined &&
+      fPlan.contains("LessThanOrEqual(s,"),
+      s"window bounds not pushed to the store scan:\n$fPlan")
+    assert(shuffleCount(filtered) == 0, s"single-window filter must not shuffle:\n$fPlan")
+  }
+
+  test("dbscan model store: the core-only predicate is pushed to the points scan") {
+    import spark.implicits._
+    val train = Seq((0L, 0.0, 0.0), (1L, 0.0, 1.0), (2L, 0.0, 2.0))
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("dbscanstoreplan").toString
+    operators.DBSCAN.saveModel(
+      operators.DBSCAN.model(train, col("id"), col("x"), col("y"), 2.0, 2),
+      dir, eps = 2.0, minPts = 2)
+    val p = operators.DBSCAN.predictStored(spark, dir,
+      Seq((9L, 0.5, 0.5)).toDF("id", "x", "y"), col("id"), col("x"), col("y"))
+    val plan = formatted(p)
+    assert(plan.contains("EqualTo(is_core,true)"),
+      s"is_core pushdown missing from the model scan:\n$plan")
+  }
+
   test("bigram fluency: count joins are shuffle joins on token keys, no token window") {
     val f = TextAnalysis.withBigramFluency(docs, col("doc_id"), col("text"))
       .select(col("doc_id"), col("fluency_e6"))
