@@ -185,6 +185,53 @@ class DBSCANSpec extends AnyFunSuite {
     assert(e.getMessage.contains("3^d"))
   }
 
+  test("randomized: cluster and clusterVec equal a brute-force reference on boundary-heavy grids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // integer coordinates with eps = 2: many pairs land exactly ON the
+    // radius (d² = 4) — the cell kernel's boundary case
+    for (trial <- 1 to 3) {
+      val pts = (0 until 60).map(i =>
+        (i.toLong, rnd.nextInt(12).toDouble, rnd.nextInt(12).toDouble))
+      val (eps, minPts) = (2.0, 3)
+      // brute reference: exact neighbor sets, union-find over cores,
+      // border = min cluster among core neighbors
+      val nbrs = pts.map { case (i, x, y) =>
+        i -> pts.filter { case (_, x2, y2) =>
+          (x - x2) * (x - x2) + (y - y2) * (y - y2) <= eps * eps
+        }.map(_._1).toSet
+      }.toMap
+      val core = pts.map(_._1).filter(i => nbrs(i).size >= minPts).toSet
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        r
+      }
+      for (i <- core; j <- nbrs(i) if core(j)) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val cid = core.map(i => i -> core.filter(j => find(j) == find(i)).min).toMap
+      val want = pts.map { case (i, _, _) =>
+        i -> (if (core(i)) cid(i)
+              else {
+                val cn = nbrs(i).filter(core)
+                if (cn.nonEmpty) cn.map(cid).min else -1L
+              })
+      }.toMap
+      val df = pts.toDF("id", "x", "y")
+      val flat = DBSCAN.cluster(df, col("id"), col("x"), col("y"), eps, minPts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flat == want, s"trial $trial (2-d): ${flat.toSet -- want.toSet}")
+      val vec = DBSCAN.clusterVec(
+          pts.map { case (i, x, y) => (i, Array(x.toFloat, y.toFloat)) }.toDF("id", "v"),
+          col("id"), col("v"), dims = 2, eps = eps, minPts = minPts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(vec == want, s"trial $trial (vec): ${vec.toSet -- want.toSet}")
+    }
+  }
+
   test("predictVec: cores classify to their own label, far probe is noise") {
     import spark.implicits._
     val three = Seq(
