@@ -1796,6 +1796,23 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // persisted n-dim DBSCAN model: classify the held-out vectors from
+    // the parquet+sidecar store — labels must equal the live q157.
+    "q158_dbscan_vec_model_store" -> ((s, dir) => {
+      val path = storedOnce("dbscanvecmodel_q158", dir) { p =>
+        val e = Tables.load(s, dir, "embeddings")
+        DBSCAN.saveModelVec(
+          DBSCAN.modelVec(e.filter(col("vec_id") < 400),
+            col("vec_id"), col("embedding"), dims = 3, eps = 0.05, minPts = 5),
+          p, dims = 3, eps = 0.05, minPts = 5)
+      }
+      DBSCAN.predictVecStored(s, path,
+          Tables.load(s, dir, "embeddings").filter(col("vec_id") >= 400),
+          col("vec_id"), col("embedding"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // the classic eps heuristic (Ester et al. 1996): the minPts-th NN
     // distance per point — k=5 matching q20's minPts; same exact isqrt
     // buckets, window partitioned per point (radius-bounded).
@@ -2451,29 +2468,10 @@ object SparkEntry {
     },
 
     // n-dim predict replay: q156's CTEs on the sub-400 training set + the
-    // nearest-core rule over the held-out vectors
-    "q157_dbscan_vec_predict" -> {
-      val eps2 = 0.05 * 0.05
-      val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,3)])"
-      val distPQ = "list_sum([(p.e[i]-q.e[i])*(p.e[i]-q.e[i]) FOR i IN generate_series(1,3)])"
-      "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
-      "FROM embeddings WHERE vec_id < 400), " +
-      s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
-      "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
-      "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
-      "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
-      "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
-      "nv AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
-      "FROM embeddings WHERE vec_id >= 400), " +
-      s"cand AS (SELECT q.vec_id, cl.cid, $distPQ AS d2, p.vec_id AS coreid " +
-      "FROM nv q JOIN v p ON " +
-      s"$distPQ <= $eps2 JOIN clus cl ON cl.k = p.vec_id), " +
-      "best AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid, coreid) AS rn FROM cand) t " +
-      "WHERE rn = 1) " +
-      "SELECT nv.vec_id, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
-      "FROM nv LEFT JOIN best b USING (vec_id) ORDER BY nv.vec_id"
-    },
+    // nearest-core rule over the held-out vectors; the store-backed
+    // classify (q158) must produce identical labels
+    "q157_dbscan_vec_predict" -> dbscanVecPredictOracleSql,
+    "q158_dbscan_vec_model_store" -> dbscanVecPredictOracleSql,
 
     // 5th-NN distance histogram: windowed rank replay of the same
     // isqrt bucket rule, radius 64 (= 8*8), overflow bucket 8
@@ -3293,6 +3291,32 @@ object SparkEntry {
        "SELECT event_id FROM epts WHERE ex > 0 AND ex < 400 AND ey > 0 AND ey < 400 " +
        s"AND et >= $T1 ORDER BY event_id")
   )
+
+  /** n-dim DBScanModel.predict replay (q157 live == q158 store-backed):
+    * the q156 clustering CTEs on the sub-400 training set + the
+    * nearest-core rule over the held-out vectors. */
+  private lazy val dbscanVecPredictOracleSql: String = {
+    val eps2 = 0.05 * 0.05
+    val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,3)])"
+    val distPQ = "list_sum([(p.e[i]-q.e[i])*(p.e[i]-q.e[i]) FOR i IN generate_series(1,3)])"
+    "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
+    "FROM embeddings WHERE vec_id < 400), " +
+    s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
+    "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+    "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
+    "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
+    "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
+    "nv AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
+    "FROM embeddings WHERE vec_id >= 400), " +
+    s"cand AS (SELECT q.vec_id, cl.cid, $distPQ AS d2, p.vec_id AS coreid " +
+    "FROM nv q JOIN v p ON " +
+    s"$distPQ <= $eps2 JOIN clus cl ON cl.k = p.vec_id), " +
+    "best AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid, coreid) AS rn FROM cand) t " +
+    "WHERE rn = 1) " +
+    "SELECT nv.vec_id, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
+    "FROM nv LEFT JOIN best b USING (vec_id) ORDER BY nv.vec_id"
+  }
 
   /** DBScanModel.predict replay (q147 live == q154 store-backed): the
     * shared clustering CTEs + the nearest-core rule (ties: d², then

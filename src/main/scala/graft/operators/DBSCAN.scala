@@ -328,6 +328,37 @@ object DBSCAN {
     predict(spark.read.parquet(path + "/points"), newDf, idCol, xCol, yCol, eps)
   }
 
+  /** [[saveModel]]'s n-dim twin: persist a [[modelVec]] with (dims, eps,
+    * minPts) in the sidecar, core-first for the same row-group skip. */
+  def saveModelVec(model: DataFrame, path: String, dims: Int, eps: Double,
+                   minPts: Int): Unit = {
+    val spark = model.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    model.sortWithinPartitions(col("is_core").desc)
+      .write.mode("overwrite").parquet(path + "/points")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_meta",
+      s"$dims $eps $minPts")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** The (dims, eps, minPts) a stored vector model was trained with. */
+  def loadModelVecMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Int, Double, Int) = {
+    val m = graft.sources.Sidecar.readText(spark, path + "/_graft_meta")
+      .trim.split(" ")
+    (m(0).toInt, m(1).toDouble, m(2).toInt)
+  }
+
+  /** [[predictVec]] against a [[saveModelVec]] store — dims and eps come
+    * from the stored clustering, as in [[predictStored]]. */
+  def predictVecStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newDf: DataFrame, idCol: Column,
+                       vecCol: Column): DataFrame = {
+    val (dims, eps, _) = loadModelVecMeta(spark, path)
+    predictVec(spark.read.parquet(path + "/points"), newDf, idCol, vecCol,
+      dims, eps)
+  }
+
   /** Exact floor(sqrt(d2)) for a non-negative integral column: the double
     * sqrt is correctly rounded but its floor can land one off at the very
     * edges, so the candidate is corrected by integer comparison — bucket

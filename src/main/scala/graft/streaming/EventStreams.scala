@@ -341,6 +341,20 @@ object EventStreams {
         batch, col(idColName), col(xColName), col(yColName)))
 
   /**
+   * The n-dimensional twin of [[classifyDbscan]]: classify an arriving
+   * VECTOR stream against a frozen
+   * [[graft.operators.DBSCAN.saveModelVec]] clustering — per micro-batch,
+   * same frozen-model semantics, dims/eps from the store.
+   */
+  def classifyDbscanVec(points: DataFrame, idColName: String,
+                        vecColName: String, modelPath: String,
+                        outPath: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(points, outPath, checkpoint)(batch =>
+      graft.operators.DBSCAN.predictVecStored(batch.sparkSession, modelPath,
+        batch, col(idColName), col(vecColName)))
+
+  /**
    * Streaming distinct-count registers per event-time window: the HLL
    * register aggregation ([[graft.operators.Sketches.hllRegisters]]
    * kernel) grouped by a tumbling window under a watermark — "distinct

@@ -264,6 +264,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming n-dim DBSCAN classify matches the stored-model batch labels") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("dbscanvecgate").toString
+    val train = Seq(
+      (0L, Array(0f, 0f, 0f)), (1L, Array(0f, 0f, 1f)), (2L, Array(0f, 0f, 2f)),
+      (10L, Array(0f, 0f, 30f)), (11L, Array(0f, 0f, 31f)),
+      (12L, Array(0f, 0f, 32f))).toDF("id", "v")
+    graft.operators.DBSCAN.saveModelVec(
+      graft.operators.DBSCAN.modelVec(train, col("id"), col("v"),
+        dims = 3, eps = 1.5, minPts = 2),
+      s"$tmp/model", dims = 3, eps = 1.5, minPts = 2)
+    assert(graft.operators.DBSCAN.loadModelVecMeta(spark, s"$tmp/model") == ((3, 1.5, 2)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val pts = input.toDF().toDF("pid", "pv")
+    val q = EventStreams.classifyDbscanVec(pts, "pid", "pv",
+      s"$tmp/model", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      input.addData((100L, Array(0f, 0f, 1.4f)), (101L, Array(0f, 0f, 30.5f)),
+        (102L, Array(99f, 99f, 99f)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(100L -> 0L, 101L -> 10L, 102L -> -1L))
+    } finally q.stop()
+  }
+
   test("streaming cosine gate drops embedding near-dups per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
