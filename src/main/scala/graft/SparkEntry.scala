@@ -663,6 +663,15 @@ object SparkEntry {
     // DBSCAN clustering — SURVEY §2.5 `cluster(minPts, epsilon, ...)`.
     // eps=32/minPts=5 on the integral customer lattice: 73 clusters, 499
     // noise at sf0.01; squared-distance predicate is exact.
+    // reference cluster() signature parity: keyed on the GEOMETRY column,
+    // centroid accessors feed the same kernel -> labels equal q20 exactly.
+    "q159_dbscan_geom" -> ((s, dir) => {
+      val c = Tables.customerPts(s, dir)
+      DBSCAN.clusterGeom(c, col("c_custkey"), col("c_geo"), eps = 32.0, minPts = 5)
+        .withColumnRenamed("id", "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
     "q20_dbscan" -> ((s, dir) => {
       val c = Tables.customerPts(s, dir)
       DBSCAN.cluster(c, col("c_custkey"), col("cx"), col("cy"), eps = 32.0, minPts = 5)
@@ -2412,11 +2421,10 @@ object SparkEntry {
     // DBSCAN: adjacency (self incl.) -> cores -> recursive closure over
     // core-core edges -> min-id cluster labels -> border = min neighboring
     // core cluster; noise = -1. Semantics identical to DBSCAN.cluster.
-    "q20_dbscan" ->
-      (s"WITH RECURSIVE $dbscanClusterCtes " +
-       "SELECT p.c_custkey, COALESCE(cl.cid, b.cid, -1) AS cluster_id " +
-       "FROM cpts p LEFT JOIN clus cl ON cl.k = p.c_custkey LEFT JOIN border b ON b.k = p.c_custkey " +
-       "ORDER BY p.c_custkey"),
+    "q20_dbscan" -> dbscanClusterOracleSql,
+
+    // the geometry-keyed API must label identically (centroid accessors)
+    "q159_dbscan_geom" -> dbscanClusterOracleSql,
 
     // DBScanModel.predict replay: the q20 clustering CTEs + the
     // nearest-core rule (ties: d², then cluster id, then core id);
@@ -3317,6 +3325,13 @@ object SparkEntry {
     "SELECT nv.vec_id, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
     "FROM nv LEFT JOIN best b USING (vec_id) ORDER BY nv.vec_id"
   }
+
+  /** The q20 clustering replay (also anchors q159's geometry-keyed API). */
+  private lazy val dbscanClusterOracleSql: String =
+    s"WITH RECURSIVE $dbscanClusterCtes " +
+    "SELECT p.c_custkey, COALESCE(cl.cid, b.cid, -1) AS cluster_id " +
+    "FROM cpts p LEFT JOIN clus cl ON cl.k = p.c_custkey LEFT JOIN border b ON b.k = p.c_custkey " +
+    "ORDER BY p.c_custkey"
 
   /** DBScanModel.predict replay (q147 live == q154 store-backed): the
     * shared clustering CTEs + the nearest-core rule (ties: d², then

@@ -76,6 +76,18 @@ object DBSCAN {
               eps: Double, minPts: Int): DataFrame =
     model(df, idCol, xCol, yCol, eps, minPts).select(col("id"), col("cluster_id"))
 
+  /** [[cluster]] keyed on a geometry column — the reference's actual
+    * `cluster` signature (Plain:361-423 extracts (centroid.x, centroid.y)
+    * from each STObject as the clustering vector; its `keyExtractor` only
+    * picks the output key). `st_x`/`st_y` are centroid accessors here, so
+    * any geometry type works, not just points. */
+  def clusterGeom(df: DataFrame, idCol: Column, geomCol: Column,
+                  eps: Double, minPts: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    cluster(df, idCol, graft.functions.stf.st_x(geomCol),
+      graft.functions.stf.st_y(geomCol), eps, minPts)
+  }
+
   /**
    * The full clustering state — the reference's `DBScanModel`
    * (dbscan/DBScanModel.scala): every training point with its coordinates,

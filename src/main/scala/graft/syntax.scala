@@ -99,6 +99,8 @@ object syntax {
     def stSkyline(xCol: String, yCol: String): DataFrame = Skyline.skyline(df, xCol, yCol)
     def stCluster(id: Column, x: Column, y: Column, eps: Double, minPts: Int): DataFrame =
       DBSCAN.cluster(df, id, x, y, eps, minPts)
+    def stClusterGeom(id: Column, geom: Column, eps: Double, minPts: Int): DataFrame =
+      DBSCAN.clusterGeom(df, id, geom, eps, minPts)
     def stClusterModel(id: Column, x: Column, y: Column, eps: Double, minPts: Int): DataFrame =
       DBSCAN.model(df, id, x, y, eps, minPts)
     def stClusterVec(id: Column, vec: Column, dims: Int, eps: Double,
