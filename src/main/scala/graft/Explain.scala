@@ -16,7 +16,11 @@ object Explain {
         "q48_persisted_filter", "q51_ann_ivf_store",
         "q54_pack", "q55_chunk", "q56_epoch_shuffle",
         "q61_dup_spans", "q62_incr_dedup", "q63_quality_gate",
-        "q67_knn_join_store")
+        "q67_knn_join_store",
+        // round 8: model stores + interval store + n-dim clustering
+        "q147_dbscan_predict", "q151_interval_store_join",
+        "q152_interval_store_filter", "q154_dbscan_model_store",
+        "q156_dbscan_vec")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", "32")
