@@ -170,6 +170,14 @@ class DifferentialJoinSpec extends AnyFunSuite {
     val idx = TemporalJoin.overlapsIndexed(a, b, "sa", "ea", "sb", "eb", bucket)
       .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(idx == exp, s"tree missing=${(exp -- idx).take(5)} extra=${(idx -- exp).take(5)}")
+    // the persisted path shares bucketOf and the outward-ulp tree rounding —
+    // pin it at the same magnitude (save-side explode + read-side refine)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_interval_store_nano"
+    graft.sources.IntervalStore.save(b, path, "sb", "eb", bucket)
+    val stored = graft.sources.IntervalStore.overlapsJoin(a, path, "sa", "ea")
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == exp,
+      s"store missing=${(exp -- stored).take(5)} extra=${(stored -- exp).take(5)}")
   }
 
   test("as-of join equals the window-ranked cross join, boundary-heavy") {
