@@ -291,6 +291,15 @@ class IndexStoreSpec extends AnyFunSuite {
     val qk = IndexStore.knn(spark, qp, 33.0, 27.0, k = 7, tieBreak = Seq("pid"))
       .select(col("pid")).collect().map(_.getLong(0)).toSeq
     assert(qk == rk)
+    // the expand-radius kNN JOIN probes stored trees through the same
+    // SpatialIndex interface — quadtree store must match the R-tree store
+    val rkj = IndexStore.knnJoin(boxes, storePath, "bgeo", "bid", k = 3, tieBreak = "pid")
+      .select(col("bid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qkj = IndexStore.knnJoin(boxes, qp, "bgeo", "bid", k = 3, tieBreak = "pid")
+      .select(col("bid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(qkj == rkj && rkj.nonEmpty)
   }
 
   test("persisted kNN join drops null-geometry left rows in every path") {
