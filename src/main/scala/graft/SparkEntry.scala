@@ -31,6 +31,16 @@ object SparkEntry {
     "FROM (SELECT source, ('0x' || substr(h,1,4))::BIGINT % 1024 AS b, " +
     "('0x' || substr(h,5,12))::BIGINT AS w " +
     "FROM (SELECT source, md5(text || ':hll') AS h FROM documents)) GROUP BY source, b"
+
+  // q163/q164 HDR-histogram counts CTE: e6-quantized event values ->
+  // log-bucket ids (exact bin-length arithmetic, identical to
+  // Sketches.hdrBucket) -> per (event_type, bucket) counts
+  private val histCountsSql: String =
+    "q AS (SELECT grp, CAST(CASE WHEN v < 64 THEN v " +
+    "ELSE 64 + (length(bin(v))-7)*32 + ((v >> (length(bin(v))-6)) & 31) END AS BIGINT) AS bucket, " +
+    "CAST(count(*) AS BIGINT) AS cnt " +
+    "FROM (SELECT event_type AS grp, CAST(round(value*1000000) AS BIGINT) AS v FROM events) " +
+    "GROUP BY 1, 2)"
   /** Raw-HLL estimate from the register mass held in column `massCol`.
     * The divisor column is a parameter so callers whose scope defines
     * another `n` (e.g. the q145 profiler's row count) can point at an
@@ -679,6 +689,45 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- hashed-linear quality classifier (the CCNet/GPT-3 bootstrap:
+    // heuristic seed labels -> linear model -> corpus-wide scoring) ----
+
+    // train: per-feature counts + integer polarity weights; groupBy over a
+    // dim-bounded key space (2^15), so the shuffle is O(tasks * dim).
+    "q160_classifier_train" -> ((s, dir) => {
+      Classifier.trainFromSeed(Tables.load(s, dir, "documents"), col("text"))
+        .orderBy(col("feature"))
+    }),
+
+    // score: broadcast dense weights, map-side margin sum — zero shuffle.
+    // τ self-calibrates to the training corpus's mean token polarity
+    // (computed from the sketch-sized model, not a corpus pass); the gate
+    // then splits ~52% at every sf and agrees with the seed label at
+    // ~60% — the best a bag-of-words model can do on i.i.d. synthetic
+    // tokens (the spec's separable corpus shows full recovery).
+    "q161_classifier_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val model = Classifier.trainFromSeed(docs, col("text"))
+      Classifier.scoreWith(docs, col("text"), model,
+          tauE6 = Classifier.meanPolarityE6(model))
+        .select(col("doc_id"), col("margin_e6"), col("n_tokens"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // persisted model store + gate: train once (staged write), score every
+    // later batch through the loaded store.
+    "q162_classifier_store" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("clfmodel_q162", dir) { p =>
+        Classifier.saveModel(Classifier.trainFromSeed(docs, col("text")), p)
+      }
+      val model = Classifier.loadModel(s, path)
+      Classifier.gate(docs, col("text"), model,
+          tauE6 = Classifier.meanPolarityE6(model))
+        .select(col("doc_id"), col("margin_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- raster (tile) algebra over the events grid ----
     // (pixel values serialized to CSV strings so hash-compare is type-safe)
 
@@ -1257,6 +1306,36 @@ object SparkEntry {
         .select(col("group").as("source"), col("n_registers"),
           col("sum_rho"), col("est_raw_e6"))
         .orderBy(col("source"))
+    }),
+
+    // HDR-style quantile histogram: per-event-type p50/p90/p99 from a
+    // mergeable log-bucket histogram (≤ 1/32 relative bucket width);
+    // the only window is partitioned by event_type over its own buckets.
+    "q163_quantile_hist" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      Sketches.histQuantiles(
+          Sketches.histCounts(ev, col("event_type"),
+            round(col("value") * 1e6).cast("long")),
+          Seq(50, 90, 99))
+        .select(col("group").as("event_type"), col("p"), col("bucket"), col("lb_e6"))
+        .orderBy(col("event_type"), col("p"))
+    }),
+
+    // persisted histogram store: build on even event_ids, fold in the odd
+    // half (crash-safe staged swap), read back the merged counters — the
+    // oracle replays the FULL histogram, so the merge itself is verified.
+    "q164_hist_store_merge" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = round(col("value") * 1e6).cast("long")
+      val path = storedOnce("histstore_q164", dir) { p =>
+        Sketches.buildHistStore(ev.filter(col("event_id") % 2 === 0),
+          col("event_type"), v, p)
+        Sketches.mergeIntoHistStore(ev.filter(col("event_id") % 2 === 1),
+          col("event_type"), v, p)
+      }
+      Sketches.readHistStore(s, path)
+        .select(col("group").as("event_type"), col("bucket"), col("cnt"))
+        .orderBy(col("event_type"), col("bucket"))
     }),
 
     // curriculum ordering: 4 quality stages (longest docs first as the
@@ -2426,6 +2505,13 @@ object SparkEntry {
     // the geometry-keyed API must label identically (centroid accessors)
     "q159_dbscan_geom" -> dbscanClusterOracleSql,
 
+    // hashed-linear classifier: full replay (xxh64 features via the
+    // SimhashOracle chain, q10-quality seed labels, integer weights,
+    // exact margin sums) — store-backed q162 shares the same algebra
+    "q160_classifier_train" -> ClassifierOracle.trainSql,
+    "q161_classifier_score" -> ClassifierOracle.scoreSql,
+    "q162_classifier_store" -> ClassifierOracle.gateSql,
+
     // DBScanModel.predict replay: the q20 clustering CTEs + the
     // nearest-core rule (ties: d², then cluster id, then core id);
     // the store-backed classify must produce identical labels
@@ -2915,6 +3001,27 @@ object SparkEntry {
        "AND len(list_intersect(a.s, b.s)) * 5 >= " +
        "4 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) " +
        "ORDER BY doc_id"),
+
+    // HDR quantile histogram: full integer replay (e6 quantize, bin-length
+    // log bucket, group-partitioned cumulative rank, lower-bound decode)
+    "q163_quantile_hist" ->
+      (s"WITH $histCountsSql, " +
+       "c AS (SELECT grp, bucket, cnt, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM q), " +
+       "t AS (SELECT grp, sum(cnt) AS total FROM q GROUP BY grp), " +
+       "p(p) AS (VALUES (50), (90), (99)), " +
+       "r AS (SELECT grp, p, (p*total + 99)//100 AS rk FROM t CROSS JOIN p), " +
+       "s AS (SELECT c.grp, r.p, min(c.bucket) AS bucket FROM c JOIN r " +
+       "ON c.grp = r.grp AND c.cum >= r.rk GROUP BY 1, 2) " +
+       "SELECT grp AS event_type, p, bucket, " +
+       "CAST(CASE WHEN bucket < 64 THEN bucket " +
+       "ELSE (((bucket-64) & 31) + 32) << ((bucket-64)//32 + 1)::INT END AS BIGINT) AS lb_e6 " +
+       "FROM s ORDER BY event_type, p"),
+
+    // merge transparency: the stored-and-merged histogram must equal one
+    // full-corpus pass (the q131 pattern for the SUM-merged sketch)
+    "q164_hist_store_merge" ->
+      (s"WITH $histCountsSql " +
+       "SELECT grp AS event_type, bucket, cnt FROM q ORDER BY event_type, bucket"),
 
     // merge transparency: the stored-and-merged registers must equal one
     // full-corpus pass, so the oracle is the same replay as q129

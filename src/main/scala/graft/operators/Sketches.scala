@@ -431,4 +431,110 @@ object Sketches {
           .repartition(1).write.mode("overwrite").parquet(tmp))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // HDR-style quantile histogram (the third mergeable sketch: MAX merges
+  // HLL, SUM merges CMS and this histogram)
+  // ---------------------------------------------------------------------
+
+  /**
+   * Log-bucket id for a NON-NEGATIVE e6-fixed-point value (HdrHistogram's
+   * bucketing, integer-exact): values < 64 get their own bucket (exact);
+   * larger values keep 5 bits of mantissa after the leading bit, so every
+   * bucket's relative width is ≤ 1/32 (~3.1% worst-case quantile error).
+   *
+   *   msb    = length(bin(v))            (= floor(log2 v) + 1)
+   *   bucket = 64 + (msb−7)·32 + ((v >> (msb−6)) & 31)
+   *
+   * `bin`/shift/mask evaluate identically in Spark and DuckDB, so the SQL
+   * oracle replays bucketing bit-for-bit. Negative input is a contract
+   * violation and raises (silently landing negatives in the two's-
+   * complement top bucket would corrupt every quantile above them).
+   */
+  def hdrBucket(v: Column): Column =
+    when(v < 0, raise_error(concat(lit("hdrBucket: negative value "), v.cast("string"))))
+      .otherwise(when(v < 64, v).otherwise(
+        lit(64L) + (length(bin(v)) - 7).cast("long") * 32L +
+          call_function("shiftright", v, length(bin(v)) - 6).bitwiseAND(lit(31L))))
+
+  /** Inclusive lower bound of a bucket (its representative value for
+    * quantile reporting) — the exact inverse of [[hdrBucket]]'s floor. */
+  def hdrLowerBound(bucket: Column): Column =
+    when(bucket < 64, bucket).otherwise(
+      call_function("shiftleft",
+        (bucket - 64).bitwiseAND(lit(31L)) + 32L,
+        ((bucket - 64) / 32L).cast("int") + 1))
+
+  /**
+   * Histogram counts per group: (group, bucket, cnt) — one map-side-
+   * combined groupBy whose key space is bounded by groups × ~2k buckets,
+   * so the shuffle is sketch-sized at any corpus size. `valueE6` is the
+   * caller's e6 fixed-point LONG (quantize doubles as
+   * `round(value * 1e6)` so the oracle's double arithmetic matches).
+   */
+  def histCounts(df: DataFrame, groupCol: Column, valueE6: Column): DataFrame =
+    df.select(groupCol.as("group"), hdrBucket(valueE6).as("bucket"))
+      .groupBy("group", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Merge two histogram tables: SUM per (group, bucket). */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("group", "bucket").agg(sum("cnt").as("cnt"))
+
+  /**
+   * Quantile estimates from a histogram: for each percentile p (integer,
+   * 1..100) the smallest bucket whose cumulative count reaches
+   * `ceil(p·total/100)`, reported as the bucket's lower bound (≤ 1/32
+   * relative error by construction). The only window is partitioned by
+   * `group` and ordered over that group's ≤ ~2k bucket rows — never a
+   * global window; the target join is group-keyed.
+   *
+   * Output: (group, p, bucket, lb_e6).
+   */
+  def histQuantiles(counts: DataFrame, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $ps")
+    // both the running and the group-total sum ride the SAME group
+    // partitioning (one shuffle, no self-join); the |ps|-way explode
+    // happens on the ≤ ~2k bucket rows per group, never on raw data
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy("bucket")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("group")
+    counts
+      .withColumn("cum", sum(col("cnt")).over(byBucket))
+      .withColumn("total", sum(col("cnt")).over(whole))
+      .withColumn("p", explode(lit(ps.toArray)))
+      .filter(col("cum") >= expr("(p * total + 99) div 100"))
+      .groupBy("group", "p").agg(min(col("bucket")).as("bucket"))
+      .withColumn("lb_e6", hdrLowerBound(col("bucket")))
+  }
+
+  /** Persist a histogram store (sketch-sized rows, like the HLL/CMS
+    * stores). */
+  def buildHistStore(df: DataFrame, groupCol: Column, valueE6: Column,
+                     path: String): Unit =
+    histCounts(df, groupCol, valueE6)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Fold a batch into a persisted histogram store — read-merge-rewrite
+    * of sketch-sized state through the same crash-safe staged swap as
+    * [[mergeIntoHllStore]]; a missing store bootstraps from the batch. */
+  def mergeIntoHistStore(batch: DataFrame, groupCol: Column, valueE6: Column,
+                         path: String): Unit = {
+    val spark = batch.sparkSession
+    recoverStaging(spark, path)
+    val fresh = histCounts(batch, groupCol, valueE6)
+    if (!storeExists(spark, path)) {
+      fresh.repartition(1).write.mode("overwrite").parquet(path)
+    } else {
+      stagedSwap(spark, path)(tmp =>
+        histMerge(spark.read.parquet(path), fresh)
+          .repartition(1).write.mode("overwrite").parquet(tmp))
+    }
+  }
+
+  /** Read a histogram store (batch-partitioned or flat), folding by the
+    * sketch's SUM merge. */
+  def readHistStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("group"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
 }

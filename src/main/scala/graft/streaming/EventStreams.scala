@@ -519,4 +519,42 @@ object EventStreams {
       .partitionBy(partCols: _*)
       .start()
   }
+
+  /**
+   * Ingest-time linear-classifier gate: score each arriving document with
+   * a FROZEN [[graft.operators.Classifier]] model store. The model is ≤
+   * dim ≤ [[graft.operators.Classifier.MaxDim]] rows by construction, so
+   * the dense-broadcast scoring is a stateless per-row pass — no streaming
+   * aggregation state, margins identical to the batch scorer. Calibrate
+   * `tauE6` at train time (typically
+   * [[graft.operators.Classifier.meanPolarityE6]] of the stored model, the
+   * operational freeze-at-train contract).
+   */
+  def classifyLinear(docs: DataFrame, textColName: String, modelPath: String,
+                     dim: Int = graft.operators.Classifier.DefaultDim,
+                     tauE6: Long = 0L): DataFrame = {
+    val model = graft.operators.Classifier.loadModel(docs.sparkSession, modelPath)
+    graft.operators.Classifier.scoreWith(docs, col(textColName), model, dim, tauE6)
+  }
+
+  /**
+   * Streaming quantile telemetry per event-time window: the HDR log-bucket
+   * histogram ([[graft.operators.Sketches.hdrBucket]] arithmetic) grouped
+   * by a tumbling window under a watermark. State is bounded by open
+   * windows × groups × ~2k buckets — never by event count. Emits
+   * (win, group, bucket, cnt) counter rows; closed windows answer
+   * percentile queries through `Sketches.histQuantiles` (rename `win` out)
+   * or fold into a persisted store via `Sketches.histMerge` — SUM-merge,
+   * identical to the batch histogram for the same rows.
+   */
+  def windowedQuantileHist(events: DataFrame, tsColName: String,
+                           groupColName: String,
+                           valueE6: org.apache.spark.sql.Column,
+                           windowDur: String,
+                           watermarkDelay: String): DataFrame =
+    events.withWatermark(tsColName, watermarkDelay)
+      .groupBy(window(col(tsColName), windowDur).as("win"),
+        col(groupColName).as("group"),
+        graft.operators.Sketches.hdrBucket(valueE6).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -326,5 +326,20 @@ object syntax {
     def snapshotDiffTo(id: Column, content: Column, newer: DataFrame,
                        newerId: Column, newerContent: Column): DataFrame =
       Pipeline.snapshotDiff(df, id, content, newer, newerId, newerContent)
+    def trainClassifier(text: Column, label: Column,
+                        dim: Int = Classifier.DefaultDim): DataFrame =
+      Classifier.train(df, text, label, dim)
+    def classifierScore(text: Column, model: DataFrame,
+                        dim: Int = Classifier.DefaultDim,
+                        tauE6: Long = 0L): DataFrame =
+      Classifier.scoreWith(df, text, model, dim, tauE6)
+    def classifierGate(text: Column, model: DataFrame,
+                       dim: Int = Classifier.DefaultDim,
+                       tauE6: Long = 0L): DataFrame =
+      Classifier.gate(df, text, model, dim, tauE6)
+    def histCounts(group: Column, valueE6: Column): DataFrame =
+      Sketches.histCounts(df, group, valueE6)
+    def histQuantiles(ps: Seq[Int]): DataFrame =
+      Sketches.histQuantiles(df, ps)
   }
 }

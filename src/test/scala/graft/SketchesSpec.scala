@@ -192,4 +192,70 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(storedC == directC)
   }
+
+  // ---- HDR quantile histogram ----
+
+  /** Local replay of the documented bucket formula. */
+  private def bucketRef(v: Long): Long =
+    if (v < 64) v
+    else {
+      val msb = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      64L + (msb - 7) * 32 + ((v >> (msb - 6)) & 31L)
+    }
+  private def lbRef(b: Long): Long =
+    if (b < 64) b else ((b - 64) % 32 + 32) << ((b - 64) / 32 + 1).toInt
+
+  test("hdrBucket/hdrLowerBound replay locally; bounds are tight and monotone") {
+    import spark.implicits._
+    val vs = Seq(0L, 1L, 63L, 64L, 65L, 100L, 1000L, 123456L, 490020000L,
+      Long.MaxValue / 4)
+    val got = vs.toDF("v")
+      .select(Sketches.hdrBucket(col("v")).as("b"))
+      .withColumn("lb", Sketches.hdrLowerBound(col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    vs.zip(got).foreach { case (v, (b, lb)) =>
+      assert(b == bucketRef(v), s"bucket($v)")
+      assert(lb == lbRef(b), s"lb($b)")
+      assert(lb <= v, s"lb <= v for $v")
+      // bucket width <= lb/32 above the exact range => <=3.125% rel. error
+      assert(v < 64 || v - lb <= lb / 32, s"width bound for $v")
+    }
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq, "monotone buckets")
+    intercept[Exception] {
+      Seq(-1L).toDF("v").select(Sketches.hdrBucket(col("v"))).collect()
+    }
+  }
+
+  test("histogram merge transparency and store round trip equal one full pass") {
+    import spark.implicits._
+    val a = (0 until 400).map(i => ("g" + i % 2, (i * 37 % 9000).toLong)).toDF("grp", "v")
+    val b = (0 until 300).map(i => ("g" + i % 2, (i * 91 % 12000).toLong)).toDF("grp", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = rows(Sketches.histCounts(a.unionByName(b), col("grp"), col("v")))
+    val merged = rows(Sketches.histMerge(
+      Sketches.histCounts(a, col("grp"), col("v")),
+      Sketches.histCounts(b, col("grp"), col("v"))))
+    assert(merged == direct)
+    val tmp = java.nio.file.Files.createTempDirectory("hist_store").toString + "/h"
+    Sketches.mergeIntoHistStore(a, col("grp"), col("v"), tmp) // bootstrap
+    Sketches.mergeIntoHistStore(b, col("grp"), col("v"), tmp) // staged fold
+    assert(rows(Sketches.readHistStore(spark, tmp)) == direct)
+  }
+
+  test("histQuantiles returns the exact bucket of the rank-ceil(p·n/100) value") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => (i.toLong * i) % 50000).sorted
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val ps = Seq(1, 50, 90, 99, 100)
+    val got = Sketches.histQuantiles(
+        Sketches.histCounts(df, col("grp"), col("v")), ps)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    ps.foreach { p =>
+      val rank = (p * vals.size + 99) / 100 // ceil
+      val vRank = vals(rank - 1)
+      assert(got(p)._1 == bucketRef(vRank), s"p$p bucket")
+      assert(got(p)._2 == lbRef(bucketRef(vRank)), s"p$p lb")
+    }
+  }
 }

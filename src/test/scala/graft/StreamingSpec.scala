@@ -579,6 +579,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(storedC == directC)
   }
 
+  test("streaming linear-classifier gate reproduces the batch scorer from the frozen store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("clfstream").toString + "/m"
+    val model = graft.operators.Classifier.trainFromSeed(docs, col("text"))
+    graft.operators.Classifier.saveModel(model, dir)
+    val tau = graft.operators.Classifier.meanPolarityE6(model)
+    val want = graft.operators.Classifier
+      .scoreWith(docs, col("text"), model, tauE6 = tau)
+      .select(col("doc_id"), col("margin_e6"), col("pred")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val scored = graft.streaming.EventStreams
+      .classifyLinear(stream, "text", dir, tauE6 = tau)
+    val q = scored.writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("clf_out")
+        .select(col("doc_id"), col("margin_e6"), col("pred")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got == want)
+      // self-calibrated cut is non-degenerate: both classes appear
+      assert(got.values.exists(_._2) && got.values.exists(!_._2))
+    } finally q.stop()
+  }
+
+  test("windowed streaming quantile histogram equals the batch histogram per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val events = input.toDF().toDF("ts", "grp", "v")
+    val q = graft.streaming.EventStreams
+      .windowedQuantileHist(events, "ts", "grp", col("v"), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("hist_win")
+      .outputMode("complete").start()
+    val t1 = Timestamp.valueOf("2024-01-01 00:03:00")
+    val t2 = Timestamp.valueOf("2024-01-01 00:14:00")
+    val w1 = (0 until 200).map(i => (t1, "g" + i % 2, (i * 37L) % 5000))
+    val w2 = (0 until 150).map(i => (t2, "g" + i % 2, (i * 91L) % 9000))
+    try {
+      input.addData(w1 ++ w2)
+      q.processAllAvailable()
+      val winStart = udf { w: org.apache.spark.sql.Row =>
+        w.getTimestamp(0).toString }
+      val got = spark.table("hist_win")
+        .select(winStart(col("win")).as("ws"), col("group"), col("bucket"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      def batchHist(rows: Seq[(Timestamp, String, Long)], ws: String) =
+        graft.operators.Sketches.histCounts(
+            rows.map(x => (x._2, x._3)).toDF("g", "v"), col("g"), col("v"))
+          .collect().map(r => (ws, r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batchHist(w1, "2024-01-01 00:00:00.0") ++
+                    batchHist(w2, "2024-01-01 00:10:00.0"))
+      // a closed window's slice answers percentiles exactly like batch
+      val w1Counts = spark.table("hist_win")
+        .filter(winStart(col("win")) === "2024-01-01 00:00:00.0")
+        .select(col("group"), col("bucket"), col("cnt"))
+      val qs = graft.operators.Sketches.histQuantiles(w1Counts, Seq(50, 99))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3))).toSet
+      val qsBatch = graft.operators.Sketches.histQuantiles(
+          graft.operators.Sketches.histCounts(
+            w1.map(x => (x._2, x._3)).toDF("g", "v"), col("g"), col("v")),
+          Seq(50, 99))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3))).toSet
+      assert(qs == qsBatch && qs.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize accumulates per-user state (batch semantics check)") {
     import spark.implicits._
     // state logic is exercised in batch mode via groupByKey+flatMapGroups

@@ -176,4 +176,22 @@ class SyntaxSpec extends AnyFunSuite {
       .count() == 0)
     assert(sampled.select(col("cluster")).distinct().count() == 2)
   }
+
+  test("round-8 fluent surface: classifier train/score/gate, quantile histogram") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.operators.Classifier
+      .withSeedLabel(docs, col("text"))
+      .trainClassifier(col("text"), col("label"))
+    assert(model.columns.toSeq == Seq("feature", "n_pos", "n_neg", "weight_e6"))
+    val tau = graft.operators.Classifier.meanPolarityE6(model)
+    val scored = docs.classifierScore(col("text"), model, tauE6 = tau)
+    assert(scored.columns.contains("margin_e6") && scored.columns.contains("pred"))
+    val gated = docs.classifierGate(col("text"), model, tauE6 = tau)
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated < docs.count())
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val hist = ev.histCounts(col("event_type"), round(col("value") * 1e6).cast("long"))
+    val qs = hist.histQuantiles(Seq(50, 95))
+    assert(qs.count() == hist.select(col("group")).distinct().count() * 2)
+  }
 }
