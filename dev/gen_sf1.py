@@ -87,8 +87,36 @@ def gen_embeddings(nprng):
     pq.write_table(tbl, f"{OUT}/embeddings.parquet")
 
 
+def gen_events(nprng):
+    """1M events mirroring the driver table's shape (timestamp[us] naive =
+    TIMESTAMP_NTZ under Spark 4, same type mix / value range / user ids),
+    plus the skew the quantile-histogram family should absorb: one event
+    type ('error') gets a heavy-tailed lognormal value distribution so the
+    log-bucket histogram sees both dense low buckets and a sparse tail."""
+    n = 1_000_000
+    start_us = 1_704_067_200_000_000  # 2024-01-01 UTC in epoch micros
+    ts = start_us + nprng.integers(0, 30 * 86_400_000_000, n)
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    tix = nprng.integers(0, 5, n)
+    value = np.round(nprng.uniform(0.0, 500.0, n), 2)
+    heavy = np.round(np.minimum(nprng.lognormal(2.0, 1.5, n), 500.0), 2)
+    value = np.where(tix == 1, heavy, value)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array(nprng.integers(0, 15_000, n), type=pa.int64()),
+        "event_type": pa.array(types[tix].tolist(), type=pa.string()),
+        "value": pa.array(value, type=pa.float64()),
+        "props": pa.array(['{"k": %d}' % k for k in nprng.integers(0, 100, n)],
+                          type=pa.string()),
+    })
+    pq.write_table(tbl, f"{OUT}/events.parquet")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_documents(random.Random(SEED))
     gen_embeddings(np.random.default_rng(SEED))
-    print(f"wrote {OUT}/documents.parquet (50k) and embeddings.parquet (20k)")
+    gen_events(np.random.default_rng(SEED + 1))
+    print(f"wrote {OUT}/documents.parquet (50k), embeddings.parquet (20k), "
+          "events.parquet (1M)")

@@ -1321,6 +1321,28 @@ object SparkEntry {
         .orderBy(col("event_type"), col("p"))
     }),
 
+    // collocation mining: word2vec phrase scores (discounted lift) over
+    // adjacent token pairs — the phrase-aware-vocabulary pass; pair and
+    // unigram counts are vocab-keyed shuffles, N is the whitelisted 1-row
+    // stat cross join, top-k is TakeOrdered.
+    "q165_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(Tables.load(s, dir, "documents"), col("text"),
+        k = 50, minCount = 10L, discount = 5L)
+    }),
+
+    // scalar int8 quantization (faiss SQ8): per-dim affine codes from a
+    // 64×(min,max) model, decode + exact cosine top-5 per query over the
+    // reconstructions — the 4× compression tier measured end-to-end.
+    "q166_scalar_quant" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (mins, maxs) = Similarity.collectScalarModel(
+        Similarity.scalarQuantModel(e, col("embedding")))
+      Similarity.bruteTopKQuantized(e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
+          k = 5, mins = mins, maxs = maxs)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // persisted histogram store: build on even event_ids, fold in the odd
     // half (crash-safe staged swap), read back the merged counters — the
     // oracle replays the FULL histogram, so the merge itself is verified.
@@ -3001,6 +3023,49 @@ object SparkEntry {
        "AND len(list_intersect(a.s, b.s)) * 5 >= " +
        "4 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) " +
        "ORDER BY doc_id"),
+
+    // collocations: full replay — same counts, same ONE double expression
+    // tree for the discounted-lift score (int->double conversions and each
+    // IEEE op are correctly rounded in both engines), same top-50 cut
+    "q165_collocations" ->
+      ("WITH t AS (SELECT string_split(text,' ') AS ws FROM documents), " +
+       "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM " +
+       "(SELECT unnest(ws) AS w FROM t) GROUP BY w), " +
+       "nn AS (SELECT CAST(sum(c) AS DOUBLE) AS nd FROM uni), " +
+       "pr AS (SELECT ws[pos] AS t1, ws[pos+1] AS t2 FROM " +
+       "(SELECT ws, unnest(generate_series(1, len(ws)-1)) AS pos FROM t)), " +
+       "pc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c_pair FROM pr " +
+       "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+       "sc AS (SELECT t1, t2, c_pair, u1.c AS c1, u2.c AS c2, " +
+       "CAST(round(((c_pair - 5)::DOUBLE * (SELECT nd FROM nn)) * 1000000.0 " +
+       "/ (u1.c::DOUBLE * u2.c::DOUBLE)) AS BIGINT) AS score_e6 " +
+       "FROM pc JOIN uni u1 ON pc.t1 = u1.w JOIN uni u2 ON pc.t2 = u2.w) " +
+       "SELECT t1, t2, c_pair, c1, c2, score_e6 FROM sc " +
+       "ORDER BY score_e6 DESC, t1, t2 LIMIT 50"),
+
+    // scalar quantization: full replay — per-dim min/max model, the exact
+    // encode/decode expression tree (round half-up on nonneg args matches,
+    // the -127/+127 shift is exact on integer-valued doubles, FLOAT
+    // downcast correctly rounded), then the q18 cosine top-5 machinery
+    // over the reconstructions
+    "q166_scalar_quant" ->
+      ("WITH m AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +
+       "max(CAST(embedding[i] AS DOUBLE)) AS mx " +
+       "FROM embeddings, (SELECT unnest(generate_series(1,64)) AS i) GROUP BY i), " +
+       "ml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM m), " +
+       "d AS (SELECT vec_id, [CAST(ml.mns[i] + (((CASE WHEN ml.mxs[i] = ml.mns[i] THEN 0.0 " +
+       "ELSE round(254.0 * (CAST(embedding[i] AS DOUBLE) - ml.mns[i]) / (ml.mxs[i] - ml.mns[i])) - 127.0 END) " +
+       "+ 127.0) * (ml.mxs[i] - ml.mns[i])) / 254.0 AS FLOAT) " +
+       "FOR i IN generate_series(1,64)] AS e FROM embeddings, ml), " +
+       "e2 AS (SELECT vec_id, e, " +
+       "sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN e])) AS nrm FROM d), " +
+       "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "list_sum([CAST(q.e[i] AS DOUBLE)*CAST(c.e[i] AS DOUBLE) FOR i IN generate_series(1,64)])" +
+       "/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM e2 WHERE vec_id < 10) q, e2 c WHERE c.vec_id != q.vec_id) " +
+       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 " +
+       "ORDER BY query_id, neighbor_id"),
 
     // HDR quantile histogram: full integer replay (e6 quantize, bin-length
     // log bucket, group-partitioned cumulative rank, lower-bound decode)

@@ -38,6 +38,95 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Hard cap on the scalar-quantization dimension: the per-dim (min, max)
+    * model is collected to the driver and inlined as plan literals. */
+  val MaxScalarQuantDim = 4096
+
+  /**
+   * Fit the scalar (per-dimension affine) int8 quantization model: each
+   * dimension's corpus (min, max). One posexplode + groupBy(dim) pass —
+   * the shuffle carries map-side-combined (dim, partial-min, partial-max)
+   * rows, ≤ dim per task regardless of corpus size. Output:
+   * (dim_idx, min_v, max_v), dim rows.
+   */
+  def scalarQuantModel(df: DataFrame, vecCol: Column): DataFrame =
+    df.select(posexplode(vecCol).as(Seq("dim_idx", "__v")))
+      .groupBy(col("dim_idx"))
+      .agg(min(col("__v").cast("double")).as("min_v"),
+           max(col("__v").cast("double")).as("max_v"))
+
+  /** Collect a [[scalarQuantModel]] into dense (mins, maxs) arrays —
+    * bounded by construction: the model has exactly `dim` ≤
+    * [[MaxScalarQuantDim]] rows. */
+  def collectScalarModel(model: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = model.select(col("dim_idx").cast("int"),
+        col("min_v"), col("max_v")).collect()
+    require(rows.length <= MaxScalarQuantDim,
+      s"scalar-quant model has ${rows.length} dims > cap $MaxScalarQuantDim " +
+      "(the model is inlined as plan literals; reduce dims, e.g. via randomProject)")
+    val mins = new Array[Double](rows.length)
+    val maxs = new Array[Double](rows.length)
+    rows.foreach { r => mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2) }
+    (mins, maxs)
+  }
+
+  /**
+   * Scalar int8 quantization — the 4× compression tier of the ANN stack
+   * (float32 → one byte per dimension, the standard faiss `SQ8` scheme):
+   *
+   *   code_d = round(254 · (v_d − min_d) / (max_d − min_d)) − 127 ∈ [−127, 127]
+   *   (degenerate dimension max == min ⇒ code 0)
+   *
+   * and decoding maps code_d back to `min_d + (code_d+127)·span_d/254`,
+   * re-rounded to float32. Both directions are pure codegen'd `transform`
+   * expressions over plan-literal (min, max) arrays — no UDF, no shuffle,
+   * and every step (int→double conversion, each IEEE op, the float
+   * downcast) is correctly rounded, so an external engine evaluating the
+   * same expression tree reproduces codes and decoded vectors
+   * bit-for-bit. Composes in front of brute/IVF exactly like
+   * [[randomProject]]: quantize once at ingest, run every later
+   * similarity pass over 1/4 the bytes.
+   */
+  def scalarQuantize(df: DataFrame, vecCol: Column,
+                     mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    require(mins.length == maxs.length && mins.nonEmpty, "empty scalar-quant model")
+    val mn = typedLit(mins)
+    val mx = typedLit(maxs)
+    df.withColumn("codes", transform(vecCol, (v, i) => {
+      val lo = element_at(mn, i + 1)
+      val span = element_at(mx, i + 1) - lo
+      when(span === 0.0, lit(0))
+        .otherwise((round(lit(254.0) * (v.cast("double") - lo) / span) - 127.0).cast("int"))
+    }))
+  }
+
+  /** Decode int8 codes back to float32 vectors (the scoring-side inverse
+    * of [[scalarQuantize]] — same plan-literal model, pure map). */
+  def scalarDecode(codes: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mn = typedLit(mins)
+    val mx = typedLit(maxs)
+    transform(codes, (c, i) => {
+      val lo = element_at(mn, i + 1)
+      val span = element_at(mx, i + 1) - lo
+      (lo + (c.cast("double") + 127.0) * span / 254.0).cast("float")
+    })
+  }
+
+  /** Exact cosine top-k over the QUANTIZED corpus: quantize + decode both
+    * sides with one model, then [[bruteTopK]] on the reconstructions —
+    * the accuracy/compression trade measured end-to-end (the spec pins
+    * recall vs the unquantized brute top-k). */
+  def bruteTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                         corpusId: Column, queryId: Column,
+                         corpusVec: Column, queryVec: Column, k: Int,
+                         mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    val c = scalarQuantize(corpus, corpusVec, mins, maxs)
+      .withColumn("__dec", scalarDecode(col("codes"), mins, maxs))
+    val q = scalarQuantize(queries, queryVec, mins, maxs)
+      .withColumn("__dec", scalarDecode(col("codes"), mins, maxs))
+    bruteTopK(c, q, corpusId, queryId, col("__dec"), col("__dec"), k)
+  }
+
   /**
    * Signed random projection — the ±1 Johnson-Lindenstrauss sketch
    * (Achlioptas 2003): project `dim`-d embeddings to `outDim` dimensions

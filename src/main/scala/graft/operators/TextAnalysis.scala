@@ -335,6 +335,62 @@ object TextAnalysis {
   }
 
   /**
+   * Collocation (phrase) mining — the word2vec phrase-detection statistic
+   * (Mikolov et al. 2013, "Distributed Representations of Words and
+   * Phrases", eq. 6): adjacent pair (a, b) scores
+   *
+   *   score(a,b) = (count(ab) − δ) · N / (count(a) · count(b))
+   *
+   * where δ discounts rare accidents and N is the corpus token count —
+   * high score ⇒ "a b" co-occur far above independence and should become
+   * one vocabulary unit ("new york"). The classic pre-tokenizer pass for
+   * building phrase-aware BPE/unigram vocabularies.
+   *
+   * Exactness: the score is evaluated as ONE fixed double expression tree
+   * — `((c_ab − δ)·N)·1e6 / (c_a·c_b)` with each count converted exactly
+   * int→double — so any IEEE-754 engine computing the same tree produces
+   * the identical bit pattern (the house double-fold contract), rounded
+   * to a BIGINT `score_e6`.
+   *
+   * Plan: pair counts and unigram counts are two map-side-combined
+   * groupBys (pair-/vocab-keyed, never corpus-row-keyed); the pair table
+   * joins the unigram table twice by plain equi-join (AQE broadcasts a
+   * small vocabulary on its own); N is ONE agg row cross-joined in — the
+   * whitelisted scalar-stat shape. Top-k is TakeOrdered, not a global
+   * sort. `minCount` prunes the pair table BEFORE the joins, so the
+   * scored relation is bounded by genuinely frequent pairs.
+   */
+  def collocations(df: DataFrame, textCol: Column, k: Int,
+                   minCount: Long = 5L, discount: Long = 5L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount > discount,
+      s"minCount ($minCount) must exceed discount ($discount) so scores stay positive")
+    val ws = tokens(textCol)
+    val uni = df.select(explode(ws).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val n = size(ws)
+    val pairExpr = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("t1"), b.as("t2")))
+    val pairs = df.select(explode(pairExpr).as("__p"))
+      .select(col("__p.t1").as("t1"), col("__p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+    val tot = uni.agg(sum(col("__c")).cast("double").as("__nd"))
+    pairs
+      .join(uni.select(col("__w").as("t1"), col("__c").as("c1")), Seq("t1"))
+      .join(uni.select(col("__w").as("t2"), col("__c").as("c2")), Seq("t2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score_e6",
+        round(((col("c_pair") - lit(discount)).cast("double") * col("__nd"))
+          * lit(1000000.0)
+          / (col("c1").cast("double") * col("c2").cast("double"))).cast("long"))
+      .select(col("t1"), col("t2"), col("c_pair"), col("c1"), col("c2"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("t1"), col("t2")).limit(k)
+  }
+
+  /**
    * Bigram fluency score — the language-model quality signal of the CCNet
    * recipe (score each document by how probable its token sequence is
    * under a corpus-trained model), with the LM reduced to an exactly

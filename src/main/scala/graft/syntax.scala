@@ -341,5 +341,8 @@ object syntax {
       Sketches.histCounts(df, group, valueE6)
     def histQuantiles(ps: Seq[Int]): DataFrame =
       Sketches.histQuantiles(df, ps)
+    def collocations(text: Column, k: Int, minCount: Long = 5L,
+                     discount: Long = 5L): DataFrame =
+      TextAnalysis.collocations(df, text, k, minCount, discount)
   }
 }

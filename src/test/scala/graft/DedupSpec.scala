@@ -526,6 +526,52 @@ class DedupSpec extends AnyFunSuite {
     assert(viaHn == brute && brute.nonEmpty)
   }
 
+  test("scalarQuantize: codes are int8-ranged, encode/decode replays locally, recall holds") {
+    val model = Similarity.scalarQuantModel(embs, col("embedding"))
+    val (mins, maxs) = Similarity.collectScalarModel(model)
+    assert(mins.length == 64 && maxs.length == 64)
+    val rows = Similarity.scalarQuantize(embs, col("embedding"), mins, maxs)
+      .withColumn("dec", Similarity.scalarDecode(col("codes"), mins, maxs))
+      .select(col("vec_id"), col("embedding"), col("codes"), col("dec"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val codes = r.getSeq[Int](2)
+      val dec = r.getSeq[Float](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      codes.indices.foreach { i =>
+        val span = maxs(i) - mins(i)
+        val want = if (span == 0.0) 0
+                   else (math.round(254.0 * (v(i).toDouble - mins(i)) / span) - 127L).toInt
+        assert(codes(i) == want, s"code dim $i of ${r.getLong(0)}")
+        val wantDec = (mins(i) + (want.toDouble + 127.0) * span / 254.0).toFloat
+        assert(dec(i) == wantDec, s"decode dim $i")
+        // quantization error bounded by half a step
+        assert(math.abs(dec(i) - v(i)) <= span / 254.0 / 2 + 1e-6, s"err dim $i")
+      }
+    }
+    // degenerate constant dimension quantizes to code 0, decodes to itself
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val const = Seq((1L, Array(5.0f, 1.0f)), (2L, Array(5.0f, 3.0f))).toDF("id", "v")
+    val cm = Similarity.collectScalarModel(Similarity.scalarQuantModel(const, col("v")))
+    val cRows = Similarity.scalarQuantize(const, col("v"), cm._1, cm._2)
+      .select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(cRows.forall(_.head == 0))
+    // end-to-end: quantized top-5 recalls >= 60% of the exact brute top-5
+    // (64-d gaussian data at 1/4 the bytes; ties/borders cost a few slots)
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteTopKQuantized(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 5, mins, maxs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant.size == brute.size)
+    assert((brute intersect quant).size * 10 >= brute.size * 6,
+      s"recall ${(brute intersect quant).size}/${brute.size}")
+  }
+
   test("labelVote composes with the IVF pair set (vote source agnostic)") {
     val q = embs.filter(col("vec_id") < 5)
     val brute = Similarity.knnClassify(embs, q, col("vec_id"), col("vec_id"),
@@ -700,6 +746,30 @@ class DedupSpec extends AnyFunSuite {
     // single-token docs contribute no pairs
     assert(TextAnalysis.adjacentPairCounts(Seq((3L, "solo")).toDF("id", "t"),
       col("t"), 5).count() == 0)
+  }
+
+  test("collocations: hand-computed word2vec phrase scores, minCount prune, contract guard") {
+    import spark.implicits._
+    // "new york" appears 3x; "the the" 2x; singles pad unigram counts
+    val df = Seq(
+      (1L, "new york new york the the"),
+      (2L, "new york the cat")
+    ).toDF("id", "t")
+    // tokens: new=3 york=3 the=3 cat=1, N=10
+    // pairs: (new,york)=3 (york,new)=1 (york,the)=2 (the,the)=1 (the,cat)=1
+    val got = TextAnalysis.collocations(df, col("t"), k = 10,
+        minCount = 2L, discount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    def score(cab: Long, c1: Long, c2: Long): Long =
+      math.round((cab - 1).toDouble * 10.0 * 1000000.0 / (c1.toDouble * c2.toDouble))
+    // minCount=2 keeps (new,york) and (york,the) only
+    assert(got == List(
+      ("new", "york", 3L, 3L, 3L, score(3, 3, 3)),   // 2·10/9 ≈ 2.22e6
+      ("york", "the", 2L, 3L, 3L, score(2, 3, 3)))) // 1·10/9 ≈ 1.11e6
+    intercept[IllegalArgumentException] {
+      TextAnalysis.collocations(df, col("t"), k = 5, minCount = 3L, discount = 5L)
+    }
   }
 
   test("withDuplicatedSpans: hand-computed cross-doc 5-gram duplication") {

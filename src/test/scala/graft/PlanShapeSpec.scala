@@ -191,4 +191,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window expected in the fluency plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("classifier scoring: dense-broadcast margin sum is a pure map — zero exchange") {
+    val model = operators.Classifier.trainFromSeed(docs, col("text"))
+    val scored = operators.Classifier.scoreWith(docs, col("text"), model)
+    val plan = formatted(scored)
+    assert(shuffleCount(scored) == 0, plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("classifier training: one exchange, keyed by the dim-bounded feature id") {
+    val m = operators.Classifier.train(
+      operators.Classifier.withSeedLabel(docs, col("text")),
+      col("text"), col("label"))
+    val plan = formatted(m)
+    assert(shuffleCount(m) == 1, plan)
+    assert(plan.contains("HashAggregate"), plan) // map-side partial agg
+  }
+
+  test("quantile histogram: one sketch-sized exchange; percentile decode joins nothing") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val h = operators.Sketches.histCounts(ev, col("event_type"),
+      round(col("value") * 1e6).cast("long"))
+    assert(shuffleCount(h) == 1, formatted(h))
+    val qs = operators.Sketches.histQuantiles(h, Seq(50, 99))
+    val plan = formatted(qs)
+    // windows + explode + rank filter all ride the single group clustering:
+    // counts shuffle (1) + window re-cluster by group (1); no join at all
+    assert(shuffleCount(qs) <= 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

@@ -33,6 +33,8 @@ class QueriesSpec extends AnyFunSuite {
     "q89_hybrid" -> "rerank stage: ≤50 BM25 candidates × the query vector row",
     "q135_source_overlap" -> "the group-PAIR table: G² rows of source labels (report-sized by contract); the register joins onto it are equi-joins",
     "q145_profile" -> "per profiled column, ONE basic-stats agg row joins ONE estimator row — the literal group key folds, leaving a 1×1 broadcast join (q127's shape)",
+    "q165_collocations" -> "corpus token count N is ONE agg row cross-joined into the pair-score projection (q81's stat shape)",
+    "q166_scalar_quant" -> "composes the q18 brute baseline over int8-reconstructed vectors (batch broadcast-small)",
   )
 
   /** Queries ALLOWED a Window with an empty partitionSpec (single-task
