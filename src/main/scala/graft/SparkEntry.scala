@@ -1360,6 +1360,24 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // the telemetry put to work: per-type p99 thresholds from the q164
+    // store gate the raw events map-side (broadcast ≤ one row per type) —
+    // "alert on above-p99 values" with the cut frozen at store-build time.
+    "q167_hist_outliers" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = round(col("value") * 1e6).cast("long")
+      val path = storedOnce("histstore_q164", dir) { p =>
+        Sketches.buildHistStore(ev.filter(col("event_id") % 2 === 0),
+          col("event_type"), v, p)
+        Sketches.mergeIntoHistStore(ev.filter(col("event_id") % 2 === 1),
+          col("event_type"), v, p)
+      }
+      Sketches.histOutliers(ev, col("event_type"), v,
+          Sketches.readHistStore(s, path), p = 99)
+        .select(col("event_id"), col("event_type"), col("v_e6"), col("p_lb_e6"))
+        .orderBy(col("event_id"))
+    }),
+
     // curriculum ordering: 4 quality stages (longest docs first as the
     // easy tier), deterministic within-stage shuffle, dense global rank.
     "q125_curriculum" -> ((s, dir) => {
@@ -3087,6 +3105,21 @@ object SparkEntry {
     "q164_hist_store_merge" ->
       (s"WITH $histCountsSql " +
        "SELECT grp AS event_type, bucket, cnt FROM q ORDER BY event_type, bucket"),
+
+    // outlier gate: the same replay derives each type's p99 bucket lower
+    // bound, then the raw events filter against it
+    "q167_hist_outliers" ->
+      (s"WITH $histCountsSql, " +
+       "c AS (SELECT grp, bucket, cnt, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM q), " +
+       "t AS (SELECT grp, sum(cnt) AS total FROM q GROUP BY grp), " +
+       "s AS (SELECT c.grp, min(c.bucket) AS bucket FROM c JOIN t ON c.grp = t.grp " +
+       "AND c.cum >= (99*t.total + 99)//100 GROUP BY 1), " +
+       "th AS (SELECT grp, CAST(CASE WHEN bucket < 64 THEN bucket " +
+       "ELSE (((bucket-64) & 31) + 32) << ((bucket-64)//32 + 1)::INT END AS BIGINT) AS p_lb_e6 FROM s) " +
+       "SELECT event_id, event_type, CAST(round(value*1000000) AS BIGINT) AS v_e6, p_lb_e6 " +
+       "FROM events JOIN th ON events.event_type = th.grp " +
+       "AND CAST(round(value*1000000) AS BIGINT) >= p_lb_e6 " +
+       "ORDER BY event_id"),
 
     // merge transparency: the stored-and-merged registers must equal one
     // full-corpus pass, so the oracle is the same replay as q129

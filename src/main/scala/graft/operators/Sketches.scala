@@ -537,4 +537,24 @@ object Sketches {
   def readHistStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .groupBy(col("group"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Percentile outlier gate — the telemetry put to work: keep rows whose
+   * value reaches their group's p-th-percentile bucket in a (typically
+   * persisted) histogram. The thresholds are ≤ one row per group
+   * ([[histQuantiles]] output), broadcast against the stream of rows —
+   * a pure map-side filter at any input size, and the cut is the decoded
+   * bucket lower bound, so the rule is integer-exact and SQL-replayable.
+   * The classic "alert on above-p99 latency" / "quarantine outlier-sized
+   * documents" shape with the threshold FROZEN at histogram-build time.
+   */
+  def histOutliers(df: DataFrame, groupCol: Column, valueE6: Column,
+                   counts: DataFrame, p: Int): DataFrame = {
+    val th = histQuantiles(counts, Seq(p))
+      .select(col("group").as("__hg"), col("lb_e6").as("p_lb_e6"))
+    df.withColumn("__g", groupCol).withColumn("v_e6", valueE6)
+      .join(broadcast(th), col("__g") === col("__hg"))
+      .filter(col("v_e6") >= col("p_lb_e6"))
+      .drop("__g", "__hg")
+  }
 }

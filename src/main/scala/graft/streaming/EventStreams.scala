@@ -538,6 +538,37 @@ object EventStreams {
   }
 
   /**
+   * Streaming histogram-store ingest — the quantile twin of
+   * [[ingestSketchStores]]: each micro-batch OVERWRITES its own
+   * `batch_id=` partition with its own histogram rows (replay-safe by
+   * layout — a retried batch rewrites, never double-merges), and readers
+   * fold the partitions through
+   * [[graft.operators.Sketches.readHistStore]]'s SUM merge. Same flat-
+   * store layout guard as the HLL/CMS sink.
+   */
+  def ingestHistStore(events: DataFrame, groupColName: String,
+                      valueE6: org.apache.spark.sql.Column, path: String,
+                      checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val hconf = events.sparkSession.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    require(!marker.getFileSystem(hconf).exists(marker),
+      s"ingestHistStore: $path holds a FLAT histogram store; move its rows " +
+      s"into a partition first (e.g. rewrite to $path/batch_id=-1) so the " +
+      "streaming batch_id= layout can append beside the history")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches
+          .histCounts(batch, col(groupColName), valueE6)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$path/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming quantile telemetry per event-time window: the HDR log-bucket
    * histogram ([[graft.operators.Sketches.hdrBucket]] arithmetic) grouped
    * by a tumbling window under a watermark. State is bounded by open

@@ -344,5 +344,8 @@ object syntax {
     def collocations(text: Column, k: Int, minCount: Long = 5L,
                      discount: Long = 5L): DataFrame =
       TextAnalysis.collocations(df, text, k, minCount, discount)
+    def histOutliers(group: Column, valueE6: Column, counts: DataFrame,
+                     p: Int): DataFrame =
+      Sketches.histOutliers(df, group, valueE6, counts, p)
   }
 }

@@ -243,6 +243,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows(Sketches.readHistStore(spark, tmp)) == direct)
   }
 
+  test("histOutliers keeps exactly the rows at/above the group's p-quantile bucket floor") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => ("g" + i % 2, (i.toLong * 17) % 20000)).toDF("grp", "v")
+    val counts = Sketches.histCounts(df, col("grp"), col("v"))
+    val got = Sketches.histOutliers(df, col("grp"), col("v"), counts, p = 90)
+      .select(col("grp"), col("v_e6")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // independent replay: threshold per group from histQuantiles, then filter
+    val th = Sketches.histQuantiles(counts, Seq(90))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (g, v) => v >= th(g) }.toSeq.sorted
+    assert(got == want && got.nonEmpty && got.size < 300)
+  }
+
   test("histQuantiles returns the exact bucket of the rank-ceil(p·n/100) value") {
     import spark.implicits._
     val vals = (1 to 500).map(i => (i.toLong * i) % 50000).sorted

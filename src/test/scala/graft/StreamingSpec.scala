@@ -579,6 +579,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(storedC == directC)
   }
 
+  test("streaming histogram telemetry folds micro-batches into the quantile store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hist_ingest").toString
+    val input = MemoryStream[(String, Long)]
+    val events = input.toDF().toDF("grp", "v")
+    val q = graft.streaming.EventStreams.ingestHistStore(
+      events, "grp", col("v"), s"$tmp/hist", s"$tmp/ckpt")
+    val b1 = (0 until 200).map(i => ("g" + i % 2, (i.toLong * 37) % 8000))
+    val b2 = (0 until 150).map(i => ("g" + i % 2, (i.toLong * 91) % 11000))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val stored = graft.operators.Sketches.readHistStore(spark, s"$tmp/hist")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.operators.Sketches
+      .histCounts((b1 ++ b2).toDF("grp", "v"), col("grp"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == direct)
+    // flat-store guard: a root _SUCCESS marker refuses the streaming layout
+    graft.operators.Sketches.buildHistStore(
+      b1.toDF("grp", "v"), col("grp"), col("v"), s"$tmp/flat")
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.ingestHistStore(
+        events, "grp", col("v"), s"$tmp/flat", s"$tmp/ckpt2")
+    }
+    assert(err.getMessage.contains("FLAT"))
+  }
+
   test("streaming linear-classifier gate reproduces the batch scorer from the frozen store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
