@@ -1378,6 +1378,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Bloom decontamination probe: the eval set's (doc_id % 10 == 0) text
+    // fingerprints live in a persisted fixed-size bitset (built on one
+    // half, OR-merged with the other); every document is flagged by k
+    // map-side broadcast bit tests — the probed corpus never shuffles.
+    "q168_bloom_gate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sketches.bloomMightContain(docs, col("text"),
+          Sketches.readBloomStore(s, bloomStoreQ168(s, dir)), BloomM, BloomK)
+        .select(col("doc_id"), col("might_contain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // persisted Bloom store: build on half the bench set, OR-fold the
+    // rest (crash-safe staged swap), read back the merged words — the
+    // oracle replays the FULL bitset content (signed word values), so
+    // the merge and the word-packed layout are both hash-verified.
+    "q169_bloom_store_merge" -> ((s, dir) => {
+      Sketches.readBloomStore(s, bloomStoreQ168(s, dir)).orderBy(col("word"))
+    }),
+
     // curriculum ordering: 4 quality stages (longest docs first as the
     // easy tier), deterministic within-stage shuffle, dense global rank.
     "q125_curriculum" -> ((s, dir) => {
@@ -2048,6 +2068,25 @@ object SparkEntry {
     * path never exists in a partial state. Single-writer contract: the
     * check-then-write is not safe against two JVMs building the same store
     * concurrently (the driver runs Verify and Bench sequentially). */
+  // q168/q169 Bloom parameters: m = 2^20 bits (16384 words ≈ 256 KB
+  // broadcast), k = 5 — FPR (1 − e^(−k·n/m))^5 ≈ 2e-8 even at the sf1
+  // bench-set size (5k docs); the oracle replays the bitset exactly, so
+  // the flags stay hash-verified at ANY parameterization.
+  private val BloomM = 1L << 20
+  private val BloomK = 5
+
+  /** The shared q168/q169 Bloom store: bench docs (doc_id % 10 == 0),
+    * built from the % 20 half and OR-merged with the rest. */
+  private def bloomStoreQ168(s: SparkSession, dir: String): String = {
+    val bench = Tables.load(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    storedOnce("bloomstore_q168", dir) { p =>
+      Sketches.buildBloomStore(bench.filter(col("doc_id") % 20 === 0),
+        col("text"), p, BloomM, BloomK)
+      Sketches.mergeIntoBloomStore(bench.filter(col("doc_id") % 20 =!= 0),
+        col("text"), p, BloomM, BloomK)
+    }
+  }
+
   private def storedOnce(tag: String, dir: String)(write: String => Unit): String = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -3120,6 +3159,32 @@ object SparkEntry {
        "FROM events JOIN th ON events.event_type = th.grp " +
        "AND CAST(round(value*1000000) AS BIGINT) >= p_lb_e6 " +
        "ORDER BY event_id"),
+
+    // full Bloom replay: k md5-derived bit positions per text; the bench
+    // set's position set IS the bitset, and a probe is flagged iff none
+    // of its positions is missing from it (exactly the k-bit-test rule)
+    "q168_bloom_gate" ->
+      ("WITH pos AS (SELECT doc_id, " +
+       s"('0x' || substr(md5(r.range || ':bloom:' || text),1,12))::BIGINT % $BloomM AS p " +
+       s"FROM documents CROSS JOIN range($BloomK) r), " +
+       "bset AS (SELECT DISTINCT p FROM pos WHERE doc_id % 10 = 0), " +
+       "miss AS (SELECT DISTINCT doc_id FROM pos WHERE p NOT IN (SELECT p FROM bset)) " +
+       "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM miss) AS might_contain " +
+       "FROM documents ORDER BY doc_id"),
+
+    // word-packed bitset content replay: HUGEINT mask sum over each
+    // word's DISTINCT bits, then the two's-complement fold to Spark's
+    // signed longs (the q16 __sims pattern)
+    "q169_bloom_store_merge" ->
+      ("WITH pos AS (SELECT " +
+       s"('0x' || substr(md5(r.range || ':bloom:' || text),1,12))::BIGINT % $BloomM AS p " +
+       s"FROM documents CROSS JOIN range($BloomK) r WHERE doc_id % 10 = 0), " +
+       "dp AS (SELECT DISTINCT (p // 64) AS word, (p % 64) AS bit FROM pos), " +
+       s"__p2(b, pw) AS (VALUES ${(0 until 64).map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")}), " +
+       "w AS (SELECT word, sum(pw) AS s FROM dp JOIN __p2 ON dp.bit = __p2.b GROUP BY word) " +
+       "SELECT word, (CASE WHEN s >= 9223372036854775808::HUGEINT " +
+       "THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS bits " +
+       "FROM w ORDER BY word"),
 
     // merge transparency: the stored-and-merged registers must equal one
     // full-corpus pass, so the oracle is the same replay as q129

@@ -557,4 +557,125 @@ object Sketches {
       .filter(col("v_e6") >= col("p_lb_e6"))
       .drop("__g", "__hg")
   }
+
+  // ---------------------------------------------------------------------
+  // Bloom filter (the fourth merge monoid: HLL merges by MAX, CMS and the
+  // histogram by SUM, the Bloom bitset by bitwise OR)
+  // ---------------------------------------------------------------------
+
+  /**
+   * The k bit positions of a key: position_i = first 48 md5 bits of
+   * "i:salt:key" mod mBits — the [[cmsCol]] derivation pointed at one
+   * shared bit space instead of per-row counter arrays. Replayable in any
+   * engine with md5 (the same contract as every other sketch here), and
+   * the k hashes are independent by salt-index, the standard partitioned-
+   * hash construction.
+   */
+  def bloomPositions(key: Column, mBits: Long, k: Int,
+                     salt: String = "bloom"): Column = {
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    require(mBits >= 64 && mBits <= (1L << 40),
+      s"mBits must be in [64, 2^40], got $mBits")
+    array((0 until k).map(i =>
+      conv(substring(md5(concat(lit(s"$i:$salt:"), key.cast("string"))
+        .cast("binary")), 1, 12), 16, 10).cast("long") % mBits): _*)
+  }
+
+  /**
+   * Word-packed Bloom bitset rows `(word, bits)` for a key column: bit p
+   * lives at bit `p % 64` of word `p div 64`. The table is at most
+   * ceil(mBits/64) rows NO MATTER how many keys were added (m = 2^23 bits
+   * ⇒ 131072 rows ≈ 2 MB) — that fixed size is what makes the membership
+   * join broadcastable at any reference-set cardinality, where a join
+   * against the raw reference set would shuffle the probed corpus.
+   * Duplicate keys are free (OR is idempotent) and the map-side partial
+   * `bit_or` collapses each input partition to ≤ m/64 rows before the one
+   * word-keyed shuffle.
+   */
+  def bloomWords(df: DataFrame, keyCol: Column, mBits: Long, k: Int,
+                 salt: String = "bloom"): DataFrame =
+    df.select(explode(bloomPositions(keyCol, mBits, k, salt)).as("__p"))
+      .select(expr("__p div 64").as("word"),
+        call_function("shiftleft", lit(1L), (col("__p") % 64).cast("int")).as("__m"))
+      .groupBy(col("word")).agg(expr("bit_or(__m)").as("bits"))
+
+  /** Merge two word tables (same mBits/k/salt): union + per-word OR.
+    * Associative, commutative, idempotent — stores fold in any batch
+    * order, and re-merging a batch is harmless (exactly-once not
+    * required of the ingest). */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+
+  /** Persist a Bloom store (≤ mBits/64 rows). */
+  def buildBloomStore(df: DataFrame, keyCol: Column, path: String,
+                      mBits: Long, k: Int, salt: String = "bloom"): Unit =
+    bloomWords(df, keyCol, mBits, k, salt)
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Fold a batch into a persisted Bloom store — read-merge-rewrite of
+    * bitset-sized state through the same crash-safe staged swap as
+    * [[mergeIntoHllStore]]; a missing store bootstraps from the batch. */
+  def mergeIntoBloomStore(batch: DataFrame, keyCol: Column, path: String,
+                          mBits: Long, k: Int, salt: String = "bloom"): Unit = {
+    val spark = batch.sparkSession
+    recoverStaging(spark, path)
+    val fresh = bloomWords(batch, keyCol, mBits, k, salt)
+    if (!storeExists(spark, path)) {
+      fresh.repartition(1).write.mode("overwrite").parquet(path)
+    } else {
+      stagedSwap(spark, path)(tmp =>
+        bloomMerge(spark.read.parquet(path), fresh)
+          .repartition(1).write.mode("overwrite").parquet(tmp))
+    }
+  }
+
+  /** Read a Bloom store (batch-partitioned or flat), folding by the
+    * sketch's OR merge. */
+  def readBloomStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+
+  /**
+   * Membership probe: adds a boolean `might_contain` column — true iff
+   * ALL k of the key's bits are set in `words`. No false negatives ever;
+   * false positives at the classic (1 − e^(−k·n/m))^k rate, so size mBits
+   * to the reference-set cardinality (k = 5, m = 20·n gives ~3·10⁻⁴).
+   *
+   * Plan shape: k LEFT broadcast joins of the fixed-size word table
+   * against the probed stream (an absent word row means bit clear) — the
+   * probe side NEVER shuffles, whatever its size. That is the entire
+   * point of the sketch: membership against a billion-key reference set
+   * costs a megabyte broadcast per executor, not a corpus-wide join.
+   */
+  def bloomMightContain(df: DataFrame, keyCol: Column, words: DataFrame,
+                        mBits: Long, k: Int, salt: String = "bloom",
+                        flagName: String = "might_contain"): DataFrame = {
+    val withPos = df.withColumn("__bp", bloomPositions(keyCol, mBits, k, salt))
+    val joined = (0 until k).foldLeft(withPos) { (acc, i) =>
+      val w = words.select(col("word").as(s"__w$i"), col("bits").as(s"__b$i"))
+      acc.join(broadcast(w),
+        expr(s"element_at(__bp, ${i + 1}) div 64") === col(s"__w$i"), "left")
+    }
+    val allSet = (0 until k).map { i =>
+      coalesce(col(s"__b$i").bitwiseAND(
+        call_function("shiftleft", lit(1L),
+          (element_at(col("__bp"), i + 1) % 64).cast("int"))) =!= 0L,
+        lit(false))
+    }.reduce(_ && _)
+    joined.withColumn(flagName, allSet)
+      .drop((0 until k).flatMap(i => Seq(s"__w$i", s"__b$i")) :+ "__bp": _*)
+  }
+
+  /**
+   * Decontamination gate: KEEP rows that cannot be in the reference set.
+   * One-sided by construction — every true member is dropped (no false
+   * negatives), and a false positive costs a kept-anyway row of recall at
+   * the documented FPR, never contamination leaking through. The shape
+   * benchmark decontamination needs at 100 TB: the eval-set fingerprints
+   * are a fixed-size bitset every executor holds, not a join target.
+   */
+  def bloomGate(df: DataFrame, keyCol: Column, words: DataFrame,
+                mBits: Long, k: Int, salt: String = "bloom"): DataFrame =
+    bloomMightContain(df, keyCol, words, mBits, k, salt, "__bloom_hit")
+      .filter(!col("__bloom_hit")).drop("__bloom_hit")
 }

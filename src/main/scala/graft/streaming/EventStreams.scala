@@ -538,6 +538,53 @@ object EventStreams {
   }
 
   /**
+   * Streaming decontamination gate: drop arriving documents whose key
+   * might be in a FROZEN Bloom store (benchmark/eval fingerprints built
+   * and merged batch-side). Stateless — the word table is ≤ mBits/64 rows
+   * broadcast into [[graft.operators.Sketches.bloomMightContain]]'s k
+   * map-side joins, so there is no streaming aggregation state and the
+   * kept set is identical to the batch [[graft.operators.Sketches.bloomGate]]
+   * over the same store. `mBits`/`k`/`salt` must match the store's build
+   * parameters (they define the bit space).
+   */
+  def decontaminateBloom(docs: DataFrame, keyColName: String, storePath: String,
+                         mBits: Long, k: Int, salt: String = "bloom"): DataFrame = {
+    val words = graft.operators.Sketches.readBloomStore(docs.sparkSession, storePath)
+    graft.operators.Sketches.bloomGate(docs, col(keyColName), words, mBits, k, salt)
+  }
+
+  /**
+   * Streaming Bloom-store ingest — the membership twin of
+   * [[ingestHistStore]]: each micro-batch OVERWRITES its own `batch_id=`
+   * partition with its own word rows (replay-safe by layout), and readers
+   * fold the partitions through
+   * [[graft.operators.Sketches.readBloomStore]]'s OR merge — which is
+   * additionally IDEMPOTENT, so even a double-written batch cannot skew
+   * the bitset. Same flat-store layout guard as the HLL/CMS/hist sinks.
+   */
+  def ingestBloomStore(docs: DataFrame, keyColName: String, path: String,
+                       checkpoint: String, mBits: Long, k: Int,
+                       salt: String = "bloom")
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    require(!marker.getFileSystem(hconf).exists(marker),
+      s"ingestBloomStore: $path holds a FLAT Bloom store; move its rows " +
+      s"into a partition first (e.g. rewrite to $path/batch_id=-1) so the " +
+      "streaming batch_id= layout can append beside the history")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches
+          .bloomWords(batch, col(keyColName), mBits, k, salt)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$path/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming histogram-store ingest — the quantile twin of
    * [[ingestSketchStores]]: each micro-batch OVERWRITES its own
    * `batch_id=` partition with its own histogram rows (replay-safe by

@@ -347,5 +347,11 @@ object syntax {
     def histOutliers(group: Column, valueE6: Column, counts: DataFrame,
                      p: Int): DataFrame =
       Sketches.histOutliers(df, group, valueE6, counts, p)
+    def bloomMightContain(key: Column, words: DataFrame, mBits: Long,
+                          k: Int, salt: String = "bloom"): DataFrame =
+      Sketches.bloomMightContain(df, key, words, mBits, k, salt)
+    def bloomGate(key: Column, words: DataFrame, mBits: Long, k: Int,
+                  salt: String = "bloom"): DataFrame =
+      Sketches.bloomGate(df, key, words, mBits, k, salt)
   }
 }

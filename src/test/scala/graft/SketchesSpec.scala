@@ -258,6 +258,59 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty && got.size < 300)
   }
 
+  test("bloom: no false negatives, FPR tiny at sized m, flags match a position-set replay") {
+    import spark.implicits._
+    val mBits = 1L << 16
+    val k = 5
+    val members = (0 until 400).map(i => s"member_$i")
+    val fresh = (0 until 400).map(i => s"fresh_$i")
+    val words = Sketches.bloomWords(members.toDF("key"), col("key"), mBits, k)
+    val flags = Sketches.bloomMightContain(
+        (members ++ fresh).toDF("key"), col("key"), words, mBits, k)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(flags(_)), "a built key tested negative")
+    // expected FPR (1-e^(-kn/m))^k ~ 2e-8 here; allow a generous margin
+    assert(fresh.count(flags(_)) <= 2)
+    // independent replay: membership == all k positions in the built set
+    val posOf = (key: String) => (0 until k).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:bloom:$key".getBytes("UTF-8"))
+      (BigInt(1, md.take(6)) % mBits).toLong
+    }.toSet
+    val bset = members.flatMap(posOf).toSet
+    (members ++ fresh).foreach { key =>
+      assert(flags(key) == posOf(key).subsetOf(bset), s"flag mismatch for $key")
+    }
+  }
+
+  test("bloom store: build + OR-merge equals a one-pass bitset, and the gate drops exactly the flagged rows") {
+    import spark.implicits._
+    val mBits = 1L << 14
+    val k = 4
+    val keys = (0 until 300).map(i => s"doc_$i")
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_store").toString + "/store"
+    Sketches.buildBloomStore(keys.filter(_.hashCode % 2 == 0).toDF("key"),
+      col("key"), tmp, mBits, k)
+    Sketches.mergeIntoBloomStore(keys.filter(_.hashCode % 2 != 0).toDF("key"),
+      col("key"), tmp, mBits, k)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onePass = rows(Sketches.bloomWords(keys.toDF("key"), col("key"), mBits, k))
+    assert(rows(Sketches.readBloomStore(spark, tmp)) == onePass)
+    // idempotence: re-merging an already-folded batch changes nothing
+    Sketches.mergeIntoBloomStore(keys.take(100).toDF("key"), col("key"), tmp, mBits, k)
+    assert(rows(Sketches.readBloomStore(spark, tmp)) == onePass)
+    // gate == the complement of the flag set over a mixed probe stream
+    val probes = (keys.take(50) ++ (0 until 50).map(i => s"new_$i")).toDF("key")
+    val store = Sketches.readBloomStore(spark, tmp)
+    val kept = Sketches.bloomGate(probes, col("key"), store, mBits, k)
+      .collect().map(_.getString(0)).toSet
+    val flagged = Sketches.bloomMightContain(probes, col("key"), store, mBits, k)
+      .filter(col("might_contain")).collect().map(_.getString(0)).toSet
+    assert(kept == probes.collect().map(_.getString(0)).toSet -- flagged)
+    assert(keys.take(50).forall(flagged.contains))
+  }
+
   test("histQuantiles returns the exact bucket of the rank-ceil(p·n/100) value") {
     import spark.implicits._
     val vals = (1 to 500).map(i => (i.toLong * i) % 50000).sorted

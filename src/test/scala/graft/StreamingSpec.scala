@@ -609,6 +609,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("FLAT"))
   }
 
+  test("streaming Bloom ingest folds micro-batches; the streaming gate matches the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_ingest").toString
+    val mBits = 1L << 14
+    val k = 4
+    val input = MemoryStream[String]
+    val docs = input.toDF().toDF("key")
+    val q = graft.streaming.EventStreams.ingestBloomStore(
+      docs, "key", s"$tmp/bloom", s"$tmp/ckpt", mBits, k)
+    val b1 = (0 until 120).map(i => s"ref_a_$i")
+    val b2 = (0 until 80).map(i => s"ref_b_$i")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "bits").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = rows(graft.operators.Sketches.readBloomStore(spark, s"$tmp/bloom"))
+    val direct = rows(graft.operators.Sketches.bloomWords(
+      (b1 ++ b2).toDF("key"), col("key"), mBits, k))
+    assert(stored == direct)
+    // the streaming decontamination gate keeps exactly what the batch gate keeps
+    val probes = (b1.take(30) ++ (0 until 30).map(i => s"clean_$i"))
+    val gateIn = MemoryStream[String]
+    val out = graft.streaming.EventStreams.decontaminateBloom(
+      gateIn.toDF().toDF("key"), "key", s"$tmp/bloom", mBits, k)
+    val gq = out.writeStream.format("memory").queryName("bloom_gate_out").start()
+    try { gateIn.addData(probes); gq.processAllAvailable() } finally gq.stop()
+    val streamed = spark.table("bloom_gate_out").collect().map(_.getString(0)).toSet
+    val batchKept = graft.operators.Sketches.bloomGate(
+        probes.toDF("key"), col("key"),
+        graft.operators.Sketches.readBloomStore(spark, s"$tmp/bloom"), mBits, k)
+      .collect().map(_.getString(0)).toSet
+    assert(streamed == batchKept && batchKept.forall(_.startsWith("clean_")))
+    // flat-store guard: a root _SUCCESS marker refuses the streaming layout
+    graft.operators.Sketches.buildBloomStore(
+      b1.toDF("key"), col("key"), s"$tmp/flat", mBits, k)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.ingestBloomStore(
+        docs, "key", s"$tmp/flat", s"$tmp/ckpt2", mBits, k)
+    }
+    assert(err.getMessage.contains("FLAT"))
+  }
+
   test("streaming linear-classifier gate reproduces the batch scorer from the frozen store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
