@@ -1343,6 +1343,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // binary sign-quantized ANN: 128-bit codes (16× smaller than the 64-d
+    // float vectors), Hamming pre-rank keeps 50 candidates per query, then
+    // exact cosine reranks to top-5 — the corpus-wide pass reads only the
+    // packed code words; the floats join back by id for candidates alone.
+    "q170_binary_ann" -> ((s, dir) => {
+      val e = Similarity.signQuantize(Tables.load(s, dir, "embeddings"),
+        col("embedding"), dim = 64, bits = 128, salt = "sb1")
+      Similarity.binaryTopK(e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("vec_id"), col("code"), col("code"),
+          col("embedding"), col("embedding"), k = 5, cand = 50)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // persisted histogram store: build on even event_ids, fold in the odd
     // half (crash-safe staged swap), read back the merged counters — the
     // oracle replays the FULL histogram, so the merge itself is verified.
@@ -3171,6 +3184,31 @@ object SparkEntry {
        "miss AS (SELECT DISTINCT doc_id FROM pos WHERE p NOT IN (SELECT p FROM bset)) " +
        "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM miss) AS might_contain " +
        "FROM documents ORDER BY doc_id"),
+
+    // full binary-ANN replay: the q120 md5 ±1 matrix with salt sb1 →
+    // per-plane sign bits → Hamming = count of disagreeing bits →
+    // 50-candidate cut (ham, id) → exact-cosine rerank (the q18 shape)
+    "q170_binary_ann" ->
+      ("WITH idx AS (SELECT i, j, CASE WHEN substr(md5(i || ':' || j || ':sb1'), 1, 1) < '8' " +
+       "THEN 1.0 ELSE -1.0 END AS sg " +
+       "FROM generate_series(0, 63) g1(i) CROSS JOIN generate_series(0, 127) g2(j)),\n" +
+       "sgm AS (SELECT j, list(sg ORDER BY i) AS srow FROM idx GROUP BY j),\n" +
+       "pj AS (SELECT vec_id, j, CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * srow[i] " +
+       "FOR i IN generate_series(1, 64)]) > 0 THEN 1 ELSE 0 END AS sb " +
+       "FROM embeddings CROSS JOIN sgm),\n" +
+       "cb AS (SELECT vec_id, list(sb ORDER BY j) AS bitsv FROM pj GROUP BY vec_id),\n" +
+       "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       "list_sum([CASE WHEN q.bitsv[t] != c.bitsv[t] THEN 1 ELSE 0 END FOR t IN generate_series(1, 128)]), " +
+       "c.vec_id) AS rn " +
+       "FROM (SELECT * FROM cb WHERE vec_id < 10) q, cb c WHERE c.vec_id != q.vec_id),\n" +
+       s"n AS ($normedEmbSql),\n" +
+       "rr AS (SELECT cand.query_id, cand.neighbor_id, " +
+       "row_number() OVER (PARTITION BY cand.query_id ORDER BY " +
+       s"($dotSqlQC)/(q.nrm*c.nrm) DESC, cand.neighbor_id) AS rn " +
+       "FROM cand JOIN n q ON q.vec_id = cand.query_id " +
+       "JOIN n c ON c.vec_id = cand.neighbor_id WHERE cand.rn <= 50)\n" +
+       "SELECT query_id, neighbor_id FROM rr WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
 
     // word-packed bitset content replay: HUGEINT mask sum over each
     // word's DISTINCT bits, then the two's-complement fold to Spark's

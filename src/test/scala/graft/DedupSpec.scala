@@ -572,6 +572,50 @@ class DedupSpec extends AnyFunSuite {
       s"recall ${(brute intersect quant).size}/${brute.size}")
   }
 
+  test("signQuantize packs the md5-hyperplane sign bits; binaryTopK recalls the brute set") {
+    val bits = 128
+    val coded = Similarity.signQuantize(embs, col("embedding"),
+      dim = 64, bits = bits, salt = "sb1")
+    // local replay: recompute the matrix + signs per row, compare the packs
+    val m = Array.tabulate(bits, 64) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j:sb1".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    coded.select(col("embedding"), col("code")).collect().foreach { r =>
+      val v = r.getSeq[Float](0)
+      val words = new Array[Long](bits / 64)
+      (0 until bits).foreach { j =>
+        var s = 0.0
+        (0 until 64).foreach(i => s += v(i).toDouble * m(j)(i))
+        if (s > 0.0) words(j >> 6) |= (1L << (j & 63))
+      }
+      assert(r.getSeq[Long](1) == words.toSeq)
+    }
+    // identical vectors get identical codes (Hamming 0); the candidate cut
+    // plus exact rerank recalls most of the true brute top-5
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(embs, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = Similarity.binaryTopK(coded, coded.filter(col("vec_id") < 10),
+        col("vec_id"), col("vec_id"), col("code"), col("code"),
+        col("embedding"), col("embedding"), k = 5, cand = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bin.size == brute.size)
+    assert((brute intersect bin).size * 10 >= brute.size * 6,
+      s"recall ${(brute intersect bin).size}/${brute.size}")
+    // cand = corpus size degenerates to the exact brute answer
+    val full = Similarity.binaryTopK(coded, coded.filter(col("vec_id") < 3),
+        col("vec_id"), col("vec_id"), col("code"), col("code"),
+        col("embedding"), col("embedding"), k = 5, cand = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute3 = Similarity.bruteTopK(embs, embs.filter(col("vec_id") < 3),
+        col("vec_id"), col("vec_id"), col("embedding"), col("embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute3)
+  }
+
   test("labelVote composes with the IVF pair set (vote source agnostic)") {
     val q = embs.filter(col("vec_id") < 5)
     val brute = Similarity.knnClassify(embs, q, col("vec_id"), col("vec_id"),

@@ -35,6 +35,7 @@ class QueriesSpec extends AnyFunSuite {
     "q145_profile" -> "per profiled column, ONE basic-stats agg row joins ONE estimator row — the literal group key folds, leaving a 1×1 broadcast join (q127's shape)",
     "q165_collocations" -> "corpus token count N is ONE agg row cross-joined into the pair-score projection (q81's stat shape)",
     "q166_scalar_quant" -> "composes the q18 brute baseline over int8-reconstructed vectors (batch broadcast-small)",
+    "q170_binary_ann" -> "Hamming pre-rank: query batch × corpus CODE column by contract (batch broadcast-small; the rerank joins are equi-joins)",
   )
 
   /** Queries ALLOWED a Window with an empty partitionSpec (single-task
