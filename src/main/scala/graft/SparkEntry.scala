@@ -1356,6 +1356,49 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // persisted binary-flat index: the SAME codes the live q170 path
+    // computes, built once into a store (narrow code column + pigeonhole
+    // block table + vectors for the refine); the search quantizes only
+    // the query batch and scans the stored codes — row-identical to the
+    // live plan, so it shares q170's full-replay oracle.
+    "q171_binary_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("binstore", dir)(p =>
+        Similarity.buildBinaryIndex(e, p, col("vec_id"), col("embedding"),
+          dim = 64, bits = 128, salt = "sb1"))
+      Similarity.binaryTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, cand = 50)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // exact multi-index Hamming near-dup gate: store the ODD originals'
+    // sign codes, then gate an int8-RECONSTRUCTED copy of the whole
+    // corpus (the q166 roundtrip — a re-encoded near-identical copy, the
+    // canonical ingest-dedup case): reconstructed odds sit within
+    // Hamming ≤ 3 of their stored original and are flagged; evens'
+    // nearest stored code is ~30 bits away and they land. maxHamming <
+    // blocks makes the pigeonhole candidate join LOSSLESS, so the flags
+    // are exact semantics the oracle replays directly — no recall bound.
+    "q172_hamming_gate" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("binhamstore", dir)(p =>
+        Similarity.buildBinaryIndex(e.filter(col("vec_id") % 2 === 1), p,
+          col("vec_id"), col("embedding"), dim = 64, bits = 128,
+          salt = "sb1", blocks = 4))
+      val (mins, maxs) = Similarity.collectScalarModel(
+        Similarity.scalarQuantModel(e, col("embedding")))
+      val batch = Similarity.scalarQuantize(e, col("embedding"), mins, maxs)
+        .select(col("vec_id"),
+          Similarity.scalarDecode(col("codes"), mins, maxs).as("rec"))
+      val kept = Similarity.dropSeenHamming(batch, col("vec_id"), col("rec"),
+          path, maxHamming = 3)
+        .select(col("vec_id").as("__kept"))
+      batch.select(col("vec_id"))
+        .join(kept, col("vec_id") === col("__kept"), "left_outer")
+        .select(col("vec_id"), col("__kept").isNull.as("is_dup"))
+        .orderBy(col("vec_id"))
+    }),
+
     // persisted histogram store: build on even event_ids, fold in the odd
     // half (crash-safe staged swap), read back the merged counters — the
     // oracle replays the FULL histogram, so the merge itself is verified.
@@ -3188,27 +3231,57 @@ object SparkEntry {
     // full binary-ANN replay: the q120 md5 ±1 matrix with salt sb1 →
     // per-plane sign bits → Hamming = count of disagreeing bits →
     // 50-candidate cut (ham, id) → exact-cosine rerank (the q18 shape)
-    "q170_binary_ann" ->
-      ("WITH idx AS (SELECT i, j, CASE WHEN substr(md5(i || ':' || j || ':sb1'), 1, 1) < '8' " +
-       "THEN 1.0 ELSE -1.0 END AS sg " +
-       "FROM generate_series(0, 63) g1(i) CROSS JOIN generate_series(0, 127) g2(j)),\n" +
-       "sgm AS (SELECT j, list(sg ORDER BY i) AS srow FROM idx GROUP BY j),\n" +
-       "pj AS (SELECT vec_id, j, CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * srow[i] " +
+    "q170_binary_ann" -> binaryAnnReplaySql,
+
+    // the stored index holds the same codes the live path computes, and
+    // the search is row-identical — one replay verifies both
+    "q171_binary_store" -> binaryAnnReplaySql,
+
+    // exact Hamming-gate replay over PACKED signed words (the q169
+    // two's-complement fold): int8-reconstruct every vector (the q166
+    // model), sign-quantize reconstructions AND the odd originals, fold
+    // each 128-bit code to two signed BIGINTs, then flag = any odd
+    // original within bit_count(xor) Hamming 3 — the pigeonhole path is
+    // lossless, so this plain semantic replay pins the gate exactly
+    "q172_hamming_gate" ->
+      (s"WITH $signMatrixSql,\n" +
+       "m AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +
+       "max(CAST(embedding[i] AS DOUBLE)) AS mx " +
+       "FROM embeddings, (SELECT unnest(generate_series(1,64)) AS i) GROUP BY i),\n" +
+       "ml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM m),\n" +
+       "d AS (SELECT vec_id, [CAST(ml.mns[i] + (((CASE WHEN ml.mxs[i] = ml.mns[i] THEN 0.0 " +
+       "ELSE round(254.0 * (CAST(embedding[i] AS DOUBLE) - ml.mns[i]) / (ml.mxs[i] - ml.mns[i])) - 127.0 END) " +
+       "+ 127.0) * (ml.mxs[i] - ml.mns[i])) / 254.0 AS FLOAT) " +
+       "FOR i IN generate_series(1,64)] AS e FROM embeddings, ml),\n" +
+       "po AS (SELECT vec_id, j, CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * srow[i] " +
        "FOR i IN generate_series(1, 64)]) > 0 THEN 1 ELSE 0 END AS sb " +
-       "FROM embeddings CROSS JOIN sgm),\n" +
-       "cb AS (SELECT vec_id, list(sb ORDER BY j) AS bitsv FROM pj GROUP BY vec_id),\n" +
-       "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-       "list_sum([CASE WHEN q.bitsv[t] != c.bitsv[t] THEN 1 ELSE 0 END FOR t IN generate_series(1, 128)]), " +
-       "c.vec_id) AS rn " +
-       "FROM (SELECT * FROM cb WHERE vec_id < 10) q, cb c WHERE c.vec_id != q.vec_id),\n" +
-       s"n AS ($normedEmbSql),\n" +
-       "rr AS (SELECT cand.query_id, cand.neighbor_id, " +
-       "row_number() OVER (PARTITION BY cand.query_id ORDER BY " +
-       s"($dotSqlQC)/(q.nrm*c.nrm) DESC, cand.neighbor_id) AS rn " +
-       "FROM cand JOIN n q ON q.vec_id = cand.query_id " +
-       "JOIN n c ON c.vec_id = cand.neighbor_id WHERE cand.rn <= 50)\n" +
-       "SELECT query_id, neighbor_id FROM rr WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
+       "FROM embeddings CROSS JOIN sgm WHERE vec_id % 2 = 1),\n" +
+       "pr AS (SELECT vec_id, j, CASE WHEN list_sum([CAST(e[i] AS DOUBLE) * srow[i] " +
+       "FOR i IN generate_series(1, 64)]) > 0 THEN 1 ELSE 0 END AS sb " +
+       "FROM d CROSS JOIN sgm),\n" +
+       s"__p2(b, pw) AS (VALUES ${(0 until 64).map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")}),\n" +
+       "wo AS (SELECT vec_id, j // 64 AS word, sum(pw) AS s FROM po " +
+       "JOIN __p2 ON (j % 64) = __p2.b WHERE sb = 1 GROUP BY vec_id, j // 64),\n" +
+       "co AS (SELECT base.vec_id, " +
+       "COALESCE(MAX(CASE WHEN word = 0 THEN (CASE WHEN s >= 9223372036854775808::HUGEINT " +
+       "THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT END), 0) AS w0, " +
+       "COALESCE(MAX(CASE WHEN word = 1 THEN (CASE WHEN s >= 9223372036854775808::HUGEINT " +
+       "THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT END), 0) AS w1 " +
+       "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) base " +
+       "LEFT JOIN wo ON wo.vec_id = base.vec_id GROUP BY base.vec_id),\n" +
+       "wr AS (SELECT vec_id, j // 64 AS word, sum(pw) AS s FROM pr " +
+       "JOIN __p2 ON (j % 64) = __p2.b WHERE sb = 1 GROUP BY vec_id, j // 64),\n" +
+       "cr AS (SELECT base.vec_id, " +
+       "COALESCE(MAX(CASE WHEN word = 0 THEN (CASE WHEN s >= 9223372036854775808::HUGEINT " +
+       "THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT END), 0) AS w0, " +
+       "COALESCE(MAX(CASE WHEN word = 1 THEN (CASE WHEN s >= 9223372036854775808::HUGEINT " +
+       "THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT END), 0) AS w1 " +
+       "FROM (SELECT vec_id FROM embeddings) base " +
+       "LEFT JOIN wr ON wr.vec_id = base.vec_id GROUP BY base.vec_id),\n" +
+       "dup AS (SELECT DISTINCT q.vec_id FROM cr q JOIN co c ON " +
+       "bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) <= 3)\n" +
+       "SELECT e0.vec_id, e0.vec_id IN (SELECT vec_id FROM dup) AS is_dup " +
+       "FROM embeddings e0 ORDER BY e0.vec_id"),
 
     // word-packed bitset content replay: HUGEINT mask sum over each
     // word's DISTINCT bits, then the two's-complement fold to Spark's
@@ -3761,6 +3834,37 @@ object SparkEntry {
 
   private val dotSqlQC: String =
     "list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1,64)])"
+
+  /** md5 ±1 hyperplane matrix (salt sb1, 128 planes × 64 dims) as the
+    * `idx`/`sgm` CTE pair — shared by the binary-ANN replays
+    * (q170/q171/q172). */
+  private val signMatrixSql: String =
+    "idx AS (SELECT i, j, CASE WHEN substr(md5(i || ':' || j || ':sb1'), 1, 1) < '8' " +
+    "THEN 1.0 ELSE -1.0 END AS sg " +
+    "FROM generate_series(0, 63) g1(i) CROSS JOIN generate_series(0, 127) g2(j)),\n" +
+    "sgm AS (SELECT j, list(sg ORDER BY i) AS srow FROM idx GROUP BY j)"
+
+  /** Full binary-ANN replay (q170 live == q171 stored): sign bits →
+    * disagreement-count Hamming → 50-candidate (ham, id) cut →
+    * exact-cosine rerank (the q18 shape). */
+  private val binaryAnnReplaySql: String =
+    s"WITH $signMatrixSql,\n" +
+    "pj AS (SELECT vec_id, j, CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * srow[i] " +
+    "FOR i IN generate_series(1, 64)]) > 0 THEN 1 ELSE 0 END AS sb " +
+    "FROM embeddings CROSS JOIN sgm),\n" +
+    "cb AS (SELECT vec_id, list(sb ORDER BY j) AS bitsv FROM pj GROUP BY vec_id),\n" +
+    "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+    "list_sum([CASE WHEN q.bitsv[t] != c.bitsv[t] THEN 1 ELSE 0 END FOR t IN generate_series(1, 128)]), " +
+    "c.vec_id) AS rn " +
+    "FROM (SELECT * FROM cb WHERE vec_id < 10) q, cb c WHERE c.vec_id != q.vec_id),\n" +
+    s"n AS ($normedEmbSql),\n" +
+    "rr AS (SELECT cand.query_id, cand.neighbor_id, " +
+    "row_number() OVER (PARTITION BY cand.query_id ORDER BY " +
+    s"($dotSqlQC)/(q.nrm*c.nrm) DESC, cand.neighbor_id) AS rn " +
+    "FROM cand JOIN n q ON q.vec_id = cand.query_id " +
+    "JOIN n c ON c.vec_id = cand.neighbor_id WHERE cand.rn <= 50)\n" +
+    "SELECT query_id, neighbor_id FROM rr WHERE rn <= 5 ORDER BY query_id, neighbor_id"
 
   /** Exact euclidean top-5 with ties to the lower neighbor id — the oracle
     * for both lossless-PQ paths (inline q79 and stored-codes q80). */

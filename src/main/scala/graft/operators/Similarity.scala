@@ -199,7 +199,6 @@ object Similarity {
                  corpusVec: Column, queryVec: Column,
                  k: Int, cand: Int): DataFrame = {
     import graft.functions.stf
-    require(cand >= k, s"cand ($cand) must be >= k ($k)")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // EAGER (id, code) materialization before the pre-rank join: codegen
     // DEFERS a projected expression into the nested-loop join's inner
@@ -211,7 +210,22 @@ object Similarity {
     // copy of an already-narrow projection.
     val c = corpus.select(corpusId.as("neighbor_id"), corpusCode.as("__cc"))
       .localCheckpoint()
-    val q = queries.select(queryId.as("query_id"), queryCode.as("__qc"))
+    val cv = corpus.select(corpusId.as("__cid"), corpusVec.as("__cv"))
+      .withColumn("__cn", stf.vec_norm(col("__cv")))
+    binaryRank(c, cv,
+      queries.select(queryId.as("query_id"), queryCode.as("__qc")),
+      queries.select(queryId.as("__qid"), queryVec.as("__qv")), k, cand)
+  }
+
+  /** Shared Hamming-prerank + exact-cosine-rerank core behind
+    * [[binaryTopK]] (live codes) and [[binaryTopKIndexed]] (stored codes).
+    * `c` = (neighbor_id, __cc packed words) — ALREADY materialized (live:
+    * localCheckpoint; store: parquet); `cv` = (__cid, __cv, __cn). */
+  private def binaryRank(c: DataFrame, cv: DataFrame,
+                         q: DataFrame, qv0: DataFrame,
+                         k: Int, cand: Int): DataFrame = {
+    import graft.functions.stf
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
     val ham = aggregate(
       zip_with(col("__qc"), col("__cc"), (a, b) => bit_count(a.bitwiseXOR(b))),
       lit(0), (acc, x) => acc + x)
@@ -223,10 +237,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     // rerank: id-keyed equi-join back to the float vectors (corpus side),
     // query vectors broadcast — exact cosine on cand × n_queries rows only
-    val cv = corpus.select(corpusId.as("__cid"), corpusVec.as("__cv"))
-      .withColumn("__cn", stf.vec_norm(col("__cv")))
-    val qv = queries.select(queryId.as("__qid"), queryVec.as("__qv"))
-      .withColumn("__qn", stf.vec_norm(col("__qv")))
+    val qv = qv0.withColumn("__qn", stf.vec_norm(col("__qv")))
     val rn = row_number().over(
       Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
     candidates
@@ -235,6 +246,150 @@ object Similarity {
       .withColumn("__cos", stf.vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("__rn", rn).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Pigeonhole block values of a packed [[signQuantize]] code as a
+    * `blocks`-element array<long> column: block `b` is the contiguous
+    * bit slice [b·bpb, (b+1)·bpb) extracted by pure shift/mask codegen
+    * (bpb = bits/blocks; the layout constraint bpb | 64 keeps every
+    * block inside one word, and bpb ≤ 32 keeps values non-negative so
+    * external engines replay them without two's-complement care). */
+  private[graft] def codeBlocks(code: Column, bits: Int, blocks: Int): Column = {
+    val bpb = bits / blocks
+    require(blocks > 0 && bits % blocks == 0 && 64 % bpb == 0 && bpb <= 32,
+      s"codeBlocks: need bits/blocks | 64 and <= 32, got $bits bits / $blocks blocks")
+    val mask = (1L << bpb) - 1
+    array((0 until blocks).map { b =>
+      shiftrightunsigned(element_at(code, (b * bpb) / 64 + 1),
+        (b * bpb) % 64).bitwiseAND(lit(mask))
+    }: _*)
+  }
+
+  /**
+   * Build/overwrite a persisted binary-flat index under `path`:
+   * `codes` (id, code array<long> — the narrow column every search
+   * scans), `blocks` (id, b, w — one row per pigeonhole block,
+   * range-laid-out by (b, w) so [[dropSeenHamming]]'s probes co-locate
+   * with the dominant read order), `vectors` (id, vec, nrm) for the
+   * exact-cosine refine, and a parameter sidecar so probes can't
+   * silently mix hyperplane configurations. Same rebuild-crash marker
+   * contract as every other store.
+   *
+   * The block table is the multi-index-hashing layout (Norouzi et al.,
+   * "Fast Search in Hamming Space with Multi-Index Hashing"): a code
+   * splits into `blocks` contiguous slices, and any pair within Hamming
+   * distance r < blocks agrees EXACTLY on at least one slice
+   * (pigeonhole) — so radius-r search is an equi-join on (b, w) with
+   * zero recall loss, never an all-pairs scan.
+   */
+  def buildBinaryIndex(corpus: DataFrame, path: String, corpusId: Column,
+                       corpusVec: Column, dim: Int, bits: Int, salt: String,
+                       blocks: Int = 4): Unit = {
+    import graft.functions.stf
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    val coded = signQuantize(
+        corpus.select(corpusId.as("id"), corpusVec.as("vec")),
+        col("vec"), dim, bits, salt, "code")
+      .localCheckpoint() // three writes below read it — warm, not racing
+    coded.select(col("id"), col("code"))
+      .write.mode("overwrite").parquet(path + "/codes")
+    coded.select(col("id"),
+        posexplode(codeBlocks(col("code"), bits, blocks)).as(Seq("b", "w")))
+      .repartitionByRange(col("b"), col("w"))
+      .sortWithinPartitions(col("b"), col("w"))
+      .write.mode("overwrite").parquet(path + "/blocks")
+    coded.select(col("id"), col("vec"), stf.vec_norm(col("vec")).as("nrm"))
+      .write.mode("overwrite").parquet(path + "/vectors")
+    releaseCheckpoint(coded)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_binary_params",
+      s"$dim $bits $salt $blocks")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** Query a [[buildBinaryIndex]] store: quantize the (broadcast-small)
+    * query batch with the store's own hyperplanes, Hamming pre-rank
+    * against the stored `codes` column alone — the corpus-wide pass moves
+    * 16-32× fewer bytes than the floats — then exact-cosine rerank the
+    * `cand` survivors through an id-keyed equi-join against the stored
+    * `vectors`. Identical output to [[binaryTopK]] over the same corpus
+    * and parameters (the store holds the same codes the live path
+    * computes). */
+  def binaryTopKIndexed(queries: DataFrame, path: String, queryId: Column,
+                        queryVec: Column, k: Int, cand: Int): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_binary_params").trim.split(" ")
+    val (dim, bits, salt) = (params(0).toInt, params(1).toInt, params(2))
+    val q = signQuantize(
+      queries.select(queryId.as("query_id"), queryVec.as("__qv")),
+      col("__qv"), dim, bits, salt, "__qc")
+    binaryRank(
+      spark.read.parquet(path + "/codes")
+        .select(col("id").as("neighbor_id"), col("code").as("__cc")),
+      spark.read.parquet(path + "/vectors")
+        .select(col("id").as("__cid"), col("vec").as("__cv"), col("nrm").as("__cn")),
+      q.select(col("query_id"), col("__qc")),
+      q.select(col("query_id").as("__qid"), col("__qv")), k, cand)
+  }
+
+  /**
+   * Admit only the batch rows that are NOT a binary near-duplicate
+   * (Hamming distance ≤ `maxHamming` over the store's sign codes) of any
+   * row in a [[buildBinaryIndex]] store — the 1-bit member of the
+   * ingest-gate family next to the MinHash and cosine-LSH gates, and the
+   * only one that is EXACT: `maxHamming < blocks` makes the pigeonhole
+   * candidate join lossless (any within-radius pair shares a full block),
+   * so the kept set equals the brute all-pairs filter while the per-batch
+   * work is a (b, w) equi-join against the range-laid block table plus a
+   * packed-word Hamming confirm on the collided pairs only. The batch
+   * side is broadcast-small in the ingest setting; nothing accumulates
+   * outside the store.
+   *
+   * SIZING RULE: expected collisions per batch row ≈ blocks × store /
+   * 2^(bits/blocks), so `blocks` must stay small relative to code width
+   * (the default 4 × 32-bit blocks keeps random collisions near zero at
+   * any store size) — but larger radii need more blocks (r < blocks), so
+   * radius and collision width trade off exactly as in MIH.
+   */
+  def dropSeenHamming(batch: DataFrame, idCol: Column, vecCol: Column,
+                      path: String, maxHamming: Int): DataFrame = {
+    require(!batch.columns.exists(_.toLowerCase.startsWith("__bh_")),
+      "dropSeenHamming: batch must not contain __bh_* columns")
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_binary_params").trim.split(" ")
+    val (dim, bits, salt, blocks) =
+      (params(0).toInt, params(1).toInt, params(2), params(3).toInt)
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"dropSeenHamming: pigeonhole exactness needs maxHamming < blocks " +
+      s"($blocks in this store), got $maxHamming — rebuild the store with " +
+      "more blocks for a larger radius")
+    val q = signQuantize(batch.select(idCol.as("__bh_id"), vecCol.as("__bh_vec")),
+        col("__bh_vec"), dim, bits, salt, "__bh_code")
+      .select(col("__bh_id"), col("__bh_code"))
+      .localCheckpoint() // block explode + confirm below both read it
+    val probes = q.select(col("__bh_id"),
+      posexplode(codeBlocks(col("__bh_code"), bits, blocks)).as(Seq("__bh_b", "__bh_w")))
+    val cands = probes
+      .join(spark.read.parquet(path + "/blocks"),
+        col("__bh_b") === col("b") && col("__bh_w") === col("w"))
+      .select(col("__bh_id"), col("id").as("__bh_sid"))
+      .distinct()
+    val ham = aggregate(
+      zip_with(col("__bh_code"), col("__bh_scode"),
+        (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    val seen = cands
+      .join(q, "__bh_id")
+      .join(spark.read.parquet(path + "/codes")
+        .select(col("id").as("__bh_sid"), col("code").as("__bh_scode")), "__bh_sid")
+      .filter(ham <= maxHamming)
+      .select(col("__bh_id")).distinct()
+    batch.join(seen, idCol === col("__bh_id"), "left_anti")
   }
 
   /**
@@ -372,6 +527,13 @@ object Similarity {
     * so the collect is 100 TB-safe). */
   /** The one squared-euclidean kernel every centroid path shares — a fix to
     * summation order or guards lands everywhere at once. */
+  /** Drop a localCheckpoint's cached blocks (same helper as Dedup's). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   @inline private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

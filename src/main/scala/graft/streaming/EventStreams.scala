@@ -635,4 +635,82 @@ object EventStreams {
         col(groupColName).as("group"),
         graft.operators.Sketches.hdrBucket(valueE6).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Streaming binary-index ingest — the 1-bit twin of [[ingestBloomStore]]:
+   * each micro-batch OVERWRITES its own `batch_id=` partitions under the
+   * store's `codes`/`blocks`/`vectors` tables (replay-safe by layout — a
+   * retried batch rewrites, never double-appends), so readers'
+   * partition discovery folds history and new batches transparently and
+   * [[graft.operators.Similarity.dropSeenHamming]] /
+   * [[graft.operators.Similarity.binaryTopKIndexed]] see a store that
+   * grows with the stream. The parameter sidecar is written on the first
+   * batch and thereafter ENFORCED — a restart with different
+   * dim/bits/salt/blocks fails loudly instead of silently mixing two
+   * incompatible bit spaces in one store. Same flat-store layout guard as
+   * the Bloom/hist sinks: a batch-built store (root `_SUCCESS` marker)
+   * must be migrated into a `batch_id=` partition first.
+   */
+  def ingestBinaryIndex(docs: DataFrame, idColName: String,
+                        vecColName: String, path: String, checkpoint: String,
+                        dim: Int, bits: Int, salt: String, blocks: Int = 4)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.stf
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    require(!marker.getFileSystem(hconf).exists(marker),
+      s"ingestBinaryIndex: $path holds a BATCH-built binary index; move its " +
+      s"rows into partitions first (e.g. rewrite codes to " +
+      s"$path/codes/batch_id=-1) so the streaming batch_id= layout can " +
+      "append beside the history")
+    val paramsPath = path + "/_graft_binary_params"
+    val want = s"$dim $bits $salt $blocks"
+    if (graft.sources.Sidecar.exists(spark, paramsPath)) {
+      val have = graft.sources.Sidecar.readText(spark, paramsPath).trim
+      require(have == want,
+        s"ingestBinaryIndex: store at $path was built with params [$have] " +
+        s"but this stream supplies [$want] — the codes would live in two " +
+        "incompatible bit spaces")
+    } else graft.sources.Sidecar.writeText(spark, paramsPath, want)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val coded = graft.operators.Similarity
+          .signQuantize(batch.select(col(idColName).as("id"),
+            col(vecColName).as("vec")), col("vec"), dim, bits, salt, "code")
+          .localCheckpoint()
+        coded.select(col("id"), col("code"))
+          .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
+        coded.select(col("id"),
+            posexplode(graft.operators.Similarity
+              .codeBlocks(col("code"), bits, blocks)).as(Seq("b", "w")))
+          .write.mode("overwrite").parquet(s"$path/blocks/batch_id=$batchId")
+        coded.select(col("id"), col("vec"), stf.vec_norm(col("vec")).as("nrm"))
+          .write.mode("overwrite").parquet(s"$path/vectors/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * Ingest-time BINARY near-dup gate: each micro-batch is filtered
+   * against a frozen [[graft.operators.Similarity.buildBinaryIndex]]
+   * store — incoming vectors within Hamming `maxHamming` of ANY stored
+   * code are dropped before landing. The 1-bit twin of
+   * [[ingestDropSeenCosine]], and EXACT where that gate is
+   * probabilistic: the pigeonhole block join loses no within-radius pair
+   * (maxHamming < blocks), so the landed set is identical to the batch
+   * gate over the same store. Per-batch work is the (b, w) equi-join +
+   * packed-word Hamming confirm; no streaming aggregation state.
+   */
+  def ingestDropSeenHamming(docs: DataFrame, idColName: String,
+                            vecColName: String, storePath: String,
+                            outPath: String, checkpoint: String,
+                            maxHamming: Int)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(docs, outPath, checkpoint)(batch =>
+      graft.operators.Similarity
+        .dropSeenHamming(batch, col(idColName), col(vecColName), storePath,
+          maxHamming))
 }

@@ -616,6 +616,58 @@ class DedupSpec extends AnyFunSuite {
     assert(full == brute3)
   }
 
+  test("binary store: indexed search == live search; block rows recombine to the codes") {
+    val tmp = java.nio.file.Files.createTempDirectory("binidx").toString
+    Similarity.buildBinaryIndex(embs, s"$tmp/idx", col("vec_id"), col("embedding"),
+      dim = 64, bits = 128, salt = "sb1")
+    val stored = pairSet(Similarity.binaryTopKIndexed(embs.filter(col("vec_id") < 10),
+      s"$tmp/idx", col("vec_id"), col("embedding"), k = 5, cand = 50))
+    val coded = Similarity.signQuantize(embs, col("embedding"),
+      dim = 64, bits = 128, salt = "sb1")
+    val live = pairSet(Similarity.binaryTopK(coded, coded.filter(col("vec_id") < 10),
+      col("vec_id"), col("vec_id"), col("code"), col("code"),
+      col("embedding"), col("embedding"), k = 5, cand = 50))
+    assert(stored == live && stored.nonEmpty)
+    // every pigeonhole block row is exactly its slice of the packed words
+    val codes = spark.read.parquet(s"$tmp/idx/codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val blockRows = spark.read.parquet(s"$tmp/idx/blocks").collect()
+    assert(blockRows.length == codes.size * 4)
+    blockRows.foreach { r =>
+      val (id, b, w) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      val word = codes(id)((b * 32) / 64)
+      assert(((word >>> ((b * 32) % 64)) & 0xffffffffL) == w)
+    }
+  }
+
+  test("dropSeenHamming == brute Hamming filter; pigeonhole contract is loud") {
+    val tmp = java.nio.file.Files.createTempDirectory("binham").toString
+    Similarity.buildBinaryIndex(embs.filter(col("vec_id") % 2 === 1), s"$tmp/idx",
+      col("vec_id"), col("embedding"), dim = 64, bits = 128, salt = "sb1", blocks = 4)
+    // batch = the whole corpus: stored odds are Hamming-0 to themselves
+    // (must drop), evens are ~30 bits from every odd (must land)
+    val kept = Similarity.dropSeenHamming(embs, col("vec_id"), col("embedding"),
+        s"$tmp/idx", maxHamming = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val codes = Similarity.signQuantize(embs, col("embedding"),
+        dim = 64, bits = 128, salt = "sb1")
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val odds = codes.keys.filter(_ % 2 == 1).toSeq
+    val expect = codes.keys.filter(id =>
+      odds.forall(o => ham(codes(id), codes(o)) > 3)).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && !kept.exists(_ % 2 == 1))
+    // radius >= blocks would break pigeonhole exactness -> refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.dropSeenHamming(embs, col("vec_id"), col("embedding"),
+        s"$tmp/idx", maxHamming = 4)
+    }
+    assert(err.getMessage.contains("blocks"))
+  }
+
   test("labelVote composes with the IVF pair set (vote source agnostic)") {
     val q = embs.filter(col("vec_id") < 5)
     val brute = Similarity.knnClassify(embs, q, col("vec_id"), col("vec_id"),

@@ -318,6 +318,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming binary-index ingest folds micro-batches; the streaming Hamming gate matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("binary_ingest").toString
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (odds1, odds2) = all.filter(_._1 % 2 == 1).splitAt(100)
+    val input = MemoryStream[(Long, Array[Float])]
+    val docs = input.toDF().toDF("vec_id", "embedding")
+    val q = EventStreams.ingestBinaryIndex(docs, "vec_id", "embedding",
+      s"$tmp/idx", s"$tmp/ckpt", dim = 64, bits = 128, salt = "sb1")
+    try {
+      input.addData(odds1.toIndexedSeq); q.processAllAvailable()
+      input.addData(odds2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the folded store holds exactly the codes one batch pass computes
+    val streamedCodes = spark.read.parquet(s"$tmp/idx/codes")
+      .select("id", "code").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val direct = graft.operators.Similarity
+      .signQuantize(embs.filter(col("vec_id") % 2 === 1), col("embedding"),
+        dim = 64, bits = 128, salt = "sb1")
+      .select(col("vec_id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(streamedCodes == direct && streamedCodes.nonEmpty)
+    // the streaming gate lands exactly what the batch gate keeps
+    val gateIn = MemoryStream[(Long, Array[Float])]
+    val gq = EventStreams.ingestDropSeenHamming(
+      gateIn.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt_g", maxHamming = 3)
+    try { gateIn.addData(all.toIndexedSeq); gq.processAllAvailable() } finally gq.stop()
+    val landed = spark.read.parquet(s"$tmp/out").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchKept = graft.operators.Similarity
+      .dropSeenHamming(embs, col("vec_id"), col("embedding"), s"$tmp/idx", 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(landed == batchKept && landed.nonEmpty && !landed.exists(_ % 2 == 1))
+    // a restart with different params would mix two bit spaces -> refuse
+    val err1 = intercept[IllegalArgumentException] {
+      EventStreams.ingestBinaryIndex(docs, "vec_id", "embedding",
+        s"$tmp/idx", s"$tmp/ckpt2", dim = 64, bits = 128, salt = "OTHER")
+    }
+    assert(err1.getMessage.contains("bit spaces"))
+    // flat-store guard: a batch-built index refuses the streaming layout
+    graft.operators.Similarity.buildBinaryIndex(embs, s"$tmp/flat",
+      col("vec_id"), col("embedding"), dim = 64, bits = 128, salt = "sb1")
+    val err2 = intercept[IllegalArgumentException] {
+      EventStreams.ingestBinaryIndex(docs, "vec_id", "embedding",
+        s"$tmp/flat", s"$tmp/ckpt3", dim = 64, bits = 128, salt = "sb1")
+    }
+    assert(err2.getMessage.contains("BATCH-built"))
+  }
+
   test("text scrub pipeline (normalize -> redact -> fingerprint) runs per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
