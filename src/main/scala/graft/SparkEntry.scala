@@ -385,6 +385,41 @@ object SparkEntry {
         .orderBy(col("merge_rank"))
     }),
 
+    // WordPiece-style vocabulary: histogram-weighted overlapping substring
+    // counts, chars guaranteed, multi-char slots by (cnt, token) — the
+    // lookup-vocab twin of the BPE merge table. Integer counts end-to-end.
+    "q173_wordpiece_vocab" -> ((s, dir) => {
+      Wordpiece.learnVocab(Tables.load(s, dir, "documents"), col("text"),
+          vocabSize = 60, maxTokenLen = 4)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    // optimal-MaxMatch segmentation of every distinct corpus word: the
+    // fewest-token DP + longest-optimal-token walk, replayed
+    // token-for-token by the oracle's recursive-CTE DP (vocabSize 60 <
+    // whole-word coverage, so words genuinely fragment: 1-5 tokens).
+    "q174_wordpiece_segment" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val vocab = Wordpiece.learnVocab(d, col("text"), vocabSize = 60,
+          maxTokenLen = 4)
+        .select(col("token")).collect().map(_.getString(0)).toSeq
+      Wordpiece.segmentWords(d, col("text"), vocab, maxTokenLen = 4)
+        .orderBy(col("word"))
+    }),
+
+    // tokenizer application over the corpus: per-document minimal token
+    // totals (the memoized broadcast-vocab map — zero shuffle beyond the
+    // learn phase's bounded histogram).
+    "q175_wordpiece_tokens" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val vocab = Wordpiece.learnVocab(d, col("text"), vocabSize = 60,
+        maxTokenLen = 4)
+      Wordpiece.applyWordpiece(d, col("text"), vocab, maxTokenLen = 4,
+          outName = "wp_tokens")
+        .select(col("doc_id"), size(col("wp_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 from the persisted inverted index: the query reads only its
     // terms' postings (pushed IN over the sorted term column) and the
     // stats sidecar — the corpus is never touched. Same integer formula ⇒
@@ -2501,6 +2536,13 @@ object SparkEntry {
 
     // full 50-round merge table: recursive-CTE replay of the whole loop
     "q83_bpe_merges" -> Bpe.mergeTableOracleSql("documents", "text", 10000, 50),
+
+    // WordPiece family: full integer replays (substring selection; the
+    // fewest-token recursive-CTE DP; DP + longest-optimal walk)
+    "q173_wordpiece_vocab" -> Wordpiece.vocabOracleSql("documents", "text", 60),
+    "q174_wordpiece_segment" -> Wordpiece.segmentOracleSql("documents", "text", 60),
+    "q175_wordpiece_tokens" ->
+      Wordpiece.tokenCountOracleSql("documents", "doc_id", "text", 60),
 
     // lossless IVF-PQ degenerate ⇒ the same euclidean top-5 oracle
     "q85_ann_ivfpq" -> euclidTop5OracleSql,
