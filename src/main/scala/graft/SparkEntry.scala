@@ -420,6 +420,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // frozen WordPiece vocabulary store: segmentation from the store must
+    // equal the live q174 path token-for-token (the stored vocab IS the
+    // learned vocab; maxTokenLen rides the sidecar) — shares q174's
+    // full-replay oracle.
+    "q176_wordpiece_store" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val path = storedOnce("wpstore", dir)(p =>
+        Wordpiece.buildVocabStore(
+          Wordpiece.learnVocab(d, col("text"), vocabSize = 60, maxTokenLen = 4),
+          p, maxTokenLen = 4))
+      Wordpiece.segmentWordsStored(d, col("text"), path).orderBy(col("word"))
+    }),
+
+    // frozen BPE merge store + the APPLICATION rule's first driver-row
+    // verification: segment every distinct word from the stored 50-merge
+    // table; the oracle replays learning AND the GPT-2 inference loop
+    // (lowest-rank merge present, all occurrences, repeat to fixpoint).
+    "q177_bpe_segment_store" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val path = storedOnce("bpestore", dir)(p =>
+        Bpe.buildMergeStore(Bpe.learnBpe(d, col("text"), numMerges = 50), p))
+      Bpe.segmentWords(d, col("text"), Bpe.loadMergeStore(s, path))
+        .orderBy(col("word"))
+    }),
+
     // BM25 from the persisted inverted index: the query reads only its
     // terms' postings (pushed IN over the sorted term column) and the
     // stats sidecar — the corpus is never touched. Same integer formula ⇒
@@ -2543,6 +2568,13 @@ object SparkEntry {
     "q174_wordpiece_segment" -> Wordpiece.segmentOracleSql("documents", "text", 60),
     "q175_wordpiece_tokens" ->
       Wordpiece.tokenCountOracleSql("documents", "doc_id", "text", 60),
+
+    // stored vocab == learned vocab, so the store path shares q174's replay
+    "q176_wordpiece_store" -> Wordpiece.segmentOracleSql("documents", "text", 60),
+
+    // learning CTEs + the inference-loop recursive CTE (GPT-2 apply rule)
+    "q177_bpe_segment_store" ->
+      Bpe.segmentStoreOracleSql("documents", "text", 10000, 50),
 
     // lossless IVF-PQ degenerate ⇒ the same euclidean top-5 oracle
     "q85_ann_ivfpq" -> euclidTop5OracleSql,

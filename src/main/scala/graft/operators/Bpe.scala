@@ -232,7 +232,15 @@ object Bpe {
   def mergeTableOracleSql(table: String, textExpr: String, vocabWords: Int,
                           numMerges: Int): String =
     s"""WITH RECURSIVE
-       |w AS (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table),
+       |${learnCtes(table, textExpr, vocabWords, numMerges)}
+       |SELECT merge_rank, l AS "left", r AS "right" FROM mt ORDER BY merge_rank""".stripMargin
+
+  /** The learning loop's CTE block (shared by [[mergeTableOracleSql]] and
+    * [[segmentStoreOracleSql]]), ending in `mt(merge_rank, l, r)` and the
+    * distinct corpus word table `dw`. */
+  private def learnCtes(table: String, textExpr: String, vocabWords: Int,
+                        numMerges: Int): String =
+    s"""w AS (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table),
        |h AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w WHERE word <> ''
        |      GROUP BY word ORDER BY c DESC, word LIMIT $vocabWords),
        |init AS (SELECT list(struct_pack(
@@ -259,10 +267,88 @@ object Bpe {
        |       ORDER BY cnt DESC, l, r LIMIT 1) AS best
        |    FROM st WHERE iter < $numMerges
        |  ) WHERE best IS NOT NULL
-       |)
-       |SELECT CAST(g.i - 1 AS BIGINT) AS merge_rank,
-       |       merges[g.i].l AS "left", merges[g.i].r AS "right"
+       |),
+       |mt AS (SELECT CAST(g.i - 1 AS BIGINT) AS merge_rank,
+       |       merges[g.i].l AS l, merges[g.i].r AS r
        |FROM (SELECT merges FROM st ORDER BY iter DESC LIMIT 1) t,
-       |     unnest(range(1, len(merges) + 1)) AS g(i)
-       |ORDER BY merge_rank""".stripMargin
+       |     unnest(range(1, len(merges) + 1)) AS g(i)),
+       |dw AS (SELECT DISTINCT word FROM w WHERE word <> '')""".stripMargin
+
+  /**
+   * DuckDB replay of the APPLICATION rule ([[segmentWord]]) over every
+   * distinct corpus word: the learning CTEs above produce the merge
+   * table, then a second recursive CTE runs the GPT-2 inference loop —
+   * each step finds the lowest-rank merge present among a word's
+   * adjacent symbol pairs (LATERAL ORDER BY merge_rank LIMIT 1) and
+   * rewrites all its occurrences with the same `list_reduce` fold the
+   * learning replay uses ([[mergePair]]'s left-to-right non-overlap);
+   * a word finishes when no merge applies. Output (word, seg —
+   * space-joined symbols incl. the '$EndOfWord' marker), matching
+   * `segmentWords(df, textCol, merges)`.
+   */
+  def segmentStoreOracleSql(table: String, textExpr: String, vocabWords: Int,
+                            numMerges: Int): String =
+    s"""WITH RECURSIVE
+       |${learnCtes(table, textExpr, vocabWords, numMerges)},
+       |ap(word, s, done) AS (
+       |  SELECT word, array_to_string(list_append(string_split(word, ''), '$EndOfWord'), chr(31)), false FROM dw
+       |  UNION ALL
+       |  SELECT a.word,
+       |    CASE WHEN b.l IS NULL THEN a.s ELSE
+       |      list_reduce(string_split(a.s, chr(31)),
+       |        (acc, x) -> CASE WHEN x = b.r AND list_last(string_split(acc, chr(31))) = b.l
+       |                    THEN acc || x ELSE acc || chr(31) || x END) END,
+       |    b.l IS NULL
+       |  FROM ap a LEFT JOIN LATERAL (
+       |    SELECT m.l, m.r FROM mt m
+       |    JOIN (SELECT syms[i] AS pl, syms[i+1] AS pr
+       |          FROM (SELECT string_split(a.s, chr(31)) AS syms), unnest(range(1, len(syms))) g(i)) p
+       |      ON p.pl = m.l AND p.pr = m.r
+       |    ORDER BY m.merge_rank LIMIT 1
+       |  ) b ON true
+       |  WHERE NOT a.done
+       |)
+       |SELECT word, replace(s, chr(31), ' ') AS seg FROM ap WHERE done ORDER BY word""".stripMargin
+
+  /** Segment every DISTINCT corpus word under a merge table: (word, seg —
+    * space-joined subword symbols). The distinct-word table is the unit
+    * of real tokenizer work (apply memoizes per word), and what
+    * [[segmentStoreOracleSql]] replays symbol-for-symbol. */
+  def segmentWords(df: DataFrame, textCol: Column,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val rank = merges.zipWithIndex.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(rank)
+    val seg = udf { (w: String) => segmentWord(w, bc.value).mkString(" ") }
+    df.select(explode(TextAnalysis.tokens(textCol)).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("seg", seg(col("word")))
+  }
+
+  /** Persist a learned merge table under `path` (one small parquet + the
+    * house staged-marker contract) — the training artifact a pipeline
+    * freezes next to its corpus snapshot so every later ingest tokenizes
+    * under the SAME vocabulary. */
+  def buildMergeStore(merges: DataFrame, path: String): Unit = {
+    val spark = merges.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    merges.orderBy(col("merge_rank")).coalesce(1)
+      .write.mode("overwrite").parquet(path + "/merges")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** Read a [[buildMergeStore]] merge table back as the ordered pair list
+    * (bounded by numMerges — a driver-side artifact by design). */
+  def loadMergeStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[(String, String)] =
+    spark.read.parquet(path + "/merges")
+      .select(col("merge_rank"), col("left"), col("right"))
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** [[applyBpe]] against a FROZEN [[buildMergeStore]] — the serving
+    * semantic: tokens stay identical across batches until the store is
+    * retrained. */
+  def applyBpeStored(df: DataFrame, textCol: Column, path: String,
+                     outName: String = "bpe_tokens"): DataFrame =
+    applyBpe(df, textCol, loadMergeStore(df.sparkSession, path), outName)
 }

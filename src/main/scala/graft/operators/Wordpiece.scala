@@ -173,6 +173,45 @@ object Wordpiece {
       .withColumn("n_tokens", (size(split(col("seg"), " "))).cast("long"))
   }
 
+  /** Persist a learned vocabulary under `path` (small parquet + a
+    * maxTokenLen sidecar so applications can't silently segment under a
+    * different window than training selected; house staged-marker
+    * contract). */
+  def buildVocabStore(vocab: DataFrame, path: String, maxTokenLen: Int): Unit = {
+    val spark = vocab.sparkSession
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    vocab.orderBy(col("cnt").desc, col("token")).coalesce(1)
+      .write.mode("overwrite").parquet(path + "/vocab")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_wp_params",
+      maxTokenLen.toString)
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** Read a [[buildVocabStore]] back: (tokens, maxTokenLen). Bounded by
+    * vocabSize — a driver-side artifact by design. */
+  def loadVocabStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Seq[String], Int) = {
+    val maxLen = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_wp_params").trim.toInt
+    (spark.read.parquet(path + "/vocab").select(col("token"))
+      .collect().map(_.getString(0)).toSeq, maxLen)
+  }
+
+  /** [[applyWordpiece]] against a FROZEN [[buildVocabStore]] — the
+    * serving semantic: tokens stay identical across batches until the
+    * store is retrained. */
+  def applyWordpieceStored(df: DataFrame, textCol: Column, path: String,
+                           outName: String = "wp_tokens"): DataFrame = {
+    val (vocab, maxLen) = loadVocabStore(df.sparkSession, path)
+    applyWordpiece(df, textCol, vocab, maxLen, outName)
+  }
+
+  /** [[segmentWords]] against a frozen store. */
+  def segmentWordsStored(df: DataFrame, textCol: Column, path: String): DataFrame = {
+    val (vocab, maxLen) = loadVocabStore(df.sparkSession, path)
+    segmentWords(df, textCol, vocab, maxLen)
+  }
+
   // ---- DuckDB oracle generators (the [[Bpe]] convention: the oracle is
   // a pure SQL replay of the documented contract over the same parquet) ----
 

@@ -694,6 +694,32 @@ object EventStreams {
   }
 
   /**
+   * Streaming tokenization against a FROZEN [[graft.operators.Bpe]]
+   * merge store: each micro-batch lands with a `bpe_tokens` column
+   * segmented under the store's vocabulary — the serving semantic
+   * (identical tokens across batches until the store is retrained), the
+   * tokenizer member of the frozen-model family next to
+   * [[classifyLinear]] and [[scoreFluencyIndexed]]. Stateless: the merge
+   * table is a bounded broadcast, segmentation a memoized per-row map.
+   */
+  def tokenizeBpe(docs: DataFrame, textColName: String, storePath: String,
+                  outPath: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(docs, outPath, checkpoint)(batch =>
+      graft.operators.Bpe.applyBpeStored(batch, col(textColName), storePath))
+
+  /** Streaming tokenization against a frozen
+    * [[graft.operators.Wordpiece]] vocabulary store — the WordPiece twin
+    * of [[tokenizeBpe]] (adds `wp_tokens`). */
+  def tokenizeWordpiece(docs: DataFrame, textColName: String,
+                        storePath: String, outPath: String,
+                        checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(docs, outPath, checkpoint)(batch =>
+      graft.operators.Wordpiece
+        .applyWordpieceStored(batch, col(textColName), storePath))
+
+  /**
    * Ingest-time BINARY near-dup gate: each micro-batch is filtered
    * against a frozen [[graft.operators.Similarity.buildBinaryIndex]]
    * store — incoming vectors within Hamming `maxHamming` of ANY stored

@@ -94,6 +94,28 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("merge store round-trips: stored application == live application") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("bpestore").toString
+    val merges = Bpe.learnBpe(docs, col("text"), numMerges = 20)
+    Bpe.buildMergeStore(merges, s"$tmp/store")
+    val loaded = Bpe.loadMergeStore(spark, s"$tmp/store")
+    val live = merges.orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(loaded == live && loaded.length == 20)
+    val fromStore = Bpe.applyBpeStored(docs.limit(30), col("text"), s"$tmp/store")
+      .select(col("bpe_tokens")).collect().map(_.getSeq[String](0)).toSeq
+    val direct = Bpe.applyBpe(docs.limit(30), col("text"), live)
+      .select(col("bpe_tokens")).collect().map(_.getSeq[String](0)).toSeq
+    assert(fromStore == direct)
+    // segmentWords covers every distinct word, symbols joined by spaces
+    val segs = Bpe.segmentWords(docs, col("text"), live)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    segs.foreach { case (w, s) =>
+      assert(s.split(" ").mkString("") == w + Bpe.EndOfWord)
+    }
+  }
+
   test("applyBpe segments unseen words (falls back toward characters)") {
     val train = spark.createDataFrame(Seq(1L -> "aa aa aa ab")).toDF("id", "text")
     val merges = Bpe.learnBpe(train, col("text"), numMerges = 2)

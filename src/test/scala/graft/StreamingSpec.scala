@@ -370,6 +370,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("BATCH-built"))
   }
 
+  test("streaming tokenization from frozen BPE/WordPiece stores matches batch apply") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("tok_stream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.operators.Bpe.buildMergeStore(
+      graft.operators.Bpe.learnBpe(docs, col("text"), numMerges = 20), s"$tmp/bpe")
+    graft.operators.Wordpiece.buildVocabStore(
+      graft.operators.Wordpiece.learnVocab(docs, col("text"), 60, 4), s"$tmp/wp", 4)
+    val rows = docs.select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q1 = EventStreams.tokenizeBpe(input.toDF().toDF("doc_id", "text"),
+      "text", s"$tmp/bpe", s"$tmp/out_bpe", s"$tmp/ck1")
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.tokenizeWordpiece(input2.toDF().toDF("doc_id", "text"),
+      "text", s"$tmp/wp", s"$tmp/out_wp", s"$tmp/ck2")
+    try {
+      input.addData(rows.toIndexedSeq); q1.processAllAvailable()
+      input2.addData(rows.toIndexedSeq); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    def byId(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("doc_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val batchDf = spark.createDataFrame(rows.toIndexedSeq).toDF("doc_id", "text")
+    assert(byId(spark.read.parquet(s"$tmp/out_bpe"), "bpe_tokens") ==
+      byId(graft.operators.Bpe.applyBpeStored(batchDf, col("text"), s"$tmp/bpe"), "bpe_tokens"))
+    assert(byId(spark.read.parquet(s"$tmp/out_wp"), "wp_tokens") ==
+      byId(graft.operators.Wordpiece.applyWordpieceStored(batchDf, col("text"), s"$tmp/wp"), "wp_tokens"))
+  }
+
   test("text scrub pipeline (normalize -> redact -> fingerprint) runs per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

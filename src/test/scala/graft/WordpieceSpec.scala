@@ -85,6 +85,22 @@ class WordpieceSpec extends AnyFunSuite {
     assert(dp.length < greedy("abcdef"))
   }
 
+  test("vocab store round-trips: stored segmentation == live segmentation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("wpstore").toString
+    val vocab = Wordpiece.learnVocab(docs, col("text"), vocabSize = 60, maxTokenLen = 4)
+    Wordpiece.buildVocabStore(vocab, s"$tmp/store", maxTokenLen = 4)
+    val (loaded, maxLen) = Wordpiece.loadVocabStore(spark, s"$tmp/store")
+    assert(maxLen == 4)
+    assert(loaded.toSet == vocab.select("token").collect().map(_.getString(0)).toSet)
+    val vocabSeq = vocab.select("token").collect().map(_.getString(0)).toSeq
+    val live = Wordpiece.segmentWords(docs, col("text"), vocabSeq, 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val stored = Wordpiece.segmentWordsStored(docs, col("text"), s"$tmp/store")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored == live && stored.nonEmpty)
+  }
+
   test("applyWordpiece round-trips the corpus and matches per-word segmentation") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
