@@ -420,6 +420,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming-shaped IVF store (the faiss train/add split): quantizer
+    // trained once, corpus arrives as two batch_id partitions appended
+    // under the FROZEN cells; probe-time partition discovery folds them
+    // and nprobe = nlist degenerates to exact — so the accumulate path
+    // itself is verified by the same brute-cosine oracle as q51.
+    "q178_ivf_store_ingest" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("ivfingest", dir) { p =>
+        Similarity.trainIvfCentroids(e, p, col("vec_id"), col("embedding"),
+          nlist = 16)
+        Similarity.appendIvfBatch(e.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), p, batchId = 0L)
+        Similarity.appendIvfBatch(e.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // frozen WordPiece vocabulary store: segmentation from the store must
     // equal the live q174 path token-for-token (the stored vocab IS the
     // learned vocab; maxTokenLen rides the sidecar) — shares q174's
@@ -2705,6 +2727,10 @@ object SparkEntry {
 
     // nprobe = nlist ⇒ the persisted-IVF path is exact: same oracle as q18
     "q51_ann_ivf_store" -> annTop5OracleSql,
+
+    // two frozen-cell batch appends fold to the one-pass store ⇒ exact at
+    // nprobe = nlist, same brute-cosine replay
+    "q178_ivf_store_ingest" -> annTop5OracleSql,
 
     // DBSCAN: adjacency (self incl.) -> cores -> recursive closure over
     // core-core edges -> min-id cluster labels -> border = min neighboring

@@ -692,6 +692,56 @@ object Similarity {
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
+  /** Fit and persist ONLY the IVF coarse quantizer — the train-once seed
+    * for STREAMING ingest ([[appendIvfBatch]] /
+    * `EventStreams.ingestIvfStore`): centroids are fit on the (bounded,
+    * deterministic) sample exactly as [[buildIvfIndex]] fits them, but no
+    * corpus rows are written and no completion marker is set, so the
+    * store starts empty and batches accumulate under `corpus/batch_id=`
+    * partitions that [[ivfTopKIndexed]]'s partition discovery folds
+    * transparently. */
+  def trainIvfCentroids(seedCorpus: DataFrame, path: String, corpusId: Column,
+                        corpusVec: Column, nlist: Int = 16,
+                        seed: Long = 42L): Unit = {
+    val spark = seedCorpus.sparkSession
+    val c = seedCorpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val centroids = fitCentroids(c, nlist, seed)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_centroids",
+      centroids.map(_.mkString(",")).mkString("\n"))
+  }
+
+  /** Read a store's persisted quantizer back as dense centroid rows. */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[Array[Double]] =
+    graft.sources.Sidecar.readText(spark, path + "/_graft_centroids")
+      .split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
+
+  /** Encode one batch under a store's FROZEN quantizer: assign each
+    * vector its nearest stored centroid cell and precompute the norm —
+    * the exact per-row layout [[buildIvfIndex]] writes, so appended
+    * batches are indistinguishable from a one-pass build to every
+    * reader. */
+  def encodeIvfBatch(batch: DataFrame, idCol: Column, vecCol: Column,
+                     path: String): DataFrame = {
+    import graft.functions.stf
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
+    batch.select(idCol.as("neighbor_id"), vecCol.as("__cv"))
+      .withColumn("__cell", assignCellUdf(bc)(col("__cv")))
+      .withColumn("__cn", stf.vec_norm(col("__cv")))
+  }
+
+  /** Append one encoded batch as its own `corpus/batch_id=` partition
+    * (overwrite-by-batch — replay-safe: a retried batch rewrites, never
+    * double-appends), rows sorted by cell within the partition so the
+    * probe-time IN filter keeps pruning row groups. */
+  def appendIvfBatch(batch: DataFrame, idCol: Column, vecCol: Column,
+                     path: String, batchId: Long): Unit =
+    encodeIvfBatch(batch, idCol, vecCol, path)
+      .sortWithinPartitions(col("__cell"))
+      .write.mode("overwrite").parquet(s"$path/corpus/batch_id=$batchId")
+
   /** Query a [[buildIvfIndex]] store: each query probes its `nprobe`
     * nearest cells; only those cells are read from the store (pushed IN
     * filter over the sorted cell column). `nprobe` ≥ nlist reads
@@ -703,10 +753,7 @@ object Similarity {
     val spark = queries.sparkSession
     import graft.functions.stf
     graft.functions.GraftFunctions.register(spark)
-    val centroids = graft.sources.Sidecar
-      .readText(spark, path + "/_graft_centroids")
-      .split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
     val probeCells = probeCellsUdf(bc, nprobe)
     // materialize the (small) query batch once: probe-set collection and
     // the join below must not re-run a possibly expensive upstream plan

@@ -694,6 +694,44 @@ object EventStreams {
   }
 
   /**
+   * Streaming IVF-store ingest — the ANN tier's accumulate path: the
+   * coarse quantizer is trained ONCE
+   * ([[graft.operators.Similarity.trainIvfCentroids]], the faiss
+   * train/add split) and each micro-batch OVERWRITES its own
+   * `corpus/batch_id=` partition with rows assigned to the frozen cells
+   * (replay-safe by layout), so
+   * [[graft.operators.Similarity.ivfTopKIndexed]] serves the growing
+   * corpus at any moment with unchanged probe semantics — cell ids never
+   * drift between batches because the quantizer is frozen. Same
+   * flat-store layout guard as the other streaming sinks: a
+   * [[graft.operators.Similarity.buildIvfIndex]] batch store (root
+   * `_SUCCESS`) must be migrated into a `batch_id=` partition first.
+   */
+  def ingestIvfStore(docs: DataFrame, idColName: String, vecColName: String,
+                     path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    require(!marker.getFileSystem(hconf).exists(marker),
+      s"ingestIvfStore: $path holds a BATCH-built IVF index; move its rows " +
+      s"into a partition first (e.g. rewrite to $path/corpus/batch_id=-1) " +
+      "so the streaming batch_id= layout can append beside the history")
+    require(graft.sources.Sidecar.exists(spark, path + "/_graft_centroids"),
+      s"ingestIvfStore: no quantizer at $path — train once with " +
+      "Similarity.trainIvfCentroids(seedCorpus, ...) before streaming ingest " +
+      "(frozen centroids are what keep cell ids stable across batches)")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .appendIvfBatch(batch, col(idColName), col(vecColName), path, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming tokenization against a FROZEN [[graft.operators.Bpe]]
    * merge store: each micro-batch lands with a `bpe_tokens` column
    * segmented under the store's vocabulary — the serving semantic
