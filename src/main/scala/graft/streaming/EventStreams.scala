@@ -682,9 +682,10 @@ object EventStreams {
           .localCheckpoint()
         coded.select(col("id"), col("code"))
           .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
-        coded.select(col("id"),
+        coded.select(col("code"),
             posexplode(graft.operators.Similarity
               .codeBlocks(col("code"), bits, blocks)).as(Seq("b", "w")))
+          .select(col("b"), col("w"), col("code")).distinct()
           .write.mode("overwrite").parquet(s"$path/blocks/batch_id=$batchId")
         coded.select(col("id"), col("vec"), stf.vec_norm(col("vec")).as("nrm"))
           .write.mode("overwrite").parquet(s"$path/vectors/batch_id=$batchId")

@@ -628,16 +628,20 @@ class DedupSpec extends AnyFunSuite {
       col("vec_id"), col("vec_id"), col("code"), col("code"),
       col("embedding"), col("embedding"), k = 5, cand = 50))
     assert(stored == live && stored.nonEmpty)
-    // every pigeonhole block row is exactly its slice of the packed words
+    // every pigeonhole block row is exactly its slice of its own code,
+    // and the table is DISTINCT on (b, w, code) — one row per distinct
+    // code per block, no id (the hot-family collapse)
     val codes = spark.read.parquet(s"$tmp/idx/codes").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val blockRows = spark.read.parquet(s"$tmp/idx/blocks").collect()
-    assert(blockRows.length == codes.size * 4)
-    blockRows.foreach { r =>
-      val (id, b, w) = (r.getLong(0), r.getInt(1), r.getLong(2))
-      val word = codes(id)((b * 32) / 64)
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(blockRows.length == blockRows.distinct.length)
+    assert(blockRows.map(_._3.toList).toSet == codes.values.map(_.toList).toSet)
+    blockRows.foreach { case (b, w, code) =>
+      val word = code((b * 32) / 64)
       assert(((word >>> ((b * 32) % 64)) & 0xffffffffL) == w)
     }
+    assert(blockRows.length == codes.values.map(_.toList).toSet.size * 4)
   }
 
   test("dropSeenHamming == brute Hamming filter; pigeonhole contract is loud") {
@@ -666,6 +670,30 @@ class DedupSpec extends AnyFunSuite {
         s"$tmp/idx", maxHamming = 4)
     }
     assert(err.getMessage.contains("blocks"))
+  }
+
+  test("dropSeenHamming hot family: verdicts ride distinct codes, exactness intact") {
+    // the adversarial near-dup-gate case: the stream is full of the very
+    // boilerplate the store holds — 400 identical vectors collapse to ONE
+    // distinct code on each side of the probe join, not 400×400 pairs
+    val tmp = java.nio.file.Files.createTempDirectory("binhot").toString
+    def vec(seed: Int) = array((0 until 64).map(i =>
+      lit(((i * 31 + seed * 7) % 13 - 6).toFloat)): _*)
+    val family = spark.range(400).select(col("id").as("vec_id"), vec(1).as("embedding"))
+    val distinctStore = spark.range(1000, 1003).select(col("id").as("vec_id"),
+      vec(2).as("embedding"))
+    Similarity.buildBinaryIndex(family.union(distinctStore), s"$tmp/idx",
+      col("vec_id"), col("embedding"), dim = 64, bits = 128, salt = "sbh", blocks = 4)
+    // store block table: 2 distinct codes × 4 blocks, not 403 × 4
+    assert(spark.read.parquet(s"$tmp/idx/blocks").count() == 8)
+    val batch = spark.range(2000, 2400).select(col("id").as("vec_id"), vec(1).as("embedding"))
+      .union(spark.range(3000, 3005).select(col("id").as("vec_id"), vec(3).as("embedding")))
+    val kept = Similarity.dropSeenHamming(batch, col("vec_id"), col("embedding"),
+        s"$tmp/idx", maxHamming = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // every family copy is Hamming-0 to the stored family code -> dropped;
+    // the unseen seed-3 vectors stay (different sign pattern)
+    assert(kept == (3000L until 3005L).toSet)
   }
 
   test("labelVote composes with the IVF pair set (vote source agnostic)") {
