@@ -442,6 +442,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // streaming-shaped PQ store (train/add, the q178 pattern for the
+    // compressed tier): codebooks trained once in the LOSSLESS degenerate
+    // (ksub = n, iters = 0 — the q80 anchor), corpus appended as two
+    // frozen-codebook batch partitions; discovery folds them and the ADC
+    // ranking equals exact euclidean ⇒ the accumulate path is verified by
+    // q80's oracle.
+    "q179_pq_store_ingest" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      val path = storedOnce("pqingest", dir) { p =>
+        Similarity.trainPqCodebooks(e, p, col("vec_id"), col("embedding"),
+          m = 8, ksub = n, iters = 0, sampleN = n)
+        Similarity.appendPqBatch(e.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), p, batchId = 0L)
+        Similarity.appendPqBatch(e.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Similarity.pqTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // frozen WordPiece vocabulary store: segmentation from the store must
     // equal the live q174 path token-for-token (the stored vocab IS the
     // learned vocab; maxTokenLen rides the sidecar) — shares q174's
@@ -2731,6 +2755,10 @@ object SparkEntry {
     // two frozen-cell batch appends fold to the one-pass store ⇒ exact at
     // nprobe = nlist, same brute-cosine replay
     "q178_ivf_store_ingest" -> annTop5OracleSql,
+
+    // two frozen-codebook appends in the lossless degenerate ⇒ the exact
+    // euclidean oracle (q80's anchor)
+    "q179_pq_store_ingest" -> euclidTop5OracleSql,
 
     // DBSCAN: adjacency (self incl.) -> cores -> recursive closure over
     // core-core edges -> min-id cluster labels -> border = min neighboring

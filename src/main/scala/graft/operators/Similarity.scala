@@ -1032,15 +1032,54 @@ object Similarity {
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
+  /** Fit and persist ONLY the PQ codebooks — the train-once seed for
+    * STREAMING ingest ([[appendPqBatch]] / `EventStreams.ingestPqStore`),
+    * the same faiss train/add split as [[trainIvfCentroids]]: codebooks
+    * are fit on the bounded deterministic sample exactly as
+    * [[buildPqIndex]] fits them, no codes are written, no completion
+    * marker — batches accumulate under `codes/batch_id=` partitions that
+    * [[pqTopKIndexed]]'s partition discovery folds transparently. */
+  def trainPqCodebooks(seedCorpus: DataFrame, path: String, corpusId: Column,
+                       corpusVec: Column, m: Int = 8, ksub: Int = 256,
+                       iters: Int = 3, sampleN: Int = 4096): Unit = {
+    val spark = seedCorpus.sparkSession
+    val c = seedCorpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(math.max(sampleN, ksub))
+      .select(col("__cv")).collect()
+      .map(r => toDoubles(r.getSeq[Float](0)))
+    require(sample.nonEmpty, "trainPqCodebooks: seed corpus is empty")
+    val codebooks = fitPqCodebooks(sample, m, ksub, iters)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pq_codebooks",
+      codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString("\n"))
+  }
+
+  /** Read a store's persisted codebooks back. */
+  private[graft] def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Array[Array[Array[Double]]] =
+    graft.sources.Sidecar.readText(spark, path + "/_graft_pq_codebooks")
+      .split("\n").map(_.split('|').map(_.split(',').map(java.lang.Double.parseDouble)))
+
+  /** Encode and append one batch as its own `codes/batch_id=` partition
+    * under a store's FROZEN codebooks (overwrite-by-batch — replay-safe):
+    * the exact per-row layout [[buildPqIndex]] writes, so appended
+    * batches are indistinguishable from a one-pass build to every
+    * reader, and code ids never drift because the codebooks are frozen. */
+  def appendPqBatch(batch: DataFrame, idCol: Column, vecCol: Column,
+                    path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val bc = spark.sparkContext.broadcast(readPqCodebooks(spark, path))
+    batch.select(idCol.as("neighbor_id"), vecCol.as("__cv"))
+      .withColumn("__code", pqEncodeUdf(bc)(col("__cv"))).drop("__cv")
+      .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
+  }
+
   /** Query a [[buildPqIndex]] store: scores the persisted CODES — the
     * original vectors are never read back. */
   def pqTopKIndexed(queries: DataFrame, path: String, queryId: Column,
                     queryVec: Column, k: Int): DataFrame = {
     val spark = queries.sparkSession
-    val codebooks: Array[Array[Array[Double]]] =
-      graft.sources.Sidecar.readText(spark, path + "/_graft_pq_codebooks")
-        .split("\n").map(_.split('|').map(_.split(',').map(java.lang.Double.parseDouble)))
-    pqRank(spark.read.parquet(path + "/codes"), queries, queryId, queryVec, codebooks, k)
+    pqRank(spark.read.parquet(path + "/codes"), queries, queryId, queryVec,
+      readPqCodebooks(spark, path), k)
   }
 
   /**

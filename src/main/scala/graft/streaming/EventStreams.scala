@@ -733,6 +733,40 @@ object EventStreams {
   }
 
   /**
+   * Streaming PQ-store ingest — the compressed tier's accumulate path,
+   * the same faiss train/add split as [[ingestIvfStore]]: codebooks are
+   * trained ONCE ([[graft.operators.Similarity.trainPqCodebooks]]) and
+   * each micro-batch OVERWRITES its own `codes/batch_id=` partition with
+   * rows encoded under the frozen codebooks (replay-safe by layout), so
+   * [[graft.operators.Similarity.pqTopKIndexed]] serves the growing
+   * corpus from codes alone — code ids never drift between batches.
+   * Same flat-store and missing-model guards as the IVF sink.
+   */
+  def ingestPqStore(docs: DataFrame, idColName: String, vecColName: String,
+                    path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    require(!marker.getFileSystem(hconf).exists(marker),
+      s"ingestPqStore: $path holds a BATCH-built PQ index; move its rows " +
+      s"into a partition first (e.g. rewrite to $path/codes/batch_id=-1) " +
+      "so the streaming batch_id= layout can append beside the history")
+    require(graft.sources.Sidecar.exists(spark, path + "/_graft_pq_codebooks"),
+      s"ingestPqStore: no codebooks at $path — train once with " +
+      "Similarity.trainPqCodebooks(seedCorpus, ...) before streaming ingest " +
+      "(frozen codebooks are what keep code ids stable across batches)")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .appendPqBatch(batch, col(idColName), col(vecColName), path, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming tokenization against a FROZEN [[graft.operators.Bpe]]
    * merge store: each micro-batch lands with a `bpe_tokens` column
    * segmented under the store's vocabulary — the serving semantic
