@@ -1255,6 +1255,61 @@ object Similarity {
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
+  /** Fit and persist ONLY the IVF-PQ model (coarse centroids + residual
+    * codebooks) — the train-once seed for STREAMING ingest
+    * ([[appendIvfPqBatch]] / `EventStreams.ingestIvfPqStore`), completing
+    * the train/add split across the whole ANN ladder (IVF → PQ →
+    * IVF-PQ). Fitting is identical to [[buildIvfPqIndex]]'s (same seed,
+    * same bounded sample, residuals against the same centroids); no
+    * codes are written and no completion marker is set. */
+  def trainIvfPqModel(seedCorpus: DataFrame, path: String, corpusId: Column,
+                      corpusVec: Column, nlist: Int = 16, m: Int = 8,
+                      ksub: Int = 256, iters: Int = 3, sampleN: Int = 4096,
+                      seed: Long = 42L): Unit = {
+    val spark = seedCorpus.sparkSession
+    val c = seedCorpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val cents = fitCentroids(c, nlist, seed)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assigned = c.withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
+    val resSample = assigned.orderBy(xxhash64(col("neighbor_id")))
+      .limit(math.max(sampleN, ksub))
+      .select(col("__cv"), col("__cell")).collect()
+      .map { r =>
+        val v = toDoubles(r.getSeq[Float](0)); val ct = cents(r.getInt(1))
+        var i = 0
+        while (i < v.length) { v(i) -= ct(i); i += 1 }
+        v
+      }
+    require(resSample.nonEmpty, "trainIvfPqModel: seed corpus is empty")
+    val codebooks = fitPqCodebooks(resSample, m, ksub, iters)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_centroids",
+      cents.map(_.mkString(",")).mkString("\n"))
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pq_codebooks",
+      codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString("\n"))
+  }
+
+  /** Encode and append one batch as its own `codes/batch_id=` partition
+    * under a store's FROZEN centroids + codebooks (overwrite-by-batch —
+    * replay-safe), rows sorted by cell within the partition so probe-time
+    * IN filters keep pruning row groups inside every batch. */
+  def appendIvfPqBatch(batch: DataFrame, idCol: Column, vecCol: Column,
+                       path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val bcC = spark.sparkContext.broadcast(readCentroids(spark, path))
+    val bcCb = spark.sparkContext.broadcast(readPqCodebooks(spark, path))
+    val encodeRes = udf { (raw: Seq[Float], cell: Int) =>
+      val e = toDoubles(raw); val ct = bcCb.value; val cs = bcC.value(cell)
+      var i = 0
+      while (i < e.length) { e(i) -= cs(i); i += 1 }
+      encodeDoubles(e, ct, PqExactIndex.forCodebooks(bcCb.id, ct))
+    }
+    batch.select(idCol.as("neighbor_id"), vecCol.as("__cv"))
+      .withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
+      .withColumn("__code", encodeRes(col("__cv"), col("__cell"))).drop("__cv")
+      .sortWithinPartitions(col("__cell"))
+      .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
+  }
+
   /** Query a [[buildIvfPqIndex]] store: probed cells only (pushed IN over
     * the sorted cell column), scored against the stored CODES — original
     * vectors are never read back. `nprobe` ≥ nlist scores every cell. */

@@ -767,6 +767,42 @@ object EventStreams {
   }
 
   /**
+   * Streaming IVF-PQ-store ingest — the ladder's compressed+partitioned
+   * tier under the same train/add split as [[ingestIvfStore]] /
+   * [[ingestPqStore]]: coarse centroids and residual codebooks are
+   * trained ONCE ([[graft.operators.Similarity.trainIvfPqModel]]), each
+   * micro-batch lands cell-assigned, residual-encoded, cell-sorted rows
+   * in its own `codes/batch_id=` partition, and
+   * [[graft.operators.Similarity.ivfPqTopKIndexed]] probes the growing
+   * corpus with unchanged cell/code semantics. Same guards as the other
+   * ANN sinks.
+   */
+  def ingestIvfPqStore(docs: DataFrame, idColName: String, vecColName: String,
+                       path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    require(!marker.getFileSystem(hconf).exists(marker),
+      s"ingestIvfPqStore: $path holds a BATCH-built IVF-PQ index; move its " +
+      s"rows into a partition first (e.g. rewrite to $path/codes/batch_id=-1) " +
+      "so the streaming batch_id= layout can append beside the history")
+    require(graft.sources.Sidecar.exists(spark, path + "/_graft_centroids") &&
+      graft.sources.Sidecar.exists(spark, path + "/_graft_pq_codebooks"),
+      s"ingestIvfPqStore: no model at $path — train once with " +
+      "Similarity.trainIvfPqModel(seedCorpus, ...) before streaming ingest " +
+      "(the frozen centroids + codebooks keep cell and code ids stable)")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .appendIvfPqBatch(batch, col(idColName), col(vecColName), path, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming tokenization against a FROZEN [[graft.operators.Bpe]]
    * merge store: each micro-batch lands with a `bpe_tokens` column
    * segmented under the store's vocabulary — the serving semantic

@@ -452,6 +452,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("codebooks"))
   }
 
+  test("streaming IVF-PQ ingest under a frozen model == one-pass batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_ingest").toString
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.Similarity.trainIvfPqModel(embs, s"$tmp/stream",
+      col("vec_id"), col("embedding"), nlist = 4, m = 8, ksub = 16, iters = 2)
+    val all = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.ingestIvfPqStore(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$tmp/stream", s"$tmp/ckpt")
+    val (h1, h2) = all.splitAt(all.length / 2)
+    try {
+      input.addData(h1.toIndexedSeq); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    graft.operators.Similarity.buildIvfPqIndex(embs, s"$tmp/batch",
+      col("vec_id"), col("embedding"), nlist = 4, m = 8, ksub = 16, iters = 2)
+    val queries = embs.filter(col("vec_id") < 5)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = top(graft.operators.Similarity.ivfPqTopKIndexed(
+      queries, s"$tmp/stream", col("vec_id"), col("embedding"), k = 5, nprobe = 2))
+    val onePass = top(graft.operators.Similarity.ivfPqTopKIndexed(
+      queries, s"$tmp/batch", col("vec_id"), col("embedding"), k = 5, nprobe = 2))
+    assert(streamed == onePass && streamed.nonEmpty)
+    val docs = input.toDF().toDF("vec_id", "embedding")
+    val err1 = intercept[IllegalArgumentException] {
+      EventStreams.ingestIvfPqStore(docs, "vec_id", "embedding",
+        s"$tmp/batch", s"$tmp/ck2")
+    }
+    assert(err1.getMessage.contains("BATCH-built"))
+    val err2 = intercept[IllegalArgumentException] {
+      EventStreams.ingestIvfPqStore(docs, "vec_id", "embedding",
+        s"$tmp/fresh", s"$tmp/ck3")
+    }
+    assert(err2.getMessage.contains("model"))
+  }
+
   test("streaming tokenization from frozen BPE/WordPiece stores matches batch apply") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
