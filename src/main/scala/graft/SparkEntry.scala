@@ -466,6 +466,42 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incrementally-grown MinHash store (the q178 train/add pattern for
+    // the text-dedup reference corpus): frozen banding params, the even
+    // docs arrive as two batch_id appends, then the same gate as q102 —
+    // whose oracle verifies the accumulate path.
+    "q181_minhash_store_ingest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("mhingest", dir) { p =>
+        Dedup.initMinhashStore(s, p)
+        Dedup.appendMinhashBatch(docs.filter(col("doc_id") % 4 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        Dedup.appendMinhashBatch(docs.filter(col("doc_id") % 4 === 2),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Dedup.dropSeenNearDups(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // incrementally-grown cosine-LSH store: q111's gate over a store
+    // built as two frozen-hyperplane appends.
+    "q182_coslsh_store_ingest" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("clingest", dir) { p =>
+        Dedup.initCosineLshStore(s, p, tables = 48, planes = 3)
+        Dedup.appendCosineLshBatch(embs.filter(col("vec_id") % 4 === 0),
+          col("vec_id"), col("embedding"), p, batchId = 0L)
+        Dedup.appendCosineLshBatch(embs.filter(col("vec_id") % 4 === 2),
+          col("vec_id"), col("embedding"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Dedup.dropSeenCosine(embs.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"), path, threshold = 0.42)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // streaming-shaped IVF-PQ store: the whole ladder's train/add
     // endpoint — frozen centroids + residual codebooks (lossless q87
     // config), two batch appends, full-probe query == exact euclidean ⇒
@@ -2510,13 +2546,11 @@ object SparkEntry {
 
     // odd docs with no even near-dup partner (exact Jaccard >= 4/5 replays
     // the gate: LSH misses are ~1e-15 at these parameters)
-    "q102_neardup_gate" ->
-      (s"WITH sh AS ($shingleSetSql), " +
-       "hit AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh a " +
-       "ON b.doc_id % 2 = 1 AND a.doc_id % 2 = 0 " +
-       "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))) " +
-       "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
-       "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
+    "q102_neardup_gate" -> neardupGateOracleSql,
+
+    // the incrementally-built store holds the same bands/shingles as the
+    // one-pass build ⇒ the same exact-Jaccard gate replay
+    "q181_minhash_store_ingest" -> neardupGateOracleSql,
 
     // q59's closure, but the survivor is the max-n_chars member (tie: min id)
     "q101_drop_near_dups_best" ->
@@ -2541,13 +2575,10 @@ object SparkEntry {
 
     // odd vectors with no even cosine-partner (exact cosine >= 0.42
     // replays the gate: LSH misses are ~5e-7 at 48/3)
-    "q111_cosine_gate" ->
-      (s"WITH e AS ($normedEmbSql), " +
-       "hit AS (SELECT DISTINCT a.vec_id FROM e a JOIN e b " +
-       "ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0 " +
-       s"AND ($dotSql) / (a.nrm*b.nrm) >= 0.42) " +
-       "SELECT vec_id FROM e WHERE vec_id % 2 = 1 " +
-       "AND vec_id NOT IN (SELECT vec_id FROM hit) ORDER BY vec_id"),
+    "q111_cosine_gate" -> cosineGateOracleSql,
+
+    // incrementally-built cosine-LSH store == one-pass build ⇒ same replay
+    "q182_coslsh_store_ingest" -> cosineGateOracleSql,
 
     "q33_dedup_cosine_lsh" ->
       (s"WITH e AS ($normedEmbSql) " +
@@ -3987,6 +4018,30 @@ object SparkEntry {
 
   private val dotSqlQC: String =
     "list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1,64)])"
+
+  /** Exact-Jaccard replay of the MinHash near-dup gate (odd docs probed
+    * against the even-doc store) — shared by q102 (one-pass store) and
+    * q181 (incrementally appended store): the stores hold identical
+    * rows, so one replay verifies both. */
+  private lazy val neardupGateOracleSql: String =
+    s"WITH sh AS ($shingleSetSql), " +
+    "hit AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh a " +
+    "ON b.doc_id % 2 = 1 AND a.doc_id % 2 = 0 " +
+    "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))) " +
+    "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+    "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"
+
+  /** Exact-cosine replay of the embedding near-dup gate (odd vectors
+    * probed against the even-vector store at threshold 0.42; the 48/3
+    * banding makes the LSH path oracle-exact) — shared by q111 and
+    * q182 for the same reason. */
+  private lazy val cosineGateOracleSql: String =
+    s"WITH e AS ($normedEmbSql), " +
+    "hit AS (SELECT DISTINCT a.vec_id FROM e a JOIN e b " +
+    "ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0 " +
+    s"AND ($dotSql) / (a.nrm*b.nrm) >= 0.42) " +
+    "SELECT vec_id FROM e WHERE vec_id % 2 = 1 " +
+    "AND vec_id NOT IN (SELECT vec_id FROM hit) ORDER BY vec_id"
 
   /** md5 ±1 hyperplane matrix (salt sb1, 128 planes × 64 dims) as the
     * `idx`/`sgm` CTE pair — shared by the binary-ANN replays

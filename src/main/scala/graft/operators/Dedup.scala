@@ -755,6 +755,73 @@ object Dedup {
     batch.join(seen, idCol === col("__mh_id"), "left_anti")
   }
 
+  /** Initialize a MinHash-store layout for INCREMENTAL builds: write only
+    * the parameter sidecar (the train-once "model" — banding config must
+    * never drift between appends), no rows, no completion marker. Batches
+    * then accumulate via [[appendMinhashBatch]] /
+    * `EventStreams.ingestMinhashStore`, and [[dropSeenNearDups]] folds
+    * every `batch_id=` partition through partition discovery. */
+  def initMinhashStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                       n: Int = 3, numHashes: Int = 128, bands: Int = 32): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_minhash_params",
+      s"$n $numHashes $bands")
+  }
+
+  /** Shingle, sign and append one batch as its own `bands`/`shingles`
+    * `batch_id=` partitions under the store's FROZEN parameters
+    * (overwrite-by-batch — replay-safe): the exact per-row layout
+    * [[buildMinhashStore]] writes, indistinguishable from a one-pass
+    * build to every reader. */
+  def appendMinhashBatch(batch: DataFrame, idCol: Column, textCol: Column,
+                         path: String, batchId: Long): Unit = {
+    GraftFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_minhash_params").trim.split(" ")
+    val (n, numHashes, bands) = (params(0).toInt, params(1).toInt, params(2).toInt)
+    val sh = shingled(batch, idCol, textCol, n).localCheckpoint()
+    sh.select(col("__id").as("id"),
+        posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands)))
+      .toDF("id", "band", "bucket")
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$path/bands/batch_id=$batchId")
+    sh.select(col("__id").as("id"), col("__sh").as("sh"), col("__sz").as("sz"))
+      .write.mode("overwrite").parquet(s"$path/shingles/batch_id=$batchId")
+    releaseCheckpoint(sh)
+  }
+
+  /** Initialize a cosine-LSH-store layout for INCREMENTAL builds — the
+    * embedding twin of [[initMinhashStore]] (hyperplane config is the
+    * frozen model; see [[buildCosineLshStore]]). */
+  def initCosineLshStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                         tables: Int = 8, planes: Int = 8): Unit =
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_coslsh_params",
+      s"$tables $planes")
+
+  /** Bucket and append one batch as its own `buckets`/`vectors`
+    * `batch_id=` partitions under the store's FROZEN hyperplanes —
+    * [[buildCosineLshStore]]'s per-row layout, overwrite-by-batch. */
+  def appendCosineLshBatch(batch: DataFrame, idCol: Column, vecCol: Column,
+                           path: String, batchId: Long): Unit = {
+    GraftFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_coslsh_params").trim.split(" ")
+    val (tables, planes) = (params(0).toInt, params(1).toInt)
+    val v = spread(batch.select(idCol.as("__id"), vecCol.as("__vec")))
+      .localCheckpoint()
+    v.select(col("__id").as("id"),
+        explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").parquet(s"$path/buckets/batch_id=$batchId")
+    v.select(col("__id").as("id"), col("__vec").as("vec"),
+        stf.vec_norm(col("__vec")).as("nrm"))
+      .write.mode("overwrite").parquet(s"$path/vectors/batch_id=$batchId")
+    releaseCheckpoint(v)
+  }
+
   /** Sequential-fold double cosine similarity of two float vectors
     * ([[graft.functions.VecOps]] kernel — bit-identical to the
     * `list_sum([a[i]*b[i] ...])` form an external SQL oracle evaluates). */

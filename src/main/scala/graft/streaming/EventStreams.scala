@@ -766,6 +766,77 @@ object EventStreams {
       .start()
   }
 
+  /** Shared guard for streaming LSH-store sinks: refuse a flat
+    * batch-built store (root `_SUCCESS`), then write the parameter
+    * sidecar on first use or ENFORCE it on restart (a config change
+    * would silently split the store into two incompatible hash
+    * spaces). */
+  private def lshIngestGuard(spark: org.apache.spark.sql.SparkSession,
+                             path: String, op: String, paramsFile: String,
+                             want: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    require(!marker.getFileSystem(hconf).exists(marker),
+      s"$op: $path holds a BATCH-built store; move its rows into a " +
+      s"partition first (e.g. rewrite each table to <table>/batch_id=-1) " +
+      "so the streaming batch_id= layout can append beside the history")
+    val p = s"$path/$paramsFile"
+    if (graft.sources.Sidecar.exists(spark, p)) {
+      val have = graft.sources.Sidecar.readText(spark, p).trim
+      require(have == want,
+        s"$op: store at $path was built with params [$have] but this " +
+        s"stream supplies [$want] — the rows would live in two " +
+        "incompatible hash spaces")
+    } else graft.sources.Sidecar.writeText(spark, p, want)
+  }
+
+  /**
+   * Streaming MinHash-store ingest — grow the near-dup reference corpus
+   * itself (the store side of [[ingestDropNearDups]]' gate): each
+   * micro-batch OVERWRITES its own `bands`/`shingles` `batch_id=`
+   * partitions shingled and banded under the FROZEN parameters
+   * (replay-safe by layout), so
+   * [[graft.operators.Dedup.dropSeenNearDups]] gates against a corpus
+   * that accumulates one batch at a time.
+   */
+  def ingestMinhashStore(docs: DataFrame, idColName: String,
+                         textColName: String, path: String, checkpoint: String,
+                         n: Int = 3, numHashes: Int = 128, bands: Int = 32)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    lshIngestGuard(docs.sparkSession, path, "ingestMinhashStore",
+      "_graft_minhash_params", s"$n $numHashes $bands")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .appendMinhashBatch(batch, col(idColName), col(textColName), path, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming cosine-LSH-store ingest — the embedding twin of
+    * [[ingestMinhashStore]]: grows the frozen-hyperplane vector corpus
+    * [[ingestDropSeenCosine]]'s gate probes. */
+  def ingestCosineLshStore(docs: DataFrame, idColName: String,
+                           vecColName: String, path: String,
+                           checkpoint: String, tables: Int = 8,
+                           planes: Int = 8)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    lshIngestGuard(docs.sparkSession, path, "ingestCosineLshStore",
+      "_graft_coslsh_params", s"$tables $planes")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .appendCosineLshBatch(batch, col(idColName), col(vecColName), path, batchId)
+        ()
+      }
+      .start()
+  }
+
   /**
    * Streaming IVF-PQ-store ingest — the ladder's compressed+partitioned
    * tier under the same train/add split as [[ingestIvfStore]] /

@@ -492,6 +492,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("model"))
   }
 
+  test("streaming MinHash/cosine-LSH store ingests fold to the one-pass builds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lsh_ingest").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // --- MinHash: stream the even docs in two batches ---
+    val evenDocs = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val mhIn = MemoryStream[(Long, String)]
+    val mq = EventStreams.ingestMinhashStore(mhIn.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/mh", s"$tmp/ck_mh")
+    val (d1, d2) = evenDocs.splitAt(evenDocs.length / 2)
+    try {
+      mhIn.addData(d1.toIndexedSeq); mq.processAllAvailable()
+      mhIn.addData(d2.toIndexedSeq); mq.processAllAvailable()
+    } finally mq.stop()
+    graft.operators.Dedup.buildMinhashStore(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), s"$tmp/mh_batch")
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(graft.operators.Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), s"$tmp/mh"))
+      == ids(graft.operators.Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), s"$tmp/mh_batch")))
+    // param-mismatch refusal
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.ingestMinhashStore(mhIn.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$tmp/mh", s"$tmp/ck_mh2", bands = 16)
+    }
+    assert(err.getMessage.contains("hash spaces"))
+    // --- cosine LSH: stream the even vectors in two batches ---
+    val evenVecs = embs.filter(col("vec_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val clIn = MemoryStream[(Long, Array[Float])]
+    val cq = EventStreams.ingestCosineLshStore(clIn.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$tmp/cl", s"$tmp/ck_cl", tables = 48, planes = 3)
+    val (v1, v2) = evenVecs.splitAt(evenVecs.length / 2)
+    try {
+      clIn.addData(v1.toIndexedSeq); cq.processAllAvailable()
+      clIn.addData(v2.toIndexedSeq); cq.processAllAvailable()
+    } finally cq.stop()
+    graft.operators.Dedup.buildCosineLshStore(embs.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), s"$tmp/cl_batch", tables = 48, planes = 3)
+    val oddV = embs.filter(col("vec_id") % 2 === 1)
+    def vids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vids(graft.operators.Dedup.dropSeenCosine(oddV, col("vec_id"), col("embedding"), s"$tmp/cl", 0.42))
+      == vids(graft.operators.Dedup.dropSeenCosine(oddV, col("vec_id"), col("embedding"), s"$tmp/cl_batch", 0.42)))
+    // flat-store refusal (the batch build wrote a root marker)
+    val err2 = intercept[IllegalArgumentException] {
+      EventStreams.ingestCosineLshStore(clIn.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$tmp/cl_batch", s"$tmp/ck_cl2", tables = 48, planes = 3)
+    }
+    assert(err2.getMessage.contains("BATCH-built"))
+  }
+
   test("streaming tokenization from frozen BPE/WordPiece stores matches batch apply") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
