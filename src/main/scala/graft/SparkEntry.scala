@@ -502,6 +502,24 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // incrementally-grown inverted index (the Lucene segment pattern —
+    // q178's train/add shape for retrieval): the corpus arrives as two
+    // postings/dict/segstats segments; the query folds df and (N, Σdl)
+    // across segments at read time, which under the disjoint-doc contract
+    // equals the one-pass q86 statistics exactly — so q81's exact-integer
+    // BM25 oracle verifies the growth path bit-for-bit.
+    "q183_bm25_store_ingest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("textseg", dir) { p =>
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextSearch.bm25TopKExactIndexed(s, path, Bm25Terms, k = 25)
+    }),
+
     // streaming-shaped IVF-PQ store: the whole ladder's train/add
     // endpoint — frozen centroids + residual codebooks (lossless q87
     // config), two batch appends, full-probe query == exact euclidean ⇒
@@ -659,6 +677,26 @@ object SparkEntry {
       val path = storedOnce("lmstore", dir)(p =>
         TextAnalysis.buildLmStore(Tables.load(s, dir, "documents"), p, col("text")))
       TextAnalysis.withBigramFluencyIndexed(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // incrementally-grown LM store (the q183 segment pattern for the
+    // fluency model — KenLM's shard-count-then-merge): unigram/bigram
+    // counts arrive as two disjoint-document segments, scorers fold them
+    // at read time to exactly the one-pass counts ⇒ q100's full fluency
+    // replay verifies the growth path bit-for-bit.
+    "q184_lm_store_ingest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("lmseg", dir) { p =>
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("text"), p, batchId = 0L)
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("text"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextAnalysis.withBigramFluencyIndexed(docs,
           col("doc_id"), col("text"), path)
         .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
         .orderBy(col("doc_id"))
@@ -2580,6 +2618,11 @@ object SparkEntry {
     // incrementally-built cosine-LSH store == one-pass build ⇒ same replay
     "q182_coslsh_store_ingest" -> cosineGateOracleSql,
 
+    // segmented-index BM25: per-segment df/stats fold to the one-pass
+    // corpus statistics, so the q81 replay verifies the growth path
+    "q183_bm25_store_ingest" -> TextSearch.bm25ExactOracleSql(
+      "documents", "doc_id", "text", Bm25Terms, k = 25),
+
     "q33_dedup_cosine_lsh" ->
       (s"WITH e AS ($normedEmbSql) " +
        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b " +
@@ -2720,6 +2763,10 @@ object SparkEntry {
 
     // the frozen-store path on its own training corpus ⇒ q88's oracle
     "q100_fluency_store" -> fluencyOracleSql,
+
+    // segmented-LM fluency: per-segment counts fold to the one-pass
+    // model, so the same full replay verifies the growth path
+    "q184_lm_store_ingest" -> fluencyOracleSql,
 
     // angular variant must equal the plain skyline ⇒ q8's dominance oracle
     "q91_skyline_angular" ->

@@ -492,6 +492,71 @@ object TextAnalysis {
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
+  // ---- incremental (segmented) LM growth ----
+  // N-gram counts are pure sums over disjoint document sets (bigrams never
+  // cross document boundaries), so a growing reference corpus can land as
+  // per-batch count segments — the KenLM shard-count-then-merge shape —
+  // and every scorer folds segments at read time to EXACTLY the counts a
+  // one-pass [[buildLmStore]] would have produced. No append rescans
+  // history; a replayed batch overwrites only its own partition.
+
+  /** Append one document batch's unigram/bigram counts to the segmented
+    * LM store at `path` as segment `batchId`. CONTRACT: document sets are
+    * disjoint across batches (each document counted exactly once).
+    * Refuses a [[buildLmStore]] flat store loudly — its vocabulary-size
+    * sidecar cannot absorb appends. */
+  def appendLmBatch(docs: DataFrame, textCol: Column, path: String,
+                    batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_lm_stats"),
+      s"appendLmBatch: $path holds a buildLmStore flat store whose " +
+      "vocabulary sidecar cannot absorb appends — rebuild it segmented " +
+      "(appendLmBatch from an empty path) or keep rebuilding flat")
+    val toks = docs.select(tokens(textCol).as("__lm_ws")).localCheckpoint()
+    toks.select(explode(col("__lm_ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u"))
+      .repartitionByRange(col("w")).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(s"$path/unigrams/batch_id=$batchId")
+    val ws = col("__lm_ws")
+    val n = size(ws)
+    val pairs = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    toks.select(explode(pairs).as("__lm_p"))
+      .select(col("__lm_p.w1").as("w1"), col("__lm_p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+      .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+      .write.mode("overwrite").parquet(s"$path/bigrams/batch_id=$batchId")
+    releaseCheckpoint(toks)
+  }
+
+  /** Drop a localCheckpoint's cached blocks (same helper as Dedup's). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** The frozen LM model of a store, whichever layout built it: vocabulary
+    * size plus the (folded) unigram and bigram count tables. Flat stores
+    * read the sidecar and fold over already-unique rows (the sums are the
+    * identity); segmented stores sum per-batch counts — exact under the
+    * disjoint-doc contract — and count the folded vocabulary (the same
+    * `unigrams.count()` definition the flat build persisted). */
+  private[graft] def loadLmModel(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): (Long, DataFrame, DataFrame) = {
+    val uni = spark.read.parquet(path + "/unigrams")
+      .groupBy(col("w")).agg(sum(col("u")).as("u"))
+    val bi = spark.read.parquet(path + "/bigrams")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("b")).as("b"))
+    val v =
+      if (graft.sources.Sidecar.exists(spark, path + "/_graft_lm_stats"))
+        graft.sources.Sidecar.readText(spark, path + "/_graft_lm_stats").toLong
+      else uni.count()
+    (v, uni, bi)
+  }
+
   /**
    * [[withBigramFluency]] against a [[buildLmStore]] model: same e6 math,
    * counts joined from the store instead of recounted — unseen bigrams
@@ -510,16 +575,14 @@ object TextAnalysis {
       "withBigramFluencyIndexed: input must not contain __bf_* columns or " +
       "the output names n_bigrams/fluency_e6")
     val spark = df.sparkSession
-    val v = graft.sources.Sidecar.readText(spark, path + "/_graft_lm_stats").toLong
+    val (v, uniT, biT) = loadLmModel(spark, path)
     def e6(a: Column, b: Column): Column = {
       val A = a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L
       val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
       ((A - pmod(A, B)) / B).cast("long")
     }
-    val uni = spark.read.parquet(path + "/unigrams")
-      .select(col("w").as("__bf_w1"), col("u").as("__bf_u"))
-    val bi = spark.read.parquet(path + "/bigrams")
-      .select(col("w1").as("__bf_w1"), col("w2").as("__bf_w2"), col("b").as("__bf_b"))
+    val uni = uniT.select(col("w").as("__bf_w1"), col("u").as("__bf_u"))
+    val bi = biT.select(col("w1").as("__bf_w1"), col("w2").as("__bf_w2"), col("b").as("__bf_b"))
     val ws = col("__bf_ws")
     val n = size(ws)
     val pairs = zip_with(

@@ -161,12 +161,14 @@ object TextSearch {
     * A term absent from the index has df = 0 (matches the live mode). */
   private[graft] def frozenStats(spark: org.apache.spark.sql.SparkSession,
                                  path: String, terms: Seq[String]): (Long, Long, Seq[Long]) = {
-    val Array(nStr, sStr) =
-      graft.sources.Sidecar.readText(spark, path + "/_graft_text_stats").split(" ")
+    val (nL, sL) = storedStats(spark, path)
+    // per-segment df rows sum under the disjoint-doc contract (flat store:
+    // one row per term, the sum is the identity)
     val dict = spark.read.parquet(path + "/dict")
       .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (nStr.toLong, sStr.toLong, terms.map(dict.getOrElse(_, 0L)))
+    (nL, sL, terms.map(dict.getOrElse(_, 0L)))
   }
 
   // ---- persisted inverted index ----
@@ -205,12 +207,88 @@ object TextSearch {
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
+  // ---- incremental (segmented) growth ----
+  // The Lucene segment shape: an index a pipeline keeps feeding cannot
+  // afford a corpus-wide rebuild per arrival. Each [[appendTextBatch]]
+  // lands as its own `batch_id=` partition of postings plus per-segment
+  // dictionary and stats tables; the query folds segments at read time —
+  // df and (N, Σdl) are pure sums because every doc_id lives in exactly
+  // ONE segment — so serving through [[bm25TopKExactIndexed]] is
+  // row-identical to a one-pass [[buildTextIndex]] over the accumulated
+  // corpus, and no append ever rescans prior history.
+
+  /**
+   * Append one document batch to the segmented index at `path` as segment
+   * `batchId`: term-sorted postings, a per-segment (term, df) dictionary,
+   * and a one-row (n_docs, sum_dl) stats segment, each overwriting only
+   * its own `batch_id=` partition (a replayed batch is idempotent).
+   *
+   * CONTRACT: doc ids are disjoint across batches — each document is
+   * ingested exactly once, so summing per-segment df/stats at query time
+   * equals the one-pass corpus statistics. Refuses a [[buildTextIndex]]
+   * flat store loudly: its corpus-wide stats sidecar cannot absorb
+   * appends.
+   */
+  def appendTextBatch(docs: DataFrame, idCol: Column, textCol: Column,
+                      path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_text_stats"),
+      s"appendTextBatch: $path holds a buildTextIndex flat store whose " +
+      "corpus-wide stats sidecar cannot absorb appends — rebuild it " +
+      "segmented (appendTextBatch from an empty path) or keep it flat")
+    val base = docs
+      .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__ws"))
+      .withColumn("__dl", size(col("__ws")).cast("long"))
+      .localCheckpoint()
+    base.select(col("doc_id"), col("__dl").as("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings/batch_id=$batchId")
+    spark.read.parquet(s"$path/postings/batch_id=$batchId")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/dict/batch_id=$batchId")
+    base.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("__dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/segstats/batch_id=$batchId")
+    releaseCheckpoint(base)
+  }
+
+  /** Drop a localCheckpoint's cached blocks (same helper as Dedup's). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Corpus stats (N, Σdl) of a store, whichever layout built it: the
+    * flat store's one-line sidecar, or the sum of a segmented store's
+    * stats segments. */
+  private def storedStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Long, Long) =
+    if (graft.sources.Sidecar.exists(spark, path + "/_graft_text_stats")) {
+      val Array(nStr, sStr) =
+        graft.sources.Sidecar.readText(spark, path + "/_graft_text_stats").split(" ")
+      (nStr.toLong, sStr.toLong)
+    } else {
+      val r = spark.read.parquet(path + "/segstats")
+        .agg(coalesce(sum(col("n_docs")), lit(0L)),
+          coalesce(sum(col("sum_dl")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
   /**
    * [[bm25TopKExact]] answered from a [[buildTextIndex]] store: reads the
    * query terms' postings only (pushed IN over the sorted term column) and
    * the matching dictionary rows; the corpus itself is never touched. Same
    * integer formula, same output, same oracle — N and Σdl come from the
    * stats sidecar, so scores are identical to the live mode's.
+   *
+   * Layout-agnostic: a segmented [[appendTextBatch]] store serves through
+   * the SAME entry point — df and the stats fold across segments (exact
+   * sums under the disjoint-doc contract), so a user's serving tier never
+   * cares how the index was built.
    */
   def bm25TopKExactIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                            terms: Seq[String], k: Int): DataFrame = {
@@ -218,13 +296,14 @@ object TextSearch {
     require(terms.distinct.length == terms.length,
       "bm25: duplicate query terms would double-count — deduplicate the query")
     require(k > 0, s"bm25: k must be positive, got $k")
-    val Array(nStr, sStr) =
-      graft.sources.Sidecar.readText(spark, path + "/_graft_text_stats").split(" ")
-    val n = lit(nStr.toLong); val s = lit(sStr.toLong)
-    // dictionary rows for the query terms: ≤ |terms| rows, broadcast back
+    val (nL, sL) = storedStats(spark, path)
+    val n = lit(nL); val s = lit(sL)
+    // dictionary rows for the query terms: ≤ |terms| rows per segment,
+    // summed (flat store: one row per term, the sum is the identity),
+    // broadcast back
     val dfTab = spark.read.parquet(path + "/dict")
       .filter(col("term").isin(terms: _*))
-      .withColumnRenamed("df", "__df")
+      .groupBy(col("term")).agg(sum(col("df")).as("__df"))
     val postings = spark.read.parquet(path + "/postings")
       .filter(col("term").isin(terms: _*))
     postings.join(broadcast(dfTab), "term")

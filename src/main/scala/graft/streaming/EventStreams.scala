@@ -208,9 +208,9 @@ object EventStreams {
                           lmPath: String,
                           maxBroadcastRows: Long = FluencyBroadcastBound): DataFrame = {
     val spark = docs.sparkSession
-    val v = graft.sources.Sidecar.readText(spark, lmPath + "/_graft_lm_stats").toLong
-    val uniDf = spark.read.parquet(lmPath + "/unigrams")
-    val biDf = spark.read.parquet(lmPath + "/bigrams")
+    // layout-agnostic: flat stores read the sidecar, segmented stores fold
+    // their count segments (TextAnalysis.loadLmModel)
+    val (v, uniDf, biDf) = graft.operators.TextAnalysis.loadLmModel(spark, lmPath)
     val storeRows = uniDf.count() + biDf.count()
     require(storeRows <= maxBroadcastRows,
       s"scoreFluencyIndexed broadcasts the whole LM store to the driver; " +
@@ -788,6 +788,62 @@ object EventStreams {
         s"stream supplies [$want] — the rows would live in two " +
         "incompatible hash spaces")
     } else graft.sources.Sidecar.writeText(spark, p, want)
+  }
+
+  /**
+   * Streaming inverted-index ingest — the Lucene segment pattern as a
+   * sink: each micro-batch lands as its own postings/dict/segstats
+   * `batch_id=` segment ([[graft.operators.TextSearch.appendTextBatch]];
+   * a replayed batch overwrites only its own partition), and
+   * [[graft.operators.TextSearch.bm25TopKExactIndexed]] serves the
+   * accumulated corpus with scores identical to a one-pass build — BM25
+   * retrieval over a corpus that never stops arriving, with no rebuild.
+   * Refuses a flat [[graft.operators.TextSearch.buildTextIndex]] store
+   * loudly (its corpus-wide stats sidecar cannot absorb appends).
+   */
+  def ingestTextIndex(docs: DataFrame, idColName: String, textColName: String,
+                      path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!graft.sources.Sidecar.exists(docs.sparkSession,
+        path + "/_graft_text_stats"),
+      s"ingestTextIndex: $path holds a buildTextIndex flat store whose " +
+      "corpus-wide stats sidecar cannot absorb appends — rebuild it " +
+      "segmented, or rebuild flat per epoch instead of streaming")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextSearch
+          .appendTextBatch(batch, col(idColName), col(textColName), path, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * Streaming LM-store ingest — grow the bigram reference model
+   * ([[graft.operators.TextAnalysis.buildLmStore]]'s segmented twin) from
+   * a document stream: each micro-batch lands as its own unigram/bigram
+   * count segment ([[graft.operators.TextAnalysis.appendLmBatch]]; counts
+   * are pure sums over disjoint documents, so scorers folding the
+   * segments see exactly the one-pass model — the KenLM
+   * shard-count-then-merge shape). Refuses a flat store loudly.
+   */
+  def ingestLmStore(docs: DataFrame, textColName: String, path: String,
+                    checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!graft.sources.Sidecar.exists(docs.sparkSession,
+        path + "/_graft_lm_stats"),
+      s"ingestLmStore: $path holds a buildLmStore flat store whose " +
+      "vocabulary sidecar cannot absorb appends — rebuild it segmented, " +
+      "or rebuild flat per epoch instead of streaming")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis
+          .appendLmBatch(batch, col(textColName), path, batchId)
+        ()
+      }
+      .start()
   }
 
   /**

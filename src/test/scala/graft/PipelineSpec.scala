@@ -61,6 +61,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.getLong(1) == 1000000L / v)
   }
 
+  test("segmented LM store: appends fold to the one-pass model exactly") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lmseg").toString
+    // skewed split: segment 0 carries ~90% of the corpus
+    TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 10 =!= 0),
+      col("text"), dir, batchId = 0L)
+    TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 10 === 0),
+      col("text"), dir, batchId = 1L)
+    val live = TextAnalysis.withBigramFluency(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = TextAnalysis.withBigramFluencyIndexed(docs, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == live)
+    // replayed batch: overwriting its own partition is idempotent
+    TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 10 === 0),
+      col("text"), dir, batchId = 1L)
+    val replayed = TextAnalysis.withBigramFluencyIndexed(docs, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed == live)
+    // flat-store refusal
+    val flat = java.nio.file.Files.createTempDirectory("lmflat").toString
+    TextAnalysis.buildLmStore(docs, flat, col("text"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendLmBatch(docs.limit(3), col("text"), flat, batchId = 0L)
+    }
+    assert(e.getMessage.contains("flat store"))
+  }
+
   test("bigram fluency: independent replay on a hand corpus; garbage scores lower") {
     import graft.operators.TextAnalysis
     // hand corpus: doc 4 is a token salad of hapaxes, docs 1-3 share bigrams

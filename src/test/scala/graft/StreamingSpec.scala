@@ -642,6 +642,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming inverted-index ingest == one-pass build through BM25 serving") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("spark", "hash", "join")
+    // ground truth: a one-pass FLAT build over the same corpus
+    val flat = java.nio.file.Files.createTempDirectory("textflat2").toString
+    graft.operators.TextSearch.buildTextIndex(docs, flat, col("doc_id"), col("text"))
+    val want = graft.operators.TextSearch
+      .bm25TopKExactIndexed(spark, flat, terms, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("textseg2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("textsegck").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.EventStreams.ingestTextIndex(
+      stream, "doc_id", "text", dir, ckpt)
+    try {
+      val batch = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      input.addData(batch.take(30).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(batch.drop(30).toIndexedSeq) // second segment
+      q.processAllAvailable()
+      val got = graft.operators.TextSearch
+        .bm25TopKExactIndexed(spark, dir, terms, k = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+    // flat-store refusal: the stream must not append into a flat build
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.ingestTextIndex(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", flat,
+        java.nio.file.Files.createTempDirectory("textsegck2").toString)
+    }
+    assert(e.getMessage.contains("flat store"))
+  }
+
+  test("streaming LM-store ingest == one-pass build through the fluency scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = graft.operators.TextAnalysis
+      .withBigramFluency(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("lmseg2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lmsegck").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.EventStreams.ingestLmStore(stream, "text", dir, ckpt)
+    try {
+      val batch = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      input.addData(batch.take(20).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(batch.drop(20).toIndexedSeq)
+      q.processAllAvailable()
+      val got = graft.operators.TextAnalysis
+        .withBigramFluencyIndexed(docs, col("doc_id"), col("text"), dir)
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+    // the streaming GATE serves from the segmented store identically
+    val gateGot = graft.streaming.EventStreams
+      .scoreFluencyIndexed(docs, "text", dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gateGot == want)
+    // flat-store refusal
+    val flat = java.nio.file.Files.createTempDirectory("lmflat2").toString
+    graft.operators.TextAnalysis.buildLmStore(docs, flat, col("text"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.ingestLmStore(
+        input.toDF().toDF("doc_id", "text"), "text", flat,
+        java.nio.file.Files.createTempDirectory("lmsegck2").toString)
+    }
+    assert(e.getMessage.contains("flat store"))
+  }
+
   test("streaming fluency gate scores micro-batches with the frozen LM store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -102,6 +102,42 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("segmented store: appends fold to the one-pass build's exact scores") {
+    val dir = java.nio.file.Files.createTempDirectory("textseg").toString
+    // skewed split: batch 0 carries ~90% of the corpus, batch 1 the rest —
+    // the fold must not care how history was sliced
+    TextSearch.appendTextBatch(docs.filter(col("doc_id") % 10 =!= 0),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    TextSearch.appendTextBatch(docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+    for (terms <- Seq(Seq("spark"), Seq("spark", "hash", "join"), Seq("nosuchterm"))) {
+      val live = TextSearch.bm25TopKExact(docs, col("doc_id"), col("text"), terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val stored = TextSearch.bm25TopKExactIndexed(spark, dir, terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(stored == live, s"terms=$terms diverged")
+    }
+    // replayed batch: overwriting its own partition is idempotent
+    TextSearch.appendTextBatch(docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+    val live = TextSearch.bm25TopKExact(docs, col("doc_id"), col("text"),
+        Seq("spark", "hash"), 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val replayed = TextSearch.bm25TopKExactIndexed(spark, dir, Seq("spark", "hash"), 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == live)
+  }
+
+  test("segmented append refuses a flat buildTextIndex store loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("textflat").toString
+    TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.appendTextBatch(docs.limit(5), col("doc_id"), col("text"),
+        dir, batchId = 0L)
+    }
+    assert(e.getMessage.contains("flat store"))
+  }
+
   test("property: exact scores == BigInt replay on random corpora (empty docs, unicode, repeats)") {
     val rnd = new scala.util.Random(11)
     val vocab = Seq("a", "bb", "ccc", "déjà", "日本", "x1", "", "the")
