@@ -702,6 +702,69 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // takedown WITHOUT a rebuild (right-to-be-forgotten): a segmented
+    // index grows over the full corpus, then one-seventh of it is
+    // deleted — tombstones anti-join the postings, negative dict/stats
+    // segments cancel the deleted statistics in the read-time fold — and
+    // serving must be bit-identical to an index built over the REMAINING
+    // corpus, which is exactly what the oracle replays.
+    "q185_text_index_forget" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("textforget", dir) { p =>
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        TextSearch.deleteFromTextIndex(
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+          col("doc_id"), p, batchId = 0L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextSearch.bm25TopKExactIndexed(s, path, Bm25Terms, k = 25)
+    }),
+
+    // LM-store takedown: the deleted docs' n-gram counts arrive as
+    // negative segments, zero-count tokens drop out of the model and the
+    // vocabulary — scoring the remaining corpus must equal a one-pass
+    // model built without the deleted docs (the oracle trains and scores
+    // on the filtered table).
+    "q186_lm_forget" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("lmforget", dir) { p =>
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("text"), p, batchId = 0L)
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("text"), p, batchId = 1L)
+        TextAnalysis.deleteFromLmStore(docs.filter(col("doc_id") % 7 === 3),
+          col("text"), p, batchId = 0L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextAnalysis.withBigramFluencyIndexed(
+          docs.filter(col("doc_id") % 7 =!= 3), col("doc_id"), col("text"), path)
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-store takedown: tombstones anti-join the candidate (bands)
+    // table, so a forgotten even doc can never flag an odd probe again —
+    // the gate must match the exact-Jaccard replay over the REMAINING
+    // store (evens minus every eighth).
+    "q187_minhash_forget" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("mhforget", dir) { p =>
+        Dedup.initMinhashStore(s, p)
+        Dedup.appendMinhashBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        Dedup.deleteFromMinhashStore(
+          docs.filter(col("doc_id") % 8 === 0).select(col("doc_id")),
+          col("doc_id"), p, batchId = 0L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Dedup.dropSeenNearDups(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Raster⋈vector through the per-cell STRtree (reference join with
     // prebuilt index): same matches as the declarative q25 plan.
     "q98_raster_vector_join_indexed" -> ((s, dir) => {
@@ -1771,6 +1834,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // ANN takedown: one-ninth of the corpus is forgotten from the IVF
+    // store by id tombstones — no rebuild, no retrain (the coarse
+    // quantizer is a corpus statistic, not per-row state) — and the
+    // full-probe serve must equal brute-force cosine over the REMAINING
+    // vectors, which the oracle replays exactly.
+    "q188_ann_forget" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("ivfforget", dir) { p =>
+        Similarity.buildIvfIndex(e, p, col("vec_id"), col("embedding"), nlist = 16)
+        Similarity.deleteFromAnnStore(
+          e.filter(col("vec_id") % 9 === 4).select(col("vec_id")),
+          col("vec_id"), p, batchId = 0L)
+      }
+      Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // visualization sink's distributed half: per-pixel point counts on a
     // 32x32 grid over [0,512)^2 (power-of-two scale => exact float math);
     // the PNG painter consumes exactly this histogram (VisualizeSpec).
@@ -2430,8 +2512,8 @@ object SparkEntry {
     * (doc_id, n_bigrams, fluency_e6). */
   /** Shared CTE chain of the bigram-fluency replay (also the base of the
     * q118 bucket oracle): `d` docs, `s` per-doc (ts, nb) sums. */
-  private val fluencyCtes: String =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def fluencyCtesFor(src: String): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
       |u AS (SELECT w, CAST(count(*) AS BIGINT) AS u
       |      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
       |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
@@ -2445,11 +2527,18 @@ object SparkEntry {
       |s AS (SELECT doc_id, CAST(sum(te) AS BIGINT) AS ts,
       |             CAST(count(*) AS BIGINT) AS nb FROM t GROUP BY 1)""".stripMargin
 
-  private val fluencyOracleSql: String =
-    s"""WITH $fluencyCtes
+  private val fluencyCtes: String = fluencyCtesFor("documents")
+
+  /** The fluency replay over an arbitrary source relation — shared by
+    * q88/q100/q184 (`documents`) and q186 (the post-takedown remainder):
+    * model AND scored set both come from `src`. */
+  private def fluencyOracleSqlFor(src: String): String =
+    s"""WITH ${fluencyCtesFor(src)}
       |SELECT d.doc_id, COALESCE(nb, 0) AS n_bigrams,
       |       COALESCE((ts - ts % nb) // nb, 0) AS fluency_e6
       |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  private val fluencyOracleSql: String = fluencyOracleSqlFor("documents")
 
   /** q25 = q98 (tree-refined path must match the declarative plan):
     * tile frames intersecting each nation rect. */
@@ -2768,6 +2857,24 @@ object SparkEntry {
     // model, so the same full replay verifies the growth path
     "q184_lm_store_ingest" -> fluencyOracleSql,
 
+    // takedown replays: the grown-then-forgotten stores must equal
+    // one-pass builds over the REMAINING corpus — the oracles simply
+    // filter the deleted docs out of the source relation
+    "q185_text_index_forget" -> TextSearch.bm25ExactOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+      "doc_id", "text", Bm25Terms, k = 25),
+    "q186_lm_forget" -> fluencyOracleSqlFor(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+    // q187: the q102/q181 exact-Jaccard gate replay with every eighth
+    // doc forgotten from the even-doc store
+    "q187_minhash_forget" ->
+      (s"WITH sh AS ($shingleSetSql), " +
+       "hit AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh a " +
+       "ON b.doc_id % 2 = 1 AND a.doc_id % 2 = 0 AND a.doc_id % 8 <> 0 " +
+       "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))) " +
+       "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+       "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
+
     // angular variant must equal the plain skyline ⇒ q8's dominance oracle
     "q91_skyline_angular" ->
       (s"WITH cpts AS (${Tables.customerPtsSql}) " +
@@ -2851,6 +2958,15 @@ object SparkEntry {
 
     // nprobe = nlist ⇒ the persisted-IVF path is exact: same oracle as q18
     "q51_ann_ivf_store" -> annTop5OracleSql,
+
+    // ANN takedown: brute top-5 over the corpus MINUS the forgotten ninth
+    "q188_ann_forget" ->
+      (s"WITH e AS ($normedEmbSql), scored AS (" +
+       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c " +
+       "WHERE c.vec_id != q.vec_id AND c.vec_id % 9 <> 4) " +
+       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
 
     // two frozen-cell batch appends fold to the one-pass store ⇒ exact at
     // nprobe = nlist, same brute-cosine replay

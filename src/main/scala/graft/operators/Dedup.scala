@@ -696,6 +696,7 @@ object Dedup {
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
+    dropTombstones(spark, path) // a rebuild starts with a clean slate
     val sh = shingled(corpus, idCol, textCol, n).cache()
     sh.select(col("__id").as("id"),
         posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands)))
@@ -739,7 +740,10 @@ object Dedup {
     val banded = sh.select(col("__id").as("__mh_id"),
         posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands)))
       .toDF("__mh_id", "__mh_band", "__mh_bucket")
-    val storeBands = spark.read.parquet(path + "/bands")
+    // every candidate flows through the bands join, so tombstoning THIS
+    // table is sufficient to forget a document (its shingle row can then
+    // never be consulted)
+    val storeBands = minusTombstones(spark.read.parquet(path + "/bands"), path)
     val cands = banded.join(storeBands,
         col("__mh_band") === col("band") && col("__mh_bucket") === col("bucket"))
       .select(col("__mh_id"), col("id").as("__mh_sid"))
@@ -790,6 +794,63 @@ object Dedup {
     sh.select(col("__id").as("id"), col("__sh").as("sh"), col("__sz").as("sz"))
       .write.mode("overwrite").parquet(s"$path/shingles/batch_id=$batchId")
     releaseCheckpoint(sh)
+  }
+
+  // ---- takedown (tombstones) ----
+  // The LSH reference stores carry NO corpus-wide statistics, so
+  // forgetting a document is a pure id tombstone: deletion appends a
+  // `tombstones/batch_id=` segment (reserved negative batch-id range, so
+  // it never collides with an ingest segment; replays overwrite only
+  // their own partition) and the gates anti-join the store's candidate
+  // table against the accumulated tombstones — a forgotten doc can never
+  // surface as a collision candidate again, without touching history.
+  // Works on one-pass AND segmented stores alike. CONTRACT: a deleted id
+  // must not be re-ingested later (ids are exactly-once across the
+  // store's lifetime — the contract appends already carry).
+
+  /** Remove the tombstones of a store that is being REBUILT one-pass —
+    * stale tombstones must not shadow the fresh corpus's rows. */
+  private def dropTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** The store's tombstoned ids, if any deletion has happened. */
+  private def lshTombstones(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[DataFrame] =
+    if (graft.sources.Sidecar.exists(spark, path + "/tombstones"))
+      Some(spark.read.parquet(path + "/tombstones").select(col("id")).distinct())
+    else None
+
+  /** Anti-join a store table against the tombstones (no-op when nothing
+    * was ever deleted). */
+  private def minusTombstones(store: DataFrame, path: String): DataFrame =
+    lshTombstones(store.sparkSession, path) match {
+      case Some(t) => store.join(t, Seq("id"), "left_anti")
+      case None => store
+    }
+
+  /** Forget `ids` from a MinHash store (one-pass or segmented) without a
+    * rebuild — see the takedown notes above. */
+  def deleteFromMinhashStore(ids: DataFrame, idCol: Column, path: String,
+                             batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"deleteFromMinhashStore: batchId must be >= 0, got $batchId")
+    ids.select(idCol.as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/batch_id=${-batchId - 1}")
+  }
+
+  /** Forget `ids` from a cosine-LSH store (one-pass or segmented) without
+    * a rebuild — see the takedown notes above. */
+  def deleteFromCosineLshStore(ids: DataFrame, idCol: Column, path: String,
+                               batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"deleteFromCosineLshStore: batchId must be >= 0, got $batchId")
+    ids.select(idCol.as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/batch_id=${-batchId - 1}")
   }
 
   /** Initialize a cosine-LSH-store layout for INCREMENTAL builds — the
@@ -848,6 +909,7 @@ object Dedup {
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
+    dropTombstones(spark, path) // a rebuild starts with a clean slate
     val v = spread(corpus.select(idCol.as("__id"), vecCol.as("__vec")))
       .localCheckpoint() // two writes below read it — warm, not racing
     v.select(col("__id").as("id"),
@@ -893,8 +955,11 @@ object Dedup {
       .withColumn("__cl_nrm", stf.vec_norm(col("__cl_vec")))
     val banded = v.select(col("__cl_id"),
       explode(stf.hyperplane_buckets(col("__cl_vec"), tables, planes)).as("__cl_bucket"))
+    // every candidate flows through the buckets join — tombstoning it is
+    // sufficient to forget a vector (see the takedown notes)
     val cands = banded
-      .join(spark.read.parquet(path + "/buckets"), col("__cl_bucket") === col("bucket"))
+      .join(minusTombstones(spark.read.parquet(path + "/buckets"), path),
+        col("__cl_bucket") === col("bucket"))
       .select(col("__cl_id"), col("id").as("__cl_sid"))
       .distinct()
     val storeVec = spark.read.parquet(path + "/vectors")

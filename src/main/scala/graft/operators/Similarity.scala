@@ -275,6 +275,58 @@ object Similarity {
     }: _*)
   }
 
+  // ---- takedown (tombstones) ----
+  // Every ANN store keys its scored rows by id (IVF `corpus`, PQ/IVF-PQ
+  // `codes`, binary `codes`/`vectors`), so forgetting a vector is a pure
+  // id tombstone: deletion appends a `tombstones/batch_id=` segment in
+  // the reserved negative batch-id range (never collides with ingest
+  // segments; replays overwrite only their own partition) and every
+  // reader anti-joins before scoring — serving becomes identical to an
+  // index built over the remaining corpus, with no rebuild and no
+  // retrain (the frozen quantizer/codebooks are corpus statistics, not
+  // per-row state). The binary GATE's id-free block table is handled by
+  // semi-joining it to the remaining LIVE codes. Works on one-pass AND
+  // segmented stores. CONTRACT: a deleted id must not be re-ingested
+  // later (ids are exactly-once across the store's lifetime).
+
+  /** Forget `ids` from any persisted ANN store (IVF / PQ / IVF-PQ /
+    * binary) without a rebuild — see the takedown notes above. */
+  def deleteFromAnnStore(ids: DataFrame, idCol: Column, path: String,
+                         batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"deleteFromAnnStore: batchId must be >= 0, got $batchId")
+    ids.select(idCol.as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/batch_id=${-batchId - 1}")
+  }
+
+  /** The store's tombstoned ids (if any deletion has happened), aliased
+    * to the reader's id column name. */
+  private def annTombstones(spark: org.apache.spark.sql.SparkSession,
+                            path: String, idName: String): Option[DataFrame] =
+    if (graft.sources.Sidecar.exists(spark, path + "/tombstones"))
+      Some(spark.read.parquet(path + "/tombstones")
+        .select(col("id").as(idName)).distinct())
+    else None
+
+  /** Anti-join a store table against the tombstones (no-op when nothing
+    * was ever deleted). */
+  private def minusTombstones(store: DataFrame, path: String,
+                              idName: String): DataFrame =
+    annTombstones(store.sparkSession, path, idName) match {
+      case Some(t) => store.join(t, Seq(idName), "left_anti")
+      case None => store
+    }
+
+  /** Remove the tombstones of a store that is being REBUILT one-pass —
+    * stale tombstones must not shadow the fresh corpus's rows. */
+  private def dropTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   /**
    * Build/overwrite a persisted binary-flat index under `path`:
    * `codes` (id, code array<long> — the narrow column every search
@@ -306,6 +358,7 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     graft.sources.Sidecar.invalidateMarker(spark, path)
+    dropTombstones(spark, path) // a rebuild starts with a clean slate
     val coded = signQuantize(
         corpus.select(corpusId.as("id"), corpusVec.as("vec")),
         col("vec"), dim, bits, salt, "code")
@@ -345,7 +398,7 @@ object Similarity {
       queries.select(queryId.as("query_id"), queryVec.as("__qv")),
       col("__qv"), dim, bits, salt, "__qc")
     binaryRank(
-      spark.read.parquet(path + "/codes")
+      minusTombstones(spark.read.parquet(path + "/codes"), path, "id")
         .select(col("id").as("neighbor_id"), col("code").as("__cc")),
       spark.read.parquet(path + "/vectors")
         .select(col("id").as("__cid"), col("vec").as("__cv"), col("nrm").as("__cn")),
@@ -405,8 +458,19 @@ object Similarity {
       zip_with(col("__bh_code"), col("code"),
         (a, b) => bit_count(a.bitwiseXOR(b))),
       lit(0), (acc, x) => acc + x)
+    // takedown: the block table is id-free (distinct codes), so a
+    // forgotten doc disappears by keeping only codes that at least one
+    // LIVE doc still carries — a semi-join against the tombstone-filtered
+    // codes table, skipped entirely when nothing was ever deleted
+    val storeBlocks = annTombstones(spark, path, "id") match {
+      case Some(t) =>
+        val live = spark.read.parquet(path + "/codes")
+          .join(t, Seq("id"), "left_anti").select(col("code")).distinct()
+        spark.read.parquet(path + "/blocks").join(live, Seq("code"), "left_semi")
+      case None => spark.read.parquet(path + "/blocks")
+    }
     val seenCodes = probes
-      .join(spark.read.parquet(path + "/blocks"),
+      .join(storeBlocks,
         col("__bh_b") === col("b") && col("__bh_w") === col("w"))
       .filter(ham <= maxHamming)
       .select(col("__bh_code")).distinct()
@@ -709,6 +773,7 @@ object Similarity {
     // invalidate an existing marker FIRST (same rebuild-crash contract as
     // the other stores: never leave _SUCCESS over a half-rewritten layout)
     graft.sources.Sidecar.invalidateMarker(spark, path)
+    dropTombstones(spark, path) // a rebuild starts with a clean slate
     val centroids = fitCentroids(c, nlist, seed)
     val bc = spark.sparkContext.broadcast(centroids)
     c.withColumn("__cell", assignCellUdf(bc)(col("__cv")))
@@ -791,7 +856,8 @@ object Similarity {
       .withColumn("__qcell", explode(probeCells(col("__qv"))))
       .withColumn("__qn", stf.vec_norm(col("__qv")))
     val cells = q.select(col("__qcell")).distinct().collect().map(_.getInt(0))
-    val scored = spark.read.parquet(path + "/corpus")
+    val scored = minusTombstones(spark.read.parquet(path + "/corpus"),
+        path, "neighbor_id")
       .filter(col("__cell").isin(cells.map(Int.box).toIndexedSeq: _*))
       .join(broadcast(q),
         col("__cell") === col("__qcell") && col("neighbor_id") =!= col("query_id"))
@@ -1017,6 +1083,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
     graft.sources.Sidecar.invalidateMarker(spark, path)
+    dropTombstones(spark, path) // a rebuild starts with a clean slate
     val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(math.max(sampleN, ksub))
       .select(col("__cv")).collect()
       .map(r => toDoubles(r.getSeq[Float](0)))
@@ -1078,8 +1145,8 @@ object Similarity {
   def pqTopKIndexed(queries: DataFrame, path: String, queryId: Column,
                     queryVec: Column, k: Int): DataFrame = {
     val spark = queries.sparkSession
-    pqRank(spark.read.parquet(path + "/codes"), queries, queryId, queryVec,
-      readPqCodebooks(spark, path), k)
+    pqRank(minusTombstones(spark.read.parquet(path + "/codes"), path, "neighbor_id"),
+      queries, queryId, queryVec, readPqCodebooks(spark, path), k)
   }
 
   /**
@@ -1223,6 +1290,7 @@ object Similarity {
                       sampleN: Int = 4096, seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
+    dropTombstones(spark, path) // a rebuild starts with a clean slate
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
     val cents = fitCentroids(c, nlist, seed)
     val bcC = spark.sparkContext.broadcast(cents)
@@ -1321,8 +1389,8 @@ object Similarity {
     val codebooks: Array[Array[Array[Double]]] =
       graft.sources.Sidecar.readText(spark, path + "/_graft_pq_codebooks")
         .split("\n").map(_.split('|').map(_.split(',').map(java.lang.Double.parseDouble)))
-    ivfPqRank(spark.read.parquet(path + "/codes"), queries, queryId, queryVec,
-      cents, codebooks, nprobe, k)
+    ivfPqRank(minusTombstones(spark.read.parquet(path + "/codes"), path, "neighbor_id"),
+      queries, queryId, queryVec, cents, codebooks, nprobe, k)
   }
 
   /**

@@ -538,6 +538,46 @@ object TextAnalysis {
       case _ => ()
     }
 
+  /**
+   * Forget documents from a segmented LM store WITHOUT a rebuild (the
+   * takedown twin of [[appendLmBatch]]): the deleted docs' unigram and
+   * bigram counts land as NEGATIVE count segments in the reserved
+   * negative batch-id range, which [[loadLmModel]]'s fold cancels
+   * exactly — tokens whose count reaches zero drop out of the model AND
+   * the vocabulary, so the store scores bit-identically to a one-pass
+   * build over the remaining corpus. CONTRACT: forget exactly documents
+   * previously appended, each at most once (the LM store holds no
+   * per-document rows, so unlike the inverted index it cannot detect a
+   * re-deletion itself).
+   */
+  def deleteFromLmStore(docs: DataFrame, textCol: Column, path: String,
+                        batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_lm_stats"),
+      s"deleteFromLmStore: $path holds a buildLmStore flat store — " +
+      "takedown-by-append needs the segmented layout; rebuild it with " +
+      "appendLmBatch (or rebuild flat without the deleted docs)")
+    require(batchId >= 0, s"deleteFromLmStore: batchId must be >= 0, got $batchId")
+    val segId = -batchId - 1
+    val toks = docs.select(tokens(textCol).as("__lm_ws")).localCheckpoint()
+    toks.select(explode(col("__lm_ws")).as("w"))
+      .groupBy(col("w")).agg((-count(lit(1))).as("u"))
+      .repartitionByRange(col("w")).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(s"$path/unigrams/batch_id=$segId")
+    val ws = col("__lm_ws")
+    val n = size(ws)
+    val pairs = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    toks.select(explode(pairs).as("__lm_p"))
+      .select(col("__lm_p.w1").as("w1"), col("__lm_p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg((-count(lit(1))).as("b"))
+      .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+      .write.mode("overwrite").parquet(s"$path/bigrams/batch_id=$segId")
+    releaseCheckpoint(toks)
+  }
+
   /** The frozen LM model of a store, whichever layout built it: vocabulary
     * size plus the (folded) unigram and bigram count tables. Flat stores
     * read the sidecar and fold over already-unique rows (the sums are the
@@ -546,10 +586,15 @@ object TextAnalysis {
     * `unigrams.count()` definition the flat build persisted). */
   private[graft] def loadLmModel(spark: org.apache.spark.sql.SparkSession,
                                  path: String): (Long, DataFrame, DataFrame) = {
+    // the `> 0` filters drop tokens whose counts a deletion segment
+    // cancelled to zero — exactly a rebuild-over-remaining's vocabulary
+    // (identity on flat stores and never-deleted segmented stores)
     val uni = spark.read.parquet(path + "/unigrams")
       .groupBy(col("w")).agg(sum(col("u")).as("u"))
+      .filter(col("u") > 0)
     val bi = spark.read.parquet(path + "/bigrams")
       .groupBy(col("w1"), col("w2")).agg(sum(col("b")).as("b"))
+      .filter(col("b") > 0)
     val v =
       if (graft.sources.Sidecar.exists(spark, path + "/_graft_lm_stats"))
         graft.sources.Sidecar.readText(spark, path + "/_graft_lm_stats").toLong

@@ -186,6 +186,15 @@ object TextSearch {
                      textCol: Column): Unit = {
     val spark = docs.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
+    // a flat rebuild over a previously-segmented path starts clean:
+    // stale stats segments or tombstones must not shadow the fresh corpus
+    // (postings/dict are wiped by the overwrite writes below)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("/segstats", "/tombstones").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(path + d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val base = docs
       .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__ws"))
       .withColumn("__dl", size(col("__ws")).cast("long"))
@@ -262,6 +271,67 @@ object TextSearch {
       case _ => ()
     }
 
+  /** The store's tombstoned doc ids, if any deletion has happened. */
+  private def tombstoneTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[DataFrame] =
+    if (graft.sources.Sidecar.exists(spark, path + "/tombstones"))
+      Some(spark.read.parquet(path + "/tombstones")
+        .select(col("doc_id")).distinct())
+    else None
+
+  /**
+   * Forget documents from a segmented index WITHOUT a rebuild — the
+   * takedown / right-to-be-forgotten shape. Deletion appends, it never
+   * rewrites history: the ids land in a `tombstones/batch_id=` segment
+   * (serving anti-joins postings against them) and the deleted docs'
+   * statistics land as NEGATIVE dictionary and stats segments, so the
+   * existing read-time folds cancel their contributions exactly — a
+   * grown-then-forgotten store serves bit-identically to an index built
+   * over the remaining corpus. Delete segments live in the reserved
+   * negative batch-id range (`-batchId - 1`), so they never collide with
+   * append segments, and a replayed delete overwrites only its own
+   * partitions (idempotent).
+   *
+   * Ids already tombstoned or absent from the store contribute nothing
+   * (re-deletion and stray ids are no-ops). CONTRACT: a deleted id must
+   * not be re-ingested later — ids are exactly-once across the store's
+   * lifetime, the same contract appends already carry.
+   */
+  def deleteFromTextIndex(ids: DataFrame, idCol: Column, path: String,
+                          batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_text_stats"),
+      s"deleteFromTextIndex: $path holds a buildTextIndex flat store — " +
+      "takedown-by-append needs the segmented layout; rebuild it with " +
+      "appendTextBatch (or rebuild flat without the deleted docs)")
+    require(batchId >= 0, s"deleteFromTextIndex: batchId must be >= 0, got $batchId")
+    val segId = -batchId - 1
+    val victims0 = ids.select(idCol.cast("long").as("doc_id")).distinct()
+    val victims = (tombstoneTable(spark, path) match {
+      case Some(t) => victims0.join(t, Seq("doc_id"), "left_anti")
+      case None => victims0
+    }).localCheckpoint()
+    // the victims' posting rows — an id-keyed equi-join, never a scan of
+    // the corpus text (the store IS the only copy of their statistics)
+    val posted = spark.read.parquet(path + "/postings")
+      .join(victims, Seq("doc_id"), "left_semi")
+      .select(col("term"), col("doc_id"), col("dl"))
+      .localCheckpoint()
+    posted.groupBy(col("term")).agg((-count(lit(1))).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/dict/batch_id=$segId")
+    posted.select(col("doc_id"), col("dl")).distinct()
+      .agg((-count(lit(1))).cast("long").as("n_docs"),
+        coalesce(-sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/segstats/batch_id=$segId")
+    // tombstone only ids PRESENT in the store: a stray id must not
+    // shadow a future document that happens to reuse it
+    posted.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/batch_id=$segId")
+    releaseCheckpoint(posted)
+    releaseCheckpoint(victims)
+  }
+
   /** Corpus stats (N, Σdl) of a store, whichever layout built it: the
     * flat store's one-line sidecar, or the sum of a segmented store's
     * stats segments. */
@@ -304,8 +374,15 @@ object TextSearch {
     val dfTab = spark.read.parquet(path + "/dict")
       .filter(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("__df"))
-    val postings = spark.read.parquet(path + "/postings")
+    val postings0 = spark.read.parquet(path + "/postings")
       .filter(col("term").isin(terms: _*))
+    // forgotten docs: postings anti-join the tombstones; their df and
+    // (N, Σdl) contributions are already cancelled by the negative
+    // segments the deletion appended
+    val postings = tombstoneTable(spark, path) match {
+      case Some(t) => postings0.join(t, Seq("doc_id"), "left_anti")
+      case None => postings0
+    }
     postings.join(broadcast(dfTab), "term")
       .withColumn("__ts", idfE4(col("__df"), n) * tfFactorE4(col("tf"), col("dl"), n, s))
       .groupBy(col("doc_id")).agg(sum(col("__ts")).as("score_e8"))

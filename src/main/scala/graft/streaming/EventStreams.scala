@@ -847,6 +847,44 @@ object EventStreams {
   }
 
   /**
+   * Streaming takedown — the deletion twin of every store-ingest sink:
+   * each micro-batch of ids to forget lands as its own tombstone (and,
+   * for the text index, negative-statistics) segment in the reserved
+   * negative batch-id range, so a takedown FEED (the GDPR / opt-out
+   * queue every serving pipeline carries) drains continuously without
+   * ever rebuilding a store. `kind` picks the store family:
+   * `"text"` ([[graft.operators.TextSearch.deleteFromTextIndex]]),
+   * `"ann"` ([[graft.operators.Similarity.deleteFromAnnStore]] — IVF /
+   * PQ / IVF-PQ / binary), `"minhash"` / `"cosine"`
+   * ([[graft.operators.Dedup.deleteFromMinhashStore]] /
+   * [[graft.operators.Dedup.deleteFromCosineLshStore]]).
+   */
+  def ingestDeletes(ids: DataFrame, idColName: String, path: String,
+                    checkpoint: String, kind: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val delete: (DataFrame, Long) => Unit = kind match {
+      case "text" => (b, i) => graft.operators.TextSearch
+        .deleteFromTextIndex(b, col(idColName), path, i)
+      case "ann" => (b, i) => graft.operators.Similarity
+        .deleteFromAnnStore(b, col(idColName), path, i)
+      case "minhash" => (b, i) => graft.operators.Dedup
+        .deleteFromMinhashStore(b, col(idColName), path, i)
+      case "cosine" => (b, i) => graft.operators.Dedup
+        .deleteFromCosineLshStore(b, col(idColName), path, i)
+      case other => throw new IllegalArgumentException(
+        s"ingestDeletes: unknown store kind '$other' " +
+        "(expected text | ann | minhash | cosine)")
+    }
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        delete(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming MinHash-store ingest — grow the near-dup reference corpus
    * itself (the store side of [[ingestDropNearDups]]' gate): each
    * micro-batch OVERWRITES its own `bands`/`shingles` `batch_id=`

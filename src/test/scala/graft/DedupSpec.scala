@@ -157,6 +157,58 @@ class DedupSpec extends AnyFunSuite {
       == shingleless)
   }
 
+  test("takedown: tombstoned store docs can never flag a probe again") {
+    val dir = java.nio.file.Files.createTempDirectory("mhdel").toString
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.buildMinhashStore(even, col("doc_id"), col("text"), dir)
+    Dedup.deleteFromMinhashStore(even.filter(col("doc_id") % 8 === 0)
+      .select(col("doc_id")), col("doc_id"), dir, batchId = 0L)
+    val surv = Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // ground truth: gate against a store REBUILT without the deleted docs
+    val rebuilt = java.nio.file.Files.createTempDirectory("mhdel2").toString
+    Dedup.buildMinhashStore(even.filter(col("doc_id") % 8 =!= 0),
+      col("doc_id"), col("text"), rebuilt)
+    val want = Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), rebuilt)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(surv == want)
+    // a one-pass REBUILD over the tombstoned path clears the tombstones
+    Dedup.buildMinhashStore(even, col("doc_id"), col("text"), dir)
+    val cleared = Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val full = java.nio.file.Files.createTempDirectory("mhdel3").toString
+    Dedup.buildMinhashStore(even, col("doc_id"), col("text"), full)
+    val wantFull = Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), full)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(cleared == wantFull)
+    // removing store docs can only grow the survivor set
+    assert(wantFull.subsetOf(surv))
+    intercept[IllegalArgumentException] {
+      Dedup.deleteFromMinhashStore(even.select(col("doc_id")), col("doc_id"), dir, -1L)
+    }
+  }
+
+  test("cosine takedown: tombstoned vectors can never flag a probe again") {
+    val dir = java.nio.file.Files.createTempDirectory("cldel").toString
+    val even = embs.filter(col("vec_id") % 2 === 0)
+    val odd = embs.filter(col("vec_id") % 2 === 1)
+    Dedup.buildCosineLshStore(even, col("vec_id"), col("embedding"),
+      dir, tables = 48, planes = 3)
+    Dedup.deleteFromCosineLshStore(even.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id")), col("vec_id"), dir, batchId = 0L)
+    val kept = Dedup.dropSeenCosine(odd, col("vec_id"), col("embedding"),
+        dir, threshold = 0.42)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // exact replay against the remaining store vectors
+    val hit = odd.as("a").join(
+        even.filter(col("vec_id") % 8 =!= 0).as("b"),
+        Dedup.cosine(col("a.embedding"), col("b.embedding")) >= 0.42)
+      .select(col("a.vec_id")).collect().map(_.getLong(0)).toSet
+    val want = odd.select(col("vec_id")).collect().map(_.getLong(0)).toSet -- hit
+    assert(kept.nonEmpty && kept == want)
+  }
+
   test("exact dedup keeps every distinct content exactly once") {
     val d = Dedup.exact(docs, col("doc_id"), col("text"))
     val total = docs.count()

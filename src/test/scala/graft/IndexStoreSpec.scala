@@ -146,6 +146,107 @@ class IndexStoreSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("ANN takedown: tombstoned vectors vanish from every store's serving") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dim = 8
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val remaining = emb.filter(col("vec_id") % 9 =!= 4)
+    val victims = emb.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val q = emb.filter(col("vec_id") < 5)
+    val tmp = System.getProperty("java.io.tmpdir")
+
+    // IVF: forget == brute over the remaining corpus (full probe)
+    val ivf = s"$tmp/graft_ivf_del_spec"
+    Similarity.buildIvfIndex(emb, ivf, col("vec_id"), col("embedding"), nlist = 8)
+    Similarity.deleteFromAnnStore(victims, col("vec_id"), ivf, batchId = 0L)
+    val gotIvf = Similarity.ivfTopKIndexed(q, ivf, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expIvf = Similarity.bruteTopK(remaining, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotIvf == expIvf && gotIvf.nonEmpty)
+
+    // PQ: forget == a store REBUILT over the remaining corpus (identical
+    // codebooks: same bounded deterministic sample would differ, so train
+    // lossless where codes are exact)
+    val n = 150
+    val pq = s"$tmp/graft_pq_del_spec"
+    Similarity.buildPqIndex(emb, pq, col("vec_id"), col("embedding"),
+      m = 4, ksub = n, iters = 0, sampleN = n)
+    Similarity.deleteFromAnnStore(victims, col("vec_id"), pq, batchId = 0L)
+    val pq2 = s"$tmp/graft_pq_del_spec2"
+    Similarity.buildPqIndex(remaining, pq2, col("vec_id"), col("embedding"),
+      m = 4, ksub = n, iters = 0, sampleN = n)
+    val gotPq = Similarity.pqTopKIndexed(q, pq, col("vec_id"), col("embedding"), k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expPq = Similarity.pqTopKIndexed(q, pq2, col("vec_id"), col("embedding"), k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPq == expPq && gotPq.nonEmpty)
+
+    // IVF-PQ: same differential through the composed reader
+    val ipq = s"$tmp/graft_ipq_del_spec"
+    Similarity.buildIvfPqIndex(emb, ipq, col("vec_id"), col("embedding"),
+      nlist = 4, m = 4, ksub = n, iters = 0, sampleN = n)
+    Similarity.deleteFromAnnStore(victims, col("vec_id"), ipq, batchId = 0L)
+    val ipq2 = s"$tmp/graft_ipq_del_spec2"
+    Similarity.buildIvfPqIndex(remaining, ipq2, col("vec_id"), col("embedding"),
+      nlist = 4, m = 4, ksub = n, iters = 0, sampleN = n)
+    val gotIpq = Similarity.ivfPqTopKIndexed(q, ipq, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expIpq = Similarity.ivfPqTopKIndexed(q, ipq2, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotIpq == expIpq && gotIpq.nonEmpty)
+
+    // binary: search AND the id-free-block gate forget the victims
+    val bin = s"$tmp/graft_bin_del_spec"
+    Similarity.buildBinaryIndex(emb, bin, col("vec_id"), col("embedding"),
+      dim = dim, bits = 64, salt = "bdel")
+    Similarity.deleteFromAnnStore(victims, col("vec_id"), bin, batchId = 0L)
+    val bin2 = s"$tmp/graft_bin_del_spec2"
+    Similarity.buildBinaryIndex(remaining, bin2, col("vec_id"), col("embedding"),
+      dim = dim, bits = 64, salt = "bdel")
+    val gotB = Similarity.binaryTopKIndexed(q, bin, col("vec_id"), col("embedding"),
+        k = 3, cand = 1000)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expB = Similarity.binaryTopKIndexed(q, bin2, col("vec_id"), col("embedding"),
+        k = 3, cand = 1000)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB == expB && gotB.nonEmpty)
+    val gateGot = Similarity.dropSeenHamming(emb, col("vec_id"), col("embedding"),
+        bin, maxHamming = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val gateExp = Similarity.dropSeenHamming(emb, col("vec_id"), col("embedding"),
+        bin2, maxHamming = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(gateGot == gateExp)
+    // a rebuild clears the tombstones
+    Similarity.buildIvfIndex(emb, ivf, col("vec_id"), col("embedding"), nlist = 8)
+    val cleared = Similarity.ivfTopKIndexed(q, ivf, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expFull = Similarity.bruteTopK(emb, q, col("vec_id"), col("vec_id"),
+        col("embedding"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cleared == expFull)
+    intercept[IllegalArgumentException] {
+      Similarity.deleteFromAnnStore(victims, col("vec_id"), ivf, batchId = -1L)
+    }
+  }
+
   test("persisted kNN equals the live kNN (expand rounds + degenerate k >= n)") {
     import graft.operators.KNN
     // k large enough that the first ring can't conclude — forces expansion

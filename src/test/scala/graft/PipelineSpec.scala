@@ -94,6 +94,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flat store"))
   }
 
+  test("LM takedown: forget == a model built without the deleted docs (vocab shrinks)") {
+    import graft.operators.TextAnalysis
+    // doc 4 is the ONLY doc holding tokens zq/xv/qn — deleting it must
+    // shrink the vocabulary, not just the counts
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "zq xv qn"), (5L, "solo the"))
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lmdel").toString
+    TextAnalysis.appendLmBatch(df.filter(col("doc_id") <= 3), col("text"), dir, 0L)
+    TextAnalysis.appendLmBatch(df.filter(col("doc_id") > 3), col("text"), dir, 1L)
+    TextAnalysis.deleteFromLmStore(df.filter(col("doc_id") === 4), col("text"), dir, 0L)
+    val remaining = df.filter(col("doc_id") =!= 4)
+    val want = TextAnalysis.withBigramFluency(remaining, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = TextAnalysis.withBigramFluencyIndexed(remaining, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the zero-count tokens are gone from the folded vocabulary
+    val uniRows = spark.read.parquet(s"$dir/unigrams")
+      .groupBy(col("w")).agg(sum(col("u")).as("u")).filter(col("u") > 0)
+      .collect().map(_.getString(0)).toSet
+    assert(!uniRows.contains("zq") && uniRows.contains("the"))
+    // flat stores refuse takedown; negative batch ids refused
+    val flat = java.nio.file.Files.createTempDirectory("lmdelflat").toString
+    TextAnalysis.buildLmStore(df, flat, col("text"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromLmStore(df.limit(1), col("text"), flat, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromLmStore(df.limit(1), col("text"), dir, -2L)
+    }
+  }
+
   test("bigram fluency: independent replay on a hand corpus; garbage scores lower") {
     import graft.operators.TextAnalysis
     // hand corpus: doc 4 is a token salad of hapaxes, docs 1-3 share bigrams

@@ -680,6 +680,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flat store"))
   }
 
+  test("streaming takedown feed: deletes drain into the text index without rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("textdelstream").toString
+    graft.operators.TextSearch.appendTextBatch(docs, col("doc_id"), col("text"),
+      dir, batchId = 0L)
+    val terms = Seq("spark", "hash")
+    // ground truth: one-pass build over the remaining corpus
+    val flat = java.nio.file.Files.createTempDirectory("textdelflat").toString
+    graft.operators.TextSearch.buildTextIndex(docs.filter(col("doc_id") % 5 =!= 2),
+      flat, col("doc_id"), col("text"))
+    val want = graft.operators.TextSearch
+      .bm25TopKExactIndexed(spark, flat, terms, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val input = MemoryStream[Long]
+    val q = graft.streaming.EventStreams.ingestDeletes(
+      input.toDF().toDF("doc_id"), "doc_id", dir,
+      java.nio.file.Files.createTempDirectory("textdelck").toString, kind = "text")
+    try {
+      val victims = docs.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      input.addData(victims.take(10).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(victims.drop(10).toIndexedSeq) // two delete batches
+      q.processAllAvailable()
+      val got = graft.operators.TextSearch
+        .bm25TopKExactIndexed(spark, dir, terms, k = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.ingestDeletes(
+        input.toDF().toDF("doc_id"), "doc_id", dir,
+        java.nio.file.Files.createTempDirectory("textdelck2").toString,
+        kind = "nosuch")
+    }
+  }
+
   test("streaming LM-store ingest == one-pass build through the fluency scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -128,6 +128,43 @@ class TextSearchSpec extends AnyFunSuite {
     assert(replayed == live)
   }
 
+  test("takedown: forget == an index built over the remaining corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("textdel").toString
+    TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+    // forget every fifth doc, plus stray ids the store never held
+    val victims = docs.filter(col("doc_id") % 5 === 2).select(col("doc_id"))
+      .union(spark.range(900000, 900003).select(col("id").as("doc_id")))
+    TextSearch.deleteFromTextIndex(victims, col("doc_id"), dir, batchId = 0L)
+    val remaining = docs.filter(col("doc_id") % 5 =!= 2)
+    val rebuilt = java.nio.file.Files.createTempDirectory("textdel2").toString
+    TextSearch.buildTextIndex(remaining, rebuilt, col("doc_id"), col("text"))
+    for (terms <- Seq(Seq("spark"), Seq("spark", "hash", "join"))) {
+      val want = TextSearch.bm25TopKExactIndexed(spark, rebuilt, terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = TextSearch.bm25TopKExactIndexed(spark, dir, terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"terms=$terms diverged")
+      assert(want.nonEmpty)
+    }
+    // re-deleting the same ids (new batch) contributes nothing
+    TextSearch.deleteFromTextIndex(victims, col("doc_id"), dir, batchId = 1L)
+    val again = TextSearch.bm25TopKExactIndexed(spark, dir, Seq("spark"), 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = TextSearch.bm25TopKExactIndexed(spark, rebuilt, Seq("spark"), 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == want)
+    // flat stores refuse takedown-by-append; negative batch ids refused
+    intercept[IllegalArgumentException] {
+      TextSearch.deleteFromTextIndex(victims, col("doc_id"), rebuilt, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.deleteFromTextIndex(victims, col("doc_id"), dir, -1L)
+    }
+  }
+
   test("segmented append refuses a flat buildTextIndex store loudly") {
     val dir = java.nio.file.Files.createTempDirectory("textflat").toString
     TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
