@@ -420,6 +420,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // unigram-LM (SentencePiece-style) Viterbi segmentation over the SAME
+    // learned vocabulary as q174 — max-likelihood instead of fewest
+    // tokens, with the integer-log2 objective the oracle replays via a
+    // window-carrying recursive DP + deterministic walk (seg, n_tokens
+    // AND the exact path cost are all pinned).
+    "q189_unigram_segment" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val vocab = Wordpiece.learnVocab(d, col("text"), vocabSize = 60,
+          maxTokenLen = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Unigram.segmentWords(d, col("text"), vocab, maxTokenLen = 4)
+        .orderBy(col("word"))
+    }),
+
+    // per-doc token totals under the unigram objective, served from the
+    // SHARED frozen vocab store (one store, two inference modes — q176
+    // serves WordPiece from it, this serves max-likelihood).
+    "q190_unigram_tokens" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val path = storedOnce("wpstore_ug", dir) { p =>
+        val vocab = Wordpiece.learnVocab(d, col("text"), vocabSize = 60,
+          maxTokenLen = 4)
+        Wordpiece.buildVocabStore(vocab, p, maxTokenLen = 4)
+      }
+      Unigram.applyUnigramStored(d, col("text"), path, outName = "ug_tokens")
+        .select(col("doc_id"), size(col("ug_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming-shaped IVF store (the faiss train/add split): quantizer
     // trained once, corpus arrives as two batch_id partitions appended
     // under the FROZEN cells; probe-time partition discovery folds them
@@ -2802,6 +2831,11 @@ object SparkEntry {
 
     // stored vocab == learned vocab, so the store path shares q174's replay
     "q176_wordpiece_store" -> Wordpiece.segmentOracleSql("documents", "text", 60),
+
+    // unigram Viterbi: full replay (weights + windowed DP + walk + cost)
+    "q189_unigram_segment" -> Unigram.segmentOracleSql("documents", "text", 60),
+    "q190_unigram_tokens" ->
+      Unigram.tokenCountOracleSql("documents", "doc_id", "text", 60),
 
     // learning CTEs + the inference-loop recursive CTE (GPT-2 apply rule)
     "q177_bpe_segment_store" ->

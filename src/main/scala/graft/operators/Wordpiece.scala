@@ -218,8 +218,8 @@ object Wordpiece {
   /** Shared CTE block: word histogram → weighted overlapping substring
     * counts → chars ∪ top multi-char → vocab (+ lengths) + the distinct
     * corpus word table. */
-  private def vocabCtes(table: String, textExpr: String, vocabSize: Int,
-                        maxTokenLen: Int, vocabWords: Int): String =
+  private[graft] def vocabCtes(table: String, textExpr: String, vocabSize: Int,
+                               maxTokenLen: Int, vocabWords: Int): String =
     s"""w AS (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table),
        |h AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w WHERE word <> ''
        |      GROUP BY word ORDER BY c DESC, word LIMIT $vocabWords),

@@ -993,6 +993,17 @@ object EventStreams {
       graft.operators.Wordpiece
         .applyWordpieceStored(batch, col(textColName), storePath))
 
+  /** [[tokenizeWordpiece]]'s max-likelihood twin: the SAME frozen vocab
+    * store served through [[graft.operators.Unigram.applyUnigramStored]]
+    * — tokens stay identical across batches until retrain. */
+  def tokenizeUnigram(docs: DataFrame, textColName: String,
+                      storePath: String, outPath: String,
+                      checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(docs, outPath, checkpoint)(batch =>
+      graft.operators.Unigram
+        .applyUnigramStored(batch, col(textColName), storePath))
+
   /**
    * Ingest-time BINARY near-dup gate: each micro-batch is filtered
    * against a frozen [[graft.operators.Similarity.buildBinaryIndex]]

@@ -548,7 +548,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("BATCH-built"))
   }
 
-  test("streaming tokenization from frozen BPE/WordPiece stores matches batch apply") {
+  test("streaming tokenization from frozen BPE/WordPiece/unigram stores matches batch apply") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("tok_stream").toString
@@ -565,10 +565,14 @@ class StreamingSpec extends AnyFunSuite {
     val input2 = MemoryStream[(Long, String)]
     val q2 = EventStreams.tokenizeWordpiece(input2.toDF().toDF("doc_id", "text"),
       "text", s"$tmp/wp", s"$tmp/out_wp", s"$tmp/ck2")
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = EventStreams.tokenizeUnigram(input3.toDF().toDF("doc_id", "text"),
+      "text", s"$tmp/wp", s"$tmp/out_ug", s"$tmp/ck3")
     try {
       input.addData(rows.toIndexedSeq); q1.processAllAvailable()
       input2.addData(rows.toIndexedSeq); q2.processAllAvailable()
-    } finally { q1.stop(); q2.stop() }
+      input3.addData(rows.toIndexedSeq); q3.processAllAvailable()
+    } finally { q1.stop(); q2.stop(); q3.stop() }
     def byId(df: org.apache.spark.sql.DataFrame, c: String) =
       df.select(col("doc_id"), col(c)).collect()
         .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
@@ -577,6 +581,9 @@ class StreamingSpec extends AnyFunSuite {
       byId(graft.operators.Bpe.applyBpeStored(batchDf, col("text"), s"$tmp/bpe"), "bpe_tokens"))
     assert(byId(spark.read.parquet(s"$tmp/out_wp"), "wp_tokens") ==
       byId(graft.operators.Wordpiece.applyWordpieceStored(batchDf, col("text"), s"$tmp/wp"), "wp_tokens"))
+    // the unigram twin serves from the SAME frozen store
+    assert(byId(spark.read.parquet(s"$tmp/out_ug"), "ug_tokens") ==
+      byId(graft.operators.Unigram.applyUnigramStored(batchDf, col("text"), s"$tmp/wp"), "ug_tokens"))
   }
 
   test("text scrub pipeline (normalize -> redact -> fingerprint) runs per micro-batch") {
