@@ -21,6 +21,12 @@ object SparkEntry {
   // both the Spark plan and the generated oracle SQL
   private val Bm25Terms = Seq("spark", "hash", "join")
 
+  /** q191's blocklist: multi-word, word-crossing ("an jo" inside
+    * "scan join"), substring ("ta" inside data/table), and repeated-token
+    * phrases — the shapes that exercise Aho-Corasick fail links. */
+  private val BlockPhrases =
+    Seq("spark", "scan", "an jo", "batch batch", "ta", "merge data r")
+
   // q129/q131 HLL oracle fragments: the register replay (md5 -> 16-bit
   // bucket field mod 2^10, 48-bit rho field -> per-bucket max) and the
   // exact-integer estimator at p=10 — same constants as
@@ -432,6 +438,18 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       Unigram.segmentWords(d, col("text"), vocab, maxTokenLen = 4)
         .orderBy(col("word"))
+    }),
+
+    // Aho-Corasick blocklist scan: every document's DISTINCT matched
+    // phrases (set semantics) in one pass over the text — the oracle
+    // replays the match set with a per-phrase contains filter, so the
+    // automaton's goto/fail/output construction is verified end-to-end.
+    "q191_blocklist" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextAnalysis.flagPhrases(d, col("text"), BlockPhrases)
+        .select(col("doc_id"), col("flagged_n"),
+          concat_ws(",", col("flagged")).as("flagged_csv"))
+        .orderBy(col("doc_id"))
     }),
 
     // per-doc token totals under the unigram objective, served from the
@@ -2831,6 +2849,17 @@ object SparkEntry {
 
     // stored vocab == learned vocab, so the store path shares q174's replay
     "q176_wordpiece_store" -> Wordpiece.segmentOracleSql("documents", "text", 60),
+
+    // blocklist: matched-set replay via per-phrase contains
+    "q191_blocklist" -> {
+      val lits = BlockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, CAST(len(lst) AS BIGINT) AS flagged_n,
+         |       COALESCE(array_to_string(lst, ','), '') AS flagged_csv
+         |FROM (SELECT doc_id,
+         |        list_sort([p FOR p IN $lits IF contains(text, p)]) AS lst
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // unigram Viterbi: full replay (weights + windowed DP + walk + cost)
     "q189_unigram_segment" -> Unigram.segmentOracleSql("documents", "text", 60),

@@ -265,6 +265,99 @@ object TextAnalysis {
    * codegen'd `regexp_replace` chain — no shuffle, no UDF, prunes and
    * pushes down like any projection.
    */
+  /**
+   * Aho-Corasick multi-phrase scan — the blocklist / flagged-phrase
+   * stage of a curation pipeline: mark every document containing any of
+   * `phrases` (plain substring semantics, case-sensitive), in ONE pass
+   * over the text regardless of how many phrases the list holds. Adds
+   * `<outName>` (array&lt;string&gt; of the DISTINCT matched phrases,
+   * sorted) and `<outName>_n` (its size) — filter on `_n = 0` to drop,
+   * or keep the array for audit columns.
+   *
+   * Scale shape: the automaton (goto/fail/output over the phrase trie)
+   * is built once on the driver — bounded by the blocklist, a
+   * driver-size artifact by nature — and broadcast; each row costs
+   * O(text length + matches). A `contains()` disjunction costs
+   * O(text × phrases) and a regex alternation backtracks; this is the
+   * classic fix (Aho & Corasick 1975).
+   *
+   * Determinism: matched-set semantics only (which phrases occur), no
+   * positions — so the output is a pure function of (text, phrase set)
+   * and a SQL engine replays it with a per-phrase `contains` filter.
+   */
+  def flagPhrases(df: DataFrame, textCol: Column, phrases: Seq[String],
+                  outName: String = "flagged"): DataFrame = {
+    require(phrases.nonEmpty, "flagPhrases: empty phrase list")
+    require(phrases.forall(_.nonEmpty), "flagPhrases: empty-string phrase")
+    require(phrases.distinct.length == phrases.length,
+      "flagPhrases: duplicate phrases — deduplicate the blocklist")
+    val ac = AhoCorasick.build(phrases)
+    val bc = df.sparkSession.sparkContext.broadcast(ac)
+    val scan = udf { (text: String) =>
+      if (text == null) Seq.empty[String] else bc.value.matchSet(text)
+    }
+    df.withColumn(outName, scan(textCol))
+      .withColumn(outName + "_n", size(col(outName)).cast("long"))
+  }
+
+  /** The classic goto/fail/output automaton over a phrase trie.
+    * Serializable for broadcast; `matchSet` returns the distinct matched
+    * phrases sorted (set semantics — see [[flagPhrases]]). */
+  private[graft] final class AhoCorasick(
+      gotoMap: Array[scala.collection.immutable.Map[Char, Int]],
+      fail: Array[Int], out: Array[List[Int]],
+      phrases: Array[String]) extends Serializable {
+    def matchSet(text: String): Seq[String] = {
+      var s = 0
+      val hits = scala.collection.mutable.SortedSet.empty[Int]
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !gotoMap(s).contains(c)) s = fail(s)
+        s = gotoMap(s).getOrElse(c, 0)
+        var o = out(s)
+        while (o.nonEmpty) { hits += o.head; o = o.tail }
+        i += 1
+      }
+      hits.iterator.map(phrases(_)).toSeq.sorted
+    }
+  }
+
+  private[graft] object AhoCorasick {
+    def build(phrases: Seq[String]): AhoCorasick = {
+      val gotoBuf = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Map.empty[Char, Int])
+      val outBuf = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      phrases.zipWithIndex.foreach { case (p, pi) =>
+        var s = 0
+        p.foreach { c =>
+          s = gotoBuf(s).getOrElseUpdate(c, {
+            gotoBuf += scala.collection.mutable.Map.empty[Char, Int]
+            outBuf += Nil
+            gotoBuf.length - 1
+          })
+        }
+        outBuf(s) = pi :: outBuf(s)
+      }
+      val n = gotoBuf.length
+      val fail = new Array[Int](n)
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      gotoBuf(0).valuesIterator.foreach(queue.enqueue(_))
+      while (queue.nonEmpty) {
+        val s = queue.dequeue()
+        gotoBuf(s).foreach { case (c, t) =>
+          queue.enqueue(t)
+          var f = fail(s)
+          while (f != 0 && !gotoBuf(f).contains(c)) f = fail(f)
+          fail(t) = if (gotoBuf(f).contains(c) && gotoBuf(f)(c) != t) gotoBuf(f)(c) else 0
+          outBuf(t) = outBuf(t) ::: outBuf(fail(t))
+        }
+      }
+      new AhoCorasick(gotoBuf.iterator.map(_.toMap).toArray,
+        fail, outBuf.toArray, phrases.toArray)
+    }
+  }
+
   def redactPii(df: DataFrame, textCol: Column,
                 outName: String = "text_redacted"): DataFrame =
     df.withColumn(outName,

@@ -308,6 +308,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((666666L, 500000L, 1000000L)))
   }
 
+  test("flagPhrases == naive contains scan on random phrase/text draws") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(3))).mkString
+    for (trial <- 1 to 20) {
+      val phrases = (1 to (2 + rnd.nextInt(6))).map(_ => randStr(1 + rnd.nextInt(4)))
+        .distinct
+      val texts = (1 to 15).map(i => (i.toLong, randStr(rnd.nextInt(25))))
+      val df = spark.createDataFrame(texts).toDF("id", "text")
+      val got = TextAnalysis.flagPhrases(df, col("text"), phrases)
+        .select(col("id"), col("flagged")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      val want = texts.map { case (i, t) =>
+        i -> phrases.filter(t.contains(_)).sorted
+      }.toMap
+      assert(got == want, s"trial $trial phrases=$phrases")
+    }
+  }
+
+  test("flagPhrases: overlapping patterns, fail links, set semantics, nulls") {
+    import graft.operators.TextAnalysis
+    // "an jo" crosses a word boundary; "aba" overlaps itself in "ababa";
+    // suffix phrase "ba" must fire through the fail link while matching "aba"
+    val df = spark.createDataFrame(Seq(
+      (1L, "scan join order"), (2L, "ababa"), (3L, "clean"), (4L, null: String)
+    )).toDF("id", "text")
+    val got = TextAnalysis.flagPhrases(df, col("text"),
+        Seq("an jo", "aba", "ba", "scan", "zzz"))
+      .select(col("id"), col("flagged"), col("flagged_n")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1).toSeq, r.getLong(2)))).toMap
+    assert(got(1L) == ((Seq("an jo", "scan"), 2L)))
+    assert(got(2L) == ((Seq("aba", "ba"), 2L)))
+    assert(got(3L) == ((Seq.empty[String], 0L)))
+    assert(got(4L) == ((Seq.empty[String], 0L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.flagPhrases(df, col("text"), Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.flagPhrases(df, col("text"), Seq(""))
+    }
+  }
+
   test("redactPii masks each PII class and honors the documented order") {
     import spark.implicits._
     val df = Seq(
