@@ -792,6 +792,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // segment compaction (the Lucene merge step): the q185 store —
+    // grown by two appends, one-seventh forgotten — is folded into ONE
+    // fresh segment with the tombstone/negative history gone; serving
+    // must stay bit-identical, so q185's remaining-corpus oracle
+    // verifies the whole grow → delete → compact lifecycle.
+    "q192_text_index_compact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("textcompact", dir) { p =>
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        TextSearch.deleteFromTextIndex(
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+          col("doc_id"), p, batchId = 0L)
+        TextSearch.compactTextIndex(s, p)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextSearch.bm25TopKExactIndexed(s, path, Bm25Terms, k = 25)
+    }),
+
+    // the LM twin of q192: grow → forget → compact, scored against
+    // q186's remaining-corpus fluency replay.
+    "q193_lm_compact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("lmcompact", dir) { p =>
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("text"), p, batchId = 0L)
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("text"), p, batchId = 1L)
+        TextAnalysis.deleteFromLmStore(docs.filter(col("doc_id") % 7 === 3),
+          col("text"), p, batchId = 0L)
+        TextAnalysis.compactLmStore(s, p)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextAnalysis.withBigramFluencyIndexed(
+          docs.filter(col("doc_id") % 7 =!= 3), col("doc_id"), col("text"), path)
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-store takedown: tombstones anti-join the candidate (bands)
     // table, so a forgotten even doc can never flag an odd probe again —
     // the gate must match the exact-Jaccard replay over the REMAINING
@@ -2927,6 +2968,14 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
       "doc_id", "text", Bm25Terms, k = 25),
     "q186_lm_forget" -> fluencyOracleSqlFor(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+
+    // compaction must not change results: the q185/q186 replays verify
+    // the whole grow → delete → compact lifecycle
+    "q192_text_index_compact" -> TextSearch.bm25ExactOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+      "doc_id", "text", Bm25Terms, k = 25),
+    "q193_lm_compact" -> fluencyOracleSqlFor(
       "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
     // q187: the q102/q181 exact-Jaccard gate replay with every eighth
     // doc forgotten from the even-doc store

@@ -671,6 +671,41 @@ object TextAnalysis {
     releaseCheckpoint(toks)
   }
 
+  /**
+   * Compact a segmented LM store: fold every count segment (including
+   * deletion negatives) into ONE fresh segment, dropping zero-count
+   * tokens — [[TextSearch.compactTextIndex]]'s twin (same staged-swap contract:
+   * the old store stays intact until the staging dir is complete).
+   * Scoring is identical before and after.
+   */
+  /** The reserved compacted-segment id (see TextSearch.CompactSegId). */
+  private val CompactSegId: Long = Long.MinValue
+
+  def compactLmStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_lm_stats"),
+      s"compactLmStore: $path holds a buildLmStore flat store — " +
+      "already one segment, nothing to compact")
+    val tmp = path + ".tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale staging
+    spark.read.parquet(path + "/unigrams")
+      .groupBy(col("w")).agg(sum(col("u")).as("u")).filter(col("u") > 0)
+      .repartitionByRange(col("w")).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(s"$tmp/unigrams/batch_id=$CompactSegId")
+    spark.read.parquet(path + "/bigrams")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("b")).as("b")).filter(col("b") > 0)
+      .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+      .write.mode("overwrite").parquet(s"$tmp/bigrams/batch_id=$CompactSegId")
+    graft.sources.Sidecar.markComplete(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compactLmStore: rename $tmp -> $path failed; the compacted " +
+      s"store is intact at $tmp")
+  }
+
   /** The frozen LM model of a store, whichever layout built it: vocabulary
     * size plus the (folded) unigram and bigram count tables. Flat stores
     * read the sidecar and fold over already-unique rows (the sums are the

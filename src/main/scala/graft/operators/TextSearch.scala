@@ -332,6 +332,58 @@ object TextSearch {
     releaseCheckpoint(victims)
   }
 
+  /**
+   * Compact a segmented index: fold every segment and tombstone into ONE
+   * fresh segment — the Lucene merge step that keeps read amplification
+   * bounded after a long append/delete history. The new store is written
+   * COMPLETELY to `<path>.tmp` first, then swapped in (the old store
+   * stays intact until the staged copy is finished; if the final rename
+   * fails the compacted store is intact at the staging path). Serving is
+   * row-identical before and after — compaction changes layout, never
+   * results — and the negative/tombstone history is gone. The folded
+   * segment lands at the RESERVED compact id (Long.MinValue), so any
+   * append id — including a fresh stream restarting at batch 0 — can
+   * never overwrite the compacted history.
+   */
+  /** The reserved segment id compaction folds into — outside both the
+    * append (>= 0) and deletion (-batchId - 1 for batchId >= 0, so
+    * > Long.MinValue) id spaces. */
+  private val CompactSegId: Long = Long.MinValue
+
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_text_stats"),
+      s"compactTextIndex: $path holds a buildTextIndex flat store — " +
+      "already one segment, nothing to compact")
+    val tmp = path + ".tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale staging
+    val postings0 = spark.read.parquet(path + "/postings")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val postings = (tombstoneTable(spark, path) match {
+      case Some(t) => postings0.join(t, Seq("doc_id"), "left_anti")
+      case None => postings0
+    }).localCheckpoint() // three derivations below read it
+    postings
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$tmp/postings/batch_id=$CompactSegId")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$tmp/dict/batch_id=$CompactSegId")
+    postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$tmp/segstats/batch_id=$CompactSegId")
+    releaseCheckpoint(postings)
+    graft.sources.Sidecar.markComplete(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compactTextIndex: rename $tmp -> $path failed; the compacted " +
+      s"store is intact at $tmp")
+  }
+
   /** Corpus stats (N, Σdl) of a store, whichever layout built it: the
     * flat store's one-line sidecar, or the sum of a segmented store's
     * stats segments. */

@@ -131,6 +131,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LM compaction folds counts + negatives into one segment, scoring unchanged") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lmcmp").toString
+    TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 0),
+      col("text"), dir, batchId = 0L)
+    TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 1),
+      col("text"), dir, batchId = 1L)
+    TextAnalysis.deleteFromLmStore(docs.filter(col("doc_id") % 5 === 2),
+      col("text"), dir, batchId = 0L)
+    val remaining = docs.filter(col("doc_id") % 5 =!= 2)
+    val before = TextAnalysis.withBigramFluencyIndexed(remaining, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    TextAnalysis.compactLmStore(spark, dir)
+    val after = TextAnalysis.withBigramFluencyIndexed(remaining, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before && after.nonEmpty)
+    def segs(t: String) = Option(new java.io.File(s"$dir/$t").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch_id=")).length
+    assert(segs("unigrams") == 1 && segs("bigrams") == 1)
+    // no zero or negative counts survive compaction
+    assert(spark.read.parquet(s"$dir/unigrams").filter(col("u") <= 0).count() == 0)
+    val flat = java.nio.file.Files.createTempDirectory("lmcmpflat").toString
+    TextAnalysis.buildLmStore(docs, flat, col("text"))
+    intercept[IllegalArgumentException](TextAnalysis.compactLmStore(spark, flat))
+  }
+
   test("bigram fluency: independent replay on a hand corpus; garbage scores lower") {
     import graft.operators.TextAnalysis
     // hand corpus: doc 4 is a token salad of hapaxes, docs 1-3 share bigrams

@@ -126,6 +126,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"term IN not pushed to the postings scan:\n$plan")
   }
 
+  test("segmented bm25 store: pushed term IN survives segments and tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25segplan").toString
+    operators.TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    operators.TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+    operators.TextSearch.deleteFromTextIndex(
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+      col("doc_id"), dir, batchId = 0L)
+    val q = operators.TextSearch.bm25TopKExactIndexed(spark, dir, Seq("spark", "hash"), 10)
+    val plan = formatted(q)
+    // the postings scan must still push In(term, ...) to parquet — the
+    // tombstone anti-join sits ABOVE the scan, never blocking pushdown
+    assert("PushedFilters: \\[.*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term IN not pushed to the segmented postings scan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"tombstone anti-join missing:\n$plan")
+  }
+
   test("zorder scan: both range predicates push down to the clustered store") {
     val dir = java.nio.file.Files.createTempDirectory("zplan").toString
     operators.ZOrder.write(docs.select(col("doc_id"), col("n_chars")), dir,

@@ -165,6 +165,42 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction folds segments + tombstones into one segment, serving unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("textcmp").toString
+    TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), dir, batchId = 0L)
+    TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"), dir, batchId = 1L)
+    TextSearch.deleteFromTextIndex(
+      docs.filter(col("doc_id") % 5 === 2).select(col("doc_id")),
+      col("doc_id"), dir, batchId = 0L)
+    val terms = Seq("spark", "hash", "join")
+    val before = TextSearch.bm25TopKExactIndexed(spark, dir, terms, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    TextSearch.compactTextIndex(spark, dir)
+    val after = TextSearch.bm25TopKExactIndexed(spark, dir, terms, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before && after.nonEmpty)
+    // one segment, history gone
+    def segs(t: String) = Option(new java.io.File(s"$dir/$t").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(segs("postings").size == 1 && segs("dict").size == 1 &&
+      segs("segstats").size == 1)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // appends resume cleanly beside the compacted segment — batch id 0 is
+    // safe to REUSE because compaction parked history at the reserved id
+    val extra = spark.createDataFrame(Seq((900001L, "spark spark extra doc")))
+      .toDF("doc_id", "text")
+    TextSearch.appendTextBatch(extra, col("doc_id"), col("text"), dir, batchId = 0L)
+    val grown = TextSearch.bm25TopKExactIndexed(spark, dir, Seq("spark"), 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(grown.contains(900001L))
+    // a flat store refuses compaction
+    val flat = java.nio.file.Files.createTempDirectory("textcmpflat").toString
+    TextSearch.buildTextIndex(docs, flat, col("doc_id"), col("text"))
+    intercept[IllegalArgumentException](TextSearch.compactTextIndex(spark, flat))
+  }
+
   test("segmented append refuses a flat buildTextIndex store loudly") {
     val dir = java.nio.file.Files.createTempDirectory("textflat").toString
     TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
