@@ -21,6 +21,10 @@ object SparkEntry {
   // both the Spark plan and the generated oracle SQL
   private val Bm25Terms = Seq("spark", "hash", "join")
 
+  /** q194's phrase — a self-overlapping bigram ("batch batch batch"
+    * counts twice) that exercises the position-intersection math. */
+  private val PhraseQuery = Seq("batch", "batch")
+
   /** q191's blocklist: multi-word, word-crossing ("an jo" inside
     * "scan join"), substring ("ta" inside data/table), and repeated-token
     * phrases — the shapes that exercise Aho-Corasick fail links. */
@@ -789,6 +793,24 @@ object SparkEntry {
       TextAnalysis.withBigramFluencyIndexed(
           docs.filter(col("doc_id") % 7 =!= 3), col("doc_id"), col("text"), path)
         .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact phrase search from positional postings (Lucene positional
+    // queries): the phrase terms' position lists intersect doc by doc —
+    // the corpus text is never read — and overlapping occurrences count
+    // ("batch batch batch" holds the phrase twice), which is exactly
+    // what the oracle's token-array comprehension replays.
+    "q194_phrase_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("textpos", dir) { p =>
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextSearch.phraseSearchIndexed(s, path, PhraseQuery)
         .orderBy(col("doc_id"))
     }),
 
@@ -2969,6 +2991,10 @@ object SparkEntry {
       "doc_id", "text", Bm25Terms, k = 25),
     "q186_lm_forget" -> fluencyOracleSqlFor(
       "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+
+    // phrase search: token-array comprehension replay, overlaps included
+    "q194_phrase_search" -> TextSearch.phraseOracleSql(
+      "documents", "doc_id", "text", PhraseQuery),
 
     // compaction must not change results: the q185/q186 replays verify
     // the whole grow → delete → compact lifecycle

@@ -199,10 +199,14 @@ object TextSearch {
       .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__ws"))
       .withColumn("__dl", size(col("__ws")).cast("long"))
     // one row per (term, doc): tf counted by the groupBy, dl carried along
-    // (denormalized — one long per posting buys the query a join-free scan)
-    base.select(col("doc_id"), col("__dl").as("dl"), explode(col("__ws")).as("term"))
+    // (denormalized — one long per posting buys the query a join-free scan),
+    // plus the sorted 1-based POSITION list — the Lucene positional
+    // postings that make exact phrase queries index-answerable
+    base.select(col("doc_id"), col("__dl").as("dl"),
+        posexplode(col("__ws")).as(Seq("__p0", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__p0") + 1)).as("pos"))
       .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(path + "/postings")
     // dictionary: docs-per-term (postings are distinct per (term, doc))
@@ -249,9 +253,11 @@ object TextSearch {
       .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__ws"))
       .withColumn("__dl", size(col("__ws")).cast("long"))
       .localCheckpoint()
-    base.select(col("doc_id"), col("__dl").as("dl"), explode(col("__ws")).as("term"))
+    base.select(col("doc_id"), col("__dl").as("dl"),
+        posexplode(col("__ws")).as(Seq("__p0", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__p0") + 1)).as("pos"))
       .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/postings/batch_id=$batchId")
     spark.read.parquet(s"$path/postings/batch_id=$batchId")
@@ -360,7 +366,7 @@ object TextSearch {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale staging
     val postings0 = spark.read.parquet(path + "/postings")
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("pos"))
     val postings = (tombstoneTable(spark, path) match {
       case Some(t) => postings0.join(t, Seq("doc_id"), "left_anti")
       case None => postings0
@@ -442,6 +448,92 @@ object TextSearch {
       .orderBy(col("score_e8").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("score_e8"))
+  }
+
+  // ---- phrase queries (positional postings) ----
+  // The postings carry each term's sorted 1-based position list, so an
+  // exact consecutive-token phrase is index-answerable (Lucene's
+  // positional queries): fetch the phrase terms' postings (pushed IN —
+  // the corpus is never read), then intersect position lists doc by doc,
+  // slot j offset by j. Occurrences may overlap ("batch batch batch"
+  // holds "batch batch" twice), matching the naive scan's semantics.
+
+  private def phraseGuard(phrase: Seq[String]): Unit = {
+    require(phrase.nonEmpty, "phrase: need at least one token")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      "phrase: tokens must be non-empty and single words")
+  }
+
+  /**
+   * Per-document occurrence count of the exact consecutive token
+   * sequence `phrase` — the LIVE mode, one pass over (id, text), no
+   * index. Output: (doc_id, n_occurrences), matching docs only.
+   */
+  def phraseOccurrences(docs: DataFrame, idCol: Column, textCol: Column,
+                        phrase: Seq[String]): DataFrame = {
+    phraseGuard(phrase)
+    val ws = TextAnalysis.tokens(textCol)
+    val k = phrase.length
+    // starts p = 1 .. n-k+1; every index p+j stays in bounds, so the
+    // ANSI element_at can never fault
+    val hits = when(size(ws) >= k,
+      filter(sequence(lit(1), size(ws) - (k - 1)), p =>
+        phrase.zipWithIndex.map { case (t, j) =>
+          element_at(ws, p + j) === lit(t)
+        }.reduce(_ && _))
+    ).otherwise(array())
+    docs.select(idCol.as("doc_id"), size(hits).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
+  /**
+   * [[phraseOccurrences]] answered from the positional postings of a
+   * [[buildTextIndex]]/[[appendTextBatch]] store: reads ONLY the phrase
+   * terms' postings (pushed IN over the term-sorted layout; tombstones
+   * anti-joined), then per-doc position-list intersections — slot j's
+   * list shifted by j — count the occurrences. Row-identical to the
+   * live mode. Duplicate phrase tokens reuse the same posting rows.
+   */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String, phrase: Seq[String]): DataFrame = {
+    phraseGuard(phrase)
+    val distinctTerms = phrase.distinct
+    val postings0 = spark.read.parquet(path + "/postings")
+      .filter(col("term").isin(distinctTerms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+    val postings = tombstoneTable(spark, path) match {
+      case Some(t) => postings0.join(t, Seq("doc_id"), "left_anti")
+      case None => postings0
+    }
+    var acc = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("__acc"))
+    for (j <- 1 until phrase.length) {
+      val pj = postings.filter(col("term") === phrase(j))
+        .select(col("doc_id"), col("pos").as(s"__pos_$j"))
+      acc = acc.join(pj, Seq("doc_id"))
+        .withColumn("__acc",
+          filter(col("__acc"), p => array_contains(col(s"__pos_$j"), p + j)))
+        .filter(size(col("__acc")) > 0)
+        .select(col("doc_id"), col("__acc"))
+    }
+    acc.select(col("doc_id"), size(col("__acc")).cast("long").as("n_occurrences"))
+  }
+
+  /** The DuckDB replay of the phrase count for a literal phrase — one
+    * comprehension over each doc's token array (overlaps included). */
+  def phraseOracleSql(table: String, idExpr: String, textExpr: String,
+                      phrase: Seq[String]): String = {
+    phraseGuard(phrase)
+    val k = phrase.length
+    val conds = phrase.zipWithIndex
+      .map { case (t, j) => s"ws[p+$j] = '$t'" }.mkString(" AND ")
+    s"""SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occurrences
+       |FROM (SELECT doc_id,
+       |        CASE WHEN len(ws) >= $k
+       |             THEN [p FOR p IN generate_series(1, len(ws)-${k - 1}) IF $conds]
+       |             ELSE [] END AS hits
+       |      FROM (SELECT $idExpr AS doc_id, string_split($textExpr, ' ') AS ws FROM $table))
+       |WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
   }
 
   /** The DuckDB/ANSI replay of [[bm25TopKExact]] for a literal term list —

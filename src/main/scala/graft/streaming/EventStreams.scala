@@ -341,6 +341,23 @@ object EventStreams {
         batch, col(idColName), col(xColName), col(yColName)))
 
   /**
+   * Streaming kNN join against a FROZEN persisted spatial index
+   * ([[graft.sources.IndexStore]] trees): each arriving point picks up
+   * its k nearest stored neighbors per micro-batch — the geo-enrichment
+   * serving shape (nearest stations/POIs for a sensor stream). Stateless
+   * like every frozen-store gate: per batch it runs the stored-tree
+   * expand-radius probe, results identical to the batch
+   * [[graft.sources.IndexStore.knnJoin]] on the same rows.
+   */
+  def knnJoinStored(points: DataFrame, geomColName: String, idColName: String,
+                    indexPath: String, k: Int, outPath: String,
+                    checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(points, outPath, checkpoint)(batch =>
+      graft.sources.IndexStore.knnJoin(batch, indexPath, geomColName,
+        idColName, k))
+
+  /**
    * The n-dimensional twin of [[classifyDbscan]]: classify an arriving
    * VECTOR stream against a frozen
    * [[graft.operators.DBSCAN.saveModelVec]] clustering — per micro-batch,

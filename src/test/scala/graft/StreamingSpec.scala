@@ -231,6 +231,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kNN join against frozen stored trees matches the batch knnJoin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.stf
+    val rnd = new scala.util.Random(31)
+    val stored = (0 until 150).map { i =>
+      (i.toLong, rnd.nextInt(20) * 5.0, rnd.nextInt(20) * 5.0)
+    }.toDF("sid", "sx", "sy")
+      .withColumn("sgeo", stf.st_point(col("sx"), col("sy")))
+    val dir = java.nio.file.Files.createTempDirectory("knnstream").toString
+    graft.sources.IndexStore.saveIndexed(stored, dir, "sgeo", cellSize = 25.0)
+    val probes = (0 until 30).map { i =>
+      (1000L + i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+    }
+    val probeDf = probes.toDF("qid", "qx", "qy")
+      .withColumn("qgeo", stf.st_point(col("qx"), col("qy")))
+    val want = graft.sources.IndexStore
+      .knnJoin(probeDf, dir, "qgeo", "qid", k = 3)
+      .select(col("qid"), col("sid"), col("knn_dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val outPath = java.nio.file.Files.createTempDirectory("knnout").toString
+    val input = MemoryStream[(Long, Double, Double)]
+    val stream = input.toDF().toDF("qid", "qx", "qy")
+      .withColumn("qgeo", stf.st_point(col("qx"), col("qy")))
+    val q = graft.streaming.EventStreams.knnJoinStored(stream, "qgeo", "qid",
+      dir, k = 3, outPath,
+      java.nio.file.Files.createTempDirectory("knnck").toString)
+    try {
+      input.addData(probes.take(12).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(probes.drop(12).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.read.parquet(outPath)
+        .select(col("qid"), col("sid"), col("knn_dist")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming DBSCAN classify assigns points against the frozen model per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -165,6 +165,38 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search: indexed == live, overlaps counted, takedown respected") {
+    val dir = java.nio.file.Files.createTempDirectory("textphrase").toString
+    TextSearch.appendTextBatch(docs, col("doc_id"), col("text"), dir, batchId = 0L)
+    for (phrase <- Seq(Seq("batch", "batch"), Seq("hash", "scan", "join"),
+        Seq("spark"), Seq("nosuch", "phrase"))) {
+      val live = TextSearch.phraseOccurrences(docs, col("doc_id"), col("text"), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val idx = TextSearch.phraseSearchIndexed(spark, dir, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(idx == live, s"phrase=$phrase diverged")
+    }
+    // hand case: overlapping occurrences and a boundary non-match
+    val hand = spark.createDataFrame(Seq(
+      (1L, "batch batch batch end"),       // "batch batch" twice (overlap)
+      (2L, "batch end batch"),             // never adjacent -> no match
+      (3L, "a batch batch"),
+      (4L, "batch"))).toDF("id", "text")
+    val got = TextSearch.phraseOccurrences(hand, col("id"), col("text"),
+        Seq("batch", "batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+    // a forgotten doc disappears from phrase results too
+    val victims = TextSearch.phraseSearchIndexed(spark, dir, Seq("batch", "batch"))
+      .select(col("doc_id")).limit(1)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    assert(victimIds.nonEmpty)
+    TextSearch.deleteFromTextIndex(victims, col("doc_id"), dir, batchId = 0L)
+    val after = TextSearch.phraseSearchIndexed(spark, dir, Seq("batch", "batch"))
+      .collect().map(_.getLong(0)).toSet
+    assert(victimIds.forall(!after.contains(_)))
+  }
+
   test("compaction folds segments + tombstones into one segment, serving unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("textcmp").toString
     TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
