@@ -353,5 +353,30 @@ object syntax {
     def bloomGate(key: Column, words: DataFrame, mBits: Long, k: Int,
                   salt: String = "bloom"): DataFrame =
       Sketches.bloomGate(df, key, words, mBits, k, salt)
+    def flagPhrases(text: Column, phrases: Seq[String],
+                    outName: String = "flagged"): DataFrame =
+      TextAnalysis.flagPhrases(df, text, phrases, outName)
+    def phraseOccurrences(id: Column, text: Column,
+                          phrase: Seq[String]): DataFrame =
+      TextSearch.phraseOccurrences(df, id, text, phrase)
+    def applyUnigram(text: Column, vocab: Seq[(String, Long)],
+                     maxTokenLen: Int = 4,
+                     outName: String = "ug_tokens"): DataFrame =
+      Unigram.applyUnigram(df, text, vocab, maxTokenLen, outName)
+    def appendTextBatch(id: Column, text: Column, path: String,
+                        batchId: Long): Unit =
+      TextSearch.appendTextBatch(df, id, text, path, batchId)
+    def deleteFromTextIndex(id: Column, path: String, batchId: Long): Unit =
+      TextSearch.deleteFromTextIndex(df, id, path, batchId)
+    def appendLmBatch(text: Column, path: String, batchId: Long): Unit =
+      TextAnalysis.appendLmBatch(df, text, path, batchId)
+    def deleteFromLmStore(text: Column, path: String, batchId: Long): Unit =
+      TextAnalysis.deleteFromLmStore(df, text, path, batchId)
+    def deleteFromAnnStore(id: Column, path: String, batchId: Long): Unit =
+      Similarity.deleteFromAnnStore(df, id, path, batchId)
+    def deleteFromMinhashStore(id: Column, path: String, batchId: Long): Unit =
+      Dedup.deleteFromMinhashStore(df, id, path, batchId)
+    def deleteFromCosineLshStore(id: Column, path: String, batchId: Long): Unit =
+      Dedup.deleteFromCosineLshStore(df, id, path, batchId)
   }
 }

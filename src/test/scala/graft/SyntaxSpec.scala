@@ -194,4 +194,29 @@ class SyntaxSpec extends AnyFunSuite {
     val qs = hist.histQuantiles(Seq(50, 95))
     assert(qs.count() == hist.select(col("group")).distinct().count() * 2)
   }
+
+  test("continuation fluent surface: blocklist, phrases, unigram, segment lifecycle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val flagged = docs.flagPhrases(col("text"), Seq("spark", "batch batch"))
+    assert(flagged.filter(col("flagged_n") > 0).count() > 0)
+    val occ = docs.phraseOccurrences(col("doc_id"), col("text"), Seq("batch", "batch"))
+    assert(occ.count() > 0)
+    val vocab = graft.operators.Wordpiece.learnVocab(docs, col("text"), 40, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = docs.applyUnigram(col("text"), vocab)
+    assert(toks.select(org.apache.spark.sql.functions.size(col("ug_tokens")))
+      .head().getInt(0) > 0)
+    // segment lifecycle end-to-end through the fluent surface
+    val dir2 = java.nio.file.Files.createTempDirectory("synseg").toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .appendTextBatch(col("doc_id"), col("text"), dir2, 0L)
+    docs.filter(col("doc_id") % 2 === 1)
+      .appendTextBatch(col("doc_id"), col("text"), dir2, 1L)
+    docs.filter(col("doc_id") % 9 === 1).select(col("doc_id"))
+      .deleteFromTextIndex(col("doc_id"), dir2, 0L)
+    graft.operators.TextSearch.compactTextIndex(spark, dir2)
+    val served = graft.operators.TextSearch
+      .bm25TopKExactIndexed(spark, dir2, Seq("spark"), 10)
+    assert(served.count() > 0)
+  }
 }
