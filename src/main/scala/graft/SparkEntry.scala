@@ -1064,6 +1064,22 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // public connected-components surface (the distributed two-level
+    // union-find that powers DBSCAN and the dedup families, exposed over
+    // a user edge set): proximity graph (d <= 25 self-joined through the
+    // cell-replicate distance join) -> per-node min-id component. Oracle:
+    // recursive min-label closure over the same pairs.
+    "q195_connected_components" -> ((s, dir) => {
+      val c = Tables.customerPts(s, dir)
+      val pairs = SpatialJoin.distanceJoin(
+          c.select(col("c_custkey").as("a_key"), col("c_geo").as("a_geo")),
+          c, col("a_geo"), col("c_geo"), maxDist = 25.0, cellSize = 100.0)
+        .select(col("a_key").as("__a"), col("c_custkey").as("__b"))
+      ConnectedComponents.run(pairs)
+        .select(col("__id").as("c_custkey"), col("__comp").as("component"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- hashed-linear quality classifier (the CCNet/GPT-3 bootstrap:
     // heuristic seed labels -> linear model -> corpus-wide scoring) ----
 
@@ -3121,6 +3137,17 @@ object SparkEntry {
     // core-core edges -> min-id cluster labels -> border = min neighboring
     // core cluster; noise = -1. Semantics identical to DBSCAN.cluster.
     "q20_dbscan" -> dbscanClusterOracleSql,
+
+    // public CC: recursive min-label closure over the d<=25 pair graph
+    // (distanceJoin emits self-pairs, so every point is its own node)
+    "q195_connected_components" ->
+      (s"WITH RECURSIVE cpts AS (${Tables.customerPtsSql}), " +
+       "e AS (SELECT a.c_custkey AS u, b.c_custkey AS v FROM cpts a, cpts b " +
+       "WHERE (a.cx-b.cx)*(a.cx-b.cx)+(a.cy-b.cy)*(a.cy-b.cy) <= 625.0), " +
+       "reach(a, b) AS (SELECT u, u FROM e UNION " +
+       "SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u) " +
+       "SELECT a AS c_custkey, CAST(min(b) AS BIGINT) AS component " +
+       "FROM reach GROUP BY a ORDER BY c_custkey"),
 
     // the geometry-keyed API must label identically (centroid accessors)
     "q159_dbscan_geom" -> dbscanClusterOracleSql,
