@@ -1064,6 +1064,16 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // exact integer time-decayed counts (trending telemetry): one
+    // halving per whole day of age — the staircase EWMA any SQL engine
+    // replays bit-for-bit, unlike float decay scores.
+    "q196_decayed_counts" -> ((s, dir) => {
+      EventAnalytics.decayedCounts(Tables.load(s, dir, "events"),
+          col("event_type"), col("ts"), halfLifeNs = 86400L * 1000000000L)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // public connected-components surface (the distributed two-level
     // union-find that powers DBSCAN and the dedup families, exposed over
     // a user edge set): proximity graph (d <= 25 self-joined through the
@@ -3137,6 +3147,14 @@ object SparkEntry {
     // core-core edges -> min-id cluster labels -> border = min neighboring
     // core cluster; noise = -1. Semantics identical to DBSCAN.cluster.
     "q20_dbscan" -> dbscanClusterOracleSql,
+
+    // decayed counts: the same staircase in SQL (epoch_ns, >> halving)
+    "q196_decayed_counts" ->
+      ("WITH ev AS (SELECT event_type, epoch_ns(ts) AS t FROM events), " +
+       "mx AS (SELECT max(t) AS now FROM ev) " +
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+       "CAST(sum(1000000 >> least((now - t) // 86400000000000, 40)) AS BIGINT) AS decayed_e6 " +
+       "FROM ev, mx GROUP BY event_type ORDER BY event_type"),
 
     // public CC: recursive min-label closure over the d<=25 pair graph
     // (distanceJoin emits self-pairs, so every point is its own node)

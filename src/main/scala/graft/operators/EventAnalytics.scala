@@ -102,6 +102,40 @@ object EventAnalytics {
    * the exact-distinct count is per (cohort, age) cell over pre-deduped
    * (cell, key) rows, so no cell ever sees more than its cohort's keys.
    */
+  /**
+   * Exponentially time-decayed event counts with an EXACT integer decay —
+   * the trending-keys telemetry signal: each event contributes
+   * `1e6 >> min((now − ts) div halfLifeNs, 40)` (one halving per whole
+   * elapsed half-life, zero past 40 — the e6 weight is exhausted), and
+   * the per-key sum is the decayed score. The staircase decay brackets
+   * the smooth 2^(−age/h) within one halving step, and every quantity is
+   * an integer, so any SQL engine replays scores bit-for-bit — the house
+   * alternative to float EWMA scores that can never be hash-verified.
+   *
+   * `now` defaults to the in-plan `max(ts)` (one broadcast scalar row —
+   * the BM25-stats shape); pass a literal for serving-time decay against
+   * a wall clock. Events after `now` clamp to age 0 (full weight).
+   * Output: (key, n_events, decayed_e6).
+   */
+  def decayedCounts(df: DataFrame, keyCol: Column, tsCol: Column,
+                    halfLifeNs: Long, now: Column = null): DataFrame = {
+    require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
+    require(!df.columns.exists(c => c.toLowerCase.startsWith("__dc_")),
+      "decayedCounts: input must not contain __dc_* columns")
+    val base = df.select(keyCol.as("key"), tsCol.cast("long").as("__dc_t"))
+    val withNow =
+      if (now != null) base.withColumn("__dc_now", now.cast("long"))
+      else base.crossJoin(
+        broadcast(base.agg(max(col("__dc_t")).as("__dc_now"))))
+    withNow
+      .withColumn("__dc_age", greatest(col("__dc_now") - col("__dc_t"), lit(0L)))
+      .withColumn("__dc_bk",
+        least(expr(s"__dc_age div ${halfLifeNs}L"), lit(40L)).cast("int"))
+      .withColumn("__dc_w", expr("shiftright(CAST(1000000 AS BIGINT), __dc_bk)"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__dc_w")).as("decayed_e6"))
+  }
+
   def retentionCohorts(df: DataFrame, keyCol: Column, tsCol: Column,
                        bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")

@@ -57,6 +57,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(sp == Set(3L)) // 100*3 > 2*120
   }
 
+  test("decayed counts: exact staircase halving, clamp at 40, future events full weight") {
+    import graft.operators.EventAnalytics
+    import org.apache.spark.sql.functions._
+    val h = 100L // half-life in ts units
+    // now = max(ts) = 1000; ages: 0, 99 (same bucket), 100, 250, 4100 (>40h), -50 (future clamp)
+    val ev = spark.createDataFrame(Seq(
+      ("a", 1000L), ("a", 901L), ("a", 900L), ("a", 750L),
+      ("b", -3100L), ("b", 1050L)
+    )).toDF("k", "ts")
+    // "b"'s 1050 would make now=1050 if defaulted — pin now=1000 explicitly
+    val got = EventAnalytics.decayedCounts(ev, col("k"), col("ts"), h, now = lit(1000L))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a: 1e6>>0 + 1e6>>0 + 1e6>>1 + 1e6>>2 = 1000000+1000000+500000+250000
+    assert(got("a") == ((4L, 2750000L)))
+    // b: age 4100 -> bucket 41 clamps to 40 -> 1e6>>40 = 0; future -> full
+    assert(got("b") == ((2L, 1000000L)))
+    // default now = in-plan max(ts) = 1050
+    val def0 = EventAnalytics.decayedCounts(ev.filter(col("k") === "b"),
+        col("k"), col("ts"), h)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(def0 == ((2L, 1000000L))) // 1050 age 0 full; -3100 clamped-out
+    intercept[IllegalArgumentException] {
+      EventAnalytics.decayedCounts(ev, col("k"), col("ts"), 0L)
+    }
+  }
+
   test("retention cohorts: first-bucket cohort, distinct actives per age") {
     import spark.implicits._
     // bucket 100: u1 first at 50 (cohort 0), active ages 0,1,3 (two events
