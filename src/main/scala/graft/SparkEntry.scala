@@ -1064,6 +1064,56 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // PCA whitening (the OPQ-style decorrelation step of the compression
+    // ladder), verified by the q92/q99/q19 invariant pattern: the model
+    // is approximate (power iteration), so Spark computes the checkable
+    // CONTRACT into columns — orthonormal axes, descending eigenvalues,
+    // per-axis corpus variance matching each eigenvalue (the sample IS
+    // the corpus here), whitened variance ~1, and Parseval (projection
+    // never gains energy) — and the oracle pins every flag TRUE.
+    "q197_pca_whiten" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      val mdl = Similarity.fitPca(e, col("vec_id"), col("embedding"),
+        m = 8, iters = 200, sampleN = n)
+      val dim = mdl.dim
+      val ortho = (for (a <- 0 until mdl.m; b <- a until mdl.m) yield {
+        val dot = (0 until dim).map(i => mdl.components(a)(i) * mdl.components(b)(i)).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0))
+      }).max <= 1e-4
+      val desc = mdl.eigenvalues.sliding(2).forall {
+        case Array(x, y) => x >= y - 1e-9 * mdl.eigenvalues(0); case _ => true
+      }
+      val proj = Similarity.pcaProject(e, col("embedding"), mdl).localCheckpoint()
+      val varCols = (0 until mdl.m).map(k =>
+        var_pop(element_at(col("pca"), k + 1)).as(s"v$k"))
+      val vars = proj.agg(varCols.head, varCols.tail: _*).head()
+      val varMatch = (0 until mdl.m).forall { k =>
+        val v = vars.getDouble(k)
+        v >= 0.98 * mdl.eigenvalues(k) && v <= 1.02 * mdl.eigenvalues(k)
+      }
+      val white = Similarity.pcaProject(e, col("embedding"), mdl, whiten = true,
+        outName = "pcw")
+      val wCols = (0 until mdl.m).map(k =>
+        var_pop(element_at(col("pcw"), k + 1)).as(s"w$k"))
+      val wVars = white.agg(wCols.head, wCols.tail: _*).head()
+      val whiteOk = (0 until mdl.m).forall { k =>
+        wVars.getDouble(k) >= 0.98 && wVars.getDouble(k) <= 1.02 }
+      val bcMean = mdl.mean
+      val parseval = proj.withColumn("__pc2",
+          aggregate(col("pca"), lit(0.0d), (a, x) => a + x.cast("double") * x))
+        .withColumn("__x2",
+          aggregate(zip_with(col("embedding"),
+              array(bcMean.map(lit): _*).cast("array<double>"),
+              (x, mu) => (x.cast("double") - mu) * (x - mu)),
+            lit(0.0d), (a, x) => a + x))
+        .agg(min(col("__pc2") <= col("__x2") + lit(1e-6)).as("ok")).head().getBoolean(0)
+      import s.implicits._
+      Seq((mdl.m.toLong, dim.toLong, e.count(), ortho, desc, varMatch, whiteOk, parseval))
+        .toDF("m", "dim", "n_vectors", "ortho_ok", "eig_desc_ok",
+          "var_match_ok", "whiten_ok", "parseval_ok")
+    }),
+
     // exact integer time-decayed counts (trending telemetry): one
     // halving per whole day of age — the staircase EWMA any SQL engine
     // replays bit-for-bit, unlike float decay scores.
@@ -3147,6 +3197,13 @@ object SparkEntry {
     // core-core edges -> min-id cluster labels -> border = min neighboring
     // core cluster; noise = -1. Semantics identical to DBSCAN.cluster.
     "q20_dbscan" -> dbscanClusterOracleSql,
+
+    // PCA invariants: every contract flag pinned TRUE, dims + count pinned
+    "q197_pca_whiten" ->
+      ("SELECT CAST(8 AS BIGINT) AS m, CAST(64 AS BIGINT) AS dim, " +
+       "CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS ortho_ok, " +
+       "TRUE AS eig_desc_ok, TRUE AS var_match_ok, TRUE AS whiten_ok, " +
+       "TRUE AS parseval_ok FROM embeddings"),
 
     // decayed counts: the same staircase in SQL (epoch_ns, >> halving)
     "q196_decayed_counts" ->

@@ -154,9 +154,12 @@ object Bpe {
     * serialized); bounded — cleared when it outgrows 1<<16 entries so a
     * high-cardinality corpus can't grow executor memory unboundedly. */
   private object Memo {
-    val tl: ThreadLocal[mutable.HashMap[String, Seq[String]]] =
-      ThreadLocal.withInitial(() => mutable.HashMap.empty[String, Seq[String]])
-    def get(): mutable.HashMap[String, Seq[String]] = {
+    // keyed by (broadcast id, word): two MODELS applied in one JVM must
+    // never share cached segmentations (the broadcast id is unique per
+    // broadcast value, so a new vocab always misses)
+    val tl: ThreadLocal[mutable.HashMap[(Long, String), Seq[String]]] =
+      ThreadLocal.withInitial(() => mutable.HashMap.empty[(Long, String), Seq[String]])
+    def get(): mutable.HashMap[(Long, String), Seq[String]] = {
       val m = tl.get()
       if (m.size > (1 << 16)) m.clear()
       m
@@ -178,7 +181,7 @@ object Bpe {
       else {
         val memo = Memo.get()
         text.split(" ", -1).iterator.flatMap { w =>
-          memo.getOrElseUpdate(w, segmentWord(w, bc.value))
+          memo.getOrElseUpdate((bc.id, w), segmentWord(w, bc.value))
         }.toSeq
       }
     }

@@ -528,6 +528,181 @@ object Similarity {
     df.withColumn(outName, proj(vec))
   }
 
+  // ---- PCA / whitening (the OPQ-style decorrelation step) ----
+
+  /** A fitted PCA model: sample mean, top-m principal axes (row-major,
+    * orthonormal), their eigenvalues (variance along each axis,
+    * descending). Serializable for broadcast; persisted as text sidecars
+    * (the IVF-centroid convention — Double.toString round-trips). */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double]) extends Serializable {
+    def dim: Int = mean.length
+    def m: Int = components.length
+  }
+
+  /**
+   * Fit the top-`m` principal components on a bounded deterministic
+   * sample (xxhash64-ordered `limit(sampleN)` — the PQ-codebook
+   * contract; the dim×dim covariance and the eigen-solve are driver
+   * work, O(sampleN·dim²), never corpus-scale). Eigenpairs come from
+   * power iteration with deflation — md5-seeded start vectors, a FIXED
+   * iteration count, normalization in index order — so the model is a
+   * pure function of (sample, m, iters, salt) and refits reproduce it
+   * exactly. The decorrelation/whitening preprocessing of the
+   * compression ladder (OPQ's rotation step): PCA-rotated embeddings
+   * give scalar/product quantizers axis-aligned, variance-sorted
+   * coordinates to cut.
+   */
+  def fitPca(corpus: DataFrame, idCol: Column, vecCol: Column, m: Int,
+             iters: Int = 100, sampleN: Int = 4096,
+             salt: String = "pca"): PcaModel = {
+    require(m > 0, s"fitPca: m must be positive, got $m")
+    require(iters > 0 && sampleN > 0, "fitPca: iters/sampleN must be positive")
+    val sample = corpus.select(idCol.as("__id"), vecCol.as("__v"))
+      .orderBy(xxhash64(col("__id"))).limit(sampleN)
+      .select(col("__v")).collect().map(r => toDoubles(r.getSeq[Float](0)))
+    require(sample.nonEmpty, "fitPca: corpus is empty")
+    val dim = sample(0).length
+    require(m <= dim, s"fitPca: m = $m exceeds dim = $dim")
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { x => var i = 0; while (i < dim) { mean(i) += x(i); i += 1 } }
+    locally { var i = 0; while (i < dim) { mean(i) /= n; i += 1 } }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        val xi = x(i) - mean(i)
+        var j = i
+        while (j < dim) { cov(i)(j) += xi * (x(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    locally { var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { cov(i)(j) /= n; cov(j)(i) = cov(i)(j); j += 1 }
+        i += 1
+      } }
+    def matVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += a(i)(j) * v(j); j += 1 }
+        s
+      }
+    val comps = new Array[Array[Double]](m)
+    val eigs = new Array[Double](m)
+    val work = cov.map(_.clone())
+    for (k <- 0 until m) {
+      // md5-seeded start: deterministic, never the zero vector
+      var v = Array.tabulate(dim) { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt:$k:$i".getBytes("UTF-8"))
+        ((d(0) & 0xff) + 1).toDouble / 257.0
+      }
+      var it = 0
+      while (it < iters) {
+        val w = matVec(work, v)
+        // Gram-Schmidt against the settled components every step:
+        // orthogonality is STRUCTURAL (machine precision), not a
+        // convergence hope — close eigenvalues converge slowly, but the
+        // returned basis is orthonormal regardless
+        var p = 0
+        while (p < k) {
+          val u = comps(p)
+          var d = 0.0
+          locally { var i = 0; while (i < dim) { d += w(i) * u(i); i += 1 } }
+          var i = 0
+          while (i < dim) { w(i) -= d * u(i); i += 1 }
+          p += 1
+        }
+        var nrm = 0.0
+        locally { var i = 0; while (i < dim) { nrm += w(i) * w(i); i += 1 } }
+        nrm = math.sqrt(nrm)
+        require(nrm > 0, s"fitPca: covariance annihilated start vector $k " +
+          "— fewer than m significant directions; lower m")
+        locally { var i = 0; while (i < dim) { w(i) /= nrm; i += 1 } }
+        v = w
+        it += 1
+      }
+      val cv = matVec(work, v)
+      var lam = 0.0
+      locally { var i = 0; while (i < dim) { lam += v(i) * cv(i); i += 1 } }
+      comps(k) = v
+      eigs(k) = lam
+      // deflate: work -= lam * v vᵀ
+      locally { var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { work(i)(j) -= lam * v(i) * v(j); j += 1 }
+          i += 1
+        } }
+    }
+    PcaModel(mean, comps, eigs)
+  }
+
+  /**
+   * Project the embedding column onto a fitted model: appends `outName`
+   * (array&lt;float&gt; of m coordinates, (x − mean)·vₖ, divided by
+   * √eigenvalue when `whiten` — unit variance per axis on the fitting
+   * sample). A pure broadcast map, no shuffle; composes with
+   * [[bruteTopK]], the quantizers, and the LSH gates on the projected
+   * column.
+   */
+  def pcaProject(df: DataFrame, vecCol: Column, model: PcaModel,
+                 whiten: Boolean = false,
+                 outName: String = "pca"): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(outName)),
+      s"pcaProject: input already has a column named $outName")
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val proj = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val mdl = bc.value
+        val dim = mdl.dim
+        require(v.length == dim,
+          s"pcaProject: expected $dim-d vectors, got ${v.length}")
+        val x = new Array[Double](dim)
+        var i0 = 0
+        val it = v.iterator
+        while (it.hasNext) { x(i0) = it.next().toDouble - mdl.mean(i0); i0 += 1 }
+        Array.tabulate(mdl.m) { k =>
+          val row = mdl.components(k)
+          var s = 0.0; var i = 0
+          while (i < dim) { s += x(i) * row(i); i += 1 }
+          if (whiten) (s / math.sqrt(math.max(mdl.eigenvalues(k), 1e-12))).toFloat
+          else s.toFloat
+        }
+      }
+    }
+    df.withColumn(outName, proj(vecCol))
+  }
+
+  /** Persist a fitted [[PcaModel]] under `path` (text sidecars — the
+    * centroid convention; staged-marker contract). */
+  def savePca(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
+              path: String): Unit = {
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pca_mean",
+      model.mean.mkString(","))
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pca_components",
+      model.components.map(_.mkString(",")).mkString("\n"))
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pca_eigenvalues",
+      model.eigenvalues.mkString(","))
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /** Read a [[savePca]] model back. */
+  def loadPca(spark: org.apache.spark.sql.SparkSession, path: String): PcaModel =
+    PcaModel(
+      graft.sources.Sidecar.readText(spark, path + "/_graft_pca_mean")
+        .split(",").map(java.lang.Double.parseDouble),
+      graft.sources.Sidecar.readText(spark, path + "/_graft_pca_components")
+        .split("\n").map(_.split(",").map(java.lang.Double.parseDouble)),
+      graft.sources.Sidecar.readText(spark, path + "/_graft_pca_eigenvalues")
+        .split(",").map(java.lang.Double.parseDouble))
+
   /**
    * Hard-negative mining — the training-pair generator for embedding /
    * retrieval models (DPR, sentence-transformers): for each query, the

@@ -110,9 +110,12 @@ object Unigram {
 
   /** Per-executor-thread segmentation memo (the [[Bpe]] pattern). */
   private object Memo {
-    val tl: ThreadLocal[mutable.HashMap[String, Seq[String]]] =
-      ThreadLocal.withInitial(() => mutable.HashMap.empty[String, Seq[String]])
-    def get(): mutable.HashMap[String, Seq[String]] = {
+    // keyed by (broadcast id, word): two MODELS applied in one JVM must
+    // never share cached segmentations (the broadcast id is unique per
+    // broadcast value, so a new vocab always misses)
+    val tl: ThreadLocal[mutable.HashMap[(Long, String), Seq[String]]] =
+      ThreadLocal.withInitial(() => mutable.HashMap.empty[(Long, String), Seq[String]])
+    def get(): mutable.HashMap[(Long, String), Seq[String]] = {
       val m = tl.get()
       if (m.size > (1 << 16)) m.clear()
       m
@@ -133,7 +136,7 @@ object Unigram {
       else {
         val memo = Memo.get()
         text.split(" ", -1).iterator.flatMap { wd =>
-          memo.getOrElseUpdate(wd, segmentWord(wd, bc.value, maxTokenLen, oov))
+          memo.getOrElseUpdate((bc.id, wd), segmentWord(wd, bc.value, maxTokenLen, oov))
         }.toSeq
       }
     }

@@ -121,9 +121,12 @@ object Wordpiece {
   /** Per-executor-thread segmentation memo (the [[Bpe]] pattern): a
     * JVM-static, bounded — cleared past 1<<16 entries. */
   private object Memo {
-    val tl: ThreadLocal[mutable.HashMap[String, Seq[String]]] =
-      ThreadLocal.withInitial(() => mutable.HashMap.empty[String, Seq[String]])
-    def get(): mutable.HashMap[String, Seq[String]] = {
+    // keyed by (broadcast id, word): two MODELS applied in one JVM must
+    // never share cached segmentations (the broadcast id is unique per
+    // broadcast value, so a new vocab always misses)
+    val tl: ThreadLocal[mutable.HashMap[(Long, String), Seq[String]]] =
+      ThreadLocal.withInitial(() => mutable.HashMap.empty[(Long, String), Seq[String]])
+    def get(): mutable.HashMap[(Long, String), Seq[String]] = {
       val m = tl.get()
       if (m.size > (1 << 16)) m.clear()
       m
@@ -142,7 +145,7 @@ object Wordpiece {
       else {
         val memo = Memo.get()
         text.split(" ", -1).iterator.flatMap { w =>
-          memo.getOrElseUpdate(w, segmentWord(w, bc.value, maxTokenLen))
+          memo.getOrElseUpdate((bc.id, w), segmentWord(w, bc.value, maxTokenLen))
         }.toSeq
       }
     }

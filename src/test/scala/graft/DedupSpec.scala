@@ -457,6 +457,57 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept == want)
   }
 
+  test("PCA: recovers planted axes, whitening normalizes, store round-trips") {
+    import graft.operators.Similarity
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(5)
+    // planted spectrum in 8-d: variance 100 along e0, 25 along e1, 1 elsewhere
+    val data = (0 until 400).map { i =>
+      val v = Array.tabulate(8)(_ => (rnd.nextGaussian()).toFloat)
+      v(0) = (rnd.nextGaussian() * 10).toFloat
+      v(1) = (rnd.nextGaussian() * 5).toFloat
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val mdl = Similarity.fitPca(data, col("id"), col("vec"), m = 3,
+      iters = 200, sampleN = 400)
+    // axis recovery: |<v0, e0>| and |<v1, e1>| near 1
+    assert(math.abs(mdl.components(0)(0)) > 0.95, mdl.components(0).mkString(","))
+    assert(math.abs(mdl.components(1)(1)) > 0.95, mdl.components(1).mkString(","))
+    assert(mdl.eigenvalues(0) > mdl.eigenvalues(1) &&
+      mdl.eigenvalues(1) > mdl.eigenvalues(2))
+    assert(mdl.eigenvalues(0) > 60 && mdl.eigenvalues(0) < 140) // ~100
+    // orthonormality
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = (0 until 8).map(i => mdl.components(a)(i) * mdl.components(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-6, s"($a,$b)=$dot")
+    }
+    // determinism: refit is identical
+    val mdl2 = Similarity.fitPca(data, col("id"), col("vec"), m = 3,
+      iters = 200, sampleN = 400)
+    assert(mdl.components.flatten.toSeq == mdl2.components.flatten.toSeq)
+    // whitening: unit variance per axis on the fitting sample
+    val white = Similarity.pcaProject(data, col("vec"), mdl, whiten = true)
+    for (k <- 1 to 3) {
+      val v = white.agg(var_pop(element_at(col("pca"), k))).head().getDouble(0)
+      assert(v > 0.98 && v < 1.02, s"axis $k variance $v")
+    }
+    // store round-trip: identical projections
+    val dir = java.nio.file.Files.createTempDirectory("pcastore").toString
+    Similarity.savePca(spark2, mdl, dir)
+    val loaded = Similarity.loadPca(spark2, dir)
+    val a = Similarity.pcaProject(data, col("vec"), mdl)
+      .select(col("id"), col("pca")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Similarity.pcaProject(data, col("vec"), loaded)
+      .select(col("id"), col("pca")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Similarity.fitPca(data, col("id"), col("vec"), m = 9, sampleN = 400)
+    }
+  }
+
   test("kmeans guards: duplicate seed ids, null and non-finite embeddings fail loudly") {
     val spark2 = TestSpark.spark
     import spark2.implicits._

@@ -38,6 +38,7 @@ class QueriesSpec extends AnyFunSuite {
     "q166_scalar_quant" -> "composes the q18 brute baseline over int8-reconstructed vectors (batch broadcast-small)",
     "q170_binary_ann" -> "Hamming pre-rank: query batch × corpus CODE column by contract (batch broadcast-small; the rerank joins are equi-joins)",
     "q171_binary_store" -> "same Hamming pre-rank core as q170 over the STORED code column (batch broadcast-small; store build and rerank are equi-join shaped)",
+    "q196_decayed_counts" -> "the now anchor (max ts) is ONE agg row cross-joined into the weight projection — q81's stat shape",
   )
 
   /** Queries ALLOWED a Window with an empty partitionSpec (single-task
