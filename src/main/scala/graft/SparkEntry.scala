@@ -25,6 +25,11 @@ object SparkEntry {
     * counts twice) that exercises the position-intersection math. */
   private val PhraseQuery = Seq("batch", "batch")
 
+  /** q198's query batch: overlapping term sets (both share "join") so the
+    * one-pass union genuinely multiplexes postings across queries. */
+  private val BatchQueries: Seq[Seq[String]] =
+    Seq(Seq("spark", "hash"), Seq("join"), Seq("batch", "stream", "join"))
+
   /** q191's blocklist: multi-word, word-crossing ("an jo" inside
     * "scan join"), substring ("ta" inside data/table), and repeated-token
     * phrases — the shapes that exercise Aho-Corasick fail links. */
@@ -794,6 +799,29 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 =!= 3), col("doc_id"), col("text"), path)
         .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
         .orderBy(col("doc_id"))
+    }),
+
+    // batched multi-query BM25: a whole query batch scored in ONE pass
+    // over the union of its terms' postings — the retrieval-eval /
+    // hard-negative-mining serving shape; per-query scores identical to
+    // the single-query index mode, so the oracle is a UNION ALL of
+    // per-query replays.
+    "q198_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("textseg", dir) { p =>
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      val queries = BatchQueries.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts) }
+        .toDF("query_id", "terms")
+      TextSearch.bm25BatchExactIndexed(queries, col("query_id"), col("terms"),
+          path, k = 10)
+        .orderBy(col("query_id"), col("score_e8").desc, col("doc_id"))
     }),
 
     // exact phrase search from positional postings (Lucene positional
@@ -3067,6 +3095,12 @@ object SparkEntry {
       "doc_id", "text", Bm25Terms, k = 25),
     "q186_lm_forget" -> fluencyOracleSqlFor(
       "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+
+    // batched BM25 == UNION ALL of the per-query exact replays
+    "q198_bm25_batch" -> BatchQueries.zipWithIndex.map { case (ts, i) =>
+      s"SELECT CAST($i AS BIGINT) AS query_id, doc_id, score_e8 FROM (" +
+        TextSearch.bm25ExactOracleSql("documents", "doc_id", "text", ts, 10) + ")"
+    }.mkString("", " UNION ALL ", " ORDER BY query_id, score_e8 DESC, doc_id"),
 
     // phrase search: token-array comprehension replay, overlaps included
     "q194_phrase_search" -> TextSearch.phraseOracleSql(

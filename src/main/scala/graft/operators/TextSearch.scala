@@ -450,6 +450,60 @@ object TextSearch {
       .select(col("doc_id"), col("score_e8"))
   }
 
+  /**
+   * Batched multi-query BM25 from the index — the retrieval-evaluation /
+   * hard-negative-mining serving shape: score a whole BATCH of queries
+   * in ONE pass over the union of their terms' postings, instead of one
+   * index probe per query. `queries` carries (query_id, terms
+   * array&lt;string&gt;); duplicate terms within a query are deduped (the
+   * single-query mode refuses them — a batch API should not explode on
+   * one malformed row). Output: (query_id, doc_id, score_e8), top-k per
+   * query by (score DESC, doc_id), scores identical to
+   * [[bm25TopKExactIndexed]] run per query.
+   *
+   * Scale shape: postings and dictionary are read ONCE filtered to the
+   * batch's term union (pushed IN — the term list is collected to the
+   * driver, bounded by the query batch: the q18 broadcast-small
+   * contract); per-(query, doc) scores come from one map-side-combined
+   * aggregate, and the top-k window partitions by query_id — never a
+   * single-task window.
+   */
+  def bm25BatchExactIndexed(queries: DataFrame, queryId: Column,
+                            termsCol: Column, path: String,
+                            k: Int): DataFrame = {
+    require(k > 0, s"bm25: k must be positive, got $k")
+    val spark = queries.sparkSession
+    // read twice (term-union collect + score join) — recomputation is
+    // cheap at query-batch size, so no checkpoint to manage
+    val qt = queries.select(queryId.as("query_id"), explode(termsCol).as("term"))
+      .distinct()
+    val allTerms = qt.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty, "bm25 batch: no query terms")
+    val (nL, sL) = storedStats(spark, path)
+    val n = lit(nL); val s = lit(sL)
+    val dfTab = spark.read.parquet(path + "/dict")
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("__df"))
+    val postings0 = spark.read.parquet(path + "/postings")
+      .filter(col("term").isin(allTerms: _*))
+    val postings = tombstoneTable(spark, path) match {
+      case Some(t) => postings0.join(t, Seq("doc_id"), "left_anti")
+      case None => postings0
+    }
+    val scored = postings.join(broadcast(dfTab), "term")
+      .withColumn("__ts", idfE4(col("__df"), n) * tfFactorE4(col("tf"), col("dl"), n, s))
+      .join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__ts")).as("score_e8"))
+      .filter(col("score_e8") > 0)
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_e8").desc, col("doc_id")))
+    scored.withColumn("__rn", rn).filter(col("__rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_e8"))
+  }
+
   // ---- phrase queries (positional postings) ----
   // The postings carry each term's sorted 1-based position list, so an
   // exact consecutive-token phrase is index-answerable (Lucene's

@@ -165,6 +165,34 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("batched BM25 == per-query index probes; duplicate terms deduped") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25batch").toString
+    TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
+    val batches = Seq(Seq("spark", "hash"), Seq("join"),
+      Seq("batch", "stream", "join"), Seq("nosuchterm"))
+    val spark2 = spark
+    import spark2.implicits._
+    val queries = batches.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("query_id", "terms")
+    val got = TextSearch.bm25BatchExactIndexed(queries, col("query_id"),
+        col("terms"), dir, k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = batches.zipWithIndex.flatMap { case (ts, i) =>
+      TextSearch.bm25TopKExactIndexed(spark, dir, ts, 15)
+        .collect().map(r => (i.toLong, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // duplicate terms inside one batch row are deduped, not double-counted
+    val dup = Seq((0L, Seq("spark", "spark", "hash"))).toDF("query_id", "terms")
+    val gotDup = TextSearch.bm25BatchExactIndexed(dup, col("query_id"),
+        col("terms"), dir, k = 15)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val wantDup = TextSearch.bm25TopKExactIndexed(spark, dir,
+        Seq("spark", "hash"), 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDup == wantDup)
+  }
+
   test("phrase search: indexed == live, overlaps counted, takedown respected") {
     val dir = java.nio.file.Files.createTempDirectory("textphrase").toString
     TextSearch.appendTextBatch(docs, col("doc_id"), col("text"), dir, batchId = 0L)
