@@ -801,6 +801,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incrementally-grown DSIR store (the q183/q184 segment pattern for
+    // importance resampling): target counts frozen at init, the raw
+    // corpus arrives as two count segments; readers derive the smoothed
+    // integer ratios from the folded counts — exactly the one-pass
+    // build's ratio table, so q115's full replay verifies the growth
+    // path bit-for-bit.
+    "q199_dsir_store_ingest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("dsiringest", dir) { p =>
+        Pipeline.initDsirStore(docs.filter(col("source") === "src0"),
+          col("text"), 1024, p)
+        Pipeline.appendDsirRawBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("text"), p, batchId = 0L)
+        Pipeline.appendDsirRawBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("text"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), path)
+        .orderBy(col("dsir_score_e6").desc, col("doc_id")).limit(120)
+        .select(col("doc_id"), col("dsir_score_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // batched multi-query BM25: a whole query batch scored in ONE pass
     // over the union of its terms' postings — the retrieval-eval /
     // hard-negative-mining serving shape; per-query scores identical to
@@ -2872,6 +2895,9 @@ object SparkEntry {
 
     // the store path must reproduce the live scores exactly
     "q115_dsir_store" -> DsirOracle.sql(1024, 120, "source = 'src0'"),
+
+    // grown DSIR store folds to the one-pass ratios ⇒ q115's replay
+    "q199_dsir_store_ingest" -> DsirOracle.sql(1024, 120, "source = 'src0'"),
 
     // transitive closure of the exact-Jaccard pair graph; keep each
     // component's min id (mirrors q20's recursive-CTE pattern)

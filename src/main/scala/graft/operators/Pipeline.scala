@@ -796,6 +796,116 @@ object Pipeline {
    * the live operator bit-for-bit. The ratio table is ≤ `buckets` rows by
    * construction — always broadcastable.
    */
+  // ---- incremental (segmented) DSIR growth ----
+  // The raw corpus a DSIR sampler scores against GROWS with the pipeline
+  // (the target benchmark side is frozen). The segmented layout persists
+  // COUNTS, not ratios — `target/` (b, t) written once at init, per-batch
+  // `raw/batch_id=` (b, r) segments under the FROZEN bucket count — and
+  // readers derive the smoothed ratio table at read time, so every score
+  // equals a one-pass [[buildDsirStore]] over the accumulated raw corpus.
+  // Deletion = negative raw-count segments in the reserved negative
+  // batch-id range (the LM-store pattern; bigram features never cross
+  // documents, so counts over disjoint docs are exactly additive).
+
+  /** Freeze the target side + bucket count: write `target/` counts and
+    * the params sidecar. Raw batches then accumulate via
+    * [[appendDsirRawBatch]] / `EventStreams.ingestDsirRaw`. */
+  def initDsirStore(target: DataFrame, targetText: Column, buckets: Int,
+                    path: String): Unit = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a positive power of two, got $buckets")
+    val spark = target.sparkSession
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_dsir_params",
+      buckets.toString)
+    dsirFeats(target, lit(0L), targetText, buckets)
+      .groupBy(col("__ds_b")).agg(count(lit(1)).as("t"))
+      .select(col("__ds_b").as("b"), col("t"))
+      .repartitionByRange(col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(path + "/target")
+  }
+
+  /** Append one raw batch's bucket counts as segment `batchId` (disjoint
+    * docs across batches; replays overwrite only their own partition).
+    * Refuses a [[buildDsirStore]] flat ratio store loudly. */
+  def appendDsirRawBatch(batch: DataFrame, textCol: Column, path: String,
+                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_dsir_stats"),
+      s"appendDsirRawBatch: $path holds a buildDsirStore flat store whose " +
+      "precomputed ratios cannot absorb appends — rebuild it segmented " +
+      "(initDsirStore + appendDsirRawBatch) or keep rebuilding flat")
+    require(batchId >= 0,
+      s"appendDsirRawBatch: batchId must be >= 0, got $batchId")
+    val buckets = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_dsir_params").trim.toInt
+    dsirFeats(batch, lit(0L), textCol, buckets)
+      .groupBy(col("__ds_b")).agg(count(lit(1)).as("r"))
+      .select(col("__ds_b").as("b"), col("r"))
+      .repartitionByRange(col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(s"$path/raw/batch_id=$batchId")
+  }
+
+  /** Forget raw documents without a rebuild (the LM-store takedown
+    * pattern): their bucket counts land as a NEGATIVE segment in the
+    * reserved negative batch-id range, which the read-time fold cancels
+    * exactly. CONTRACT: forget exactly documents previously appended,
+    * each at most once. */
+  def deleteFromDsirRaw(docs: DataFrame, textCol: Column, path: String,
+                        batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_dsir_stats"),
+      s"deleteFromDsirRaw: $path holds a buildDsirStore flat store — " +
+      "takedown-by-append needs the segmented layout")
+    require(batchId >= 0,
+      s"deleteFromDsirRaw: batchId must be >= 0, got $batchId")
+    val buckets = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_dsir_params").trim.toInt
+    dsirFeats(docs, lit(0L), textCol, buckets)
+      .groupBy(col("__ds_b")).agg((-count(lit(1))).as("r"))
+      .select(col("__ds_b").as("b"), col("r"))
+      .repartitionByRange(col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(s"$path/raw/batch_id=${-batchId - 1}")
+  }
+
+  /** The frozen scoring model of a store, whichever layout built it:
+    * (buckets, defaultE6 for raw-absent buckets, the (b, ratio_e6) table).
+    * Flat stores read their precomputed ratios + stats sidecar; segmented
+    * stores fold the raw segments, join the frozen target counts, and
+    * derive the SAME smoothed integer ratios — so a grown store scores
+    * exactly like a one-pass build over the accumulated raw corpus. */
+  private[graft] def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): (Int, Long, DataFrame) =
+    if (graft.sources.Sidecar.exists(spark, path + "/_graft_dsir_stats")) {
+      val Array(bStr, ttStr, rrStr) =
+        graft.sources.Sidecar.readText(spark, path + "/_graft_dsir_stats").split(" ")
+      val buckets = bStr.toInt
+      val defaultE6 = (BigInt(rrStr.toLong + buckets) * 1000000 /
+        BigInt(ttStr.toLong + buckets)).toLong
+      (buckets, defaultE6, spark.read.parquet(path + "/ratios")
+        .select(col("b").as("__ds_b"), col("ratio_e6").as("__ds_ratio")))
+    } else {
+      val buckets = graft.sources.Sidecar
+        .readText(spark, path + "/_graft_dsir_params").trim.toInt
+      val tCnt = spark.read.parquet(path + "/target")
+        .select(col("b").as("__ds_b"), col("t").as("__ds_t"))
+      val rCnt = spark.read.parquet(path + "/raw")
+        .groupBy(col("b")).agg(sum(col("r")).as("__ds_r"))
+        .filter(col("__ds_r") > 0) // deletion may cancel a bucket to zero
+        .select(col("b").as("__ds_b"), col("__ds_r"))
+      // two scalar totals — driver-size by construction
+      val tt = tCnt.agg(coalesce(sum(col("__ds_t")), lit(0L))).head().getLong(0)
+      val rr = rCnt.agg(coalesce(sum(col("__ds_r")), lit(0L))).head().getLong(0)
+      val defaultE6 = (BigInt(rr + buckets) * 1000000 /
+        BigInt(tt + buckets)).toLong
+      val ratios = rCnt.join(tCnt, Seq("__ds_b"), "left")
+        .na.fill(0L, Seq("__ds_t"))
+        .select(col("__ds_b"), dsirE6(
+            (col("__ds_t") + 1) * lit(rr + buckets.toLong),
+            (col("__ds_r") + 1) * lit(tt + buckets.toLong))
+          .cast("long").as("__ds_ratio")) // the flat store's ratio_e6 type
+      (buckets, defaultE6, ratios)
+    }
+
   def dsirScoresIndexed(df: DataFrame, idCol: Column, textCol: Column,
                         path: String): DataFrame = {
     require(!df.columns.exists(c => c.toLowerCase.startsWith("__ds_") ||
@@ -803,13 +913,7 @@ object Pipeline {
       "dsirScoresIndexed: input must not contain __ds_* columns or the " +
       "output name dsir_score_e6")
     val spark = df.sparkSession
-    val Array(bStr, ttStr, rrStr) =
-      graft.sources.Sidecar.readText(spark, path + "/_graft_dsir_stats").split(" ")
-    val buckets = bStr.toInt
-    val defaultE6 = (BigInt(rrStr.toLong + buckets) * 1000000 /
-      BigInt(ttStr.toLong + buckets)).toLong
-    val ratios = spark.read.parquet(path + "/ratios")
-      .select(col("b").as("__ds_b"), col("ratio_e6").as("__ds_ratio"))
+    val (buckets, defaultE6, ratios) = loadDsirModel(spark, path)
     val scored = dsirFeats(df, idCol, textCol, buckets)
       .join(broadcast(ratios), Seq("__ds_b"), "left")
       .groupBy(col("__ds_id"))

@@ -255,12 +255,11 @@ object EventStreams {
   def scoreDsirIndexed(docs: DataFrame, textColName: String, storePath: String,
                        minScoreE6: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
-    val Array(bStr, ttStr, rrStr) = graft.sources.Sidecar
-      .readText(spark, storePath + "/_graft_dsir_stats").split(" ")
-    val buckets = bStr.toInt
-    val default = (BigInt(rrStr.toLong + buckets) * 1000000 /
-      BigInt(ttStr.toLong + buckets)).toLong
-    val ratios = spark.read.parquet(storePath + "/ratios").collect()
+    // layout-agnostic: flat ratio stores or segmented count stores
+    // (Pipeline.loadDsirModel); the table is bucket-bounded either way
+    val (buckets, default, ratioDf) =
+      graft.operators.Pipeline.loadDsirModel(spark, storePath)
+    val ratios = ratioDf.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bc = spark.sparkContext.broadcast(ratios)
     val score = org.apache.spark.sql.functions.udf { (text: String) =>
@@ -831,6 +830,31 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.TextSearch
           .appendTextBatch(batch, col(idColName), col(textColName), path, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * Streaming DSIR raw-side ingest — grow the raw-corpus distribution a
+   * DSIR sampler weighs against (the target side stays frozen from
+   * [[graft.operators.Pipeline.initDsirStore]]): each micro-batch lands
+   * its bucket counts as a `raw/batch_id=` segment under the frozen
+   * bucket count; scorers fold segments to exactly the one-pass ratios.
+   * Refuses a flat ratio store loudly.
+   */
+  def ingestDsirRaw(docs: DataFrame, textColName: String, path: String,
+                    checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!graft.sources.Sidecar.exists(docs.sparkSession,
+        path + "/_graft_dsir_stats"),
+      s"ingestDsirRaw: $path holds a buildDsirStore flat store whose " +
+      "precomputed ratios cannot absorb appends — rebuild it segmented")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Pipeline
+          .appendDsirRawBatch(batch, col(textColName), path, batchId)
         ()
       }
       .start()

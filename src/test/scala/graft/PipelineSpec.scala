@@ -131,6 +131,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("segmented DSIR store: raw appends fold to the one-pass ratios; takedown exact") {
+    import graft.operators.Pipeline
+    val target = docs.filter(col("source") === "src0")
+    val flat = java.nio.file.Files.createTempDirectory("dsflat").toString
+    Pipeline.buildDsirStore(docs, col("text"), target, col("text"), 256, flat)
+    val want = Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), flat)
+      .select(col("doc_id"), col("dsir_score_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seg = java.nio.file.Files.createTempDirectory("dsseg").toString
+    Pipeline.initDsirStore(target, col("text"), 256, seg)
+    Pipeline.appendDsirRawBatch(docs.filter(col("doc_id") % 3 === 0), col("text"), seg, 0L)
+    Pipeline.appendDsirRawBatch(docs.filter(col("doc_id") % 3 =!= 0), col("text"), seg, 1L)
+    val got = Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), seg)
+      .select(col("doc_id"), col("dsir_score_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // takedown: forgetting a raw slice == a store built without it
+    Pipeline.deleteFromDsirRaw(docs.filter(col("doc_id") % 5 === 1), col("text"), seg, 0L)
+    val remaining = docs.filter(col("doc_id") % 5 =!= 1)
+    val flat2 = java.nio.file.Files.createTempDirectory("dsflat2").toString
+    Pipeline.buildDsirStore(remaining, col("text"), target, col("text"), 256, flat2)
+    val wantDel = Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), flat2)
+      .select(col("doc_id"), col("dsir_score_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotDel = Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), seg)
+      .select(col("doc_id"), col("dsir_score_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDel == wantDel)
+    // flat refusals
+    intercept[IllegalArgumentException] {
+      Pipeline.appendDsirRawBatch(docs.limit(2), col("text"), flat, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.deleteFromDsirRaw(docs.limit(2), col("text"), flat, 0L)
+    }
+  }
+
   test("LM compaction folds counts + negatives into one segment, scoring unchanged") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("lmcmp").toString

@@ -837,6 +837,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR raw ingest == one-pass build through both scorers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("source") === "src0")
+    val flat = java.nio.file.Files.createTempDirectory("dsflat3").toString
+    graft.operators.Pipeline.buildDsirStore(docs, col("text"), target,
+      col("text"), 256, flat)
+    val want = graft.operators.Pipeline
+      .dsirScoresIndexed(docs, col("doc_id"), col("text"), flat)
+      .select(col("doc_id"), col("dsir_score_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seg = java.nio.file.Files.createTempDirectory("dsseg2").toString
+    graft.operators.Pipeline.initDsirStore(target, col("text"), 256, seg)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.ingestDsirRaw(
+      input.toDF().toDF("doc_id", "text"), "text", seg,
+      java.nio.file.Files.createTempDirectory("dssegck").toString)
+    try {
+      val rows = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(20).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(20).toIndexedSeq)
+      q.processAllAvailable()
+      val got = graft.operators.Pipeline
+        .dsirScoresIndexed(docs, col("doc_id"), col("text"), seg)
+        .select(col("doc_id"), col("dsir_score_e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && got.nonEmpty)
+      // the streaming GATE serves from the segmented store identically
+      val gateGot = graft.streaming.EventStreams
+        .scoreDsirIndexed(docs, "text", seg)
+        .select(col("doc_id"), col("dsir_score_e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gateGot == want)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.ingestDsirRaw(
+        input.toDF().toDF("doc_id", "text"), "text", flat,
+        java.nio.file.Files.createTempDirectory("dssegck2").toString)
+    }
+  }
+
   test("streaming DSIR gate scores micro-batches with the frozen ratio store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
