@@ -801,6 +801,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the full segment-store LIFECYCLE under stress (grow → forget →
+    // compact → grow again → forget again), serving after every phase
+    // from the same entry point: the store ends holding (evens ∪ odds)
+    // minus %7=3 (pre-compact delete) minus %5=1 (post-compact delete,
+    // including re-deleting already-gone docs — a no-op by contract) plus
+    // the late third batch; the oracle replays BM25 over exactly that
+    // remaining corpus.
+    "q200_text_lifecycle" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("textlife", dir) { p =>
+        TextSearch.appendTextBatch(
+          docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 =!= 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        TextSearch.appendTextBatch(
+          docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 =!= 0),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        TextSearch.deleteFromTextIndex(
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+          col("doc_id"), p, batchId = 0L)
+        TextSearch.compactTextIndex(s, p)
+        TextSearch.appendTextBatch(docs.filter(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L) // id reuse is safe post-compact
+        TextSearch.deleteFromTextIndex(
+          docs.filter(col("doc_id") % 5 === 1).select(col("doc_id")),
+          col("doc_id"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextSearch.bm25TopKExactIndexed(s, path, Bm25Terms, k = 25)
+    }),
+
     // incrementally-grown DSIR store (the q183/q184 segment pattern for
     // importance resampling): target counts frozen at init, the raw
     // corpus arrives as two count segments; readers derive the smoothed
@@ -2898,6 +2928,14 @@ object SparkEntry {
 
     // grown DSIR store folds to the one-pass ratios ⇒ q115's replay
     "q199_dsir_store_ingest" -> DsirOracle.sql(1024, 120, "source = 'src0'"),
+
+    // lifecycle: BM25 over exactly the corpus the store should hold.
+    // NOTE the %7=3 docs deleted BEFORE compaction only affect batches 0/1
+    // (the %3=0 batch arrived after), while %5=1 hits everything.
+    "q200_text_lifecycle" -> TextSearch.bm25ExactOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 5 <> 1 " +
+      "AND NOT (doc_id % 7 = 3 AND doc_id % 3 <> 0))",
+      "doc_id", "text", Bm25Terms, k = 25),
 
     // transitive closure of the exact-Jaccard pair graph; keep each
     // component's min id (mirrors q20's recursive-CTE pattern)
