@@ -801,6 +801,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // counting Bloom (deletable membership): the q168 benchmark set grown
+    // as two count segments, then half of it FORGOTTEN by a negative
+    // segment — the gate must flag against exactly the remaining keys'
+    // live cells, which the oracle replays from the md5 positions.
+    "q201_counting_bloom" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("cbloom", dir) { p =>
+        Sketches.initCountingBloomStore(s, p, BloomM, BloomK)
+        Sketches.appendCountingBloomBatch(
+          docs.filter(col("doc_id") % 20 === 0), col("text"), p, batchId = 0L)
+        Sketches.appendCountingBloomBatch(
+          docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0),
+          col("text"), p, batchId = 1L)
+        Sketches.deleteFromCountingBloom(
+          docs.filter(col("doc_id") % 20 === 0), col("text"), p, batchId = 0L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Sketches.countingBloomMightContain(docs, col("text"), path)
+        .select(col("doc_id"), col("might_contain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full segment-store LIFECYCLE under stress (grow → forget →
     // compact → grow again → forget again), serving after every phase
     // from the same entry point: the store ends holding (evens ∪ odds)
@@ -3909,6 +3931,20 @@ object SparkEntry {
        s"('0x' || substr(md5(r.range || ':bloom:' || text),1,12))::BIGINT % $BloomM AS p " +
        s"FROM documents CROSS JOIN range($BloomK) r), " +
        "bset AS (SELECT DISTINCT p FROM pos WHERE doc_id % 10 = 0), " +
+       "miss AS (SELECT DISTINCT doc_id FROM pos WHERE p NOT IN (SELECT p FROM bset)) " +
+       "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM miss) AS might_contain " +
+       "FROM documents ORDER BY doc_id"),
+
+    // counting-Bloom replay: the q168 position math with the REMAINING
+    // store predicate — deletion cancelled the %20=0 insertions exactly,
+    // so live cells are the remaining keys' position set (a duplicate
+    // text shared with a remaining key keeps its cells alive — the
+    // multiset semantics the per-cell counts implement)
+    "q201_counting_bloom" ->
+      ("WITH pos AS (SELECT doc_id, " +
+       s"('0x' || substr(md5(r.range || ':bloom:' || text),1,12))::BIGINT % $BloomM AS p " +
+       s"FROM documents CROSS JOIN range($BloomK) r), " +
+       "bset AS (SELECT DISTINCT p FROM pos WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0), " +
        "miss AS (SELECT DISTINCT doc_id FROM pos WHERE p NOT IN (SELECT p FROM bset)) " +
        "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM miss) AS might_contain " +
        "FROM documents ORDER BY doc_id"),

@@ -599,6 +599,99 @@ object Sketches {
         call_function("shiftleft", lit(1L), (col("__p") % 64).cast("int")).as("__m"))
       .groupBy(col("word")).agg(expr("bit_or(__m)").as("bits"))
 
+  // ---- counting Bloom filter (DELETABLE membership) ----
+  // The plain Bloom bitset cannot forget — a set bit may be shared. The
+  // counting variant stores per-cell INSERTION COUNTS as replay-safe
+  // `cells/batch_id=` segments (one (cell, n) row per touched cell;
+  // deletion = a negative segment in the reserved negative batch-id
+  // range), and membership tests against the cells whose folded count is
+  // still positive — so the decontamination/membership gate joins the
+  // takedown family: removing a benchmark or opted-out key takes effect
+  // without rebuilding the filter. Same md5 positions as the plain
+  // Bloom ⇒ the SQL oracle replays membership exactly. CONTRACT (the
+  // classic CBF contract): delete only keys previously inserted, at most
+  // as many times as inserted — the store cannot detect a violation.
+
+  /** Freeze the hash space: mBits, k, salt — written once, enforced by
+    * every append/delete/probe reading it back. */
+  def initCountingBloomStore(spark: org.apache.spark.sql.SparkSession,
+                             path: String, mBits: Long, k: Int,
+                             salt: String = "bloom"): Unit = {
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    require(mBits >= 64 && mBits <= (1L << 40),
+      s"mBits must be in [64, 2^40], got $mBits")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_cbloom_params",
+      s"$mBits $k $salt")
+  }
+
+  private def cbloomParams(spark: org.apache.spark.sql.SparkSession,
+                           path: String): (Long, Int, String) = {
+    val Array(m, k, salt) = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_cbloom_params").trim.split(" ")
+    (m.toLong, k.toInt, salt)
+  }
+
+  private def cbloomCounts(batch: DataFrame, keyCol: Column, mBits: Long,
+                           k: Int, salt: String): DataFrame =
+    batch.select(explode(bloomPositions(keyCol, mBits, k, salt)).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /** Append one key batch's per-cell insertion counts as segment
+    * `batchId` (replays overwrite only their own partition). */
+  def appendCountingBloomBatch(batch: DataFrame, keyCol: Column,
+                               path: String, batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"appendCountingBloomBatch: batchId must be >= 0, got $batchId")
+    val (m, k, salt) = cbloomParams(batch.sparkSession, path)
+    cbloomCounts(batch, keyCol, m, k, salt)
+      .repartitionByRange(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$path/cells/batch_id=$batchId")
+  }
+
+  /** Forget previously-inserted keys: their counts land as a NEGATIVE
+    * segment the read-time fold cancels exactly (see the CBF contract
+    * above). */
+  def deleteFromCountingBloom(batch: DataFrame, keyCol: Column,
+                              path: String, batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"deleteFromCountingBloom: batchId must be >= 0, got $batchId")
+    val (m, k, salt) = cbloomParams(batch.sparkSession, path)
+    batch.select(explode(bloomPositions(keyCol, m, k, salt)).as("cell"))
+      .groupBy(col("cell")).agg((-count(lit(1))).as("n"))
+      .repartitionByRange(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$path/cells/batch_id=${-batchId - 1}")
+  }
+
+  /**
+   * Membership probe against the LIVE cells (folded count > 0): adds
+   * `flagName` — true iff all k of the key's cells are live, i.e. the
+   * key may be in the remaining (post-deletion) set, with the plain
+   * Bloom's one-sided error. The live-cell table is bounded by mBits
+   * (broadcast like the bitset-word table of the plain gate).
+   */
+  def countingBloomMightContain(df: DataFrame, keyCol: Column, path: String,
+                                flagName: String = "might_contain"): DataFrame = {
+    val spark = df.sparkSession
+    val (m, k, salt) = cbloomParams(spark, path)
+    val live = spark.read.parquet(path + "/cells")
+      .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0).select(col("cell"))
+    val withPos = df.withColumn("__cbp", bloomPositions(keyCol, m, k, salt))
+    val joined = (0 until k).foldLeft(withPos) { (acc, i) =>
+      acc.join(broadcast(live.select(col("cell").as(s"__cb$i"))),
+        element_at(col("__cbp"), i + 1) === col(s"__cb$i"), "left")
+    }
+    val allSet = (0 until k).map(i => col(s"__cb$i").isNotNull).reduce(_ && _)
+    joined.withColumn(flagName, allSet)
+      .drop((0 until k).map(i => s"__cb$i") :+ "__cbp": _*)
+  }
+
+  /** Admit only rows whose key is (probably-not) in the remaining set —
+    * the deletable decontamination gate. */
+  def countingBloomGate(df: DataFrame, keyCol: Column, path: String): DataFrame =
+    countingBloomMightContain(df, keyCol, path, "__cb_flag")
+      .filter(!col("__cb_flag")).drop("__cb_flag")
+
   /** Merge two word tables (same mBits/k/salt): union + per-word OR.
     * Associative, commutative, idempotent — stores fold in any batch
     * order, and re-merging a batch is harmless (exactly-once not

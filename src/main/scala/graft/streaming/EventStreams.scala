@@ -836,6 +836,26 @@ object EventStreams {
   }
 
   /**
+   * Streaming counting-Bloom ingest — grow the DELETABLE membership set
+   * ([[graft.operators.Sketches.initCountingBloomStore]]'s store): each
+   * micro-batch lands its per-cell insertion counts as a `cells/batch_id=`
+   * segment under the frozen (mBits, k, salt); pair with
+   * [[ingestDeletes]] (kind = "cbloom") to drain forget requests into
+   * negative segments — the membership gate then reflects both feeds.
+   */
+  def ingestCountingBloom(docs: DataFrame, keyColName: String, path: String,
+                          checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches
+          .appendCountingBloomBatch(batch, col(keyColName), path, batchId)
+        ()
+      }
+      .start()
+
+  /**
    * Streaming DSIR raw-side ingest — grow the raw-corpus distribution a
    * DSIR sampler weighs against (the target side stays frozen from
    * [[graft.operators.Pipeline.initDsirStore]]): each micro-batch lands
@@ -898,7 +918,9 @@ object EventStreams {
    * `"ann"` ([[graft.operators.Similarity.deleteFromAnnStore]] — IVF /
    * PQ / IVF-PQ / binary), `"minhash"` / `"cosine"`
    * ([[graft.operators.Dedup.deleteFromMinhashStore]] /
-   * [[graft.operators.Dedup.deleteFromCosineLshStore]]).
+   * [[graft.operators.Dedup.deleteFromCosineLshStore]]), `"cbloom"`
+   * ([[graft.operators.Sketches.deleteFromCountingBloom]] — the id
+   * column carries the KEY to forget).
    */
   def ingestDeletes(ids: DataFrame, idColName: String, path: String,
                     checkpoint: String, kind: String)
@@ -912,9 +934,11 @@ object EventStreams {
         .deleteFromMinhashStore(b, col(idColName), path, i)
       case "cosine" => (b, i) => graft.operators.Dedup
         .deleteFromCosineLshStore(b, col(idColName), path, i)
+      case "cbloom" => (b, i) => graft.operators.Sketches
+        .deleteFromCountingBloom(b, col(idColName), path, i)
       case other => throw new IllegalArgumentException(
         s"ingestDeletes: unknown store kind '$other' " +
-        "(expected text | ann | minhash | cosine)")
+        "(expected text | ann | minhash | cosine | cbloom)")
     }
     ids.writeStream
       .option("checkpointLocation", checkpoint)

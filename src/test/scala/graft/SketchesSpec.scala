@@ -311,6 +311,61 @@ class SketchesSpec extends AnyFunSuite {
     assert(keys.take(50).forall(flagged.contains))
   }
 
+  test("counting bloom: forget == a filter built without the deleted keys") {
+    import graft.operators.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("cbloom").toString
+    Sketches.initCountingBloomStore(spark, dir, mBits = 1L << 16, k = 5)
+    Sketches.appendCountingBloomBatch(docs.filter(col("doc_id") % 10 === 0),
+      col("text"), dir, batchId = 0L)
+    Sketches.appendCountingBloomBatch(docs.filter(col("doc_id") % 10 === 5),
+      col("text"), dir, batchId = 1L)
+    // before deletion: flags == the plain-Bloom gate over the same keys
+    val keys = docs.filter(col("doc_id") % 5 === 0)
+    val wordsAll = Sketches.bloomWords(keys, col("text"), 1L << 16, 5)
+    val plainAll = Sketches.bloomMightContain(docs, col("text"), wordsAll,
+        1L << 16, 5)
+      .select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cbAll = Sketches.countingBloomMightContain(docs, col("text"), dir)
+      .select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(cbAll == plainAll && cbAll.values.exists(identity))
+    // forget the %10=5 half: flags == a plain filter over the remainder
+    Sketches.deleteFromCountingBloom(docs.filter(col("doc_id") % 10 === 5),
+      col("text"), dir, batchId = 0L)
+    val wordsRem = Sketches.bloomWords(docs.filter(col("doc_id") % 10 === 0),
+      col("text"), 1L << 16, 5)
+    val plainRem = Sketches.bloomMightContain(docs, col("text"), wordsRem,
+        1L << 16, 5)
+      .select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cbRem = Sketches.countingBloomMightContain(docs, col("text"), dir)
+      .select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(cbRem == plainRem)
+    assert(cbRem != cbAll, "deletion should change some verdicts")
+    // the gate keeps exactly the not-flagged rows
+    val gated = Sketches.countingBloomGate(docs, col("text"), dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gated == cbRem.collect { case (id, false) => id }.toSet)
+    // multiset: inserting a duplicate key twice survives one deletion
+    val dup = spark.createDataFrame(Seq((1L, "dup text"), (2L, "dup text")))
+      .toDF("id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("cbloom2").toString
+    Sketches.initCountingBloomStore(spark, dir2, mBits = 1L << 12, k = 3)
+    Sketches.appendCountingBloomBatch(dup, col("text"), dir2, 0L)
+    Sketches.deleteFromCountingBloom(dup.filter(col("id") === 1L),
+      col("text"), dir2, 0L)
+    val still = Sketches.countingBloomMightContain(
+        dup.filter(col("id") === 2L), col("text"), dir2)
+      .select(col("might_contain")).head().getBoolean(0)
+    assert(still)
+    intercept[IllegalArgumentException] {
+      Sketches.appendCountingBloomBatch(dup, col("text"), dir2, -1L)
+    }
+  }
+
   test("histQuantiles returns the exact bucket of the rank-ceil(p·n/100) value") {
     import spark.implicits._
     val vals = (1 to 500).map(i => (i.toLong * i) % 50000).sorted

@@ -837,6 +837,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming counting-bloom ingest + delete feed == the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("cbstream").toString
+    Sketches.initCountingBloomStore(spark, dir, mBits = 1L << 16, k = 5)
+    val rows = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val qIn = graft.streaming.EventStreams.ingestCountingBloom(
+      input.toDF().toDF("doc_id", "text"), "text", dir,
+      java.nio.file.Files.createTempDirectory("cbck1").toString)
+    try {
+      input.addData(rows.take(20).toIndexedSeq); qIn.processAllAvailable()
+      input.addData(rows.drop(20).toIndexedSeq); qIn.processAllAvailable()
+    } finally qIn.stop()
+    val del = MemoryStream[(Long, String)]
+    val qDel = graft.streaming.EventStreams.ingestDeletes(
+      del.toDF().toDF("doc_id", "text"), "text", dir,
+      java.nio.file.Files.createTempDirectory("cbck2").toString, kind = "cbloom")
+    try {
+      del.addData(rows.filter(_._1 % 10 == 5).toIndexedSeq)
+      qDel.processAllAvailable()
+    } finally qDel.stop()
+    // == a plain filter over the remaining (%10=0) keys
+    val wordsRem = Sketches.bloomWords(docs.filter(col("doc_id") % 10 === 0),
+      col("text"), 1L << 16, 5)
+    val want = Sketches.bloomMightContain(docs, col("text"), wordsRem,
+        1L << 16, 5)
+      .select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = Sketches.countingBloomMightContain(docs, col("text"), dir)
+      .select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want && got.values.exists(identity))
+  }
+
   test("streaming DSIR raw ingest == one-pass build through both scorers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
