@@ -378,5 +378,28 @@ object syntax {
       Dedup.deleteFromMinhashStore(df, id, path, batchId)
     def deleteFromCosineLshStore(id: Column, path: String, batchId: Long): Unit =
       Dedup.deleteFromCosineLshStore(df, id, path, batchId)
+    def decayedCounts(key: Column, ts: Column, halfLifeNs: Long,
+                      now: Column = null): DataFrame =
+      EventAnalytics.decayedCounts(df, key, ts, halfLifeNs, now)
+    def appendDsirRawBatch(text: Column, path: String, batchId: Long): Unit =
+      Pipeline.appendDsirRawBatch(df, text, path, batchId)
+    def deleteFromDsirRaw(text: Column, path: String, batchId: Long): Unit =
+      Pipeline.deleteFromDsirRaw(df, text, path, batchId)
+    def appendCountingBloomBatch(key: Column, path: String, batchId: Long): Unit =
+      Sketches.appendCountingBloomBatch(df, key, path, batchId)
+    def deleteFromCountingBloom(key: Column, path: String, batchId: Long): Unit =
+      Sketches.deleteFromCountingBloom(df, key, path, batchId)
+    def countingBloomMightContain(key: Column, path: String,
+                                  flagName: String = "might_contain"): DataFrame =
+      Sketches.countingBloomMightContain(df, key, path, flagName)
+    def countingBloomGate(key: Column, path: String): DataFrame =
+      Sketches.countingBloomGate(df, key, path)
+    def bm25BatchExactIndexed(queryId: Column, terms: Column, path: String,
+                              k: Int): DataFrame =
+      TextSearch.bm25BatchExactIndexed(df, queryId, terms, path, k)
+    def pcaProject(vec: Column, model: Similarity.PcaModel,
+                   whiten: Boolean = false,
+                   outName: String = "pca"): DataFrame =
+      Similarity.pcaProject(df, vec, model, whiten, outName)
   }
 }

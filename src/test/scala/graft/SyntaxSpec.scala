@@ -218,5 +218,28 @@ class SyntaxSpec extends AnyFunSuite {
     val served = graft.operators.TextSearch
       .bm25TopKExactIndexed(spark, dir2, Seq("spark"), 10)
     assert(served.count() > 0)
+    // batched retrieval + deletable membership + decayed counts + PCA
+    import spark.implicits._
+    val qb = Seq((0L, Seq("spark")), (1L, Seq("hash", "join")))
+      .toDF("query_id", "terms")
+    assert(qb.bm25BatchExactIndexed(col("query_id"), col("terms"), dir2, 5)
+      .count() > 0)
+    val cb = java.nio.file.Files.createTempDirectory("syncb").toString
+    graft.operators.Sketches.initCountingBloomStore(spark, cb, 1L << 14, 4)
+    docs.filter(col("doc_id") % 10 === 0)
+      .appendCountingBloomBatch(col("text"), cb, 0L)
+    docs.filter(col("doc_id") % 20 === 0)
+      .deleteFromCountingBloom(col("text"), cb, 0L)
+    assert(docs.countingBloomGate(col("text"), cb).count() > 0)
+    // any long time axis works for the smoke (event_id stands in; the
+    // NTZ-normalized path is q196's territory)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    assert(ev.decayedCounts(col("event_type"), col("event_id"),
+      halfLifeNs = 1000L).count() > 0)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val mdl = graft.operators.Similarity.fitPca(e, col("vec_id"),
+      col("embedding"), m = 4, iters = 50, sampleN = 500)
+    assert(e.pcaProject(col("embedding"), mdl, whiten = true)
+      .select(col("pca")).head().getSeq[Float](0).length == 4)
   }
 }
