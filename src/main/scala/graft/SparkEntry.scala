@@ -823,6 +823,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // compaction twins for the two newest store families: the q201 and
+    // q187 builds compacted to one reserved-id segment — serving must be
+    // bit-identical, so they share those queries' oracles.
+    "q202_cbloom_compact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("cbloomcmp", dir) { p =>
+        Sketches.initCountingBloomStore(s, p, BloomM, BloomK)
+        Sketches.appendCountingBloomBatch(
+          docs.filter(col("doc_id") % 20 === 0), col("text"), p, batchId = 0L)
+        Sketches.appendCountingBloomBatch(
+          docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0),
+          col("text"), p, batchId = 1L)
+        Sketches.deleteFromCountingBloom(
+          docs.filter(col("doc_id") % 20 === 0), col("text"), p, batchId = 0L)
+        Sketches.compactCountingBloom(s, p)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Sketches.countingBloomMightContain(docs, col("text"), path)
+        .select(col("doc_id"), col("might_contain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q203_minhash_compact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("mhcmp", dir) { p =>
+        Dedup.initMinhashStore(s, p)
+        Dedup.appendMinhashBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), p, batchId = 0L)
+        Dedup.deleteFromMinhashStore(
+          docs.filter(col("doc_id") % 8 === 0).select(col("doc_id")),
+          col("doc_id"), p, batchId = 0L)
+        Dedup.compactMinhashStore(s, p)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Dedup.dropSeenNearDups(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // the full segment-store LIFECYCLE under stress (grow → forget →
     // compact → grow again → forget again), serving after every phase
     // from the same entry point: the store ends holding (evens ∪ odds)
@@ -3934,6 +3973,24 @@ object SparkEntry {
        "miss AS (SELECT DISTINCT doc_id FROM pos WHERE p NOT IN (SELECT p FROM bset)) " +
        "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM miss) AS might_contain " +
        "FROM documents ORDER BY doc_id"),
+
+    // compaction must not change verdicts: the compacted stores share
+    // their builders' replays
+    "q202_cbloom_compact" ->
+      ("WITH pos AS (SELECT doc_id, " +
+       s"('0x' || substr(md5(r.range || ':bloom:' || text),1,12))::BIGINT % $BloomM AS p " +
+       s"FROM documents CROSS JOIN range($BloomK) r), " +
+       "bset AS (SELECT DISTINCT p FROM pos WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0), " +
+       "miss AS (SELECT DISTINCT doc_id FROM pos WHERE p NOT IN (SELECT p FROM bset)) " +
+       "SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM miss) AS might_contain " +
+       "FROM documents ORDER BY doc_id"),
+    "q203_minhash_compact" ->
+      (s"WITH sh AS ($shingleSetSql), " +
+       "hit AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh a " +
+       "ON b.doc_id % 2 = 1 AND a.doc_id % 2 = 0 AND a.doc_id % 8 <> 0 " +
+       "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))) " +
+       "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+       "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
 
     // counting-Bloom replay: the q168 position math with the REMAINING
     // store predicate — deletion cancelled the %20=0 insertions exactly,

@@ -833,6 +833,53 @@ object Dedup {
       case None => store
     }
 
+  /** Compact an LSH store's listed tables: anti-join each against the
+    * tombstones and rewrite as ONE segment at the reserved compact id
+    * (Long.MinValue), tombstones cleared, params sidecars carried over —
+    * the staged-swap contract of every compactor. Gate verdicts are
+    * identical before and after; works on one-pass AND segmented inputs
+    * (the output is always segmented). */
+  private def compactLshStore(spark: org.apache.spark.sql.SparkSession,
+                              path: String, tables: Seq[String],
+                              paramsFile: String): Unit = {
+    val params = graft.sources.Sidecar.readText(spark, s"$path/$paramsFile")
+    val tmp = path + ".tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val ts = lshTombstones(spark, path)
+    tables.foreach { t =>
+      val folded = spark.read.parquet(s"$path/$t")
+        .drop("batch_id") // absent on flat inputs; uniform output below
+      val live = ts match {
+        case Some(tt) => folded.join(tt, Seq("id"), "left_anti")
+        case None => folded
+      }
+      live.write.mode("overwrite")
+        .parquet(s"$tmp/$t/batch_id=${Long.MinValue}")
+    }
+    graft.sources.Sidecar.writeText(spark, s"$tmp/$paramsFile", params)
+    graft.sources.Sidecar.markComplete(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compactLshStore: rename $tmp -> $path failed; the compacted " +
+      s"store is intact at $tmp")
+  }
+
+  /** Compact a MinHash store (fold segments, apply tombstones, reserved
+    * compact id — see [[compactLshStore]]). */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit =
+    compactLshStore(spark, path, Seq("bands", "shingles"),
+      "_graft_minhash_params")
+
+  /** Compact a cosine-LSH store (the embedding twin). */
+  def compactCosineLshStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit =
+    compactLshStore(spark, path, Seq("buckets", "vectors"),
+      "_graft_coslsh_params")
+
   /** Forget `ids` from a MinHash store (one-pass or segmented) without a
     * rebuild — see the takedown notes above. */
   def deleteFromMinhashStore(ids: DataFrame, idCol: Column, path: String,

@@ -692,6 +692,34 @@ object Sketches {
     countingBloomMightContain(df, keyCol, path, "__cb_flag")
       .filter(!col("__cb_flag")).drop("__cb_flag")
 
+  /** Compact a counting-Bloom store: fold every segment (insertions and
+    * deletion negatives) into ONE live-cell segment at the reserved
+    * compact id (Long.MinValue — outside both id spaces, so a fresh
+    * stream restarting at batch 0 can never overwrite folded history).
+    * Same staged-swap contract as the text-index compaction; probing is
+    * identical before and after. */
+  def compactCountingBloom(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_cbloom_params")
+    val tmp = path + ".tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(path + "/cells")
+      .groupBy(col("cell")).agg(sum(col("n")).as("n")).filter(col("n") > 0)
+      .repartitionByRange(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("overwrite")
+      .parquet(s"$tmp/cells/batch_id=${Long.MinValue}")
+    graft.sources.Sidecar.writeText(spark, tmp + "/_graft_cbloom_params", params)
+    graft.sources.Sidecar.markComplete(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compactCountingBloom: rename $tmp -> $path failed; the compacted " +
+      s"store is intact at $tmp")
+  }
+
   /** Merge two word tables (same mBits/k/salt): union + per-word OR.
     * Associative, commutative, idempotent — stores fold in any batch
     * order, and re-merging a batch is harmless (exactly-once not

@@ -189,6 +189,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH compaction: verdicts unchanged, one segment, tombstones gone") {
+    val dir = java.nio.file.Files.createTempDirectory("mhcmp2").toString
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.initMinhashStore(spark, dir)
+    Dedup.appendMinhashBatch(even, col("doc_id"), col("text"), dir, 0L)
+    Dedup.deleteFromMinhashStore(even.filter(col("doc_id") % 8 === 0)
+      .select(col("doc_id")), col("doc_id"), dir, 0L)
+    val before = Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Dedup.compactMinhashStore(spark, dir)
+    val after = Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(after == before && after.nonEmpty)
+    def segs(t: String) = Option(new java.io.File(s"$dir/$t").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("batch_id="))
+    assert(segs("bands") == 1 && segs("shingles") == 1)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // appends resume beside the compacted segment, batch id 0 reusable
+    Dedup.appendMinhashBatch(even.limit(0), col("doc_id"), col("text"), dir, 0L)
+    assert(Dedup.dropSeenNearDups(odd, col("doc_id"), col("text"), dir)
+      .count() == before.size)
+
+    // the cosine twin
+    val cdir = java.nio.file.Files.createTempDirectory("clcmp").toString
+    val evenV = embs.filter(col("vec_id") % 2 === 0)
+    val oddV = embs.filter(col("vec_id") % 2 === 1)
+    Dedup.initCosineLshStore(spark, cdir, tables = 48, planes = 3)
+    Dedup.appendCosineLshBatch(evenV, col("vec_id"), col("embedding"), cdir, 0L)
+    Dedup.deleteFromCosineLshStore(evenV.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id")), col("vec_id"), cdir, 0L)
+    val beforeC = Dedup.dropSeenCosine(oddV, col("vec_id"), col("embedding"),
+        cdir, threshold = 0.42)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    Dedup.compactCosineLshStore(spark, cdir)
+    val afterC = Dedup.dropSeenCosine(oddV, col("vec_id"), col("embedding"),
+        cdir, threshold = 0.42)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(afterC == beforeC && afterC.nonEmpty)
+  }
+
   test("cosine takedown: tombstoned vectors can never flag a probe again") {
     val dir = java.nio.file.Files.createTempDirectory("cldel").toString
     val even = embs.filter(col("vec_id") % 2 === 0)
