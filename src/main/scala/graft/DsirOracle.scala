@@ -21,15 +21,20 @@ package graft
  */
 private[graft] object DsirOracle {
 
-  def sql(buckets: Int, n: Int, targetWhere: String): String = {
+  /** `rawWhere` restricts the RAW corpus (and therefore the scored set —
+    * both ride the same feature table), for the post-takedown replays. */
+  def sql(buckets: Int, n: Int, targetWhere: String,
+          rawWhere: String = "TRUE"): String = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a positive power of two, got $buckets")
     val feats =
-      """(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      s"""(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        | WHERE $rawWhere
         | UNION ALL
         | SELECT doc_id,
         |   unnest(list_transform(range(1, len(ws)), __bi -> ws[__bi] || ' ' || ws[__bi+1])) AS t
-        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+        | FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |       WHERE $rawWhere))""".stripMargin
     s"""WITH ${SimhashOracle.hashCtes(feats)},
        |__feat AS (SELECT doc_id, (h % $buckets)::BIGINT AS b FROM __hash),
        |__tot AS (SELECT

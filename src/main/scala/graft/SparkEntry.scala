@@ -915,6 +915,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR raw-side compaction: the q199 store with a delete folded to
+    // one reserved-id segment — scores unchanged, so the remaining-raw
+    // replay (q114's oracle restricted to the surviving docs) pins it.
+    "q204_dsir_compact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("dsircmp", dir) { p =>
+        // target carved from the REMAINING corpus (the oracle derives
+        // target counts from the raw-filtered feature table)
+        Pipeline.initDsirStore(
+          docs.filter(col("source") === "src0" && col("doc_id") % 7 =!= 3),
+          col("text"), 1024, p)
+        Pipeline.appendDsirRawBatch(docs.filter(col("doc_id") % 2 === 0),
+          col("text"), p, batchId = 0L)
+        Pipeline.appendDsirRawBatch(docs.filter(col("doc_id") % 2 === 1),
+          col("text"), p, batchId = 1L)
+        Pipeline.deleteFromDsirRaw(docs.filter(col("doc_id") % 7 === 3),
+          col("text"), p, batchId = 0L)
+        Pipeline.compactDsirRaw(s, p)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Pipeline.dsirScoresIndexed(docs.filter(col("doc_id") % 7 =!= 3),
+          col("doc_id"), col("text"), path)
+        .orderBy(col("dsir_score_e6").desc, col("doc_id")).limit(120)
+        .select(col("doc_id"), col("dsir_score_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // batched multi-query BM25: a whole query batch scored in ONE pass
     // over the union of its terms' postings — the retrieval-eval /
     // hard-negative-mining serving shape; per-query scores identical to
@@ -2989,6 +3016,11 @@ object SparkEntry {
 
     // grown DSIR store folds to the one-pass ratios ⇒ q115's replay
     "q199_dsir_store_ingest" -> DsirOracle.sql(1024, 120, "source = 'src0'"),
+
+    // compacted post-takedown DSIR: the same replay over the remaining
+    // raw corpus (target carved from it too)
+    "q204_dsir_compact" -> DsirOracle.sql(1024, 120, "source = 'src0'",
+      rawWhere = "doc_id % 7 <> 3"),
 
     // lifecycle: BM25 over exactly the corpus the store should hold.
     // NOTE the %7=3 docs deleted BEFORE compaction only affect batches 0/1

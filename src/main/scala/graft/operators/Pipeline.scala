@@ -867,6 +867,38 @@ object Pipeline {
       .write.mode("overwrite").parquet(s"$path/raw/batch_id=${-batchId - 1}")
   }
 
+  /** Compact a segmented DSIR store's raw side: fold every raw count
+    * segment (appends and deletion negatives) into ONE segment at the
+    * reserved compact id (Long.MinValue), dropping zero/negative cells;
+    * target counts and the params sidecar carry over. Staged-swap
+    * contract; scoring is identical before and after. */
+  def compactDsirRaw(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    require(!graft.sources.Sidecar.exists(spark, path + "/_graft_dsir_stats"),
+      s"compactDsirRaw: $path holds a buildDsirStore flat store — " +
+      "already one ratio table, nothing to compact")
+    val params = graft.sources.Sidecar
+      .readText(spark, path + "/_graft_dsir_params")
+    val tmp = path + ".tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(path + "/raw")
+      .groupBy(col("b")).agg(sum(col("r")).as("r")).filter(col("r") > 0)
+      .repartitionByRange(col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(s"$tmp/raw/batch_id=${Long.MinValue}")
+    spark.read.parquet(path + "/target")
+      .repartitionByRange(col("b")).sortWithinPartitions(col("b"))
+      .write.mode("overwrite").parquet(tmp + "/target")
+    graft.sources.Sidecar.writeText(spark, tmp + "/_graft_dsir_params", params)
+    graft.sources.Sidecar.markComplete(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compactDsirRaw: rename $tmp -> $path failed; the compacted " +
+      s"store is intact at $tmp")
+  }
+
   /** The frozen scoring model of a store, whichever layout built it:
     * (buckets, defaultE6 for raw-absent buckets, the (b, ratio_e6) table).
     * Flat stores read their precomputed ratios + stats sidecar; segmented

@@ -159,12 +159,25 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("doc_id"), col("dsir_score_e6"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotDel == wantDel)
+    // compaction: scores unchanged, one raw segment, negatives gone
+    Pipeline.compactDsirRaw(spark, seg)
+    val gotCmp = Pipeline.dsirScoresIndexed(docs, col("doc_id"), col("text"), seg)
+      .select(col("doc_id"), col("dsir_score_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCmp == wantDel)
+    val rawSegs = Option(new java.io.File(s"$seg/raw").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("batch_id="))
+    assert(rawSegs == 1)
+    assert(spark.read.parquet(s"$seg/raw").filter(col("r") <= 0).count() == 0)
     // flat refusals
     intercept[IllegalArgumentException] {
       Pipeline.appendDsirRawBatch(docs.limit(2), col("text"), flat, 0L)
     }
     intercept[IllegalArgumentException] {
       Pipeline.deleteFromDsirRaw(docs.limit(2), col("text"), flat, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.compactDsirRaw(spark, flat)
     }
   }
 
