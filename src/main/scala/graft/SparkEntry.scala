@@ -862,6 +862,23 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q205_coslsh_compact" -> ((s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("clcmp_q205", dir) { p =>
+        Dedup.initCosineLshStore(s, p, tables = 48, planes = 3)
+        Dedup.appendCosineLshBatch(embs.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), p, batchId = 0L)
+        Dedup.deleteFromCosineLshStore(
+          embs.filter(col("vec_id") % 8 === 0).select(col("vec_id")),
+          col("vec_id"), p, batchId = 0L)
+        Dedup.compactCosineLshStore(s, p)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Dedup.dropSeenCosine(embs.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"), path, threshold = 0.42)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // the full segment-store LIFECYCLE under stress (grow → forget →
     // compact → grow again → forget again), serving after every phase
     // from the same entry point: the store ends holding (evens ∪ odds)
@@ -4023,6 +4040,16 @@ object SparkEntry {
        "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))) " +
        "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
        "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
+
+    // the cosine twin of q203: exact-cosine gate replay over the
+    // remaining (evens minus every eighth) store vectors
+    "q205_coslsh_compact" ->
+      (s"WITH e AS ($normedEmbSql), " +
+       "hit AS (SELECT DISTINCT a.vec_id FROM e a JOIN e b " +
+       "ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0 AND b.vec_id % 8 <> 0 " +
+       s"AND ($dotSql) / (a.nrm*b.nrm) >= 0.42) " +
+       "SELECT vec_id FROM e WHERE vec_id % 2 = 1 " +
+       "AND vec_id NOT IN (SELECT vec_id FROM hit) ORDER BY vec_id"),
 
     // counting-Bloom replay: the q168 position math with the REMAINING
     // store predicate — deletion cancelled the %20=0 insertions exactly,
