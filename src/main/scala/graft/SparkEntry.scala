@@ -862,6 +862,26 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ANN compaction: q188's grown-then-forgotten IVF store folded to
+    // one cell-sorted reserved-id segment (tombstones gone, centroids
+    // carried) — the full-probe serve must still equal brute cosine over
+    // the remaining vectors, so q188's oracle pins it.
+    "q206_ann_compact" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("ivfcmp", dir) { p =>
+        Similarity.buildIvfIndex(e, p, col("vec_id"), col("embedding"), nlist = 16)
+        Similarity.deleteFromAnnStore(
+          e.filter(col("vec_id") % 9 === 4).select(col("vec_id")),
+          col("vec_id"), p, batchId = 0L)
+        Similarity.compactAnnStore(s, p)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "q205_coslsh_compact" -> ((s, dir) => {
       val embs = Tables.load(s, dir, "embeddings")
       val path = storedOnce("clcmp_q205", dir) { p =>
@@ -4040,6 +4060,16 @@ object SparkEntry {
        "AND len(list_intersect(a.s,b.s))*5 >= 4*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))) " +
        "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
        "AND doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
+
+    // ANN compaction shares the takedown replay: brute top-5 over the
+    // corpus minus the forgotten ninth
+    "q206_ann_compact" ->
+      (s"WITH e AS ($normedEmbSql), scored AS (" +
+       "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+       s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($dotSqlQC)/(q.nrm*c.nrm) DESC, c.vec_id) AS rn " +
+       "FROM (SELECT * FROM e WHERE vec_id < 10) q, e c " +
+       "WHERE c.vec_id != q.vec_id AND c.vec_id % 9 <> 4) " +
+       "SELECT query_id, neighbor_id FROM scored WHERE rn <= 5 ORDER BY query_id, neighbor_id"),
 
     // the cosine twin of q203: exact-cosine gate replay over the
     // remaining (evens minus every eighth) store vectors

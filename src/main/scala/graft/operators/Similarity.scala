@@ -328,6 +328,74 @@ object Similarity {
   }
 
   /**
+   * Compact ANY persisted ANN store: fold every batch segment, apply the
+   * tombstones, and rewrite each table as ONE segment at the reserved
+   * compact id (Long.MinValue), tombstones cleared, model sidecars
+   * (centroids / codebooks / params) carried over — the staged-swap
+   * contract of every compactor. The layout is detected from the tables
+   * present: IVF (`corpus`, cell-sorted), PQ / IVF-PQ (`codes`,
+   * cell-sorted when a coarse cell column exists), binary (`codes` +
+   * `vectors` + an id-free `blocks` table RECOMPUTED from the live codes
+   * under the frozen block split). Serving is row-identical before and
+   * after; works on one-pass AND segmented inputs.
+   */
+  def compactAnnStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import graft.sources.Sidecar
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(d: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d"))
+    require(has("corpus") || has("codes"),
+      s"compactAnnStore: $path holds neither an IVF corpus nor a codes table")
+    val tmp = path + ".tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val seg = s"batch_id=${Long.MinValue}"
+    def live(table: String, idName: String): DataFrame =
+      minusTombstones(spark.read.parquet(s"$path/$table").drop("batch_id"),
+        path, idName)
+    if (has("corpus")) { // IVF
+      live("corpus", "neighbor_id")
+        .repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
+        .write.mode("overwrite").parquet(s"$tmp/corpus/$seg")
+    } else if (!has("vectors")) { // PQ or IVF-PQ codes
+      val rows = live("codes", "neighbor_id")
+      val sorted =
+        if (rows.columns.contains("__cell"))
+          rows.repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
+        else rows
+      sorted.write.mode("overwrite").parquet(s"$tmp/codes/$seg")
+    } else { // binary triple
+      val params = Sidecar
+        .readText(spark, path + "/_graft_binary_params").trim.split(" ")
+      val (bits, blocks) = (params(1).toInt, params(3).toInt)
+      val codes = live("codes", "id").localCheckpoint() // codes + blocks read it
+      codes.write.mode("overwrite").parquet(s"$tmp/codes/$seg")
+      codes.select(col("code"),
+          posexplode(codeBlocks(col("code"), bits, blocks)).as(Seq("b", "w")))
+        .select(col("b"), col("w"), col("code")).distinct()
+        .repartitionByRange(col("b"), col("w"))
+        .sortWithinPartitions(col("b"), col("w"))
+        .write.mode("overwrite").parquet(s"$tmp/blocks/$seg")
+      live("vectors", "id")
+        .write.mode("overwrite").parquet(s"$tmp/vectors/$seg")
+      releaseCheckpoint(codes)
+    }
+    // carry every model sidecar (centroids, codebooks, params) over
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_graft_"))
+      .foreach { st =>
+        Sidecar.writeText(spark, s"$tmp/${st.getPath.getName}",
+          Sidecar.readText(spark, s"$path/${st.getPath.getName}"))
+      }
+    Sidecar.markComplete(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compactAnnStore: rename $tmp -> $path failed; the compacted " +
+      s"store is intact at $tmp")
+  }
+
+  /**
    * Build/overwrite a persisted binary-flat index under `path`:
    * `codes` (id, code array<long> — the narrow column every search
    * scans), `blocks` (id, b, w — one row per pigeonhole block,

@@ -232,6 +232,36 @@ class IndexStoreSpec extends AnyFunSuite {
         bin2, maxHamming = 3)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(gateGot == gateExp)
+    // compaction: every layout folds to one reserved-id segment with
+    // identical serving (run BEFORE the rebuild check below reuses ivf)
+    Similarity.compactAnnStore(spark, ivf)
+    val gotIvfC = Similarity.ivfTopKIndexed(q, ivf, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotIvfC == expIvf)
+    assert(!new java.io.File(s"$ivf/tombstones").exists())
+    Similarity.compactAnnStore(spark, pq)
+    val gotPqC = Similarity.pqTopKIndexed(q, pq, col("vec_id"), col("embedding"), k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPqC == expPq)
+    Similarity.compactAnnStore(spark, ipq)
+    val gotIpqC = Similarity.ivfPqTopKIndexed(q, ipq, col("vec_id"), col("embedding"),
+        k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotIpqC == expIpq)
+    Similarity.compactAnnStore(spark, bin)
+    val gotBC = Similarity.binaryTopKIndexed(q, bin, col("vec_id"), col("embedding"),
+        k = 3, cand = 1000)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotBC == expB)
+    val gateGotC = Similarity.dropSeenHamming(emb, col("vec_id"), col("embedding"),
+        bin, maxHamming = 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(gateGotC == gateExp)
     // a rebuild clears the tombstones
     Similarity.buildIvfIndex(emb, ivf, col("vec_id"), col("embedding"), nlist = 8)
     val cleared = Similarity.ivfTopKIndexed(q, ivf, col("vec_id"), col("embedding"),
