@@ -214,7 +214,10 @@ object TextSearch {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(path + "/dict")
-    val stats = base.agg(count(lit(1)).cast("long"), sum(col("__dl"))).head()
+    // coalesce: an EMPTY corpus sums to NULL — a legal (if degenerate)
+    // build that must produce a store serving zero rows, not a crash
+    val stats = base.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("__dl")), lit(0L))).head()
     graft.sources.Sidecar.writeText(spark, path + "/_graft_text_stats",
       s"${stats.getLong(0)} ${stats.getLong(1)}")
     graft.sources.Sidecar.markComplete(spark, path)

@@ -165,6 +165,56 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("lifecycle fuzz: random append/delete/compact histories == rebuild") {
+    val rnd = new scala.util.Random(17)
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"textfuzz$trial").toString
+      val inStore = scala.collection.mutable.Set.empty[Long]
+      val pending = scala.collection.mutable.Queue(rnd.shuffle(all.toSeq): _*)
+      var batch = 0L
+      var delBatch = 0L
+      for (step <- 1 to 6) {
+        rnd.nextInt(3) match {
+          case 0 | 1 => // append a random slice of not-yet-ingested docs
+            val n = 1 + rnd.nextInt(math.max(pending.size, 1))
+            val ids = (1 to math.min(n, pending.size)).map(_ => pending.dequeue()).toSet
+            if (ids.nonEmpty) {
+              TextSearch.appendTextBatch(docs.filter(col("doc_id").isin(ids.toSeq: _*)),
+                col("doc_id"), col("text"), dir, batch)
+              inStore ++= ids; batch += 1
+            }
+          case 2 if inStore.nonEmpty => // forget a random subset
+            val victims = rnd.shuffle(inStore.toSeq).take(1 + rnd.nextInt(inStore.size))
+            TextSearch.deleteFromTextIndex(
+              docs.filter(col("doc_id").isin(victims: _*)).select(col("doc_id")),
+              col("doc_id"), dir, delBatch)
+            inStore --= victims; delBatch += 1
+          case _ => ()
+        }
+        if (step == 3 && batch > 0) { // mid-history compaction
+          TextSearch.compactTextIndex(spark, dir)
+          batch = 0L; delBatch = 0L // ids are reusable post-compact
+        }
+      }
+      if (batch > 0) { // at least one segment exists — the store is readable
+        // an emptied-out store (everything deleted) is a legal degenerate:
+        // both sides must serve zero rows
+        val remaining = docs.filter(col("doc_id").isin(inStore.toSeq: _*))
+        val rebuilt = java.nio.file.Files.createTempDirectory(s"textfuzzr$trial").toString
+        TextSearch.buildTextIndex(remaining, rebuilt, col("doc_id"), col("text"))
+        for (terms <- Seq(Seq("spark"), Seq("spark", "hash", "join"))) {
+          val want = TextSearch.bm25TopKExactIndexed(spark, rebuilt, terms, 50)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          val got = TextSearch.bm25TopKExactIndexed(spark, dir, terms, 50)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          assert(got == want,
+            s"trial $trial terms=$terms store=${inStore.size} docs diverged")
+        }
+      }
+    }
+  }
+
   test("batched BM25 == per-query index probes; duplicate terms deduped") {
     val dir = java.nio.file.Files.createTempDirectory("bm25batch").toString
     TextSearch.buildTextIndex(docs, dir, col("doc_id"), col("text"))
