@@ -707,7 +707,14 @@ object Similarity {
           i += 1
         } }
     }
-    PcaModel(mean, comps, eigs)
+    // order the eigenpairs by eigenvalue DESCENDING structurally: on a
+    // flat spectrum (measured at 50k near-isotropic vectors) the k-th
+    // power iteration can converge to a direction marginally above the
+    // (k-1)-th's estimate — sorting costs nothing, preserves
+    // orthonormality and each λ = vᵀCv exactly, and makes the descent
+    // contract unconditional (ties break by extraction order)
+    val order = eigs.indices.sortBy(k => (-eigs(k), k))
+    PcaModel(mean, order.map(comps).toArray, order.map(eigs).toArray)
   }
 
   /**
