@@ -2369,6 +2369,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // maximal VARIABLE-LENGTH duplicated spans (Lee et al.'s exact-substring
+    // regions, arXiv:2107.06499): overlapping duplicated 5-gram seeds merged
+    // into per-doc islands — spans longer than k surface as ONE row with
+    // their true length; q112's removed-token set is exactly their union.
+    // The oracle replays the gaps-and-islands algebra over the same token
+    // index sets.
+    "q207_maximal_dup_spans" -> ((s, dir) => {
+      TextAnalysis.maximalDuplicateSpans(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 5)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // incremental (cross-snapshot) dedup: sources 0-9 are the already-
     // ingested corpus persisted as a span store (distinct 5-gram spans +
     // Bloom sidecar, write-once); the new batch (sources 10+) drops docs
@@ -4363,6 +4375,23 @@ object SparkEntry {
        "SELECT d.doc_id, COALESCE(rw.ct, d.text) AS clean_text, " +
        "CAST(COALESCE(rw.nrem, 0) AS BIGINT) AS n_removed_tokens " +
        "FROM documents d LEFT JOIN rw USING (doc_id) ORDER BY d.doc_id"),
+
+    // same occ/dup/rem token-index algebra as q112, then gaps-and-islands:
+    // consecutive covered indexes share i - row_number, each island is one
+    // maximal span; the text slice is 1-based inclusive in DuckDB
+    "q207_maximal_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents), " +
+       "occ AS (SELECT doc_id, u.s AS s, u.g AS g FROM (SELECT doc_id, " +
+       "unnest([{'s': i, 'g': array_to_string(ws[i:i+4],' ')} " +
+       "FOR i IN generate_series(1, len(ws)-4)]) AS u FROM t WHERE len(ws) >= 5)), " +
+       "dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ) GROUP BY g HAVING count(*) >= 2), " +
+       "docc AS (SELECT doc_id, s FROM occ JOIN dup USING (g)), " +
+       "rem AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s+4)) AS i FROM docc), " +
+       "isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM rem), " +
+       "sp AS (SELECT doc_id, min(i) AS st, count(*) AS len FROM isl GROUP BY doc_id, grp) " +
+       "SELECT sp.doc_id, CAST(st - 1 AS BIGINT) AS span_start, CAST(len AS BIGINT) AS span_len, " +
+       "array_to_string(t.ws[st:st+len-1], ' ') AS span_text " +
+       "FROM sp JOIN t USING (doc_id) ORDER BY sp.doc_id, span_start"),
 
     "q62_incr_dedup" ->
       (s"WITH inst AS ($spanInstSql), " +

@@ -123,11 +123,16 @@ object Classifier {
     val w = collectWeights(model, dim)
     val bc = df.sparkSession.sparkContext.broadcast(w)
     // per-row Long loop over a broadcast array — the documented UDF
-    // exception (no vectorized expression can index a broadcast vector)
+    // exception (no vectorized expression can index a broadcast vector).
+    // Null text → null features → null margin (and a null pred any gate
+    // drops), never an NPE that fails the whole scoring job.
     val sumW = udf { fs: Seq[Long] =>
-      val arr = bc.value; var s = 0L; var i = 0
-      while (i < fs.length) { s += arr(fs(i).toInt); i += 1 }
-      s
+      if (fs == null) None
+      else {
+        val arr = bc.value; var s = 0L; var i = 0
+        while (i < fs.length) { s += arr(fs(i).toInt); i += 1 }
+        Some(s)
+      }
     }
     val feats = features(textCol, dim)
     df.withColumn("margin_e6", sumW(feats))
@@ -163,14 +168,39 @@ object Classifier {
   }
 
   /** Persist the model as one small parquet sorted by feature (≤ dim ≤
-    * [[MaxDim]] rows). Callers that need crash-atomicity stage the path
-    * (the driver's storedOnce pattern); the write itself is a single
-    * task. */
-  def saveModel(model: DataFrame, path: String): Unit =
+    * [[MaxDim]] rows), plus a `_graft_clf_params` sidecar freezing the
+    * TRAINING dim — the hash-space parameter, like every other persisted
+    * model's sidecar (binary index, MinHash, cosine-LSH, WordPiece).
+    * Scoring with a different dim hashes features under a different mask
+    * than training and silently produces wrong margins; the sidecar lets
+    * every store-side scorer enforce the trained dim. Callers that need
+    * crash-atomicity stage the path (the driver's storedOnce pattern);
+    * the write itself is a single task. */
+  def saveModel(model: DataFrame, path: String, dim: Int = DefaultDim): Unit = {
+    requireDim(dim)
     model.select("feature", "n_pos", "n_neg", "weight_e6")
       .coalesce(1).sortWithinPartitions("feature")
       .write.mode("overwrite").parquet(path)
+    graft.sources.Sidecar.writeText(model.sparkSession,
+      path + "/_graft_clf_params", dim.toString)
+  }
+
+  /** The training dim frozen in the store's params sidecar. Stores
+    * predating the sidecar were all trained at [[DefaultDim]]. */
+  def storedDim(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    if (graft.sources.Sidecar.exists(spark, path + "/_graft_clf_params"))
+      graft.sources.Sidecar.readText(spark, path + "/_graft_clf_params").trim.toInt
+    else DefaultDim
 
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** [[scoreWith]] against a persisted model store, scoring at the dim
+    * the sidecar froze at train time — the safe store-side entry point
+    * (a caller-supplied dim can't drift from the training mask). */
+  def scoreFromStore(df: DataFrame, textCol: Column, path: String,
+                     tauE6: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    scoreWith(df, textCol, loadModel(spark, path), storedDim(spark, path), tauE6)
+  }
 }

@@ -816,13 +816,92 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_spans", "n_dup_spans"))
   }
 
+  /** Shared kernel of the span-dedup family: tokenized docs, the
+    * duplicated k-gram occurrences, and the distinct covered token
+    * indexes per doc. Same shapes as documented on
+    * [[removeDuplicateSpans]] — the frequency table is a vocabulary-keyed
+    * groupBy meeting the instances in an AQE-skew-splittable hash join;
+    * the index explode factor is exactly k. */
+  private def dupSpanCoverage(df: DataFrame, idCol: Column, textCol: Column,
+                              k: Int, minDocs: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = df.select(idCol.as("__rs_id"), split(textCol, " ").as("__rs_ws"))
+    // all span occurrences with their 0-based start token index
+    val occ = base
+      .filter(size(col("__rs_ws")) >= k)
+      .select(col("__rs_id"), explode(transform(
+        sequence(lit(0), size(col("__rs_ws")) - k),
+        i => struct(i.as("s"),
+          array_join(slice(col("__rs_ws"), i + 1, lit(k)), " ").as("g")))).as("__rs_o"))
+      .select(col("__rs_id"), col("__rs_o.s").as("__rs_s"), col("__rs_o.g").as("__rs_g"))
+    // span -> distinct-document frequency; keep only the duplicated ones
+    val dup = occ.select(col("__rs_id"), col("__rs_g")).distinct()
+      .groupBy(col("__rs_g")).agg(count(lit(1)).as("__rs_n"))
+      .filter(col("__rs_n") >= minDocs).select(col("__rs_g"))
+    val dupOcc = occ.join(dup, "__rs_g")
+    // covered token indexes per doc (distinct: overlapping spans share tokens)
+    val removed = dupOcc
+      .select(col("__rs_id"),
+        explode(sequence(col("__rs_s"), col("__rs_s") + (k - 1))).as("__rs_i"))
+      .distinct()
+    (base, dupOcc, removed)
+  }
+
+  /**
+   * MAXIMAL variable-length duplicated spans — the report form of Lee et
+   * al.'s exact-substring semantics (arXiv:2107.06499 §4.1 uses suffix
+   * arrays; this computes the identical token regions distributively):
+   * per document, the maximal contiguous token runs covered by word
+   * k-grams that occur in >= `minDocs` distinct documents. A duplicated
+   * substring of length L >= k is covered by duplicated k-windows at every
+   * offset, so the union of duplicated k-window tokens IS the union of all
+   * duplicated substrings of length >= k — merging overlapping k-gram
+   * seeds into islands yields exactly the maximal duplicated regions,
+   * with their true (variable) lengths, not fixed-k fragments. Lee et
+   * al.'s min-match-length threshold IS k: a longer floor on the *merged*
+   * region would excise stitched runs no single duplicated substring
+   * spans.
+   *
+   * Output: one row per maximal span occurrence —
+   * (doc_id, span_start, span_len, span_text), span_start 0-based in
+   * tokens. [[removeDuplicateSpans]]'s removed-token set equals the union
+   * of these spans (spec-pinned), so this adds reporting power at the
+   * same candidate volume: the only machinery on top of the shared kernel
+   * is a doc-partitioned island window (bounded by document length, never
+   * corpus size) and a slice of the doc's own token array.
+   */
+  def maximalDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+                            k: Int, minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val (base, _, removed) = dupSpanCoverage(df, idCol, textCol, k, minDocs)
+    // islands of consecutive covered indexes: i - row_number is constant
+    // within a run (the classic gaps-and-islands key); the window is
+    // doc-partitioned — skew bounded by the longest document
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rs_id")).orderBy(col("__rs_i"))
+    val islands = removed
+      .withColumn("__rs_grp", col("__rs_i") - row_number().over(w))
+      .groupBy(col("__rs_id"), col("__rs_grp"))
+      .agg(min(col("__rs_i")).as("span_start"),
+        count(lit(1)).cast("long").as("span_len"))
+    islands.join(base, "__rs_id")
+      .select(col("__rs_id").as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_len"),
+        array_join(slice(col("__rs_ws"), col("span_start") + 1,
+          col("span_len").cast("int")), " ").as("span_text"))
+  }
+
   /**
    * Exact-substring EXCISION — the destructive half of span dedup (cf. Lee
    * et al., "Deduplicating Training Data Makes Language Models Better"):
    * every occurrence of a word k-gram that appears in at least `minDocs`
    * DISTINCT documents is cut out of the text, and the surviving tokens are
    * re-joined with single spaces. [[withDuplicatedSpans]] is the cheap
-   * counting signal; this rewrites the corpus.
+   * counting signal; this rewrites the corpus;
+   * [[maximalDuplicateSpans]] reports the same regions as variable-length
+   * maximal spans (the removed-token set here equals their union).
    *
    * Semantics (deterministic, symmetric — replayable in plain SQL):
    *  - tokens are the single-space split; spans are ALL k-token windows
@@ -857,25 +936,7 @@ object TextAnalysis {
       "removeDuplicateSpans: input must not contain __rs_* columns or the " +
       "output names clean_text/n_removed_tokens")
 
-    val base = df.select(idCol.as("__rs_id"), split(textCol, " ").as("__rs_ws"))
-    // all span occurrences with their 0-based start token index
-    val occ = base
-      .filter(size(col("__rs_ws")) >= k)
-      .select(col("__rs_id"), explode(transform(
-        sequence(lit(0), size(col("__rs_ws")) - k),
-        i => struct(i.as("s"),
-          array_join(slice(col("__rs_ws"), i + 1, lit(k)), " ").as("g")))).as("__rs_o"))
-      .select(col("__rs_id"), col("__rs_o.s").as("__rs_s"), col("__rs_o.g").as("__rs_g"))
-    // span -> distinct-document frequency; keep only the duplicated ones
-    val dup = occ.select(col("__rs_id"), col("__rs_g")).distinct()
-      .groupBy(col("__rs_g")).agg(count(lit(1)).as("__rs_n"))
-      .filter(col("__rs_n") >= minDocs).select(col("__rs_g"))
-    val dupOcc = occ.join(dup, "__rs_g")
-    // covered token indexes per doc (distinct: overlapping spans share tokens)
-    val removed = dupOcc
-      .select(col("__rs_id"),
-        explode(sequence(col("__rs_s"), col("__rs_s") + (k - 1))).as("__rs_i"))
-      .distinct()
+    val (base, dupOcc, removed) = dupSpanCoverage(df, idCol, textCol, k, minDocs)
     // docs that had at least one duplicated span: these (and only these) get
     // a rewritten text — anchoring on this set keeps a fully-excised doc
     // distinguishable from an untouched one. The token explode is gated on

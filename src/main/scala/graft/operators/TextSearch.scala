@@ -280,13 +280,23 @@ object TextSearch {
       case _ => ()
     }
 
-  /** The store's tombstoned doc ids, if any deletion has happened. */
+  /** The store's tombstoned doc ids, if any deletion has happened.
+    * `excludeSeg` drops one segment's own tombstones — a replaying
+    * deletion must not anti-join against the tombstones IT wrote last
+    * time, or the replay sees an empty victim set and overwrites its
+    * negative segments with empty data (silently reverting the
+    * takedown). Serving and compaction pass None (all tombstones). */
   private def tombstoneTable(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Option[DataFrame] =
-    if (graft.sources.Sidecar.exists(spark, path + "/tombstones"))
-      Some(spark.read.parquet(path + "/tombstones")
-        .select(col("doc_id")).distinct())
-    else None
+                             path: String,
+                             excludeSeg: Option[Long] = None): Option[DataFrame] =
+    if (graft.sources.Sidecar.exists(spark, path + "/tombstones")) {
+      val all = spark.read.parquet(path + "/tombstones")
+      val kept = excludeSeg match {
+        case Some(s) => all.filter(col("batch_id") =!= s)
+        case None => all
+      }
+      Some(kept.select(col("doc_id")).distinct())
+    } else None
 
   /**
    * Forget documents from a segmented index WITHOUT a rebuild — the
@@ -316,7 +326,13 @@ object TextSearch {
     require(batchId >= 0, s"deleteFromTextIndex: batchId must be >= 0, got $batchId")
     val segId = -batchId - 1
     val victims0 = ids.select(idCol.cast("long").as("doc_id")).distinct()
-    val victims = (tombstoneTable(spark, path) match {
+    // Anti-join OTHER segments' tombstones only (ids they already
+    // cancelled must not be double-counted), but NOT this segId's own:
+    // a crash-replayed delete (Structured Streaming re-delivering a
+    // completed foreachBatch) must recompute and rewrite the SAME
+    // negative segments, not an empty set — the overwrite below is then
+    // the intended idempotent no-op.
+    val victims = (tombstoneTable(spark, path, excludeSeg = Some(segId)) match {
       case Some(t) => victims0.join(t, Seq("doc_id"), "left_anti")
       case None => victims0
     }).localCheckpoint()

@@ -547,10 +547,18 @@ object EventStreams {
    * operational freeze-at-train contract).
    */
   def classifyLinear(docs: DataFrame, textColName: String, modelPath: String,
-                     dim: Int = graft.operators.Classifier.DefaultDim,
+                     dim: Int = -1,
                      tauE6: Long = 0L): DataFrame = {
+    // dim is frozen in the store's params sidecar at train time; scoring
+    // under any other dim hashes features with a different mask than
+    // training and silently yields wrong margins. Default (-1) = use the
+    // stored dim; an explicitly passed dim must match it.
+    val stored = graft.operators.Classifier.storedDim(docs.sparkSession, modelPath)
+    require(dim == -1 || dim == stored,
+      s"classifyLinear: caller dim $dim != training dim $stored frozen in " +
+      s"$modelPath/_graft_clf_params — score at the stored dim (omit dim)")
     val model = graft.operators.Classifier.loadModel(docs.sparkSession, modelPath)
-    graft.operators.Classifier.scoreWith(docs, col(textColName), model, dim, tauE6)
+    graft.operators.Classifier.scoreWith(docs, col(textColName), model, stored, tauE6)
   }
 
   /**

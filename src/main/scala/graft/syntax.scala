@@ -216,6 +216,9 @@ object syntax {
     def removeDuplicateSpans(id: Column, text: Column, k: Int,
                              minDocs: Int = 2): DataFrame =
       TextAnalysis.removeDuplicateSpans(df, id, text, k, minDocs)
+    def maximalDuplicateSpans(id: Column, text: Column, k: Int,
+                              minDocs: Int = 2): DataFrame =
+      TextAnalysis.maximalDuplicateSpans(df, id, text, k, minDocs)
     def dropSeenSpans(id: Column, text: Column, k: Int, storePath: String,
                       minOverlap: Int = 1): DataFrame =
       Dedup.dropSeenSpans(df, id, text, k, storePath, minOverlap)

@@ -130,4 +130,53 @@ class ClassifierSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Classifier.train(df, col("text"), lit(true), Classifier.MaxDim * 2))
   }
+
+  test("store freezes the training dim; scoring enforces it") {
+    import spark.implicits._
+    val df = Seq.tabulate(20) { i =>
+      if (i % 2 == 0) (s"alpha beta gamma w$i", true)
+      else (s"noise junk spam w$i", false)
+    }.toDF("text", "label")
+    val dim = 1 << 10
+    val model = Classifier.train(df, col("text"), col("label"), dim)
+    val path = java.nio.file.Files.createTempDirectory("clf_dim").toString + "/m"
+    Classifier.saveModel(model, path, dim)
+    assert(Classifier.storedDim(spark, path) == dim)
+    // store-side scorer hashes at the FROZEN dim — matches the live scorer
+    val want = Classifier.scoreWith(df, col("text"), model, dim)
+      .select(col("text"), col("margin_e6")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Classifier.scoreFromStore(df, col("text"), path)
+      .select(col("text"), col("margin_e6")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // a caller-supplied dim that disagrees with training is refused loudly
+    // (a different mask silently yields wrong margins otherwise)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.classifyLinear(df, "text", path,
+        dim = Classifier.DefaultDim)
+    }
+    assert(err.getMessage.contains("training dim"))
+    // omitted dim = stored dim; margins match the live scorer
+    val viaStream = graft.streaming.EventStreams.classifyLinear(df, "text", path)
+      .select(col("text"), col("margin_e6")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaStream == want)
+  }
+
+  test("null text rows score null instead of failing the job") {
+    import spark.implicits._
+    val df = Seq(Some("alpha beta"), None, Some("noise junk")).toDF("text")
+    val model = Classifier.train(
+      Seq(("alpha beta", true), ("noise junk", false)).toDF("text", "label"),
+      col("text"), col("label"))
+    val rows = Classifier.scoreWith(df, col("text"), model)
+      .select(col("text"), col("margin_e6")).collect()
+    assert(rows.length == 3)
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1), "null text must yield null margin")
+    assert(rows.filterNot(_.isNullAt(0)).forall(!_.isNullAt(1)))
+    // and the gate drops the null row rather than crashing
+    assert(Classifier.gate(df, col("text"), model).count() >= 1)
+  }
 }

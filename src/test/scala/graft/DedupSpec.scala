@@ -1073,6 +1073,47 @@ class DedupSpec extends AnyFunSuite {
       6L -> (("s", 6L)), 7L -> (("t", 6L))))
   }
 
+  test("maximalDuplicateSpans: variable-length islands from overlapping k-gram seeds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),   // one shared 5-gram -> one span of exactly k
+      (2L, "a b c d e g"),
+      (3L, "x y z"),         // < 5 words: no spans
+      (4L, "a b c d e"),     // fully covered doc -> one span == the doc
+      (5L, "p p q p p q p p q p p q"), // self-repeats only -> no spans
+      (6L, "m n o p q r s"), // two OVERLAPPING seeds merge to ONE 6-token span
+      (7L, "m n o p q r t"),
+      (8L, "a b c d e 8 8 m n o p q r 8") // two SEPARATED runs -> two islands
+    ).toDF("id", "t")
+    val got = TextAnalysis.maximalDuplicateSpans(df, col("id"), col("t"), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 5L, "a b c d e"),
+      (2L, 0L, 5L, "a b c d e"),
+      (4L, 0L, 5L, "a b c d e"),
+      (6L, 0L, 6L, "m n o p q r"),
+      (7L, 0L, 6L, "m n o p q r"),
+      (8L, 0L, 5L, "a b c d e"),
+      (8L, 7L, 6L, "m n o p q r")))
+  }
+
+  test("maximalDuplicateSpans: span union == removeDuplicateSpans' removed tokens") {
+    // the documented equivalence — maximal spans report the SAME regions the
+    // fixed-k excision cuts, so per doc sum(span_len) must equal
+    // n_removed_tokens (and docs without spans must report 0 removed)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val spanSum = TextAnalysis.maximalDuplicateSpans(docs, col("doc_id"), col("text"), k = 5)
+      .groupBy(col("doc_id")).agg(sum(col("span_len")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removedCnt = TextAnalysis.removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 5)
+      .select(col("doc_id"), col("n_removed_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spanSum.nonEmpty, "fixture must contain duplicated spans")
+    assert(removedCnt.filter(_._2 > 0L) == spanSum)
+  }
+
   test("dupRateByGroup counts exact duplicates per group") {
     import spark.implicits._
     val df = Seq(("s1", "x"), ("s1", "x"), ("s1", "y"), ("s2", "z")).toDF("src", "t")

@@ -156,6 +156,19 @@ class TextSearchSpec extends AnyFunSuite {
     val want = TextSearch.bm25TopKExactIndexed(spark, rebuilt, Seq("spark"), 40)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(again == want)
+    // crash-replay: the SAME delete batch re-delivered (foreachBatch replay
+    // after a crash before the commit-log write) must rewrite its own
+    // negative segments identically — NOT anti-join its own tombstones into
+    // an empty victim set and erase the takedown
+    TextSearch.deleteFromTextIndex(victims, col("doc_id"), dir, batchId = 0L)
+    TextSearch.deleteFromTextIndex(victims, col("doc_id"), dir, batchId = 1L)
+    for (terms <- Seq(Seq("spark"), Seq("spark", "hash", "join"))) {
+      val replayed = TextSearch.bm25TopKExactIndexed(spark, dir, terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expect = TextSearch.bm25TopKExactIndexed(spark, rebuilt, terms, 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(replayed == expect, s"replayed delete diverged for terms=$terms")
+    }
     // flat stores refuse takedown-by-append; negative batch ids refused
     intercept[IllegalArgumentException] {
       TextSearch.deleteFromTextIndex(victims, col("doc_id"), rebuilt, 0L)
