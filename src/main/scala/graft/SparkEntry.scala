@@ -364,6 +364,78 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // OPQ-composed PQ store (Ge et al.'s eigenvalue-allocated rotation in
+    // front of the quantizer) in the lossless degenerate: the rotation is
+    // orthonormal, so exact euclidean top-5 is invariant — that IS the
+    // oracle (q80's pattern). Compressing-config recall wins are DedupSpec
+    // territory (planted anisotropic spectrum).
+    "q208_pq_opq_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      val path = storedOnce("pqopqstore", dir)(p =>
+        Similarity.buildPqIndex(e, p, col("vec_id"), col("embedding"),
+          m = 8, ksub = n, iters = 0, sampleN = n, opq = true))
+      Similarity.pqTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // OPQ composed through BOTH IVF-PQ tiers (rotate → coarse-assign →
+    // residual-encode; queries rotate at probe) in the everything-off
+    // degenerate — still exact euclidean top-5, q87's oracle.
+    "q209_ivfpq_opq_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      val path = storedOnce("ivfpqopqstore", dir)(p =>
+        Similarity.buildIvfPqIndex(e, p, col("vec_id"), col("embedding"),
+          nlist = 8, m = 8, ksub = n, iters = 0, sampleN = n, opq = true))
+      Similarity.ivfPqTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PCA-composed ANN recall invariant — the r8 attempt that was dropped
+    // because the driver's synthetic embeddings are isotropic (PCA-16 keeps
+    // <20% cosine-NN recall on them, correctly). Here the embedding table
+    // contributes the ids/scale and the COORDINATES are planted with a
+    // decaying spectrum (coordinate d ~ uniform·0.8^d, xxhash64-derived, so
+    // both engines could replay the data): PCA-16 then captures >99.9% of
+    // the variance and cosine-NN top-10 through the 4× compressed
+    // projection must recall >= 70% of the exact top-10 (measured 0.975 at
+    // sf0.01, 0.985 at sf0.1). The oracle pins the invariant row (the q92/q99 pattern).
+    "q210_pca_ann_recall" -> ((s, dir) => {
+      val ids = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      val planted = ids.withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(xxhash64(concat_ws(":", col("vec_id"), d, lit("spec"))), lit(2001L))
+            - lit(1000L)).cast("double") / lit(1000.0)
+            * pow(lit(0.8), d.cast("double"))).cast("float")))
+        .localCheckpoint()
+      val q = planted.filter(col("vec_id") < 20)
+      def pairs(df: org.apache.spark.sql.DataFrame, v: String) =
+        Similarity.bruteTopK(df, df.filter(col("vec_id") < 20),
+          col("vec_id"), col("vec_id"), col(v), col(v), k = 10)
+      val exact = pairs(planted, "embedding").localCheckpoint()
+      val mdl = Similarity.fitPca(planted, col("vec_id"), col("embedding"), m = 16)
+      val proj = Similarity.pcaProject(planted, col("embedding"), mdl)
+        .select(col("vec_id"), col("pca").as("embedding"))
+      val approx = pairs(proj, "embedding")
+      val total = exact.count()
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nq = q.count()
+      s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(nq, 700000L, hits * 1000000L / total >= 700000L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_queries",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("recall_floor_e6",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("recall_ok",
+            org.apache.spark.sql.types.BooleanType, false))))
+    }),
+
     // Distributed seeded k-means over the embedding corpus (curation
     // clustering): deterministic init (k smallest ids), 2 Lloyd iterations,
     // assignment + squared distance against the final centroids.
@@ -3245,6 +3317,18 @@ object SparkEntry {
 
     // lossless IVF-PQ degenerate ⇒ the same euclidean top-5 oracle
     "q85_ann_ivfpq" -> euclidTop5OracleSql,
+    // the OPQ rotation is orthonormal: exact euclidean top-5 is invariant,
+    // so the rotated stores share the plain stores' oracle
+    "q208_pq_opq_store" -> euclidTop5OracleSql,
+    "q209_ivfpq_opq_store" -> euclidTop5OracleSql,
+
+    // invariant row (the q92/q99 pattern): Spark computes the PCA-16
+    // cosine-NN recall on the planted-spectrum table into recall_ok; the
+    // oracle pins the claim TRUE and replays the replayable columns
+    "q210_pca_ann_recall" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+       "CAST(700000 AS BIGINT) AS recall_floor_e6, TRUE AS recall_ok " +
+       "FROM embeddings WHERE vec_id < 20"),
 
     // the stored postings answer with the SAME integer scores ⇒ q81's oracle
     "q86_bm25_store" -> TextSearch.bm25ExactOracleSql(

@@ -631,6 +631,20 @@ object Similarity {
       .orderBy(xxhash64(col("__id"))).limit(sampleN)
       .select(col("__v")).collect().map(r => toDoubles(r.getSeq[Float](0)))
     require(sample.nonEmpty, "fitPca: corpus is empty")
+    fitPcaFromSample(sample, m, iters, salt, completeBasis = false)
+  }
+
+  /** The eigen-solve behind [[fitPca]] over an already-collected sample.
+    * `completeBasis = true` switches the "covariance annihilated start
+    * vector" failure into a deterministic null-space completion (the
+    * md5 start vector Gram-Schmidted against the settled components,
+    * eigenvalue 0) — a FULL orthonormal basis is what a rotation needs
+    * even when the sample is rank-deficient; plain PCA callers keep the
+    * loud failure (asking for more directions than the data has is a
+    * caller bug there). */
+  private def fitPcaFromSample(sample: Array[Array[Double]], m: Int,
+                               iters: Int, salt: String,
+                               completeBasis: Boolean): PcaModel = {
     val dim = sample(0).length
     require(m <= dim, s"fitPca: m = $m exceeds dim = $dim")
     val n = sample.length
@@ -662,50 +676,81 @@ object Similarity {
     val comps = new Array[Array[Double]](m)
     val eigs = new Array[Double](m)
     val work = cov.map(_.clone())
-    for (k <- 0 until m) {
-      // md5-seeded start: deterministic, never the zero vector
-      var v = Array.tabulate(dim) { i =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$salt:$k:$i".getBytes("UTF-8"))
-        ((d(0) & 0xff) + 1).toDouble / 257.0
+    // md5-seeded start: deterministic, never the zero vector
+    def mdStart(tag: String): Array[Double] = Array.tabulate(dim) { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$tag:$i".getBytes("UTF-8"))
+      ((d(0) & 0xff) + 1).toDouble / 257.0
+    }
+    // Gram-Schmidt w against the settled components IN PLACE; returns ‖w‖
+    def orthogonalize(w: Array[Double], k: Int): Double = {
+      var p = 0
+      while (p < k) {
+        val u = comps(p)
+        var d = 0.0
+        locally { var i = 0; while (i < dim) { d += w(i) * u(i); i += 1 } }
+        var i = 0
+        while (i < dim) { w(i) -= d * u(i); i += 1 }
+        p += 1
       }
+      var nrm = 0.0
+      locally { var i = 0; while (i < dim) { nrm += w(i) * w(i); i += 1 } }
+      math.sqrt(nrm)
+    }
+    for (k <- 0 until m) {
+      var v = mdStart(k.toString)
+      var annihilated = false
       var it = 0
-      while (it < iters) {
+      while (it < iters && !annihilated) {
         val w = matVec(work, v)
         // Gram-Schmidt against the settled components every step:
         // orthogonality is STRUCTURAL (machine precision), not a
         // convergence hope — close eigenvalues converge slowly, but the
         // returned basis is orthonormal regardless
-        var p = 0
-        while (p < k) {
-          val u = comps(p)
-          var d = 0.0
-          locally { var i = 0; while (i < dim) { d += w(i) * u(i); i += 1 } }
-          var i = 0
-          while (i < dim) { w(i) -= d * u(i); i += 1 }
-          p += 1
-        }
-        var nrm = 0.0
-        locally { var i = 0; while (i < dim) { nrm += w(i) * w(i); i += 1 } }
-        nrm = math.sqrt(nrm)
-        require(nrm > 0, s"fitPca: covariance annihilated start vector $k " +
-          "— fewer than m significant directions; lower m")
-        locally { var i = 0; while (i < dim) { w(i) /= nrm; i += 1 } }
-        v = w
-        it += 1
+        val nrm = orthogonalize(w, k)
+        if (nrm > 0) {
+          locally { var i = 0; while (i < dim) { w(i) /= nrm; i += 1 } }
+          v = w
+          it += 1
+        } else if (!completeBasis) {
+          require(nrm > 0, s"fitPca: covariance annihilated start vector $k " +
+            "— fewer than m significant directions; lower m")
+        } else annihilated = true
       }
-      val cv = matVec(work, v)
-      var lam = 0.0
-      locally { var i = 0; while (i < dim) { lam += v(i) * cv(i); i += 1 } }
-      comps(k) = v
-      eigs(k) = lam
-      // deflate: work -= lam * v vᵀ
-      locally { var i = 0
-        while (i < dim) {
-          var j = 0
-          while (j < dim) { work(i)(j) -= lam * v(i) * v(j); j += 1 }
-          i += 1
-        } }
+      if (annihilated) {
+        // null-space completion: the data has < m directions, but a
+        // ROTATION needs a full orthonormal basis — finish it with the
+        // deterministic md5 family Gram-Schmidted against the settled
+        // components (eigenvalue exactly 0: work·v = 0 ⇒ vᵀ·work·v = 0)
+        var done = false
+        var attempt = 0
+        while (!done) {
+          require(attempt < dim + 8,
+            s"fitPca: basis completion failed at component $k")
+          val cand = mdStart(s"$k:retry$attempt")
+          val nrm = orthogonalize(cand, k)
+          if (nrm > 1e-9) {
+            locally { var i = 0; while (i < dim) { cand(i) /= nrm; i += 1 } }
+            comps(k) = cand
+            eigs(k) = 0.0
+            done = true
+          }
+          attempt += 1
+        }
+      } else {
+        val cv = matVec(work, v)
+        var lam = 0.0
+        locally { var i = 0; while (i < dim) { lam += v(i) * cv(i); i += 1 } }
+        comps(k) = v
+        eigs(k) = lam
+        // deflate: work -= lam * v vᵀ
+        locally { var i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) { work(i)(j) -= lam * v(i) * v(j); j += 1 }
+            i += 1
+          } }
+      }
     }
     // order the eigenpairs by eigenvalue DESCENDING structurally: on a
     // flat spectrum (measured at 50k near-isotropic vectors) the k-th
@@ -716,6 +761,76 @@ object Similarity {
     val order = eigs.indices.sortBy(k => (-eigs(k), k))
     PcaModel(mean, order.map(comps).toArray, order.map(eigs).toArray)
   }
+
+  /**
+   * Fit the OPQ rotation for an `m`-subspace product quantizer over an
+   * already-collected sample: a FULL-dim orthonormal basis (PCA with
+   * deterministic null-space completion) whose rows are then permuted by
+   * Ge et al.'s eigenvalue allocation (arXiv CVPR'13 "Optimized Product
+   * Quantization", the parametric solution): principal directions are
+   * dealt, largest first, to the subspace with the smallest running
+   * log-variance product that still has capacity dim/m — balancing the
+   * per-subspace variance PQ codebooks have to spend bits on.
+   * Decorrelation alone would stack ALL the variance into subspace 0;
+   * the allocation is what turns the rotation into a PQ win. A row
+   * permutation of an orthonormal basis is still orthonormal, so
+   * euclidean geometry is preserved exactly — the lossless-degenerate
+   * oracles stay valid under rotation.
+   */
+  private[graft] def fitOpqRotation(sample: Array[Array[Double]], m: Int,
+                                    iters: Int = 100,
+                                    salt: String = "opq"): PcaModel = {
+    val dim = sample(0).length
+    require(dim % m == 0, s"opq: dim $dim is not divisible by m = $m subspaces")
+    val dsub = dim / m
+    val full = fitPcaFromSample(sample, dim, iters, salt, completeBasis = true)
+    // greedy balanced allocation on log-eigenvalues (clamped: null-space
+    // axes carry no variance, they just fill remaining capacity)
+    val cap = Array.fill(m)(dsub)
+    val logProd = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (k <- 0 until dim) { // eigenpairs already sorted descending
+      var best = -1
+      var bestLp = Double.MaxValue
+      var s = 0
+      while (s < m) {
+        if (cap(s) > 0 && logProd(s) < bestLp) { bestLp = logProd(s); best = s }
+        s += 1
+      }
+      buckets(best) += k
+      cap(best) -= 1
+      logProd(best) += math.log(math.max(full.eigenvalues(k), 1e-12))
+    }
+    val order = buckets.flatMap(_.toSeq)
+    PcaModel(full.mean, order.map(full.components), order.map(full.eigenvalues))
+  }
+
+  /** The OPQ rotation sidecar names inside an ANN store (the [[savePca]]
+    * layout minus its own completion marker — the STORE's marker governs). */
+  private def writeOpqSidecars(spark: org.apache.spark.sql.SparkSession,
+                               model: PcaModel, path: String): Unit = {
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pca_mean",
+      model.mean.mkString(","))
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pca_components",
+      model.components.map(_.mkString(",")).mkString("\n"))
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_pca_eigenvalues",
+      model.eigenvalues.mkString(","))
+  }
+
+  /** A store's OPQ rotation, if it was built with one. */
+  private def storeRotation(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[PcaModel] =
+    if (graft.sources.Sidecar.exists(spark, path + "/_graft_pca_mean"))
+      Some(loadPca(spark, path))
+    else None
+
+  /** Rotate an id+vec frame into a model's coordinates (same float path
+    * on every side: build, append, and query all encode the pcaProject
+    * UDF's float rounding, so lossless-degenerate exact-match encoding
+    * sees bit-identical subvectors). */
+  private def rotated(c: DataFrame, model: PcaModel): DataFrame =
+    pcaProject(c, col("__cv"), model, whiten = false, outName = "__rv")
+      .select(col(c.columns.head), col("__rv").as("__cv"))
 
   /**
    * Project the embedding column onto a fitted model: appends `outName`
@@ -1323,17 +1438,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Delete stale OPQ rotation sidecars — a rebuild WITHOUT opq over a
+    * store that had one must not leave readers rotating queries into a
+    * coordinate system the codes no longer use. */
+  private def dropOpqSidecars(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit =
+    Seq("_graft_pca_mean", "_graft_pca_components", "_graft_pca_eigenvalues")
+      .foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$n")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+
+  /** Fit the OPQ rotation on the build-time raw sample (same bounded
+    * deterministic id-hash sample as the codebooks). */
+  private def fitStoreRotation(c: DataFrame, m: Int, ksub: Int,
+                               sampleN: Int, who: String): PcaModel = {
+    val raw = c.orderBy(xxhash64(col(c.columns.head)))
+      .limit(math.max(sampleN, ksub))
+      .select(col("__cv")).collect()
+      .map(r => toDoubles(r.getSeq[Float](0)))
+    require(raw.nonEmpty, s"$who: corpus is empty")
+    fitOpqRotation(raw, m)
+  }
+
   /** Persist the PQ serving tier: train codebooks (bounded sample), write
     * the corpus as (neighbor_id, m codes) parquet — the 16-64× compressed
     * representation a 100 TB corpus is queried from — plus a codebook
-    * sidecar. Same rebuild-crash contract as the IVF store. */
+    * sidecar. Same rebuild-crash contract as the IVF store.
+    *
+    * `opq = true` composes the [[fitOpqRotation]] step in front of the
+    * quantizer (rotate at train + encode, carry the rotation sidecar,
+    * rotate queries at probe — all transparent to readers): codebooks
+    * then cut decorrelated, variance-balanced coordinates. Distances are
+    * exactly preserved (orthonormal rotation), so the store keeps the
+    * lossless-degenerate oracle and gains recall on anisotropic data in
+    * compressing configs (spec-asserted). */
   def buildPqIndex(corpus: DataFrame, path: String, corpusId: Column, corpusVec: Column,
                    m: Int = 8, ksub: Int = 256, iters: Int = 3,
-                   sampleN: Int = 4096): Unit = {
+                   sampleN: Int = 4096, opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val c0 = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
     graft.sources.Sidecar.invalidateMarker(spark, path)
     dropTombstones(spark, path) // a rebuild starts with a clean slate
+    dropOpqSidecars(spark, path)
+    val rot = if (opq) Some(fitStoreRotation(c0, m, ksub, sampleN, "buildPqIndex"))
+              else None
+    val c = rot.map(rotated(c0, _)).getOrElse(c0)
     val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(math.max(sampleN, ksub))
       .select(col("__cv")).collect()
       .map(r => toDoubles(r.getSeq[Float](0)))
@@ -1346,6 +1497,7 @@ object Similarity {
     // round-trips exactly, same as the IVF centroid sidecar)
     graft.sources.Sidecar.writeText(spark, path + "/_graft_pq_codebooks",
       codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString("\n"))
+    rot.foreach(writeOpqSidecars(spark, _, path))
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
@@ -1358,14 +1510,20 @@ object Similarity {
     * [[pqTopKIndexed]]'s partition discovery folds transparently. */
   def trainPqCodebooks(seedCorpus: DataFrame, path: String, corpusId: Column,
                        corpusVec: Column, m: Int = 8, ksub: Int = 256,
-                       iters: Int = 3, sampleN: Int = 4096): Unit = {
+                       iters: Int = 3, sampleN: Int = 4096,
+                       opq: Boolean = false): Unit = {
     val spark = seedCorpus.sparkSession
-    val c = seedCorpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val c0 = seedCorpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    dropOpqSidecars(spark, path) // no stale rotation under a fresh model
+    val rot = if (opq) Some(fitStoreRotation(c0, m, ksub, sampleN, "trainPqCodebooks"))
+              else None
+    val c = rot.map(rotated(c0, _)).getOrElse(c0)
     val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(math.max(sampleN, ksub))
       .select(col("__cv")).collect()
       .map(r => toDoubles(r.getSeq[Float](0)))
     require(sample.nonEmpty, "trainPqCodebooks: seed corpus is empty")
     val codebooks = fitPqCodebooks(sample, m, ksub, iters)
+    rot.foreach(writeOpqSidecars(spark, _, path))
     graft.sources.Sidecar.writeText(spark, path + "/_graft_pq_codebooks",
       codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString("\n"))
   }
@@ -1385,8 +1543,11 @@ object Similarity {
                     path: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val bc = spark.sparkContext.broadcast(readPqCodebooks(spark, path))
-    batch.select(idCol.as("neighbor_id"), vecCol.as("__cv"))
-      .withColumn("__code", pqEncodeUdf(bc)(col("__cv"))).drop("__cv")
+    val c0 = batch.select(idCol.as("neighbor_id"), vecCol.as("__cv"))
+    // an OPQ store's frozen rotation applies to every appended batch —
+    // codes must live in the coordinates the codebooks were trained in
+    val c = storeRotation(spark, path).map(rotated(c0, _)).getOrElse(c0)
+    c.withColumn("__code", pqEncodeUdf(bc)(col("__cv"))).drop("__cv")
       .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
   }
 
@@ -1395,8 +1556,14 @@ object Similarity {
   def pqTopKIndexed(queries: DataFrame, path: String, queryId: Column,
                     queryVec: Column, k: Int): DataFrame = {
     val spark = queries.sparkSession
+    // an OPQ store rotates queries into code coordinates at probe time
+    val (q, qv) = storeRotation(spark, path) match {
+      case Some(mdl) => (pcaProject(queries, queryVec, mdl, outName = "__rv"),
+        col("__rv"))
+      case None => (queries, queryVec)
+    }
     pqRank(minusTombstones(spark.read.parquet(path + "/codes"), path, "neighbor_id"),
-      queries, queryId, queryVec, readPqCodebooks(spark, path), k)
+      q, queryId, qv, readPqCodebooks(spark, path), k)
   }
 
   /**
@@ -1537,11 +1704,20 @@ object Similarity {
     * rebuild-crash contract as every other store. */
   def buildIvfPqIndex(corpus: DataFrame, path: String, corpusId: Column, corpusVec: Column,
                       nlist: Int = 16, m: Int = 8, ksub: Int = 256, iters: Int = 3,
-                      sampleN: Int = 4096, seed: Long = 42L): Unit = {
+                      sampleN: Int = 4096, seed: Long = 42L,
+                      opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
     dropTombstones(spark, path) // a rebuild starts with a clean slate
-    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    dropOpqSidecars(spark, path)
+    val c0 = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    // OPQ composes IN FRONT of both tiers: centroids, residuals, and
+    // codebooks all live in the rotated coordinates (queries rotate at
+    // probe) — euclidean geometry is unchanged, so cell assignment and
+    // the exactness degenerate are preserved
+    val rot = if (opq) Some(fitStoreRotation(c0, m, ksub, sampleN, "buildIvfPqIndex"))
+              else None
+    val c = rot.map(rotated(c0, _)).getOrElse(c0)
     val cents = fitCentroids(c, nlist, seed)
     val bcC = spark.sparkContext.broadcast(cents)
     val assigned = c.withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
@@ -1570,6 +1746,7 @@ object Similarity {
       cents.map(_.mkString(",")).mkString("\n"))
     graft.sources.Sidecar.writeText(spark, path + "/_graft_pq_codebooks",
       codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString("\n"))
+    rot.foreach(writeOpqSidecars(spark, _, path))
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
@@ -1583,9 +1760,14 @@ object Similarity {
   def trainIvfPqModel(seedCorpus: DataFrame, path: String, corpusId: Column,
                       corpusVec: Column, nlist: Int = 16, m: Int = 8,
                       ksub: Int = 256, iters: Int = 3, sampleN: Int = 4096,
-                      seed: Long = 42L): Unit = {
+                      seed: Long = 42L, opq: Boolean = false): Unit = {
     val spark = seedCorpus.sparkSession
-    val c = seedCorpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val c0 = seedCorpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    dropOpqSidecars(spark, path) // no stale rotation under a fresh model
+    val rot = if (opq) Some(fitStoreRotation(c0, m, ksub, sampleN, "trainIvfPqModel"))
+              else None
+    rot.foreach(writeOpqSidecars(spark, _, path))
+    val c = rot.map(rotated(c0, _)).getOrElse(c0)
     val cents = fitCentroids(c, nlist, seed)
     val bcC = spark.sparkContext.broadcast(cents)
     val assigned = c.withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
@@ -1621,8 +1803,11 @@ object Similarity {
       while (i < e.length) { e(i) -= cs(i); i += 1 }
       encodeDoubles(e, ct, PqExactIndex.forCodebooks(bcCb.id, ct))
     }
-    batch.select(idCol.as("neighbor_id"), vecCol.as("__cv"))
-      .withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
+    val c0 = batch.select(idCol.as("neighbor_id"), vecCol.as("__cv"))
+    // an OPQ store's frozen rotation applies before cell assignment too —
+    // the centroids were fit in rotated coordinates
+    val c = storeRotation(spark, path).map(rotated(c0, _)).getOrElse(c0)
+    c.withColumn("__cell", assignCellUdf(bcC)(col("__cv")))
       .withColumn("__code", encodeRes(col("__cv"), col("__cell"))).drop("__cv")
       .sortWithinPartitions(col("__cell"))
       .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
@@ -1639,8 +1824,14 @@ object Similarity {
     val codebooks: Array[Array[Array[Double]]] =
       graft.sources.Sidecar.readText(spark, path + "/_graft_pq_codebooks")
         .split("\n").map(_.split('|').map(_.split(',').map(java.lang.Double.parseDouble)))
+    // an OPQ store rotates queries into code coordinates at probe time
+    val (q, qv) = storeRotation(spark, path) match {
+      case Some(mdl) => (pcaProject(queries, queryVec, mdl, outName = "__rv"),
+        col("__rv"))
+      case None => (queries, queryVec)
+    }
     ivfPqRank(minusTombstones(spark.read.parquet(path + "/codes"), path, "neighbor_id"),
-      queries, queryId, queryVec, cents, codebooks, nprobe, k)
+      q, queryId, qv, cents, codebooks, nprobe, k)
   }
 
   /**

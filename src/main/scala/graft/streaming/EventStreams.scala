@@ -216,7 +216,9 @@ object EventStreams {
       s"scoreFluencyIndexed broadcasts the whole LM store to the driver; " +
       s"store at $lmPath has $storeRows rows > cap $maxBroadcastRows. " +
       "For corpus-scale models use TextAnalysis.withBigramFluencyIndexed " +
-      "(join-based, no driver materialization) on the batch side instead.")
+      "(join-based, no driver materialization) on the batch side, or " +
+      "EventStreams.scoreFluencyJoined — the same join-based scorer " +
+      "composed per micro-batch via foreachBatch — on the streaming side.")
     val uni = uniDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bi = biDf.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val bcU = spark.sparkContext.broadcast(uni)
@@ -240,6 +242,36 @@ object EventStreams {
       .withColumn("fluency_e6", org.apache.spark.sql.functions.col("__fl._2"))
       .drop("__fl")
   }
+
+  /**
+   * The OVER-CAP streaming fluency route: when the LM store exceeds
+   * [[FluencyBroadcastBound]] (so [[scoreFluencyIndexed]] correctly
+   * refuses to broadcast it), score each micro-batch through the
+   * JOIN-based [[graft.operators.TextAnalysis.withBigramFluencyIndexed]]
+   * inside foreachBatch — the count joins stay token-keyed equi-joins
+   * against the distributed vocabulary tables, nothing is ever collected
+   * to the driver, and the integer scores are identical to both batch
+   * modes. Each micro-batch OVERWRITES its own `batch_id=` output
+   * partition (replay-safe by layout, the house sink contract). The
+   * trade: one join stage per micro-batch instead of a broadcast map —
+   * the right price once the model is corpus-scale. `minFluencyE6`
+   * optionally gates rows before the write.
+   */
+  def scoreFluencyJoined(docs: DataFrame, idColName: String,
+                         textColName: String, lmPath: String,
+                         outPath: String, checkpoint: String,
+                         minFluencyE6: Option[Long] = None)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.operators.TextAnalysis.withBigramFluencyIndexed(
+          batch, col(idColName), col(textColName), lmPath)
+        minFluencyE6.fold(scored)(t => scored.filter(col("fluency_e6") >= t))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .start()
 
   /**
    * Ingest-time DSIR gate: score each incoming document against a FROZEN

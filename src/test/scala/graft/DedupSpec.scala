@@ -355,6 +355,95 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("OPQ: lossless rotation preserves exact top-k; recall >= plain PQ on anisotropic data") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // planted ANISOTROPIC CORRELATED data — the case OPQ exists for:
+    // independent coordinates with a decaying spectrum, then mixed through
+    // two Householder reflections so raw coordinates are correlated and
+    // axis-aligned subspace splits cut across the structure
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def householder(seed: Int): Array[Array[Double]] = {
+      val r = new scala.util.Random(seed)
+      val u = Array.fill(dim)(r.nextGaussian())
+      val n = math.sqrt(u.map(x => x * x).sum)
+      val un = u.map(_ / n)
+      Array.tabulate(dim, dim)((i, j) =>
+        (if (i == j) 1.0 else 0.0) - 2.0 * un(i) * un(j))
+    }
+    val h1 = householder(7); val h2 = householder(13)
+    def mix(z: Array[Double]): Array[Double] = {
+      def mv(a: Array[Array[Double]], v: Array[Double]) =
+        Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * v(j)).sum)
+      mv(h2, mv(h1, z))
+    }
+    val stds = Array.tabulate(dim)(i => math.pow(0.5, i) * 10.0) // steep spectrum
+    val data = (0 until 400).map { i =>
+      val z = Array.tabulate(dim)(d => rnd.nextGaussian() * stds(d))
+      (i.toLong, mix(z).map(_.toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val q = data.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("opq").toString
+    // 1) lossless degenerate: the rotation is orthonormal, so exact
+    //    euclidean top-k THROUGH the rotated store equals plain brute top-k
+    Similarity.buildPqIndex(data, s"$dir/lossless", col("vec_id"), col("embedding"),
+      m = 8, ksub = 400, iters = 0, sampleN = 400, opq = true)
+    val losslessEu = Similarity.pqTopKIndexed(q, s"$dir/lossless",
+        col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ ranks by euclidean — the ground truth is exact euclidean top-5
+    // computed on the driver (bruteTopK is cosine, a different metric)
+    val all = data.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val bruteEu = all.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          (qid, cid, qv.indices.map(j => (qv(j) - cv(j)) * (qv(j) - cv(j))).sum) }
+        .sortBy(t => (t._3, t._2)).take(5).map(t => (t._1, t._2))
+    }.toSet
+    assert(losslessEu == bruteEu, "OPQ lossless degenerate must equal exact euclidean")
+    // 2) compressing config: OPQ recall must beat (>=) unrotated PQ —
+    //    axis-aligned subspaces cut across the mixed spectrum, the
+    //    eigenvalue-allocated rotation restores it (measured recall@5
+    //    0.56 vs 0.40 at this seed; asserted with slack)
+    def recall(path: String): Double = {
+      val got = Similarity.pqTopKIndexed(q, path, col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bruteEu).size.toDouble / bruteEu.size
+    }
+    Similarity.buildPqIndex(data, s"$dir/pq", col("vec_id"), col("embedding"),
+      m = 8, ksub = 8, iters = 3, sampleN = 400)
+    Similarity.buildPqIndex(data, s"$dir/opq", col("vec_id"), col("embedding"),
+      m = 8, ksub = 8, iters = 3, sampleN = 400, opq = true)
+    val (rPq, rOpq) = (recall(s"$dir/pq"), recall(s"$dir/opq"))
+    assert(rOpq >= rPq, s"OPQ recall $rOpq must be >= plain PQ recall $rPq")
+    assert(rOpq > rPq + 0.1, s"OPQ should clearly win on planted anisotropy: $rOpq vs $rPq")
+    // 3) train/add split: batches appended under the frozen rotation serve
+    //    exactly like the one-pass OPQ build
+    Similarity.trainPqCodebooks(data, s"$dir/seg", col("vec_id"), col("embedding"),
+      m = 8, ksub = 8, iters = 3, sampleN = 400, opq = true)
+    Similarity.appendPqBatch(data.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), s"$dir/seg", batchId = 0L)
+    Similarity.appendPqBatch(data.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), s"$dir/seg", batchId = 1L)
+    val seg = Similarity.pqTopKIndexed(q, s"$dir/seg", col("vec_id"), col("embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val one = Similarity.pqTopKIndexed(q, s"$dir/opq", col("vec_id"), col("embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(seg == one, "segmented OPQ store diverged from the one-pass build")
+    // 4) IVF-PQ composition in the everything-off degenerate: rotation +
+    //    cell pruning + residual codebooks still equal exact euclidean
+    Similarity.buildIvfPqIndex(data, s"$dir/ivfopq", col("vec_id"), col("embedding"),
+      nlist = 8, m = 8, ksub = 400, iters = 0, sampleN = 400, opq = true)
+    val ivf = Similarity.ivfPqTopKIndexed(q, s"$dir/ivfopq",
+        col("vec_id"), col("embedding"), k = 5, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == bruteEu, "IVF-PQ OPQ lossless degenerate must equal exact euclidean")
+  }
+
   test("kmeans: hand case converges, keeps stable ids, ties to lower cluster") {
     val spark2 = TestSpark.spark
     import spark2.implicits._

@@ -957,12 +957,59 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("lmguard").toString
     graft.operators.TextAnalysis.buildLmStore(docs, dir, col("text"))
     // plan-time refusal: the guard must fire on the call, before any
-    // streaming query starts, and name the join-based alternative
+    // streaming query starts, and name BOTH join-based alternatives
+    // (batch op and the foreachBatch streaming route)
     val err = intercept[IllegalArgumentException] {
       graft.streaming.EventStreams.scoreFluencyIndexed(
         docs.select(col("doc_id"), col("text")), "text", dir, maxBroadcastRows = 1L)
     }
     assert(err.getMessage.contains("withBigramFluencyIndexed"))
+    assert(err.getMessage.contains("scoreFluencyJoined"))
+  }
+
+  test("over-cap streaming fluency route: foreachBatch join scorer == batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lmjoined").toString
+    graft.operators.TextAnalysis.buildLmStore(docs, dir, col("text"))
+    val want = graft.operators.TextAnalysis
+      .withBigramFluencyIndexed(docs, col("doc_id"), col("text"), dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("lmjoinout").toString
+    val input = MemoryStream[(Long, String)]
+    // two micro-batches: each scores through the JOIN-based scorer (the
+    // documented route past FluencyBroadcastBound — nothing collected to
+    // the driver) and writes its own batch_id partition
+    val q = graft.streaming.EventStreams.scoreFluencyJoined(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, out,
+      java.nio.file.Files.createTempDirectory("lmjoinck").toString)
+    try {
+      input.addData(rows.take(100).toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.drop(100).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency_e6"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // gated variant keeps exactly the rows at/above the cut
+    val out2 = java.nio.file.Files.createTempDirectory("lmjoinout2").toString
+    val cut = want.values.map(_._2).toSeq.sorted.apply(want.size / 2)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.EventStreams.scoreFluencyJoined(
+      input2.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, out2,
+      java.nio.file.Files.createTempDirectory("lmjoinck2").toString,
+      minFluencyE6 = Some(cut))
+    try {
+      input2.addData(rows.toIndexedSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    val kept = spark.read.parquet(out2).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == want.filter(_._2._2 >= cut).keySet)
   }
 
   test("windowed streaming HLL registers equal the batch registers per closed window") {
