@@ -1671,6 +1671,22 @@ object SparkEntry {
         150.0, 150.0, 350.0, 350.0, cellSize = 100.0, maxTileSpan = 100.0))
     }),
 
+    // q39 through a BYTE-typed tile store (reference Tile[U],
+    // raster/Tile.scala:15-18): pixels packed 1 byte each (8× smaller than
+    // array<long> imagery), decoded transparently at load — the pruned read
+    // must reproduce the same tiles. Counts are stored mod 97 so the values
+    // genuinely fit the byte codec at every scale factor (sf0.1's hottest
+    // pixel holds 200 events); the oracle replays the same mod.
+    "q211_tile_store_byte" -> ((s, dir) => {
+      val path = storedOnce("tilestore_q211", dir) { p =>
+        val tiles = Raster.rasterize(Tables.eventPts(s, dir), col("ex"), col("ey"), 10.0, 10, 10)
+          .withColumn("data", transform(col("data"), v => pmod(v, lit(97L))))
+        graft.sources.TileStore.save(tiles, p, cellSize = 100.0, elementType = "byte")
+      }
+      tileCsv(graft.sources.TileStore.loadIntersecting(s, path,
+        150.0, 150.0, 350.0, 350.0, cellSize = 100.0, maxTileSpan = 100.0))
+    }),
+
     // multimodal plumbing: synthetic media payloads + typed metadata.
     "q29_multimodal_meta" -> ((s, dir) => {
       Multimodal.withSyntheticMedia(Tables.load(s, dir, "documents"),
@@ -3798,6 +3814,15 @@ object SparkEntry {
       (s"$rasterBaseSql " +
        "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, 10 AS width, 10 AS height, " +
        "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS data_csv FROM j " +
+       "WHERE tx*100 < 350 AND tx*100+100 > 150 AND ty*100 < 350 AND ty*100+100 > 150 " +
+       "GROUP BY tx, ty ORDER BY ulx, uly"),
+
+    // q39's replay with the byte codec's mod-97 values — the store layout
+    // changes, the pixels must not
+    "q211_tile_store_byte" ->
+      (s"$rasterBaseSql " +
+       "SELECT CAST(tx*100 AS BIGINT) ulx, CAST(ty*100+100 AS BIGINT) uly, 10 AS width, 10 AS height, " +
+       "string_agg(CAST(v%97 AS VARCHAR), ',' ORDER BY i) AS data_csv FROM j " +
        "WHERE tx*100 < 350 AND tx*100+100 > 150 AND ty*100 < 350 AND ty*100+100 > 150 " +
        "GROUP BY tx, ty ORDER BY ulx, uly"),
 

@@ -151,6 +151,32 @@ object Raster {
       .groupBy(col("pixel_value")).agg(count(lit(1)).as("cnt"))
 
   /**
+   * [[valueHistogram]]'s fast path for BYTE-valued rasters (the reference's
+   * `createByteHistogram`, RasterUtils.scala:53-71): pixel values fit
+   * [-128, 127], so each tile folds locally into a fixed 256-slot count
+   * array in one pass — no per-pixel explode — and the shuffle carries at
+   * most 256 keys per task. Output schema and rows are identical to
+   * [[valueHistogram]] (zero-count values omitted); a pixel outside the
+   * byte range fails loudly rather than silently mis-binning.
+   */
+  def byteValueHistogram(tiles: DataFrame): DataFrame = {
+    val localCounts = udf { xs: Seq[Long] =>
+      val out = new Array[Long](256)
+      if (xs != null) xs.foreach { v =>
+        require(v >= Byte.MinValue && v <= Byte.MaxValue,
+          s"byteValueHistogram: pixel value $v outside the byte range — " +
+          "use valueHistogram for wider rasters")
+        out((v + 128).toInt) += 1
+      }
+      out
+    }
+    tiles.select(posexplode(localCounts(col("data"))).as(Seq("__slot", "__n")))
+      .filter(col("__n") > 0)
+      .groupBy((col("__slot") - 128).cast("long").as("pixel_value"))
+      .agg(sum(col("__n")).as("cnt"))
+  }
+
+  /**
    * Equi-width bucket histogram over the whole raster (reference
    * `createByteHistogram`, RasterUtils.scala:53-71, distributed): global
    * [min, max] in one scan, step = floor((max-min)/buckets) + 1 — the

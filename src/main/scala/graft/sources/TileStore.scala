@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * Raster tile ingestion + spatially-partitioned tile storage — the
@@ -47,23 +47,100 @@ object TileStore {
         transform(slice(col("__a"), lit(6), col("width") * col("height")),
           x => x.cast("long")).as("data"))
 
+  /** Storage element types for the pixel column — the reference's
+    * `Tile[U]` axis (reference src/main/scala/dbis/stark/raster/
+    * Tile.scala:15-18 supports Byte/Int/Double tiles). The COMPUTE path
+    * stays `array<long>` everywhere (one kernel set, like the reference's
+    * generic ops); the element type is a STORAGE codec: `byte` packs
+    * pixels into a parquet BINARY (1 byte/pixel — 8× smaller than
+    * array<long> for imagery), `int` stores array<int>, `long` is the
+    * historical layout. The choice is frozen in a `_graft_tile_elem`
+    * sidecar and decoding is transparent to every reader. */
+  val ElemTypes: Set[String] = Set("byte", "int", "long")
+  private val ElemSidecar = "_graft_tile_elem"
+
+  /** Pack long pixels into bytes — loud on overflow and on null pixels
+    * (a 1-byte codec has no null slot; keep `long` for nullable data). */
+  private def packBytes = udf { xs: Seq[java.lang.Long] =>
+    if (xs == null) null
+    else {
+      val out = new Array[Byte](xs.length)
+      var i = 0
+      while (i < xs.length) {
+        val v = xs(i)
+        require(v != null,
+          "TileStore: elementType=byte cannot store null pixels — use long")
+        require(v >= Byte.MinValue && v <= Byte.MaxValue,
+          s"TileStore: pixel value $v does not fit elementType=byte")
+        out(i) = v.toByte; i += 1
+      }
+      out
+    }
+  }
+
+  private def unpackBytes = udf { bs: Array[Byte] =>
+    if (bs == null) null
+    else {
+      val out = new Array[Long](bs.length)
+      var i = 0
+      while (i < bs.length) { out(i) = bs(i).toLong; i += 1 }
+      out
+    }
+  }
+
+  /** Encode the long compute representation into the stored element type. */
+  private def encodeData(elementType: String): Column = elementType match {
+    case "byte" => packBytes(col("data"))
+    case "int" => transform(col("data"), x =>
+      when(x.isNull, raise_error(lit(
+          "TileStore: elementType=int cannot store null pixels — use long")))
+        .when(x.between(Int.MinValue.toLong, Int.MaxValue.toLong), x.cast("int"))
+        .otherwise(raise_error(concat(lit("TileStore: pixel value "), x,
+          lit(" does not fit elementType=int"))).cast("int")))
+    case "long" => col("data")
+  }
+
+  /** Decode a stored pixel column back to the `array<long>` compute
+    * representation (identity for `long` stores and for stores predating
+    * the element sidecar). */
+  private def decodeData(spark: SparkSession, path: String,
+                         df: DataFrame): DataFrame =
+    storedElemType(spark, path) match {
+      case "byte" => df.withColumn("data", unpackBytes(col("data")))
+      case "int" => df.withColumn("data", transform(col("data"), _.cast("long")))
+      case "long" => df
+    }
+
+  /** The store's pixel element type (`long` for pre-sidecar stores). */
+  def storedElemType(spark: SparkSession, path: String): String =
+    if (Sidecar.exists(spark, s"$path/$ElemSidecar"))
+      Sidecar.readText(spark, s"$path/$ElemSidecar").trim
+    else "long"
+
   /** Save tiles as parquet partitioned by the anchor's grid cell; one file
-    * per cell directory (repartition before write — essential at scale). */
-  def save(tiles: DataFrame, path: String, cellSize: Double): Unit = {
+    * per cell directory (repartition before write — essential at scale).
+    * `elementType` picks the pixel storage width (see [[ElemTypes]]). */
+  def save(tiles: DataFrame, path: String, cellSize: Double,
+           elementType: String = "long"): Unit = {
+    require(ElemTypes.contains(elementType),
+      s"TileStore.save: elementType must be one of $ElemTypes, got $elementType")
     require(!tiles.columns.exists(c =>
       c.equalsIgnoreCase("part_tcx") || c.equalsIgnoreCase("part_tcy")),
       "TileStore.save: input must not contain columns named part_tcx/part_tcy")
     tiles
+      .withColumn("data", encodeData(elementType))
       .withColumn("part_tcx", floor(col("ulx") / cellSize).cast("int"))
       .withColumn("part_tcy", floor(col("uly") / cellSize).cast("int"))
       .repartition(col("part_tcx"), col("part_tcy"))
       .write.mode("overwrite")
       .partitionBy("part_tcx", "part_tcy")
       .parquet(path)
+    Sidecar.writeText(tiles.sparkSession, s"$path/$ElemSidecar", elementType)
   }
 
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("part_tcx", "part_tcy")
+    decodeData(spark, path,
+      spark.read.parquet(path).drop("part_tcx", "part_tcy"))
 
   /**
    * Load only tiles whose extent STRICTLY overlaps the query box (positive
@@ -81,13 +158,16 @@ object TileStore {
     val cx1 = math.floor(x1 / cellSize).toInt
     val cy0 = math.floor(y0 / cellSize).toInt
     val cy1 = math.floor((y1 + maxTileSpan) / cellSize).toInt
-    spark.read.parquet(path)
-      .filter(col("part_tcx") >= cx0 && col("part_tcx") <= cx1 &&
-              col("part_tcy") >= cy0 && col("part_tcy") <= cy1)
-      .drop("part_tcx", "part_tcy")
-      .filter(col("ulx") < x1 &&
-              col("ulx") + col("width") * col("pixel_width") > x0 &&
-              col("uly") > y0 &&
-              col("uly") - col("height") * col("pixel_width") < y1)
+    // decode AFTER the metadata-only filters: pruning and the extent
+    // refine never touch the pixel column, whatever width it is stored at
+    decodeData(spark, path,
+      spark.read.parquet(path)
+        .filter(col("part_tcx") >= cx0 && col("part_tcx") <= cx1 &&
+                col("part_tcy") >= cy0 && col("part_tcy") <= cy1)
+        .drop("part_tcx", "part_tcy")
+        .filter(col("ulx") < x1 &&
+                col("ulx") + col("width") * col("pixel_width") > x0 &&
+                col("uly") > y0 &&
+                col("uly") - col("height") * col("pixel_width") < y1))
   }
 }

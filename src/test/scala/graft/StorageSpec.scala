@@ -273,6 +273,73 @@ class StorageSpec extends AnyFunSuite {
     assert(scanned < total, s"expected pruning: scanned $scanned of $total files")
   }
 
+  test("TileStore typed element codecs: byte/int stores serve identically to long") {
+    import graft.operators.Raster
+    import graft.sources.TileStore
+    // values mod 97 so they genuinely fit the byte codec
+    val tiles = Raster.rasterize(Tables.eventPts(spark, "/root/testdata/sf0.001"),
+        col("ex"), col("ey"), 10.0, 10, 10)
+      .withColumn("data", transform(col("data"), v => pmod(v, lit(97L))))
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("ulx"), col("uly"), concat_ws(",", transform(col("data"), x => x.cast("string"))))
+      .collect().map(_.toSeq).toSet
+    val want = key(tiles)
+    val base = java.nio.file.Files.createTempDirectory("tile_elem").toString
+    for (elem <- Seq("byte", "int", "long")) {
+      val p = s"$base/$elem"
+      TileStore.save(tiles, p, cellSize = 100.0, elementType = elem)
+      assert(TileStore.storedElemType(spark, p) == elem)
+      val back = TileStore.load(spark, p)
+      // the compute representation is array<long> whatever the codec
+      assert(back.schema("data").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true) ||
+        back.schema("data").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        back.schema("data").dataType.toString)
+      assert(key(back) == want, s"elementType=$elem round trip diverged")
+      // pruned load decodes too
+      val pruned = TileStore.loadIntersecting(spark, p,
+        150.0, 150.0, 350.0, 350.0, cellSize = 100.0, maxTileSpan = 100.0)
+      val expect = tiles.filter(col("ulx") < 350 && col("ulx") + 100 > 150 &&
+        col("uly") > 150 && col("uly") - 100 < 350)
+      assert(key(pruned) == key(expect), s"elementType=$elem pruned load diverged")
+    }
+    // stored PHYSICAL widths are the natural ones: byte = one BINARY blob
+    // (1 B/pixel in memory, shuffle, and scan buffers — 8× under
+    // array<long>; on-disk parquet deltas depend on encoding since
+    // bit-packing already shrinks small longs), int = array<int>
+    assert(spark.read.parquet(s"$base/byte").schema("data").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(spark.read.parquet(s"$base/int").schema("data").dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(spark.read.parquet(s"$base/int").schema("data").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
+    // overflow and nulls fail loudly instead of silently wrapping
+    val wide = tiles.withColumn("data", transform(col("data"), v => v + 1000L))
+    val e1 = intercept[Exception] {
+      TileStore.save(wide, s"$base/ovf", cellSize = 100.0, elementType = "byte")
+    }
+    assert(e1.getMessage.contains("does not fit") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("does not fit"))
+    val e2 = intercept[IllegalArgumentException] {
+      TileStore.save(tiles, s"$base/bad", cellSize = 100.0, elementType = "float")
+    }
+    assert(e2.getMessage.contains("elementType"))
+    // byte histogram fast path == the generic histogram on byte-ranged data
+    val viaFast = Raster.byteValueHistogram(TileStore.load(spark, s"$base/byte"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGeneric = Raster.valueHistogram(tiles)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFast == viaGeneric && viaFast.nonEmpty)
+    // out-of-range pixels refuse the fast path loudly
+    val e3 = intercept[Exception] { Raster.byteValueHistogram(wide).collect() }
+    assert(e3.getMessage.contains("byte range") ||
+      e3.getCause != null && e3.getCause.getMessage.contains("byte range"))
+  }
+
   test("filterGeom composes with the pruned tile-store load (gate before pixel work)") {
     import graft.operators.{JoinPredicate, Raster}
     import graft.sources.TileStore
