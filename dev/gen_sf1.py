@@ -113,10 +113,54 @@ def gen_events(nprng):
     pq.write_table(tbl, f"{OUT}/events.parquet")
 
 
+def gen_spatial(nprng):
+    """10x sf0.1 spatial tables for the spatial-core sweep (q6/q7/q20/q40).
+
+    Geometry is DERIVED from keys (customerPts: x = 17k % 1000,
+    y = 31k % 1000 — 1000 distinct sites, period 1000 in k), so skew is
+    planted through KEY RESIDUES: 150,000 customers = 144,000 background
+    keys spread over all residues (~144 coincident points per site, the
+    10x density baseline) + a HOT CITY of 6,000 keys on just 3 residues
+    (2,000 exactly-coincident points per site — the worst case for
+    eps-neighborhood counting, kNN tie handling, and per-cell join fanout).
+    Suppliers get 10,000 uniform keys; nation keeps TPC-H's 25 rows."""
+    n_bg, hot_sites, hot_per = 144_000, (17, 353, 771), 2_000
+    cust = list(range(1, n_bg + 1))
+    for r in hot_sites:
+        # j offset past the background range so keys stay unique
+        cust.extend(r + 1000 * j for j in range(200, 200 + hot_per))
+    nprng.shuffle(cust)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(cust, type=pa.int64()),
+        "c_name": pa.array([f"Customer#{k}" for k in cust], type=pa.string()),
+        "c_nationkey": pa.array((nprng.integers(0, 25, len(cust))).tolist(),
+                                type=pa.int32()),
+        "c_acctbal": pa.array(np.round(nprng.uniform(-999.99, 9999.99,
+                                                     len(cust)), 2)),
+        "c_mktsegment": pa.array([f"SEG{k % 5}" for k in cust], type=pa.string()),
+    }), f"{OUT}/customer.parquet")
+    sup = list(range(1, 10_001))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(sup, type=pa.int64()),
+        "s_name": pa.array([f"Supplier#{k}" for k in sup], type=pa.string()),
+        "s_nationkey": pa.array((nprng.integers(0, 25, len(sup))).tolist(),
+                                type=pa.int32()),
+        "s_acctbal": pa.array(np.round(nprng.uniform(-999.99, 9999.99,
+                                                     len(sup)), 2)),
+    }), f"{OUT}/supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(list(range(25)), type=pa.int32()),
+        "n_name": pa.array([f"NATION{k}" for k in range(25)], type=pa.string()),
+        "n_regionkey": pa.array([k % 5 for k in range(25)], type=pa.int32()),
+    }), f"{OUT}/nation.parquet")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_documents(random.Random(SEED))
     gen_embeddings(np.random.default_rng(SEED))
     gen_events(np.random.default_rng(SEED + 1))
+    gen_spatial(np.random.default_rng(SEED + 2))
     print(f"wrote {OUT}/documents.parquet (50k), embeddings.parquet (20k), "
-          "events.parquet (1M)")
+          "events.parquet (1M), customer.parquet (150k incl. 3x2000 "
+          "coincident hot-city sites), supplier.parquet (10k), nation.parquet (25)")

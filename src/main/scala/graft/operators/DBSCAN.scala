@@ -102,22 +102,65 @@ object DBSCAN {
   def model(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
             eps: Double, minPts: Int): DataFrame = {
     val pts = normPts(df, idCol, xCol, yCol)
-    val nbr = neighborPairs(pts, eps).select(col("__a"), col("__b"))
-    labelPipeline(pts, nbr, minPts,
+    // COINCIDENT-POINT COLLAPSE: points at exactly the same coordinates
+    // have identical eps-neighborhoods, so every DBSCAN decision (core
+    // flag, cluster, border target) is a function of the SITE, not the
+    // point. Collapse to (site, multiplicity, min id) BEFORE the pair
+    // join: the candidate volume drops from Σ (points/site)² to
+    // Σ (sites)² per neighborhood — the hot-city case (thousands of
+    // check-ins at one venue) goes from m² pairs to m site-pairs.
+    // Semantics are EXACTLY preserved: the weighted count Σ mult(b) over
+    // neighbor sites equals the per-point neighbor count; a core site's
+    // points are all core; the CC node id is the site's min point id, so
+    // the component min over sites IS the min core point id; border sites
+    // take the same min cluster over core neighbor sites. (Spark
+    // normalizes NaN/-0.0 identically in groupBy and join keys, so the
+    // expansion join matches the collapse exactly.)
+    val sites = pts.groupBy(col("__x"), col("__y"))
+      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__w"))
+    val nbr = neighborPairsWeighted(sites, eps)
+      .select(col("__a"), col("__b"), col("__w"))
+    val siteOut = labelPipeline(sites, nbr, minPts,
       keep = Seq(col("__x").as("x"), col("__y").as("y")))
+    pts.join(siteOut.select(col("x"), col("y"), col("cluster_id"), col("is_core")),
+        pts("__x") === col("x") && pts("__y") === col("y"))
+      .select(col("__id").as("id"), col("x"), col("y"),
+        col("cluster_id"), col("is_core"))
+  }
+
+  /** [[neighborPairs]] over the collapsed site table: the right side
+    * carries its multiplicity, so Σ __w per left site is the exact
+    * per-point neighbor count (self + coincident points included via the
+    * own-cell self-pair). */
+  private def neighborPairsWeighted(sites: DataFrame, eps: Double): DataFrame = {
+    val eps2 = eps * eps
+    val owned = sites.withColumn("__cell", cellOf(col("__x"), col("__y"), eps, 0, 0))
+    val halo = sites.withColumn("__cell", explode(array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield cellOf(col("__x"), col("__y"), eps, dx, dy)): _*)))
+    owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
+      .withColumn("__d2",
+        (col("l.__x") - col("r.__x")) * (col("l.__x") - col("r.__x")) +
+        (col("l.__y") - col("r.__y")) * (col("l.__y") - col("r.__y")))
+      .filter(col("__d2") <= eps2)
+      .select(col("l.__id").as("__a"), col("r.__id").as("__b"),
+        col("r.__w").as("__w"))
   }
 
   /** The dimension-agnostic back half of DBSCAN: eps-neighbor pairs →
     * core counts → distributed CC over core-core edges → border rule.
     * `pts` needs a `__id` column (one row per point); `nbr` every ordered
-    * eps-pair including (a, a); `keep` extra pts columns to carry into
-    * the output. Returns (id, keep..., cluster_id, is_core),
-    * localCheckpoint'd (see comment below). */
+    * eps-pair including (a, a), with a `__w` weight column (1 for plain
+    * point pairs; the right side's multiplicity when rows are collapsed
+    * sites — Σ __w is then the exact per-point neighbor count); `keep`
+    * extra pts columns to carry into the output. Returns
+    * (id, keep..., cluster_id, is_core), localCheckpoint'd (see comment
+    * below). */
   private def labelPipeline(pts: DataFrame, nbrPairs: DataFrame, minPts: Int,
                             keep: Seq[Column]): DataFrame = {
     val spark = pts.sparkSession
     val nbr = nbrPairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val core = nbr.groupBy(col("__a")).agg(count(lit(1)).as("__n"))
+    val core = nbr.groupBy(col("__a")).agg(sum(col("__w")).as("__n"))
       .filter(col("__n") >= minPts).select(col("__a").as("__id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -219,7 +262,8 @@ object DBSCAN {
       .drop("__off")
     val nbr = owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
       .filter(graft.functions.stf.vec_dist2(col("l.__v"), col("r.__v")) <= eps2)
-      .select(col("l.__id").as("__a"), col("r.__id").as("__b"))
+      .select(col("l.__id").as("__a"), col("r.__id").as("__b"),
+        lit(1L).as("__w")) // plain point pairs — no site collapse here
     labelPipeline(pts, nbr, minPts, keep = Seq(col("__v").as("v")))
   }
 

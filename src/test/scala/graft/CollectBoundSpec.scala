@@ -83,10 +83,11 @@ class CollectBoundSpec extends AnyFunSuite {
     ),
     // driver rows of catalog queries: vocab-store tokens (capped),
     // BPE pair table (bounded by merges), partition range rows, and the
-    // q210 invariant's 20-query recall pairs
+    // q212 invariant's 20-query × top-10 recall pair sets
     "SparkEntry.scala" -> Map(
       ".collect()" -> 1,
       ".collect().map(r => (r.getString(0), r.getLong(1))).toSeq" -> 1,
+      ".collect().map(r => (r.getLong(0), r.getLong(1))).toSet" -> 1,
       ".collect().sortBy(_.getAs[Long](\"__lo\"))" -> 1,
       ".select(col(\"token\")).collect().map(_.getString(0)).toSeq" -> 1,
     ),
