@@ -847,6 +847,23 @@ object TextAnalysis {
     (base, dupOcc, removed)
   }
 
+  /** Maximal contiguous runs of the covered token indexes — the classic
+    * gaps-and-islands fold (i - row_number is constant within a run); the
+    * window is doc-partitioned, skew bounded by the longest document.
+    * Shared by [[maximalDuplicateSpans]] (the report) and
+    * [[removeDuplicateSpans]] (the excision rebuilds from the island
+    * complement). Returns (__rs_id, span_start, span_len). */
+  private def coverageIslands(removed: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rs_id")).orderBy(col("__rs_i"))
+    removed
+      .withColumn("__rs_grp", col("__rs_i") - row_number().over(w))
+      .groupBy(col("__rs_id"), col("__rs_grp"))
+      .agg(min(col("__rs_i")).as("span_start"),
+        count(lit(1)).cast("long").as("span_len"))
+      .drop("__rs_grp")
+  }
+
   /**
    * MAXIMAL variable-length duplicated spans — the report form of Lee et
    * al.'s exact-substring semantics (arXiv:2107.06499 §4.1 uses suffix
@@ -875,16 +892,7 @@ object TextAnalysis {
     require(k > 0, s"k must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val (base, _, removed) = dupSpanCoverage(df, idCol, textCol, k, minDocs)
-    // islands of consecutive covered indexes: i - row_number is constant
-    // within a run (the classic gaps-and-islands key); the window is
-    // doc-partitioned — skew bounded by the longest document
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__rs_id")).orderBy(col("__rs_i"))
-    val islands = removed
-      .withColumn("__rs_grp", col("__rs_i") - row_number().over(w))
-      .groupBy(col("__rs_id"), col("__rs_grp"))
-      .agg(min(col("__rs_i")).as("span_start"),
-        count(lit(1)).cast("long").as("span_len"))
+    val islands = coverageIslands(removed)
     islands.join(base, "__rs_id")
       .select(col("__rs_id").as("doc_id"),
         col("span_start").cast("long").as("span_start"),
@@ -921,10 +929,11 @@ object TextAnalysis {
    * (vocabulary-sized; the frequency table is a groupBy with map-side
    * partials and meets the instances again in an AQE-skew-splittable hash
    * join, never a window) or by (doc, token-index) / doc (bounded by
-   * document length). The per-doc reconstruction is a collect_list over one
-   * document's kept tokens — memory is bounded by the longest document,
-   * never the corpus. ~6 shuffles total; the removal-index explode factor is
-   * exactly k.
+   * document length). The per-doc reconstruction folds the covered indexes
+   * into maximal islands and rebuilds clean_text from GAP SLICES of the
+   * doc's own token array — rows past the coverage kernel are bounded by
+   * island counts (≪ tokens), memory by the longest document, never the
+   * corpus. The removal-index explode factor is exactly k.
    */
   def removeDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
                            k: Int, minDocs: Int = 2): DataFrame = {
@@ -936,27 +945,41 @@ object TextAnalysis {
       "removeDuplicateSpans: input must not contain __rs_* columns or the " +
       "output names clean_text/n_removed_tokens")
 
-    val (base, dupOcc, removed) = dupSpanCoverage(df, idCol, textCol, k, minDocs)
-    // docs that had at least one duplicated span: these (and only these) get
-    // a rewritten text — anchoring on this set keeps a fully-excised doc
-    // distinguishable from an untouched one. The token explode is gated on
-    // this set FIRST, so the per-token anti-join processes only the docs
-    // being rewritten (duplicated docs ≪ corpus on a healthy corpus).
-    val dupDocs = dupOcc.select(col("__rs_id")).distinct()
-    val keptAgg = base.join(dupDocs, "__rs_id")
-      .select(col("__rs_id"), posexplode(col("__rs_ws")).as(Seq("__rs_i", "__rs_t")))
-      .join(removed, Seq("__rs_id", "__rs_i"), "left_anti")
-      .groupBy(col("__rs_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__rs_i"), col("__rs_t")))),
-        s => s.getField("__rs_t")), " ").as("__rs_ct"))
-    val remCnt = removed.groupBy(col("__rs_id")).agg(count(lit(1)).as("__rs_nrem"))
-    val rewritten = dupDocs
-      .join(keptAgg, Seq("__rs_id"), "left")
-      .join(remCnt, Seq("__rs_id"), "left")
+    val (base, _, removed) = dupSpanCoverage(df, idCol, textCol, k, minDocs)
+    // Rebuild from the ISLAND COMPLEMENT (round 9; previously a per-token
+    // posexplode + anti-join + collect_list): the covered indexes fold
+    // into maximal islands (rows bounded by islands ≪ tokens), each island
+    // contributes the gap ending at it, and clean_text is the
+    // concatenation of gap slices of the doc's own token array plus the
+    // trailing slice past the last island. Exactly the docs with >= 1
+    // island get a rewritten text, so a fully-excised doc ("" — the
+    // trailing slice is empty) stays distinguishable from an untouched
+    // one. Every row past the coverage kernel is island- or doc-keyed.
+    val isl = coverageIslands(removed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rs_id")).orderBy(col("span_start"))
+    val gaps = isl
+      .withColumn("__rs_pe", coalesce(
+        lag(col("span_start") + col("span_len"), 1).over(w), lit(0L)))
       .select(col("__rs_id"),
-        coalesce(col("__rs_ct"), lit("")).as("__rs_clean"),
-        coalesce(col("__rs_nrem"), lit(0L)).as("__rs_cnt"))
+        struct(col("__rs_pe").as("st"),
+          (col("span_start") - col("__rs_pe")).as("len")).as("__rs_gap"),
+        (col("span_start") + col("span_len")).as("__rs_en"),
+        col("span_len"))
+    val perDoc = gaps.groupBy(col("__rs_id"))
+      .agg(sort_array(collect_list(col("__rs_gap"))).as("__rs_gaps"),
+        max(col("__rs_en")).as("__rs_last"),
+        sum(col("span_len")).as("__rs_cnt"))
+    val rewritten = perDoc.join(base, "__rs_id")
+      .select(col("__rs_id"),
+        array_join(flatten(concat(
+          transform(filter(col("__rs_gaps"), g => g.getField("len") > 0L),
+            g => slice(col("__rs_ws"), g.getField("st").cast("int") + 1,
+              g.getField("len").cast("int"))),
+          array(slice(col("__rs_ws"), col("__rs_last").cast("int") + 1,
+            greatest(size(col("__rs_ws")) - col("__rs_last").cast("int"),
+              lit(0)))))), " ").as("__rs_clean"),
+        col("__rs_cnt"))
     df.join(rewritten, idCol === col("__rs_id"), "left")
       .withColumn("clean_text", coalesce(col("__rs_clean"), textCol))
       .withColumn("n_removed_tokens", coalesce(col("__rs_cnt"), lit(0L)))
