@@ -140,6 +140,35 @@ object KNN {
       s"knnJoin: left and right geometry columns must have distinct names " +
       s"(both appear in the output); got '$leftGeom' on both sides")
 
+    // COINCIDENT-QUERY COLLAPSE (the DBSCAN site-collapse pattern on the
+    // query side): left rows with exactly the same geometry have exactly
+    // the same k nearest right rows — the right side, the metric, and the
+    // tie-break are all independent of left attributes. When duplicates
+    // are material (hot venues, grid-snapped devices), run the
+    // expand-radius machine once per DISTINCT geometry and expand the
+    // answers back over the coincident rows with one geometry-keyed join.
+    // Gated so an all-distinct left (the common case) pays nothing.
+    val nLeft = left.count()
+    if (nLeft >= 4096) {
+      val sites = left.select(col(leftGeom)).distinct().localCheckpoint()
+      val nSites = sites.count()
+      if (nSites * 4 < nLeft * 3) { // > 25% duplicate rows
+        val keyed = sites.withColumn("__knn_site", monotonically_increasing_id())
+        val siteOut = knnJoinCore(keyed, right, leftGeom, rightGeom,
+          "__knn_site", k, distName, tieBreak)
+        return left.join(
+          siteOut.drop("__knn_site").withColumnRenamed(leftGeom, "__knn_sgeo"),
+          col(leftGeom) === col("__knn_sgeo")).drop("__knn_sgeo")
+      }
+    }
+    knnJoinCore(left, right, leftGeom, rightGeom, leftId, k, distName, tieBreak)
+  }
+
+  /** The expand-radius machine behind [[knnJoin]] (see its scaladoc). */
+  private def knnJoinCore(left: DataFrame, right: DataFrame, leftGeom: String,
+                          rightGeom: String, leftId: String, k: Int,
+                          distName: String, tieBreak: String): DataFrame = {
+
     // per-side scalars: bbox, count, and the largest single-geometry extent
     // (floors the cell size so huge polygons stay under the st_cells guard)
     def stats(df: DataFrame, geom: String): (Double, Double, Double, Double, Long, Double) = {

@@ -973,6 +973,41 @@ class DedupSpec extends AnyFunSuite {
     assert(win == bc)
   }
 
+  test("knnJoin coincident-query collapse: duplicated left geometries get identical results") {
+    import graft.operators.KNN
+    import spark.implicits._
+    // 5,000 left rows over only 40 distinct sites — past the collapse gate
+    // (>= 4096 rows, > 25% duplicates), so the expand-radius machine runs
+    // per SITE and answers expand back over the coincident rows
+    val left = spark.range(5000).select(
+      col("id").as("lid"),
+      graft.functions.stf.st_point(((col("id") % 40) * 23 % 97).cast("double"),
+        ((col("id") % 40) * 41 % 89).cast("double")).as("lgeo"))
+      .localCheckpoint()
+    val right = spark.range(100).select(
+      col("id").as("rid"),
+      graft.functions.stf.st_point((col("id") * 13 % 101).cast("double"),
+        (col("id") * 29 % 103).cast("double")).as("rgeo"))
+      .localCheckpoint()
+    val got = KNN.knnJoin(left, right, "lgeo", "rgeo", leftId = "lid",
+        k = 3, tieBreak = "rid")
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 5000 * 3)
+    val bySite = got.groupBy(_._1 % 40).view.mapValues(_.map(_._2).toSet).toMap
+    // driver-computed truth per site
+    val rpts = (0 until 100).map(i => (i.toLong, (i * 13 % 101).toDouble, (i * 29 % 103).toDouble))
+    for (s <- 0 until 40) {
+      val (x, y) = ((s * 23 % 97).toDouble, (s * 41 % 89).toDouble)
+      val want = rpts.map { case (rid, rx, ry) =>
+        (math.sqrt((rx - x) * (rx - x) + (ry - y) * (ry - y)), rid)
+      }.sorted.take(3).map(_._2).toSet
+      assert(bySite(s.toLong) == want, s"site $s diverged")
+      // every one of the 125 coincident rows per site carries the full k
+      assert(got.count(_._1 % 40 == s) == 125 * 3)
+    }
+  }
+
   test("knnJoin with k >= right count returns every right row per left (parallel terminal round)") {
     import graft.operators.KNN
     val sup = Tables.supplierPts(spark, "/root/testdata/sf0.001")

@@ -31,6 +31,7 @@ class QueriesSpec extends AnyFunSuite {
     "q79_ann_pq" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q80_ann_pq_store" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small",
     "q179_pq_store_ingest" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small (q80's shape over the batch_id-appended codes)",
+    "q208_pq_opq_store" -> "per-query ADC lookup tables: query batch × codebook, both broadcast-small (q80's shape; the OPQ rotation is a per-row map in front)",
     "q89_hybrid" -> "rerank stage: ≤50 BM25 candidates × the query vector row",
     "q135_source_overlap" -> "the group-PAIR table: G² rows of source labels (report-sized by contract); the register joins onto it are equi-joins",
     "q145_profile" -> "per profiled column, ONE basic-stats agg row joins ONE estimator row — the literal group key folds, leaving a 1×1 broadcast join (q127's shape)",
