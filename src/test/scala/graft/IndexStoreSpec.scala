@@ -277,6 +277,59 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("OPQ store lifecycle: train/add, forget, and compaction all carry the rotation") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dim = 16
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val q = emb.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("opq_life").toString
+    def serve(path: String, ivf: Boolean): Set[(Long, Long, Int)] =
+      (if (ivf) Similarity.ivfPqTopKIndexed(q, path, col("vec_id"),
+          col("embedding"), k = 3, nprobe = 4)
+       else Similarity.pqTopKIndexed(q, path, col("vec_id"), col("embedding"), k = 3))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // 1) IVF-PQ train/add under the frozen rotation == one-pass OPQ build
+    Similarity.buildIvfPqIndex(emb, s"$tmp/one", col("vec_id"), col("embedding"),
+      nlist = 4, m = 4, ksub = 16, iters = 2, opq = true)
+    Similarity.trainIvfPqModel(emb, s"$tmp/seg", col("vec_id"), col("embedding"),
+      nlist = 4, m = 4, ksub = 16, iters = 2, opq = true)
+    Similarity.appendIvfPqBatch(emb.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), s"$tmp/seg", batchId = 0L)
+    Similarity.appendIvfPqBatch(emb.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), s"$tmp/seg", batchId = 1L)
+    assert(serve(s"$tmp/seg", ivf = true) == serve(s"$tmp/one", ivf = true))
+    assert(serve(s"$tmp/one", ivf = true).nonEmpty)
+
+    // 2) forget on an OPQ store (lossless degenerate so codes are exact):
+    //    tombstoned ids vanish, serving == a rebuild over the remaining
+    val remaining = emb.filter(col("vec_id") % 9 =!= 4)
+    Similarity.buildPqIndex(emb, s"$tmp/del", col("vec_id"), col("embedding"),
+      m = 4, ksub = 150, iters = 0, sampleN = 150, opq = true)
+    Similarity.deleteFromAnnStore(emb.filter(col("vec_id") % 9 === 4)
+      .select(col("vec_id")), col("vec_id"), s"$tmp/del", batchId = 0L)
+    Similarity.buildPqIndex(remaining, s"$tmp/del2", col("vec_id"), col("embedding"),
+      m = 4, ksub = 150, iters = 0, sampleN = 150, opq = true)
+    assert(serve(s"$tmp/del", ivf = false) == serve(s"$tmp/del2", ivf = false))
+
+    // 3) compaction folds the forgotten store and CARRIES the rotation
+    //    sidecars (_graft_pca_* ride the _graft_* sweep) — serve unchanged
+    val before = serve(s"$tmp/del", ivf = false)
+    Similarity.compactAnnStore(spark, s"$tmp/del")
+    assert(graft.sources.Sidecar.exists(spark, s"$tmp/del/_graft_pca_mean"),
+      "compaction must carry the OPQ rotation sidecar")
+    assert(serve(s"$tmp/del", ivf = false) == before)
+
+    // 4) a non-OPQ rebuild over an OPQ store clears the stale rotation
+    Similarity.buildPqIndex(emb, s"$tmp/del", col("vec_id"), col("embedding"),
+      m = 4, ksub = 150, iters = 0, sampleN = 150)
+    assert(!graft.sources.Sidecar.exists(spark, s"$tmp/del/_graft_pca_mean"),
+      "plain rebuild must drop the previous OPQ sidecars")
+  }
+
   test("persisted kNN equals the live kNN (expand rounds + degenerate k >= n)") {
     import graft.operators.KNN
     // k large enough that the first ring can't conclude — forces expansion
