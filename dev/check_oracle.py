@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Dev-side mirror of the driver's correctness gate.
 
-Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 Runs each oracle_sql.json query in DuckDB over the parquet tables in sfDir,
 loads the Spark result parquet from verifyOutDir/<name>, sorts columns by
 name and rows by all columns, and compares values.
@@ -21,7 +21,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -30,6 +30,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output")
@@ -70,4 +72,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))
