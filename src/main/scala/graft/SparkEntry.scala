@@ -723,6 +723,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // q180's train/add split COMPOSED WITH OPQ: batches encoded under the
+    // frozen rotation+centroids+codebooks fold to the one-pass store, and
+    // the everything-off degenerate stays exact euclidean (the rotation is
+    // orthonormal) — streaming accumulation and rotation are orthogonal.
+    "q213_ivfpq_opq_ingest" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count().toInt
+      val path = storedOnce("ivfpqopqing", dir) { p =>
+        Similarity.trainIvfPqModel(e, p, col("vec_id"), col("embedding"),
+          nlist = 8, m = 8, ksub = n, iters = 0, sampleN = n, opq = true)
+        Similarity.appendIvfPqBatch(e.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), p, batchId = 0L)
+        Similarity.appendIvfPqBatch(e.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      Similarity.ivfPqTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // frozen WordPiece vocabulary store: segmentation from the store must
     // equal the live q174 path token-for-token (the stored vocab IS the
     // learned vocab; maxTokenLen rides the sidecar) — shares q174's
@@ -3594,6 +3616,7 @@ object SparkEntry {
 
     // frozen-model IVF-PQ appends, lossless full-probe ⇒ q87's anchor
     "q180_ivfpq_store_ingest" -> euclidTop5OracleSql,
+    "q213_ivfpq_opq_ingest" -> euclidTop5OracleSql,
 
     // DBSCAN: adjacency (self incl.) -> cores -> recursive closure over
     // core-core edges -> min-id cluster labels -> border = min neighboring

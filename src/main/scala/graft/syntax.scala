@@ -136,6 +136,7 @@ object syntax {
       Raster.filterGeom(df, qry, pred, default)
     def stWithValues(vs: Long*): DataFrame = Raster.withValues(df, vs: _*)
     def stBucketHistogram(buckets: Int): DataFrame = Raster.bucketHistogram(df, buckets)
+    def stByteValueHistogram(): DataFrame = Raster.byteValueHistogram(df)
     def stJoinRaster(other: DataFrame, combine: (Column, Column) => Column): DataFrame =
       Raster.joinRaster(df, other, combine)
     def stJoinRasterIntersecting(other: DataFrame, cellSize: Double,
@@ -340,6 +341,9 @@ object syntax {
                        dim: Int = Classifier.DefaultDim,
                        tauE6: Long = 0L): DataFrame =
       Classifier.gate(df, text, model, dim, tauE6)
+    def classifierScoreFromStore(text: Column, path: String,
+                                 tauE6: Long = 0L): DataFrame =
+      Classifier.scoreFromStore(df, text, path, tauE6)
     def histCounts(group: Column, valueE6: Column): DataFrame =
       Sketches.histCounts(df, group, valueE6)
     def histQuantiles(ps: Seq[Int]): DataFrame =
