@@ -122,8 +122,11 @@ object DBSCAN {
       .select(col("__a"), col("__b"), col("__w"))
     val siteOut = labelPipeline(sites, nbr, minPts,
       keep = Seq(col("__x").as("x"), col("__y").as("y")))
+    // null-safe expansion: a null-coordinate point forms its own site,
+    // never pairs (null cell keys match nothing), and must still come
+    // back as noise — plain === would silently drop it from the output
     pts.join(siteOut.select(col("x"), col("y"), col("cluster_id"), col("is_core")),
-        pts("__x") === col("x") && pts("__y") === col("y"))
+        pts("__x") <=> col("x") && pts("__y") <=> col("y"))
       .select(col("__id").as("id"), col("x"), col("y"),
         col("cluster_id"), col("is_core"))
   }

@@ -156,9 +156,12 @@ object KNN {
         val keyed = sites.withColumn("__knn_site", monotonically_increasing_id())
         val siteOut = knnJoinCore(keyed, right, leftGeom, rightGeom,
           "__knn_site", k, distName, tieBreak)
+        // null-safe expansion: a null left geometry is its own site and
+        // inherits whatever the core emits for a null row (collapsed and
+        // uncollapsed paths must agree on the edge case)
         return left.join(
           siteOut.drop("__knn_site").withColumnRenamed(leftGeom, "__knn_sgeo"),
-          col(leftGeom) === col("__knn_sgeo")).drop("__knn_sgeo")
+          col(leftGeom) <=> col("__knn_sgeo")).drop("__knn_sgeo")
       }
     }
     knnJoinCore(left, right, leftGeom, rightGeom, leftId, k, distName, tieBreak)

@@ -26,6 +26,28 @@ class DBSCANSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("coincident points cluster exactly like distinct ones; null coords stay noise") {
+    import spark.implicits._
+    // 3 sites of 4 coincident points each, sites within eps of each other,
+    // plus one isolated point and one null-coordinate row: the site
+    // collapse must produce the same labels a point-level run would —
+    // all 12 coincident points are core (neighbor count 8..12 >= 5) and
+    // share cluster 1 (the min id), the isolated point and the null row
+    // are noise, and NO row is dropped
+    val pts = (
+      (1 to 4).map(i => (i.toLong, Some(10.0), Some(10.0))) ++
+      (5 to 8).map(i => (i.toLong, Some(13.0), Some(10.0))) ++
+      (9 to 12).map(i => (i.toLong, Some(10.0), Some(13.0))) ++
+      Seq((13L, Some(500.0), Some(500.0)), (14L, None: Option[Double], None: Option[Double]))
+    ).toDF("id0", "x0", "y0")
+    val got = DBSCAN.cluster(pts, col("id0"), col("x0"), col("y0"),
+        eps = 5.0, minPts = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 14, s"rows dropped: ${got.keySet}")
+    assert((1 to 12).forall(i => got(i.toLong) == 1L), got.toString)
+    assert(got(13L) == -1L && got(14L) == -1L)
+  }
+
   test("an integer id column is widened to long, same labels as the long run") {
     val pts = points
     val longRun = DBSCAN.cluster(pts, col("c_custkey"), col("cx"), col("cy"),
