@@ -116,8 +116,7 @@ object DBSCAN {
     // take the same min cluster over core neighbor sites. (Spark
     // normalizes NaN/-0.0 identically in groupBy and join keys, so the
     // expansion join matches the collapse exactly.)
-    val sites = pts.groupBy(col("__x"), col("__y"))
-      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__w"))
+    val sites = collapseSites(pts)
     val nbr = neighborPairsWeighted(sites, eps)
       .select(col("__a"), col("__b"), col("__w"))
     val siteOut = labelPipeline(sites, nbr, minPts,
@@ -147,8 +146,15 @@ object DBSCAN {
         (col("l.__y") - col("r.__y")) * (col("l.__y") - col("r.__y")))
       .filter(col("__d2") <= eps2)
       .select(col("l.__id").as("__a"), col("r.__id").as("__b"),
-        col("r.__w").as("__w"))
+        col("r.__w").as("__w"), col("__d2"))
   }
+
+  /** The collapsed (site, multiplicity, min id) table — every coincident
+    * group becomes one row; shared by [[model]] and both eps-tuning
+    * histograms. */
+  private def collapseSites(pts: DataFrame): DataFrame =
+    pts.groupBy(col("__x"), col("__y"))
+      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__w"))
 
   /** The dimension-agnostic back half of DBSCAN: eps-neighbor pairs →
     * core counts → distributed CC over core-core edges → border rule.
@@ -463,25 +469,35 @@ object DBSCAN {
       s"bucketWidth ($bucketWidth), nBuckets ($nBuckets) and k ($k) must be positive")
     val radius = (bucketWidth * nBuckets).toDouble
     val pts = normPts(df, idCol, xCol, yCol)
-    val pairs = neighborPairs(pts, radius).filter(col("__a") =!= col("__b"))
-    val nn =
-      if (k == 1)
-        pairs.groupBy(col("__a")).agg(min(col("__d2")).as("__nn2"))
-      else
-        pairs.withColumn("__rk", row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__a")).orderBy(col("__d2"), col("__b"))))
-          .filter(col("__rk") === k)
-          .select(col("__a"), col("__d2").as("__nn2"))
-    val bucketed = pts.select(col("__id").as("__a"))
-      .join(nn, Seq("__a"), "left")
+    // COLLAPSED form of "k-th smallest distance to the other points": a
+    // point at site a sees distance 0 with multiplicity mult(a)-1 (its
+    // coincident twins) and d(a,b) with multiplicity mult(b) per other
+    // site — the k-th smallest VALUE of that multiset is the running-sum
+    // walk over site pairs sorted by distance, the same number the
+    // per-point window computed at Σ(points/site)² the cost. All
+    // coincident points share the value, so the histogram weights each
+    // site row by its multiplicity.
+    val sites = collapseSites(pts)
+    val pairs = neighborPairsWeighted(sites, radius)
+      .withColumn("__w2", when(col("__a") === col("__b"), col("__w") - 1)
+        .otherwise(col("__w")))
+      .filter(col("__w2") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__a")).orderBy(col("__d2"), col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nn = pairs.withColumn("__cum", sum(col("__w2")).over(w))
+      .filter(col("__cum") >= k && col("__cum") - col("__w2") < k)
+      .select(col("__a").as("__id"), col("__d2").as("__nn2"))
+    val bucketed = sites.select(col("__id"), col("__w"))
+      .join(nn, Seq("__id"), "left")
       .withColumn("__isq", isqrt(col("__nn2")))
       // `div`, not `/`: Column./ is double division and the house contract
       // is integer-exact buckets
-      .select(when(col("__nn2").isNull, lit(nBuckets.toLong))
+      .select(col("__w"), when(col("__nn2").isNull, lit(nBuckets.toLong))
         .otherwise(least(expr(s"__isq div ${bucketWidth}L"),
           lit(nBuckets.toLong))).as("bucket"))
     bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_points"))
+      .agg(sum(col("__w")).as("n_points"))
       .withColumn("bucket_lo", col("bucket") * bucketWidth)
       .select(col("bucket"), col("bucket_lo"), col("n_points"))
   }
@@ -504,14 +520,19 @@ object DBSCAN {
     require(bucketWidth > 0 && nBuckets > 0,
       s"bucketWidth ($bucketWidth) and nBuckets ($nBuckets) must be positive")
     val pts = normPts(df, idCol, xCol, yCol)
-    // (a,a) self-pair is always present, so count-1 is the neighbor count
-    // and every point gets a row (no left join needed)
-    val counts = neighborPairs(pts, eps)
-      .groupBy(col("__a")).agg((count(lit(1)) - 1).as("__n"))
+    // collapsed: Σ mult(b) over sites in range counts every point incl.
+    // self (the own-site self-pair carries the full multiplicity), so -1
+    // is the per-point neighbor count, shared by all of a site's points —
+    // histogram rows weight by site multiplicity
+    val sites = collapseSites(pts)
+    val counts = neighborPairsWeighted(sites, eps)
+      .groupBy(col("__a")).agg((sum(col("__w")) - 1).as("__n"))
     counts
-      .select(least(expr(s"__n div ${bucketWidth}L"), lit(nBuckets - 1L)).as("bucket"))
+      .join(sites.select(col("__id").as("__a"), col("__w")), "__a")
+      .select(col("__w"),
+        least(expr(s"__n div ${bucketWidth}L"), lit(nBuckets - 1L)).as("bucket"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_points"))
+      .agg(sum(col("__w")).as("n_points"))
       .withColumn("bucket_lo", col("bucket") * bucketWidth)
       .select(col("bucket"), col("bucket_lo"), col("n_points"))
   }
