@@ -335,11 +335,16 @@ object DBSCAN {
               xCol: Column, yCol: Column, eps: Double): DataFrame = {
     val eps2 = eps * eps
     val newPts = normPts(newDf, idCol, xCol, yCol)
+    // coincident-site collapse on the NEW batch (the [[model]] pattern):
+    // the nearest-core verdict depends only on coordinates, so a hot
+    // query site (a venue's worth of check-ins) is classified once and
+    // expanded back — probe volume scales with distinct coordinates
+    val sites = collapseSites(newPts).select(col("__x"), col("__y"), col("__id"))
     val cores = model.filter(col("is_core"))
       .select(col("id").as("__coreid"), col("x").as("__kx"), col("y").as("__ky"),
         col("cluster_id").as("__ccl"))
       .withColumn("__cell", cellOf(col("__kx"), col("__ky"), eps, 0, 0))
-    val probes = newPts.withColumn("__cell", explode(array(
+    val probes = sites.withColumn("__cell", explode(array(
       (for (dx <- -1 to 1; dy <- -1 to 1)
         yield cellOf(col("__x"), col("__y"), eps, dx, dy)): _*)))
     val assigned = probes.join(cores, "__cell")
@@ -352,9 +357,12 @@ object DBSCAN {
       .groupBy(col("__id"))
       .agg(min(struct(col("__d2"), col("__ccl"), col("__coreid"))).as("__m"))
       .select(col("__id"), col("__m.__ccl").as("__ccl"))
-    newPts.select(col("__id"))
-      .join(assigned, Seq("__id"), "left")
-      .select(col("__id").as("id"), coalesce(col("__ccl"), lit(-1L)).as("cluster_id"))
+    val siteLab = sites.join(assigned, Seq("__id"), "left")
+      .select(col("__x").as("__sx"), col("__y").as("__sy"),
+        coalesce(col("__ccl"), lit(-1L)).as("__ccl"))
+    newPts.join(siteLab,
+        col("__x") <=> col("__sx") && col("__y") <=> col("__sy"))
+      .select(col("__id").as("id"), col("__ccl").as("cluster_id"))
   }
 
   /**
