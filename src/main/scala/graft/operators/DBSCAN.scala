@@ -265,15 +265,24 @@ object DBSCAN {
     val eps2 = eps * eps
     val pts = df.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__v"))
-    val owned = pts.withColumn("__cell", cellOfV(col("__v"), eps))
-    val halo = pts.withColumn("__off", explode(haloOffsets(dims)))
+    // coincident-site collapse, n-dim twin of [[model]]: identical SLICED
+    // vectors share eps-neighborhoods, so the 3^d-halo kernel runs on
+    // (site, multiplicity) and per-point labels expand back null-safely
+    val sites = pts.groupBy(col("__v"))
+      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__w"))
+    val owned = sites.withColumn("__cell", cellOfV(col("__v"), eps))
+    val halo = sites.withColumn("__off", explode(haloOffsets(dims)))
       .withColumn("__cell", zip_with(cellOfV(col("__v"), eps), col("__off"), (c, o) => c + o))
       .drop("__off")
     val nbr = owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
       .filter(graft.functions.stf.vec_dist2(col("l.__v"), col("r.__v")) <= eps2)
       .select(col("l.__id").as("__a"), col("r.__id").as("__b"),
-        lit(1L).as("__w")) // plain point pairs — no site collapse here
-    labelPipeline(pts, nbr, minPts, keep = Seq(col("__v").as("v")))
+        col("r.__w").as("__w"))
+    val siteOut = labelPipeline(sites.select(col("__id"), col("__v")), nbr,
+      minPts, keep = Seq(col("__v").as("v")))
+    pts.join(siteOut.select(col("v"), col("cluster_id"), col("is_core")),
+        pts("__v") <=> col("v"))
+      .select(col("__id").as("id"), col("v"), col("cluster_id"), col("is_core"))
   }
 
   /** [[predict]]'s n-dim twin: classify new vectors against a [[modelVec]]
@@ -288,11 +297,14 @@ object DBSCAN {
     val eps2 = eps * eps
     val newPts = newDf.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__nv"))
+    // collapse the new batch to distinct sliced vectors (the [[predict]]
+    // pattern): the nearest-core verdict is a function of the vector
+    val sites = newPts.groupBy(col("__nv")).agg(min(col("__id")).as("__id"))
     val cores = model.filter(col("is_core"))
       .select(col("id").as("__coreid"), col("v").as("__kv"),
         col("cluster_id").as("__ccl"))
       .withColumn("__cell", cellOfV(col("__kv"), eps))
-    val probes = newPts.withColumn("__off", explode(haloOffsets(dims)))
+    val probes = sites.withColumn("__off", explode(haloOffsets(dims)))
       .withColumn("__cell", zip_with(cellOfV(col("__nv"), eps), col("__off"), (c, o) => c + o))
       .drop("__off")
     val assigned = probes.join(cores, "__cell")
@@ -301,9 +313,10 @@ object DBSCAN {
       .groupBy(col("__id"))
       .agg(min(struct(col("__d2"), col("__ccl"), col("__coreid"))).as("__m"))
       .select(col("__id"), col("__m.__ccl").as("__ccl"))
-    newPts.select(col("__id"))
-      .join(assigned, Seq("__id"), "left")
-      .select(col("__id").as("id"), coalesce(col("__ccl"), lit(-1L)).as("cluster_id"))
+    val siteLab = sites.join(assigned, Seq("__id"), "left")
+      .select(col("__nv").as("__sv"), coalesce(col("__ccl"), lit(-1L)).as("__ccl"))
+    newPts.join(siteLab, col("__nv") <=> col("__sv"))
+      .select(col("__id").as("id"), col("__ccl").as("cluster_id"))
   }
 
   /** Number of clusters in a [[model]] — the reference DBScanModel's
