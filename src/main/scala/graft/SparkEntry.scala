@@ -1484,12 +1484,28 @@ object SparkEntry {
     // recursive min-label closure over the same pairs.
     "q195_connected_components" -> ((s, dir) => {
       val c = Tables.customerPts(s, dir)
+      // coincident customers share their entire proximity neighborhood
+      // (and are trivially within d of each other), so the distance join
+      // and the CC run on DISTINCT SITES keyed by each site's min custkey:
+      // site connectivity == point connectivity, and the component min
+      // over site min-ids IS the min custkey of the point component —
+      // labels identical, edge volume Σ(sites)² instead of Σ(points)²
+      // (15 coincident customers per site at sf0.1 ⇒ 225× fewer pairs).
+      val sites = c.groupBy(col("cx"), col("cy"))
+        .agg(min(col("c_custkey")).as("site_key"))
+        .withColumn("s_geo", stf.st_point(col("cx"), col("cy")))
+        .localCheckpoint()
       val pairs = SpatialJoin.distanceJoin(
-          c.select(col("c_custkey").as("a_key"), col("c_geo").as("a_geo")),
-          c, col("a_geo"), col("c_geo"), maxDist = 25.0, cellSize = 100.0)
-        .select(col("a_key").as("__a"), col("c_custkey").as("__b"))
-      ConnectedComponents.run(pairs)
-        .select(col("__id").as("c_custkey"), col("__comp").as("component"))
+          sites.select(col("site_key").as("a_key"), col("s_geo").as("a_geo")),
+          sites.select(col("site_key"), col("s_geo")),
+          col("a_geo"), col("s_geo"), maxDist = 25.0, cellSize = 100.0)
+        .select(col("a_key").as("__a"), col("site_key").as("__b"))
+      val comps = ConnectedComponents.run(pairs)
+      c.join(
+          sites.join(comps, col("site_key") === col("__id"))
+            .select(col("cx").as("__sx"), col("cy").as("__sy"), col("__comp")),
+          col("cx") <=> col("__sx") && col("cy") <=> col("__sy"))
+        .select(col("c_custkey"), col("__comp").as("component"))
         .orderBy(col("c_custkey"))
     }),
 
