@@ -199,9 +199,14 @@ class TextSearchSpec extends AnyFunSuite {
             }
           case 2 if inStore.nonEmpty => // forget a random subset
             val victims = rnd.shuffle(inStore.toSeq).take(1 + rnd.nextInt(inStore.size))
-            TextSearch.deleteFromTextIndex(
-              docs.filter(col("doc_id").isin(victims: _*)).select(col("doc_id")),
-              col("doc_id"), dir, delBatch)
+            val vdf = docs.filter(col("doc_id").isin(victims: _*)).select(col("doc_id"))
+            TextSearch.deleteFromTextIndex(vdf, col("doc_id"), dir, delBatch)
+            // crash-replay: half the time the SAME delete batch is
+            // re-delivered (foreachBatch redelivery) — serving must be
+            // unchanged (the replay rewrites identical negative segments,
+            // never an empty set)
+            if (rnd.nextBoolean())
+              TextSearch.deleteFromTextIndex(vdf, col("doc_id"), dir, delBatch)
             inStore --= victims; delBatch += 1
           case _ => ()
         }
