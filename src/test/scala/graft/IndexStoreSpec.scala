@@ -277,6 +277,71 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN lifecycle fuzz: random ingest/forget/compact/replay histories == brute over remaining") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dim = 8
+    val frnd = new scala.util.Random(23)
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.fill(dim)((frnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding").localCheckpoint()
+    val byId = vecs.toMap
+    val queries = emb.filter(col("vec_id") < 5)
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"annfuzz$trial").toString
+      Similarity.trainIvfCentroids(emb, dir, col("vec_id"), col("embedding"), nlist = 8)
+      val inStore = scala.collection.mutable.Set.empty[Long]
+      val pending = scala.collection.mutable.Queue(frnd.shuffle(vecs.map(_._1)): _*)
+      var batch = 0L
+      var delBatch = 0L
+      for (step <- 1 to 6) {
+        frnd.nextInt(3) match {
+          case 0 | 1 => // ingest a random slice of not-yet-ingested vectors
+            val n = 1 + frnd.nextInt(math.max(pending.size, 1))
+            val ids = (1 to math.min(n, pending.size)).map(_ => pending.dequeue()).toSet
+            if (ids.nonEmpty) {
+              Similarity.appendIvfBatch(emb.filter(col("vec_id").isin(ids.toSeq: _*)),
+                col("vec_id"), col("embedding"), dir, batch)
+              inStore ++= ids; batch += 1
+            }
+          case 2 if inStore.nonEmpty => // forget a random subset (+ replay)
+            val victims = frnd.shuffle(inStore.toSeq).take(1 + frnd.nextInt(inStore.size))
+            val vdf = emb.filter(col("vec_id").isin(victims: _*)).select(col("vec_id"))
+            Similarity.deleteFromAnnStore(vdf, col("vec_id"), dir, delBatch)
+            if (frnd.nextBoolean()) // crash-replayed delete must be a no-op
+              Similarity.deleteFromAnnStore(vdf, col("vec_id"), dir, delBatch)
+            inStore --= victims; delBatch += 1
+          case _ => ()
+        }
+        if (step == 3 && batch > 0) { // mid-history compaction
+          Similarity.compactAnnStore(spark, dir)
+          batch = 0L; delBatch = 0L
+        }
+      }
+      if (batch > 0 && inStore.nonEmpty) {
+        // full probe == exact COSINE top-k over the REMAINING vectors
+        // (the IVF tier's metric — it equals bruteTopK exactly), whatever
+        // the grow/forget/compact/replay interleaving was
+        val got = Similarity.ivfTopKIndexed(queries, dir, col("vec_id"),
+            col("embedding"), k = 3, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def cos(a: Long, b: Long): Double = {
+          val (x, y) = (byId(a).map(_.toDouble), byId(b).map(_.toDouble))
+          val dot = x.indices.map(j => x(j) * y(j)).sum
+          dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+        }
+        val want = (0L until 5L).flatMap { qid =>
+          inStore.toSeq.filter(_ != qid)
+            .map(cid => (qid, cid, cos(qid, cid)))
+            .sortBy(t => (-t._3, t._2)).take(3).map(t => (t._1, t._2))
+        }.toSet
+        assert(got == want, s"trial $trial (${inStore.size} remaining) diverged")
+      }
+    }
+  }
+
   test("OPQ store lifecycle: train/add, forget, and compaction all carry the rotation") {
     import graft.operators.Similarity
     import spark.implicits._
