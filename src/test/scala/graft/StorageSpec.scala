@@ -299,12 +299,20 @@ class StorageSpec extends AnyFunSuite {
           org.apache.spark.sql.types.LongType, containsNull = false),
         back.schema("data").dataType.toString)
       assert(key(back) == want, s"elementType=$elem round trip diverged")
-      // pruned load decodes too
+      // pruned load decodes too — and the decode must not defeat the
+      // directory-level pruning (it runs AFTER the metadata-only filters)
       val pruned = TileStore.loadIntersecting(spark, p,
         150.0, 150.0, 350.0, 350.0, cellSize = 100.0, maxTileSpan = 100.0)
       val expect = tiles.filter(col("ulx") < 350 && col("ulx") + 100 > 150 &&
         col("uly") > 150 && col("uly") - 100 < 350)
       assert(key(pruned) == key(expect), s"elementType=$elem pruned load diverged")
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      pruned.collect()
+      val scanned = pruned.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+      val total = TileStore.load(spark, p).inputFiles.length
+      assert(scanned < total,
+        s"elementType=$elem expected file pruning: scanned $scanned of $total")
     }
     // stored PHYSICAL widths are the natural ones: byte = one BINARY blob
     // (1 B/pixel in memory, shuffle, and scan buffers — 8× under
