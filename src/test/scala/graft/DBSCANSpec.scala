@@ -284,6 +284,50 @@ class DBSCANSpec extends AnyFunSuite {
     assert(h == Set((0L, 0L, 1L), (1L, 4L, 2L), (4L, 16L, 1L)))
   }
 
+  test("randomized: both histograms equal brute force on duplicate-heavy grids") {
+    import spark.implicits._
+    // small integer grid ⇒ many exactly-coincident points — the case the
+    // weighted site walk must get right (distance-0 twins, multiplicity
+    // crossings, ties at equal distance across sites)
+    val hrnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val pts = (0 until 50).map(i =>
+        (i.toLong, hrnd.nextInt(6).toDouble, hrnd.nextInt(6).toDouble))
+      val df = pts.toDF("id", "x", "y")
+      val (bw, nb, k) = (2L, 3, 1 + hrnd.nextInt(4))
+      val radius = (bw * nb).toDouble
+      // brute k-dist per point: k-th smallest distance to the OTHERS
+      def isqrt(v: Double): Long = { // integer sqrt of the squared distance
+        var r = math.sqrt(v).toLong
+        while ((r + 1) * (r + 1) <= v.toLong) r += 1
+        while (r * r > v.toLong) r -= 1
+        r
+      }
+      val wantK = pts.map { case (i, x, y) =>
+        val ds = pts.filter(_._1 != i)
+          .map { case (_, x2, y2) => (x - x2) * (x - x2) + (y - y2) * (y - y2) }
+          .filter(_ <= radius * radius).sorted
+        if (ds.length >= k) math.min(isqrt(ds(k - 1)) / bw, nb.toLong)
+        else nb.toLong
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val gotK = DBSCAN.kDistHistogram(df, col("id"), col("x"), col("y"),
+          bucketWidth = bw, nBuckets = nb, k = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(gotK == wantK, s"trial $trial k=$k kdist: $gotK vs $wantK")
+      // brute neighbor counts (self excluded), clamped buckets
+      val eps = 2.5
+      val wantN = pts.map { case (i, x, y) =>
+        val n = pts.count { case (j, x2, y2) =>
+          j != i && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= eps * eps }
+        math.min(n.toLong / bw, nb - 1L)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val gotN = DBSCAN.neighborhoodHistogram(df, col("id"), col("x"), col("y"),
+          eps = eps, bucketWidth = bw, nBuckets = nb)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(gotN == wantN, s"trial $trial nbr: $gotN vs $wantN")
+    }
+  }
+
   test("neighborhoodHistogram: self excluded, top bucket clamps") {
     import spark.implicits._
     // a 5-point tight blob (each has 4 neighbors) + an isolated point
