@@ -444,10 +444,12 @@ object SparkEntry {
     // noise), while the eigenvalue-allocated rotation redistributes the
     // axes. Spark computes euclidean top-10 recall vs the exact in-plan
     // anchor for BOTH stores at the same compressing config (m=8, ksub=16)
-    // and pins OPQ >= 2x PQ plus an OPQ recall floor of 0.10; measured
-    // recall@10: 0.600 (OPQ) vs 0.235 (PQ) at sf0.01, 0.145 vs 0.025 at
-    // sf0.1 (2.5x / 5.8x — the edge grows as the fixed 16-code budget
-    // starves on the bigger corpus).
+    // and pins the DIRECTIONAL claim (OPQ >= PQ) plus an OPQ recall floor
+    // of 0.10; measured recall@10: 0.600 (OPQ) vs 0.235 (PQ) at sf0.01,
+    // 0.145 vs 0.025 at sf0.1 (2.5x / 5.8x). The multiplier itself is
+    // LOGGED, not pinned — a 2x pin was empirical tuning at two scale
+    // factors, and a seed/SF change could legitimately land at 1.8x with
+    // OPQ still winning; direction is the claim, magnitude is telemetry.
     "q212_opq_recall" -> ((s, dir) => {
       val ids = Tables.load(s, dir, "embeddings").select(col("vec_id"))
       val planted = ids.withColumn("embedding",
@@ -475,15 +477,18 @@ object SparkEntry {
         got.intersect(exact).size.toLong * 1000000L / exact.size
       val rPq = recallE6(topK("pq", ksub = 16, iters = 3, opq = false))
       val rOpq = recallE6(topK("opq", ksub = 16, iters = 3, opq = true))
+      // the measured edge, for the record (telemetry, not a gate)
+      println(s"[q212_opq_recall] recall@10 e6: opq=$rOpq pq=$rPq " +
+        f"ratio=${if (rPq == 0) Double.PositiveInfinity else rOpq.toDouble / rPq}%.2f")
       s.createDataFrame(java.util.Arrays.asList(
           org.apache.spark.sql.Row(exact.size.toLong, 100000L,
-            rOpq >= 2L * rPq, rOpq >= 100000L)),
+            rOpq >= rPq, rOpq >= 100000L)),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("n_exact_pairs",
             org.apache.spark.sql.types.LongType, false),
           org.apache.spark.sql.types.StructField("opq_floor_e6",
             org.apache.spark.sql.types.LongType, false),
-          org.apache.spark.sql.types.StructField("opq_at_least_2x_pq",
+          org.apache.spark.sql.types.StructField("opq_beats_pq",
             org.apache.spark.sql.types.BooleanType, false),
           org.apache.spark.sql.types.StructField("opq_floor_ok",
             org.apache.spark.sql.types.BooleanType, false))))
@@ -3430,12 +3435,13 @@ object SparkEntry {
     "q209_ivfpq_opq_store" -> euclidTop5OracleSql,
 
     // invariant row: both stores' euclidean recall vs the in-plan lossless
-    // anchor, opq >= pq and the OPQ floor pinned TRUE; n_exact_pairs
+    // anchor, the directional opq >= pq claim and the OPQ floor pinned
+    // TRUE (the measured multiplier is logged, not pinned); n_exact_pairs
     // replayable (20 queries × top-10)
     "q212_opq_recall" ->
       ("SELECT CAST(count(*) * 10 AS BIGINT) AS n_exact_pairs, " +
        "CAST(100000 AS BIGINT) AS opq_floor_e6, " +
-       "TRUE AS opq_at_least_2x_pq, TRUE AS opq_floor_ok " +
+       "TRUE AS opq_beats_pq, TRUE AS opq_floor_ok " +
        "FROM embeddings WHERE vec_id < 20"),
 
     // invariant row (the q92/q99 pattern): Spark computes the PCA-16

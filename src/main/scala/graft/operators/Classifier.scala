@@ -85,7 +85,32 @@ object Classifier {
       .withColumn("weight_e6",
         when(col("n_pos") - col("n_neg") < 0, -1L).otherwise(1L) *
           expr("(1000000 * abs(n_pos - n_neg)) div (n_pos + n_neg + 1)"))
+      .withColumn("feature", col("feature").as("feature", dimMetadata(dim)))
   }
+
+  /** The training dim rides on the model itself as column metadata on
+    * `feature` — so [[saveModel]] can freeze the dim the model was
+    * actually trained at without trusting the caller to repeat it, and
+    * scorers can reject a mismatched caller dim loudly instead of
+    * silently hashing under the wrong mask. */
+  private val DimMetaKey = "graft.clf.dim"
+
+  private def dimMetadata(dim: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(DimMetaKey, dim.toLong).build()
+
+  /** The dim stamped on a model by [[train]], if the stamp survived the
+    * caller's transforms (plain select/filter keep column metadata). */
+  def trainedDim(model: DataFrame): Option[Int] = {
+    val md = model.schema("feature").metadata
+    if (md.contains(DimMetaKey)) Some(md.getLong(DimMetaKey).toInt) else None
+  }
+
+  private def checkAgainstStamp(model: DataFrame, dim: Int, op: String): Unit =
+    trainedDim(model).foreach(d => require(d == dim,
+      s"Classifier.$op: model was trained at dim=$d but caller passed " +
+      s"dim=$dim — scoring under a different hash mask than training " +
+      "silently produces wrong margins"))
 
   /** Seed-label + train in one call (the bootstrap loop's first half). */
   def trainFromSeed(df: DataFrame, textCol: Column, dim: Int = DefaultDim,
@@ -120,6 +145,7 @@ object Classifier {
    */
   def scoreWith(df: DataFrame, textCol: Column, model: DataFrame,
                 dim: Int = DefaultDim, tauE6: Long = 0L): DataFrame = {
+    checkAgainstStamp(model, dim, "scoreWith")
     val w = collectWeights(model, dim)
     val bc = df.sparkSession.sparkContext.broadcast(w)
     // per-row Long loop over a broadcast array — the documented UDF
@@ -175,14 +201,26 @@ object Classifier {
     * than training and silently produces wrong margins; the sidecar lets
     * every store-side scorer enforce the trained dim. Callers that need
     * crash-atomicity stage the path (the driver's storedOnce pattern);
-    * the write itself is a single task. */
-  def saveModel(model: DataFrame, path: String, dim: Int = DefaultDim): Unit = {
-    requireDim(dim)
+    * the write itself is a single task.
+    *
+    * The frozen dim comes from the stamp [[train]] put on the model, so a
+    * caller cannot accidentally freeze a dim the model was not trained at.
+    * An explicit `dim` is only needed for models whose stamp was stripped
+    * by an intermediate transform — and is cross-checked against the
+    * stamp when both are present. */
+  def saveModel(model: DataFrame, path: String, dim: Int = -1): Unit = {
+    val d = if (dim > 0) dim else trainedDim(model).getOrElse(
+      throw new IllegalArgumentException(
+        "Classifier.saveModel: the model carries no training-dim stamp " +
+        "(an intermediate transform stripped the column metadata) and no " +
+        "explicit dim was passed — pass the dim the model was trained at"))
+    requireDim(d)
+    checkAgainstStamp(model, d, "saveModel")
     model.select("feature", "n_pos", "n_neg", "weight_e6")
       .coalesce(1).sortWithinPartitions("feature")
       .write.mode("overwrite").parquet(path)
     graft.sources.Sidecar.writeText(model.sparkSession,
-      path + "/_graft_clf_params", dim.toString)
+      path + "/_graft_clf_params", d.toString)
   }
 
   /** The training dim frozen in the store's params sidecar. Stores
@@ -192,8 +230,19 @@ object Classifier {
       graft.sources.Sidecar.readText(spark, path + "/_graft_clf_params").trim.toInt
     else DefaultDim
 
-  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Load a persisted model, re-stamping the frozen training dim from the
+    * params sidecar so a load → saveModel round trip (or a scoreWith at a
+    * wrong caller dim) keeps the drift protection of a freshly trained
+    * model. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    // pre-sidecar stores carry no frozen dim — leave them unstamped so a
+    // caller who KNOWS the legacy training dim can still score at it
+    if (graft.sources.Sidecar.exists(spark, path + "/_graft_clf_params"))
+      df.withColumn("feature",
+        col("feature").as("feature", dimMetadata(storedDim(spark, path))))
+    else df
+  }
 
   /** [[scoreWith]] against a persisted model store, scoring at the dim
     * the sidecar froze at train time — the safe store-side entry point

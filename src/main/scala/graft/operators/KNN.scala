@@ -147,44 +147,62 @@ object KNN {
     // are material (hot venues, grid-snapped devices), run the
     // expand-radius machine once per DISTINCT geometry and expand the
     // answers back over the coincident rows with one geometry-keyed join.
-    // Gated so an all-distinct left (the common case) pays nothing.
-    val nLeft = left.count()
-    if (nLeft >= 4096) {
+    // The probe rides the SAME scalar aggregation the core needs anyway
+    // (count + bbox + approx_count_distinct in one pass), so the gate
+    // costs no extra Spark action in the common all-distinct case; the
+    // 25% threshold is a perf heuristic, so the ~5% rsd of the approx
+    // distinct count only shifts WHICH borderline inputs collapse, never
+    // what any of them return.
+    val (lStats, approxSites) = sideStats(left, leftGeom, withDistinct = true)
+    if (lStats.n >= 4096 && approxSites * 4 < lStats.n * 3) { // > ~25% dups
       val sites = left.select(col(leftGeom)).distinct().localCheckpoint()
-      val nSites = sites.count()
-      if (nSites * 4 < nLeft * 3) { // > 25% duplicate rows
-        val keyed = sites.withColumn("__knn_site", monotonically_increasing_id())
-        val siteOut = knnJoinCore(keyed, right, leftGeom, rightGeom,
-          "__knn_site", k, distName, tieBreak)
-        // null-safe expansion: a null left geometry is its own site and
-        // inherits whatever the core emits for a null row (collapsed and
-        // uncollapsed paths must agree on the edge case)
-        return left.join(
-          siteOut.drop("__knn_site").withColumnRenamed(leftGeom, "__knn_sgeo"),
-          col(leftGeom) <=> col("__knn_sgeo")).drop("__knn_sgeo")
-      }
-    }
-    knnJoinCore(left, right, leftGeom, rightGeom, leftId, k, distName, tieBreak)
+      val keyed = sites.withColumn("__knn_site", monotonically_increasing_id())
+      val siteOut = knnJoinCore(keyed, right, leftGeom, rightGeom,
+        "__knn_site", k, distName, tieBreak)
+      // null-safe expansion: a null left geometry is its own site and
+      // inherits whatever the core emits for a null row (collapsed and
+      // uncollapsed paths must agree on the edge case)
+      left.join(
+        siteOut.drop("__knn_site").withColumnRenamed(leftGeom, "__knn_sgeo"),
+        col(leftGeom) <=> col("__knn_sgeo")).drop("__knn_sgeo")
+    } else
+      knnJoinCore(left, right, leftGeom, rightGeom, leftId, k, distName,
+        tieBreak, leftStats = Some(lStats))
   }
 
-  /** The expand-radius machine behind [[knnJoin]] (see its scaladoc). */
+  /** Per-side scalars for the expand-radius machine: bbox, non-null count,
+    * largest single-geometry extent (floors the cell size so huge polygons
+    * stay under the st_cells guard), and optionally an approximate
+    * distinct-geometry count for the collapse gate — all in ONE scalar
+    * aggregation so the gate adds no extra pass over the side. */
+  private case class SideStats(x0: Double, x1: Double, y0: Double, y1: Double,
+                               n: Long, span: Double)
+
+  private def sideStats(df: DataFrame, geom: String,
+                        withDistinct: Boolean = false): (SideStats, Long) = {
+    val g = col(geom)
+    val base = Seq(min(stf.st_minx(g)), max(stf.st_maxx(g)),
+      min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g),
+      max(greatest(stf.st_maxx(g) - stf.st_minx(g),
+                   stf.st_maxy(g) - stf.st_miny(g))))
+    val aggs = if (withDistinct) base :+ approx_count_distinct(g) else base
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    if (r.isNullAt(0)) (SideStats(0d, 0d, 0d, 0d, 0L, 0d), 0L)
+    else (SideStats(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+            r.getDouble(3), r.getLong(4), r.getDouble(5)),
+          if (withDistinct) r.getLong(6) else 0L)
+  }
+
+  /** The expand-radius machine behind [[knnJoin]] (see its scaladoc).
+    * `leftStats` carries the scalars [[knnJoin]]'s gate already computed
+    * so the uncollapsed path re-plans no extra action on the left side. */
   private def knnJoinCore(left: DataFrame, right: DataFrame, leftGeom: String,
                           rightGeom: String, leftId: String, k: Int,
-                          distName: String, tieBreak: String): DataFrame = {
-
-    // per-side scalars: bbox, count, and the largest single-geometry extent
-    // (floors the cell size so huge polygons stay under the st_cells guard)
-    def stats(df: DataFrame, geom: String): (Double, Double, Double, Double, Long, Double) = {
-      val g = col(geom)
-      val r = df.agg(min(stf.st_minx(g)), max(stf.st_maxx(g)),
-        min(stf.st_miny(g)), max(stf.st_maxy(g)), count(g),
-        max(greatest(stf.st_maxx(g) - stf.st_minx(g), stf.st_maxy(g) - stf.st_miny(g)))).head()
-      if (r.isNullAt(0)) (0d, 0d, 0d, 0d, 0L, 0d)
-      else (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
-            r.getLong(4), r.getDouble(5))
-    }
-    val (lx0, lx1, ly0, ly1, lCount, lSpan) = stats(left, leftGeom)
-    val (rx0, rx1, ry0, ry1, rCount, rSpan) = stats(right, rightGeom)
+                          distName: String, tieBreak: String,
+                          leftStats: Option[SideStats] = None): DataFrame = {
+    val SideStats(lx0, lx1, ly0, ly1, lCount, lSpan) =
+      leftStats.getOrElse(sideStats(left, leftGeom)._1)
+    val SideStats(rx0, rx1, ry0, ry1, rCount, rSpan) = sideStats(right, rightGeom)._1
     if (lCount == 0L || rCount == 0L)
       return candidates(left.limit(0), right.limit(0), leftGeom, rightGeom, 1.0, 1.0, distName)
 

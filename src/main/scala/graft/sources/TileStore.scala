@@ -101,21 +101,35 @@ object TileStore {
   }
 
   /** Decode a stored pixel column back to the `array<long>` compute
-    * representation (identity for `long` stores and for stores predating
-    * the element sidecar). */
-  private def decodeData(spark: SparkSession, path: String,
-                         df: DataFrame): DataFrame =
-    storedElemType(spark, path) match {
+    * representation. The element type is derived from the parquet schema
+    * itself — `binary` ⇔ byte, `array<int>` ⇔ int, `array<long>` ⇔ long —
+    * never from the sidecar, so a crash between the data overwrite and
+    * the sidecar write cannot make a reader skip (or misapply) decoding:
+    * the store is self-describing. */
+  private def decodeData(df: DataFrame): DataFrame =
+    elemTypeOf(df.schema("data").dataType) match {
       case "byte" => df.withColumn("data", unpackBytes(col("data")))
       case "int" => df.withColumn("data", transform(col("data"), _.cast("long")))
       case "long" => df
     }
 
-  /** The store's pixel element type (`long` for pre-sidecar stores). */
+  private def elemTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType => "byte"
+      case ArrayType(IntegerType, _) => "int"
+      case ArrayType(LongType, _) => "long"
+      case other => throw new IllegalStateException(
+        s"TileStore: unrecognized pixel column type $other — not a tile store")
+    }
+  }
+
+  /** The store's pixel element type, derived from the data column's
+    * parquet type (the authoritative record — see [[decodeData]]). The
+    * `_graft_tile_elem` sidecar is still written as a human/tooling
+    * breadcrumb but is never load-bearing. */
   def storedElemType(spark: SparkSession, path: String): String =
-    if (Sidecar.exists(spark, s"$path/$ElemSidecar"))
-      Sidecar.readText(spark, s"$path/$ElemSidecar").trim
-    else "long"
+    elemTypeOf(spark.read.parquet(path).schema("data").dataType)
 
   /** Save tiles as parquet partitioned by the anchor's grid cell; one file
     * per cell directory (repartition before write — essential at scale).
@@ -135,12 +149,14 @@ object TileStore {
       .write.mode("overwrite")
       .partitionBy("part_tcx", "part_tcy")
       .parquet(path)
+    // breadcrumb only: readers derive the element type from the parquet
+    // schema (self-describing), so a crash before this line leaves a
+    // fully readable store, not a long-misread byte store
     Sidecar.writeText(tiles.sparkSession, s"$path/$ElemSidecar", elementType)
   }
 
   def load(spark: SparkSession, path: String): DataFrame =
-    decodeData(spark, path,
-      spark.read.parquet(path).drop("part_tcx", "part_tcy"))
+    decodeData(spark.read.parquet(path).drop("part_tcx", "part_tcy"))
 
   /**
    * Load only tiles whose extent STRICTLY overlaps the query box (positive
@@ -160,7 +176,7 @@ object TileStore {
     val cy1 = math.floor((y1 + maxTileSpan) / cellSize).toInt
     // decode AFTER the metadata-only filters: pruning and the extent
     // refine never touch the pixel column, whatever width it is stored at
-    decodeData(spark, path,
+    decodeData(
       spark.read.parquet(path)
         .filter(col("part_tcx") >= cx0 && col("part_tcx") <= cx1 &&
                 col("part_tcy") >= cy0 && col("part_tcy") <= cy1)

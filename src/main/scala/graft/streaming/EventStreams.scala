@@ -584,13 +584,22 @@ object EventStreams {
     // dim is frozen in the store's params sidecar at train time; scoring
     // under any other dim hashes features with a different mask than
     // training and silently yields wrong margins. Default (-1) = use the
-    // stored dim; an explicitly passed dim must match it.
-    val stored = graft.operators.Classifier.storedDim(docs.sparkSession, modelPath)
-    require(dim == -1 || dim == stored,
-      s"classifyLinear: caller dim $dim != training dim $stored frozen in " +
-      s"$modelPath/_graft_clf_params — score at the stored dim (omit dim)")
-    val model = graft.operators.Classifier.loadModel(docs.sparkSession, modelPath)
-    graft.operators.Classifier.scoreWith(docs, col(textColName), model, stored, tauE6)
+    // stored dim; an explicitly passed dim must match it. Stores predating
+    // the sidecar carry no frozen dim — there an EXPLICIT caller dim wins
+    // (the caller is the only record of the legacy training dim; re-save
+    // via Classifier.saveModel to freeze it), else DefaultDim.
+    val spark = docs.sparkSession
+    val d =
+      if (graft.sources.Sidecar.exists(spark, modelPath + "/_graft_clf_params")) {
+        val stored = graft.operators.Classifier.storedDim(spark, modelPath)
+        require(dim == -1 || dim == stored,
+          s"classifyLinear: caller dim $dim != training dim $stored frozen in " +
+          s"$modelPath/_graft_clf_params — score at the stored dim (omit dim)")
+        stored
+      } else if (dim > 0) dim
+      else graft.operators.Classifier.DefaultDim
+    val model = graft.operators.Classifier.loadModel(spark, modelPath)
+    graft.operators.Classifier.scoreWith(docs, col(textColName), model, d, tauE6)
   }
 
   /**
