@@ -750,6 +750,174 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // DBSCAN-definition invariants for the coincident-site COLLAPSE path
+    // (q20's machinery), checkable where the recursive-CTE oracle is
+    // quadratic — this row runs at sf1 in minutes while q20's DuckDB
+    // replay cannot. The q92/q99/q197 pattern: Spark computes each clause
+    // of the definition into a boolean the oracle pins TRUE.
+    //  - totality: exactly one output row per input point;
+    //  - count_match: an INDEPENDENT point-level neighbor count (the
+    //    uncollapsed 3×3-cell self-join — the pre-r9 kernel) equals the
+    //    weighted site count the collapse substitutes for it, per point;
+    //  - core_flag: is_core ⇔ point-level count >= minPts;
+    //  - site_consistent: coincident points share (cluster_id, is_core);
+    //  - min_core_id: every cluster id == min id of its core members,
+    //    and every non-noise cluster has a core member;
+    //  - core_edge: every core-core eps-pair shares a label (min AND max
+    //    neighbor-core label == own label — no split components);
+    //  - border_rule: every non-core point's label == min label over its
+    //    core eps-neighbors, -1 (noise) when it has none.
+    "q214_dbscan_invariants" -> ((s, dir) => {
+      val eps = 32.0; val minPts = 5; val eps2 = eps * eps
+      import org.apache.spark.sql.Column
+      val c = Tables.customerPts(s, dir)
+        .select(col("c_custkey").cast("long").as("id"), col("cx"), col("cy"))
+        .localCheckpoint()
+      val out = DBSCAN.model(c, col("id"), col("cx"), col("cy"), eps, minPts)
+        .localCheckpoint()
+      val nPts = c.count()
+      val totalityOk = out.count() == nPts &&
+        out.select(col("id")).distinct().count() == nPts &&
+        out.select(col("id")).join(c.select(col("id")), Seq("id"), "left_anti").isEmpty
+      def cellK(x: Column, y: Column, dx: Int, dy: Int): Column =
+        (floor(x / eps).cast("long") + dx) * 4294967296L +
+          (floor(y / eps).cast("long") + dy)
+      def haloCells(x: Column, y: Column): Column = array(
+        (for (dx <- -1 to 1; dy <- -1 to 1) yield cellK(x, y, dx, dy)): _*)
+      val d2 = (col("cx") - col("hx")) * (col("cx") - col("hx")) +
+               (col("cy") - col("hy")) * (col("cy") - col("hy"))
+      val owned = c.withColumn("__cell", cellK(col("cx"), col("cy"), 0, 0))
+      // point-level count: every point against every point (the collapse
+      // is exactly the claim this recomputation checks)
+      val haloPts = c.select(col("cx").as("hx"), col("cy").as("hy"))
+        .withColumn("__cell", explode(haloCells(col("hx"), col("hy"))))
+      val nbrPoint = owned.join(haloPts, "__cell").filter(d2 <= eps2)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_point"))
+      // weighted site count: the collapse algebra, recomputed in-query
+      val sites = c.groupBy(col("cx").as("sx"), col("cy").as("sy"))
+        .agg(count(lit(1)).as("w")).localCheckpoint()
+      val haloSites = sites.select(col("sx").as("hx"), col("sy").as("hy"), col("w"))
+        .withColumn("__cell", explode(haloCells(col("hx"), col("hy"))))
+      val nbrSite = owned.join(haloSites, "__cell").filter(d2 <= eps2)
+        .groupBy(col("id")).agg(sum(col("w")).as("n_site"))
+      val joined = out
+        .join(nbrPoint, Seq("id"), "left").join(nbrSite, Seq("id"), "left")
+        .select(col("id"), col("x"), col("y"), col("cluster_id"), col("is_core"),
+          coalesce(col("n_point"), lit(0L)).as("n_point"),
+          coalesce(col("n_site"), lit(0L)).as("n_site"))
+        .localCheckpoint()
+      def allTrue(df: DataFrame, flag: Column): Boolean = {
+        // empty set => vacuously true (e.g. at sf0.1 every point is core,
+        // so the border clause quantifies over nothing); a null flag on a
+        // NON-empty set is a failure, never silently ignored by min()
+        val r = df.agg(min(coalesce(flag, lit(false))), count(lit(1))).head()
+        r.getLong(1) == 0L || r.getBoolean(0)
+      }
+      val countMatchOk = allTrue(joined, col("n_point") === col("n_site"))
+      val coreFlagOk = allTrue(joined, col("is_core") === (col("n_point") >= minPts))
+      val siteConsistentOk = allTrue(
+        joined.groupBy(col("x"), col("y"))
+          .agg(countDistinct(col("cluster_id")).as("nc"),
+               countDistinct(col("is_core")).as("nk")),
+        col("nc") === 1 && col("nk") === 1)
+      val minCoreIdOk = allTrue(
+        joined.filter(col("is_core")).groupBy(col("cluster_id"))
+          .agg(min(col("id")).as("mi")),
+        col("mi") === col("cluster_id")) &&
+        joined.filter(col("cluster_id") =!= -1L).select(col("cluster_id")).distinct()
+          .join(joined.filter(col("is_core")).select(col("cluster_id")).distinct(),
+            Seq("cluster_id"), "left_anti").isEmpty
+      // per-point min/max label over core eps-neighbors (site-level halo —
+      // labels are site-consistent, checked above)
+      val coreSites = joined.filter(col("is_core"))
+        .groupBy(col("x").as("hx"), col("y").as("hy"))
+        .agg(min(col("cluster_id")).as("hcid"))
+      val coreNbr = owned.join(
+          coreSites.withColumn("__cell", explode(haloCells(col("hx"), col("hy")))),
+          "__cell").filter(d2 <= eps2)
+        .groupBy(col("id"))
+        .agg(min(col("hcid")).as("min_cid"), max(col("hcid")).as("max_cid"))
+      val flagged = joined.join(coreNbr, Seq("id"), "left")
+      val coreEdgeOk = allTrue(flagged.filter(col("is_core")),
+        col("min_cid") === col("cluster_id") && col("max_cid") === col("cluster_id"))
+      val borderRuleOk = allTrue(flagged.filter(!col("is_core")),
+        col("cluster_id") === coalesce(col("min_cid"), lit(-1L)))
+      import s.implicits._
+      Seq((nPts, totalityOk, countMatchOk, coreFlagOk, siteConsistentOk,
+          minCoreIdOk, coreEdgeOk, borderRuleOk))
+        .toDF("n_points", "totality_ok", "count_match_ok", "core_flag_ok",
+          "site_consistent_ok", "min_core_id_ok", "core_edge_ok", "border_rule_ok")
+    }),
+
+    // connected-components invariants for q195's site-collapsed proximity
+    // CC — the same sf1 story: the min-label-closure oracle is quadratic,
+    // so the definition is checked clause by clause at scale instead.
+    //  - totality: one component per customer;
+    //  - label_is_min_member: each component id == min member id (which
+    //    also makes the label a member of its own component);
+    //  - edge_consistent: every (point, site) pair within the proximity
+    //    distance agrees on the component — point-level left side, so the
+    //    site collapse's "site connectivity == point connectivity" claim
+    //    is what the check exercises (coincident points are covered by
+    //    the d=0 pair against their own site).
+    "q215_cc_invariants" -> ((s, dir) => {
+      val maxD = 25.0; val d2max = maxD * maxD
+      import org.apache.spark.sql.Column
+      val c = Tables.customerPts(s, dir)
+        .select(col("c_custkey").cast("long").as("id"), col("cx"), col("cy"))
+        .localCheckpoint()
+      val sites = c.groupBy(col("cx").as("sx"), col("cy").as("sy"))
+        .agg(min(col("id")).as("site_key"))
+        .withColumn("s_geo", stf.st_point(col("sx"), col("sy")))
+        .localCheckpoint()
+      val pairs = SpatialJoin.distanceJoin(
+          sites.select(col("site_key").as("a_key"), col("s_geo").as("a_geo")),
+          sites.select(col("site_key"), col("s_geo")),
+          col("a_geo"), col("s_geo"), maxDist = maxD, cellSize = 100.0)
+        .select(col("a_key").as("__a"), col("site_key").as("__b"))
+      val comps = ConnectedComponents.run(pairs)
+      val siteComp = sites.join(comps, col("site_key") === col("__id"))
+        .select(col("sx"), col("sy"), col("__comp"))
+      val labeled = c.join(siteComp,
+          col("cx") <=> col("sx") && col("cy") <=> col("sy"))
+        .select(col("id"), col("cx"), col("cy"), col("__comp").as("component"))
+        .localCheckpoint()
+      val nPts = c.count()
+      val totalityOk = labeled.count() == nPts &&
+        labeled.select(col("id")).distinct().count() == nPts
+      def allTrue(df: DataFrame, flag: Column): Boolean = {
+        // empty set => vacuously true (e.g. at sf0.1 every point is core,
+        // so the border clause quantifies over nothing); a null flag on a
+        // NON-empty set is a failure, never silently ignored by min()
+        val r = df.agg(min(coalesce(flag, lit(false))), count(lit(1))).head()
+        r.getLong(1) == 0L || r.getBoolean(0)
+      }
+      val labelMinOk = allTrue(
+        labeled.groupBy(col("component")).agg(min(col("id")).as("mi")),
+        col("mi") === col("component"))
+      // independent point-level edge check on the SAME exact predicate
+      // (d² <= maxD², integral coordinates): comp(point) == comp(site)
+      // for every in-range (point, site) pair
+      def cellK(x: Column, y: Column, dx: Int, dy: Int): Column =
+        (floor(x / maxD).cast("long") + dx) * 4294967296L +
+          (floor(y / maxD).cast("long") + dy)
+      val haloSites = siteComp
+        .select(col("sx").as("hx"), col("sy").as("hy"), col("__comp").as("hcomp"))
+        .withColumn("__cell", explode(array(
+          (for (dx <- -1 to 1; dy <- -1 to 1)
+            yield cellK(col("hx"), col("hy"), dx, dy)): _*)))
+      val edgeOk = allTrue(
+        labeled.withColumn("__cell", cellK(col("cx"), col("cy"), 0, 0))
+          .join(haloSites, "__cell")
+          .filter((col("cx") - col("hx")) * (col("cx") - col("hx")) +
+                  (col("cy") - col("hy")) * (col("cy") - col("hy")) <= d2max),
+        col("component") === col("hcomp"))
+      import s.implicits._
+      Seq((nPts, totalityOk, labelMinOk, edgeOk))
+        .toDF("n_points", "totality_ok", "label_is_min_member_ok",
+          "edge_consistent_ok")
+    }),
+
     // frozen WordPiece vocabulary store: segmentation from the store must
     // equal the live q174 path token-for-token (the stored vocab IS the
     // learned vocab; maxTokenLen rides the sidecar) — shares q174's
@@ -3443,6 +3611,20 @@ object SparkEntry {
        "CAST(100000 AS BIGINT) AS opq_floor_e6, " +
        "TRUE AS opq_beats_pq, TRUE AS opq_floor_ok " +
        "FROM embeddings WHERE vec_id < 20"),
+
+    // invariant rows for the collapse paths (q20/q195 at sf1, where the
+    // recursive label-closure oracles are quadratic): Spark computes each
+    // DBSCAN/CC definition clause into a boolean, the oracle pins all TRUE
+    // and replays the point count
+    "q214_dbscan_invariants" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_points, TRUE AS totality_ok, " +
+       "TRUE AS count_match_ok, TRUE AS core_flag_ok, " +
+       "TRUE AS site_consistent_ok, TRUE AS min_core_id_ok, " +
+       "TRUE AS core_edge_ok, TRUE AS border_rule_ok FROM customer"),
+    "q215_cc_invariants" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_points, TRUE AS totality_ok, " +
+       "TRUE AS label_is_min_member_ok, TRUE AS edge_consistent_ok " +
+       "FROM customer"),
 
     // invariant row (the q92/q99 pattern): Spark computes the PCA-16
     // cosine-NN recall on the planted-spectrum table into recall_ok; the
