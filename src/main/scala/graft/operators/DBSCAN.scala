@@ -262,27 +262,60 @@ object DBSCAN {
                dims: Int, eps: Double, minPts: Int): DataFrame = {
     requireVecDims(dims, eps)
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val eps2 = eps * eps
     val pts = df.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__v"))
     // coincident-site collapse, n-dim twin of [[model]]: identical SLICED
     // vectors share eps-neighborhoods, so the 3^d-halo kernel runs on
     // (site, multiplicity) and per-point labels expand back null-safely
-    val sites = pts.groupBy(col("__v"))
-      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__w"))
-    val owned = sites.withColumn("__cell", cellOfV(col("__v"), eps))
-    val halo = sites.withColumn("__off", explode(haloOffsets(dims)))
-      .withColumn("__cell", zip_with(cellOfV(col("__v"), eps), col("__off"), (c, o) => c + o))
-      .drop("__off")
-    val nbr = owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
-      .filter(graft.functions.stf.vec_dist2(col("l.__v"), col("r.__v")) <= eps2)
-      .select(col("l.__id").as("__a"), col("r.__id").as("__b"),
-        col("r.__w").as("__w"))
+    val sites = collapseSitesVec(pts)
+    val nbr = vecNeighborPairsWeighted(sites, dims, eps)
     val siteOut = labelPipeline(sites.select(col("__id"), col("__v")), nbr,
       minPts, keep = Seq(col("__v").as("v")))
     pts.join(siteOut.select(col("v"), col("cluster_id"), col("is_core")),
         pts("__v") <=> col("v"))
       .select(col("__id").as("id"), col("v"), col("cluster_id"), col("is_core"))
+  }
+
+  /** The n-dim coincident-site collapse — [[collapseSites]]' vector twin. */
+  private def collapseSitesVec(pts: DataFrame): DataFrame =
+    pts.groupBy(col("__v"))
+      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__w"))
+
+  /** [[neighborPairsWeighted]]'s n-dim twin: the 3^d-halo cell join over
+    * collapsed vector sites, right side carrying its multiplicity. */
+  private def vecNeighborPairsWeighted(sites: DataFrame, dims: Int,
+                                       eps: Double): DataFrame = {
+    val eps2 = eps * eps
+    val owned = sites.withColumn("__cell", cellOfV(col("__v"), eps))
+    val halo = sites.withColumn("__off", explode(haloOffsets(dims)))
+      .withColumn("__cell", zip_with(cellOfV(col("__v"), eps), col("__off"), (c, o) => c + o))
+      .drop("__off")
+    owned.as("l").join(halo.as("r"), col("l.__cell") === col("r.__cell"))
+      .filter(graft.functions.stf.vec_dist2(col("l.__v"), col("r.__v")) <= eps2)
+      .select(col("l.__id").as("__a"), col("r.__id").as("__b"),
+        col("r.__w").as("__w"))
+  }
+
+  // ---- plan-shape CI pins (PlanShapeSpec walks these lazily) ----
+
+  /** The collapsed weighted pair kernel shared by [[model]]/[[cluster]]
+    * and both eps-tuning histograms, exposed package-private so the
+    * plan-shape CI can pin the collapse structurally: the site
+    * aggregation must sit BELOW the pair join. A refactor reintroducing
+    * the point-level m² self-join fails PlanShapeSpec, not a 100 TB run. */
+  private[graft] def sitePairPlan(df: DataFrame, idCol: Column, xCol: Column,
+                                  yCol: Column, eps: Double): DataFrame =
+    neighborPairsWeighted(collapseSites(normPts(df, idCol, xCol, yCol)), eps)
+
+  /** [[sitePairPlan]]'s n-dim twin (the [[modelVec]] kernel). */
+  private[graft] def sitePairPlanVec(df: DataFrame, idCol: Column,
+                                     vecCol: Column, dims: Int,
+                                     eps: Double): DataFrame = {
+    requireVecDims(dims, eps)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val pts = df.select(idCol.cast("long").as("__id"),
+      slice(vecCol, 1, dims).as("__v"))
+    vecNeighborPairsWeighted(collapseSitesVec(pts), dims, eps)
   }
 
   /** [[predict]]'s n-dim twin: classify new vectors against a [[modelVec]]

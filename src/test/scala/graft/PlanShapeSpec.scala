@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.stf
 import graft.operators.{JoinPredicate, Pipeline, SpatialJoin, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
@@ -225,6 +226,79 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = formatted(m)
     assert(shuffleCount(m) == 1, plan)
     assert(plan.contains("HashAggregate"), plan) // map-side partial agg
+  }
+
+  // ---- coincident-site collapse pins (r9's scale insurance): every
+  // DBSCAN-family pair kernel must aggregate points into (site,
+  // multiplicity) BEFORE the self-join — a refactor reintroducing the
+  // point-level m² join (the pre-r9 shape: 2000 coincident points at one
+  // hot venue = 4M pairs per site) fails here, not on a 100 TB run. The
+  // walk is structural: every logical Join in the kernel plan must have
+  // an Aggregate below BOTH inputs.
+
+  private def everyJoinAboveAggregates(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    val plan = df.queryExecution.optimizedPlan
+    def hasAgg(p: LogicalPlan): Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAgg)
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"expected a pair join in the kernel plan:\n$plan")
+    joins.foreach { j =>
+      assert(hasAgg(j.left) && hasAgg(j.right),
+        s"pair join without a site aggregate below both sides (the " +
+        s"point-level m² shape):\n$plan")
+    }
+  }
+
+  test("dbscan 2-d pair kernel: site aggregation below the join, never a point self-join") {
+    val c = Tables.customerPts(spark, "/root/testdata/sf0.001")
+    everyJoinAboveAggregates(operators.DBSCAN.sitePairPlan(
+      c, col("c_custkey"), col("cx"), col("cy"), eps = 32.0))
+  }
+
+  test("dbscan vec pair kernel: site aggregation below the 3^d-halo join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    everyJoinAboveAggregates(operators.DBSCAN.sitePairPlanVec(
+      e, col("vec_id"), col("embedding"), dims = 3, eps = 0.5))
+  }
+
+  test("kdist histogram: every join in the returned plan sits above the site collapse") {
+    val c = Tables.customerPts(spark, "/root/testdata/sf0.001")
+    everyJoinAboveAggregates(operators.DBSCAN.kDistHistogram(
+      c, col("c_custkey"), col("cx"), col("cy"), bucketWidth = 8L, nBuckets = 16))
+  }
+
+  test("neighborhood histogram: every join in the returned plan sits above the site collapse") {
+    val c = Tables.customerPts(spark, "/root/testdata/sf0.001")
+    everyJoinAboveAggregates(operators.DBSCAN.neighborhoodHistogram(
+      c, col("c_custkey"), col("cx"), col("cy"), eps = 32.0, bucketWidth = 2L,
+      nBuckets = 16))
+  }
+
+  test("knnJoin: duplicate-heavy left activates the site collapse; distinct left does not") {
+    import spark.implicits._
+    // 4500 rows over 3 distinct geometries (>25% dups, >= 4096 rows)
+    val left = spark.range(4500)
+      .select(col("id").as("lid"),
+        stf.st_point((col("id") % 3).cast("double") * 100.0,
+                     (col("id") % 3).cast("double") * 100.0).as("lgeo"))
+    val right = spark.range(50)
+      .select(col("id").as("rid"),
+        stf.st_point(col("id").cast("double") * 7.0,
+                     col("id").cast("double") * 11.0).as("rgeo"))
+    val collapsed = operators.KNN.knnJoin(left, right, "lgeo", "rgeo", "lid",
+      k = 3, tieBreak = "rid")
+    // the returned plan is the geometry-keyed expansion join over the
+    // per-site answers — its marker column is the collapse's signature
+    assert(formatted(collapsed).contains("__knn_sgeo"),
+      s"collapse gate did not fire on a 3-site 4500-row left:\n${formatted(collapsed)}")
+    val distinctLeft = spark.range(100)
+      .select(col("id").as("lid"),
+        stf.st_point(col("id").cast("double"), col("id").cast("double")).as("lgeo"))
+    val plain = operators.KNN.knnJoin(distinctLeft, right, "lgeo", "rgeo", "lid",
+      k = 3, tieBreak = "rid")
+    assert(!formatted(plain).contains("__knn_sgeo"),
+      "collapse gate fired on an all-distinct small left")
   }
 
   test("quantile histogram: one sketch-sized exchange; percentile decode joins nothing") {
