@@ -849,6 +849,75 @@ object SparkEntry {
           "site_consistent_ok", "min_core_id_ok", "core_edge_ok", "border_rule_ok")
     }),
 
+    // trigram stupid-backoff fluency, live self-scored (Brants et al.
+    // 2007; the KenLM-style next order above q88's bigram LM): exact
+    // e6-integer branch scores, full SQL replay. Self-scoring always hits
+    // the seen branch; q218 exercises the backoff branches on held-out
+    // text.
+    "q217_fluency3" -> ((s, dir) => {
+      TextAnalysis.withTrigramFluency(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // trigram fluency from a SEGMENTED store, scored on HELD-OUT text:
+    // the model is the even half (grown as two disjoint appends — the
+    // q184 shard-count-then-merge shape extended to the trigram table),
+    // the scored set is the odd half, so unseen trigrams exercise the
+    // 0.4·B(w2,w3)/U(w2) backoff and unseen bigrams the 0.16·U(w3)/N
+    // floor — the oracle replays every branch.
+    "q218_fluency3_store" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("lm3seg", dir) { p =>
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 4 === 0),
+          col("text"), p, batchId = 0L)
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 4 === 2),
+          col("text"), p, batchId = 1L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextAnalysis.withTrigramFluencyIndexed(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // trigram-store takedown: %8==0 docs are forgotten via negative
+    // trigram/bigram/unigram segments; held-out scoring must equal a
+    // model built over the REMAINING even docs — which is exactly what
+    // the oracle replays (the q186 pattern at order 3).
+    "q219_fluency3_forget" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = storedOnce("lm3forget", dir) { p =>
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 4 === 0),
+          col("text"), p, batchId = 0L)
+        TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 4 === 2),
+          col("text"), p, batchId = 1L)
+        TextAnalysis.deleteFromLmStore(docs.filter(col("doc_id") % 8 === 0),
+          col("text"), p, batchId = 0L)
+        graft.sources.Sidecar.markComplete(s, p)
+      }
+      TextAnalysis.withTrigramFluencyIndexed(docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), path)
+        .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HIGH-DIMENSIONAL exact DBSCAN (the r9 verdict's dims-cap decision:
+    // lifted, not dismissed) — 16 of the embedding table's 64 dims
+    // through the pivot/triangle-inequality kernel (Voronoi cells over 16
+    // deterministic pivots, radius+eps replication, pivot-vector
+    // prefilter, exact vec_dist2 refine). The oracle replays the FULL
+    // clustering with the q156 recursive-CTE pattern at dims=16 — labels
+    // hash-exact, not an invariant row.
+    "q216_dbscan_highdim" -> ((s, dir) => {
+      DBSCAN.clusterVecPivot(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), dims = 16, eps = 0.45, minPts = 5,
+          numPivots = 16)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // connected-components invariants for q195's site-collapsed proximity
     // CC — the same sf1 story: the min-label-closure oracle is quadratic,
     // so the definition is checked clause by clause at scale instead.
@@ -3296,6 +3365,44 @@ object SparkEntry {
 
   private val fluencyOracleSql: String = fluencyOracleSqlFor("documents")
 
+  /** Trigram stupid-backoff replay (q217/q218/q219): model trained on the
+    * `modelCond` documents, scored on the `scoreCond` documents — the
+    * seen branch, the 0.4-bigram backoff and the 0.16-unigram floor all
+    * replayed in one CASE with the same e6 floor arithmetic. */
+  private def fluency3OracleSql(modelCond: String, scoreCond: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |m AS (SELECT * FROM d WHERE $modelCond),
+      |q AS (SELECT * FROM d WHERE $scoreCond),
+      |u AS (SELECT w, CAST(count(*) AS BIGINT) AS u
+      |      FROM (SELECT unnest(ws) AS w FROM m) GROUP BY w),
+      |nn AS (SELECT CAST(sum(u) AS BIGINT) AS n FROM u),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM
+      |  (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM m,
+      |   unnest(range(1, len(ws))) AS g(i)) GROUP BY 1, 2),
+      |tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS t FROM
+      |  (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 FROM m,
+      |   unnest(range(1, len(ws)-1)) AS g(i)) GROUP BY 1, 2, 3),
+      |qt AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+      |       FROM q, unnest(range(1, len(ws)-1)) AS g(i)),
+      |s1 AS (SELECT qt.doc_id,
+      |  CASE WHEN tc.t IS NOT NULL
+      |         THEN (tc.t*1000000 - (tc.t*1000000) % b12.b) // b12.b
+      |       WHEN b23.b IS NOT NULL
+      |         THEN (b23.b*400000 - (b23.b*400000) % u2.u) // u2.u
+      |       ELSE (COALESCE(u3.u,0)*160000 - (COALESCE(u3.u,0)*160000) % nn.n) // nn.n
+      |  END AS te
+      |  FROM qt LEFT JOIN tc ON qt.w1=tc.w1 AND qt.w2=tc.w2 AND qt.w3=tc.w3
+      |  LEFT JOIN bc b12 ON qt.w1=b12.w1 AND qt.w2=b12.w2
+      |  LEFT JOIN bc b23 ON qt.w2=b23.w1 AND qt.w3=b23.w2
+      |  LEFT JOIN u u2 ON qt.w2=u2.w
+      |  LEFT JOIN u u3 ON qt.w3=u3.w, nn),
+      |s AS (SELECT doc_id, CAST(sum(te) AS BIGINT) AS ts,
+      |      CAST(count(*) AS BIGINT) AS nt FROM s1 GROUP BY 1)
+      |SELECT d2.doc_id, COALESCE(nt, 0) AS n_trigrams,
+      |       COALESCE((ts - ts % nt) // nt, 0) AS fluency3_e6
+      |FROM (SELECT doc_id FROM documents WHERE $scoreCond) d2
+      |LEFT JOIN s USING (doc_id) ORDER BY d2.doc_id""".stripMargin
+
   /** q25 = q98 (tree-refined path must match the declarative plan):
     * tile frames intersecting each nation rect. */
   private def rasterVectorJoinOracleSql: String =
@@ -3899,6 +4006,36 @@ object SparkEntry {
       val eps2 = 0.05 * 0.05
       val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,3)])"
       "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e FROM embeddings), " +
+      s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
+      "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+      "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
+      "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
+      "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
+      "border AS (SELECT n.ka AS k, min(c.cid) AS cid FROM adj n JOIN clus c ON n.kb = c.k " +
+      "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka) " +
+      "SELECT p.vec_id, COALESCE(cl.cid, b.cid, -1) AS cluster_id, " +
+      "cl.k IS NOT NULL AS is_core " +
+      "FROM v p LEFT JOIN clus cl ON cl.k = p.vec_id LEFT JOIN border b ON b.k = p.vec_id " +
+      "ORDER BY p.vec_id"
+    },
+
+    // trigram stupid-backoff full replays: live self-scored (every
+    // instance hits the seen branch), held-out against the segmented
+    // even-half model (all three branches), and post-takedown (model =
+    // remaining evens — the negative segments must cancel exactly)
+    "q217_fluency3" -> fluency3OracleSql("TRUE", "TRUE"),
+    "q218_fluency3_store" ->
+      fluency3OracleSql("doc_id % 2 = 0", "doc_id % 2 = 1"),
+    "q219_fluency3_forget" ->
+      fluency3OracleSql("doc_id % 2 = 0 AND doc_id % 8 <> 0", "doc_id % 2 = 1"),
+
+    // high-dim pivot kernel: the same full recursive replay at dims=16 —
+    // candidate generation differs (pivots vs 3^d grid), the label
+    // algebra and the exact predicate are identical
+    "q216_dbscan_highdim" -> {
+      val eps2 = 0.45 * 0.45
+      val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,16)])"
+      "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS e FROM embeddings), " +
       s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
       "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
       "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +

@@ -296,6 +296,182 @@ object DBSCAN {
         col("r.__w").as("__w"))
   }
 
+  /** [[modelVecPivot]] minus the model columns — the high-dimensional
+    * `clusterVec` that lifts the dims <= 4 grid cap. */
+  def clusterVecPivot(df: DataFrame, idCol: Column, vecCol: Column,
+                      dims: Int, eps: Double, minPts: Int,
+                      numPivots: Int = 16): DataFrame =
+    modelVecPivot(df, idCol, vecCol, dims, eps, minPts, numPivots)
+      .select(col("id"), col("cluster_id"), col("is_core"))
+
+  /**
+   * High-dimensional DBSCAN — the EXACT pivot/triangle-inequality kernel
+   * that lifts [[clusterVec]]'s dims <= 4 cap (the 3^d halo is the wrong
+   * tool past d=4: 3^16 replicas per site). Same semantics, same
+   * [[labelPipeline]] back half, same coincident-site collapse; only
+   * candidate GENERATION differs:
+   *
+   *  1. `numPivots` pivot vectors are chosen deterministically (the
+   *     non-null sites with the smallest ids — ids are uncorrelated with
+   *     position in vector space, so this is the standard random-pivot
+   *     sample, reproducibly);
+   *  2. every site computes its distance to every pivot (a broadcast-
+   *     literal expression: numPivots · dims multiplications per site,
+   *     map-side, codegen'd) and is OWNED by its nearest pivot (min
+   *     distance, ties to the lowest pivot index) — Voronoi cells;
+   *  3. cell j's radius r_j = max distance of its members to pivot j (one
+   *     numPivots-row aggregation); a site `a` is REPLICATED into every
+   *     cell j with d(a, p_j) <= r_j + eps — by the triangle inequality
+   *     that catches every b owned by j with d(a, b) <= eps;
+   *  4. within each cell, sites bucket into eps-wide RINGS by pivot
+   *     distance (a 1-d grid on d(·, p_j)): a true pair's pivot distances
+   *     differ by at most eps, so replicas go to rings ±1 and ONE
+   *     equi-join on (cell, ring, salt) meets every ordered eps-pair
+   *     exactly once (in the owner cell+ring of b). Candidates then pass
+   *     a scalar triangle check and the exact refine. Every prefilter
+   *     carries a 1e-9 relative slack so float rounding can only ADMIT an
+   *     extra candidate, never drop a true pair; membership itself is
+   *     decided by the same exact `vec_dist2 <= eps²` predicate as
+   *     [[clusterVec]], so an SQL oracle replays the result bit-for-bit.
+   *
+   * Scale: pivots and radii are driver-bounded (numPivots rows,
+   * numPivots·dims floats); everything else is one equi-join whose
+   * replication factor is data-dependent (a site lands in every cell
+   * whose Voronoi ball its eps-halo touches). The usual exact-density
+   * caveat applies unchanged: an eps-ball holding m distinct sites
+   * yields m² exact pairs whatever the index — same contract as the 2-d
+   * kernel's hot cell, mitigated by the same coincident-site collapse.
+   */
+  def modelVecPivot(df: DataFrame, idCol: Column, vecCol: Column,
+                    dims: Int, eps: Double, minPts: Int,
+                    numPivots: Int = 16): DataFrame = {
+    require(dims >= 1 && dims <= 1024, s"dims ($dims) must be in [1, 1024]")
+    require(eps > 0, s"eps must be positive, got $eps")
+    require(minPts > 0, s"minPts must be positive, got $minPts")
+    require(numPivots >= 1 && numPivots <= 256,
+      s"numPivots ($numPivots) must be in [1, 256] (pivots broadcast to every task)")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val eps2 = eps * eps
+    // prefilter-only slack: admits candidates, never decides membership
+    val slackEps = eps * (1 + 1e-9) + 1e-12
+    val pts = df.select(idCol.cast("long").as("__id"),
+      slice(vecCol, 1, dims).as("__v"))
+    val sites = collapseSitesVec(pts).localCheckpoint()
+    // Pivot choice only affects candidate VOLUME, never results (the
+    // exact refine decides membership) — but it decides whether Voronoi
+    // cells are tight. Greedy farthest-point (k-center) on a bounded
+    // deterministic sample: ids are uncorrelated with position, so the
+    // smallest-id sites are a uniform position sample; k-center then
+    // spreads the pivots so no cell's radius spans the whole space (a
+    // min-id-only pivot set can land every pivot inside one dense blob,
+    // whereupon every site replicates into every cell — the m·P
+    // worst case this pass exists to avoid). One Spark pass; the
+    // k-center loop runs on the driver over <= 4096 sampled vectors.
+    // bounded collect: <= 4096 rows × dims floats
+    val sample: Array[Array[Double]] = sites.filter(col("__v").isNotNull)
+      .orderBy(col("__id")).limit(math.max(numPivots, 4096))
+      .select(col("__v")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val pivots: Array[Seq[Float]] = kCenter(sample, numPivots)
+      .map(_.map(_.toFloat).toSeq)
+    val emptyNbr = sites.select(col("__id").as("__a"), col("__id").as("__b"),
+      lit(1L).as("__w")).limit(0)
+    val nbr = if (pivots.isEmpty) emptyNbr else {
+      val pdArr = array(pivots.toSeq.map(p =>
+        sqrt(graft.functions.stf.vec_dist2(col("__v"), typedlit(p)))): _*)
+      val withPd = sites
+        .withColumn("__pd", pdArr)
+        .withColumn("__own",
+          (array_position(col("__pd"), array_min(col("__pd"))) - 1).cast("int"))
+        .localCheckpoint() // pivot distances feed radii + both join sides
+      // bounded collect: <= numPivots rows (cell id, radius)
+      val radMap = withPd.filter(col("__own").isNotNull).groupBy(col("__own"))
+        .agg(max(element_at(col("__pd"), col("__own") + 1)).as("__r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // empty cells never host candidates — replicate nothing into them
+      val radii: Seq[Double] =
+        Seq.tabulate(pivots.length)(j => radMap.getOrElse(j, -1e300))
+      // The join key is (cell, RING, salt):
+      //  - RING = floor(d(·, p_cell) / eps) buckets each Voronoi cell by
+      //    pivot distance; a true pair satisfies |d(a,p) − d(b,p)| <= eps,
+      //    so a replica only needs b's ring ±1 — this is what actually
+      //    prunes in high dimension, where distance CONCENTRATION makes
+      //    the radius bound admit nearly every (site, cell) combination
+      //    (all pivot distances look alike, so r_j + eps excludes little);
+      //  - SALT spreads each (cell, ring) key across tasks — without it
+      //    the join has few distinct keys and a dense bucket (the ANN
+      //    tables' 5000-vector hot cluster) funnels through ONE task.
+      //    Replicas carry a hash salt; the OWNED side (one row per site —
+      //    far cheaper to duplicate than the ring-exploded replicas) is
+      //    replicated across all salts, so each (a, b) pair still meets
+      //    exactly once, in (cell(b), ring(b), salt(a)).
+      // Per-pair refinement is the cheap codegen'd pair: a scalar
+      // triangle check on the cell pivot, then the exact vec_dist2.
+      val nSalt = sites.sparkSession.sparkContext.defaultParallelism * 2
+      val admitted = filter(sequence(lit(0), lit(pivots.length - 1)),
+        j => element_at(col("__pda"), j + 1) <=
+          element_at(typedlit(radii), j + 1) + lit(slackEps))
+      val cellRings = flatten(transform(admitted, j => {
+        val r0 = floor(element_at(col("__pda"), j + 1) / lit(eps)).cast("long")
+        array(struct(j.as("c"), (r0 - 1).as("r")),
+              struct(j.as("c"), r0.as("r")),
+              struct(j.as("c"), (r0 + 1).as("r")))
+      }))
+      val replicas = withPd
+        .select(col("__id").as("__ra"), col("__v").as("__va"),
+          col("__pd").as("__pda"))
+        .withColumn("__cr", explode(cellRings))
+        .withColumn("__cell", col("__cr.c")).withColumn("__ring", col("__cr.r"))
+        .drop("__cr")
+        .withColumn("__salt", pmod(xxhash64(col("__ra")), lit(nSalt.toLong)).cast("int"))
+      val owned = withPd.select(col("__own").as("__cell"),
+        col("__id").as("__b"), col("__w"), col("__v").as("__vb"),
+        col("__pd").as("__pdb"))
+        .withColumn("__ring",
+          floor(element_at(col("__pdb"), col("__cell") + 1) / lit(eps)).cast("long"))
+        .withColumn("__salt", explode(sequence(lit(0), lit(nSalt - 1))))
+      replicas.join(owned, Seq("__cell", "__ring", "__salt"))
+        .filter(abs(element_at(col("__pda"), col("__cell") + 1) -
+                    element_at(col("__pdb"), col("__cell") + 1)) <= lit(slackEps))
+        .filter(graft.functions.stf.vec_dist2(col("__va"), col("__vb")) <= lit(eps2))
+        .select(col("__ra").as("__a"), col("__b"), col("__w"))
+    }
+    val siteOut = labelPipeline(sites.select(col("__id"), col("__v")), nbr,
+      minPts, keep = Seq(col("__v").as("v")))
+    pts.join(siteOut.select(col("v"), col("cluster_id"), col("is_core")),
+        pts("__v") <=> col("v"))
+      .select(col("__id").as("id"), col("v"), col("cluster_id"), col("is_core"))
+  }
+
+  /** Greedy farthest-point traversal (the classic 2-approximation
+    * k-center): start from the first sample row (the min-id site —
+    * deterministic), repeatedly take the point farthest from the chosen
+    * set. Driver-side over the bounded sample; O(sample × k × dims). */
+  private def kCenter(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array.empty
+    val n = sample.length
+    val minD = Array.fill(n)(Double.MaxValue)
+    val out = scala.collection.mutable.ArrayBuffer(sample(0))
+    var last = sample(0)
+    while (out.length < math.min(k, n)) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        var s = 0.0; var j = 0
+        while (j < last.length) {
+          val d = sample(i)(j) - last(j); s += d * d; j += 1
+        }
+        if (s < minD(i)) minD(i) = s
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      if (bestD <= 0.0) return out.toArray // all remaining coincide with chosen
+      last = sample(best)
+      out += last
+    }
+    out.toArray
+  }
+
   // ---- plan-shape CI pins (PlanShapeSpec walks these lazily) ----
 
   /** The collapsed weighted pair kernel shared by [[model]]/[[cluster]]

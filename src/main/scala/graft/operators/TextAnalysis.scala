@@ -580,6 +580,12 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
       .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
       .write.mode("overwrite").parquet(path + "/bigrams")
+    toks.select(explode(triples(ws)).as("__lm_p"))
+      .select(col("__lm_p.w1").as("w1"), col("__lm_p.w2").as("w2"),
+        col("__lm_p.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("t"))
+      .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+      .write.mode("overwrite").parquet(path + "/trigrams")
     val v = spark.read.parquet(path + "/unigrams").count()
     graft.sources.Sidecar.writeText(spark, path + "/_graft_lm_stats", v.toString)
     graft.sources.Sidecar.markComplete(spark, path)
@@ -621,6 +627,12 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
       .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
       .write.mode("overwrite").parquet(s"$path/bigrams/batch_id=$batchId")
+    toks.select(explode(triples(ws)).as("__lm_p"))
+      .select(col("__lm_p.w1").as("w1"), col("__lm_p.w2").as("w2"),
+        col("__lm_p.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("t"))
+      .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+      .write.mode("overwrite").parquet(s"$path/trigrams/batch_id=$batchId")
     releaseCheckpoint(toks)
   }
 
@@ -668,6 +680,12 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg((-count(lit(1))).as("b"))
       .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
       .write.mode("overwrite").parquet(s"$path/bigrams/batch_id=$segId")
+    toks.select(explode(triples(ws)).as("__lm_p"))
+      .select(col("__lm_p.w1").as("w1"), col("__lm_p.w2").as("w2"),
+        col("__lm_p.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg((-count(lit(1))).as("t"))
+      .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+      .write.mode("overwrite").parquet(s"$path/trigrams/batch_id=$segId")
     releaseCheckpoint(toks)
   }
 
@@ -698,6 +716,15 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(sum(col("b")).as("b")).filter(col("b") > 0)
       .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
       .write.mode("overwrite").parquet(s"$tmp/bigrams/batch_id=$CompactSegId")
+    // pre-trigram stores compact without a trigram table (and keep
+    // refusing trigram scoring); trigram-capable stores carry it forward
+    val triP = new org.apache.hadoop.fs.Path(path + "/trigrams")
+    if (triP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(triP))
+      spark.read.parquet(path + "/trigrams")
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("t")).as("t")).filter(col("t") > 0)
+        .repartitionByRange(col("w1")).sortWithinPartitions(col("w1"))
+        .write.mode("overwrite").parquet(s"$tmp/trigrams/batch_id=$CompactSegId")
     graft.sources.Sidecar.markComplete(spark, tmp)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
@@ -779,6 +806,182 @@ object TextAnalysis {
     df.join(scored, idCol === col("__bf_id"), "left")
       .drop("__bf_id")
       .na.fill(0L, Seq("n_bigrams", "fluency_e6"))
+  }
+
+  // ---- trigram stupid-backoff fluency (the KenLM-style next tier) ----
+
+  /** The `(w1, w2, w3)` struct array of a token array — trigrams never
+    * cross document boundaries, same as the bigram pair kernel. */
+  private def triples(ws: Column): Column = {
+    val n = size(ws)
+    val m = greatest(n - 2, lit(0))
+    zip_with(
+      zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(ws, lit(3), m),
+      (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
+        c.as("w3")))
+  }
+
+  /** Exact floored `(a·scale)/b` in DECIMAL(38,0) — the house e6 integer
+    * division, overflow-safe past int64 (trillion-token corpora). */
+  private def fdiv(a: Column, scale: Long, b: Column): Column = {
+    val A = a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * scale
+    val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    ((A - pmod(A, B)) / B).cast("long")
+  }
+
+  /**
+   * The shared trigram scorer: per trigram instance the STUPID-BACKOFF
+   * score (Brants et al. 2007, "Large Language Models in Machine
+   * Translation" — the web-scale LM smoothing, backoff factor 0.4),
+   *
+   *   S(w3|w1,w2) = T(w1w2w3)/B(w1w2)      if the trigram was seen
+   *               = 0.4 · B(w2w3)/U(w2)    else if the backoff bigram was
+   *               = 0.4² · U(w3)/N         otherwise (0 for unseen w3)
+   *
+   * in the house exact-integer form: every branch floors to e6
+   * (0.4·1e6 = 400000 and 0.16·1e6 = 160000 are exact integers, so the
+   * backoff weights stay rational), the document score is the floored
+   * mean over its trigram instances — no logs, no doubles, bit-for-bit
+   * SQL-replayable like [[withBigramFluency]].
+   *
+   * Scale shape: five token-keyed equi-joins against vocabulary-sized
+   * count tables (trigram/two bigram probes/two unigram probes) — all
+   * AQE-skew-splittable hash joins, never a window over a hot token; N
+   * rides a broadcast one-row cross join.
+   */
+  private def trigramScore(docTri: DataFrame, uni: DataFrame, bi: DataFrame,
+                           tri: DataFrame, nRow: DataFrame): DataFrame = {
+    val t = tri.select(col("w1").as("__tf_w1"), col("w2").as("__tf_w2"),
+      col("w3").as("__tf_w3"), col("t").as("__tf_t"))
+    val b12 = bi.select(col("w1").as("__tf_w1"), col("w2").as("__tf_w2"),
+      col("b").as("__tf_b12"))
+    val b23 = bi.select(col("w1").as("__tf_w2"), col("w2").as("__tf_w3"),
+      col("b").as("__tf_b23"))
+    val u2 = uni.select(col("w").as("__tf_w2"), col("u").as("__tf_u2"))
+    val u3 = uni.select(col("w").as("__tf_w3"), col("u").as("__tf_u3"))
+    docTri
+      .join(t, Seq("__tf_w1", "__tf_w2", "__tf_w3"), "left")
+      .join(b12, Seq("__tf_w1", "__tf_w2"), "left")
+      .join(b23, Seq("__tf_w2", "__tf_w3"), "left")
+      .join(u2, Seq("__tf_w2"), "left")
+      .join(u3, Seq("__tf_w3"), "left")
+      .crossJoin(broadcast(nRow))
+      .withColumn("__tf_s",
+        when(col("__tf_t").isNotNull, fdiv(col("__tf_t"), 1000000L, col("__tf_b12")))
+          .when(col("__tf_b23").isNotNull,
+            fdiv(col("__tf_b23"), 400000L, col("__tf_u2")))
+          .otherwise(fdiv(coalesce(col("__tf_u3"), lit(0L)), 160000L,
+            col("__tf_n"))))
+      .groupBy(col("__tf_id"))
+      .agg(sum(col("__tf_s")).as("__tf_ts"), count(lit(1)).as("n_trigrams"))
+      .withColumn("fluency3_e6",
+        ((col("__tf_ts") - pmod(col("__tf_ts"), col("n_trigrams"))) / col("n_trigrams"))
+          .cast("long"))
+      .select(col("__tf_id"), col("n_trigrams"), col("fluency3_e6"))
+  }
+
+  private def requireNoTrigramCols(df: DataFrame, op: String): Unit =
+    require(!df.columns.exists(c => c.toLowerCase.startsWith("__tf_") ||
+      c.equalsIgnoreCase("n_trigrams") || c.equalsIgnoreCase("fluency3_e6")),
+      s"$op: input must not contain __tf_* columns or the output names " +
+      "n_trigrams/fluency3_e6")
+
+  /**
+   * Trigram stupid-backoff fluency, self-scored on the input corpus —
+   * [[withBigramFluency]]'s next-order sibling (see [[trigramScore]] for
+   * the exact-integer backoff rule; when self-scoring, every observed
+   * trigram is in its own count table, so the seen branch always fires —
+   * the backoff branches matter when scoring held-out text through
+   * [[withTrigramFluencyIndexed]]).
+   *
+   * Adds `n_trigrams` and `fluency3_e6` (0 for docs shorter than 3
+   * tokens). CONTRACT: `idCol` non-null and unique.
+   */
+  def withTrigramFluency(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    requireNoTrigramCols(df, "withTrigramFluency")
+    val toks = df.select(idCol.as("__tf_id"), tokens(textCol).as("__tf_ws"))
+    val uni = toks.select(explode(col("__tf_ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u"))
+    val nRow = uni.agg(sum(col("u")).as("__tf_n"))
+    val ws = col("__tf_ws")
+    val n = size(ws)
+    val pairs = zip_with(
+      slice(ws, lit(1), greatest(n - 1, lit(0))),
+      slice(ws, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bi = toks.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+    val docTri = toks.select(col("__tf_id"), explode(triples(ws)).as("p"))
+      .select(col("__tf_id"), col("p.w1").as("__tf_w1"),
+        col("p.w2").as("__tf_w2"), col("p.w3").as("__tf_w3"))
+    val tri = docTri.groupBy(col("__tf_w1").as("w1"), col("__tf_w2").as("w2"),
+        col("__tf_w3").as("w3"))
+      .agg(count(lit(1)).as("t"))
+    val scored = trigramScore(docTri, uni, bi, tri, nRow)
+    df.join(scored, idCol === col("__tf_id"), "left")
+      .drop("__tf_id")
+      .na.fill(0L, Seq("n_trigrams", "fluency3_e6"))
+  }
+
+  /** Folded trigram model of a store: the [[loadLmModel]] tables plus the
+    * trigram counts and the total token count N as a one-row frame.
+    * Refuses a pre-trigram store loudly, and for SEGMENTED stores
+    * requires the trigram segments to cover exactly the unigram segments
+    * — a store appended to by a pre-trigram engine version would
+    * otherwise silently score with partial trigram mass. */
+  private[graft] def loadLmModel3(spark: org.apache.spark.sql.SparkSession,
+                                  path: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val triPath = new org.apache.hadoop.fs.Path(path + "/trigrams")
+    require(triPath.getFileSystem(hconf).exists(triPath),
+      s"trigram scoring needs a trigram-capable LM store; $path predates " +
+      "trigram counts — rebuild it (buildLmStore / re-append) with the " +
+      "current engine")
+    val (_, uni, bi) = loadLmModel(spark, path)
+    val triRaw = spark.read.parquet(path + "/trigrams")
+    val tri = triRaw.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("t")).as("t")).filter(col("t") > 0)
+    if (!graft.sources.Sidecar.exists(spark, path + "/_graft_lm_stats")) {
+      // segmented store: every unigram segment must have its trigram twin
+      val uniIds = spark.read.parquet(path + "/unigrams")
+        .select(col("batch_id")).distinct()
+      val triIds = triRaw.select(col("batch_id")).distinct()
+      require(uniIds.exceptAll(triIds).isEmpty && triIds.exceptAll(uniIds).isEmpty,
+        s"trigram segments of $path do not cover its unigram segments — " +
+        "some batches were appended by a pre-trigram engine; re-append or " +
+        "compact with the current engine")
+    }
+    val nRow = uni.agg(sum(col("u")).as("__tf_n"))
+    (uni, bi, tri, nRow)
+  }
+
+  /**
+   * [[withTrigramFluency]] against a FROZEN LM store — the held-out
+   * scoring path where the backoff branches do real work: unseen
+   * trigrams fall back to `0.4 · B(w2,w3)/U(w2)`, unseen backoff bigrams
+   * to `0.16 · U(w3)/N`, unseen words to 0. Scoring the training corpus
+   * itself reproduces the live operator exactly (every branch-1 hit).
+   * Same store layout/fold/takedown/compaction machinery as the bigram
+   * scorer — trigram counts are just a third count table.
+   *
+   * CONTRACT: `idCol` non-null and unique.
+   */
+  def withTrigramFluencyIndexed(df: DataFrame, idCol: Column, textCol: Column,
+                                path: String): DataFrame = {
+    requireNoTrigramCols(df, "withTrigramFluencyIndexed")
+    val (uni, bi, tri, nRow) = loadLmModel3(df.sparkSession, path)
+    val docTri = df.select(idCol.as("__tf_id"), tokens(textCol).as("__tf_ws"))
+      .select(col("__tf_id"), explode(triples(col("__tf_ws"))).as("p"))
+      .select(col("__tf_id"), col("p.w1").as("__tf_w1"),
+        col("p.w2").as("__tf_w2"), col("p.w3").as("__tf_w3"))
+    val scored = trigramScore(docTri, uni, bi, tri, nRow)
+    df.join(scored, idCol === col("__tf_id"), "left")
+      .drop("__tf_id")
+      .na.fill(0L, Seq("n_trigrams", "fluency3_e6"))
   }
 
   /**

@@ -274,6 +274,32 @@ object EventStreams {
       .start()
 
   /**
+   * [[scoreFluencyJoined]]'s trigram twin: stupid-backoff scoring of each
+   * arriving micro-batch against a FROZEN trigram-capable LM store
+   * ([[graft.operators.TextAnalysis.withTrigramFluencyIndexed]] — the
+   * same five count joins as batch, so scores are identical to the batch
+   * scorer on the same rows). Join-based by design: the trigram table is
+   * a strict superset of the bigram table's key space, so the broadcast
+   * route's row cap would bind even sooner here — per-batch output lands
+   * in its own `batch_id=` partition, replay-safe by layout.
+   */
+  def scoreFluency3Joined(docs: DataFrame, idColName: String,
+                          textColName: String, lmPath: String,
+                          outPath: String, checkpoint: String,
+                          minFluencyE6: Option[Long] = None)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.operators.TextAnalysis.withTrigramFluencyIndexed(
+          batch, col(idColName), col(textColName), lmPath)
+        minFluencyE6.fold(scored)(t => scored.filter(col("fluency3_e6") >= t))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /**
    * Ingest-time DSIR gate: score each incoming document against a FROZEN
    * [[graft.operators.Pipeline.buildDsirStore]] model — the data-selection
    * twin of [[scoreBm25Indexed]]/[[scoreFluencyIndexed]]. The bucket-ratio

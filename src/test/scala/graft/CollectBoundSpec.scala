@@ -34,6 +34,12 @@ class CollectBoundSpec extends AnyFunSuite {
     "Classifier.scala" -> Map(
       ".collect().foreach { r =>" -> 1,
     ),
+    // pivot k-center sample (<= 4096 rows x dims <= 1024 floats) and the
+    // per-cell radius table (<= numPivots rows) of the high-dim kernel
+    "DBSCAN.scala" -> Map(
+      ".select(col(\"__v\")).collect()" -> 1,
+      ".collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap" -> 1,
+    ),
     // quotient edges counted against the 4M bound first; GraphX fallback past it
     "ConnectedComponents.scala" -> Map(
       "unionFind(qEdges.as[(Long, Long)].collect().iterator).toDF(\"__lbl\", \"__comp\")" -> 1,

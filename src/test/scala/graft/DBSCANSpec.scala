@@ -254,6 +254,74 @@ class DBSCANSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterVecPivot == clusterVec on low-dim boundary-heavy grids (all pivot counts)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val pts = (0 until 60).map(i =>
+      (i.toLong, Array(rnd.nextInt(12).toFloat, rnd.nextInt(12).toFloat)))
+    val df = pts.toDF("id", "v")
+    val want = DBSCAN.clusterVec(df, col("id"), col("v"), dims = 2,
+        eps = 2.0, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // pivot counts below/at/above the site count — including the
+    // degenerate 1-pivot case (everything in one Voronoi cell)
+    for (p <- Seq(1, 4, 16, 256)) {
+      val got = DBSCAN.clusterVecPivot(df, col("id"), col("v"), dims = 2,
+          eps = 2.0, minPts = 3, numPivots = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == want, s"numPivots=$p: ${got -- want} / ${want -- got}")
+    }
+  }
+
+  test("clusterVecPivot dims=16: equals brute force; duplicates and null vectors handled") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 3) {
+      val base = (0 until 50).map(i =>
+        (i.toLong, Array.fill(16)((rnd.nextInt(8) / 4.0).toFloat)))
+      // plant coincident duplicates (the site collapse) + a null vector
+      val dups = (50 until 58).map(i => (i.toLong, base(i % 5)._2))
+      val pts = base ++ dups
+      val eps = 1.5; val minPts = 4
+      // brute reference in the exact arithmetic vec_dist2 uses
+      // (per-element double subtraction, index-order sum)
+      def d2(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+        }
+        s
+      }
+      val nbrs = pts.map { case (i, v) =>
+        i -> pts.filter { case (_, w) => d2(v, w) <= eps * eps }.map(_._1).toSet
+      }.toMap
+      val core = pts.map(_._1).filter(i => nbrs(i).size >= minPts).toSet
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        r
+      }
+      for (i <- core; j <- nbrs(i) if core(j)) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val cid = core.map(i => i -> core.filter(j => find(j) == find(i)).min).toMap
+      val want = (pts.map { case (i, _) =>
+        i -> (if (core(i)) cid(i)
+              else {
+                val cn = nbrs(i).filter(core)
+                if (cn.nonEmpty) cn.map(cid).min else -1L
+              })
+      } :+ (99L -> -1L)).toMap
+      val df = (pts :+ (99L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+      val got = DBSCAN.clusterVecPivot(df, col("id"), col("v"), dims = 16,
+          eps = eps, minPts = minPts, numPivots = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: ${got.toSet -- want.toSet}")
+    }
+  }
+
   test("predictVec: cores classify to their own label, far probe is noise") {
     import spark.implicits._
     val three = Seq(

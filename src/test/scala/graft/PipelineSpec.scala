@@ -211,6 +211,94 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.compactLmStore(spark, flat))
   }
 
+  test("trigram fluency: independent stupid-backoff replay, every branch exercised") {
+    import graft.operators.TextAnalysis
+    // model corpus; the scored docs then hit: a SEEN trigram ("the cat
+    // sat"), an unseen trigram whose backoff bigram is seen ("ran the
+    // cat" — "the cat" seen), an unseen bigram whose last unigram is
+    // seen ("zq sat"), and a fully unseen word ("qqq")
+    val model = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat down"))
+    val mdf = spark.createDataFrame(model).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm3").toString
+    TextAnalysis.appendLmBatch(mdf, col("text"), dir, batchId = 0L)
+    val test = Seq(
+      (10L, "the cat sat"),      // seen trigram: T=2, B12=3
+      (11L, "ran the cat"),      // unseen trigram, "the cat" seen: B23=3, U2("the")=3
+      (12L, "sat zq sat"),       // unseen everything w3="sat" seen: U3=3, N=10
+      (13L, "xx yy qqq"),        // fully unseen: 0
+      (14L, "ab"))               // too short: (0, 0)
+    val tdf = spark.createDataFrame(test).toDF("doc_id", "text")
+    val got = TextAnalysis.withTrigramFluencyIndexed(tdf, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // independent replay: N = 10 tokens, U(the)=3, U(cat)=3, U(sat)=2
+    assert(got(10L) == (1L, 2L * 1000000L / 3L))       // T/B12 = 2/3
+    assert(got(11L) == (1L, 3L * 400000L / 3L))        // 0.4 · B23/U2 = 0.4·3/3
+    assert(got(12L) == (1L, 2L * 160000L / 10L))       // 0.16 · U3/N = 0.16·2/10
+    assert(got(13L) == (1L, 0L))
+    assert(got(14L) == (0L, 0L))
+    // live self-score == indexed on the training corpus (seen branch only)
+    val live = TextAnalysis.withTrigramFluency(mdf, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = TextAnalysis.withTrigramFluencyIndexed(mdf, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == live)
+  }
+
+  test("trigram store lifecycle: takedown + compaction preserve scoring; pre-trigram store refuses") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("lm3life").toString
+    TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 0),
+      col("text"), dir, batchId = 0L)
+    TextAnalysis.appendLmBatch(docs.filter(col("doc_id") % 2 === 1),
+      col("text"), dir, batchId = 1L)
+    TextAnalysis.deleteFromLmStore(docs.filter(col("doc_id") % 7 === 3),
+      col("text"), dir, batchId = 0L)
+    val remaining = docs.filter(col("doc_id") % 7 =!= 3)
+    val want = TextAnalysis.withTrigramFluency(remaining, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = TextAnalysis.withTrigramFluencyIndexed(remaining, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    TextAnalysis.compactLmStore(spark, dir)
+    val compacted = TextAnalysis.withTrigramFluencyIndexed(remaining, col("doc_id"),
+        col("text"), dir)
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(compacted == want)
+    // a pre-trigram store (no trigrams table) refuses trigram scoring
+    // loudly — and a PARTIALLY trigram-capable one (a batch appended by a
+    // pre-trigram engine) refuses too
+    val old = java.nio.file.Files.createTempDirectory("lm3old").toString
+    TextAnalysis.appendLmBatch(docs.limit(20), col("text"), old, batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(old)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old + "/trigrams"), true)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.withTrigramFluencyIndexed(docs.limit(5), col("doc_id"),
+        col("text"), old)
+    }
+    assert(e.getMessage.contains("trigram"))
+    TextAnalysis.appendLmBatch(docs.limit(20), col("text"), old, batchId = 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(old + "/trigrams/batch_id=0"), true)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.withTrigramFluencyIndexed(docs.limit(5), col("doc_id"),
+        col("text"), old)
+    }
+    assert(e2.getMessage.contains("pre-trigram"))
+    // bigram scoring on the mutilated store is unaffected (layout-agnostic)
+    assert(TextAnalysis.withBigramFluencyIndexed(docs.limit(5), col("doc_id"),
+      col("text"), old).count() == 5)
+  }
+
   test("bigram fluency: independent replay on a hand corpus; garbage scores lower") {
     import graft.operators.TextAnalysis
     // hand corpus: doc 4 is a token salad of hapaxes, docs 1-3 share bigrams

@@ -1012,6 +1012,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == want.filter(_._2._2 >= cut).keySet)
   }
 
+  test("streaming trigram fluency: join scorer == batch stupid-backoff scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("lm3joined").toString
+    // model on the even half; the streamed odd half exercises the backoff
+    graft.operators.TextAnalysis.appendLmBatch(
+      docs.filter(col("doc_id") % 2 === 0), col("text"), dir, batchId = 0L)
+    val held = docs.filter(col("doc_id") % 2 === 1)
+    val want = graft.operators.TextAnalysis
+      .withTrigramFluencyIndexed(held, col("doc_id"), col("text"), dir)
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = held.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files.createTempDirectory("lm3joinout").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.scoreFluency3Joined(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, out,
+      java.nio.file.Files.createTempDirectory("lm3joinck").toString)
+    try {
+      input.addData(rows.take(50).toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.drop(50).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("windowed streaming HLL registers equal the batch registers per closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
