@@ -849,6 +849,54 @@ object SparkEntry {
           "site_consistent_ok", "min_core_id_ok", "core_edge_ok", "border_rule_ok")
     }),
 
+    // the GPT-2 byte↔unicode table itself (Radford et al. 2019
+    // encoder.py, public): 188 printable bytes self-map, the other 68 get
+    // 256+n in byte order (space → Ġ, newline → Ċ). The oracle REBUILDS
+    // the table from the same public rule in SQL — an independent replay
+    // of the byte-level tokenizer's foundation.
+    "q221_bpe_byte_table" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.byteEncoder.zipWithIndex.toSeq
+        .map { case (sym, b) => (b.toLong, sym.codePointAt(0).toLong, sym) }
+        .toDF("byte_val", "code_point", "symbol")
+        .orderBy(col("byte_val"))
+    }),
+
+    // byte-level BPE end-to-end through the FROZEN store (mode sidecar):
+    // learn 50 merges over byte symbols, freeze byteLevel=byte, segment
+    // every distinct word through applyBpeStored's mode detection. On
+    // this pure-ASCII corpus the byte table is the identity on every
+    // word byte, so the byte-level segmentation must EQUAL the
+    // char-level one — q177's full learn+apply replay is the oracle; the
+    // non-identity region of the table is pinned by q221 and the
+    // non-ASCII round trip by BpeSpec.
+    "q222_bpe_byte_segment" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val path = storedOnce("bpebytestore", dir)(p =>
+        Bpe.buildMergeStore(
+          Bpe.learnBpe(d, col("text"), numMerges = 50, byteLevel = true),
+          p, byteLevel = true))
+      require(Bpe.storedBpeMode(s, path) == "byte")
+      Bpe.segmentWords(d, col("text"), Bpe.loadMergeStore(s, path),
+          byteLevel = true)
+        .orderBy(col("word"))
+    }),
+
+    // DCT perceptual hash (pHash — the standard tier above q119's aHash):
+    // 512-segment resample, integer fixed-point DCT-II via the shared
+    // quarter-wave cosine table, sign-of-lower-median bits over the 64
+    // lowest frequencies, then the same pigeonhole hamming join. The
+    // oracle replays the WHOLE transform (the cosine table rides the SQL
+    // as a 1025-literal VALUES table — no trig in either engine).
+    "q220_media_phash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").withColumn("media",
+        repeat(md5(pmod(col("doc_id"), lit(50)).cast("string").cast("binary")),
+          (pmod(col("n_chars"), lit(4)) + 2).cast("int")).cast("binary"))
+      Multimodal.mediaPHashPairs(docs, col("doc_id"), col("media"),
+          maxHam = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // trigram stupid-backoff fluency, live self-scored (Brants et al.
     // 2007; the KenLM-style next order above q88's bigram LM): exact
     // e6-integer branch scores, full SQL replay. Self-scoring always hits
@@ -4017,6 +4065,51 @@ object SparkEntry {
       "cl.k IS NOT NULL AS is_core " +
       "FROM v p LEFT JOIN clus cl ON cl.k = p.vec_id LEFT JOIN border b ON b.k = p.vec_id " +
       "ORDER BY p.vec_id"
+    },
+
+    // independent SQL rebuild of the GPT-2 byte↔unicode construction:
+    // printable ranges self-map, the rest take 256+n by a row_number over
+    // the non-printable partition in byte order
+    "q221_bpe_byte_table" ->
+      ("WITH m AS (SELECT i AS byte, ((i BETWEEN 33 AND 126) OR (i BETWEEN 161 AND 172) " +
+       "OR (i BETWEEN 174 AND 255)) AS keep FROM generate_series(0, 255) t(i)), " +
+       "mp AS (SELECT byte, CASE WHEN keep THEN byte " +
+       "ELSE 255 + row_number() OVER (PARTITION BY keep ORDER BY byte) END AS cp FROM m) " +
+       "SELECT CAST(byte AS BIGINT) AS byte_val, CAST(cp AS BIGINT) AS code_point, " +
+       "chr(CAST(cp AS INT)) AS symbol FROM mp ORDER BY byte_val"),
+
+    // byte-level == char-level on a pure-ASCII corpus (the table is the
+    // identity there) ⇒ q177's full learn+segment replay
+    "q222_bpe_byte_segment" ->
+      Bpe.segmentStoreOracleSql("documents", "text", 10000, 50),
+
+    // full replay of the DCT pHash: the q119 payload -> 512 segment
+    // floor-divided means -> integer DCT through the SAME literal cosine
+    // table the Scala kernel uses (folded to 1025 quarter-wave entries by
+    // cos symmetry) -> sign-of-lower-median bits -> all-pairs hamming
+    "q220_media_phash" -> {
+      val cosTab = graft.operators.Multimodal.cosTabE6
+      "WITH m AS (SELECT doc_id, repeat(md5(CAST(doc_id % 50 AS VARCHAR)), CAST(n_chars%4+2 AS INT)) AS media FROM documents),\n" +
+      "seg AS (SELECT doc_id, (((i-1)*512) // len(media)) AS n, ascii(media[i:i]) AS v " +
+      "FROM m, unnest(generate_series(1, len(media))) AS g(i)),\n" +
+      "xs AS (SELECT doc_id, n, (sum(v)*1000000 - (sum(v)*1000000) % count(*)) // count(*) AS x " +
+      "FROM seg GROUP BY 1, 2),\n" +
+      "ct(j, c) AS (VALUES " +
+      cosTab.zipWithIndex.map { case (c, j) => s"($j, $c)" }.mkString(", ") + "),\n" +
+      "dct AS (SELECT doc_id, k, CAST(sum(c * x) AS BIGINT) AS coef " +
+      "FROM xs CROSS JOIN generate_series(1, 64) t(k) " +
+      "JOIN ct ON ct.j = least((k*(2*n+1)) % 2048, 2048 - (k*(2*n+1)) % 2048) " +
+      "GROUP BY 1, 2),\n" +
+      "med AS (SELECT doc_id, coef AS md FROM " +
+      "(SELECT doc_id, coef, row_number() OVER (PARTITION BY doc_id ORDER BY coef, k) AS rn FROM dct) WHERE rn = 32),\n" +
+      "p2(k, p) AS (VALUES " +
+      (1 to 64).map(k => s"($k, ${BigInt(1) << (k - 1)}::HUGEINT)").mkString(", ") + "),\n" +
+      "hs AS (SELECT dct.doc_id, sum(CASE WHEN coef > md THEN p ELSE 0::HUGEINT END) AS h " +
+      "FROM dct JOIN med USING (doc_id) JOIN p2 USING (k) GROUP BY 1),\n" +
+      s"sims AS (SELECT doc_id, CAST(CASE WHEN h >= ${BigInt(1) << 63}::HUGEINT " +
+      s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS sim FROM hs)\n" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sims a JOIN sims b " +
+      "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"
     },
 
     // trigram stupid-backoff full replays: live self-scored (every

@@ -35,6 +35,59 @@ object Bpe {
   private[graft] def initSymbols(word: String): Vector[String] =
     word.map(_.toString).toVector :+ EndOfWord
 
+  // ---- byte-level mode (the GPT-2 byte encoder) ----
+
+  /** The GPT-2 byte↔unicode table (Radford et al. 2019, encoder.py's
+    * `bytes_to_unicode` — public): the 188 "printable" bytes
+    * (33–126, 161–172, 174–255) map to their own code points; the other
+    * 68 (controls, space, DEL, soft hyphen …) map to 256+n in ascending
+    * byte order — hence space → 'Ġ' (U+0120) and newline → 'Ċ'. Byte-level
+    * BPE runs the SAME merge machinery over these one-char symbols, so
+    * ANY UTF-8 text tokenizes losslessly with a 256-symbol base alphabet:
+    * no unknown-token escape hatch needed, the real-pipeline property. */
+  private[graft] lazy val byteEncoder: Array[String] = {
+    val out = new Array[String](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val self = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+                 (b >= 174 && b <= 255)
+      if (self) out(b) = b.toChar.toString
+      else { out(b) = (256 + n).toChar.toString; n += 1 }
+    }
+    out
+  }
+
+  private[graft] lazy val byteDecoder: Map[Char, Int] =
+    byteEncoder.zipWithIndex.map { case (s, b) => s.charAt(0) -> b }.toMap
+
+  /** Word → one symbol per UTF-8 BYTE through [[byteEncoder]], then the
+    * marker — [[initSymbols]]' byte-level twin. A non-ASCII char becomes
+    * several byte symbols (é → Ã©), which merges can later re-fuse. */
+  private[graft] def initSymbolsBytes(word: String): Vector[String] = {
+    val bytes = word.getBytes("UTF-8")
+    bytes.iterator.map(b => byteEncoder(b & 0xff)).toVector :+ EndOfWord
+  }
+
+  private def initFor(byteLevel: Boolean): String => Vector[String] =
+    if (byteLevel) initSymbolsBytes else initSymbols
+
+  /** Inverse of byte-level segmentation: map every symbol char back
+    * through [[byteDecoder]] (markers stripped) and UTF-8-decode — the
+    * lossless round trip byte-level BPE exists for. Same marker contract
+    * as the char mode: text containing the literal '</w>' is out of
+    * contract. */
+  def decodeByteTokens(tokens: Seq[String]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    tokens.foreach { t =>
+      val body =
+        if (t == EndOfWord) ""
+        else if (t.endsWith(EndOfWord)) t.dropRight(EndOfWord.length)
+        else t
+      body.foreach(c => bos.write(byteDecoder(c)))
+    }
+    new String(bos.toByteArray, "UTF-8")
+  }
+
   /** Distributed word histogram: top `vocabWords` by (count desc, word) —
     * a map-side-combined groupBy then TakeOrdered, never a full sort.
     * Empty words (consecutive spaces) are excluded: their symbol sequence
@@ -55,9 +108,11 @@ object Bpe {
     * deterministic maximum, and rewrites the histogram. Stops early when
     * no pair remains. */
   private[graft] def learnMergesLocal(hist: Seq[(String, Long)],
-                                      numMerges: Int): Seq[(String, String)] = {
+                                      numMerges: Int,
+                                      init: String => Vector[String] = initSymbols)
+      : Seq[(String, String)] = {
     var words: Array[(Vector[String], Long)] =
-      hist.map { case (w, c) => (initSymbols(w), c) }.toArray
+      hist.map { case (w, c) => (init(w), c) }.toArray
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     while (round < numMerges) {
@@ -114,10 +169,11 @@ object Bpe {
    * same driver/executor split as DBSCAN.cluster and Skyline.
    */
   def learnBpe(df: DataFrame, textCol: Column, numMerges: Int,
-               vocabWords: Int = 10000): DataFrame = {
+               vocabWords: Int = 10000, byteLevel: Boolean = false): DataFrame = {
     require(numMerges > 0, s"learnBpe: numMerges must be positive, got $numMerges")
     require(vocabWords > 0, s"learnBpe: vocabWords must be positive, got $vocabWords")
-    val merges = learnMergesLocal(wordHistogram(df, textCol, vocabWords), numMerges)
+    val merges = learnMergesLocal(wordHistogram(df, textCol, vocabWords),
+      numMerges, initFor(byteLevel))
     val spark = df.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("merge_rank", org.apache.spark.sql.types.LongType, false),
@@ -132,8 +188,10 @@ object Bpe {
     * higher priority): repeatedly merge the best-ranked adjacent pair —
     * the GPT-2 application rule, deterministic for any input word
     * including words never seen in training. */
-  private[graft] def segmentWord(word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    var syms = initSymbols(word)
+  private[graft] def segmentWord(word: String, rank: Map[(String, String), Int],
+                                 init: String => Vector[String] = initSymbols)
+      : Seq[String] = {
+    var syms = init(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -173,15 +231,17 @@ object Bpe {
    * like any projection.
    */
   def applyBpe(df: DataFrame, textCol: Column, merges: Seq[(String, String)],
-               outName: String = "bpe_tokens"): DataFrame = {
+               outName: String = "bpe_tokens",
+               byteLevel: Boolean = false): DataFrame = {
     val rank = merges.zipWithIndex.toMap
     val bc = df.sparkSession.sparkContext.broadcast(rank)
+    val init = initFor(byteLevel)
     val seg = udf { (text: String) =>
       if (text == null) null
       else {
         val memo = Memo.get()
         text.split(" ", -1).iterator.flatMap { w =>
-          memo.getOrElseUpdate((bc.id, w), segmentWord(w, bc.value))
+          memo.getOrElseUpdate((bc.id, w), segmentWord(w, bc.value, init))
         }.toSeq
       }
     }
@@ -194,6 +254,14 @@ object Bpe {
     applyBpe(df, textCol,
       merges.orderBy(col("merge_rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** [[applyBpe]] taking the [[learnBpe]] output frame, byte-level. */
+  def applyBpeByteLevel(df: DataFrame, textCol: Column, merges: DataFrame,
+                        outName: String = "bpe_tokens"): DataFrame =
+    applyBpe(df, textCol,
+      merges.orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq,
+      outName, byteLevel = true)
 
   /** DuckDB replay of the FIRST merge decision (the argmax pair of the
     * initial char-symbol histogram) — the one round SQL can express
@@ -318,10 +386,12 @@ object Bpe {
     * of real tokenizer work (apply memoizes per word), and what
     * [[segmentStoreOracleSql]] replays symbol-for-symbol. */
   def segmentWords(df: DataFrame, textCol: Column,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)],
+                   byteLevel: Boolean = false): DataFrame = {
     val rank = merges.zipWithIndex.toMap
     val bc = df.sparkSession.sparkContext.broadcast(rank)
-    val seg = udf { (w: String) => segmentWord(w, bc.value).mkString(" ") }
+    val init = initFor(byteLevel)
+    val seg = udf { (w: String) => segmentWord(w, bc.value, init).mkString(" ") }
     df.select(explode(TextAnalysis.tokens(textCol)).as("word"))
       .filter(col("word") =!= "").distinct()
       .withColumn("seg", seg(col("word")))
@@ -331,11 +401,16 @@ object Bpe {
     * house staged-marker contract) — the training artifact a pipeline
     * freezes next to its corpus snapshot so every later ingest tokenizes
     * under the SAME vocabulary. */
-  def buildMergeStore(merges: DataFrame, path: String): Unit = {
+  def buildMergeStore(merges: DataFrame, path: String,
+                      byteLevel: Boolean = false): Unit = {
     val spark = merges.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
     merges.orderBy(col("merge_rank")).coalesce(1)
       .write.mode("overwrite").parquet(path + "/merges")
+    // freeze the symbol mode: applying a byte-level table char-level (or
+    // vice versa) silently produces a different segmentation
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_bpe_params",
+      if (byteLevel) "byte" else "char")
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
@@ -351,7 +426,16 @@ object Bpe {
   /** [[applyBpe]] against a FROZEN [[buildMergeStore]] — the serving
     * semantic: tokens stay identical across batches until the store is
     * retrained. */
+  /** The symbol mode frozen in a merge store ("char" for pre-param
+    * stores — every store predating byte-level was char-level). */
+  def storedBpeMode(spark: org.apache.spark.sql.SparkSession,
+                    path: String): String =
+    if (graft.sources.Sidecar.exists(spark, path + "/_graft_bpe_params"))
+      graft.sources.Sidecar.readText(spark, path + "/_graft_bpe_params").trim
+    else "char"
+
   def applyBpeStored(df: DataFrame, textCol: Column, path: String,
                      outName: String = "bpe_tokens"): DataFrame =
-    applyBpe(df, textCol, loadMergeStore(df.sparkSession, path), outName)
+    applyBpe(df, textCol, loadMergeStore(df.sparkSession, path), outName,
+      byteLevel = storedBpeMode(df.sparkSession, path) == "byte")
 }

@@ -261,6 +261,99 @@ object Multimodal {
       df.select(idCol.as("__id"), ah(mediaCol).as("__sim")), maxHam, blocks)
   }
 
+  // ---- DCT perceptual hash (pHash) ----
+
+  /** pHash geometry: the stream resamples to [[PHashN]] segments and the
+    * sketch keeps the [[PHashK]] LOWEST DCT frequencies (k = 1..64 of a
+    * 512-point DCT — an eighth of the spectrum, mirroring image pHash's
+    * 8×8-of-32×32 proportions). Keeping only the low band is the point:
+    * high-frequency perturbations (noise, dithering, re-encode artifacts)
+    * that flip many [[mediaAHash]] segment-mean bits project outside the
+    * kept band and leave the pHash untouched. */
+  private[graft] val PHashN = 512
+  private[graft] val PHashK = 64
+
+  /** Fixed-point quarter-wave cosine table: `cosTabE6(j) =
+    * round(1e6·cos(π·j/1024))`, j in [0, 1024]. The DCT-II angle is
+    * π·k·(2n+1)/(2·512) = π·M/1024 with M = k(2n+1); by periodicity and
+    * symmetry cos(π·M/1024) = cos(π·min(M mod 2048, 2048 − M mod 2048)
+    * /1024), so this 1025-entry INTEGER-indexed table is the whole
+    * transform — and the SQL oracle replays it as a literal VALUES table
+    * (no trig in either engine's hot path, no cross-libm ULP risk). */
+  private[graft] lazy val cosTabE6: Array[Long] =
+    Array.tabulate(1025)(j => math.round(math.cos(math.Pi * j / 1024.0) * 1e6))
+
+  private def cosE6(k: Int, n: Int): Long = {
+    val m = (k * (2 * n + 1)) % 2048
+    cosTabE6(math.min(m, 2048 - m))
+  }
+
+  /**
+   * 64-bit DCT perceptual hash (pHash) of the decoded media stream — the
+   * standard tier above [[mediaAHash]]: resample to [[PHashN]] segment
+   * means (exact e6 floor division), 1-D DCT-II via [[cosTabE6]], bit
+   * k−1 set iff coefficient k exceeds the LOWER MEDIAN of the kept 64
+   * (the sign-of-median rule — brightness/contrast invariant and
+   * balanced by construction). All integer arithmetic end-to-end, so an
+   * external SQL engine replays the sketch bit-for-bit on fake payloads
+   * (the q119 pattern).
+   */
+  private[graft] def mediaPHash(media: Array[Byte]): Long = {
+    val px = MediaCodec.decode(media)
+    val l = px.length
+    if (l == 0) return 0L
+    val segSum = new Array[Long](PHashN)
+    val segLen = new Array[Long](PHashN)
+    var i = 0
+    while (i < l) {
+      val s = (i.toLong * PHashN / l).toInt
+      segSum(s) += (px(i) & 0xff).toLong; segLen(s) += 1
+      i += 1
+    }
+    val x = new Array[Long](PHashN)
+    var n = 0
+    while (n < PHashN) {
+      x(n) = if (segLen(n) == 0) 0L else segSum(n) * 1000000L / segLen(n)
+      n += 1
+    }
+    val coef = new Array[Long](PHashK)
+    var k = 1
+    while (k <= PHashK) {
+      var acc = 0L; var j = 0
+      while (j < PHashN) {
+        if (x(j) != 0L) acc += cosE6(k, j) * x(j)
+        j += 1
+      }
+      coef(k - 1) = acc; k += 1
+    }
+    val sorted = coef.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(PHashK / 2 - 1)
+    var h = 0L
+    var b = 0
+    while (b < PHashK) {
+      if (coef(b) > med) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** [[mediaAHashPairs]] through the DCT hash — same pigeonhole block
+    * join, same knobs and bounds; catches near-duplicates whose
+    * high-frequency perturbations (noise, dither, re-encode) blow past
+    * aHash's hamming budget (MultimodalSpec pins such a pair). */
+  def mediaPHashPairs(df: DataFrame, idCol: Column, mediaCol: Column,
+                      maxHam: Int = 3, blocks: Int = 4): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    require(maxHam <= blocks - 1,
+      s"maxHam ($maxHam) must be <= blocks-1 (${blocks - 1}) or the pigeonhole " +
+      "candidate generation silently misses true pairs")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val ph = udf((m: Array[Byte]) => if (m == null) 0L else mediaPHash(m))
+    Dedup.hammingPairs(
+      df.select(idCol.as("__id"), ph(mediaCol).as("__sim")), maxHam, blocks)
+  }
+
   /** Resize/subsample the media payload in place (stride bytes). */
   def resizeMedia(df: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, s"resizeMedia: stride must be positive (got $stride)")

@@ -133,4 +133,69 @@ class BpeSpec extends AnyFunSuite {
     val rank = Map(("b", "c") -> 0, ("a", "b") -> 1)
     assert(Bpe.segmentWord("abc", rank) == Seq("a", "bc", "</w>"))
   }
+
+  test("byte encoder: GPT-2 table pins (space=G-dot, newline=C-dot), bijective") {
+    // the famous mappings: space (0x20) is the 33rd non-printable from 0
+    // => 256+32 = 0x120 'Ġ'; newline (0x0A) => 256+10 = 0x10A 'Ċ'
+    assert(Bpe.byteEncoder(32) == "\u0120")
+    assert(Bpe.byteEncoder(10) == "\u010A")
+    // printable ASCII maps to itself
+    assert(Bpe.byteEncoder('a'.toInt) == "a" && Bpe.byteEncoder('~'.toInt) == "~")
+    // bijective: 256 distinct one-char symbols, decoder inverts
+    assert(Bpe.byteEncoder.toSet.size == 256)
+    assert((0 until 256).forall(b => Bpe.byteDecoder(Bpe.byteEncoder(b).charAt(0)) == b))
+  }
+
+  test("byte-level BPE round-trips non-ASCII text losslessly") {
+    val texts = Seq("h\u00e9llo w\u00f6rld", "\u4f60\u597d \u4e16\u754c",
+      "caf\u00e9 \u20ac5 na\u00efve", "plain ascii words")
+    val train = spark.createDataFrame(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t) }).toDF("id", "text")
+    val merges = Bpe.learnBpe(train, col("text"), numMerges = 20, byteLevel = true)
+    val out = Bpe.applyBpe(train, col("text"), merges.orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq,
+        byteLevel = true)
+      .select(col("id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      // decode concatenates per-word byte symbols; words rejoin on space
+      val words = t.split(" ", -1)
+      val decoded = Bpe.decodeByteTokens(out(i.toLong))
+      assert(decoded == words.mkString(""),
+        s"round trip failed for '$t': got '$decoded'")
+    }
+    // a single non-ASCII word under NO merges is one symbol per UTF-8 byte
+    val syms = Bpe.initSymbolsBytes("\u20ac") // euro = 3 bytes E2 82 AC
+    assert(syms.length == 4 && syms.last == Bpe.EndOfWord)
+    assert(Bpe.decodeByteTokens(syms) == "\u20ac")
+  }
+
+  test("byte-level == char-level on pure-ASCII corpora; store freezes the mode") {
+    val train = spark.createDataFrame(Seq(
+      (1L, "low lower lowest"), (2L, "new newest widest"),
+      (3L, "low low newest"))).toDF("id", "text")
+    val charM = Bpe.learnBpe(train, col("text"), numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val byteM = Bpe.learnBpe(train, col("text"), numMerges = 10, byteLevel = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(byteM == charM) // printable ASCII bytes self-map
+    // mode sidecar: a byte-level store applies byte-level after reload
+    val dir = java.nio.file.Files.createTempDirectory("bpebyte").toString
+    val nonAscii = spark.createDataFrame(Seq((1L, "\u00e9a \u00e9a \u00e9b")))
+      .toDF("id", "text")
+    Bpe.buildMergeStore(
+      Bpe.learnBpe(nonAscii, col("text"), numMerges = 3, byteLevel = true),
+      dir, byteLevel = true)
+    assert(Bpe.storedBpeMode(spark, dir) == "byte")
+    val stored = Bpe.applyBpeStored(nonAscii, col("text"), dir)
+      .select(col("bpe_tokens")).collect().map(_.getSeq[String](0))
+    val live = Bpe.applyBpe(nonAscii, col("text"),
+        Bpe.loadMergeStore(spark, dir), byteLevel = true)
+      .select(col("bpe_tokens")).collect().map(_.getSeq[String](0))
+    assert(stored.toSeq == live.toSeq)
+    // and every token round-trips through the byte decoder
+    stored.flatten.foreach { t =>
+      Bpe.decodeByteTokens(Seq(t)) // must not throw (valid byte symbols)
+    }
+  }
 }

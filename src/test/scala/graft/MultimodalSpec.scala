@@ -106,6 +106,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h == want)
   }
 
+  test("mediaPHash: catches the noisy near-duplicate aHash misses; independent DCT replay") {
+    import spark.implicits._
+    // two renditions of the same low-frequency signal (a weak sine ramp)
+    // under different high-frequency ±2 dither — the re-encode/noise
+    // case: many segment means sit near the global mean, so the dither
+    // flips MANY aHash bits, while the dither's period-3 harmonic (~170
+    // of 512) lies far outside pHash's kept k<=64 band
+    def rendition(seed: Int): Array[Byte] =
+      Array.tabulate(256) { i =>
+        val ramp = (40.0 * math.sin(2 * math.Pi * i / 256)).toInt / 40
+        val wig = if ((i * 7 + seed) % 3 == 0) 2 else -2
+        math.max(0, math.min(255, 128 + ramp + wig)).toByte
+      }
+    val a = rendition(0); val b = rendition(1)
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val aham = ham(Multimodal.mediaAHash(a), Multimodal.mediaAHash(b))
+    val pham = ham(Multimodal.mediaPHash(a), Multimodal.mediaPHash(b))
+    assert(aham > 3, s"aHash hamming $aham should blow the budget")
+    assert(pham <= 3, s"pHash hamming $pham should stay within the budget")
+    // the pair machinery agrees: pHash pairs them, aHash does not
+    val df = Seq((1L, a), (2L, b)).toDF("id", "media")
+    assert(Multimodal.mediaPHashPairs(df, col("id"), col("media")).count() == 1)
+    assert(Multimodal.mediaAHashPairs(df, col("id"), col("media")).count() == 0)
+    // independent local replay of the full integer DCT pipeline
+    def replay(px: Array[Byte]): Long = {
+      val l = px.length
+      val segSum = new Array[Long](512); val segLen = new Array[Long](512)
+      px.zipWithIndex.foreach { case (v, i) =>
+        val s = (i.toLong * 512 / l).toInt
+        segSum(s) += (v & 0xff); segLen(s) += 1
+      }
+      val x = Array.tabulate(512)(n =>
+        if (segLen(n) == 0) 0L else segSum(n) * 1000000L / segLen(n))
+      val coef = (1 to 64).map { k =>
+        (0 until 512).map { n =>
+          val m = (k * (2 * n + 1)) % 2048
+          Multimodal.cosTabE6(math.min(m, 2048 - m)) * x(n)
+        }.sum
+      }
+      val med = coef.sorted.apply(31)
+      coef.zipWithIndex.collect { case (c, i) if c > med => 1L << i }.sum
+    }
+    assert(Multimodal.mediaPHash(a) == replay(a))
+    assert(Multimodal.mediaPHash(b) == replay(b))
+    // invariances the DCT buys: global brightness shift and contrast
+    // scaling leave the sign-of-median bits unchanged
+    val bright = a.map(v => math.min(255, (v & 0xff) + 30).toByte)
+    assert(ham(Multimodal.mediaPHash(a), Multimodal.mediaPHash(bright)) <= 3)
+  }
+
   test("sampleFrames: stride=1 reassembles the payload prefix; stride picks every nth") {
     import spark.implicits._
     val media = (0 until 25).map(_.toByte).toArray // 25 bytes, frames=4 -> flen=6

@@ -40,6 +40,9 @@ class QueriesSpec extends AnyFunSuite {
     "q170_binary_ann" -> "Hamming pre-rank: query batch × corpus CODE column by contract (batch broadcast-small; the rerank joins are equi-joins)",
     "q171_binary_store" -> "same Hamming pre-rank core as q170 over the STORED code column (batch broadcast-small; store build and rerank are equi-join shaped)",
     "q196_decayed_counts" -> "the now anchor (max ts) is ONE agg row cross-joined into the weight projection — q81's stat shape",
+    "q217_fluency3" -> "total-token scalar N is ONE agg row cross-joined into the backoff chain — q88's stat shape at order 3",
+    "q218_fluency3_store" -> "same 1-row N cross join as q217, N folded from the segmented store's unigram table",
+    "q219_fluency3_forget" -> "same 1-row N cross join as q217, N folded net of the deletion segments",
   )
 
   /** Queries ALLOWED a Window with an empty partitionSpec (single-task
