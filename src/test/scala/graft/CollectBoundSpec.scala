@@ -23,7 +23,7 @@ class CollectBoundSpec extends AnyFunSuite {
     "Bpe.scala" -> Map(
       ".collect().map(r => (r.getString(0), r.getLong(1))).toSeq" -> 1,
       ".collect().map(r => (r.getString(1), r.getString(2))).toSeq" -> 1,
-      "merges.orderBy(col(\"merge_rank\")).collect()" -> 1,
+      "merges.orderBy(col(\"merge_rank\")).collect()" -> 2,
     ),
     // 1-row aggregates (global cell-range stats / kNN candidate stats)
     "CellStore.scala" -> Map(
