@@ -849,6 +849,54 @@ object SparkEntry {
           "site_consistent_ok", "min_core_id_ok", "core_edge_ok", "border_rule_ok")
     }),
 
+    // kNN-join invariants — the last collapse path without an at-scale
+    // correctness row (q7's windowed-SQL oracle is quadratic at sf1):
+    //  - cardinality: every left row emits exactly min(k, |right|) rows;
+    //  - coincident consistency: left rows sharing a geometry share the
+    //    EXACT (distance, neighbor) multiset — the collapse's claim,
+    //    checked whether or not the >=4096-row gate fired;
+    //  - sample exactness: for the 100 smallest supplier ids an in-plan
+    //    brute-force top-k over the FULL right side (cross join + window,
+    //    same distance expression and tie-break) must match the
+    //    expand-radius machine's rows including distances.
+    "q223_knn_join_invariants" -> ((s, dir) => {
+      val k = 5
+      val sup = Tables.supplierPts(s, dir)
+      val cus = Tables.customerPts(s, dir).select(col("c_custkey"), col("c_geo"))
+      val out = KNN.knnJoin(sup, cus, "s_geo", "c_geo", leftId = "s_suppkey",
+          k = k, tieBreak = "c_custkey").localCheckpoint()
+      val nLeft = sup.count(); val nRight = cus.count()
+      val kk = math.min(k.toLong, nRight)
+      import org.apache.spark.sql.Column
+      def allTrue(df: DataFrame, flag: Column): Boolean = {
+        val r = df.agg(min(coalesce(flag, lit(false))), count(lit(1))).head()
+        r.getLong(1) == 0L || r.getBoolean(0)
+      }
+      val perLeft = out.groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val cardinalityOk = perLeft.count() == nLeft &&
+        allTrue(perLeft, col("n") === kk)
+      val sig = out.groupBy(col("s_suppkey"), col("sx"), col("sy"))
+        .agg(sort_array(collect_list(struct(col("knn_dist"), col("c_custkey"))))
+          .as("sig"))
+      val coincidentOk = allTrue(
+        sig.groupBy(col("sx"), col("sy")).agg(countDistinct(col("sig")).as("nd")),
+        col("nd") === 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_suppkey")).orderBy(col("knn_dist"), col("c_custkey"))
+      val brute = sup.filter(col("s_suppkey") <= 100).crossJoin(cus)
+        .withColumn("knn_dist", stf.st_centroid_distance(col("s_geo"), col("c_geo")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+        .select(col("s_suppkey"), col("c_custkey"), col("knn_dist"))
+      val got = out.filter(col("s_suppkey") <= 100)
+        .select(col("s_suppkey"), col("c_custkey"), col("knn_dist"))
+      val sampleExactOk = got.exceptAll(brute).isEmpty &&
+        brute.exceptAll(got).isEmpty
+      import s.implicits._
+      Seq((nLeft, kk, cardinalityOk, coincidentOk, sampleExactOk))
+        .toDF("n_left", "k", "cardinality_ok", "coincident_ok", "sample_exact_ok")
+    }),
+
     // the GPT-2 byte↔unicode table itself (Radford et al. 2019
     // encoder.py, public): 188 printable bytes self-map, the other 68 get
     // 256+n in byte order (space → Ġ, newline → Ċ). The oracle REBUILDS
@@ -4066,6 +4114,14 @@ object SparkEntry {
       "FROM v p LEFT JOIN clus cl ON cl.k = p.vec_id LEFT JOIN border b ON b.k = p.vec_id " +
       "ORDER BY p.vec_id"
     },
+
+    // invariant row for the kNN-join collapse at scale: cardinality +
+    // coincident-answer consistency + a 100-query in-plan brute
+    // differential, all pinned TRUE; n_left replayable
+    "q223_knn_join_invariants" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_left, CAST(5 AS BIGINT) AS k, " +
+       "TRUE AS cardinality_ok, TRUE AS coincident_ok, " +
+       "TRUE AS sample_exact_ok FROM supplier"),
 
     // independent SQL rebuild of the GPT-2 byte↔unicode construction:
     // printable ranges self-map, the rest take 256+n by a row_number over
