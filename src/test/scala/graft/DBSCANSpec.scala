@@ -322,6 +322,54 @@ class DBSCANSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterVecPivot dims=8 on CLUSTERED data: equals brute force (the k-center regime)") {
+    import spark.implicits._
+    // Gaussian-ish blobs: the shape k-center pivots exist for (a dense
+    // blob plus spread background) — distinct from the uniform-grid trial
+    val rnd = new scala.util.Random(71)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextInt(40).toFloat))
+    val pts = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rnd.nextInt(5) - 2) * 0.25f))
+    }
+    val eps = 1.9; val minPts = 4
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val nbrs = pts.map { case (i, v) =>
+      i -> pts.filter { case (_, w) => d2(v, w) <= eps * eps }.map(_._1).toSet
+    }.toMap
+    val core = pts.map(_._1).filter(i => nbrs(i).size >= minPts).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    for (i <- core; j <- nbrs(i) if core(j)) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val cid = core.map(i => i -> core.filter(j => find(j) == find(i)).min).toMap
+    val want = pts.map { case (i, _) =>
+      i -> (if (core(i)) cid(i)
+            else {
+              val cn = nbrs(i).filter(core)
+              if (cn.nonEmpty) cn.map(cid).min else -1L
+            })
+    }.toMap
+    // several pivot counts, incl. more pivots than blobs and the 1-pivot
+    // degenerate (everything in one Voronoi cell => rings do all pruning)
+    for (p <- Seq(1, 4, 8)) {
+      val got = DBSCAN.clusterVecPivot(pts.toDF("id", "v"), col("id"), col("v"),
+          dims = 8, eps = eps, minPts = minPts, numPivots = p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"numPivots=$p: ${got.toSet -- want.toSet}")
+    }
+  }
+
   test("predictVec: cores classify to their own label, far probe is noise") {
     import spark.implicits._
     val three = Seq(

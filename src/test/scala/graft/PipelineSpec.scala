@@ -250,6 +250,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(stored == live)
   }
 
+  test("randomized: held-out trigram scoring equals a brute stupid-backoff replay") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(83)
+    val vocab = Array("a", "b", "c", "d", "ee", "f")
+    def doc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (trial <- 1 to 3) {
+      // small vocab => dense trigram overlap; lengths 0..6 cover the
+      // no-trigram edge; one doc with doubled spaces => empty tokens
+      val model = (1L to 30L).map(i => (i, doc(1 + rnd.nextInt(6))))
+      val held = (100L to 114L).map(i =>
+        (i, if (i == 100L) "a  b a" else doc(rnd.nextInt(7))))
+      val dir = java.nio.file.Files.createTempDirectory(s"lm3rand$trial").toString
+      val mdf = spark.createDataFrame(model).toDF("doc_id", "text")
+      TextAnalysis.appendLmBatch(mdf, col("text"), dir, batchId = 0L)
+      val got = TextAnalysis.withTrigramFluencyIndexed(
+          spark.createDataFrame(held).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), dir)
+        .select(col("doc_id"), col("n_trigrams"), col("fluency3_e6"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // brute replay (BigInt floor division, split(" ", -1) like tokens())
+      val mToks = model.map(_._2.split(" ", -1).toSeq)
+      val uni = mToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = mToks.map(_.size).sum.toLong
+      val bi = mToks.flatMap(ws => ws.zip(ws.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tri = mToks.flatMap(ws => ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def fdiv(a: BigInt, b: BigInt): Long = (a / b).toLong // nonneg here
+      val want = held.map { case (i, t) =>
+        val ws = t.split(" ", -1).toSeq
+        val ts = ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq.map { w3 =>
+          if (tri.contains(w3)) fdiv(BigInt(tri(w3)) * 1000000, BigInt(bi((w3._1, w3._2))))
+          else if (bi.contains((w3._2, w3._3)))
+            fdiv(BigInt(bi((w3._2, w3._3))) * 400000, BigInt(uni(w3._2)))
+          else fdiv(BigInt(uni.getOrElse(w3._3, 0L)) * 160000, BigInt(n))
+        }
+        i -> ((ts.size.toLong, if (ts.isEmpty) 0L else ts.sum / ts.size))
+      }.toMap
+      assert(got == want, s"trial $trial: ${got.toSet -- want.toSet}")
+    }
+  }
+
   test("trigram store lifecycle: takedown + compaction preserve scoring; pre-trigram store refuses") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("lm3life").toString
