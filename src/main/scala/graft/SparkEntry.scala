@@ -849,6 +849,38 @@ object SparkEntry {
           "site_consistent_ok", "min_core_id_ok", "core_edge_ok", "border_rule_ok")
     }),
 
+    // high-dim DBSCAN predict (the pivot family's model symmetry): train
+    // modelVecPivot at dims=16 on the sub-400 slice, classify the
+    // held-out 100 through the pivot/ring nearest-core kernel — q157's
+    // contract at dims the 3^d grid cannot reach; full SQL replay.
+    "q224_dbscan_highdim_predict" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val m = DBSCAN.modelVecPivot(e.filter(col("vec_id") < 400),
+        col("vec_id"), col("embedding"), dims = 16, eps = 0.45, minPts = 5)
+      DBSCAN.predictVecPivot(m, e.filter(col("vec_id") >= 400),
+          col("vec_id"), col("embedding"), dims = 16, eps = 0.45)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    // ... and through the persisted store: saveModelVec freezes
+    // (dims=16, eps) and predictVecStored routes to the pivot kernel
+    // above the grid cap — labels identical to the live q224 (shared
+    // oracle), completing train-once/classify-many at high dims.
+    "q225_dbscan_highdim_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("dbscanhd", dir) { p =>
+        DBSCAN.saveModelVec(
+          DBSCAN.modelVecPivot(e.filter(col("vec_id") < 400),
+            col("vec_id"), col("embedding"), dims = 16, eps = 0.45, minPts = 5),
+          p, dims = 16, eps = 0.45, minPts = 5)
+      }
+      DBSCAN.predictVecStored(s, path, e.filter(col("vec_id") >= 400),
+          col("vec_id"), col("embedding"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // kNN-join invariants — the last collapse path without an at-scale
     // correctness row (q7's windowed-SQL oracle is quadratic at sf1):
     //  - cardinality: every left row emits exactly min(k, |right|) rows;
@@ -4115,6 +4147,11 @@ object SparkEntry {
       "ORDER BY p.vec_id"
     },
 
+    // high-dim predict replays: q157's CTE pattern at dims=16/eps=0.45 —
+    // the stored route (q225) must match the live kernel bit-for-bit
+    "q224_dbscan_highdim_predict" -> dbscanVecPredictOracleSqlFor(16, 0.45, 5),
+    "q225_dbscan_highdim_store" -> dbscanVecPredictOracleSqlFor(16, 0.45, 5),
+
     // invariant row for the kNN-join collapse at scale: cardinality +
     // coincident-answer consistency + a 100-query in-plan brute
     // differential, all pinned TRUE; n_left replayable
@@ -5264,18 +5301,24 @@ object SparkEntry {
   /** n-dim DBScanModel.predict replay (q157 live == q158 store-backed):
     * the q156 clustering CTEs on the sub-400 training set + the
     * nearest-core rule over the held-out vectors. */
-  private lazy val dbscanVecPredictOracleSql: String = {
-    val eps2 = 0.05 * 0.05
-    val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,3)])"
-    val distPQ = "list_sum([(p.e[i]-q.e[i])*(p.e[i]-q.e[i]) FOR i IN generate_series(1,3)])"
-    "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
+  /** n-dim DBSCAN predict replay, parameterized over (dims, eps, minPts):
+    * q156's clustering CTEs on the sub-400 training slice + the
+    * nearest-core rule (ties: d², cluster id, core id) over the held-out
+    * vectors — shared by the dims=3 grid family (q157/q158) and the
+    * dims=16 pivot family (q224/q225). */
+  private def dbscanVecPredictOracleSqlFor(dims: Int, eps: Double,
+                                           minPts: Int): String = {
+    val eps2 = eps * eps
+    val dist = s"list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,$dims)])"
+    val distPQ = s"list_sum([(p.e[i]-q.e[i])*(p.e[i]-q.e[i]) FOR i IN generate_series(1,$dims)])"
+    s"WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:$dims]] AS e " +
     "FROM embeddings WHERE vec_id < 400), " +
     s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
-    "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+    s"core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= $minPts), " +
     "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
     "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
     "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
-    "nv AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS e " +
+    s"nv AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:$dims]] AS e " +
     "FROM embeddings WHERE vec_id >= 400), " +
     s"cand AS (SELECT q.vec_id, cl.cid, $distPQ AS d2, p.vec_id AS coreid " +
     "FROM nv q JOIN v p ON " +
@@ -5286,6 +5329,9 @@ object SparkEntry {
     "SELECT nv.vec_id, CAST(COALESCE(b.cid, -1) AS BIGINT) AS cluster_id " +
     "FROM nv LEFT JOIN best b USING (vec_id) ORDER BY nv.vec_id"
   }
+
+  private lazy val dbscanVecPredictOracleSql: String =
+    dbscanVecPredictOracleSqlFor(3, 0.05, 5)
 
   /** The q20 clustering replay (also anchors q159's geometry-keyed API). */
   private lazy val dbscanClusterOracleSql: String =

@@ -443,6 +443,100 @@ object DBSCAN {
       .select(col("__id").as("id"), col("v"), col("cluster_id"), col("is_core"))
   }
 
+  /**
+   * [[predictVec]]'s HIGH-dimensional twin — classify new vectors against
+   * a [[modelVecPivot]] (or any [[modelVec]]-shaped) model at dims the
+   * 3^d grid kernel cannot reach: the pivot/ring machinery of
+   * [[modelVecPivot]] with the model's CORE set as the owned side
+   * (pivots k-centered on the cores, per-cell radii over cores, probes
+   * replicated by the radius+eps triangle bound into eps-rings ±1, salted
+   * join), then the same nearest-core rule and deterministic
+   * (d², cluster id, core id) tie-break as [[predictVec]] — so for any
+   * given model the two predict kernels return identical labels
+   * (DBSCANSpec pins it on the dims they share).
+   */
+  def predictVecPivot(model: DataFrame, newDf: DataFrame, idCol: Column,
+                      vecCol: Column, dims: Int, eps: Double,
+                      numPivots: Int = 16): DataFrame = {
+    require(dims >= 1 && dims <= 1024, s"dims ($dims) must be in [1, 1024]")
+    require(eps > 0, s"eps must be positive, got $eps")
+    require(numPivots >= 1 && numPivots <= 256,
+      s"numPivots ($numPivots) must be in [1, 256]")
+    graft.functions.GraftFunctions.register(model.sparkSession)
+    val eps2 = eps * eps
+    val slackEps = eps * (1 + 1e-9) + 1e-12
+    val newPts = newDf.select(idCol.cast("long").as("__id"),
+      slice(vecCol, 1, dims).as("__nv"))
+    // probe-side coincident collapse (the [[predictVec]] pattern)
+    val sites = newPts.groupBy(col("__nv")).agg(min(col("__id")).as("__sid"))
+      .localCheckpoint()
+    val cores = model.filter(col("is_core"))
+      .select(col("id").as("__coreid"), col("v").as("__kv"),
+        col("cluster_id").as("__ccl"))
+    // bounded collect: pivots k-centered on the CORES (radii are owned-side)
+    val sample: Array[Array[Double]] = cores.filter(col("__kv").isNotNull)
+      .orderBy(col("__coreid")).limit(math.max(numPivots, 4096))
+      .select(col("__kv")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val pivots: Array[Seq[Float]] = kCenter(sample, numPivots)
+      .map(_.map(_.toFloat).toSeq)
+    val assigned = if (pivots.isEmpty) {
+      // no cores: everything is noise
+      sites.select(col("__sid").as("__id"), lit(null).cast("long").as("__ccl"))
+        .limit(0)
+    } else {
+      def pd(vc: Column) = array(pivots.toSeq.map(p =>
+        sqrt(graft.functions.stf.vec_dist2(vc, typedlit(p)))): _*)
+      val own = cores.withColumn("__pd", pd(col("__kv")))
+        .withColumn("__own",
+          (array_position(col("__pd"), array_min(col("__pd"))) - 1).cast("int"))
+        .localCheckpoint() // radii + the join's owned side both read it
+      // bounded collect: <= numPivots rows
+      val radMap = own.filter(col("__own").isNotNull).groupBy(col("__own"))
+        .agg(max(element_at(col("__pd"), col("__own") + 1)).as("__r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val radii: Seq[Double] =
+        Seq.tabulate(pivots.length)(j => radMap.getOrElse(j, -1e300))
+      val nSalt = model.sparkSession.sparkContext.defaultParallelism * 2
+      val ownedSide = own
+        .withColumn("__ring",
+          floor(element_at(col("__pd"), col("__own") + 1) / lit(eps)).cast("long"))
+        .withColumnRenamed("__own", "__cell")
+        .withColumn("__salt", explode(sequence(lit(0), lit(nSalt - 1))))
+        .select(col("__cell"), col("__ring"), col("__salt"),
+          col("__coreid"), col("__kv"), col("__ccl"), col("__pd").as("__pdb"))
+      val qpd = sites.withColumn("__qpd", pd(col("__nv")))
+      val admitted = filter(sequence(lit(0), lit(pivots.length - 1)),
+        j => element_at(col("__qpd"), j + 1) <=
+          element_at(typedlit(radii), j + 1) + lit(slackEps))
+      val cellRings = flatten(transform(admitted, j => {
+        val r0 = floor(element_at(col("__qpd"), j + 1) / lit(eps)).cast("long")
+        array(struct(j.as("c"), (r0 - 1).as("r")),
+              struct(j.as("c"), r0.as("r")),
+              struct(j.as("c"), (r0 + 1).as("r")))
+      }))
+      val probeSide = qpd
+        .withColumn("__cr", explode(cellRings))
+        .withColumn("__cell", col("__cr.c")).withColumn("__ring", col("__cr.r"))
+        .drop("__cr")
+        .withColumn("__salt",
+          pmod(xxhash64(col("__sid")), lit(nSalt.toLong)).cast("int"))
+      probeSide.join(ownedSide, Seq("__cell", "__ring", "__salt"))
+        .filter(abs(element_at(col("__qpd"), col("__cell") + 1) -
+                    element_at(col("__pdb"), col("__cell") + 1)) <= lit(slackEps))
+        .withColumn("__d2",
+          graft.functions.stf.vec_dist2(col("__nv"), col("__kv")))
+        .filter(col("__d2") <= lit(eps2))
+        .groupBy(col("__sid"))
+        .agg(min(struct(col("__d2"), col("__ccl"), col("__coreid"))).as("__m"))
+        .select(col("__sid").as("__id"), col("__m.__ccl").as("__ccl"))
+    }
+    val siteLab = sites.join(assigned, col("__sid") === col("__id"), "left")
+      .select(col("__nv").as("__sv"), coalesce(col("__ccl"), lit(-1L)).as("__ccl"))
+    newPts.join(siteLab, col("__nv") <=> col("__sv"))
+      .select(col("__id").as("id"), col("__ccl").as("cluster_id"))
+  }
+
   /** Greedy farthest-point traversal (the classic 2-approximation
     * k-center): start from the first sample row (the min-id site —
     * deterministic), repeatedly take the point farthest from the chosen
@@ -650,8 +744,15 @@ object DBSCAN {
                        newDf: DataFrame, idCol: Column,
                        vecCol: Column): DataFrame = {
     val (dims, eps, _) = loadModelVecMeta(spark, path)
-    predictVec(spark.read.parquet(path + "/points"), newDf, idCol, vecCol,
-      dims, eps)
+    // route by the frozen dims: the 3^d grid kernel below its cap, the
+    // pivot kernel above it (a [[modelVecPivot]] store) — both return
+    // the same labels on the dims they share (DBSCANSpec pins it)
+    if (dims <= 4)
+      predictVec(spark.read.parquet(path + "/points"), newDf, idCol, vecCol,
+        dims, eps)
+    else
+      predictVecPivot(spark.read.parquet(path + "/points"), newDf, idCol,
+        vecCol, dims, eps)
   }
 
   /** Exact floor(sqrt(d2)) for a non-negative integral column: the double

@@ -34,11 +34,13 @@ class CollectBoundSpec extends AnyFunSuite {
     "Classifier.scala" -> Map(
       ".collect().foreach { r =>" -> 1,
     ),
-    // pivot k-center sample (<= 4096 rows x dims <= 1024 floats) and the
-    // per-cell radius table (<= numPivots rows) of the high-dim kernel
+    // pivot k-center samples (<= 4096 rows x dims <= 1024 floats; model
+    // sites and predict cores) and the per-cell radius tables (<=
+    // numPivots rows each) of the high-dim kernels
     "DBSCAN.scala" -> Map(
       ".select(col(\"__v\")).collect()" -> 1,
-      ".collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap" -> 1,
+      ".select(col(\"__kv\")).collect()" -> 1,
+      ".collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap" -> 2,
     ),
     // quotient edges counted against the 4M bound first; GraphX fallback past it
     "ConnectedComponents.scala" -> Map(

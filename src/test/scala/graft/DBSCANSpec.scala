@@ -370,6 +370,50 @@ class DBSCANSpec extends AnyFunSuite {
     }
   }
 
+  test("predictVecPivot == predictVec on shared dims; high-dim probes classify correctly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // low-dim equality: the two kernels must agree label-for-label
+    val train2 = (0 until 60).map(i =>
+      (i.toLong, Array(rnd.nextInt(12).toFloat, rnd.nextInt(12).toFloat))).toDF("id", "v")
+    val probes2 = (100 until 140).map(i =>
+      (i.toLong, Array(rnd.nextInt(14).toFloat - 1f, rnd.nextInt(14).toFloat - 1f))).toDF("id", "v")
+    val m2 = DBSCAN.modelVec(train2, col("id"), col("v"), dims = 2,
+      eps = 2.0, minPts = 3).cache()
+    val grid = DBSCAN.predictVec(m2, probes2, col("id"), col("v"), dims = 2, eps = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- Seq(1, 8)) {
+      val piv = DBSCAN.predictVecPivot(m2, probes2, col("id"), col("v"),
+          dims = 2, eps = 2.0, numPivots = p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(piv == grid, s"numPivots=$p")
+    }
+    m2.unpersist()
+    // high-dim: training cores classify to their own label, a near-probe
+    // joins its blob, a far probe is noise, a null vector is noise
+    val blobA = (0 until 8).map(i => (i.toLong, Array.fill(16)(0f).updated(0, i * 0.1f)))
+    val blobB = (10 until 18).map(i => (i.toLong, Array.fill(16)(30f).updated(1, i * 0.1f)))
+    val train = (blobA ++ blobB).toDF("id", "v")
+    val m = DBSCAN.modelVecPivot(train, col("id"), col("v"), dims = 16,
+      eps = 2.0, minPts = 4).cache()
+    val labels = m.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val self = DBSCAN.predictVecPivot(m, train, col("id"), col("v"),
+        dims = 16, eps = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self == labels) // all training points are core here
+    val probes = Seq(
+      (100L, Array.fill(16)(0.3f)),          // inside blob A => label of A
+      (101L, Array.fill(16)(500f)),          // far => noise
+      (102L, null.asInstanceOf[Array[Float]])) // null => noise, not NPE
+      .toDF("id", "v")
+    val got = DBSCAN.predictVecPivot(m, probes, col("id"), col("v"),
+        dims = 16, eps = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(100L) == labels(0L))
+    assert(got(101L) == -1L && got(102L) == -1L)
+    m.unpersist()
+  }
+
   test("predictVec: cores classify to their own label, far probe is noise") {
     import spark.implicits._
     val three = Seq(
