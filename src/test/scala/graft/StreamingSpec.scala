@@ -330,6 +330,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming classify routes HIGH-dim stored models through the pivot kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("dbscanhdgate").toString
+    // two 16-d blobs, model built by the PIVOT kernel and frozen at
+    // dims=16 — predictVecStored must route past the grid cap, so the
+    // same classifyDbscanVec gate serves high-dim models unchanged
+    val train = ((0 until 6).map(i =>
+        (i.toLong, Array.fill(16)(0f).updated(0, i * 0.2f))) ++
+      (10 until 16).map(i =>
+        (i.toLong, Array.fill(16)(30f).updated(1, i * 0.2f)))).toDF("id", "v")
+    graft.operators.DBSCAN.saveModelVec(
+      graft.operators.DBSCAN.modelVecPivot(train, col("id"), col("v"),
+        dims = 16, eps = 2.0, minPts = 3),
+      s"$tmp/model", dims = 16, eps = 2.0, minPts = 3)
+    val probes = Seq(
+      (100L, Array.fill(16)(0.2f)),   // blob A
+      (101L, Array.fill(16)(30f).updated(1, 2.5f)), // blob B center-ish
+      (102L, Array.fill(16)(500f)))   // noise
+    val batch = graft.operators.DBSCAN.predictVecStored(spark, s"$tmp/model",
+        probes.toDF("pid", "pv"), col("pid"), col("pv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.classifyDbscanVec(input.toDF().toDF("pid", "pv"),
+      "pid", "pv", s"$tmp/model", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+      assert(got(102L) == -1L && got(100L) != -1L && got(101L) != -1L)
+      assert(got(100L) != got(101L)) // the blobs stay distinct clusters
+    } finally q.stop()
+  }
+
   test("streaming cosine gate drops embedding near-dups per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
