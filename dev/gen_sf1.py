@@ -155,12 +155,104 @@ def gen_spatial(nprng):
     }), f"{OUT}/nation.parquet")
 
 
+def gen_tpch_rest(nprng):
+    """region/part/orders/lineitem at 10x sf0.1, completing the sf1 dir so
+    the FULL 225-query catalog runs (round-10 verdict ask #1). Mirrors the
+    driver tables' measured structure: p_retailprice = 900 + (key%1000)/10
+    exactly; quantity integer 1-50; discount 0.00-0.10 step .01; tax
+    0.00-0.08; extendedprice uniform(900, 105000) independent of quantity;
+    day-granular orderdate uniform 1995-01-01..2001-08-01; shipdate
+    independent uniform 1995-01-02..2001-11-04; 1-7 lines per order."""
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(list(range(5)), type=pa.int32()),
+        "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                            "MIDDLE EAST"], type=pa.string()),
+    }), f"{OUT}/region.parquet")
+
+    n_part = 200_000
+    adjs = ["large", "hot", "blue", "old", "new", "red", "small", "dim"]
+    nouns = ["ring", "bolt", "plate", "rod", "gear", "cap", "pin", "nut"]
+    types = np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+                      "STANDARD"])
+    keys = np.arange(n_part, dtype=np.int64)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(keys, type=pa.int64()),
+        "p_name": pa.array([f"{adjs[nprng.integers(0, 8)]} "
+                            f"{nouns[nprng.integers(0, 8)]}"
+                            for _ in range(n_part)], type=pa.string()),
+        "p_brand": pa.array([f"Brand#{b}" for b in
+                             nprng.integers(0, 25, n_part)], type=pa.string()),
+        "p_type": pa.array(types[nprng.integers(0, 6, n_part)].tolist(),
+                           type=pa.string()),
+        "p_size": pa.array(nprng.integers(1, 51, n_part).astype(np.int32)),
+        "p_retailprice": pa.array(900.0 + (keys % 1000) / 10.0),
+    }), f"{OUT}/part.parquet")
+
+    n_ord = 1_500_000
+    okeys = np.arange(n_ord, dtype=np.int64)
+    day_us = 86_400_000_000
+    d0 = 788_918_400_000_000       # 1995-01-01 UTC epoch micros
+    n_days = 2_404                 # ..2001-08-01 inclusive
+    statuses = np.array(["O", "P", "F"])
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                      "5-LOW"])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(okeys, type=pa.int64()),
+        "o_custkey": pa.array(nprng.integers(0, 150_000, n_ord),
+                              type=pa.int64()),
+        "o_orderstatus": pa.array(statuses[nprng.integers(0, 3, n_ord)]
+                                  .tolist(), type=pa.string()),
+        "o_totalprice": pa.array(np.round(
+            nprng.uniform(1000.0, 500_000.0, n_ord), 2)),
+        "o_orderdate": pa.array(
+            d0 + nprng.integers(0, n_days, n_ord) * day_us,
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(prios[nprng.integers(0, 5, n_ord)]
+                                    .tolist(), type=pa.string()),
+    }), f"{OUT}/orders.parquet")
+
+    # lineitem: 1-7 lines per order (~6M rows), built columnar
+    per = nprng.integers(1, 8, n_ord)
+    l_orderkey = np.repeat(okeys, per)
+    n_li = len(l_orderkey)
+    linenumber = (np.arange(n_li) -
+                  np.repeat(np.cumsum(per) - per, per) + 1).astype(np.int32)
+    s0 = 789_004_800_000_000       # 1995-01-02
+    ship_days = 2_499              # ..2001-11-04
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(l_orderkey, type=pa.int64()),
+        "l_partkey": pa.array(nprng.integers(0, n_part, n_li),
+                              type=pa.int64()),
+        "l_suppkey": pa.array(nprng.integers(0, 10_000, n_li),
+                              type=pa.int64()),
+        "l_linenumber": pa.array(linenumber),
+        "l_quantity": pa.array(nprng.integers(1, 51, n_li)
+                               .astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(
+            nprng.uniform(900.0, 105_000.0, n_li), 2)),
+        "l_discount": pa.array(nprng.integers(0, 11, n_li) / 100.0),
+        "l_tax": pa.array(nprng.integers(0, 9, n_li) / 100.0),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[nprng.integers(0, 3, n_li)].tolist(),
+            type=pa.string()),
+        "l_linestatus": pa.array(
+            np.array(["F", "O"])[nprng.integers(0, 2, n_li)].tolist(),
+            type=pa.string()),
+        "l_shipdate": pa.array(
+            s0 + nprng.integers(0, ship_days, n_li) * day_us,
+            type=pa.timestamp("us")),
+    }), f"{OUT}/lineitem.parquet")
+    return n_li
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_documents(random.Random(SEED))
     gen_embeddings(np.random.default_rng(SEED))
     gen_events(np.random.default_rng(SEED + 1))
     gen_spatial(np.random.default_rng(SEED + 2))
+    n_li = gen_tpch_rest(np.random.default_rng(SEED + 3))
     print(f"wrote {OUT}/documents.parquet (50k), embeddings.parquet (20k), "
           "events.parquet (1M), customer.parquet (150k incl. 3x2000 "
-          "coincident hot-city sites), supplier.parquet (10k), nation.parquet (25)")
+          "coincident hot-city sites), supplier.parquet (10k), nation.parquet (25), "
+          f"region (5), part (200k), orders (1.5M), lineitem ({n_li})")

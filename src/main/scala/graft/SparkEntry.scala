@@ -36,6 +36,27 @@ object SparkEntry {
   private val BlockPhrases =
     Seq("spark", "scan", "an jo", "batch batch", "ta", "merge data r")
 
+  /** q226/q227 WAV fixture: a REAL PCM16LE mono RIFF container around
+    * deterministic pseudo-noise. Doc d carries n = 400 + ((d/2)%5)·100
+    * samples s(i) = ((d/2)·7919 + i·104729 + (d%2)·3) mod 65536 − 32768,
+    * so twins (2j, 2j+1) share a signal up to a +3 offset and decoded
+    * frame bytes are the SQL-replayable ((d/2)·7919 + i·104729 +
+    * (d%2)·3) mod 65536 div 256. */
+  private val wavNoise = udf((d: Long) => {
+    val n = (400 + ((d / 2) % 5) * 100).toInt
+    val base = (d / 2) * 7919L
+    val off = (d % 2) * 3L
+    Multimodal.MediaCodec.wavPcm16(Array.tabulate(n)(i =>
+      (Math.floorMod(base + i.toLong * 104729L + off, 65536L) - 32768L).toShort))
+  })
+
+  /** Shared q226/q227 oracle prelude: per-doc sample count and formula
+    * parameters (the SQL twin of [[wavNoise]]'s arithmetic). */
+  private val wavParSql: String =
+    "WITH par AS (SELECT doc_id, 400 + ((doc_id//2) % 5) * 100 AS n, " +
+    "(doc_id//2)*7919 AS base, (doc_id%2)*3 AS off " +
+    "FROM documents WHERE doc_id < 40),\n"
+
   // q129/q131 HLL oracle fragments: the register replay (md5 -> 16-bit
   // bucket field mod 2^10, 48-bit rho field -> per-bucket max) and the
   // exact-integer estimator at p=10 — same constants as
@@ -446,10 +467,11 @@ object SparkEntry {
     // anchor for BOTH stores at the same compressing config (m=8, ksub=16)
     // and pins the DIRECTIONAL claim (OPQ >= PQ) plus an OPQ recall floor
     // of 0.10; measured recall@10: 0.600 (OPQ) vs 0.235 (PQ) at sf0.01,
-    // 0.145 vs 0.025 at sf0.1 (2.5x / 5.8x). The multiplier itself is
-    // LOGGED, not pinned — a 2x pin was empirical tuning at two scale
-    // factors, and a seed/SF change could legitimately land at 1.8x with
-    // OPQ still winning; direction is the claim, magnitude is telemetry.
+    // 0.145 vs 0.025 at sf0.1 (2.5x / 5.8x). The gate pins a conservative
+    // 1.2x margin: loose enough that a seed/SF shift to ~1.8x still
+    // passes, tight enough that a regression collapsing OPQ's measured
+    // 2.5x-5.8x edge to bare parity FAILS (bare >= was too weak a floor
+    // for the evidence). The exact multiplier stays telemetry.
     "q212_opq_recall" -> ((s, dir) => {
       val ids = Tables.load(s, dir, "embeddings").select(col("vec_id"))
       val planted = ids.withColumn("embedding",
@@ -482,7 +504,7 @@ object SparkEntry {
         f"ratio=${if (rPq == 0) Double.PositiveInfinity else rOpq.toDouble / rPq}%.2f")
       s.createDataFrame(java.util.Arrays.asList(
           org.apache.spark.sql.Row(exact.size.toLong, 100000L,
-            rOpq >= rPq, rOpq >= 100000L)),
+            rOpq * 10L >= rPq * 12L, rOpq >= 100000L)),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("n_exact_pairs",
             org.apache.spark.sql.types.LongType, false),
@@ -604,6 +626,100 @@ object SparkEntry {
       Unigram.applyUnigramStored(d, col("text"), path, outName = "ug_tokens")
         .select(col("doc_id"), size(col("ug_tokens")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // NATIVE unigram-LM vocabulary TRAINING (Kudo 2018 hard-EM; the r10
+    // verdict's ask #3 — q189/q190 INFER from a WordPiece-selected vocab,
+    // this LEARNS the vocab by the unigram objective itself): oversized
+    // substring seed, then 3 rounds of E (integer-q20 Viterbi over the
+    // word histogram) / M (usage re-count) / prune (top slots by usage).
+    // The oracle replays every round — seed counts, per-round weights,
+    // the windowed Viterbi DP, the token-emitting walk, usage sums, and
+    // the prune cut — so the learned (token, cnt) table is hash-exact.
+    "q228_unigram_em_learn" -> ((s, dir) => {
+      Unigram.learnVocab(Tables.load(s, dir, "documents"), col("text"),
+          vocabSize = 60, maxTokenLen = 4, rounds = 3, seedMultiplier = 2)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    // the EM-trained vocabulary through the q173-pattern store round-trip
+    // (ONE persisted store format serves frequency-selected AND
+    // EM-trained vocabs) and the standard max-likelihood segmentation:
+    // seg, n_tokens, and the exact integer path cost all pinned.
+    "q229_unigram_em_segment" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val path = storedOnce("ugemstore", dir) { p =>
+        val vocab = Unigram.learnVocab(d, col("text"), vocabSize = 60,
+          maxTokenLen = 4, rounds = 3, seedMultiplier = 2)
+        Wordpiece.buildVocabStore(vocab, p, maxTokenLen = 4)
+      }
+      Unigram.segmentWordsStored(d, col("text"), path)
+        .orderBy(col("word"))
+    }),
+
+    // IVF-NSW graph index (r10 verdict ask #4, the measured SHIP branch —
+    // dev/hnsw_experiment.py: 2-4x fewer distance comps/query than IVF at
+    // matched recall, 6.5x sequential build cost ⇒ the Spark-native form
+    // is per-CELL navigable-small-world graphs under the frozen IVF
+    // quantizer). This row pins the DEGENERATE EXACT contract: nprobe =
+    // nlist + efSearch >= cell size means the beam never saturates and
+    // walks every (connected-by-construction) cell graph completely, so
+    // the result equals euclidean brute top-5 — the same oracle that pins
+    // the PQ family's lossless degenerate.
+    "q231_nsw_store" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = storedOnce("nswstore", dir) { p =>
+        Similarity.buildNswIndex(e, p, col("vec_id"), col("embedding"),
+          nlist = 8, m = 8, efC = 32)
+      }
+      Similarity.nswTopKIndexed(e.filter(col("vec_id") < 10), path,
+          col("vec_id"), col("embedding"), k = 5, nprobe = 8,
+          efSearch = 1 << 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the approximate configuration's invariant row (the q212 pattern):
+    // recall@10 vs the in-plan euclidean brute anchor >= the floor, and
+    // the beam's visited-node count — the cost the graph tier exists to
+    // cap — stays under 60% of the corpus (at sf1-scale cells the same
+    // walk touches ~10%; the telemetry is logged, the floor is pinned).
+    "q232_nsw_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").localCheckpoint()
+      val path = storedOnce("nswstore", dir) { p =>
+        Similarity.buildNswIndex(e, p, col("vec_id"), col("embedding"),
+          nlist = 8, m = 8, efC = 32)
+      }
+      val q = e.filter(col("vec_id") < 20)
+      val approx = Similarity.nswTopKIndexed(q, path, col("vec_id"),
+        col("embedding"), k = 10, nprobe = 4, efSearch = 64)
+      // exact euclidean anchor, in-plan (20 queries x corpus)
+      val d2 = graft.functions.stf.vec_dist2(col("q.embedding"), col("c.embedding"))
+      val exact = q.as("q").crossJoin(e.as("c"))
+        .filter(col("c.vec_id") =!= col("q.vec_id"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q.vec_id"))
+            .orderBy(d2, col("c.vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .intersect(exact).count()
+      val recallE6 = hits * 1000000L / exact.count()
+      val stats = Similarity.nswProbeStats(q, path, col("vec_id"),
+          col("embedding"), nprobe = 4, efSearch = 64)
+        .agg(avg(col("n_visited"))).collect()(0).getDouble(0)
+      val n = e.count()
+      println(s"[q232_nsw_recall] recall@10 e6: $recallE6 " +
+        f"avg_visited=$stats%.0f corpus=$n frac=${stats / n}%.3f")
+      s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(20L, recallE6 >= 700000L,
+            stats <= 0.6 * n)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_queries",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("recall_ok",
+            org.apache.spark.sql.types.BooleanType, false),
+          org.apache.spark.sql.types.StructField("visited_capped",
+            org.apache.spark.sql.types.BooleanType, false))))
     }),
 
     // streaming-shaped IVF store (the faiss train/add split): quantizer
@@ -977,6 +1093,39 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // REAL audio decode end-to-end (r10 verdict ask #2): each payload is a
+    // genuine PCM16LE mono WAV container (44-byte RIFF header + samples)
+    // built around a deterministic pseudo-noise signal; Spark decodes it
+    // through javax.sound.sampled (MediaCodec.decodeWav — real JDK audio
+    // parsing, one unsigned byte per frame) and sketches the SAMPLES. The
+    // oracle never sees the container: it recomputes the hash from the
+    // generating formula directly, so row equality proves the whole
+    // container→AudioSystem→frame-byte chain is lossless and exact.
+    // Twin structure: docs 2j and 2j+1 share a signal up to a +3 DC
+    // offset (a requantization-sized perturbation that moves ~1% of
+    // sample bytes by one step), so twins pair at small hamming while
+    // unrelated signals sit ~32 bits apart.
+    "q226_wav_ahash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .withColumn("media", wavNoise(col("doc_id")))
+      Multimodal.mediaAHashPairs(docs, col("doc_id"), col("media"),
+          maxHam = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the same WAV fixtures through the DCT pHash tier (q220's kernel on
+    // real decoded audio samples): full integer DCT replay from the
+    // sample formula, literal cosine table in the SQL
+    "q227_wav_phash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .withColumn("media", wavNoise(col("doc_id")))
+      Multimodal.mediaPHashPairs(docs, col("doc_id"), col("media"),
+          maxHam = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // trigram stupid-backoff fluency, live self-scored (Brants et al.
     // 2007; the KenLM-style next order above q88's bigram LM): exact
     // e6-integer branch scores, full SQL replay. Self-scoring always hits
@@ -1041,6 +1190,20 @@ object SparkEntry {
     "q216_dbscan_highdim" -> ((s, dir) => {
       DBSCAN.clusterVecPivot(Tables.load(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), dims = 16, eps = 0.45, minPts = 5,
+          numPivots = 16)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    // the pivot kernel at the FULL embedding width (r10 verdict ask #6 —
+    // q216 replays at dims=16, this pins dims=64, the realistic width):
+    // eps=1.17 sits in the concentration shoulder where every DBSCAN role
+    // is populated (144 cores in 7 components, 229 border, 127 noise at
+    // sf0.01), so the full recursive label replay exercises core-edge,
+    // border-min-cid, and noise rules under real high-dim geometry.
+    "q230_dbscan_dims64" -> ((s, dir) => {
+      DBSCAN.clusterVecPivot(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), dims = 64, eps = 1.17, minPts = 5,
           numPivots = 16)
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))
@@ -3823,6 +3986,23 @@ object SparkEntry {
 
     // unigram Viterbi: full replay (weights + windowed DP + walk + cost)
     "q189_unigram_segment" -> Unigram.segmentOracleSql("documents", "text", 60),
+
+    // hard-EM vocabulary training replays: the full seed → (E/M/prune)^3
+    // chain, then (for q229) the final-vocab weighted segmentation
+    "q228_unigram_em_learn" ->
+      Unigram.learnVocabOracleSql("documents", "text", 60),
+    "q229_unigram_em_segment" ->
+      Unigram.emSegmentOracleSql("documents", "text", 60),
+
+    // IVF-NSW degenerate exact (nprobe = nlist, unbounded beam) == the
+    // euclidean brute top-5 the PQ family's lossless rows pin
+    "q231_nsw_store" -> euclidTop5OracleSql,
+
+    // invariant row: approximate-config recall vs the in-plan brute
+    // anchor and the visited-node cost cap, both pinned TRUE
+    "q232_nsw_recall" ->
+      ("SELECT CAST(20 AS BIGINT) AS n_queries, TRUE AS recall_ok, " +
+       "TRUE AS visited_capped"),
     "q190_unigram_tokens" ->
       Unigram.tokenCountOracleSql("documents", "doc_id", "text", 60),
 
@@ -3838,8 +4018,8 @@ object SparkEntry {
     "q209_ivfpq_opq_store" -> euclidTop5OracleSql,
 
     // invariant row: both stores' euclidean recall vs the in-plan lossless
-    // anchor, the directional opq >= pq claim and the OPQ floor pinned
-    // TRUE (the measured multiplier is logged, not pinned); n_exact_pairs
+    // anchor, the opq >= 1.2x pq margin claim and the OPQ floor pinned
+    // TRUE (the exact multiplier is logged telemetry); n_exact_pairs
     // replayable (20 queries × top-10)
     "q212_opq_recall" ->
       ("SELECT CAST(count(*) * 10 AS BIGINT) AS n_exact_pairs, " +
@@ -4205,6 +4385,57 @@ object SparkEntry {
       "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"
     },
 
+    // real-WAV aHash replay: the oracle recomputes the sketch from the
+    // GENERATING FORMULA — Spark's row must match despite going through
+    // a genuine RIFF container + javax.sound.sampled decode, which is
+    // exactly the losslessness claim under test. Decoded frame byte =
+    // ((d//2)*7919 + i*104729 + (d%2)*3) % 65536 // 256 (PCM16 top byte
+    // re-biased to unsigned).
+    "q226_wav_ahash" ->
+      (wavParSql +
+       "seg AS (SELECT doc_id, n AS L, ((i*64) // n) AS s, " +
+       "((base + i*104729 + off) % 65536) // 256 AS v " +
+       "FROM par, unnest(generate_series(0, n-1)) AS g(i)),\n" +
+       "ss AS (SELECT doc_id, s, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS sl, max(L) AS L " +
+       "FROM seg GROUP BY 1, 2),\n" +
+       "tt AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tv FROM seg GROUP BY 1),\n" +
+       "p2(s, p) AS (VALUES " +
+       (0 until 64).map(s => s"($s, ${BigInt(1) << s}::HUGEINT)").mkString(", ") + "),\n" +
+       "hs AS (SELECT ss.doc_id, sum(CASE WHEN sv * L > tv * sl THEN p ELSE 0::HUGEINT END) AS h " +
+       "FROM ss JOIN tt USING (doc_id) JOIN p2 ON p2.s = ss.s GROUP BY 1),\n" +
+       s"sims AS (SELECT doc_id, CAST(CASE WHEN h >= ${BigInt(1) << 63}::HUGEINT " +
+       s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS sim FROM hs)\n" +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sims a JOIN sims b " +
+       "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"),
+
+    // real-WAV pHash replay: q220's full integer-DCT tail (literal
+    // quarter-wave cosine table) over the formula-derived sample bytes
+    "q227_wav_phash" -> {
+      val cosTab = graft.operators.Multimodal.cosTabE6
+      wavParSql +
+      "seg AS (SELECT doc_id, ((i*512) // n) AS sn, " +
+      "((base + i*104729 + off) % 65536) // 256 AS v " +
+      "FROM par, unnest(generate_series(0, n-1)) AS g(i)),\n" +
+      "xs AS (SELECT doc_id, sn AS n, (sum(v)*1000000 - (sum(v)*1000000) % count(*)) // count(*) AS x " +
+      "FROM seg GROUP BY 1, 2),\n" +
+      "ct(j, c) AS (VALUES " +
+      cosTab.zipWithIndex.map { case (c, j) => s"($j, $c)" }.mkString(", ") + "),\n" +
+      "dct AS (SELECT doc_id, k, CAST(sum(c * x) AS BIGINT) AS coef " +
+      "FROM xs CROSS JOIN generate_series(1, 64) t(k) " +
+      "JOIN ct ON ct.j = least((k*(2*n+1)) % 2048, 2048 - (k*(2*n+1)) % 2048) " +
+      "GROUP BY 1, 2),\n" +
+      "med AS (SELECT doc_id, coef AS md FROM " +
+      "(SELECT doc_id, coef, row_number() OVER (PARTITION BY doc_id ORDER BY coef, k) AS rn FROM dct) WHERE rn = 32),\n" +
+      "p2(k, p) AS (VALUES " +
+      (1 to 64).map(k => s"($k, ${BigInt(1) << (k - 1)}::HUGEINT)").mkString(", ") + "),\n" +
+      "hs AS (SELECT dct.doc_id, sum(CASE WHEN coef > md THEN p ELSE 0::HUGEINT END) AS h " +
+      "FROM dct JOIN med USING (doc_id) JOIN p2 USING (k) GROUP BY 1),\n" +
+      s"sims AS (SELECT doc_id, CAST(CASE WHEN h >= ${BigInt(1) << 63}::HUGEINT " +
+      s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS sim FROM hs)\n" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sims a JOIN sims b " +
+      "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"
+    },
+
     // trigram stupid-backoff full replays: live self-scored (every
     // instance hits the seen branch), held-out against the segmented
     // even-half model (all three branches), and post-takedown (model =
@@ -4218,22 +4449,10 @@ object SparkEntry {
     // high-dim pivot kernel: the same full recursive replay at dims=16 —
     // candidate generation differs (pivots vs 3^d grid), the label
     // algebra and the exact predicate are identical
-    "q216_dbscan_highdim" -> {
-      val eps2 = 0.45 * 0.45
-      val dist = "list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,16)])"
-      "WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS e FROM embeddings), " +
-      s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
-      "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
-      "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
-      "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
-      "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
-      "border AS (SELECT n.ka AS k, min(c.cid) AS cid FROM adj n JOIN clus c ON n.kb = c.k " +
-      "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka) " +
-      "SELECT p.vec_id, COALESCE(cl.cid, b.cid, -1) AS cluster_id, " +
-      "cl.k IS NOT NULL AS is_core " +
-      "FROM v p LEFT JOIN clus cl ON cl.k = p.vec_id LEFT JOIN border b ON b.k = p.vec_id " +
-      "ORDER BY p.vec_id"
-    },
+    "q216_dbscan_highdim" -> dbscanVecFullOracleSql(16, 0.45),
+
+    // same full recursive replay at the embedding table's native 64 dims
+    "q230_dbscan_dims64" -> dbscanVecFullOracleSql(64, 1.17),
 
     // n-dim predict replay: q156's CTEs on the sub-400 training set + the
     // nearest-core rule over the held-out vectors; the store-backed
@@ -5297,6 +5516,26 @@ object SparkEntry {
        "SELECT event_id FROM epts WHERE ex > 0 AND ex < 400 AND ey > 0 AND ey < 400 " +
        s"AND et >= $T1 ORDER BY event_id")
   )
+
+  /** Full n-dim DBSCAN label replay over the WHOLE embedding table,
+    * parameterized over (dims, eps) at minPts=5 — the q216 recursive-CTE
+    * pattern, shared by the dims=16 and dims=64 pivot-kernel rows. */
+  private def dbscanVecFullOracleSql(dims: Int, eps: Double): String = {
+    val eps2 = eps * eps
+    val dist = s"list_sum([(a.e[i]-b.e[i])*(a.e[i]-b.e[i]) FOR i IN generate_series(1,$dims)])"
+    s"WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:$dims]] AS e FROM embeddings), " +
+    s"adj AS (SELECT a.vec_id AS ka, b.vec_id AS kb FROM v a, v b WHERE $dist <= $eps2), " +
+    "core AS (SELECT ka AS k FROM adj GROUP BY ka HAVING count(*) >= 5), " +
+    "cedge AS (SELECT ka, kb FROM adj WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)), " +
+    "reach(a, b) AS (SELECT k, k FROM core UNION SELECT r.a, e.kb FROM reach r JOIN cedge e ON r.b = e.ka), " +
+    "clus AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a), " +
+    "border AS (SELECT n.ka AS k, min(c.cid) AS cid FROM adj n JOIN clus c ON n.kb = c.k " +
+    "WHERE n.ka NOT IN (SELECT k FROM core) GROUP BY n.ka) " +
+    "SELECT p.vec_id, COALESCE(cl.cid, b.cid, -1) AS cluster_id, " +
+    "cl.k IS NOT NULL AS is_core " +
+    "FROM v p LEFT JOIN clus cl ON cl.k = p.vec_id LEFT JOIN border b ON b.k = p.vec_id " +
+    "ORDER BY p.vec_id"
+  }
 
   /** n-dim DBScanModel.predict replay (q157 live == q158 store-backed):
     * the q156 clustering CTEs on the sub-400 training set + the

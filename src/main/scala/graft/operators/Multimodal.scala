@@ -38,6 +38,74 @@ object Multimodal {
       (media.length >= 3 && (media(0) & 0xff) == 0xff && (media(1) & 0xff) == 0xd8 &&
         (media(2) & 0xff) == 0xff)
 
+    /** RIFF/WAVE magic? Only then is an AudioSystem parse attempted. */
+    def isWav(media: Array[Byte]): Boolean =
+      media.length >= 12 && media(0) == 'R' && media(1) == 'I' &&
+        media(2) == 'F' && media(3) == 'F' && media(8) == 'W' &&
+        media(9) == 'A' && media(10) == 'V' && media(11) == 'E'
+
+    /**
+     * Real audio decode via the JDK's `javax.sound.sampled` (no external
+     * codec deps): PCM WAV payloads (8/16-bit, signed/unsigned, any
+     * channel count, either endianness) decode to one unsigned byte per
+     * FRAME — channels are mixed down by integer floor-average and 16-bit
+     * samples map to their top byte (`(s + 32768) >> 8`), so the output
+     * stream is the same "one byte per time step" shape the grey-pixel
+     * image path produces and every downstream sketch consumes. All
+     * integer arithmetic: an external SQL engine replays the decode
+     * byte-for-byte from the PCM samples (q226/q227's oracles do).
+     * Non-PCM encodings and exotic widths return None (payload falls
+     * through to the byte-fake) rather than guessing.
+     */
+    def decodeWav(media: Array[Byte]): Option[Array[Byte]] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(media))
+        try {
+          val fmt = ais.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val frameBytes = fmt.getFrameSize
+          val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16) ||
+              ch < 1 || frameBytes != ch * (bits / 8)) None
+          else {
+            val raw = ais.readAllBytes()
+            val nFrames = raw.length / frameBytes
+            val out = new Array[Byte](nFrames)
+            val bytesPer = bits / 8
+            var f = 0
+            while (f < nFrames) {
+              var sum = 0L
+              var c = 0
+              while (c < ch) {
+                val off = f * frameBytes + c * bytesPer
+                val s =
+                  if (bits == 8) {
+                    if (unsigned) (raw(off) & 0xff) - 128 else raw(off).toInt
+                  } else {
+                    val u =
+                      if (fmt.isBigEndian) ((raw(off) & 0xff) << 8) | (raw(off + 1) & 0xff)
+                      else ((raw(off + 1) & 0xff) << 8) | (raw(off) & 0xff)
+                    if (unsigned) u - 32768
+                    else if (u >= 32768) u - 65536 else u
+                  }
+                sum += s
+                c += 1
+              }
+              out(f) = ((Math.floorDiv(sum, ch) + (if (bits == 8) 128 else 32768)) >>
+                (if (bits == 8) 0 else 8)).toByte
+              f += 1
+            }
+            Some(out)
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
+
     /** Real image decode: row-major grey-scale bytes (Rec.601 luma). */
     def decodeImage(media: Array[Byte]): Option[Array[Byte]] =
       try {
@@ -62,10 +130,35 @@ object Multimodal {
         }
       } catch { case _: Exception => None }
 
-    /** Decode: real pixels for decodable images; identity bytes otherwise
-      * (the deterministic stand-in for absent audio/video codecs). */
+    /** Decode: real pixels for decodable images, real PCM frame bytes for
+      * WAV audio; identity bytes otherwise (the deterministic stand-in
+      * for absent video codecs — no public JDK video decoder exists). */
     def decode(media: Array[Byte]): Array[Byte] =
-      if (isImage(media)) decodeImage(media).getOrElse(media) else media
+      if (isWav(media)) decodeWav(media).getOrElse(media)
+      else if (isImage(media)) decodeImage(media).getOrElse(media)
+      else media
+
+    /**
+     * Build a PCM16LE mono WAV container around the given samples — the
+     * fixture-side inverse of [[decodeWav]] (specs and the q226/q227
+     * oracle queries construct payloads with it; a real pipeline's WAVs
+     * come off disk). Standard 44-byte RIFF header, little-endian
+     * throughout.
+     */
+    def wavPcm16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)                  // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16)                 // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
 
     /** Byte-sum "brightness" — stands in for a pixel-mean feature. */
     def byteSum(media: Array[Byte]): Long = {

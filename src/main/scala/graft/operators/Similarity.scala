@@ -353,10 +353,23 @@ object Similarity {
     def live(table: String, idName: String): DataFrame =
       minusTombstones(spark.read.parquet(s"$path/$table").drop("batch_id"),
         path, idName)
-    if (has("corpus")) { // IVF
-      live("corpus", "neighbor_id")
-        .repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
-        .write.mode("overwrite").parquet(s"$tmp/corpus/$seg")
+    if (has("corpus")) { // IVF or IVF-NSW
+      val rows = live("corpus", "neighbor_id")
+      val sorted =
+        if (rows.columns.contains("__adj")) {
+          // IVF-NSW: adjacency references tombstoned waypoints — dropping
+          // rows without rebuilding would disconnect cell graphs (and
+          // silently break the degenerate-exact guarantee), so the cell
+          // graphs are REBUILT over the live rows under the frozen params
+          val params = Sidecar
+            .readText(spark, path + "/_graft_nsw_params").trim.split(" ")
+          nswAssembleGraphs(rows.drop("__adj"),
+              m = params(1).toInt, efC = params(3).toInt)
+            .repartitionByRange(col("__cell"))
+            .sortWithinPartitions(col("__cell"), col("neighbor_id"))
+        } else
+          rows.repartitionByRange(col("__cell")).sortWithinPartitions(col("__cell"))
+      sorted.write.mode("overwrite").parquet(s"$tmp/corpus/$seg")
     } else if (!has("vectors")) { // PQ or IVF-PQ codes
       val rows = live("codes", "neighbor_id")
       val sorted =
@@ -1231,6 +1244,244 @@ object Similarity {
       Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  // ---- graph ANN: IVF-NSW (per-cell navigable small worlds) ----
+  //
+  // The graph tier of the ANN family (r10 verdict ask #4 — the measured
+  // decision in dev/hnsw_experiment.py: at matched recall a navigable-
+  // small-world beam search spends 2-4x fewer distance computations per
+  // query than IVF cell scans, but a SINGLE corpus-wide graph is
+  // unshippable under Spark's execution model — construction is
+  // sequential insertion (55M distance comps for 20k vectors, 6.5x the
+  // IVF train cost, unparallelizable), and serving would need the whole
+  // graph resident. The Spark-native form is IVF-NSW: the frozen coarse
+  // quantizer routes vectors to cells exactly as the IVF store does, and
+  // each CELL holds its own deterministic NSW graph — builds parallelize
+  // per cell (sequentiality is confined to a cell, the same executor-
+  // memory contract every IVF cell scan already has), queries route to
+  // nprobe cells and beam-search each, and the 2-4x query-side saving
+  // survives because it applies within every probed cell. This is the
+  // DiskANN/faiss-HNSW sharding shape. Determinism contract: insertion
+  // in ascending id order, all tie-breaks by (distance, id), entry point
+  // = the cell's smallest id — so graphs, searches, and stores are total
+  // functions of (corpus, params), and the degenerate configuration
+  // (nprobe = nlist, efSearch >= cell size) visits every node of every
+  // cell (the beam never saturates, cells are connected by construction:
+  // node i always links to >= 1 earlier node), making the result EXACTLY
+  // the euclidean brute top-k — which is what the driver oracle pins.
+
+  /** Deterministic NSW adjacency over one cell (vectors sorted by id):
+    * node i links to its `m` nearest among nodes 0..i−1 — exhaustive for
+    * the first m nodes, beam-searched (`efC`) after — and links are
+    * symmetrized. Returns per-node neighbor INDEX lists. */
+  private[graft] def nswBuildLocal(ids: Array[Long], vecs: Array[Array[Double]],
+                                   m: Int, efC: Int): Array[Array[Int]] = {
+    val n = ids.length
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 1
+    while (i < n) {
+      val cand: Seq[Int] =
+        if (i <= m) 0 until i
+        else nswSearchLocal(ids, vecs, adj, vecs(i), efC, i)._1.map(_._2)
+      cand.map(j => (sqDist(vecs(j), vecs(i)), ids(j), j))
+        .sorted.take(m).foreach { case (_, _, j) =>
+          if (!adj(i).contains(j)) adj(i) += j
+          if (!adj(j).contains(i)) adj(j) += i
+        }
+      i += 1
+    }
+    adj.map(_.sorted.toArray)
+  }
+
+  /** Greedy best-first beam over the first `nNodes` nodes of a cell graph,
+    * entered at node 0 (the smallest id): classic HNSW SEARCH-LAYER with
+    * every tie broken by id. Returns up to `ef` (distance, index) pairs,
+    * ascending. With ef >= nNodes the beam never saturates and the walk
+    * visits the whole (connected) graph — the exact degenerate. Returns
+    * (hits, nodes visited). */
+  private[graft] def nswSearchLocal(ids: Array[Long], vecs: Array[Array[Double]],
+                                    adj: IndexedSeq[scala.collection.Seq[Int]],
+                                    q: Array[Double], ef: Int,
+                                    nNodes: Int): (Seq[(Double, Int)], Int) = {
+    if (nNodes <= 0) return (Nil, 0)
+    implicit val ord: Ordering[(Double, Long, Int)] = Ordering.Tuple3
+    val visited = new java.util.HashSet[Integer]()
+    // frontier: nearest-first; results: worst-first (bounded at ef)
+    val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int)](ord.reverse)
+    val results = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int)](ord)
+    val d0 = sqDist(vecs(0), q)
+    visited.add(0)
+    frontier.enqueue((d0, ids(0), 0))
+    results.enqueue((d0, ids(0), 0))
+    while (frontier.nonEmpty) {
+      val (d, _, u) = frontier.dequeue()
+      if (results.size >= ef && ord.compare((d, ids(u), u), results.head) > 0) {
+        frontier.clear()
+      } else {
+        adj(u).foreach { w =>
+          if (w < nNodes && !visited.contains(w)) {
+            visited.add(w)
+            val dw = sqDist(vecs(w), q)
+            if (results.size < ef || ord.compare((dw, ids(w), w), results.head) < 0) {
+              frontier.enqueue((dw, ids(w), w))
+              results.enqueue((dw, ids(w), w))
+              if (results.size > ef) { results.dequeue(); () }
+            }
+          }
+        }
+      }
+    }
+    val drained: List[(Double, Long, Int)] = results.dequeueAll.toList
+    (drained.reverse.map(t => (t._1, t._3)), visited.size)
+  }
+
+  /** Per-cell NSW graph assembly over assigned corpus rows
+    * (`__cell`, `neighbor_id`, `__cv`): one cell's rows are grouped
+    * in-memory per executor (the IVF cell-size contract), sorted by id,
+    * and the deterministic adjacency is attached as `__adj`
+    * (array&lt;long&gt; of neighbor IDS — stable across compaction
+    * rebuilds). Shared by [[buildNswIndex]] and [[compactAnnStore]]'s
+    * NSW branch. */
+  private def nswAssembleGraphs(assigned: DataFrame, m: Int, efC: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("__cell", IntegerType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("__cv", ArrayType(FloatType), nullable = true),
+      StructField("__adj", ArrayType(LongType), nullable = false)))
+    val in = assigned.select(col("__cell"), col("neighbor_id"), col("__cv"))
+      .repartition(col("__cell"))
+    in.mapPartitions { it =>
+      it.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (cell, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        val ids = sorted.map(_.getLong(1)).toArray
+        val vecs = sorted.map(r => toDoubles(r.getSeq[Float](2))).toArray
+        val adj = nswBuildLocal(ids, vecs, m, efC)
+        sorted.indices.map { i =>
+          org.apache.spark.sql.Row(cell, ids(i), sorted(i).getSeq[Float](2),
+            adj(i).map(ids(_)).toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Build/overwrite a persisted IVF-NSW index under `path`: the IVF
+    * layout (`corpus` cell-range-sorted, `_graft_centroids` sidecar) plus
+    * a per-row `__adj` adjacency column and a `_graft_nsw_params` sidecar
+    * — so cell routing, pushed-IN probes, id-keyed tombstones, and the
+    * staged-swap marker contract are all inherited unchanged. */
+  def buildNswIndex(corpus: DataFrame, path: String, corpusId: Column,
+                    corpusVec: Column, nlist: Int = 16, m: Int = 8,
+                    efC: Int = 32, seed: Long = 42L): Unit = {
+    require(m > 0 && efC >= m,
+      s"buildNswIndex: need m > 0 and efC >= m (got m=$m efC=$efC)")
+    val spark = corpus.sparkSession
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    graft.sources.Sidecar.invalidateMarker(spark, path)
+    dropTombstones(spark, path)
+    val centroids = fitCentroids(c, nlist, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    nswAssembleGraphs(c.withColumn("__cell", assignCellUdf(bc)(col("__cv"))), m, efC)
+      .repartitionByRange(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(path + "/corpus")
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_centroids",
+      centroids.map(_.mkString(",")).mkString("\n"))
+    graft.sources.Sidecar.writeText(spark, path + "/_graft_nsw_params",
+      s"m $m efc $efC")
+    graft.sources.Sidecar.markComplete(spark, path)
+  }
+
+  /**
+   * Query a [[buildNswIndex]] store: each query routes to its `nprobe`
+   * nearest cells (pushed IN — unprobed cells are never read), beam-
+   * searches each probed cell's graph with width `efSearch`, and the
+   * per-cell candidates fold through one global (distance, id) window
+   * rank. Euclidean ranking, ties to the lower id (the PQ family's
+   * contract). Tombstoned ids stay TRAVERSABLE (the standard HNSW
+   * deleted-node semantic — dropping them would disconnect the graph)
+   * but are filtered from results, so takedowns are exact without a
+   * rebuild; [[compactAnnStore]] rebuilds the cell graphs over live rows.
+   * nprobe >= nlist with efSearch >= max cell size degenerates to the
+   * exact euclidean brute top-k.
+   */
+  def nswTopKIndexed(queries: DataFrame, path: String, queryId: Column,
+                     queryVec: Column, k: Int, nprobe: Int = 4,
+                     efSearch: Int = 64): DataFrame = {
+    val cand = nswCandidates(queries, path, queryId, queryVec, nprobe, efSearch)
+    val live = minusTombstones(cand, path, "neighbor_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val rn = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("neighbor_id")))
+    live.withColumn("rank", rn).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Per-query search-cost telemetry for an IVF-NSW store: `n_visited`
+    * (nodes touched across the query's probed cells — the quantity the
+    * graph tier exists to cap) and `n_cells`. Same deterministic walk as
+    * [[nswTopKIndexed]]. */
+  def nswProbeStats(queries: DataFrame, path: String, queryId: Column,
+                    queryVec: Column, nprobe: Int = 4,
+                    efSearch: Int = 64): DataFrame =
+    nswCandidates(queries, path, queryId, queryVec, nprobe, efSearch)
+      .select(col("query_id"), col("__cell"), col("__visited")).distinct()
+      .groupBy(col("query_id"))
+      .agg(sum(col("__visited")).as("n_visited"),
+        count(col("__cell")).cast("long").as("n_cells"))
+
+  /** Shared candidate generation for the IVF-NSW readers: route the
+    * (broadcast-small, collected-once) query batch to probe cells, read
+    * ONLY those cells (pushed IN), beam-search each cell's graph, emit
+    * (query_id, neighbor_id, __d2, __cell, __visited) rows. Tombstones
+    * are NOT applied here — deleted nodes stay traversable. */
+  private def nswCandidates(queries: DataFrame, path: String, queryId: Column,
+                            queryVec: Column, nprobe: Int,
+                            efSearch: Int): DataFrame = {
+    require(nprobe > 0 && efSearch > 0,
+      s"nswCandidates: need nprobe > 0 and efSearch > 0 (got $nprobe, $efSearch)")
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
+    val probeCells = probeCellsUdf(bc, nprobe)
+    val qBatch = queries.select(queryId.as("query_id"), queryVec.as("__qv")).collect()
+    val qSchema = queries.select(queryId.as("query_id"), queryVec.as("__qv")).schema
+    val probes = spark.createDataFrame(java.util.Arrays.asList(qBatch: _*), qSchema)
+      .withColumn("__qcell", explode(probeCells(col("__qv"))))
+      .select(col("__qcell"), col("query_id"), col("__qv")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), toDoubles(r.getSeq[Float](2)))))
+    val cells = probes.map(_._1).distinct
+    val byCell = spark.sparkContext.broadcast(
+      probes.groupBy(_._1).map { case (c, g) => (c, g.map(_._2)) })
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("__d2", DoubleType, nullable = false),
+      StructField("__cell", IntegerType, nullable = false),
+      StructField("__visited", LongType, nullable = false)))
+    spark.read.parquet(path + "/corpus")
+      .filter(col("__cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+      .select(col("__cell"), col("neighbor_id"), col("__cv"), col("__adj"))
+      .repartition(col("__cell"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (cell, rows) =>
+          val sorted = rows.sortBy(_.getLong(1))
+          val ids = sorted.map(_.getLong(1)).toArray
+          val vecs = sorted.map(r => toDoubles(r.getSeq[Float](2))).toArray
+          val idx = ids.zipWithIndex.toMap
+          val adj = sorted.map(_.getSeq[Long](3).flatMap(idx.get).toIndexedSeq)
+            .toIndexedSeq
+          byCell.value.getOrElse(cell, Array.empty[(Long, Array[Double])])
+            .iterator.flatMap { case (qid, qv) =>
+              val (hits, visited) =
+                nswSearchLocal(ids, vecs, adj, qv, efSearch, ids.length)
+              hits.map { case (d, i) =>
+                org.apache.spark.sql.Row(qid, ids(i), d, cell, visited.toLong)
+              }
+            }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**

@@ -122,6 +122,98 @@ object Unigram {
     }
   }
 
+  /**
+   * NATIVE unigram-LM vocabulary TRAINING — the hard-EM variant of
+   * SentencePiece's vocabulary learning (Kudo 2018, §3.2; reference has
+   * no counterpart — this is the r10 verdict's frontier ask #3). Every
+   * step is integer-exact and engine-replayable:
+   *
+   *  1. SEED: the bounded substring-candidate table (the [[Wordpiece]]
+   *     kernel — overlapping substrings of the `vocabWords`-bounded word
+   *     histogram, weighted by word frequency). All single chars enter
+   *     (coverage guarantee); the top `(vocabSize − #chars) ·
+   *     seedMultiplier` multi-char candidates by (count DESC, token ASC)
+   *     fill an OVERSIZED seed pool — EM needs slack to choose from.
+   *  2. `rounds` hard-EM iterations:
+   *     E-step — Viterbi-segment every histogram word under the current
+   *     counts' integer-q20 weights (exactly [[segmentWord]], the same
+   *     kernel inference uses); usage(t) = Σ_word hist(word) ·
+   *     occurrences of t in word's segmentation.
+   *     M-step + prune — counts become the usage; unused multi-char
+   *     tokens drop, the rest keep the top `vocabSize − #chars` slots by
+   *     (usage DESC, token ASC); chars never drop (coverage) and clamp
+   *     to count ≥ 1 so q20 stays defined.
+   *  3. Output (token, cnt) by (cnt DESC, token ASC) — the same frame
+   *     shape as [[Wordpiece.learnVocab]], so the one persisted vocab
+   *     store ([[Wordpiece.buildVocabStore]]) serves EM-trained unigram
+   *     models unchanged.
+   *
+   * Scale shape: training touches the corpus once (the distributed
+   * word-histogram kernel); EM runs on the driver over the bounded
+   * histogram — `rounds × vocabWords` Viterbi DPs over ≤ maxTokenLen
+   * windows, megabytes at the defaults, and independent of corpus size.
+   */
+  def learnVocab(df: DataFrame, textCol: Column, vocabSize: Int,
+                 maxTokenLen: Int = 4, rounds: Int = 3,
+                 seedMultiplier: Int = 2, vocabWords: Int = 10000): DataFrame = {
+    require(vocabSize > 0, s"learnVocab: vocabSize must be positive, got $vocabSize")
+    require(maxTokenLen > 0, s"learnVocab: maxTokenLen must be positive, got $maxTokenLen")
+    require(rounds >= 1, s"learnVocab: rounds must be >= 1, got $rounds")
+    require(seedMultiplier >= 1, s"learnVocab: seedMultiplier must be >= 1, got $seedMultiplier")
+    val vocab = learnVocabLocal(Bpe.wordHistogram(df, textCol, vocabWords),
+      vocabSize, maxTokenLen, rounds, seedMultiplier)
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      vocab.map { case (t, c) => org.apache.spark.sql.Row(t, c) }: _*), schema)
+  }
+
+  /** Driver-side hard-EM over the bounded word histogram (see
+    * [[learnVocab]]); exposed for the spec's brute-force differential. */
+  private[graft] def learnVocabLocal(hist: Seq[(String, Long)], vocabSize: Int,
+                                     maxTokenLen: Int, rounds: Int,
+                                     seedMultiplier: Int): Seq[(String, Long)] = {
+    val counts = mutable.HashMap.empty[String, Long]
+    hist.foreach { case (word, c) =>
+      var s = 0
+      while (s < word.length) {
+        var l = 1
+        val lim = math.min(maxTokenLen, word.length - s)
+        while (l <= lim) {
+          val t = word.substring(s, s + l)
+          counts.update(t, counts.getOrElse(t, 0L) + c)
+          l += 1
+        }
+        s += 1
+      }
+    }
+    val (chars, multi) = counts.toSeq.partition(_._1.length == 1)
+    val charsSorted = chars.sortBy { case (t, c) => (-c, t) }
+    val slots = math.max(vocabSize - charsSorted.length, 0)
+    var vocab: Seq[(String, Long)] =
+      charsSorted ++ multi.sortBy { case (t, c) => (-c, t) }.take(slots * seedMultiplier)
+    var r = 0
+    while (r < rounds) {
+      val (w, oov) = weights(vocab)
+      val usage = mutable.HashMap.empty[String, Long]
+      hist.foreach { case (word, c) =>
+        segmentWord(word, w, maxTokenLen, oov).foreach { t =>
+          usage.update(t, usage.getOrElse(t, 0L) + c)
+        }
+      }
+      vocab = charsSorted.map { case (t, _) =>
+          (t, math.max(usage.getOrElse(t, 0L), 1L)) } ++
+        usage.toSeq.filter(_._1.length > 1)
+          .sortBy { case (t, c) => (-c, t) }.take(slots)
+      r += 1
+    }
+    vocab.sortBy { case (t, c) => (-c, t) }
+  }
+
   /** Apply a learned (token, cnt) vocabulary under the unigram-LM
     * objective: adds `outName` (array&lt;string&gt; of subword tokens,
     * words flattened in order). Broadcast weights + memoized per-word
@@ -204,38 +296,40 @@ object Unigram {
     s"($b*1048576 + (($expr - (CAST(1 AS BIGINT) << $b))*1048576) // (CAST(1 AS BIGINT) << $b))"
   }
 
-  /** Weight CTEs on top of [[Wordpiece]]'s vocab CTEs: total mass, q(T),
-    * per-token weights. */
-  private def weightCtes: String =
-    s"""tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
-       |qt AS (SELECT ${q20Sql("t")} AS qv FROM tot),
-       |vw AS (SELECT token, len(token) AS l,
-       |              (SELECT qv FROM qt) - ${q20Sql("cnt")} AS w
-       |       FROM vocab)""".stripMargin
+  /** Weight CTEs over the vocab CTE named `vocab$sfx`: per-token weights
+    * q(T) − q(cnt), with the total mass as a window sum so the vocab CTE
+    * is referenced exactly ONCE (chained EM replays re-evaluate a CTE
+    * per reference — a second reference doubles the whole upstream
+    * chain). */
+  private def weightCtes(sfx: String = ""): String =
+    s"""vw$sfx AS (SELECT token, l, ${q20Sql("t")} - ${q20Sql("cnt")} AS w
+       |       FROM (SELECT token, len(token) AS l, cnt,
+       |                    CAST(sum(cnt) OVER () AS BIGINT) AS t FROM vocab$sfx))""".stripMargin
 
   /** The Viterbi DP as a window-carrying recursive CTE: each iteration
     * computes togo(pos) = min over legal tokens of w + togo(pos+l) from
     * the carried [togo(pos+1) .. togo(pos+L)] window, then shifts the
     * window — a sequential right-to-left DP, one row per word per
     * iteration (iterations = word length). The coverage guarantee makes
-    * the min always defined for corpus words. */
-  private def dpCtes(maxTokenLen: Int): String = {
+    * the min always defined for corpus words. Reads vw$sfx + dw, emits
+    * dp$sfx/tg$sfx. */
+  private def dpCtes(maxTokenLen: Int, sfx: String = ""): String = {
     val sentinel = "4611686018427387903"
     val init = (Seq("CAST(0 AS BIGINT)") ++
       Seq.fill(maxTokenLen - 1)(sentinel)).mkString("[", ", ", "]")
-    s"""dp(word, pos, win) AS (
+    s"""dp$sfx(word, pos, win) AS (
        |  SELECT word, CAST(len(word) AS INTEGER) - 1, $init FROM dw
        |  UNION ALL
        |  SELECT d.word, d.pos - 1, list_prepend(s.best, d.win[1:${maxTokenLen - 1}])
-       |  FROM dp d, LATERAL (
+       |  FROM dp$sfx d, LATERAL (
        |    SELECT min(vw.w + d.win[vw.l]) AS best
-       |    FROM vw
+       |    FROM vw$sfx vw
        |    WHERE vw.l <= len(d.word) - d.pos
        |      AND substr(d.word, d.pos + 1, vw.l) = vw.token
        |  ) s
        |  WHERE d.pos >= 0
        |),
-       |tg AS (SELECT word, pos + 1 AS pos, win[1] AS tg FROM dp)""".stripMargin
+       |tg$sfx AS (SELECT word, pos + 1 AS pos, win[1] AS tg FROM dp$sfx)""".stripMargin
   }
 
   /** Replay of [[segmentWords]]: vocab selection ([[Wordpiece]]'s CTEs),
@@ -245,7 +339,7 @@ object Unigram {
   def segmentOracleSql(table: String, textExpr: String, vocabSize: Int,
                        maxTokenLen: Int = 4, vocabWords: Int = 10000): String =
     s"""WITH RECURSIVE ${Wordpiece.vocabCtes(table, textExpr, vocabSize, maxTokenLen, vocabWords)},
-       |$weightCtes,
+       |${weightCtes()},
        |${dpCtes(maxTokenLen)},
        |walk(word, pos, acc, ntok) AS (
        |  SELECT word, 0, CAST('' AS VARCHAR), CAST(0 AS BIGINT) FROM dw
@@ -274,7 +368,7 @@ object Unigram {
                           vocabSize: Int, maxTokenLen: Int = 4,
                           vocabWords: Int = 10000): String =
     s"""WITH RECURSIVE ${Wordpiece.vocabCtes(table, textExpr, vocabSize, maxTokenLen, vocabWords)},
-       |$weightCtes,
+       |${weightCtes()},
        |${dpCtes(maxTokenLen)},
        |walk(word, pos, ntok) AS (
        |  SELECT word, 0, CAST(0 AS BIGINT) FROM dw
@@ -295,4 +389,126 @@ object Unigram {
        |SELECT d.doc_id, CAST(sum(COALESCE(wc.n, 0)) AS BIGINT) AS n_tokens
        |FROM docw d LEFT JOIN wc ON wc.word = d.word
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  // ---- hard-EM vocabulary-training replays ----
+
+  /** Seed CTEs for [[learnVocab]]'s oracle: histogram `h`, overlapping
+    * substring candidates, `chars` (all single chars, coverage), the
+    * multi-char slot count, and `vocab0` = chars ∪ top slots×multiplier
+    * multi-char candidates by (count DESC, token ASC). */
+  private def seedCtes(table: String, textExpr: String, vocabSize: Int,
+                       maxTokenLen: Int, seedMultiplier: Int,
+                       vocabWords: Int): String =
+    s"""w AS (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table),
+       |h AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w WHERE word <> ''
+       |      GROUP BY word ORDER BY c DESC, word LIMIT $vocabWords),
+       |subs AS (SELECT substr(word, s, l) AS token, CAST(sum(c) AS BIGINT) AS cnt
+       |         FROM h, LATERAL (SELECT unnest(range(1, len(word)+1)) AS s),
+       |              LATERAL (SELECT unnest(range(1, least($maxTokenLen, len(word)-s+1)+1)) AS l)
+       |         GROUP BY 1),
+       |chars AS (SELECT token, cnt FROM subs WHERE len(token) = 1),
+       |nch AS (SELECT count(*) AS n FROM chars),
+       |vocab0 AS (SELECT token, cnt FROM chars
+       |           UNION ALL
+       |           SELECT token, cnt FROM (SELECT token, cnt FROM subs WHERE len(token) > 1
+       |             ORDER BY cnt DESC, token
+       |             LIMIT (SELECT greatest($vocabSize - n, 0) * $seedMultiplier FROM nch))),
+       |dw AS (SELECT DISTINCT word FROM w WHERE word <> '')""".stripMargin
+
+  /**
+   * Shared segmentation-ENUMERATION CTEs for the EM replays: every
+   * segmentation of every distinct word, encoded as a cut-position
+   * bitmask (bit i ⇒ cut after character i+1), unnested to (word, mask,
+   * idx, token, nparts) part rows. NON-recursive by construction — the
+   * chained EM rounds made the windowed recursive DP prohibitively
+   * expensive to replay (each recursion iteration re-evaluates its
+   * upstream CTE chain, compounding per round), while exhaustive
+   * enumeration is a few thousand masks per word and purely relational.
+   * Tokens longer than maxTokenLen never match the weight table, so the
+   * per-mask full-join count filter (`count = nparts`) IS the legality
+   * check. Covers words up to 12 chars (2^11 masks) — the corpus
+   * maximum is 8.
+   */
+  private def segEnumCtes: String =
+    s"""masks AS (SELECT unnest(generate_series(0, 2047)) AS mask),
+       |segs AS (SELECT word, mask,
+       |           list_prepend(0, list_append(
+       |             [i FOR i IN generate_series(1, len(word)-1) IF ((mask >> (i-1)) & 1) = 1],
+       |             len(word))) AS bounds
+       |         FROM dw, masks WHERE mask < (1 << greatest(len(word)-1, 0))),
+       |segparts AS (SELECT word, mask, i AS idx, len(bounds)-1 AS nparts,
+       |               substr(word, bounds[i]+1, bounds[i+1]-bounds[i]) AS token,
+       |               bounds[i+1]-bounds[i] AS plen
+       |             FROM segs, unnest(generate_series(1, len(bounds)-1)) AS g(i))""".stripMargin
+
+  /** Min-cost + canonical-path CTEs (suffix `$s`) over [[segEnumCtes]]
+    * for the weight table `vw$s`: `cost$s` joins every part against the
+    * weights (masks with an out-of-vocab part drop via the count
+    * filter), `canon$s` keeps, per word, the minimum-cost segmentation
+    * with the lexicographically GREATEST part-length list — exactly the
+    * forward walk's longest-cost-consistent-token-first tie-break. */
+  private def canonCtes(s: String): String =
+    s"""cost$s AS (SELECT sp.word, sp.mask, CAST(sum(vw.w) AS BIGINT) AS cost,
+       |             max(sp.nparts) AS nparts, list(sp.plen ORDER BY sp.idx) AS lens
+       |           FROM segparts sp JOIN vw$s vw ON vw.token = sp.token
+       |           GROUP BY sp.word, sp.mask
+       |           HAVING count(*) = max(sp.nparts)),
+       |canon$s AS (SELECT word, mask, cost, nparts FROM
+       |             (SELECT c.*, row_number() OVER (PARTITION BY word
+       |                ORDER BY cost, lens DESC) AS rn FROM cost$s c)
+       |           WHERE rn = 1)""".stripMargin
+
+  /** One hard-EM round `r` as CTEs: weights over vocab{r−1}, canonical
+    * Viterbi segmentations via enumeration, histogram-weighted usage,
+    * and vocab{r} = clamped chars ∪ top-slots used multi-char tokens. */
+  private def emRoundCtes(r: Int, vocabSize: Int): String = {
+    val p = r - 1
+    s"""${weightCtes(p.toString)},
+       |${canonCtes(p.toString)},
+       |use$r AS (SELECT sp.token, CAST(sum(h.c) AS BIGINT) AS cnt
+       |          FROM canon$p cn JOIN segparts sp ON sp.word = cn.word AND sp.mask = cn.mask
+       |               JOIN h ON h.word = cn.word
+       |          GROUP BY 1),
+       |vocab$r AS (SELECT token, greatest(cnt, 1) AS cnt FROM
+       |             (SELECT COALESCE(c.token, u.token) AS token,
+       |                     COALESCE(u.cnt, 0) AS cnt,
+       |                     len(COALESCE(c.token, u.token)) > 1 AS ismulti,
+       |                     row_number() OVER (
+       |                       PARTITION BY len(COALESCE(c.token, u.token)) > 1
+       |                       ORDER BY COALESCE(u.cnt, 0) DESC,
+       |                                COALESCE(c.token, u.token)) AS rk
+       |              FROM chars c FULL OUTER JOIN use$r u ON u.token = c.token)
+       |            WHERE (NOT ismulti)
+       |               OR rk <= (SELECT greatest($vocabSize - n, 0) FROM nch))""".stripMargin
+  }
+
+  /** Full replay of [[learnVocab]]: seed + `rounds` chained hard-EM
+    * rounds, output (token, cnt) by (cnt DESC, token ASC). */
+  def learnVocabOracleSql(table: String, textExpr: String, vocabSize: Int,
+                          maxTokenLen: Int = 4, rounds: Int = 3,
+                          seedMultiplier: Int = 2,
+                          vocabWords: Int = 10000): String =
+    s"""WITH ${seedCtes(table, textExpr, vocabSize, maxTokenLen, seedMultiplier, vocabWords)},
+       |$segEnumCtes,
+       |${(1 to rounds).map(emRoundCtes(_, vocabSize)).mkString(",\n")}
+       |SELECT token, cnt FROM vocab$rounds ORDER BY cnt DESC, token""".stripMargin
+
+  /** Replay of [[segmentWords]] under an EM-TRAINED vocabulary: the
+    * learn replay above feeding one more canonical-segmentation pass
+    * (suffix `f`) whose parts reassemble into (seg, n_tokens,
+    * cost_q20). */
+  def emSegmentOracleSql(table: String, textExpr: String, vocabSize: Int,
+                         maxTokenLen: Int = 4, rounds: Int = 3,
+                         seedMultiplier: Int = 2,
+                         vocabWords: Int = 10000): String =
+    s"""WITH ${seedCtes(table, textExpr, vocabSize, maxTokenLen, seedMultiplier, vocabWords)},
+       |$segEnumCtes,
+       |${(1 to rounds).map(emRoundCtes(_, vocabSize)).mkString(",\n")},
+       |vocabf AS (SELECT token, cnt FROM vocab$rounds),
+       |${weightCtes("f")},
+       |${canonCtes("f")}
+       |SELECT cn.word, string_agg(sp.token, ' ' ORDER BY sp.idx) AS seg,
+       |       CAST(cn.nparts AS BIGINT) AS n_tokens, cn.cost AS cost_q20
+       |FROM canonf cn JOIN segparts sp ON sp.word = cn.word AND sp.mask = cn.mask
+       |GROUP BY cn.word, cn.nparts, cn.cost ORDER BY cn.word""".stripMargin
 }

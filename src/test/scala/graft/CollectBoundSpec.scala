@@ -82,18 +82,24 @@ class CollectBoundSpec extends AnyFunSuite {
       ".select(col(\"__v\")).collect().map(r => toDoubles(r.getSeq[Float](0)))" -> 1,
       "col(\"min_v\"), col(\"max_v\")).collect()" -> 1,
       "val cells = q.select(col(\"__qcell\")).distinct().collect().map(_.getInt(0))" -> 1,
-      "val qBatch = queries.select(queryId.as(\"query_id\"), queryVec.as(\"__qv\")).collect()" -> 3,
+      // 4th site: nswCandidates — the same broadcast-small query-batch
+      // contract as the other indexed readers
+      "val qBatch = queries.select(queryId.as(\"query_id\"), queryVec.as(\"__qv\")).collect()" -> 4,
       "val seedRows = v.orderBy(col(\"id\")).limit(k + 1).collect()" -> 1,
+      // nswCandidates probe rows: query batch × nprobe (both config-bounded)
+      ".select(col(\"__qcell\"), col(\"query_id\"), col(\"__qv\")).collect()" -> 1,
     ),
     // per-partition corner points only (corners-only driver scan)
     "Skyline.scala" -> Map(
       ".collect().map { r =>" -> 1,
     ),
     // driver rows of catalog queries: vocab-store tokens (capped),
-    // BPE pair table (bounded by merges), partition range rows, and the
-    // q212 invariant's 20-query × top-10 recall pair sets
+    // BPE pair table (bounded by merges), partition range rows, the
+    // q212 invariant's 20-query × top-10 recall pair sets, and q232's
+    // 1-row visited-average aggregate
     "SparkEntry.scala" -> Map(
       ".collect()" -> 1,
+      ".agg(avg(col(\"n_visited\"))).collect()(0).getDouble(0)" -> 1,
       ".collect().map(r => (r.getString(0), r.getLong(1))).toSeq" -> 1,
       ".collect().map(r => (r.getLong(0), r.getLong(1))).toSet" -> 1,
       ".collect().sortBy(_.getAs[Long](\"__lo\"))" -> 1,

@@ -156,6 +156,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(Multimodal.mediaPHash(a), Multimodal.mediaPHash(bright)) <= 3)
   }
 
+  test("WAV decode: real javax.sound parse — PCM16 top bytes, stereo mixdown, graceful non-PCM fallback") {
+    // mono PCM16LE through the fixture builder: decoded frame byte must be
+    // the exact integer (s + 32768) >> 8 — the SQL-replayable contract
+    val samples = Array.tabulate(300)(i => ((i * 977) % 65536 - 32768).toShort)
+    val wav = MediaCodec.wavPcm16(samples, sampleRate = 8000)
+    assert(MediaCodec.isWav(wav) && !MediaCodec.isImage(wav))
+    val got = MediaCodec.decode(wav)
+    assert(got.length == samples.length)
+    assert(got.toSeq == samples.map(s => ((s + 32768) >> 8).toByte).toSeq)
+    // stereo PCM16LE (hand-built 44-byte header, 2 channels): one byte per
+    // FRAME, channels floor-averaged before the top-byte map
+    val l = Array[Short](1000, -32768, 500)
+    val r = Array[Short](-2000, -32768, 501)
+    val dataLen = 12
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+      .putShort(4).putShort(16).put("data".getBytes("US-ASCII")).putInt(dataLen)
+    l.indices.foreach { i => bb.putShort(l(i)); bb.putShort(r(i)) }
+    val stereo = MediaCodec.decode(bb.array())
+    val want = l.indices.map { i =>
+      ((Math.floorDiv(l(i).toLong + r(i).toLong, 2) + 32768) >> 8).toByte
+    }
+    assert(stereo.toSeq == want)
+    // a RIFF/WAVE container AudioSystem can't parse (truncated header)
+    // falls back to identity bytes, not an exception
+    val junk = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
+    assert(MediaCodec.isWav(junk) && MediaCodec.decode(junk).toSeq == junk.toSeq)
+  }
+
+  test("WAV near-dup: time-shifted and requantized clips pair, unrelated tone does not") {
+    import spark.implicits._
+    // 8-cycle low-frequency sine, 4000 samples: the segment means trace
+    // the waveform (8 segments per cycle), which is what the 1-D aHash
+    // sketches. Perturbations: a small time shift (8 samples = 13% of a
+    // segment) and a 512-step requantization — both classic "same clip,
+    // different encode" transforms; the unrelated clip is the quadrature
+    // tone (cosine), whose sign pattern disagrees on ~half the segments.
+    def clip(shift: Int, quant: Int, quadrature: Boolean): Array[Byte] = {
+      val s = Array.tabulate(4000) { i =>
+        val ph = 2 * math.Pi * 8 * (i + shift) / 4000
+        val v = 12000.0 * (if (quadrature) math.cos(ph) else math.sin(ph))
+        val q = (v / quant).toInt * quant
+        q.toShort
+      }
+      MediaCodec.wavPcm16(s)
+    }
+    val base = clip(0, 1, quadrature = false)
+    val shifted = clip(8, 1, quadrature = false)
+    val requant = clip(0, 512, quadrature = false)
+    val unrel = clip(0, 1, quadrature = true)
+    def ham(x: Array[Byte], y: Array[Byte]): Int =
+      java.lang.Long.bitCount(Multimodal.mediaAHash(x) ^ Multimodal.mediaAHash(y))
+    assert(ham(base, shifted) <= 3, s"shifted clip at ${ham(base, shifted)}")
+    assert(ham(base, requant) <= 3, s"requantized clip at ${ham(base, requant)}")
+    assert(ham(base, unrel) > 3, s"quadrature tone at ${ham(base, unrel)}")
+    // end-to-end through the pair machinery (UDF decodes the container)
+    val df = Seq((1L, base), (2L, shifted), (3L, requant), (4L, unrel))
+      .toDF("id", "media")
+    val pairs = Multimodal.mediaAHashPairs(df, col("id"), col("media"))
+      .collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // the pHash tier agrees on real audio (low-frequency content rides
+    // the kept band; the quadrature tone lands far away)
+    def pham(x: Array[Byte], y: Array[Byte]): Int =
+      java.lang.Long.bitCount(Multimodal.mediaPHash(x) ^ Multimodal.mediaPHash(y))
+    assert(pham(base, shifted) <= 3 && pham(base, requant) <= 3)
+    assert(pham(base, unrel) > 3)
+  }
+
   test("sampleFrames: stride=1 reassembles the payload prefix; stride picks every nth") {
     import spark.implicits._
     val media = (0 until 25).map(_.toByte).toArray // 25 bytes, frames=4 -> flen=6

@@ -98,6 +98,104 @@ class UnigramSpec extends AnyFunSuite {
     assert(round == 0)
   }
 
+  /** Independent brute-force mirror of one hard-EM run: optimal
+    * segmentation by exhaustive enumeration (min cost, then
+    * lexicographically greatest part-length list — the forward walk's
+    * longest-first tie-break), usage recount, prune. */
+  private def bruteEm(hist: Seq[(String, Long)], vocabSize: Int, maxLen: Int,
+                      rounds: Int, seedMult: Int): Seq[(String, Long)] = {
+    import scala.math.Ordering.Implicits._
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((word, c) <- hist; s <- 0 until word.length;
+         l <- 1 to math.min(maxLen, word.length - s)) {
+      val t = word.substring(s, s + l)
+      counts.update(t, counts.getOrElse(t, 0L) + c)
+    }
+    val (chars, multi) = counts.toSeq.partition(_._1.length == 1)
+    val charsSorted = chars.sortBy { case (t, c) => (-c, t) }
+    val slots = math.max(vocabSize - charsSorted.length, 0)
+    var vocab: Seq[(String, Long)] =
+      charsSorted ++ multi.sortBy { case (t, c) => (-c, t) }.take(slots * seedMult)
+    for (_ <- 1 to rounds) {
+      val (w, oov) = Unigram.weights(vocab)
+      def canonical(word: String): Seq[String] = {
+        val legal = allSegs(word, maxLen)
+          .filter(_.forall(t => t.length == 1 || w.contains(t)))
+        val costs = legal.map(s => s.map(t => w.getOrElse(t, oov)).sum)
+        val min = costs.min
+        legal.zip(costs).filter(_._2 == min).map(_._1)
+          .maxBy(s => s.map(_.length).toList)
+      }
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      hist.foreach { case (word, c) =>
+        canonical(word).foreach(t => usage.update(t, usage.getOrElse(t, 0L) + c))
+      }
+      vocab = charsSorted.map { case (t, _) =>
+          (t, math.max(usage.getOrElse(t, 0L), 1L)) } ++
+        usage.toSeq.filter(_._1.length > 1)
+          .sortBy { case (t, c) => (-c, t) }.take(slots)
+    }
+    vocab.sortBy { case (t, c) => (-c, t) }
+  }
+
+  test("hard-EM learnVocab == brute-force EM over random histogram draws") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc"
+    for (trial <- 1 to 25) {
+      val maxLen = 2 + rnd.nextInt(3)
+      val hist = (1 to (3 + rnd.nextInt(6))).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(3))).mkString
+        w -> (1L + rnd.nextInt(50))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+        .sortBy { case (w, c) => (-c, w) }
+      val vocabSize = 3 + rnd.nextInt(5)
+      val rounds = 1 + rnd.nextInt(3)
+      val got = Unigram.learnVocabLocal(hist, vocabSize, maxLen, rounds,
+        seedMultiplier = 2)
+      val want = bruteEm(hist, vocabSize, maxLen, rounds, seedMult = 2)
+      assert(got == want, s"trial $trial hist=$hist vs=$vocabSize r=$rounds ml=$maxLen")
+    }
+  }
+
+  test("EM vocabulary: coverage, bounds, determinism, and corpus-cost non-regression") {
+    val vocabDf = Unigram.learnVocab(docs, col("text"), vocabSize = 60,
+      maxTokenLen = 4, rounds = 3, seedMultiplier = 2)
+    val vocab = vocabDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // coverage: every corpus character is a vocab token; counts >= 1
+    val vset = vocab.map(_._1).toSet
+    assert(words.flatMap(_._1.toCharArray.map(_.toString)).toSet.subsetOf(vset))
+    assert(vocab.forall(_._2 >= 1L))
+    assert(vocab.count(_._1.length > 1) <= 60 - vocab.count(_._1.length == 1))
+    // determinism: a second run is identical
+    val again = Unigram.learnVocab(docs, col("text"), vocabSize = 60,
+      maxTokenLen = 4, rounds = 3, seedMultiplier = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(again == vocab)
+    // the EM-chosen vocab segments the corpus at no worse total cost than
+    // the frequency-selected (WordPiece-counted) vocab of the same size
+    def corpusCost(v: Seq[(String, Long)]): Long = {
+      val (w, oov) = Unigram.weights(v)
+      words.map { case (wd, c) =>
+        Unigram.segmentWord(wd, w, 4, oov).map(t => w.getOrElse(t, oov)).sum * c
+      }.sum
+    }
+    val freqVocab = Wordpiece.learnVocab(docs, col("text"), vocabSize = 60,
+      maxTokenLen = 4).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(corpusCost(vocab) <= corpusCost(freqVocab),
+      "EM training must not worsen the unigram corpus cost vs frequency selection")
+    // store round-trip: EM vocab through the shared WordPiece store
+    val dir = java.nio.file.Files.createTempDirectory("ugem").toString
+    Wordpiece.buildVocabStore(vocabDf, dir, maxTokenLen = 4)
+    val live = Unigram.segmentWords(docs, col("text"), vocab, maxTokenLen = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val stored = Unigram.segmentWordsStored(docs, col("text"), dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored == live && stored.nonEmpty)
+  }
+
   test("oracle SQL text stays in lockstep with the Scala kernel shape") {
     val sql = Unigram.segmentOracleSql("documents", "text", 60)
     for (frag <- Seq("length(bin(", "*1048576", "list_prepend",
