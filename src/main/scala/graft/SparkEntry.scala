@@ -2412,7 +2412,7 @@ object SparkEntry {
       val views = e.filter(col("event_type") === "view")
         .select(col("event_id").as("id_b"), col("et").as("tb"))
       TemporalJoin.asOf(clicks, views, leftId = "id_a", col("ta"), col("tb"),
-          maxLookback = 3600000000L, bucket = 3600000000L, tieBreak = col("id_b"))
+          maxLookback = 3600000000L, tieBreak = col("id_b"))
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"))
     }),

@@ -126,37 +126,97 @@ object TemporalJoin {
    * `tieBreak`. Inner semantics — left rows with no right row in the
    * window are dropped.
    *
-   * Shape: the left side replicates onto the lookback window's time
-   * buckets, the right side sits in its own bucket — each (left, right)
-   * candidate meets in exactly one bucket (no dedup needed) — then a
-   * window rank per `leftId` keeps the latest. One hash join + one window
-   * shuffle; replication = maxLookback / bucket per left row, so choose
-   * the bucket near the lookback horizon.
+   * Plan shape (r11 — the sf1 sweep's lesson): the original lookback-bucket
+   * replicate-and-rank formulation materialized, per left row, EVERY right
+   * row in its lookback window — at a fixed lookback that candidate count
+   * grows as density², so 10× denser streams cost 100× (measured 0.64 s →
+   * 131 s on q43). This formulation is density-INDEPENDENT: both sides
+   * union into one range-partitioned timeline (rights sort before lefts at
+   * equal instants, tie order ascending so the latest-greatest right is
+   * the last one seen), each partition carries the latest right forward
+   * with one window pass, and partition boundaries are healed by a
+   * partitions-sized carry-in table (per-partition max right, prefix-max
+   * joined back — broadcast-tiny). Total cost: one range shuffle + one
+   * per-partition window, O(n log n) at ANY density; the lookback becomes
+   * a post-filter on the carried time (exact: the globally-latest right at
+   * or before a left instant is in-window iff ANY right is).
    *
-   * `leftId` must uniquely identify a left ROW (not an entity key): rows
-   * sharing an id would collapse into one window partition and emit a
-   * single as-of match between them.
+   * `leftId` is retained for signature stability and collision checking
+   * (output = left.* ++ right.*, so the name must not appear on the
+   * right); the carry-forward plan itself needs no per-left key.
    */
   def asOf(left: DataFrame, right: DataFrame, leftId: String,
-           lTime: Column, rTime: Column, maxLookback: Long, bucket: Long,
+           lTime: Column, rTime: Column, maxLookback: Long,
            tieBreak: Column): DataFrame = {
-    require(bucket > 0 && maxLookback > 0,
-      s"bucket and maxLookback must be positive, got $bucket / $maxLookback")
-    requireFree(left, "__ab_l", "__ab_r", "__ab_rn")
-    requireFree(right, "__ab_l", "__ab_r", "__ab_rn")
+    require(maxLookback > 0, s"maxLookback must be positive, got $maxLookback")
+    val work = Seq("__ao_t", "__ao_g", "__ao_tb", "__ao_rv", "__ao_lv",
+      "__ao_pid", "__ao_w", "__ao_cin", "__ao_best", "__ao_m")
+    requireFree(left, work: _*); requireFree(right, work: _*)
     require(!right.columns.exists(_.equalsIgnoreCase(leftId)),
       s"asOf: right must not contain the left id column '$leftId' " +
-      "(the post-join window key would be ambiguous)")
-    val l = left.withColumn("__ab_l",
-      explode(sequence(bucketOf(lTime - maxLookback, bucket), bucketOf(lTime, bucket))))
-    val r = right.withColumn("__ab_r", bucketOf(rTime, bucket))
-    l.join(r,
-        l("__ab_l") === r("__ab_r") &&
-        rTime <= lTime && rTime > lTime - maxLookback)
-      .withColumn("__ab_rn", row_number().over(
-        Window.partitionBy(col(leftId)).orderBy(rTime.desc, tieBreak.desc)))
-      .filter(col("__ab_rn") === 1)
-      .drop("__ab_l", "__ab_r", "__ab_rn")
+      "(the output carries both sides' columns)")
+    val tbType = right.select(tieBreak).schema.head.dataType
+    val rv = struct(right.columns.map(col): _*)
+    val lv = struct(left.columns.map(col): _*)
+    val rvType = right.select(rv).schema.head.dataType
+    val lvType = left.select(lv).schema.head.dataType
+    val rPack = right.select(rTime.as("__ao_t"), lit(0).as("__ao_g"),
+      tieBreak.as("__ao_tb"), rv.as("__ao_rv"),
+      lit(null).cast(lvType).as("__ao_lv"))
+    val lPack = left.select(lTime.as("__ao_t"), lit(1).as("__ao_g"),
+      lit(null).cast(tbType).as("__ao_tb"),
+      lit(null).cast(rvType).as("__ao_rv"), lv.as("__ao_lv"))
+    // pid must be IDENTICAL across the two reads below (the range
+    // partitioner samples) — materialize once
+    val timeline = rPack.unionByName(lPack)
+      .repartitionByRange(col("__ao_t"), col("__ao_g"), col("__ao_tb"))
+      .sortWithinPartitions(col("__ao_t"), col("__ao_g"), col("__ao_tb"))
+      .withColumn("__ao_pid", spark_partition_id())
+      .localCheckpoint()
+    // partitions-sized carry-in: the range partitioner orders pids by the
+    // sort key, so each pid's max right is NONDECREASING in pid — the
+    // carry-in for pid p is simply the max of the greatest pid' < p that
+    // holds any right. Computed on the driver over the ≤-numPartitions-row
+    // per-pid max table (no θ-join, no global window).
+    val pidMax = timeline.filter(col("__ao_g") === 0)
+      .groupBy(col("__ao_pid"))
+      .agg(max(struct(col("__ao_t"), col("__ao_tb"), col("__ao_rv"))).as("__ao_m"))
+    val pmRows = pidMax.collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
+    val spark = left.sparkSession
+    val nParts = timeline.rdd.getNumPartitions
+    val cinRows = new ArrayBuffer[Row]()
+    var pmi = 0
+    var lastM: Any = null
+    var p = 0
+    while (p < nParts) {
+      cinRows += Row(p, lastM)
+      while (pmi < pmRows.length && pmRows(pmi)._1 <= p) {
+        lastM = pmRows(pmi)._2; pmi += 1
+      }
+      p += 1
+    }
+    val cin = spark.createDataFrame(
+      java.util.Arrays.asList(cinRows.toSeq: _*),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__ao_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__ao_cin",
+          pidMax.schema("__ao_m").dataType, nullable = true))))
+    val w = Window.partitionBy(col("__ao_pid"))
+      .orderBy(col("__ao_t"), col("__ao_g"), col("__ao_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.map(n => col(s"__ao_lv.$n").as(n))
+    val rightCols = right.columns.map(n => col(s"__ao_best.__ao_rv.$n").as(n))
+    timeline
+      .withColumn("__ao_w", last(when(col("__ao_g") === 0,
+        struct(col("__ao_t"), col("__ao_tb"), col("__ao_rv"))),
+        ignoreNulls = true).over(w))
+      .join(broadcast(cin), Seq("__ao_pid"), "left")
+      .filter(col("__ao_g") === 1)
+      .withColumn("__ao_best", coalesce(col("__ao_w"), col("__ao_cin")))
+      .filter(col("__ao_best").isNotNull &&
+        col("__ao_best.__ao_t") > col("__ao_t") - maxLookback)
+      .select(leftCols ++ rightCols: _*)
   }
 
   /**

@@ -429,6 +429,23 @@ object EventStreams {
         batch, col(idColName), col(vecColName)))
 
   /**
+   * Streaming ANN serve from a FROZEN IVF-NSW store
+   * ([[graft.operators.Similarity.buildNswIndex]]): each micro-batch of
+   * query vectors gets its euclidean top-k from the persisted per-cell
+   * graphs — the same deterministic beam walk as the batch reader, so
+   * streamed answers equal the batch call for the same store, and
+   * tombstoned ids (takedowns landing between batches) drop from results
+   * without a rebuild. Same exactly-once landing as every serve gate.
+   */
+  def annTopKNsw(queries: DataFrame, idColName: String, vecColName: String,
+                 storePath: String, k: Int, nprobe: Int, efSearch: Int,
+                 outPath: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(queries, outPath, checkpoint)(batch =>
+      graft.operators.Similarity.nswTopKIndexed(batch, storePath,
+        col(idColName), col(vecColName), k, nprobe, efSearch))
+
+  /**
    * Streaming distinct-count registers per event-time window: the HLL
    * register aggregation ([[graft.operators.Sketches.hllRegisters]]
    * kernel) grouped by a tumbling window under a watermark — "distinct

@@ -53,8 +53,8 @@ object syntax {
                               otherStart: Column, otherEnd: Column, bucket: Long): DataFrame =
       TemporalJoin.overlaps(df, other, start, end, otherStart, otherEnd, bucket)
     def stAsOfJoin(other: DataFrame, idName: String, time: Column, otherTime: Column,
-                   maxLookback: Long, bucket: Long, tieBreak: Column): DataFrame =
-      TemporalJoin.asOf(df, other, idName, time, otherTime, maxLookback, bucket, tieBreak)
+                   maxLookback: Long, tieBreak: Column): DataFrame =
+      TemporalJoin.asOf(df, other, idName, time, otherTime, maxLookback, tieBreak)
     def stTemporalOverlapJoinIndexed(other: DataFrame, startName: String, endName: String,
                                      otherStartName: String, otherEndName: String,
                                      bucket: Long): DataFrame =

@@ -61,6 +61,10 @@ class CollectBoundSpec extends AnyFunSuite {
     "Partitioners.scala" -> Map(
       ".collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap" -> 1,
     ),
+    // asOf carry-in: per-pid max-right table, ≤ numPartitions rows
+    "TemporalJoin.scala" -> Map(
+      "val pmRows = pidMax.collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)" -> 1,
+    ),
     // per-group/per-partition count tables (≤ #groups / #partitions rows)
     // and 1-row totals — the shared prefix-rank kernel's driver glue
     "Pipeline.scala" -> Map(

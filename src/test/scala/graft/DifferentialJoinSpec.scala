@@ -188,8 +188,8 @@ class DifferentialJoinSpec extends AnyFunSuite {
     // edges land exactly on bucket boundaries
     val l = (0 until 150).map(i => (i.toLong, rnd.nextInt(30) * 100L)).toDF("id_a", "ta")
     val r = (0 until 150).map(i => (i.toLong, rnd.nextInt(30) * 100L)).toDF("id_b", "tb")
-    for (bucket <- Seq(100L, 300L, 1000L); lookback <- Seq(300L, 1000L)) {
-      val got = TemporalJoin.asOf(l, r, "id_a", col("ta"), col("tb"), lookback, bucket, col("id_b"))
+    for (lookback <- Seq(100L, 300L, 1000L)) {
+      val got = TemporalJoin.asOf(l, r, "id_a", col("ta"), col("tb"), lookback, col("id_b"))
         .select(col("id_a"), col("id_b")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       val exp = l.crossJoin(r)
         .filter(col("tb") <= col("ta") && col("tb") > col("ta") - lookback)
@@ -197,7 +197,7 @@ class DifferentialJoinSpec extends AnyFunSuite {
           Window.partitionBy(col("id_a")).orderBy(col("tb").desc, col("id_b").desc)))
         .filter(col("__rn") === 1)
         .select(col("id_a"), col("id_b")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      assert(got == exp, s"bucket=$bucket lookback=$lookback " +
+      assert(got == exp, s"lookback=$lookback " +
         s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
     }
   }

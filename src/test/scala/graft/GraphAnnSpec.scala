@@ -90,6 +90,32 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(visited <= vs.size * 6 / 10, s"visited $visited of ${vs.size}")
   }
 
+  test("streaming NSW serve == the batch reader from the same frozen store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vs = vectors(120)
+    val dir = java.nio.file.Files.createTempDirectory("nswgate").toString
+    Similarity.buildNswIndex(df(vs), s"$dir/store", col("vec_id"),
+      col("embedding"), nlist = 4, m = 6, efC = 24)
+    val qs = vs.take(5)
+    val batch = Similarity.nswTopKIndexed(df(qs), s"$dir/store",
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2, efSearch = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EventStreams.annTopKNsw(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/store", k = 5, nprobe = 2, efSearch = 32,
+      outPath = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      input.addData(qs.map { case (i, v) => (i, v.toSeq) }: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("takedown: tombstoned ids filtered from results but still traversable; compact rebuilds graphs") {
     import spark.implicits._
     val vs = vectors()
