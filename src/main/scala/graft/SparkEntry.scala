@@ -268,6 +268,30 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // AUTO-SIZED cosine-LSH gate (planes = 0 ⇒ the measured
+    // dev/coslsh_sizing.scala rule becomes the default): store = even
+    // vectors, batch = odd vectors (no ≥0.9 neighbor in store — all
+    // kept) + perturbed copies of the stored vectors (first component
+    // ×1.25 ⇒ cosine ≈ 0.9995 vs their source — all dropped), so the
+    // hash pins BOTH false-drop and false-keep against the exact-cosine
+    // oracle at a dedup-grade threshold — verdict identity with any
+    // exact-recall explicit config, at auto-sized cost.
+    "q234_coslsh_auto_gate" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val store = e.filter(col("vec_id") % 2 === 0)
+      val path = storedOnce("clauto", dir)(p =>
+        Dedup.buildCosineLshStore(store, col("vec_id"), col("embedding"), p,
+          tables = 8, planes = 0))
+      val perturbed = store.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array((element_at(col("embedding"), 1) * 1.25d).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      val batch = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")).unionByName(perturbed)
+      Dedup.dropSeenCosine(batch, col("vec_id"), col("embedding"), path,
+          threshold = 0.9)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // Near-dedup keeping the best-quality representative per group
     // (score = n_chars, ties min id) — same closure as q59, different
     // survivor rule.
@@ -2417,6 +2441,28 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // per-entity as-of join (q43 with an equality key — DuckDB ASOF
+    // JOIN's default shape): each click pairs with the SAME USER's
+    // latest at-or-before view within the lookback, on the keyed
+    // carry-forward timeline (range-partitioned by (user, time), no
+    // per-key hash skew, no lookback replication).
+    "q233_asof_keyed" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("et"),
+          col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("id_a"), col("user_id").as("ua"),
+          col("et").as("ta"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("id_b"), col("user_id").as("ub"),
+          col("et").as("tb"))
+      TemporalJoin.asOfKeyed(clicks, views, leftId = "id_a",
+          col("ua"), col("ub"), col("ta"), col("tb"),
+          maxLookback = 3600000000L, tieBreak = col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
+    }),
+
     // ---- corpus-assembly pipeline primitives (operators/Pipeline.scala) ----
 
     // deterministic md5-prefix train/val/test split — pure map, no shuffle.
@@ -3874,6 +3920,22 @@ object SparkEntry {
     // replays the gate: LSH misses are ~5e-7 at 48/3)
     "q111_cosine_gate" -> cosineGateOracleSql,
 
+    // auto-sized gate replay: exact cosine at 0.9 over the odd batch +
+    // the ×1.25-perturbed stored vectors (float-rounded exactly as the
+    // engine rounds, so both engines refine identical float inputs)
+    "q234_coslsh_auto_gate" ->
+      ("WITH sv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0), " +
+       "pert AS (SELECT vec_id + 100000 AS vec_id, " +
+       "list_concat([CAST(embedding[1]*1.25 AS FLOAT)], embedding[2:]) AS embedding FROM sv), " +
+       "batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1 " +
+       "UNION ALL SELECT vec_id, embedding FROM pert), " +
+       "bn AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm FROM batch), " +
+       "sn AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm FROM sv), " +
+       "hit AS (SELECT DISTINCT a.vec_id FROM bn a JOIN sn b ON " +
+       "list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE) FOR i IN generate_series(1,64)]) / (a.nrm*b.nrm) >= 0.9) " +
+       "SELECT vec_id FROM batch WHERE vec_id NOT IN (SELECT vec_id FROM hit) " +
+       "ORDER BY vec_id"),
+
     // incrementally-built cosine-LSH store == one-pass build ⇒ same replay
     "q182_coslsh_store_ingest" -> cosineGateOracleSql,
 
@@ -4741,6 +4803,17 @@ object SparkEntry {
        "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
        "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
        "FROM c JOIN v ON v.et <= c.et AND v.et > c.et - 3600000000) " +
+       "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
+
+    // the keyed variant: same window-ranked formulation with the user
+    // equality clause added to the candidate join
+    "q233_asof_keyed" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id, user_id, et FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT event_id, user_id, et FROM ev WHERE event_type='view'), " +
+       "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
+       "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
+       "FROM c JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000000) " +
        "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
 
     "q44_split_assign" -> {

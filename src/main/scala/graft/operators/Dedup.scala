@@ -688,18 +688,40 @@ object Dedup {
     * every other store. Documents with fewer than `n` tokens have no
     * shingles and are not stored (they have no near-dups under the
     * metric). */
+  /** The MinHash twin of [[autoPlanes]]: choose the band count whose LSH
+    * collision threshold best matches the Jaccard level the caller wants
+    * to catch. Banded LSH with b bands of r = numHashes/b rows collides a
+    * pair at similarity s with probability 1−(1−s^r)^b, whose S-curve
+    * midpoint sits at t(b) ≈ (1/b)^(1/r) — too many bands pulls the
+    * midpoint down and floods the refine with low-similarity candidates
+    * (the cosine-LSH 48/3 failure mode in MinHash clothing), too few
+    * misses true near-dups. Deterministic: scans the divisors of
+    * numHashes, nearest midpoint wins, ties to the SMALLER band count
+    * (fewer candidates at equal distance). */
+  def autoBands(numHashes: Int, targetJaccard: Double): Int = {
+    require(numHashes > 0 && targetJaccard > 0 && targetJaccard < 1,
+      s"autoBands: need numHashes > 0 and 0 < targetJaccard < 1 " +
+      s"(got $numHashes, $targetJaccard)")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .minBy(b => (math.abs(math.pow(1.0 / b, b.toDouble / numHashes) -
+        targetJaccard), b))
+  }
+
   def buildMinhashStore(corpus: DataFrame, idCol: Column, textCol: Column,
                         path: String, n: Int = 3, numHashes: Int = 128,
-                        bands: Int = 32): Unit = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+                        bands: Int = 32, targetJaccard: Double = 0.8): Unit = {
+    // bands = 0 ⇒ size from the threshold the store is meant to serve
+    // (the resolved value lands in the sidecar — probes never re-derive)
+    val bandsR = if (bands == 0) autoBands(numHashes, targetJaccard) else bands
+    require(numHashes % bandsR == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bandsR)")
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
     dropTombstones(spark, path) // a rebuild starts with a clean slate
     val sh = shingled(corpus, idCol, textCol, n).cache()
     sh.select(col("__id").as("id"),
-        posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands)))
+        posexplode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bandsR)))
       .toDF("id", "band", "bucket")
       .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
@@ -708,7 +730,7 @@ object Dedup {
       .write.mode("overwrite").parquet(path + "/shingles")
     sh.unpersist(blocking = false)
     graft.sources.Sidecar.writeText(spark, path + "/_graft_minhash_params",
-      s"$n $numHashes $bands")
+      s"$n $numHashes $bandsR")
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
@@ -951,6 +973,21 @@ object Dedup {
     * and a parameter sidecar so probes can't silently mix hyperplane
     * configurations. Same rebuild-crash marker contract as every other
     * store. */
+  /** The MEASURED cosine-LSH sizing rule as code (dev/coslsh_sizing.scala:
+    * planes = log₂(store/width) vs the low-planes config on the same sf1
+    * table and threshold — identical verdict set, 13.2 s vs 270.6 s =
+    * 20×): a table has 2^planes sign-pattern buckets, so planes must grow
+    * with the corpus to hold the expected bucket width at `targetWidth`
+    * (candidates per probe ≈ tables × rows / 2^planes). Callers who pass
+    * `planes = 0` to [[buildCosineLshStore]] / [[cosinePairsLsh]] get this
+    * rule applied to the actual row count instead of having to know it. */
+  def autoPlanes(rows: Long, targetWidth: Int = 16): Int = {
+    require(targetWidth > 0, s"targetWidth must be positive, got $targetWidth")
+    val buckets = math.max(rows / targetWidth, 1L) // ceil(log2(buckets)), floored at 1
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(buckets - 1, 1L)))
+  }
+
   def buildCosineLshStore(corpus: DataFrame, idCol: Column, vecCol: Column,
                           path: String, tables: Int = 8, planes: Int = 8): Unit = {
     GraftFunctions.register(corpus.sparkSession)
@@ -959,8 +996,12 @@ object Dedup {
     dropTombstones(spark, path) // a rebuild starts with a clean slate
     val v = spread(corpus.select(idCol.as("__id"), vecCol.as("__vec")))
       .localCheckpoint() // two writes below read it — warm, not racing
+    // planes = 0 ⇒ size from the store itself (one count over the already-
+    // materialized checkpoint); the RESOLVED value lands in the sidecar,
+    // so probes never re-derive it
+    val planesR = if (planes == 0) autoPlanes(v.count()) else planes
     v.select(col("__id").as("id"),
-        explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("bucket"))
+        explode(stf.hyperplane_buckets(col("__vec"), tables, planesR)).as("bucket"))
       .repartitionByRange(col("bucket"))
       .sortWithinPartitions(col("bucket"))
       .write.mode("overwrite").parquet(path + "/buckets")
@@ -969,7 +1010,7 @@ object Dedup {
       .write.mode("overwrite").parquet(path + "/vectors")
     releaseCheckpoint(v)
     graft.sources.Sidecar.writeText(spark, path + "/_graft_coslsh_params",
-      s"$tables $planes")
+      s"$tables $planesR")
     graft.sources.Sidecar.markComplete(spark, path)
   }
 
@@ -1059,12 +1100,15 @@ object Dedup {
                      maxBucket: Int = MaxLshBucket): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val v = spread(df.select(idCol.as("__id"), vecCol.as("__vec")))
+    // planes = 0 ⇒ the measured [[autoPlanes]] rule on the actual corpus
+    // (costs one count job — the price of not knowing the size)
+    val planesR = if (planes == 0) autoPlanes(v.count()) else planes
     val withNorm = v.withColumn("__nrm", stf.vec_norm(col("__vec")))
     // hyperplane_buckets encodes the table index in the bucket value, so
     // one join key covers all tables; capped against hot buckets (reads of
     // this subplan dedupe through ReuseExchange — see minhashLshPairs).
     val banded = v.select(col("__id"),
-      explode(stf.hyperplane_buckets(col("__vec"), tables, planes)).as("__bucket"))
+      explode(stf.hyperplane_buckets(col("__vec"), tables, planesR)).as("__bucket"))
     // distinct on the id pair only (cheap), then join vectors back for refine
     val cands = cappedBucketPairs(banded, maxBucket)
     cands

@@ -144,13 +144,57 @@ object TemporalJoin {
    * `leftId` is retained for signature stability and collision checking
    * (output = left.* ++ right.*, so the name must not appear on the
    * right); the carry-forward plan itself needs no per-left key.
+   *
+   * Contract: `(rTime, tieBreak)` must be unique across right rows — the
+   * winner among exact ties is otherwise unspecified (the same contract
+   * every rank-by-time as-of holds). Right payload columns are carried,
+   * never ordered, so non-orderable types (e.g. MapType) ride through.
    */
   def asOf(left: DataFrame, right: DataFrame, leftId: String,
            lTime: Column, rTime: Column, maxLookback: Long,
-           tieBreak: Column): DataFrame = {
+           tieBreak: Column): DataFrame =
+    asOfImpl(left, right, leftId, lit(0L), lit(0L), lTime, rTime,
+      maxLookback, tieBreak)
+
+  /**
+   * Per-entity as-of join — [[asOf]] with an equality key (the variant
+   * every real event pipeline needs first: latest quote per symbol,
+   * latest view per user; DuckDB's ASOF JOIN and pandas `merge_asof`
+   * are per-key in exactly this sense): each left row pairs with the
+   * single latest right row OF THE SAME KEY at or before the left time,
+   * within `maxLookback`. Rows with a NULL key match nothing (SQL join
+   * equality). Composite keys pass as `struct(...)`.
+   *
+   * Plan shape: the SAME density-independent carry-forward timeline as
+   * [[asOf]], range-partitioned by (key, time) — a key's rows are
+   * contiguous across partitions, so the per-partition carry just gains
+   * the key as its leading sort column, the in-partition window
+   * partitions by (pid, key), and the driver-side prefix walk is
+   * unchanged: the range ordering guarantees AT MOST the boundary-
+   * spanning key of each partition needs a carry-in, and the latest
+   * right of the walk is that key's latest right iff the keys match —
+   * one key-equality guard on the same ≤-numPartitions-row carry table.
+   * O(n log n) at any per-key density, never keyed-shuffle-skewed (a hot
+   * key spreads over adjacent range partitions instead of hashing to
+   * one task... except in the (pid, key) window, whose groups are
+   * partition-bounded by construction).
+   */
+  def asOfKeyed(left: DataFrame, right: DataFrame, leftId: String,
+                lKey: Column, rKey: Column, lTime: Column, rTime: Column,
+                maxLookback: Long, tieBreak: Column): DataFrame =
+    asOfImpl(left, right, leftId, lKey, rKey, lTime, rTime,
+      maxLookback, tieBreak)
+
+  /** Shared carry-forward timeline kernel: [[asOf]] is the degenerate
+    * `key = lit(0)` instance (constant key — the guards and partitioners
+    * collapse to the unkeyed plan). */
+  private def asOfImpl(left: DataFrame, right: DataFrame, leftId: String,
+                       lKey: Column, rKey: Column,
+                       lTime: Column, rTime: Column, maxLookback: Long,
+                       tieBreak: Column): DataFrame = {
     require(maxLookback > 0, s"maxLookback must be positive, got $maxLookback")
-    val work = Seq("__ao_t", "__ao_g", "__ao_tb", "__ao_rv", "__ao_lv",
-      "__ao_pid", "__ao_w", "__ao_cin", "__ao_best", "__ao_m")
+    val work = Seq("__ao_k", "__ao_t", "__ao_g", "__ao_tb", "__ao_rv",
+      "__ao_lv", "__ao_pid", "__ao_w", "__ao_cin", "__ao_best", "__ao_m")
     requireFree(left, work: _*); requireFree(right, work: _*)
     require(!right.columns.exists(_.equalsIgnoreCase(leftId)),
       s"asOf: right must not contain the left id column '$leftId' " +
@@ -160,27 +204,40 @@ object TemporalJoin {
     val lv = struct(left.columns.map(col): _*)
     val rvType = right.select(rv).schema.head.dataType
     val lvType = left.select(lv).schema.head.dataType
-    val rPack = right.select(rTime.as("__ao_t"), lit(0).as("__ao_g"),
-      tieBreak.as("__ao_tb"), rv.as("__ao_rv"),
-      lit(null).cast(lvType).as("__ao_lv"))
-    val lPack = left.select(lTime.as("__ao_t"), lit(1).as("__ao_g"),
-      lit(null).cast(tbType).as("__ao_tb"),
-      lit(null).cast(rvType).as("__ao_rv"), lv.as("__ao_lv"))
+    // NULL-keyed rows match nothing under join equality — drop them
+    // before they can meet in a window group
+    val rPack = right.filter(rKey.isNotNull)
+      .select(rKey.as("__ao_k"), rTime.as("__ao_t"), lit(0).as("__ao_g"),
+        tieBreak.as("__ao_tb"), rv.as("__ao_rv"),
+        lit(null).cast(lvType).as("__ao_lv"))
+    val lPack = left.filter(lKey.isNotNull)
+      .select(lKey.as("__ao_k"), lTime.as("__ao_t"), lit(1).as("__ao_g"),
+        lit(null).cast(tbType).as("__ao_tb"),
+        lit(null).cast(rvType).as("__ao_rv"), lv.as("__ao_lv"))
     // pid must be IDENTICAL across the two reads below (the range
     // partitioner samples) — materialize once
     val timeline = rPack.unionByName(lPack)
-      .repartitionByRange(col("__ao_t"), col("__ao_g"), col("__ao_tb"))
-      .sortWithinPartitions(col("__ao_t"), col("__ao_g"), col("__ao_tb"))
+      .repartitionByRange(col("__ao_k"), col("__ao_t"), col("__ao_g"), col("__ao_tb"))
+      .sortWithinPartitions(col("__ao_k"), col("__ao_t"), col("__ao_g"), col("__ao_tb"))
       .withColumn("__ao_pid", spark_partition_id())
       .localCheckpoint()
     // partitions-sized carry-in: the range partitioner orders pids by the
-    // sort key, so each pid's max right is NONDECREASING in pid — the
-    // carry-in for pid p is simply the max of the greatest pid' < p that
-    // holds any right. Computed on the driver over the ≤-numPartitions-row
-    // per-pid max table (no θ-join, no global window).
+    // (key, time) sort key, so a key's rows are CONTIGUOUS across pids and
+    // the latest right in pids < p can only belong to pid p's boundary-
+    // spanning key — the carry-in for pid p is the walk's latest right,
+    // guarded by key equality at apply time. Computed on the driver over
+    // the ≤-numPartitions-row per-pid max table (no θ-join, no global
+    // window).
+    // max_by keyed on (k, t, tb) ONLY — a max over a struct that packs
+    // __ao_rv would demand every right column be orderable (a MapType
+    // right column would fail analysis); (rTime, tieBreak) uniqueness per
+    // key is the operator's contract, so the ordering key needs nothing
+    // else
     val pidMax = timeline.filter(col("__ao_g") === 0)
       .groupBy(col("__ao_pid"))
-      .agg(max(struct(col("__ao_t"), col("__ao_tb"), col("__ao_rv"))).as("__ao_m"))
+      .agg(max_by(
+        struct(col("__ao_k"), col("__ao_t"), col("__ao_tb"), col("__ao_rv")),
+        struct(col("__ao_k"), col("__ao_t"), col("__ao_tb"))).as("__ao_m"))
     val pmRows = pidMax.collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
     val spark = left.sparkSession
     val nParts = timeline.rdd.getNumPartitions
@@ -202,7 +259,7 @@ object TemporalJoin {
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("__ao_cin",
           pidMax.schema("__ao_m").dataType, nullable = true))))
-    val w = Window.partitionBy(col("__ao_pid"))
+    val w = Window.partitionBy(col("__ao_pid"), col("__ao_k"))
       .orderBy(col("__ao_t"), col("__ao_g"), col("__ao_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftCols = left.columns.map(n => col(s"__ao_lv.$n").as(n))
@@ -213,7 +270,11 @@ object TemporalJoin {
         ignoreNulls = true).over(w))
       .join(broadcast(cin), Seq("__ao_pid"), "left")
       .filter(col("__ao_g") === 1)
-      .withColumn("__ao_best", coalesce(col("__ao_w"), col("__ao_cin")))
+      .withColumn("__ao_best", coalesce(col("__ao_w"),
+        when(col("__ao_cin.__ao_k") === col("__ao_k"),
+          struct(col("__ao_cin.__ao_t").as("__ao_t"),
+            col("__ao_cin.__ao_tb").as("__ao_tb"),
+            col("__ao_cin.__ao_rv").as("__ao_rv")))))
       .filter(col("__ao_best").isNotNull &&
         col("__ao_best.__ao_t") > col("__ao_t") - maxLookback)
       .select(leftCols ++ rightCols: _*)

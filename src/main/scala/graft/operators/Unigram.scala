@@ -426,11 +426,16 @@ object Unigram {
    * enumeration is a few thousand masks per word and purely relational.
    * Tokens longer than maxTokenLen never match the weight table, so the
    * per-mask full-join count filter (`count = nparts`) IS the legality
-   * check. Covers words up to 12 chars (2^11 masks) — the corpus
-   * maximum is 8.
+   * check. The mask bound is DERIVED from the corpus (2^(max word len −
+   * 1) masks — 2^7 for the driver fixture's 8-char maximum), and a word
+   * beyond 16 chars raises a loud `error()` instead of silently getting
+   * a non-optimal canonical segmentation from a truncated enumeration.
    */
   private def segEnumCtes: String =
-    s"""masks AS (SELECT unnest(generate_series(0, 2047)) AS mask),
+    s"""masks AS (SELECT unnest(generate_series(0, (1 << CAST((SELECT
+       |            CASE WHEN max(len(word)) > 16 THEN CAST(error(
+       |              'unigram EM oracle: word exceeds the enumerable segmentation length (16)') AS BIGINT)
+       |            ELSE greatest(max(len(word)) - 1, 0) END FROM dw) AS BIGINT)) - 1)) AS mask),
        |segs AS (SELECT word, mask,
        |           list_prepend(0, list_append(
        |             [i FOR i IN generate_series(1, len(word)-1) IF ((mask >> (i-1)) & 1) = 1],

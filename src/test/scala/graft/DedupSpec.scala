@@ -1384,4 +1384,38 @@ class DedupSpec extends AnyFunSuite {
     val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(kept == all -- got.map(_._1))
   }
+
+  test("autoPlanes: the measured log2(rows/width) rule, floors and growth") {
+    import graft.operators.Dedup
+    // the dev/coslsh_sizing.scala measurement point: 10k store, width 16
+    assert(Dedup.autoPlanes(10000) == 10)
+    assert(Dedup.autoPlanes(0) == 1)        // degenerate stores floor at 1
+    assert(Dedup.autoPlanes(16) == 1)
+    assert(Dedup.autoPlanes(250) == 4)      // sf0.01 even half
+    assert(Dedup.autoPlanes(1L << 40) == 36) // 2^40 rows / 16 = 2^36 buckets
+    // monotone nondecreasing in rows — sanity over three decades
+    val ps = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(Dedup.autoPlanes(_))
+    assert(ps == ps.sorted)
+  }
+
+  test("autoBands: S-curve midpoint match, divisor rule, resolved sidecar") {
+    import graft.operators.Dedup
+    // midpoints for numHashes=128: b=4 -> 0.957, 8 -> 0.878, 16 -> 0.707,
+    // 32 -> 0.420 — nearest wins, ties to fewer bands
+    assert(Dedup.autoBands(128, 0.9) == 8)
+    assert(Dedup.autoBands(128, 0.8) == 8)
+    assert(Dedup.autoBands(128, 0.7) == 16)
+    assert(Dedup.autoBands(128, 0.42) == 32)
+    assert(128 % Dedup.autoBands(128, 0.55) == 0)
+    // bands = 0 at build time resolves via the rule and lands in the
+    // sidecar, so probes see a concrete configuration
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"alpha beta gamma delta e$i f$i g$i h$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhauto").toString
+    Dedup.buildMinhashStore(docs, col("doc_id"), col("text"), dir,
+      bands = 0, targetJaccard = 0.42)
+    assert(graft.sources.Sidecar.readText(spark, dir + "/_graft_minhash_params")
+      .trim.split(" ")(2).toInt == 32)
+  }
 }

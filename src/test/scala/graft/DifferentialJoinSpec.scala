@@ -202,6 +202,65 @@ class DifferentialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join carries non-orderable right payloads (MapType)") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    // the carry-in aggregate orders by (t, tieBreak) only, so a MapType
+    // right column (unorderable — max(struct(...)) over it fails
+    // analysis) must ride through untouched
+    val l = Seq((1L, 100L)).toDF("id_a", "ta")
+    val r = Seq((10L, 50L), (11L, 90L)).toDF("id_b", "tb")
+      .withColumn("props", map(lit("k"), col("id_b")))
+    val got = TemporalJoin.asOf(l, r, "id_a", col("ta"), col("tb"),
+        1000L, col("id_b"))
+      .select(col("id_b"), col("props")(lit("k")).as("pv")).collect()
+    assert(got.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((11L, 11L)))
+  }
+
+  test("keyed as-of join equals the keyed window-ranked cross join, hot key + nulls") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    import org.apache.spark.sql.expressions.Window
+    // ~2/3 of rows on key 0 — one hot entity whose timeline spans many
+    // range partitions (the case the per-(pid, key) carry + boundary
+    // heal exists for); times snapped so at-or-before ties are common;
+    // a few NULL keys on each side must match nothing
+    def key(i: Int): java.lang.Long =
+      if (i % 17 == 0) null else if (i % 3 == 0) rnd.nextInt(4).toLong else 0L
+    val l = (0 until 200).map(i => (i.toLong, key(i), rnd.nextInt(30) * 100L))
+      .toDF("id_a", "ka", "ta")
+    val r = (0 until 200).map(i => (i.toLong, key(i + 1), rnd.nextInt(30) * 100L))
+      .toDF("id_b", "kb", "tb")
+    for (lookback <- Seq(100L, 300L, 1000L)) {
+      val got = TemporalJoin.asOfKeyed(l, r, "id_a", col("ka"), col("kb"),
+          col("ta"), col("tb"), lookback, col("id_b"))
+        .select(col("id_a"), col("id_b")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val exp = l.crossJoin(r)
+        .filter(col("kb") === col("ka") &&
+          col("tb") <= col("ta") && col("tb") > col("ta") - lookback)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id_a")).orderBy(col("tb").desc, col("id_b").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == exp, s"lookback=$lookback " +
+        s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+    // constant-key degenerate == the unkeyed kernel (they share asOfImpl,
+    // but pin the public contract, not the implementation accident)
+    val lc = l.filter(col("ka").isNotNull); val rc = r.filter(col("kb").isNotNull)
+    val keyedConst = TemporalJoin.asOfKeyed(lc, rc, "id_a", lit(1), lit(1),
+        col("ta"), col("tb"), 300L, col("id_b"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val unkeyed = TemporalJoin.asOf(lc, rc, "id_a", col("ta"), col("tb"),
+        300L, col("id_b"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(keyedConst == unkeyed)
+  }
+
   test("sessionize: gap-break hand case, tie safety, key isolation, stats rollup") {
     import spark.implicits._
     import graft.operators.TemporalJoin

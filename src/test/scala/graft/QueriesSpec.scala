@@ -50,6 +50,13 @@ class QueriesSpec extends AnyFunSuite {
     * even q89_hybrid's ≤50-candidate rerank plans partitioned. */
   private val globalWindowOk: Map[String, String] = Map.empty
 
+  // COVERAGE CARVE-OUT: the lint inspects the RETURNED plan only.
+  // Invariant-row queries (q214/q223/q232-class) run their bounded brute
+  // anchors eagerly INSIDE the query body (e.g. a .count() on a contract-
+  // bounded crossJoin) and return a literal result row, so those in-body
+  // anchor plans are never linted here — their bounds are the rows' own
+  // documented contracts (≤20 queries × a verify-scale corpus), not this
+  // spec's claim. Everything the queries RETURN is covered.
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs, returns rows, and its plan passes the scale lint") {
       val df = fn(spark, dir)
