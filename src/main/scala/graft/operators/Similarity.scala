@@ -1274,11 +1274,24 @@ object Similarity {
   /** Deterministic NSW adjacency over one cell (vectors sorted by id):
     * node i links to its `m` nearest among nodes 0..i−1 — exhaustive for
     * the first m nodes, beam-searched (`efC`) after — and links are
-    * symmetrized. Returns per-node neighbor INDEX lists. */
+    * symmetrized under an HNSW-style deterministic degree cap: when a
+    * reverse link pushes a node past 2m neighbors, the list shrinks to
+    * the 2m nearest by (distance, id) — so a hub can no longer
+    * accumulate O(cell) adjacency (inflating the persisted `__adj` and
+    * every beam that touches it). The shrink NEVER drops a later node's
+    * last incoming-from-earlier edge: every node keeps ≥ 1 such edge
+    * (it gets ≥ 1 at insertion), so by induction every node stays
+    * reachable from the entry node 0 and the degenerate configuration
+    * (efSearch ≥ cell) still visits every node — the exactness contract
+    * q231 pins. Returns per-node neighbor INDEX lists. */
   private[graft] def nswBuildLocal(ids: Array[Long], vecs: Array[Array[Double]],
                                    m: Int, efC: Int): Array[Array[Int]] = {
     val n = ids.length
+    val maxDeg = 2 * m
     val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    // incoming(x) = live edges y -> x with y < x (the "descent" edges the
+    // reachability induction walks); maintained across shrinks
+    val incoming = new Array[Int](n)
     var i = 1
     while (i < n) {
       val cand: Seq[Int] =
@@ -1287,7 +1300,22 @@ object Similarity {
       cand.map(j => (sqDist(vecs(j), vecs(i)), ids(j), j))
         .sorted.take(m).foreach { case (_, _, j) =>
           if (!adj(i).contains(j)) adj(i) += j
-          if (!adj(j).contains(i)) adj(j) += i
+          if (!adj(j).contains(i)) {
+            adj(j) += i
+            incoming(i) += 1
+            if (adj(j).length > maxDeg) {
+              val ordered = adj(j)
+                .map(x => (sqDist(vecs(x), vecs(j)), ids(x), x)).sorted
+              val keep = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var rank = 0
+              ordered.foreach { case (_, _, x) =>
+                if (rank < maxDeg || (x > j && incoming(x) == 1)) keep += x
+                else if (x > j) incoming(x) -= 1
+                rank += 1
+              }
+              adj(j).clear(); adj(j) ++= keep
+            }
+          }
         }
       i += 1
     }
@@ -1343,6 +1371,27 @@ object Similarity {
     * (array&lt;long&gt; of neighbor IDS — stable across compaction
     * rebuilds). Shared by [[buildNswIndex]] and [[compactAnnStore]]'s
     * NSW branch. */
+  /** Stream a partition's rows cell-by-cell: rows MUST arrive clustered
+    * by the cell column (sortWithinPartitions upstream — Spark's sort
+    * spills, so the per-task peak is max(cell), not Σ(cells in the
+    * partition); a whole-partition groupBy would hold every co-resident
+    * cell in memory at once). Within a group, rows keep their arrival
+    * (id-sorted) order — the determinism contract the graph build and
+    * the walks rely on. */
+  private def groupedByCell(it: Iterator[org.apache.spark.sql.Row],
+                            cellIdx: Int): Iterator[(Int, Seq[org.apache.spark.sql.Row])] = {
+    val buf = it.buffered
+    new Iterator[(Int, Seq[org.apache.spark.sql.Row])] {
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): (Int, Seq[org.apache.spark.sql.Row]) = {
+        val cell = buf.head.getInt(cellIdx)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        while (buf.hasNext && buf.head.getInt(cellIdx) == cell) rows += buf.next()
+        (cell, rows.toSeq)
+      }
+    }
+  }
+
   private def nswAssembleGraphs(assigned: DataFrame, m: Int, efC: Int): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -1350,11 +1399,13 @@ object Similarity {
       StructField("neighbor_id", LongType, nullable = false),
       StructField("__cv", ArrayType(FloatType), nullable = true),
       StructField("__adj", ArrayType(LongType), nullable = false)))
+    // cell-clustered, id-sorted arrival: the spillable sort replaces the
+    // old in-heap whole-partition groupBy/sortBy (peak = max cell)
     val in = assigned.select(col("__cell"), col("neighbor_id"), col("__cv"))
       .repartition(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("neighbor_id"))
     in.mapPartitions { it =>
-      it.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (cell, rows) =>
-        val sorted = rows.sortBy(_.getLong(1))
+      groupedByCell(it, 0).flatMap { case (cell, sorted) =>
         val ids = sorted.map(_.getLong(1)).toArray
         val vecs = sorted.map(r => toDoubles(r.getSeq[Float](2))).toArray
         val adj = nswBuildLocal(ids, vecs, m, efC)
@@ -1442,14 +1493,16 @@ object Similarity {
     require(nprobe > 0 && efSearch > 0,
       s"nswCandidates: need nprobe > 0 and efSearch > 0 (got $nprobe, $efSearch)")
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(readCentroids(spark, path))
-    val probeCells = probeCellsUdf(bc, nprobe)
+    val cents = readCentroids(spark, path)
+    // ONE driver round-trip: probe cells computed locally on the collected
+    // batch with the same nearest-centroids routine the IVF readers' UDF
+    // wraps (no intermediate createDataFrame/collect)
     val qBatch = queries.select(queryId.as("query_id"), queryVec.as("__qv")).collect()
-    val qSchema = queries.select(queryId.as("query_id"), queryVec.as("__qv")).schema
-    val probes = spark.createDataFrame(java.util.Arrays.asList(qBatch: _*), qSchema)
-      .withColumn("__qcell", explode(probeCells(col("__qv"))))
-      .select(col("__qcell"), col("query_id"), col("__qv")).collect()
-      .map(r => (r.getInt(0), (r.getLong(1), toDoubles(r.getSeq[Float](2)))))
+    val probes = qBatch.flatMap { r =>
+      val qv = toDoubles(r.getSeq[Float](1))
+      cents.indices.map(i => (sqDist(qv, cents(i)), i)).sorted.take(nprobe)
+        .map(ci => (ci._2, (r.getLong(0), qv)))
+    }
     val cells = probes.map(_._1).distinct
     val byCell = spark.sparkContext.broadcast(
       probes.groupBy(_._1).map { case (c, g) => (c, g.map(_._2)) })
@@ -1464,9 +1517,9 @@ object Similarity {
       .filter(col("__cell").isin(cells.map(Int.box).toIndexedSeq: _*))
       .select(col("__cell"), col("neighbor_id"), col("__cv"), col("__adj"))
       .repartition(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("neighbor_id"))
       .mapPartitions { it =>
-        it.toSeq.groupBy(_.getInt(0)).iterator.flatMap { case (cell, rows) =>
-          val sorted = rows.sortBy(_.getLong(1))
+        groupedByCell(it, 0).flatMap { case (cell, sorted) =>
           val ids = sorted.map(_.getLong(1)).toArray
           val vecs = sorted.map(r => toDoubles(r.getSeq[Float](2))).toArray
           val idx = ids.zipWithIndex.toMap

@@ -90,8 +90,6 @@ class CollectBoundSpec extends AnyFunSuite {
       // contract as the other indexed readers
       "val qBatch = queries.select(queryId.as(\"query_id\"), queryVec.as(\"__qv\")).collect()" -> 4,
       "val seedRows = v.orderBy(col(\"id\")).limit(k + 1).collect()" -> 1,
-      // nswCandidates probe rows: query batch × nprobe (both config-bounded)
-      ".select(col(\"__qcell\"), col(\"query_id\"), col(\"__qv\")).collect()" -> 1,
     ),
     // per-partition corner points only (corners-only driver scan)
     "Skyline.scala" -> Map(
@@ -104,6 +102,8 @@ class CollectBoundSpec extends AnyFunSuite {
     "SparkEntry.scala" -> Map(
       ".collect()" -> 1,
       ".agg(avg(col(\"n_visited\"))).collect()(0).getDouble(0)" -> 1,
+      // q235's 1-row max-visited aggregate (beam-cost cap pin)
+      ".agg(max(col(\"n_visited\"))).collect()(0).getLong(0)" -> 1,
       ".collect().map(r => (r.getString(0), r.getLong(1))).toSeq" -> 1,
       ".collect().map(r => (r.getLong(0), r.getLong(1))).toSet" -> 1,
       ".collect().sortBy(_.getAs[Long](\"__lo\"))" -> 1,
