@@ -57,6 +57,35 @@ object SparkEntry {
     "(doc_id//2)*7919 AS base, (doc_id%2)*3 AS off " +
     "FROM documents WHERE doc_id < 40),\n"
 
+  /** q236/q237 AVI fixture: a REAL RIFF/AVI container (24-bit BI_RGB
+    * 'DIB ' frames) around deterministic pseudo-noise. Doc d carries
+    * f = 3 + (d/2)%3 frames of 16×12 grey pixels; the decoded stream
+    * value at global index i (frame-major, top-down row-major) is
+    * v(i) = (((d/2)·7919 + i·104729 + (d%2)·3) mod 65536) div 256 —
+    * the SAME top-byte pseudo-noise as the WAV fixture, so twins
+    * (2j, 2j+1) differ in ~1% of pixels (the +3 rarely crosses a 256
+    * boundary) and pair under both hash tiers; the container walk +
+    * DIB luma decode return exactly v (grey g encodes as BGR (g,g,g),
+    * whose Rec.601 luma is g). */
+  private val aviNoise = udf((d: Long) => {
+    val nf = (3 + (d / 2) % 3).toInt
+    val base = (d / 2) * 7919L
+    val off = (d % 2) * 3L
+    val frames = (0 until nf).map { fi =>
+      Array.tabulate(16 * 12) { p =>
+        (Math.floorMod(base + (fi * 192 + p).toLong * 104729L + off, 65536L) / 256L).toByte
+      }
+    }
+    Multimodal.MediaCodec.aviDib24(frames, 16, 12)
+  })
+
+  /** Shared q236/q237 oracle prelude: per-doc decoded-stream length and
+    * formula parameters (the SQL twin of [[aviNoise]]'s arithmetic). */
+  private val aviParSql: String =
+    "WITH par AS (SELECT doc_id, (3 + (doc_id//2) % 3) * 192 AS n, " +
+    "(doc_id//2)*7919 AS base, (doc_id%2)*3 AS off " +
+    "FROM documents WHERE doc_id < 40),\n"
+
   // q129/q131 HLL oracle fragments: the register replay (md5 -> 16-bit
   // bucket field mod 2^10, 48-bit rho field -> per-bucket max) and the
   // exact-integer estimator at p=10 — same constants as
@@ -1201,6 +1230,33 @@ object SparkEntry {
       val docs = Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 40)
         .withColumn("media", wavNoise(col("doc_id")))
+      Multimodal.mediaPHashPairs(docs, col("doc_id"), col("media"),
+          maxHam = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // REAL VIDEO DECODE (the multimodal family's last fake, retired):
+    // q226's chain over AVI containers — RIFF walk → per-frame 24-bit
+    // DIB decode (integer Rec.601 luma) → the same 1-D aHash kernel;
+    // the oracle replays container+decode+hash from the pixel formula
+    // (the MJPEG leg of the same walk is spec-pinned — JPEG entropy
+    // decode has no SQL-replayable formula).
+    "q236_avi_ahash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .withColumn("media", aviNoise(col("doc_id")))
+      Multimodal.mediaAHashPairs(docs, col("doc_id"), col("media"),
+          maxHam = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the AVI fixtures through the DCT pHash tier (q227's kernel on
+    // real decoded video frames): full integer DCT replay from the
+    // pixel formula, literal cosine table in the SQL
+    "q237_avi_phash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .withColumn("media", aviNoise(col("doc_id")))
       Multimodal.mediaPHashPairs(docs, col("doc_id"), col("media"),
           maxHam = 3, blocks = 4)
         .orderBy(col("id_a"), col("id_b"))
@@ -4537,6 +4593,53 @@ object SparkEntry {
     "q227_wav_phash" -> {
       val cosTab = graft.operators.Multimodal.cosTabE6
       wavParSql +
+      "seg AS (SELECT doc_id, ((i*512) // n) AS sn, " +
+      "((base + i*104729 + off) % 65536) // 256 AS v " +
+      "FROM par, unnest(generate_series(0, n-1)) AS g(i)),\n" +
+      "xs AS (SELECT doc_id, sn AS n, (sum(v)*1000000 - (sum(v)*1000000) % count(*)) // count(*) AS x " +
+      "FROM seg GROUP BY 1, 2),\n" +
+      "ct(j, c) AS (VALUES " +
+      cosTab.zipWithIndex.map { case (c, j) => s"($j, $c)" }.mkString(", ") + "),\n" +
+      "dct AS (SELECT doc_id, k, CAST(sum(c * x) AS BIGINT) AS coef " +
+      "FROM xs CROSS JOIN generate_series(1, 64) t(k) " +
+      "JOIN ct ON ct.j = least((k*(2*n+1)) % 2048, 2048 - (k*(2*n+1)) % 2048) " +
+      "GROUP BY 1, 2),\n" +
+      "med AS (SELECT doc_id, coef AS md FROM " +
+      "(SELECT doc_id, coef, row_number() OVER (PARTITION BY doc_id ORDER BY coef, k) AS rn FROM dct) WHERE rn = 32),\n" +
+      "p2(k, p) AS (VALUES " +
+      (1 to 64).map(k => s"($k, ${BigInt(1) << (k - 1)}::HUGEINT)").mkString(", ") + "),\n" +
+      "hs AS (SELECT dct.doc_id, sum(CASE WHEN coef > md THEN p ELSE 0::HUGEINT END) AS h " +
+      "FROM dct JOIN med USING (doc_id) JOIN p2 USING (k) GROUP BY 1),\n" +
+      s"sims AS (SELECT doc_id, CAST(CASE WHEN h >= ${BigInt(1) << 63}::HUGEINT " +
+      s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS sim FROM hs)\n" +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sims a JOIN sims b " +
+      "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"
+    },
+
+    // real-AVI aHash replay: q226's integer chain over the DIB pixel
+    // formula (the same top-byte map, fed by the container walk)
+    "q236_avi_ahash" ->
+      (aviParSql +
+       "seg AS (SELECT doc_id, n AS L, ((i*64) // n) AS s, " +
+       "((base + i*104729 + off) % 65536) // 256 AS v " +
+       "FROM par, unnest(generate_series(0, n-1)) AS g(i)),\n" +
+       "ss AS (SELECT doc_id, s, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS sl, max(L) AS L " +
+       "FROM seg GROUP BY 1, 2),\n" +
+       "tt AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tv FROM seg GROUP BY 1),\n" +
+       "p2(s, p) AS (VALUES " +
+       (0 until 64).map(s => s"($s, ${BigInt(1) << s}::HUGEINT)").mkString(", ") + "),\n" +
+       "hs AS (SELECT ss.doc_id, sum(CASE WHEN sv * L > tv * sl THEN p ELSE 0::HUGEINT END) AS h " +
+       "FROM ss JOIN tt USING (doc_id) JOIN p2 ON p2.s = ss.s GROUP BY 1),\n" +
+       s"sims AS (SELECT doc_id, CAST(CASE WHEN h >= ${BigInt(1) << 63}::HUGEINT " +
+       s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS sim FROM hs)\n" +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sims a JOIN sims b " +
+       "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"),
+
+    // real-AVI pHash replay: q227's full integer-DCT tail over the DIB
+    // pixel formula
+    "q237_avi_phash" -> {
+      val cosTab = graft.operators.Multimodal.cosTabE6
+      aviParSql +
       "seg AS (SELECT doc_id, ((i*512) // n) AS sn, " +
       "((base + i*104729 + off) % 65536) // 256 AS v " +
       "FROM par, unnest(generate_series(0, n-1)) AS g(i)),\n" +

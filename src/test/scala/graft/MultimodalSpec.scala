@@ -266,4 +266,56 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 2, Seq[Byte](6, 7, 8, 9)), (1L, 3, Seq[Byte](9))))
     assert(!got.exists(t => t._1 == 2L || t._1 == 3L))
   }
+
+  test("AVI decode: real RIFF walk — DIB round-trips the grey stream exactly, malformed falls back") {
+    import graft.operators.Multimodal.MediaCodec
+    val w = 16; val h = 12
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(p => ((f * 192 + p * 7) % 256).toByte))
+    val avi = MediaCodec.aviDib24(frames, w, h)
+    assert(MediaCodec.isAvi(avi) && !MediaCodec.isWav(avi) && !MediaCodec.isImage(avi))
+    // the container walk + BGR(g,g,g) luma decode must return the input
+    // stream byte-for-byte, frames concatenated top-down row-major
+    assert(MediaCodec.decode(avi).toSeq == frames.flatten.toSeq)
+    // truncated container (headers intact, movi cut) -> graceful
+    // identity fallback, never a throw
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 100)
+    assert(MediaCodec.decode(cut).toSeq == cut.toSeq)
+    // a RIFF that is not an AVI is untouched
+    val notAvi = "RIFFxxxxWAVE".getBytes("US-ASCII")
+    assert(!MediaCodec.isAvi(notAvi))
+  }
+
+  test("AVI MJPEG: JDK JPEG frames decode to per-frame pixels; re-encoded twin pairs, unrelated does not") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodec
+    val w = 32; val h = 24
+    // smooth gradient frames (JPEG-friendly: low-frequency content
+    // survives the lossy round-trip with small per-pixel error)
+    def clip(f: Int, shift: Int) = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      ((x * 4 + y * 3 + f * 5 + shift) / 2 + 20).toByte // smooth ramp, max < 256
+    }
+    val a = MediaCodec.aviMjpeg((0 until 3).map(clip(_, 0)), w, h)
+    val b = MediaCodec.aviMjpeg((0 until 3).map(clip(_, 1)), w, h) // near-dup
+    val c = MediaCodec.aviMjpeg((0 until 3).map(f =>
+      Array.tabulate(w * h)(p => (((p * 37 + f * 11) % 251)).toByte)), w, h)
+    val da = MediaCodec.decode(a)
+    assert(da.length == 3 * w * h, "MJPEG frames must decode via ImageIO to w*h grey pixels each")
+    // lossy but close: decoded pixels stay near the source gradient
+    val src = (0 until 3).flatMap(clip(_, 0))
+    val maxErr = da.zip(src).map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)) }.max
+    assert(maxErr <= 24, s"JPEG round-trip drifted too far (maxErr=$maxErr)")
+    import spark.implicits._
+    // aHash for the pairing contract: the ±1-pixel JPEG drift flips zero
+    // segment-mean bits (measured), while the ramp fixture's near-median
+    // DCT coefficients make pHash sign bits fixture-sensitive
+    val df = Seq((0L, a), (1L, b), (2L, c)).toDF("id", "media")
+    val pairs = Multimodal.mediaAHashPairs(df, col("id"), col("media"),
+        maxHam = 3, blocks = 4)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "re-encoded near-dup clip must pair")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated clip must not pair")
+  }
 }
