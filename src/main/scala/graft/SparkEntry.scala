@@ -1262,6 +1262,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // frame extraction over REAL decoded video (the vision-language
+    // training shape on actual containers, not synthetic bytes):
+    // sampleFrames cuts the container-walked DIB stream into 4 slices,
+    // keeps every 2nd, and each kept slice is sketched with the aHash
+    // kernel — slice boundaries, stride arithmetic, and the per-frame
+    // sketch all replay from the pixel formula.
+    "q238_avi_frame_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .withColumn("media", aviNoise(col("doc_id")))
+        .select(col("doc_id"), col("media"))
+      val ah = udf((m: Array[Byte]) =>
+        if (m == null) 0L else Multimodal.mediaAHash(m))
+      Multimodal.sampleFrames(docs, frames = 4, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          ah(col("frame")).as("frame_sim"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // trigram stupid-backoff fluency, live self-scored (Brants et al.
     // 2007; the KenLM-style next order above q88's bigram LM): exact
     // e6-integer branch scores, full SQL replay. Self-scoring always hits
@@ -4634,6 +4653,28 @@ object SparkEntry {
        s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS sim FROM hs)\n" +
        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sims a JOIN sims b " +
        "ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY 1, 2"),
+
+    // per-frame aHash over the sampled slices of the decoded DIB
+    // stream: slice f covers indices [f*flen, (f+1)*flen), flen = n/4,
+    // kept for even f — q236's 64-segment integer chain per frame
+    "q238_avi_frame_stats" ->
+      (aviParSql +
+       "fr AS (SELECT doc_id, n // 4 AS flen, base, off FROM par),\n" +
+       "seg AS (SELECT doc_id, CAST(i // flen AS INTEGER) AS fidx, flen AS L, " +
+       "(((i % flen)*64) // flen) AS s, " +
+       "((base + i*104729 + off) % 65536) // 256 AS v " +
+       "FROM fr, unnest(generate_series(0, 4*flen - 1)) AS g(i) " +
+       "WHERE (i // flen) % 2 = 0),\n" +
+       "ss AS (SELECT doc_id, fidx, s, CAST(sum(v) AS BIGINT) AS sv, " +
+       "CAST(count(*) AS BIGINT) AS sl, max(L) AS L FROM seg GROUP BY 1, 2, 3),\n" +
+       "tt AS (SELECT doc_id, fidx, CAST(sum(v) AS BIGINT) AS tv FROM seg GROUP BY 1, 2),\n" +
+       "p2(s, p) AS (VALUES " +
+       (0 until 64).map(s => s"($s, ${BigInt(1) << s}::HUGEINT)").mkString(", ") + "),\n" +
+       "hs AS (SELECT ss.doc_id, ss.fidx, sum(CASE WHEN sv * L > tv * sl THEN p ELSE 0::HUGEINT END) AS h " +
+       "FROM ss JOIN tt USING (doc_id, fidx) JOIN p2 ON p2.s = ss.s GROUP BY 1, 2)\n" +
+       s"SELECT doc_id, fidx AS frame_idx, CAST(CASE WHEN h >= ${BigInt(1) << 63}::HUGEINT " +
+       s"THEN h - ${BigInt(1) << 64}::HUGEINT ELSE h END AS BIGINT) AS frame_sim " +
+       "FROM hs ORDER BY doc_id, frame_idx"),
 
     // real-AVI pHash replay: q227's full integer-DCT tail over the DIB
     // pixel formula
