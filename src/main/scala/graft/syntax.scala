@@ -55,6 +55,11 @@ object syntax {
     def stAsOfJoin(other: DataFrame, idName: String, time: Column, otherTime: Column,
                    maxLookback: Long, tieBreak: Column): DataFrame =
       TemporalJoin.asOf(df, other, idName, time, otherTime, maxLookback, tieBreak)
+    def stAsOfJoinKeyed(other: DataFrame, idName: String, key: Column, otherKey: Column,
+                        time: Column, otherTime: Column, maxLookback: Long,
+                        tieBreak: Column): DataFrame =
+      TemporalJoin.asOfKeyed(df, other, idName, key, otherKey, time, otherTime,
+        maxLookback, tieBreak)
     def stTemporalOverlapJoinIndexed(other: DataFrame, startName: String, endName: String,
                                      otherStartName: String, otherEndName: String,
                                      bucket: Long): DataFrame =

@@ -47,6 +47,13 @@ class SyntaxSpec extends AnyFunSuite {
     val iv2 = iv.select(col("id_a").as("id_b"), col("sa").as("sb"), col("ea").as("eb"))
     assert(iv.stTemporalOverlapJoin(iv2, col("sa"), col("ea"), col("sb"), col("eb"),
       bucket = 120000000L).count() >= 100) // at least the self-pairs
+    // keyed as-of sugar delegates: every left matches its own-key twin
+    val ka = e.select(col("event_id").as("id_a"), (col("event_id") % 5).as("ka"),
+      col("et").as("ta"))
+    val kb = ka.select(col("id_a").as("id_b"), col("ka").as("kb"),
+      col("ta").as("tb"))
+    assert(ka.stAsOfJoinKeyed(kb, "id_a", col("ka"), col("kb"), col("ta"),
+      col("tb"), maxLookback = 1L << 60, tieBreak = col("id_b")).count() == 100)
   }
 
   test("fluent join and cluster run end-to-end") {
