@@ -231,8 +231,13 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                       p: Int = 4, q: Int = 5,
                       maxBucket: Int = MaxLshBucket): DataFrame = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must be a multiple of bands ($bands) — " +
+    // bands = 0 => the [[autoBands]] midpoint rule AT the refine
+    // threshold p/q (50% collision at the threshold, -> 1 above it —
+    // the datasketch convention); exact-recall verification keeps
+    // explicit high-band configs
+    val bandsR = if (bands == 0) autoBands(numHashes, p.toDouble / q) else bands
+    require(numHashes % bandsR == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bandsR) — " +
       "trailing signature rows would be silently ignored")
     GraftFunctions.register(df.sparkSession)
     // eager, not cache() — see ngramJaccardPairs (branch fan-out races a
@@ -245,7 +250,7 @@ object Dedup {
     // minhash kernel runs once per distinct exchange — an eager barrier
     // here measured strictly slower.
     val banded = sh.select(col("__id"),
-        explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands))
+        explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bandsR))
           .as("__bucket"))
     val cands = cappedBucketPairs(banded, maxBucket)
     val out = refineJaccard(cands, sh, p, q).localCheckpoint()
@@ -279,13 +284,16 @@ object Dedup {
                         right: DataFrame, rightId: Column, rightText: Column,
                         n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                         p: Int = 4, q: Int = 5): DataFrame = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    // bands = 0 => the [[autoBands]] midpoint rule at p/q (see
+    // [[minhashLshPairs]])
+    val bandsR = if (bands == 0) autoBands(numHashes, p.toDouble / q) else bands
+    require(numHashes % bandsR == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bandsR)")
     GraftFunctions.register(left.sparkSession)
     val shL = shingled(left, leftId, leftText, n).localCheckpoint()
     val shR = shingled(right, rightId, rightText, n).localCheckpoint()
     def banded(sh: DataFrame, idName: String) = sh.select(col("__id").as(idName),
-      explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bands))
+      explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bandsR))
         .as("__bucket"))
     val cands = banded(shL, "id_a")
       .join(banded(shR, "id_b"), "__bucket")

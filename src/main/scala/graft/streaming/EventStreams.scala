@@ -446,6 +446,29 @@ object EventStreams {
         col(idColName), col(vecColName), k, nprobe, efSearch))
 
   /**
+   * Streaming per-entity as-of enrich against a FROZEN right table —
+   * the dimension-snapshot join every event pipeline runs (event →
+   * the SAME KEY's latest profile/quote/config at or before the event
+   * time, within `maxLookback`): each micro-batch goes through the
+   * batch [[graft.operators.TemporalJoin.asOfKeyed]] kernel against
+   * the static right, so streamed answers equal the batch call on the
+   * same rows (StreamingSpec pins it) and inherit its density
+   * independence — no per-key state in the stream, the right side is
+   * re-read per batch (frozen-store contract: swap via the staged-swap
+   * marker, not in place). Same exactly-once landing as every gate.
+   */
+  def enrichAsOfKeyed(events: DataFrame, right: DataFrame, idColName: String,
+                      keyColName: String, rightKeyColName: String,
+                      tsColName: String, rightTsColName: String,
+                      maxLookback: Long, tieBreakColName: String,
+                      outPath: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    landFiltered(events, outPath, checkpoint)(batch =>
+      graft.operators.TemporalJoin.asOfKeyed(batch, right, idColName,
+        col(keyColName), col(rightKeyColName), col(tsColName),
+        col(rightTsColName), maxLookback, col(tieBreakColName)))
+
+  /**
    * Streaming distinct-count registers per event-time window: the HLL
    * register aggregation ([[graft.operators.Sketches.hllRegisters]]
    * kernel) grouped by a tumbling window under a watermark — "distinct

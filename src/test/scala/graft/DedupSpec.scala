@@ -1418,4 +1418,22 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.sources.Sidecar.readText(spark, dir + "/_graft_minhash_params")
       .trim.split(" ")(2).toInt == 32)
   }
+
+  test("minhashLshPairs bands=0 resolves via autoBands at p/q and equals the explicit config") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // 50 distinct words + 1 appended ⇒ 48 shared trigrams of 49 distinct
+    // (J ≈ 0.98 — far above the 0.8 refine and the 0.878 band midpoint)
+    val base = (0 until 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), // strong near-dups
+      (3L, (0 until 50).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def pairs(b: Int) = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        bands = b, p = 4, q = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // autoBands(128, 0.8) = 8 — the zero form must be the same computation
+    assert(pairs(0) == pairs(8))
+    assert(pairs(0).contains((1L, 2L)))
+  }
 }

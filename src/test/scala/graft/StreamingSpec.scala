@@ -1362,4 +1362,43 @@ class StreamingSpec extends AnyFunSuite {
     }.collect().toSet
     assert(byUser == Set((1L, 2L, 100L, 200L), (2L, 1L, 50L, 50L)))
   }
+
+  test("streaming keyed as-of enrich equals the batch asOfKeyed over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("asof_enrich").toString
+    // frozen right: per-key snapshots (key, snap time, payload)
+    val right = Seq(
+      (0L, 100L, 1000L), (0L, 300L, 1001L),
+      (1L, 150L, 2000L), (2L, 500L, 3000L)
+    ).toDF("kb", "tb", "id_b")
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("id_a", "ka", "ta")
+    val q = EventStreams.enrichAsOfKeyed(events, right, "id_a",
+      "ka", "kb", "ta", "tb", maxLookback = 250L, tieBreakColName = "id_b",
+      outPath = s"$tmp/out", checkpoint = s"$tmp/ckpt")
+    try {
+      input.addData((10L, 0L, 350L), (11L, 1L, 140L), (12L, 2L, 600L))
+      q.processAllAvailable()
+      // second batch: same key later (new carry), out-of-lookback event
+      input.addData((13L, 0L, 120L), (14L, 1L, 900L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 10 -> key0 latest<=350 is t=300 (1001); 11 -> key1 none at/before
+      // 140? t=150 > 140 -> dropped; 12 -> key2 t=500 within 250 (3000);
+      // 13 -> key0 t=100 (1000); 14 -> key1 t=150 but 900-250=650 >= 150
+      // -> out of lookback, dropped
+      assert(got == Set((10L, 1001L), (12L, 3000L), (13L, 1000L)))
+      // equals the batch kernel over the union of the streamed rows
+      val batchAll = Seq((10L, 0L, 350L), (11L, 1L, 140L), (12L, 2L, 600L),
+        (13L, 0L, 120L), (14L, 1L, 900L)).toDF("id_a", "ka", "ta")
+      val batch = graft.operators.TemporalJoin.asOfKeyed(batchAll, right,
+          "id_a", col("ka"), col("kb"), col("ta"), col("tb"), 250L, col("id_b"))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
