@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => plans.SpatialJoinRule)
+    ext.injectOptimizerRule(_ => plans.RangeJoinRule)
     ext.injectOptimizerRule(_ => plans.CellPruneRule)
   }
 }

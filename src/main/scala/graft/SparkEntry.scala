@@ -2556,6 +2556,36 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the SQL surface of the interval join (plans/RangeJoinRule — the
+    // temporal twin of q57/q71's spatial SQL rewrites): a pure-SQL
+    // overlap θ-join `ON sa <= eb AND sb <= ea` that would plan
+    // nested-loop becomes the bucket-replicated HASH join with the
+    // max-start report rule, under spark.graft.join.timeBucket. The
+    // QueriesSpec cartesian lint doubles as the rewrite's own proof —
+    // if the rule failed to fire, the plan would be a BNLJ and fail CI.
+    // Conf discipline: set -> force optimizedPlan (cached on the
+    // QueryExecution) -> restore, so no other query sees the bucket.
+    "q239_sql_interval_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"))
+      e.select(col("event_id").as("id_a"), col("et").as("sa"),
+        (col("et") + 60000000L).as("ea")).createOrReplaceTempView("iv_a")
+      e.select(col("event_id").as("id_b"), col("et").as("sb"),
+        (col("et") + 60000000L).as("eb")).createOrReplaceTempView("iv_b")
+      val prev = s.conf.getOption("spark.graft.join.timeBucket")
+      s.conf.set("spark.graft.join.timeBucket", "120000000")
+      try {
+        val df = s.sql(
+          "SELECT id_a, id_b FROM iv_a JOIN iv_b ON sa <= eb AND sb <= ea " +
+          "WHERE id_a < id_b ORDER BY id_a, id_b")
+        df.queryExecution.optimizedPlan
+        df
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.join.timeBucket", v)
+        case None => s.conf.unset("spark.graft.join.timeBucket")
+      }
+    }),
+
     // as-of join: each click pairs with the latest view at-or-before it
     // within 1h (ties by max view id) — bucket join + window rank, each
     // candidate meets in exactly one bucket.
@@ -5458,6 +5488,9 @@ object SparkEntry {
        "CAST(length(text) AS BIGINT) AS n_len FROM documents ORDER BY doc_id"),
 
     "q42_interval_join" -> intervalJoinOracleSql,
+
+    // the SQL rewrite answers with exactly q42's pairs ⇒ shared oracle
+    "q239_sql_interval_join" -> intervalJoinOracleSql,
 
     "q40_join_indexed" -> boxJoinOracleSql,
 

@@ -286,6 +286,47 @@ case class STRefCell(children: Seq[Expression])
   override def prettyName: String = "st_ref_cell"
 }
 
+/** Exact floor-division time-bucket id of a long epoch — the Catalyst twin
+  * of [[graft.operators.TemporalJoin.bucketOf]] (Math.floorDiv, exact at
+  * every magnitude incl. past 2^53). Internal to
+  * [[graft.plans.RangeJoinRule]]'s rewrite. */
+case class IntervalBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(c: Any, b: Any): Any =
+    java.lang.Math.floorDiv(c.asInstanceOf[Long], b.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, b) => s"java.lang.Math.floorDiv($c, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntervalBucket =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_t_bucket"
+}
+
+/**
+ * st_t_ref_bucket(ls, rs, bucket, cell) — true iff `cell` is the bucket of
+ * max(ls, rs), the instant where an overlapping interval pair first
+ * coexists: the duplicate-elimination predicate of the bucket-replicate
+ * interval join (the temporal twin of [[STRefCell]]), and the structural
+ * idempotence marker of [[graft.plans.RangeJoinRule]].
+ */
+case class IntervalReportBucket(children: Seq[Expression])
+    extends Expression with codegen.CodegenFallback {
+  require(children.size == 4)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else vs(3).asInstanceOf[Long] == java.lang.Math.floorDiv(
+      math.max(vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Long]),
+      vs(2).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): IntervalReportBucket =
+    copy(children = cs)
+  override def prettyName: String = "st_t_ref_bucket"
+}
+
 /** st_hausdorff(a, b): discrete Hausdorff distance (reference shausdorff). */
 case class STHausdorff(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

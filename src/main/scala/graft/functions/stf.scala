@@ -177,7 +177,8 @@ object GraftFunctions {
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, checked(name, builder), "scala_udf")
     }
-    for (rule <- Seq(graft.plans.SpatialJoinRule, graft.plans.CellPruneRule))
+    for (rule <- Seq(graft.plans.SpatialJoinRule, graft.plans.RangeJoinRule,
+        graft.plans.CellPruneRule))
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule

@@ -1,0 +1,117 @@
+package graft.plans
+
+import graft.functions.{IntervalBucket, IntervalReportBucket}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/**
+ * Logical rewrite for SQL interval-overlap range joins — the temporal twin
+ * of [[SpatialJoinRule]], and the declarative form of
+ * [[graft.operators.TemporalJoin.overlaps]] (the bin-based range-join
+ * optimization production engines expose for exactly this θ-shape). A
+ * pure-SQL
+ *
+ * {{{ SELECT ... FROM l JOIN r ON l.s <= r.e AND r.s <= l.e }}}
+ *
+ * plans as a nested-loop (O(|l|·|r|)); with
+ * `spark.graft.join.timeBucket = B` (> 0 enables the rule; the bucket is
+ * workload knowledge — choose it near the typical interval length, the
+ * same contract the operator API documents) the join becomes
+ *
+ * {{{
+ *   Project(original output,
+ *     Join(Generate(explode(sequence(bucket(least(ls,le)), bucket(greatest(ls,le)))), l),
+ *          Generate(explode(sequence(bucket(least(rs,re)), bucket(greatest(rs,re)))), r),
+ *          Inner, __tb_l = __tb_r AND <original inequalities> AND
+ *                 st_t_ref_bucket(ls, rs, B, __tb_l) AND <rest>))
+ * }}}
+ *
+ * — a hash-joinable equality on the bucket id, the exact inequalities as
+ * the refine, and the max-start report rule (a pair is emitted only from
+ * the bucket holding max(ls, rs), the first instant the intervals
+ * coexist) so each overlapping pair appears EXACTLY once with no distinct
+ * shuffle. Replication is least→greatest per row (well-defined even for
+ * inverted intervals, which the original θ-condition admits), covering:
+ * for any satisfying pair, max(ls, rs) lies inside both span hulls, so
+ * its bucket is generated on both sides. Strict (<) and non-strict (<=)
+ * inequalities both rewrite — the originals are carried verbatim, so the
+ * refine preserves their exact semantics.
+ *
+ * The rule only fires on integral (int/long) bounds whose conjunct pair
+ * resolves to opposite join sides, skips broadcast-hinted joins (the
+ * user asked for the nested-loop plan), and is idempotent — the
+ * st_t_ref_bucket conjunct is produced only by this rewrite (structural
+ * marker, the [[SpatialJoinRule]] convention).
+ */
+object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def bucket: Long =
+    conf.getConfString("spark.graft.join.timeBucket", "0").toLong
+
+  private def broadcastHinted(hint: JoinHint): Boolean =
+    (hint.leftHint ++ hint.rightHint).exists(_.strategy.contains(BROADCAST))
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val b = bucket
+    if (b <= 0) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) if !broadcastHinted(hint) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val alreadyRewritten = conjuncts.exists {
+          case _: IntervalReportBucket => true
+          case _ => false
+        }
+        // normalize every inequality conjunct to (lo <=/< hi, index)
+        val ineqs = conjuncts.zipWithIndex.flatMap {
+          case (LessThanOrEqual(a, c), i) => Seq((a, c, i))
+          case (LessThan(a, c), i) => Seq((a, c, i))
+          case (GreaterThanOrEqual(a, c), i) => Seq((c, a, i))
+          case (GreaterThan(a, c), i) => Seq((c, a, i))
+          case _ => Nil
+        }.filter { case (a, c, _) =>
+          integral(a) && integral(c) && a.deterministic && c.deterministic &&
+            a.references.nonEmpty && c.references.nonEmpty
+        }
+        // the overlap shape: one conjunct bounds a LEFT expr by a RIGHT
+        // expr, the other a RIGHT expr by a LEFT expr
+        val found = (for {
+          (ls, re, i) <- ineqs
+          (rs, le, k) <- ineqs if k != i
+          if ls.references.subsetOf(left.outputSet) &&
+            re.references.subsetOf(right.outputSet) &&
+            rs.references.subsetOf(right.outputSet) &&
+            le.references.subsetOf(left.outputSet)
+        } yield (ls, le, rs, re)).headOption
+        if (found.isEmpty || alreadyRewritten) j
+        else {
+          val (ls, le, rs, re) = found.get
+          val bLit = Literal(b)
+          val tz = Some(conf.sessionLocalTimeZone)
+          def buckets(lo: Expression, hi: Expression): Generator =
+            Explode(Sequence(
+              IntervalBucket(Least(Seq(asLong(lo), asLong(hi))), bLit),
+              IntervalBucket(Greatest(Seq(asLong(lo), asLong(hi))), bLit),
+              None, tz))
+          val cellL = AttributeReference("__tb_l", LongType, nullable = false)()
+          val cellR = AttributeReference("__tb_r", LongType, nullable = false)()
+          val genL = Generate(buckets(ls, le), Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(cellL), child = left)
+          val genR = Generate(buckets(rs, re), Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(cellR), child = right)
+          val newCond = (EqualTo(cellL, cellR) +:
+            IntervalReportBucket(Seq(asLong(ls), asLong(rs), bLit, cellL)) +:
+            conjuncts).reduce(And)
+          Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+        }
+    }
+  }
+}

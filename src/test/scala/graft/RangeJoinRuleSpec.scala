@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL interval range-join rewrite (plans/RangeJoinRule): overlap
+  * θ-conditions plan as bucket hash joins with results identical to the
+  * nested-loop reference plan, exactly once per pair. */
+class RangeJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def withBucket[T](b: Long)(f: => T): T = {
+    val key = "spark.graft.join.timeBucket"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, b.toString)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def mkViews(): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // boundary-heavy: ends snapped to half-bucket multiples; a few
+    // INVERTED intervals (s > e) — the θ-condition admits them and the
+    // rewrite must not error or change their semantics
+    val iv = (0 until 120).map { i =>
+      val s = rnd.nextInt(40) * 50L
+      val len = (rnd.nextInt(8) - 1) * 50L // -50 => inverted
+      (i.toLong, s, s + len)
+    }
+    iv.toDF("id_a", "sa", "ea").createOrReplaceTempView("rja")
+    iv.map { case (i, s, e) => (i + 1000L, s, e) }
+      .toDF("id_b", "sb", "eb").createOrReplaceTempView("rjb")
+  }
+
+  private def run(sql: String): Set[(Long, Long)] =
+    spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("overlap θ-join rewrites to a bucket hash join; pairs equal the BNLJ plan exactly once") {
+    mkViews()
+    for (sql <- Seq(
+      "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea",
+      // reversed orientations and strict inequalities rewrite too, with
+      // their exact semantics carried into the refine
+      "SELECT id_a, id_b FROM rja JOIN rjb ON eb >= sa AND sb < ea")) {
+      val brute = {
+        val saved = spark.experimental.extraOptimizations
+        try {
+          spark.experimental.extraOptimizations = Nil
+          run(sql)
+        } finally spark.experimental.extraOptimizations = saved
+      }
+      withBucket(100L) {
+        val df = spark.sql(sql)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"), plan.take(800))
+        // exactly-once: collect as a LIST and compare multiplicities
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got.size == got.toSet.size, "report rule must emit each pair once")
+        assert(got.toSet == brute,
+          s"missing=${(brute -- got.toSet).take(5)} extra=${(got.toSet -- brute).take(5)}")
+      }
+    }
+  }
+
+  test("bucket 0 disables; integer bounds cast; extra conjuncts carried") {
+    mkViews()
+    val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea AND id_a + 1000 != id_b"
+    val off = spark.sql(sql)
+    assert(off.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val expected = off.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withBucket(100L) {
+      assert(run(sql) == expected)
+      // int32 bounds: the rewrite casts for bucketing, predicates untouched
+      spark.sql("SELECT id_a, CAST(sa AS INT) AS sa, CAST(ea AS INT) AS ea FROM rja")
+        .createOrReplaceTempView("rja_i")
+      spark.sql("SELECT id_b, CAST(sb AS INT) AS sb, CAST(eb AS INT) AS eb FROM rjb")
+        .createOrReplaceTempView("rjb_i")
+      val gotI = run("SELECT id_a, id_b FROM rja_i JOIN rjb_i ON sa <= eb AND sb <= ea")
+      val wantI = run("SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea")
+      assert(gotI == wantI)
+    }
+  }
+}
