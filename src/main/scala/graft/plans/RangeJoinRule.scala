@@ -40,11 +40,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * inequalities both rewrite — the originals are carried verbatim, so the
  * refine preserves their exact semantics.
  *
- * The rule only fires on integral (int/long) bounds whose conjunct pair
- * resolves to opposite join sides, skips broadcast-hinted joins (the
- * user asked for the nested-loop plan), and is idempotent — the
- * st_t_ref_bucket conjunct is produced only by this rewrite (structural
- * marker, the [[SpatialJoinRule]] convention).
+ * Point-in-interval (`p BETWEEN s AND e`) is the degenerate instance —
+ * the pair resolves with ls = le = p, so the point side explodes exactly
+ * ONE bucket per row (spec-pinned). The rule only fires on integral
+ * (int/long) bounds whose conjunct pair resolves to opposite join sides,
+ * skips broadcast-hinted joins (the user asked for the nested-loop
+ * plan), and is idempotent — the st_t_ref_bucket conjunct is produced
+ * only by this rewrite (structural marker, the [[SpatialJoinRule]]
+ * convention). Pair selection is first-in-condition-order: if several
+ * crossing inequality pairs exist, the earliest rewrites — put the range
+ * condition first in ON (a mis-picked pair is a replication-cost hazard,
+ * never a correctness one; the original conjuncts always refine, and an
+ * absurd span fails loudly in sequence(), not silently).
  */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 

@@ -67,6 +67,26 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-interval (BETWEEN) is the degenerate rewrite: the point side explodes one bucket") {
+    mkViews()
+    // BETWEEN desugars to sb <= sa AND sa <= eb — the pair resolves with
+    // ls = le = sa, so the left side explodes exactly one bucket per row
+    val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON sa BETWEEN sb AND eb"
+    val brute = {
+      val saved = spark.experimental.extraOptimizations
+      try {
+        spark.experimental.extraOptimizations = Nil
+        run(sql)
+      } finally spark.experimental.extraOptimizations = saved
+    }
+    withBucket(100L) {
+      val df = spark.sql(sql)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == got.toSet.size && got.toSet == brute)
+    }
+  }
+
   test("bucket 0 disables; integer bounds cast; extra conjuncts carried") {
     mkViews()
     val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea AND id_a + 1000 != id_b"
