@@ -2575,9 +2575,14 @@ object SparkEntry {
       val prev = s.conf.getOption("spark.graft.join.timeBucket")
       s.conf.set("spark.graft.join.timeBucket", "120000000")
       try {
+        // the dedup filter is stated in NON-inequality form: a pushed
+        // `id_a < id_b` becomes a third crossing inequality inside the
+        // join condition, making the interval decomposition ambiguous —
+        // the rule then (correctly, loudly) declines the rewrite
         val df = s.sql(
           "SELECT id_a, id_b FROM iv_a JOIN iv_b ON sa <= eb AND sb <= ea " +
-          "WHERE id_a < id_b ORDER BY id_a, id_b")
+          "WHERE least(id_a, id_b) = id_a AND id_a <> id_b " +
+          "ORDER BY id_a, id_b")
         df.queryExecution.optimizedPlan
         df
       } finally prev match {

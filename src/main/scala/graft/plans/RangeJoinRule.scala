@@ -47,11 +47,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * skips broadcast-hinted joins (the user asked for the nested-loop
  * plan), and is idempotent — the st_t_ref_bucket conjunct is produced
  * only by this rewrite (structural marker, the [[SpatialJoinRule]]
- * convention). Pair selection is first-in-condition-order: if several
- * crossing inequality pairs exist, the earliest rewrites — put the range
- * condition first in ON (a mis-picked pair is a replication-cost hazard,
- * never a correctness one; the original conjuncts always refine, and an
- * absurd span fails loudly in sequence(), not silently).
+ * convention).
+ *
+ * AMBIGUITY GUARD (load-bearing — found by a real OOM): the condition
+ * may carry OTHER crossing integral inequalities (the classic
+ * `id_a < id_b` pair-dedup filter, pushed into the join condition by
+ * the optimizer), and the overlap decomposition cannot statically tell
+ * bounds from ids — a mis-pick explodes sequence() over an id-to-epoch
+ * span (measured: ~14M buckets PER ROW, an executor OOM). When more
+ * than one candidate pair matches, the rule conservatively DECLINES
+ * (logged): restate auxiliary filters in non-inequality form
+ * (`least(id_a, id_b) = id_a AND id_a <> id_b`) or pre-filter a side.
  */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -90,17 +96,23 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         }
         // the overlap shape: one conjunct bounds a LEFT expr by a RIGHT
         // expr, the other a RIGHT expr by a LEFT expr
-        val found = (for {
+        val candidates = for {
           (ls, re, i) <- ineqs
           (rs, le, k) <- ineqs if k != i
           if ls.references.subsetOf(left.outputSet) &&
             re.references.subsetOf(right.outputSet) &&
             rs.references.subsetOf(right.outputSet) &&
             le.references.subsetOf(left.outputSet)
-        } yield (ls, le, rs, re)).headOption
-        if (found.isEmpty || alreadyRewritten) j
+        } yield (ls, le, rs, re)
+        if (candidates.size > 1 && !alreadyRewritten) {
+          logWarning("RangeJoinRule: join condition admits " +
+            s"${candidates.size} interval decompositions — declining the " +
+            "rewrite (restate auxiliary inequality filters, e.g. " +
+            "least(a,b) = a AND a <> b instead of a < b)")
+        }
+        if (candidates.size != 1 || alreadyRewritten) j
         else {
-          val (ls, le, rs, re) = found.get
+          val (ls, le, rs, re) = candidates.head
           val bLit = Literal(b)
           val tz = Some(conf.sessionLocalTimeZone)
           def buckets(lo: Expression, hi: Expression): Generator =

@@ -87,6 +87,27 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("ambiguity guard: a pushed id inequality makes the decomposition ambiguous — rule declines") {
+    mkViews()
+    // id_a < id_b pushes into the join condition as a THIRD crossing
+    // integral inequality; picking it as an interval bound would explode
+    // sequence() over an id-to-epoch span (the measured OOM) — the rule
+    // must decline, leaving the (correct) nested-loop plan
+    val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea WHERE id_a < id_b - 1000"
+    withBucket(100L) {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "ambiguous decomposition must decline the rewrite")
+      // the non-inequality restatement keeps the rewrite live
+      val sql2 = "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea " +
+        "WHERE least(id_a, id_b - 1000) = id_a AND id_a <> id_b - 1000"
+      val df2 = spark.sql(sql2)
+      assert(!df2.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+  }
+
   test("bucket 0 disables; integer bounds cast; extra conjuncts carried") {
     mkViews()
     val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea AND id_a + 1000 != id_b"
