@@ -127,7 +127,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val genR = Generate(buckets(rs, re), Nil, outer = false,
             qualifier = None, generatorOutput = Seq(cellR), child = right)
           val newCond = (EqualTo(cellL, cellR) +:
-            IntervalReportBucket(Seq(asLong(ls), asLong(rs), bLit, cellL)) +:
+            IntervalReportBucket(asLong(ls), asLong(rs), bLit, cellL) +:
             conjuncts).reduce(And)
           Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
         }
