@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     functions.GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => plans.SpatialJoinRule)
     ext.injectOptimizerRule(_ => plans.RangeJoinRule)
+    ext.injectOptimizerRule(_ => plans.AsOfJoinRule)
     ext.injectOptimizerRule(_ => plans.CellPruneRule)
   }
 }

@@ -791,7 +791,9 @@ object SparkEntry {
     // (measured 0.995 at sf0.01, 0.955 at sf0.1 — far above q232's 0.72
     // routing ceiling; the floor clears BOTH scales), and (b) the
     // production cost claim — the beam
-    // visits <= efSearch x 2m = 1024 nodes ABSOLUTE, independent of
+    // visits <= 1 + efSearch x 2m = 1025 nodes ABSOLUTE (the entry
+    // node is visited before any beam expansion, then each of the
+    // <= efSearch beam slots expands <= 2m neighbors), independent of
     // cell size (measured 379 at 500 vectors, 606 at 2000: sub-linear
     // in the cell, the property that makes the fraction collapse to
     // 10.1% at sf1-scale cells — SCALE.md "IVF-NSW regimes").
@@ -2563,8 +2565,9 @@ object SparkEntry {
     // max-start report rule, under spark.graft.join.timeBucket. The
     // QueriesSpec cartesian lint doubles as the rewrite's own proof —
     // if the rule failed to fire, the plan would be a BNLJ and fail CI.
-    // Conf discipline: set -> force optimizedPlan (cached on the
-    // QueryExecution) -> restore, so no other query sees the bucket.
+    // Conf discipline via withConf: set -> force optimizedPlan (cached
+    // on the QueryExecution) -> restore, so no other query sees the
+    // bucket.
     "q239_sql_interval_join" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
         .select(col("event_id"), expr("ts div 1000").as("et"))
@@ -2572,22 +2575,15 @@ object SparkEntry {
         (col("et") + 60000000L).as("ea")).createOrReplaceTempView("iv_a")
       e.select(col("event_id").as("id_b"), col("et").as("sb"),
         (col("et") + 60000000L).as("eb")).createOrReplaceTempView("iv_b")
-      val prev = s.conf.getOption("spark.graft.join.timeBucket")
-      s.conf.set("spark.graft.join.timeBucket", "120000000")
-      try {
+      withConf(s, "spark.graft.join.timeBucket" -> "120000000") {
         // the dedup filter is stated in NON-inequality form: a pushed
         // `id_a < id_b` becomes a third crossing inequality inside the
         // join condition, making the interval decomposition ambiguous —
         // the rule then (correctly, loudly) declines the rewrite
-        val df = s.sql(
+        s.sql(
           "SELECT id_a, id_b FROM iv_a JOIN iv_b ON sa <= eb AND sb <= ea " +
           "WHERE least(id_a, id_b) = id_a AND id_a <> id_b " +
           "ORDER BY id_a, id_b")
-        df.queryExecution.optimizedPlan
-        df
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.graft.join.timeBucket", v)
-        case None => s.conf.unset("spark.graft.join.timeBucket")
       }
     }),
 
@@ -2627,6 +2623,43 @@ object SparkEntry {
           maxLookback = 3600000000L, tieBreak = col("id_b"))
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"))
+    }),
+
+    // SQL surface of the keyed as-of join (plans/AsOfJoinRule — the
+    // third rewrite-family member after q57/q71's spatial and q239's
+    // interval rewrites): the rank-and-keep-one shape a SQL user
+    // actually writes — row_number() OVER (PARTITION BY left id ORDER
+    // BY r.t DESC) = 1 over an inner join on key + time bounds — would
+    // plan as a per-key pair EXPLOSION (candidates grow as per-key
+    // density², the measured q43 pathology); under
+    // spark.graft.join.asof it replans onto the carry-forward
+    // union-timeline: one hash-partitioned window pass, zero join.
+    // Views are pre-deduped to one per (user, instant) so the rank is
+    // tie-free, which lets the oracle be DuckDB's NATIVE ASOF JOIN —
+    // an independent engine's as-of semantics, not a re-statement of
+    // our plan. AsOfJoinRuleSpec pins the plan shape (rewrite fired),
+    // the conf-off differential, and the fire/no-fire gates.
+    "q240_sql_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("et"),
+          col("event_type"))
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("id_a"), col("user_id").as("ua"),
+          col("et").as("ta"))
+        .createOrReplaceTempView("ao_c")
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("ub"), col("et").as("tb"))
+        .agg(max(col("event_id")).as("id_b"))
+        .createOrReplaceTempView("ao_v")
+      withConf(s, "spark.graft.join.asof" -> "true") {
+        s.sql(
+          "SELECT id_a, id_b FROM (" +
+          "SELECT c.id_a, v.id_b, row_number() OVER " +
+          "(PARTITION BY c.id_a ORDER BY v.tb DESC) AS rn " +
+          "FROM ao_c c JOIN ao_v v ON v.ub = c.ua AND v.tb <= c.ta " +
+          "AND v.tb > c.ta - 3600000000" +
+          ") WHERE rn = 1 ORDER BY id_a, id_b")
+      }
     }),
 
     // ---- corpus-assembly pipeline primitives (operators/Pipeline.scala) ----
@@ -3755,13 +3788,75 @@ object SparkEntry {
     }
   }
 
-  private def storedOnce(tag: String, dir: String)(write: String => Unit): String = {
+  /** Conf-gated query discipline in ONE place (the q239 lesson): set the
+    * confs, FORCE the plan to optimize while they are set — plans are
+    * lazy and `optimizedPlan` is cached on the QueryExecution, so forcing
+    * here pins the gated rewrite into the returned frame — then restore
+    * (or unset) every conf in `finally`, so no later Verify/Bench query
+    * in the same session sees the gate, even when the body throws.
+    * Hand-rolling this got the order wrong once; every conf-setting
+    * query goes through here (spec: RangeJoinRuleSpec). */
+  private[graft] def withConf(s: SparkSession, kvs: (String, String)*)
+                             (body: => DataFrame): DataFrame = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = body
+      df.queryExecution.optimizedPlan
+      df
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Code-version salt for [[storedOnce]]: md5 over the BYTECODE of every
+    * graft class on the classpath, so editing ANY store-build kernel
+    * provably invalidates the /tmp store caches (the r12
+    * verification-integrity hole: input-only fingerprints let Verify
+    * false-green against a store built by a pre-edit kernel until
+    * someone remembered the manual `rm -rf /tmp/graft_*`). Coarse by
+    * design — any main-source edit rebuilds all stores; correctness of
+    * the verification loop beats cache thrift. Directory classpaths
+    * (sbt target/classes — every dev and driver run) hash the class
+    * files; a jar deployment falls back to the jar's identity
+    * (path + length + mtime). Never silently empty: zero hashed inputs
+    * is a hard error. Computed once per JVM. */
+  private[graft] def codeSalt: String = codeSaltPair._1
+  private[graft] def codeSaltInputs: Int = codeSaltPair._2
+  private lazy val codeSaltPair: (String, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var hashed = 0
+    def hashTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(hashTree)
+      else if (f.getName.endsWith(".class")) {
+        md.update(java.nio.file.Files.readAllBytes(f.toPath)); hashed += 1
+      }
+    }
+    val url = getClass.getClassLoader.getResource("graft")
+    require(url != null, "codeSalt: graft package not found on classpath")
+    if (url.getProtocol == "file") hashTree(new java.io.File(url.toURI))
+    else {
+      val src = getClass.getProtectionDomain.getCodeSource
+      require(src != null && src.getLocation != null,
+        "codeSalt: non-file classpath with no code source")
+      val jar = new java.io.File(src.getLocation.toURI)
+      md.update(s"${jar.getPath}:${jar.length()}:${jar.lastModified()}"
+        .getBytes("UTF-8"))
+      hashed += 1
+    }
+    require(hashed > 0, "codeSalt: no bytecode inputs hashed")
+    (md.digest().take(6).map("%02x".format(_)).mkString, hashed)
+  }
+
+  private[graft] def storedOnce(tag: String, dir: String)(write: String => Unit): String = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val fp = java.lang.Long.toHexString(files.foldLeft(17L)((a, f) =>
       ((a * 31 + f.getName.hashCode) * 31 + f.length()) * 31 + f.lastModified()))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${key}_$fp"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${key}_${fp}_$codeSalt"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       def rmTree(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
@@ -5056,6 +5151,24 @@ object SparkEntry {
        "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
        "FROM c JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000000) " +
        "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
+
+    // DuckDB's NATIVE ASOF JOIN — an independent engine's as-of
+    // semantics, not a restatement of our plan. The lookback is an
+    // exact post-filter (monotone in the carried time: if the latest
+    // right is too old, every earlier right is older). The
+    // `row_number() OVER ()` column is a pushdown BARRIER only:
+    // DuckDB 1.0 pushes the outer lookback filter INTO the ASOF join,
+    // where the binder rejects a second inequality ("Multiple ASOF
+    // JOIN inequalities"); filters cannot push below an
+    // unpartitioned window.
+    "q240_sql_asof_join" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id AS id_a, user_id AS ua, et AS ta FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT user_id AS ub, et AS tb, max(event_id) AS id_b FROM ev WHERE event_type='view' GROUP BY 1, 2) " +
+       "SELECT id_a, id_b FROM (" +
+       "SELECT c.id_a, v.id_b, v.tb, c.ta, row_number() OVER () AS _b " +
+       "FROM c ASOF JOIN v ON v.ub = c.ua AND v.tb <= c.ta) " +
+       "WHERE tb > ta - 3600000000 ORDER BY id_a, id_b"),
 
     "q44_split_assign" -> {
       val Seq(trainCut, valCut) =

@@ -178,7 +178,7 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, checked(name, builder), "scala_udf")
     }
     for (rule <- Seq(graft.plans.SpatialJoinRule, graft.plans.RangeJoinRule,
-        graft.plans.CellPruneRule))
+        graft.plans.AsOfJoinRule, graft.plans.CellPruneRule))
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule

@@ -182,7 +182,18 @@ object Multimodal {
         walk(12, media.length)
         val habs = math.abs(h)
         if (vidsStream < 0 || w <= 0 || habs == 0 || frames.isEmpty) return None
-        val out = new Array[Byte](frames.length * w * habs)
+        // header fields are untrusted: size the output in LONG arithmetic
+        // and reject implausible headers BEFORE allocating — an Int
+        // overflow could yield a wrong positive size, and a multi-GB
+        // allocation's OutOfMemoryError is an Error that would escape the
+        // catch(_: Exception) fallback below. The container itself bounds
+        // honest sizes: decoded pixels can't exceed ~media bytes for the
+        // uncompressed path, and a loose 64x payload bound covers JPEG.
+        val outLen = frames.length.toLong * w.toLong * habs.toLong
+        if (w > (1 << 16) || habs > (1 << 16) ||
+            outLen > math.max(media.length.toLong * 64L, 1L << 24) ||
+            outLen > Int.MaxValue - 8) return None
+        val out = new Array[Byte](outLen.toInt)
         var fi = 0
         while (fi < frames.length) {
           val (fo, sz) = frames(fi)

@@ -57,12 +57,38 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
  * span (measured: ~14M buckets PER ROW, an executor OOM). When more
  * than one candidate pair matches, the rule conservatively DECLINES
  * (logged): restate auxiliary filters in non-inequality form
- * (`least(id_a, id_b) = id_a AND id_a <> id_b`) or pre-filter a side.
+ * (`least(id_a, id_b) = id_a AND id_a <> id_b`), pre-filter a side, or
+ * — the r13 off-ramp — name the bound columns in
+ * `spark.graft.join.timeCols` (comma-separated, case-insensitive): a
+ * candidate pair then qualifies only if EVERY one of its four bound
+ * expressions references a named column, which (a) disambiguates the
+ * pushed-id case (the id pair references no time column — the rewrite
+ * fires on the real bounds), and (b) protects OTHER single-pair joins
+ * in the same session (a price/score band join references no time
+ * column — not rewritten, its own sequence() explosion never built).
+ *
+ * RUNTIME SPAN CAP (defense in depth): whatever static analysis
+ * concludes, the generated per-row bucket range is bounded by
+ * `spark.graft.join.timeBucketMaxSpan` (default 4096 buckets/row) — a
+ * row whose span/bucket ratio exceeds the cap raises a loud, actionable
+ * error instead of letting sequence() allocate toward the same class of
+ * executor OOM. The operator API keeps its own contract (bucket ≈
+ * typical interval length ⇒ O(1) replication); the cap only converts
+ * the silent failure mode of a mis-configured bucket into a message.
  */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def bucket: Long =
-    conf.getConfString("spark.graft.join.timeBucket", "0").toLong
+  /** A malformed conf value must disable the rule with a warning, not
+    * throw NumberFormatException inside the optimizer (which would fail
+    * EVERY query in the session with an opaque error). */
+  private def bucket: Long = {
+    val raw = conf.getConfString("spark.graft.join.timeBucket", "0")
+    raw.toLongOption.getOrElse {
+      logWarning(s"RangeJoinRule: unparsable spark.graft.join.timeBucket " +
+        s"'$raw' — treating as 0 (rewrite disabled)")
+      0L
+    }
+  }
 
   private def broadcastHinted(hint: JoinHint): Boolean =
     (hint.leftHint ++ hint.rightHint).exists(_.strategy.contains(BROADCAST))
@@ -72,6 +98,20 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** Bound-column hints: lowercased names from spark.graft.join.timeCols. */
+  private def timeCols: Set[String] =
+    conf.getConfString("spark.graft.join.timeCols", "")
+      .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
+  private def maxSpan: Long = {
+    val raw = conf.getConfString("spark.graft.join.timeBucketMaxSpan", "4096")
+    raw.toLongOption.filter(_ > 0).getOrElse {
+      logWarning(s"RangeJoinRule: unparsable spark.graft.join.timeBucketMaxSpan " +
+        s"'$raw' — using 4096")
+      4096L
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val b = bucket
@@ -104,22 +144,44 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             rs.references.subsetOf(right.outputSet) &&
             le.references.subsetOf(left.outputSet)
         } yield (ls, le, rs, re)
-        if (candidates.size > 1 && !alreadyRewritten) {
+        // timeCols hint: keep only candidates whose four bound exprs all
+        // touch a named column — disambiguates pushed auxiliary
+        // inequalities AND protects non-temporal joins in the session
+        val hinted = timeCols
+        def temporal(c: (Expression, Expression, Expression, Expression)) =
+          Seq(c._1, c._2, c._3, c._4).forall(
+            _.references.exists(a => hinted.contains(a.name.toLowerCase)))
+        val eligible =
+          if (hinted.isEmpty) candidates else candidates.filter(temporal)
+        if (eligible.size > 1 && !alreadyRewritten) {
           logWarning("RangeJoinRule: join condition admits " +
-            s"${candidates.size} interval decompositions — declining the " +
+            s"${eligible.size} interval decompositions — declining the " +
             "rewrite (restate auxiliary inequality filters, e.g. " +
-            "least(a,b) = a AND a <> b instead of a < b)")
+            "least(a,b) = a AND a <> b instead of a < b, or name the " +
+            "bound columns in spark.graft.join.timeCols)")
         }
-        if (candidates.size != 1 || alreadyRewritten) j
+        if (eligible.size != 1 || alreadyRewritten) j
         else {
-          val (ls, le, rs, re) = candidates.head
+          val (ls, le, rs, re) = eligible.head
           val bLit = Literal(b)
+          val cap = maxSpan
           val tz = Some(conf.sessionLocalTimeZone)
-          def buckets(lo: Expression, hi: Expression): Generator =
-            Explode(Sequence(
-              IntervalBucket(Least(Seq(asLong(lo), asLong(hi))), bLit),
-              IntervalBucket(Greatest(Seq(asLong(lo), asLong(hi))), bLit),
-              None, tz))
+          // runtime span cap: a row exploding more than `cap` buckets
+          // raises an actionable error instead of allocating toward an
+          // executor OOM (the r12 failure class)
+          def buckets(lo: Expression, hi: Expression): Generator = {
+            val bLo = IntervalBucket(Least(Seq(asLong(lo), asLong(hi))), bLit)
+            val bHi = IntervalBucket(Greatest(Seq(asLong(lo), asLong(hi))), bLit)
+            val bHiCapped = If(
+              GreaterThan(Subtract(bHi, bLo), Literal(cap)),
+              Cast(RaiseError(Literal(
+                s"RangeJoinRule: a row spans more than $cap time buckets at " +
+                s"bucket=$b (spark.graft.join.timeBucket) — raise the bucket, " +
+                "pre-filter outlier intervals, or raise " +
+                "spark.graft.join.timeBucketMaxSpan")), LongType),
+              bHi)
+            Explode(Sequence(bLo, bHiCapped, None, tz))
+          }
           val cellL = AttributeReference("__tb_l", LongType, nullable = false)()
           val cellR = AttributeReference("__tb_r", LongType, nullable = false)()
           val genL = Generate(buckets(ls, le), Nil, outer = false,

@@ -150,4 +150,45 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(graft.sources.Sidecar.readText(spark, dir + "/_graft_nsw_params")
       .trim == "m 6 efc 24")
   }
+
+  test("production regime pin: 2,000-vector-cell beam quality and sub-linear visited cost (r13)") {
+    // Lifts dev/nsw_regime.scala's big-cell row into CI (SCALE.md
+    // "IVF-NSW regimes": recall 0.955, avg visited 606 of 2,000 at
+    // ef=64 on this exact configuration) — a walk or tie-break
+    // regression at production cell sizes must fail the SUITE, not a
+    // hand-run script. One cell (nlist = 1) over the real sf0.1
+    // embedding table, so the number is beam quality unconfounded by
+    // IVF routing — the q235 shape at 4x the cell size.
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val n = e.count()
+    assert(n >= 1500, s"sf0.1 embeddings shrank beneath the regime this pins: n=$n")
+    val dir = java.nio.file.Files.createTempDirectory("nswregime").toString
+    Similarity.buildNswIndex(e, dir, col("vec_id"), col("embedding"),
+      nlist = 1, m = 8, efC = 32)
+    val qs = e.filter(col("vec_id") < 20)
+    val approx = Similarity.nswTopKIndexed(qs, dir, col("vec_id"),
+        col("embedding"), k = 10, nprobe = 1, efSearch = 64)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d2 = graft.functions.stf.vec_dist2(col("q.embedding"), col("c.embedding"))
+    val exact = qs.as("q").crossJoin(e.as("c"))
+      .filter(col("c.vec_id") =!= col("q.vec_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q.vec_id"))
+          .orderBy(d2, col("c.vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("q.vec_id"), col("c.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.93, f"big-cell beam recall regressed: $recall%.3f < 0.93")
+    val stats = Similarity.nswProbeStats(qs, dir, col("vec_id"),
+        col("embedding"), nprobe = 1, efSearch = 64)
+      .agg(max(col("n_visited")), avg(col("n_visited"))).collect()(0)
+    val maxV = stats.getLong(0); val avgV = stats.getDouble(1)
+    assert(maxV <= 1L + 64L * 2 * 8, // entry node + efSearch slots x 2m
+      s"absolute beam-cost cap broken: max visited $maxV > 1025")
+    assert(avgV <= 0.45 * n, // measured 0.30 at this regime — margin, not slack
+      f"visited fraction regressed: ${avgV / n}%.3f of $n")
+  }
 }

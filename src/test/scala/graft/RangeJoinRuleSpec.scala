@@ -9,16 +9,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class RangeJoinRuleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def withBucket[T](b: Long)(f: => T): T = {
-    val key = "spark.graft.join.timeBucket"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, b.toString)
+  private def withConfs[T](kvs: (String, String)*)(f: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
+
+  private def withBucket[T](b: Long)(f: => T): T =
+    withConfs("spark.graft.join.timeBucket" -> b.toString)(f)
 
   private def mkViews(): Unit = {
     import spark.implicits._
@@ -105,6 +107,58 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(!df2.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
       assert(df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+  }
+
+  test("timeCols hint disambiguates a pushed id inequality (the r12 decline becomes coverage)") {
+    mkViews()
+    val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea WHERE id_a < id_b - 1000"
+    // without the hint: ambiguous -> declined (BNLJ, pinned above)
+    val want = withBucket(100L) {
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    withConfs("spark.graft.join.timeBucket" -> "100",
+        "spark.graft.join.timeCols" -> "sa, ea, sb, eb") {
+      val df = spark.sql(sql)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "the hint names the bounds — the id pair no longer blocks the rewrite")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == got.toSet.size && got.toSet == want)
+    }
+  }
+
+  test("timeCols hint protects non-temporal single-pair joins in the same session") {
+    mkViews()
+    // a band join on IDS: without the hint this is a single crossing
+    // pair and would rewrite (exploding id-scale buckets); with the
+    // hint set for a TEMPORAL workload elsewhere in the session, it
+    // must be left alone
+    val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON id_a <= id_b AND id_b - 2000 <= id_a"
+    withConfs("spark.graft.join.timeBucket" -> "100",
+        "spark.graft.join.timeCols" -> "sa, ea, sb, eb") {
+      assert(spark.sql(sql).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "a join referencing no named time column must not be rewritten")
+    }
+  }
+
+  test("runtime span cap raises an actionable error instead of exploding sequence()") {
+    import spark.implicits._
+    Seq((1L, 0L, 10000L)).toDF("id_a", "sa", "ea").createOrReplaceTempView("rjwide_a")
+    Seq((2L, 50L, 60L)).toDF("id_b", "sb", "eb").createOrReplaceTempView("rjwide_b")
+    val sql = "SELECT id_a, id_b FROM rjwide_a JOIN rjwide_b ON sa <= eb AND sb <= ea"
+    withConfs("spark.graft.join.timeBucket" -> "100",
+        "spark.graft.join.timeBucketMaxSpan" -> "2") {
+      val ex = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("spans more than 2 time buckets")),
+        msgs(ex).mkString(" | ").take(400))
+    }
+    // the default cap admits the same query
+    withBucket(100L) {
+      assert(spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 2L)))
     }
   }
 
