@@ -39,10 +39,16 @@ def go(): Unit = {
     graft.operators.Dedup.dropSeenCosine(embs.filter(col("vec_id") % 2 === 1),
       col("vec_id"), col("embedding"), p, threshold = 0.9).count()
   }
+  // the ingest/compact flows start from an EMPTY store — nothing to
+  // auto-size from — so production sizing is autoPlanes(expected rows),
+  // the same rule planes=0 resolves on the one-pass build (train/add
+  // contract: sizing is workload knowledge at init time)
+  val prodPlanes = graft.operators.Dedup.autoPlanes(10000L)
+  println(s"[lane] ingest lanes use planes=$prodPlanes = autoPlanes(10000)")
   // q182 twin: init + two appends + gate
   timed("q182_prod(ingest+gate)") {
     val p = "/tmp/lane_clingest"; rm(p)
-    graft.operators.Dedup.initCosineLshStore(spark, p, tables = 8, planes = 0)
+    graft.operators.Dedup.initCosineLshStore(spark, p, tables = 8, planes = prodPlanes)
     graft.operators.Dedup.appendCosineLshBatch(embs.filter(col("vec_id") % 4 === 0),
       col("vec_id"), col("embedding"), p, batchId = 0L)
     graft.operators.Dedup.appendCosineLshBatch(embs.filter(col("vec_id") % 4 === 2),
@@ -54,7 +60,7 @@ def go(): Unit = {
   // q205 twin: append + delete + compact + gate
   timed("q205_prod(compact+gate)") {
     val p = "/tmp/lane_clcmp"; rm(p)
-    graft.operators.Dedup.initCosineLshStore(spark, p, tables = 8, planes = 0)
+    graft.operators.Dedup.initCosineLshStore(spark, p, tables = 8, planes = prodPlanes)
     graft.operators.Dedup.appendCosineLshBatch(embs.filter(col("vec_id") % 2 === 0),
       col("vec_id"), col("embedding"), p, batchId = 0L)
     graft.operators.Dedup.deleteFromCosineLshStore(
@@ -72,7 +78,7 @@ def go(): Unit = {
   val p1 = "/tmp/lane_fold1"; rm(p1)
   graft.operators.Dedup.buildCosineLshStore(
     embs.filter(col("vec_id") % 2 === 0),
-    col("vec_id"), col("embedding"), p1, tables = 8, planes = 0)
+    col("vec_id"), col("embedding"), p1, tables = 8, planes = prodPlanes)
   val g1 = graft.operators.Dedup.dropSeenCosine(embs.filter(col("vec_id") % 2 === 1),
     col("vec_id"), col("embedding"), p1, threshold = 0.9)
     .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -83,7 +89,7 @@ def go(): Unit = {
   val p2 = "/tmp/lane_fold2"; rm(p2)
   graft.operators.Dedup.buildCosineLshStore(
     embs.filter(col("vec_id") % 2 === 0 && col("vec_id") % 8 =!= 0),
-    col("vec_id"), col("embedding"), p2, tables = 8, planes = 0)
+    col("vec_id"), col("embedding"), p2, tables = 8, planes = prodPlanes)
   val g3 = graft.operators.Dedup.dropSeenCosine(embs.filter(col("vec_id") % 2 === 1),
     col("vec_id"), col("embedding"), p2, threshold = 0.9)
     .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -2662,6 +2662,59 @@ object SparkEntry {
       }
     }),
 
+    // the LEFT OUTER SQL as-of (DuckDB `ASOF LEFT JOIN`): every click
+    // survives — unmatched ones (no same-user view at-or-before, or a
+    // NULL key the equality can never satisfy) carry a NULL id_b. The
+    // rule's rewrite keeps the same timeline plan and turns the
+    // drop-filter into a null-out; the oracle is again DuckDB's NATIVE
+    // asof operator. Reuses q240's ao_c/ao_v views (Verify runs q240
+    // first by map order — but don't rely on it: re-register here).
+    "q241_sql_asof_left" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("et"),
+          col("event_type"))
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("id_a"), col("user_id").as("ua"),
+          col("et").as("ta"))
+        .createOrReplaceTempView("ao_c")
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("ub"), col("et").as("tb"))
+        .agg(max(col("event_id")).as("id_b"))
+        .createOrReplaceTempView("ao_v")
+      withConf(s, "spark.graft.join.asof" -> "true") {
+        s.sql(
+          "SELECT id_a, id_b FROM (" +
+          "SELECT c.id_a, v.id_b, row_number() OVER " +
+          "(PARTITION BY c.id_a ORDER BY v.tb DESC) AS rn " +
+          "FROM ao_c c LEFT JOIN ao_v v ON v.ub = c.ua AND v.tb <= c.ta" +
+          ") WHERE rn = 1 ORDER BY id_a")
+      }
+    }),
+
+    // the typed keyed as-of in LEFT OUTER mode, WITH a lookback (the
+    // combination the native-asof oracle can't express — DuckDB's
+    // pushdown rejects a second inequality and a post-filter would
+    // DROP unmatched rows instead of null-extending them — so the
+    // oracle is the windowed LEFT JOIN replay): every click appears
+    // once; an out-of-lookback latest view reads as NO match (exact by
+    // the monotone argument).
+    "q242_asof_keyed_left" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("et"),
+          col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("id_a"), col("user_id").as("ua"),
+          col("et").as("ta"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("id_b"), col("user_id").as("ub"),
+          col("et").as("tb"))
+      TemporalJoin.asOfKeyed(clicks, views, leftId = "id_a",
+          col("ua"), col("ub"), col("ta"), col("tb"),
+          maxLookback = 3600000000L, tieBreak = col("id_b"), outer = true)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
+    }),
+
     // ---- corpus-assembly pipeline primitives (operators/Pipeline.scala) ----
 
     // deterministic md5-prefix train/val/test split — pure map, no shuffle.
@@ -5169,6 +5222,26 @@ object SparkEntry {
        "SELECT c.id_a, v.id_b, v.tb, c.ta, row_number() OVER () AS _b " +
        "FROM c ASOF JOIN v ON v.ub = c.ua AND v.tb <= c.ta) " +
        "WHERE tb > ta - 3600000000 ORDER BY id_a, id_b"),
+
+    // native ASOF LEFT JOIN (no lookback, so no barrier needed)
+    "q241_sql_asof_left" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id AS id_a, user_id AS ua, et AS ta FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT user_id AS ub, et AS tb, max(event_id) AS id_b FROM ev WHERE event_type='view' GROUP BY 1, 2) " +
+       "SELECT id_a, id_b FROM c ASOF LEFT JOIN v ON v.ub = c.ua AND v.tb <= c.ta " +
+       "ORDER BY id_a"),
+
+    // outer + lookback: the windowed LEFT JOIN replay (native asof
+    // cannot express an in-ON lookback, and post-filtering would drop
+    // the null-extended rows this mode exists to keep)
+    "q242_asof_keyed_left" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id, user_id, et FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT event_id, user_id, et FROM ev WHERE event_type='view'), " +
+       "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
+       "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
+       "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000000) " +
+       "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
 
     "q44_split_assign" -> {
       val Seq(trainCut, valCut) =

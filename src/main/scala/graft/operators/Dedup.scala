@@ -934,9 +934,18 @@ object Dedup {
     * embedding twin of [[initMinhashStore]] (hyperplane config is the
     * frozen model; see [[buildCosineLshStore]]). */
   def initCosineLshStore(spark: org.apache.spark.sql.SparkSession, path: String,
-                         tables: Int = 8, planes: Int = 8): Unit =
+                         tables: Int = 8, planes: Int = 8): Unit = {
+    // planes = 0 means "size from the corpus" on the ONE-PASS build; an
+    // empty init has no corpus to size from, and a literal 0 in the
+    // sidecar would break every later append/probe obscurely — fail here,
+    // loudly, pointing at the sizing rule the caller should apply
+    require(tables > 0, s"tables must be positive, got $tables")
+    require(planes > 0, "initCosineLshStore cannot auto-size planes (no " +
+      "corpus yet) — pass planes = Dedup.autoPlanes(expectedRows) for the " +
+      "production sizing rule, or an explicit count")
     graft.sources.Sidecar.writeText(spark, path + "/_graft_coslsh_params",
       s"$tables $planes")
+  }
 
   /** Bucket and append one batch as its own `buckets`/`vectors`
     * `batch_id=` partitions under the store's FROZEN hyperplanes —

@@ -149,12 +149,17 @@ object TemporalJoin {
    * winner among exact ties is otherwise unspecified (the same contract
    * every rank-by-time as-of holds). Right payload columns are carried,
    * never ordered, so non-orderable types (e.g. MapType) ride through.
+   *
+   * `outer = true` gives LEFT OUTER semantics (DuckDB `ASOF LEFT JOIN`):
+   * every left row survives; rows with no in-window right — including
+   * rows whose key or time is NULL, which can never match — carry NULL
+   * right columns. Same plan, the drop-filter becomes a null-out.
    */
   def asOf(left: DataFrame, right: DataFrame, leftId: String,
            lTime: Column, rTime: Column, maxLookback: Long,
-           tieBreak: Column): DataFrame =
+           tieBreak: Column, outer: Boolean = false): DataFrame =
     asOfImpl(left, right, leftId, lit(0L), lit(0L), lTime, rTime,
-      maxLookback, tieBreak)
+      maxLookback, tieBreak, outer)
 
   /**
    * Per-entity as-of join — [[asOf]] with an equality key (the variant
@@ -181,9 +186,10 @@ object TemporalJoin {
    */
   def asOfKeyed(left: DataFrame, right: DataFrame, leftId: String,
                 lKey: Column, rKey: Column, lTime: Column, rTime: Column,
-                maxLookback: Long, tieBreak: Column): DataFrame =
+                maxLookback: Long, tieBreak: Column,
+                outer: Boolean = false): DataFrame =
     asOfImpl(left, right, leftId, lKey, rKey, lTime, rTime,
-      maxLookback, tieBreak)
+      maxLookback, tieBreak, outer)
 
   /** Shared carry-forward timeline kernel: [[asOf]] is the degenerate
     * `key = lit(0)` instance (constant key — the guards and partitioners
@@ -191,7 +197,7 @@ object TemporalJoin {
   private def asOfImpl(left: DataFrame, right: DataFrame, leftId: String,
                        lKey: Column, rKey: Column,
                        lTime: Column, rTime: Column, maxLookback: Long,
-                       tieBreak: Column): DataFrame = {
+                       tieBreak: Column, outer: Boolean): DataFrame = {
     require(maxLookback > 0, s"maxLookback must be positive, got $maxLookback")
     val work = Seq("__ao_k", "__ao_t", "__ao_g", "__ao_tb", "__ao_rv",
       "__ao_lv", "__ao_pid", "__ao_w", "__ao_cin", "__ao_best", "__ao_m")
@@ -264,7 +270,9 @@ object TemporalJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftCols = left.columns.map(n => col(s"__ao_lv.$n").as(n))
     val rightCols = right.columns.map(n => col(s"__ao_best.__ao_rv.$n").as(n))
-    timeline
+    val bestValid = col("__ao_best").isNotNull &&
+      col("__ao_best.__ao_t") > col("__ao_t") - maxLookback
+    val staged = timeline
       .withColumn("__ao_w", last(when(col("__ao_g") === 0,
         struct(col("__ao_t"), col("__ao_tb"), col("__ao_rv"))),
         ignoreNulls = true).over(w))
@@ -275,9 +283,21 @@ object TemporalJoin {
           struct(col("__ao_cin.__ao_t").as("__ao_t"),
             col("__ao_cin.__ao_tb").as("__ao_tb"),
             col("__ao_cin.__ao_rv").as("__ao_rv")))))
-      .filter(col("__ao_best").isNotNull &&
-        col("__ao_best.__ao_t") > col("__ao_t") - maxLookback)
-      .select(leftCols ++ rightCols: _*)
+    if (!outer) staged.filter(bestValid).select(leftCols ++ rightCols: _*)
+    else {
+      // LEFT OUTER: the drop-filter becomes a null-out (an out-of-window
+      // carry means "no match" — exact by the same monotone argument),
+      // and the NULL-KEYED left rows the timeline never admitted re-enter
+      // as unmatched (they can never match under SQL join equality)
+      val matched = staged
+        .withColumn("__ao_best", when(bestValid, col("__ao_best")))
+        .select(leftCols ++ rightCols: _*)
+      val rSchema = right.schema
+      val nullRight = right.columns.map(n =>
+        lit(null).cast(rSchema(n).dataType).as(n))
+      matched.unionByName(left.filter(lKey.isNull)
+        .select(left.columns.map(col) ++ nullRight: _*))
+    }
   }
 
   /**

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Last
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -140,8 +140,8 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case other => other
     }
     inner match {
-      case j @ Join(_, _, Inner, Some(_), _) => Some((j, j.output))
-      case Project(pl, j @ Join(_, _, Inner, Some(_), _))
+      case j @ Join(_, _, Inner | LeftOuter, Some(_), _) => Some((j, j.output))
+      case Project(pl, j @ Join(_, _, Inner | LeftOuter, Some(_), _))
           if pl.forall(_.isInstanceOf[AttributeReference]) =>
         Some((j, pl.map(_.asInstanceOf[AttributeReference])))
       case _ => None
@@ -152,6 +152,7 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                       os: Seq[SortOrder], wchild: LogicalPlan)
       : Option[LogicalPlan] = {
     val (j, visible) = joinBelow(wchild).getOrElse(return None)
+    val outer = j.joinType == LeftOuter
     val cond = j.condition.get
     if (!cond.deterministic) return None
     val leftOut = j.left.outputSet
@@ -232,7 +233,11 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       .filter(leftOut.contains)).distinct
     def nn(es: Seq[Expression]): Expression =
       es.map(IsNotNull(_): Expression).reduce(And)
-    val leftF = Filter(nn(lt +: keys.toSeq.map(_._1)), j.left)
+    // LEFT OUTER keeps every left row — including NULL-keyed/timed ones,
+    // which ride the timeline unmatched (rights are still null-filtered,
+    // so a NULL-key window partition holds no rights to carry)
+    val leftF = if (outer) j.left
+      else Filter(nn(lt +: keys.toSeq.map(_._1)), j.left)
     val rightF = Filter(nn(rt +: keys.toSeq.map(_._2)), j.right)
 
     val rvStruct = CreateNamedStruct(
@@ -282,19 +287,25 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val win = Window(Seq(wAlias), kU, order, union, None)
     val wA = wAlias.toAttribute
     val wT = GetStructField(wA, 0, Some("t"))
-    val post: Seq[Expression] =
-      Seq(EqualTo(gU, Literal(1)), IsNotNull(wA)) ++
-        lowers.map { case (e, _, s) =>
-          // e references only lCarry attrs — in scope through the union
-          if (s) GreaterThan(wT, e) else GreaterThanOrEqual(wT, e)
-        }
-    val filt = Filter(post.reduce(And), win)
+    // "the carried right is a real match": non-null and inside every
+    // lower bound (e references only lCarry attrs — in scope through
+    // the union). Monotone in the carried time, so exact as a
+    // post-condition on the single carried row.
+    val bestOk: Expression =
+      (IsNotNull(wA) +: lowers.toSeq.map { case (e, _, s) =>
+        (if (s) GreaterThan(wT, e) else GreaterThanOrEqual(wT, e)): Expression
+      }).reduce(And)
+    // inner: out-of-window lefts drop; LEFT OUTER: they stay, null-extended
+    val filt =
+      if (outer) Filter(EqualTo(gU, Literal(1)), win)
+      else Filter(And(EqualTo(gU, Literal(1)), bestOk), win)
 
     // original output, original exprIds: left attrs ride the union
     // bare; right attrs unpack from the carried struct (KnownNotNull
     // restores the static flag the struct detour widened — the value is
     // provably non-null: the struct is built from right rows only and
-    // the IsNotNull(w) filter has already run)
+    // the bestOk filter has already run; for LEFT OUTER the join output
+    // already marks right attrs nullable, and the If supplies the null)
     val wR = GetStructField(wA, 1, Some("r"))
     val rIdx = visR.map(_.exprId).zipWithIndex.toMap
     val outProj: Seq[NamedExpression] = w.output.map { a =>
@@ -304,12 +315,16 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       else {
         val i = rIdx(a.exprId)
         val g = GetStructField(wR, i, Some(a.name))
-        Alias(if (a.nullable) g else KnownNotNull(g), a.name)(exprId = a.exprId)
+        val v =
+          if (outer) If(bestOk, g, Literal.create(null, a.dataType))
+          else if (a.nullable) g
+          else KnownNotNull(g)
+        Alias(v, a.name)(exprId = a.exprId)
       }
     }
     logInfo(s"AsOfJoinRule: rewrote rank-1-over-join as-of " +
       s"(${keys.size} key(s), ${ties.size} tie key(s), " +
-      s"${lowers.size} lower bound(s), strict=$strict)")
+      s"${lowers.size} lower bound(s), strict=$strict, outer=$outer)")
     Some(Project(outProj, filt))
   }
 }

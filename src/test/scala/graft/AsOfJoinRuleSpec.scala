@@ -170,6 +170,31 @@ class AsOfJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP time columns rewrite too (any orderable type; no bucket arithmetic to restrict)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val cdf = (0 until 80).map(i => (i.toLong, rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(500) * 1000L)))
+      .toDF("id_a", "ua", "ta")
+    val vdf = (0 until 120).map(i => (i.toLong + 9000L, i % 5L,
+        new java.sql.Timestamp(1700000000000L + (i / 5) * 2100L)))
+      .toDF("id_b", "ub", "tb")
+    cdf.createOrReplaceTempView("aoc5"); vdf.createOrReplaceTempView("aov5")
+    // lookback via INTERVAL arithmetic on the left side — still a lower
+    // bound on the same right expression, still a monotone post-filter
+    val sql = "SELECT id_a, id_b FROM (SELECT c.id_a, v.id_b, row_number() OVER " +
+      "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+      "FROM aoc5 c JOIN aov5 v ON v.ub = c.ua AND v.tb <= c.ta " +
+      "AND v.tb > c.ta - INTERVAL 3 MINUTE) WHERE rn = 1"
+    val want = brute(sql)
+    assert(want.nonEmpty)
+    withAsOf {
+      val df = spark.sql(sql)
+      assertRewritten(df)
+      assert(norm(df) == want)
+    }
+  }
+
   test("declines: conf off, unkeyed, right-side partition, rn = 2, foreign conjuncts, custom null order") {
     mkViews()
     // conf off: the rule must not exist in the plan
@@ -205,6 +230,69 @@ class AsOfJoinRuleSpec extends AnyFunSuite {
           "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta) WHERE rn = 1")) {
         assertDeclined(spark.sql(sql))
       }
+    }
+  }
+
+  test("LEFT OUTER as-of rewrites too: unmatched lefts survive null-extended, equal to Spark's plan") {
+    mkViews()
+    for (sql <- Seq(
+      // plain outer, with a tie key
+      "SELECT id_a, id_b FROM (SELECT c.id_a, v.id_b, row_number() OVER " +
+        "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+        "FROM aoc c LEFT JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta) WHERE rn = 1",
+      // outer + lookback: an out-of-window best must read as NO match
+      // (null-extended), not a drop — the combination the inner filter
+      // can't express
+      "SELECT id_a, id_b, payload FROM (SELECT c.id_a, v.id_b, v.payload, " +
+        "row_number() OVER " +
+        "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+        "FROM aoc c LEFT JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta " +
+        "AND v.tb > c.ta - 120) WHERE rn = 1",
+      // outer + strict bound
+      "SELECT id_a, id_b FROM (SELECT c.id_a, v.id_b, row_number() OVER " +
+        "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+        "FROM aoc c LEFT JOIN aov v ON v.ub = c.ua AND v.tb < c.ta) WHERE rn = 1")) {
+      val want = brute(sql)
+      assert(want.exists(_(1) == null), "fixture must produce unmatched lefts")
+      withAsOf {
+        val df = spark.sql(sql)
+        assertRewritten(df)
+        assert(norm(df) == want, sql)
+      }
+    }
+    // every left row (160) appears exactly once, null keys/times included
+    withAsOf {
+      val df = spark.sql(
+        "SELECT id_a, id_b FROM (SELECT c.id_a, v.id_b, row_number() OVER " +
+        "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+        "FROM aoc c LEFT JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta) WHERE rn = 1")
+      val ids = df.collect().map(_.getLong(0))
+      assert(ids.length == 160 && ids.distinct.length == 160)
+    }
+  }
+
+  test("typed outer kernel agrees with the rewritten outer SQL on tie-free data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val clicks = (0 until 120).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(300) * 10L))
+    val views = (0 until 90).map(i =>
+      (i.toLong + 5000L, i % 6L, (i / 6) * 37L))
+    val cdf = clicks.toDF("id_a", "ua", "ta")
+    val vdf = views.toDF("id_b", "ub", "tb")
+    cdf.createOrReplaceTempView("aoc4"); vdf.createOrReplaceTempView("aov4")
+    val typed = operators.TemporalJoin.asOfKeyed(cdf, vdf, leftId = "id_a",
+        col("ua"), col("ub"), col("ta"), col("tb"),
+        maxLookback = 500L, tieBreak = col("id_b"), outer = true)
+      .select(col("id_a"), col("id_b"))
+    withAsOf {
+      val df = spark.sql(
+        "SELECT id_a, id_b FROM (SELECT c.id_a, v.id_b, row_number() OVER " +
+        "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+        "FROM aoc4 c LEFT JOIN aov4 v ON v.ub = c.ua AND v.tb <= c.ta " +
+        "AND v.tb > c.ta - 500) WHERE rn = 1")
+      assertRewritten(df)
+      assert(norm(df) == norm(typed))
     }
   }
 

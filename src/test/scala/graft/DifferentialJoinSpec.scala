@@ -261,6 +261,44 @@ class DifferentialJoinSpec extends AnyFunSuite {
     assert(keyedConst == unkeyed)
   }
 
+  test("LEFT OUTER as-of: every left row exactly once, matches equal inner, null keys unmatched") {
+    import spark.implicits._
+    import graft.operators.TemporalJoin
+    def key(i: Int): java.lang.Long =
+      if (i % 17 == 0) null else if (i % 3 == 0) rnd.nextInt(4).toLong else 0L
+    val l = (0 until 200).map(i => (i.toLong, key(i), rnd.nextInt(30) * 100L))
+      .toDF("id_a", "ka", "ta")
+    val r = (0 until 200).map(i => (i.toLong, key(i + 1), rnd.nextInt(30) * 100L))
+      .toDF("id_b", "kb", "tb")
+    for (lookback <- Seq(100L, 1000L)) {
+      val outer = TemporalJoin.asOfKeyed(l, r, "id_a", col("ka"), col("kb"),
+          col("ta"), col("tb"), lookback, col("id_b"), outer = true)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      // totality + uniqueness: one row per left row, no drops, no dups
+      assert(outer.length == 200, s"outer must keep every left row: ${outer.length}")
+      assert(outer.map(_._1).distinct.length == 200)
+      // the matched subset IS the inner join
+      val inner = TemporalJoin.asOfKeyed(l, r, "id_a", col("ka"), col("kb"),
+          col("ta"), col("tb"), lookback, col("id_b"))
+        .select(col("id_a"), col("id_b")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(outer.collect { case (a, Some(b)) => (a, b) }.toSet == inner,
+        s"lookback=$lookback")
+      // null-keyed left rows are present and unmatched
+      val nullKey = (0 until 200).filter(_ % 17 == 0).map(_.toLong).toSet
+      assert(outer.filter(x => nullKey(x._1)).forall(_._2.isEmpty))
+    }
+    // the unkeyed outer keeps pre-window lefts unmatched too
+    val lo = Seq((1L, 5L), (2L, 500L)).toDF("id_a", "ta")
+    val ro = Seq((10L, 100L)).toDF("id_b", "tb")
+    val got = TemporalJoin.asOf(lo, ro, "id_a", col("ta"), col("tb"),
+        1000L, col("id_b"), outer = true)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    assert(got == Set((1L, None), (2L, Some(10L))))
+  }
+
   test("sessionize: gap-break hand case, tie safety, key isolation, stats rollup") {
     import spark.implicits._
     import graft.operators.TemporalJoin
