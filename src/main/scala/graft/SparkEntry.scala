@@ -2715,6 +2715,33 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // the as-of join's SECOND declarative SQL spelling: max_by over the
+    // keyed time-bounded join (GROUP BY left id) — AsOfJoinRule replans
+    // it onto the same carry-forward timeline as q240's rank form (the
+    // struct ordering IS the rank's DESC key list). The q233 semantics
+    // through a third independent surface; oracle = the windowed replay.
+    "q243_sql_asof_maxby" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("et"),
+          col("event_type"))
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("id_a"), col("user_id").as("ua"),
+          col("et").as("ta"))
+        .createOrReplaceTempView("ao_c")
+      e.filter(col("event_type") === "view")
+        .select(col("event_id").as("id_b"), col("user_id").as("ub"),
+          col("et").as("tb"))
+        .createOrReplaceTempView("ao_v2")
+      withConf(s, "spark.graft.join.asof" -> "true") {
+        s.sql(
+          "SELECT id_a, id_b FROM (" +
+          "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS id_b " +
+          "FROM ao_c c JOIN ao_v2 v ON v.ub = c.ua AND v.tb <= c.ta " +
+          "AND v.tb > c.ta - 3600000000 GROUP BY c.id_a" +
+          ") ORDER BY id_a")
+      }
+    }),
+
     // ---- corpus-assembly pipeline primitives (operators/Pipeline.scala) ----
 
     // deterministic md5-prefix train/val/test split — pure map, no shuffle.
@@ -5241,6 +5268,17 @@ object SparkEntry {
        "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
        "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
        "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000000) " +
+       "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
+
+    // the max_by spelling replays as the SAME windowed rank (the struct
+    // ordering is the DESC key list) — q233's oracle shape verbatim
+    "q243_sql_asof_maxby" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id, user_id, et FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT event_id, user_id, et FROM ev WHERE event_type='view'), " +
+       "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
+       "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
+       "FROM c JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000000) " +
        "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
 
     "q44_split_assign" -> {

@@ -296,6 +296,75 @@ class AsOfJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("max_by aggregation form rewrites to the same timeline (inner, outer, lookback, bare ordering)") {
+    mkViews()
+    for (sql <- Seq(
+      // canonical: struct ordering (t, tie), lookback
+      "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS id_b " +
+        "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta " +
+        "AND v.tb > c.ta - 120 GROUP BY c.id_a",
+      // LEFT OUTER: every left row's group exists; unmatched -> NULL
+      "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS id_b " +
+        "FROM aoc c LEFT JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta " +
+        "GROUP BY c.id_a",
+      // bare r.t ordering (tie-free pick is arbitrary for the user too,
+      // but max_by(value = the tie column itself) is deterministic)
+      "SELECT c.id_a, max_by(v.id_b, v.tb + 0) AS id_b " +
+        "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta GROUP BY c.id_a",
+      // two max_by's sharing the ordering + a value expression mixing sides
+      "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS id_b, " +
+        "max_by(v.tb - c.ta, struct(v.tb, v.id_b)) AS lag " +
+        "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta GROUP BY c.id_a",
+      // strict bound
+      "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS id_b " +
+        "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb < c.ta GROUP BY c.id_a")) {
+      val want = brute(sql)
+      assert(want.nonEmpty, sql)
+      withAsOf {
+        val df = spark.sql(sql)
+        assertRewritten(df)
+        assert(norm(df) == want, sql)
+      }
+    }
+    // the bare-t pick with a NON-tie value would be ambiguous — but the
+    // last test above is deterministic because (ua, tb) is unique after
+    // none... (the aov fixture has duplicate (ub, tb)); pin instead that
+    // max_by == the rank form on the same ordering
+    withAsOf {
+      val viaAgg = norm(spark.sql(
+        "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS id_b " +
+        "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta GROUP BY c.id_a"))
+      val viaRank = norm(spark.sql(
+        "SELECT id_a, id_b FROM (SELECT c.id_a, v.id_b, row_number() OVER " +
+        "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+        "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta) WHERE rn = 1"))
+      assert(viaAgg == viaRank, "the two declarative spellings must agree")
+    }
+  }
+
+  test("max_by declines: mixed aggregates, differing orderings, ordering not the bounded time") {
+    mkViews()
+    withAsOf {
+      for (sql <- Seq(
+        // a second, non-max_by aggregate cannot ride the single carry
+        "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS id_b, count(*) AS n " +
+          "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta GROUP BY c.id_a",
+        // two max_by's with DIFFERENT orderings
+        "SELECT c.id_a, max_by(v.id_b, struct(v.tb, v.id_b)) AS x, " +
+          "max_by(v.id_b, v.id_b + 0) AS y " +
+          "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta GROUP BY c.id_a",
+        // ordering is not the time the join bounds
+        "SELECT c.id_a, max_by(v.id_b, v.id_b + 0) AS id_b " +
+          "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta GROUP BY c.id_a",
+        // group key from the right side
+        "SELECT v.id_b, max_by(v.id_b, struct(v.tb, v.id_b)) AS x " +
+          "FROM aoc c JOIN aov v ON v.ub = c.ua AND v.tb <= c.ta GROUP BY v.id_b")) {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan.toString
+        assert(plan.contains("Join"), s"must decline:\n$sql\n${plan.take(600)}")
+      }
+    }
+  }
+
   test("left rows with no in-window right are dropped (inner semantics); null keys and times match nothing") {
     import spark.implicits._
     val cdf = Seq(
