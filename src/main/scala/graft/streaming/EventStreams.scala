@@ -456,17 +456,20 @@ object EventStreams {
    * independence — no per-key state in the stream, the right side is
    * re-read per batch (frozen-store contract: swap via the staged-swap
    * marker, not in place). Same exactly-once landing as every gate.
+   * `outer = true` lands every event (unmatched ones null-enriched —
+   * the pipeline shape that must not DROP events it cannot enrich).
    */
   def enrichAsOfKeyed(events: DataFrame, right: DataFrame, idColName: String,
                       keyColName: String, rightKeyColName: String,
                       tsColName: String, rightTsColName: String,
                       maxLookback: Long, tieBreakColName: String,
-                      outPath: String, checkpoint: String)
+                      outPath: String, checkpoint: String,
+                      outer: Boolean = false)
     : org.apache.spark.sql.streaming.StreamingQuery =
     landFiltered(events, outPath, checkpoint)(batch =>
       graft.operators.TemporalJoin.asOfKeyed(batch, right, idColName,
         col(keyColName), col(rightKeyColName), col(tsColName),
-        col(rightTsColName), maxLookback, col(tieBreakColName)))
+        col(rightTsColName), maxLookback, col(tieBreakColName), outer))
 
   /**
    * Streaming distinct-count registers per event-time window: the HLL

@@ -1401,4 +1401,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming OUTER keyed as-of enrich lands every event, null-enriched when unmatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("asof_enrich_o").toString
+    val right = Seq((0L, 100L, 1000L), (1L, 150L, 2000L)).toDF("kb", "tb", "id_b")
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().toDF("id_a", "ka", "ta")
+    val q = EventStreams.enrichAsOfKeyed(events, right, "id_a",
+      "ka", "kb", "ta", "tb", maxLookback = 250L, tieBreakColName = "id_b",
+      outPath = s"$tmp/out", checkpoint = s"$tmp/ckpt", outer = true)
+    try {
+      // matched / before-any-right / unknown-key / out-of-lookback
+      // (10: key0 latest<=300 is t=100, and 100 > 300-250 — in window)
+      input.addData((10L, 0L, 300L), (11L, 1L, 140L), (12L, 9L, 600L),
+        (13L, 1L, 900L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      assert(got == Set((10L, Some(1000L)), (11L, None), (12L, None), (13L, None)),
+        s"got $got")
+    } finally q.stop()
+  }
 }
