@@ -205,6 +205,20 @@ object TemporalJoin {
     require(!right.columns.exists(_.equalsIgnoreCase(leftId)),
       s"asOf: right must not contain the left id column '$leftId' " +
       "(the output carries both sides' columns)")
+    if (outer) {
+      // outer mode appends the null-extended left rows via unionByName,
+      // which resolves columns BY NAME on the matched frame — ANY name
+      // shared between the sides is ambiguous there and would surface as
+      // a deep analyzer AnalysisException. (Inner mode tolerates duplicate
+      // output names since it only selects.) Fail at the API boundary
+      // with the fix instead.
+      val shared = left.columns.map(_.toLowerCase)
+        .intersect(right.columns.map(_.toLowerCase))
+      require(shared.isEmpty,
+        s"asOf(outer=true): left and right share column name(s) " +
+        s"${shared.mkString(", ")} — rename one side before joining " +
+        "(the outer union resolves the combined output by name)")
+    }
     val tbType = right.select(tieBreak).schema.head.dataType
     val rv = struct(right.columns.map(col): _*)
     val lv = struct(left.columns.map(col): _*)

@@ -95,6 +95,14 @@ import org.apache.spark.sql.types.{StructField, StructType}
  */
 object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** BLAST RADIUS of the session-wide flag: while set, EVERY query in the
+    * session whose plan matches either spelling is rewritten — including
+    * ones whose partition/group keys do NOT functionally identify a left
+    * row, where the rewrite returns more rows than the unrewritten plan
+    * (the scaladoc's exactness contract). Scope the flag to the query
+    * (`SparkEntry.withConf` pattern: set, force the plan, restore in
+    * finally) rather than setting it globally; every rewrite logs a
+    * warning naming the precondition so a surprised user can trace it. */
   private def enabled: Boolean =
     conf.getConfString("spark.graft.join.asof", "false").equalsIgnoreCase("true")
 
@@ -279,12 +287,16 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val kU = uOut.slice(nL + 2 + ties.size, nL + 2 + ties.size + s.keys.size)
     val rU = uOut.last
 
-    val carryType = StructType(Seq(
-      StructField("t", s.rt.dataType, nullable = false),
-      StructField("r", rvType, nullable = false)))
-    val carry = If(EqualTo(gU, Literal(0)),
-      CreateNamedStruct(Seq(Literal("t"), tU, Literal("r"), rU)),
-      Literal.create(null, carryType))
+    // the null branch shares the struct branch's OWN dataType (field
+    // nullability included): a hand-built StructType with nullable=false
+    // fields differs from what CreateNamedStruct derives from the union
+    // attributes, and though the plan is built post-analysis (so nothing
+    // re-checks it today), If.checkInputDataTypes would reject the
+    // mismatch if the subtree were ever re-analyzed (view
+    // canonicalization, plan round-trip)
+    val carryStruct = CreateNamedStruct(Seq(Literal("t"), tU, Literal("r"), rU))
+    val carry = If(EqualTo(gU, Literal(0)), carryStruct,
+      Literal.create(null, carryStruct.dataType))
     // at equal instants: rights before lefts for r.t <= l.t (g asc,
     // right g=0), after them for the strict r.t < l.t (g desc)
     val order: Seq[SortOrder] =
@@ -367,9 +379,13 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         Alias(v, a.name)(exprId = a.exprId)
       }
     }
-    logInfo(s"AsOfJoinRule: rewrote rank-1-over-join as-of " +
+    logWarning(s"AsOfJoinRule: rewrote rank-1-over-join as-of " +
       s"(${s.keys.size} key(s), ${ties.size} tie key(s), " +
-      s"${s.lowers.size} lower bound(s), strict=${s.strict}, outer=${s.outer})")
+      s"${s.lowers.size} lower bound(s), strict=${s.strict}, outer=${s.outer}). " +
+      "PRECONDITION: the window PARTITION BY must functionally identify a " +
+      "left row — with duplicate partition keys the rewrite returns more " +
+      "rows than the unrewritten plan. Unset spark.graft.join.asof to " +
+      "disable for this session.")
     Some(Project(outProj, tl.filtered))
   }
 
@@ -439,9 +455,14 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           If(tl.bestOk, sub, Literal.create(null, v.dataType))
       }.asInstanceOf[NamedExpression]
     }
-    logInfo(s"AsOfJoinRule: rewrote max_by-over-join as-of " +
+    logWarning(s"AsOfJoinRule: rewrote max_by-over-join as-of " +
       s"(${s.keys.size} key(s), ${ties.size} tie key(s), " +
-      s"${s.lowers.size} lower bound(s), strict=${s.strict}, outer=${s.outer})")
+      s"${s.lowers.size} lower bound(s), strict=${s.strict}, outer=${s.outer}). " +
+      "PRECONDITION: the GROUP BY keys must functionally identify a left " +
+      "row — with duplicate keys (or multiple NULL-keyed left rows in the " +
+      "LEFT OUTER form, which SQL merges into one group) the rewrite " +
+      "returns more rows than the unrewritten plan. Unset " +
+      "spark.graft.join.asof to disable for this session.")
     Some(Project(outProj, tl.filtered))
   }
 }

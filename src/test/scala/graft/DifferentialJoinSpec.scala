@@ -297,6 +297,18 @@ class DifferentialJoinSpec extends AnyFunSuite {
       .select(col("id_a"), col("id_b")).collect()
       .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
     assert(got == Set((1L, None), (2L, Some(10L))))
+    // outer mode rejects SHARED column names at the API boundary (the
+    // unionByName of the null-extended lefts would otherwise fail deep in
+    // the analyzer); inner mode still tolerates them (select-only output)
+    val lShared = Seq((1L, 5L, "x")).toDF("id_a", "ta", "tag")
+    val rShared = Seq((10L, 1L, "y")).toDF("id_b", "tb", "TAG")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.asOf(lShared, rShared, "id_a", col("ta"), col("tb"),
+        1000L, col("id_b"), outer = true)
+    }
+    assert(e.getMessage.contains("share column name"))
+    assert(TemporalJoin.asOf(lShared, rShared, "id_a", col("ta"), col("tb"),
+      1000L, col("id_b")).count() == 1L)
   }
 
   test("sessionize: gap-break hand case, tie safety, key isolation, stats rollup") {
