@@ -2558,6 +2558,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q42 with the bucket DERIVED (bucket = -1): the typed operator's
+    // auto-sizing twin of q245 — the sampled-median rule lands in the
+    // same replication class as the hand-chosen 120 s for these uniform
+    // 60 s intervals, and the oracle is unchanged because the bucket is
+    // a replication-only knob.
+    "q246_interval_join_auto" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"))
+      val a = e.select(col("event_id").as("id_a"), col("et").as("sa"),
+        (col("et") + 60000000L).as("ea"))
+      val b = e.select(col("event_id").as("id_b"), col("et").as("sb"),
+        (col("et") + 60000000L).as("eb"))
+      TemporalJoin.overlaps(a, b, col("sa"), col("ea"), col("sb"), col("eb"),
+          bucket = -1L)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // the SQL surface of the interval join (plans/RangeJoinRule — the
     // temporal twin of q57/q71's spatial SQL rewrites): a pure-SQL
     // overlap θ-join `ON sa <= eb AND sb <= ea` that would plan
@@ -2580,6 +2599,28 @@ object SparkEntry {
         // `id_a < id_b` becomes a third crossing inequality inside the
         // join condition, making the interval decomposition ambiguous —
         // the rule then (correctly, loudly) declines the rewrite
+        s.sql(
+          "SELECT id_a, id_b FROM iv_a JOIN iv_b ON sa <= eb AND sb <= ea " +
+          "WHERE least(id_a, id_b) = id_a AND id_a <> id_b " +
+          "ORDER BY id_a, id_b")
+      }
+    }),
+
+    // q239 with the bucket DERIVED instead of hand-tuned: timeBucket=-1
+    // auto-sizes from a bounded sample of both sides' interval lengths
+    // (next power of two ≥ the median span — intervals here are uniform
+    // 60 s, so auto lands 2^26 μs ≈ 67 s, the same replication class as
+    // the hand-chosen 120 s) — the last manual knob in the rewrite
+    // family removed. Same DuckDB oracle as q42/q239: the bucket choice
+    // affects replication only, never rows.
+    "q245_sql_interval_auto" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("et"))
+      e.select(col("event_id").as("id_a"), col("et").as("sa"),
+        (col("et") + 60000000L).as("ea")).createOrReplaceTempView("iv_a")
+      e.select(col("event_id").as("id_b"), col("et").as("sb"),
+        (col("et") + 60000000L).as("eb")).createOrReplaceTempView("iv_b")
+      withConf(s, "spark.graft.join.timeBucket" -> "-1") {
         s.sql(
           "SELECT id_a, id_b FROM iv_a JOIN iv_b ON sa <= eb AND sb <= ea " +
           "WHERE least(id_a, id_b) = id_a AND id_a <> id_b " +
@@ -2740,6 +2781,62 @@ object SparkEntry {
           "AND v.tb > c.ta - 3600000000 GROUP BY c.id_a" +
           ") ORDER BY id_a")
       }
+    }),
+
+    // STREAM-STREAM as-of enrich (streaming/EventStreams.asOfStreamStream)
+    // replayed deterministically in batch Verify: clicks and views feed
+    // two MemoryStreams in two in-order micro-batches split at a fixed
+    // mid-corpus instant — batch 2 strictly after batch 1's max event, so
+    // the 0-delay watermark admits every row and the streamed result
+    // provably equals the batch asOfKeyed over the union (the
+    // StreamingSpec parity theorem), making the windowed LEFT JOIN
+    // replay (q242's shape) an exact oracle. Exercises the cross-batch
+    // state carry: batch-2 clicks enrich from batch-1 views held in the
+    // per-key right buffer. Millisecond time grain on BOTH sides
+    // (java.sql.Timestamp currency of MemoryStream feeds).
+    "q244_asof_stream_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("etms"), col("event_type"))
+      // bounded collect: one (long, long, long) triple per click/view row
+      // of the MemoryStream feed — events is the smallest fact table
+      // (~20k/side at sf0.1, ~3 MB); feeding a MemoryStream is inherently
+      // driver-side (CollectBoundSpec-registered)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("etms")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("etms")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
+      val split = 1705363200000L // 2024-01-16T00:00:00Z, mid-corpus
+      val lIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val rIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val out = graft.streaming.EventStreams.asOfStreamStream(
+        lIn.toDF().toDF("id_a", "ua", "cts"),
+        rIn.toDF().toDF("id_b", "ub", "vts"),
+        "ua", "ub", "cts", "vts", maxLookbackMs = 3600000L,
+        tieBreakColName = "id_b", watermarkDelay = "0 seconds", outer = true)
+      // unique sink name: Bench executes each query twice in one session
+      val sink = "q244_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // views BEFORE clicks in each feed round: the continuous trigger
+        // may fire between the two addData calls, and rights arriving
+        // early never changes as-of results (they wait in the buffer) —
+        // lefts evaluated before their rights exist would miss them
+        rIn.addData(views.filter(_._3.getTime < split).toSeq)
+        lIn.addData(clicks.filter(_._3.getTime < split).toSeq)
+        q.processAllAvailable()
+        rIn.addData(views.filter(_._3.getTime >= split).toSeq)
+        lIn.addData(clicks.filter(_._3.getTime >= split).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("id_a"), col("id_b")).orderBy(col("id_a"))
     }),
 
     // ---- corpus-assembly pipeline primitives (operators/Pipeline.scala) ----
@@ -3914,17 +4011,33 @@ object SparkEntry {
         md.update(java.nio.file.Files.readAllBytes(f.toPath)); hashed += 1
       }
     }
-    val url = getClass.getClassLoader.getResource("graft")
-    require(url != null, "codeSalt: graft package not found on classpath")
-    if (url.getProtocol == "file") hashTree(new java.io.File(url.toURI))
-    else {
-      val src = getClass.getProtectionDomain.getCodeSource
-      require(src != null && src.getLocation != null,
-        "codeSalt: non-file classpath with no code source")
-      val jar = new java.io.File(src.getLocation.toURI)
-      md.update(s"${jar.getPath}:${jar.length()}:${jar.lastModified()}"
-        .getBytes("UTF-8"))
-      hashed += 1
+    // EVERY classpath root containing the graft package, not just the
+    // first (getResource returns one URL): on a classpath where
+    // test-classes precede main classes (sbt Test config) the first
+    // match is test bytecode, and a main-kernel edit would not
+    // invalidate the /tmp stores — a partial reopening of the r12
+    // stale-store hole. Enumerate getResources and fold them all in,
+    // sorted for determinism; jar roots hash by identity
+    // (path + length + mtime).
+    import scala.jdk.CollectionConverters._
+    val urls = getClass.getClassLoader.getResources("graft").asScala.toSeq
+      .sortBy(_.toString)
+    require(urls.nonEmpty, "codeSalt: graft package not found on classpath")
+    urls.foreach { url =>
+      if (url.getProtocol == "file") hashTree(new java.io.File(url.toURI))
+      else {
+        // jar:file:/path/to.jar!/graft — hash the enclosing jar's identity
+        val conn = url.openConnection()
+        conn match {
+          case j: java.net.JarURLConnection =>
+            val jar = new java.io.File(j.getJarFileURL.toURI)
+            md.update(s"${jar.getPath}:${jar.length()}:${jar.lastModified()}"
+              .getBytes("UTF-8"))
+            hashed += 1
+          case _ =>
+            md.update(url.toString.getBytes("UTF-8")); hashed += 1
+        }
+      }
     }
     require(hashed > 0, "codeSalt: no bytecode inputs hashed")
     (md.digest().take(6).map("%02x".format(_)).mkString, hashed)
@@ -5281,6 +5394,18 @@ object SparkEntry {
        "FROM c JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000000) " +
        "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
 
+    // stream-stream as-of at MILLISECOND grain (the Timestamp feed
+    // currency): the in-order two-batch replay equals the batch as-of,
+    // so the windowed LEFT JOIN replay is exact — q242's shape at ms
+    "q244_asof_stream_stream" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id, user_id, et FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT event_id, user_id, et FROM ev WHERE event_type='view'), " +
+       "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
+       "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
+       "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000) " +
+       "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
+
     "q44_split_assign" -> {
       val Seq(trainCut, valCut) =
         splitFractions.scanLeft(0.0)(_ + _._2).tail.init.map(Pipeline.hexBound)
@@ -5720,6 +5845,10 @@ object SparkEntry {
 
     // the SQL rewrite answers with exactly q42's pairs ⇒ shared oracle
     "q239_sql_interval_join" -> intervalJoinOracleSql,
+    // auto-sized bucket: same relation, same oracle — the bucket choice
+    // affects replication only
+    "q245_sql_interval_auto" -> intervalJoinOracleSql,
+    "q246_interval_join_auto" -> intervalJoinOracleSql,
 
     "q40_join_indexed" -> boxJoinOracleSql,
 

@@ -42,22 +42,51 @@ object TemporalJoin {
     names.foreach(n => require(!df.columns.exists(_.equalsIgnoreCase(n)),
       s"TemporalJoin: input must not contain a column named $n"))
 
+  /** `bucket = -1` ⇒ AUTO: derive the bucket from a bounded deterministic
+    * sample of both sides' interval lengths — next power of two at or
+    * above the larger median span (the operator contract "choose bucket ≈
+    * typical interval length" computed instead of known; the SQL
+    * surface's `timeBucket = -1` twin, see plans/RangeJoinRule). The
+    * bucket affects REPLICATION only — the exact refine makes any
+    * positive bucket correct — so a sampling artifact can cost speed,
+    * never rows. Degenerate inputs (empty, or all-null bounds) fail
+    * loudly: no bucket is evidently right and the caller should pass one. */
+  private def resolveBucket(left: DataFrame, right: DataFrame,
+                            lStart: Column, lEnd: Column,
+                            rStart: Column, rEnd: Column,
+                            bucket: Long): Long = {
+    if (bucket != -1L) return bucket
+    def medianSpan(df: DataFrame, lo: Column, hi: Column): Long = {
+      // bounded collect: ≤ 1001 single-long rows per side (auto-sizing
+      // sample — the autoPlanes precedent; CollectBoundSpec-registered)
+      val spans = df.select((greatest(lo, hi) - least(lo, hi)).cast("long").as("__tb_span"))
+        .filter(col("__tb_span").isNotNull).limit(1001).collect().map(_.getLong(0))
+      require(spans.nonEmpty, "TemporalJoin: bucket = -1 (auto) cannot " +
+        "size from a side with no non-null bounds — pass an explicit bucket")
+      spans.sorted.apply(spans.length / 2)
+    }
+    val med = math.max(math.max(medianSpan(left, lStart, lEnd),
+      medianSpan(right, rStart, rEnd)), 1L)
+    if (med <= 1L) 1L else java.lang.Long.highestOneBit(med - 1) << 1
+  }
+
   def overlaps(left: DataFrame, right: DataFrame,
                lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
                bucket: Long): DataFrame = {
-    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val bucketR = resolveBucket(left, right, lStart, lEnd, rStart, rEnd, bucket)
+    require(bucketR > 0, s"bucket must be positive or -1 (auto), got $bucket")
     // both names on both sides: the final drop() removes the names from
     // the JOINED frame, so a user column of either name on either side
     // would be silently deleted
     requireFree(left, "__tb_l", "__tb_r"); requireFree(right, "__tb_l", "__tb_r")
     val l = left.withColumn("__tb_l",
-      explode(sequence(bucketOf(lStart, bucket), bucketOf(lEnd, bucket))))
+      explode(sequence(bucketOf(lStart, bucketR), bucketOf(lEnd, bucketR))))
     val r = right.withColumn("__tb_r",
-      explode(sequence(bucketOf(rStart, bucket), bucketOf(rEnd, bucket))))
+      explode(sequence(bucketOf(rStart, bucketR), bucketOf(rEnd, bucketR))))
     l.join(r,
         l("__tb_l") === r("__tb_r") &&
         lStart <= rEnd && rStart <= lEnd &&
-        l("__tb_l") === bucketOf(greatest(lStart, rStart), bucket))
+        l("__tb_l") === bucketOf(greatest(lStart, rStart), bucketR))
       .drop("__tb_l", "__tb_r")
   }
 
@@ -82,12 +111,14 @@ object TemporalJoin {
   def overlapsIndexed(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String, rStart: String, rEnd: String,
                       bucket: Long): DataFrame = {
-    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val bucketR = resolveBucket(left, right, col(lStart), col(lEnd),
+      col(rStart), col(rEnd), bucket)
+    require(bucketR > 0, s"bucket must be positive or -1 (auto), got $bucket")
     requireFree(left, "__tb"); requireFree(right, "__tb")
     val l = left.withColumn("__tb",
-      explode(sequence(bucketOf(col(lStart), bucket), bucketOf(col(lEnd), bucket))))
+      explode(sequence(bucketOf(col(lStart), bucketR), bucketOf(col(lEnd), bucketR))))
     val r = right.withColumn("__tb",
-      explode(sequence(bucketOf(col(rStart), bucket), bucketOf(col(rEnd), bucket))))
+      explode(sequence(bucketOf(col(rStart), bucketR), bucketOf(col(rEnd), bucketR))))
     val lS = l.schema.fieldIndex(lStart); val lE = l.schema.fieldIndex(lEnd)
     val lB = l.schema.fieldIndex("__tb")
     val rS = r.schema.fieldIndex(rStart); val rE = r.schema.fieldIndex(rEnd)
@@ -113,7 +144,7 @@ object TemporalJoin {
         hits.iterator.filter { rr =>
           val s2 = rr.getLong(rS); val e2 = rr.getLong(rE)
           s1 <= e2 && s2 <= e1 &&
-            java.lang.Math.floorDiv(math.max(s1, s2), bucket) == bkt
+            java.lang.Math.floorDiv(math.max(s1, s2), bucketR) == bkt
         }.map(rr => Row.fromSeq(lr.toSeq.dropRight(1) ++ rr.toSeq.dropRight(1)))
       }
     }(Encoders.row(outSchema))

@@ -95,6 +95,78 @@ import org.apache.spark.sql.types.{StructField, StructType}
  */
 object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Hot-key skew gate (SCALE.md documents the funnel honestly): the
+    * rewritten window hash-partitions by the join key, so a key holding
+    * most of the data serializes into ONE task — the typed
+    * [[graft.operators.TemporalJoin.asOfKeyed]] (range-partitioned
+    * timeline) is the skew-proof path. Before rewriting, both join
+    * children are probed with a bounded deterministic sample
+    * ([[RangeJoinRule]]'s auto-bucket machinery pattern); if a single
+    * key tuple holds more than `spark.graft.join.asofMaxKeyShare`
+    * (default 0.9) of a large-enough combined sample, the rewrite
+    * DECLINES with a pointer to the typed kernel — Spark's own
+    * join+window plan runs (which at that skew is also poor, but is
+    * what the user wrote). `>= 1` disables the gate; the probe costs
+    * two ≤2048-row jobs at plan time (a limit over a scan reads one
+    * partition at any input size). Best-effort by design: a false
+    * negative just keeps today's behavior, never changes results. */
+  private val HotKeySampleRows = 2048
+  private val HotKeyMinSample = 512
+
+  private def maxKeyShare: Double = {
+    val raw = conf.getConfString("spark.graft.join.asofMaxKeyShare", "0.9")
+    raw.toDoubleOption.filter(_ > 0).getOrElse {
+      logWarning(s"AsOfJoinRule: unparsable spark.graft.join.asofMaxKeyShare " +
+        s"'$raw' — using 0.9")
+      0.9
+    }
+  }
+
+  /** Re-entrancy guard: the probe's own queries pass through the
+    * optimizer and must not recursively probe. */
+  private val inSampling = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  private def hotKeyDeclines(s: Shape): Boolean = {
+    val share = maxKeyShare
+    if (share >= 1.0 || inSampling.get) return false
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(return false)
+    inSampling.set(true)
+    try {
+      def sampleKeys(child: LogicalPlan, keys: Seq[Expression]): Seq[Seq[Any]] = {
+        val proj = keys.zipWithIndex.map { case (k, i) => Alias(k, s"__ak_$i")() }
+        spark.sessionState.executePlan(
+            Limit(Literal(HotKeySampleRows), Project(proj, child)))
+          .executedPlan.executeCollect()
+          .map(r => keys.indices.map(i => r.get(i, keys(i).dataType)).toSeq)
+          .toSeq
+      }
+      val all = sampleKeys(s.j.left, s.keys.map(_._1)) ++
+        sampleKeys(s.j.right, s.keys.map(_._2))
+      if (all.size < HotKeyMinSample) false
+      else {
+        val top = all.groupBy(identity).valuesIterator.map(_.size).max
+        val frac = top.toDouble / all.size
+        if (frac > share) {
+          logWarning(f"AsOfJoinRule: declining the rewrite — one join key " +
+            f"holds $frac%.2f of a ${all.size}-row sample (threshold " +
+            f"$share%.2f, spark.graft.join.asofMaxKeyShare): the rewritten " +
+            "window would funnel that key into one task. Use the typed " +
+            "graft.operators.TemporalJoin.asOfKeyed (range-partitioned, " +
+            "skew-proof) or raise the threshold to force the rewrite.")
+          true
+        } else false
+      }
+    } catch {
+      case t: Throwable =>
+        logWarning(s"AsOfJoinRule: hot-key probe failed ($t) — proceeding " +
+          "with the rewrite")
+        false
+    } finally inSampling.set(false)
+  }
+
   /** BLAST RADIUS of the session-wide flag: while set, EVERY query in the
     * session whose plan matches either spelling is rewritten — including
     * ones whose partition/group keys do NOT functionally identify a left
@@ -357,6 +429,7 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         (e, Descending: SortDirection)
       case _ => return None
     }
+    if (hotKeyDeclines(s)) return None
 
     val tl = buildTimeline(s, ties)
     // original output, original exprIds: left attrs ride the union
@@ -439,6 +512,7 @@ object AsOfJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // max over a struct prefers every field LARGEST — reverse each tie
     // into the timeline order like a DESC rank key
     val ties = orderingParts(ord).tail.map(e => (e, Ascending: SortDirection))
+    if (hotKeyDeclines(s)) return None
 
     val tl = buildTimeline(s, ties)
     // substitute each max_by with its value over the carried right row;

@@ -80,15 +80,120 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** A malformed conf value must disable the rule with a warning, not
     * throw NumberFormatException inside the optimizer (which would fail
-    * EVERY query in the session with an opaque error). */
+    * EVERY query in the session with an opaque error). `-1` = AUTO: the
+    * bucket is derived per join from a bounded sample of both sides'
+    * interval lengths (see [[resolveAutoBucket]]); other negatives are
+    * treated as malformed. */
   private def bucket: Long = {
     val raw = conf.getConfString("spark.graft.join.timeBucket", "0")
-    raw.toLongOption.getOrElse {
+    raw.toLongOption.filter(v => v >= -1).getOrElse {
       logWarning(s"RangeJoinRule: unparsable spark.graft.join.timeBucket " +
         s"'$raw' — treating as 0 (rewrite disabled)")
       0L
     }
   }
+
+  /** Rows sampled per side for auto-bucket sizing: enough for a stable
+    * median, bounded regardless of input size. */
+  private val AutoSampleRows = 1001
+
+  /** Re-entrancy guard: the auto-bucket sampling queries below pass
+    * through the optimizer themselves; a sampled child that CONTAINS
+    * another candidate join must not recursively sample (bounded work at
+    * plan time beats a marginally better inner bucket). */
+  private val inSampling = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Bounded deterministic sample of per-row span = greatest − least of
+    * the two bound expressions (well-defined for inverted intervals,
+    * like the rewrite's own replication). Null-bounded rows are skipped
+    * (they satisfy no inequality and generate nothing). */
+  private def sampleSpans(spark: org.apache.spark.sql.SparkSession,
+                          child: LogicalPlan, lo: Expression,
+                          hi: Expression): Array[Long] = {
+    val span = Subtract(Greatest(Seq(asLong(lo), asLong(hi))),
+      Least(Seq(asLong(lo), asLong(hi))))
+    val plan = Limit(Literal(AutoSampleRows),
+      Project(Seq(Alias(span, "__rj_span")()), child))
+    spark.sessionState.executePlan(plan).executedPlan.executeCollect()
+      .filter(!_.isNullAt(0)).map(_.getLong(0))
+  }
+
+  /** The auto-sizing rule (the `autoPlanes` precedent,
+    * graft.operators.Dedup): bucket = the next power of two at or above
+    * max(median sampled span of either side, max sampled span / cap) —
+    * the median keeps replication O(1) for the typical row (the
+    * operator API's hand-tuning contract, derived instead of known),
+    * and the max/cap floor guarantees no SAMPLED row could trip the
+    * runtime span cap. Declines (None, logged) when either side's
+    * sample is empty — a degenerate input where no bucket is evidently
+    * right; the join then runs its original plan. Sampling cost: two
+    * ≤[[AutoSampleRows]]-row jobs at plan time, opt-in via
+    * `timeBucket = -1`. Bucket choice affects REPLICATION only — the
+    * exact refine makes any positive bucket correct — so a sampling
+    * artifact can cost speed, never rows. */
+  private def resolveAutoBucket(left: LogicalPlan, right: LogicalPlan,
+                                ls: Expression, le: Expression,
+                                rs: Expression, re: Expression,
+                                cap: Long): Option[Long] = {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(return None)
+    inSampling.set(true)
+    try {
+      val lSpans = sampleSpans(spark, left, ls, le)
+      val rSpans = sampleSpans(spark, right, rs, re)
+      if (lSpans.isEmpty || rSpans.isEmpty) {
+        logWarning("RangeJoinRule: auto bucket declined — a join side " +
+          "sampled no non-null bound rows; running the original plan")
+        return None
+      }
+      def median(a: Array[Long]): Long = { val s = a.sorted; s(s.length / 2) }
+      val med = math.max(math.max(median(lSpans), median(rSpans)), 1L)
+      val maxSpan = math.max(lSpans.max, rSpans.max)
+      val target = math.max(med, maxSpan / cap + 1)
+      val bkt =
+        if (target <= 1L) 1L
+        else java.lang.Long.highestOneBit(target - 1) << 1
+      logInfo(s"RangeJoinRule: auto bucket $bkt (median span $med, max " +
+        s"sampled span $maxSpan over ${lSpans.length}+${rSpans.length} rows)")
+      Some(bkt)
+    } catch {
+      case e: Throwable =>
+        logWarning(s"RangeJoinRule: auto bucket sampling failed ($e) — " +
+          "running the original plan")
+        None
+    } finally inSampling.set(false)
+  }
+
+  /** Catalyst stat values for integral columns arrive as boxed Int/Long. */
+  private def statLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** Plan-time span decline: column min/max stats (CBO / ANALYZE) can
+    * PROVE every row of a side spans more than the cap allows —
+    * span ≥ min(hi) − max(lo) for every row, so if that bound already
+    * exceeds cap·bucket, the first generated row would raise the
+    * runtime span-cap error. Declining here instead lets the (likely
+    * mis-bucketed non-temporal) join run its original nested-loop plan
+    * and ANSWER. Stats-less plans keep the runtime cap as backstop —
+    * this check costs zero jobs and only fires on provable violations. */
+  private def statsProveWide(side: LogicalPlan, lo: Expression,
+                             hi: Expression, b: Long, cap: Long): Boolean =
+    (lo, hi) match {
+      case (la: Attribute, ha: Attribute) =>
+        val st = side.stats.attributeStats
+        (for {
+          lst <- st.get(la); hst <- st.get(ha)
+          lmaxRaw <- lst.max; hminRaw <- hst.min
+          lmax <- statLong(lmaxRaw); hmin <- statLong(hminRaw)
+        } yield BigInt(hmin) - BigInt(lmax) > BigInt(cap) * BigInt(b))
+          .getOrElse(false)
+      case _ => false
+    }
 
   private def broadcastHinted(hint: JoinHint): Boolean =
     (hint.leftHint ++ hint.rightHint).exists(_.strategy.contains(BROADCAST))
@@ -115,7 +220,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val b = bucket
-    if (b <= 0) plan
+    if (b == 0 || b < -1 || inSampling.get) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if !broadcastHinted(hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
@@ -163,36 +268,55 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         if (eligible.size != 1 || alreadyRewritten) j
         else {
           val (ls, le, rs, re) = eligible.head
-          val bLit = Literal(b)
           val cap = maxSpan
-          val tz = Some(conf.sessionLocalTimeZone)
-          // runtime span cap: a row exploding more than `cap` buckets
-          // raises an actionable error instead of allocating toward an
-          // executor OOM (the r12 failure class)
-          def buckets(lo: Expression, hi: Expression): Generator = {
-            val bLo = IntervalBucket(Least(Seq(asLong(lo), asLong(hi))), bLit)
-            val bHi = IntervalBucket(Greatest(Seq(asLong(lo), asLong(hi))), bLit)
-            val bHiCapped = If(
-              GreaterThan(Subtract(bHi, bLo), Literal(cap)),
-              Cast(RaiseError(Literal(
-                s"RangeJoinRule: a row spans more than $cap time buckets at " +
-                s"bucket=$b (spark.graft.join.timeBucket) — raise the bucket, " +
-                "pre-filter outlier intervals, or raise " +
-                "spark.graft.join.timeBucketMaxSpan")), LongType),
-              bHi)
-            Explode(Sequence(bLo, bHiCapped, None, tz))
-          }
-          val cellL = AttributeReference("__tb_l", LongType, nullable = false)()
-          val cellR = AttributeReference("__tb_r", LongType, nullable = false)()
-          val genL = Generate(buckets(ls, le), Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(cellL), child = left)
-          val genR = Generate(buckets(rs, re), Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(cellR), child = right)
-          val newCond = (EqualTo(cellL, cellR) +:
-            IntervalReportBucket(asLong(ls), asLong(rs), bLit, cellL) +:
-            conjuncts).reduce(And)
-          Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
+          val bRes: Option[Long] =
+            if (b == -1L) resolveAutoBucket(left, right, ls, le, rs, re, cap)
+            else if (statsProveWide(left, ls, le, b, cap) ||
+                     statsProveWide(right, rs, re, b, cap)) {
+              logWarning("RangeJoinRule: column stats prove every row " +
+                s"spans more than $cap buckets at bucket=$b — declining " +
+                "the rewrite (the original join plan runs; raise " +
+                "spark.graft.join.timeBucket, or timeBucketMaxSpan, or " +
+                "use timeBucket=-1 to auto-size)")
+              None
+            } else Some(b)
+          if (bRes.isEmpty) j else rewriteWith(j, left, right, hint,
+            conjuncts, ls, le, rs, re, bRes.get, cap)
         }
     }
+  }
+
+  private def rewriteWith(j: Join, left: LogicalPlan, right: LogicalPlan,
+                          hint: JoinHint, conjuncts: Seq[Expression],
+                          ls: Expression, le: Expression, rs: Expression,
+                          re: Expression, b: Long, cap: Long): LogicalPlan = {
+    val bLit = Literal(b)
+    val tz = Some(conf.sessionLocalTimeZone)
+    // runtime span cap: a row exploding more than `cap` buckets
+    // raises an actionable error instead of allocating toward an
+    // executor OOM (the r12 failure class)
+    def buckets(lo: Expression, hi: Expression): Generator = {
+      val bLo = IntervalBucket(Least(Seq(asLong(lo), asLong(hi))), bLit)
+      val bHi = IntervalBucket(Greatest(Seq(asLong(lo), asLong(hi))), bLit)
+      val bHiCapped = If(
+        GreaterThan(Subtract(bHi, bLo), Literal(cap)),
+        Cast(RaiseError(Literal(
+          s"RangeJoinRule: a row spans more than $cap time buckets at " +
+          s"bucket=$b (spark.graft.join.timeBucket) — raise the bucket, " +
+          "pre-filter outlier intervals, or raise " +
+          "spark.graft.join.timeBucketMaxSpan")), LongType),
+        bHi)
+      Explode(Sequence(bLo, bHiCapped, None, tz))
+    }
+    val cellL = AttributeReference("__tb_l", LongType, nullable = false)()
+    val cellR = AttributeReference("__tb_r", LongType, nullable = false)()
+    val genL = Generate(buckets(ls, le), Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(cellL), child = left)
+    val genR = Generate(buckets(rs, re), Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(cellR), child = right)
+    val newCond = (EqualTo(cellL, cellR) +:
+      IntervalReportBucket(asLong(ls), asLong(rs), bLit, cellL) +:
+      conjuncts).reduce(And)
+    Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
   }
 }

@@ -472,6 +472,184 @@ object EventStreams {
         col(rightTsColName), maxLookback, col(tieBreakColName), outer))
 
   /**
+   * Stream-STREAM as-of enrich — BOTH sides live (the shape every
+   * real-time event pipeline needs next: enrich each click with the same
+   * user's latest quote, both streams unbounded). Each left event pairs
+   * with the single LATEST right event of the SAME key at or before its
+   * event time, within `maxLookbackMs` (strict: rT > lT − lookback) —
+   * the streaming twin of [[graft.operators.TemporalJoin.asOfKeyed]],
+   * which remains the batch oracle: for feeds the watermark admits, the
+   * streamed output equals the batch kernel over the union'd rows
+   * (StreamingSpec pins it, in-order and cross-batch).
+   *
+   * State (the part Spark's stream-stream joins cannot express — their
+   * interval join keeps BOTH sides buffered; an as-of needs only rights):
+   * per key, the rights still inside the horizon — every right newer
+   * than the watermark plus the single latest right at-or-before it
+   * (that one dominates all older rights for every admissible future
+   * left, since admissible lefts have lT ≥ watermark), further pruned by
+   * the lookback (a right at or below watermark − lookback can never
+   * pass the strict lower bound again). Bounded by per-key right-stream
+   * density over the watermark+lookback horizon — the same bound
+   * stream-stream interval joins pay, minus the left buffer. The whole
+   * key evicts via EventTimeTimeout once the watermark passes its last
+   * right's lookback horizon.
+   *
+   * Late-data contract (documented, spec-pinned): a left older than the
+   * current watermark is DROPPED (even in outer mode — the same
+   * admission rule Spark applies to watermarked stateful operators); a
+   * late right cannot retro-enrich lefts emitted in EARLIER batches
+   * (append sinks are immutable), but same-batch out-of-order rows
+   * enrich exactly (each batch folds into the sorted buffer before any
+   * left is answered, so intra-batch arrival order never matters).
+   *
+   * Keys group by their STRING form (cast) — pass a single atomic key
+   * column with an injective string form (long/int/string — the events
+   * schema); NULL-keyed/timed rights match nothing, NULL-keyed/timed
+   * lefts drop (inner) or re-enter null-enriched (outer, bypassing the
+   * stateful operator entirely). `tieBreakColName` (right side, cast to
+   * long) breaks exact time ties largest-wins — the batch kernel's
+   * (rTime, tieBreak)-uniqueness contract. Both ts columns must be
+   * TimestampType (the watermark currency) with post-epoch values.
+   * Output = left.* ++ right.* — the sides must not share column names
+   * (the outer bypass resolves by name, same rule as the batch outer).
+   */
+  def asOfStreamStream(left: DataFrame, right: DataFrame,
+                       leftKeyColName: String, rightKeyColName: String,
+                       leftTsColName: String, rightTsColName: String,
+                       maxLookbackMs: Long, tieBreakColName: String,
+                       watermarkDelay: String,
+                       outer: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    import scala.collection.mutable.ArrayBuffer
+    require(maxLookbackMs > 0, s"maxLookbackMs must be positive, got $maxLookbackMs")
+    Seq((left, leftTsColName), (right, rightTsColName)).foreach { case (df, c) =>
+      require(df.schema(c).dataType == TimestampType,
+        s"asOfStreamStream: $c must be TimestampType (the watermark " +
+        s"currency), got ${df.schema(c).dataType.simpleString}")
+    }
+    val shared = left.columns.map(_.toLowerCase)
+      .intersect(right.columns.map(_.toLowerCase))
+    require(shared.isEmpty,
+      s"asOfStreamStream: left and right share column name(s) " +
+      s"${shared.mkString(", ")} — rename one side (output carries both)")
+    Seq(left, right).foreach(df =>
+      require(!df.columns.exists(_.toLowerCase.startsWith("__as_")),
+        "asOfStreamStream: input must not contain __as_* columns"))
+
+    val lv = struct(left.columns.map(col): _*)
+    val rv = struct(right.columns.map(col): _*)
+    val lvType = left.select(lv).schema.head.dataType
+    val rvType = right.select(rv).schema.head.dataType
+    // unified layout (fixed ordinals): 0 __as_k, 1 __as_ts, 2 __as_t,
+    // 3 __as_g, 4 __as_tb, 5 __as_lv, 6 __as_rv
+    val rPack = right.withWatermark(rightTsColName, watermarkDelay)
+      .filter(col(rightKeyColName).isNotNull && col(rightTsColName).isNotNull)
+      .select(col(rightKeyColName).cast("string").as("__as_k"),
+        col(rightTsColName).as("__as_ts"),
+        unix_micros(col(rightTsColName)).as("__as_t"),
+        lit(0).as("__as_g"),
+        col(tieBreakColName).cast("long").as("__as_tb"),
+        lit(null).cast(lvType).as("__as_lv"),
+        rv.as("__as_rv"))
+    val lPack = left.withWatermark(leftTsColName, watermarkDelay)
+      .filter(col(leftKeyColName).isNotNull && col(leftTsColName).isNotNull)
+      .select(col(leftKeyColName).cast("string").as("__as_k"),
+        col(leftTsColName).as("__as_ts"),
+        unix_micros(col(leftTsColName)).as("__as_t"),
+        lit(1).as("__as_g"),
+        lit(null).cast("long").as("__as_tb"),
+        lv.as("__as_lv"),
+        lit(null).cast(rvType).as("__as_rv"))
+    val uni = rPack.unionByName(lPack)
+
+    val entryType = StructType(Seq(
+      StructField("t", LongType, nullable = false),
+      StructField("tb", LongType, nullable = true),
+      StructField("rv", rvType, nullable = true)))
+    val stateSchema = StructType(Seq(StructField("rights",
+      ArrayType(entryType, containsNull = false), nullable = true)))
+    val outSchema = StructType(left.schema.fields ++
+      right.schema.fields.map(f => if (outer) f.copy(nullable = true) else f))
+    val lookbackUs = maxLookbackMs * 1000L
+    val lookbackMs = maxLookbackMs
+    val nRight = right.columns.length
+
+    val func = (_: String, it: Iterator[Row], state: GroupState[Row]) => {
+      val wmMs = state.getCurrentWatermarkMs()
+      val wmUs = wmMs * 1000L
+      if (state.hasTimedOut) {
+        // the watermark passed the last right's lookback horizon —
+        // nothing buffered can enrich an admissible left again
+        state.remove()
+        Iterator.empty[Row]
+      } else {
+        val prev: Seq[Row] = state.getOption
+          .flatMap(r => Option(r.getSeq[Row](0))).getOrElse(Seq.empty)
+        val batch = it.toArray
+        def tbOf(r: Row): Long = if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
+        // fold this batch's rights into the sorted buffer FIRST — every
+        // left is answered against all rights the watermark admitted,
+        // so intra-batch arrival order never matters
+        val buf = (prev ++ batch.iterator.filter(_.getInt(3) == 0).map(r =>
+            Row(r.getLong(2), if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+              r.getStruct(6))))
+          .sortBy(r => (r.getLong(0), tbOf(r))).toArray
+        // last buffer index with t <= bound (exclusive upper of the
+        // binary search), or -1
+        def lastAtOrBefore(bound: Long): Int = {
+          var lo = 0; var hi = buf.length
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (buf(m).getLong(0) <= bound) lo = m + 1 else hi = m
+          }
+          lo - 1
+        }
+        val out = new ArrayBuffer[Row]
+        batch.iterator.filter(_.getInt(3) == 1).foreach { l =>
+          val lT = l.getLong(2)
+          if (lT >= wmUs) { // late-left drop (the admission contract)
+            val bi = lastAtOrBefore(lT)
+            val ok = bi >= 0 && buf(bi).getLong(0) > lT - lookbackUs
+            if (ok)
+              out += Row.fromSeq(l.getStruct(5).toSeq ++ buf(bi).getStruct(2).toSeq)
+            else if (outer)
+              out += Row.fromSeq(l.getStruct(5).toSeq ++ Seq.fill(nRight)(null))
+          }
+        }
+        // prune: keep the latest right at-or-before the watermark plus
+        // everything after it, minus rights the lookback already retired
+        val from = math.max(lastAtOrBefore(wmUs), 0)
+        val kept = buf.drop(from).filter(_.getLong(0) > wmUs - lookbackUs)
+        if (kept.isEmpty) state.remove()
+        else {
+          state.update(Row(kept.toSeq))
+          val horizonMs = kept.last.getLong(0) / 1000L + lookbackMs
+          state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1))
+        }
+        out.iterator
+      }
+    }
+
+    val enriched = uni.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(func)(
+        Encoders.row(stateSchema), Encoders.row(outSchema))
+    if (!outer) enriched.toDF()
+    else {
+      // NULL-keyed/timed lefts can never match — they bypass the stateful
+      // operator entirely and re-enter null-enriched (outer totality)
+      val nullRights = right.schema.fields.map(f =>
+        lit(null).cast(f.dataType).as(f.name))
+      enriched.toDF().unionByName(
+        left.filter(col(leftKeyColName).isNull || col(leftTsColName).isNull)
+          .select(left.columns.map(col) ++ nullRights: _*))
+    }
+  }
+
+  /**
    * Streaming distinct-count registers per event-time window: the HLL
    * register aggregation ([[graft.operators.Sketches.hllRegisters]]
    * kernel) grouped by a tumbling window under a watermark — "distinct

@@ -388,4 +388,42 @@ class AsOfJoinRuleSpec extends AnyFunSuite {
       assert(norm(df) == Seq(Seq(1L, 10L)))
     }
   }
+
+  test("hot-key gate: a 95%-one-key input declines the rewrite; threshold >= 1 disables the gate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // 95% of both sides on key 7 — the rewritten window would funnel it
+    // into one task; the sampled-share probe must decline instead
+    def side(idBase: Long) = (0 until 900).map { i =>
+      val u = if (i % 20 == 0) rnd.nextInt(50).toLong + 100L else 7L
+      (idBase + i, u, rnd.nextInt(500) * 10L)
+    }
+    side(0L).toDF("id_a", "ua", "ta").createOrReplaceTempView("hot_c")
+    side(10000L).toDF("id_b", "ub", "tb").createOrReplaceTempView("hot_v")
+    val sql =
+      "SELECT id_a, id_b FROM (" +
+      "SELECT c.id_a, v.id_b, row_number() OVER " +
+      "(PARTITION BY c.id_a ORDER BY v.tb DESC, v.id_b DESC) AS rn " +
+      "FROM hot_c c JOIN hot_v v ON v.ub = c.ua AND v.tb <= c.ta" +
+      ") WHERE rn = 1"
+    val want = brute(sql)
+    withAsOf {
+      // declined, and the unrewritten plan still answers identically
+      val df = spark.sql(sql)
+      assertDeclined(df)
+      assert(norm(df) == want)
+      // >= 1 disables the gate: same data rewrites, same rows
+      val key = "spark.graft.join.asofMaxKeyShare"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "1.0")
+      try {
+        val forced = spark.sql(sql)
+        assertRewritten(forced)
+        assert(norm(forced) == want)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -61,9 +61,12 @@ class CollectBoundSpec extends AnyFunSuite {
     "Partitioners.scala" -> Map(
       ".collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap" -> 1,
     ),
-    // asOf carry-in: per-pid max-right table, ≤ numPartitions rows
+    // asOf carry-in: per-pid max-right table, ≤ numPartitions rows;
+    // auto-bucket sizing sample: ≤ 1001 single-long span rows per side
+    // (the autoPlanes precedent)
     "TemporalJoin.scala" -> Map(
       "val pmRows = pidMax.collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)" -> 1,
+      ".filter(col(\"__tb_span\").isNotNull).limit(1001).collect().map(_.getLong(0))" -> 1,
     ),
     // per-group/per-partition count tables (≤ #groups / #partitions rows)
     // and 1-row totals — the shared prefix-rank kernel's driver glue
@@ -108,6 +111,10 @@ class CollectBoundSpec extends AnyFunSuite {
       ".collect().map(r => (r.getLong(0), r.getLong(1))).toSet" -> 1,
       ".collect().sortBy(_.getAs[Long](\"__lo\"))" -> 1,
       ".select(col(\"token\")).collect().map(_.getString(0)).toSeq" -> 1,
+      // q244's MemoryStream feeds: one slim triple per click/view row of
+      // the events table (smallest fact table, ~20k rows/side at sf0.1) —
+      // feeding a MemoryStream replay is inherently driver-side
+      ".select(col(\"event_id\"), col(\"user_id\"), col(\"etms\")).collect()" -> 2,
     ),
     // broadcastJoin's contractually-small right side, gated by the counted
     // maxBroadcastRows bound (loud failure before the collect)

@@ -230,6 +230,55 @@ class DedupSpec extends AnyFunSuite {
     assert(afterC == beforeC && afterC.nonEmpty)
   }
 
+  test("production-config cosine-LSH lane: ingest-fold and compact-fold serve-identity at autoPlanes") {
+    // dev/coslsh_prod_lane.scala's sf1 identities, pinned at suite scale
+    // (the GraphAnnSpec NSW-regime pattern): at the PRODUCTION config —
+    // planes auto-sized by the measured log2 rule, not the oracle-
+    // anchoring 48/3 — the init+append ingest store and the
+    // append+delete+compact store must serve the SAME gate verdicts as a
+    // one-pass build over the same remaining corpus. An auto-sizing or
+    // lifecycle regression now fails CI instead of a hand-run sf1 script.
+    val evenV = embs.filter(col("vec_id") % 2 === 0)
+    val oddV = embs.filter(col("vec_id") % 2 === 1)
+    val prodPlanes = Dedup.autoPlanes(evenV.count())
+    def gate(path: String): Set[Long] =
+      Dedup.dropSeenCosine(oddV, col("vec_id"), col("embedding"), path,
+        threshold = 0.42).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // one-pass reference at planes = 0: the build must RESOLVE the auto
+    // rule to the same value the lane computes (sidecar-recorded)
+    val oneDir = java.nio.file.Files.createTempDirectory("clprod1").toString
+    Dedup.buildCosineLshStore(evenV, col("vec_id"), col("embedding"), oneDir,
+      tables = 8, planes = 0)
+    val params = graft.sources.Sidecar
+      .readText(spark, oneDir + "/_graft_coslsh_params").split(" ")
+    assert(params(1).toInt == prodPlanes,
+      s"planes=0 must resolve to autoPlanes: ${params.toSeq} vs $prodPlanes")
+    val onePass = gate(oneDir)
+    assert(onePass.size < oddV.count(),
+      "fixture must drop at least one near-dup at the production config")
+    // ingest-fold: init + two appends == the one-pass build
+    val inDir = java.nio.file.Files.createTempDirectory("clprod2").toString
+    Dedup.initCosineLshStore(spark, inDir, tables = 8, planes = prodPlanes)
+    Dedup.appendCosineLshBatch(evenV.filter(col("vec_id") % 4 === 0),
+      col("vec_id"), col("embedding"), inDir, 0L)
+    Dedup.appendCosineLshBatch(evenV.filter(col("vec_id") % 4 === 2),
+      col("vec_id"), col("embedding"), inDir, 1L)
+    graft.sources.Sidecar.markComplete(spark, inDir)
+    assert(gate(inDir) == onePass, "ingest-fold identity at the production config")
+    // compact-fold: append + delete + compact == one-pass over the REMAINING
+    val cpDir = java.nio.file.Files.createTempDirectory("clprod3").toString
+    Dedup.initCosineLshStore(spark, cpDir, tables = 8, planes = prodPlanes)
+    Dedup.appendCosineLshBatch(evenV, col("vec_id"), col("embedding"), cpDir, 0L)
+    Dedup.deleteFromCosineLshStore(evenV.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id")), col("vec_id"), cpDir, 0L)
+    Dedup.compactCosineLshStore(spark, cpDir)
+    graft.sources.Sidecar.markComplete(spark, cpDir)
+    val refDir = java.nio.file.Files.createTempDirectory("clprod4").toString
+    Dedup.buildCosineLshStore(evenV.filter(col("vec_id") % 8 =!= 0),
+      col("vec_id"), col("embedding"), refDir, tables = 8, planes = prodPlanes)
+    assert(gate(cpDir) == gate(refDir), "compact-fold identity at the production config")
+  }
+
   test("cosine takedown: tombstoned vectors can never flag a probe again") {
     val dir = java.nio.file.Files.createTempDirectory("cldel").toString
     val even = embs.filter(col("vec_id") % 2 === 0)

@@ -105,7 +105,9 @@ class DifferentialJoinSpec extends AnyFunSuite {
     }.toDF("id", "s", "e")
     val a = iv.select(col("id").as("id_a"), col("s").as("sa"), col("e").as("ea"))
     val b = iv.select(col("id").as("id_b"), col("s").as("sb"), col("e").as("eb"))
-    for (bucket <- Seq(50L, 100L, 300L)) {
+    // bucket = -1 auto-sizes from the sampled median span — same rows as
+    // every hand bucket (replication-only knob); degenerate input loud
+    for (bucket <- Seq(50L, 100L, 300L, -1L)) {
       val got = TemporalJoin.overlaps(a, b, col("sa"), col("ea"), col("sb"), col("eb"), bucket)
         .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val exp = a.crossJoin(b).filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
@@ -115,6 +117,13 @@ class DifferentialJoinSpec extends AnyFunSuite {
         .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(idx == exp, s"interval-tree bucket=$bucket missing=${(exp -- idx).take(5)} extra=${(idx -- exp).take(5)}")
     }
+    // auto cannot size from a side with no non-null bounds — loud, not silent
+    val eNull = intercept[IllegalArgumentException] {
+      TemporalJoin.overlaps(a,
+        Seq((1L, Option.empty[Long], Option.empty[Long])).toDF("id_b", "sb", "eb"),
+        col("sa"), col("ea"), col("sb"), col("eb"), -1L)
+    }
+    assert(eNull.getMessage.contains("auto"))
   }
 
   test("persisted interval store equals the live joins and the naive window filter") {

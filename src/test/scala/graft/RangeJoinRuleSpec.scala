@@ -180,4 +180,99 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(gotI == wantI)
     }
   }
+
+  /** The bucket literal the rewrite actually planted (via the Generate's
+    * IntervalBucket children) — how the auto tests observe the choice. */
+  private def plantedBuckets(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator
+    }.flatMap(_.collect {
+      case graft.functions.IntervalBucket(_,
+          org.apache.spark.sql.catalyst.expressions.Literal(b: Long, _)) => b
+    })
+
+  test("timeBucket=-1 auto-sizes from sampled interval lengths; results equal the hand-tuned rewrite") {
+    mkViews()
+    val sql = "SELECT id_a, id_b FROM rja JOIN rjb ON sa <= eb AND sb <= ea"
+    val want = withBucket(100L)(run(sql))
+    withBucket(-1L) {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(800))
+      // the derived bucket: a power of two scaled to the data (spans in
+      // mkViews are 0..300, so the median-driven choice stays ≤ 512) and
+      // ONE consistent value across every planted IntervalBucket (each
+      // Generate's capped-sequence expression repeats bLo/bHi)
+      val bs = plantedBuckets(df)
+      assert(bs.nonEmpty && bs.distinct.length == 1, bs.toString)
+      assert(bs.head >= 1 && bs.head <= 512 &&
+        java.lang.Long.bitCount(bs.head) == 1, bs.toString)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == got.toSet.size, "exactly-once under auto bucket")
+      assert(got.toSet == want)
+    }
+  }
+
+  test("auto declines on a degenerate sample (all-null bounds) — original plan runs and answers") {
+    import spark.implicits._
+    mkViews()
+    // parquet-backed so the optimizer cannot constant-fold the side away
+    // (a LocalRelation would collapse through PropagateEmptyRelation and
+    // there would be no join left to observe); the inferred IsNotNull
+    // pushdown leaves the sampling query zero non-null bound rows, so
+    // auto must decline and the original plan must still answer
+    val tmp = java.nio.file.Files.createTempDirectory("rj_auto_null").toString
+    Seq((10L, Option.empty[Long], Option.empty[Long]))
+      .toDF("id_b", "sb", "eb").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("rj_nullb")
+    withBucket(-1L) {
+      val df = spark.sql(
+        "SELECT id_a, id_b FROM rja JOIN rj_nullb ON sa <= eb AND sb <= ea")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct"), plan.take(800))
+      assert(df.collect().isEmpty)
+    }
+  }
+
+  test("plan-time stats decline: provably cap-wide spans run the original join instead of erroring") {
+    import spark.implicits._
+    // every row spans [0..10, 10M..20M]: min(hi) − max(lo) ≈ 10M, far
+    // beyond cap(default 4096) × bucket(4) — with ANALYZE stats + CBO the
+    // rule must decline at plan time and the BNLJ must ANSWER, where the
+    // pre-decline behavior was a runtime span-cap error
+    spark.sql("DROP TABLE IF EXISTS rj_stats_a")
+    spark.sql("DROP TABLE IF EXISTS rj_stats_b")
+    try {
+      (1 to 20).map(i => (i.toLong, i.toLong % 10, 10000000L + i * 1000L))
+        .toDF("id_a", "sa", "ea").write.saveAsTable("rj_stats_a")
+      (1 to 20).map(i => (100L + i, i.toLong % 10, 10000000L + i * 1000L))
+        .toDF("id_b", "sb", "eb").write.saveAsTable("rj_stats_b")
+      spark.sql("ANALYZE TABLE rj_stats_a COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql("ANALYZE TABLE rj_stats_b COMPUTE STATISTICS FOR ALL COLUMNS")
+      val sql = "SELECT id_a, id_b FROM rj_stats_a JOIN rj_stats_b " +
+        "ON sa <= eb AND sb <= ea"
+      withConfs("spark.sql.cbo.enabled" -> "true",
+          "spark.graft.join.timeBucket" -> "4") {
+        val df = spark.sql(sql)
+        assert(df.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"), "stats must decline the rewrite")
+        assert(df.collect().length == 400) // every pair overlaps — it ANSWERS
+      }
+      // stats absent (CBO off): the decline cannot fire; the runtime cap
+      // remains the backstop for exactly this shape
+      withConfs("spark.sql.cbo.enabled" -> "false",
+          "spark.graft.join.timeBucket" -> "4") {
+        val ex = intercept[Exception](spark.sql(sql).collect())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains("time buckets")),
+          msgs(ex).mkString(" | ").take(400))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rj_stats_a")
+      spark.sql("DROP TABLE IF EXISTS rj_stats_b")
+    }
+  }
 }

@@ -1426,4 +1426,134 @@ class StreamingSpec extends AnyFunSuite {
         s"got $got")
     } finally q.stop()
   }
+
+  test("stream-STREAM as-of enrich equals batch asOfKeyed across micro-batches (in-order feeds)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00:00Z in epoch ms
+    def ts(ms: Long) = new Timestamp(base + ms)
+    val rnd = new scala.util.Random(1414)
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp, Double)]
+    val leftDf = lIn.toDF().toDF("click_id", "user", "cts")
+    val rightDf = rIn.toDF().toDF("quote_id", "quser", "qts", "qval")
+    val lookbackMs = 800L
+    val out = EventStreams.asOfStreamStream(leftDf, rightDf,
+      "user", "quser", "cts", "qts", lookbackMs, "quote_id", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ss_asof")
+      .outputMode("append").start()
+    var nextId = 0L
+    def lefts(lo: Long, hi: Long, n: Int) = (0 until n).map { _ =>
+      nextId += 1
+      (nextId, rnd.nextInt(4).toLong, ts(lo + rnd.nextInt((hi - lo).toInt)))
+    }
+    def rights(lo: Long, hi: Long, n: Int) = (0 until n).map { _ =>
+      nextId += 1
+      (nextId, rnd.nextInt(4).toLong, ts(lo + rnd.nextInt((hi - lo).toInt)),
+        rnd.nextDouble())
+    }
+    // batch 2 strictly after batch 1's max event time: with a 0-second
+    // delay the inter-batch watermark admits every batch-2 row, so the
+    // stream must equal the batch kernel over the union exactly —
+    // including enrichments carried ACROSS the batch boundary from
+    // batch-1 rights
+    val l1 = lefts(0, 2900, 60); val r1 = rights(0, 2900, 60)
+    val l2 = lefts(3000, 5900, 60); val r2 = rights(3000, 5900, 60)
+    try {
+      // rights BEFORE lefts: the default trigger runs continuously, so a
+      // micro-batch may fire between the two addData calls — rights
+      // arriving early never changes as-of results (they wait in the
+      // buffer), but lefts evaluated before their rights exist would
+      // (correctly, per the late-data contract) miss them
+      rIn.addData(r1: _*); lIn.addData(l1: _*)
+      q.processAllAvailable()
+      rIn.addData(r2: _*); lIn.addData(l2: _*)
+      q.processAllAvailable()
+      val gotRows = spark.table("ss_asof")
+        .select(col("click_id"), col("quote_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val got = gotRows.toSet
+      assert(gotRows.length == got.size, "no duplicate emissions")
+      val lb = (l1 ++ l2).toDF("click_id", "user", "cts")
+        .withColumn("t", unix_micros(col("cts"))).drop("cts")
+      val rb = (r1 ++ r2).toDF("quote_id", "quser", "qts", "qval")
+        .withColumn("t2", unix_micros(col("qts"))).drop("qts")
+      val want = graft.operators.TemporalJoin.asOfKeyed(lb, rb, "click_id",
+          col("user"), col("quser"), col("t"), col("t2"),
+          lookbackMs * 1000L, col("quote_id"))
+        .select(col("click_id"), col("quote_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got == want,
+        s"stream/batch divergence: onlyStream=${got -- want} onlyBatch=${want -- got}")
+      // cross-batch carry really exercised: some batch-2 left matched a
+      // batch-1 right
+      val r1Ids = r1.map(_._1).toSet
+      val l2Ids = l2.map(_._1).toSet
+      assert(want.exists { case (l, r) => l2Ids(l) && r1Ids(r) },
+        "fixture must exercise the cross-batch state carry")
+    } finally q.stop()
+  }
+
+  test("stream-STREAM as-of: ties, strict lookback, late-left drop, no retro-enrich, outer totality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def ts(ms: Long) = new Timestamp(base + ms)
+    val lIn = MemoryStream[(Long, Option[Long], Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val leftDf = lIn.toDF().toDF("click_id", "user", "cts")
+    val rightDf = rIn.toDF().toDF("quote_id", "quser", "qts")
+    val out = EventStreams.asOfStreamStream(leftDf, rightDf,
+      "user", "quser", "cts", "qts", maxLookbackMs = 800L,
+      tieBreakColName = "quote_id", watermarkDelay = "0 seconds",
+      outer = true)
+    val q = out.writeStream.format("memory").queryName("ss_asof_edge")
+      .outputMode("append").start()
+    def table() = spark.table("ss_asof_edge")
+      .select(col("click_id"), col("quote_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    try {
+      // rights: two exact-time ties on key 0 (largest tieBreak must win),
+      // one late-horizon right on key 3
+      rIn.addData((101L, 0L, ts(1000)), (102L, 0L, ts(1000)), (103L, 3L, ts(5200)))
+      // lefts: tie-instant (non-strict upper bound), in-lookback,
+      // out-of-lookback, no-right key, NULL key (bypass), stale-carry,
+      // fresh match on key 3
+      lIn.addData((1L, Some(0L), ts(1000)), (2L, Some(0L), ts(1700)),
+        (3L, Some(0L), ts(1900)), (4L, Some(1L), ts(500)),
+        (5L, None, ts(700)), (6L, Some(0L), ts(5000)), (7L, Some(3L), ts(5300)))
+      q.processAllAvailable()
+      val afterB1 = table().toSet
+      assert(afterB1 == Set(
+        (1L, Some(102L)), // right at exactly lT enriches; tb 102 beats 101
+        (2L, Some(102L)), // 1000 > 1700-800
+        (3L, None),       // 1000 <= 1900-800 — strict lookback fail
+        (4L, None), (5L, None), (6L, None),
+        (7L, Some(103L))), s"got $afterB1")
+      // watermark is now min(5300, 5200) - 0 = 5200ms. Batch 2: a left
+      // older than the watermark drops even in outer mode; an in-horizon
+      // left still enriches from batch-1 state; click 6's already-landed
+      // null row must not change or duplicate (no retro-enrich)
+      lIn.addData((8L, Some(0L), ts(1000)), (9L, Some(3L), ts(5900)))
+      q.processAllAvailable()
+      val afterB2 = table()
+      assert(afterB2.length == 8, s"got ${afterB2.mkString(",")}")
+      assert(afterB2.toSet == afterB1 + ((9L, Some(103L))))
+      assert(afterB2.count(_._1 == 6L) == 1)
+    } finally q.stop()
+    // guard pins: shared output names and non-timestamp event time fail
+    // at construction with actionable messages
+    val e1 = intercept[IllegalArgumentException] {
+      EventStreams.asOfStreamStream(
+        Seq((1L, ts(0))).toDF("id", "cts"), Seq((2L, ts(0))).toDF("id", "qts"),
+        "id", "id", "cts", "qts", 100L, "id", "0 seconds")
+    }
+    assert(e1.getMessage.contains("share column name"))
+    val e2 = intercept[IllegalArgumentException] {
+      EventStreams.asOfStreamStream(
+        Seq((1L, 5L)).toDF("a", "ta"), Seq((2L, ts(0))).toDF("b", "qts"),
+        "a", "b", "ta", "qts", 100L, "b", "0 seconds")
+    }
+    assert(e2.getMessage.contains("TimestampType"))
+  }
 }
