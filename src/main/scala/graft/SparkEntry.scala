@@ -2797,19 +2797,7 @@ object SparkEntry {
     "q244_asof_stream_stream" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val e = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000000").as("etms"), col("event_type"))
-      // bounded collect: one (long, long, long) triple per click/view row
-      // of the MemoryStream feed — events is the smallest fact table
-      // (~20k/side at sf0.1, ~3 MB); feeding a MemoryStream is inherently
-      // driver-side (CollectBoundSpec-registered)
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("etms")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
-      val views = e.filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("etms")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
+      val (clicks, views) = clickViewFeed(s, dir)
       val split = 1705363200000L // 2024-01-16T00:00:00Z, mid-corpus
       val lIn = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
@@ -2835,6 +2823,59 @@ object SparkEntry {
         rIn.addData(views.filter(_._3.getTime >= split).toSeq)
         lIn.addData(clicks.filter(_._3.getTime >= split).toSeq)
         q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("id_a"), col("id_b")).orderBy(col("id_a"))
+    }),
+
+    // FINAL-emit stream-stream as-of under an ADVERSARIAL feed: every
+    // click arrives a full batch BEFORE any view exists, yet the result
+    // must equal the batch as-of exactly — emitMode = "final" holds each
+    // left in state until the watermark passes its event time, so every
+    // admissible right has been folded in when the left is answered
+    // (eager mode would emit every click unenriched here). The watermark
+    // delay covers the whole corpus so nothing is late; sentinel rows on
+    // unused key −1 past max+lookback then drive the watermark over every
+    // left, and the timeout flush drains the state (the standard
+    // watermark-closing idiom for a finite replay). INNER mode — q240's
+    // oracle shape at millisecond grain with the lookback conjunct.
+    "q247_asof_stream_final" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val (clicks, views) = clickViewFeed(s, dir)
+      val delayMs = 60L * 24 * 3600 * 1000 // 60 days ≥ the corpus span
+      val maxMs = (clicks.iterator ++ views.iterator).map(_._3.getTime).max
+      val sentinel = (-1L, -1L,
+        new java.sql.Timestamp(maxMs + delayMs + 3600000L + 1000L))
+      val lIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val rIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val out = graft.streaming.EventStreams.asOfStreamStream(
+        lIn.toDF().toDF("id_a", "ua", "cts"),
+        rIn.toDF().toDF("id_b", "ub", "vts"),
+        "ua", "ub", "cts", "vts", maxLookbackMs = 3600000L,
+        tieBreakColName = "id_b", watermarkDelay = s"$delayMs milliseconds",
+        outer = false, emitMode = "final")
+      val sink = "q247_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        lIn.addData(clicks.toSeq)           // batch 1: ONLY lefts
+        q.processAllAvailable()
+        rIn.addData(views.toSeq)            // batch 2: ONLY rights
+        q.processAllAvailable()
+        lIn.addData(sentinel); rIn.addData(sentinel)
+        q.processAllAvailable()
+        // the timeout flush runs in the post-sentinel no-data batch —
+        // poll until the sink is stable (bounded: ~30 s hard cap)
+        var stable = 0; var last = -1L; var polls = 0
+        while (stable < 3 && polls < 150) {
+          q.processAllAvailable()
+          val n = s.table(sink).count()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          polls += 1
+          if (stable < 3) Thread.sleep(200)
+        }
       } finally q.stop()
       s.table(sink).select(col("id_a"), col("id_b")).orderBy(col("id_a"))
     }),
@@ -3914,6 +3955,28 @@ object SparkEntry {
 
   /** Shared write-once interval store over the q42 event intervals
     * (id_b/sb/eb at bucket 120 s — the q42/q50 configuration). */
+  /** Collected click/view MemoryStream feeds for the stream-stream as-of
+    * replays (q244/q247): one slim (id, user, ts-ms) triple per row of
+    * the events table. */
+  private def clickViewFeed(s: SparkSession, dir: String)
+      : (Array[(Long, Long, java.sql.Timestamp)],
+         Array[(Long, Long, java.sql.Timestamp)]) = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("etms"), col("event_type"))
+    // bounded collect: one (long, long, long) triple per click/view row
+    // of the MemoryStream feed — events is the smallest fact table
+    // (~20k/side at sf0.1, ~3 MB); feeding a MemoryStream is inherently
+    // driver-side (CollectBoundSpec-registered)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("etms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("etms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
+    (clicks, views)
+  }
+
   private def intervalEventStore(s: SparkSession, dir: String): String =
     storedOnce("ivstore_q151", dir) { p =>
       val e = Tables.load(s, dir, "events")
@@ -5404,6 +5467,18 @@ object SparkEntry {
        "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
        "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
        "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000) " +
+       "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
+
+    // final-emit mode: the ADVERSARIAL batch placement (all clicks a
+    // batch before any view) must still equal the batch as-of — INNER
+    // form of the same windowed oracle at ms grain
+    "q247_asof_stream_final" ->
+      ("WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS et, event_type FROM events), " +
+       "c AS (SELECT event_id, user_id, et FROM ev WHERE event_type='click'), " +
+       "v AS (SELECT event_id, user_id, et FROM ev WHERE event_type='view'), " +
+       "pairs AS (SELECT c.event_id AS id_a, v.event_id AS id_b, " +
+       "row_number() OVER (PARTITION BY c.event_id ORDER BY v.et DESC, v.event_id DESC) rn " +
+       "FROM c JOIN v ON v.user_id = c.user_id AND v.et <= c.et AND v.et > c.et - 3600000) " +
        "SELECT id_a, id_b FROM pairs WHERE rn = 1 ORDER BY id_a"),
 
     "q44_split_assign" -> {

@@ -503,6 +503,28 @@ object EventStreams {
    * enrich exactly (each batch folds into the sorted buffer before any
    * left is answered, so intra-batch arrival order never matters).
    *
+   * `emitMode` picks the latency/exactness point on that contract:
+   *  - `"eager"` (default): a left is answered IN ITS ARRIVAL BATCH
+   *    against the rights that have arrived so far — minimum latency,
+   *    but a right that is merely DELAYED (arrives in a later batch,
+   *    not yet late) misses lefts already emitted.
+   *  - `"final"`: lefts wait in state until the watermark passes their
+   *    event time, so every right the watermark can still admit has
+   *    been folded in when the left is answered — the streamed output
+   *    equals the batch [[graft.operators.TemporalJoin.asOfKeyed]] for
+   *    ARBITRARY arrival order and batch placement (all lefts first,
+   *    rights a batch later, shuffled — StreamingSpec pins it), at the
+   *    cost of one watermark delay of latency. Rights older than the
+   *    watermark still fold into the buffer: they can only improve a
+   *    PENDING left's answer (emitted rows are already final), moving
+   *    the result toward the batch one. State additionally holds the
+   *    pending lefts of the key (bounded by per-key left density over
+   *    one watermark delay); emission is driven by the same event-time
+   *    timeout, so a quiet key still flushes when the watermark moves.
+   *    A left at the stream's final watermark front never emits until
+   *    the watermark passes it — feed a sentinel row past the end (the
+   *    standard watermark-closing idiom) to drain a finite replay.
+   *
    * Keys group by their STRING form (cast) — pass a single atomic key
    * column with an injective string form (long/int/string — the events
    * schema); NULL-keyed/timed rights match nothing, NULL-keyed/timed
@@ -519,11 +541,15 @@ object EventStreams {
                        leftTsColName: String, rightTsColName: String,
                        maxLookbackMs: Long, tieBreakColName: String,
                        watermarkDelay: String,
-                       outer: Boolean = false): DataFrame = {
+                       outer: Boolean = false,
+                       emitMode: String = "eager"): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.{Encoders, Row}
     import scala.collection.mutable.ArrayBuffer
     require(maxLookbackMs > 0, s"maxLookbackMs must be positive, got $maxLookbackMs")
+    require(emitMode == "eager" || emitMode == "final",
+      s"asOfStreamStream: emitMode must be 'eager' or 'final', got '$emitMode'")
+    val finalMode = emitMode == "final"
     Seq((left, leftTsColName), (right, rightTsColName)).foreach { case (df, c) =>
       require(df.schema(c).dataType == TimestampType,
         s"asOfStreamStream: $c must be TimestampType (the watermark " +
@@ -568,8 +594,15 @@ object EventStreams {
       StructField("t", LongType, nullable = false),
       StructField("tb", LongType, nullable = true),
       StructField("rv", rvType, nullable = true)))
-    val stateSchema = StructType(Seq(StructField("rights",
-      ArrayType(entryType, containsNull = false), nullable = true)))
+    val leftEntryType = StructType(Seq(
+      StructField("t", LongType, nullable = false),
+      StructField("lv", lvType, nullable = true)))
+    val stateSchema = StructType(Seq(
+      StructField("rights", ArrayType(entryType, containsNull = false),
+        nullable = true),
+      // final mode only: the key's lefts still waiting for the watermark
+      StructField("lefts", ArrayType(leftEntryType, containsNull = false),
+        nullable = true)))
     val outSchema = StructType(left.schema.fields ++
       right.schema.fields.map(f => if (outer) f.copy(nullable = true) else f))
     val lookbackUs = maxLookbackMs * 1000L
@@ -579,20 +612,27 @@ object EventStreams {
     val func = (_: String, it: Iterator[Row], state: GroupState[Row]) => {
       val wmMs = state.getCurrentWatermarkMs()
       val wmUs = wmMs * 1000L
-      if (state.hasTimedOut) {
-        // the watermark passed the last right's lookback horizon —
+      if (state.hasTimedOut && !finalMode) {
+        // eager: the watermark passed the last right's lookback horizon —
         // nothing buffered can enrich an admissible left again
         state.remove()
         Iterator.empty[Row]
       } else {
-        val prev: Seq[Row] = state.getOption
+        // final mode runs the SAME body on a timeout invocation (empty
+        // batch): the watermark moved, so pending lefts may now be due
+        val prevR: Seq[Row] = state.getOption
           .flatMap(r => Option(r.getSeq[Row](0))).getOrElse(Seq.empty)
+        val prevL: Seq[Row] = if (!finalMode) Seq.empty else state.getOption
+          .flatMap(r => Option(r.getSeq[Row](1))).getOrElse(Seq.empty)
         val batch = it.toArray
         def tbOf(r: Row): Long = if (r.isNullAt(1)) Long.MinValue else r.getLong(1)
         // fold this batch's rights into the sorted buffer FIRST — every
-        // left is answered against all rights the watermark admitted,
-        // so intra-batch arrival order never matters
-        val buf = (prev ++ batch.iterator.filter(_.getInt(3) == 0).map(r =>
+        // left is answered against all rights the watermark admitted, so
+        // intra-batch arrival order never matters. Rights behind the
+        // watermark fold too: they can only improve an answer that is
+        // not yet final (eager: this batch's lefts; final: any pending
+        // left), never change an emitted one.
+        val buf = (prevR ++ batch.iterator.filter(_.getInt(3) == 0).map(r =>
             Row(r.getLong(2), if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
               r.getStruct(6))))
           .sortBy(r => (r.getLong(0), tbOf(r))).toArray
@@ -607,26 +647,49 @@ object EventStreams {
           lo - 1
         }
         val out = new ArrayBuffer[Row]
-        batch.iterator.filter(_.getInt(3) == 1).foreach { l =>
-          val lT = l.getLong(2)
-          if (lT >= wmUs) { // late-left drop (the admission contract)
-            val bi = lastAtOrBefore(lT)
-            val ok = bi >= 0 && buf(bi).getLong(0) > lT - lookbackUs
-            if (ok)
-              out += Row.fromSeq(l.getStruct(5).toSeq ++ buf(bi).getStruct(2).toSeq)
-            else if (outer)
-              out += Row.fromSeq(l.getStruct(5).toSeq ++ Seq.fill(nRight)(null))
-          }
+        def answer(lT: Long, lv: Row): Unit = {
+          val bi = lastAtOrBefore(lT)
+          val ok = bi >= 0 && buf(bi).getLong(0) > lT - lookbackUs
+          if (ok)
+            out += Row.fromSeq(lv.toSeq ++ buf(bi).getStruct(2).toSeq)
+          else if (outer)
+            out += Row.fromSeq(lv.toSeq ++ Seq.fill(nRight)(null))
+        }
+        // late-left drop (the admission contract) applies in both modes
+        val admitted = batch.iterator.filter(_.getInt(3) == 1)
+          .filter(_.getLong(2) >= wmUs)
+        var still: Array[Row] = Array.empty
+        if (!finalMode) {
+          admitted.foreach(l => answer(l.getLong(2), l.getStruct(5)))
+        } else {
+          // a pending left is DUE once the watermark strictly passes its
+          // event time: no right at-or-before it can be admitted again,
+          // so its answer is the batch answer — emit exactly once
+          val pending = prevL ++ admitted.map(l => Row(l.getLong(2), l.getStruct(5)))
+          val (due, wait) = pending.partition(_.getLong(0) < wmUs)
+          due.sortBy(_.getLong(0)).foreach(l => answer(l.getLong(0), l.getStruct(1)))
+          still = wait.toArray
         }
         // prune: keep the latest right at-or-before the watermark plus
         // everything after it, minus rights the lookback already retired
+        // (pending lefts all have t ≥ watermark, so the same prune is
+        // sufficient for them)
         val from = math.max(lastAtOrBefore(wmUs), 0)
         val kept = buf.drop(from).filter(_.getLong(0) > wmUs - lookbackUs)
-        if (kept.isEmpty) state.remove()
+        if (kept.isEmpty && still.isEmpty) state.remove()
         else {
-          state.update(Row(kept.toSeq))
-          val horizonMs = kept.last.getLong(0) / 1000L + lookbackMs
-          state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1))
+          state.update(Row(kept.toSeq, if (finalMode) still.toSeq else null))
+          // wake when the watermark can next change this key's fate:
+          // the earliest pending left's emission instant, or the last
+          // right's lookback horizon (eager eviction / final give-up)
+          val rightsHorizon =
+            if (kept.isEmpty) Long.MaxValue
+            else kept.last.getLong(0) / 1000L + lookbackMs
+          val leftHorizon =
+            if (still.isEmpty) Long.MaxValue
+            else still.iterator.map(_.getLong(0)).min / 1000L
+          state.setTimeoutTimestamp(
+            math.max(math.min(rightsHorizon, leftHorizon), wmMs + 1))
         }
         out.iterator
       }

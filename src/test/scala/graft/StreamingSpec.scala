@@ -1555,5 +1555,147 @@ class StreamingSpec extends AnyFunSuite {
         "a", "b", "ta", "qts", 100L, "b", "0 seconds")
     }
     assert(e2.getMessage.contains("TimestampType"))
+    val e3 = intercept[IllegalArgumentException] {
+      EventStreams.asOfStreamStream(
+        Seq((1L, ts(0))).toDF("a", "ta"), Seq((2L, ts(0))).toDF("b", "qts"),
+        "a", "b", "ta", "qts", 100L, "b", "0 seconds", emitMode = "lazy")
+    }
+    assert(e3.getMessage.contains("emitMode"))
+  }
+
+  /** Drive the post-sentinel timeout flush: poll until the sink row count
+    * is stable (the no-data batch that fires event-time timeouts runs
+    * after processAllAvailable returns). */
+  private def awaitStable(q: org.apache.spark.sql.streaming.StreamingQuery,
+                          sink: String): Unit = {
+    var stable = 0; var last = -1L; var polls = 0
+    while (stable < 3 && polls < 100) {
+      q.processAllAvailable()
+      val n = spark.table(sink).count()
+      if (n == last) stable += 1 else { stable = 0; last = n }
+      polls += 1
+      if (stable < 3) Thread.sleep(100)
+    }
+  }
+
+  test("final emit mode equals batch asOfKeyed under ADVERSARIAL arrival (all lefts a batch before any right)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def ts(ms: Long) = new Timestamp(base + ms)
+    val rnd = new scala.util.Random(4714)
+    var nextId = 0L
+    val lefts = (0 until 150).map { _ =>
+      nextId += 1; (nextId, rnd.nextInt(5).toLong, ts(rnd.nextInt(4000).toLong))
+    }
+    val rights = (0 until 150).map { _ =>
+      nextId += 1
+      (nextId, rnd.nextInt(5).toLong, ts(rnd.nextInt(4000).toLong), rnd.nextDouble())
+    }
+    val lookbackMs = 700L
+    val delayMs = 10000L // covers the whole fixture: nothing is ever late
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp, Double)]
+    val out = EventStreams.asOfStreamStream(
+      lIn.toDF().toDF("click_id", "user", "cts"),
+      rIn.toDF().toDF("quote_id", "quser", "qts", "qval"),
+      "user", "quser", "cts", "qts", lookbackMs, "quote_id",
+      s"$delayMs milliseconds", emitMode = "final")
+    val q = out.writeStream.format("memory").queryName("ss_asof_final")
+      .outputMode("append").start()
+    try {
+      // batch 1: ONLY lefts; batch 2: ONLY rights — eager mode would
+      // emit every left unenriched; final mode must match batch exactly
+      lIn.addData(lefts: _*)
+      q.processAllAvailable()
+      rIn.addData(rights: _*)
+      q.processAllAvailable()
+      // sentinels on an unused key push the watermark past every left
+      val sEnd = ts(4000 + lookbackMs + delayMs + 1000)
+      lIn.addData((-1L, -1L, sEnd)); rIn.addData((-2L, -1L, sEnd, 0.0))
+      awaitStable(q, "ss_asof_final")
+      val gotRows = spark.table("ss_asof_final")
+        .filter(col("click_id") > 0)
+        .select(col("click_id"), col("quote_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(gotRows.length == gotRows.toSet.size, "exactly-once emission")
+      val lb = lefts.toDF("click_id", "user", "cts")
+        .withColumn("t", unix_micros(col("cts"))).drop("cts")
+      val rb = rights.toDF("quote_id", "quser", "qts", "qval")
+        .withColumn("t2", unix_micros(col("qts"))).drop("qts")
+      val want = graft.operators.TemporalJoin.asOfKeyed(lb, rb, "click_id",
+          col("user"), col("quser"), col("t"), col("t2"),
+          lookbackMs * 1000L, col("quote_id"))
+        .select(col("click_id"), col("quote_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.size > 50, "fixture must produce substantial matches")
+      assert(gotRows.toSet == want,
+        s"final-mode divergence: onlyStream=${gotRows.toSet -- want} onlyBatch=${want -- gotRows.toSet}")
+    } finally q.stop()
+    // the discriminating witness: EAGER mode on the same lefts-first feed
+    // answers every left against an empty right buffer — zero matches
+    // (inner) — proving the final mode is what buys batch parity here
+    val lIn2 = MemoryStream[(Long, Long, Timestamp)]
+    val rIn2 = MemoryStream[(Long, Long, Timestamp, Double)]
+    val outE = EventStreams.asOfStreamStream(
+      lIn2.toDF().toDF("click_id", "user", "cts"),
+      rIn2.toDF().toDF("quote_id", "quser", "qts", "qval"),
+      "user", "quser", "cts", "qts", lookbackMs, "quote_id",
+      s"$delayMs milliseconds", emitMode = "eager")
+    val qE = outE.writeStream.format("memory").queryName("ss_asof_eager_w")
+      .outputMode("append").start()
+    try {
+      lIn2.addData(lefts: _*)
+      qE.processAllAvailable()
+      rIn2.addData(rights: _*)
+      qE.processAllAvailable()
+      assert(spark.table("ss_asof_eager_w").isEmpty,
+        "eager mode must miss every match on the lefts-first feed")
+    } finally qE.stop()
+  }
+
+  test("final emit mode: delayed right enriches a pending left; outer totality; late-left drop; once-only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def ts(ms: Long) = new Timestamp(base + ms)
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val out = EventStreams.asOfStreamStream(
+      lIn.toDF().toDF("click_id", "user", "cts"),
+      rIn.toDF().toDF("quote_id", "quser", "qts"),
+      "user", "quser", "cts", "qts", maxLookbackMs = 800L,
+      tieBreakColName = "quote_id", watermarkDelay = "2000 milliseconds",
+      outer = true, emitMode = "final")
+    val q = out.writeStream.format("memory").queryName("ss_asof_final_edge")
+      .outputMode("append").start()
+    def rows() = spark.table("ss_asof_final_edge")
+      .select(col("click_id"), col("quote_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    try {
+      // batch 1: lefts only — held (watermark has not passed them)
+      lIn.addData((1L, 0L, ts(1000)), (2L, 0L, ts(1900)))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "final mode must not emit before the watermark")
+      // batch 2: the DELAYED right at t=900 arrives a batch after left 1
+      // (in-lookback for left 1; out-of-lookback for left 2 at 1900)
+      rIn.addData((101L, 0L, ts(900)))
+      q.processAllAvailable()
+      // batch 3: sentinels advance the watermark past both lefts
+      val sEnd = ts(20000)
+      lIn.addData((-1L, -1L, sEnd)); rIn.addData((-2L, -1L, sEnd))
+      awaitStable(q, "ss_asof_final_edge")
+      val afterFlush = rows().filter(_._1 > 0).toSet
+      assert(afterFlush == Set((1L, Some(101L)), (2L, None)),
+        s"got $afterFlush") // delayed right enriches 1; outer nulls 2
+      // batch 4: a left behind the watermark drops even in final+outer;
+      // nothing already emitted may duplicate
+      lIn.addData((3L, 0L, ts(1500)))
+      q.processAllAvailable()
+      awaitStable(q, "ss_asof_final_edge")
+      val end = rows().filter(_._1 > 0)
+      assert(end.length == 2 && end.toSet == afterFlush,
+        s"late left must drop, no duplicates: ${end.mkString(",")}")
+    } finally q.stop()
   }
 }
