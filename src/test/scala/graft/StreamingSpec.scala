@@ -1654,6 +1654,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally qE.stop()
   }
 
+  test("final emit mode: randomized 3-batch shuffled feed (outer) equals batch asOfKeyed — arrival order free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def ts(ms: Long) = new Timestamp(base + ms)
+    val rnd = new scala.util.Random(8147)
+    var nextId = 0L
+    val lefts = (0 until 120).map { _ =>
+      nextId += 1; (nextId, rnd.nextInt(5).toLong, ts(rnd.nextInt(3000).toLong))
+    }
+    val rights = (0 until 120).map { _ =>
+      nextId += 1; (nextId, rnd.nextInt(5).toLong, ts(rnd.nextInt(3000).toLong))
+    }
+    val lookbackMs = 600L
+    val delayMs = 8000L // covers the span: NO row is ever late, so the
+                        // watermark admits everything and final mode owes
+                        // exact batch parity whatever the batch placement
+    // random batch assignment, independent of event time — rows of any
+    // instant can land in any micro-batch, in any order, on both sides
+    val lParts = lefts.groupBy(_ => rnd.nextInt(3))
+    val rParts = rights.groupBy(_ => rnd.nextInt(3))
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val out = EventStreams.asOfStreamStream(
+      lIn.toDF().toDF("click_id", "user", "cts"),
+      rIn.toDF().toDF("quote_id", "quser", "qts"),
+      "user", "quser", "cts", "qts", lookbackMs, "quote_id",
+      s"$delayMs milliseconds", outer = true, emitMode = "final")
+    val q = out.writeStream.format("memory").queryName("ss_asof_final_rnd")
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        lIn.addData(lParts.getOrElse(b, Seq.empty): _*)
+        rIn.addData(rParts.getOrElse(b, Seq.empty): _*)
+        q.processAllAvailable()
+      }
+      val sEnd = ts(3000 + lookbackMs + delayMs + 1000)
+      lIn.addData((-1L, -1L, sEnd)); rIn.addData((-2L, -1L, sEnd))
+      awaitStable(q, "ss_asof_final_rnd")
+      val got = spark.table("ss_asof_final_rnd").filter(col("click_id") > 0)
+        .select(col("click_id"), col("quote_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(got.length == got.toSet.size, "exactly-once emission")
+      assert(got.length == lefts.length,
+        s"outer totality: every left emits once, got ${got.length}/${lefts.length}")
+      val lb = lefts.toDF("click_id", "user", "cts")
+        .withColumn("t", unix_micros(col("cts"))).drop("cts")
+      val rb = rights.toDF("quote_id", "quser", "qts")
+        .withColumn("t2", unix_micros(col("qts"))).drop("qts")
+      val want = graft.operators.TemporalJoin.asOfKeyed(lb, rb, "click_id",
+          col("user"), col("quser"), col("t"), col("t2"),
+          lookbackMs * 1000L, col("quote_id"), outer = true)
+        .select(col("click_id"), col("quote_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      assert(want.exists(_._2.nonEmpty) && want.exists(_._2.isEmpty),
+        "fixture must exercise both matched and unmatched lefts")
+      assert(got.toSet == want,
+        s"shuffled-feed divergence: onlyStream=${got.toSet -- want} onlyBatch=${want -- got.toSet}")
+    } finally q.stop()
+  }
+
   test("final emit mode: delayed right enriches a pending left; outer totality; late-left drop; once-only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
