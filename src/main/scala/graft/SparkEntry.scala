@@ -1003,8 +1003,13 @@ object SparkEntry {
       val out = DBSCAN.model(c, col("id"), col("cx"), col("cy"), eps, minPts)
         .localCheckpoint()
       val nPts = c.count()
-      val totalityOk = out.count() == nPts &&
-        out.select(col("id")).distinct().count() == nPts &&
+      // one aggregation pass for count + distinct-with-nulls (the old
+      // count() + distinct().count() pair): distinct().count() ==
+      // countDistinct (null-excluding) + 1 iff any null id exists
+      val totRow = out.agg(count(lit(1)), countDistinct(col("id")),
+        coalesce(max(when(col("id").isNull, 1L).otherwise(0L)), lit(0L))).head()
+      val nDistinct = totRow.getLong(1) + (if (totRow.getLong(2) == 1L) 1L else 0L)
+      val totalityOk = totRow.getLong(0) == nPts && nDistinct == nPts &&
         out.select(col("id")).join(c.select(col("id")), Seq("id"), "left_anti").isEmpty
       def cellK(x: Column, y: Column, dx: Int, dy: Int): Column =
         (floor(x / eps).cast("long") + dx) * 4294967296L +
@@ -1021,8 +1026,11 @@ object SparkEntry {
       val nbrPoint = owned.join(haloPts, "__cell").filter(d2 <= eps2)
         .groupBy(col("id")).agg(count(lit(1)).as("n_point"))
       // weighted site count: the collapse algebra, recomputed in-query
+      // (no checkpoint: consumed exactly once, inside joined's own
+      // eager localCheckpoint — a separate materialization was one
+      // wasted job, r14 optimization)
       val sites = c.groupBy(col("cx").as("sx"), col("cy").as("sy"))
-        .agg(count(lit(1)).as("w")).localCheckpoint()
+        .agg(count(lit(1)).as("w"))
       val haloSites = sites.select(col("sx").as("hx"), col("sy").as("hy"), col("w"))
         .withColumn("__cell", explode(haloCells(col("hx"), col("hy"))))
       val nbrSite = owned.join(haloSites, "__cell").filter(d2 <= eps2)
@@ -1040,8 +1048,14 @@ object SparkEntry {
         val r = df.agg(min(coalesce(flag, lit(false))), count(lit(1))).head()
         r.getLong(1) == 0L || r.getBoolean(0)
       }
-      val countMatchOk = allTrue(joined, col("n_point") === col("n_site"))
-      val coreFlagOk = allTrue(joined, col("is_core") === (col("n_point") >= minPts))
+      // both flags in ONE scan of joined (same allTrue semantics per flag:
+      // min over coalesce(flag, false), vacuously true on an empty set)
+      val cmRow = joined.agg(
+        min(coalesce(col("n_point") === col("n_site"), lit(false))),
+        min(coalesce(col("is_core") === (col("n_point") >= minPts), lit(false))),
+        count(lit(1))).head()
+      val countMatchOk = cmRow.getLong(2) == 0L || cmRow.getBoolean(0)
+      val coreFlagOk = cmRow.getLong(2) == 0L || cmRow.getBoolean(1)
       val siteConsistentOk = allTrue(
         joined.groupBy(col("x"), col("y"))
           .agg(countDistinct(col("cluster_id")).as("nc"),
@@ -1065,10 +1079,20 @@ object SparkEntry {
         .groupBy(col("id"))
         .agg(min(col("hcid")).as("min_cid"), max(col("hcid")).as("max_cid"))
       val flagged = joined.join(coreNbr, Seq("id"), "left")
-      val coreEdgeOk = allTrue(flagged.filter(col("is_core")),
-        col("min_cid") === col("cluster_id") && col("max_cid") === col("cluster_id"))
-      val borderRuleOk = allTrue(flagged.filter(!col("is_core")),
-        col("cluster_id") === coalesce(col("min_cid"), lit(-1L)))
+      // both rules in ONE scan of flagged — the old pair of allTrue calls
+      // re-ran the coreNbr halo join twice. Per-subset semantics preserved
+      // exactly: when(pred, coalesce(flag, false)) is null off-subset (min
+      // skips it), and an empty subset yields null -> coalesce(_, true)
+      // restores the vacuous-true of allTrue on an empty filter
+      val feRow = flagged.agg(
+        coalesce(min(when(col("is_core"),
+          coalesce(col("min_cid") === col("cluster_id") &&
+                   col("max_cid") === col("cluster_id"), lit(false)))), lit(true)),
+        coalesce(min(when(!col("is_core"),
+          coalesce(col("cluster_id") === coalesce(col("min_cid"), lit(-1L)),
+            lit(false)))), lit(true))).head()
+      val coreEdgeOk = feRow.getBoolean(0)
+      val borderRuleOk = feRow.getBoolean(1)
       import s.implicits._
       Seq((nPts, totalityOk, countMatchOk, coreFlagOk, siteConsistentOk,
           minCoreIdOk, coreEdgeOk, borderRuleOk))
@@ -1131,10 +1155,14 @@ object SparkEntry {
         val r = df.agg(min(coalesce(flag, lit(false))), count(lit(1))).head()
         r.getLong(1) == 0L || r.getBoolean(0)
       }
+      // one aggregation pass: |distinct left| == nLeft AND every group has
+      // exactly kk rows — same two facts the old count()+allTrue pair
+      // established, without materializing perLeft twice (r14 optimization)
       val perLeft = out.groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val cardinalityOk = perLeft.count() == nLeft &&
-        allTrue(perLeft, col("n") === kk)
+      val cardRow = perLeft
+        .agg(count(lit(1)), min(coalesce(col("n") === kk, lit(false)))).head()
+      val cardinalityOk = cardRow.getLong(0) == nLeft &&
+        (cardRow.getLong(0) == 0L || cardRow.getBoolean(1))
       val sig = out.groupBy(col("s_suppkey"), col("sx"), col("sy"))
         .agg(sort_array(collect_list(struct(col("knn_dist"), col("c_custkey"))))
           .as("sig"))
@@ -1143,14 +1171,28 @@ object SparkEntry {
         col("nd") === 1)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("s_suppkey")).orderBy(col("knn_dist"), col("c_custkey"))
-      val brute = sup.filter(col("s_suppkey") <= 100).crossJoin(cus)
+      // spread the stream side: both scans arrive as ONE partition, so the
+      // BNLJ + distance over 1.5M pairs ran in a single 2.1 s task — the
+      // repartition moves 15k rows and parallelizes the brute refine
+      // (r14 optimization, guide §2.5)
+      val brute = sup.filter(col("s_suppkey") <= 100)
+        .crossJoin(cus.repartition(s.sparkContext.defaultParallelism))
         .withColumn("knn_dist", stf.st_centroid_distance(col("s_geo"), col("c_geo")))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
         .select(col("s_suppkey"), col("c_custkey"), col("knn_dist"))
       val got = out.filter(col("s_suppkey") <= 100)
         .select(col("s_suppkey"), col("c_custkey"), col("knn_dist"))
-      val sampleExactOk = got.exceptAll(brute).isEmpty &&
-        brute.exceptAll(got).isEmpty
+      // multiset equality in ONE pass: signed multiplicities sum to zero on
+      // every distinct row <=> both exceptAll directions are empty (same
+      // null/NaN/-0.0 normalization — groupBy and exceptAll hash the same
+      // UnsafeRow binary form). The old two-sided exceptAll evaluated the
+      // brute cross-join+window TWICE (r14 optimization: 5.0 s -> one pass)
+      val sampleExactOk = got.withColumn("__mw", lit(1L))
+        .unionByName(brute.withColumn("__mw", lit(-1L)))
+        .groupBy(col("s_suppkey"), col("c_custkey"), col("knn_dist"))
+        .agg(sum(col("__mw")).as("__d"))
+        .filter(col("__d") =!= 0L)
+        .isEmpty
       import s.implicits._
       Seq((nLeft, kk, cardinalityOk, coincidentOk, sampleExactOk))
         .toDF("n_left", "k", "cardinality_ok", "coincident_ok", "sample_exact_ok")
@@ -2810,8 +2852,14 @@ object SparkEntry {
         tieBreakColName = "id_b", watermarkDelay = "0 seconds", outer = true)
       // unique sink name: Bench executes each query twice in one session
       val sink = "q244_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // state partitions sized to the feed, not the core count — the conf
+      // is captured when start() clones the session, restored right after
+      // (r14 optimization: see streamStateParts)
+      val q = withConfRun(s, "spark.sql.shuffle.partitions" ->
+          streamStateParts(s, clicks.length + views.length).toString) {
+        out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+      }
       try {
         // views BEFORE clicks in each feed round: the continuous trigger
         // may fire between the two addData calls, and rights arriving
@@ -2857,8 +2905,13 @@ object SparkEntry {
         tieBreakColName = "id_b", watermarkDelay = s"$delayMs milliseconds",
         outer = false, emitMode = "final")
       val sink = "q247_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // state partitions sized to the feed, not the core count (see
+      // streamStateParts — conf captured at start(), restored right after)
+      val q = withConfRun(s, "spark.sql.shuffle.partitions" ->
+          streamStateParts(s, clicks.length + views.length).toString) {
+        out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+      }
       try {
         lIn.addData(clicks.toSeq)           // batch 1: ONLY lefts
         q.processAllAvailable()
@@ -2867,14 +2920,16 @@ object SparkEntry {
         lIn.addData(sentinel); rIn.addData(sentinel)
         q.processAllAvailable()
         // the timeout flush runs in the post-sentinel no-data batch —
-        // poll until the sink is stable (bounded: ~30 s hard cap)
+        // poll until the sink is stable (bounded: ~30 s hard cap; 50 ms
+        // cadence — the flush batch takes ~300 ms at feed-sized state
+        // partitions, so a 200 ms poll only added dead time)
         var stable = 0; var last = -1L; var polls = 0
-        while (stable < 3 && polls < 150) {
+        while (stable < 3 && polls < 600) {
           q.processAllAvailable()
           val n = s.table(sink).count()
           if (n == last) stable += 1 else { stable = 0; last = n }
           polls += 1
-          if (stable < 3) Thread.sleep(200)
+          if (stable < 3) Thread.sleep(50)
         }
       } finally q.stop()
       s.table(sink).select(col("id_a"), col("id_b")).orderBy(col("id_a"))
@@ -4049,6 +4104,37 @@ object SparkEntry {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** [[withConf]] for bodies that are not a single lazy DataFrame — e.g. a
+    * micro-batch streaming run, where the conf must be live while
+    * `writeStream.start()` plans the query (the stream clones the session
+    * THEN, capturing spark.sql.shuffle.partitions as its state-partition
+    * count for life). Same restore-in-finally discipline; the caller is
+    * responsible for forcing whatever must be planned inside `body`. */
+  private[graft] def withConfRun[A](s: SparkSession, kvs: (String, String)*)
+                                   (body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** State-partition count for a finite MemoryStream replay: one state
+    * partition per ~4k feed rows, capped at the session's shuffle
+    * partitions (the production default — a real deployment sizes state
+    * partitions to throughput, and the cap keeps the driver's scaling
+    * bench comparable across core counts). Each HDFS-backed state-store
+    * partition pays a per-BATCH file commit (measured ~50-130 ms on local
+    * disk): at 32 partitions x 5 micro-batches the commits alone cost more
+    * than the 40k-row feed's entire compute, so partitions must scale with
+    * the data, not the core count (guide §2: partition counts derive from
+    * input size). */
+  private def streamStateParts(s: SparkSession, feedRows: Int): Int =
+    math.max(1, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toInt, feedRows / 4096 + 1))
 
   /** Code-version salt for [[storedOnce]]: md5 over the BYTECODE of every
     * graft class on the classpath, so editing ANY store-build kernel

@@ -66,7 +66,7 @@ object ConnectedComponents {
     // Level 2: per-node label sets -> quotient edges between labels
     val grouped = localLabels.groupBy(col("__id"))
       .agg(sort_array(collect_set(col("__lbl"))).as("__ls"))
-      .persist()
+      .localCheckpoint()
     val qEdges = grouped
       .select(explode(transform(col("__ls"), l => struct(element_at(col("__ls"), 1).as("_1"), l.as("_2")))).as("__e"))
       .select(col("__e._1").as("__a"), col("__e._2").as("__b"))
@@ -97,8 +97,7 @@ object ConnectedComponents {
       .select(col("__id"), element_at(col("__ls"), 1).as("__lbl"))
       .join(labelComp, "__lbl")
       .select(col("__id"), col("__comp"))
-      .localCheckpoint() // materialize so the persisted prefix can be freed
-    grouped.unpersist()
+      .localCheckpoint() // materialize so the checkpointed prefix can be freed
     out
   }
 }

@@ -479,7 +479,17 @@ object DBSCAN {
         .withColumn("__ring",
           floor(element_at(col("__pdb"), col("__cell") + 1) / lit(eps)).cast("long"))
         .withColumn("__salt", explode(sequence(lit(0), lit(nSalt - 1))))
-      replicas.join(owned, Seq("__cell", "__ring", "__salt"))
+      // explicit co-partitioning on the join key, numPartitions = nSalt:
+      // the refine is CPU-dense (vec_dist2 at up to 1024 dims per pair)
+      // while its shuffle BYTES are tiny, so AQE's byte-based coalescing
+      // was measured collapsing the whole refine into ONE task — the very
+      // funnel the salt exists to spread. A user repartition is never
+      // AQE-coalesced, satisfies the join's required distribution on both
+      // sides (no extra exchange), and nSalt already scales with the
+      // session's parallelism. (r14 optimization, guide §2.5)
+      val jk = Seq(col("__cell"), col("__ring"), col("__salt"))
+      replicas.repartition(nSalt, jk: _*)
+        .join(owned.repartition(nSalt, jk: _*), Seq("__cell", "__ring", "__salt"))
         .filter(abs(element_at(col("__pda"), col("__cell") + 1) -
                     element_at(col("__pdb"), col("__cell") + 1)) <= lit(slackEps))
         .filter(graft.functions.stf.vec_dist2(col("__va"), col("__vb")) <= lit(eps2))
@@ -572,6 +582,11 @@ object DBSCAN {
         .drop("__cr")
         .withColumn("__salt",
           pmod(xxhash64(col("__sid")), lit(nSalt.toLong)).cast("int"))
+      // NO explicit repartition here, unlike modelVecPivot's refine: the
+      // probe side is a classify batch (typically tiny next to the model),
+      // so the refine volume is probe-bounded and AQE's byte-based choice
+      // is right — the explicit 64-way spread was A/B-measured ~0.8 s
+      // SLOWER on q224 (scheduling cost, no compute to amortize)
       probeSide.join(ownedSide, Seq("__cell", "__ring", "__salt"))
         .filter(abs(element_at(col("__qpd"), col("__cell") + 1) -
                     element_at(col("__pdb"), col("__cell") + 1)) <= lit(slackEps))

@@ -46,7 +46,10 @@ object Dedup {
    * stage just to learn the count, and the returned plan would then run
    * them all a second time.
    */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    // a streaming frame cannot be batch-planned (and its micro-batch
+    // partitioning is the source's business) — pass it through untouched
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
     val leafParts = plan.collectLeaves() match {
@@ -245,13 +248,15 @@ object Dedup {
     val sh = shingled(df, idCol, textCol, n).localCheckpoint()
     // band_buckets seeds each band's hash with the band index, so bucket
     // values are globally distinct across bands — one join key suffices.
-    // NOT checkpointed: cappedBucketPairs reads this four times, but
-    // ReuseExchange collapses the identical shuffle subplans, so the
-    // minhash kernel runs once per distinct exchange — an eager barrier
-    // here measured strictly slower.
+    // Checkpointed (r14 optimization): cappedBucketPairs consumes this
+    // under THREE distinct exchange shapes (groupBy partial-agg, anti-join
+    // probe, self-join build), and ReuseExchange only collapses identical
+    // subplans — the 128-hash minhash kernel was measured running twice
+    // (2 x 1.6 s stages on q110) where the eager barrier costs one 0.3 s
+    // pass; the (id, bucket) rows it stores are two longs each.
     val banded = sh.select(col("__id"),
         explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bandsR))
-          .as("__bucket"))
+          .as("__bucket")).localCheckpoint()
     val cands = cappedBucketPairs(banded, maxBucket)
     val out = refineJaccard(cands, sh, p, q).localCheckpoint()
     releaseCheckpoint(sh)

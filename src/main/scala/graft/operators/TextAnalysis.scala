@@ -54,7 +54,7 @@ object TextAnalysis {
     // does not cross Generate), so each chunk row slices the array in O(1)
     // instead of re-running the regex split — per-chunk slice(tokens(text))
     // would make a long document cost O(n_tokens²/stride)
-    val withToks = df.withColumn("__toks", tokens(textCol))
+    val withToks = Dedup.spread(df).withColumn("__toks", tokens(textCol))
     val n = org.apache.spark.sql.functions.size(col("__toks"))
     // starts = 0, stride, 2·stride, … <= n-1  (split("") is [""], so n >= 1)
     withToks
@@ -79,7 +79,10 @@ object TextAnalysis {
   /** Adds n_tokens / n_uniq_tokens / ttr_e6 (type-token ratio scaled 1e6). */
   def withTokenStats(df: DataFrame, textCol: Column): DataFrame = {
     val ws = tokens(textCol)
-    df.withColumn("n_tokens", size(ws).cast("long"))
+    // Dedup.spread: a small parquet arrives as ONE scan partition, which
+    // would run the whole per-row kernel single-threaded (r14 optimization;
+    // no-op when the scan already carries session parallelism)
+    Dedup.spread(df).withColumn("n_tokens", size(ws).cast("long"))
       .withColumn("n_uniq_tokens", size(array_distinct(ws)).cast("long"))
       .withColumn("ttr_e6",
         round(lit(1000000.0) * col("n_uniq_tokens") / col("n_tokens")).cast("long"))
@@ -99,7 +102,7 @@ object TextAnalysis {
     val nTok = size(ws)
     val nUniq = size(array_distinct(ws))
     val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
-    df.withColumn("n_tokens", nTok.cast("long"))
+    Dedup.spread(df).withColumn("n_tokens", nTok.cast("long"))
       .withColumn("n_stopwords", nStop.cast("long"))
       .withColumn("quality_e6",
         round(lit(500000.0) * nUniq / nTok + lit(500000.0) * (nTok - nStop) / nTok)
@@ -131,7 +134,7 @@ object TextAnalysis {
       val distinctN = element_at(st, n) // slot 2 = 2-grams, slot 3 = 3-grams
       when(total > 0, e6(total - distinctN, total)).otherwise(0L)
     }
-    df.withColumn("dup_2gram_e6", dupFrac(2))
+    Dedup.spread(df).withColumn("dup_2gram_e6", dupFrac(2))
       .withColumn("dup_3gram_e6", dupFrac(3))
       .withColumn("top_token_e6",
         when(nTok > 0, e6(element_at(st, 4), nTok)).otherwise(0L))
@@ -153,7 +156,7 @@ object TextAnalysis {
    */
   def withLangId(df: DataFrame, textCol: Column): DataFrame = {
     val ws = tokens(textCol)
-    val scored = langMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+    val scored = langMarkers.foldLeft(Dedup.spread(df)) { case (acc, (lang, markers)) =>
       acc.withColumn(s"score_$lang", size(filter(ws, w => w.isInCollection(markers))))
     }
     val Seq(en, de, fr, es) = langMarkers.map { case (l, _) => col(s"score_$l") }
@@ -186,7 +189,7 @@ object TextAnalysis {
       "withScripts: input must not contain the output column names")
     def cnt(cls: String): Column =
       (length(textCol) - length(regexp_replace(textCol, cls, ""))).cast("long")
-    df.withColumn("n_latin", cnt("\\p{IsLatin}"))
+    Dedup.spread(df).withColumn("n_latin", cnt("\\p{IsLatin}"))
       .withColumn("n_cyrillic", cnt("\\p{IsCyrillic}"))
       .withColumn("n_han", cnt("\\p{IsHan}"))
       .withColumn("n_digit", cnt("[0-9]"))
@@ -211,7 +214,7 @@ object TextAnalysis {
    */
   def withFingerprints(df: DataFrame, textCol: Column): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("fp_md5", md5(textCol.cast("binary")))
+    Dedup.spread(df).withColumn("fp_md5", md5(textCol.cast("binary")))
       .withColumn("fp_winnow", rollingMinFp(textCol))
   }
 
@@ -521,7 +524,8 @@ object TextAnalysis {
       val B = b.cast(org.apache.spark.sql.types.DecimalType(38, 0))
       ((A - pmod(A, B)) / B).cast("long")
     }
-    val toks = df.select(idCol.as("__bf_id"), tokens(textCol).as("__bf_ws"))
+    val toks = Dedup.spread(
+      df.select(idCol.as("__bf_id"), tokens(textCol).as("__bf_ws")))
     val uni = toks.select(explode(col("__bf_ws")).as("__bf_w"))
       .groupBy(col("__bf_w")).agg(count(lit(1)).as("__bf_u"))
     val vRow = uni.agg(count(lit(1)).as("__bf_v"))
@@ -564,7 +568,7 @@ object TextAnalysis {
   def buildLmStore(docs: DataFrame, path: String, textCol: Column): Unit = {
     val spark = docs.sparkSession
     graft.sources.Sidecar.invalidateMarker(spark, path)
-    val toks = docs.select(tokens(textCol).as("__lm_ws"))
+    val toks = Dedup.spread(docs.select(tokens(textCol).as("__lm_ws")))
     toks.select(explode(col("__lm_ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("u"))
       .repartitionByRange(col("w")).sortWithinPartitions(col("w"))
@@ -611,7 +615,8 @@ object TextAnalysis {
       s"appendLmBatch: $path holds a buildLmStore flat store whose " +
       "vocabulary sidecar cannot absorb appends — rebuild it segmented " +
       "(appendLmBatch from an empty path) or keep rebuilding flat")
-    val toks = docs.select(tokens(textCol).as("__lm_ws")).localCheckpoint()
+    val toks = Dedup.spread(
+      docs.select(tokens(textCol).as("__lm_ws"))).localCheckpoint()
     toks.select(explode(col("__lm_ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("u"))
       .repartitionByRange(col("w")).sortWithinPartitions(col("w"))
@@ -664,7 +669,8 @@ object TextAnalysis {
       "appendLmBatch (or rebuild flat without the deleted docs)")
     require(batchId >= 0, s"deleteFromLmStore: batchId must be >= 0, got $batchId")
     val segId = -batchId - 1
-    val toks = docs.select(tokens(textCol).as("__lm_ws")).localCheckpoint()
+    val toks = Dedup.spread(
+      docs.select(tokens(textCol).as("__lm_ws"))).localCheckpoint()
     toks.select(explode(col("__lm_ws")).as("w"))
       .groupBy(col("w")).agg((-count(lit(1))).as("u"))
       .repartitionByRange(col("w")).sortWithinPartitions(col("w"))
@@ -789,7 +795,8 @@ object TextAnalysis {
       slice(ws, lit(1), greatest(n - 1, lit(0))),
       slice(ws, lit(2), greatest(n - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val docBi = df.select(idCol.as("__bf_id"), tokens(textCol).as("__bf_ws"))
+    val docBi = Dedup.spread(
+        df.select(idCol.as("__bf_id"), tokens(textCol).as("__bf_ws")))
       .select(col("__bf_id"), explode(pairs).as("__bf_p"))
       .select(col("__bf_id"), col("__bf_p.w1").as("__bf_w1"), col("__bf_p.w2").as("__bf_w2"))
     val scored = docBi
@@ -901,7 +908,8 @@ object TextAnalysis {
    */
   def withTrigramFluency(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     requireNoTrigramCols(df, "withTrigramFluency")
-    val toks = df.select(idCol.as("__tf_id"), tokens(textCol).as("__tf_ws"))
+    val toks = Dedup.spread(
+      df.select(idCol.as("__tf_id"), tokens(textCol).as("__tf_ws")))
     val uni = toks.select(explode(col("__tf_ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("u"))
     val nRow = uni.agg(sum(col("u")).as("__tf_n"))
@@ -974,7 +982,8 @@ object TextAnalysis {
                                 path: String): DataFrame = {
     requireNoTrigramCols(df, "withTrigramFluencyIndexed")
     val (uni, bi, tri, nRow) = loadLmModel3(df.sparkSession, path)
-    val docTri = df.select(idCol.as("__tf_id"), tokens(textCol).as("__tf_ws"))
+    val docTri = Dedup.spread(
+        df.select(idCol.as("__tf_id"), tokens(textCol).as("__tf_ws")))
       .select(col("__tf_id"), explode(triples(col("__tf_ws"))).as("p"))
       .select(col("__tf_id"), col("p.w1").as("__tf_w1"),
         col("p.w2").as("__tf_w2"), col("p.w3").as("__tf_w3"))
@@ -1007,7 +1016,8 @@ object TextAnalysis {
       c.equalsIgnoreCase("n_dup_spans")),
       "withDuplicatedSpans: input must not contain columns named " +
       "__ds_id/__ds_g/__ds_n or the output names n_spans/n_dup_spans")
-    val spans = df.select(idCol.as("__ds_id"), explode(shingles(textCol, k)).as("__ds_g"))
+    val spans = Dedup.spread(df.select(idCol.as("__ds_id"), textCol.as("__ds_t")))
+      .select(col("__ds_id"), explode(shingles(col("__ds_t"), k)).as("__ds_g"))
     // docs-per-span; spans are distinct within a doc, so count = doc count
     val counts = spans.groupBy(col("__ds_g")).agg(count(lit(1)).as("__ds_n"))
     val perDoc = spans.join(counts, "__ds_g")
@@ -1028,7 +1038,8 @@ object TextAnalysis {
   private def dupSpanCoverage(df: DataFrame, idCol: Column, textCol: Column,
                               k: Int, minDocs: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val base = df.select(idCol.as("__rs_id"), split(textCol, " ").as("__rs_ws"))
+    val base = Dedup.spread(
+      df.select(idCol.as("__rs_id"), split(textCol, " ").as("__rs_ws")))
     // all span occurrences with their 0-based start token index
     val occ = base
       .filter(size(col("__rs_ws")) >= k)

@@ -219,12 +219,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("Join"), plan)
   }
 
-  test("classifier training: one exchange, keyed by the dim-bounded feature id") {
+  test("classifier training: one KEYED exchange, on the dim-bounded feature id") {
     val m = operators.Classifier.train(
       operators.Classifier.withSeedLabel(docs, col("text")),
       col("text"), col("label"))
     val plan = formatted(m)
-    assert(shuffleCount(m) == 1, plan)
+    // exactly one keyed (hash) exchange — the feature-id aggregation; a
+    // RoundRobin spread of the under-partitioned scan (Dedup.spread, r14)
+    // is a data-free parallelism fix, not a keyed shuffle, and is allowed
+    val keyed = "hashpartitioning".r.findAllIn(plan.toLowerCase).size
+    assert(keyed == 1, plan)
+    assert(shuffleCount(m) <= 2, plan)
     assert(plan.contains("HashAggregate"), plan) // map-side partial agg
   }
 
