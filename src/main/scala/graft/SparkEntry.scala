@@ -4022,14 +4022,16 @@ object SparkEntry {
     // bounded collect: one (long, long, long) triple per click/view row
     // of the MemoryStream feed — events is the smallest fact table
     // (~20k/side at sf0.1, ~3 MB); feeding a MemoryStream is inherently
-    // driver-side (CollectBoundSpec-registered)
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("etms")).collect()
+    // driver-side (CollectBoundSpec-registered). ONE collect for both
+    // sides (r14: the old per-side filters scanned events twice), split
+    // in the driver — identical arrays, one Spark job
+    val both = e.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("etms"), col("event_type"))
+      .collect()
+    def side(t: String) = both.iterator.filter(_.getString(3) == t)
       .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
-    val views = e.filter(col("event_type") === "view")
-      .select(col("event_id"), col("user_id"), col("etms")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), new java.sql.Timestamp(r.getLong(2))))
-    (clicks, views)
+      .toArray
+    (side("click"), side("view"))
   }
 
   private def intervalEventStore(s: SparkSession, dir: String): String =

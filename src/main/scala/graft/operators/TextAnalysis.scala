@@ -54,7 +54,7 @@ object TextAnalysis {
     // does not cross Generate), so each chunk row slices the array in O(1)
     // instead of re-running the regex split — per-chunk slice(tokens(text))
     // would make a long document cost O(n_tokens²/stride)
-    val withToks = Dedup.spread(df).withColumn("__toks", tokens(textCol))
+    val withToks = df.withColumn("__toks", tokens(textCol)) // no spread: see withTokenStats
     val n = org.apache.spark.sql.functions.size(col("__toks"))
     // starts = 0, stride, 2·stride, … <= n-1  (split("") is [""], so n >= 1)
     withToks
@@ -79,10 +79,11 @@ object TextAnalysis {
   /** Adds n_tokens / n_uniq_tokens / ttr_e6 (type-token ratio scaled 1e6). */
   def withTokenStats(df: DataFrame, textCol: Column): DataFrame = {
     val ws = tokens(textCol)
-    // Dedup.spread: a small parquet arrives as ONE scan partition, which
-    // would run the whole per-row kernel single-threaded (r14 optimization;
-    // no-op when the scan already carries session parallelism)
-    Dedup.spread(df).withColumn("n_tokens", size(ws).cast("long"))
+    // NO spread here (r14): these per-row kernels are cheap enough that the
+    // round-robin exchange costs more than the serial compute it saves
+    // (bench A/B: +0.20 s on q9) — and pure-map-with-zero-exchange is the
+    // right shape at scale, where the scan is already parallel
+    df.withColumn("n_tokens", size(ws).cast("long"))
       .withColumn("n_uniq_tokens", size(array_distinct(ws)).cast("long"))
       .withColumn("ttr_e6",
         round(lit(1000000.0) * col("n_uniq_tokens") / col("n_tokens")).cast("long"))
@@ -102,7 +103,7 @@ object TextAnalysis {
     val nTok = size(ws)
     val nUniq = size(array_distinct(ws))
     val nStop = size(filter(ws, w => w.isInCollection(stopwords)))
-    Dedup.spread(df).withColumn("n_tokens", nTok.cast("long"))
+    df.withColumn("n_tokens", nTok.cast("long")) // no spread: see withTokenStats
       .withColumn("n_stopwords", nStop.cast("long"))
       .withColumn("quality_e6",
         round(lit(500000.0) * nUniq / nTok + lit(500000.0) * (nTok - nStop) / nTok)
@@ -156,7 +157,7 @@ object TextAnalysis {
    */
   def withLangId(df: DataFrame, textCol: Column): DataFrame = {
     val ws = tokens(textCol)
-    val scored = langMarkers.foldLeft(Dedup.spread(df)) { case (acc, (lang, markers)) =>
+    val scored = langMarkers.foldLeft(df) { case (acc, (lang, markers)) => // no spread: see withTokenStats
       acc.withColumn(s"score_$lang", size(filter(ws, w => w.isInCollection(markers))))
     }
     val Seq(en, de, fr, es) = langMarkers.map { case (l, _) => col(s"score_$l") }
@@ -189,7 +190,7 @@ object TextAnalysis {
       "withScripts: input must not contain the output column names")
     def cnt(cls: String): Column =
       (length(textCol) - length(regexp_replace(textCol, cls, ""))).cast("long")
-    Dedup.spread(df).withColumn("n_latin", cnt("\\p{IsLatin}"))
+    df.withColumn("n_latin", cnt("\\p{IsLatin}")) // no spread: see withTokenStats
       .withColumn("n_cyrillic", cnt("\\p{IsCyrillic}"))
       .withColumn("n_han", cnt("\\p{IsHan}"))
       .withColumn("n_digit", cnt("[0-9]"))
@@ -214,7 +215,7 @@ object TextAnalysis {
    */
   def withFingerprints(df: DataFrame, textCol: Column): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    Dedup.spread(df).withColumn("fp_md5", md5(textCol.cast("binary")))
+    df.withColumn("fp_md5", md5(textCol.cast("binary"))) // no spread: see withTokenStats
       .withColumn("fp_winnow", rollingMinFp(textCol))
   }
 

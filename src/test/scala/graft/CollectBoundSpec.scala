@@ -103,7 +103,12 @@ class CollectBoundSpec extends AnyFunSuite {
     // q212 invariant's 20-query × top-10 recall pair sets, and q232's
     // 1-row visited-average aggregate
     "SparkEntry.scala" -> Map(
-      ".collect()" -> 1,
+      // two bare `.collect()` continuation lines: the q212 recall pair set,
+      // and q244/q247's clickViewFeed — ONE collect now feeds both stream
+      // sides (r14: one slim quadruple per click/view row, ~20k rows/side
+      // at sf0.1; feeding a MemoryStream replay is inherently driver-side,
+      // split click/view in the driver)
+      ".collect()" -> 2,
       ".agg(avg(col(\"n_visited\"))).collect()(0).getDouble(0)" -> 1,
       // q235's 1-row max-visited aggregate (beam-cost cap pin)
       ".agg(max(col(\"n_visited\"))).collect()(0).getLong(0)" -> 1,
@@ -111,10 +116,6 @@ class CollectBoundSpec extends AnyFunSuite {
       ".collect().map(r => (r.getLong(0), r.getLong(1))).toSet" -> 1,
       ".collect().sortBy(_.getAs[Long](\"__lo\"))" -> 1,
       ".select(col(\"token\")).collect().map(_.getString(0)).toSeq" -> 1,
-      // q244's MemoryStream feeds: one slim triple per click/view row of
-      // the events table (smallest fact table, ~20k rows/side at sf0.1) —
-      // feeding a MemoryStream replay is inherently driver-side
-      ".select(col(\"event_id\"), col(\"user_id\"), col(\"etms\")).collect()" -> 2,
     ),
     // broadcastJoin's contractually-small right side, gated by the counted
     // maxBroadcastRows bound (loud failure before the collect)
