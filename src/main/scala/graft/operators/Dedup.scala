@@ -74,7 +74,7 @@ object Dedup {
    * the storage-hygiene invariant the old cache()+unpersist pattern had:
    * long sessions must not accumulate corpus-sized blocks.
    */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
@@ -200,6 +200,24 @@ object Dedup {
    */
   private[graft] def cappedBucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
+    // `banded` is consumed here under several subtrees (size aggregate,
+    // anti-join probe, self-join sides, star join) and is deliberately NOT
+    // materialized or pre-shuffled (r15, guide §1 "measure first" — all
+    // three shapes were A/B'd at sf0.1 same-host):
+    //  - r14's eager localCheckpoint serialized a barrier every caller
+    //    paid (q15 1.10 -> 1.30 s) and its local payoff did not reproduce
+    //    (q110/q59 flat) — the signature kernel above the already-
+    //    checkpointed shingle/vector prep is map-only and parallelizes,
+    //    so recomputing it on idle cores beats a serial materialize;
+    //  - an explicit repartition(__bucket) to share one exchange was
+    //    A/B'd both AQE-advisory (coalesced to 2 tasks — byte-light rows
+    //    under a CPU-dense fused refine, guide §2.5) and pinned to session
+    //    parallelism (REPARTITION_BY_NUM): the pinned form still lost
+    //    (q15 ~0.7x, q133 ~0.85x) because the extra exchange row-cycles
+    //    every banded row where the plain plan's self-join exchange
+    //    partial-aggregates map-side first.
+    // The self-join's two identical scan subtrees still collapse through
+    // ReuseExchange where their exchanges match.
     val b = banded.select(col("__id"), col("__bucket"))
     // join the banded rows against ONLY the over-cap buckets, not every
     // bucket's size: in a healthy corpus that table is empty-to-tiny (at
@@ -248,15 +266,14 @@ object Dedup {
     val sh = shingled(df, idCol, textCol, n).localCheckpoint()
     // band_buckets seeds each band's hash with the band index, so bucket
     // values are globally distinct across bands — one join key suffices.
-    // Checkpointed (r14 optimization): cappedBucketPairs consumes this
-    // under THREE distinct exchange shapes (groupBy partial-agg, anti-join
-    // probe, self-join build), and ReuseExchange only collapses identical
-    // subplans — the 128-hash minhash kernel was measured running twice
-    // (2 x 1.6 s stages on q110) where the eager barrier costs one 0.3 s
-    // pass; the (id, bucket) rows it stores are two longs each.
+    // No checkpoint (r15): the r14 eager barrier taxed direct-pair
+    // callers (q15 1.10 -> 1.30 s) and its claimed payoff did not
+    // reproduce — the 128-hash kernel above the checkpointed `sh` is
+    // map-only, so recomputation per consumer parallelizes on idle cores
+    // where the materialize serialized (A/B details in cappedBucketPairs).
     val banded = sh.select(col("__id"),
         explode(stf.band_buckets(stf.minhash_sig(col("__sh"), numHashes), bandsR))
-          .as("__bucket")).localCheckpoint()
+          .as("__bucket"))
     val cands = cappedBucketPairs(banded, maxBucket)
     val out = refineJaccard(cands, sh, p, q).localCheckpoint()
     releaseCheckpoint(sh)
@@ -1066,12 +1083,25 @@ object Dedup {
     val banded = v.select(col("__cl_id"),
       explode(stf.hyperplane_buckets(col("__cl_vec"), tables, planes)).as("__cl_bucket"))
     // every candidate flows through the buckets join — tombstoning it is
-    // sufficient to forget a vector (see the takedown notes)
+    // sufficient to forget a vector (see the takedown notes).
+    // NO distinct before the refine (r15, guide §2.2 "shuffle fewer
+    // bytes"): a sign-pattern table has only 2^planes buckets, so EVERY
+    // candidate pair collides in ~tables/2^planes tables and the
+    // pre-refine duplicate factor is large (48/3 config: ~6x) — at sf1
+    // the candidate-instance table is ~600M rows and the distinct was a
+    // full shuffle of all of them, dominating q111/q182/q205 (287/325/
+    // 229 s). The exact-cosine refine is a cheap codegen'd dot product,
+    // so re-confirming each duplicate instance map-side costs far less
+    // than shuffling the instances once; the id-level distinct below
+    // already collapses duplicates AFTER the filter, when only true
+    // matches remain. Set-identical: distinct-then-filter == filter-then-
+    // distinct for a deterministic per-row predicate. (The MinHash twin
+    // KEEPS its candidate distinct: 64-bit band buckets collide only for
+    // true near-dups, whose re-refine is an expensive array intersect.)
     val cands = banded
       .join(minusTombstones(spark.read.parquet(path + "/buckets"), path),
         col("__cl_bucket") === col("bucket"))
       .select(col("__cl_id"), col("id").as("__cl_sid"))
-      .distinct()
     val storeVec = spark.read.parquet(path + "/vectors")
     val seen = cands
       .join(v, "__cl_id")
@@ -1127,8 +1157,9 @@ object Dedup {
     val planesR = if (planes == 0) autoPlanes(v.count()) else planes
     val withNorm = v.withColumn("__nrm", stf.vec_norm(col("__vec")))
     // hyperplane_buckets encodes the table index in the bucket value, so
-    // one join key covers all tables; capped against hot buckets (reads of
-    // this subplan dedupe through ReuseExchange — see minhashLshPairs).
+    // one join key covers all tables; capped against hot buckets (the
+    // sign-pattern kernel recomputes per consumer subtree by design —
+    // see the A/B note in cappedBucketPairs).
     val banded = v.select(col("__id"),
       explode(stf.hyperplane_buckets(col("__vec"), tables, planesR)).as("__bucket"))
     // distinct on the id pair only (cheap), then join vectors back for refine

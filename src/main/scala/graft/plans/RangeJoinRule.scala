@@ -133,12 +133,26 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * `timeBucket = -1`. Bucket choice affects REPLICATION only — the
     * exact refine makes any positive bucket correct — so a sampling
     * artifact can cost speed, never rows. */
+  /** Auto-bucket memo (r15, guide §1.2 — compute once): same rationale as
+    * [[AsOfJoinRule]]'s probe memo — the derived bucket is a pure function
+    * of (canonicalized children, bound expressions, cap), and each
+    * planning pass of a repeated statement re-ran both sample jobs.
+    * Bucket choice affects replication only, never rows, so a semantic-
+    * hash collision can cost speed, not correctness. Bounded at 256. */
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Option[Long]]()
+
   private def resolveAutoBucket(left: LogicalPlan, right: LogicalPlan,
                                 ls: Expression, le: Expression,
                                 rs: Expression, re: Expression,
                                 cap: Long): Option[Long] = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession
       .getOrElse(return None)
+    val memoKey = (left.semanticHash(), right.semanticHash(),
+      Seq(ls, le, rs, re).map(_.semanticHash()).hashCode(), cap)
+    val hit = bucketMemo.get(memoKey)
+    if (hit != null) return hit
+    val resolved: Option[Long] = {
     inSampling.set(true)
     try {
       val lSpans = sampleSpans(spark, left, ls, le)
@@ -164,6 +178,10 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           "running the original plan")
         None
     } finally inSampling.set(false)
+    }
+    if (bucketMemo.size > 256) bucketMemo.clear()
+    bucketMemo.put(memoKey, resolved)
+    resolved
   }
 
   /** Catalyst stat values for integral columns arrive as boxed Int/Long. */
