@@ -52,11 +52,17 @@ object Dedup {
     if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
+    // any number of leaves (r15): a UNION of narrow scan legs is still
+    // exchange-free and its partitioning is the concatenation of the legs,
+    // so the input partition count is the SUM of the leaf counts — the
+    // single-leaf-only rule left q234's (odd ∪ perturbed) probe batch at
+    // 2 partitions, which serialized the whole fused gate pipeline into
+    // 2 tasks at sf1 (~100M dot products, 22.1 s vs 9.9 s baseline).
     val leafParts = plan.collectLeaves() match {
-      case Seq(leaf) if plan.find(
+      case leaves if leaves.nonEmpty && plan.find(
           _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]).isEmpty =>
         // leaf execute() builds the scan RDD lazily — no job is submitted
-        try Some(leaf.execute().getNumPartitions)
+        try Some(leaves.map(_.execute().getNumPartitions).sum)
         catch { case _: Throwable => None }
       case _ => None
     }
@@ -1078,7 +1084,14 @@ object Dedup {
     val params = graft.sources.Sidecar
       .readText(spark, path + "/_graft_coslsh_params").trim.split(" ")
     val (tables, planes) = (params(0).toInt, params(1).toInt)
-    val v = batch.select(idCol.as("__cl_id"), vecCol.as("__cl_vec"))
+    // spread the probe scan (r15): with the candidate distinct removed
+    // (below) and the store sides broadcast, the ENTIRE candidate+refine
+    // pipeline fuses into one exchange-free codegen stage whose task count
+    // is the probe parquet's partition count — measured at sf1 as ONE
+    // task computing all ~600M dot products (jstack: a single runnable
+    // worker in VecOps.dotF). The spread moves only the raw probe rows
+    // and gives the fused stage session parallelism.
+    val v = spread(batch.select(idCol.as("__cl_id"), vecCol.as("__cl_vec")))
       .withColumn("__cl_nrm", stf.vec_norm(col("__cl_vec")))
     val banded = v.select(col("__cl_id"),
       explode(stf.hyperplane_buckets(col("__cl_vec"), tables, planes)).as("__cl_bucket"))
