@@ -328,10 +328,22 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     val cellL = AttributeReference("__tb_l", LongType, nullable = false)()
     val cellR = AttributeReference("__tb_r", LongType, nullable = false)()
+    // spread under-partitioned children before the explode (r15): when one
+    // side broadcasts, the other side's explode+join+refine fuses onto the
+    // raw scan's task count — see SpreadNarrow. The probe must not recurse
+    // into this rule's own sampling (inSampling guard, same as the
+    // auto-bucket probe).
+    val (lIn, rIn) = org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) if !inSampling.get =>
+        inSampling.set(true)
+        try (SpreadNarrow(sp, left), SpreadNarrow(sp, right))
+        finally inSampling.set(false)
+      case _ => (left, right)
+    }
     val genL = Generate(buckets(ls, le), Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(cellL), child = left)
+      qualifier = None, generatorOutput = Seq(cellL), child = lIn)
     val genR = Generate(buckets(rs, re), Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(cellR), child = right)
+      qualifier = None, generatorOutput = Seq(cellR), child = rIn)
     val newCond = (EqualTo(cellL, cellR) +:
       IntervalReportBucket(asLong(ls), asLong(rs), bLit, cellL) +:
       conjuncts).reduce(And)
